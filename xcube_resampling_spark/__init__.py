@@ -1,0 +1,24 @@
+"""xcube_resampling_spark: a PySpark-native geospatial resampling engine.
+
+A from-scratch rebuild of the capabilities of xcube-dev/xcube-resampling
+(reference snapshot at /root/reference) on Apache Spark DataFrames:
+affine resampling, CRS reprojection, swath rectification, block-aggregation
+reducers, grid-mapping inference -- plus large-scale training-data operators
+(dedup, similarity search, text analysis) on the same engine.
+"""
+
+from .crs import CRS, CRS_CRS84, CRS_WGS84, Transformer
+from .dataset import SparkDataset, Variable
+from .gridmapping import GridMapping
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CRS",
+    "CRS_CRS84",
+    "CRS_WGS84",
+    "GridMapping",
+    "SparkDataset",
+    "Transformer",
+    "Variable",
+]

@@ -1,0 +1,496 @@
+"""Minimal coordinate-reference-system support (no external deps).
+
+The reference engine delegates all CRS handling to pyproj
+(/root/reference/xcube_resampling/gridmapping/base.py:49-52,
+ reproject.py:124-126).  pyproj is not available in this environment, so this
+module implements the small subset of CRS functionality the engine needs from
+public, published formulas:
+
+* geographic CRS (WGS84 / CRS84 lon-lat degrees),
+* Universal Transverse Mercator (EPSG:326xx / 327xx) via the Krueger series
+  (Karney 2011, "Transverse Mercator with an accuracy of a few nanometers" --
+  public-domain formulas, coefficients to order n^6),
+* Lambert Azimuthal Equal Area (EPSG:3035 and general CF parameters) per
+  EPSG Guidance Note 7-2 (method code 9820, ellipsoidal oblique case).
+
+All functions are vectorized over numpy arrays so they can run inside
+Arrow-batched pandas UDFs on Spark executors.  CRS objects serialize to a
+small spec string so they can be shipped to executors cheaply.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["CRS", "Transformer", "CRS_WGS84", "CRS_CRS84"]
+
+# Ellipsoids: name -> (a, 1/f)
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+}
+
+
+@dataclass(frozen=True)
+class _Ellipsoid:
+    a: float
+    inv_f: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e2(self) -> float:
+        f = self.f
+        return f * (2.0 - f)
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.e2)
+
+    @property
+    def n(self) -> float:
+        f = self.f
+        return f / (2.0 - f)
+
+
+@dataclass(frozen=True)
+class CRS:
+    """A coordinate reference system.
+
+    kind: 'geographic' | 'tmerc' | 'laea'
+    params: projection parameters (lon_0, lat_0, k_0, x_0, y_0) in degrees/m.
+    """
+
+    kind: str
+    name: str
+    ellipsoid: _Ellipsoid
+    params: tuple = field(default_factory=tuple)  # sorted (key, value) pairs
+    auth_code: str | None = None
+
+    # ------------------------------------------------------------------ #
+    # constructors
+
+    @staticmethod
+    def from_user_input(value) -> "CRS":
+        if isinstance(value, CRS):
+            return value
+        if isinstance(value, int):
+            return CRS.from_epsg(value)
+        if isinstance(value, str):
+            return CRS.from_string(value)
+        raise ValueError(f"cannot create CRS from {value!r}")
+
+    @staticmethod
+    def from_string(s: str) -> "CRS":
+        su = s.strip().upper()
+        if su in ("OGC:CRS84", "CRS84", "WGS84", "WGS 84", "EPSG:CRS84"):
+            return CRS_CRS84
+        if su.startswith("EPSG:"):
+            return CRS.from_epsg(int(su.split(":", 1)[1]))
+        if su.isdigit():
+            return CRS.from_epsg(int(su))
+        raise ValueError(f"unsupported CRS string: {s!r}")
+
+    @staticmethod
+    def from_epsg(code: int) -> "CRS":
+        if code == 4326:
+            return CRS(
+                "geographic", "WGS 84", _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                auth_code="EPSG:4326",
+            )
+        if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+            south = code >= 32701
+            zone = code - (32700 if south else 32600)
+            lon0 = zone * 6 - 183
+            hemi = "S" if south else "N"
+            return CRS(
+                "tmerc",
+                f"WGS 84 / UTM zone {zone}{hemi}",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("k_0", 0.9996),
+                    ("lat_0", 0.0),
+                    ("lon_0", float(lon0)),
+                    ("x_0", 500000.0),
+                    ("y_0", 10000000.0 if south else 0.0),
+                ),
+                auth_code=f"EPSG:{code}",
+            )
+        if code == 3035:
+            return CRS(
+                "laea",
+                "ETRS89-extended / LAEA Europe",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("lat_0", 52.0),
+                    ("lon_0", 10.0),
+                    ("x_0", 4321000.0),
+                    ("y_0", 3210000.0),
+                ),
+                auth_code="EPSG:3035",
+            )
+        raise ValueError(f"unsupported EPSG code: {code}")
+
+    @staticmethod
+    def from_cf(attrs: dict) -> "CRS":
+        """Build a CRS from CF grid-mapping attributes
+        (parity: pyproj CRS.from_cf used at reference cfconv.py:91-116)."""
+        gmn = attrs.get("grid_mapping_name")
+        if gmn in (None, "latitude_longitude"):
+            return CRS_WGS84
+        ell = _Ellipsoid(
+            float(attrs.get("semi_major_axis", 6378137.0)),
+            float(attrs.get("inverse_flattening", 298.257223563)),
+        )
+        if gmn == "transverse_mercator":
+            return CRS(
+                "tmerc", "Transverse Mercator", ell,
+                params=(
+                    ("k_0", float(attrs.get(
+                        "scale_factor_at_central_meridian", 1.0))),
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get("longitude_of_central_meridian", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "lambert_azimuthal_equal_area":
+            return CRS(
+                "laea", "Lambert Azimuthal Equal Area", ell,
+                params=(
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        raise ValueError(f"unsupported CF grid mapping: {gmn!r}")
+
+    # ------------------------------------------------------------------ #
+    # properties / serialization
+
+    @property
+    def is_geographic(self) -> bool:
+        return self.kind == "geographic"
+
+    def param(self, key: str, default: float = 0.0) -> float:
+        for k, v in self.params:
+            if k == key:
+                return v
+        return default
+
+    def equals(self, other: "CRS") -> bool:
+        if self is other:
+            return True
+        return (
+            self.kind == other.kind
+            and self.name == other.name
+            and self.ellipsoid == other.ellipsoid
+            and self.params == other.params
+        )
+
+    def __eq__(self, other) -> bool:  # match pyproj CRS == semantics loosely
+        return isinstance(other, CRS) and self.equals(other)
+
+    def __hash__(self):
+        return hash((self.kind, self.name, self.ellipsoid, self.params))
+
+    def to_spec(self) -> str:
+        """Compact string spec, safe to ship to executors."""
+        p = ";".join(f"{k}={v!r}" for k, v in self.params)
+        return (
+            f"{self.kind}|{self.name}|{self.ellipsoid.a}|{self.ellipsoid.inv_f}|{p}"
+            f"|{self.auth_code or ''}"
+        )
+
+    @staticmethod
+    def from_spec(spec: str) -> "CRS":
+        kind, name, a, inv_f, p, auth = spec.split("|")
+        params = tuple(
+            (kv.split("=")[0], float(kv.split("=")[1]))
+            for kv in p.split(";")
+            if kv
+        )
+        return CRS(kind, name, _Ellipsoid(float(a), float(inv_f)), params,
+                   auth or None)
+
+    def to_cf(self) -> dict:
+        """CF grid-mapping attributes (sink-side metadata; parity:
+        reference utils.py:147 `gm.crs.to_cf()`)."""
+        ell = dict(
+            semi_major_axis=self.ellipsoid.a,
+            inverse_flattening=self.ellipsoid.inv_f,
+        )
+        if self.kind == "geographic":
+            return dict(grid_mapping_name="latitude_longitude", **ell)
+        if self.kind == "tmerc":
+            return dict(
+                grid_mapping_name="transverse_mercator",
+                scale_factor_at_central_meridian=self.param("k_0", 1.0),
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_central_meridian=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "laea":
+            return dict(
+                grid_mapping_name="lambert_azimuthal_equal_area",
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        raise ValueError(self.kind)
+
+
+CRS_WGS84 = CRS("geographic", "WGS 84", _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                auth_code="EPSG:4326")
+CRS_CRS84 = CRS("geographic", "WGS 84 (CRS84)",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]), auth_code="OGC:CRS84")
+
+
+# ---------------------------------------------------------------------- #
+# Transverse Mercator (Krueger series, order n^6)
+
+def _tm_coeffs(n: float):
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    alpha = (
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+        + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    )
+    rect_a = 1 + n2 / 4 + n4 / 64 + n6 / 256
+    return alpha, beta, rect_a
+
+
+def _tmerc_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    e = ell.e
+    n = ell.n
+    alpha, _, rect_a = _tm_coeffs(n)
+    big_a = ell.a / (1 + n) * rect_a
+    k0 = crs.param("k_0", 1.0)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    # wrap into (-pi, pi]
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a_j in enumerate(alpha, start=1):
+        xi += a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    x = fe + k0 * big_a * eta
+    y = fn + k0 * big_a * xi
+    # meridian-origin offset: subtract northing of lat_0 if non-zero
+    lat0 = crs.param("lat_0")
+    if lat0 != 0.0:
+        y0 = _tmerc_forward_scalar_northing(crs, lat0)
+        y = y - y0 + fn  # forward already added fn; keep single fn
+    return x, y
+
+
+def _tmerc_forward_scalar_northing(crs: CRS, lat0: float) -> float:
+    # northing of (lat0, lon0) with false northing included
+    crs0 = CRS(crs.kind, crs.name, crs.ellipsoid,
+               tuple((k, (0.0 if k == "lat_0" else v)) for k, v in crs.params))
+    _, y = _tmerc_forward(crs0, np.array([crs.param("lon_0")]),
+                          np.array([lat0]))
+    return float(y[0])
+
+
+def _tmerc_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    e = ell.e
+    n = ell.n
+    _, beta, rect_a = _tm_coeffs(n)
+    big_a = ell.a / (1 + n) * rect_a
+    k0 = crs.param("k_0", 1.0)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    lat0 = crs.param("lat_0")
+    y_adj = np.asarray(y, dtype=np.float64)
+    if lat0 != 0.0:
+        y_adj = y_adj + (_tmerc_forward_scalar_northing(crs, lat0) - fn)
+
+    xi = (y_adj - fn) / (k0 * big_a)
+    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * big_a)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b_j in enumerate(beta, start=1):
+        xi_p -= b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # invert conformal latitude chi -> geographic latitude phi by fixed point:
+    # sin(phi) = tanh( atanh(sin chi) + e * atanh(e * sin(phi)) )
+    psi = np.arctanh(np.sin(chi))
+    s = np.sin(chi)
+    for _ in range(12):
+        s = np.tanh(psi + e * np.arctanh(e * s))
+    phi = np.arcsin(np.clip(s, -1.0, 1.0))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Lambert Azimuthal Equal Area (EPSG method 9820, ellipsoidal oblique)
+
+def _laea_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+    lat0 = math.radians(crs.param("lat_0"))
+
+    def q_of(sphi):
+        return (1 - e2) * (
+            sphi / (1 - e2 * sphi * sphi)
+            - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
+        )
+
+    qp = q_of(1.0)
+    s0 = math.sin(lat0)
+    q0 = q_of(s0)
+    beta0 = math.asin(q0 / qp)
+    rq = ell.a * math.sqrt(qp / 2)
+    d = ell.a * (math.cos(lat0) / math.sqrt(1 - e2 * s0 * s0)) / (
+        rq * math.cos(beta0))
+    return q_of, qp, beta0, rq, d
+
+
+def _laea_forward(crs: CRS, lon, lat):
+    q_of, qp, beta0, rq, d = _laea_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    q = q_of(np.sin(phi))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    b = rq * np.sqrt(
+        2.0 / (1 + math.sin(beta0) * np.sin(beta)
+               + math.cos(beta0) * np.cos(beta) * np.cos(lam))
+    )
+    x = fe + (b * d) * (np.cos(beta) * np.sin(lam))
+    y = fn + (b / d) * (
+        math.cos(beta0) * np.sin(beta)
+        - math.sin(beta0) * np.cos(beta) * np.cos(lam)
+    )
+    return x, y
+
+
+def _laea_inverse(crs: CRS, x, y):
+    q_of, qp, beta0, rq, d = _laea_setup(crs)
+    ell = crs.ellipsoid
+    e2 = ell.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = (np.asarray(x, dtype=np.float64) - fe) / d
+    yr = (np.asarray(y, dtype=np.float64) - fn) * d
+    rho = np.sqrt(xr * xr + yr * yr)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = 2 * np.arcsin(np.clip(rho / (2 * rq), -1.0, 1.0))
+        beta_p = np.arcsin(np.clip(
+            np.cos(c) * math.sin(beta0)
+            + (yr * np.sin(c) * math.cos(beta0)) / rho, -1.0, 1.0))
+        lam = np.arctan2(
+            xr * np.sin(c),
+            rho * math.cos(beta0) * np.cos(c)
+            - yr * math.sin(beta0) * np.sin(c),
+        )
+    # at the projection center rho == 0
+    center = rho == 0
+    if np.any(center):
+        beta_p = np.where(center, beta0, beta_p)
+        lam = np.where(center, 0.0, lam)
+    phi = (
+        beta_p
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta_p)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta_p)
+        + (761 * e6 / 45360) * np.sin(6 * beta_p)
+    )
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Transformer
+
+class Transformer:
+    """Transforms x,y between two CRS (always x,y order, like pyproj's
+    ``Transformer.from_crs(..., always_xy=True)``; parity:
+    reference reproject.py:124-126)."""
+
+    def __init__(self, src: CRS, dst: CRS):
+        self.src = src
+        self.dst = dst
+
+    @staticmethod
+    def from_crs(src, dst) -> "Transformer":
+        return Transformer(CRS.from_user_input(src), CRS.from_user_input(dst))
+
+    def transform(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if self.src.equals(self.dst) or (
+            self.src.is_geographic and self.dst.is_geographic
+        ):
+            return x, y
+        # to geographic
+        if self.src.kind == "tmerc":
+            lon, lat = _tmerc_inverse(self.src, x, y)
+        elif self.src.kind == "laea":
+            lon, lat = _laea_inverse(self.src, x, y)
+        else:
+            lon, lat = x, y
+        # from geographic
+        if self.dst.kind == "tmerc":
+            return _tmerc_forward(self.dst, lon, lat)
+        if self.dst.kind == "laea":
+            return _laea_forward(self.dst, lon, lat)
+        return lon, lat
+
+    def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
+        """Transform a bounding box by densifying its edges
+        (parity: pyproj transform_bounds, used at reference
+        reproject.py:347,398)."""
+        xs = np.linspace(x_min, x_max, densify_pts)
+        ys = np.linspace(y_min, y_max, densify_pts)
+        edge_x = np.concatenate([
+            xs, xs, np.full(densify_pts, x_min), np.full(densify_pts, x_max)])
+        edge_y = np.concatenate([
+            np.full(densify_pts, y_min), np.full(densify_pts, y_max), ys, ys])
+        tx, ty = self.transform(edge_x, edge_y)
+        return (float(np.nanmin(tx)), float(np.nanmin(ty)),
+                float(np.nanmax(tx)), float(np.nanmax(ty)))

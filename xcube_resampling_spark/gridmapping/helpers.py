@@ -1,0 +1,141 @@
+"""Driver-side numeric helpers for grid mappings.
+
+Parity reference: /root/reference/xcube_resampling/gridmapping/helpers.py
+(affine matrix ops, lon-360 normalization, fraction rounding, scaling).
+Implemented from scratch on plain Python/numpy (no `affine` package).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+from ..constants import AffineTransformMatrix, FloatInt
+
+
+def to_int_or_float(x: FloatInt) -> FloatInt:
+    """Snap near-integer floats to int (reference helpers.py:39-48)."""
+    if isinstance(x, int):
+        return x
+    xf = float(x)
+    xi = round(xf)
+    return xi if math.isclose(xi, xf, rel_tol=1e-5) else xf
+
+
+def affine_compose(
+    m1: AffineTransformMatrix, m2: AffineTransformMatrix
+) -> AffineTransformMatrix:
+    """Compose 2x3 affine matrices: result applies m2 first, then m1
+    (matrix product m1 @ m2, mirroring `affine.Affine` ``m1 * m2``)."""
+    (a1, b1, c1), (d1, e1, f1) = m1
+    (a2, b2, c2), (d2, e2, f2) = m2
+    return (
+        (a1 * a2 + b1 * d2, a1 * b2 + b1 * e2, a1 * c2 + b1 * f2 + c1),
+        (d1 * a2 + e1 * d2, d1 * b2 + e1 * e2, d1 * c2 + e1 * f2 + f1),
+    )
+
+
+def affine_invert(m: AffineTransformMatrix) -> AffineTransformMatrix:
+    """Invert a 2x3 affine matrix (mirrors ``~affine.Affine``)."""
+    (a, b, c), (d, e, f) = m
+    det = a * e - b * d
+    if det == 0:
+        raise ValueError("affine matrix is singular")
+    ia, ib = e / det, -b / det
+    id_, ie = -d / det, a / det
+    return (
+        (ia, ib, -(ia * c + ib * f)),
+        (id_, ie, -(id_ * c + ie * f)),
+    )
+
+
+def affine_apply(m: AffineTransformMatrix, x, y):
+    (a, b, c), (d, e, f) = m
+    return a * x + b * y + c, d * x + e * y + f
+
+
+def normalize_int_pair(value, default=None) -> tuple[int, int] | None:
+    if isinstance(value, int):
+        return value, value
+    if value is not None:
+        x, y = value
+        return int(x), int(y)
+    return default
+
+
+def normalize_number_pair(value, default=None):
+    if isinstance(value, (int, float)):
+        return to_int_or_float(value), to_int_or_float(value)
+    if value is not None:
+        x, y = value
+        return to_int_or_float(x), to_int_or_float(y)
+    return default
+
+
+def to_lon_360(lon):
+    """lon < 0 -> lon + 360 (reference helpers.py:97-102)."""
+    lon = np.asarray(lon)
+    return np.where(lon >= 0.0, lon, lon + 360.0)
+
+
+def from_lon_360(lon):
+    """lon > 180 -> lon - 360 (reference helpers.py:105-110)."""
+    lon = np.asarray(lon)
+    return np.where(lon <= 180.0, lon, lon - 360.0)
+
+
+_RESOLUTIONS = {
+    10: (1, 0),
+    20: (2, 0),
+    25: (25, 1),
+    50: (5, 0),
+    100: (1, -1),
+}
+_RESOLUTION_SET = {k / 100 for k in _RESOLUTIONS}
+
+
+def round_to_fraction(value: float, digits: int = 2,
+                      resolution: float = 1) -> Fraction:
+    """Round *value* at the given significant digit to an exact Fraction
+    (reference helpers.py:203-239; same semantics)."""
+    if digits < 1:
+        raise ValueError("digits must be a positive integer")
+    resolution_key = round(100 * resolution)
+    if resolution_key not in _RESOLUTIONS or not math.isclose(
+        100 * resolution, resolution_key
+    ):
+        raise ValueError(f"resolution must be one of {_RESOLUTION_SET}")
+    if value == 0:
+        return Fraction(0, 1)
+    sign = 1
+    if value < 0:
+        sign = -1
+        value = -value
+    resolution, resolution_digits = _RESOLUTIONS[resolution_key]
+    exponent = math.floor(math.log10(value)) - digits - resolution_digits
+    if exponent >= 0:
+        magnitude = Fraction(10**exponent, 1)
+    else:
+        magnitude = Fraction(1, 10**-exponent)
+    scaled_value = value / magnitude
+    discrete_value = resolution * round(scaled_value / resolution)
+    return (sign * discrete_value) * magnitude
+
+
+def scale_xy_res_and_size(xy_res, size, xy_scale):
+    """Scale resolution & size, clamping size to >= 2
+    (reference helpers.py:242-255)."""
+    x_res, y_res = xy_res
+    x_scale, y_scale = xy_scale
+    w, h = size
+    w, h = round(x_scale * w), round(y_scale * h)
+    return (
+        (x_res / x_scale, y_res / y_scale),
+        (w if w >= 2 else 2, h if h >= 2 else 2),
+    )
+
+
+def default_xy_var_names(crs) -> tuple[str, str]:
+    return ("lon", "lat") if crs.is_geographic else ("x", "y")
