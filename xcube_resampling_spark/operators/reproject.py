@@ -1,0 +1,453 @@
+"""CRS reprojection of regular grids -- Spark SQL + one vectorized UDF.
+
+Parity reference: /root/reference/xcube_resampling/reproject.py:51-530.
+The reference transforms each target pixel center into the source CRS
+(pyproj), computes fractional source indices and gathers/interpolates
+per-tile with padded dense blocks.  Spark-first formulation:
+
+* target pixel centers are generated distributed and transformed by a single
+  Arrow-batched pandas UDF (the only non-SQL step -- CRS math cannot be
+  expressed in Catalyst),
+* fractional source indices are column arithmetic against the source grid
+  origin (identical to reproject.py:278-279),
+* the gather is an equi-join on (t, floor/ceil j, floor/ceil i); the
+  reference's per-tile padded blocks (reproject.py:499-530) are replaced by
+  per-neighbor bounds checks -> fill value, which avoids materializing dense
+  padded intermediates entirely (a genuine win at scale),
+* interpolation blends (nearest via banker's rounding like np.rint,
+  bilinear, two-triangle 'triangular') are whole-stage-codegen expressions
+  (reproject.py:281-328).
+* if the source is finer than the target (SCALE_LIMIT, reproject.py:338-382)
+  the source is first clipped (filter pushdown) and affine-downscaled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import SCALE_LIMIT, is_int_dtype
+from ..crs import CRS, Transformer
+from ..dataset import SparkDataset, Variable, grid_df
+from ..gridmapping import GridMapping
+from .affine import affine_transform_dataset
+from .utils import (
+    get_fill_value,
+    get_interp_method_str,
+    prep_interp_methods_downscale,
+)
+
+_NOT_IMPLEMENTED_ERROR = (
+    "interp_methods must be one of 0, 1, 'nearest', 'bilinear', 'triangular'"
+)
+
+_TRANSFORMERS: dict[tuple[str, str], Transformer] = {}
+
+
+def _get_transformer(src_spec: str, dst_spec: str) -> Transformer:
+    key = (src_spec, dst_spec)
+    tr = _TRANSFORMERS.get(key)
+    if tr is None:
+        tr = Transformer(CRS.from_spec(src_spec), CRS.from_spec(dst_spec))
+        _TRANSFORMERS[key] = tr
+    return tr
+
+
+def transform_coords_df(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    src_crs: CRS,
+    dst_crs: CRS,
+    out_cols: tuple[str, str] = ("sx", "sy"),
+) -> DataFrame:
+    """Append transformed coordinate columns via an Arrow-batched pandas UDF
+    (parity: reference reproject.py:472-496 `_transform_gridpoints`)."""
+    src_spec, dst_spec = src_crs.to_spec(), dst_crs.to_spec()
+    schema = T.StructType(
+        [
+            T.StructField(out_cols[0], T.DoubleType()),
+            T.StructField(out_cols[1], T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _tr(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        tr = _get_transformer(src_spec, dst_spec)
+        sx, sy = tr.transform(x.to_numpy(np.float64), y.to_numpy(np.float64))
+        return pd.DataFrame({out_cols[0]: sx, out_cols[1]: sy})
+
+    res = df.withColumn("_txy", _tr(F.col(x_col), F.col(y_col)))
+    return res.select(
+        *[c for c in df.columns],
+        F.col(f"_txy.{out_cols[0]}").alias(out_cols[0]),
+        F.col(f"_txy.{out_cols[1]}").alias(out_cols[1]),
+    )
+
+
+def flip_j_axis(ds: SparkDataset, gm: GridMapping) -> tuple[SparkDataset, GridMapping]:
+    """Reverse the j axis (reference reproject.py:115-118
+    ``isel({y: slice(None, None, -1)})``) -- pure index arithmetic."""
+    h = gm.height
+    new_vars = {}
+    for name, var in ds.data_vars.items():
+        if var.is_spatial:
+            new_vars[name] = var.with_df(
+                var.df.withColumn("j", F.lit(h - 1) - F.col("j"))
+            )
+        else:
+            new_vars[name] = var
+    y_name = gm.xy_var_names[1]
+    coords = dict(ds.coords)
+    if y_name in coords:
+        coords[y_name] = np.asarray(coords[y_name])[::-1]
+    new_ds = SparkDataset(
+        spark=ds.spark,
+        data_vars=new_vars,
+        coords=coords,
+        coord_attrs=dict(ds.coord_attrs),
+        attrs=dict(ds.attrs),
+        yx_dims=ds.yx_dims,
+    )
+    new_gm = gm.derive(is_j_axis_up=False)
+    return new_ds, new_gm
+
+
+def reproject_dataset(
+    source_ds: SparkDataset,
+    target_gm: GridMapping,
+    source_gm: GridMapping | None = None,
+    variables=None,
+    interp_methods=None,
+    agg_methods=None,
+    recover_nans=False,
+    fill_values=None,
+) -> SparkDataset:
+    """Reproject a dataset onto a regular target grid in another CRS
+    (reference reproject.py:51-186)."""
+    if source_gm is None:
+        source_gm = source_ds.grid_mapping()
+    if source_gm.is_j_axis_up:
+        source_ds, source_gm = flip_j_axis(source_ds, source_gm)
+
+    source_ds = source_ds.select_variables(variables)
+
+    transformer = Transformer.from_crs(target_gm.crs, source_gm.crs)
+
+    # pre-downscale when source is finer than target (reproject.py:129-137)
+    source_ds, source_gm = _downscale_source_dataset(
+        source_ds,
+        source_gm,
+        target_gm,
+        transformer,
+        interp_methods,
+        agg_methods,
+        recover_nans,
+    )
+
+    spark = source_ds.spark
+    w, h = target_gm.size
+
+    # target pixel centers (t-independent 2-D grid), transformed to the
+    # source CRS by the pandas UDF
+    grid2d = grid_df(spark, w, h, 1).drop("t")
+    x_expr = F.lit(float(target_gm.x_min)) + (
+        (F.col("i") + 0.5) * float(target_gm.x_res)
+    )
+    if target_gm.is_j_axis_up:
+        y_expr = F.lit(float(target_gm.y_min)) + (
+            (F.col("j") + 0.5) * float(target_gm.y_res)
+        )
+    else:
+        y_expr = F.lit(float(target_gm.y_max)) - (
+            (F.col("j") + 0.5) * float(target_gm.y_res)
+        )
+    grid2d = grid2d.select(
+        "j", "i", x_expr.alias("tx"), y_expr.alias("ty")
+    )
+    grid2d = transform_coords_df(
+        grid2d, "tx", "ty", target_gm.crs, source_gm.crs
+    )
+
+    # fractional source indices vs the source grid origin (pixel centers)
+    x0 = float(np.asarray(source_gm.x_coords)[0])
+    y0 = float(np.asarray(source_gm.y_coords)[0])
+    x_res = float(source_gm.x_res)
+    y_res = float(source_gm.y_res)
+    grid2d = grid2d.select(
+        "j", "i",
+        ((F.col("sx") - x0) / x_res).alias("ix"),
+        ((F.col("sy") - y0) / (-y_res)).alias("iy"),
+    )
+
+    src_w, src_h = source_gm.size
+    yx_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
+    new_vars: dict[str, Variable] = {}
+    for name, var in source_ds.data_vars.items():
+        if var.is_spatial and var.dims[-2:] == yx_dims:
+            if len(var.dims) not in (2, 3):
+                raise AssertionError(
+                    f"Data variable {name} has {len(var.dims)} dimensions."
+                )
+            interp = get_interp_method_str(interp_methods, name, var.dtype)
+            fill = get_fill_value(fill_values, name, var.dtype)
+            num_t = _num_t(source_ds, var)
+            df = _gather_interp(
+                grid2d, var.df, spark, (src_w, src_h), num_t, interp,
+                fill, is_int_dtype(var.dtype),
+            )
+            new_vars[name] = var.with_df(df)
+        elif yx_dims[0] not in var.dims and yx_dims[1] not in var.dims:
+            new_vars[name] = var
+
+    x_name, y_name = target_gm.xy_var_names
+    coords = {
+        k: v
+        for k, v in source_ds.coords.items()
+        if k not in source_gm.xy_var_names and k != "spatial_ref"
+    }
+    coords[x_name] = target_gm.x_coords
+    coords[y_name] = target_gm.y_coords
+    coords["spatial_ref"] = 0
+    coord_attrs = {
+        k: v for k, v in source_ds.coord_attrs.items() if k in coords
+    }
+    coord_attrs["spatial_ref"] = target_gm.crs.to_cf()
+    return SparkDataset(
+        spark=spark,
+        data_vars=new_vars,
+        coords=coords,
+        coord_attrs=coord_attrs,
+        attrs=dict(source_ds.attrs),
+        yx_dims=(target_gm.xy_dim_names[1], target_gm.xy_dim_names[0]),
+    )
+
+
+def _num_t(dataset: SparkDataset, var: Variable) -> int:
+    if len(var.dims) < 3:
+        return 1
+    t_coord = dataset.coords.get(var.dims[0])
+    return len(t_coord) if t_coord is not None else 1
+
+
+def _gather_interp(
+    grid2d: DataFrame,
+    src_df: DataFrame,
+    spark,
+    source_size: tuple[int, int],
+    num_t: int,
+    interp_method: str,
+    fill_value,
+    is_int: bool,
+) -> DataFrame:
+    """Join-based gather + interpolation expressions
+    (reference reproject.py:268-335 `_reproject_block`)."""
+    src_w, src_h = source_size
+    fill = F.lit(float(fill_value)).cast("double")
+
+    ts = spark.range(num_t).select(F.col("id").cast("int").alias("t"))
+    grid = grid2d.crossJoin(ts)
+
+    src = src_df.select(
+        F.col("t").alias("st"), F.col("j").alias("sj2"),
+        F.col("i").alias("si2"), F.col("value").alias("sv"),
+    )
+
+    if interp_method == "nearest":
+        si = F.bround(F.col("ix")).cast("int")
+        sj = F.bround(F.col("iy")).cast("int")
+        g = grid.select(
+            "t", "j", "i", si.alias("si"), sj.alias("sj"),
+            (
+                (si >= 0) & (si <= src_w - 1) & (sj >= 0) & (sj <= src_h - 1)
+            ).alias("in_b"),
+        )
+        joined = g.join(
+            src,
+            (g["t"] == src["st"]) & (g["sj"] == src["sj2"])
+            & (g["si"] == src["si2"]),
+            "left",
+        )
+        return joined.select(
+            "t", "j", "i",
+            F.when(
+                F.col("in_b"), F.coalesce(F.col("sv"), fill)
+            ).otherwise(fill).alias("value"),
+        )
+
+    if interp_method not in ("bilinear", "triangular"):
+        raise NotImplementedError(
+            f"{_NOT_IMPLEMENTED_ERROR}, was '{interp_method}'."
+        )
+
+    i0 = F.floor(F.col("ix")).cast("int")
+    i1 = F.ceil(F.col("ix")).cast("int")
+    j0 = F.floor(F.col("iy")).cast("int")
+    j1 = F.ceil(F.col("iy")).cast("int")
+    g = grid.select(
+        "t", "j", "i",
+        i0.alias("i0"), i1.alias("i1"), j0.alias("j0"), j1.alias("j1"),
+        (F.col("ix") - i0).alias("fx"),
+        (F.col("iy") - j0).alias("fy"),
+    )
+    tags = F.array(
+        *[
+            F.struct(F.lit(dj).alias("dj"), F.lit(di).alias("di"))
+            for dj in (0, 1)
+            for di in (0, 1)
+        ]
+    )
+    nbrs = g.select(
+        "t", "j", "i", "fx", "fy", F.explode(tags).alias("tag"),
+        "i0", "i1", "j0", "j1",
+    ).select(
+        "t", "j", "i", "fx", "fy",
+        F.col("tag.dj").alias("dj"), F.col("tag.di").alias("di"),
+        F.when(F.col("tag.dj") == 0, F.col("j0"))
+        .otherwise(F.col("j1")).alias("sj"),
+        F.when(F.col("tag.di") == 0, F.col("i0"))
+        .otherwise(F.col("i1")).alias("si"),
+    )
+    joined = nbrs.join(
+        src,
+        (nbrs["t"] == src["st"]) & (nbrs["sj"] == src["sj2"])
+        & (nbrs["si"] == src["si2"]),
+        "left",
+    ).select(
+        "t", "j", "i", "fx", "fy", "dj", "di",
+        # out-of-source neighbors read the fill value, like the padded
+        # gather blocks of the reference (reproject.py:516)
+        F.coalesce(F.col("sv"), fill).alias("sv"),
+    )
+
+    def pick(dj, di):
+        return F.max(
+            F.when((F.col("dj") == dj) & (F.col("di") == di), F.col("sv"))
+        )
+
+    piv = joined.groupBy("t", "j", "i", "fx", "fy").agg(
+        pick(0, 0).alias("v00"),
+        pick(0, 1).alias("v01"),
+        pick(1, 0).alias("v10"),
+        pick(1, 1).alias("v11"),
+    )
+    fx, fy = F.col("fx"), F.col("fy")
+    v00, v01 = F.col("v00"), F.col("v01")
+    v10, v11 = F.col("v10"), F.col("v11")
+    if interp_method == "bilinear":
+        vu0 = v00 + fx * (v01 - v00)
+        vu1 = v10 + fx * (v11 - v10)
+        value: Column = vu0 + fy * (vu1 - vu0)
+    else:  # triangular (reference reproject.py:285-314)
+        closest = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+        opposite = v11 + (1.0 - fx) * (v10 - v11) + (1.0 - fy) * (v01 - v11)
+        value = F.when(fx + fy < 1.0, closest).otherwise(opposite)
+    if is_int:
+        # numpy assignment into an int-dtype output truncates toward zero
+        value = value.cast("long").cast("double")
+    return piv.select("t", "j", "i", value.alias("value"))
+
+
+def _downscale_source_dataset(
+    source_ds: SparkDataset,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    transformer: Transformer,
+    interp_methods,
+    agg_methods,
+    recover_nans,
+) -> tuple[SparkDataset, GridMapping]:
+    """Clip + affine-downscale the source when it is finer than the target
+    (reference reproject.py:338-382)."""
+    bbox_trans = transformer.transform_bounds(*target_gm.xy_bbox)
+    xres_trans = (bbox_trans[2] - bbox_trans[0]) / target_gm.width
+    yres_trans = (bbox_trans[3] - bbox_trans[1]) / target_gm.height
+    x_scale = source_gm.x_res / xres_trans
+    y_scale = source_gm.y_res / yres_trans
+    if x_scale < SCALE_LIMIT or y_scale < SCALE_LIMIT:
+        bbox_pad = (
+            bbox_trans[0] - 2 * source_gm.x_res,
+            bbox_trans[1] - 2 * source_gm.y_res,
+            bbox_trans[2] + 2 * source_gm.x_res,
+            bbox_trans[3] + 2 * source_gm.y_res,
+        )
+        source_ds, source_gm = clip_dataset_by_bbox(
+            source_ds, source_gm, bbox_pad
+        )
+        w = round(x_scale * source_gm.width)
+        h = round(y_scale * source_gm.height)
+        downscaled_size = (w if w >= 2 else 2, h if h >= 2 else 2)
+        downscale_target_gm = GridMapping.regular(
+            size=downscaled_size,
+            xy_min=(source_gm.xy_bbox[0], source_gm.xy_bbox[1]),
+            xy_res=(xres_trans, yres_trans),
+            crs=source_gm.crs,
+        )
+        source_ds = affine_transform_dataset(
+            source_ds,
+            downscale_target_gm,
+            source_gm=source_gm,
+            interp_methods=prep_interp_methods_downscale(interp_methods),
+            agg_methods=agg_methods,
+            recover_nans=recover_nans,
+        )
+        x_name, y_name = downscale_target_gm.xy_var_names
+        source_gm = GridMapping.from_coords(
+            source_ds.coords[x_name], source_ds.coords[y_name],
+            downscale_target_gm.crs,
+        )
+    return source_ds, source_gm
+
+
+def clip_dataset_by_bbox(
+    ds: SparkDataset, gm: GridMapping, bbox
+) -> tuple[SparkDataset, GridMapping]:
+    """Label-based coordinate clip (reference utils.py:77-124), expressed as
+    an index-range filter that Catalyst pushes into the scan."""
+    x = np.asarray(gm.x_coords)
+    y = np.asarray(gm.y_coords)
+    xi = np.nonzero((x >= bbox[0]) & (x <= bbox[2]))[0]
+    yi = np.nonzero((y >= bbox[1]) & (y <= bbox[3]))[0]
+    if xi.size == 0 or yi.size == 0:
+        from ..constants import LOG
+
+        LOG.warning(
+            "Clipped dataset contains at least one zero-sized dimension. "
+            f"Check if the bounding box {bbox} overlaps the dataset extent."
+        )
+    i_min, i_max = (int(xi[0]), int(xi[-1])) if xi.size else (0, -1)
+    j_min, j_max = (int(yi[0]), int(yi[-1])) if yi.size else (0, -1)
+    new_vars = {}
+    for name, var in ds.data_vars.items():
+        if var.is_spatial:
+            df = var.df.filter(
+                (F.col("i") >= i_min) & (F.col("i") <= i_max)
+                & (F.col("j") >= j_min) & (F.col("j") <= j_max)
+            ).select(
+                "t",
+                (F.col("j") - j_min).cast("int").alias("j"),
+                (F.col("i") - i_min).cast("int").alias("i"),
+                "value",
+            )
+            new_vars[name] = var.with_df(df)
+        else:
+            new_vars[name] = var
+    x_name, y_name = gm.xy_var_names
+    coords = dict(ds.coords)
+    coords[x_name] = x[i_min:i_max + 1]
+    coords[y_name] = y[j_min:j_max + 1]
+    new_ds = SparkDataset(
+        spark=ds.spark,
+        data_vars=new_vars,
+        coords=coords,
+        coord_attrs=dict(ds.coord_attrs),
+        attrs=dict(ds.attrs),
+        yx_dims=ds.yx_dims,
+    )
+    new_gm = GridMapping.from_coords(
+        coords[x_name], coords[y_name], gm.crs,
+    )
+    return new_ds, new_gm
