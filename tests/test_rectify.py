@@ -1,0 +1,320 @@
+"""Rectification goldens.
+
+Expected grids replicate /root/reference/tests/test_rectify.py:42-500.
+"""
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.crs import CRS_WGS84
+from xcube_resampling_spark.dataset import SparkDataset
+from xcube_resampling_spark.gridmapping import GridMapping
+from xcube_resampling_spark.operators.rectify import rectify_dataset
+
+from .sampledata import (
+    create_2x2_dataset_with_irregular_coords,
+    create_2x2_dataset_with_irregular_coords_antimeridian,
+    create_2x2x2_dataset_with_irregular_coords,
+    create_4x4_dataset_with_irregular_coords,
+)
+
+nan = np.nan
+
+
+def expected_rad_13x13():
+    return np.array(
+        [
+            [nan, nan, 1.0, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, 1.0, 1.0, nan, nan, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, 1.0, 1.0, 1.0, 1.0, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, nan, nan, nan, nan, nan],
+            [nan, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, nan, nan, nan, nan],
+            [nan, 3.0, 3.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, nan, nan],
+            [nan, 3.0, 3.0, 3.0, 3.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+            [nan, 3.0, 3.0, 3.0, 3.0, 3.0, 1.0, 2.0, 2.0, 2.0, 2.0, nan, nan],
+            [3.0, 3.0, 3.0, 3.0, 3.0, 4.0, 4.0, 2.0, 2.0, 2.0, nan, nan, nan],
+            [nan, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 2.0, nan, nan, nan, nan],
+            [nan, nan, 3.0, 4.0, 4.0, 4.0, 4.0, nan, nan, nan, nan, nan, nan],
+            [nan, nan, nan, 4.0, 4.0, 4.0, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, nan, nan, 4.0, nan, nan, nan, nan, nan, nan, nan, nan],
+        ]
+    )
+
+
+def offset_rad_source(spark) -> SparkDataset:
+    """F1 with rad + [[0,0],[0,1]] (reference test_rectify.py:114-117)."""
+    lon = np.array([[1.0, 6.0], [0.0, 2.0]])
+    lat = np.array([[56.0, 53.0], [52.0, 50.0]])
+    rad = np.array([[1.0, 2.0], [3.0, 5.0]])
+    return SparkDataset.from_numpy(
+        spark,
+        data_vars={"rad": (("y", "x"), rad)},
+        coords={"lon": lon, "lat": lat},
+        yx_dims=("y", "x"),
+    )
+
+
+class TestRectify:
+    def test_rectify_2x2_to_default(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(4, 4), xy_min=(-1, 49), xy_res=2, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        got = out.to_numpy("rad", (4, 4))
+        np.testing.assert_almost_equal(
+            got,
+            np.array(
+                [
+                    [nan, nan, nan, nan],
+                    [nan, 1.0, 2.0, nan],
+                    [3.0, 3.0, 2.0, nan],
+                    [nan, 4.0, nan, nan],
+                ]
+            ),
+        )
+
+    def test_rectify_2x2_to_regular(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        out = rectify_dataset(source_ds, interp_methods=0)
+        got = out.to_numpy("rad", (4, 4))
+        np.testing.assert_almost_equal(
+            got,
+            np.array(
+                [
+                    [nan, nan, nan, nan],
+                    [nan, nan, nan, nan],
+                    [nan, 2.0, nan, nan],
+                    [nan, nan, nan, nan],
+                ]
+            ),
+        )
+
+    def test_rectify_2x2x2_to_default(self, spark):
+        source_ds = create_2x2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(4, 4), xy_min=(-1, 49), xy_res=2, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        got = out.to_numpy("rad", (2, 4, 4))
+        expected = np.array(
+            [
+                [nan, nan, nan, nan],
+                [nan, 1.0, 2.0, nan],
+                [3.0, 3.0, 2.0, nan],
+                [nan, 4.0, nan, nan],
+            ]
+        )
+        np.testing.assert_almost_equal(got[0], expected)
+        np.testing.assert_almost_equal(got[1], expected)
+        # non-spatial variable passes through
+        assert "time_series" in out.data_vars
+
+    def test_rectify_2x2_to_7x7_nearest(self, spark):
+        source_ds = offset_rad_source(spark)
+        target_gm = GridMapping.regular(
+            size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        got = out.to_numpy("rad", (7, 7))
+        np.testing.assert_almost_equal(
+            got,
+            np.array(
+                [
+                    [nan, 1.0, nan, nan, nan, nan, nan],
+                    [nan, 1.0, 1.0, nan, nan, nan, nan],
+                    [nan, 1.0, 1.0, 1.0, 2.0, nan, nan],
+                    [nan, 3.0, 3.0, 1.0, 2.0, 2.0, 2.0],
+                    [3.0, 3.0, 3.0, 5.0, 2.0, nan, nan],
+                    [nan, 3.0, 5.0, 5.0, nan, nan, nan],
+                    [nan, nan, 5.0, nan, nan, nan, nan],
+                ]
+            ),
+        )
+
+    def test_rectify_2x2_to_7x7_triangular(self, spark):
+        source_ds = offset_rad_source(spark)
+        target_gm = GridMapping.regular(
+            size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods="triangular"
+        )
+        got = out.to_numpy("rad", (7, 7))
+        np.testing.assert_almost_equal(
+            got,
+            np.array(
+                [
+                    [nan, 1.000, nan, nan, nan, nan, nan],
+                    [nan, 1.478, 1.391, nan, nan, nan, nan],
+                    [nan, 1.957, 1.870, 1.784, 1.697, nan, nan],
+                    [nan, 2.435, 2.348, 2.261, 2.174, 2.087, 2.000],
+                    [3.000, 3.000, 3.000, 3.000, 3.000, nan, nan],
+                    [nan, 4.000, 4.000, 4.000, nan, nan, nan],
+                    [nan, nan, 5.000, nan, nan, nan, nan],
+                ]
+            ),
+            decimal=3,
+        )
+
+    def test_rectify_2x2_to_7x7_bilinear(self, spark):
+        source_ds = offset_rad_source(spark)
+        target_gm = GridMapping.regular(
+            size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods="bilinear"
+        )
+        got = out.to_numpy("rad", (7, 7))
+        np.testing.assert_almost_equal(
+            got,
+            np.array(
+                [
+                    [nan, 1.000, nan, nan, nan, nan, nan],
+                    [nan, 1.488, 1.410, nan, nan, nan, nan],
+                    [nan, 1.994, 1.949, 1.858, 1.722, nan, nan],
+                    [nan, 2.520, 2.506, 2.448, 2.344, 2.195, 2.000],
+                    [3.000, 3.112, 3.163, 3.153, 3.082, nan, nan],
+                    [nan, 4.000, 4.041, 4.020, nan, nan, nan],
+                    [nan, nan, 5.000, nan, nan, nan, nan],
+                ]
+            ),
+            decimal=3,
+        )
+
+    def test_rectify_invalid_interp(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+        )
+        with pytest.raises(NotImplementedError):
+            rectify_dataset(
+                source_ds, target_gm=target_gm, interp_methods="cubic"
+            )
+
+    def test_rectify_2x2_to_7x7_subset(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(7, 7), xy_min=(1.5, 50.5), xy_res=1.0, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods="nearest"
+        )
+        got = out.to_numpy("rad", (7, 7))
+        np.testing.assert_almost_equal(
+            got,
+            np.array(
+                [
+                    [nan, nan, nan, nan, nan, nan, nan],
+                    [nan, nan, nan, nan, nan, nan, nan],
+                    [1.0, nan, nan, nan, nan, nan, nan],
+                    [1.0, 1.0, 2.0, nan, nan, nan, nan],
+                    [3.0, 1.0, 2.0, 2.0, 2.0, nan, nan],
+                    [3.0, 4.0, 2.0, nan, nan, nan, nan],
+                    [4.0, 4.0, nan, nan, nan, nan, nan],
+                ]
+            ),
+        )
+
+    def test_rectify_2x2_to_13x13(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(13, 13), xy_min=(-0.25, 49.75), xy_res=0.5, crs=CRS_WGS84
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        got = out.to_numpy("rad", (13, 13))
+        np.testing.assert_almost_equal(got, expected_rad_13x13())
+
+    def test_rectify_2x2_to_13x13_j_axis_up(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(13, 13),
+            xy_min=(-0.25, 49.75),
+            xy_res=0.5,
+            crs=CRS_WGS84,
+            is_j_axis_up=True,
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        got = out.to_numpy("rad", (13, 13))
+        np.testing.assert_almost_equal(got, expected_rad_13x13()[::-1])
+
+    def test_rectify_2x2_to_13x13_tiled_invariance(self, spark):
+        # the reference asserts every tiling (5x5, 7x7, 3x13, 13x3) equals
+        # the untiled result; the Spark plan is tiling-free by construction,
+        # but we still verify tile_size has no effect on values
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        for tile in (5, 7, (3, 13), (13, 3)):
+            target_gm = GridMapping.regular(
+                size=(13, 13), xy_min=(-0.25, 49.75), xy_res=0.5,
+                crs=CRS_WGS84, tile_size=tile,
+            )
+            out = rectify_dataset(
+                source_ds, target_gm=target_gm, interp_methods=0
+            )
+            got = out.to_numpy("rad", (13, 13))
+            np.testing.assert_almost_equal(got, expected_rad_13x13())
+
+    def test_rectify_2x2_to_13x13_antimeridian(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords_antimeridian(
+            spark
+        )
+        target_gm = GridMapping.regular(
+            size=(13, 13), xy_min=(177.75, 49.75), xy_res=0.5, crs=CRS_WGS84
+        )
+        assert target_gm.is_lon_360
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        got = out.to_numpy("rad", (13, 13))
+        np.testing.assert_almost_equal(got, expected_rad_13x13())
+        lon = out.coords["lon"]
+        np.testing.assert_almost_equal(
+            lon,
+            np.array(
+                [178.0, 178.5, 179.0, 179.5, 180.0, -179.5, -179.0, -178.5,
+                 -178.0, -177.5, -177.0, -176.5, -176.0]
+            ),
+        )
+
+    def test_rectify_2x2_to_13x13_none(self, spark):
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        for xy_min in ((10.0, 50.0), (-10.0, 50.0), (0.0, 58.0), (0.0, 42.0)):
+            target_gm = GridMapping.regular(
+                size=(13, 13), xy_min=xy_min, xy_res=0.5, crs=CRS_WGS84
+            )
+            out = rectify_dataset(
+                source_ds, target_gm=target_gm, interp_methods=0
+            )
+            got = out.to_numpy("rad", (13, 13))
+            assert np.all(np.isnan(got))
+
+    def test_rectify_different_crs(self, spark):
+        source_ds = create_4x4_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(3, 3), xy_min=(3600000, 3200000), xy_res=100000,
+            crs="epsg:3035",
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        )
+        np.testing.assert_almost_equal(
+            out.coords["x"], np.array([3650000.0, 3750000.0, 3850000.0])
+        )
+        np.testing.assert_almost_equal(
+            out.coords["y"], np.array([3450000.0, 3350000.0, 3250000.0])
+        )
+        got = out.to_numpy("rad", (3, 3))
+        np.testing.assert_almost_equal(
+            got,
+            np.array([[10.0, 6.0, 3.0], [10.0, 7.0, 3.0], [11.0, 11.0, 8.0]]),
+        )

@@ -129,12 +129,21 @@ def resample_dataset(
             new_vars[name] = var.with_df(df)
         elif yx_dims[0] not in var.dims and yx_dims[1] not in var.dims:
             new_vars[name] = var
-    # carry non-spatial coords (e.g. time axis)
+    # carry non-spatial coords (e.g. time axis); drop spatial axes and any
+    # 2-D coordinate images (they no longer match the resampled grid)
+    import numpy as _np
+
+    def _is_spatial_coord(k, v):
+        if k in dataset.yx_dims or k == "spatial_ref":
+            return True
+        if any(k == f"{d}_bnds" for d in dataset.yx_dims):
+            return True
+        return isinstance(v, _np.ndarray) and v.ndim == 2
+
     coords = {
         k: v
         for k, v in dataset.coords.items()
-        if k not in dataset.yx_dims and k not in ("spatial_ref",)
-        and k not in (f"{d}_bnds" for d in dataset.yx_dims)
+        if not _is_spatial_coord(k, v)
     }
     return SparkDataset(
         spark=dataset.spark,

@@ -1,0 +1,522 @@
+"""Rectification of irregular (2-D coordinate) grids -- pure Spark SQL.
+
+Parity reference: /root/reference/xcube_resampling/rectify.py:54-773.
+The reference scans every source *quad* (4 adjacent swath pixels) with a
+sequential Numba kernel, rasterizes candidate target pixels in the quad's
+bbox, solves barycentric (u, v) per triangle and writes fractional source
+indices first-writer-wins (rectify.py:458-576); a second kernel gathers and
+interpolates source values (rectify.py:663-734).
+
+Spark-first formulation (no UDFs, no Numba):
+
+* quads are built from the per-pixel coordinate table with one ``lead()``
+  window (right neighbor) and one self-join (row below) -- a point-in-polygon
+  spatial join expressed as candidate generation + filter,
+* candidate target pixels come from ``explode(sequence(...))`` over the
+  quad's clamped pixel bbox,
+* the barycentric solve (dets ``_fdet/_fu/_fv``, tolerance UV_DELTA,
+  triangle A then B) is plain column arithmetic (rectify.py:530-573),
+* first-writer-wins becomes ``min_by(src_ij, (quad_j, quad_i, triangle))`` --
+  the reference's sequential scan order made deterministic under parallelism,
+* the gather is the same 4-neighbor equi-join as reproject, with
+  edge-clamped neighbors (rectify.py:695-727).
+
+This replaces the reference's "slice the whole source array into every
+target block" gather (rectify.py:622-630) with a co-partitioned join -- the
+design note in SURVEY.md section 4 -- which is what makes the operator viable
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..constants import SCALE_LIMIT, UV_DELTA, is_int_dtype
+from ..crs import Transformer
+from ..dataset import (
+    SparkDataset,
+    Variable,
+    grid_df,
+    numpy_to_pixels,
+    pixels_to_numpy,
+)
+from ..gridmapping import GridMapping
+from .affine import resample_dataset
+from .utils import (
+    get_fill_value,
+    get_interp_method_str,
+    is_equal_crs,
+    prep_interp_methods_downscale,
+)
+
+_NOT_IMPLEMENTED_ERROR = (
+    "interp_methods must be one of 0, 1, 'nearest', 'bilinear', 'triangular'"
+)
+
+COORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("j", T.IntegerType(), False),
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("y", T.DoubleType(), True),
+    ]
+)
+
+
+def coords_to_df(spark: SparkSession, gm: GridMapping) -> DataFrame:
+    """2-D coordinate images -> long-format (j, i, x, y) DataFrame."""
+    import pandas as pd
+
+    xy = gm.xy_coords
+    h, w = xy.shape[-2], xy.shape[-1]
+    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pdf = pd.DataFrame(
+        {
+            "j": jj.ravel().astype(np.int32),
+            "i": ii.ravel().astype(np.int32),
+            "x": xy[0].ravel().astype(np.float64),
+            "y": xy[1].ravel().astype(np.float64),
+        }
+    )
+    return spark.createDataFrame(pdf, schema=COORDS_SCHEMA)
+
+
+def rectify_dataset(
+    source_ds: SparkDataset,
+    target_gm: GridMapping | None = None,
+    source_gm: GridMapping | None = None,
+    variables=None,
+    interp_methods=None,
+    agg_methods=None,
+    recover_nans=False,
+    fill_values=None,
+    tile_size=None,
+) -> SparkDataset:
+    """Rectify an irregular-grid dataset onto a regular target grid
+    (reference rectify.py:54-179)."""
+    if source_gm is None:
+        source_gm = source_ds.grid_mapping()
+    if target_gm is None:
+        target_gm = source_gm.to_regular(tile_size=tile_size)
+
+    # eager interp validation (reference raises NotImplementedError lazily
+    # in the gather kernel; we validate up front)
+    for name, var in source_ds.data_vars.items():
+        if var.is_spatial:
+            m = get_interp_method_str(interp_methods, name, var.dtype)
+            if m not in ("nearest", "bilinear", "triangular"):
+                raise NotImplementedError(
+                    f"{_NOT_IMPLEMENTED_ERROR}, was '{m}'."
+                )
+
+    # transform source 2-D coords into the target CRS if needed
+    # (reference rectify.py:127-129, 182-231)
+    if not is_equal_crs(source_gm, target_gm):
+        transformer = Transformer.from_crs(source_gm.crs, target_gm.crs)
+        xy = source_gm.xy_coords
+        tx, ty = transformer.transform(xy[0], xy[1])
+        source_gm = GridMapping.from_coords_2d(
+            np.asarray(tx), np.asarray(ty), target_gm.crs,
+            tile_size=source_gm.tile_size,
+        )
+
+    source_ds = source_ds.select_variables(variables)
+
+    # pre-downscale when the source is finer than the target
+    # (reference rectify.py:136-143, 234-260)
+    source_ds, source_gm = _downscale_source_dataset(
+        source_ds, source_gm, target_gm,
+        interp_methods, agg_methods, recover_nans,
+    )
+
+    spark = source_ds.spark
+    winners = scatter_source_ij(spark, source_gm, target_gm, UV_DELTA)
+
+    w, h = target_gm.size
+    src_w, src_h = source_gm.size
+    yx_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
+    # fall back to the dataset's own yx dims (coord-derived names can
+    # legitimately differ from the data variables' dim names)
+    ds_yx = source_ds.yx_dims
+
+    new_vars: dict[str, Variable] = {}
+    for name, var in source_ds.data_vars.items():
+        if var.is_spatial and var.dims[-2:] in (yx_dims, ds_yx):
+            if len(var.dims) not in (2, 3):
+                raise AssertionError(
+                    f"Data variable {name} has {len(var.dims)} dimensions."
+                )
+            interp = get_interp_method_str(interp_methods, name, var.dtype)
+            fill = get_fill_value(fill_values, name, var.dtype)
+            num_t = _num_t(source_ds, var)
+            df = gather_var(
+                spark, winners, var.df, (src_w, src_h), (w, h), num_t,
+                interp, fill, is_int_dtype(var.dtype),
+            )
+            new_vars[name] = var.with_df(df)
+        elif ds_yx[0] not in var.dims and ds_yx[1] not in var.dims:
+            new_vars[name] = var
+
+    x_name, y_name = target_gm.xy_var_names
+    tcoords = target_gm.to_coords()
+    coords = {
+        k: v
+        for k, v in source_ds.coords.items()
+        if k not in source_gm.xy_var_names
+        and k not in ("lon", "lat", "spatial_ref")
+    }
+    coords.update(tcoords)
+    coords["spatial_ref"] = 0
+    coord_attrs = {
+        k: v for k, v in source_ds.coord_attrs.items() if k in coords
+    }
+    coord_attrs["spatial_ref"] = target_gm.crs.to_cf()
+    return SparkDataset(
+        spark=spark,
+        data_vars=new_vars,
+        coords=coords,
+        coord_attrs=coord_attrs,
+        attrs=dict(source_ds.attrs),
+        yx_dims=(target_gm.xy_dim_names[1], target_gm.xy_dim_names[0]),
+    )
+
+
+def _num_t(dataset: SparkDataset, var: Variable) -> int:
+    if len(var.dims) < 3:
+        return 1
+    t_coord = dataset.coords.get(var.dims[0])
+    return len(t_coord) if t_coord is not None else 1
+
+
+def scatter_source_ij(
+    spark: SparkSession,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    uv_delta: float = UV_DELTA,
+) -> DataFrame:
+    """The inverse-index build: for every target pixel, the fractional source
+    (i, j) of the quad that contains its center.
+
+    Returns a DataFrame (dst_j, dst_i, src_if, src_jf) with at most one row
+    per target pixel.  Parity: reference rectify.py:312-576.
+    """
+    coords = coords_to_df(spark, source_gm)
+
+    w, h = target_gm.size
+    x_min = float(target_gm.x_min)
+    x_res = float(target_gm.x_res)
+    if target_gm.is_j_axis_up:
+        y_off = float(target_gm.y_min)
+        y_scale = float(target_gm.y_res)
+    else:
+        y_off = float(target_gm.y_max)
+        y_scale = -float(target_gm.y_res)
+
+    # build quads: lead() for the right neighbor, one self-join for the row
+    # below (two data movements total, both partitioned by j)
+    win = Window.partitionBy("j").orderBy("i")
+    rows = coords.select(
+        "j", "i", "x", "y",
+        F.lead("x").over(win).alias("xr"),
+        F.lead("y").over(win).alias("yr"),
+    ).filter(F.col("xr").isNotNull())
+    top = rows.select(
+        F.col("j").alias("j0"), F.col("i").alias("i0"),
+        F.col("x").alias("p0x"), F.col("y").alias("p0y"),
+        F.col("xr").alias("p1x"), F.col("yr").alias("p1y"),
+    )
+    bottom = rows.select(
+        (F.col("j") - 1).alias("bj"), F.col("i").alias("bi"),
+        F.col("x").alias("p2x"), F.col("y").alias("p2y"),
+        F.col("xr").alias("p3x"), F.col("yr").alias("p3y"),
+    )
+    quads = top.join(
+        bottom,
+        (top["j0"] == bottom["bj"]) & (top["i0"] == bottom["bi"]),
+        "inner",
+    ).drop("bj", "bi")
+
+    # pixel bbox of the quad corners in the target grid
+    def pix_i(px):
+        return F.floor((px - x_min) / x_res)
+
+    def pix_j(py):
+        return F.floor((py - y_off) / y_scale)
+
+    corners_i = [pix_i(F.col(c)) for c in ("p0x", "p1x", "p2x", "p3x")]
+    corners_j = [pix_j(F.col(c)) for c in ("p0y", "p1y", "p2y", "p3y")]
+    i_min = F.greatest(F.least(*corners_i), F.lit(0))
+    i_max = F.least(F.greatest(*corners_i), F.lit(w - 1))
+    j_min = F.greatest(F.least(*corners_j), F.lit(0))
+    j_max = F.least(F.greatest(*corners_j), F.lit(h - 1))
+
+    def det(ax, ay, bx, by, cx, cy):
+        # reference _fdet (rectify.py:742-745)
+        return (ax - bx) * (ay - cy) - (ax - cx) * (ay - by)
+
+    det_a = det(F.col("p0x"), F.col("p0y"), F.col("p1x"), F.col("p1y"),
+                F.col("p2x"), F.col("p2y"))
+    det_b = det(F.col("p3x"), F.col("p3y"), F.col("p2x"), F.col("p2y"),
+                F.col("p1x"), F.col("p1y"))
+    det_a = F.when(F.isnan(det_a), F.lit(0.0)).otherwise(det_a)
+    det_b = F.when(F.isnan(det_b), F.lit(0.0)).otherwise(det_b)
+
+    q = quads.select(
+        "j0", "i0", "p0x", "p0y", "p1x", "p1y", "p2x", "p2y", "p3x", "p3y",
+        i_min.cast("int").alias("bi0"), i_max.cast("int").alias("bi1"),
+        j_min.cast("int").alias("bj0"), j_max.cast("int").alias("bj1"),
+        det_a.alias("det_a"), det_b.alias("det_b"),
+    ).filter(
+        (F.col("bi1") >= F.col("bi0")) & (F.col("bj1") >= F.col("bj0"))
+        & ~((F.col("det_a") == 0.0) & (F.col("det_b") == 0.0))
+    )
+
+    # candidate target pixels = explode over the quad's pixel bbox
+    cand = q.select(
+        "*", F.explode(F.sequence("bj0", "bj1")).alias("dst_j")
+    ).select(
+        "*", F.explode(F.sequence("bi0", "bi1")).alias("dst_i")
+    )
+
+    dst_x = F.lit(x_min) + (F.col("dst_i") + 0.5) * F.lit(x_res)
+    dst_y = F.lit(y_off) + (F.col("dst_j") + 0.5) * F.lit(y_scale)
+
+    def fu(px, py, ax, ay, cx, cy):
+        # reference _fu (rectify.py:753-754)
+        return (ax - px) * (ay - cy) - (ay - py) * (ax - cx)
+
+    def fv(px, py, ax, ay, bx, by):
+        # reference _fv (rectify.py:762-763)
+        return (ay - py) * (ax - bx) - (ax - px) * (ay - by)
+
+    def clamp01(c: Column) -> Column:
+        return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+    u_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+
+    u_a = fu(dst_x, dst_y, F.col("p0x"), F.col("p0y"),
+             F.col("p2x"), F.col("p2y")) / F.col("det_a")
+    v_a = fv(dst_x, dst_y, F.col("p0x"), F.col("p0y"),
+             F.col("p1x"), F.col("p1y")) / F.col("det_a")
+    ok_a = (
+        (F.col("det_a") != 0.0)
+        & (u_a >= u_min) & (v_a >= u_min) & (u_a + v_a <= uv_max)
+    )
+    u_b = fu(dst_x, dst_y, F.col("p3x"), F.col("p3y"),
+             F.col("p1x"), F.col("p1y")) / F.col("det_b")
+    v_b = fv(dst_x, dst_y, F.col("p3x"), F.col("p3y"),
+             F.col("p2x"), F.col("p2y")) / F.col("det_b")
+    ok_b = (
+        (F.col("det_b") != 0.0)
+        & (u_b >= u_min) & (v_b >= u_min) & (u_b + v_b <= uv_max)
+    )
+
+    src_i = F.when(ok_a, F.col("i0") + clamp01(u_a)).otherwise(
+        F.when(ok_b, F.col("i0") + 1 - clamp01(u_b))
+    )
+    src_j = F.when(ok_a, F.col("j0") + clamp01(v_a)).otherwise(
+        F.when(ok_b, F.col("j0") + 1 - clamp01(v_b))
+    )
+    tri = F.when(ok_a, F.lit(0)).otherwise(F.lit(1))
+
+    matches = cand.select(
+        "dst_j", "dst_i", "j0", "i0", tri.alias("tri"),
+        src_i.alias("src_if"), src_j.alias("src_jf"),
+    ).filter(F.col("src_if").isNotNull())
+
+    # first-writer-wins: the reference's sequential quad scan (row-major
+    # over j0, i0; triangle A before B) -> deterministic min_by
+    return matches.groupBy("dst_j", "dst_i").agg(
+        F.min_by(
+            F.struct("src_if", "src_jf"),
+            F.struct("j0", "i0", "tri"),
+        ).alias("w")
+    ).select(
+        "dst_j", "dst_i",
+        F.col("w.src_if").alias("src_if"),
+        F.col("w.src_jf").alias("src_jf"),
+    )
+
+
+def gather_var(
+    spark: SparkSession,
+    winners: DataFrame,
+    src_df: DataFrame,
+    source_size: tuple[int, int],
+    target_size: tuple[int, int],
+    num_t: int,
+    interp_method: str,
+    fill_value,
+    is_int: bool,
+) -> DataFrame:
+    """Gather + interpolate source values at fractional indices
+    (reference rectify.py:663-734)."""
+    src_w, src_h = source_size
+    w, h = target_size
+    fill = F.lit(float(fill_value)).cast("double")
+
+    i0 = F.floor(F.col("src_if")).cast("int")
+    j0 = F.floor(F.col("src_jf")).cast("int")
+    u = F.col("src_if") - i0
+    v = F.col("src_jf") - j0
+
+    src = src_df.select(
+        F.col("t").alias("st"), F.col("j").alias("sj2"),
+        F.col("i").alias("si2"), F.col("value").alias("sv"),
+    )
+
+    if interp_method == "nearest":
+        si = F.when(u > 0.5, F.least(i0 + 1, F.lit(src_w - 1))).otherwise(i0)
+        sj = F.when(v > 0.5, F.least(j0 + 1, F.lit(src_h - 1))).otherwise(j0)
+        g = winners.select(
+            "dst_j", "dst_i", si.alias("si"), sj.alias("sj")
+        )
+        gathered = g.join(
+            src, (g["sj"] == src["sj2"]) & (g["si"] == src["si2"]), "inner"
+        ).select(
+            F.col("st").alias("t"), "dst_j", "dst_i",
+            F.col("sv").alias("value"),
+        )
+    elif interp_method in ("bilinear", "triangular"):
+        i1 = F.least(i0 + 1, F.lit(src_w - 1))
+        j1 = F.least(j0 + 1, F.lit(src_h - 1))
+        g = winners.select(
+            "dst_j", "dst_i", u.alias("u"), v.alias("v"),
+            i0.alias("i0"), i1.alias("i1"), j0.alias("j0"), j1.alias("j1"),
+        )
+        tags = F.array(
+            *[
+                F.struct(F.lit(dj).alias("dj"), F.lit(di).alias("di"))
+                for dj in (0, 1)
+                for di in (0, 1)
+            ]
+        )
+        nbrs = g.select(
+            "dst_j", "dst_i", "u", "v", F.explode(tags).alias("tag"),
+            "i0", "i1", "j0", "j1",
+        ).select(
+            "dst_j", "dst_i", "u", "v",
+            F.col("tag.dj").alias("dj"), F.col("tag.di").alias("di"),
+            F.when(F.col("tag.dj") == 0, F.col("j0"))
+            .otherwise(F.col("j1")).alias("sj"),
+            F.when(F.col("tag.di") == 0, F.col("i0"))
+            .otherwise(F.col("i1")).alias("si"),
+        )
+        joined = nbrs.join(
+            src, (nbrs["sj"] == src["sj2"]) & (nbrs["si"] == src["si2"]),
+            "inner",
+        )
+
+        def pick(dj, di):
+            return F.max(
+                F.when(
+                    (F.col("dj") == dj) & (F.col("di") == di), F.col("sv")
+                )
+            )
+
+        piv = joined.groupBy("st", "dst_j", "dst_i", "u", "v").agg(
+            pick(0, 0).alias("v00"),
+            pick(0, 1).alias("v01"),
+            pick(1, 0).alias("v10"),
+            pick(1, 1).alias("v11"),
+        )
+        uu, vv = F.col("u"), F.col("v")
+        v00, v01 = F.col("v00"), F.col("v01")
+        v10, v11 = F.col("v10"), F.col("v11")
+        if interp_method == "bilinear":
+            vu0 = v00 + uu * (v01 - v00)
+            vu1 = v10 + uu * (v11 - v10)
+            value = vu0 + vv * (vu1 - vu0)
+        else:  # triangular (reference rectify.py:699-717)
+            closest = v00 + uu * (v01 - v00) + vv * (v10 - v00)
+            opposite = (
+                v11 + (1.0 - uu) * (v10 - v11) + (1.0 - vv) * (v01 - v11)
+            )
+            value = F.when(uu + vv < 1.0, closest).otherwise(opposite)
+        gathered = piv.select(
+            F.col("st").alias("t"), "dst_j", "dst_i", value.alias("value")
+        )
+    else:
+        raise NotImplementedError(
+            f"{_NOT_IMPLEMENTED_ERROR}, was '{interp_method}'."
+        )
+
+    if is_int:
+        gathered = gathered.withColumn(
+            "value", F.col("value").cast("long").cast("double")
+        )
+
+    # densify: every target pixel present, unassigned -> fill
+    full = grid_df(spark, w, h, num_t)
+    out = full.join(
+        gathered,
+        (full["t"] == gathered["t"]) & (full["j"] == gathered["dst_j"])
+        & (full["i"] == gathered["dst_i"]),
+        "left",
+    )
+    return out.select(
+        full["t"], full["j"], full["i"],
+        F.coalesce(gathered["value"], fill).alias("value"),
+    )
+
+
+def _downscale_source_dataset(
+    source_ds: SparkDataset,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    interp_methods,
+    agg_methods,
+    recover_nans,
+) -> tuple[SparkDataset, GridMapping]:
+    """Affine-downscale data vars AND 2-D coordinate images when the source
+    is finer than the target (reference rectify.py:234-260; the reference
+    resamples the coord arrays through the same pipeline because they are
+    (y, x) variables of the dataset)."""
+    x_scale = source_gm.x_res / target_gm.x_res
+    y_scale = source_gm.y_res / target_gm.y_res
+    if not (x_scale < SCALE_LIMIT or y_scale < SCALE_LIMIT):
+        return source_ds, source_gm
+    w = round(x_scale * source_gm.width)
+    h = round(y_scale * source_gm.height)
+    downscaled_size = (w if w >= 2 else 2, h if h >= 2 else 2)
+
+    spark = source_ds.spark
+    yx = source_ds.yx_dims
+    combo_vars = dict(source_ds.data_vars)
+    xy = source_gm.xy_coords
+    combo_vars["__x__"] = Variable(
+        "__x__", numpy_to_pixels(spark, xy[0]), yx, "float64"
+    )
+    combo_vars["__y__"] = Variable(
+        "__y__", numpy_to_pixels(spark, xy[1]), yx, "float64"
+    )
+    combo = SparkDataset(
+        spark=spark,
+        data_vars=combo_vars,
+        coords=dict(source_ds.coords),
+        coord_attrs=dict(source_ds.coord_attrs),
+        attrs=dict(source_ds.attrs),
+        yx_dims=yx,
+    )
+    out = resample_dataset(
+        combo,
+        ((1 / x_scale, 0, 0), (0, 1 / y_scale, 0)),
+        yx,
+        downscaled_size,
+        source_gm.size,
+        prep_interp_methods_downscale(interp_methods),
+        agg_methods,
+        recover_nans,
+    )
+    dw, dh = downscaled_size
+    new_x = pixels_to_numpy(out.data_vars["__x__"].df, (1, dh, dw))[0]
+    new_y = pixels_to_numpy(out.data_vars["__y__"].df, (1, dh, dw))[0]
+    del out.data_vars["__x__"]
+    del out.data_vars["__y__"]
+    new_gm = GridMapping.from_coords_2d(new_x, new_y, source_gm.crs)
+    return out, new_gm
