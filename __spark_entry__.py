@@ -1,38 +1,1113 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator (SURVEY.md section 2
+plus the training-data extensions); ``oracle_sql()`` gives the DuckDB-
+runnable ANSI-SQL twin for every value-checkable operator.  Queries and
+oracles share hash functions (md5-derived 32-bit), literal constants, and
+expression shapes so results match value-for-value.
+
+Operators whose semantics cannot be expressed in SQL (CRS math via the
+projection library, Arrow-batched multimodal decode) have no oracle entry
+and get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ------------------------------------------------------------------ #
+# shared raster scaffolding: a deterministic 25x40 grid built from the
+# first 1000 events (works at every scale factor)
+
+RW, RH = 25, 40
+FILL = -999.0
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark rejects it unless the
+        # legacy conf maps it to long, which we then convert to a timestamp
+        # (microsecond precision -- ample for hour/minute window semantics).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: ts is ~1.7e18 ns, double math would lose
+            # microsecond precision
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < RW * RH).select(
+        F.lit(0).cast("int").alias("t"),
+        (F.col("event_id") / RW).cast("int").alias("j"),
+        (F.col("event_id") % RW).cast("int").alias("i"),
+        F.col("value"),
+    )
+
+
+RASTER_SQL = f"""
+  SELECT CAST(0 AS INT) AS t,
+         CAST(event_id // {RW} AS INT) AS j,
+         CAST(event_id % {RW} AS INT) AS i,
+         value
+  FROM events WHERE event_id < {RW * RH}
+"""
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents unioned with a clone shifted by 100000 -- gives every dedup
+    operator known-true duplicate pairs on any scale factor."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    clone = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(clone)
+
+
+DOCS2_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+
+# ------------------------------------------------------------------ #
+# geo operators on the synthetic raster
+
+
+def q_affine_upscale_bilinear(spark, sf_dir):
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    out = resample_pixels(
+        spark, _raster(spark, sf_dir),
+        ((0.5, 0.0, -0.25), (0.0, 0.5, -0.25)),
+        (RW, RH), (50, 80), 1, 1, "mean", False, FILL, False,
+    )
+    return out.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+SQL_AFFINE_UPSCALE = f"""
+WITH src AS ({RASTER_SQL}),
+grid AS (
+  SELECT CAST(id // 50 AS INT) AS j, CAST(id % 50 AS INT) AS i
+  FROM (SELECT range AS id FROM range(4000))
+),
+c AS (
+  SELECT j, i, 0.5 * i + -0.25 AS sif, 0.5 * j + -0.25 AS sjf FROM grid
+),
+d AS (
+  SELECT j, i, sif, sjf,
+         (sif >= 0 AND sif <= {RW - 1} AND sjf >= 0 AND sjf <= {RH - 1})
+           AS in_b,
+         LEAST(CAST(FLOOR(sif) AS INT), {RW - 2}) AS i0,
+         LEAST(CAST(FLOOR(sjf) AS INT), {RH - 2}) AS j0
+  FROM c
+),
+e AS (SELECT d.*, sif - i0 AS fx, sjf - j0 AS fy FROM d),
+f AS (
+  SELECT e.j, e.i, e.in_b, e.fx, e.fy,
+         s00.value AS v00, s01.value AS v01,
+         s10.value AS v10, s11.value AS v11
+  FROM e
+  LEFT JOIN src s00 ON s00.j = e.j0 AND s00.i = e.i0
+  LEFT JOIN src s01 ON s01.j = e.j0 AND s01.i = e.i0 + 1
+  LEFT JOIN src s10 ON s10.j = e.j0 + 1 AND s10.i = e.i0
+  LEFT JOIN src s11 ON s11.j = e.j0 + 1 AND s11.i = e.i0 + 1
+)
+SELECT CAST(0 AS INT) AS t, j, i,
+       ROUND(CASE WHEN in_b
+             THEN (v00 + fx * (v01 - v00))
+                  + fy * ((v10 + fx * (v11 - v10)) - (v00 + fx * (v01 - v00)))
+             ELSE {FILL} END, 6) AS value
+FROM f
+"""
+
+
+def q_affine_shift_nearest(spark, sf_dir):
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    out = resample_pixels(
+        spark, _raster(spark, sf_dir),
+        ((1.0, 0.0, 5.5), (0.0, 1.0, -3.5)),
+        (RW, RH), (RW, RH), 1, 0, "mean", False, FILL, False,
+    )
+    return out.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+SQL_AFFINE_SHIFT = f"""
+WITH src AS ({RASTER_SQL}),
+grid AS (
+  SELECT CAST(id // {RW} AS INT) AS j, CAST(id % {RW} AS INT) AS i
+  FROM (SELECT range AS id FROM range({RW * RH}))
+),
+c AS (
+  SELECT j, i,
+         CAST(FLOOR(1.0 * i + 5.5 + 0.5) AS INT) AS si,
+         CAST(FLOOR(1.0 * j + -3.5 + 0.5) AS INT) AS sj
+  FROM grid
+),
+d AS (
+  SELECT j, i, si, sj,
+         (si >= 0 AND si <= {RW - 1} AND sj >= 0 AND sj <= {RH - 1}) AS in_b
+  FROM c
+)
+SELECT CAST(0 AS INT) AS t, d.j, d.i,
+       ROUND(CASE WHEN in_b THEN COALESCE(s.value, {FILL})
+             ELSE {FILL} END, 6) AS value
+FROM d LEFT JOIN src s ON s.j = d.sj AND s.i = d.si
+"""
+
+
+def q_affine_downscale_mean(spark, sf_dir):
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    out = resample_pixels(
+        spark, _raster(spark, sf_dir),
+        ((2.5, 0.0, 0.0), (0.0, 2.5, 0.0)),
+        (RW, RH), (10, 16), 1, 1, "mean", False, FILL, False,
+    )
+    return out.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+SQL_AFFINE_DOWNSCALE = f"""
+WITH src AS ({RASTER_SQL}),
+inter AS (
+  SELECT CAST(id // 30 AS INT) AS jj, CAST(id % 30 AS INT) AS ii
+  FROM (SELECT range AS id FROM range({30 * 48}))
+),
+c AS (
+  SELECT jj, ii, (2.5 / 3) * ii + 0.0 AS sif, (2.5 / 3) * jj + 0.0 AS sjf
+  FROM inter
+),
+d AS (
+  SELECT jj, ii, sif, sjf,
+         (sif >= 0 AND sif <= {RW - 1} AND sjf >= 0 AND sjf <= {RH - 1})
+           AS in_b,
+         LEAST(CAST(FLOOR(sif) AS INT), {RW - 2}) AS i0,
+         LEAST(CAST(FLOOR(sjf) AS INT), {RH - 2}) AS j0
+  FROM c
+),
+e AS (SELECT d.*, sif - i0 AS fx, sjf - j0 AS fy FROM d),
+f AS (
+  SELECT e.jj, e.ii,
+         CASE WHEN in_b
+              THEN (s00.value + fx * (s01.value - s00.value))
+                   + fy * ((s10.value + fx * (s11.value - s10.value))
+                           - (s00.value + fx * (s01.value - s00.value)))
+              ELSE {FILL} END AS v
+  FROM e
+  LEFT JOIN src s00 ON s00.j = e.j0 AND s00.i = e.i0
+  LEFT JOIN src s01 ON s01.j = e.j0 AND s01.i = e.i0 + 1
+  LEFT JOIN src s10 ON s10.j = e.j0 + 1 AND s10.i = e.i0
+  LEFT JOIN src s11 ON s11.j = e.j0 + 1 AND s11.i = e.i0 + 1
+)
+SELECT CAST(0 AS INT) AS t,
+       CAST(jj // 3 AS INT) AS j, CAST(ii // 3 AS INT) AS i,
+       ROUND(AVG(v), 6) AS value
+FROM f GROUP BY 1, 2, 3
+"""
+
+
+def _coarsen_input(spark, sf_dir, transform_sql=None):
+    r = _raster(spark, sf_dir)
+    return r.select(
+        "t",
+        (F.col("j") / 8).cast("int").alias("J"),
+        (F.col("i") / 5).cast("int").alias("I"),
+        "value",
+    )
+
+
+def _q_coarsen(method, value_expr_spark, is_int):
+    def q(spark, sf_dir):
+        from xcube_resampling_spark.operators.coarsen import aggregate_windows
+
+        r = _raster(spark, sf_dir).select(
+            "t",
+            (F.col("j") / 8).cast("int").alias("J"),
+            (F.col("i") / 5).cast("int").alias("I"),
+            value_expr_spark().alias("value"),
+        )
+        out = aggregate_windows(r, method, 8, 5, is_int)
+        return out.select(
+            "t", F.col("J").alias("j"), F.col("I").alias("i"),
+            F.round("value", 6).alias("value"),
+        )
+
+    return q
+
+
+def _sql_coarsen(agg_sql, value_sql="value"):
+    return f"""
+WITH src AS ({RASTER_SQL}),
+w AS (
+  SELECT t, CAST(j // 8 AS INT) AS J, CAST(i // 5 AS INT) AS I,
+         {value_sql} AS value
+  FROM src
+)
+SELECT t, J AS j, I AS i, ROUND({agg_sql}, 6) AS value
+FROM w GROUP BY t, J, I
+"""
+
+
+SQL_COARSEN_MODE = f"""
+WITH src AS ({RASTER_SQL}),
+w AS (
+  SELECT t, CAST(j // 8 AS INT) AS J, CAST(i // 5 AS INT) AS I,
+         CAST(CAST(trunc(value) AS INT) % 7 AS DOUBLE) AS value
+  FROM src
+),
+counted AS (
+  SELECT t, J, I, value, count(*) AS cnt FROM w GROUP BY t, J, I, value
+),
+ranked AS (
+  SELECT t, J, I, value,
+         row_number() OVER (
+           PARTITION BY t, J, I ORDER BY cnt DESC, value ASC
+         ) AS rn
+  FROM counted
+)
+SELECT t, J AS j, I AS i, ROUND(value, 6) AS value FROM ranked WHERE rn = 1
+"""
+
+
+def q_clip_bbox(spark, sf_dir):
+    from xcube_resampling_spark.operators.utils import clip_pixels_by_ij_bbox
+
+    r = _raster(spark, sf_dir)
+    out = clip_pixels_by_ij_bbox(r, (5, 10, 20, 30))
+    return out.select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_CLIP = f"""
+WITH src AS ({RASTER_SQL})
+SELECT t, CAST(j - 10 AS INT) AS j, CAST(i - 5 AS INT) AS i,
+       ROUND(value, 6) AS value
+FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
+"""
+
+
+# rectify: synthetic sheared swath over the raster
+# lon = i + 0.35*j ; lat = 50 - j - 0.15*i ; target 30x44 at (0, 6), res 1
+RECT_W, RECT_H = 30, 44
+
+
+def q_rectify_swath_nearest(spark, sf_dir):
+    import numpy as np
+
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.rectify import (
+        gather_var,
+        scatter_source_ij,
+    )
+
+    jj, ii = np.meshgrid(np.arange(RH), np.arange(RW), indexing="ij")
+    lon = ii + 0.35 * jj
+    lat = 50.0 - jj - 0.15 * ii
+    source_gm = GridMapping.from_coords_2d(lon, lat, CRS_WGS84)
+    target_gm = GridMapping.regular(
+        (RECT_W, RECT_H), (0.0, 6.0), 1.0, CRS_WGS84
+    )
+    winners = scatter_source_ij(spark, source_gm, target_gm)
+    out = gather_var(
+        spark, winners, _raster(spark, sf_dir), (RW, RH),
+        (RECT_W, RECT_H), 1, "nearest", FILL, False,
+    )
+    return out.select("t", "j", "i", F.round("value", 6).alias("value"))
+
+
+SQL_RECTIFY = f"""
+WITH src AS ({RASTER_SQL}),
+coords AS (
+  SELECT j, i,
+         i + 0.35 * j AS x,
+         50.0 - j - 0.15 * i AS y
+  FROM src
+),
+r AS (
+  SELECT j, i, x, y,
+         lead(x) OVER (PARTITION BY j ORDER BY i) AS xr,
+         lead(y) OVER (PARTITION BY j ORDER BY i) AS yr
+  FROM coords
+),
+rr AS (SELECT * FROM r WHERE xr IS NOT NULL),
+quads AS (
+  SELECT a.j AS j0, a.i AS i0,
+         a.x AS p0x, a.y AS p0y, a.xr AS p1x, a.yr AS p1y,
+         b.x AS p2x, b.y AS p2y, b.xr AS p3x, b.yr AS p3y
+  FROM rr a JOIN rr b ON b.j = a.j + 1 AND b.i = a.i
+),
+q AS (
+  SELECT quads.*,
+    GREATEST(LEAST(FLOOR((p0x - 0.0) / 1.0), FLOOR((p1x - 0.0) / 1.0),
+                   FLOOR((p2x - 0.0) / 1.0), FLOOR((p3x - 0.0) / 1.0)),
+             0) AS bi0,
+    LEAST(GREATEST(FLOOR((p0x - 0.0) / 1.0), FLOOR((p1x - 0.0) / 1.0),
+                   FLOOR((p2x - 0.0) / 1.0), FLOOR((p3x - 0.0) / 1.0)),
+          {RECT_W - 1}) AS bi1,
+    GREATEST(LEAST(FLOOR((p0y - 50.0) / -1.0), FLOOR((p1y - 50.0) / -1.0),
+                   FLOOR((p2y - 50.0) / -1.0), FLOOR((p3y - 50.0) / -1.0)),
+             0) AS bj0,
+    LEAST(GREATEST(FLOOR((p0y - 50.0) / -1.0), FLOOR((p1y - 50.0) / -1.0),
+                   FLOOR((p2y - 50.0) / -1.0), FLOOR((p3y - 50.0) / -1.0)),
+          {RECT_H - 1}) AS bj1,
+    (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y) AS det_a,
+    (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y) AS det_b
+  FROM quads
+),
+qf AS (
+  SELECT * FROM q
+  WHERE bi1 >= bi0 AND bj1 >= bj0 AND NOT (det_a = 0.0 AND det_b = 0.0)
+),
+c1 AS (
+  SELECT qf.*, unnest(range(CAST(bj0 AS BIGINT), CAST(bj1 AS BIGINT) + 1))
+           AS dst_j
+  FROM qf
+),
+c2 AS (
+  SELECT c1.*, unnest(range(CAST(bi0 AS BIGINT), CAST(bi1 AS BIGINT) + 1))
+           AS dst_i
+  FROM c1
+),
+uv AS (
+  SELECT j0, i0, dst_j, dst_i, det_a, det_b,
+         0.0 + (dst_i + 0.5) * 1.0 AS dx,
+         50.0 + (dst_j + 0.5) * -1.0 AS dy,
+         p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y
+  FROM c2
+),
+uv2 AS (
+  SELECT j0, i0, dst_j, dst_i, det_a, det_b,
+    ((p0x - dx) * (p0y - p2y) - (p0y - dy) * (p0x - p2x)) / det_a AS u_a,
+    ((p0y - dy) * (p0x - p1x) - (p0x - dx) * (p0y - p1y)) / det_a AS v_a,
+    ((p3x - dx) * (p3y - p1y) - (p3y - dy) * (p3x - p1x)) / det_b AS u_b,
+    ((p3y - dy) * (p3x - p2x) - (p3x - dx) * (p3y - p2y)) / det_b AS v_b
+  FROM uv
+),
+m AS (
+  SELECT dst_j, dst_i, j0, i0,
+    CASE
+      WHEN det_a != 0.0 AND u_a >= -0.001 AND v_a >= -0.001
+           AND u_a + v_a <= 1.002 THEN 0
+      WHEN det_b != 0.0 AND u_b >= -0.001 AND v_b >= -0.001
+           AND u_b + v_b <= 1.002 THEN 1
+    END AS tri,
+    CASE
+      WHEN det_a != 0.0 AND u_a >= -0.001 AND v_a >= -0.001
+           AND u_a + v_a <= 1.002
+        THEN i0 + LEAST(GREATEST(u_a, 0.0), 1.0)
+      WHEN det_b != 0.0 AND u_b >= -0.001 AND v_b >= -0.001
+           AND u_b + v_b <= 1.002
+        THEN i0 + 1 - LEAST(GREATEST(u_b, 0.0), 1.0)
+    END AS src_if,
+    CASE
+      WHEN det_a != 0.0 AND u_a >= -0.001 AND v_a >= -0.001
+           AND u_a + v_a <= 1.002
+        THEN j0 + LEAST(GREATEST(v_a, 0.0), 1.0)
+      WHEN det_b != 0.0 AND u_b >= -0.001 AND v_b >= -0.001
+           AND u_b + v_b <= 1.002
+        THEN j0 + 1 - LEAST(GREATEST(v_b, 0.0), 1.0)
+    END AS src_jf
+  FROM uv2
+),
+mm AS (SELECT * FROM m WHERE src_if IS NOT NULL),
+winners AS (
+  SELECT dst_j, dst_i, src_if, src_jf
+  FROM (
+    SELECT mm.*, row_number() OVER (
+      PARTITION BY dst_j, dst_i ORDER BY j0, i0, tri
+    ) AS rn
+    FROM mm
+  ) WHERE rn = 1
+),
+nearest AS (
+  SELECT dst_j, dst_i,
+    CASE WHEN src_if - FLOOR(src_if) > 0.5
+         THEN LEAST(CAST(FLOOR(src_if) AS INT) + 1, {RW - 1})
+         ELSE CAST(FLOOR(src_if) AS INT) END AS si,
+    CASE WHEN src_jf - FLOOR(src_jf) > 0.5
+         THEN LEAST(CAST(FLOOR(src_jf) AS INT) + 1, {RH - 1})
+         ELSE CAST(FLOOR(src_jf) AS INT) END AS sj
+  FROM winners
+),
+gathered AS (
+  SELECT s.t, n.dst_j, n.dst_i, s.value
+  FROM nearest n JOIN src s ON s.j = n.sj AND s.i = n.si
+),
+grid AS (
+  SELECT CAST(0 AS INT) AS t,
+         CAST(id // {RECT_W} AS INT) AS j, CAST(id % {RECT_W} AS INT) AS i
+  FROM (SELECT range AS id FROM range({RECT_W * RECT_H}))
+)
+SELECT g.t, g.j, g.i,
+       ROUND(COALESCE(ga.value, {FILL}), 6) AS value
+FROM grid g LEFT JOIN gathered ga
+  ON ga.t = g.t AND ga.dst_j = g.j AND ga.dst_i = g.i
+"""
+
+
+def q_reproject_raster(spark, sf_dir):
+    """CRS reprojection (UTM -> LAEA) of the synthetic raster.  CRS math is
+    the projection library inside a pandas UDF -- not SQL-expressible, so
+    this gets the driver's rows-only check."""
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.dataset import SparkDataset
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.reproject import reproject_dataset
+    from xcube_resampling_spark.dataset import Variable
+
+    r = _raster(spark, sf_dir)
+    src = SparkDataset(
+        spark=spark,
+        data_vars={
+            "value": Variable("value", r, ("y", "x"), "float64", {})
+        },
+        coords={
+            "x": __import__("numpy").arange(
+                500000.0 + 50.0, 500000.0 + 100.0 * RW, 100.0
+            ),
+            "y": __import__("numpy").arange(
+                5900000.0 - 50.0, 5900000.0 - 100.0 * RH, -100.0
+            ),
+        },
+        yx_dims=("y", "x"),
+    )
+    source_gm = GridMapping.from_coords(
+        src.coords["x"], src.coords["y"], CRS.from_epsg(32632),
+        xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
+    )
+    target_gm = GridMapping.regular(
+        (30, 45), (4254000.0, 3330000.0), 100.0, CRS.from_epsg(3035)
+    )
+    out = reproject_dataset(src, target_gm, source_gm=source_gm,
+                            interp_methods="nearest", fill_values=FILL)
+    return out.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+# ------------------------------------------------------------------ #
+# text / dedup / similarity / streaming-batch operators
+
+
+def q_text_stats(spark, sf_dir):
+    from xcube_resampling_spark.extensions.text import text_stats
+
+    return text_stats(_table(spark, sf_dir, "documents"))
+
+
+_STOPS_SQL = "['" + "', '".join(
+    w for w in __import__(
+        "xcube_resampling_spark.extensions.text", fromlist=["EN_STOPWORDS"]
+    ).EN_STOPWORDS
+) + "']"
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(
+           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+           AS n_punct,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           AS n_alpha,
+         CAST(len(list_filter(toks,
+           t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       ROUND(n_chars / n_tokens, 6) AS mean_token_len,
+       ROUND(n_punct / n_chars, 6) AS punct_ratio,
+       ROUND(n_alpha / n_chars, 6) AS alpha_ratio,
+       ROUND(n_stop / n_tokens, 6) AS stop_hit_ratio,
+       ((LEAST(n_tokens, 100) * 40000
+         + CAST(ROUND(n_alpha * 1000000 / n_chars) AS BIGINT) * 3
+         + CAST(ROUND(n_stop * 1000000 / n_tokens) AS BIGINT) * 2
+         + CASE WHEN CAST(ROUND(n_punct * 1000000 / n_chars) AS BIGINT)
+                     < 200000
+                THEN 1000000 ELSE 0 END
+         + 5) // 10) / 1000000.0 AS quality_score
+FROM c
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from xcube_resampling_spark.extensions.text import language_id
+
+    return language_id(_table(spark, sf_dir, "documents"))
+
+
+def _lang_markers_sql():
+    from xcube_resampling_spark.extensions.text import LANG_MARKERS
+
+    parts = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        arr = "['" + "', '".join(words) + "']"
+        parts.append(
+            f"SELECT doc_id, lang, '{lang}' AS cand, "
+            f"CAST(len(list_intersect(toks, {arr})) AS INT) AS score "
+            f"FROM base"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_LANGUAGE_ID = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+scores AS ({_lang_markers_sql()}),
+ranked AS (
+  SELECT doc_id, lang, cand, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, cand ASC
+         ) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS lang_true, cand AS lang_pred,
+       CAST(score AS BIGINT) AS marker_hits
+FROM ranked WHERE rn = 1
+"""
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(len(toks) - 2 AS BIGINT)),
+           x -> array_to_string(list_slice(toks, x + 1, x + 3), ' ')
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM {src}
+  ) WHERE len(toks) >= 3
+"""
+
+_H32 = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+
+SQL_FINGERPRINT = f"""
+WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
+hashed AS (SELECT doc_id, {_H32} AS h FROM sh)
+SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max,
+       COUNT(DISTINCT h) AS n_shingles
+FROM hashed GROUP BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from xcube_resampling_spark.extensions.text import doc_fingerprint
+
+    return doc_fingerprint(_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from xcube_resampling_spark.extensions.dedup import dedup_exact
+
+    return dedup_exact(_docs2(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH d2 AS ({DOCS2_SQL})
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d2 GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+_SHINGLE_HASHES_SQL = f"""
+  SELECT DISTINCT doc_id, {_H32} AS h
+  FROM ({_SHINGLES_SQL.format(src="d2")})
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from xcube_resampling_spark.extensions.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs2(spark, sf_dir), threshold=0.5)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH d2 AS ({DOCS2_SQL}),
+sh AS ({_SHINGLE_HASHES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from xcube_resampling_spark.extensions.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_docs2(spark, sf_dir), threshold=0.5)
+
+
+def _minhash_perm_sql():
+    from xcube_resampling_spark.extensions.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_PERM,
+    )
+
+    rows = ", ".join(
+        f"({p}, {MINHASH_A[p]}, {MINHASH_B[p]})" for p in range(NUM_PERM)
+    )
+    return rows, MINHASH_P
+
+
+_PERM_ROWS, _P = _minhash_perm_sql()
+
+SQL_DEDUP_MINHASH = f"""
+WITH d2 AS ({DOCS2_SQL}),
+sh AS ({_SHINGLE_HASHES_SQL}),
+perms(perm, a, b) AS (VALUES {_PERM_ROWS}),
+sig AS (
+  SELECT sh.doc_id, perms.perm,
+         MIN((perms.a * sh.h + perms.b) % {_P}) AS minhash
+  FROM sh CROSS JOIN perms
+  GROUP BY sh.doc_id, perms.perm
+),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+         md5(array_to_string(
+           list_sort(list(CAST(perm AS VARCHAR) || ':'
+                          || CAST(minhash AS VARCHAR))), ',')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (za.n + zb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE ROUND(n_common / (za.n + zb.n - n_common), 6) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from xcube_resampling_spark.extensions.dedup import dedup_simhash
+
+    return dedup_simhash(_docs2(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_bits_sql():
+    terms = []
+    for b in range(32):
+        terms.append(
+            f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+    return ", ".join(terms)
+
+
+def _simhash_recombine_sql():
+    return " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32)
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH d2 AS ({DOCS2_SQL}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM d2
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, {_simhash_bits_sql()} FROM hashed GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST({_simhash_recombine_sql()} AS BIGINT) AS simhash
+  FROM agg
+),
+halves AS (
+  SELECT doc_id, simhash, 0 AS band, simhash & 65535 AS key FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, (simhash >> 16) & 65535 AS key FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM halves a JOIN halves b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from xcube_resampling_spark.extensions.dedup import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(
+        _table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+SQL_DEDUP_EMB = f"""
+WITH e AS (
+  SELECT vec_id, {_EMB_D} AS v,
+         sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+"""
+
+
+def q_knn_brute_force(spark, sf_dir):
+    from xcube_resampling_spark.extensions.similarity import (
+        _dot,
+        _norm,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product({_EMB_D}, q.qv)
+               / (sqrt(list_dot_product({_EMB_D}, {_EMB_D}))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, cosine FROM scored WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_ivf(spark, sf_dir):
+    from xcube_resampling_spark.extensions.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    query = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivf_topk(
+        emb, query, k=10, num_centroids=10, nprobe=2, exclude_vec_id=0
+    )
+
+
+SQL_KNN_IVF = f"""
+WITH q AS (SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cent_id, {_EMB_D} AS cv FROM embeddings
+  ORDER BY vec_id LIMIT 10
+),
+assigned AS (
+  SELECT vec_id, cent_id, v FROM (
+    SELECT e.vec_id, c.cent_id, {_EMB_D} AS v,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product({_EMB_D}, c.cv)
+                      / (sqrt(list_dot_product({_EMB_D}, {_EMB_D}))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.cent_id FROM cents c CROSS JOIN q
+  ORDER BY list_dot_product(c.cv, q.qv)
+           / (sqrt(list_dot_product(c.cv, c.cv))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           c.cent_id ASC
+  LIMIT 2
+),
+bucket AS (
+  SELECT a.vec_id, a.v FROM assigned a JOIN probes p USING (cent_id)
+),
+scored AS (
+  SELECT b.vec_id,
+         ROUND(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM bucket b CROSS JOIN q
+)
+SELECT vec_id, cosine FROM scored WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_windowed_event_stats(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+SQL_WINDOWED = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+         AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    from xcube_resampling_spark.streaming.windows import sessionize
+
+    ev = _table(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM o
+)
+SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(FLOOR(epoch(MAX(ts) + INTERVAL '30 minutes')) AS BIGINT)
+         AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(ROUND(SUM(value), 6), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched binary feature extraction (decode stubbed -- see
+    extensions/multimodal.py).  Rows-only check: byte-level math inside a
+    pandas UDF is not SQL-expressible."""
+    from xcube_resampling_spark.extensions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 50)
+    return extract_features(media).select(
+        "media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Classic relational baseline (TPC-H Q1 shape) proving scan +
+    filter + groupBy parity on lineitem."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                4,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ #
+# contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: rectification of a sheared
+    synthetic swath (the engine's hardest operator, SURVEY.md section 2 #20)."""
+    return q_rectify_swath_nearest(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "affine_upscale_bilinear": q_affine_upscale_bilinear,
+        "affine_shift_nearest": q_affine_shift_nearest,
+        "affine_downscale_mean": q_affine_downscale_mean,
+        "coarsen_mean": _q_coarsen("mean", lambda: F.col("value"), False),
+        "coarsen_median": _q_coarsen("median", lambda: F.col("value"), False),
+        "coarsen_std": _q_coarsen("std", lambda: F.col("value"), False),
+        "coarsen_count": _q_coarsen(
+            "count",
+            lambda: (F.col("value").cast("int") % 3).cast("double"),
+            False,
+        ),
+        "coarsen_mode": _q_coarsen(
+            "mode",
+            lambda: (F.col("value").cast("int") % 7).cast("double"),
+            True,
+        ),
+        "clip_bbox": q_clip_bbox,
+        "rectify_swath_nearest": q_rectify_swath_nearest,
+        "reproject_utm_to_laea": q_reproject_raster,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "knn_brute_force": q_knn_brute_force,
+        "knn_ivf": q_knn_ivf,
+        "windowed_event_stats": q_windowed_event_stats,
+        "sessionize": q_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "pricing_summary": q_pricing_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "affine_upscale_bilinear": SQL_AFFINE_UPSCALE,
+        "affine_shift_nearest": SQL_AFFINE_SHIFT,
+        "affine_downscale_mean": SQL_AFFINE_DOWNSCALE,
+        "coarsen_mean": _sql_coarsen("AVG(value)"),
+        "coarsen_median": _sql_coarsen("MEDIAN(value)"),
+        "coarsen_std": _sql_coarsen("STDDEV_POP(value)"),
+        "coarsen_count": _sql_coarsen(
+            "CAST(40 - COUNT(CASE WHEN value = 0.0 THEN 1 END) AS DOUBLE)",
+            "CAST(CAST(trunc(value) AS INT) % 3 AS DOUBLE)",
+        ),
+        "coarsen_mode": SQL_COARSEN_MODE,
+        "clip_bbox": SQL_CLIP,
+        "rectify_swath_nearest": SQL_RECTIFY,
+        "text_stats": SQL_TEXT_STATS,
+        "language_id": SQL_LANGUAGE_ID,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_embedding_cosine": SQL_DEDUP_EMB,
+        "knn_brute_force": SQL_KNN,
+        "knn_ivf": SQL_KNN_IVF,
+        "windowed_event_stats": SQL_WINDOWED,
+        "sessionize": SQL_SESSIONIZE,
+        "pricing_summary": SQL_PRICING,
+    }

@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-duplicates.
+
+Spark-first shapes:
+
+* exact dedup = hash-groupBy (one map-side-combinable shuffle),
+* n-gram Jaccard = shingle explode -> equi-join on shingle -> pair groupBy
+  (candidate generation by shared shingle, never a cross join),
+* MinHash+LSH = shingle hash -> K permutations (a_k*x+b_k mod P) ->
+  min per permutation -> band keys -> bucket equi-join -> verified pairs,
+* SimHash = per-token 32-bit hashes -> bitwise majority -> band join on
+  16-bit halves -> Hamming filter,
+* embedding cosine = exact pairwise above a bucketed length filter
+  (brute force here; IVF-bucketed variant in similarity.py).
+
+All hashes are the md5-based 32-bit hash (text.hash32) which DuckDB
+reproduces exactly, so every operator has a value-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash32, shingles_col
+
+# MinHash permutation parameters: h_k(x) = (A_k * x + B_k) mod P.
+# A_k < 2^30 so A_k * x stays below 2^62 for 32-bit x (no int64 overflow in
+# either Spark or the DuckDB oracle); fixed literals shared with the oracle.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+NUM_PERM = 16
+BANDS = 4  # 4 bands x 4 rows
+MINHASH_A = [976369 + 104729 * k for k in range(NUM_PERM)]
+MINHASH_B = [123456789 + 987654 * k for k in range(NUM_PERM)]
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id
+    (hash-groupBy, the canonical exact-dedup shape)."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("content_hash", "keep_id", F.col("n_docs").cast("bigint")
+                .alias("n_docs"))
+    )
+
+
+def shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, h): distinct 32-bit hashes of word k-gram shingles."""
+    return (
+        docs.select(
+            "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+        )
+        .select("doc_id", hash32(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Pairwise word-k-gram Jaccard similarity >= threshold.
+
+    Candidate pairs share at least one shingle (equi-join on the shingle
+    hash); Jaccard from distinct-shingle counts.  The shared-shingle join is
+    the scalable candidate generator -- worst case degenerates only when one
+    shingle is ubiquitous (mitigate by dropping top-frequency shingles
+    upstream at very large scale).
+    """
+    sh = shingle_hashes(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, perm, minhash): NUM_PERM MinHash values per document.
+    One explode + one map-side-combinable min aggregation."""
+    sh = shingle_hashes(docs, k)
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("perm"),
+                (
+                    (F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]))
+                    % F.lit(MINHASH_P)
+                ).alias("hv"),
+            )
+            for p in range(NUM_PERM)
+        ]
+    )
+    return (
+        sh.select("doc_id", F.explode(perms).alias("p"))
+        .groupBy("doc_id", F.col("p.perm").alias("perm"))
+        .agg(F.min(F.col("p.hv")).alias("minhash"))
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs, verified with true
+    Jaccard.  Bands of NUM_PERM/BANDS rows; candidates = docs sharing a
+    band key; verification joins back to the shingle table."""
+    sig = minhash_signatures(docs, k)
+    rows_per_band = NUM_PERM // BANDS
+    bands = sig.select(
+        "doc_id",
+        (F.col("perm") / rows_per_band).cast("int").alias("band"),
+        "perm", "minhash",
+    ).groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("perm").cast("string"),
+                                    F.col("minhash").cast("string"))
+                    )
+                )
+            )
+        ).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify candidates with the exact Jaccard
+    sh = shingle_hashes(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("h").alias("h_b"))
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("sb_id"))
+              & (F.col("h_a") == F.col("h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over whitespace tokens.
+
+    Per-bit weighted majority of token hashes, computed as 32 conditional
+    sums in a single aggregation (one shuffle, fully codegen)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("tok"),
+    ).select("doc_id", hash32(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share one 16-bit half
+    (pigeonhole for hamming <= 3 over 2 bands is heuristic recall, standard
+    SimHash practice), verified by exact Hamming distance."""
+    sh = simhash(docs)
+    halves = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("simhash"), 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a = halves.alias("a")
+    b = halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_embedding_cosine(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Near-duplicate vector pairs by exact cosine similarity.
+
+    Brute-force pairwise over the (small) embedding table; the scale path
+    for this shape is similarity.ivf_topk's bucketed variant."""
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    e = embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

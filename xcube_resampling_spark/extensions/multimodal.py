@@ -1,0 +1,188 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata struct.
+The Spark-side machinery -- schema, Arrow batch shape, ``mapInPandas``
+pipelines, partition sizing -- is real and tested; the actual codec calls are
+STUBBED behind ``DecoderNotAvailable`` / a clearly-marked deterministic fake,
+because no image/audio libraries exist in this environment.  Swapping
+``_fake_decode_rgb`` for a real ``PIL.Image.open`` keeps every signature and
+plan identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class DecoderNotAvailable(NotImplementedError):
+    """Raised where a real image/audio codec would be invoked."""
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """STUB: real implementation would be PIL/libjpeg.  This environment
+    has no codecs; see _fake_decode_rgb for the deterministic test fake."""
+    raise DecoderNotAvailable(
+        "image decoding requires PIL/opencv, not available in this build"
+    )
+
+
+def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: tile the payload bytes into an
+    (h, w, 3) uint8 array.  Stands in for a codec so the downstream
+    plumbing (batching, schema, resize math) is fully exercised."""
+    need = width * height * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(need / buf.size))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Byte-level feature extraction over binary payloads via mapInPandas
+    (Arrow-batched; one pass, no shuffle)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = int(arr.size)
+                if n:
+                    counts = np.bincount(arr, minlength=256).astype(float)
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                    mean = float(arr.mean())
+                    # fake embedding: bucketed byte histogram, L2-normalized
+                    hist = counts.reshape(feat_dim, -1).sum(axis=1)
+                    nrm = np.linalg.norm(hist) or 1.0
+                    feature = (hist / nrm).astype(np.float32)
+                else:
+                    entropy, mean = 0.0, None
+                    feature = np.zeros(feat_dim, dtype=np.float32)
+                out.append(
+                    (row["media_id"], n, mean, entropy, feature.tolist())
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(compute, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of (fake-)decoded images.  The resize index
+    math is the real production logic; only the decode is the fake."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("pixels", T.BinaryType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                w = int(row["width"] or 4)
+                h = int(row["height"] or 4)
+                img = _fake_decode_rgb(row["payload"] or b"", w, h)
+                ji = (np.arange(out_h) * h // out_h)
+                ii = (np.arange(out_w) * w // out_w)
+                small = img[np.ix_(ji, ii)]
+                rows.append(
+                    (row["media_id"], out_w, out_h, small.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        compute, schema
+    )
+
+
+def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: emits one row per kept frame
+    (mapInPandas fan-out; frame decode stubbed as byte slices)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                n = int(row["n_frames"] or 0)
+                payload = row["payload"] or b""
+                if n <= 0:
+                    continue
+                per = max(1, len(payload) // n)
+                for f_idx in range(0, n, every_nth):
+                    rows.append(
+                        (
+                            row["media_id"],
+                            f_idx,
+                            payload[f_idx * per : (f_idx + 1) * per],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame"]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        compute, schema
+    )
+
+
+def synthetic_media(spark, n: int = 20) -> DataFrame:
+    """Deterministic synthetic media table for tests."""
+    rows = []
+    for m in range(n):
+        kind = ("image", "audio", "video")[m % 3]
+        payload = bytes(((m * 37 + k * 11) % 256) for k in range(64 + m))
+        rows.append(
+            (
+                m, kind, payload,
+                4 + m % 3 if kind == "image" else None,
+                4 if kind == "image" else None,
+                16000 if kind == "audio" else None,
+                6 if kind == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,154 @@
+"""Text analysis operators over a documents table.
+
+All operators are pure Spark SQL expressions (whole-stage codegen, no UDFs)
+over ``documents(doc_id, text, lang, source, n_chars)`` and have exact
+ANSI-SQL DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language-ID marker words (tiny per-language stopword profiles);
+# heuristic n-gram/stopword language identification
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es": ("el", "la", "los", "que", "es", "una", "para", "las"),
+}
+
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def hash32(c: Column) -> Column:
+    """Deterministic 32-bit hash identical in Spark and DuckDB:
+    first 8 hex chars of md5 as an integer."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def hash32_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`hash32`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowered text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Token counting + quality scoring
+    (length, punctuation/alpha/stopword ratios)."""
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("bigint")
+    # BPE-ish subword segmentation: letter runs, digit runs, other marks
+    n_bpe = F.size(
+        F.regexp_extract_all(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+                             0)
+    ).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit("[.,;:!?]"), 0)
+    ).cast("double")
+    n_alpha = F.size(
+        F.regexp_extract_all(text, F.lit("[A-Za-z]"), 0)
+    ).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    # occurrence count of stopword tokens (not distinct types)
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("double")
+    mean_tok_len = n_chars / n_tokens
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    alpha_ratio = F.round(n_alpha / n_chars, 6)
+    stop_hit_ratio = F.round(n_stop / n_tokens, 6)
+    # quality score in exact integer micro-units (1e-7), then one half-up
+    # integer division to 6 decimals -- float-tie-free, so the DuckDB oracle
+    # reproduces it bit-for-bit
+    a6 = F.round(n_alpha * 1000000 / n_chars).cast("bigint")
+    s6 = F.round(n_stop * 1000000 / n_tokens).cast("bigint")
+    p6 = F.round(n_punct * 1000000 / n_chars).cast("bigint")
+    t_u = (
+        F.least(n_tokens, F.lit(100)).cast("bigint") * 40000
+        + a6 * 3
+        + s6 * 2
+        + F.when(p6 < 200000, F.lit(1000000)).otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    quality = ((t_u + 5) / 10).cast("bigint") / F.lit(1000000.0)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hit_ratio.alias("stop_hit_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language identification: count marker-word hits per
+    language in the token set, argmax with alphabetic tie-break."""
+    toks = tokens_col(F.col("text"))
+    scores = [
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words])
+            )
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    # argmax over (score, reverse-alphabetic) so ties pick first language
+    langs = sorted(LANG_MARKERS)
+    pred = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(-idx).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for idx, lang in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        pred["lang"].alias("lang_pred"),
+        pred["s"].cast("bigint").alias("marker_hits"),
+    )
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles of lowered text (empty when < k tokens)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda idx: F.concat_ws(" ", F.slice(toks, idx + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max 32-bit shingle hash and
+    distinct-shingle count per document."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+    )
+    hashed = sh.select("doc_id", hash32(F.col("sh")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.count_distinct(F.col("h")).alias("n_shingles"),
+    )
