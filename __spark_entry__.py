@@ -66,10 +66,21 @@ RASTER_SQL = f"""
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism.  The testdata parquet
+    files are single-row-group (unsplittable scans), so CPU-heavy per-row
+    work (regex, md5, array ops) would otherwise run on 1-2 cores."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, _table(spark, sf_dir, "documents"))
+
+
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents unioned with a clone shifted by 100000 -- gives every dedup
     operator known-true duplicate pairs on any scale factor."""
-    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     clone = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -517,7 +528,7 @@ def q_reproject_raster(spark, sf_dir):
 def q_text_stats(spark, sf_dir):
     from xcube_resampling_spark.extensions.text import text_stats
 
-    return text_stats(_table(spark, sf_dir, "documents"))
+    return text_stats(_docs(spark, sf_dir))
 
 
 _STOPS_SQL = "['" + "', '".join(
@@ -566,7 +577,7 @@ FROM c
 def q_language_id(spark, sf_dir):
     from xcube_resampling_spark.extensions.text import language_id
 
-    return language_id(_table(spark, sf_dir, "documents"))
+    return language_id(_docs(spark, sf_dir))
 
 
 def _lang_markers_sql():
@@ -629,7 +640,7 @@ FROM hashed GROUP BY doc_id
 def q_doc_fingerprint(spark, sf_dir):
     from xcube_resampling_spark.extensions.text import doc_fingerprint
 
-    return doc_fingerprint(_table(spark, sf_dir, "documents"))
+    return doc_fingerprint(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -709,9 +720,8 @@ sig AS (
 ),
 bands AS (
   SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-         md5(array_to_string(
-           list_sort(list(CAST(perm AS VARCHAR) || ':'
-                          || CAST(minhash AS VARCHAR))), ',')) AS band_key
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm))
+           AS band_key
   FROM sig GROUP BY doc_id, CAST(perm // 4 AS INT)
 ),
 cand AS (
@@ -797,7 +807,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from xcube_resampling_spark.extensions.dedup import dedup_embedding_cosine
 
     return dedup_embedding_cosine(
-        _table(spark, sf_dir, "embeddings"), threshold=0.35
+        _spread(spark, _table(spark, sf_dir, "embeddings")), threshold=0.35
     )
 
 
@@ -822,7 +832,7 @@ def q_knn_brute_force(spark, sf_dir):
         _norm,
     )
 
-    emb = _table(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -858,7 +868,7 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 def q_knn_ivf(spark, sf_dir):
     from xcube_resampling_spark.extensions.similarity import ivf_topk
 
-    emb = _table(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
     query = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]

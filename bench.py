@@ -1,0 +1,208 @@
+"""Headline benchmark: geo resampling at reference-envelope scale plus the
+training-data operators at the driver's scale factor.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Geo inputs are engine-generated rasters/swaths (the testdata has no raster
+tables); sizes mirror BASELINE.md's headline scenes (rectify 1890x1189,
+reference ~1.4 s single-node).  Data operators read $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# rectify scene dims = BASELINE.md S3-OLCI scene
+SCENE_W, SCENE_H = 1890, 1189
+
+
+def _session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        # local[32] single-JVM: a moderate heap beats a huge one (young-gen
+        # GC pauses scale with heap; measured 10.5s vs 17.6s on the minhash
+        # query at 12g vs 48g)
+        .config("spark.driver.memory", "12g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .appName("xcube-resampling-spark-bench")
+        .getOrCreate()
+    )
+
+
+def raster_df(spark, w, h):
+    """Deterministic dense raster (t, j, i, value), generated distributively."""
+    return spark.range(w * h).select(
+        F.lit(0).cast("int").alias("t"),
+        (F.col("id") / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (
+            F.sin(F.col("id") % w * 0.01) + F.cos((F.col("id") / w) * 0.01)
+        ).cast("double").alias("value"),
+    )
+
+
+def bench_rectify_scene(spark):
+    """Irregular swath (SCENE_W x SCENE_H) -> regular grid, nearest.
+    Mirrors BASELINE.md rectify_sentinel3 (1890x1189, ~1.4 s reference)."""
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.rectify import (
+        gather_var,
+        scatter_from_coords,
+    )
+
+    w, h = SCENE_W, SCENE_H
+    coords = spark.range(w * h).select(
+        (F.col("id") / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+    ).select(
+        "j", "i",
+        (F.lit(0.0) + 0.01 * F.col("i") + 0.003 * F.col("j")).alias("x"),
+        (F.lit(60.0) - 0.01 * F.col("j") + 0.002 * F.col("i")).alias("y"),
+    )
+    # swath bbox: x in [0, 22.47], y in [48.1, 63.78]; res chosen so the
+    # target has ~2.3M px (scene-scale output)
+    target_gm = GridMapping.regular(
+        (1800, 1256), (0.0, 48.0), 0.0125, CRS_WGS84
+    )
+    winners = scatter_from_coords(coords, target_gm)
+    out = gather_var(
+        spark, winners, raster_df(spark, w, h), (w, h),
+        target_gm.size, 1, "nearest", float("nan"), False,
+    )
+    return out.count()
+
+
+def bench_affine_up_bilinear(spark):
+    """1024x1024 -> 2048x2048 bilinear upscale (4-way gather join)."""
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    out = resample_pixels(
+        spark, raster_df(spark, 1024, 1024),
+        ((0.5, 0.0, -0.25), (0.0, 0.5, -0.25)),
+        (1024, 1024), (2048, 2048), 1, 1, "mean", False, float("nan"),
+        False,
+    )
+    return out.count()
+
+
+def bench_affine_down_mean(spark):
+    """2048x2048 -> 256x256 mean downscale (gather + window groupBy)."""
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    out = resample_pixels(
+        spark, raster_df(spark, 2048, 2048),
+        ((8.0, 0.0, 0.0), (0.0, 8.0, 0.0)),
+        (2048, 2048), (256, 256), 1, 1, "mean", False, float("nan"),
+        False,
+    )
+    return out.count()
+
+
+def bench_reproject(spark):
+    """UTM -> LAEA reprojection, 1024x1024 src (pandas-UDF pyproj path)."""
+    import numpy as np
+
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.reproject import reproject_dataset
+
+    n = 1024
+    r = raster_df(spark, n, n)
+    src = SparkDataset(
+        spark=spark,
+        data_vars={"value": Variable("value", r, ("y", "x"), "float64", {})},
+        coords={
+            "x": np.arange(500000.0 + 50.0, 500000.0 + 100.0 * n, 100.0),
+            "y": np.arange(5900000.0 - 50.0, 5900000.0 - 100.0 * n, -100.0),
+        },
+        yx_dims=("y", "x"),
+    )
+    source_gm = GridMapping.from_coords(
+        src.coords["x"], src.coords["y"], CRS.from_epsg(32632),
+        xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
+    )
+    target_gm = GridMapping.regular(
+        (1000, 1000), (4200000.0, 3300000.0), 100.0, CRS.from_epsg(3035)
+    )
+    out = reproject_dataset(
+        src, target_gm, source_gm=source_gm,
+        interp_methods="nearest", fill_values=float("nan"),
+    )
+    return out.data_vars["value"].df.count()
+
+
+def _entry_query(name):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+
+    def run(spark):
+        return fn(spark, SF_DIR).count()
+
+    run.__name__ = name
+    return run
+
+
+BENCHES = [
+    ("rectify_scene", bench_rectify_scene),
+    ("affine_up_bilinear", bench_affine_up_bilinear),
+    ("affine_down_mean", bench_affine_down_mean),
+    ("reproject_utm_laea", bench_reproject),
+    ("text_stats", _entry_query("text_stats")),
+    ("dedup_exact", _entry_query("dedup_exact")),
+    ("dedup_minhash_lsh", _entry_query("dedup_minhash_lsh")),
+    ("dedup_simhash", _entry_query("dedup_simhash")),
+    ("knn_brute_force", _entry_query("knn_brute_force")),
+    ("sessionize", _entry_query("sessionize")),
+    ("windowed_event_stats", _entry_query("windowed_event_stats")),
+    ("pricing_summary", _entry_query("pricing_summary")),
+]
+
+
+def main():
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    # one warm-up action so JVM/codegen startup isn't billed to query 1
+    spark.range(1000).select(F.sum("id")).collect()
+
+    times = {}
+    total = 0.0
+    for name, fn in BENCHES:
+        t0 = time.perf_counter()
+        fn(spark)
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

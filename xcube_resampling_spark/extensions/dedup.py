@@ -102,26 +102,24 @@ def dedup_ngram_jaccard(
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, perm, minhash): NUM_PERM MinHash values per document.
-    One explode + one map-side-combinable min aggregation."""
-    sh = shingle_hashes(docs, k)
-    perms = F.array(
-        *[
-            F.struct(
-                F.lit(p).alias("perm"),
-                (
-                    (F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]))
-                    % F.lit(MINHASH_P)
-                ).alias("hv"),
-            )
-            for p in range(NUM_PERM)
-        ]
-    )
-    return (
-        sh.select("doc_id", F.explode(perms).alias("p"))
-        .groupBy("doc_id", F.col("p.perm").alias("perm"))
-        .agg(F.min(F.col("p.hv")).alias("minhash"))
-    )
+    """(doc_id, m0..m{NUM_PERM-1}): MinHash signature per document, wide.
+
+    One map-side-combinable aggregation with NUM_PERM min() columns -- no
+    row blow-up (the naive explode(perms) shape shuffles NUM_PERM x the
+    shingle count; this shuffles it once)."""
+    return minhash_signatures_from_hashes(shingle_hashes(docs, k))
+
+
+def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:
+    """Wide MinHash signature from a (doc_id, h) shingle-hash table."""
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]))
+            % F.lit(MINHASH_P)
+        ).alias(f"m{p}")
+        for p in range(NUM_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def dedup_minhash_lsh(
@@ -130,23 +128,29 @@ def dedup_minhash_lsh(
     """MinHash + LSH banding near-duplicate pairs, verified with true
     Jaccard.  Bands of NUM_PERM/BANDS rows; candidates = docs sharing a
     band key; verification joins back to the shingle table."""
-    sig = minhash_signatures(docs, k)
+    sh = shingle_hashes(docs, k).persist()
+    sig = minhash_signatures_from_hashes(sh)
     rows_per_band = NUM_PERM // BANDS
-    bands = sig.select(
-        "doc_id",
-        (F.col("perm") / rows_per_band).cast("int").alias("band"),
-        "perm", "minhash",
-    ).groupBy("doc_id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",", F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(":", F.col("perm").cast("string"),
-                                    F.col("minhash").cast("string"))
-                    )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
-            )
-        ).alias("band_key")
+            ).alias("band_key"),
+        )
+        for band in range(BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -162,8 +166,7 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    # verify candidates with the exact Jaccard
-    sh = shingle_hashes(docs, k)
+    # verify candidates with the exact Jaccard (reusing the cached shingles)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
     sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("h").alias("h_b"))

@@ -205,7 +205,17 @@ def scatter_source_ij(
     per target pixel.  Parity: reference rectify.py:312-576.
     """
     coords = coords_to_df(spark, source_gm)
+    return scatter_from_coords(coords, target_gm, uv_delta)
 
+
+def scatter_from_coords(
+    coords: DataFrame,
+    target_gm: GridMapping,
+    uv_delta: float = UV_DELTA,
+) -> DataFrame:
+    """Scatter step over an already-distributed coords DataFrame
+    (j, i, x, y) -- the scale path: source coordinate images live in the
+    cluster, never on the driver."""
     w, h = target_gm.size
     x_min = float(target_gm.x_min)
     x_res = float(target_gm.x_res)
