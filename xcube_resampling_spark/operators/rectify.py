@@ -226,29 +226,24 @@ def scatter_from_coords(
         y_off = float(target_gm.y_max)
         y_scale = -float(target_gm.y_res)
 
-    # build quads: lead() for the right neighbor, one self-join for the row
-    # below (two data movements total, both partitioned by j)
-    win = Window.partitionBy("j").orderBy("i")
+    # build quads with two windows: lead over i for the right neighbor, then
+    # lead over j for the row below -- two sort-shuffles, no self-join
+    win_i = Window.partitionBy("j").orderBy("i")
     rows = coords.select(
         "j", "i", "x", "y",
-        F.lead("x").over(win).alias("xr"),
-        F.lead("y").over(win).alias("yr"),
+        F.lead("x").over(win_i).alias("xr"),
+        F.lead("y").over(win_i).alias("yr"),
     ).filter(F.col("xr").isNotNull())
-    top = rows.select(
+    win_j = Window.partitionBy("i").orderBy("j")
+    quads = rows.select(
         F.col("j").alias("j0"), F.col("i").alias("i0"),
         F.col("x").alias("p0x"), F.col("y").alias("p0y"),
         F.col("xr").alias("p1x"), F.col("yr").alias("p1y"),
-    )
-    bottom = rows.select(
-        (F.col("j") - 1).alias("bj"), F.col("i").alias("bi"),
-        F.col("x").alias("p2x"), F.col("y").alias("p2y"),
-        F.col("xr").alias("p3x"), F.col("yr").alias("p3y"),
-    )
-    quads = top.join(
-        bottom,
-        (top["j0"] == bottom["bj"]) & (top["i0"] == bottom["bi"]),
-        "inner",
-    ).drop("bj", "bi")
+        F.lead("x").over(win_j).alias("p2x"),
+        F.lead("y").over(win_j).alias("p2y"),
+        F.lead("xr").over(win_j).alias("p3x"),
+        F.lead("yr").over(win_j).alias("p3y"),
+    ).filter(F.col("p2x").isNotNull())
 
     # pixel bbox of the quad corners in the target grid
     def pix_i(px):
