@@ -326,32 +326,42 @@ FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
 RECT_W, RECT_H = 30, 44
 
 
-def q_rectify_swath_nearest(spark, sf_dir):
-    import numpy as np
+def _q_rectify(interp):
+    def q(spark, sf_dir):
+        import numpy as np
 
-    from xcube_resampling_spark.crs import CRS_WGS84
-    from xcube_resampling_spark.gridmapping import GridMapping
-    from xcube_resampling_spark.operators.rectify import (
-        gather_var,
-        scatter_source_ij,
-    )
+        from xcube_resampling_spark.crs import CRS_WGS84
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.rectify import (
+            gather_var,
+            scatter_source_ij,
+        )
 
-    jj, ii = np.meshgrid(np.arange(RH), np.arange(RW), indexing="ij")
-    lon = ii + 0.35 * jj
-    lat = 50.0 - jj - 0.15 * ii
-    source_gm = GridMapping.from_coords_2d(lon, lat, CRS_WGS84)
-    target_gm = GridMapping.regular(
-        (RECT_W, RECT_H), (0.0, 6.0), 1.0, CRS_WGS84
-    )
-    winners = scatter_source_ij(spark, source_gm, target_gm)
-    out = gather_var(
-        spark, winners, _raster(spark, sf_dir), (RW, RH),
-        (RECT_W, RECT_H), 1, "nearest", FILL, False,
-    )
-    return out.select("t", "j", "i", F.round("value", 6).alias("value"))
+        jj, ii = np.meshgrid(np.arange(RH), np.arange(RW), indexing="ij")
+        lon = ii + 0.35 * jj
+        lat = 50.0 - jj - 0.15 * ii
+        source_gm = GridMapping.from_coords_2d(lon, lat, CRS_WGS84)
+        target_gm = GridMapping.regular(
+            (RECT_W, RECT_H), (0.0, 6.0), 1.0, CRS_WGS84
+        )
+        winners = scatter_source_ij(spark, source_gm, target_gm)
+        out = gather_var(
+            spark, winners, _raster(spark, sf_dir), (RW, RH),
+            (RECT_W, RECT_H), 1, interp, FILL, False,
+        )
+        return out.select(
+            "t", "j", "i", F.round("value", 6).alias("value")
+        )
+
+    return q
 
 
-SQL_RECTIFY = f"""
+q_rectify_swath_nearest = _q_rectify("nearest")
+
+
+# shared winners CTE: the point-in-quad scatter (used by all three
+# rectify interpolation oracles)
+_RECTIFY_WINNERS_SQL = f"""
 WITH src AS ({RASTER_SQL}),
 coords AS (
   SELECT j, i,
@@ -454,7 +464,21 @@ winners AS (
     ) AS rn
     FROM mm
   ) WHERE rn = 1
-),
+)"""
+
+_RECTIFY_GRID_TAIL = f""",
+grid AS (
+  SELECT CAST(0 AS INT) AS t,
+         CAST(id // {RECT_W} AS INT) AS j, CAST(id % {RECT_W} AS INT) AS i
+  FROM (SELECT range AS id FROM range({RECT_W * RECT_H}))
+)
+SELECT g.t, g.j, g.i,
+       ROUND(COALESCE(ga.value, {FILL}), 6) AS value
+FROM grid g LEFT JOIN gathered ga
+  ON ga.t = g.t AND ga.dst_j = g.j AND ga.dst_i = g.i
+"""
+
+SQL_RECTIFY = _RECTIFY_WINNERS_SQL + f""",
 nearest AS (
   SELECT dst_j, dst_i,
     CASE WHEN src_if - FLOOR(src_if) > 0.5
@@ -468,16 +492,257 @@ nearest AS (
 gathered AS (
   SELECT s.t, n.dst_j, n.dst_i, s.value
   FROM nearest n JOIN src s ON s.j = n.sj AND s.i = n.si
+)""" + _RECTIFY_GRID_TAIL
+
+# 4-neighbor gather shared by bilinear/triangular (mirrors gather_var:
+# i1/j1 clamped to the source edge)
+_RECTIFY_4N_SQL = f""",
+bil AS (
+  SELECT dst_j, dst_i,
+         CAST(FLOOR(src_if) AS INT) AS i0,
+         LEAST(CAST(FLOOR(src_if) AS INT) + 1, {RW - 1}) AS i1,
+         CAST(FLOOR(src_jf) AS INT) AS j0,
+         LEAST(CAST(FLOOR(src_jf) AS INT) + 1, {RH - 1}) AS j1,
+         src_if - FLOOR(src_if) AS u, src_jf - FLOOR(src_jf) AS v
+  FROM winners
+),
+n4 AS (
+  SELECT b.dst_j, b.dst_i, s00.t, b.u, b.v,
+         s00.value AS v00, s01.value AS v01,
+         s10.value AS v10, s11.value AS v11
+  FROM bil b
+  JOIN src s00 ON s00.j = b.j0 AND s00.i = b.i0
+  JOIN src s01 ON s01.j = b.j0 AND s01.i = b.i1
+  JOIN src s10 ON s10.j = b.j1 AND s10.i = b.i0
+  JOIN src s11 ON s11.j = b.j1 AND s11.i = b.i1
+)"""
+
+SQL_RECTIFY_BILINEAR = _RECTIFY_WINNERS_SQL + _RECTIFY_4N_SQL + """,
+gathered AS (
+  SELECT t, dst_j, dst_i,
+         (v00 + u * (v01 - v00))
+         + v * ((v10 + u * (v11 - v10)) - (v00 + u * (v01 - v00)))
+           AS value
+  FROM n4
+)""" + _RECTIFY_GRID_TAIL
+
+SQL_RECTIFY_TRIANGULAR = _RECTIFY_WINNERS_SQL + _RECTIFY_4N_SQL + """,
+gathered AS (
+  SELECT t, dst_j, dst_i,
+         CASE WHEN u + v < 1.0
+              THEN v00 + u * (v01 - v00) + v * (v10 - v00)
+              ELSE v11 + (1.0 - u) * (v10 - v11)
+                   + (1.0 - v) * (v01 - v11) END AS value
+  FROM n4
+)""" + _RECTIFY_GRID_TAIL
+
+
+def _q_coarsen_positional(method):
+    """first/last/center reducers: the engine's positional path gathers
+    exactly one subpixel per window (coarsen.position_for)."""
+
+    def q(spark, sf_dir):
+        from xcube_resampling_spark.operators.coarsen import position_for
+
+        pj, pi = position_for(method, 8, 5)
+        r = _raster(spark, sf_dir)
+        return r.filter(
+            (F.col("j") % 8 == pj) & (F.col("i") % 5 == pi)
+        ).select(
+            "t",
+            (F.col("j") / 8).cast("int").alias("j"),
+            (F.col("i") / 5).cast("int").alias("i"),
+            F.round("value", 6).alias("value"),
+        )
+
+    return q
+
+
+def _sql_coarsen_positional(pj, pi):
+    return f"""
+WITH src AS ({RASTER_SQL})
+SELECT t, CAST(j // 8 AS INT) AS j, CAST(i // 5 AS INT) AS i,
+       ROUND(value, 6) AS value
+FROM src WHERE j % 8 = {pj} AND i % 5 = {pi}
+"""
+
+
+def q_affine_3d_shift_nearest(spark, sf_dir):
+    """3-D (t, j, i) variable through the affine path: the time axis is an
+    ordinary column, never interpolated across (reference
+    affine.py:329-335)."""
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    ev = _table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    r3 = ev.select(
+        (F.col("event_id") / 1000).cast("int").alias("t"),
+        ((F.col("event_id") % 1000) / RW).cast("int").alias("j"),
+        (F.col("event_id") % 1000 % RW).cast("int").alias("i"),
+        F.col("value"),
+    )
+    out = resample_pixels(
+        spark, r3, ((1.0, 0.0, 5.5), (0.0, 1.0, -3.5)),
+        (RW, RH), (RW, RH), 2, 0, "mean", False, FILL, False,
+    )
+    return out.select("t", "j", "i", F.round("value", 6).alias("value"))
+
+
+SQL_AFFINE_3D = f"""
+WITH src3 AS (
+  SELECT CAST(event_id // 1000 AS INT) AS t,
+         CAST((event_id % 1000) // {RW} AS INT) AS j,
+         CAST(event_id % 1000 % {RW} AS INT) AS i,
+         value
+  FROM events WHERE event_id < 2000
 ),
 grid AS (
-  SELECT CAST(0 AS INT) AS t,
-         CAST(id // {RECT_W} AS INT) AS j, CAST(id % {RECT_W} AS INT) AS i
-  FROM (SELECT range AS id FROM range({RECT_W * RECT_H}))
+  SELECT CAST(t.range AS INT) AS t,
+         CAST(id // {RW} AS INT) AS j, CAST(id % {RW} AS INT) AS i
+  FROM (SELECT range AS id FROM range({RW * RH})) CROSS JOIN range(2) t
+),
+c AS (
+  SELECT t, j, i,
+         CAST(FLOOR(1.0 * i + 5.5 + 0.5) AS INT) AS si,
+         CAST(FLOOR(1.0 * j + -3.5 + 0.5) AS INT) AS sj
+  FROM grid
+),
+d AS (
+  SELECT t, j, i, si, sj,
+         (si >= 0 AND si <= {RW - 1} AND sj >= 0 AND sj <= {RH - 1}) AS in_b
+  FROM c
 )
-SELECT g.t, g.j, g.i,
-       ROUND(COALESCE(ga.value, {FILL}), 6) AS value
-FROM grid g LEFT JOIN gathered ga
-  ON ga.t = g.t AND ga.dst_j = g.j AND ga.dst_i = g.i
+SELECT d.t, d.j, d.i,
+       ROUND(CASE WHEN in_b THEN COALESCE(s.value, {FILL})
+             ELSE {FILL} END, 6) AS value
+FROM d LEFT JOIN src3 s ON s.t = d.t AND s.j = d.sj AND s.i = d.si
+"""
+
+
+NAN_SENTINEL = -111.0
+
+
+def q_affine_recover_nans(spark, sf_dir):
+    """Bilinear x2 upscale with NaN recovery (reference affine.py:344-360):
+    blend the zero-filled image and the inverse NaN mask separately, divide.
+    NaNs in the output are mapped to a sentinel for value-hash stability."""
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    r = _raster(spark, sf_dir).withColumn(
+        "value",
+        F.when(
+            F.col("value").cast("int") % 5 == 0, F.lit(float("nan"))
+        ).otherwise(F.col("value")),
+    )
+    out = resample_pixels(
+        spark, r, ((0.5, 0.0, -0.25), (0.0, 0.5, -0.25)),
+        (RW, RH), (50, 80), 1, 1, "mean", True, FILL, False,
+    )
+    return out.select(
+        "t", "j", "i",
+        F.round(
+            F.when(F.isnan("value"), F.lit(NAN_SENTINEL))
+            .otherwise(F.col("value")),
+            6,
+        ).alias("value"),
+    )
+
+
+SQL_AFFINE_RECOVER = f"""
+WITH src0 AS ({RASTER_SQL}),
+src AS (
+  SELECT t, j, i,
+         CASE WHEN CAST(trunc(value) AS INT) % 5 = 0
+              THEN CAST('nan' AS DOUBLE) ELSE value END AS value
+  FROM src0
+),
+grid AS (
+  SELECT CAST(id // 50 AS INT) AS j, CAST(id % 50 AS INT) AS i
+  FROM (SELECT range AS id FROM range(4000))
+),
+c AS (
+  SELECT j, i, 0.5 * i + -0.25 AS sif, 0.5 * j + -0.25 AS sjf FROM grid
+),
+d AS (
+  SELECT j, i, sif, sjf,
+         (sif >= 0 AND sif <= {RW - 1} AND sjf >= 0 AND sjf <= {RH - 1})
+           AS in_b,
+         LEAST(CAST(FLOOR(sif) AS INT), {RW - 2}) AS i0,
+         LEAST(CAST(FLOOR(sjf) AS INT), {RH - 2}) AS j0
+  FROM c
+),
+e AS (SELECT d.*, sif - i0 AS fx, sjf - j0 AS fy FROM d),
+f AS (
+  SELECT e.j, e.i, e.in_b, e.fx, e.fy,
+         s00.value AS v00, s01.value AS v01,
+         s10.value AS v10, s11.value AS v11
+  FROM e
+  LEFT JOIN src s00 ON s00.j = e.j0 AND s00.i = e.i0
+  LEFT JOIN src s01 ON s01.j = e.j0 AND s01.i = e.i0 + 1
+  LEFT JOIN src s10 ON s10.j = e.j0 + 1 AND s10.i = e.i0
+  LEFT JOIN src s11 ON s11.j = e.j0 + 1 AND s11.i = e.i0 + 1
+),
+z AS (
+  SELECT j, i, in_b, fx, fy,
+         CASE WHEN isnan(v00) THEN 0.0 ELSE v00 END AS z00,
+         CASE WHEN isnan(v01) THEN 0.0 ELSE v01 END AS z01,
+         CASE WHEN isnan(v10) THEN 0.0 ELSE v10 END AS z10,
+         CASE WHEN isnan(v11) THEN 0.0 ELSE v11 END AS z11,
+         CASE WHEN isnan(v00) THEN 0.0 ELSE 1.0 END AS m00,
+         CASE WHEN isnan(v01) THEN 0.0 ELSE 1.0 END AS m01,
+         CASE WHEN isnan(v10) THEN 0.0 ELSE 1.0 END AS m10,
+         CASE WHEN isnan(v11) THEN 0.0 ELSE 1.0 END AS m11
+  FROM f
+),
+b AS (
+  SELECT j, i, in_b,
+         (z00 + fx * (z01 - z00))
+         + fy * ((z10 + fx * (z11 - z10)) - (z00 + fx * (z01 - z00)))
+           AS scaled,
+         (m00 + fx * (m01 - m00))
+         + fy * ((m10 + fx * (m11 - m10)) - (m00 + fx * (m01 - m00)))
+           AS norm
+  FROM z
+)
+SELECT CAST(0 AS INT) AS t, j, i,
+       ROUND(CASE WHEN NOT in_b THEN {FILL}
+                  WHEN abs(norm) <= 1e-8 THEN {NAN_SENTINEL}
+                  ELSE scaled / norm END, 6) AS value
+FROM b
+"""
+
+
+def q_lon360_roundtrip(spark, sf_dir):
+    """Anti-meridian normalization round-trip (SURVEY 2.8 #38)."""
+    from xcube_resampling_spark.functions import from_lon_360, to_lon_360
+
+    ev = _table(spark, sf_dir, "events").filter(F.col("event_id") < 10000)
+    d = ev.select(
+        "event_id", (F.col("event_id") % 360 - 180 + 0.25).alias("lon")
+    )
+    return d.select(
+        "event_id",
+        F.round("lon", 6).alias("lon"),
+        F.round(to_lon_360(F.col("lon")), 6).alias("lon_360"),
+        F.round(
+            from_lon_360(to_lon_360(F.col("lon"))), 6
+        ).alias("lon_back"),
+    )
+
+
+SQL_LON360 = """
+WITH d AS (
+  SELECT event_id, event_id % 360 - 180 + 0.25 AS lon
+  FROM events WHERE event_id < 10000
+),
+n AS (
+  SELECT event_id, lon,
+         CASE WHEN lon < 0.0 THEN lon + 360.0 ELSE lon END AS lon_360
+  FROM d
+)
+SELECT event_id, ROUND(lon, 6) AS lon, ROUND(lon_360, 6) AS lon_360,
+       ROUND(CASE WHEN lon_360 > 180.0 THEN lon_360 - 360.0
+                  ELSE lon_360 END, 6) AS lon_back
+FROM n
 """
 
 
@@ -1072,8 +1337,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: (F.col("value").cast("int") % 7).cast("double"),
             True,
         ),
+        "coarsen_min": _q_coarsen("min", lambda: F.col("value"), False),
+        "coarsen_max": _q_coarsen("max", lambda: F.col("value"), False),
+        "coarsen_sum": _q_coarsen("sum", lambda: F.col("value"), False),
+        "coarsen_var": _q_coarsen("var", lambda: F.col("value"), False),
+        "coarsen_prod": _q_coarsen(
+            "prod",
+            lambda: (F.abs(F.col("value").cast("int")) % 2 + 1)
+            .cast("double"),
+            False,
+        ),
+        "coarsen_first": _q_coarsen_positional("first"),
+        "coarsen_last": _q_coarsen_positional("last"),
+        "coarsen_center": _q_coarsen_positional("center"),
         "clip_bbox": q_clip_bbox,
         "rectify_swath_nearest": q_rectify_swath_nearest,
+        "rectify_swath_bilinear": _q_rectify("bilinear"),
+        "rectify_swath_triangular": _q_rectify("triangular"),
+        "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
+        "affine_recover_nans": q_affine_recover_nans,
+        "lon360_roundtrip": q_lon360_roundtrip,
         "reproject_utm_to_laea": q_reproject_raster,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
@@ -1105,8 +1388,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(trunc(value) AS INT) % 3 AS DOUBLE)",
         ),
         "coarsen_mode": SQL_COARSEN_MODE,
+        "coarsen_min": _sql_coarsen("MIN(value)"),
+        "coarsen_max": _sql_coarsen("MAX(value)"),
+        "coarsen_sum": _sql_coarsen("SUM(value)"),
+        "coarsen_var": _sql_coarsen("VAR_POP(value)"),
+        "coarsen_prod": _sql_coarsen(
+            "PRODUCT(value)",
+            "CAST(abs(CAST(trunc(value) AS INT)) % 2 + 1 AS DOUBLE)",
+        ),
+        "coarsen_first": _sql_coarsen_positional(0, 0),
+        "coarsen_last": _sql_coarsen_positional(7, 4),
+        "coarsen_center": _sql_coarsen_positional(4, 2),
         "clip_bbox": SQL_CLIP,
         "rectify_swath_nearest": SQL_RECTIFY,
+        "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
+        "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
+        "affine_3d_shift_nearest": SQL_AFFINE_3D,
+        "affine_recover_nans": SQL_AFFINE_RECOVER,
+        "lon360_roundtrip": SQL_LON360,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,
