@@ -1,0 +1,357 @@
+"""Tests for the training-data extension operators (dedup, text,
+similarity, multimodal) and the streaming window operators.
+
+Style mirrors the reference's test strategy (SURVEY.md section 5):
+tiny hand-computed inputs with golden expectations inline.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ #
+# text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_text_stats_hand_computed(spark):
+    from xcube_resampling_spark.extensions.text import text_stats
+
+    docs = _docs(spark, ["the cat, the hat!"])
+    row = text_stats(docs).collect()[0]
+    # tokens: [the, cat,, the, hat!]  chars: 17
+    assert row.n_tokens == 4
+    # bpe-ish: the|cat|,|the|hat|! = 6
+    assert row.n_bpe_tokens == 6
+    assert row.mean_token_len == pytest.approx(17 / 4)
+    assert row.punct_ratio == pytest.approx(round(2 / 17, 6))
+    assert row.alpha_ratio == pytest.approx(round(12 / 17, 6))
+    # stopword hits: "the" twice ("cat," and "hat!" don't match)
+    assert row.stop_hit_ratio == pytest.approx(0.5)
+
+
+def test_language_id_markers(spark):
+    from xcube_resampling_spark.extensions.text import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and it is big", "en"),
+            (1, "der hund ist nicht das problem und ein freund", "de"),
+            (2, "le chat est dans la maison et les chiens", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in language_id(docs).collect()}
+    assert rows[0].lang_pred == "en"
+    assert rows[1].lang_pred == "de"
+    assert rows[2].lang_pred == "fr"
+
+
+def test_shingles_and_fingerprint(spark):
+    from xcube_resampling_spark.extensions.text import doc_fingerprint
+
+    docs = _docs(spark, ["a b c d", "x y"])  # 2 shingles / below-k doc
+    rows = {r.doc_id: r for r in doc_fingerprint(docs).collect()}
+    assert rows[0].n_shingles == 2  # "a b c", "b c d"
+    assert 1 not in rows  # <3 tokens -> no shingles -> no row
+
+
+# ------------------------------------------------------------------ #
+# dedup
+
+
+DUP_TEXTS = [
+    "spark makes big data processing simple and fast for everyone",
+    "spark makes big data processing simple and fast for everyone",  # exact
+    "spark makes big data processing simple and quick for everyone",  # near
+    "completely different words about gardens flowers and sunshine here",
+]
+
+
+def test_dedup_exact_groups(spark):
+    from xcube_resampling_spark.extensions.dedup import dedup_exact
+
+    out = dedup_exact(_docs(spark, DUP_TEXTS)).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 0
+    assert out[0].n_docs == 2
+
+
+def test_dedup_ngram_jaccard_pairs(spark):
+    from xcube_resampling_spark.extensions.dedup import dedup_ngram_jaccard
+
+    out = dedup_ngram_jaccard(_docs(spark, DUP_TEXTS), threshold=0.4)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # doc 2 swaps one word at position 7 -> 3 of its 8 shingles change:
+    # shared 5, union 8+8-5=11
+    assert pairs[(0, 2)] == pytest.approx(round(5 / 11, 6))
+    assert not any(3 in p for p in pairs)
+
+
+def test_dedup_minhash_lsh_finds_exact_dups(spark):
+    from xcube_resampling_spark.extensions.dedup import dedup_minhash_lsh
+
+    out = dedup_minhash_lsh(_docs(spark, DUP_TEXTS), threshold=0.99)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_and_distance(spark):
+    from xcube_resampling_spark.extensions.dedup import dedup_simhash, simhash
+
+    sigs = {r.doc_id: r.simhash for r in
+            simhash(_docs(spark, DUP_TEXTS)).collect()}
+    assert sigs[0] == sigs[1]
+    out = dedup_simhash(_docs(spark, DUP_TEXTS), max_hamming=3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_dedup_embedding_cosine(spark):
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),     # same direction as 0 -> cosine 1
+            (2, [0.0, 1.0]),     # orthogonal
+            (3, [1.0, 1.0]),     # cos 0.7071 to 0 and 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup_embedding_cosine(emb, threshold=0.9)
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert pairs == {(0, 1): 1.0}
+
+
+# ------------------------------------------------------------------ #
+# similarity
+
+
+def test_knn_brute_force_exact(spark):
+    from xcube_resampling_spark.extensions.similarity import knn_brute_force
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_brute_force(emb, [1.0, 0.0], k=2, exclude_vec_id=0).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cosine == pytest.approx(
+        round(0.9 / math.hypot(0.9, 0.1), 6)
+    )
+
+
+def test_ivf_topk_agrees_with_brute_force_on_probed_buckets(spark):
+    from xcube_resampling_spark.extensions.similarity import (
+        ivf_topk,
+        knn_brute_force,
+    )
+
+    # 20 deterministic vectors on a circle
+    rows = [
+        (i, [math.cos(0.3 * i), math.sin(0.3 * i)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.05]
+    exact = [r.vec_id for r in
+             knn_brute_force(emb, q, k=3, exclude_vec_id=0).collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(emb, q, k=3, num_centroids=5, nprobe=5,
+                       exclude_vec_id=0).collect()]
+    # nprobe == num_centroids probes everything -> must equal exact
+    assert approx == exact
+
+
+# ------------------------------------------------------------------ #
+# multimodal plumbing
+
+
+def test_extract_features_deterministic(spark):
+    from xcube_resampling_spark.extensions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(rows) == 6
+    assert rows[0].n_bytes == 64
+    # payload 0 = bytes((k*11) % 256 for k in range(64))
+    import numpy as np
+
+    arr = np.array([(k * 11) % 256 for k in range(64)], dtype=np.uint8)
+    assert rows[0].byte_mean == pytest.approx(float(arr.mean()))
+    assert len(rows[0].feature) == 8
+    nrm = math.sqrt(sum(v * v for v in rows[0].feature))
+    assert nrm == pytest.approx(1.0, abs=1e-6)
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from xcube_resampling_spark.extensions.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    out = {r.media_id: r for r in resize_images(media, 2, 2).collect()}
+    # media 0 and 3 are images
+    assert set(out) == {0, 3}
+    assert all(len(r.pixels) == 2 * 2 * 3 for r in out.values())
+    again = {r.media_id: r for r in resize_images(media, 2, 2).collect()}
+    assert out[0].pixels == again[0].pixels
+
+
+def test_sample_frames(spark):
+    from xcube_resampling_spark.extensions.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    rows = sample_frames(media, every_nth=2).collect()
+    # media 2 and 5 are videos with 6 frames -> frames 0, 2, 4 each
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_media == {2: [0, 2, 4], 5: [0, 2, 4]}
+
+
+def test_decode_image_is_stubbed():
+    from xcube_resampling_spark.extensions.multimodal import (
+        DecoderNotAvailable,
+        decode_image,
+    )
+
+    with pytest.raises(DecoderNotAvailable):
+        decode_image(b"\x89PNG")
+
+
+# ------------------------------------------------------------------ #
+# streaming (batch semantics + a genuine readStream smoke test)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (gap > 30 min between 2nd and 3rd event)
+        (0, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 10:10:00", 1, "click", 2.0),
+        (2, "2024-01-01 11:30:00", 1, "view", 4.0),
+        # user 2: one session
+        (3, "2024-01-01 10:05:00", 2, "view", 8.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+
+
+def test_sessionize_batch_gaps(spark):
+    from xcube_resampling_spark.streaming.windows import sessionize
+
+    out = sessionize(_events(spark), gap="30 minutes").collect()
+    sessions = {
+        (r.user_id, r.session_start.strftime("%H:%M")): r for r in out
+    }
+    assert len(out) == 3
+    assert sessions[(1, "10:00")].n_events == 2
+    assert sessions[(1, "10:00")].sum_value == 3.0
+    assert sessions[(1, "11:30")].n_events == 1
+    assert sessions[(2, "10:05")].n_events == 1
+
+
+def test_windowed_event_stats_batch(spark):
+    from xcube_resampling_spark.streaming.windows import windowed_event_stats
+
+    out = windowed_event_stats(_events(spark), "1 hour").collect()
+    stats = {
+        (r.win_start.strftime("%H:%M"), r.event_type): r for r in out
+    }
+    assert stats[("10:00", "click")].n_events == 2
+    assert stats[("10:00", "click")].sum_value == 3.0
+    assert stats[("10:00", "view")].n_events == 1
+    assert stats[("11:00", "view")].n_events == 1
+
+
+def test_windowed_event_stats_streaming(spark, tmp_path):
+    """The same operator on a readStream source: watermark applied, windows
+    emitted through a complete-mode memory sink."""
+    from xcube_resampling_spark.streaming.windows import windowed_event_stats
+
+    src = str(tmp_path / "events")
+    _events(spark).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).parquet(src)
+    )
+    assert stream.isStreaming
+    out = windowed_event_stats(stream, "1 hour")
+    # complete mode: every window state emitted each trigger (append mode
+    # would hold windows until the watermark passes their end, which never
+    # happens with a finite static input)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT * FROM win_stats_test ORDER BY win_start, event_type"
+    ).collect()
+    stats = {
+        (r.win_start.strftime("%H:%M"), r.event_type): r for r in got
+    }
+    assert stats[("10:00", "click")].n_events == 2
+    assert stats[("10:00", "click")].sum_value == 3.0
+
+
+# ------------------------------------------------------------------ #
+# scalar functions
+
+
+def test_lon360_roundtrip_columns(spark):
+    from xcube_resampling_spark.functions import from_lon_360, to_lon_360
+
+    df = spark.createDataFrame(
+        [(-170.0,), (-1.0,), (0.0,), (10.0,), (180.0,)], "lon double"
+    )
+    rows = df.select(
+        "lon",
+        to_lon_360(F.col("lon")).alias("l360"),
+        from_lon_360(to_lon_360(F.col("lon"))).alias("back"),
+    ).collect()
+    got = {r.lon: (r.l360, r.back) for r in rows}
+    assert got[-170.0] == (190.0, -170.0)
+    assert got[-1.0] == (359.0, -1.0)
+    assert got[0.0] == (0.0, 0.0)
+    assert got[10.0] == (10.0, 10.0)
+    assert got[180.0] == (180.0, 180.0)
