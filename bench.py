@@ -64,7 +64,7 @@ def bench_rectify_scene(spark):
     from xcube_resampling_spark.gridmapping import GridMapping
     from xcube_resampling_spark.operators.rectify import (
         gather_var,
-        scatter_from_coords,
+        scatter_from_coords_tiled,
     )
 
     w, h = SCENE_W, SCENE_H
@@ -81,7 +81,7 @@ def bench_rectify_scene(spark):
     target_gm = GridMapping.regular(
         (1800, 1256), (0.0, 48.0), 0.0125, CRS_WGS84
     )
-    winners = scatter_from_coords(coords, target_gm)
+    winners = scatter_from_coords_tiled(coords, target_gm)
     out = gather_var(
         spark, winners, raster_df(spark, w, h), (w, h),
         target_gm.size, 1, "nearest", float("nan"), False,

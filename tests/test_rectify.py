@@ -318,3 +318,52 @@ class TestRectify:
             got,
             np.array([[10.0, 6.0, 3.0], [10.0, 7.0, 3.0], [11.0, 11.0, 8.0]]),
         )
+
+
+class TestTiledScatter:
+    """scatter_from_coords_tiled is the numpy fast path of the SQL scatter;
+    same semantics (block-size invariant, <= 2 ulp numeric difference)."""
+
+    def _coords(self, spark, w, h):
+        from pyspark.sql import functions as F
+
+        return spark.range(w * h).select(
+            (F.col("id") / w).cast("int").alias("j"),
+            (F.col("id") % w).cast("int").alias("i"),
+        ).select(
+            "j", "i",
+            (F.lit(0.0) + 0.01 * F.col("i") + 0.003 * F.col("j"))
+            .alias("x"),
+            (F.lit(60.0) - 0.01 * F.col("j") + 0.002 * F.col("i"))
+            .alias("y"),
+        )
+
+    def test_matches_sql_scatter_any_block_size(self, spark):
+        from xcube_resampling_spark.crs import CRS_WGS84
+        from xcube_resampling_spark.operators.rectify import (
+            scatter_from_coords,
+            scatter_from_coords_tiled,
+        )
+
+        w, h = 60, 45
+        target_gm = GridMapping.regular(
+            (55, 40), (0.0, 59.0), 0.0105, CRS_WGS84
+        )
+        ref = {
+            (r.dst_j, r.dst_i): (r.src_if, r.src_jf)
+            for r in scatter_from_coords(
+                self._coords(spark, w, h), target_gm
+            ).collect()
+        }
+        for block_rows in (7, 16, 1000):
+            got = {
+                (r.dst_j, r.dst_i): (r.src_if, r.src_jf)
+                for r in scatter_from_coords_tiled(
+                    self._coords(spark, w, h), target_gm,
+                    block_rows=block_rows,
+                ).collect()
+            }
+            assert set(got) == set(ref)
+            for k, (si, sj) in ref.items():
+                assert got[k][0] == pytest.approx(si, abs=1e-9)
+                assert got[k][1] == pytest.approx(sj, abs=1e-9)

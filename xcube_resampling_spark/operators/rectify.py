@@ -348,6 +348,190 @@ def scatter_from_coords(
     )
 
 
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("dst_j", T.IntegerType(), False),
+        T.StructField("dst_i", T.IntegerType(), False),
+        T.StructField("j0", T.IntegerType(), False),
+        T.StructField("i0", T.IntegerType(), False),
+        T.StructField("tri", T.IntegerType(), False),
+        T.StructField("src_if", T.DoubleType(), False),
+        T.StructField("src_jf", T.DoubleType(), False),
+    ]
+)
+
+
+def scatter_from_coords_tiled(
+    coords: DataFrame,
+    target_gm: GridMapping,
+    uv_delta: float = UV_DELTA,
+    block_rows: int = 128,
+) -> DataFrame:
+    """Numpy-vectorized scatter: the fast path of :func:`scatter_from_coords`.
+
+    Identical semantics, different physical plan: coords rows are bucketed
+    into j-blocks (boundary rows duplicated into the block above, so every
+    quad is complete in exactly one block), each block solves all its quads'
+    barycentric systems vectorized in one Arrow-batched kernel, and the
+    global first-writer-wins stays a ``min_by`` aggregation.  One shuffle in
+    (by block), one shuffle out (by target pixel) -- no windows, no
+    candidate explode through codegen.
+    """
+    w, h = target_gm.size
+    x_min = float(target_gm.x_min)
+    x_res = float(target_gm.x_res)
+    if target_gm.is_j_axis_up:
+        y_off = float(target_gm.y_min)
+        y_scale = float(target_gm.y_res)
+    else:
+        y_off = float(target_gm.y_max)
+        y_scale = -float(target_gm.y_res)
+    u_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+
+    # each row belongs to block j//B and, if it is a block's first row, also
+    # to the previous block (quad rows span two consecutive j values)
+    b = F.floor(F.col("j") / block_rows).cast("int")
+    blocks = coords.select(
+        "j", "i", "x", "y",
+        F.explode(
+            F.when(
+                (F.col("j") % block_rows == 0) & (F.col("j") > 0),
+                F.array(b, b - 1),
+            ).otherwise(F.array(b))
+        ).alias("blk"),
+    )
+
+    def kernel(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {f.name: [] for f in MATCH_SCHEMA.fields}
+            )
+        j_arr = pdf["j"].to_numpy(np.int64)
+        i_arr = pdf["i"].to_numpy(np.int64)
+        j_lo, i_lo = j_arr.min(), i_arr.min()
+        hh = int(j_arr.max() - j_lo + 1)
+        ww = int(i_arr.max() - i_lo + 1)
+        X = np.full((hh, ww), np.nan)
+        Y = np.full((hh, ww), np.nan)
+        X[j_arr - j_lo, i_arr - i_lo] = pdf["x"].to_numpy(np.float64)
+        Y[j_arr - j_lo, i_arr - i_lo] = pdf["y"].to_numpy(np.float64)
+        if hh < 2 or ww < 2:
+            return pd.DataFrame(
+                {f.name: [] for f in MATCH_SCHEMA.fields}
+            )
+
+        # quad corner arrays (reference corner layout rectify.py:497-528)
+        p0x, p0y = X[:-1, :-1], Y[:-1, :-1]
+        p1x, p1y = X[:-1, 1:], Y[:-1, 1:]
+        p2x, p2y = X[1:, :-1], Y[1:, :-1]
+        p3x, p3y = X[1:, 1:], Y[1:, 1:]
+
+        with np.errstate(invalid="ignore"):
+            # clamped target-pixel bbox per quad
+            cx = np.stack([p0x, p1x, p2x, p3x])
+            cy = np.stack([p0y, p1y, p2y, p3y])
+            bi0 = np.clip(
+                np.floor((cx.min(0) - x_min) / x_res), 0, w - 1
+            )
+            bi1 = np.clip(
+                np.floor((cx.max(0) - x_min) / x_res), 0, w - 1
+            )
+            cjf = (cy - y_off) / y_scale
+            bj0 = np.clip(np.floor(cjf.min(0)), 0, h - 1)
+            bj1 = np.clip(np.floor(cjf.max(0)), 0, h - 1)
+            det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
+            det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
+            det_a = np.nan_to_num(det_a, nan=0.0)
+            det_b = np.nan_to_num(det_b, nan=0.0)
+            valid = (
+                (bi1 >= bi0) & (bj1 >= bj0)
+                & ~((det_a == 0.0) & (det_b == 0.0))
+                & np.isfinite(cx).all(0) & np.isfinite(cy).all(0)
+            )
+        vq_j, vq_i = np.nonzero(valid)
+        if vq_j.size == 0:
+            return pd.DataFrame(
+                {f.name: [] for f in MATCH_SCHEMA.fields}
+            )
+
+        ni = (bi1 - bi0 + 1)[vq_j, vq_i].astype(np.int64)
+        nj = (bj1 - bj0 + 1)[vq_j, vq_i].astype(np.int64)
+        counts = ni * nj
+        # expand each quad to its candidate pixels, fully vectorized
+        q_idx = np.repeat(np.arange(vq_j.size), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ni_e = ni[q_idx]
+        dj = (bj0[vq_j, vq_i].astype(np.int64)[q_idx] + offs // ni_e)
+        di = (bi0[vq_j, vq_i].astype(np.int64)[q_idx] + offs % ni_e)
+
+        def at(a):
+            return a[vq_j, vq_i][q_idx]
+
+        dx = x_min + (di + 0.5) * x_res
+        dy = y_off + (dj + 0.5) * y_scale
+        a0x, a0y = at(p0x), at(p0y)
+        a1x, a1y = at(p1x), at(p1y)
+        a2x, a2y = at(p2x), at(p2y)
+        a3x, a3y = at(p3x), at(p3y)
+        da, db = at(det_a), at(det_b)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u_a = ((a0x - dx) * (a0y - a2y) - (a0y - dy) * (a0x - a2x)) / da
+            v_a = ((a0y - dy) * (a0x - a1x) - (a0x - dx) * (a0y - a1y)) / da
+            ok_a = (
+                (da != 0.0) & (u_a >= u_min) & (v_a >= u_min)
+                & (u_a + v_a <= uv_max)
+            )
+            u_b = ((a3x - dx) * (a3y - a1y) - (a3y - dy) * (a3x - a1x)) / db
+            v_b = ((a3y - dy) * (a3x - a2x) - (a3x - dx) * (a3y - a2y)) / db
+            ok_b = (
+                (db != 0.0) & (u_b >= u_min) & (v_b >= u_min)
+                & (u_b + v_b <= uv_max)
+            )
+        hit = ok_a | ok_b
+        if not hit.any():
+            return pd.DataFrame(
+                {f.name: [] for f in MATCH_SCHEMA.fields}
+            )
+        sel_a = ok_a[hit]
+        u = np.where(sel_a, np.clip(u_a[hit], 0.0, 1.0),
+                     1.0 - np.clip(u_b[hit], 0.0, 1.0))
+        v = np.where(sel_a, np.clip(v_a[hit], 0.0, 1.0),
+                     1.0 - np.clip(v_b[hit], 0.0, 1.0))
+        qj = (vq_j[q_idx][hit] + j_lo).astype(np.int32)
+        qi = (vq_i[q_idx][hit] + i_lo).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "dst_j": dj[hit].astype(np.int32),
+                "dst_i": di[hit].astype(np.int32),
+                "j0": qj,
+                "i0": qi,
+                "tri": np.where(sel_a, 0, 1).astype(np.int32),
+                "src_if": qi + u,
+                "src_jf": qj + v,
+            }
+        )
+
+    matches = blocks.groupBy("blk").applyInPandas(
+        lambda _, pdf: kernel(pdf), MATCH_SCHEMA
+    )
+    return matches.groupBy("dst_j", "dst_i").agg(
+        F.min_by(
+            F.struct("src_if", "src_jf"),
+            F.struct("j0", "i0", "tri"),
+        ).alias("w")
+    ).select(
+        "dst_j", "dst_i",
+        F.col("w.src_if").alias("src_if"),
+        F.col("w.src_jf").alias("src_jf"),
+    )
+
+
 def gather_var(
     spark: SparkSession,
     winners: DataFrame,
