@@ -1274,6 +1274,114 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def _raster_dataset(spark, sf_dir):
+    """SparkDataset wrapper of the synthetic raster on a regular geographic
+    grid (x: 0..25, y: 0..40, res 1, j axis down)."""
+    import numpy as np
+
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+
+    r = _raster(spark, sf_dir)
+    return SparkDataset(
+        spark=spark,
+        data_vars={
+            "value": Variable("value", r, ("lat", "lon"), "float64", {})
+        },
+        coords={
+            "lon": np.arange(0.5, RW, 1.0),
+            "lat": np.arange(RH - 0.5, 0.0, -1.0),
+        },
+        yx_dims=("lat", "lon"),
+    )
+
+
+def q_resample_dispatch_affine(spark, sf_dir):
+    """resample_in_space dispatcher: regular source + same-CRS target
+    routes to the affine path (reference spatial.py:147-157).  The target
+    grid is the source shifted by (+5.5, -3.5) pixels, so the result equals
+    the direct affine-shift query and shares its oracle."""
+    import numpy as np
+
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.spatial import resample_in_space
+
+    ds = _raster_dataset(spark, sf_dir)
+    source_gm = GridMapping.from_coords(
+        np.arange(0.5, RW, 1.0), np.arange(RH - 0.5, 0.0, -1.0),
+        CRS_WGS84, xy_var_names=("lon", "lat"), xy_dim_names=("lon", "lat"),
+    )
+    target_gm = GridMapping.regular(
+        (RW, RH), (5.5, 3.5), 1.0, CRS_WGS84
+    )
+    out = resample_in_space(
+        ds, target_gm, source_gm=source_gm,
+        interp_methods="nearest", fill_values=FILL,
+    )
+    return out.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+def q_resample_identity(spark, sf_dir):
+    """Dispatcher identity elimination: target is_close(source) -> the input
+    DataFrame is returned untouched (reference spatial.py:144-145) -- the
+    cheapest possible plan, a bare scan."""
+    import numpy as np
+
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.spatial import resample_in_space
+
+    ds = _raster_dataset(spark, sf_dir)
+    source_gm = GridMapping.from_coords(
+        np.arange(0.5, RW, 1.0), np.arange(RH - 0.5, 0.0, -1.0),
+        CRS_WGS84, xy_var_names=("lon", "lat"), xy_dim_names=("lon", "lat"),
+    )
+    target_gm = GridMapping.regular((RW, RH), (0.0, 0.0), 1.0, CRS_WGS84)
+    out = resample_in_space(ds, target_gm, source_gm=source_gm)
+    return out.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+SQL_IDENTITY = f"""
+WITH src AS ({RASTER_SQL})
+SELECT t, j, i, ROUND(value, 6) AS value FROM src
+"""
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize plumbing over binary payloads (decode stubbed; resize
+    index math real) -- rows-only check."""
+    from xcube_resampling_spark.extensions.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 60)
+    out = resize_images(media, 8, 6)
+    return out.select(
+        "media_id", "width", "height",
+        F.length("pixels").alias("n_bytes"),
+        F.md5(F.col("pixels")).alias("pixels_md5"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling fan-out (mapInPandas) -- rows-only check."""
+    from xcube_resampling_spark.extensions.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 60)
+    out = sample_frames(media, every_nth=2)
+    return out.select(
+        "media_id", "frame_idx", F.length("frame").alias("n_bytes")
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Classic relational baseline (TPC-H Q1 shape) proving scan +
     filter + groupBy parity on lineitem."""
@@ -1357,6 +1465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
         "affine_recover_nans": q_affine_recover_nans,
         "lon360_roundtrip": q_lon360_roundtrip,
+        "resample_dispatch_affine": q_resample_dispatch_affine,
+        "resample_identity": q_resample_identity,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "reproject_utm_to_laea": q_reproject_raster,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
@@ -1406,6 +1518,8 @@ def oracle_sql() -> dict[str, str]:
         "affine_3d_shift_nearest": SQL_AFFINE_3D,
         "affine_recover_nans": SQL_AFFINE_RECOVER,
         "lon360_roundtrip": SQL_LON360,
+        "resample_dispatch_affine": SQL_AFFINE_SHIFT,
+        "resample_identity": SQL_IDENTITY,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,

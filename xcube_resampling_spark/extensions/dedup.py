@@ -72,7 +72,7 @@ def dedup_ngram_jaccard(
     shingle is ubiquitous (mitigate by dropping top-frequency shingles
     upstream at very large scale).
     """
-    sh = shingle_hashes(docs, k)
+    sh = shingle_hashes(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
