@@ -746,6 +746,117 @@ FROM n
 """
 
 
+def _raster3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-slice 3-D raster (t, j, i, value) from the first 2000 events."""
+    ev = _table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        (F.col("event_id") / 1000).cast("int").alias("t"),
+        ((F.col("event_id") % 1000) / RW).cast("int").alias("j"),
+        (F.col("event_id") % 1000 % RW).cast("int").alias("i"),
+        F.col("value"),
+    )
+
+
+RASTER3_SQL = f"""
+  SELECT CAST(event_id // 1000 AS INT) AS t,
+         CAST((event_id % 1000) // {RW} AS INT) AS j,
+         CAST(event_id % 1000 % {RW} AS INT) AS i,
+         value
+  FROM events WHERE event_id < 2000
+"""
+
+
+def q_rectify_swath_3d_nearest(spark, sf_dir):
+    """3-D rectification: the scatter index is computed once from the 2-D
+    coords; the gather fans out over the t axis (reference
+    rectify.py:285-296 loops t-chunks; here t is a join column)."""
+    import numpy as np
+
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.rectify import (
+        gather_var,
+        scatter_source_ij,
+    )
+
+    jj, ii = np.meshgrid(np.arange(RH), np.arange(RW), indexing="ij")
+    lon = ii + 0.35 * jj
+    lat = 50.0 - jj - 0.15 * ii
+    source_gm = GridMapping.from_coords_2d(lon, lat, CRS_WGS84)
+    target_gm = GridMapping.regular(
+        (RECT_W, RECT_H), (0.0, 6.0), 1.0, CRS_WGS84
+    )
+    winners = scatter_source_ij(spark, source_gm, target_gm)
+    out = gather_var(
+        spark, winners, _raster3(spark, sf_dir), (RW, RH),
+        (RECT_W, RECT_H), 2, "nearest", FILL, False,
+    )
+    return out.select("t", "j", "i", F.round("value", 6).alias("value"))
+
+
+SQL_RECTIFY_3D = _RECTIFY_WINNERS_SQL.replace(
+    f"WITH src AS ({RASTER_SQL}),",
+    f"WITH src3 AS ({RASTER3_SQL}),\n"
+    "src AS (SELECT j, i, value FROM src3 WHERE t = 0),",
+) + f""",
+nearest AS (
+  SELECT dst_j, dst_i,
+    CASE WHEN src_if - FLOOR(src_if) > 0.5
+         THEN LEAST(CAST(FLOOR(src_if) AS INT) + 1, {RW - 1})
+         ELSE CAST(FLOOR(src_if) AS INT) END AS si,
+    CASE WHEN src_jf - FLOOR(src_jf) > 0.5
+         THEN LEAST(CAST(FLOOR(src_jf) AS INT) + 1, {RH - 1})
+         ELSE CAST(FLOOR(src_jf) AS INT) END AS sj
+  FROM winners
+),
+gathered AS (
+  SELECT s.t, n.dst_j, n.dst_i, s.value
+  FROM nearest n JOIN src3 s ON s.j = n.sj AND s.i = n.si
+),
+grid AS (
+  SELECT CAST(t.range AS INT) AS t,
+         CAST(id // {RECT_W} AS INT) AS j, CAST(id % {RECT_W} AS INT) AS i
+  FROM (SELECT range AS id FROM range({RECT_W * RECT_H}))
+  CROSS JOIN range(2) t
+)
+SELECT g.t, g.j, g.i,
+       ROUND(COALESCE(ga.value, {FILL}), 6) AS value
+FROM grid g LEFT JOIN gathered ga
+  ON ga.t = g.t AND ga.dst_j = g.j AND ga.dst_i = g.i
+"""
+
+
+def q_coarsen_int_mean(spark, sf_dir):
+    """Integer-dtype window mean: float intermediate rounded half-to-even
+    and cast back (reference coarsen.py:104-111, np.rint)."""
+    from xcube_resampling_spark.operators.coarsen import aggregate_windows
+
+    r = _raster(spark, sf_dir).select(
+        "t",
+        (F.col("j") / 8).cast("int").alias("J"),
+        (F.col("i") / 5).cast("int").alias("I"),
+        F.col("value").cast("int").cast("double").alias("value"),
+    )
+    out = aggregate_windows(r, "mean", 8, 5, True)
+    return out.select(
+        "t", F.col("J").alias("j"), F.col("I").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_COARSEN_INT_MEAN = f"""
+WITH src AS ({RASTER_SQL}),
+w AS (
+  SELECT t, CAST(j // 8 AS INT) AS J, CAST(i // 5 AS INT) AS I,
+         CAST(CAST(trunc(value) AS INT) AS DOUBLE) AS value
+  FROM src
+)
+SELECT t, J AS j, I AS i,
+       ROUND(CAST(roundbankers(AVG(value), 0) AS DOUBLE), 6) AS value
+FROM w GROUP BY t, J, I
+"""
+
+
 def q_reproject_raster(spark, sf_dir):
     """CRS reprojection (UTM -> LAEA) of the synthetic raster.  CRS math is
     the projection library inside a pandas UDF -- not SQL-expressible, so
@@ -1462,6 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
         "rectify_swath_triangular": _q_rectify("triangular"),
+        "rectify_swath_3d_nearest": q_rectify_swath_3d_nearest,
+        "coarsen_int_mean": q_coarsen_int_mean,
         "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
         "affine_recover_nans": q_affine_recover_nans,
         "lon360_roundtrip": q_lon360_roundtrip,
@@ -1515,6 +1628,8 @@ def oracle_sql() -> dict[str, str]:
         "rectify_swath_nearest": SQL_RECTIFY,
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
+        "rectify_swath_3d_nearest": SQL_RECTIFY_3D,
+        "coarsen_int_mean": SQL_COARSEN_INT_MEAN,
         "affine_3d_shift_nearest": SQL_AFFINE_3D,
         "affine_recover_nans": SQL_AFFINE_RECOVER,
         "lon360_roundtrip": SQL_LON360,
