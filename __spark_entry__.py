@@ -857,6 +857,59 @@ FROM w GROUP BY t, J, I
 """
 
 
+_BBOXES = [
+    (0, 2.0, 10.0, 12.0, 25.0),
+    (1, 20.0, 30.0, 45.0, 48.0),
+    (2, -30.0, -30.0, -5.0, -5.0),   # disjoint from the swath
+    (3, 0.0, 0.0, 60.0, 60.0),       # covers everything
+]
+
+
+def q_ij_bbox_containment(spark, sf_dir):
+    """Distributed ij-bbox planning (SURVEY 2.4 #19): broadcast containment
+    join + one aggregation replaces the reference's O(boxes x pixels) Numba
+    scan (bboxes.py:28-106).  Coords = the sheared swath of the rectify
+    queries; border semantics included."""
+    from xcube_resampling_spark.operators.utils import ij_bboxes_containment
+
+    r = _raster(spark, sf_dir)
+    coords = r.select(
+        "j", "i",
+        (F.col("i") + 0.35 * F.col("j")).alias("x"),
+        (50.0 - F.col("j") - 0.15 * F.col("i")).alias("y"),
+    )
+    bboxes = spark.createDataFrame(
+        _BBOXES, "box_id int, x_min double, y_min double,"
+        " x_max double, y_max double",
+    )
+    return ij_bboxes_containment(
+        coords, bboxes, xy_border=0.5, ij_border=1, size=(RW, RH)
+    )
+
+
+SQL_IJ_BBOX = f"""
+WITH src AS ({RASTER_SQL}),
+coords AS (
+  SELECT j, i, i + 0.35 * j AS x, 50.0 - j - 0.15 * i AS y FROM src
+),
+bboxes(box_id, x_min, y_min, x_max, y_max) AS (
+  VALUES {", ".join(str(b) for b in _BBOXES)}
+),
+joined AS (
+  SELECT b.box_id, c.i, c.j
+  FROM coords c JOIN bboxes b
+    ON c.x >= b.x_min - 0.5 AND c.x <= b.x_max + 0.5
+   AND c.y >= b.y_min - 0.5 AND c.y <= b.y_max + 0.5
+)
+SELECT box_id,
+       CAST(GREATEST(MIN(i) - 1, 0) AS INT) AS i_min,
+       CAST(GREATEST(MIN(j) - 1, 0) AS INT) AS j_min,
+       CAST(LEAST(MAX(i) + 2, {RW}) AS INT) AS i_max,
+       CAST(LEAST(MAX(j) + 2, {RH}) AS INT) AS j_max
+FROM joined GROUP BY box_id
+"""
+
+
 def q_reproject_raster(spark, sf_dir):
     """CRS reprojection (UTM -> LAEA) of the synthetic raster.  CRS math is
     the projection library inside a pandas UDF -- not SQL-expressible, so
@@ -1570,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_last": _q_coarsen_positional("last"),
         "coarsen_center": _q_coarsen_positional("center"),
         "clip_bbox": q_clip_bbox,
+        "ij_bbox_containment": q_ij_bbox_containment,
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
         "rectify_swath_triangular": _q_rectify("triangular"),
@@ -1625,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "coarsen_last": _sql_coarsen_positional(7, 4),
         "coarsen_center": _sql_coarsen_positional(4, 2),
         "clip_bbox": SQL_CLIP,
+        "ij_bbox_containment": SQL_IJ_BBOX,
         "rectify_swath_nearest": SQL_RECTIFY,
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,

@@ -148,3 +148,50 @@ def clip_pixels_by_ij_bbox(df: DataFrame, ij_bbox) -> DataFrame:
 
 def is_float_dtype(dtype: str) -> bool:
     return not is_int_dtype(dtype)
+
+
+def ij_bboxes_containment(
+    coords_df, bboxes_df, xy_border: float = 0.0, ij_border: int = 0,
+    size: tuple[int, int] | None = None,
+):
+    """Distributed ij-bbox computation: for each xy bbox, the (i, j) index
+    bbox of the coordinate pixels it contains.
+
+    Parity: reference bboxes.py:28-106 -- a Numba ``prange`` scan of the
+    whole coordinate image per box (O(boxes x pixels) on one node).  Here it
+    is a broadcast range-containment join + one map-side-combinable
+    aggregation: the coordinate image never leaves the cluster, and the
+    per-box reduction is a single shuffle of partial min/max rows.
+
+    coords_df: (j, i, x, y); bboxes_df: (box_id, x_min, y_min, x_max, y_max).
+    Returns (box_id, i_min, j_min, i_max, j_max), exclusive maxima, clamped
+    to ``size`` when given; boxes with no contained pixel are absent
+    (the reference returns (-1,-1,-1,-1) -- recover with a left join).
+    """
+    from pyspark.sql import functions as F
+
+    b = F.broadcast(bboxes_df)
+    joined = coords_df.join(
+        b,
+        (coords_df["x"] >= b["x_min"] - xy_border)
+        & (coords_df["x"] <= b["x_max"] + xy_border)
+        & (coords_df["y"] >= b["y_min"] - xy_border)
+        & (coords_df["y"] <= b["y_max"] + xy_border),
+    )
+    agg = joined.groupBy("box_id").agg(
+        F.min("i").alias("i_lo"), F.min("j").alias("j_lo"),
+        F.max("i").alias("i_hi"), F.max("j").alias("j_hi"),
+    )
+    i_min = F.greatest(F.col("i_lo") - ij_border, F.lit(0))
+    j_min = F.greatest(F.col("j_lo") - ij_border, F.lit(0))
+    i_max = F.col("i_hi") + 1 + ij_border
+    j_max = F.col("j_hi") + 1 + ij_border
+    if size is not None:
+        w, h = size
+        i_max = F.least(i_max, F.lit(w))
+        j_max = F.least(j_max, F.lit(h))
+    return agg.select(
+        "box_id",
+        i_min.cast("int").alias("i_min"), j_min.cast("int").alias("j_min"),
+        i_max.cast("int").alias("i_max"), j_max.cast("int").alias("j_max"),
+    )
