@@ -132,3 +132,51 @@ class TestResampleInSpace:
         target_gm = source_ds.grid_mapping()
         out = resample_in_space(source_ds, target_gm=target_gm)
         assert out is source_ds
+
+
+class TestPlanResample:
+    """plans.plan_resample mirrors the dispatcher's routing."""
+
+    def test_routes(self, spark):
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, CRS_WGS84
+        from xcube_resampling_spark.plans import plan_resample
+
+        regular = GridMapping.regular((8, 6), (0.0, 0.0), 1.0, CRS_WGS84)
+        shifted = GridMapping.regular((8, 6), (2.0, 1.0), 1.0, CRS_WGS84)
+        utm = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632)
+        )
+        jj, ii = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+        irregular = GridMapping.from_coords_2d(
+            ii + 0.3 * jj, 10.0 - jj + 0.1 * ii, CRS_WGS84
+        )
+
+        assert plan_resample(irregular, regular).route == "rectify"
+        assert plan_resample(regular, None).route == "identity"
+        assert plan_resample(regular, regular).route == "identity"
+        assert plan_resample(regular, shifted).route == "affine"
+        plan = plan_resample(utm, regular)
+        assert plan.route == "reproject"
+
+    def test_pre_downscale_triggers_when_source_finer(self, spark):
+        from xcube_resampling_spark.crs import CRS, CRS_WGS84
+        from xcube_resampling_spark.plans import plan_pre_downscale
+
+        fine_src = GridMapping.regular(
+            (1000, 1000), (500000.0, 5000000.0), 10.0, CRS.from_epsg(32632)
+        )
+        coarse_dst = GridMapping.regular((10, 10), (9.0, 45.0), 0.1,
+                                         CRS_WGS84)
+        down = plan_pre_downscale(fine_src, coarse_dst)
+        assert down is not None
+        assert down[0] < 1.0
+        # target at least as fine as the source: no downscale
+        # (0.0009 deg =~ 100 m in y at 45N; scales stay >= SCALE_LIMIT)
+        same = plan_pre_downscale(
+            GridMapping.regular((100, 100), (500000.0, 5000000.0), 100.0,
+                                CRS.from_epsg(32632)),
+            GridMapping.regular((100, 100), (9.0, 45.0), 0.0009, CRS_WGS84),
+        )
+        assert same is None
