@@ -1,0 +1,169 @@
+"""CF-convention grid-mapping discovery tests
+(reference tests/gridmapping/test_cfconv.py:55-437 matrix, adapted to the
+SparkDataset metadata model)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.crs import CRS, CRS_WGS84
+from xcube_resampling_spark.dataset import SparkDataset, Variable
+from xcube_resampling_spark.gridmapping.cfconv import (
+    grid_mapping_from_dataset,
+)
+
+
+def _ds(spark, coords, coord_attrs=None, var_attrs=None, attrs=None):
+    df = spark.range(1).selectExpr(
+        "CAST(0 AS INT) t", "CAST(0 AS INT) j", "CAST(0 AS INT) i",
+        "CAST(1.0 AS DOUBLE) value",
+    )
+    yx = ("y", "x") if "x" in coords else ("lat", "lon")
+    return SparkDataset(
+        spark=spark,
+        data_vars={
+            "band": Variable("band", df, yx, "float64", var_attrs or {})
+        },
+        coords=coords,
+        coord_attrs=coord_attrs or {},
+        attrs=attrs or {},
+        yx_dims=yx,
+    )
+
+
+class TestDiscovery:
+    def test_latlon_by_name(self, spark):
+        ds = _ds(spark, {
+            "lon": np.arange(0.5, 8.0, 1.0),
+            "lat": np.arange(5.5, 0.0, -1.0),
+        })
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.crs.is_geographic
+        assert gm.is_regular
+        assert gm.size == (8, 6)
+        assert gm.xy_var_names == ("lon", "lat")
+
+    def test_projected_by_name_with_crs_arg(self, spark):
+        ds = _ds(spark, {
+            "x": np.arange(500050.0, 500850.0, 100.0),
+            "y": np.arange(5000550.0, 4999950.0, -100.0),
+        })
+        gm = grid_mapping_from_dataset(ds, crs=CRS.from_epsg(32632))
+        assert not gm.crs.is_geographic
+        assert gm.size == (8, 6)
+
+    def test_by_standard_name(self, spark):
+        ds = _ds(
+            spark,
+            {
+                "a": np.arange(0.5, 8.0, 1.0),
+                "b": np.arange(5.5, 0.0, -1.0),
+            },
+            coord_attrs={
+                "a": {"standard_name": "longitude"},
+                "b": {"standard_name": "latitude"},
+            },
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.xy_var_names == ("a", "b")
+        assert gm.crs.is_geographic
+
+    def test_grid_mapping_attribute(self, spark):
+        """CF 'grid_mapping' attr on the data variable pointing at a CRS
+        variable (reference cfconv.py:91-100)."""
+        tm_attrs = CRS.from_epsg(32632).to_cf()
+        ds = _ds(
+            spark,
+            {
+                "x": np.arange(500050.0, 500850.0, 100.0),
+                "y": np.arange(5000550.0, 4999950.0, -100.0),
+                "tm": 0,
+            },
+            coord_attrs={"tm": tm_attrs},
+            var_attrs={"grid_mapping": "tm"},
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert not gm.crs.is_geographic
+        assert gm.size == (8, 6)
+
+    def test_spatial_ref_convention(self, spark):
+        ds = _ds(
+            spark,
+            {
+                "x": np.arange(500050.0, 500850.0, 100.0),
+                "y": np.arange(5000550.0, 4999950.0, -100.0),
+                "spatial_ref": 0,
+            },
+            coord_attrs={"spatial_ref": CRS.from_epsg(32632).to_cf()},
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert not gm.crs.is_geographic
+
+    def test_crs_in_dataset_attrs(self, spark):
+        ds = _ds(
+            spark,
+            {
+                "x": np.arange(500050.0, 500850.0, 100.0),
+                "y": np.arange(5000550.0, 4999950.0, -100.0),
+            },
+            attrs=CRS.from_epsg(32632).to_cf(),
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert not gm.crs.is_geographic
+
+    def test_bounds_vars_excluded(self, spark):
+        """*_bnds coords must not be picked as axes
+        (reference cfconv.py:254-305)."""
+        ds = _ds(
+            spark,
+            {
+                "lon": np.arange(0.5, 8.0, 1.0),
+                "lat": np.arange(5.5, 0.0, -1.0),
+                "lon_bnds": np.zeros((8, 2)),
+                "lat_bnds": np.zeros((6, 2)),
+            },
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.xy_var_names == ("lon", "lat")
+
+    def test_2d_coords_irregular(self, spark):
+        jj, ii = np.meshgrid(np.arange(4), np.arange(5), indexing="ij")
+        ds = _ds(
+            spark,
+            {
+                "lon": (ii + 0.3 * jj).astype(float),
+                "lat": (10.0 - jj + 0.1 * ii).astype(float),
+            },
+        )
+        gm = grid_mapping_from_dataset(ds, prefer_is_regular=None)
+        assert not gm.is_regular
+        assert gm.size == (5, 4)
+
+    def test_no_grid_raises(self, spark):
+        ds = _ds(spark, {"lon": np.arange(3.0)})
+        with pytest.raises(ValueError, match="cannot find any grid"):
+            grid_mapping_from_dataset(ds)
+
+    def test_prefer_crs_selection(self, spark):
+        """Two candidate grids (geographic + projected): prefer_crs picks
+        (reference gridmapping/dataset.py:71-97)."""
+        tm_attrs = CRS.from_epsg(32632).to_cf()
+        ds = _ds(
+            spark,
+            {
+                "lon": np.arange(0.5, 8.0, 1.0),
+                "lat": np.arange(5.5, 0.0, -1.0),
+                "x": np.arange(500050.0, 500850.0, 100.0),
+                "y": np.arange(5000550.0, 4999950.0, -100.0),
+                "tm": 0,
+            },
+            coord_attrs={"tm": tm_attrs},
+            var_attrs={"grid_mapping": "tm"},
+        )
+        gm = grid_mapping_from_dataset(ds, prefer_crs=CRS_WGS84)
+        assert gm.crs.is_geographic
+        gm2 = grid_mapping_from_dataset(
+            ds, prefer_crs=CRS.from_epsg(32632)
+        )
+        assert not gm2.crs.is_geographic
