@@ -505,15 +505,27 @@ def scatter_from_coords_tiled(
                      1.0 - np.clip(v_b[hit], 0.0, 1.0))
         qj = (vq_j[q_idx][hit] + j_lo).astype(np.int32)
         qi = (vq_i[q_idx][hit] + i_lo).astype(np.int32)
+        tri = np.where(sel_a, 0, 1).astype(np.int32)
+        dj_h = dj[hit].astype(np.int32)
+        di_h = di[hit].astype(np.int32)
+        # local first-writer-wins: keep the (j0, i0, tri)-smallest match per
+        # target pixel within this block; the global min_by then only
+        # resolves cross-block overlaps.  Cuts the shuffled row count to
+        # <= 1 per (pixel, block).
+        order = np.lexsort((tri, qi, qj, di_h, dj_h))
+        dj_s, di_s = dj_h[order], di_h[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (dj_s[1:] != dj_s[:-1]) | (di_s[1:] != di_s[:-1])
+        keep = order[first]
         return pd.DataFrame(
             {
-                "dst_j": dj[hit].astype(np.int32),
-                "dst_i": di[hit].astype(np.int32),
-                "j0": qj,
-                "i0": qi,
-                "tri": np.where(sel_a, 0, 1).astype(np.int32),
-                "src_if": qi + u,
-                "src_jf": qj + v,
+                "dst_j": dj_h[keep],
+                "dst_i": di_h[keep],
+                "j0": qj[keep],
+                "i0": qi[keep],
+                "tri": tri[keep],
+                "src_if": (qi + u)[keep],
+                "src_jf": (qj + v)[keep],
             }
         )
 
