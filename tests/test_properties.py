@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) -- beyond the reference's golden-value
+strategy: invariants that must hold for *any* grid/input.
+
+Driver-side properties run per-example (no JVM); Spark properties batch all
+generated cases into one DataFrame so the JVM round-trip happens once.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_resampling_spark.crs import CRS, CRS_WGS84
+from xcube_resampling_spark.gridmapping import GridMapping
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+)
+
+
+class TestGridMappingProperties:
+    @given(
+        w=st.integers(2, 500), h=st.integers(2, 500),
+        x0=st.floats(-170, 160), y0=st.floats(-80, 60),
+        res=st.floats(0.001, 0.05),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_ij_xy_transform_roundtrip(self, w, h, x0, y0, res):
+        if y0 + res * h > 90:
+            return
+        gm = GridMapping.regular((w, h), (x0, y0), res, CRS_WGS84)
+        (a, b, c), (d, e, f) = gm.ij_to_xy_transform
+        (a2, b2, c2), (d2, e2, f2) = gm.xy_to_ij_transform
+        for i, j in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+            x = a * i + b * j + c
+            y = d * i + e * j + f
+            i2 = a2 * x + b2 * y + c2
+            j2 = d2 * x + e2 * y + f2
+            assert i2 == pytest.approx(i, abs=1e-6)
+            assert j2 == pytest.approx(j, abs=1e-6)
+
+    @given(
+        w=st.integers(2, 100), h=st.integers(2, 100),
+        x0=st.floats(-170, 160), y0=st.floats(-80, 60),
+        res=st.floats(0.001, 0.05),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_from_coords_recovers_regular_grid(self, w, h, x0, y0, res):
+        if y0 + res * h > 90:
+            return
+        gm = GridMapping.regular((w, h), (x0, y0), res, CRS_WGS84)
+        gm2 = GridMapping.from_coords(
+            np.asarray(gm.x_coords), np.asarray(gm.y_coords), CRS_WGS84
+        )
+        assert gm2.is_regular
+        assert gm2.size == (w, h)
+        # from_coords snaps the inferred resolution (round_to_fraction,
+        # reference helpers.py:203-239) -- recovery is approximate
+        assert gm2.x_res == pytest.approx(res, rel=1e-3)
+
+    @given(
+        x=st.floats(-179.999, 180), y=st.floats(-85, 85),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_utm_transform_roundtrip(self, x, y):
+        """Transverse-Mercator forward/inverse must invert each other
+        within the zone's validity band."""
+        utm = CRS.from_epsg(32632)
+        lon0 = 9.0
+        if abs(x - lon0) > 5.0 or abs(x - lon0) < 1e-6:
+            return
+        from xcube_resampling_spark.crs import Transformer
+
+        fwd = Transformer(CRS_WGS84, utm)
+        inv = Transformer(utm, CRS_WGS84)
+        ex, ey = fwd.transform(np.array([x]), np.array([y]))
+        bx, by = inv.transform(ex, ey)
+        assert bx[0] == pytest.approx(x, abs=1e-6)
+        assert by[0] == pytest.approx(y, abs=1e-6)
+
+
+class TestSparkBatchedProperties:
+    """One generated batch -> one Spark job per property."""
+
+    def test_lon360_roundtrip_random(self, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.functions import (
+            from_lon_360,
+            to_lon_360,
+        )
+
+        rng = np.random.default_rng(7)
+        lons = rng.uniform(-180.0 + 1e-9, 180.0, 5000)
+        df = spark.createDataFrame(
+            [(float(v),) for v in lons], "lon double"
+        )
+        bad = df.select(
+            "lon",
+            from_lon_360(to_lon_360(F.col("lon"))).alias("back"),
+            to_lon_360(F.col("lon")).alias("l360"),
+        ).filter(
+            (F.abs(F.col("back") - F.col("lon")) > 1e-12)
+            | (F.col("l360") < 0) | (F.col("l360") >= 360.0)
+        )
+        assert bad.count() == 0
+
+    def test_coarsen_mean_bounded_by_min_max(self, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.operators.coarsen import (
+            aggregate_windows,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (0, int(k // 97), int(k % 97), float(v))
+            for k, v in enumerate(rng.normal(0, 100, 9700))
+        ]
+        df = spark.createDataFrame(rows, "t int, J int, I int, value double")
+        mean = aggregate_windows(df, "mean", 10, 10, False)
+        lo = aggregate_windows(df, "min", 10, 10, False)
+        hi = aggregate_windows(df, "max", 10, 10, False)
+        j = (
+            mean.withColumnRenamed("value", "m")
+            .join(lo.withColumnRenamed("value", "lo"), ["t", "J", "I"])
+            .join(hi.withColumnRenamed("value", "hi"), ["t", "J", "I"])
+        )
+        bad = j.filter(
+            (F.col("m") < F.col("lo") - 1e-9)
+            | (F.col("m") > F.col("hi") + 1e-9)
+        )
+        assert bad.count() == 0
+
+    def test_affine_identity_matrix_is_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.operators.affine import resample_pixels
+
+        rng = np.random.default_rng(13)
+        w, h = 40, 30
+        vals = rng.uniform(-10, 10, w * h)
+        src = spark.createDataFrame(
+            [
+                (0, k // w, k % w, float(v))
+                for k, v in enumerate(vals)
+            ],
+            "t int, j int, i int, value double",
+        )
+        out = resample_pixels(
+            spark, src, ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+            (w, h), (w, h), 1, 0, "mean", False, -1.0, False,
+        )
+        diff = out.alias("o").join(
+            src.alias("s"),
+            (F.col("o.j") == F.col("s.j")) & (F.col("o.i") == F.col("s.i")),
+        ).filter(F.abs(F.col("o.value") - F.col("s.value")) > 1e-12)
+        assert diff.count() == 0
+        assert out.count() == w * h
