@@ -194,6 +194,9 @@ def main():
             t0 = time.perf_counter()
             fn(spark)
             best = min(best, time.perf_counter() - t0)
+            # drop persisted intermediates (dedup shingle tables etc.) so
+            # cache from one query doesn't GC-pressure the next
+            spark.catalog.clearCache()
         times[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
