@@ -478,7 +478,7 @@ FROM grid g LEFT JOIN gathered ga
   ON ga.t = g.t AND ga.dst_j = g.j AND ga.dst_i = g.i
 """
 
-SQL_RECTIFY = _RECTIFY_WINNERS_SQL + f""",
+_RECTIFY_NEAREST_TAIL = f""",
 nearest AS (
   SELECT dst_j, dst_i,
     CASE WHEN src_if - FLOOR(src_if) > 0.5
@@ -493,6 +493,58 @@ gathered AS (
   SELECT s.t, n.dst_j, n.dst_i, s.value
   FROM nearest n JOIN src s ON s.j = n.sj AND s.i = n.si
 )""" + _RECTIFY_GRID_TAIL
+
+SQL_RECTIFY = _RECTIFY_WINNERS_SQL + _RECTIFY_NEAREST_TAIL
+
+# anti-meridian variant: the swath's longitudes wrap at 180; both engines
+# normalize to lon-360 space (x in [179, ~186.5]) before the scatter.  Only
+# the x-side literals of the winners template change; the lat formula and
+# every y literal stay identical.
+_ANTIM_WRAP = "((179.0 + 0.2 * i + 0.07 * j + 180.0) % 360.0) - 180.0"
+SQL_RECTIFY_ANTIMERIDIAN = (
+    _RECTIFY_WINNERS_SQL
+    .replace(
+        "i + 0.35 * j AS x",
+        f"CASE WHEN {_ANTIM_WRAP} < 0.0 THEN {_ANTIM_WRAP} + 360.0 "
+        f"ELSE {_ANTIM_WRAP} END AS x",
+    )
+    .replace("- 0.0) / 1.0", "- 179.0) / 0.2")
+    .replace(
+        "0.0 + (dst_i + 0.5) * 1.0 AS dx",
+        "179.0 + (dst_i + 0.5) * 0.2 AS dx",
+    )
+) + _RECTIFY_NEAREST_TAIL
+
+
+def q_rectify_antimeridian(spark, sf_dir):
+    """Rectification of a swath crossing the anti-meridian: wrapped
+    longitudes are normalized with to_lon_360 (reference
+    helpers.py:97-110, coords.py:160-172), scatter runs in lon-360 space."""
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.functions import to_lon_360
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.rectify import (
+        gather_var,
+        scatter_from_coords,
+    )
+
+    r = _raster(spark, sf_dir)
+    raw = F.lit(179.0) + 0.2 * F.col("i") + 0.07 * F.col("j")
+    wrapped = ((raw + 180.0) % 360.0) - 180.0
+    coords = r.select(
+        "j", "i",
+        to_lon_360(wrapped).alias("x"),
+        (F.lit(50.0) - F.col("j") - 0.15 * F.col("i")).alias("y"),
+    )
+    target_gm = GridMapping.regular(
+        (RECT_W, RECT_H), (179.0, 6.0), (0.2, 1.0), CRS_WGS84
+    )
+    winners = scatter_from_coords(coords, target_gm)
+    out = gather_var(
+        spark, winners, r, (RW, RH), (RECT_W, RECT_H), 1,
+        "nearest", FILL, False,
+    )
+    return out.select("t", "j", "i", F.round("value", 6).alias("value"))
 
 # 4-neighbor gather shared by bilinear/triangular (mirrors gather_var:
 # i1/j1 clamped to the source edge)
@@ -1628,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_swath_bilinear": _q_rectify("bilinear"),
         "rectify_swath_triangular": _q_rectify("triangular"),
         "rectify_swath_3d_nearest": q_rectify_swath_3d_nearest,
+        "rectify_antimeridian": q_rectify_antimeridian,
         "coarsen_int_mean": q_coarsen_int_mean,
         "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
         "affine_recover_nans": q_affine_recover_nans,
@@ -1684,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
         "rectify_swath_3d_nearest": SQL_RECTIFY_3D,
+        "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,
         "coarsen_int_mean": SQL_COARSEN_INT_MEAN,
         "affine_3d_shift_nearest": SQL_AFFINE_3D,
         "affine_recover_nans": SQL_AFFINE_RECOVER,
