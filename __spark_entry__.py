@@ -1598,6 +1598,31 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_store_roundtrip(spark, sf_dir):
+    """Sink + source end-to-end: write the raster to a tile-partitioned
+    pixel store (CRS sidecar attached), read a bbox window back through
+    partition-pruned scans (SURVEY 2.2 #5/#6)."""
+    import tempfile
+
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.sources import read_pixels, write_pixels
+
+    path = tempfile.gettempdir() + "/xcrs_store_roundtrip"
+    px = _raster(spark, sf_dir).select(
+        F.lit("value").alias("var"), "t", "j", "i", "value"
+    )
+    gm = GridMapping.regular((RW, RH), (0.0, 0.0), 1.0, CRS_WGS84)
+    write_pixels(px, path, gm, tile_size=(16, 16))
+    back = read_pixels(spark, path, bbox_ij=(5, 10, 20, 30))
+    return back.select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Classic relational baseline (TPC-H Q1 shape) proving scan +
     filter + groupBy parity on lineitem."""
@@ -1676,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_center": _q_coarsen_positional("center"),
         "clip_bbox": q_clip_bbox,
         "ij_bbox_containment": q_ij_bbox_containment,
+        "store_roundtrip": q_store_roundtrip,
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
         "rectify_swath_triangular": _q_rectify("triangular"),
@@ -1733,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "coarsen_center": _sql_coarsen_positional(4, 2),
         "clip_bbox": SQL_CLIP,
         "ij_bbox_containment": SQL_IJ_BBOX,
+        "store_roundtrip": SQL_CLIP,
         "rectify_swath_nearest": SQL_RECTIFY,
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
