@@ -962,44 +962,239 @@ FROM joined GROUP BY box_id
 """
 
 
-def q_reproject_raster(spark, sf_dir):
-    """CRS reprojection (UTM -> LAEA) of the synthetic raster.  CRS math is
-    the projection library inside a pandas UDF -- not SQL-expressible, so
-    this gets the driver's rows-only check."""
-    from xcube_resampling_spark.crs import CRS
-    from xcube_resampling_spark.dataset import SparkDataset
-    from xcube_resampling_spark.gridmapping import GridMapping
-    from xcube_resampling_spark.operators.reproject import reproject_dataset
-    from xcube_resampling_spark.dataset import Variable
+# Reprojection target grid: chosen to overlap the UTM source raster in
+# EPSG:3035 (859 of 936 target pixels hit the source; 77 exercise the fill
+# path).  Margins: every transformed fractional source index is >= 1.3e-4
+# away from both integer and half-integer boundaries, so the independent
+# DuckDB re-derivation of the projection math (fp differences ~1e-11) can
+# never flip a floor/rint decision.
+RP_W, RP_H = 26, 36
+RP_XMIN, RP_YMIN = 4254100.0, 3345300.0
+RP_YMAX = RP_YMIN + RP_H * 100.0
 
-    r = _raster(spark, sf_dir)
-    src = SparkDataset(
-        spark=spark,
-        data_vars={
-            "value": Variable("value", r, ("y", "x"), "float64", {})
-        },
-        coords={
-            "x": __import__("numpy").arange(
-                500000.0 + 50.0, 500000.0 + 100.0 * RW, 100.0
-            ),
-            "y": __import__("numpy").arange(
-                5900000.0 - 50.0, 5900000.0 - 100.0 * RH, -100.0
-            ),
-        },
-        yx_dims=("y", "x"),
+
+def _q_reproject(interp: str):
+    def q(spark, sf_dir):
+        """CRS reprojection (UTM 32632 -> LAEA 3035) of the synthetic raster.
+        The DuckDB oracle re-derives the full projection chain (LAEA inverse
+        per EPSG guidance note 7-2 method 9820, Krueger-series transverse
+        Mercator forward) in pure SQL -- an independent value-level check of
+        the pandas-UDF transform (reference reproject.py:268-335)."""
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.dataset import SparkDataset
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.reproject import reproject_dataset
+        from xcube_resampling_spark.dataset import Variable
+
+        r = _raster(spark, sf_dir)
+        src = SparkDataset(
+            spark=spark,
+            data_vars={
+                "value": Variable("value", r, ("y", "x"), "float64", {})
+            },
+            coords={
+                "x": __import__("numpy").arange(
+                    500000.0 + 50.0, 500000.0 + 100.0 * RW, 100.0
+                ),
+                "y": __import__("numpy").arange(
+                    5900000.0 - 50.0, 5900000.0 - 100.0 * RH, -100.0
+                ),
+            },
+            yx_dims=("y", "x"),
+        )
+        source_gm = GridMapping.from_coords(
+            src.coords["x"], src.coords["y"], CRS.from_epsg(32632),
+            xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
+        )
+        target_gm = GridMapping.regular(
+            (RP_W, RP_H), (RP_XMIN, RP_YMIN), 100.0, CRS.from_epsg(3035)
+        )
+        out = reproject_dataset(src, target_gm, source_gm=source_gm,
+                                interp_methods=interp, fill_values=FILL)
+        return out.data_vars["value"].df.select(
+            "t", "j", "i", F.round("value", 6).alias("value")
+        )
+
+    return q
+
+
+q_reproject_raster = _q_reproject("nearest")
+
+
+def _reproject_oracle_sql(interp: str) -> str:
+    """Build the DuckDB twin of the UTM->LAEA reprojection.
+
+    Projection constants are derived from the same public formulas as
+    crs.py (Krueger 2011 series coefficients, EPSG 9820 LAEA setup) and
+    embedded as full-precision literals; the per-point math is spelled out
+    in SQL with the same association order as the numpy code so both
+    engines agree to ~1e-11 in fractional index space.
+    """
+    import math
+
+    from xcube_resampling_spark.crs import (
+        CRS, _laea_setup, _tm_coeffs,
     )
-    source_gm = GridMapping.from_coords(
-        src.coords["x"], src.coords["y"], CRS.from_epsg(32632),
-        xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
+
+    laea = CRS.from_epsg(3035)
+    utm = CRS.from_epsg(32632)
+    # LAEA (EPSG:3035 / GRS80) setup constants
+    _, qp, beta0, rq, d = _laea_setup(laea)
+    e2 = laea.ellipsoid.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c1 = e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040
+    c2 = 23 * e4 / 360 + 251 * e6 / 3780
+    c3 = 761 * e6 / 45360
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    # UTM (WGS84) Krueger forward constants
+    ell = utm.ellipsoid
+    alpha, _, rect_a = _tm_coeffs(ell.n)
+    ka = utm.param("k_0") * (ell.a / (1 + ell.n) * rect_a)
+    e = ell.e
+
+    def r(v: float) -> str:
+        # DuckDB parses long plain-decimal literals as DECIMAL(38) whose
+        # products overflow; force binary double semantics
+        return f"CAST({v!r} AS DOUBLE)"
+
+    xi_terms = " + ".join(
+        f"{r(a)} * sin({2 * k}.0 * xip) * ((exp({2 * k}.0 * etap)"
+        f" + exp(-({2 * k}.0 * etap))) / 2.0)"
+        for k, a in enumerate(alpha, start=1)
     )
-    target_gm = GridMapping.regular(
-        (30, 45), (4254000.0, 3330000.0), 100.0, CRS.from_epsg(3035)
+    eta_terms = " + ".join(
+        f"{r(a)} * cos({2 * k}.0 * xip) * ((exp({2 * k}.0 * etap)"
+        f" - exp(-({2 * k}.0 * etap))) / 2.0)"
+        for k, a in enumerate(alpha, start=1)
     )
-    out = reproject_dataset(src, target_gm, source_gm=source_gm,
-                            interp_methods="nearest", fill_values=FILL)
-    return out.data_vars["value"].df.select(
-        "t", "j", "i", F.round("value", 6).alias("value")
-    )
+
+    if interp == "nearest":
+        gather = f"""
+g AS (
+  SELECT t, j, i,
+         CAST(roundbankers(ix, 0) AS INT) AS si,
+         CAST(roundbankers(iy, 0) AS INT) AS sj,
+         (si >= 0 AND si <= {RW - 1} AND sj >= 0 AND sj <= {RH - 1}) AS in_b
+  FROM idx
+)
+SELECT g.t, g.j, g.i,
+       ROUND(CASE WHEN g.in_b THEN COALESCE(s.value, {FILL})
+                  ELSE {FILL} END, 6) AS value
+FROM g LEFT JOIN src s ON s.t = g.t AND s.j = g.sj AND s.i = g.si
+"""
+    else:  # bilinear
+        gather = f"""
+g AS (
+  SELECT t, j, i,
+         CAST(floor(ix) AS INT) AS i0, CAST(ceil(ix) AS INT) AS i1,
+         CAST(floor(iy) AS INT) AS j0, CAST(ceil(iy) AS INT) AS j1,
+         ix - floor(ix) AS fx, iy - floor(iy) AS fy
+  FROM idx
+),
+p AS (
+  SELECT g.t, g.j, g.i, g.fx, g.fy,
+         COALESCE(s00.value, {FILL}) AS v00,
+         COALESCE(s01.value, {FILL}) AS v01,
+         COALESCE(s10.value, {FILL}) AS v10,
+         COALESCE(s11.value, {FILL}) AS v11
+  FROM g
+  LEFT JOIN src s00 ON s00.t = g.t AND s00.j = g.j0 AND s00.i = g.i0
+  LEFT JOIN src s01 ON s01.t = g.t AND s01.j = g.j0 AND s01.i = g.i1
+  LEFT JOIN src s10 ON s10.t = g.t AND s10.j = g.j1 AND s10.i = g.i0
+  LEFT JOIN src s11 ON s11.t = g.t AND s11.j = g.j1 AND s11.i = g.i1
+)
+SELECT t, j, i,
+       ROUND((v00 + fx * (v01 - v00))
+             + fy * ((v10 + fx * (v11 - v10))
+                     - (v00 + fx * (v01 - v00))), 6) AS value
+FROM p
+"""
+
+    return f"""
+WITH src AS ({RASTER_SQL}),
+grid AS (
+  SELECT CAST(0 AS INT) AS t,
+         CAST(id // {RP_W} AS INT) AS j, CAST(id % {RP_W} AS INT) AS i
+  FROM (SELECT range AS id FROM range({RP_W * RP_H}))
+),
+txy AS (
+  SELECT t, j, i,
+         CAST({RP_XMIN} AS DOUBLE) + (i + 0.5) * 100.0 AS tx,
+         CAST({RP_YMAX} AS DOUBLE) - (j + 0.5) * 100.0 AS ty
+  FROM grid
+),
+-- LAEA (EPSG:3035) inverse: EPSG guidance note 7-2, method 9820
+l1 AS (
+  SELECT t, j, i,
+         (tx - 4321000.0) / {r(d)} AS xr,
+         (ty - 3210000.0) * {r(d)} AS yr
+  FROM txy
+),
+l2 AS (SELECT *, sqrt(xr * xr + yr * yr) AS rho FROM l1),
+l3 AS (SELECT *, 2.0 * asin(rho / (2.0 * {r(rq)})) AS c FROM l2),
+l4 AS (
+  SELECT t, j, i,
+         asin(cos(c) * {r(sb0)} + (yr * sin(c) * {r(cb0)}) / rho) AS bp,
+         atan2(xr * sin(c),
+               rho * {r(cb0)} * cos(c) - yr * {r(sb0)} * sin(c)) AS lam
+  FROM l3
+),
+ll AS (
+  SELECT t, j, i,
+         degrees(lam) + 10.0 AS lon,
+         degrees(bp + {r(c1)} * sin(2.0 * bp) + {r(c2)} * sin(4.0 * bp)
+                 + {r(c3)} * sin(6.0 * bp)) AS lat
+  FROM l4
+),
+-- transverse Mercator (UTM 32N) forward: Krueger series, order n^6
+tm1 AS (
+  SELECT t, j, i, radians(lat) AS phi, radians(lon - 9.0) AS lam0
+  FROM ll
+),
+tm2 AS (
+  SELECT t, j, i, atan2(sin(lam0), cos(lam0)) AS lam, sin(phi) AS s
+  FROM tm1
+),
+tm3 AS (
+  SELECT t, j, i, lam,
+         0.5 * ln((1.0 + s) / (1.0 - s))
+         - {r(e)} * (0.5 * ln((1.0 + {r(e)} * s) / (1.0 - {r(e)} * s))) AS u
+  FROM tm2
+),
+tm4 AS (
+  SELECT t, j, i, lam, (exp(u) - exp(-u)) / 2.0 AS tt FROM tm3
+),
+tm5 AS (
+  SELECT t, j, i, tt, lam,
+         sin(lam) / sqrt(tt * tt + cos(lam) * cos(lam)) AS v
+  FROM tm4
+),
+tm6 AS (
+  SELECT t, j, i,
+         atan2(tt, cos(lam)) AS xip,
+         ln(v + sqrt(v * v + 1.0)) AS etap
+  FROM tm5
+),
+tm7 AS (
+  SELECT t, j, i,
+         xip + {xi_terms} AS xi,
+         etap + {eta_terms} AS eta
+  FROM tm6
+),
+sxy AS (
+  SELECT t, j, i,
+         500000.0 + {r(ka)} * eta AS sx,
+         {r(ka)} * xi AS sy
+  FROM tm7
+),
+idx AS (
+  SELECT t, j, i,
+         (sx - 500050.0) / 100.0 AS ix,
+         (sy - 5899950.0) / -100.0 AS iy
+  FROM sxy
+),
+{gather}
+"""
 
 
 # ------------------------------------------------------------------ #
@@ -1716,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "reproject_utm_to_laea": q_reproject_raster,
+        "reproject_utm_to_laea_bilinear": _q_reproject("bilinear"),
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1771,6 +1967,8 @@ def oracle_sql() -> dict[str, str]:
         "lon360_roundtrip": SQL_LON360,
         "resample_dispatch_affine": SQL_AFFINE_SHIFT,
         "resample_identity": SQL_IDENTITY,
+        "reproject_utm_to_laea": _reproject_oracle_sql("nearest"),
+        "reproject_utm_to_laea_bilinear": _reproject_oracle_sql("bilinear"),
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,
