@@ -367,3 +367,44 @@ class TestTiledScatter:
             for k, (si, sj) in ref.items():
                 assert got[k][0] == pytest.approx(si, abs=1e-9)
                 assert got[k][1] == pytest.approx(sj, abs=1e-9)
+
+    def test_nan_corner_matches_sql_scatter(self, spark):
+        """A quad with one NaN corner still scatters through its finite
+        triangle (reference rectify.py:529-546: NaN det -> 0, the other
+        triangle is tested).  The tiled kernel must not drop such quads."""
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.crs import CRS_WGS84
+        from xcube_resampling_spark.operators.rectify import (
+            scatter_from_coords,
+            scatter_from_coords_tiled,
+        )
+
+        w, h = 4, 3
+        coords = self._coords(spark, w, h).select(
+            "j", "i",
+            # poison the (j=1, i=2) corner: 4 quads get a NaN corner
+            F.when((F.col("j") == 1) & (F.col("i") == 2),
+                   F.lit(float("nan"))).otherwise(F.col("x")).alias("x"),
+            F.when((F.col("j") == 1) & (F.col("i") == 2),
+                   F.lit(float("nan"))).otherwise(F.col("y")).alias("y"),
+        )
+        target_gm = GridMapping.regular(
+            (12, 9), (0.0, 59.96), 0.0035, CRS_WGS84
+        )
+        ref = {
+            (r.dst_j, r.dst_i): (r.src_if, r.src_jf)
+            for r in scatter_from_coords(coords, target_gm).collect()
+        }
+        assert ref, "expected hits from the finite triangles"
+        for block_rows in (2, 1000):
+            got = {
+                (r.dst_j, r.dst_i): (r.src_if, r.src_jf)
+                for r in scatter_from_coords_tiled(
+                    coords, target_gm, block_rows=block_rows
+                ).collect()
+            }
+            assert set(got) == set(ref)
+            for k, (si, sj) in ref.items():
+                assert got[k][0] == pytest.approx(si, abs=1e-9)
+                assert got[k][1] == pytest.approx(sj, abs=1e-9)

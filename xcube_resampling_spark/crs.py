@@ -484,7 +484,15 @@ class Transformer:
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
         """Transform a bounding box by densifying its edges
         (parity: pyproj transform_bounds, used at reference
-        reproject.py:347,398)."""
+        reproject.py:347,398).
+
+        Geographic outputs that straddle the antimeridian (edge longitudes
+        spanning a gap > 180 deg) are normalized to lon-360 before min/max,
+        so the returned bbox is monotonic (east > west, east possibly
+        > 180) instead of near-global.  Callers clipping -180..180 coords
+        against a > 180 east bound miss the western sliver -- acceptable for
+        the scale/clip estimates this feeds.
+        """
         xs = np.linspace(x_min, x_max, densify_pts)
         ys = np.linspace(y_min, y_max, densify_pts)
         edge_x = np.concatenate([
@@ -492,5 +500,8 @@ class Transformer:
         edge_y = np.concatenate([
             np.full(densify_pts, y_min), np.full(densify_pts, y_max), ys, ys])
         tx, ty = self.transform(edge_x, edge_y)
+        if self.dst.is_geographic and np.isfinite(tx).any():
+            if np.nanmax(tx) - np.nanmin(tx) > 180.0:
+                tx = np.where(tx < 0.0, tx + 360.0, tx)
         return (float(np.nanmin(tx)), float(np.nanmin(ty)),
                 float(np.nanmax(tx)), float(np.nanmax(ty)))

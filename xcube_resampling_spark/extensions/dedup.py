@@ -33,6 +33,25 @@ BANDS = 4  # 4 bands x 4 rows
 MINHASH_A = [976369 + 104729 * k for k in range(NUM_PERM)]
 MINHASH_B = [123456789 + 987654 * k for k in range(NUM_PERM)]
 
+# Shingle tables persisted by the dedup operators (used 3-4x within one
+# query plan).  The returned DataFrames keep the cached plans alive, so
+# repeated operator calls would otherwise accumulate executor storage for
+# the session's lifetime; call release_cached() (or
+# spark.catalog.clearCache()) once results are consumed.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every shingle table cached by prior dedup calls."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min doc_id
@@ -72,7 +91,7 @@ def dedup_ngram_jaccard(
     shingle is ubiquitous (mitigate by dropping top-frequency shingles
     upstream at very large scale).
     """
-    sh = shingle_hashes(docs, k).persist()
+    sh = _persist(shingle_hashes(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -128,7 +147,7 @@ def dedup_minhash_lsh(
     """MinHash + LSH banding near-duplicate pairs, verified with true
     Jaccard.  Bands of NUM_PERM/BANDS rows; candidates = docs sharing a
     band key; verification joins back to the shingle table."""
-    sh = shingle_hashes(docs, k).persist()
+    sh = _persist(shingle_hashes(docs, k))
     sig = minhash_signatures_from_hashes(sh)
     rows_per_band = NUM_PERM // BANDS
     band_structs = [

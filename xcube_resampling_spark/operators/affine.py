@@ -36,6 +36,7 @@ from ..dataset import SparkDataset, Variable, grid_df
 from ..gridmapping import GridMapping
 from .coarsen import POSITIONAL_METHODS, aggregate_windows, position_for
 from .utils import (
+    num_t as num_t_of,
     can_apply_affine_transform,
     get_agg_method,
     get_fill_value,
@@ -112,7 +113,7 @@ def resample_dataset(
     new_vars: dict[str, Variable] = {}
     for name, var in dataset.data_vars.items():
         if var.is_spatial and var.dims[-2:] == yx_dims:
-            num_t = _num_t(dataset, var)
+            num_t = num_t_of(dataset, var)
             df = resample_pixels(
                 dataset.spark,
                 var.df,
@@ -155,16 +156,6 @@ def resample_dataset(
         attrs=dict(dataset.attrs),
         yx_dims=yx_dims,
     )
-
-
-def _num_t(dataset: SparkDataset, var: Variable) -> int:
-    if len(var.dims) < 3:
-        return 1
-    t_dim = var.dims[0]
-    t_coord = dataset.coords.get(t_dim)
-    if t_coord is not None:
-        return len(t_coord)
-    return 1
 
 
 def resample_pixels(

@@ -47,6 +47,7 @@ from ..dataset import (
 from ..gridmapping import GridMapping
 from .affine import resample_dataset
 from .utils import (
+    num_t as num_t_of,
     get_fill_value,
     get_interp_method_str,
     is_equal_crs,
@@ -152,7 +153,7 @@ def rectify_dataset(
                 )
             interp = get_interp_method_str(interp_methods, name, var.dtype)
             fill = get_fill_value(fill_values, name, var.dtype)
-            num_t = _num_t(source_ds, var)
+            num_t = num_t_of(source_ds, var)
             df = gather_var(
                 spark, winners, var.df, (src_w, src_h), (w, h), num_t,
                 interp, fill, is_int_dtype(var.dtype),
@@ -183,13 +184,6 @@ def rectify_dataset(
         attrs=dict(source_ds.attrs),
         yx_dims=(target_gm.xy_dim_names[1], target_gm.xy_dim_names[0]),
     )
-
-
-def _num_t(dataset: SparkDataset, var: Variable) -> int:
-    if len(var.dims) < 3:
-        return 1
-    t_coord = dataset.coords.get(var.dims[0])
-    return len(t_coord) if t_coord is not None else 1
 
 
 def scatter_source_ij(
@@ -304,18 +298,25 @@ def scatter_from_coords(
     u_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
 
-    u_a = fu(dst_x, dst_y, F.col("p0x"), F.col("p0y"),
-             F.col("p2x"), F.col("p2y")) / F.col("det_a")
-    v_a = fv(dst_x, dst_y, F.col("p0x"), F.col("p0y"),
-             F.col("p1x"), F.col("p1y")) / F.col("det_a")
+    # try_divide: det can legitimately be 0 (degenerate triangle / NaN
+    # corner); ANSI mode would raise on plain division.  NULL propagates to
+    # a false ok_a/ok_b, same as the reference's det != 0 guard.
+    u_a = F.try_divide(
+        fu(dst_x, dst_y, F.col("p0x"), F.col("p0y"),
+           F.col("p2x"), F.col("p2y")), F.col("det_a"))
+    v_a = F.try_divide(
+        fv(dst_x, dst_y, F.col("p0x"), F.col("p0y"),
+           F.col("p1x"), F.col("p1y")), F.col("det_a"))
     ok_a = (
         (F.col("det_a") != 0.0)
         & (u_a >= u_min) & (v_a >= u_min) & (u_a + v_a <= uv_max)
     )
-    u_b = fu(dst_x, dst_y, F.col("p3x"), F.col("p3y"),
-             F.col("p1x"), F.col("p1y")) / F.col("det_b")
-    v_b = fv(dst_x, dst_y, F.col("p3x"), F.col("p3y"),
-             F.col("p2x"), F.col("p2y")) / F.col("det_b")
+    u_b = F.try_divide(
+        fu(dst_x, dst_y, F.col("p3x"), F.col("p3y"),
+           F.col("p1x"), F.col("p1y")), F.col("det_b"))
+    v_b = F.try_divide(
+        fv(dst_x, dst_y, F.col("p3x"), F.col("p3y"),
+           F.col("p2x"), F.col("p2y")), F.col("det_b"))
     ok_b = (
         (F.col("det_b") != 0.0)
         & (u_b >= u_min) & (v_b >= u_min) & (u_b + v_b <= uv_max)
@@ -430,18 +431,25 @@ def scatter_from_coords_tiled(
         p3x, p3y = X[1:, 1:], Y[1:, 1:]
 
         with np.errstate(invalid="ignore"):
-            # clamped target-pixel bbox per quad
+            # clamped target-pixel bbox per quad.  A NaN corner does NOT
+            # invalidate the quad -- the other triangle is still tested
+            # (reference rectify.py:529-546: NaN det -> 0).  Mirror of the
+            # SQL path's least/greatest semantics: min side = min over
+            # finite corners, max side widens to the grid edge when any
+            # corner is NaN (Spark greatest -> NaN, least(NaN, w-1) -> w-1).
             cx = np.stack([p0x, p1x, p2x, p3x])
             cy = np.stack([p0y, p1y, p2y, p3y])
-            bi0 = np.clip(
-                np.floor((cx.min(0) - x_min) / x_res), 0, w - 1
-            )
-            bi1 = np.clip(
-                np.floor((cx.max(0) - x_min) / x_res), 0, w - 1
-            )
-            cjf = (cy - y_off) / y_scale
-            bj0 = np.clip(np.floor(cjf.min(0)), 0, h - 1)
-            bj1 = np.clip(np.floor(cjf.max(0)), 0, h - 1)
+            pi = np.floor((cx - x_min) / x_res)
+            pj = np.floor((cy - y_off) / y_scale)
+            nan_q = np.isnan(pi).any(0) | np.isnan(pj).any(0)
+            bi0 = np.clip(np.min(np.where(np.isnan(pi), np.inf, pi), 0),
+                          0, w - 1)
+            bj0 = np.clip(np.min(np.where(np.isnan(pj), np.inf, pj), 0),
+                          0, h - 1)
+            bi1 = np.where(nan_q, w - 1,
+                           np.clip(pi.max(0), 0, w - 1))
+            bj1 = np.where(nan_q, h - 1,
+                           np.clip(pj.max(0), 0, h - 1))
             det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
             det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
             det_a = np.nan_to_num(det_a, nan=0.0)
@@ -449,7 +457,6 @@ def scatter_from_coords_tiled(
             valid = (
                 (bi1 >= bi0) & (bj1 >= bj0)
                 & ~((det_a == 0.0) & (det_b == 0.0))
-                & np.isfinite(cx).all(0) & np.isfinite(cy).all(0)
             )
         vq_j, vq_i = np.nonzero(valid)
         if vq_j.size == 0:

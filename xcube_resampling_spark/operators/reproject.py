@@ -35,6 +35,7 @@ from ..dataset import SparkDataset, Variable, grid_df
 from ..gridmapping import GridMapping
 from .affine import affine_transform_dataset
 from .utils import (
+    num_t as num_t_of,
     get_fill_value,
     get_interp_method_str,
     prep_interp_methods_downscale,
@@ -194,7 +195,7 @@ def reproject_dataset(
                 )
             interp = get_interp_method_str(interp_methods, name, var.dtype)
             fill = get_fill_value(fill_values, name, var.dtype)
-            num_t = _num_t(source_ds, var)
+            num_t = num_t_of(source_ds, var)
             df = _gather_interp(
                 grid2d, var.df, spark, (src_w, src_h), num_t, interp,
                 fill, is_int_dtype(var.dtype),
@@ -224,13 +225,6 @@ def reproject_dataset(
         attrs=dict(source_ds.attrs),
         yx_dims=(target_gm.xy_dim_names[1], target_gm.xy_dim_names[0]),
     )
-
-
-def _num_t(dataset: SparkDataset, var: Variable) -> int:
-    if len(var.dims) < 3:
-        return 1
-    t_coord = dataset.coords.get(var.dims[0])
-    return len(t_coord) if t_coord is not None else 1
 
 
 def _gather_interp(
@@ -418,6 +412,11 @@ def clip_dataset_by_bbox(
             "Clipped dataset contains at least one zero-sized dimension. "
             f"Check if the bounding box {bbox} overlaps the dataset extent."
         )
+        # The reference warns and carries on with the (empty) selection
+        # (utils.py:77-124); a GridMapping cannot represent a zero-sized
+        # grid, so return the dataset unclipped -- downstream resampling
+        # yields the same all-fill result, minus the scan-pruning.
+        return ds, gm
     i_min, i_max = (int(xi[0]), int(xi[-1])) if xi.size else (0, -1)
     j_min, j_max = (int(yi[0]), int(yi[-1])) if yi.size else (0, -1)
     new_vars = {}

@@ -106,6 +106,23 @@ def get_fill_value(fill_values, var_name: str, dtype: str):
     return default_fill_value(dtype)
 
 
+def num_t(dataset, var) -> int:
+    """Extent of a 3-D variable's leading (time) dimension.
+
+    Prefers the coordinate length; when the leading dim has no coordinate
+    entry the extent is derived from the data itself (max t + 1) -- the
+    reference derives it from the array shape (xarray always knows it), so
+    silently assuming 1 would drop every t > 0 plane.
+    """
+    if len(var.dims) < 3:
+        return 1
+    t_coord = dataset.coords.get(var.dims[0])
+    if t_coord is not None:
+        return len(t_coord)
+    row = var.df.agg(F.max("t").alias("mt")).collect()[0]
+    return int(row.mt) + 1 if row.mt is not None else 1
+
+
 def prep_interp_methods_downscale(interp_methods):
     """triangular -> bilinear when downscaling
     (reference utils.py:239-251)."""
