@@ -516,6 +516,45 @@ SQL_RECTIFY_ANTIMERIDIAN = (
 ) + _RECTIFY_NEAREST_TAIL
 
 
+def q_rectify_distributed_coords(spark, sf_dir):
+    """rectify_dataset through the distributed-coords API: the 2-D lon/lat
+    images are a Spark DataFrame derived from the events parquet (never
+    driver numpy); grid stats (res/bbox/orientation) come from one window
+    pass + aggregation (gridmapping/distributed.py).  Same swath and target
+    as rectify_swath_nearest, so it shares SQL_RECTIFY."""
+    from xcube_resampling_spark.crs import CRS_WGS84
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.gridmapping.distributed import GridMappingDF
+    from xcube_resampling_spark.operators.rectify import rectify_dataset
+
+    r = _raster(spark, sf_dir)
+    coords = r.select(
+        "j", "i",
+        (F.col("i") + 0.35 * F.col("j")).cast("double").alias("x"),
+        (50.0 - F.col("j") - 0.15 * F.col("i")).cast("double").alias("y"),
+    )
+    gmdf = GridMappingDF.from_coords_df(
+        coords, CRS_WGS84, size=(RW, RH)
+    )
+    src = SparkDataset(
+        spark=spark,
+        data_vars={"value": Variable("value", r, ("y", "x"), "float64", {})},
+        coords={},
+        yx_dims=("y", "x"),
+    )
+    target_gm = GridMapping.regular(
+        (RECT_W, RECT_H), (0.0, 6.0), 1.0, CRS_WGS84
+    )
+    out = rectify_dataset(
+        src, target_gm=target_gm, source_gm=gmdf,
+        interp_methods="nearest", fill_values=FILL,
+    )
+    return out.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
 def q_rectify_antimeridian(spark, sf_dir):
     """Rectification of a swath crossing the anti-meridian: wrapped
     longitudes are normalized with to_lon_360 (reference
@@ -1902,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_swath_triangular": _q_rectify("triangular"),
         "rectify_swath_3d_nearest": q_rectify_swath_3d_nearest,
         "rectify_antimeridian": q_rectify_antimeridian,
+        "rectify_distributed_coords": q_rectify_distributed_coords,
         "coarsen_int_mean": q_coarsen_int_mean,
         "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
         "affine_recover_nans": q_affine_recover_nans,
@@ -1961,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
         "rectify_swath_3d_nearest": SQL_RECTIFY_3D,
         "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,
+        "rectify_distributed_coords": SQL_RECTIFY,
         "coarsen_int_mean": SQL_COARSEN_INT_MEAN,
         "affine_3d_shift_nearest": SQL_AFFINE_3D,
         "affine_recover_nans": SQL_AFFINE_RECOVER,

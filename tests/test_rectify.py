@@ -408,3 +408,53 @@ class TestTiledScatter:
             for k, (si, sj) in ref.items():
                 assert got[k][0] == pytest.approx(si, abs=1e-9)
                 assert got[k][1] == pytest.approx(sj, abs=1e-9)
+
+
+class TestRectifyDistributedCoords:
+    """rectify_dataset with a GridMappingDF source: coordinate images live
+    in the cluster end-to-end (no driver numpy, no collect)."""
+
+    def test_gmdf_source_matches_numpy_path(self, spark):
+        from xcube_resampling_spark.gridmapping.distributed import (
+            GridMappingDF,
+        )
+        from xcube_resampling_spark.operators.rectify import coords_to_df
+
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        target_gm = GridMapping.regular(
+            size=(4, 4), xy_min=(-1, 49), xy_res=2, crs=CRS_WGS84
+        )
+        ref = rectify_dataset(
+            source_ds, target_gm=target_gm, interp_methods=0
+        ).to_numpy("rad", (4, 4))
+
+        gm = source_ds.grid_mapping()
+        gmdf = GridMappingDF.from_coords_df(
+            coords_to_df(spark, gm), gm.crs
+        )
+        out = rectify_dataset(
+            source_ds, target_gm=target_gm, source_gm=gmdf,
+            interp_methods=0,
+        )
+        np.testing.assert_almost_equal(out.to_numpy("rad", (4, 4)), ref)
+
+    def test_gmdf_default_target_matches_numpy_path(self, spark):
+        """target_gm=None: the regular target grid is derived from
+        aggregation-computed stats (res/bbox), identically to the
+        numpy-backed to_regular."""
+        from xcube_resampling_spark.gridmapping.distributed import (
+            GridMappingDF,
+        )
+        from xcube_resampling_spark.operators.rectify import coords_to_df
+
+        source_ds = create_2x2_dataset_with_irregular_coords(spark)
+        ref = rectify_dataset(source_ds, interp_methods=0).to_numpy(
+            "rad", (4, 4)
+        )
+        gm = source_ds.grid_mapping()
+        gmdf = GridMappingDF.from_coords_df(coords_to_df(spark, gm), gm.crs)
+        assert gmdf.to_regular().size == gm.to_regular().size
+        out = rectify_dataset(
+            source_ds, source_gm=gmdf, interp_methods=0
+        )
+        np.testing.assert_almost_equal(out.to_numpy("rad", (4, 4)), ref)

@@ -36,15 +36,9 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..constants import SCALE_LIMIT, UV_DELTA, is_int_dtype
-from ..crs import Transformer
-from ..dataset import (
-    SparkDataset,
-    Variable,
-    grid_df,
-    numpy_to_pixels,
-    pixels_to_numpy,
-)
+from ..dataset import SparkDataset, Variable, grid_df
 from ..gridmapping import GridMapping
+from ..gridmapping.distributed import GridMappingDF
 from .affine import resample_dataset
 from .utils import (
     num_t as num_t_of,
@@ -101,8 +95,20 @@ def rectify_dataset(
     (reference rectify.py:54-179)."""
     if source_gm is None:
         source_gm = source_ds.grid_mapping()
+    spark = source_ds.spark
+
+    # coordinate images become (or stay) a distributed pixel DataFrame from
+    # here on: every downstream step (CRS transform, pre-downscale, scatter)
+    # operates on the cluster-resident coords -- no driver round-trips, no
+    # .collect() anywhere below (the scale path a 100-TB swath needs)
+    if isinstance(source_gm, GridMappingDF):
+        gm_df = source_gm
+    else:
+        gm_df = GridMappingDF.from_grid_mapping(
+            source_gm, coords_to_df(spark, source_gm)
+        )
     if target_gm is None:
-        target_gm = source_gm.to_regular(tile_size=tile_size)
+        target_gm = gm_df.to_regular(tile_size=tile_size)
 
     # eager interp validation (reference raises NotImplementedError lazily
     # in the gather kernel; we validate up front)
@@ -115,27 +121,34 @@ def rectify_dataset(
                 )
 
     # transform source 2-D coords into the target CRS if needed
-    # (reference rectify.py:127-129, 182-231)
-    if not is_equal_crs(source_gm, target_gm):
-        transformer = Transformer.from_crs(source_gm.crs, target_gm.crs)
-        xy = source_gm.xy_coords
-        tx, ty = transformer.transform(xy[0], xy[1])
-        source_gm = GridMapping.from_coords_2d(
-            np.asarray(tx), np.asarray(ty), target_gm.crs,
-            tile_size=source_gm.tile_size,
+    # (reference rectify.py:127-129, 182-231) -- Arrow-batched pandas UDF
+    # over the distributed coords, then grid stats re-derived by aggregation
+    if not is_equal_crs(gm_df, target_gm):
+        from .reproject import transform_coords_df
+
+        coords_t = transform_coords_df(
+            gm_df.coords, "x", "y", gm_df.crs, target_gm.crs,
+            out_cols=("tx", "ty"),
+        ).select(
+            "j", "i",
+            F.col("tx").alias("x"), F.col("ty").alias("y"),
+        )
+        gm_df = GridMappingDF.from_coords_df(
+            coords_t, target_gm.crs, size=gm_df.size,
+            tile_size=gm_df.tile_size,
         )
 
     source_ds = source_ds.select_variables(variables)
 
     # pre-downscale when the source is finer than the target
     # (reference rectify.py:136-143, 234-260)
-    source_ds, source_gm = _downscale_source_dataset(
-        source_ds, source_gm, target_gm,
+    source_ds, gm_df = _downscale_source_dataset(
+        source_ds, gm_df, target_gm,
         interp_methods, agg_methods, recover_nans,
     )
+    source_gm = gm_df
 
-    spark = source_ds.spark
-    winners = scatter_source_ij(spark, source_gm, target_gm, UV_DELTA)
+    winners = scatter_from_coords(gm_df.coords, target_gm, UV_DELTA)
 
     w, h = target_gm.size
     src_w, src_h = source_gm.size
@@ -198,7 +211,10 @@ def scatter_source_ij(
     Returns a DataFrame (dst_j, dst_i, src_if, src_jf) with at most one row
     per target pixel.  Parity: reference rectify.py:312-576.
     """
-    coords = coords_to_df(spark, source_gm)
+    if isinstance(source_gm, GridMappingDF):
+        coords = source_gm.coords
+    else:
+        coords = coords_to_df(spark, source_gm)
     return scatter_from_coords(coords, target_gm, uv_delta)
 
 
@@ -675,33 +691,39 @@ def gather_var(
 
 def _downscale_source_dataset(
     source_ds: SparkDataset,
-    source_gm: GridMapping,
+    gm_df: GridMappingDF,
     target_gm: GridMapping,
     interp_methods,
     agg_methods,
     recover_nans,
-) -> tuple[SparkDataset, GridMapping]:
+) -> tuple[SparkDataset, GridMappingDF]:
     """Affine-downscale data vars AND 2-D coordinate images when the source
     is finer than the target (reference rectify.py:234-260; the reference
     resamples the coord arrays through the same pipeline because they are
-    (y, x) variables of the dataset)."""
-    x_scale = source_gm.x_res / target_gm.x_res
-    y_scale = source_gm.y_res / target_gm.y_res
+    (y, x) variables of the dataset).  The coord images stay distributed:
+    the downscaled grid's stats (res/bbox/orientation) are re-derived by
+    aggregation, never collected."""
+    x_scale = gm_df.x_res / target_gm.x_res
+    y_scale = gm_df.y_res / target_gm.y_res
     if not (x_scale < SCALE_LIMIT or y_scale < SCALE_LIMIT):
-        return source_ds, source_gm
-    w = round(x_scale * source_gm.width)
-    h = round(y_scale * source_gm.height)
+        return source_ds, gm_df
+    w = round(x_scale * gm_df.width)
+    h = round(y_scale * gm_df.height)
     downscaled_size = (w if w >= 2 else 2, h if h >= 2 else 2)
 
     spark = source_ds.spark
     yx = source_ds.yx_dims
+    t0 = F.lit(0).cast("int").alias("t")
     combo_vars = dict(source_ds.data_vars)
-    xy = source_gm.xy_coords
     combo_vars["__x__"] = Variable(
-        "__x__", numpy_to_pixels(spark, xy[0]), yx, "float64"
+        "__x__",
+        gm_df.coords.select(t0, "j", "i", F.col("x").alias("value")),
+        yx, "float64",
     )
     combo_vars["__y__"] = Variable(
-        "__y__", numpy_to_pixels(spark, xy[1]), yx, "float64"
+        "__y__",
+        gm_df.coords.select(t0, "j", "i", F.col("y").alias("value")),
+        yx, "float64",
     )
     combo = SparkDataset(
         spark=spark,
@@ -716,15 +738,21 @@ def _downscale_source_dataset(
         ((1 / x_scale, 0, 0), (0, 1 / y_scale, 0)),
         yx,
         downscaled_size,
-        source_gm.size,
+        gm_df.size,
         prep_interp_methods_downscale(interp_methods),
         agg_methods,
         recover_nans,
     )
-    dw, dh = downscaled_size
-    new_x = pixels_to_numpy(out.data_vars["__x__"].df, (1, dh, dw))[0]
-    new_y = pixels_to_numpy(out.data_vars["__y__"].df, (1, dh, dw))[0]
-    del out.data_vars["__x__"]
-    del out.data_vars["__y__"]
-    new_gm = GridMapping.from_coords_2d(new_x, new_y, source_gm.crs)
+    new_coords = out.data_vars.pop("__x__").df.select(
+        "j", "i", F.col("value").alias("x")
+    ).join(
+        out.data_vars.pop("__y__").df.select(
+            "j", "i", F.col("value").alias("y")
+        ),
+        ["j", "i"],
+    )
+    new_gm = GridMappingDF.from_coords_df(
+        new_coords, gm_df.crs, size=downscaled_size,
+        tile_size=gm_df.tile_size,
+    )
     return out, new_gm
