@@ -466,6 +466,140 @@ winners AS (
   ) WHERE rn = 1
 )"""
 
+def _rectify_sql_custom(coords_sql: str, tw: int, th: int,
+                        tx0: float, tymax: float, tres: float) -> str:
+    """Parametrized twin of the rectify winners + nearest-gather SQL for a
+    custom coords CTE and target grid (same quad/barycentric semantics as
+    _RECTIFY_WINNERS_SQL below)."""
+    x0 = f"CAST({tx0!r} AS DOUBLE)"
+    ym = f"CAST({tymax!r} AS DOUBLE)"
+    rs = f"CAST({tres!r} AS DOUBLE)"
+
+    def fi(p):
+        return f"FLOOR(({p}x - {x0}) / {rs})"
+
+    def fj(p):
+        return f"FLOOR(({p}y - {ym}) / -{rs})"
+
+    corners_i = ", ".join(fi(p) for p in ("p0", "p1", "p2", "p3"))
+    corners_j = ", ".join(fj(p) for p in ("p0", "p1", "p2", "p3"))
+    return f"""
+WITH src AS ({RASTER_SQL}),
+coords AS ({coords_sql}),
+r AS (
+  SELECT j, i, x, y,
+         lead(x) OVER (PARTITION BY j ORDER BY i) AS xr,
+         lead(y) OVER (PARTITION BY j ORDER BY i) AS yr
+  FROM coords
+),
+rr AS (SELECT * FROM r WHERE xr IS NOT NULL),
+quads AS (
+  SELECT a.j AS j0, a.i AS i0,
+         a.x AS p0x, a.y AS p0y, a.xr AS p1x, a.yr AS p1y,
+         b.x AS p2x, b.y AS p2y, b.xr AS p3x, b.yr AS p3y
+  FROM rr a JOIN rr b ON b.j = a.j + 1 AND b.i = a.i
+),
+q AS (
+  SELECT quads.*,
+    GREATEST(LEAST({corners_i}), 0) AS bi0,
+    LEAST(GREATEST({corners_i}), {tw - 1}) AS bi1,
+    GREATEST(LEAST({corners_j}), 0) AS bj0,
+    LEAST(GREATEST({corners_j}), {th - 1}) AS bj1,
+    (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y) AS det_a,
+    (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y) AS det_b
+  FROM quads
+),
+qf AS (
+  SELECT * FROM q
+  WHERE bi1 >= bi0 AND bj1 >= bj0 AND NOT (det_a = 0.0 AND det_b = 0.0)
+),
+c1 AS (
+  SELECT qf.*, unnest(range(CAST(bj0 AS BIGINT), CAST(bj1 AS BIGINT) + 1))
+           AS dst_j
+  FROM qf
+),
+c2 AS (
+  SELECT c1.*, unnest(range(CAST(bi0 AS BIGINT), CAST(bi1 AS BIGINT) + 1))
+           AS dst_i
+  FROM c1
+),
+uv AS (
+  SELECT j0, i0, dst_j, dst_i, det_a, det_b,
+         {x0} + (dst_i + 0.5) * {rs} AS dx,
+         {ym} + (dst_j + 0.5) * -{rs} AS dy,
+         p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y
+  FROM c2
+),
+uv2 AS (
+  SELECT j0, i0, dst_j, dst_i, det_a, det_b,
+    ((p0x - dx) * (p0y - p2y) - (p0y - dy) * (p0x - p2x)) / det_a AS u_a,
+    ((p0y - dy) * (p0x - p1x) - (p0x - dx) * (p0y - p1y)) / det_a AS v_a,
+    ((p3x - dx) * (p3y - p1y) - (p3y - dy) * (p3x - p1x)) / det_b AS u_b,
+    ((p3y - dy) * (p3x - p2x) - (p3x - dx) * (p3y - p2y)) / det_b AS v_b
+  FROM uv
+),
+m AS (
+  SELECT dst_j, dst_i, j0, i0,
+    CASE
+      WHEN det_a != 0.0 AND u_a >= -0.001 AND v_a >= -0.001
+           AND u_a + v_a <= 1.002 THEN 0
+      WHEN det_b != 0.0 AND u_b >= -0.001 AND v_b >= -0.001
+           AND u_b + v_b <= 1.002 THEN 1
+    END AS tri,
+    CASE
+      WHEN det_a != 0.0 AND u_a >= -0.001 AND v_a >= -0.001
+           AND u_a + v_a <= 1.002
+        THEN i0 + LEAST(GREATEST(u_a, 0.0), 1.0)
+      WHEN det_b != 0.0 AND u_b >= -0.001 AND v_b >= -0.001
+           AND u_b + v_b <= 1.002
+        THEN i0 + 1 - LEAST(GREATEST(u_b, 0.0), 1.0)
+    END AS src_if,
+    CASE
+      WHEN det_a != 0.0 AND u_a >= -0.001 AND v_a >= -0.001
+           AND u_a + v_a <= 1.002
+        THEN j0 + LEAST(GREATEST(v_a, 0.0), 1.0)
+      WHEN det_b != 0.0 AND u_b >= -0.001 AND v_b >= -0.001
+           AND u_b + v_b <= 1.002
+        THEN j0 + 1 - LEAST(GREATEST(v_b, 0.0), 1.0)
+    END AS src_jf
+  FROM uv2
+),
+mm AS (SELECT * FROM m WHERE src_if IS NOT NULL),
+winners AS (
+  SELECT dst_j, dst_i, src_if, src_jf
+  FROM (
+    SELECT mm.*, row_number() OVER (
+      PARTITION BY dst_j, dst_i ORDER BY j0, i0, tri
+    ) AS rn
+    FROM mm
+  ) WHERE rn = 1
+),
+nearest AS (
+  SELECT dst_j, dst_i,
+    CASE WHEN src_if - FLOOR(src_if) > 0.5
+         THEN LEAST(CAST(FLOOR(src_if) AS INT) + 1, {RW - 1})
+         ELSE CAST(FLOOR(src_if) AS INT) END AS si,
+    CASE WHEN src_jf - FLOOR(src_jf) > 0.5
+         THEN LEAST(CAST(FLOOR(src_jf) AS INT) + 1, {RH - 1})
+         ELSE CAST(FLOOR(src_jf) AS INT) END AS sj
+  FROM winners
+),
+gathered AS (
+  SELECT s.t, n.dst_j, n.dst_i, s.value
+  FROM nearest n JOIN src s ON s.j = n.sj AND s.i = n.si
+),
+grid AS (
+  SELECT CAST(0 AS INT) AS t,
+         CAST(id // {tw} AS INT) AS j, CAST(id % {tw} AS INT) AS i
+  FROM (SELECT range AS id FROM range({tw * th}))
+)
+SELECT g.t, g.j, g.i,
+       ROUND(COALESCE(ga.value, {FILL}), 6) AS value
+FROM grid g LEFT JOIN gathered ga
+  ON ga.t = g.t AND ga.dst_j = g.j AND ga.dst_i = g.i
+"""
+
+
 _RECTIFY_GRID_TAIL = f""",
 grid AS (
   SELECT CAST(0 AS INT) AS t,
@@ -552,6 +686,92 @@ def q_rectify_distributed_coords(spark, sf_dir):
     )
     return out.data_vars["value"].df.select(
         "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+# rotated-pole rectification: swath defined in a CORDEX-style rotated CRS
+# (pole 39.25N, -162E), rectified onto a true-WGS84 regular grid.  The
+# DuckDB oracle applies the same spherical pole rotation in SQL.
+ROTP_LAT, ROTP_LON = 39.25, -162.0
+ROTP_W, ROTP_H = 58, 43
+ROTP_XMIN, ROTP_YMIN, ROTP_RES = 10.5, 45.0, 0.25
+
+
+def q_rectify_rotated_pole(spark, sf_dir):
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.gridmapping.distributed import GridMappingDF
+    from xcube_resampling_spark.operators.rectify import rectify_dataset
+
+    rp_crs = CRS.from_cf(dict(
+        grid_mapping_name="rotated_latitude_longitude",
+        grid_north_pole_latitude=ROTP_LAT,
+        grid_north_pole_longitude=ROTP_LON,
+    ))
+    r = _raster(spark, sf_dir)
+    coords = r.select(
+        "j", "i",
+        (F.lit(-4.0) + 0.25 * F.col("i") + 0.08 * F.col("j"))
+        .cast("double").alias("x"),
+        (F.lit(4.0) - 0.25 * F.col("j") + 0.05 * F.col("i"))
+        .cast("double").alias("y"),
+    )
+    gmdf = GridMappingDF.from_coords_df(
+        coords, rp_crs, size=(RW, RH)
+    )
+    src = SparkDataset(
+        spark=spark,
+        data_vars={"value": Variable("value", r, ("y", "x"), "float64", {})},
+        coords={},
+        yx_dims=("y", "x"),
+    )
+    target_gm = GridMapping.regular(
+        (ROTP_W, ROTP_H), (ROTP_XMIN, ROTP_YMIN), ROTP_RES, "EPSG:4326"
+    )
+    out = rectify_dataset(
+        src, target_gm=target_gm, source_gm=gmdf,
+        interp_methods="nearest", fill_values=FILL,
+    )
+    return out.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+def _rotpole_rectify_sql() -> str:
+    import math
+
+    sin_tp = repr(math.sin(math.radians(ROTP_LAT)))
+    cos_tp = repr(math.cos(math.radians(ROTP_LAT)))
+    coords_sql = f"""
+  SELECT j, i,
+         degrees(atan2(sin(radians(lon0)), cos(radians(lon0)))) AS x,
+         degrees(phi) AS y
+  FROM (
+    SELECT j, i, phi,
+           {ROTP_LON} + degrees(atan2(
+             cos(phi_r) * sin(lam_r),
+             CAST({cos_tp} AS DOUBLE) * sin(phi_r)
+             - CAST({sin_tp} AS DOUBLE) * cos(phi_r) * cos(lam_r)
+           )) AS lon0
+    FROM (
+      SELECT j, i, lam_r, phi_r,
+             asin(LEAST(GREATEST(
+               CAST({sin_tp} AS DOUBLE) * sin(phi_r)
+               + CAST({cos_tp} AS DOUBLE) * cos(phi_r) * cos(lam_r),
+               -1.0), 1.0)) AS phi
+      FROM (
+        SELECT j, i,
+               radians(-4.0 + 0.25 * i + 0.08 * j) AS lam_r,
+               radians(4.0 - 0.25 * j + 0.05 * i) AS phi_r
+        FROM src
+      )
+    )
+  )
+"""
+    return _rectify_sql_custom(
+        coords_sql, ROTP_W, ROTP_H, ROTP_XMIN,
+        ROTP_YMIN + ROTP_H * ROTP_RES, ROTP_RES,
     )
 
 
@@ -1011,8 +1231,24 @@ RP_W, RP_H = 26, 36
 RP_XMIN, RP_YMIN = 4254100.0, 3345300.0
 RP_YMAX = RP_YMIN + RP_H * 100.0
 
+# Web-mercator reprojection target (margins >= 1e-4, 1000 of 1232 pixels
+# in-bounds, pre-downscale scales ~1.01 -> no downscale branch)
+WM_W, WM_H = 28, 44
+WM_XMIN, WM_YMIN = 1001700.0, 7022300.0
+WM_RES = 165.0
+WM_YMAX = WM_YMIN + WM_H * WM_RES
 
-def _q_reproject(interp: str):
+# Polar-stereographic reprojection target (EPSG:3413; the 3413 grid is
+# rotated ~54 deg against the UTM source, so the finer 72 m step keeps the
+# pre-downscale scale estimate above SCALE_LIMIT; margins >= 2.5e-4)
+PS_W, PS_H = 40, 44
+PS_XMIN, PS_YMIN = 3332323.0, -2422500.0
+PS_RES = 72.0
+PS_YMAX = PS_YMIN + PS_H * PS_RES
+
+
+def _q_reproject(interp: str, epsg: int = 3035,
+                 grid=((26, 36), (4254100.0, 3345300.0), 100.0)):
     def q(spark, sf_dir):
         """CRS reprojection (UTM 32632 -> LAEA 3035) of the synthetic raster.
         The DuckDB oracle re-derives the full projection chain (LAEA inverse
@@ -1046,7 +1282,7 @@ def _q_reproject(interp: str):
             xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
         )
         target_gm = GridMapping.regular(
-            (RP_W, RP_H), (RP_XMIN, RP_YMIN), 100.0, CRS.from_epsg(3035)
+            grid[0], grid[1], grid[2], CRS.from_epsg(epsg)
         )
         out = reproject_dataset(src, target_gm, source_gm=source_gm,
                                 interp_methods=interp, fill_values=FILL)
@@ -1058,16 +1294,23 @@ def _q_reproject(interp: str):
 
 
 q_reproject_raster = _q_reproject("nearest")
+q_reproject_webmercator = _q_reproject(
+    "nearest", 3857, ((WM_W, WM_H), (WM_XMIN, WM_YMIN), WM_RES)
+)
+q_reproject_polar_stereo = _q_reproject(
+    "nearest", 3413, ((PS_W, PS_H), (PS_XMIN, PS_YMIN), PS_RES)
+)
 
 
-def _reproject_oracle_sql(interp: str) -> str:
-    """Build the DuckDB twin of the UTM->LAEA reprojection.
+def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
+    """Build the DuckDB twin of the UTM->{LAEA|web-mercator} reprojection.
 
     Projection constants are derived from the same public formulas as
-    crs.py (Krueger 2011 series coefficients, EPSG 9820 LAEA setup) and
-    embedded as full-precision literals; the per-point math is spelled out
-    in SQL with the same association order as the numpy code so both
-    engines agree to ~1e-11 in fractional index space.
+    crs.py (Krueger 2011 series coefficients, EPSG 9820 LAEA setup, EPSG
+    1024 spherical pseudo-Mercator) and embedded as full-precision
+    literals; the per-point math is spelled out in SQL with the same
+    association order as the numpy code so both engines agree to ~1e-11
+    in fractional index space.
     """
     import math
 
@@ -1090,6 +1333,16 @@ def _reproject_oracle_sql(interp: str) -> str:
     alpha, _, rect_a = _tm_coeffs(ell.n)
     ka = utm.param("k_0") * (ell.a / (1 + ell.n) * rect_a)
     e = ell.e
+
+    if target == "laea":
+        gw, gh = RP_W, RP_H
+        gxmin, gymax, gres = RP_XMIN, RP_YMAX, 100.0
+    elif target == "stere":
+        gw, gh = PS_W, PS_H
+        gxmin, gymax, gres = PS_XMIN, PS_YMAX, PS_RES
+    else:  # webmerc
+        gw, gh = WM_W, WM_H
+        gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
 
     def r(v: float) -> str:
         # DuckDB parses long plain-decimal literals as DECIMAL(38) whose
@@ -1149,19 +1402,8 @@ SELECT t, j, i,
 FROM p
 """
 
-    return f"""
-WITH src AS ({RASTER_SQL}),
-grid AS (
-  SELECT CAST(0 AS INT) AS t,
-         CAST(id // {RP_W} AS INT) AS j, CAST(id % {RP_W} AS INT) AS i
-  FROM (SELECT range AS id FROM range({RP_W * RP_H}))
-),
-txy AS (
-  SELECT t, j, i,
-         CAST({RP_XMIN} AS DOUBLE) + (i + 0.5) * 100.0 AS tx,
-         CAST({RP_YMAX} AS DOUBLE) - (j + 0.5) * 100.0 AS ty
-  FROM grid
-),
+    if target == "laea":
+        inverse_sql = f"""
 -- LAEA (EPSG:3035) inverse: EPSG guidance note 7-2, method 9820
 l1 AS (
   SELECT t, j, i,
@@ -1184,7 +1426,61 @@ ll AS (
          degrees(bp + {r(c1)} * sin(2.0 * bp) + {r(c2)} * sin(4.0 * bp)
                  + {r(c3)} * sin(6.0 * bp)) AS lat
   FROM l4
+),"""
+    elif target == "stere":
+        from xcube_resampling_spark.crs import _stere_setup
+
+        ps = CRS.from_epsg(3413)
+        _, rho_factor, _ = _stere_setup(ps)
+        pe2 = ps.ellipsoid.e2
+        pe4, pe6, pe8 = pe2 * pe2, pe2 ** 3, pe2 ** 4
+        sA = r(pe2 / 2 + 5 * pe4 / 24 + pe6 / 12 + 13 * pe8 / 360)
+        sB = r(7 * pe4 / 48 + 29 * pe6 / 240 + 811 * pe8 / 11520)
+        sC = r(7 * pe6 / 120 + 81 * pe8 / 1120)
+        sD = r(4279 * pe8 / 161280)
+        inverse_sql = f"""
+-- polar stereographic north (EPSG method 9829) inverse: Snyder sec. 21
+s1 AS (
+  SELECT t, j, i, tx AS xr, ty AS yr,
+         sqrt(tx * tx + ty * ty) / {r(rho_factor)} AS tt
+  FROM txy
 ),
+s2 AS (
+  SELECT t, j, i, xr, yr, PI() / 2 - 2.0 * atan(tt) AS chi FROM s1
+),
+ll AS (
+  SELECT t, j, i,
+         -45.0 + degrees(atan2(xr, -yr)) AS lon,
+         degrees(chi + {sA} * sin(2.0 * chi) + {sB} * sin(4.0 * chi)
+                 + {sC} * sin(6.0 * chi) + {sD} * sin(8.0 * chi)) AS lat
+  FROM s2
+),"""
+    else:
+        a_sph = r(ell.a)
+        inverse_sql = f"""
+-- spherical pseudo-Mercator (EPSG method 1024) inverse
+ll AS (
+  SELECT t, j, i,
+         degrees((tx - 0.0) / {a_sph}) + 0.0 AS lon,
+         degrees(PI() / 2 - 2.0 * atan(exp((-(ty - 0.0)) / {a_sph})))
+           AS lat
+  FROM txy
+),"""
+
+    return f"""
+WITH src AS ({RASTER_SQL}),
+grid AS (
+  SELECT CAST(0 AS INT) AS t,
+         CAST(id // {gw} AS INT) AS j, CAST(id % {gw} AS INT) AS i
+  FROM (SELECT range AS id FROM range({gw * gh}))
+),
+txy AS (
+  SELECT t, j, i,
+         CAST({gxmin} AS DOUBLE) + (i + 0.5) * CAST({gres} AS DOUBLE) AS tx,
+         CAST({gymax} AS DOUBLE) - (j + 0.5) * CAST({gres} AS DOUBLE) AS ty
+  FROM grid
+),
+{inverse_sql}
 -- transverse Mercator (UTM 32N) forward: Krueger series, order n^6
 tm1 AS (
   SELECT t, j, i, radians(lat) AS phi, radians(lon - 9.0) AS lam0
@@ -1942,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_swath_3d_nearest": q_rectify_swath_3d_nearest,
         "rectify_antimeridian": q_rectify_antimeridian,
         "rectify_distributed_coords": q_rectify_distributed_coords,
+        "rectify_rotated_pole": q_rectify_rotated_pole,
         "coarsen_int_mean": q_coarsen_int_mean,
         "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
         "affine_recover_nans": q_affine_recover_nans,
@@ -1952,6 +2249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "reproject_utm_to_laea": q_reproject_raster,
         "reproject_utm_to_laea_bilinear": _q_reproject("bilinear"),
+        "reproject_utm_to_webmercator": q_reproject_webmercator,
+        "reproject_utm_to_polar_stereo": q_reproject_polar_stereo,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2002,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "rectify_swath_3d_nearest": SQL_RECTIFY_3D,
         "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,
         "rectify_distributed_coords": SQL_RECTIFY,
+        "rectify_rotated_pole": _rotpole_rectify_sql(),
         "coarsen_int_mean": SQL_COARSEN_INT_MEAN,
         "affine_3d_shift_nearest": SQL_AFFINE_3D,
         "affine_recover_nans": SQL_AFFINE_RECOVER,
@@ -2010,6 +2310,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_identity": SQL_IDENTITY,
         "reproject_utm_to_laea": _reproject_oracle_sql("nearest"),
         "reproject_utm_to_laea_bilinear": _reproject_oracle_sql("bilinear"),
+        "reproject_utm_to_webmercator":
+            _reproject_oracle_sql("nearest", "webmerc"),
+        "reproject_utm_to_polar_stereo":
+            _reproject_oracle_sql("nearest", "stere"),
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,

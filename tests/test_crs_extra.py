@@ -1,0 +1,135 @@
+"""Goldens + roundtrips for the extended CRS registry: web mercator,
+polar stereographic, rotated pole.
+
+Golden values are published test points: EPSG:3857 world edge
+(20037508.342789244 m), Snyder (1987) numerical example for south polar
+stereographic (p. 315, International 1924 ellipsoid), and the CORDEX
+EUR-11 rotated-pole property (rotated origin -> 18.0E, 50.75N).
+"""
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.crs import CRS, CRS_WGS84, Transformer
+
+
+class TestWebMercator:
+    def test_known_points(self):
+        t = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(3857))
+        x, y = t.transform(np.array([180.0, 0.0]), np.array([0.0, 45.0]))
+        assert x[0] == pytest.approx(20037508.342789244, abs=1e-6)
+        assert y[0] == pytest.approx(0.0, abs=1e-9)
+        assert y[1] == pytest.approx(5621521.486192066, abs=1e-6)
+
+    def test_roundtrip(self):
+        lon = np.linspace(-179.0, 179.0, 41)
+        lat = np.linspace(-84.0, 84.0, 41)
+        fwd = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(3857))
+        inv = Transformer.from_crs(CRS.from_epsg(3857), CRS_WGS84)
+        x, y = fwd.transform(lon, lat)
+        lon2, lat2 = inv.transform(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-10)
+        np.testing.assert_allclose(lat2, lat, atol=1e-10)
+
+
+class TestPolarStereographic:
+    def test_snyder_south_example(self):
+        # Snyder 1987 p. 315: International 1924 ellipsoid, lat_ts=-71,
+        # lon0=-100; (lat -75, lon 150) -> (-1540033.6, -560526.4)
+        cf = dict(
+            grid_mapping_name="polar_stereographic",
+            latitude_of_projection_origin=-90.0,
+            standard_parallel=-71.0,
+            straight_vertical_longitude_from_pole=-100.0,
+            semi_major_axis=6378388.0,
+            inverse_flattening=297.0,
+        )
+        ps = CRS.from_cf(cf)
+        geo = CRS("geographic", "g", ps.ellipsoid)
+        x, y = Transformer.from_crs(geo, ps).transform(
+            np.array([150.0]), np.array([-75.0])
+        )
+        assert x[0] == pytest.approx(-1540033.6, abs=0.1)
+        assert y[0] == pytest.approx(-560526.4, abs=0.1)
+        lon, lat = Transformer.from_crs(ps, geo).transform(x, y)
+        assert lon[0] == pytest.approx(150.0, abs=1e-9)
+        assert lat[0] == pytest.approx(-75.0, abs=1e-9)
+
+    def test_3413_pole_and_roundtrip(self):
+        fwd = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(3413))
+        x, y = fwd.transform(np.array([-45.0]), np.array([90.0]))
+        assert x[0] == pytest.approx(0.0, abs=1e-6)
+        assert y[0] == pytest.approx(0.0, abs=1e-6)
+        lon = np.array([-45.0, 10.0, -120.0, 170.0])
+        lat = np.array([89.0, 75.0, 60.0, 55.0])
+        inv = Transformer.from_crs(CRS.from_epsg(3413), CRS_WGS84)
+        lon2, lat2 = inv.transform(*fwd.transform(lon, lat))
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_3031_roundtrip(self):
+        fwd = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(3031))
+        inv = Transformer.from_crs(CRS.from_epsg(3031), CRS_WGS84)
+        lon = np.array([0.0, 90.0, -170.0, 45.0])
+        lat = np.array([-89.0, -75.0, -60.0, -71.0])
+        lon2, lat2 = inv.transform(*fwd.transform(lon, lat))
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_scale_true_at_standard_parallel(self):
+        # variant B: distances are true at lat_ts; one degree of longitude
+        # at 70N spans cos(70 deg) * pi/180 * N(70) on the ellipsoid
+        fwd = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(3413))
+        x, y = fwd.transform(np.array([-45.0, -44.9]), np.array([70.0, 70.0]))
+        d = float(np.hypot(x[1] - x[0], y[1] - y[0]))
+        a, e2 = 6378137.0, 0.0066943799901413165
+        nrad = a / np.sqrt(1 - e2 * np.sin(np.radians(70.0)) ** 2)
+        arc = np.cos(np.radians(70.0)) * np.radians(0.1) * nrad
+        assert d == pytest.approx(arc, rel=1e-5)
+
+
+class TestRotatedPole:
+    CF = dict(
+        grid_mapping_name="rotated_latitude_longitude",
+        grid_north_pole_latitude=39.25,
+        grid_north_pole_longitude=-162.0,
+    )
+
+    def test_cordex_eur11_origin(self):
+        # rotated (0, 0) of the EUR-11 pole maps to (18.0E, 50.75N)
+        rp = CRS.from_cf(self.CF)
+        lon, lat = Transformer.from_crs(rp, CRS_WGS84).transform(
+            np.array([0.0]), np.array([0.0])
+        )
+        assert lon[0] == pytest.approx(18.0, abs=1e-12)
+        assert lat[0] == pytest.approx(50.75, abs=1e-12)
+
+    def test_rotated_pole_maps_to_pole_params(self):
+        rp = CRS.from_cf(self.CF)
+        lon, lat = Transformer.from_crs(rp, CRS_WGS84).transform(
+            np.array([0.0]), np.array([90.0])
+        )
+        assert lat[0] == pytest.approx(39.25, abs=1e-12)
+        assert lon[0] == pytest.approx(-162.0, abs=1e-9)
+
+    def test_roundtrip(self):
+        rp = CRS.from_cf(self.CF)
+        fwd = Transformer.from_crs(CRS_WGS84, rp)
+        inv = Transformer.from_crs(rp, CRS_WGS84)
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-30.0, 60.0, 200)
+        lat = rng.uniform(20.0, 75.0, 200)
+        lon2, lat2 = inv.transform(*fwd.transform(lon, lat))
+        np.testing.assert_allclose(lon2, lon, atol=1e-10)
+        np.testing.assert_allclose(lat2, lat, atol=1e-10)
+
+    def test_is_geographic_but_not_equal_to_wgs84(self):
+        rp = CRS.from_cf(self.CF)
+        assert rp.is_geographic  # degree-based, like pyproj
+        assert not rp.equals(CRS_WGS84)
+
+    def test_cf_roundtrip(self):
+        rp = CRS.from_cf(self.CF)
+        cf = rp.to_cf()
+        assert cf["grid_mapping_name"] == "rotated_latitude_longitude"
+        assert CRS.from_cf(cf).equals(rp)

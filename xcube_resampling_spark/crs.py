@@ -134,6 +134,50 @@ class CRS:
                 ),
                 auth_code="EPSG:3035",
             )
+        if code == 3857:
+            # EPSG method 1024 "Popular Visualisation Pseudo Mercator":
+            # spherical formulas on the WGS84 semi-major axis
+            return CRS(
+                "webmerc",
+                "WGS 84 / Pseudo-Mercator",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("lon_0", 0.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3857",
+            )
+        if code == 3413:
+            # NSIDC Sea Ice Polar Stereographic North (EPSG method 9829)
+            return CRS(
+                "stere",
+                "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("lat_0", 90.0),
+                    ("lat_ts", 70.0),
+                    ("lon_0", -45.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3413",
+            )
+        if code == 3031:
+            # Antarctic Polar Stereographic (EPSG method 9829)
+            return CRS(
+                "stere",
+                "WGS 84 / Antarctic Polar Stereographic",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("lat_0", -90.0),
+                    ("lat_ts", -71.0),
+                    ("lon_0", 0.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3031",
+            )
         raise ValueError(f"unsupported EPSG code: {code}")
 
     @staticmethod
@@ -172,6 +216,40 @@ class CRS:
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
             )
+        if gmn == "polar_stereographic":
+            lat_0 = float(attrs.get("latitude_of_projection_origin", 90.0))
+            lat_ts = attrs.get("standard_parallel")
+            if lat_ts is None:
+                lat_ts = lat_0
+            return CRS(
+                "stere", "Polar Stereographic", ell,
+                params=(
+                    ("lat_0", lat_0),
+                    ("lat_ts", float(lat_ts)),
+                    ("lon_0", float(attrs.get(
+                        "straight_vertical_longitude_from_pole", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "rotated_latitude_longitude":
+            return CRS(
+                "rot_pole", "Rotated Latitude/Longitude", ell,
+                params=(
+                    ("pole_lat", float(attrs["grid_north_pole_latitude"])),
+                    ("pole_lon", float(attrs["grid_north_pole_longitude"])),
+                ),
+            )
+        if gmn == "mercator":
+            return CRS(
+                "webmerc", "Mercator (spherical)", ell,
+                params=(
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
         raise ValueError(f"unsupported CF grid mapping: {gmn!r}")
 
     # ------------------------------------------------------------------ #
@@ -179,7 +257,9 @@ class CRS:
 
     @property
     def is_geographic(self) -> bool:
-        return self.kind == "geographic"
+        # rotated-pole grids are degree-based like pyproj's is_geographic;
+        # the Transformer still rotates them to/from true lon-lat
+        return self.kind in ("geographic", "rot_pole")
 
     def param(self, key: str, default: float = 0.0) -> float:
         for k, v in self.params:
@@ -248,6 +328,31 @@ class CRS:
                 longitude_of_projection_origin=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "stere":
+            return dict(
+                grid_mapping_name="polar_stereographic",
+                latitude_of_projection_origin=self.param("lat_0"),
+                standard_parallel=self.param("lat_ts"),
+                straight_vertical_longitude_from_pole=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "webmerc":
+            return dict(
+                grid_mapping_name="mercator",
+                longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "rot_pole":
+            return dict(
+                grid_mapping_name="rotated_latitude_longitude",
+                grid_north_pole_latitude=self.param("pole_lat"),
+                grid_north_pole_longitude=self.param("pole_lon"),
                 **ell,
             )
         raise ValueError(self.kind)
@@ -445,6 +550,160 @@ def _laea_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Spherical web / pseudo Mercator (EPSG method 1024)
+
+def _webmerc_forward(crs: CRS, lon, lat):
+    a = crs.ellipsoid.a
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x = fe + a * lam
+    y = fn + a * np.log(np.tan(np.pi / 4 + phi / 2))
+    return x, y
+
+
+def _webmerc_inverse(crs: CRS, x, y):
+    a = crs.ellipsoid.a
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    lam = (np.asarray(x, dtype=np.float64) - fe) / a
+    phi = np.pi / 2 - 2 * np.arctan(
+        np.exp(-(np.asarray(y, dtype=np.float64) - fn) / a)
+    )
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Polar Stereographic, variant B (EPSG method 9829; Snyder 1987 sec. 21)
+
+def _stere_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e = ell.e
+    south = crs.param("lat_0") < 0
+    lat_ts = abs(crs.param("lat_ts", 90.0))
+    phi_c = math.radians(lat_ts)
+
+    def t_of(phi):
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) * (
+            (1 + e * s) / (1 - e * s)
+        ) ** (e / 2)
+
+    if lat_ts >= 90.0 - 1e-12:
+        # variant A: k0 at the pole; rho = 2 a k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+        k0 = crs.param("k_0", 1.0)
+        denom = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        rho_factor = 2 * ell.a * k0 / denom
+    else:
+        m_c = math.cos(phi_c) / math.sqrt(
+            1 - ell.e2 * math.sin(phi_c) ** 2
+        )
+        rho_factor = ell.a * m_c / float(t_of(np.float64(phi_c)))
+    return t_of, rho_factor, south
+
+
+def _stere_forward(crs: CRS, lon, lat):
+    t_of, rho_factor, south = _stere_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if south:
+        # Snyder: south aspect = north formulas with reversed signs of
+        # x, y, phi, lambda, lambda0
+        lam = np.radians(-(lon - lon0))
+        phi = np.radians(-lat)
+    else:
+        lam = np.radians(lon - lon0)
+        phi = np.radians(lat)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    rho = rho_factor * t_of(phi)
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if south:
+        x, y = -x, -y
+    return fe + x, fn + y
+
+
+def _stere_inverse(crs: CRS, x, y):
+    t_of, rho_factor, south = _stere_setup(crs)
+    ell = crs.ellipsoid
+    e2 = ell.e2
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    if south:
+        xr, yr = -xr, -yr
+    rho = np.hypot(xr, yr)
+    t = rho / rho_factor
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    # conformal -> geographic latitude series (Snyder 3-5)
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+    lam = np.arctan2(xr, -yr)
+    lam = np.where(rho == 0, 0.0, lam)
+    if south:
+        lon, lat = lon0 - np.degrees(lam), -np.degrees(phi)
+    else:
+        lon, lat = lon0 + np.degrees(lam), np.degrees(phi)
+    # wrap to (-180, 180]
+    lon = np.where(lon > 180.0, lon - 360.0,
+                   np.where(lon <= -180.0, lon + 360.0, lon))
+    return lon, lat
+
+
+# ---------------------------------------------------------------------- #
+# Rotated latitude/longitude (CF rotated_latitude_longitude; spherical
+# rotation as in COSMO / proj ob_tran)
+
+def _rot_pole_setup(crs: CRS):
+    theta_p = math.radians(crs.param("pole_lat"))
+    lam_p = crs.param("pole_lon")
+    return math.sin(theta_p), math.cos(theta_p), lam_p
+
+
+def _rot_pole_to_geographic(crs: CRS, lon_r, lat_r):
+    """Rotated (grid) lon/lat -> true lon/lat."""
+    sin_tp, cos_tp, lam_p = _rot_pole_setup(crs)
+    lam_r = np.radians(np.asarray(lon_r, dtype=np.float64))
+    phi_r = np.radians(np.asarray(lat_r, dtype=np.float64))
+    sin_phi = sin_tp * np.sin(phi_r) + cos_tp * np.cos(phi_r) * np.cos(lam_r)
+    phi = np.arcsin(np.clip(sin_phi, -1.0, 1.0))
+    lam = np.arctan2(
+        np.cos(phi_r) * np.sin(lam_r),
+        cos_tp * np.sin(phi_r) - sin_tp * np.cos(phi_r) * np.cos(lam_r),
+    )
+    lon = lam_p + np.degrees(lam)
+    # wrap to (-180, 180]
+    lon = np.degrees(np.arctan2(
+        np.sin(np.radians(lon)), np.cos(np.radians(lon))
+    ))
+    return lon, np.degrees(phi)
+
+
+def _rot_pole_from_geographic(crs: CRS, lon, lat):
+    """True lon/lat -> rotated (grid) lon/lat (inverse rotation)."""
+    sin_tp, cos_tp, lam_p = _rot_pole_setup(crs)
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - lam_p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sin_phi_r = sin_tp * np.sin(phi) + cos_tp * np.cos(phi) * np.cos(dlam)
+    phi_r = np.arcsin(np.clip(sin_phi_r, -1.0, 1.0))
+    lam_r = np.arctan2(
+        np.cos(phi) * np.sin(dlam),
+        cos_tp * np.sin(phi) - sin_tp * np.cos(phi) * np.cos(dlam),
+    )
+    return np.degrees(lam_r), np.degrees(phi_r)
+
+
+# ---------------------------------------------------------------------- #
 # Transformer
 
 class Transformer:
@@ -464,7 +723,7 @@ class Transformer:
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         if self.src.equals(self.dst) or (
-            self.src.is_geographic and self.dst.is_geographic
+            self.src.kind == "geographic" and self.dst.kind == "geographic"
         ):
             return x, y
         # to geographic
@@ -472,6 +731,12 @@ class Transformer:
             lon, lat = _tmerc_inverse(self.src, x, y)
         elif self.src.kind == "laea":
             lon, lat = _laea_inverse(self.src, x, y)
+        elif self.src.kind == "webmerc":
+            lon, lat = _webmerc_inverse(self.src, x, y)
+        elif self.src.kind == "stere":
+            lon, lat = _stere_inverse(self.src, x, y)
+        elif self.src.kind == "rot_pole":
+            lon, lat = _rot_pole_to_geographic(self.src, x, y)
         else:
             lon, lat = x, y
         # from geographic
@@ -479,6 +744,12 @@ class Transformer:
             return _tmerc_forward(self.dst, lon, lat)
         if self.dst.kind == "laea":
             return _laea_forward(self.dst, lon, lat)
+        if self.dst.kind == "webmerc":
+            return _webmerc_forward(self.dst, lon, lat)
+        if self.dst.kind == "stere":
+            return _stere_forward(self.dst, lon, lat)
+        if self.dst.kind == "rot_pole":
+            return _rot_pole_from_geographic(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):

@@ -147,7 +147,14 @@ def can_apply_affine_transform(source_gm: GridMapping,
 
 
 def is_equal_crs(source_gm: GridMapping, target_gm: GridMapping) -> bool:
-    geographic = source_gm.crs.is_geographic and target_gm.crs.is_geographic
+    """Parity: reference utils.py:187-189, EXCEPT the both-geographic
+    shortcut applies only to plain lat-lon CRSs: a rotated-pole grid is
+    degree-based (pyproj calls it geographic) but still needs the pole
+    rotation to reach true lon/lat."""
+    geographic = (
+        source_gm.crs.kind == "geographic"
+        and target_gm.crs.kind == "geographic"
+    )
     return geographic or source_gm.crs.equals(target_gm.crs)
 
 
