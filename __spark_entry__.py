@@ -689,6 +689,45 @@ def q_rectify_distributed_coords(spark, sf_dir):
     )
 
 
+def _q_rectify_fused(interp):
+    """Fused two-shuffle rectify (scatter kernel emits final interpolated
+    values; FWW + densify in the second kernel -- rectify.py
+    rectify_fused_tiled).  Same swath and target as rectify_swath_*, so it
+    shares those oracles."""
+
+    def q(spark, sf_dir):
+        from xcube_resampling_spark.crs import CRS_WGS84
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.rectify import (
+            fuse_coords_values,
+            rectify_fused_tiled,
+        )
+
+        r = _raster(spark, sf_dir)
+        coords = r.select(
+            "j", "i",
+            (F.col("i") + 0.35 * F.col("j")).cast("double").alias("x"),
+            (50.0 - F.col("j") - 0.15 * F.col("i")).cast("double").alias("y"),
+        )
+        target_gm = GridMapping.regular(
+            (RECT_W, RECT_H), (0.0, 6.0), 1.0, CRS_WGS84
+        )
+        fused = fuse_coords_values(coords, r, 1)
+        out = rectify_fused_tiled(
+            fused, target_gm, (RW, RH), 1, interp, FILL, False,
+            block_rows=16, dst_block_rows=16,
+        )
+        return out.select(
+            "t", "j", "i", F.round("value", 6).alias("value")
+        )
+
+    return q
+
+
+q_rectify_fused_nearest = _q_rectify_fused("nearest")
+q_rectify_fused_bilinear = _q_rectify_fused("bilinear")
+
+
 # rotated-pole rectification: swath defined in a CORDEX-style rotated CRS
 # (pole 39.25N, -162E), rectified onto a true-WGS84 regular grid.  The
 # DuckDB oracle applies the same spherical pole rotation in SQL.
@@ -2234,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_roundtrip": q_store_roundtrip,
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
+        "rectify_fused_nearest": q_rectify_fused_nearest,
+        "rectify_fused_bilinear": q_rectify_fused_bilinear,
         "rectify_swath_triangular": _q_rectify("triangular"),
         "rectify_swath_3d_nearest": q_rectify_swath_3d_nearest,
         "rectify_antimeridian": q_rectify_antimeridian,
@@ -2297,6 +2338,8 @@ def oracle_sql() -> dict[str, str]:
         "store_roundtrip": SQL_CLIP,
         "rectify_swath_nearest": SQL_RECTIFY,
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
+        "rectify_fused_nearest": SQL_RECTIFY,
+        "rectify_fused_bilinear": SQL_RECTIFY_BILINEAR,
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
         "rectify_swath_3d_nearest": SQL_RECTIFY_3D,
         "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,

@@ -59,32 +59,36 @@ def raster_df(spark, w, h):
 
 def bench_rectify_scene(spark):
     """Irregular swath (SCENE_W x SCENE_H) -> regular grid, nearest.
-    Mirrors BASELINE.md rectify_sentinel3 (1890x1189, ~1.4 s reference)."""
+    Mirrors BASELINE.md rectify_sentinel3 (1890x1189, ~1.4 s reference).
+
+    Uses the fused two-shuffle path (scatter kernel emits final values, FWW
+    + densify in the second kernel); lon/lat and radiance live in the same
+    swath rows, as in a real L1 scene."""
     from xcube_resampling_spark.crs import CRS_WGS84
     from xcube_resampling_spark.gridmapping import GridMapping
-    from xcube_resampling_spark.operators.rectify import (
-        gather_var,
-        scatter_from_coords_tiled,
-    )
+    from xcube_resampling_spark.operators.rectify import rectify_fused_tiled
 
     w, h = SCENE_W, SCENE_H
-    coords = spark.range(w * h).select(
+    swath = spark.range(w * h).select(
         (F.col("id") / w).cast("int").alias("j"),
         (F.col("id") % w).cast("int").alias("i"),
+        (
+            F.sin(F.col("id") % w * 0.01) + F.cos((F.col("id") / w) * 0.01)
+        ).cast("double").alias("value"),
     ).select(
         "j", "i",
         (F.lit(0.0) + 0.01 * F.col("i") + 0.003 * F.col("j")).alias("x"),
         (F.lit(60.0) - 0.01 * F.col("j") + 0.002 * F.col("i")).alias("y"),
+        F.col("value").alias("val_0"),
+        F.lit(True).alias("pres_0"),
     )
     # swath bbox: x in [0, 22.47], y in [48.1, 63.78]; res chosen so the
     # target has ~2.3M px (scene-scale output)
     target_gm = GridMapping.regular(
         (1800, 1256), (0.0, 48.0), 0.0125, CRS_WGS84
     )
-    winners = scatter_from_coords_tiled(coords, target_gm)
-    out = gather_var(
-        spark, winners, raster_df(spark, w, h), (w, h),
-        target_gm.size, 1, "nearest", float("nan"), False,
+    out = rectify_fused_tiled(
+        swath, target_gm, (w, h), 1, "nearest", float("nan"), False,
     )
     return out.count()
 

@@ -458,3 +458,105 @@ class TestRectifyDistributedCoords:
             source_ds, source_gm=gmdf, interp_methods=0
         )
         np.testing.assert_almost_equal(out.to_numpy("rad", (4, 4)), ref)
+
+
+class TestRectifyFused:
+    """rectify_fused_tiled = scatter_from_coords_tiled + gather_var fused
+    into two applyInPandas shuffles; must be value-identical to the
+    un-fused pipeline, including NaN coords, SQL-NULL (absent) source
+    pixels, genuine-NaN values, non-NaN fill, and num_t > 1."""
+
+    @staticmethod
+    def _swath(spark):
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        w_s, h_s = 37, 53
+        jj, ii = np.meshgrid(np.arange(h_s), np.arange(w_s), indexing="ij")
+        x = 10.0 + 0.05 * ii + 0.013 * jj + rng.normal(0, 0.004, ii.shape)
+        y = 50.0 - 0.05 * jj + 0.011 * ii + rng.normal(0, 0.004, ii.shape)
+        x[5, 7] = np.nan
+        y[20, 3] = np.nan
+        val = rng.normal(0, 1, ii.shape)
+        val[11, 11] = np.nan  # becomes SQL NULL via pandas conversion
+        coords_pdf = pd.DataFrame(
+            {
+                "j": jj.ravel().astype("int32"),
+                "i": ii.ravel().astype("int32"),
+                "x": x.ravel(),
+                "y": y.ravel(),
+            }
+        )
+        vals_pdf = pd.DataFrame(
+            {
+                "t": np.zeros(ii.size, "int32"),
+                "j": jj.ravel().astype("int32"),
+                "i": ii.ravel().astype("int32"),
+                "value": val.ravel(),
+            }
+        )
+        # drop one source pixel entirely (absent row -> fill)
+        vals_pdf = vals_pdf[~((vals_pdf.j == 30) & (vals_pdf.i == 30))]
+        return (
+            spark.createDataFrame(coords_pdf),
+            spark.createDataFrame(vals_pdf),
+            (w_s, h_s),
+        )
+
+    def _compare(self, spark, interp, fill, num_t=1, values=None):
+        from xcube_resampling_spark.crs import CRS_WGS84
+        from xcube_resampling_spark.operators.rectify import (
+            fuse_coords_values,
+            gather_var,
+            rectify_fused_tiled,
+            scatter_from_coords_tiled,
+        )
+
+        coords, values_df, src_size = self._swath(spark)
+        if values is not None:
+            values_df = values
+        tgm = GridMapping.regular((60, 70), (10.0, 47.0), 0.045, CRS_WGS84)
+        winners = scatter_from_coords_tiled(coords, tgm, block_rows=16)
+        ref = gather_var(
+            spark, winners, values_df, src_size, tgm.size, num_t, interp,
+            fill, False,
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        got = rectify_fused_tiled(
+            fuse_coords_values(coords, values_df, num_t), tgm, src_size,
+            num_t, interp, fill, False, block_rows=16, dst_block_rows=16,
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        assert len(ref) == len(got)
+        a = ref["value"].to_numpy()
+        b = got["value"].to_numpy()
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), (
+            f"{interp}: {int((~same).sum())} mismatches of {len(a)}"
+        )
+
+    def test_nearest_nan_fill(self, spark):
+        self._compare(spark, "nearest", float("nan"))
+
+    def test_bilinear_nan_fill(self, spark):
+        self._compare(spark, "bilinear", float("nan"))
+
+    def test_triangular_nan_fill(self, spark):
+        self._compare(spark, "triangular", float("nan"))
+
+    def test_nearest_numeric_fill(self, spark):
+        """Absent source pixel -> fill (not NaN), NaN value -> fill only
+        because pandas NaN arrives as SQL NULL."""
+        self._compare(spark, "nearest", -999.0)
+
+    def test_bilinear_numeric_fill(self, spark):
+        self._compare(spark, "bilinear", -999.0)
+
+    def test_3d_bilinear(self, spark):
+        import pandas as pd
+
+        coords, values_df, _ = self._swath(spark)
+        v0 = values_df.toPandas()
+        v3 = pd.concat([v0, v0.assign(t=1, value=v0.value * 2.0)])
+        self._compare(
+            spark, "bilinear", float("nan"), num_t=2,
+            values=spark.createDataFrame(v3),
+        )

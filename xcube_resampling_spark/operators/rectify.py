@@ -689,6 +689,385 @@ def gather_var(
     )
 
 
+def _fused_match_schema(num_t: int) -> T.StructType:
+    """Per-t values travel as WIDE double columns (val_0..val_{n-1}), not an
+    array column: Arrow list columns cost a Python object per row on the
+    pandas side, wide columns are zero-copy numpy views."""
+    return T.StructType(
+        [
+            T.StructField("dst_blk", T.IntegerType(), False),
+            T.StructField("dst_j", T.IntegerType(), False),
+            T.StructField("dst_i", T.IntegerType(), False),
+            T.StructField("j0", T.IntegerType(), False),
+            T.StructField("i0", T.IntegerType(), False),
+            T.StructField("tri", T.IntegerType(), False),
+        ]
+        + [
+            T.StructField(f"val_{k}", T.DoubleType(), True)
+            for k in range(num_t)
+        ]
+    )
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("t", T.IntegerType(), False),
+        T.StructField("j", T.IntegerType(), False),
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def fuse_coords_values(
+    coords: DataFrame, values: DataFrame, num_t: int
+) -> DataFrame:
+    """Join source coordinate pixels (j, i, x, y) with variable pixels
+    (t, j, i, value) into the fused-scatter input
+    (j, i, x, y, val_0..val_{num_t-1}).
+
+    One co-keyed shuffle -- the same join the un-fused gather would pay, but
+    paid *before* the scatter so the scatter kernel can emit final values.
+    A NULL val_k (value NULL, or the (t, j, i) row absent, or the whole
+    pixel absent) means "-> fill" downstream, mirroring the inner-join +
+    ``coalesce`` semantics of :func:`gather_var`; a NaN double is a genuine
+    value and propagates through interpolation.  The kernel reads NULL-ness
+    from JVM-computed ``pres_k`` booleans because the Arrow->pandas hop
+    collapses NULL and NaN.
+    """
+    if num_t == 1:
+        v = values.select(
+            F.col("j").alias("vj"), F.col("i").alias("vi"),
+            F.col("value").alias("val_0"),
+        )
+    else:
+        v = values.groupBy(
+            F.col("j").alias("vj"), F.col("i").alias("vi")
+        ).agg(
+            *[
+                F.max(F.when(F.col("t") == k, F.col("value")))
+                .alias(f"val_{k}")
+                for k in range(num_t)
+            ]
+        )
+    return coords.join(
+        v, (coords["j"] == v["vj"]) & (coords["i"] == v["vi"]), "left"
+    ).select(
+        coords["j"], coords["i"], "x", "y",
+        *[F.col(f"val_{k}") for k in range(num_t)],
+        *[
+            F.col(f"val_{k}").isNotNull().alias(f"pres_{k}")
+            for k in range(num_t)
+        ],
+    )
+
+
+def rectify_fused_tiled(
+    fused: DataFrame,
+    target_gm: GridMapping,
+    source_size: tuple[int, int],
+    num_t: int = 1,
+    interp_method: str = "nearest",
+    fill_value: float = float("nan"),
+    is_int: bool = False,
+    uv_delta: float = UV_DELTA,
+    block_rows: int = 32,
+    dst_block_rows: int = 32,
+) -> DataFrame:
+    """Scatter + gather + densify in TWO shuffles (reference rectify.py's
+    two sequential kernels, 458-576 scatter and 663-734 gather, fused).
+
+    The interpolation stencil of every winning candidate is the quad's own
+    corner pixels (nearest: one of the 4 corners; bilinear/triangular: the
+    2x2 block at ``floor(src_if), floor(src_jf)`` which lies within the
+    quad's two source rows +1), so a j-block that holds the quad's coords
+    can also hold its values: the scatter kernel emits *final interpolated
+    values*, not fractional indices, and the second kernel resolves global
+    first-writer-wins and writes dense fill-completed target blocks.
+
+    Physical plan: one shuffle into source j-blocks (boundary rows j%B<2
+    duplicated down so every owned quad sees rows qj..qj+2), one shuffle
+    into target j-blocks.  No join against the source table, no join
+    against a generated target grid -- both gathers happen inside
+    Arrow-batched numpy kernels.  Semantics are identical to
+    ``scatter_from_coords_tiled`` + ``gather_var`` (equivalence-tested,
+    including NaN coords, missing pixels and u/v == 1.0 edges).
+    """
+    w, h = target_gm.size
+    src_w, src_h = source_size
+    x_min = float(target_gm.x_min)
+    x_res = float(target_gm.x_res)
+    if target_gm.is_j_axis_up:
+        y_off = float(target_gm.y_min)
+        y_scale = float(target_gm.y_res)
+    else:
+        y_off = float(target_gm.y_max)
+        y_scale = -float(target_gm.y_res)
+    u_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+    fill = float(fill_value)
+    B = int(block_rows)
+    DB = int(dst_block_rows)
+    if interp_method not in ("nearest", "bilinear", "triangular"):
+        raise NotImplementedError(
+            f"{_NOT_IMPLEMENTED_ERROR}, was '{interp_method}'."
+        )
+
+    match_schema = _fused_match_schema(num_t)
+
+    b = F.floor(F.col("j") / B).cast("int")
+    blocks = fused.select(
+        "j", "i", "x", "y",
+        *[F.col(f"val_{k}") for k in range(num_t)],
+        *[F.col(f"pres_{k}") for k in range(num_t)],
+        F.explode(
+            F.when(
+                (F.col("j") % B < 2) & (F.col("j") >= B),
+                F.array(b, b - 1),
+            ).otherwise(F.array(b))
+        ).alias("blk"),
+    )
+
+    def scatter_kernel(key, pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in match_schema.fields}
+        )
+        if len(pdf) == 0:
+            return empty
+        blk = int(key[0])
+        j_arr = pdf["j"].to_numpy(np.int64)
+        i_arr = pdf["i"].to_numpy(np.int64)
+        j_lo, i_lo = j_arr.min(), i_arr.min()
+        hh = int(j_arr.max() - j_lo + 1)
+        ww = int(i_arr.max() - i_lo + 1)
+        if hh < 2 or ww < 2:
+            return empty
+        X = np.full((hh, ww), np.nan)
+        Y = np.full((hh, ww), np.nan)
+        V = np.full((num_t, hh, ww), np.nan)
+        # per-(t, pixel) presence: False = SQL NULL / absent row -> fill;
+        # True with NaN in V = genuine NaN value -> propagates
+        P = np.zeros((num_t, hh, ww), dtype=bool)
+        X[j_arr - j_lo, i_arr - i_lo] = pdf["x"].to_numpy(np.float64)
+        Y[j_arr - j_lo, i_arr - i_lo] = pdf["y"].to_numpy(np.float64)
+        for k in range(num_t):
+            V[k, j_arr - j_lo, i_arr - i_lo] = (
+                pdf[f"val_{k}"].to_numpy(np.float64)
+            )
+            P[k, j_arr - j_lo, i_arr - i_lo] = (
+                pdf[f"pres_{k}"].fillna(False).to_numpy(bool)
+            )
+
+        p0x, p0y = X[:-1, :-1], Y[:-1, :-1]
+        p1x, p1y = X[:-1, 1:], Y[:-1, 1:]
+        p2x, p2y = X[1:, :-1], Y[1:, :-1]
+        p3x, p3y = X[1:, 1:], Y[1:, 1:]
+
+        with np.errstate(invalid="ignore"):
+            cx = np.stack([p0x, p1x, p2x, p3x])
+            cy = np.stack([p0y, p1y, p2y, p3y])
+            pi = np.floor((cx - x_min) / x_res)
+            pj = np.floor((cy - y_off) / y_scale)
+            nan_q = np.isnan(pi).any(0) | np.isnan(pj).any(0)
+            bi0 = np.clip(np.min(np.where(np.isnan(pi), np.inf, pi), 0),
+                          0, w - 1)
+            bj0 = np.clip(np.min(np.where(np.isnan(pj), np.inf, pj), 0),
+                          0, h - 1)
+            bi1 = np.where(nan_q, w - 1, np.clip(pi.max(0), 0, w - 1))
+            bj1 = np.where(nan_q, h - 1, np.clip(pj.max(0), 0, h - 1))
+            det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
+            det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
+            det_a = np.nan_to_num(det_a, nan=0.0)
+            det_b = np.nan_to_num(det_b, nan=0.0)
+            valid = (
+                (bi1 >= bi0) & (bj1 >= bj0)
+                & ~((det_a == 0.0) & (det_b == 0.0))
+            )
+        # quad ownership: boundary rows are duplicated into two blocks, so
+        # keep only quads whose top row belongs to this block
+        qj_global = np.arange(hh - 1) + j_lo
+        valid[(qj_global < blk * B) | (qj_global >= (blk + 1) * B), :] = False
+        vq_j, vq_i = np.nonzero(valid)
+        if vq_j.size == 0:
+            return empty
+
+        ni = (bi1 - bi0 + 1)[vq_j, vq_i].astype(np.int64)
+        nj = (bj1 - bj0 + 1)[vq_j, vq_i].astype(np.int64)
+        counts = ni * nj
+        q_idx = np.repeat(np.arange(vq_j.size), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ni_e = ni[q_idx]
+        dj = (bj0[vq_j, vq_i].astype(np.int64)[q_idx] + offs // ni_e)
+        di = (bi0[vq_j, vq_i].astype(np.int64)[q_idx] + offs % ni_e)
+
+        def at(a):
+            return a[vq_j, vq_i][q_idx]
+
+        dx = x_min + (di + 0.5) * x_res
+        dy = y_off + (dj + 0.5) * y_scale
+        a0x, a0y = at(p0x), at(p0y)
+        a1x, a1y = at(p1x), at(p1y)
+        a2x, a2y = at(p2x), at(p2y)
+        a3x, a3y = at(p3x), at(p3y)
+        da, db = at(det_a), at(det_b)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u_a = ((a0x - dx) * (a0y - a2y) - (a0y - dy) * (a0x - a2x)) / da
+            v_a = ((a0y - dy) * (a0x - a1x) - (a0x - dx) * (a0y - a1y)) / da
+            ok_a = (
+                (da != 0.0) & (u_a >= u_min) & (v_a >= u_min)
+                & (u_a + v_a <= uv_max)
+            )
+            u_b = ((a3x - dx) * (a3y - a1y) - (a3y - dy) * (a3x - a1x)) / db
+            v_b = ((a3y - dy) * (a3x - a2x) - (a3x - dx) * (a3y - a2y)) / db
+            ok_b = (
+                (db != 0.0) & (u_b >= u_min) & (v_b >= u_min)
+                & (u_b + v_b <= uv_max)
+            )
+        hit = ok_a | ok_b
+        if not hit.any():
+            return empty
+        sel_a = ok_a[hit]
+        u = np.where(sel_a, np.clip(u_a[hit], 0.0, 1.0),
+                     1.0 - np.clip(u_b[hit], 0.0, 1.0))
+        v = np.where(sel_a, np.clip(v_a[hit], 0.0, 1.0),
+                     1.0 - np.clip(v_b[hit], 0.0, 1.0))
+        qj = vq_j[q_idx][hit] + j_lo
+        qi = vq_i[q_idx][hit] + i_lo
+        tri = np.where(sel_a, 0, 1).astype(np.int32)
+        dj_h = dj[hit]
+        di_h = di[hit]
+        # local first-writer-wins before computing values
+        order = np.lexsort((tri, qi, qj, di_h, dj_h))
+        dj_s, di_s = dj_h[order], di_h[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (dj_s[1:] != dj_s[:-1]) | (di_s[1:] != di_s[:-1])
+        keep = order[first]
+
+        u_k, v_k = u[keep], v[keep]
+        qj_k, qi_k = qj[keep], qi[keep]
+        src_if = qi_k + u_k
+        src_jf = qj_k + v_k
+        i0 = np.floor(src_if).astype(np.int64)
+        j0 = np.floor(src_jf).astype(np.int64)
+        uu = src_if - i0
+        vv = src_jf - j0
+        i0l, j0l = i0 - i_lo, j0 - j_lo
+        # gather_var parity (reference rectify.py:663-734): stencil indices
+        # stay inside this block (columns are complete; rows qj..qj+2 are
+        # present thanks to the 2-row boundary duplication)
+        if interp_method == "nearest":
+            si = np.where(uu > 0.5, np.minimum(i0 + 1, src_w - 1), i0) - i_lo
+            sj = np.where(vv > 0.5, np.minimum(j0 + 1, src_h - 1), j0) - j_lo
+            vals = V[:, sj, si]
+            present = P[:, sj, si]
+        else:
+            i1l = np.minimum(i0 + 1, src_w - 1) - i_lo
+            j1l = np.minimum(j0 + 1, src_h - 1) - j_lo
+            v00 = V[:, j0l, i0l]
+            v01 = V[:, j0l, i1l]
+            v10 = V[:, j1l, i0l]
+            v11 = V[:, j1l, i1l]
+            if interp_method == "bilinear":
+                vu0 = v00 + uu * (v01 - v00)
+                vu1 = v10 + uu * (v11 - v10)
+                vals = vu0 + vv * (vu1 - vu0)
+                present = (P[:, j0l, i0l] & P[:, j0l, i1l]
+                           & P[:, j1l, i0l] & P[:, j1l, i1l])
+            else:  # triangular
+                closest = v00 + uu * (v01 - v00) + vv * (v10 - v00)
+                opposite = (
+                    v11 + (1.0 - uu) * (v10 - v11) + (1.0 - vv) * (v01 - v11)
+                )
+                near = uu + vv < 1.0
+                vals = np.where(near, closest, opposite)
+                present = np.where(
+                    near,
+                    P[:, j0l, i0l] & P[:, j0l, i1l] & P[:, j1l, i0l],
+                    P[:, j1l, i1l] & P[:, j1l, i0l] & P[:, j0l, i1l],
+                )
+        if is_int:
+            vals = np.trunc(vals)
+        vals = np.where(present, vals, fill)  # broadcasts over t
+        out = {
+            "dst_blk": (dj_s[first] // DB).astype(np.int32),
+            "dst_j": dj_s[first].astype(np.int32),
+            "dst_i": di_s[first].astype(np.int32),
+            "j0": qj_k.astype(np.int32),
+            "i0": qi_k.astype(np.int32),
+            "tri": tri[keep],
+        }
+        for k in range(num_t):
+            out[f"val_{k}"] = vals[k]
+        return pd.DataFrame(out)
+
+    matches = blocks.groupBy("blk").applyInPandas(
+        scatter_kernel, match_schema
+    )
+
+    # every target block must appear even if it drew no candidates -> union
+    # sentinel rows (dst_i = -1, ignored by the kernel) generated without
+    # driver memory
+    spark = fused.sparkSession
+    n_blk = (h + DB - 1) // DB
+    sentinels = spark.range(n_blk).select(
+        F.col("id").cast("int").alias("dst_blk"),
+        F.lit(-1).alias("dst_j"), F.lit(-1).alias("dst_i"),
+        F.lit(0).alias("j0"), F.lit(0).alias("i0"), F.lit(0).alias("tri"),
+        *[
+            F.lit(None).cast("double").alias(f"val_{k}")
+            for k in range(num_t)
+        ],
+    )
+
+    def densify_kernel(key, pdf):
+        import pandas as pd
+
+        bb = int(key[0])
+        j_start = bb * DB
+        rows_h = min(DB, h - j_start)
+        out = np.full((num_t, rows_h, w), fill)
+        real = pdf[pdf["dst_i"].to_numpy() >= 0]
+        if len(real):
+            djr = real["dst_j"].to_numpy(np.int64)
+            dir_ = real["dst_i"].to_numpy(np.int64)
+            # global first-writer-wins across source blocks
+            order = np.lexsort(
+                (real["tri"].to_numpy(), real["i0"].to_numpy(),
+                 real["j0"].to_numpy(), dir_, djr)
+            )
+            dj_s, di_s = djr[order], dir_[order]
+            firstm = np.ones(len(order), dtype=bool)
+            firstm[1:] = (dj_s[1:] != dj_s[:-1]) | (di_s[1:] != di_s[:-1])
+            win = order[firstm]
+            for k in range(num_t):
+                out[k, djr[win] - j_start, dir_[win]] = (
+                    real[f"val_{k}"].to_numpy(np.float64)[win]
+                )
+        jj, ii = np.meshgrid(
+            np.arange(rows_h, dtype=np.int32), np.arange(w, dtype=np.int32),
+            indexing="ij",
+        )
+        return pd.DataFrame(
+            {
+                "t": np.repeat(
+                    np.arange(num_t, dtype=np.int32), rows_h * w
+                ),
+                "j": np.tile((jj + j_start).ravel(), num_t),
+                "i": np.tile(ii.ravel(), num_t),
+                "value": out.reshape(num_t * rows_h * w),
+            }
+        )
+
+    return matches.unionByName(sentinels).groupBy("dst_blk").applyInPandas(
+        densify_kernel, PIXEL_SCHEMA
+    )
+
+
 def _downscale_source_dataset(
     source_ds: SparkDataset,
     gm_df: GridMappingDF,
