@@ -141,14 +141,52 @@ def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, hs): per-document array of distinct 32-bit shingle hashes.
+
+    ONE map-side-combinable shuffle (collect_set groupBy); everything
+    downstream -- signatures, set sizes, intersection counts -- is array
+    arithmetic on this table, so the shingle rows are never reshuffled.
+    Array length is bounded by document length (shingle count), so rows
+    stay small at any corpus scale."""
+    return (
+        docs.select(
+            "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+        )
+        .select("doc_id", hash32(F.col("sh")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+
+
 def dedup_minhash_lsh(
     docs: DataFrame, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, verified with true
     Jaccard.  Bands of NUM_PERM/BANDS rows; candidates = docs sharing a
-    band key; verification joins back to the shingle table."""
-    sh = _persist(shingle_hashes(docs, k))
-    sig = minhash_signatures_from_hashes(sh)
+    band key; verification intersects the per-doc shingle-hash arrays.
+
+    Physical plan: one collect_set shuffle builds the per-doc shingle
+    arrays; signatures are array_min(transform(...)) per permutation (no
+    shuffle); the band self-join keys on (band, band_key) over BANDS rows
+    per doc; verification joins the candidate pairs back to the (small,
+    auto-broadcastable) array table twice and computes
+    size(array_intersect) -- no shingle-row explode, no re-shuffle of the
+    shingle table."""
+    sets = _persist(shingle_sets(docs, k))
+    sig = sets.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h: (F.lit(MINHASH_A[p]) * h + F.lit(MINHASH_B[p]))
+                    % F.lit(MINHASH_P),
+                )
+            ).alias(f"m{p}")
+            for p in range(NUM_PERM)
+        ],
+    )
     rows_per_band = NUM_PERM // BANDS
     band_structs = [
         F.struct(
@@ -185,21 +223,21 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    # verify candidates with the exact Jaccard (reusing the cached shingles)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
-    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("h").alias("h_b"))
-    common = (
-        cand.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("sb_id"))
-              & (F.col("h_a") == F.col("h_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # verify candidates with the exact Jaccard from the cached arrays
+    arr_a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a")
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    arr_b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")
+    )
     return (
-        common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
+            F.size("hs_a").alias("n_a"), F.size("hs_b").alias("n_b"),
+        )
         .select(
             "id_a", "id_b",
             F.round(
