@@ -1876,6 +1876,64 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
 """
 
 
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_embedding_cosine_lsh,
+    )
+
+    return dedup_embedding_cosine_lsh(
+        _spread(spark, _table(spark, sf_dir, "embeddings")), threshold=0.35
+    )
+
+
+def _sql_dedup_emb_lsh():
+    """DuckDB twin of the sign-LSH bucketing: identical +-1 hyperplanes
+    (exact integer-parity construction), identical band keys, identical
+    exact-cosine verify -- bit-deterministic both sides."""
+    from xcube_resampling_spark.extensions.dedup import (
+        HYP_BANDS, HYP_ROWS, hyperplane_sign,
+    )
+
+    dim = 64
+    band_selects = []
+    for band in range(HYP_BANDS):
+        bits = []
+        for r in range(HYP_ROWS):
+            hyp = ", ".join(
+                repr(hyperplane_sign((band * HYP_ROWS + r) * dim + d))
+                for d in range(dim)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{hyp}]) >= 0 "
+                f"THEN 1 ELSE 0 END) * {2 ** r}"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band, {' + '.join(bits)} AS key FROM e"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_EMB_D} AS v,
+         sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nrm
+  FROM embeddings
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.35
+"""
+
+
 def q_knn_brute_force(spark, sf_dir):
     from xcube_resampling_spark.extensions.similarity import (
         _dot,
@@ -2298,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "knn_brute_force": q_knn_brute_force,
@@ -2363,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_embedding_cosine_lsh": _sql_dedup_emb_lsh(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": SQL_DEDUP_EMB,
         "knn_brute_force": SQL_KNN,

@@ -361,3 +361,119 @@ def dedup_embedding_cosine(
         F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# Random-hyperplane LSH (Charikar sign-LSH): NUM_HYP deterministic +-1
+# hyperplanes in bands of HYP_ROWS bits.  Components are +-1 derived from
+# exact integer arithmetic ((A*idx+B) mod P) mod 2, so Spark and the DuckDB
+# oracle compute bit-identical sign bits: x * +-1.0 is exact, and both
+# engines sum the 64 products left-to-right.
+NUM_HYP = 16
+HYP_BANDS = 4
+HYP_ROWS = NUM_HYP // HYP_BANDS
+HYP_A = 1103515245
+HYP_B = 12345
+HYP_P = 2147483647  # prime; parity of (A*idx+B) mod P is pseudo-random
+
+
+def hyperplane_sign(idx: int) -> float:
+    """+-1.0 component d of hyperplane b, idx = b * dim + d."""
+    return 1.0 if ((HYP_A * idx + HYP_B) % HYP_P) % 2 == 0 else -1.0
+
+
+def dedup_embedding_cosine_lsh(
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64
+) -> DataFrame:
+    """Near-duplicate vector pairs: sign-LSH bucketed candidates, exact
+    cosine verified -- the 100-TB shape of :func:`dedup_embedding_cosine`.
+
+    Candidates = pairs agreeing on all HYP_ROWS sign bits of at least one
+    band (equi-join on the band key over 2^HYP_ROWS buckets per band --
+    never a cross join; assert via explain()).  Recall is the standard
+    sign-LSH probability (1-theta/pi per hyperplane); precision is exact
+    because every candidate is verified with the true cosine.  The DuckDB
+    oracle replicates the bucketing bit-for-bit, so the operator has a
+    value-level hash oracle despite being probabilistic.
+    """
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    def sign_bit(band: int, r: int):
+        hyp = F.array(
+            *[
+                F.lit(hyperplane_sign((band * HYP_ROWS + r) * dim + d))
+                for d in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), hyp,
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            sum(
+                sign_bit(band, r) * F.lit(2 ** r) for r in range(HYP_ROWS)
+            ).alias("key"),
+        )
+        for band in range(HYP_BANDS)
+    ]
+    e = embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("emb_a"), F.col("emb_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
