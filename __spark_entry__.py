@@ -2101,20 +2101,78 @@ FROM s GROUP BY user_id, session_id
 """
 
 
-def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched binary feature extraction (decode stubbed -- see
-    extensions/multimodal.py).  Rows-only check: byte-level math inside a
-    pandas UDF is not SQL-expressible."""
-    from xcube_resampling_spark.extensions.multimodal import (
-        extract_features,
-        synthetic_media,
+_MEDIA_N = 50
+
+
+def _media(spark, sf_dir):
+    """Media table derived from the documents parquet: payload = UTF-8 text
+    bytes (the corpus is pure ASCII, so DuckDB's character functions see
+    the same bytes), kind/width/n_frames derived from doc_id.  Gives the
+    multimodal operators a value-level oracle on real stored data."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _MEDIA_N)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_img = F.col("doc_id") % 3 == 0
+    is_aud = F.col("doc_id") % 3 == 1
+    is_vid = F.col("doc_id") % 3 == 2
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when(is_img, (F.lit(4) + (F.col("doc_id") % 9) / 3).cast("int"))
+        .alias("width"),
+        F.when(is_img, F.lit(4)).cast("int").alias("height"),
+        F.when(is_aud, F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(is_vid, F.lit(6)).cast("int").alias("n_frames"),
     )
 
-    media = synthetic_media(spark, 50)
+
+_MEDIA_DOCS_SQL = f"""
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < {_MEDIA_N}
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched binary feature extraction (decode stubbed -- see
+    extensions/multimodal.py).  Media payloads are documents text bytes, so
+    the byte histogram/mean/entropy have an exact DuckDB twin."""
+    from xcube_resampling_spark.extensions.multimodal import (
+        extract_features,
+    )
+
+    media = _media(spark, sf_dir)
     return extract_features(media).select(
         "media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"),
         F.round("byte_entropy", 6).alias("byte_entropy"),
     )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS ({_MEDIA_DOCS_SQL}),
+b AS (
+  SELECT media_id, ascii(substr(text, CAST(k AS INT), 1)) AS code
+  FROM (
+    SELECT media_id, text,
+           unnest(generate_series(1, length(text))) AS k
+    FROM m
+  )
+),
+c AS (
+  SELECT media_id, code, CAST(count(*) AS DOUBLE) AS cnt
+  FROM b GROUP BY media_id, code
+),
+tot AS (
+  SELECT media_id, CAST(length(text) AS BIGINT) AS n_bytes FROM m
+)
+SELECT tot.media_id, tot.n_bytes,
+       ROUND(SUM(c.code * c.cnt) / tot.n_bytes, 6) AS byte_mean,
+       ROUND(-SUM((c.cnt / tot.n_bytes) * log2(c.cnt / tot.n_bytes)), 6)
+         AS byte_entropy
+FROM tot JOIN c ON c.media_id = tot.media_id
+GROUP BY tot.media_id, tot.n_bytes
+"""
 
 
 def _raster_dataset(spark, sf_dir):
@@ -2195,34 +2253,78 @@ SELECT t, j, i, ROUND(value, 6) AS value FROM src
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Image resize plumbing over binary payloads (decode stubbed; resize
-    index math real) -- rows-only check."""
-    from xcube_resampling_spark.extensions.multimodal import (
-        resize_images,
-        synthetic_media,
+    """Image resize over documents-derived payloads; output exploded to
+    one row per output byte so every pixel value is oracle-checked (the
+    fake decode tiles payload bytes, which DuckDB replicates with
+    character indexing over the ASCII text)."""
+    from xcube_resampling_spark.extensions.multimodal import resize_images
+
+    out_w, out_h = 8, 6
+    n_out = out_w * out_h * 3
+    out = resize_images(_media(spark, sf_dir), out_w, out_h)
+    hexed = out.select(
+        "media_id", "width", "height", F.hex("pixels").alias("hx")
+    )
+    return hexed.select(
+        "media_id", "width", "height",
+        F.explode(F.sequence(F.lit(0), F.lit(n_out - 1))).alias("pos"),
+        "hx",
+    ).select(
+        "media_id", "width", "height", "pos",
+        F.conv(
+            F.substring(F.col("hx"), F.col("pos") * 2 + 1, 2), 16, 10
+        ).cast("int").alias("byte"),
     )
 
-    media = synthetic_media(spark, 60)
-    out = resize_images(media, 8, 6)
-    return out.select(
-        "media_id", "width", "height",
-        F.length("pixels").alias("n_bytes"),
-        F.md5(F.col("pixels")).alias("pixels_md5"),
-    )
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(4 + (doc_id % 9) // 3 AS INT) AS w, 4 AS h
+  FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 0
+),
+p AS (
+  SELECT media_id, text, w, h, CAST(k AS INT) AS pos
+  FROM m, generate_series(0, 143) t(k)
+)
+SELECT media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height, pos,
+       ascii(substr(text,
+         CAST((((pos // 24) * h // 6 * w + ((pos // 3) % 8) * w // 8) * 3
+               + pos % 3) % length(text) AS INT) + 1,
+         1)) AS byte
+FROM p
+"""
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame sampling fan-out (mapInPandas) -- rows-only check."""
-    from xcube_resampling_spark.extensions.multimodal import (
-        sample_frames,
-        synthetic_media,
+    """Video frame sampling fan-out (mapInPandas); frames are byte slices
+    of the documents text payload, md5-checked against DuckDB substr."""
+    from xcube_resampling_spark.extensions.multimodal import sample_frames
+
+    out = sample_frames(_media(spark, sf_dir), every_nth=2)
+    return out.select(
+        "media_id", "frame_idx",
+        F.length("frame").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
     )
 
-    media = synthetic_media(spark, 60)
-    out = sample_frames(media, every_nth=2)
-    return out.select(
-        "media_id", "frame_idx", F.length("frame").alias("n_bytes")
-    )
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text
+  FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, text, CAST(k AS INT) AS frame_idx,
+         greatest(1, length(text) // 6) AS per
+  FROM m, (SELECT unnest([0, 2, 4]) AS k) t
+)
+SELECT media_id, frame_idx,
+       CAST(length(substr(text, frame_idx * per + 1, CAST(per AS INT)))
+            AS INT) AS n_bytes,
+       md5(substr(text, frame_idx * per + 1, CAST(per AS INT))) AS frame_md5
+FROM f
+"""
 
 
 def q_store_roundtrip(spark, sf_dir):
@@ -2395,6 +2497,9 @@ def oracle_sql() -> dict[str, str]:
         "clip_bbox": SQL_CLIP,
         "ij_bbox_containment": SQL_IJ_BBOX,
         "store_roundtrip": SQL_CLIP,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "rectify_swath_nearest": SQL_RECTIFY,
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
         "rectify_fused_nearest": SQL_RECTIFY,

@@ -71,29 +71,42 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     (Arrow-batched; one pass, no shuffle)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                n = int(arr.size)
-                if n:
-                    counts = np.bincount(arr, minlength=256).astype(float)
-                    p = counts[counts > 0] / n
-                    entropy = float(-(p * np.log2(p)).sum())
-                    mean = float(arr.mean())
-                    # fake embedding: bucketed byte histogram, L2-normalized
-                    hist = counts.reshape(feat_dim, -1).sum(axis=1)
-                    nrm = np.linalg.norm(hist) or 1.0
-                    feature = (hist / nrm).astype(np.float32)
-                else:
-                    entropy, mean = 0.0, None
-                    feature = np.zeros(feat_dim, dtype=np.float32)
-                out.append(
-                    (row["media_id"], n, mean, entropy, feature.tolist())
-                )
+            n_rows = len(pdf)
+            if n_rows == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n_rows
+            )
+            # whole-batch byte histogram: one bincount over
+            # row_index * 256 + byte_value -- no per-row Python math
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            counts = np.bincount(
+                row_idx * 256 + cat, minlength=n_rows * 256
+            ).reshape(n_rows, 256).astype(np.float64)
+            safe_n = np.maximum(lens, 1).astype(np.float64)
+            mean = counts @ np.arange(256.0) / safe_n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = counts / safe_n[:, None]
+                plogp = np.where(counts > 0, p * np.log2(p), 0.0)
+            entropy = -plogp.sum(axis=1)
+            entropy[lens == 0] = 0.0
+            hist = counts.reshape(n_rows, feat_dim, -1).sum(axis=2)
+            nrm = np.linalg.norm(hist, axis=1)
+            nrm[nrm == 0] = 1.0
+            feature = (hist / nrm[:, None]).astype(np.float32)
             yield pd.DataFrame(
-                out, columns=[f.name for f in FEATURE_SCHEMA.fields]
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "n_bytes": lens,
+                    "byte_mean": np.where(lens > 0, mean, np.nan),
+                    "byte_entropy": entropy,
+                    "feature": list(feature),
+                }
             )
 
     return media.mapInPandas(compute, FEATURE_SCHEMA)
@@ -114,16 +127,19 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                w = int(row["width"] or 4)
-                h = int(row["height"] or 4)
-                img = _fake_decode_rgb(row["payload"] or b"", w, h)
+            # per-image loop is inherent (a real codec decodes one payload
+            # at a time) but iterate with zip over plain columns, never
+            # pandas iterrows
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w = int(w or 4)
+                h = int(h or 4)
+                img = _fake_decode_rgb(payload or b"", w, h)
                 ji = (np.arange(out_h) * h // out_h)
                 ii = (np.arange(out_w) * w // out_w)
                 small = img[np.ix_(ji, ii)]
-                rows.append(
-                    (row["media_id"], out_w, out_h, small.tobytes())
-                )
+                rows.append((mid, out_w, out_h, small.tobytes()))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "pixels"]
             )
@@ -147,19 +163,17 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                n = int(row["n_frames"] or 0)
-                payload = row["payload"] or b""
+            for mid, n, payload in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["payload"]
+            ):
+                n = int(n or 0)
+                payload = payload or b""
                 if n <= 0:
                     continue
                 per = max(1, len(payload) // n)
                 for f_idx in range(0, n, every_nth):
                     rows.append(
-                        (
-                            row["media_id"],
-                            f_idx,
-                            payload[f_idx * per : (f_idx + 1) * per],
-                        )
+                        (mid, f_idx, payload[f_idx * per: (f_idx + 1) * per])
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame"]
