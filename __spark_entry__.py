@@ -2352,6 +2352,29 @@ def q_store_roundtrip(spark, sf_dir):
     )
 
 
+def q_zarr_roundtrip(spark, sf_dir):
+    """Zarr v2 sink + source end-to-end: distributed chunk write (zlib),
+    chunk-pruned binaryFile read of a bbox window, decode in mapInPandas
+    (SURVEY 2.2 #5; reference opens Zarr via zarr.open, cfconv.py:343-358).
+    Same window as store_roundtrip, so it shares SQL_CLIP."""
+    import tempfile
+
+    from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+    path = tempfile.gettempdir() + "/xcrs_zarr_roundtrip"
+    write_zarr(
+        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
+        compressor="zlib",
+    )
+    back = read_zarr(spark, path, "value", bbox_ij=(5, 10, 20, 30))
+    return back.select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Classic relational baseline (TPC-H Q1 shape) proving scan +
     filter + groupBy parity on lineitem."""
@@ -2431,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_bbox": q_clip_bbox,
         "ij_bbox_containment": q_ij_bbox_containment,
         "store_roundtrip": q_store_roundtrip,
+        "zarr_roundtrip": q_zarr_roundtrip,
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
         "rectify_fused_nearest": q_rectify_fused_nearest,
@@ -2497,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_bbox": SQL_CLIP,
         "ij_bbox_containment": SQL_IJ_BBOX,
         "store_roundtrip": SQL_CLIP,
+        "zarr_roundtrip": SQL_CLIP,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,

@@ -1,0 +1,160 @@
+"""Zarr v2 source/sink: distributed chunk write, pruned binaryFile read,
+edge-chunk padding, zlib + raw codecs, interop with a hand-written store."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+
+def _raster(spark, w, h, nt=1):
+    return spark.range(nt * w * h).select(
+        (F.col("id") / (w * h)).cast("int").alias("t"),
+        (F.col("id") % (w * h) / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 0.5).cast("double").alias("value"),
+    )
+
+
+class TestZarrRoundtrip:
+    @pytest.mark.parametrize("compressor", ["zlib", "null"])
+    def test_2d_roundtrip_edge_chunks(self, spark, tmp_path, compressor):
+        """25x17 array with 8x8 chunks: edge chunks are stored padded and
+        clipped back on read."""
+        w, h = 25, 17
+        df = _raster(spark, w, h)
+        path = str(tmp_path / f"store_{compressor}")
+        write_zarr(df, path, "v", (h, w), (8, 8), compressor=compressor)
+        got = read_zarr(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        assert len(got) == w * h
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_3d_roundtrip(self, spark, tmp_path):
+        w, h, nt = 10, 9, 3
+        df = _raster(spark, w, h, nt)
+        path = str(tmp_path / "store3d")
+        write_zarr(df, path, "v", (nt, h, w), (2, 4, 4))
+        got = read_zarr(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        assert len(got) == nt * w * h
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_bbox_prunes_chunk_files(self, spark, tmp_path):
+        """The window read lists only intersecting chunk files into the
+        binaryFile scan (chunk pruning ~ partition pruning)."""
+        w, h = 32, 32
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "store_bbox")
+        write_zarr(df, path, "v", (h, w), (8, 8))
+        out = read_zarr(spark, path, "v", bbox_ij=(4, 4, 12, 12))
+        # files in the plan: only the 4 chunks covering j,i in [4,12)
+        files = [
+            r["file"]
+            for r in out.select(
+                F.input_file_name().alias("file")
+            ).distinct().collect()
+        ]
+        assert len(files) == 4
+        pdf = out.toPandas()
+        assert len(pdf) == 64
+        assert pdf["i"].between(4, 11).all()
+        assert pdf["j"].between(4, 11).all()
+        exp = (
+            df.filter(
+                (F.col("i") >= 4) & (F.col("i") < 12)
+                & (F.col("j") >= 4) & (F.col("j") < 12)
+            ).toPandas().sort_values(["j", "i"])
+        )
+        got = pdf.sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_reads_externally_written_store(self, spark, tmp_path):
+        """Interop: a store written by hand to the public v2 spec (not by
+        write_zarr) decodes correctly, including <f4 dtype."""
+        path = tmp_path / "ext"
+        adir = path / "arr"
+        adir.mkdir(parents=True)
+        data = np.arange(30, dtype="<f4").reshape(5, 6)
+        (path / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+        (adir / ".zarray").write_text(
+            json.dumps(
+                {
+                    "zarr_format": 2,
+                    "shape": [5, 6],
+                    "chunks": [3, 4],
+                    "dtype": "<f4",
+                    "compressor": {"id": "zlib", "level": 1},
+                    "fill_value": "NaN",
+                    "order": "C",
+                    "filters": None,
+                }
+            )
+        )
+        for kj in range(2):
+            for ki in range(2):
+                block = np.full((3, 4), np.nan, dtype="<f4")
+                js = slice(kj * 3, min(5, kj * 3 + 3))
+                is_ = slice(ki * 4, min(6, ki * 4 + 4))
+                block[: js.stop - js.start, : is_.stop - is_.start] = (
+                    data[js, is_]
+                )
+                (adir / f"{kj}.{ki}").write_bytes(
+                    zlib.compress(block.tobytes(), 1)
+                )
+        got = read_zarr(spark, str(path), "arr").toPandas().sort_values(
+            ["j", "i"]
+        )
+        assert len(got) == 30
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel().astype("f8")
+        )
+
+    def test_blosc_rejected_clearly(self, spark, tmp_path):
+        path = tmp_path / "bl"
+        adir = path / "arr"
+        adir.mkdir(parents=True)
+        (adir / ".zarray").write_text(
+            json.dumps(
+                {
+                    "zarr_format": 2,
+                    "shape": [2, 2],
+                    "chunks": [2, 2],
+                    "dtype": "<f8",
+                    "compressor": {"id": "blosc", "cname": "lz4"},
+                    "fill_value": 0,
+                    "order": "C",
+                    "filters": None,
+                }
+            )
+        )
+        with pytest.raises(NotImplementedError, match="blosc"):
+            read_zarr(spark, str(path), "arr")
+
+    def test_zattrs_dimensions(self, spark, tmp_path):
+        w, h = 6, 5
+        path = str(tmp_path / "attrs")
+        write_zarr(
+            _raster(spark, w, h), path, "v", (h, w), (5, 5),
+            attrs={"units": "K"},
+        )
+        attrs = json.loads(
+            open(os.path.join(path, "v", ".zattrs")).read()
+        )
+        assert attrs["_ARRAY_DIMENSIONS"] == ["y", "x"]
+        assert attrs["units"] == "K"

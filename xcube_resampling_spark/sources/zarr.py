@@ -1,0 +1,263 @@
+"""Zarr v2 chunk-store source/sink -- the bridge the reference gets from
+``zarr.open`` (reference cfconv.py:343-358; examples open Zarr cubes
+directly, examples/rectify_sentinel3.ipynb cell 2).
+
+Layout follows the PUBLIC zarr v2 spec (https://zarr.readthedocs.io/
+en/stable/spec/v2.html): a store directory holds ``.zgroup``, one
+subdirectory per array with a ``.zarray`` JSON (shape/chunks/dtype/
+compressor/fill_value/order) and one file per chunk named by its grid
+index joined with '.' (``"0.1.2"``).  Edge chunks are stored PADDED to the
+full chunk shape.
+
+Spark-first mapping (SURVEY.md section 2.2 #5):
+
+* write: pixels are grouped by chunk key with ``applyInPandas``; every
+  chunk file is assembled and compressed inside its executor task -- the
+  driver writes only the tiny JSON metadata.  One shuffle, clustered
+  exactly like the store layout.
+* read: chunk keys that intersect the requested window are enumerated
+  driver-side from pure arithmetic (no data touched) and ONLY those files
+  are listed into ``spark.read.format("binaryFile")`` -- chunk pruning
+  equivalent to parquet partition pruning.  Decode (zlib/raw ->
+  ``np.frombuffer`` -> reshape -> clip edge padding) runs in
+  ``mapInPandas`` per file, emitting long-format pixel rows.
+* compressors: ``zlib`` (stdlib) and ``null`` (raw).  The zarr-default
+  blosc codec is NOT available in this environment -- reads of
+  blosc-compressed stores raise with a clear message (plumbing identical;
+  swap the one ``zlib.decompress`` call for ``blosc.decompress``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ZARR_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("t", T.IntegerType(), False),
+        T.StructField("j", T.IntegerType(), False),
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+_DTYPES = {
+    "<f8": np.dtype("<f8"),
+    "<f4": np.dtype("<f4"),
+    "<i4": np.dtype("<i4"),
+    "<i8": np.dtype("<i8"),
+}
+
+
+def _check_compressor(meta: dict) -> str:
+    comp = meta.get("compressor")
+    if comp is None:
+        return "null"
+    if comp.get("id") == "zlib":
+        return "zlib"
+    raise NotImplementedError(
+        f"zarr compressor '{comp.get('id')}' not available in this build "
+        "(only zlib/null; blosc needs the blosc library)"
+    )
+
+
+def write_zarr(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float = float("nan"),
+    compressor: str = "zlib",
+    attrs: dict | None = None,
+) -> None:
+    """Write a (t, j, i, value) pixel DataFrame as a zarr v2 array.
+
+    ``shape``/``chunks`` are (nt, h, w) or (h, w); 2-D arrays take their
+    pixels from t == 0.  Chunk files are written by executor tasks (one
+    shuffle, grouped by chunk key); the driver writes only ``.zgroup`` /
+    ``.zarray`` / ``.zattrs``.
+    """
+    if compressor not in ("zlib", "null"):
+        raise NotImplementedError("compressor must be 'zlib' or 'null'")
+    nd = len(shape)
+    if nd not in (2, 3) or len(chunks) != nd:
+        raise ValueError("shape/chunks must both be 2-D or 3-D")
+    adir = os.path.join(path, var_name)
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as fp:
+        json.dump({"zarr_format": 2}, fp)
+    fill_json = (
+        "NaN" if isinstance(fill_value, float) and np.isnan(fill_value)
+        else fill_value
+    )
+    zarray = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": 1}
+        if compressor == "zlib" else None,
+        "fill_value": fill_json,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as fp:
+        json.dump(zarray, fp)
+    dims = ["t", "y", "x"][-nd:]
+    with open(os.path.join(adir, ".zattrs"), "w") as fp:
+        json.dump({"_ARRAY_DIMENSIONS": dims, **(attrs or {})}, fp)
+
+    if nd == 2:
+        ct_j, ct_i = chunks
+        ct_t = 1
+        src = df.filter(F.col("t") == 0)
+    else:
+        ct_t, ct_j, ct_i = chunks
+        src = df
+    keyed = src.select(
+        (F.col("t") / ct_t).cast("int").alias("ck_t"),
+        (F.col("j") / ct_j).cast("int").alias("ck_j"),
+        (F.col("i") / ct_i).cast("int").alias("ck_i"),
+        "t", "j", "i", "value",
+    )
+    fill = float(fill_value)
+    chunk_shape = (ct_t, ct_j, ct_i)
+    out_schema = T.StructType([T.StructField("key", T.StringType(), False)])
+
+    def write_chunk(key, pdf):
+        kt, kj, ki = int(key[0]), int(key[1]), int(key[2])
+        block = np.full(chunk_shape, fill, dtype="<f8")
+        tt = pdf["t"].to_numpy(np.int64) - kt * ct_t
+        jj = pdf["j"].to_numpy(np.int64) - kj * ct_j
+        ii = pdf["i"].to_numpy(np.int64) - ki * ct_i
+        block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
+        raw = block.tobytes(order="C")
+        if compressor == "zlib":
+            raw = zlib.compress(raw, 1)
+        name = (
+            f"{kj}.{ki}" if nd == 2 else f"{kt}.{kj}.{ki}"
+        )
+        with open(os.path.join(adir, name), "wb") as fp:
+            fp.write(raw)
+        return pd.DataFrame({"key": [name]})
+
+    # one task per chunk; the action drives the distributed write
+    keyed.groupBy("ck_t", "ck_j", "ck_i").applyInPandas(
+        write_chunk, out_schema
+    ).count()
+
+
+def read_zarr(
+    spark: SparkSession,
+    path: str,
+    var_name: str,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Read a zarr v2 array as a (t, j, i, value) pixel DataFrame.
+
+    ``bbox_ij`` = (i_min, j_min, i_max, j_max) half-open window: only chunk
+    FILES intersecting the window are listed into the binaryFile scan
+    (driver-side arithmetic over the chunk grid -- no data read), and the
+    decoded rows are filtered to the exact window.
+    """
+    adir = os.path.join(path, var_name)
+    with open(os.path.join(adir, ".zarray")) as fp:
+        meta = json.load(fp)
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError("only C-order zarr arrays supported")
+    if meta.get("filters"):
+        raise NotImplementedError("zarr filters not supported")
+    comp = _check_compressor(meta)
+    dtype_s = meta["dtype"]
+    if dtype_s not in _DTYPES:
+        raise NotImplementedError(f"zarr dtype '{dtype_s}' not supported")
+    shape = tuple(int(s) for s in meta["shape"])
+    chunks = tuple(int(c) for c in meta["chunks"])
+    nd = len(shape)
+    if nd == 2:
+        shape = (1,) + shape
+        chunks = (1,) + chunks
+    nt, h, w = shape
+    ct_t, ct_j, ct_i = chunks
+    n_kt = -(-nt // ct_t)
+    n_kj = -(-h // ct_j)
+    n_ki = -(-w // ct_i)
+
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        kj_r = range(max(0, j0 // ct_j), min(n_kj, -(-j1 // ct_j)))
+        ki_r = range(max(0, i0 // ct_i), min(n_ki, -(-i1 // ct_i)))
+    else:
+        kj_r, ki_r = range(n_kj), range(n_ki)
+    names = [
+        f"{kj}.{ki}" if nd == 2 else f"{kt}.{kj}.{ki}"
+        for kt in range(n_kt)
+        for kj in kj_r
+        for ki in ki_r
+    ]
+    files = [
+        os.path.join(adir, n) for n in names
+        if os.path.exists(os.path.join(adir, n))
+    ]
+    if not files:
+        return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+    binf = spark.read.format("binaryFile").load(files)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                key = os.path.basename(p)
+                parts = [int(x) for x in key.split(".")]
+                if len(parts) == 2:
+                    kt, kj, ki = 0, parts[0], parts[1]
+                else:
+                    kt, kj, ki = parts
+                raw = bytes(content)
+                if comp == "zlib":
+                    raw = zlib.decompress(raw)
+                block = np.frombuffer(raw, dtype=_DTYPES[dtype_s]).reshape(
+                    ct_t, ct_j, ct_i
+                )
+                t_off, j_off, i_off = kt * ct_t, kj * ct_j, ki * ct_i
+                # clip the stored edge padding back to the array bounds
+                vt = min(ct_t, nt - t_off)
+                vj = min(ct_j, h - j_off)
+                vi = min(ct_i, w - i_off)
+                block = block[:vt, :vj, :vi]
+                tt, jj, ii = np.meshgrid(
+                    np.arange(vt), np.arange(vj), np.arange(vi),
+                    indexing="ij",
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "t": (tt.ravel() + t_off).astype(np.int32),
+                            "j": (jj.ravel() + j_off).astype(np.int32),
+                            "i": (ii.ravel() + i_off).astype(np.int32),
+                            "value": block.astype(np.float64).ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    df = binf.select("path", "content").mapInPandas(
+        decode, ZARR_PIXEL_SCHEMA
+    )
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        df = df.filter(
+            (F.col("i") >= i0) & (F.col("i") < i1)
+            & (F.col("j") >= j0) & (F.col("j") < j1)
+        )
+    return df
