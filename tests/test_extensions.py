@@ -399,3 +399,75 @@ def test_lon360_roundtrip_columns(spark):
     assert got[0.0] == (0.0, 0.0)
     assert got[10.0] == (10.0, 10.0)
     assert got[180.0] == (180.0, 180.0)
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """max_df_ratio drops ubiquitous shingles from candidate generation
+    (skew guard) but reported Jaccard values stay exact (full-set verify)."""
+    from xcube_resampling_spark.extensions.dedup import dedup_ngram_jaccard
+
+    # every doc shares the ubiquitous prefix "common words here"; docs 0/1
+    # additionally share their real content
+    docs = spark.createDataFrame(
+        [
+            (0, "common words here alpha beta gamma delta"),
+            (1, "common words here alpha beta gamma epsilon"),
+            (2, "common words here totally different text now"),
+            (3, "common words here yet another unrelated doc"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(docs, threshold=0.0).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(
+            docs, threshold=0.0, max_df_ratio=0.9
+        ).collect()
+    }
+    # the (0, 1) pair shares non-ubiquitous shingles -> still found, with
+    # the SAME exact jaccard as the unguarded run
+    assert (0, 1) in guarded
+    assert guarded[(0, 1)] == base[(0, 1)]
+    # pairs sharing ONLY the ubiquitous prefix shingles disappear
+    assert (2, 3) in base and (2, 3) not in guarded
+    # every guarded pair's value matches the exact computation
+    for pair, jac in guarded.items():
+        assert base[pair] == jac
+
+
+def test_get_dataset_chunks(spark):
+    """Most-frequent chunk size per dim, data vars only, first-seen tie
+    break (reference gridmapping/helpers.py:113-161)."""
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+    from xcube_resampling_spark.gridmapping import get_dataset_chunks
+
+    def var(name, dims, chunks):
+        return Variable(name, None, dims, "float64", {}, None, chunks)
+
+    ds = SparkDataset(
+        spark=spark,
+        data_vars={
+            "a": var("a", ("time", "y", "x"), (1, 512, 512)),
+            "b": var("b", ("time", "y", "x"), (1, 512, 512)),
+            "c": var("c", ("time", "y", "x"), (1, 256, 512)),
+            "d": var("d", ("y", "x"), None),  # unchunked -> ignored
+        },
+        coords={},
+        yx_dims=("y", "x"),
+    )
+    assert get_dataset_chunks(ds) == {"time": 1, "y": 512, "x": 512}
+
+    # tie: first-seen size wins (strictly-greater count replaces)
+    ds2 = SparkDataset(
+        spark=spark,
+        data_vars={
+            "a": var("a", ("y",), (128,)),
+            "b": var("b", ("y",), (64,)),
+        },
+        coords={},
+        yx_dims=("y", "x"),
+    )
+    assert get_dataset_chunks(ds2) == {"y": 128}

@@ -53,6 +53,9 @@ class Variable:
     attrs: dict = field(default_factory=dict)
     # driver-side payload for non-spatial variables (passthrough)
     data: np.ndarray | None = None
+    # declared storage chunk size per dim (max chunk size, like the max of
+    # an xarray/dask var.chunks tuple); None = not chunked
+    chunks: tuple[int, ...] | None = None
 
     @property
     def is_spatial(self) -> bool:

@@ -81,28 +81,74 @@ def shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Pairwise word-k-gram Jaccard similarity >= threshold.
 
     Candidate pairs share at least one shingle (equi-join on the shingle
-    hash); Jaccard from distinct-shingle counts.  The shared-shingle join is
-    the scalable candidate generator -- worst case degenerates only when one
-    shingle is ubiquitous (mitigate by dropping top-frequency shingles
-    upstream at very large scale).
+    hash); Jaccard from distinct-shingle counts.  The shared-shingle join
+    is the scalable candidate generator; its worst case is a ubiquitous
+    shingle whose posting list joins quadratically.  ``max_df_ratio``
+    guards against that skew: shingles appearing in more than that
+    fraction of documents are excluded from CANDIDATE GENERATION (the
+    standard stop-shingle cut).  Verification still counts common shingles
+    over the FULL sets, so reported Jaccard values are exact; only pairs
+    sharing nothing but ubiquitous shingles are missed -- at a sane ratio
+    those are far below any useful threshold anyway.
     """
     sh = _persist(shingle_hashes(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    if max_df_ratio is None:
+        # single pass: the candidate join doubles as the common-count
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    else:
+        # skew guard on: candidates from the stop-shingle-filtered table,
+        # exact common counts re-derived from the full table
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        keep = (
+            sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.col("n_docs") * max_df_ratio)
+            .select("h")
+        )
+        cand_sh = sh.join(keep, "h")
+        a = cand_sh.alias("a")
+        b = cand_sh.alias("b")
+        cand = (
+            a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        sa = sh.select(
+            F.col("doc_id").alias("id_a"), F.col("h").alias("h_a")
+        )
+        sb = sh.select(
+            F.col("doc_id").alias("sb_id"), F.col("h").alias("h_b")
+        )
+        common = (
+            cand.join(sa, "id_a")
+            .join(sb, (F.col("id_b") == F.col("sb_id"))
+                  & (F.col("h_a") == F.col("h_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     out = (

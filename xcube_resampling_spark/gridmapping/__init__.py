@@ -4,6 +4,7 @@ from .helpers import (
     affine_compose,
     affine_invert,
     from_lon_360,
+    get_dataset_chunks,
     round_to_fraction,
     scale_xy_res_and_size,
     to_lon_360,
@@ -15,6 +16,7 @@ __all__ = [
     "affine_compose",
     "affine_invert",
     "from_lon_360",
+    "get_dataset_chunks",
     "round_to_fraction",
     "scale_xy_res_and_size",
     "to_lon_360",

@@ -139,3 +139,29 @@ def scale_xy_res_and_size(xy_res, size, xy_scale):
 
 def default_xy_var_names(crs) -> tuple[str, str]:
     return ("lon", "lat") if crs.is_geographic else ("x", "y")
+
+
+def get_dataset_chunks(dataset) -> dict[str, int]:
+    """Most common declared chunk size per chunked dimension, data
+    variables only (reference gridmapping/helpers.py:113-161).
+
+    Each variable contributes its per-dim max chunk size; for every
+    dimension the most frequently seen size wins, first-seen winning ties
+    (strictly-greater count replaces, matching the reference loop).
+    """
+    dim_size_counts: dict[str, dict[int, int]] = {}
+    for var in dataset.data_vars.values():
+        if var.chunks:
+            for d, c in zip(var.dims, var.chunks):
+                size_counts = dim_size_counts.setdefault(d, {})
+                size_counts[c] = size_counts.get(c, 0) + 1
+    dim_sizes: dict[str, int] = {}
+    for d, size_counts in dim_size_counts.items():
+        max_count = 0
+        best = 0
+        for c, count in size_counts.items():
+            if count > max_count:
+                max_count = count
+                best = c
+        dim_sizes[d] = best
+    return dim_sizes
