@@ -1285,6 +1285,14 @@ PS_XMIN, PS_YMIN = 3332323.0, -2422500.0
 PS_RES = 72.0
 PS_YMAX = PS_YMIN + PS_H * PS_RES
 
+# Lambert-93 (EPSG:2154, LCC 2SP) reprojection target (grid rotated by the
+# meridian-convergence difference vs UTM 32N -> 86 m step keeps scales
+# >= 1.05; 1306 of 1536 pixels in-bounds; margins >= 3.8e-3)
+LCC_W, LCC_H = 32, 48
+LCC_XMIN, LCC_YMIN = 1102893.0, 7363078.0
+LCC_RES = 86.0
+LCC_YMAX = LCC_YMIN + LCC_H * LCC_RES
+
 
 def _q_reproject(interp: str, epsg: int = 3035,
                  grid=((26, 36), (4254100.0, 3345300.0), 100.0)):
@@ -1339,6 +1347,9 @@ q_reproject_webmercator = _q_reproject(
 q_reproject_polar_stereo = _q_reproject(
     "nearest", 3413, ((PS_W, PS_H), (PS_XMIN, PS_YMIN), PS_RES)
 )
+q_reproject_lcc = _q_reproject(
+    "nearest", 2154, ((LCC_W, LCC_H), (LCC_XMIN, LCC_YMIN), LCC_RES)
+)
 
 
 def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
@@ -1379,6 +1390,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
     elif target == "stere":
         gw, gh = PS_W, PS_H
         gxmin, gymax, gres = PS_XMIN, PS_YMAX, PS_RES
+    elif target == "lcc":
+        gw, gh = LCC_W, LCC_H
+        gxmin, gymax, gres = LCC_XMIN, LCC_YMAX, LCC_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -1493,6 +1507,39 @@ ll AS (
          degrees(chi + {sA} * sin(2.0 * chi) + {sB} * sin(4.0 * chi)
                  + {sC} * sin(6.0 * chi) + {sD} * sin(8.0 * chi)) AS lat
   FROM s2
+),"""
+    elif target == "lcc":
+        from xcube_resampling_spark.crs import _lcc_setup
+
+        lcc = CRS.from_epsg(2154)
+        ln, laf, lrho0 = _lcc_setup(lcc)
+        le2 = lcc.ellipsoid.e2
+        le4, le6, le8 = le2 * le2, le2 ** 3, le2 ** 4
+        cA = r(le2 / 2 + 5 * le4 / 24 + le6 / 12 + 13 * le8 / 360)
+        cB = r(7 * le4 / 48 + 29 * le6 / 240 + 811 * le8 / 11520)
+        cC = r(7 * le6 / 120 + 81 * le8 / 1120)
+        cD = r(4279 * le8 / 161280)
+        inverse_sql = f"""
+-- Lambert Conformal Conic 2SP (EPSG method 9802) inverse: Snyder sec. 15
+c1s AS (
+  SELECT t, j, i, tx - 700000.0 AS xr,
+         {r(lrho0)} - (ty - 6600000.0) AS yr
+  FROM txy
+),
+c2s AS (
+  SELECT t, j, i, xr, yr, sqrt(xr * xr + yr * yr) AS rho FROM c1s
+),
+c3s AS (
+  SELECT t, j, i, atan2(xr, yr) AS theta,
+         PI() / 2 - 2.0 * atan(pow(rho / {r(laf)}, {r(1.0 / ln)})) AS chi
+  FROM c2s
+),
+ll AS (
+  SELECT t, j, i,
+         3.0 + degrees(theta / {r(ln)}) AS lon,
+         degrees(chi + {cA} * sin(2.0 * chi) + {cB} * sin(4.0 * chi)
+                 + {cC} * sin(6.0 * chi) + {cD} * sin(8.0 * chi)) AS lat
+  FROM c3s
 ),"""
     else:
         a_sph = r(ell.a)
@@ -2476,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm_to_laea_bilinear": _q_reproject("bilinear"),
         "reproject_utm_to_webmercator": q_reproject_webmercator,
         "reproject_utm_to_polar_stereo": q_reproject_polar_stereo,
+        "reproject_utm_to_lcc": q_reproject_lcc,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2546,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
             _reproject_oracle_sql("nearest", "webmerc"),
         "reproject_utm_to_polar_stereo":
             _reproject_oracle_sql("nearest", "stere"),
+        "reproject_utm_to_lcc": _reproject_oracle_sql("nearest", "lcc"),
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -133,3 +133,75 @@ class TestRotatedPole:
         cf = rp.to_cf()
         assert cf["grid_mapping_name"] == "rotated_latitude_longitude"
         assert CRS.from_cf(cf).equals(rp)
+
+
+class TestLambertConformalConic:
+    def test_snyder_ellipsoidal_example(self):
+        """Snyder 'Map Projections -- A Working Manual' sec. 15 numerical
+        example (Clarke 1866, lat1 33N, lat2 45N, origin 23N 96W; point
+        35N 75W -> x 1,894,410.9  y 1,564,649.5)."""
+        from xcube_resampling_spark.crs import (
+            CRS, _Ellipsoid, _lcc_forward, _lcc_inverse,
+        )
+
+        crs = CRS(
+            "lcc", "snyder", _Ellipsoid(6378206.4, 294.978698214),
+            params=(("lat_1", 33.0), ("lat_2", 45.0), ("lat_0", 23.0),
+                    ("lon_0", -96.0), ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        x, y = _lcc_forward(crs, -75.0, 35.0)
+        assert float(x) == pytest.approx(1894410.9, abs=0.5)
+        assert float(y) == pytest.approx(1564649.5, abs=0.5)
+        lon, lat = _lcc_inverse(crs, x, y)
+        assert float(lon) == pytest.approx(-75.0, abs=1e-9)
+        assert float(lat) == pytest.approx(35.0, abs=1e-9)
+
+    def test_lambert93_origin_and_roundtrip(self):
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        l93 = CRS.from_epsg(2154)
+        tr = Transformer.from_crs(CRS.from_epsg(4326), l93)
+        x, y = tr.transform(np.array([3.0]), np.array([46.5]))
+        assert float(x[0]) == pytest.approx(700000.0, abs=1e-6)
+        assert float(y[0]) == pytest.approx(6600000.0, abs=1e-6)
+        inv = Transformer.from_crs(l93, CRS.from_epsg(4326))
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-4, 9, 500)
+        lat = rng.uniform(41, 51, 500)
+        px, py = tr.transform(lon, lat)
+        lon2, lat2 = inv.transform(px, py)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_canada_atlas_roundtrip(self):
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        ca = CRS.from_epsg(3978)
+        fwd = Transformer.from_crs(CRS.from_epsg(4326), ca)
+        inv = Transformer.from_crs(ca, CRS.from_epsg(4326))
+        rng = np.random.default_rng(4)
+        lon = rng.uniform(-140, -50, 500)
+        lat = rng.uniform(42, 83, 500)
+        px, py = fwd.transform(lon, lat)
+        lon2, lat2 = inv.transform(px, py)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_cf_roundtrip_and_1sp_degenerate(self):
+        from xcube_resampling_spark.crs import CRS, _lcc_setup
+
+        l93 = CRS.from_epsg(2154)
+        back = CRS.from_cf(l93.to_cf())
+        assert back.kind == "lcc"
+        assert back.param("lat_1") == 49.0 and back.param("lat_2") == 44.0
+        # 1SP degenerate cone: n == sin(lat_1)
+        one = CRS.from_cf(
+            {
+                "grid_mapping_name": "lambert_conformal_conic",
+                "standard_parallel": 40.0,
+                "latitude_of_projection_origin": 40.0,
+                "longitude_of_central_meridian": 0.0,
+            }
+        )
+        n, _, _ = _lcc_setup(one)
+        assert n == pytest.approx(np.sin(np.radians(40.0)), abs=1e-15)

@@ -31,6 +31,7 @@ __all__ = ["CRS", "Transformer", "CRS_WGS84", "CRS_CRS84"]
 _ELLIPSOIDS = {
     "WGS84": (6378137.0, 298.257223563),
     "GRS80": (6378137.0, 298.257222101),
+    "Clarke1866": (6378206.4, 294.978698214),  # Snyder test points
 }
 
 
@@ -178,6 +179,38 @@ class CRS:
                 ),
                 auth_code="EPSG:3031",
             )
+        if code == 2154:
+            # RGF93 v1 / Lambert-93 (EPSG method 9802, LCC 2SP)
+            return CRS(
+                "lcc",
+                "RGF93 v1 / Lambert-93",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("lat_1", 49.0),
+                    ("lat_2", 44.0),
+                    ("lat_0", 46.5),
+                    ("lon_0", 3.0),
+                    ("x_0", 700000.0),
+                    ("y_0", 6600000.0),
+                ),
+                auth_code="EPSG:2154",
+            )
+        if code == 3978:
+            # NAD83 / Canada Atlas Lambert (EPSG method 9802, LCC 2SP)
+            return CRS(
+                "lcc",
+                "NAD83 / Canada Atlas Lambert",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("lat_1", 49.0),
+                    ("lat_2", 77.0),
+                    ("lat_0", 49.0),
+                    ("lon_0", -95.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3978",
+            )
         raise ValueError(f"unsupported EPSG code: {code}")
 
     @staticmethod
@@ -228,6 +261,26 @@ class CRS:
                     ("lat_ts", float(lat_ts)),
                     ("lon_0", float(attrs.get(
                         "straight_vertical_longitude_from_pole", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "lambert_conformal_conic":
+            sp = attrs.get("standard_parallel")
+            if isinstance(sp, (list, tuple)):
+                lat_1 = float(sp[0])
+                lat_2 = float(sp[1]) if len(sp) > 1 else lat_1
+            else:
+                lat_1 = lat_2 = float(sp)
+            return CRS(
+                "lcc", "Lambert Conformal Conic", ell,
+                params=(
+                    ("lat_1", lat_1),
+                    ("lat_2", lat_2),
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_central_meridian", 0.0))),
                     ("x_0", float(attrs.get("false_easting", 0.0))),
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
@@ -353,6 +406,17 @@ class CRS:
                 grid_mapping_name="rotated_latitude_longitude",
                 grid_north_pole_latitude=self.param("pole_lat"),
                 grid_north_pole_longitude=self.param("pole_lon"),
+                **ell,
+            )
+        if self.kind == "lcc":
+            return dict(
+                grid_mapping_name="lambert_conformal_conic",
+                standard_parallel=[self.param("lat_1"),
+                                   self.param("lat_2")],
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_central_meridian=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
                 **ell,
             )
         raise ValueError(self.kind)
@@ -661,6 +725,89 @@ def _stere_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Lambert Conformal Conic, 2SP (EPSG method 9802; Snyder sec. 15,
+# ellipsoidal).  lat_1 == lat_2 degenerates to the 1SP cone (n = sin lat_1).
+
+
+def _lcc_t_of(e: float, phi):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) * (
+        (1 + e * s) / (1 - e * s)
+    ) ** (e / 2)
+
+
+def _lcc_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e = ell.e
+    phi1 = math.radians(crs.param("lat_1"))
+    phi2 = math.radians(crs.param("lat_2", crs.param("lat_1")))
+    phi0 = math.radians(crs.param("lat_0"))
+
+    def m_of(phi):
+        return math.cos(phi) / math.sqrt(
+            1 - ell.e2 * math.sin(phi) ** 2
+        )
+
+    t0 = float(_lcc_t_of(e, np.float64(phi0)))
+    t1 = float(_lcc_t_of(e, np.float64(phi1)))
+    m1 = m_of(phi1)
+    if abs(phi1 - phi2) < 1e-12:
+        n = math.sin(phi1)
+    else:
+        t2 = float(_lcc_t_of(e, np.float64(phi2)))
+        m2 = m_of(phi2)
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    af = ell.a * m1 / (n * t1 ** n)  # a * F
+    rho0 = af * t0 ** n
+    return n, af, rho0
+
+
+def _lcc_forward(crs: CRS, lon, lat):
+    n, af, rho0 = _lcc_setup(crs)
+    e = crs.ellipsoid.e
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = af * _lcc_t_of(e, phi) ** n
+    theta = n * lam
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def _lcc_inverse(crs: CRS, x, y):
+    n, af, rho0 = _lcc_setup(crs)
+    ell = crs.ellipsoid
+    e2 = ell.e2
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xr, yr)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (rho / af) ** (1.0 / n)
+        theta = np.arctan2(np.sign(n) * xr, np.sign(n) * yr)
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    # conformal -> geographic latitude series (Snyder 3-5)
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+    lon = lon0 + np.degrees(theta / n)
+    lat = np.degrees(phi)
+    lon = np.where(lon > 180.0, lon - 360.0,
+                   np.where(lon <= -180.0, lon + 360.0, lon))
+    return lon, lat
+
+
+# ---------------------------------------------------------------------- #
 # Rotated latitude/longitude (CF rotated_latitude_longitude; spherical
 # rotation as in COSMO / proj ob_tran)
 
@@ -737,6 +884,8 @@ class Transformer:
             lon, lat = _stere_inverse(self.src, x, y)
         elif self.src.kind == "rot_pole":
             lon, lat = _rot_pole_to_geographic(self.src, x, y)
+        elif self.src.kind == "lcc":
+            lon, lat = _lcc_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # from geographic
@@ -750,6 +899,8 @@ class Transformer:
             return _stere_forward(self.dst, lon, lat)
         if self.dst.kind == "rot_pole":
             return _rot_pole_from_geographic(self.dst, lon, lat)
+        if self.dst.kind == "lcc":
+            return _lcc_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
