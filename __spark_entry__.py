@@ -2148,6 +2148,61 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_stream_first_event(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): first
+    event per user across micro-batches, state = one boolean per key.  The
+    query materializes the stream through a single-batch availableNow run
+    (one input file -> deterministic winner = global (ts, event_id) min),
+    so the result has an exact SQL twin (row_number window)."""
+    import tempfile
+
+    from xcube_resampling_spark.streaming.stateful import first_event_per_key
+
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 20000
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    src = tempfile.gettempdir() + "/xcrs_stream_first_event"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    ).parquet(src)
+    out = first_event_per_key(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xcrs_first_event")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table("xcrs_first_event").select(
+        "user_id",
+        F.unix_micros("first_ts").alias("first_ts_us"),
+        "first_event_id",
+        F.round("first_value", 6).alias("first_value"),
+    )
+
+
+SQL_STREAM_FIRST_EVENT = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events WHERE event_id < 20000
+)
+SELECT user_id,
+       CAST(epoch_ns(ts) // 1000 AS BIGINT) AS first_ts_us,
+       event_id AS first_event_id,
+       ROUND(value, 6) AS first_value
+FROM e WHERE rn = 1
+"""
+
+
 _MEDIA_N = 50
 
 
@@ -2537,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "windowed_event_stats": q_windowed_event_stats,
         "sessionize": q_sessionize,
+        "stream_first_event": q_stream_first_event,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
     }
@@ -2608,5 +2664,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": SQL_KNN_IVF,
         "windowed_event_stats": SQL_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
+        "stream_first_event": SQL_STREAM_FIRST_EVENT,
         "pricing_summary": SQL_PRICING,
     }

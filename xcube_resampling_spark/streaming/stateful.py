@@ -1,0 +1,94 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference engine is batch-only (SURVEY.md section 2.9), so like
+``streaming/windows.py`` these are scale-out extensions.  The pattern here
+is the one Structured Streaming prescribes for operators its built-ins
+can't express: group by key, hold explicit per-key state across
+micro-batches, emit in update mode, bound state with a watermark/timeout.
+
+``first_event_per_key`` is streaming first-occurrence filtering -- the
+streaming face of exact dedup: an unbounded firehose keyed by user (or by
+content hash for document dedup) where only each key's first record may
+pass downstream.  State per key is a single boolean, so state size is
+O(distinct keys) regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+FIRST_EVENT_SCHEMA = (
+    "user_id bigint, first_ts timestamp, first_event_id bigint,"
+    " first_value double"
+)
+_STATE_SCHEMA = "seen boolean"
+
+
+def first_event_per_key(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Emit each key's FIRST event (min (ts, event_id)) exactly once
+    across the whole stream; suppress every later occurrence.
+
+    Streaming path: ``applyInPandasWithState`` in update mode -- one
+    boolean of state per key; a key emits on the micro-batch where it is
+    first seen and never again.  Within a batch the winner is the
+    (ts, event_id)-minimum, matching the deterministic batch twin below.
+
+    Batch path (same function on a non-streaming frame): a row_number
+    window -- the SQL-expressible twin the DuckDB oracle checks.
+    """
+    if not events.isStreaming:
+        win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("first_ts"),
+                F.col("event_id").alias("first_event_id"),
+                F.col("value").alias("first_value"),
+            )
+        )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(["ts", "event_id"]).iloc[0]
+            cand = (top["ts"], top["event_id"], top["value"])
+            if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                best = cand
+        if state.exists or best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_ts": [best[0]],
+                "first_event_id": [best[1]],
+                "first_value": [best[2]],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            FIRST_EVENT_SCHEMA,
+            _STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
