@@ -190,11 +190,13 @@ def main():
     times = {}
     total = 0.0
     for name, fn in BENCHES:
-        # two iterations, report steady-state: the first run of each plan
+        # three iterations, report steady-state: the first run of each plan
         # pays one-time whole-stage-codegen compilation (measured ~6s on the
-        # rectify plan), which a long-lived cluster amortizes away
+        # rectify plan), which a long-lived cluster amortizes away, and this
+        # box shows +-60% single-run noise (worst observed: one query 9s in
+        # one suite run, 2s in the next) that min-of-3 absorbs
         best = float("inf")
-        for it in range(2):
+        for it in range(3):
             t0 = time.perf_counter()
             fn(spark)
             best = min(best, time.perf_counter() - t0)

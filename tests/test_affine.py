@@ -230,3 +230,108 @@ class TestAffineGoldens:
         with pytest.raises(ValueError) as excinfo:
             run(spark, source, target_gm, interp_methods=3)
         assert "interp_methods must be one of 0, 1" in str(excinfo.value)
+
+
+class TestGatherFused:
+    """gather_fused is the single-shuffle block-local twin of _gather;
+    must be value-identical including NaN data, SQL-NULL (absent) pixels,
+    numeric fills, negative scales, positional index maps, and must emit
+    real NaNs (not SQL NULLs) like the join path does."""
+
+    def _src(self, spark):
+        import pandas as pd
+
+        rng = np.random.default_rng(9)
+        src_w, src_h = 30, 24
+        jj, ii = np.meshgrid(
+            np.arange(src_h), np.arange(src_w), indexing="ij"
+        )
+        val = rng.normal(size=jj.shape)
+        val[3, 4] = np.nan
+        pdf = pd.DataFrame(
+            {
+                "t": np.zeros(jj.size, "int32"),
+                "j": jj.ravel().astype("int32"),
+                "i": ii.ravel().astype("int32"),
+                "value": val.ravel(),
+            }
+        )
+        pdf = pdf[~((pdf.j == 10) & (pdf.i == 10))]
+        return spark.createDataFrame(pdf), (src_w, src_h)
+
+    def _compare(self, spark, matrix4, gsize, interp, rec, fill,
+                 idx_map=(1, 1, 0, 0)):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.dataset import grid_df
+        from xcube_resampling_spark.operators.affine import (
+            _gather,
+            gather_fused,
+        )
+
+        src, src_size = self._src(spark)
+        w, h = gsize
+        grid = grid_df(spark, w, h, 1)
+        idx_cols = ("j", "i")
+        if idx_map != (1, 1, 0, 0):
+            k_j, k_i, p_j, p_i = idx_map
+            grid = grid.select(
+                "t", "j", "i",
+                (F.col("j") * k_j + p_j).alias("jj"),
+                (F.col("i") * k_i + p_i).alias("ii"),
+            )
+            idx_cols = ("jj", "ii")
+        ref = _gather(
+            grid, src, matrix4, src_size, interp, rec, fill, idx_cols
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        got_df = gather_fused(
+            spark, src, matrix4, src_size, gsize, 1, interp, rec, fill,
+            idx_map, block_rows=7,
+        )
+        assert got_df.filter(F.col("value").isNull()).count() == 0
+        got = got_df.toPandas().sort_values(
+            ["t", "j", "i"]
+        ).reset_index(drop=True)
+        a = ref["value"].to_numpy()
+        b = got["value"].to_numpy()
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), int((~same).sum())
+
+    def test_upscale_bilinear(self, spark):
+        self._compare(spark, (0.5, -0.25, 0.5, -0.25), (60, 48), 1, False,
+                      float("nan"))
+
+    def test_shift_nearest_numeric_fill(self, spark):
+        self._compare(spark, (1.0, 5.5, 1.0, -3.5), (30, 24), 0, False,
+                      -999.0)
+
+    def test_negative_j_scale(self, spark):
+        self._compare(spark, (1.0, 0.0, -1.0, 23.0), (30, 24), 1, False,
+                      float("nan"))
+
+    def test_recover_nan(self, spark):
+        self._compare(spark, (0.5, -0.25, 0.5, -0.25), (60, 48), 1, True,
+                      float("nan"))
+
+    def test_positional_index_map(self, spark):
+        self._compare(spark, (0.3, 0.0, 0.3, 0.0), (10, 8), 0, False,
+                      -1.0, idx_map=(3, 3, 1, 1))
+
+    def test_nan_not_null_through_arrow(self, spark):
+        """Fill NaNs must survive the Arrow hop as real NaNs."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.operators.affine import gather_fused
+
+        src = spark.createDataFrame(
+            pd.DataFrame(
+                {"t": [0], "j": [0], "i": [0], "value": [1.0]}
+            )
+        )
+        out = gather_fused(
+            spark, src, (1.0, 5.0, 1.0, 5.0), (1, 1), (4, 4), 1, 0,
+            False, float("nan"),
+        )
+        assert out.filter(F.col("value").isNull()).count() == 0
+        assert out.filter(F.isnan("value")).count() == 16

@@ -504,6 +504,8 @@ class TestRectifyFused:
         )
 
     def _compare(self, spark, interp, fill, num_t=1, values=None):
+        from pyspark.sql import functions as F
+
         from xcube_resampling_spark.crs import CRS_WGS84
         from xcube_resampling_spark.operators.rectify import (
             fuse_coords_values,
@@ -521,10 +523,15 @@ class TestRectifyFused:
             spark, winners, values_df, src_size, tgm.size, num_t, interp,
             fill, False,
         ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
-        got = rectify_fused_tiled(
+        got_df = rectify_fused_tiled(
             fuse_coords_values(coords, values_df, num_t), tgm, src_size,
             num_t, interp, fill, False, block_rows=16, dst_block_rows=16,
-        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        )
+        # NaNs must survive the Arrow hop as real NaNs, never SQL NULLs
+        assert got_df.filter(F.col("value").isNull()).count() == 0
+        got = got_df.toPandas().sort_values(
+            ["t", "j", "i"]
+        ).reset_index(drop=True)
         assert len(ref) == len(got)
         a = ref["value"].to_numpy()
         b = got["value"].to_numpy()

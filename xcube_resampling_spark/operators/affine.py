@@ -195,21 +195,17 @@ def resample_pixels(
             # positional reducer: gather exactly one subpixel per output
             # pixel -- avoids the k*k intermediate entirely
             pj, pi = position_for(agg_method, k_j, k_i)
-            grid = grid_df(spark, w, h, num_t).select(
-                "t", "j", "i",
-                (F.col("j") * k_j + pj).alias("jj"),
-                (F.col("i") * k_i + pi).alias("ii"),
+            return gather_fused(
+                spark, src_df, adj, source_size, (w, h), num_t,
+                interp_method, recover_nan, fill_value,
+                idx_map=(k_j, k_i, pj, pi),
             )
-            return _gather(
-                grid, src_df, adj, source_size, interp_method,
-                recover_nan, fill_value, ("jj", "ii"),
-            ).select("t", "j", "i", "value")
 
-        # full intermediate grid, then window aggregation
-        inter = grid_df(spark, w * k_i, h * k_j, num_t)
-        gathered = _gather(
-            inter, src_df, adj, source_size, interp_method,
-            recover_nan, fill_value, ("j", "i"),
+        # full intermediate grid (fused single-shuffle gather), then
+        # window aggregation
+        gathered = gather_fused(
+            spark, src_df, adj, source_size, (w * k_i, h * k_j), num_t,
+            interp_method, recover_nan, fill_value,
         ).select(
             "t",
             (F.col("j") / k_j).cast("int").alias("J"),
@@ -221,11 +217,10 @@ def resample_pixels(
             "t", F.col("J").alias("j"), F.col("I").alias("i"), "value"
         )
 
-    grid = grid_df(spark, w, h, num_t)
-    return _gather(
-        grid, src_df, (i_scale, i_off, j_scale, j_off), source_size,
-        interp_method, recover_nan, fill_value, ("j", "i"),
-    ).select("t", "j", "i", "value")
+    return gather_fused(
+        spark, src_df, (i_scale, i_off, j_scale, j_off), source_size,
+        (w, h), num_t, interp_method, recover_nan, fill_value,
+    )
 
 
 def _snap(v: float, tol: float = 1e-9) -> float:
@@ -382,3 +377,217 @@ def _gather(
         & (F.col("_sjf") >= 0) & (F.col("_sjf") <= src_h - 1)
     )).select("t", "j", "i", fill.alias("value"))
     return computed.unionByName(oob)
+
+
+def gather_fused(
+    spark: SparkSession,
+    src_df: DataFrame,
+    matrix4: tuple[float, float, float, float],
+    source_size: tuple[int, int],
+    grid_size: tuple[int, int],
+    num_t: int,
+    interp_method: int,
+    recover_nan: bool,
+    fill_value,
+    idx_map: tuple[int, int, int, int] = (1, 1, 0, 0),
+    block_rows: int = 64,
+) -> DataFrame:
+    """Single-shuffle block-local twin of :func:`_gather`.
+
+    Source pixels are routed to the target j-blocks that can reference them
+    (inverse-affine row range +- slack -- a cheap superset, correctness
+    lives in the kernel), then each block evaluates the whole order-0/1
+    spline in one numpy pass: no neighbor explode, no join, no pivot, no
+    union for out-of-bounds rows.  Emits the dense (t, j, i, value) grid.
+
+    ``idx_map`` = (k_j, k_i, p_j, p_i): grid row j samples gather row
+    ``j * k_j + p_j`` (the positional-downscale shortcut); (1, 1, 0, 0) is
+    the identity.  Blocks span full grid rows -- fine up to ~10^5-wide
+    scenes; wider targets would block in i as well.
+
+    Value semantics are _gather's exactly: per-neighbor
+    ``coalesce(value, fill)`` (SQL NULL or absent pixel -> fill, genuine
+    NaN propagates through the blend), nearest rounds with
+    ``floor(x + 0.5)`` and bounds-checks the rounded index, bilinear
+    clamps ``i0 <= src_w - 2`` and bounds-checks the unrounded coordinate,
+    ``recover_nan`` renormalizes by the blended finite-mask.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    i_scale, i_off, j_scale, j_off = (float(v) for v in matrix4)
+    src_w, src_h = source_size
+    w, h = grid_size
+    k_j, k_i, p_j, p_i = idx_map
+    fill = float(fill_value)
+    B = int(block_rows)
+    n_blk = (h + B - 1) // B
+
+    # pivot values to wide per-t columns (rectify's fuse pattern: Arrow
+    # list columns cost per-row Python objects, wide columns are numpy
+    # views).  num_t == 1 is a pure projection -- no shuffle.
+    if num_t == 1:
+        vals = src_df.select(
+            "j", "i", F.col("value").alias("val_0"),
+        )
+    else:
+        vals = src_df.groupBy("j", "i").agg(
+            *[
+                F.max(F.when(F.col("t") == k, F.col("value")))
+                .alias(f"val_{k}")
+                for k in range(num_t)
+            ]
+        )
+    vals = vals.select(
+        "j", "i",
+        *[F.col(f"val_{k}") for k in range(num_t)],
+        *[
+            F.col(f"val_{k}").isNotNull().alias(f"pres_{k}")
+            for k in range(num_t)
+        ],
+    )
+
+    # target-block routing: source row sj can be referenced by grid rows
+    # whose src_jf lands within +-1.5 of it (nearest +-0.5, bilinear +-1,
+    # plus slack); invert src_jf = j_scale * (j*k_j + p_j) + j_off
+    lo_f = (F.col("j") - 1.5 - F.lit(j_off)) / F.lit(j_scale)
+    hi_f = (F.col("j") + 1.5 - F.lit(j_off)) / F.lit(j_scale)
+    jj_lo = F.least(lo_f, hi_f)          # j_scale < 0 flips the interval
+    jj_hi = F.greatest(lo_f, hi_f)
+    g_lo = F.greatest(
+        F.floor((jj_lo - p_j) / k_j).cast("int"), F.lit(0)
+    )
+    g_hi = F.least(
+        F.ceil((jj_hi - p_j) / k_j).cast("int"), F.lit(h - 1)
+    )
+    routed = vals.filter(g_hi >= g_lo).select(
+        "*",
+        F.explode(
+            F.sequence(
+                (g_lo / B).cast("int"), (g_hi / B).cast("int")
+            )
+        ).alias("blk"),
+    )
+    sentinels = spark.range(n_blk).select(
+        F.col("id").cast("int").alias("blk"),
+        F.lit(None).cast("int").alias("j"),
+        F.lit(None).cast("int").alias("i"),
+        *[
+            F.lit(None).cast("double").alias(f"val_{k}")
+            for k in range(num_t)
+        ],
+        *[
+            F.lit(None).cast("boolean").alias(f"pres_{k}")
+            for k in range(num_t)
+        ],
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("t", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(key, pdf):
+        bb = int(key[0])
+        j_start = bb * B
+        rows_h = min(B, h - j_start)
+        real = pdf[pdf["j"].notna()]
+        if len(real):
+            sj_arr = real["j"].to_numpy(np.int64)
+            si_arr = real["i"].to_numpy(np.int64)
+            sj_lo = int(sj_arr.min())
+            sj_n = int(sj_arr.max()) - sj_lo + 1
+            V = np.full((num_t, sj_n, src_w), fill)
+            for k in range(num_t):
+                v = real[f"val_{k}"].to_numpy(np.float64)
+                p = real[f"pres_{k}"].fillna(False).to_numpy(bool)
+                V[k, sj_arr - sj_lo, si_arr] = np.where(p, v, fill)
+        else:
+            sj_lo, sj_n = 0, 1
+            V = np.full((num_t, 1, src_w), fill)
+
+        jj = (np.arange(j_start, j_start + rows_h) * k_j + p_j)
+        ii = (np.arange(w) * k_i + p_i)
+        src_jf = j_scale * jj + j_off                # (rows,)
+        src_if = i_scale * ii + i_off                # (cols,)
+
+        if interp_method == 0:
+            si = np.floor(src_if + 0.5).astype(np.int64)
+            sj = np.floor(src_jf + 0.5).astype(np.int64)
+            rmask = (sj >= 0) & (sj <= src_h - 1)
+            cmask = (si >= 0) & (si <= src_w - 1)
+            # direct gather: rows x cols outer indexing
+            sjc = np.clip(sj - sj_lo, 0, sj_n - 1)
+            sic = np.clip(si, 0, src_w - 1)
+            out = V[:, sjc[:, None], sic[None, :]]
+            bad = ~(rmask[:, None] & cmask[None, :])
+            out = np.where(bad[None, :, :], fill, out)
+        else:
+            rmask = (src_jf >= 0) & (src_jf <= src_h - 1)
+            cmask = (src_if >= 0) & (src_if <= src_w - 1)
+            i0 = np.minimum(np.floor(src_if), src_w - 2).astype(np.int64)
+            j0 = np.minimum(np.floor(src_jf), src_h - 2).astype(np.int64)
+            fx = (src_if - i0)[None, :]              # (1, cols)
+            fy = (src_jf - j0)[:, None]              # (rows, 1)
+            j0c = np.clip(j0 - sj_lo, 0, sj_n - 1)
+            j1c = np.clip(j0 + 1 - sj_lo, 0, sj_n - 1)
+            i0c = np.clip(i0, 0, src_w - 1)
+            i1c = np.clip(i0 + 1, 0, src_w - 1)
+            v00 = V[:, j0c[:, None], i0c[None, :]]
+            v01 = V[:, j0c[:, None], i1c[None, :]]
+            v10 = V[:, j1c[:, None], i0c[None, :]]
+            v11 = V[:, j1c[:, None], i1c[None, :]]
+
+            def blend(a00, a01, a10, a11):
+                vu0 = a00 + fx * (a01 - a00)
+                vu1 = a10 + fx * (a11 - a10)
+                return vu0 + fy * (vu1 - vu0)
+
+            if recover_nan:
+                def z(c):
+                    return np.where(np.isnan(c), 0.0, c)
+
+                def m(c):
+                    return np.where(np.isnan(c), 0.0, 1.0)
+
+                scaled = blend(z(v00), z(v01), z(v10), z(v11))
+                norm = blend(m(v00), m(v01), m(v10), m(v11))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = np.where(
+                        np.abs(norm) <= 1e-8, np.nan, scaled / norm
+                    )
+            else:
+                out = blend(v00, v01, v10, v11)
+            bad = ~(rmask[:, None] & cmask[None, :])
+            out = np.where(bad[None, :, :], fill, out)
+
+        jj_out, ii_out = np.meshgrid(
+            np.arange(rows_h, dtype=np.int32),
+            np.arange(w, dtype=np.int32),
+            indexing="ij",
+        )
+        return pd.DataFrame(
+            {
+                "t": np.repeat(
+                    np.arange(num_t, dtype=np.int32), rows_h * w
+                ),
+                "j": np.tile((jj_out + j_start).ravel(), num_t),
+                "i": np.tile(ii_out.ravel(), num_t),
+                "value": out.reshape(num_t * rows_h * w),
+            }
+        )
+
+    out = routed.unionByName(sentinels).groupBy("blk").applyInPandas(
+        kernel, out_schema
+    )
+    # the Arrow hop converts the kernel's NaN doubles to SQL NULLs (pandas
+    # uses NaN as its null sentinel); _gather's contract is NaN and no
+    # output is legitimately NULL, so restore
+    return out.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
+    )

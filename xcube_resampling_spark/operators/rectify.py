@@ -1066,8 +1066,15 @@ def rectify_fused_tiled(
             }
         )
 
-    return matches.unionByName(sentinels).groupBy("dst_blk").applyInPandas(
+    out = matches.unionByName(sentinels).groupBy("dst_blk").applyInPandas(
         densify_kernel, PIXEL_SCHEMA
+    )
+    # the Arrow hop converts the kernel's NaN doubles to SQL NULLs (pandas
+    # uses NaN as its null sentinel); the operator's contract is NaN --
+    # un-fused gather_var emits real NaNs -- and no output is legitimately
+    # NULL, so restore
+    return out.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
     )
 
 
