@@ -227,3 +227,85 @@ class TestReproject:
             "interp_methods must be one of 0, 1, 'nearest', 'bilinear', "
             "'triangular'" in str(excinfo.value)
         )
+
+
+class TestGatherInterpFused:
+    """gather_interp_fused (cogrouped block kernel) must be value-identical
+    to the join+pivot _gather_interp, including NaN data, absent pixels,
+    out-of-source stencils, exact-integer indices (ceil == floor), numeric
+    fills, the nearest-skips-int-cast rule, and must emit real NaNs."""
+
+    @staticmethod
+    def _data(spark):
+        import pandas as pd
+
+        rng = np.random.default_rng(13)
+        src_w, src_h = 33, 41
+        jj, ii = np.meshgrid(
+            np.arange(src_h), np.arange(src_w), indexing="ij"
+        )
+        val = rng.normal(size=jj.shape)
+        val[5, 6] = np.nan
+        pdf = pd.DataFrame(
+            {
+                "t": np.zeros(jj.size, "int32"),
+                "j": jj.ravel().astype("int32"),
+                "i": ii.ravel().astype("int32"),
+                "value": val.ravel(),
+            }
+        )
+        pdf = pdf[~((pdf.j == 20) & (pdf.i == 20))]
+        tw, th = 29, 37
+        tjj, tii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        ix = 1.17 * tii + 0.1 * np.sin(tjj * 0.3) - 2.0
+        iy = 1.23 * tjj + 0.2 * np.cos(tii * 0.2) - 1.5
+        ix[3, 3] = 7.0
+        iy[3, 3] = 9.0
+        gpdf = pd.DataFrame(
+            {
+                "j": tjj.ravel().astype("int32"),
+                "i": tii.ravel().astype("int32"),
+                "ix": ix.ravel(),
+                "iy": iy.ravel(),
+            }
+        )
+        return (
+            spark.createDataFrame(pdf),
+            spark.createDataFrame(gpdf),
+            (src_w, src_h),
+        )
+
+    @pytest.mark.parametrize(
+        "interp,fill,is_int",
+        [
+            ("nearest", float("nan"), False),
+            ("nearest", -777.0, True),
+            ("bilinear", float("nan"), False),
+            ("bilinear", -777.0, False),
+            ("triangular", float("nan"), False),
+        ],
+    )
+    def test_matches_join_gather(self, spark, interp, fill, is_int):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.operators.reproject import (
+            _gather_interp,
+            gather_interp_fused,
+        )
+
+        src, grid2d, src_size = self._data(spark)
+        ref = _gather_interp(
+            grid2d, src, spark, src_size, 1, interp, fill, is_int
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        got_df = gather_interp_fused(
+            grid2d, src, spark, src_size, 1, interp, fill, is_int,
+            block_rows=8,
+        )
+        assert got_df.filter(F.col("value").isNull()).count() == 0
+        got = got_df.toPandas().sort_values(
+            ["t", "j", "i"]
+        ).reset_index(drop=True)
+        a = ref["value"].to_numpy()
+        b = got["value"].to_numpy()
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), int((~same).sum())

@@ -196,7 +196,9 @@ def reproject_dataset(
             interp = get_interp_method_str(interp_methods, name, var.dtype)
             fill = get_fill_value(fill_values, name, var.dtype)
             num_t = num_t_of(source_ds, var)
-            df = _gather_interp(
+            # cogrouped single-pass gather (equivalence-tested against the
+            # join+pivot _gather_interp, which stays as the SQL reference)
+            df = gather_interp_fused(
                 grid2d, var.df, spark, (src_w, src_h), num_t, interp,
                 fill, is_int_dtype(var.dtype),
             )
@@ -450,3 +452,174 @@ def clip_dataset_by_bbox(
         coords[x_name], coords[y_name], gm.crs,
     )
     return new_ds, new_gm
+
+
+def gather_interp_fused(
+    grid2d: DataFrame,
+    src_df: DataFrame,
+    spark,
+    source_size: tuple[int, int],
+    num_t: int,
+    interp_method: str,
+    fill_value,
+    is_int: bool,
+    block_rows: int = 64,
+) -> DataFrame:
+    """Cogrouped single-pass twin of :func:`_gather_interp`.
+
+    Both inputs are bucketed by source j-block (target pixels by
+    ``floor(iy) // B``, source rows by ``j // B`` with the first row of
+    each block duplicated down so a ``floor/ceil`` stencil never crosses a
+    block edge), then ONE cogrouped ``applyInPandas`` evaluates the whole
+    nearest/bilinear/triangular interpolation in numpy: two bucketing
+    shuffles of unexpanded rows replace the 4-way neighbor explode + join
+    + pivot (which shuffled 4 x num_t rows per target pixel).
+
+    Value semantics are _gather_interp's exactly: nearest rounds
+    half-to-even (``bround`` == ``np.rint``) and bounds-checks the rounded
+    index; bilinear/triangular read ``floor``/``ceil`` corners with
+    per-corner out-of-source -> fill (the reference's padded gather
+    blocks, reproject.py:516); SQL NULL / absent pixels -> fill; genuine
+    NaN values propagate; int outputs truncate toward zero.
+    """
+    if interp_method not in ("nearest", "bilinear", "triangular"):
+        raise NotImplementedError(
+            f"{_NOT_IMPLEMENTED_ERROR}, was '{interp_method}'."
+        )
+    src_w, src_h = source_size
+    fill = float(fill_value)
+    B = int(block_rows)
+
+    if num_t == 1:
+        vals = src_df.select("j", "i", F.col("value").alias("val_0"))
+    else:
+        vals = src_df.groupBy("j", "i").agg(
+            *[
+                F.max(F.when(F.col("t") == k, F.col("value")))
+                .alias(f"val_{k}")
+                for k in range(num_t)
+            ]
+        )
+    b = F.floor(F.col("j") / B).cast("int")
+    src_b = vals.select(
+        "j", "i",
+        *[F.col(f"val_{k}") for k in range(num_t)],
+        *[
+            F.col(f"val_{k}").isNotNull().alias(f"pres_{k}")
+            for k in range(num_t)
+        ],
+        F.explode(
+            F.when(
+                (F.col("j") % B == 0) & (F.col("j") >= B),
+                F.array(b, b - 1),
+            ).otherwise(F.array(b))
+        ).alias("blk"),
+    )
+    tgt_b = grid2d.select(
+        "j", "i", "ix", "iy",
+        F.least(
+            F.greatest(F.floor(F.col("iy")), F.lit(0)),
+            F.lit(src_h - 1),
+        ).cast("int").alias("cj"),
+    ).select(
+        "j", "i", "ix", "iy",
+        (F.col("cj") / B).cast("int").alias("blk"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("t", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(src_pdf, tgt_pdf):
+        n_tgt = len(tgt_pdf)
+        if n_tgt == 0:
+            return pd.DataFrame(
+                {f.name: [] for f in out_schema.fields}
+            )
+        if len(src_pdf):
+            sj_arr = src_pdf["j"].to_numpy(np.int64)
+            si_arr = src_pdf["i"].to_numpy(np.int64)
+            sj_lo = int(sj_arr.min())
+            sj_n = int(sj_arr.max()) - sj_lo + 1
+            V = np.full((num_t, sj_n, src_w), fill)
+            for k in range(num_t):
+                v = src_pdf[f"val_{k}"].to_numpy(np.float64)
+                p = src_pdf[f"pres_{k}"].fillna(False).to_numpy(bool)
+                V[k, sj_arr - sj_lo, si_arr] = np.where(p, v, fill)
+        else:
+            sj_lo, sj_n = 0, 1
+            V = np.full((num_t, 1, src_w), fill)
+
+        ix = tgt_pdf["ix"].to_numpy(np.float64)
+        iy = tgt_pdf["iy"].to_numpy(np.float64)
+
+        def corner(sj, si):
+            ok = (
+                (sj >= 0) & (sj <= src_h - 1)
+                & (si >= 0) & (si <= src_w - 1)
+                & (sj >= sj_lo) & (sj < sj_lo + sj_n)
+            )
+            v = V[
+                :,
+                np.clip(sj - sj_lo, 0, sj_n - 1),
+                np.clip(si, 0, src_w - 1),
+            ]
+            return np.where(ok[None, :], v, fill)
+
+        if interp_method == "nearest":
+            si = np.rint(ix).astype(np.int64)
+            sj = np.rint(iy).astype(np.int64)
+            out = corner(sj, si)
+        else:
+            i0 = np.floor(ix).astype(np.int64)
+            i1 = np.ceil(ix).astype(np.int64)
+            j0 = np.floor(iy).astype(np.int64)
+            j1 = np.ceil(iy).astype(np.int64)
+            fx = ix - i0
+            fy = iy - j0
+            v00 = corner(j0, i0)
+            v01 = corner(j0, i1)
+            v10 = corner(j1, i0)
+            v11 = corner(j1, i1)
+            if interp_method == "bilinear":
+                vu0 = v00 + fx * (v01 - v00)
+                vu1 = v10 + fx * (v11 - v10)
+                out = vu0 + fy * (vu1 - vu0)
+            else:  # triangular (reference reproject.py:285-314)
+                closest = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                opposite = (
+                    v11 + (1.0 - fx) * (v10 - v11)
+                    + (1.0 - fy) * (v01 - v11)
+                )
+                out = np.where(fx + fy < 1.0, closest, opposite)
+            # parity with _gather_interp: the int cast applies only to
+            # interpolated (blended) outputs; nearest returns the stored
+            # value unchanged
+            if is_int:
+                out = np.trunc(out)
+
+        tj = tgt_pdf["j"].to_numpy(np.int32)
+        ti = tgt_pdf["i"].to_numpy(np.int32)
+        return pd.DataFrame(
+            {
+                "t": np.repeat(np.arange(num_t, dtype=np.int32), n_tgt),
+                "j": np.tile(tj, num_t),
+                "i": np.tile(ti, num_t),
+                "value": out.reshape(num_t * n_tgt),
+            }
+        )
+
+    out = (
+        src_b.groupBy("blk")
+        .cogroup(tgt_b.groupBy("blk"))
+        .applyInPandas(lambda left, right: kernel(left, right), out_schema)
+    )
+    # Arrow hop NaN -> NULL restoration (operator contract is NaN)
+    return out.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
+    )
