@@ -335,3 +335,24 @@ class TestGatherFused:
         )
         assert out.filter(F.col("value").isNull()).count() == 0
         assert out.filter(F.isnan("value")).count() == 16
+
+
+def test_gather_fused_single_shuffle_plan(spark):
+    """The fused gather's physical plan contains exactly ONE exchange (the
+    block bucketing) -- the design contract vs the explode-join's three."""
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.operators.affine import gather_fused
+
+    src = spark.range(100).select(
+        F.lit(0).cast("int").alias("t"),
+        (F.col("id") / 10).cast("int").alias("j"),
+        (F.col("id") % 10).cast("int").alias("i"),
+        F.rand(1).alias("value"),
+    )
+    out = gather_fused(
+        spark, src, (0.5, 0.0, 0.5, 0.0), (10, 10), (20, 20), 1, 1,
+        False, float("nan"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -567,3 +567,27 @@ class TestRectifyFused:
             spark, "bilinear", float("nan"), num_t=2,
             values=spark.createDataFrame(v3),
         )
+
+
+def test_rectify_fused_two_shuffle_plan(spark):
+    """The fused rectify pipeline's physical plan contains exactly TWO
+    exchanges (source j-blocks in, target j-blocks out) -- no source-table
+    join, no generated-grid join."""
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.operators.rectify import rectify_fused_tiled
+
+    fused = spark.range(100).select(
+        (F.col("id") / 10).cast("int").alias("j"),
+        (F.col("id") % 10).cast("int").alias("i"),
+        (F.col("id") % 10 * 1.0).alias("x"),
+        (F.col("id") / 10 * 1.0).alias("y"),
+        F.rand(1).alias("val_0"),
+        F.lit(True).alias("pres_0"),
+    )
+    tgm = GridMapping.regular((10, 10), (0.0, 0.0), 1.0, CRS_WGS84)
+    out = rectify_fused_tiled(
+        fused, tgm, (10, 10), 1, "nearest", float("nan"), False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2

@@ -309,3 +309,33 @@ class TestGatherInterpFused:
         b = got["value"].to_numpy()
         same = (np.isnan(a) & np.isnan(b)) | (a == b)
         assert same.all(), int((~same).sum())
+
+
+def test_gather_interp_fused_two_shuffle_plan(spark):
+    """The cogrouped gather's physical plan contains exactly TWO exchanges
+    (source rows and target-index rows each bucketed once by block) -- no
+    neighbor explode, no pivot shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.operators.reproject import (
+        gather_interp_fused,
+    )
+
+    src = spark.range(100).select(
+        F.lit(0).cast("int").alias("t"),
+        (F.col("id") / 10).cast("int").alias("j"),
+        (F.col("id") % 10).cast("int").alias("i"),
+        F.rand(1).alias("value"),
+    )
+    grid2d = spark.range(64).select(
+        (F.col("id") / 8).cast("int").alias("j"),
+        (F.col("id") % 8).cast("int").alias("i"),
+        (F.col("id") % 8 * 1.2).alias("ix"),
+        (F.col("id") / 8 * 1.2).alias("iy"),
+    )
+    out = gather_interp_fused(
+        grid2d, src, spark, (10, 10), 1, "bilinear", float("nan"), False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
