@@ -1789,6 +1789,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_minhash_lsh(_docs2(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Pairs -> clusters: connected components (iterative min-label
+    propagation, dedup.py dup_components) over the MinHash near-duplicate
+    pairs.  The DuckDB oracle recomputes the same pairs and resolves the
+    components with a recursive CTE -- an independent fixpoint formulation
+    of the same graph closure."""
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_minhash_lsh,
+        dup_components,
+    )
+
+    pairs = dedup_minhash_lsh(_docs2(spark, sf_dir), threshold=0.5)
+    return dup_components(pairs).select("node", "component")
+
+
 def _minhash_perm_sql():
     from xcube_resampling_spark.extensions.dedup import (
         MINHASH_A,
@@ -1841,6 +1856,24 @@ FROM common
 JOIN sizes za ON za.doc_id = id_a
 JOIN sizes zb ON zb.doc_id = id_b
 WHERE ROUND(n_common / (za.n + zb.n - n_common), 6) >= 0.5
+"""
+
+
+# components oracle: same pairs, closure via recursive CTE (independent
+# fixpoint formulation of the min-reachable-id semantics)
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
 """
 
 
@@ -2585,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2657,6 +2691,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_embedding_cosine_lsh": _sql_dedup_emb_lsh(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": SQL_DEDUP_EMB,

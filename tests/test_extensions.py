@@ -538,3 +538,35 @@ def test_first_event_per_key_streaming_matches_batch(spark, tmp_path):
         assert g.first_event_id in (r.first_event_id, 1)
     # user 2 must match exactly (single batch)
     assert got[2].first_event_id == batch[2].first_event_id
+
+
+def test_dup_components_chains_and_diameter(spark):
+    """Min-label propagation resolves multi-hop chains (graph diameter >
+    1 round) to the component minimum, leaves separate clusters apart,
+    and converges by the monotone label-sum fixpoint check."""
+    from xcube_resampling_spark.extensions.dedup import (
+        dup_components,
+        release_cached,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # a 6-node path: forces several propagation rounds
+            (7, 8), (8, 9), (9, 10), (10, 11), (11, 12),
+            # a triangle with a lower id
+            (1, 2), (2, 3), (1, 3),
+            # an isolated pair
+            (100, 101),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component for r in dup_components(pairs).collect()
+    }
+    release_cached()
+    assert {n: got[n] for n in (7, 8, 9, 10, 11, 12)} == {
+        n: 7 for n in (7, 8, 9, 10, 11, 12)
+    }
+    assert {n: got[n] for n in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
+    assert got[100] == 100 and got[101] == 100
+    assert len(got) == 11

@@ -523,3 +523,60 @@ def dedup_embedding_cosine_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    the MINIMUM doc id reachable through the pair graph as its component
+    id -- the clustering stage that turns pairwise dedup output into
+    keep-one groups.
+
+    Iterative min-label propagation (the standard scale-out CC shape, cf.
+    Kiveris et al. "Connected Components in MapReduce"): each round joins
+    current labels across the symmetric edge list and takes the min of
+    (own label, neighbors' labels); a scalar convergence check per round
+    (sum of labels -- monotonically decreasing, so equal sum == fixpoint)
+    keeps driver traffic to one number.  Rounds needed = graph diameter;
+    duplicate clusters are near-cliques, so 2-3 in practice.  Each round
+    is two map-side-combinable shuffles -- no collect of nodes or edges.
+    """
+    a, b = id_cols
+    edges = pairs.select(
+        F.col(a).alias("u"), F.col(b).alias("v")
+    ).unionByName(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    ).distinct()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).persist()
+    labels.count()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.select("node", F.col("lab").alias("component"))
+    _PERSISTED.append(labels)
+    return out
