@@ -1293,6 +1293,14 @@ LCC_XMIN, LCC_YMIN = 1102893.0, 7363078.0
 LCC_RES = 86.0
 LCC_YMAX = LCC_YMIN + LCC_H * LCC_RES
 
+# Conus Albers (EPSG:5070, AEA 2SP) target: the cone is ~105 deg of
+# longitude away, so the grid is rotated ~50 deg vs UTM 32N -> 68 m step;
+# scales >= 1.07, 1747 of 2256 pixels in-bounds, margins >= 2.7e-4
+AEA_W, AEA_H = 47, 48
+AEA_XMIN, AEA_YMIN = 5878293.0, 6972344.0
+AEA_RES = 68.0
+AEA_YMAX = AEA_YMIN + AEA_H * AEA_RES
+
 
 def _q_reproject(interp: str, epsg: int = 3035,
                  grid=((26, 36), (4254100.0, 3345300.0), 100.0)):
@@ -1350,6 +1358,9 @@ q_reproject_polar_stereo = _q_reproject(
 q_reproject_lcc = _q_reproject(
     "nearest", 2154, ((LCC_W, LCC_H), (LCC_XMIN, LCC_YMIN), LCC_RES)
 )
+q_reproject_albers = _q_reproject(
+    "nearest", 5070, ((AEA_W, AEA_H), (AEA_XMIN, AEA_YMIN), AEA_RES)
+)
 
 
 def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
@@ -1393,6 +1404,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
     elif target == "lcc":
         gw, gh = LCC_W, LCC_H
         gxmin, gymax, gres = LCC_XMIN, LCC_YMAX, LCC_RES
+    elif target == "aea":
+        gw, gh = AEA_W, AEA_H
+        gxmin, gymax, gres = AEA_XMIN, AEA_YMAX, AEA_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -1507,6 +1521,39 @@ ll AS (
          degrees(chi + {sA} * sin(2.0 * chi) + {sB} * sin(4.0 * chi)
                  + {sC} * sin(6.0 * chi) + {sD} * sin(8.0 * chi)) AS lat
   FROM s2
+),"""
+    elif target == "aea":
+        from xcube_resampling_spark.crs import _aea_setup
+
+        aea = CRS.from_epsg(5070)
+        _, an, ac, arho0, aqp = _aea_setup(aea)
+        ae2 = aea.ellipsoid.e2
+        ae4, ae6 = ae2 * ae2, ae2 ** 3
+        aA = r(ae2 / 3 + 31 * ae4 / 180 + 517 * ae6 / 5040)
+        aB = r(23 * ae4 / 360 + 251 * ae6 / 3780)
+        aC = r(761 * ae6 / 45360)
+        a_maj = r(aea.ellipsoid.a)
+        inverse_sql = f"""
+-- Albers equal-area 2SP (EPSG method 9822) inverse: Snyder sec. 14
+a1 AS (
+  SELECT t, j, i, tx AS xr, {r(arho0)} - ty AS yr FROM txy
+),
+a2 AS (
+  SELECT t, j, i, xr, yr, sqrt(xr * xr + yr * yr) AS rho FROM a1
+),
+a3 AS (
+  SELECT t, j, i, atan2(xr, yr) AS theta,
+         asin((({r(ac)} - (rho * {r(an)} / {a_maj})
+                          * (rho * {r(an)} / {a_maj})) / {r(an)})
+              / {r(aqp)}) AS beta
+  FROM a2
+),
+ll AS (
+  SELECT t, j, i,
+         -96.0 + degrees(theta / {r(an)}) AS lon,
+         degrees(beta + {aA} * sin(2.0 * beta) + {aB} * sin(4.0 * beta)
+                 + {aC} * sin(6.0 * beta)) AS lat
+  FROM a3
 ),"""
     elif target == "lcc":
         from xcube_resampling_spark.crs import _lcc_setup
@@ -2612,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm_to_webmercator": q_reproject_webmercator,
         "reproject_utm_to_polar_stereo": q_reproject_polar_stereo,
         "reproject_utm_to_lcc": q_reproject_lcc,
+        "reproject_utm_to_albers": q_reproject_albers,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2685,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         "reproject_utm_to_polar_stereo":
             _reproject_oracle_sql("nearest", "stere"),
         "reproject_utm_to_lcc": _reproject_oracle_sql("nearest", "lcc"),
+        "reproject_utm_to_albers": _reproject_oracle_sql("nearest", "aea"),
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,

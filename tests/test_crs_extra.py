@@ -205,3 +205,75 @@ class TestLambertConformalConic:
         )
         n, _, _ = _lcc_setup(one)
         assert n == pytest.approx(np.sin(np.radians(40.0)), abs=1e-15)
+
+
+class TestAlbersEqualArea:
+    def test_snyder_ellipsoidal_example(self):
+        """Snyder sec. 14 numerical example (Clarke 1866, lat1 29.5N,
+        lat2 45.5N, origin 23N 96W; point 35N 75W ->
+        x 1,885,472.7  y 1,535,925.0)."""
+        from xcube_resampling_spark.crs import (
+            CRS, _Ellipsoid, _aea_forward, _aea_inverse,
+        )
+
+        crs = CRS(
+            "aea", "snyder", _Ellipsoid(6378206.4, 294.978698214),
+            params=(("lat_1", 29.5), ("lat_2", 45.5), ("lat_0", 23.0),
+                    ("lon_0", -96.0), ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        x, y = _aea_forward(crs, -75.0, 35.0)
+        assert float(x) == pytest.approx(1885472.7, abs=0.5)
+        assert float(y) == pytest.approx(1535925.0, abs=0.5)
+        lon, lat = _aea_inverse(crs, x, y)
+        assert float(lon) == pytest.approx(-75.0, abs=1e-9)
+        # authalic series is order e^6 -> ~1e-8 deg
+        assert float(lat) == pytest.approx(35.0, abs=1e-7)
+
+    def test_conus_roundtrip(self):
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        conus = CRS.from_epsg(5070)
+        fwd = Transformer.from_crs(CRS.from_epsg(4326), conus)
+        inv = Transformer.from_crs(conus, CRS.from_epsg(4326))
+        rng = np.random.default_rng(6)
+        lon = rng.uniform(-125, -66, 500)
+        lat = rng.uniform(24, 50, 500)
+        px, py = fwd.transform(lon, lat)
+        lon2, lat2 = inv.transform(px, py)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+    def test_equal_area_property(self):
+        """The projection's defining property: a small geodesic cell keeps
+        its area (checked via the Jacobian of the forward map)."""
+        from xcube_resampling_spark.crs import CRS, _aea_forward
+
+        conus = CRS.from_epsg(5070)
+        a = 6378137.0
+        e2 = conus.ellipsoid.e2
+        lon, lat = -100.0, 40.0
+        d = 1e-4
+        x0, y0 = _aea_forward(conus, lon, lat)
+        x1, y1 = _aea_forward(conus, lon + d, lat)
+        x2, y2 = _aea_forward(conus, lon, lat + d)
+        jac = abs(
+            (float(x1) - float(x0)) * (float(y2) - float(y0))
+            - (float(x2) - float(x0)) * (float(y1) - float(y0))
+        )
+        # true ellipsoidal cell area
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        m_rad = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        n_rad = a / np.sqrt(1 - e2 * s * s)
+        cell = (
+            m_rad * np.radians(d) * n_rad * np.cos(phi) * np.radians(d)
+        )
+        assert jac == pytest.approx(cell, rel=1e-5)
+
+    def test_cf_roundtrip(self):
+        from xcube_resampling_spark.crs import CRS
+
+        conus = CRS.from_epsg(5070)
+        back = CRS.from_cf(conus.to_cf())
+        assert back.kind == "aea"
+        assert back.param("lat_1") == 29.5 and back.param("lat_2") == 45.5

@@ -195,6 +195,22 @@ class CRS:
                 ),
                 auth_code="EPSG:2154",
             )
+        if code == 5070:
+            # NAD83 / Conus Albers (EPSG method 9822, Albers 2SP)
+            return CRS(
+                "aea",
+                "NAD83 / Conus Albers",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("lat_1", 29.5),
+                    ("lat_2", 45.5),
+                    ("lat_0", 23.0),
+                    ("lon_0", -96.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:5070",
+            )
         if code == 3978:
             # NAD83 / Canada Atlas Lambert (EPSG method 9802, LCC 2SP)
             return CRS(
@@ -261,6 +277,26 @@ class CRS:
                     ("lat_ts", float(lat_ts)),
                     ("lon_0", float(attrs.get(
                         "straight_vertical_longitude_from_pole", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "albers_conical_equal_area":
+            sp = attrs.get("standard_parallel")
+            if isinstance(sp, (list, tuple)):
+                lat_1 = float(sp[0])
+                lat_2 = float(sp[1]) if len(sp) > 1 else lat_1
+            else:
+                lat_1 = lat_2 = float(sp)
+            return CRS(
+                "aea", "Albers Equal Area", ell,
+                params=(
+                    ("lat_1", lat_1),
+                    ("lat_2", lat_2),
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_central_meridian", 0.0))),
                     ("x_0", float(attrs.get("false_easting", 0.0))),
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
@@ -406,6 +442,17 @@ class CRS:
                 grid_mapping_name="rotated_latitude_longitude",
                 grid_north_pole_latitude=self.param("pole_lat"),
                 grid_north_pole_longitude=self.param("pole_lon"),
+                **ell,
+            )
+        if self.kind == "aea":
+            return dict(
+                grid_mapping_name="albers_conical_equal_area",
+                standard_parallel=[self.param("lat_1"),
+                                   self.param("lat_2")],
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_central_meridian=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
                 **ell,
             )
         if self.kind == "lcc":
@@ -725,6 +772,86 @@ def _stere_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Albers Equal Area conic, 2SP (EPSG method 9822; Snyder sec. 14,
+# ellipsoidal).  Shares the authalic-latitude machinery with LAEA.
+
+
+def _aea_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+
+    def q_of(sphi):
+        return (1 - e2) * (
+            sphi / (1 - e2 * sphi * sphi)
+            - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
+        )
+
+    def m_of(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    phi1 = math.radians(crs.param("lat_1"))
+    phi2 = math.radians(crs.param("lat_2", crs.param("lat_1")))
+    phi0 = math.radians(crs.param("lat_0"))
+    q0 = float(q_of(np.float64(math.sin(phi0))))
+    q1 = float(q_of(np.float64(math.sin(phi1))))
+    m1 = m_of(phi1)
+    if abs(phi1 - phi2) < 1e-12:
+        n = math.sin(phi1)
+    else:
+        q2 = float(q_of(np.float64(math.sin(phi2))))
+        m2 = m_of(phi2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = ell.a * math.sqrt(c - n * q0) / n
+    qp = float(q_of(np.float64(1.0)))
+    return q_of, n, c, rho0, qp
+
+
+def _aea_forward(crs: CRS, lon, lat):
+    q_of, n, c, rho0, _ = _aea_setup(crs)
+    ell = crs.ellipsoid
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    q = q_of(np.sin(np.radians(lat)))
+    with np.errstate(invalid="ignore"):
+        rho = ell.a * np.sqrt(c - n * q) / n
+    theta = n * lam
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def _aea_inverse(crs: CRS, x, y):
+    q_of, n, c, rho0, qp = _aea_setup(crs)
+    ell = crs.ellipsoid
+    e2 = ell.e2
+    e4, e6 = e2 * e2, e2 ** 3
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xr, yr)
+    q = (c - (rho * n / ell.a) ** 2) / n
+    with np.errstate(invalid="ignore"):
+        beta = np.arcsin(q / qp)
+        theta = np.arctan2(np.sign(n) * xr, np.sign(n) * yr)
+    # authalic -> geographic latitude series (Snyder 3-18)
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    )
+    lon = lon0 + np.degrees(theta / n)
+    lat = np.degrees(phi)
+    lon = np.where(lon > 180.0, lon - 360.0,
+                   np.where(lon <= -180.0, lon + 360.0, lon))
+    return lon, lat
+
+
+# ---------------------------------------------------------------------- #
 # Lambert Conformal Conic, 2SP (EPSG method 9802; Snyder sec. 15,
 # ellipsoidal).  lat_1 == lat_2 degenerates to the 1SP cone (n = sin lat_1).
 
@@ -886,6 +1013,8 @@ class Transformer:
             lon, lat = _rot_pole_to_geographic(self.src, x, y)
         elif self.src.kind == "lcc":
             lon, lat = _lcc_inverse(self.src, x, y)
+        elif self.src.kind == "aea":
+            lon, lat = _aea_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # from geographic
@@ -901,6 +1030,8 @@ class Transformer:
             return _rot_pole_from_geographic(self.dst, lon, lat)
         if self.dst.kind == "lcc":
             return _lcc_forward(self.dst, lon, lat)
+        if self.dst.kind == "aea":
+            return _aea_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
