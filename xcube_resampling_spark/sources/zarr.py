@@ -85,6 +85,12 @@ def write_zarr(
     pixels from t == 0.  Chunk files are written by executor tasks (one
     shuffle, grouped by chunk key); the driver writes only ``.zgroup`` /
     ``.zarray`` / ``.zattrs``.
+
+    NOTE: executors write with plain ``open()``, so ``path`` must be a
+    filesystem every executor can reach -- local mode, NFS, or a
+    fuse-mounted object store.  A pure-object-store deployment would swap
+    the two ``open().write()`` calls for the store's put API; the plan
+    shape is unchanged.
     """
     if compressor not in ("zlib", "null"):
         raise NotImplementedError("compressor must be 'zlib' or 'null'")
