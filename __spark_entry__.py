@@ -1924,6 +1924,62 @@ SELECT node, MIN(lab) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end training-data dedup pipeline: MinHash near-dup pairs ->
+    connected components -> drop every non-keeper (node != component min)
+    -> per-kept-corpus stats.  One composed lazy plan plus the bounded
+    label-propagation loop; the oracle recomputes the whole chain in SQL
+    (recursive CTE for the closure)."""
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_minhash_lsh,
+        dup_components,
+    )
+
+    docs = _docs2(spark, sf_dir)
+    pairs = dedup_minhash_lsh(docs, threshold=0.5)
+    comp = dup_components(pairs)
+    # docs that appear in no pair are trivially keepers (left anti on the
+    # non-keeper set keeps them without a components row)
+    non_keepers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(non_keepers, "doc_id", "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+),
+d2 AS ({DOCS2_SQL}),
+kept AS (
+  SELECT d2.* FROM d2
+  LEFT JOIN comp ON comp.node = d2.doc_id AND comp.node != comp.component
+  WHERE comp.node IS NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM kept
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     from xcube_resampling_spark.extensions.dedup import dedup_simhash
 
@@ -2667,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2741,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "dedup_pipeline": SQL_DEDUP_PIPELINE,
         "dedup_embedding_cosine_lsh": _sql_dedup_emb_lsh(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": SQL_DEDUP_EMB,
