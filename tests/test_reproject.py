@@ -228,6 +228,31 @@ class TestReproject:
             "'triangular'" in str(excinfo.value)
         )
 
+    def test_reproject_index_quantization(self, spark):
+        """index_quantization_bits snaps fractional indices to a 2**-b
+        binary grid: results must stay within the quantum-sized envelope of
+        the exact path, and b=20 (spacing ~1e-6) must be value-identical at
+        this grid's engineered boundary margins (>= 1.3e-4)."""
+        source_ds = create_5x5_dataset_regular_utm(spark)
+        target_gm = GridMapping.regular(
+            size=(5, 5), xy_min=(4320080, 3382480), xy_res=80, crs="epsg:3035"
+        )
+        exact = reproject_dataset(
+            source_ds, target_gm, interp_methods="bilinear"
+        ).to_numpy("band_1", (5, 5))
+        fine = reproject_dataset(
+            source_ds, target_gm, interp_methods="bilinear",
+            index_quantization_bits=20,
+        ).to_numpy("band_1", (5, 5))
+        np.testing.assert_array_equal(exact, fine)
+        coarse = reproject_dataset(
+            source_ds, target_gm, interp_methods="bilinear",
+            index_quantization_bits=10,
+        ).to_numpy("band_1", (5, 5))
+        # one quantum (2**-10) of index shift moves a bilinear blend by at
+        # most 2 * quantum * max|neighbor delta| (deltas here are <= 6)
+        assert np.nanmax(np.abs(coarse - exact)) <= 2 * 6 * 2.0**-10
+
 
 class TestGatherInterpFused:
     """gather_interp_fused (cogrouped block kernel) must be value-identical

@@ -2,7 +2,11 @@
 CORRECTNESS gate: for each key in queries() with an oracle_sql() entry, run
 both, sort columns by name and rows by value, and compare.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--exact] [sf_dir] [query ...]
+
+--exact compares floats at full double precision (repr) instead of the
+default 6-significant-digit normalization -- the closest local stand-in for
+the driver's value hash.
 """
 
 from __future__ import annotations
@@ -21,17 +25,25 @@ TABLES = [
 ]
 
 
+EXACT = False
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v) if EXACT else f"{v:.6g}"
     return str(v)
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    global EXACT
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--exact":
+        EXACT = True
+        argv = argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from pyspark.sql import SparkSession
 
