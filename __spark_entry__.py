@@ -2073,16 +2073,19 @@ def q_dedup_simhash(spark, sf_dir):
 
 def _simhash_bits_sql():
     terms = []
-    for b in range(32):
-        terms.append(
-            f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        )
+    for w, base in (("h_lo", 0), ("h_hi", 32)):
+        for b in range(32):
+            terms.append(
+                f"SUM(CASE WHEN ({w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+                f" AS b{base + b}"
+            )
     return ", ".join(terms)
 
 
-def _simhash_recombine_sql():
+def _simhash_recombine_sql(base):
     return " + ".join(
-        f"CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32)
+        f"CASE WHEN b{base + b} > 0 THEN {2 ** b} ELSE 0 END"
+        for b in range(32)
     )
 
 
@@ -2095,29 +2098,40 @@ toks AS (
 ),
 hashed AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h_lo,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_hi
   FROM toks
 ),
 agg AS (
   SELECT doc_id, {_simhash_bits_sql()} FROM hashed GROUP BY doc_id
 ),
 sim AS (
-  SELECT doc_id, CAST({_simhash_recombine_sql()} AS BIGINT) AS simhash
+  SELECT doc_id,
+         CAST({_simhash_recombine_sql(0)} AS BIGINT) AS sh_lo,
+         CAST({_simhash_recombine_sql(32)} AS BIGINT) AS sh_hi
   FROM agg
 ),
-halves AS (
-  SELECT doc_id, simhash, 0 AS band, simhash & 65535 AS key FROM sim
+bands AS (
+  SELECT doc_id, sh_lo, sh_hi, 0 AS band, sh_lo & 65535 AS key FROM sim
   UNION ALL
-  SELECT doc_id, simhash, 1 AS band, (simhash >> 16) & 65535 AS key FROM sim
+  SELECT doc_id, sh_lo, sh_hi, 1, (sh_lo >> 16) & 65535 FROM sim
+  UNION ALL
+  SELECT doc_id, sh_lo, sh_hi, 2, sh_hi & 65535 FROM sim
+  UNION ALL
+  SELECT doc_id, sh_lo, sh_hi, 3, (sh_hi >> 16) & 65535 FROM sim
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM halves a JOIN halves b
+         a.sh_lo AS lo_a, a.sh_hi AS hi_a,
+         b.sh_lo AS lo_b, b.sh_hi AS hi_b
+  FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+SELECT id_a, id_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
 """
 
 

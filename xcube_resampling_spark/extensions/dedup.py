@@ -296,60 +296,94 @@ def dedup_minhash_lsh(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 recall is EXACT
+
+
+def _hash32_hi(c):
+    """Second independent 32-bit word from the same md5 digest (hex chars
+    9-16) -- together with text.hash32 this forms the 64-bit token hash
+    without ever materializing a sign-fragile 64-bit integer."""
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("bigint")
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash over whitespace tokens.
+    """(doc_id, sh_lo, sh_hi): 64-bit SimHash over whitespace tokens,
+    stored as two 32-bit words (bits 0-31 / 32-63).
 
-    Per-bit weighted majority of token hashes, computed as 32 conditional
-    sums in a single aggregation (one shuffle, fully codegen)."""
+    Per-bit weighted majority of token hashes, computed as 64 conditional
+    sums in a single aggregation (one map-side-combinable shuffle, fully
+    codegen).  Two words instead of one int64 keep every value unsigned-
+    representable in both Spark and DuckDB (no 2^63 sign wrap to reason
+    about in either engine or the oracle SQL)."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .alias("tok"),
-    ).select("doc_id", hash32(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum(
+    ).select(
+        "doc_id",
+        hash32(F.col("tok")).alias("h_lo"),
+        _hash32_hi(F.col("tok")).alias("h_hi"),
+    )
+    def bit_sum(word, b, name):
+        return F.sum(
             F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.shiftright(F.col(word), b).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1))
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
+        ).alias(name)
+
+    bit_sums = [bit_sum("h_lo", b, f"b{b}") for b in range(32)] + [
+        bit_sum("h_hi", b, f"b{b + 32}") for b in range(32)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+    def word(lo_bit):
+        w = None
+        for b in range(32):
+            term = F.when(
+                F.col(f"b{lo_bit + b}") > 0, F.lit(2 ** b)
+            ).otherwise(F.lit(0))
+            w = term if w is None else w + term
+        return w.cast("bigint")
+
+    return agg.select(
+        "doc_id", word(0).alias("sh_lo"), word(32).alias("sh_hi")
+    )
 
 
 def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate pairs by SimHash: candidates share one 16-bit half
-    (pigeonhole for hamming <= 3 over 2 bands is heuristic recall, standard
-    SimHash practice), verified by exact Hamming distance."""
+    """Near-duplicate pairs by 64-bit SimHash: candidates share one of 4
+    16-bit bands (pigeonhole: <= 3 differing bits leave at least one band
+    identical, so recall at max_hamming=3 is exact), verified by exact
+    Hamming distance.
+
+    Scale shape: banded equi-join, never all-pairs.  At ~10^9 docs each
+    16-bit band bucket holds ~n/65536 docs of mostly-unrelated hashes;
+    4 bands of a 64-bit hash is the standard production dimensioning
+    (Manku et al., WWW 2007)."""
     sh = simhash(docs)
-    halves = sh.select(
-        "doc_id", "simhash",
+    bands = sh.select(
+        "doc_id", "sh_lo", "sh_hi",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.shiftright(F.col("simhash"), 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.shiftright(F.col(w), sh_by)
+                        .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for bd, (w, sh_by) in enumerate(
+                        [("sh_lo", 0), ("sh_lo", 16),
+                         ("sh_hi", 0), ("sh_hi", 16)]
+                    )
+                ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
-    a = halves.alias("a")
-    b = halves.alias("b")
+    ).select("doc_id", "sh_lo", "sh_hi",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(
             b,
@@ -360,14 +394,16 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.sh_lo").alias("lo_a"),
+            F.col("a.sh_hi").alias("hi_a"),
+            F.col("b.sh_lo").alias("lo_b"),
+            F.col("b.sh_hi").alias("hi_b"),
         )
         .distinct()
     )
     hamming = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    )
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
