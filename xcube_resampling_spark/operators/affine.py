@@ -519,7 +519,13 @@ def gather_fused(
         if interp_method == 0:
             si = np.floor(src_if + 0.5).astype(np.int64)
             sj = np.floor(src_jf + 0.5).astype(np.int64)
-            rmask = (sj >= 0) & (sj <= src_h - 1)
+            # window-membership guard (reproject gather_interp_fused's
+            # corner check): an in-bounds row ABSENT from a sparse src_df
+            # must read fill, not alias the nearest present row
+            rmask = (
+                (sj >= 0) & (sj <= src_h - 1)
+                & (sj >= sj_lo) & (sj < sj_lo + sj_n)
+            )
             cmask = (si >= 0) & (si <= src_w - 1)
             # direct gather: rows x cols outer indexing
             sjc = np.clip(sj - sj_lo, 0, sj_n - 1)
@@ -538,10 +544,17 @@ def gather_fused(
             j1c = np.clip(j0 + 1 - sj_lo, 0, sj_n - 1)
             i0c = np.clip(i0, 0, src_w - 1)
             i1c = np.clip(i0 + 1, 0, src_w - 1)
-            v00 = V[:, j0c[:, None], i0c[None, :]]
-            v01 = V[:, j0c[:, None], i1c[None, :]]
-            v10 = V[:, j1c[:, None], i0c[None, :]]
-            v11 = V[:, j1c[:, None], i1c[None, :]]
+            # per-corner window membership (mirrors _gather's per-neighbor
+            # coalesce(value, fill)): a stencil row absent from a sparse
+            # src_df contributes fill instead of aliasing a present row
+            j0_in = ((j0 >= sj_lo) & (j0 < sj_lo + sj_n))[None, :, None]
+            j1_in = (
+                (j0 + 1 >= sj_lo) & (j0 + 1 < sj_lo + sj_n)
+            )[None, :, None]
+            v00 = np.where(j0_in, V[:, j0c[:, None], i0c[None, :]], fill)
+            v01 = np.where(j0_in, V[:, j0c[:, None], i1c[None, :]], fill)
+            v10 = np.where(j1_in, V[:, j1c[:, None], i0c[None, :]], fill)
+            v11 = np.where(j1_in, V[:, j1c[:, None], i1c[None, :]], fill)
 
             def blend(a00, a01, a10, a11):
                 vu0 = a00 + fx * (a01 - a00)

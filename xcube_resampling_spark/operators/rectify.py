@@ -258,19 +258,30 @@ def scatter_from_coords(
         F.lead("yr").over(win_j).alias("p3y"),
     ).filter(F.col("p2x").isNotNull())
 
-    # pixel bbox of the quad corners in the target grid
+    # pixel bbox of the quad corners in the target grid.  NaN corners map
+    # to NULL (greatest/least skip NULLs -- note Spark's floor(NaN) is a
+    # silent 0, which would drag every NaN quad's bbox to the grid origin),
+    # so a NaN-cornered quad gets its FINITE corners' bbox +1 pixel slack
+    # (the testable triangle lies inside the finite hull; the slack covers
+    # the uv_delta tolerance) instead of an O(grid-size) candidate range.
     def pix_i(px):
-        return F.floor((px - x_min) / x_res)
+        return F.when(~F.isnan(px), F.floor((px - x_min) / x_res))
 
     def pix_j(py):
-        return F.floor((py - y_off) / y_scale)
+        return F.when(~F.isnan(py), F.floor((py - y_off) / y_scale))
 
     corners_i = [pix_i(F.col(c)) for c in ("p0x", "p1x", "p2x", "p3x")]
     corners_j = [pix_j(F.col(c)) for c in ("p0y", "p1y", "p2y", "p3y")]
+    nan_x = [F.isnan(F.col(c)) for c in ("p0x", "p1x", "p2x", "p3x")]
+    nan_y = [F.isnan(F.col(c)) for c in ("p0y", "p1y", "p2y", "p3y")]
+    has_nan_i = nan_x[0] | nan_x[1] | nan_x[2] | nan_x[3]
+    has_nan_j = nan_y[0] | nan_y[1] | nan_y[2] | nan_y[3]
+    slack_i = F.when(has_nan_i, F.lit(1)).otherwise(F.lit(0))
+    slack_j = F.when(has_nan_j, F.lit(1)).otherwise(F.lit(0))
     i_min = F.greatest(F.least(*corners_i), F.lit(0))
-    i_max = F.least(F.greatest(*corners_i), F.lit(w - 1))
+    i_max = F.least(F.greatest(*corners_i) + slack_i, F.lit(w - 1))
     j_min = F.greatest(F.least(*corners_j), F.lit(0))
-    j_max = F.least(F.greatest(*corners_j), F.lit(h - 1))
+    j_max = F.least(F.greatest(*corners_j) + slack_j, F.lit(h - 1))
 
     def det(ax, ay, bx, by, cx, cy):
         # reference _fdet (rectify.py:742-745)
@@ -452,22 +463,27 @@ def scatter_from_coords_tiled(
         with np.errstate(invalid="ignore"):
             # clamped target-pixel bbox per quad.  A NaN corner does NOT
             # invalidate the quad -- the other triangle is still tested
-            # (reference rectify.py:529-546: NaN det -> 0).  Mirror of the
-            # SQL path's least/greatest semantics: min side = min over
-            # finite corners, max side widens to the grid edge when any
-            # corner is NaN (Spark greatest -> NaN, least(NaN, w-1) -> w-1).
+            # (reference rectify.py:529-546: NaN det -> 0).  The bbox of a
+            # NaN-cornered quad is the FINITE corners' bbox +1 pixel slack
+            # (the testable triangle lies inside the finite corners' hull;
+            # the slack covers the uv_delta tolerance), never the grid
+            # edge: a single swath-edge NaN quad must not enumerate O(W*H)
+            # candidates.
             cx = np.stack([p0x, p1x, p2x, p3x])
             cy = np.stack([p0y, p1y, p2y, p3y])
             pi = np.floor((cx - x_min) / x_res)
             pj = np.floor((cy - y_off) / y_scale)
-            nan_q = np.isnan(pi).any(0) | np.isnan(pj).any(0)
+            nan_i = np.isnan(pi).any(0)
+            nan_j = np.isnan(pj).any(0)
             bi0 = np.clip(np.min(np.where(np.isnan(pi), np.inf, pi), 0),
                           0, w - 1)
             bj0 = np.clip(np.min(np.where(np.isnan(pj), np.inf, pj), 0),
                           0, h - 1)
-            bi1 = np.where(nan_q, w - 1,
+            fin_i = np.max(np.where(np.isnan(pi), -np.inf, pi), 0)
+            fin_j = np.max(np.where(np.isnan(pj), -np.inf, pj), 0)
+            bi1 = np.where(nan_i, np.clip(fin_i + 1, 0, w - 1),
                            np.clip(pi.max(0), 0, w - 1))
-            bj1 = np.where(nan_q, h - 1,
+            bj1 = np.where(nan_j, np.clip(fin_j + 1, 0, h - 1),
                            np.clip(pj.max(0), 0, h - 1))
             det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
             det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
@@ -873,13 +889,20 @@ def rectify_fused_tiled(
             cy = np.stack([p0y, p1y, p2y, p3y])
             pi = np.floor((cx - x_min) / x_res)
             pj = np.floor((cy - y_off) / y_scale)
-            nan_q = np.isnan(pi).any(0) | np.isnan(pj).any(0)
+            # NaN-cornered quads: finite-corner bbox +1 slack, not the
+            # grid edge (see scatter_from_coords_tiled)
+            nan_i = np.isnan(pi).any(0)
+            nan_j = np.isnan(pj).any(0)
             bi0 = np.clip(np.min(np.where(np.isnan(pi), np.inf, pi), 0),
                           0, w - 1)
             bj0 = np.clip(np.min(np.where(np.isnan(pj), np.inf, pj), 0),
                           0, h - 1)
-            bi1 = np.where(nan_q, w - 1, np.clip(pi.max(0), 0, w - 1))
-            bj1 = np.where(nan_q, h - 1, np.clip(pj.max(0), 0, h - 1))
+            fin_i = np.max(np.where(np.isnan(pi), -np.inf, pi), 0)
+            fin_j = np.max(np.where(np.isnan(pj), -np.inf, pj), 0)
+            bi1 = np.where(nan_i, np.clip(fin_i + 1, 0, w - 1),
+                           np.clip(pi.max(0), 0, w - 1))
+            bj1 = np.where(nan_j, np.clip(fin_j + 1, 0, h - 1),
+                           np.clip(pj.max(0), 0, h - 1))
             det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
             det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
             det_a = np.nan_to_num(det_a, nan=0.0)
