@@ -32,16 +32,28 @@ FILL = -999.0
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark rejects it unless the
-        # legacy conf maps it to long, which we then convert to a timestamp
-        # (microsecond precision -- ample for hour/minute window semantics).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS)/NTZ in others; normalize both to
+        # a plain TIMESTAMP whose epoch equals the stored wall-clock value
+        # read as UTC (DuckDB's epoch() semantics for naive timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: ts is ~1.7e18 ns, double math would lose
             # microsecond precision
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # timestampdiff is timezone-free on NTZ inputs, so the session
+            # timezone can never shift the derived epoch
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )),
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

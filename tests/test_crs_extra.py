@@ -277,3 +277,119 @@ class TestAlbersEqualArea:
         back = CRS.from_cf(conus.to_cf())
         assert back.kind == "aea"
         assert back.param("lat_1") == 29.5 and back.param("lat_2") == 45.5
+
+
+class TestSinusoidal:
+    def test_snyder_sphere_example(self):
+        """Snyder (1987) Appendix A sinusoidal sphere example: R = 1,
+        lon_0 = -90, point (-75, -50) -> x = 0.1682814, y = -0.8726646."""
+        from xcube_resampling_spark.crs import _Ellipsoid, _sinu_forward
+
+        crs = CRS(
+            "sinu", "unit sphere", _Ellipsoid(1.0, float("inf")),
+            params=(("lon_0", -90.0), ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        x, y = _sinu_forward(crs, np.array([-75.0]), np.array([-50.0]))
+        assert float(x[0]) == pytest.approx(0.1682814, abs=1e-7)
+        assert float(y[0]) == pytest.approx(-0.8726646, abs=1e-7)
+
+    def test_northing_matches_krueger_meridian_arc(self):
+        """Ellipsoidal sinusoidal northing is the meridian arc (Snyder
+        3-21, trig series).  Cross-check against a fully independent
+        derivation: the Krueger-series transverse Mercator northing at the
+        central meridian with k_0 = 1 is the same arc length."""
+        from xcube_resampling_spark.crs import (
+            _Ellipsoid, _sinu_forward, _tmerc_forward,
+        )
+
+        ell = _Ellipsoid(6378137.0, 298.257223563)
+        sinu = CRS("sinu", "s", ell,
+                   params=(("lon_0", 0.0), ("x_0", 0.0), ("y_0", 0.0)))
+        tm = CRS("tmerc", "t", ell,
+                 params=(("k_0", 1.0), ("lat_0", 0.0), ("lon_0", 0.0),
+                         ("x_0", 0.0), ("y_0", 0.0)))
+        lats = np.array([-80.0, -33.3, 0.0, 12.5, 45.0, 71.2])
+        lon0 = np.zeros_like(lats)
+        _, y_sinu = _sinu_forward(sinu, lon0, lats)
+        _, y_tm = _tmerc_forward(tm, lon0, lats)
+        np.testing.assert_allclose(y_sinu, y_tm, atol=1e-6)
+
+    def test_easting_matches_parallel_radius(self):
+        """Ellipsoidal easting = nu * cos(phi) * dlam (radius of the
+        parallel circle); check against the numerical derivative of the
+        independent transverse-Mercator easting at the central meridian."""
+        from xcube_resampling_spark.crs import (
+            _Ellipsoid, _sinu_forward, _tmerc_forward,
+        )
+
+        ell = _Ellipsoid(6378137.0, 298.257223563)
+        sinu = CRS("sinu", "s", ell,
+                   params=(("lon_0", 0.0), ("x_0", 0.0), ("y_0", 0.0)))
+        tm = CRS("tmerc", "t", ell,
+                 params=(("k_0", 1.0), ("lat_0", 0.0), ("lon_0", 0.0),
+                         ("x_0", 0.0), ("y_0", 0.0)))
+        lat = 47.25
+        dlon = 1e-5
+        x_s, _ = _sinu_forward(sinu, np.array([dlon]), np.array([lat]))
+        x_t, _ = _tmerc_forward(tm, np.array([dlon]), np.array([lat]))
+        assert float(x_s[0]) == pytest.approx(float(x_t[0]), rel=1e-9)
+
+    def test_roundtrip_ellipsoid_and_sphere(self):
+        from xcube_resampling_spark.crs import CRS_SINU_MODIS
+
+        esri = CRS.from_string("ESRI:54008")
+        lons = np.array([-179.0, -75.3, 0.0, 9.1, 120.7, 179.5])
+        lats = np.array([-82.0, -50.0, 0.0, 53.2, 33.3, 81.0])
+        for crs in (esri, CRS_SINU_MODIS):
+            t_fwd = Transformer.from_crs(CRS_WGS84, crs)
+            t_inv = Transformer.from_crs(crs, CRS_WGS84)
+            x, y = t_fwd.transform(lons, lats)
+            lon2, lat2 = t_inv.transform(x, y)
+            np.testing.assert_allclose(lon2, lons, atol=1e-9)
+            np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+    def test_equal_area_property(self):
+        """Sinusoidal is equal-area: forward-map Jacobian == true
+        ellipsoidal cell area."""
+        from xcube_resampling_spark.crs import _sinu_forward
+
+        crs = CRS.from_string("ESRI:54008")
+        a = crs.ellipsoid.a
+        e2 = crs.ellipsoid.e2
+        lon, lat = 31.0, 52.0
+        d = 1e-4
+        x0, y0 = _sinu_forward(crs, np.array([lon]), np.array([lat]))
+        x1, y1 = _sinu_forward(crs, np.array([lon + d]), np.array([lat]))
+        x2, y2 = _sinu_forward(crs, np.array([lon]), np.array([lat + d]))
+        jac = abs(
+            (float(x1[0]) - float(x0[0])) * (float(y2[0]) - float(y0[0]))
+            - (float(x2[0]) - float(x0[0])) * (float(y1[0]) - float(y0[0]))
+        )
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        m_rad = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        n_rad = a / np.sqrt(1 - e2 * s * s)
+        cell = m_rad * np.radians(d) * n_rad * np.cos(phi) * np.radians(d)
+        assert jac == pytest.approx(cell, rel=1e-4)
+
+    def test_modis_tile_origin(self):
+        """MODIS grid sanity: the sinusoidal world half-width is
+        pi * R = 20015109.354 m (tile h00's west edge)."""
+        from xcube_resampling_spark.crs import CRS_SINU_MODIS
+
+        t = Transformer.from_crs(CRS_WGS84, CRS_SINU_MODIS)
+        x, y = t.transform(np.array([-180.0]), np.array([0.0]))
+        assert float(x[0]) == pytest.approx(-20015109.354, abs=0.01)
+        assert float(y[0]) == 0.0
+
+    def test_cf_and_spec_roundtrip(self):
+        from xcube_resampling_spark.crs import CRS_SINU_MODIS
+
+        for crs in (CRS.from_string("ESRI:54008"), CRS_SINU_MODIS):
+            back = CRS.from_cf(crs.to_cf())
+            assert back.kind == "sinu"
+            assert back.ellipsoid.e2 == crs.ellipsoid.e2
+            spec_back = CRS.from_spec(crs.to_spec())
+            assert spec_back.equals(crs)
+        cf = CRS_SINU_MODIS.to_cf()
+        assert cf.get("earth_radius") == 6371007.181

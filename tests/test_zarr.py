@@ -125,26 +125,97 @@ class TestZarrRoundtrip:
             got["value"].to_numpy(), data.ravel().astype("f8")
         )
 
-    def test_blosc_rejected_clearly(self, spark, tmp_path):
-        path = tmp_path / "bl"
+    def test_blosc_roundtrip(self, spark, tmp_path):
+        w, h = 25, 17
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "store_blosc")
+        write_zarr(df, path, "v", (h, w), (8, 8), compressor="blosc")
+        meta = json.loads(
+            open(os.path.join(path, "v", ".zarray")).read()
+        )
+        assert meta["compressor"]["id"] == "blosc"
+        got = read_zarr(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_reads_externally_written_blosc_store(self, spark, tmp_path):
+        """Interop: blosc chunks framed BY HAND to the public c-blosc
+        layout -- split byte-plane streams (dont-split flag CLEAR, one
+        zlib stream per byte of the typesize, as real c-blosc writes
+        shuffled f8 blocks) -- not by our own encoder."""
+        import struct
+
+        path = tmp_path / "extb"
         adir = path / "arr"
         adir.mkdir(parents=True)
+        data = np.arange(24, dtype="<f8").reshape(4, 6)
+        (path / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
         (adir / ".zarray").write_text(
             json.dumps(
                 {
                     "zarr_format": 2,
-                    "shape": [2, 2],
-                    "chunks": [2, 2],
+                    "shape": [4, 6],
+                    "chunks": [4, 6],
                     "dtype": "<f8",
-                    "compressor": {"id": "blosc", "cname": "lz4"},
-                    "fill_value": 0,
+                    "compressor": {
+                        "id": "blosc", "cname": "zlib", "clevel": 5,
+                        "shuffle": 1, "blocksize": 0,
+                    },
+                    "fill_value": "NaN",
                     "order": "C",
                     "filters": None,
                 }
             )
         )
-        with pytest.raises(NotImplementedError, match="blosc"):
-            read_zarr(spark, str(path), "arr")
+        raw = data.tobytes()
+        typesize = 8
+        nel = len(raw) // typesize
+        shuffled = (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(nel, typesize).T.reshape(-1).tobytes()
+        )
+        streams = []
+        for plane in range(typesize):  # one stream per byte plane
+            part = shuffled[plane * nel:(plane + 1) * nel]
+            comp = zlib.compress(part, 5)
+            if len(comp) >= len(part):
+                comp = part
+            streams.append(struct.pack("<i", len(comp)) + comp)
+        body = b"".join(streams)
+        # flags: shuffle | zlib codec, dont-split CLEAR -> split decode
+        header = struct.pack(
+            "<BBBBIII", 2, 1, 0x1 | (3 << 5), typesize,
+            len(raw), len(raw), 16 + 4 + len(body),
+        )
+        bstarts = struct.pack("<I", 20)
+        (adir / "0.0").write_bytes(header + bstarts + body)
+        got = read_zarr(spark, str(path), "arr").toPandas().sort_values(
+            ["j", "i"]
+        )
+        assert len(got) == 24
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel()
+        )
+
+    def test_blosc_foreign_codec_rejected_clearly(self):
+        """A genuinely lz4-compressed stream (codec id 1, stream smaller
+        than its uncompressed size) must raise, not mis-decode."""
+        import struct
+
+        from xcube_resampling_spark.sources import blosc1
+
+        body = struct.pack("<i", 3) + b"\x01\x02\x03"
+        frame = (
+            struct.pack("<BBBBIII", 2, 1, (1 << 5) | 0x10, 1, 64, 64,
+                        16 + 4 + len(body))
+            + struct.pack("<I", 20) + body
+        )
+        with pytest.raises(NotImplementedError, match="lz4"):
+            blosc1.decode(frame)
 
     def test_zattrs_dimensions(self, spark, tmp_path):
         w, h = 6, 5

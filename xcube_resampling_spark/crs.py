@@ -25,7 +25,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["CRS", "Transformer", "CRS_WGS84", "CRS_CRS84"]
+__all__ = ["CRS", "Transformer", "CRS_WGS84", "CRS_CRS84",
+           "CRS_SINU_MODIS"]
 
 # Ellipsoids: name -> (a, 1/f)
 _ELLIPSOIDS = {
@@ -95,6 +96,16 @@ class CRS:
             return CRS.from_epsg(int(su.split(":", 1)[1]))
         if su.isdigit():
             return CRS.from_epsg(int(su))
+        if su == "ESRI:54008":
+            # World Sinusoidal on the WGS84 ellipsoid (EPSG method 9835)
+            return CRS(
+                "sinu", "World Sinusoidal",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(("lon_0", 0.0), ("x_0", 0.0), ("y_0", 0.0)),
+                auth_code="ESRI:54008",
+            )
+        if su in ("MODIS", "SR-ORG:6974", "SINUSOIDAL"):
+            return CRS_SINU_MODIS
         raise ValueError(f"unsupported CRS string: {s!r}")
 
     @staticmethod
@@ -329,6 +340,20 @@ class CRS:
                     ("pole_lon", float(attrs["grid_north_pole_longitude"])),
                 ),
             )
+        if gmn == "sinusoidal":
+            radius = attrs.get("earth_radius")
+            if radius is not None:  # spherical (MODIS-style) grid
+                ell = _Ellipsoid(float(radius), float("inf"))
+            return CRS(
+                "sinu", "Sinusoidal", ell,
+                params=(
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin",
+                        attrs.get("longitude_of_central_meridian", 0.0)))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
         if gmn == "mercator":
             return CRS(
                 "webmerc", "Mercator (spherical)", ell,
@@ -455,6 +480,18 @@ class CRS:
                 false_northing=self.param("y_0"),
                 **ell,
             )
+        if self.kind == "sinu":
+            base = (
+                dict(earth_radius=self.ellipsoid.a)
+                if self.ellipsoid.e2 == 0.0 else ell
+            )
+            return dict(
+                grid_mapping_name="sinusoidal",
+                longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **base,
+            )
         if self.kind == "lcc":
             return dict(
                 grid_mapping_name="lambert_conformal_conic",
@@ -473,6 +510,14 @@ CRS_WGS84 = CRS("geographic", "WGS 84", _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
                 auth_code="EPSG:4326")
 CRS_CRS84 = CRS("geographic", "WGS 84 (CRS84)",
                 _Ellipsoid(*_ELLIPSOIDS["WGS84"]), auth_code="OGC:CRS84")
+# The MODIS land-product grid: sinusoidal on the authalic sphere
+# R = 6371007.181 m (inv_f = inf -> e2 == 0, spherical formulas)
+CRS_SINU_MODIS = CRS(
+    "sinu", "MODIS Sinusoidal (sphere)",
+    _Ellipsoid(6371007.181, float("inf")),
+    params=(("lon_0", 0.0), ("x_0", 0.0), ("y_0", 0.0)),
+    auth_code="SR-ORG:6974",
+)
 
 
 # ---------------------------------------------------------------------- #
@@ -935,6 +980,82 @@ def _lcc_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Sinusoidal (EPSG method 9835; Snyder 1987 sec. 30, eqs 30-1..30-8).
+# The equal-area pseudo-cylindrical projection of the MODIS land grids
+# (sphere R = 6371007.181 m) and ESRI:54008 World Sinusoidal (WGS84).
+# Spherical case: x = R lam cos(phi), y = R phi.  Ellipsoidal case:
+# x = a lam cos(phi) / sqrt(1 - e2 sin^2 phi), y = M(phi) the meridian
+# arc (Snyder 3-21); inverse latitude via the rectifying-latitude series
+# (Snyder 3-26).
+
+def _meridian_arc(ell: _Ellipsoid, phi):
+    """Meridian distance from the equator, Snyder eq. 3-21."""
+    e2 = ell.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return ell.a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+
+
+def _meridian_arc_inverse(ell: _Ellipsoid, m):
+    """Footpoint latitude from meridian distance, Snyder eqs 7-19/3-26."""
+    e2 = ell.e2
+    sq = math.sqrt(1 - e2)
+    e1 = (1 - sq) / (1 + sq)
+    e1_2, e1_3, e1_4 = e1 * e1, e1**3, e1**4
+    mu = m / (ell.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256))
+    return (
+        mu
+        + (3 * e1 / 2 - 27 * e1_3 / 32) * np.sin(2 * mu)
+        + (21 * e1_2 / 16 - 55 * e1_4 / 32) * np.sin(4 * mu)
+        + (151 * e1_3 / 96) * np.sin(6 * mu)
+        + (1097 * e1_4 / 512) * np.sin(8 * mu)
+    )
+
+
+def _sinu_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    if ell.e2 == 0.0:  # sphere (MODIS grid): Snyder 30-1, 30-2
+        x = fe + ell.a * lam * np.cos(phi)
+        y = fn + ell.a * phi
+    else:  # ellipsoid: Snyder 30-8 easting, 3-21 northing
+        s = np.sin(phi)
+        x = fe + ell.a * lam * np.cos(phi) / np.sqrt(1 - ell.e2 * s * s)
+        y = fn + _meridian_arc(ell, phi)
+    return x, y
+
+
+def _sinu_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    if ell.e2 == 0.0:
+        phi = yr / ell.a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = xr / (ell.a * np.cos(phi))
+    else:
+        phi = _meridian_arc_inverse(ell, yr)
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = xr * np.sqrt(1 - ell.e2 * s * s) / (ell.a * np.cos(phi))
+    # at the poles cos(phi) == 0 and every longitude maps to x == 0
+    pole = np.abs(np.cos(phi)) < 1e-14
+    if np.any(pole):
+        lam = np.where(pole, 0.0, lam)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
 # Rotated latitude/longitude (CF rotated_latitude_longitude; spherical
 # rotation as in COSMO / proj ob_tran)
 
@@ -1015,6 +1136,8 @@ class Transformer:
             lon, lat = _lcc_inverse(self.src, x, y)
         elif self.src.kind == "aea":
             lon, lat = _aea_inverse(self.src, x, y)
+        elif self.src.kind == "sinu":
+            lon, lat = _sinu_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # from geographic
@@ -1032,6 +1155,8 @@ class Transformer:
             return _lcc_forward(self.dst, lon, lat)
         if self.dst.kind == "aea":
             return _aea_forward(self.dst, lon, lat)
+        if self.dst.kind == "sinu":
+            return _sinu_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):

@@ -21,10 +21,14 @@ Spark-first mapping (SURVEY.md section 2.2 #5):
   equivalent to parquet partition pruning.  Decode (zlib/raw ->
   ``np.frombuffer`` -> reshape -> clip edge padding) runs in
   ``mapInPandas`` per file, emitting long-format pixel rows.
-* compressors: ``zlib`` (stdlib) and ``null`` (raw).  The zarr-default
-  blosc codec is NOT available in this environment -- reads of
-  blosc-compressed stores raise with a clear message (plumbing identical;
-  swap the one ``zlib.decompress`` call for ``blosc.decompress``).
+* compressors: ``zlib`` (stdlib), ``null`` (raw), and ``blosc`` via the
+  in-repo pure-numpy blosc1 codec (sources/blosc1.py -- zlib inner
+  streams and stored-raw streams; compressed blosclz/lz4/zstd streams
+  raise with a clear message).
+* chunk placement is pluggable: executors write through a ``ChunkPut``
+  object (default ``FsChunkPut`` for local/NFS/fuse paths; an
+  object-store implementation only needs ``put(key, bytes)``), so the
+  writer makes no shared-filesystem assumption beyond the chosen put.
 """
 
 from __future__ import annotations
@@ -39,6 +43,67 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from xcube_resampling_spark.sources import blosc1
+
+
+class ChunkPut:
+    """Destination seam for distributed zarr chunk writes.
+
+    Executors call ``put(key, data)`` with store-relative keys
+    (``"var/0.1.2"``, ``"var/.zarray"``); implementations must be
+    picklable (they ship to executors inside the write closure) and
+    idempotent per key, because Spark may re-run a task.  S3-style
+    object stores map directly: ``put`` -> PutObject, no mkdir, no
+    rename, no shared filesystem.
+    """
+
+    def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+
+class FsChunkPut(ChunkPut):
+    """Filesystem implementation: local paths, NFS, or fuse mounts."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def put(self, key: str, data: bytes) -> None:
+        path = os.path.join(self.root, key)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(path, "wb") as fp:
+            fp.write(data)
+
+
+class ObjectStoreChunkPut(ChunkPut):
+    """Template for S3-style stores: construct with a bucket/prefix and a
+    client factory (created lazily per executor -- boto3-style clients
+    are not picklable).  The client itself is not available in this
+    environment, so ``put`` raises until one is supplied."""
+
+    def __init__(self, bucket: str, prefix: str = "", client_factory=None):
+        self.bucket = bucket
+        self.prefix = prefix.rstrip("/")
+        self.client_factory = client_factory
+        self._client = None
+
+    def put(self, key: str, data: bytes) -> None:
+        if self.client_factory is None:
+            raise NotImplementedError(
+                "ObjectStoreChunkPut needs a client_factory (e.g. a boto3 "
+                "S3 client constructor); none is available in this build"
+            )
+        if self._client is None:
+            self._client = self.client_factory()
+        full = f"{self.prefix}/{key}" if self.prefix else key
+        self._client.put_object(Bucket=self.bucket, Key=full, Body=data)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_client"] = None  # never ship a live client to executors
+        return state
 
 ZARR_PIXEL_SCHEMA = T.StructType(
     [
@@ -61,11 +126,11 @@ def _check_compressor(meta: dict) -> str:
     comp = meta.get("compressor")
     if comp is None:
         return "null"
-    if comp.get("id") == "zlib":
-        return "zlib"
+    if comp.get("id") in ("zlib", "blosc"):
+        return comp["id"]
     raise NotImplementedError(
         f"zarr compressor '{comp.get('id')}' not available in this build "
-        "(only zlib/null; blosc needs the blosc library)"
+        "(zlib, blosc (zlib/raw inner streams), or null)"
     )
 
 
@@ -78,49 +143,58 @@ def write_zarr(
     fill_value: float = float("nan"),
     compressor: str = "zlib",
     attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as a zarr v2 array.
 
     ``shape``/``chunks`` are (nt, h, w) or (h, w); 2-D arrays take their
     pixels from t == 0.  Chunk files are written by executor tasks (one
-    shuffle, grouped by chunk key); the driver writes only ``.zgroup`` /
-    ``.zarray`` / ``.zattrs``.
+    shuffle, grouped by chunk key); the driver writes only the tiny JSON
+    metadata (``.zgroup`` / ``.zarray`` / ``.zattrs``).
 
-    NOTE: executors write with plain ``open()``, so ``path`` must be a
-    filesystem every executor can reach -- local mode, NFS, or a
-    fuse-mounted object store.  A pure-object-store deployment would swap
-    the two ``open().write()`` calls for the store's put API; the plan
-    shape is unchanged.
+    All bytes flow through ``chunk_put`` (default ``FsChunkPut(path)``),
+    so the same plan writes to a local directory, NFS, or -- with an
+    ``ObjectStoreChunkPut`` -- any S3-style store, with no shared
+    filesystem needed.
     """
-    if compressor not in ("zlib", "null"):
-        raise NotImplementedError("compressor must be 'zlib' or 'null'")
+    if compressor not in ("zlib", "null", "blosc"):
+        raise NotImplementedError(
+            "compressor must be 'zlib', 'blosc', or 'null'"
+        )
     nd = len(shape)
     if nd not in (2, 3) or len(chunks) != nd:
         raise ValueError("shape/chunks must both be 2-D or 3-D")
-    adir = os.path.join(path, var_name)
-    os.makedirs(adir, exist_ok=True)
-    with open(os.path.join(path, ".zgroup"), "w") as fp:
-        json.dump({"zarr_format": 2}, fp)
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    put.put(".zgroup", json.dumps({"zarr_format": 2}).encode())
     fill_json = (
         "NaN" if isinstance(fill_value, float) and np.isnan(fill_value)
         else fill_value
     )
+    if compressor == "zlib":
+        comp_meta = {"id": "zlib", "level": 1}
+    elif compressor == "blosc":
+        comp_meta = {
+            "id": "blosc", "cname": "zlib", "clevel": 1, "shuffle": 1,
+            "blocksize": 0,
+        }
+    else:
+        comp_meta = None
     zarray = {
         "zarr_format": 2,
         "shape": list(shape),
         "chunks": list(chunks),
         "dtype": "<f8",
-        "compressor": {"id": "zlib", "level": 1}
-        if compressor == "zlib" else None,
+        "compressor": comp_meta,
         "fill_value": fill_json,
         "order": "C",
         "filters": None,
     }
-    with open(os.path.join(adir, ".zarray"), "w") as fp:
-        json.dump(zarray, fp)
+    put.put(f"{var_name}/.zarray", json.dumps(zarray).encode())
     dims = ["t", "y", "x"][-nd:]
-    with open(os.path.join(adir, ".zattrs"), "w") as fp:
-        json.dump({"_ARRAY_DIMENSIONS": dims, **(attrs or {})}, fp)
+    put.put(
+        f"{var_name}/.zattrs",
+        json.dumps({"_ARRAY_DIMENSIONS": dims, **(attrs or {})}).encode(),
+    )
 
     if nd == 2:
         ct_j, ct_i = chunks
@@ -149,11 +223,12 @@ def write_zarr(
         raw = block.tobytes(order="C")
         if compressor == "zlib":
             raw = zlib.compress(raw, 1)
+        elif compressor == "blosc":
+            raw = blosc1.encode(raw, typesize=8, clevel=1, shuffle=True)
         name = (
             f"{kj}.{ki}" if nd == 2 else f"{kt}.{kj}.{ki}"
         )
-        with open(os.path.join(adir, name), "wb") as fp:
-            fp.write(raw)
+        put.put(f"{var_name}/{name}", raw)
         return pd.DataFrame({"key": [name]})
 
     # one task per chunk; the action drives the distributed write
@@ -231,6 +306,8 @@ def read_zarr(
                 raw = bytes(content)
                 if comp == "zlib":
                     raw = zlib.decompress(raw)
+                elif comp == "blosc":
+                    raw = blosc1.decode(raw)
                 block = np.frombuffer(raw, dtype=_DTYPES[dtype_s]).reshape(
                     ct_t, ct_j, ct_i
                 )
