@@ -1383,8 +1383,19 @@ AEA_XMIN, AEA_YMIN = 5878293.0, 6972344.0
 AEA_RES = 68.0
 AEA_YMAX = AEA_YMIN + AEA_H * AEA_RES
 
+# MODIS sinusoidal (sphere R = 6371007.181) target: ~7 deg shear vs UTM
+# 32N at 9E/53N widens the transformed bbox, so an 85 m step is needed to
+# keep the bbox-derived scales >= 1.0 (no downscale branch; x 1.002,
+# y 1.176); 1338 of 1564 pixels in-bounds, margins >= 9.1e-4
+# (offset-scanned against rint half-integer boundaries)
+SINU_W, SINU_H = 34, 46
+SINU_XMIN, SINU_YMIN = 598953.92, 5917074.95
+SINU_RES = 85.0
+SINU_YMAX = SINU_YMIN + SINU_H * SINU_RES
+SINU_R = 6371007.181
 
-def _q_reproject(interp: str, epsg: int = 3035,
+
+def _q_reproject(interp: str, crs_id=3035,
                  grid=((26, 36), (4254100.0, 3345300.0), 100.0)):
     def q(spark, sf_dir):
         """CRS reprojection (UTM 32632 -> LAEA 3035) of the synthetic raster.
@@ -1419,7 +1430,7 @@ def _q_reproject(interp: str, epsg: int = 3035,
             xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
         )
         target_gm = GridMapping.regular(
-            grid[0], grid[1], grid[2], CRS.from_epsg(epsg)
+            grid[0], grid[1], grid[2], CRS.from_user_input(crs_id)
         )
         # bilinear blends amplify ~1e-11 cross-engine transcendental noise
         # into round(value, 6) ties; quantizing the fractional indices to a
@@ -1449,9 +1460,45 @@ q_reproject_lcc = _q_reproject(
 q_reproject_albers = _q_reproject(
     "nearest", 5070, ((AEA_W, AEA_H), (AEA_XMIN, AEA_YMIN), AEA_RES)
 )
+q_reproject_sinu = _q_reproject(
+    "nearest", "MODIS",
+    ((SINU_W, SINU_H), (SINU_XMIN, SINU_YMIN), SINU_RES),
+)
+q_reproject_triangular = _q_reproject("triangular")
 
 
-def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
+def q_reproject_crs_families(spark, sf_dir):
+    """Five projection families (web mercator, polar stereo north, LCC
+    2SP, Albers 2SP, MODIS sinusoidal) verified value-level in ONE tagged
+    union entry so the whole registry stays inside the driver's 50-query
+    correctness window (same pattern as coarsen_reducers)."""
+    parts = [
+        ("webmerc", q_reproject_webmercator),
+        ("stere", q_reproject_polar_stereo),
+        ("lcc", q_reproject_lcc),
+        ("aea", q_reproject_albers),
+        ("sinu", q_reproject_sinu),
+    ]
+    out = None
+    for tag, fn in parts:
+        df = fn(spark, sf_dir).select(
+            F.lit(tag).alias("crs"), "t", "j", "i", "value"
+        )
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+def _reproject_families_oracle_sql() -> str:
+    """DuckDB twin of q_reproject_crs_families: the five per-family
+    oracle derivations unioned with a crs tag column."""
+    return "\nUNION ALL\n".join(
+        _reproject_oracle_sql("nearest", t, tag=t)
+        for t in ("webmerc", "stere", "lcc", "aea", "sinu")
+    )
+
+
+def _reproject_oracle_sql(interp: str, target: str = "laea",
+                          tag: str | None = None) -> str:
     """Build the DuckDB twin of the UTM->{LAEA|web-mercator} reprojection.
 
     Projection constants are derived from the same public formulas as
@@ -1495,6 +1542,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea") -> str:
     elif target == "aea":
         gw, gh = AEA_W, AEA_H
         gxmin, gymax, gres = AEA_XMIN, AEA_YMAX, AEA_RES
+    elif target == "sinu":
+        gw, gh = SINU_W, SINU_H
+        gxmin, gymax, gres = SINU_XMIN, SINU_YMAX, SINU_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -1528,6 +1578,44 @@ SELECT g.t, g.j, g.i,
        ROUND(CASE WHEN g.in_b THEN COALESCE(s.value, {FILL})
                   ELSE {FILL} END, 6) AS value
 FROM g LEFT JOIN src s ON s.t = g.t AND s.j = g.sj AND s.i = g.si
+"""
+    elif interp == "triangular":
+        # same quantized corner reads as bilinear; the two-triangle blend
+        # (reference reproject.py:285-314) branches on fx + fy < 1 --
+        # exact either way, because quantized fx/fy are dyadic rationals
+        gather = f"""
+gq AS (
+  SELECT t, j, i,
+         roundbankers(ix * 1024.0, 0) / 1024.0 AS ix,
+         roundbankers(iy * 1024.0, 0) / 1024.0 AS iy
+  FROM idx
+),
+g AS (
+  SELECT t, j, i,
+         CAST(floor(ix) AS INT) AS i0, CAST(ceil(ix) AS INT) AS i1,
+         CAST(floor(iy) AS INT) AS j0, CAST(ceil(iy) AS INT) AS j1,
+         ix - floor(ix) AS fx, iy - floor(iy) AS fy
+  FROM gq
+),
+p AS (
+  SELECT g.t, g.j, g.i, g.fx, g.fy,
+         COALESCE(s00.value, {FILL}) AS v00,
+         COALESCE(s01.value, {FILL}) AS v01,
+         COALESCE(s10.value, {FILL}) AS v10,
+         COALESCE(s11.value, {FILL}) AS v11
+  FROM g
+  LEFT JOIN src s00 ON s00.t = g.t AND s00.j = g.j0 AND s00.i = g.i0
+  LEFT JOIN src s01 ON s01.t = g.t AND s01.j = g.j0 AND s01.i = g.i1
+  LEFT JOIN src s10 ON s10.t = g.t AND s10.j = g.j1 AND s10.i = g.i0
+  LEFT JOIN src s11 ON s11.t = g.t AND s11.j = g.j1 AND s11.i = g.i1
+)
+SELECT t, j, i,
+       ROUND(CASE WHEN fx + fy < 1.0
+                  THEN v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                  ELSE v11 + (1.0 - fx) * (v10 - v11)
+                       + (1.0 - fy) * (v01 - v11)
+             END, 6) AS value
+FROM p
 """
     else:  # bilinear
         # binary-grid index quantization: bit-identical twin of
@@ -1685,6 +1773,17 @@ ll AS (
                  + {cC} * sin(6.0 * chi) + {cD} * sin(8.0 * chi)) AS lat
   FROM c3s
 ),"""
+    elif target == "sinu":
+        rr = r(SINU_R)
+        inverse_sql = f"""
+-- spherical sinusoidal (EPSG method 9835, MODIS sphere) inverse:
+-- phi = y / R, lam = x / (R cos phi)
+ll AS (
+  SELECT t, j, i,
+         degrees(tx / ({rr} * cos(ty / {rr}))) AS lon,
+         degrees(ty / {rr}) AS lat
+  FROM txy
+),"""
     else:
         a_sph = r(ell.a)
         inverse_sql = f"""
@@ -1697,7 +1796,10 @@ ll AS (
   FROM txy
 ),"""
 
+    tag_col = f"SELECT '{tag}' AS crs, * FROM (" if tag else ""
+    tag_end = ") tagged" if tag else ""
     return f"""
+{tag_col}
 WITH src AS ({RASTER_SQL}),
 grid AS (
   SELECT CAST(0 AS INT) AS t,
@@ -1759,6 +1861,7 @@ idx AS (
   FROM sxy
 ),
 {gather}
+{tag_end}
 """
 
 
@@ -2724,6 +2827,29 @@ def q_zarr_roundtrip(spark, sf_dir):
     )
 
 
+def q_zarr_roundtrip_blosc(spark, sf_dir):
+    """Zarr roundtrip through the pure-numpy blosc1 codec (byte-shuffle +
+    zlib inner streams, sources/blosc1.py): the compressor of real-world
+    zarr stores (reference opens them via zarr.open, cfconv.py:343-358).
+    Same window as zarr_roundtrip, so it shares SQL_CLIP."""
+    import tempfile
+
+    from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+    path = tempfile.gettempdir() + "/xcrs_zarr_roundtrip_blosc"
+    write_zarr(
+        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
+        compressor="blosc",
+    )
+    back = read_zarr(spark, path, "value", bbox_ij=(5, 10, 20, 30))
+    return back.select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Classic relational baseline (TPC-H Q1 shape) proving scan +
     filter + groupBy parity on lineitem."""
@@ -2797,10 +2923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "reproject_utm_to_laea": q_reproject_raster,
         "reproject_utm_to_laea_bilinear": _q_reproject("bilinear"),
-        "reproject_utm_to_webmercator": q_reproject_webmercator,
-        "reproject_utm_to_polar_stereo": q_reproject_polar_stereo,
-        "reproject_utm_to_lcc": q_reproject_lcc,
-        "reproject_utm_to_albers": q_reproject_albers,
+        "reproject_utm_to_laea_triangular": q_reproject_triangular,
+        "reproject_crs_families": q_reproject_crs_families,
+        "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2851,12 +2976,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_identity": SQL_IDENTITY,
         "reproject_utm_to_laea": _reproject_oracle_sql("nearest"),
         "reproject_utm_to_laea_bilinear": _reproject_oracle_sql("bilinear"),
-        "reproject_utm_to_webmercator":
-            _reproject_oracle_sql("nearest", "webmerc"),
-        "reproject_utm_to_polar_stereo":
-            _reproject_oracle_sql("nearest", "stere"),
-        "reproject_utm_to_lcc": _reproject_oracle_sql("nearest", "lcc"),
-        "reproject_utm_to_albers": _reproject_oracle_sql("nearest", "aea"),
+        "reproject_utm_to_laea_triangular":
+            _reproject_oracle_sql("triangular"),
+        "reproject_crs_families": _reproject_families_oracle_sql(),
+        "zarr_roundtrip_blosc": SQL_CLIP,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,
