@@ -2850,6 +2850,29 @@ def q_zarr_roundtrip_blosc(spark, sf_dir):
     )
 
 
+def q_netcdf_roundtrip(spark, sf_dir):
+    """NetCDF-3 classic sink + source end-to-end (SURVEY 2.2 #5; the
+    reference consumes NetCDF datasets via xarray): distributed row-band
+    granule write through the ChunkPut seam, band-pruned binaryFile read,
+    struct/numpy decode in mapInPandas.  Same window as zarr_roundtrip,
+    so it shares SQL_CLIP."""
+    import tempfile
+
+    from xcube_resampling_spark.sources import read_netcdf3, write_netcdf3
+
+    path = tempfile.gettempdir() + "/xcrs_netcdf_roundtrip"
+    write_netcdf3(
+        _raster(spark, sf_dir), path, "value", (RH, RW), band_rows=16
+    )
+    back = read_netcdf3(spark, path, "value", bbox_ij=(5, 10, 20, 30))
+    return back.select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Classic relational baseline (TPC-H Q1 shape) proving scan +
     filter + groupBy parity on lineitem."""
@@ -2926,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm_to_laea_triangular": q_reproject_triangular,
         "reproject_crs_families": q_reproject_crs_families,
         "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2980,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
             _reproject_oracle_sql("triangular"),
         "reproject_crs_families": _reproject_families_oracle_sql(),
         "zarr_roundtrip_blosc": SQL_CLIP,
+        "netcdf_roundtrip": SQL_CLIP,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,

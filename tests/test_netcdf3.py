@@ -1,0 +1,173 @@
+"""NetCDF-3 classic source/sink tests: byte-level format conformance
+(header fields per the public Unidata spec), codec roundtrips, and the
+distributed granule write / pruned read paths."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources import read_netcdf3, write_netcdf3
+from xcube_resampling_spark.sources.netcdf3 import (
+    decode_netcdf3, encode_netcdf3,
+)
+
+
+def _raster(spark, w, h, nt=1):
+    return spark.range(nt * w * h).select(
+        ((F.col("id") / (w * h))).cast("int").alias("t"),
+        ((F.col("id") % (w * h)) / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 0.25 - 3.0).alias("value"),
+    )
+
+
+class TestCodec:
+    def test_header_bytes_follow_spec(self):
+        data = np.arange(6, dtype="f8").reshape(2, 3)
+        blob = encode_netcdf3("v", data, ("y", "x"))
+        assert blob[:4] == b"CDF\x01"
+        assert struct.unpack_from(">i", blob, 4)[0] == 0  # numrecs
+        assert struct.unpack_from(">i", blob, 8)[0] == 0x0A  # NC_DIMENSION
+        assert struct.unpack_from(">i", blob, 12)[0] == 2  # two dims
+        # first dim: name "y" (len 1, padded to 4), size 2
+        assert struct.unpack_from(">i", blob, 16)[0] == 1
+        assert blob[20:21] == b"y"
+        assert struct.unpack_from(">i", blob, 24)[0] == 2
+        # data is big-endian doubles at the var's begin offset
+        parsed = decode_netcdf3(blob)
+        begin = blob.index(np.array(5.0, dtype=">f8").tobytes())
+        assert blob[begin:begin + 8] == np.array(
+            5.0, dtype=">f8"
+        ).tobytes()
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+
+    @pytest.mark.parametrize("dtype", ["f8", "f4", "i4", "i2", "i1"])
+    def test_dtype_roundtrip(self, dtype):
+        rng = np.random.default_rng(3)
+        data = rng.integers(-100, 100, (5, 7)).astype(dtype)
+        blob = encode_netcdf3("v", data, ("y", "x"))
+        back = decode_netcdf3(blob)["vars"]["v"]["data"]
+        np.testing.assert_array_equal(back, data)
+
+    def test_attrs_roundtrip(self):
+        data = np.zeros((2, 2), dtype="f8")
+        blob = encode_netcdf3(
+            "v", data, ("y", "x"),
+            global_attrs={"j_offset": 128, "title": "granule",
+                          "scale": 0.5},
+            var_attrs={"units": "K"},
+        )
+        parsed = decode_netcdf3(blob)
+        assert parsed["attrs"]["j_offset"] == 128
+        assert parsed["attrs"]["title"] == "granule"
+        assert parsed["attrs"]["scale"] == 0.5
+        assert parsed["vars"]["v"]["attrs"]["units"] == "K"
+        assert parsed["vars"]["v"]["dims"] == ("y", "x")
+
+    def test_3d_and_odd_name_padding(self):
+        data = np.arange(24, dtype="f4").reshape(2, 3, 4)
+        blob = encode_netcdf3("sst_k", data, ("t", "y", "x"))
+        parsed = decode_netcdf3(blob)
+        np.testing.assert_array_equal(parsed["vars"]["sst_k"]["data"], data)
+        assert parsed["dims"] == [("t", 2), ("y", 3), ("x", 4)]
+
+    def test_odd_sized_payload_padded_to_4(self):
+        data = np.arange(3, dtype="i2")  # 6 bytes -> vsize 8
+        blob = encode_netcdf3("v", data, ("x",))
+        assert len(blob) % 4 == 0
+        np.testing.assert_array_equal(
+            decode_netcdf3(blob)["vars"]["v"]["data"], data
+        )
+
+    def test_record_vars_and_bad_magic_rejected(self):
+        with pytest.raises(ValueError, match="magic"):
+            decode_netcdf3(b"HDF5....")
+        blob = bytearray(encode_netcdf3(
+            "v", np.zeros(2, dtype="f8"), ("x",)
+        ))
+        struct.pack_into(">i", blob, 4, 7)  # numrecs = 7
+        with pytest.raises(NotImplementedError, match="record"):
+            decode_netcdf3(bytes(blob))
+
+    def test_cdf2_64bit_offsets(self):
+        """A CDF-2 image (version byte 2, 8-byte begin) decodes too."""
+        blob = bytearray(encode_netcdf3(
+            "v", np.arange(4, dtype="f8"), ("x",)
+        ))
+        # rebuild as CDF-2 by hand: bump version, widen begin field
+        parsed_begin = len(blob) - 32  # 4 doubles
+        idx = blob.index(struct.pack(">i", parsed_begin))
+        blob2 = bytes(blob[:3]) + b"\x02" + bytes(blob[4:idx]) \
+            + struct.pack(">q", parsed_begin + 4) + bytes(blob[idx + 4:])
+        parsed = decode_netcdf3(blob2)
+        np.testing.assert_array_equal(
+            parsed["vars"]["v"]["data"], np.arange(4, dtype="f8")
+        )
+
+
+class TestGranuleRoundtrip:
+    def test_2d_roundtrip_multiband(self, spark, tmp_path):
+        w, h = 21, 17
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "nc")
+        write_netcdf3(df, path, "v", (h, w), band_rows=5)
+        import os
+
+        parts = [f for f in os.listdir(path) if f.endswith(".nc")]
+        assert len(parts) == 4  # ceil(17 / 5)
+        got = read_netcdf3(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        assert len(got) == w * h
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_3d_roundtrip(self, spark, tmp_path):
+        w, h, nt = 9, 8, 3
+        df = _raster(spark, w, h, nt)
+        path = str(tmp_path / "nc3")
+        write_netcdf3(df, path, "v", (nt, h, w), band_rows=4)
+        got = read_netcdf3(spark, path, "v").toPandas()
+        assert len(got) == nt * w * h
+        assert got["t"].max() == nt - 1
+
+    def test_bbox_prunes_granule_files(self, spark, tmp_path):
+        w, h = 16, 32
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "ncp")
+        write_netcdf3(df, path, "v", (h, w), band_rows=8)
+        out = read_netcdf3(spark, path, "v", bbox_ij=(2, 9, 10, 15))
+        # rows j 9..14 live in band 1 only: the scan must list ONE file
+        scanned = [
+            f for f in out._jdf.queryExecution().optimizedPlan().toString()
+            .split("\n") if "part-" in f
+        ]
+        plan = out._jdf.queryExecution().toString()
+        assert plan.count("part-") <= 1 or len(scanned) <= 1
+        pdf = out.toPandas()
+        assert sorted(pdf["j"].unique()) == list(range(9, 15))
+        assert len(pdf) == 8 * 6
+
+    def test_single_file_read(self, spark, tmp_path):
+        data = np.arange(12, dtype="f8").reshape(3, 4)
+        p = tmp_path / "one.nc"
+        p.write_bytes(encode_netcdf3("v", data, ("y", "x")))
+        got = read_netcdf3(spark, str(p), "v").toPandas().sort_values(
+            ["j", "i"]
+        )
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel()
+        )
+
+    def test_nan_fill_for_missing_pixels(self, spark, tmp_path):
+        w, h = 6, 4
+        df = _raster(spark, w, h).filter(F.col("i") != 3)
+        path = str(tmp_path / "ncn")
+        write_netcdf3(df, path, "v", (h, w), band_rows=4)
+        got = read_netcdf3(spark, path, "v").toPandas()
+        assert len(got) == w * h  # dense granules carry NaN for gaps
+        assert got[got["i"] == 3]["value"].isna().all()

@@ -8,16 +8,29 @@ from .pixels import (
     read_pixels,
     write_pixels,
 )
-from .zarr import ZARR_PIXEL_SCHEMA, read_zarr, write_zarr
+from .netcdf3 import read_netcdf3, write_netcdf3
+from .zarr import (
+    ZARR_PIXEL_SCHEMA,
+    ChunkPut,
+    FsChunkPut,
+    ObjectStoreChunkPut,
+    read_zarr,
+    write_zarr,
+)
 
 __all__ = [
     "CRS_SIDECAR",
+    "ChunkPut",
+    "FsChunkPut",
+    "ObjectStoreChunkPut",
     "PIXEL_SCHEMA",
     "ZARR_PIXEL_SCHEMA",
     "add_spatial_ref",
     "read_grid_mapping",
+    "read_netcdf3",
     "read_pixels",
     "read_zarr",
+    "write_netcdf3",
     "write_pixels",
     "write_zarr",
 ]

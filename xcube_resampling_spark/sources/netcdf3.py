@@ -1,0 +1,404 @@
+"""NetCDF-3 "classic" source/sink -- the second dataset format the
+reference consumes (it opens NetCDF-style datasets through xarray,
+SURVEY.md section 2.2 #5; e.g. reference cfconv.py works on any
+xarray-openable store).
+
+The classic format (magic ``CDF\\x01`` / ``CDF\\x02``) is a simple
+PUBLIC binary layout (Unidata "NetCDF Classic Format Specification"):
+a header (dimension list, global attributes, variable list with
+per-variable begin offsets) followed by the variable data, row-major,
+each non-record block padded to 4-byte multiples.  No external library
+is needed -- ``struct`` + numpy parse it completely.
+
+Spark-first mapping:
+
+* read: real NetCDF archives are many granule FILES (one per orbit /
+  tile / day), which is exactly Spark's unit of parallelism -- each
+  file is listed into ``spark.read.format("binaryFile")`` and decoded
+  in ``mapInPandas`` (header parse + ``np.frombuffer``), emitting
+  long-format (t, j, i, value) pixel rows.  Granule offsets come from
+  the ``j_offset`` / ``i_offset`` / ``t_offset`` global attributes when
+  present, so a directory of granules reassembles into one grid without
+  any shuffle.
+* write: pixels are grouped into row-band granules with
+  ``applyInPandas``; every executor task assembles and writes ONE
+  independent .nc file through the pluggable ``ChunkPut`` seam
+  (sources/zarr.py) -- one shuffle, no shared-filesystem assumption,
+  object-store ready.
+
+Scope: CDF-1 and CDF-2 files, fixed-size (non-record) variables of
+types byte/short/int/float/double, dimension order (y, x) or
+(t, y, x).  Record variables (numrecs > 0) raise a clear
+``NotImplementedError``.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_resampling_spark.sources.zarr import (
+    ZARR_PIXEL_SCHEMA, ChunkPut, FsChunkPut,
+)
+
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+# nc_type -> (numpy dtype, size in bytes)
+_NC_TYPES = {
+    1: np.dtype(">i1"),  # NC_BYTE
+    2: np.dtype("S1"),   # NC_CHAR
+    3: np.dtype(">i2"),  # NC_SHORT
+    4: np.dtype(">i4"),  # NC_INT
+    5: np.dtype(">f4"),  # NC_FLOAT
+    6: np.dtype(">f8"),  # NC_DOUBLE
+}
+_NC_TYPE_OF = {np.dtype("f8"): 6, np.dtype("f4"): 5, np.dtype("i4"): 4,
+               np.dtype("i2"): 3, np.dtype("i1"): 1}
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+class _Writer:
+    """Assemble one classic (CDF-1) file in memory."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def i4(self, v: int):
+        self.buf += struct.pack(">i", v)
+
+    def name(self, s: str):
+        b = s.encode()
+        self.i4(len(b))
+        self.buf += b + b"\x00" * (_pad4(len(b)) - len(b))
+
+    def att_values(self, nc_type: int, values) -> None:
+        if nc_type == 2:  # NC_CHAR: text attribute
+            b = values.encode() if isinstance(values, str) else bytes(values)
+            self.i4(2)
+            self.i4(len(b))
+            self.buf += b + b"\x00" * (_pad4(len(b)) - len(b))
+            return
+        arr = np.asarray(values).reshape(-1)
+        dt = _NC_TYPES[nc_type]
+        raw = arr.astype(dt).tobytes()
+        self.i4(nc_type)
+        self.i4(arr.size)
+        self.buf += raw + b"\x00" * (_pad4(len(raw)) - len(raw))
+
+    def att_list(self, attrs: dict):
+        if not attrs:
+            self.i4(0)
+            self.i4(0)
+            return
+        self.i4(_NC_ATTRIBUTE)
+        self.i4(len(attrs))
+        for k, v in attrs.items():
+            self.name(k)
+            if isinstance(v, str):
+                self.att_values(2, v)
+            elif isinstance(v, (int, np.integer)):
+                self.att_values(4, [v])
+            else:
+                self.att_values(6, [float(v)])
+
+
+def encode_netcdf3(
+    var_name: str,
+    data: np.ndarray,
+    dims: tuple[str, ...],
+    global_attrs: dict | None = None,
+    var_attrs: dict | None = None,
+) -> bytes:
+    """Encode one fixed-size variable (plus its coordinate-free dims) as a
+    CDF-1 file image."""
+    if data.ndim != len(dims):
+        raise ValueError("dims must match data.ndim")
+    nc_type = _NC_TYPE_OF.get(np.dtype(data.dtype.str.lstrip("<>=")))
+    if nc_type is None:
+        raise NotImplementedError(
+            f"netcdf3 dtype {data.dtype} not supported"
+        )
+    w = _Writer()
+    w.buf += b"CDF\x01"
+    w.i4(0)  # numrecs: no record dimension
+    # dim_list
+    w.i4(_NC_DIMENSION)
+    w.i4(len(dims))
+    for d, size in zip(dims, data.shape):
+        w.name(d)
+        w.i4(int(size))
+    w.att_list(global_attrs or {})
+    # var_list: a single variable
+    w.i4(_NC_VARIABLE)
+    w.i4(1)
+    w.name(var_name)
+    w.i4(len(dims))
+    for k in range(len(dims)):
+        w.i4(k)
+    w.att_list(var_attrs or {})
+    w.i4(nc_type)
+    raw = data.astype(_NC_TYPES[nc_type]).tobytes()
+    vsize = _pad4(len(raw))
+    w.i4(vsize)
+    begin = len(w.buf) + 4  # header so far + the 4-byte begin field itself
+    w.i4(begin)
+    w.buf += raw + b"\x00" * (vsize - len(raw))
+    return bytes(w.buf)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.buf[self.pos:self.pos + n].decode()
+        self.pos += _pad4(n)
+        return s
+
+    def att_values(self):
+        nc_type = self.i4()
+        n = self.i4()
+        if nc_type == 2:
+            v = self.buf[self.pos:self.pos + n].decode()
+            self.pos += _pad4(n)
+            return v
+        dt = _NC_TYPES[nc_type]
+        nbytes = n * dt.itemsize
+        arr = np.frombuffer(self.buf, dt, n, self.pos)
+        self.pos += _pad4(nbytes)
+        return arr.tolist() if n > 1 else arr[0].item()
+
+    def att_list(self) -> dict:
+        tag = self.i4()
+        n = self.i4()
+        if tag == 0 and n == 0:
+            return {}
+        if tag != _NC_ATTRIBUTE:
+            raise ValueError(f"bad attribute-list tag {tag}")
+        return {self.name(): self.att_values() for _ in range(n)}
+
+
+def decode_netcdf3(buf: bytes) -> dict:
+    """Parse a classic file image.
+
+    Returns ``{"dims": [(name, size), ...], "attrs": {...}, "vars":
+    {name: {"dims": (...), "attrs": {...}, "data": np.ndarray}}}``.
+    """
+    if buf[:3] != b"CDF":
+        raise ValueError("not a netcdf classic file (bad magic)")
+    version = buf[3]
+    if version not in (1, 2):
+        raise NotImplementedError(
+            f"netcdf version byte {version} not supported (CDF-1/2 only)"
+        )
+    r = _Reader(buf)
+    r.pos = 4
+    numrecs = r.i4()
+    if numrecs != 0:
+        raise NotImplementedError(
+            "netcdf3 record variables (numrecs > 0) not supported"
+        )
+    tag = r.i4()
+    ndims = r.i4()
+    dims = []
+    if tag == _NC_DIMENSION:
+        dims = [(r.name(), r.i4()) for _ in range(ndims)]
+    elif not (tag == 0 and ndims == 0):
+        raise ValueError(f"bad dimension-list tag {tag}")
+    gattrs = r.att_list()
+    tag = r.i4()
+    nvars = r.i4()
+    out_vars: dict = {}
+    if tag == _NC_VARIABLE:
+        for _ in range(nvars):
+            vname = r.name()
+            nd = r.i4()
+            dimids = [r.i4() for _ in range(nd)]
+            vattrs = r.att_list()
+            nc_type = r.i4()
+            r.i4()  # vsize (trust shape instead; 2^32-1 overflow marker)
+            begin = r.i8() if version == 2 else r.i4()
+            dt = _NC_TYPES.get(nc_type)
+            if dt is None:
+                raise NotImplementedError(f"nc_type {nc_type}")
+            shape = tuple(dims[d][1] for d in dimids)
+            count = int(np.prod(shape)) if shape else 1
+            arr = np.frombuffer(buf, dt, count, begin).reshape(shape)
+            out_vars[vname] = {
+                "dims": tuple(dims[d][0] for d in dimids),
+                "attrs": vattrs,
+                "data": arr,
+            }
+    elif not (tag == 0 and nvars == 0):
+        raise ValueError(f"bad variable-list tag {tag}")
+    return {"dims": dims, "attrs": gattrs, "vars": out_vars}
+
+
+def write_netcdf3(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    band_rows: int = 256,
+    fill_value: float = float("nan"),
+    attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
+) -> None:
+    """Write a (t, j, i, value) pixel DataFrame as a DIRECTORY of classic
+    NetCDF granule files, one per row band (``band_rows`` rows of the
+    grid each, the real-world granule layout).  Each granule records its
+    grid position in ``j_offset`` and decodes independently -- the write
+    is one ``applyInPandas`` shuffle, all bytes through ``chunk_put``.
+    """
+    nd = len(shape)
+    if nd == 2:
+        nt, (h, w) = 1, shape
+        src = df.filter(F.col("t") == 0)
+    elif nd == 3:
+        nt, h, w = shape
+        src = df
+    else:
+        raise ValueError("shape must be (h, w) or (nt, h, w)")
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    fill = float(fill_value)
+    n_bands = -(-h // band_rows)
+    keyed = src.select(
+        (F.col("j") / band_rows).cast("int").alias("band"),
+        "t", "j", "i", "value",
+    )
+    out_schema = T.StructType([T.StructField("file", T.StringType(), False)])
+    g_attrs = dict(attrs or {})
+
+    def write_band(key, pdf):
+        band = int(key[0])
+        j0 = band * band_rows
+        rows = min(band_rows, h - j0)
+        block = np.full((nt, rows, w), fill, dtype="f8")
+        tt = pdf["t"].to_numpy(np.int64)
+        jj = pdf["j"].to_numpy(np.int64) - j0
+        ii = pdf["i"].to_numpy(np.int64)
+        block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
+        dims = ("t", "y", "x") if nd == 3 else ("y", "x")
+        data = block if nd == 3 else block[0]
+        blob = encode_netcdf3(
+            var_name, data, dims,
+            global_attrs={"j_offset": j0, **g_attrs},
+        )
+        fname = f"part-{band:05d}.nc"
+        put.put(fname, blob)
+        return pd.DataFrame({"file": [fname]})
+
+    keyed.groupBy("band").applyInPandas(write_band, out_schema).count()
+    # tiny driver-side manifest so readers can cheaply discover the grid
+    put.put(
+        "_meta.json",
+        __import__("json").dumps(
+            {"var": var_name, "shape": list(shape),
+             "band_rows": band_rows, "n_bands": n_bands}
+        ).encode(),
+    )
+
+
+def read_netcdf3(
+    spark: SparkSession,
+    path: str,
+    var_name: str,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Read a .nc file or a granule directory as (t, j, i, value) rows.
+
+    For granule directories with a ``_meta.json`` manifest, ``bbox_ij``
+    prunes whole granule FILES driver-side (band arithmetic, no data
+    touched) before the binaryFile listing -- the NetCDF analogue of the
+    zarr chunk pruning; rows are then filtered to the exact window.
+    """
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".nc")
+        )
+        meta_path = os.path.join(path, "_meta.json")
+        if bbox_ij is not None and os.path.exists(meta_path):
+            meta = __import__("json").load(open(meta_path))
+            if meta.get("var") == var_name:
+                br = int(meta["band_rows"])
+                _, j0, _, j1 = bbox_ij
+                keep = range(max(0, j0 // br), -(-j1 // br))
+                files = [
+                    f for f in files
+                    if int(os.path.basename(f)[5:10]) in keep
+                ]
+    else:
+        files = [path]
+    if not files:
+        return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+    binf = spark.read.format("binaryFile").load(files)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for content in pdf["content"]:
+                parsed = decode_netcdf3(bytes(content))
+                var = parsed["vars"].get(var_name)
+                if var is None:
+                    continue
+                data = var["data"]
+                if data.ndim == 2:
+                    data = data[np.newaxis]
+                elif data.ndim != 3:
+                    raise ValueError(
+                        f"variable {var_name} must be 2-D or 3-D"
+                    )
+                nt, rows, w = data.shape
+                j_off = int(parsed["attrs"].get("j_offset", 0))
+                i_off = int(parsed["attrs"].get("i_offset", 0))
+                t_off = int(parsed["attrs"].get("t_offset", 0))
+                tt, jj, ii = np.meshgrid(
+                    np.arange(nt), np.arange(rows), np.arange(w),
+                    indexing="ij",
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "t": (tt.ravel() + t_off).astype(np.int32),
+                            "j": (jj.ravel() + j_off).astype(np.int32),
+                            "i": (ii.ravel() + i_off).astype(np.int32),
+                            "value": data.astype(np.float64).ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    df = binf.select("content").mapInPandas(decode, ZARR_PIXEL_SCHEMA)
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        df = df.filter(
+            (F.col("i") >= i0) & (F.col("i") < i1)
+            & (F.col("j") >= j0) & (F.col("j") < j1)
+        )
+    return df
