@@ -1396,7 +1396,8 @@ SINU_R = 6371007.181
 
 
 def _q_reproject(interp: str, crs_id=3035,
-                 grid=((26, 36), (4254100.0, 3345300.0), 100.0)):
+                 grid=((26, 36), (4254100.0, 3345300.0), 100.0),
+                 qbits="auto"):
     def q(spark, sf_dir):
         """CRS reprojection (UTM 32632 -> LAEA 3035) of the synthetic raster.
         The DuckDB oracle re-derives the full projection chain (LAEA inverse
@@ -1435,11 +1436,15 @@ def _q_reproject(interp: str, crs_id=3035,
         # bilinear blends amplify ~1e-11 cross-engine transcendental noise
         # into round(value, 6) ties; quantizing the fractional indices to a
         # binary 2**-10 grid makes both engines' blends bit-identical
-        # (nearest is tie-robust by the grid's engineered margins already)
-        qbits = 10 if interp != "nearest" else None
+        # (nearest is tie-robust by the grid's engineered margins already).
+        # The production default (exact indices, qbits=None) is pinned to
+        # the quantized path by tests/test_reproject.py's driver-scale
+        # envelope test.
+        q = (10 if interp != "nearest" else None) if qbits == "auto" \
+            else qbits
         out = reproject_dataset(src, target_gm, source_gm=source_gm,
                                 interp_methods=interp, fill_values=FILL,
-                                index_quantization_bits=qbits)
+                                index_quantization_bits=q)
         return out.data_vars["value"].df.select(
             "t", "j", "i", F.round("value", 6).alias("value")
         )

@@ -244,7 +244,10 @@ class TestReproject:
             source_ds, target_gm, interp_methods="bilinear",
             index_quantization_bits=20,
         ).to_numpy("band_1", (5, 5))
-        np.testing.assert_array_equal(exact, fine)
+        # quantization moves each index by <= 2**-21, shifting a bilinear
+        # blend by <= 2 * quantum * max|neighbor delta| (deltas <= 6 here);
+        # exact zero deltas would be fixture luck, not a guarantee
+        np.testing.assert_allclose(exact, fine, atol=2 * 6 * 2.0**-20)
         coarse = reproject_dataset(
             source_ds, target_gm, interp_methods="bilinear",
             index_quantization_bits=10,
@@ -252,6 +255,41 @@ class TestReproject:
         # one quantum (2**-10) of index shift moves a bilinear blend by at
         # most 2 * quantum * max|neighbor delta| (deltas here are <= 6)
         assert np.nanmax(np.abs(coarse - exact)) <= 2 * 6 * 2.0**-10
+
+    def test_driver_bilinear_exact_path_envelope(self, spark):
+        """The driver's bilinear reproject entries are oracle-verified on
+        the quantized path (index_quantization_bits=10); this pins the
+        PRODUCTION default (exact indices) to the quantized result at
+        driver scale, within the quantum envelope, so the default path
+        keeps value-level coverage too (round-3 advice)."""
+        import sys
+
+        sys.path.insert(0, ".")
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        quant = entry._q_reproject("bilinear")(spark, sf).toPandas()
+        exact = entry._q_reproject("bilinear", qbits=None)(
+            spark, sf
+        ).toPandas()
+        q = quant.sort_values(["t", "j", "i"])["value"].to_numpy()
+        e = exact.sort_values(["t", "j", "i"])["value"].to_numpy()
+        assert len(q) == len(e) == 26 * 36
+        # per-index quantum 2**-11 max shift, blend sensitivity bounded by
+        # 2 * quantum * max|corner delta|; corner deltas span data vs the
+        # -999 fill at swath edges, plus the query's 6-dp output rounding
+        max_delta = float(np.nanmax(np.abs(e))) + 999.0
+        atol = 2 * max_delta * 2.0**-10 + 1e-6
+        np.testing.assert_allclose(q, e, atol=atol)
+        # the in-bounds interior (no fill corners, deltas <= data range)
+        # must agree far tighter than the global bound
+        interior = (q > -900) & (e > -900)
+        assert interior.sum() > 500
+        data_span = float(np.nanmax(e[interior]) - np.nanmin(e[interior]))
+        np.testing.assert_allclose(
+            q[interior], e[interior],
+            atol=2 * data_span * 2.0**-10 + 1e-6,
+        )
 
 
 class TestGatherInterpFused:

@@ -86,42 +86,48 @@ def from_lon_360(lon):
     return np.where(lon <= 180.0, lon, lon - 360.0)
 
 
-_RESOLUTIONS = {
-    10: (1, 0),
-    20: (2, 0),
-    25: (25, 1),
-    50: (5, 0),
-    100: (1, -1),
+# Allowed last-digit quantization steps, keyed by round(100 * step):
+# each maps to (integer step multiplier, extra decimal places it needs).
+# 0.25 needs two extra places (25 hundredths); 1.0 needs one fewer.
+_STEP_TABLE = {
+    10: (1, 0),    # 0.1
+    20: (2, 0),    # 0.2
+    25: (25, 1),   # 0.25
+    50: (5, 0),    # 0.5
+    100: (1, -1),  # 1
 }
-_RESOLUTION_SET = {k / 100 for k in _RESOLUTIONS}
 
 
 def round_to_fraction(value: float, digits: int = 2,
                       resolution: float = 1) -> Fraction:
-    """Round *value* at the given significant digit to an exact Fraction
-    (reference helpers.py:203-239; same semantics)."""
+    """Snap ``value`` to ``digits`` significant digits, quantizing the
+    last digit in ``resolution`` steps (0.1, 0.2, 0.25, 0.5 or 1), and
+    return the snapped value exactly as a ``Fraction``.
+
+    Behavioral parity with reference helpers.py:203-239 (the resolution
+    snapping used when inferring grid resolutions from coordinates);
+    implementation is original.
+    """
     if digits < 1:
         raise ValueError("digits must be a positive integer")
-    resolution_key = round(100 * resolution)
-    if resolution_key not in _RESOLUTIONS or not math.isclose(
-        100 * resolution, resolution_key
+    hundredths = round(100 * resolution)
+    if hundredths not in _STEP_TABLE or not math.isclose(
+        100 * resolution, hundredths
     ):
-        raise ValueError(f"resolution must be one of {_RESOLUTION_SET}")
+        allowed = sorted(k / 100 for k in _STEP_TABLE)
+        raise ValueError(f"resolution must be one of {set(allowed)}")
     if value == 0:
         return Fraction(0, 1)
-    sign = 1
-    if value < 0:
-        sign = -1
-        value = -value
-    resolution, resolution_digits = _RESOLUTIONS[resolution_key]
-    exponent = math.floor(math.log10(value)) - digits - resolution_digits
-    if exponent >= 0:
-        magnitude = Fraction(10**exponent, 1)
-    else:
-        magnitude = Fraction(1, 10**-exponent)
-    scaled_value = value / magnitude
-    discrete_value = resolution * round(scaled_value / resolution)
-    return (sign * discrete_value) * magnitude
+    step_mult, extra_places = _STEP_TABLE[hundredths]
+    mag = abs(value)
+    # decimal place of the quantization unit, below the leading digit
+    decade = math.floor(math.log10(mag)) - digits - extra_places
+    unit = Fraction(10) ** decade
+    # float division first (same association as the reference), exact
+    # Fraction arithmetic only for the reconstruction
+    n_steps = round((mag / unit) / step_mult)
+    snapped = Fraction(step_mult * n_steps) * unit
+    return -snapped if value < 0 else snapped
 
 
 def scale_xy_res_and_size(xy_res, size, xy_scale):

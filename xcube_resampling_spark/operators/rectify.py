@@ -276,12 +276,30 @@ def scatter_from_coords(
     nan_y = [F.isnan(F.col(c)) for c in ("p0y", "p1y", "p2y", "p3y")]
     has_nan_i = nan_x[0] | nan_x[1] | nan_x[2] | nan_x[3]
     has_nan_j = nan_y[0] | nan_y[1] | nan_y[2] | nan_y[3]
+    # symmetric 1-pixel slack around the finite hull of a NaN-cornered
+    # quad: the uv_delta tolerance (~1e-3) admits points up to
+    # uv_delta * quad-extent (< 1 pixel) OUTSIDE the testable triangle on
+    # any side, so one pixel each way bounds it; fully-finite quads need
+    # none (their bbox already contains the whole quad).  All-NULL
+    # corners collapse to an explicitly EMPTY bbox (max < min) via the
+    # coalesce fallbacks -- never the full grid row/column -- which the
+    # bi1 >= bi0 filter below then drops.
     slack_i = F.when(has_nan_i, F.lit(1)).otherwise(F.lit(0))
     slack_j = F.when(has_nan_j, F.lit(1)).otherwise(F.lit(0))
-    i_min = F.greatest(F.least(*corners_i), F.lit(0))
-    i_max = F.least(F.greatest(*corners_i) + slack_i, F.lit(w - 1))
-    j_min = F.greatest(F.least(*corners_j), F.lit(0))
-    j_max = F.least(F.greatest(*corners_j) + slack_j, F.lit(h - 1))
+    i_min = F.greatest(
+        F.coalesce(F.least(*corners_i) - slack_i, F.lit(w)), F.lit(0)
+    )
+    i_max = F.least(
+        F.coalesce(F.greatest(*corners_i) + slack_i, F.lit(-1)),
+        F.lit(w - 1),
+    )
+    j_min = F.greatest(
+        F.coalesce(F.least(*corners_j) - slack_j, F.lit(h)), F.lit(0)
+    )
+    j_max = F.least(
+        F.coalesce(F.greatest(*corners_j) + slack_j, F.lit(-1)),
+        F.lit(h - 1),
+    )
 
     def det(ax, ay, bx, by, cx, cy):
         # reference _fdet (rectify.py:742-745)
@@ -475,16 +493,28 @@ def scatter_from_coords_tiled(
             pj = np.floor((cy - y_off) / y_scale)
             nan_i = np.isnan(pi).any(0)
             nan_j = np.isnan(pj).any(0)
-            bi0 = np.clip(np.min(np.where(np.isnan(pi), np.inf, pi), 0),
-                          0, w - 1)
-            bj0 = np.clip(np.min(np.where(np.isnan(pj), np.inf, pj), 0),
-                          0, h - 1)
-            fin_i = np.max(np.where(np.isnan(pi), -np.inf, pi), 0)
-            fin_j = np.max(np.where(np.isnan(pj), -np.inf, pj), 0)
-            bi1 = np.where(nan_i, np.clip(fin_i + 1, 0, w - 1),
+            # symmetric 1-pixel slack around the finite hull of a
+            # NaN-cornered quad: uv_delta admits points < 1 pixel outside
+            # the testable triangle on ANY side (uv_delta * quad extent),
+            # so widen min and max alike; all-NaN corners leave the
+            # inf/-inf sentinels -> empty bbox after the valid filter
+            fin_i0 = np.min(np.where(np.isnan(pi), np.inf, pi), 0)
+            fin_j0 = np.min(np.where(np.isnan(pj), np.inf, pj), 0)
+            fin_i1 = np.max(np.where(np.isnan(pi), -np.inf, pi), 0)
+            fin_j1 = np.max(np.where(np.isnan(pj), -np.inf, pj), 0)
+            all_nan_i = np.isinf(fin_i0) & np.isinf(fin_i1)
+            all_nan_j = np.isinf(fin_j0) & np.isinf(fin_j1)
+            bi0 = np.where(nan_i, np.clip(fin_i0 - 1, 0, w - 1),
+                           np.clip(fin_i0, 0, w - 1))
+            bj0 = np.where(nan_j, np.clip(fin_j0 - 1, 0, h - 1),
+                           np.clip(fin_j0, 0, h - 1))
+            bi1 = np.where(nan_i, np.clip(fin_i1 + 1, 0, w - 1),
                            np.clip(pi.max(0), 0, w - 1))
-            bj1 = np.where(nan_j, np.clip(fin_j + 1, 0, h - 1),
+            bj1 = np.where(nan_j, np.clip(fin_j1 + 1, 0, h - 1),
                            np.clip(pj.max(0), 0, h - 1))
+            # explicit empty bbox for quads with no finite corner at all
+            bi1 = np.where(all_nan_i, -1.0, bi1)
+            bj1 = np.where(all_nan_j, -1.0, bj1)
             det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
             det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
             det_a = np.nan_to_num(det_a, nan=0.0)
