@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import hash32, shingles_col
+from .text import exploded_shingles, hash32
 
 # MinHash permutation parameters: h_k(x) = (A_k * x + B_k) mod P.
 # A_k < 2^30 so A_k * x stays below 2^62 for 32-bit x (no int64 overflow in
@@ -72,9 +72,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 def shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, h): distinct 32-bit hashes of word k-gram shingles."""
     return (
-        docs.select(
-            "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
-        )
+        exploded_shingles(docs, k)
         .select("doc_id", hash32(F.col("sh")).alias("h"))
         .distinct()
     )
@@ -196,9 +194,7 @@ def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     Array length is bounded by document length (shingle count), so rows
     stay small at any corpus scale."""
     return (
-        docs.select(
-            "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
-        )
+        exploded_shingles(docs, k)
         .select("doc_id", hash32(F.col("sh")).alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
@@ -212,26 +208,33 @@ def dedup_minhash_lsh(
     Jaccard.  Bands of NUM_PERM/BANDS rows; candidates = docs sharing a
     band key; verification intersects the per-doc shingle-hash arrays.
 
-    Physical plan: one collect_set shuffle builds the per-doc shingle
-    arrays; signatures are array_min(transform(...)) per permutation (no
-    shuffle); the band self-join keys on (band, band_key) over BANDS rows
-    per doc; verification joins the candidate pairs back to the (small,
+    Physical plan: ONE shuffle aggregates the exploded shingle hashes per
+    doc into both the verify array (collect_set) and all NUM_PERM
+    signature minima (plain min() aggregates of (a*h+b) % p -- map-side
+    combinable, whole-stage codegen; min over occurrences == min over the
+    set, and the former needs no interpreted higher-order transform).
+    The band self-join keys on (band, band_key) over BANDS rows per doc;
+    verification joins the candidate pairs back to the (small,
     auto-broadcastable) array table twice and computes
     size(array_intersect) -- no shingle-row explode, no re-shuffle of the
     shingle table."""
-    sets = _persist(shingle_sets(docs, k))
+    hashed = exploded_shingles(docs, k).select(
+        "doc_id", hash32(F.col("sh")).alias("h")
+    )
+    sets = _persist(
+        hashed.groupBy("doc_id").agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[p]) * F.col("h")
+                     + F.lit(MINHASH_B[p])) % F.lit(MINHASH_P)
+                ).alias(f"m{p}")
+                for p in range(NUM_PERM)
+            ],
+        )
+    )
     sig = sets.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("hs"),
-                    lambda h: (F.lit(MINHASH_A[p]) * h + F.lit(MINHASH_B[p]))
-                    % F.lit(MINHASH_P),
-                )
-            ).alias(f"m{p}")
-            for p in range(NUM_PERM)
-        ],
+        "doc_id", *[F.col(f"m{p}") for p in range(NUM_PERM)]
     )
     rows_per_band = NUM_PERM // BANDS
     band_structs = [
