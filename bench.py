@@ -57,18 +57,13 @@ def raster_df(spark, w, h):
     )
 
 
-def bench_rectify_scene(spark):
-    """Irregular swath (SCENE_W x SCENE_H) -> regular grid, nearest.
-    Mirrors BASELINE.md rectify_sentinel3 (1890x1189, ~1.4 s reference).
-
-    Uses the fused two-shuffle path (scatter kernel emits final values, FWW
-    + densify in the second kernel); lon/lat and radiance live in the same
-    swath rows, as in a real L1 scene."""
+def _rectify_df(spark, w, h, tw, th, y0):
+    """Shared builder for the rectify benches: sheared swath (w x h) ->
+    regular (tw x th) grid via the fused two-shuffle path."""
     from xcube_resampling_spark.crs import CRS_WGS84
     from xcube_resampling_spark.gridmapping import GridMapping
     from xcube_resampling_spark.operators.rectify import rectify_fused_tiled
 
-    w, h = SCENE_W, SCENE_H
     swath = spark.range(w * h).select(
         (F.col("id") / w).cast("int").alias("j"),
         (F.col("id") % w).cast("int").alias("i"),
@@ -82,45 +77,62 @@ def bench_rectify_scene(spark):
         F.col("value").alias("val_0"),
         F.lit(True).alias("pres_0"),
     )
-    # swath bbox: x in [0, 22.47], y in [48.1, 63.78]; res chosen so the
-    # target has ~2.3M px (scene-scale output)
     target_gm = GridMapping.regular(
-        (1800, 1256), (0.0, 48.0), 0.0125, CRS_WGS84
+        (tw, th), (0.0, float(y0)), 0.0125, CRS_WGS84
     )
-    out = rectify_fused_tiled(
+    return rectify_fused_tiled(
         swath, target_gm, (w, h), 1, "nearest", float("nan"), False,
     )
-    return out.count()
+
+
+def bench_rectify_scene(spark):
+    """Irregular swath (SCENE_W x SCENE_H) -> regular grid, nearest.
+    Mirrors BASELINE.md rectify_sentinel3 (1890x1189, ~1.4 s reference).
+
+    Uses the fused two-shuffle path (scatter kernel emits final values, FWW
+    + densify in the second kernel); lon/lat and radiance live in the same
+    swath rows, as in a real L1 scene.  Swath bbox: x in [0, 22.47], y in
+    [48.1, 63.78]; res chosen so the target has ~2.3M px."""
+    return _rectify_df(spark, SCENE_W, SCENE_H, 1800, 1256, 48.0).count()
+
+
+def _affine_up_df(spark, n):
+    """n x n -> 2n x 2n bilinear upscale (4-way gather join)."""
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    return resample_pixels(
+        spark, raster_df(spark, n, n),
+        ((0.5, 0.0, -0.25), (0.0, 0.5, -0.25)),
+        (n, n), (2 * n, 2 * n), 1, 1, "mean", False, float("nan"),
+        False,
+    )
+
+
+def _affine_down_df(spark, n):
+    """n x n -> n/8 x n/8 mean downscale (gather + window groupBy)."""
+    from xcube_resampling_spark.operators.affine import resample_pixels
+
+    m = n // 8
+    return resample_pixels(
+        spark, raster_df(spark, n, n),
+        ((8.0, 0.0, 0.0), (0.0, 8.0, 0.0)),
+        (n, n), (m, m), 1, 1, "mean", False, float("nan"),
+        False,
+    )
 
 
 def bench_affine_up_bilinear(spark):
     """1024x1024 -> 2048x2048 bilinear upscale (4-way gather join)."""
-    from xcube_resampling_spark.operators.affine import resample_pixels
-
-    out = resample_pixels(
-        spark, raster_df(spark, 1024, 1024),
-        ((0.5, 0.0, -0.25), (0.0, 0.5, -0.25)),
-        (1024, 1024), (2048, 2048), 1, 1, "mean", False, float("nan"),
-        False,
-    )
-    return out.count()
+    return _affine_up_df(spark, 1024).count()
 
 
 def bench_affine_down_mean(spark):
     """2048x2048 -> 256x256 mean downscale (gather + window groupBy)."""
-    from xcube_resampling_spark.operators.affine import resample_pixels
-
-    out = resample_pixels(
-        spark, raster_df(spark, 2048, 2048),
-        ((8.0, 0.0, 0.0), (0.0, 8.0, 0.0)),
-        (2048, 2048), (256, 256), 1, 1, "mean", False, float("nan"),
-        False,
-    )
-    return out.count()
+    return _affine_down_df(spark, 2048).count()
 
 
-def bench_reproject(spark):
-    """UTM -> LAEA reprojection, 1024x1024 src (pandas-UDF pyproj path)."""
+def _reproject_df(spark, n, tn):
+    """UTM -> LAEA reprojection, n x n src (pandas-UDF transform path)."""
     import numpy as np
 
     from xcube_resampling_spark.crs import CRS
@@ -128,7 +140,6 @@ def bench_reproject(spark):
     from xcube_resampling_spark.gridmapping import GridMapping
     from xcube_resampling_spark.operators.reproject import reproject_dataset
 
-    n = 1024
     r = raster_df(spark, n, n)
     src = SparkDataset(
         spark=spark,
@@ -144,13 +155,18 @@ def bench_reproject(spark):
         xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
     )
     target_gm = GridMapping.regular(
-        (1000, 1000), (4200000.0, 3300000.0), 100.0, CRS.from_epsg(3035)
+        (tn, tn), (4200000.0, 3300000.0), 100.0, CRS.from_epsg(3035)
     )
     out = reproject_dataset(
         src, target_gm, source_gm=source_gm,
         interp_methods="nearest", fill_values=float("nan"),
     )
-    return out.data_vars["value"].df.count()
+    return out.data_vars["value"].df
+
+
+def bench_reproject(spark):
+    """UTM -> LAEA reprojection, 1024x1024 src (pandas-UDF transform)."""
+    return _reproject_df(spark, 1024, 1000).count()
 
 
 def _entry_query(name):
@@ -163,6 +179,47 @@ def _entry_query(name):
 
     run.__name__ = name
     return run
+
+
+# ~10x-pixel variants of the three geo pipelines (linear dims x ~3.16):
+# the scaling-slope probe.  Each entry: name -> (headline_df_builder,
+# sf1_df_builder); the recorded exchange counts must MATCH between the
+# two scales (the fused pipelines' shuffle count is size-invariant:
+# affine 1, rectify 2, reproject 2 + the transform stage).
+SCALE_BENCHES = [
+    (
+        "rectify_scene",
+        lambda s: _rectify_df(s, SCENE_W, SCENE_H, 1800, 1256, 48.0),
+        # 5977x3760 swath (22.5M px) -> 5700x4480 target; the swath's
+        # sheared footprint grows with its index extent, so the target
+        # bbox is re-derived: x <= 0.01*5977+0.003*3760 = 71.1,
+        # y in [22.4, 72.0]
+        lambda s: _rectify_df(s, 5977, 3760, 5700, 4480, 16.0),
+    ),
+    (
+        "affine_up_bilinear",
+        lambda s: _affine_up_df(s, 1024),
+        lambda s: _affine_up_df(s, 3238),
+    ),
+    (
+        "affine_down_mean",
+        lambda s: _affine_down_df(s, 2048),
+        lambda s: _affine_down_df(s, 6480),
+    ),
+    (
+        "reproject_utm_laea",
+        lambda s: _reproject_df(s, 1024, 1000),
+        lambda s: _reproject_df(s, 3238, 3162),
+    ),
+]
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1 for line in plan.split("\n")
+        if "Exchange" in line and "Reused" not in line
+    )
 
 
 BENCHES = [
@@ -207,14 +264,45 @@ def main():
         total += best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
 
+    # scale section: one run each of the geo pipelines at ~10x pixels,
+    # with exchange counts at both scales (must match -- the fused
+    # pipelines' shuffle count is size-invariant).  NOT included in the
+    # headline wall, so round-over-round comparisons stay apples-to-apples.
+    scale_times = {}
+    scale_exchanges = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        for name, head_fn, sf1_fn in SCALE_BENCHES:
+            spark.catalog.clearCache()
+            df1 = sf1_fn(spark)
+            t0 = time.perf_counter()
+            df1.count()
+            scale_times[name] = round(time.perf_counter() - t0, 3)
+            head_df = head_fn(spark)
+            head_df.count()
+            scale_exchanges[name] = [
+                _n_exchanges(head_df), _n_exchanges(df1)
+            ]
+            print(
+                f"# sf1 {name}: {scale_times[name]:.2f}s "
+                f"exchanges={scale_exchanges[name]}",
+                file=sys.stderr,
+            )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
-    }))
+    }
+    if scale_times:
+        out["scale_10x"] = {
+            "queries": scale_times,
+            "exchanges_head_vs_10x": scale_exchanges,
+            "note": "one run each at ~10x pixels; excluded from value",
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
