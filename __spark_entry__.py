@@ -1394,6 +1394,15 @@ SINU_RES = 85.0
 SINU_YMAX = SINU_YMIN + SINU_H * SINU_RES
 SINU_R = 6371007.181
 
+# EASE-Grid 2.0 Global (EPSG:6933, cylindrical equal-area, lat_ts 30)
+# target: at 53N the projection compresses y by ~0.69, so a 60 m step
+# keeps bbox scales >= 1 (x 2.41, y 1.15); 1845 of 2100 in-bounds,
+# margins >= 1.5e-2 (offset-scanned)
+CEA_W, CEA_H = 50, 42
+CEA_XMIN, CEA_YMIN = 868093.23, 5870639.41
+CEA_RES = 60.0
+CEA_YMAX = CEA_YMIN + CEA_H * CEA_RES
+
 
 def _q_reproject(interp: str, crs_id=3035,
                  grid=((26, 36), (4254100.0, 3345300.0), 100.0),
@@ -1469,20 +1478,26 @@ q_reproject_sinu = _q_reproject(
     "nearest", "MODIS",
     ((SINU_W, SINU_H), (SINU_XMIN, SINU_YMIN), SINU_RES),
 )
+q_reproject_ease2 = _q_reproject(
+    "nearest", 6933,
+    ((CEA_W, CEA_H), (CEA_XMIN, CEA_YMIN), CEA_RES),
+)
 q_reproject_triangular = _q_reproject("triangular")
 
 
 def q_reproject_crs_families(spark, sf_dir):
-    """Five projection families (web mercator, polar stereo north, LCC
-    2SP, Albers 2SP, MODIS sinusoidal) verified value-level in ONE tagged
-    union entry so the whole registry stays inside the driver's 50-query
-    correctness window (same pattern as coarsen_reducers)."""
+    """Six projection families (web mercator, polar stereo north, LCC
+    2SP, Albers 2SP, MODIS sinusoidal, EASE-Grid 2.0 cylindrical
+    equal-area) verified value-level in ONE tagged union entry so the
+    whole registry stays inside the driver's 50-query correctness window
+    (same pattern as coarsen_reducers)."""
     parts = [
         ("webmerc", q_reproject_webmercator),
         ("stere", q_reproject_polar_stereo),
         ("lcc", q_reproject_lcc),
         ("aea", q_reproject_albers),
         ("sinu", q_reproject_sinu),
+        ("cea", q_reproject_ease2),
     ]
     out = None
     for tag, fn in parts:
@@ -1498,7 +1513,7 @@ def _reproject_families_oracle_sql() -> str:
     oracle derivations unioned with a crs tag column."""
     return "\nUNION ALL\n".join(
         _reproject_oracle_sql("nearest", t, tag=t)
-        for t in ("webmerc", "stere", "lcc", "aea", "sinu")
+        for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea")
     )
 
 
@@ -1550,6 +1565,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea",
     elif target == "sinu":
         gw, gh = SINU_W, SINU_H
         gxmin, gymax, gres = SINU_XMIN, SINU_YMAX, SINU_RES
+    elif target == "cea":
+        gw, gh = CEA_W, CEA_H
+        gxmin, gymax, gres = CEA_XMIN, CEA_YMAX, CEA_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -1777,6 +1795,31 @@ ll AS (
          degrees(chi + {cA} * sin(2.0 * chi) + {cB} * sin(4.0 * chi)
                  + {cC} * sin(6.0 * chi) + {cD} * sin(8.0 * chi)) AS lat
   FROM c3s
+),"""
+    elif target == "cea":
+        from xcube_resampling_spark.crs import _cea_setup
+
+        cea = CRS.from_epsg(6933)
+        _, ck0, cqp = _cea_setup(cea)
+        ce2 = cea.ellipsoid.e2
+        ce4, ce6 = ce2 * ce2, ce2 ** 3
+        bA = r(ce2 / 3 + 31 * ce4 / 180 + 517 * ce6 / 5040)
+        bB = r(23 * ce4 / 360 + 251 * ce6 / 3780)
+        bC = r(761 * ce6 / 45360)
+        inverse_sql = f"""
+-- Lambert cylindrical equal area / EASE-Grid 2.0 (EPSG method 9835)
+-- inverse: beta = asin(2 y k0 / (a qp)), then the authalic series
+e1s AS (
+  SELECT t, j, i, tx, asin(2.0 * ty * {r(ck0)}
+         / ({r(cea.ellipsoid.a)} * {r(cqp)})) AS beta
+  FROM txy
+),
+ll AS (
+  SELECT t, j, i,
+         degrees(tx / ({r(cea.ellipsoid.a)} * {r(ck0)})) AS lon,
+         degrees(beta + {bA} * sin(2.0 * beta) + {bB} * sin(4.0 * beta)
+                 + {bC} * sin(6.0 * beta)) AS lat
+  FROM e1s
 ),"""
     elif target == "sinu":
         rr = r(SINU_R)

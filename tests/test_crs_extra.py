@@ -393,3 +393,171 @@ class TestSinusoidal:
             assert spec_back.equals(crs)
         cf = CRS_SINU_MODIS.to_cf()
         assert cf.get("earth_radius") == 6371007.181
+
+
+class TestBritishNationalGrid:
+    def test_osgb_worked_example(self):
+        """Ordnance Survey 'A guide to coordinate systems in Great
+        Britain' worked example: OSGB36 lat 52d39'27.2531\"N,
+        lon 1d43'4.5177\"E -> E 651409.903, N 313177.270 (Airy 1830)."""
+        from xcube_resampling_spark.crs import _tmerc_forward
+
+        bng = CRS.from_epsg(27700)
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        x, y = _tmerc_forward(bng, np.array([lon]), np.array([lat]))
+        assert float(x[0]) == pytest.approx(651409.903, abs=2e-3)
+        assert float(y[0]) == pytest.approx(313177.270, abs=2e-3)
+
+    def test_roundtrip_and_origin(self):
+        bng = CRS.from_epsg(27700)
+        t = Transformer.from_crs(CRS_WGS84, bng)
+        ti = Transformer.from_crs(bng, CRS_WGS84)
+        lons = np.array([-6.0, -2.0, 0.0, 1.5])
+        lats = np.array([50.0, 53.0, 55.5, 58.0])
+        x, y = t.transform(lons, lats)
+        lon2, lat2 = ti.transform(x, y)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+        # true origin (49N 2W) maps to the false origin offsets
+        x0, y0 = t.transform(np.array([-2.0]), np.array([49.0]))
+        assert float(x0[0]) == pytest.approx(400000.0, abs=1e-6)
+        assert float(y0[0]) == pytest.approx(-100000.0, abs=1e-6)
+
+
+class TestEtrs89Utm:
+    def test_matches_wgs84_utm_to_sub_mm(self):
+        """GRS80 vs WGS84 flattening differs in the 10th digit; the same
+        point projects to within a millimeter of WGS84 UTM but NOT
+        identically (distinct ellipsoid constants flow through)."""
+        a = CRS.from_epsg(25832)
+        b = CRS.from_epsg(32632)
+        t_a = Transformer.from_crs(CRS_WGS84, a)
+        t_b = Transformer.from_crs(CRS_WGS84, b)
+        xa, ya = t_a.transform(np.array([9.3]), np.array([52.1]))
+        xb, yb = t_b.transform(np.array([9.3]), np.array([52.1]))
+        assert abs(float(xa[0] - xb[0])) < 1e-3
+        assert abs(float(ya[0] - yb[0])) < 1e-3
+        assert a.ellipsoid != b.ellipsoid
+
+
+class TestWorldMercator:
+    def test_snyder_ellipsoidal_example(self):
+        """Snyder sec. 7 numerical example (Clarke 1866): phi 35N,
+        lam 75W, lon_0 180W -> x = 11688673.7 m, y = 4139145.6 m."""
+        from xcube_resampling_spark.crs import (
+            _Ellipsoid, _merc_forward,
+        )
+
+        crs = CRS(
+            "merc", "snyder", _Ellipsoid(6378206.4, 294.978698214),
+            params=(("k_0", 1.0), ("lon_0", -180.0),
+                    ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        x, y = _merc_forward(crs, np.array([-75.0]), np.array([35.0]))
+        assert float(x[0]) == pytest.approx(11688673.7, abs=0.2)
+        assert float(y[0]) == pytest.approx(4139145.6, abs=0.2)
+
+    def test_3395_roundtrip_and_equator_scale(self):
+        m = CRS.from_epsg(3395)
+        t = Transformer.from_crs(CRS_WGS84, m)
+        ti = Transformer.from_crs(m, CRS_WGS84)
+        lons = np.array([-179.0, -10.0, 0.0, 120.0])
+        lats = np.array([-70.0, -5.0, 0.0, 65.0])
+        x, y = t.transform(lons, lats)
+        lon2, lat2 = ti.transform(x, y)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+        # the equator is true-scale: x(1 deg) = a * pi/180
+        x1, _ = t.transform(np.array([1.0]), np.array([0.0]))
+        assert float(x1[0]) == pytest.approx(
+            6378137.0 * np.pi / 180.0, rel=1e-12
+        )
+
+
+class TestEaseGrid2:
+    def test_world_edge_matches_epsg_bound(self):
+        """EPSG:6933's published projected extent is
+        x = +-17367530.4451615 m (epsg.io / EPSG registry)."""
+        g = CRS.from_epsg(6933)
+        t = Transformer.from_crs(CRS_WGS84, g)
+        x, y = t.transform(np.array([180.0]), np.array([0.0]))
+        assert float(x[0]) == pytest.approx(17367530.4451615, abs=1e-4)
+        assert float(y[0]) == 0.0
+
+    def test_equal_area_property_and_roundtrip(self):
+        from xcube_resampling_spark.crs import _cea_forward
+
+        g = CRS.from_epsg(6933)
+        a, e2 = g.ellipsoid.a, g.ellipsoid.e2
+        lon, lat = 11.0, -47.0
+        d = 1e-4
+        x0, y0 = _cea_forward(g, np.array([lon]), np.array([lat]))
+        x1, y1 = _cea_forward(g, np.array([lon + d]), np.array([lat]))
+        x2, y2 = _cea_forward(g, np.array([lon]), np.array([lat + d]))
+        jac = abs(
+            (float(x1[0]) - float(x0[0])) * (float(y2[0]) - float(y0[0]))
+            - (float(x2[0]) - float(x0[0])) * (float(y1[0]) - float(y0[0]))
+        )
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        m_rad = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        n_rad = a / np.sqrt(1 - e2 * s * s)
+        cell = m_rad * np.radians(d) * n_rad * np.cos(phi) * np.radians(d)
+        assert jac == pytest.approx(cell, rel=1e-4)
+        t = Transformer.from_crs(CRS_WGS84, g)
+        ti = Transformer.from_crs(g, CRS_WGS84)
+        lons = np.array([-150.0, 0.0, 30.25, 179.0])
+        lats = np.array([-80.0, 0.0, 30.0, 84.0])
+        x, y = t.transform(lons, lats)
+        lon2, lat2 = ti.transform(x, y)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+
+class TestEquidistantCylindrical:
+    def test_meridian_is_arc_length_and_roundtrip(self):
+        """EPSG method 1028 northing is the meridian arc: cross-check
+        against the independent Krueger TM northing at the central
+        meridian; x at the equator is a * lam."""
+        from xcube_resampling_spark.crs import _eqc_forward, _tmerc_forward
+
+        g = CRS.from_epsg(4087)
+        tm = CRS(
+            "tmerc", "t", g.ellipsoid,
+            params=(("k_0", 1.0), ("lat_0", 0.0), ("lon_0", 0.0),
+                    ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        lats = np.array([-66.0, -10.0, 0.0, 23.5, 71.0])
+        zeros = np.zeros_like(lats)
+        _, y_eqc = _eqc_forward(g, zeros, lats)
+        _, y_tm = _tmerc_forward(tm, zeros, lats)
+        np.testing.assert_allclose(y_eqc, y_tm, atol=1e-6)
+        x, _ = _eqc_forward(g, np.array([90.0]), np.array([0.0]))
+        assert float(x[0]) == pytest.approx(
+            6378137.0 * np.pi / 2, rel=1e-12
+        )
+        t = Transformer.from_crs(CRS_WGS84, g)
+        ti = Transformer.from_crs(g, CRS_WGS84)
+        lons = np.array([-170.0, -5.0, 60.0])
+        lats = np.array([-75.0, 42.0, 80.0])
+        xx, yy = t.transform(lons, lats)
+        lon2, lat2 = ti.transform(xx, yy)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+
+class TestNewFamiliesCf:
+    def test_cf_and_spec_roundtrips(self):
+        for code, kind in ((27700, "tmerc"), (3395, "merc"),
+                           (6933, "cea"), (4087, "eqc"), (25833, "tmerc")):
+            crs = CRS.from_epsg(code)
+            assert crs.kind == kind
+            back = CRS.from_cf(crs.to_cf())
+            assert back.kind == kind
+            assert back.ellipsoid.a == crs.ellipsoid.a
+            spec_back = CRS.from_spec(crs.to_spec())
+            assert spec_back.equals(crs)
+        # the spherical-mercator CF mapping still decodes as webmerc
+        wm = CRS.from_epsg(3857)
+        assert CRS.from_cf(wm.to_cf()).kind == "webmerc"

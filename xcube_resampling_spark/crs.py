@@ -33,6 +33,8 @@ _ELLIPSOIDS = {
     "WGS84": (6378137.0, 298.257223563),
     "GRS80": (6378137.0, 298.257222101),
     "Clarke1866": (6378206.4, 294.978698214),  # Snyder test points
+    "Airy1830": (6377563.396, 299.3249646),    # OSGB36 / EPSG:27700
+    "Intl1924": (6378388.0, 297.0),            # ED50 and Snyder examples
 }
 
 
@@ -132,6 +134,82 @@ class CRS:
                     ("y_0", 10000000.0 if south else 0.0),
                 ),
                 auth_code=f"EPSG:{code}",
+            )
+        if 25828 <= code <= 25838:
+            # ETRS89 / UTM (GRS80; same Krueger machinery as WGS84 UTM)
+            zone = code - 25800
+            return CRS(
+                "tmerc",
+                f"ETRS89 / UTM zone {zone}N",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("k_0", 0.9996),
+                    ("lat_0", 0.0),
+                    ("lon_0", float(zone * 6 - 183)),
+                    ("x_0", 500000.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code=f"EPSG:{code}",
+            )
+        if code == 27700:
+            # OSGB36 / British National Grid (EPSG method 9807 on Airy
+            # 1830; datum handled as projection-only, like pyproj without
+            # a transformation pipeline)
+            return CRS(
+                "tmerc",
+                "OSGB36 / British National Grid",
+                _Ellipsoid(*_ELLIPSOIDS["Airy1830"]),
+                params=(
+                    ("k_0", 0.9996012717),
+                    ("lat_0", 49.0),
+                    ("lon_0", -2.0),
+                    ("x_0", 400000.0),
+                    ("y_0", -100000.0),
+                ),
+                auth_code="EPSG:27700",
+            )
+        if code == 3395:
+            # WGS 84 / World Mercator (EPSG method 9804, ellipsoidal 1SP)
+            return CRS(
+                "merc",
+                "WGS 84 / World Mercator",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("k_0", 1.0),
+                    ("lon_0", 0.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3395",
+            )
+        if code == 6933:
+            # WGS 84 / NSIDC EASE-Grid 2.0 Global (EPSG method 9835,
+            # Lambert cylindrical equal area, lat_ts = 30)
+            return CRS(
+                "cea",
+                "WGS 84 / NSIDC EASE-Grid 2.0 Global",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("lat_ts", 30.0),
+                    ("lon_0", 0.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:6933",
+            )
+        if code == 4087:
+            # WGS 84 / World Equidistant Cylindrical (EPSG method 1028)
+            return CRS(
+                "eqc",
+                "WGS 84 / World Equidistant Cylindrical",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("lat_ts", 0.0),
+                    ("lon_0", 0.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:4087",
             )
         if code == 3035:
             return CRS(
@@ -355,11 +433,52 @@ class CRS:
                 ),
             )
         if gmn == "mercator":
+            if "scale_factor_at_projection_origin" in attrs:
+                # ellipsoidal Mercator 1SP (EPSG method 9804)
+                return CRS(
+                    "merc", "Mercator", ell,
+                    params=(
+                        ("k_0", float(
+                            attrs["scale_factor_at_projection_origin"])),
+                        ("lon_0", float(attrs.get(
+                            "longitude_of_projection_origin", 0.0))),
+                        ("x_0", float(attrs.get("false_easting", 0.0))),
+                        ("y_0", float(attrs.get("false_northing", 0.0))),
+                    ),
+                )
             return CRS(
                 "webmerc", "Mercator (spherical)", ell,
                 params=(
                     ("lon_0", float(attrs.get(
                         "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "lambert_cylindrical_equal_area":
+            sp = attrs.get("standard_parallel", 0.0)
+            if isinstance(sp, (list, tuple)):
+                sp = sp[0]
+            return CRS(
+                "cea", "Lambert Cylindrical Equal Area", ell,
+                params=(
+                    ("lat_ts", float(sp)),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_central_meridian", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "equidistant_cylindrical":
+            sp = attrs.get("standard_parallel", 0.0)
+            if isinstance(sp, (list, tuple)):
+                sp = sp[0]
+            return CRS(
+                "eqc", "Equidistant Cylindrical", ell,
+                params=(
+                    ("lat_ts", float(sp)),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_central_meridian", 0.0))),
                     ("x_0", float(attrs.get("false_easting", 0.0))),
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
@@ -458,6 +577,35 @@ class CRS:
             return dict(
                 grid_mapping_name="mercator",
                 longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "merc":
+            return dict(
+                grid_mapping_name="mercator",
+                scale_factor_at_projection_origin=self.param("k_0", 1.0),
+                longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "cea":
+            return dict(
+                grid_mapping_name="lambert_cylindrical_equal_area",
+                standard_parallel=self.param("lat_ts"),
+                longitude_of_central_meridian=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "eqc":
+            # name used by PROJ/CF discussions; CF 1.x has no canonical
+            # equidistant-cylindrical mapping
+            return dict(
+                grid_mapping_name="equidistant_cylindrical",
+                standard_parallel=self.param("lat_ts"),
+                longitude_of_central_meridian=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **ell,
@@ -1056,6 +1204,138 @@ def _sinu_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Ellipsoidal Mercator, 1SP (EPSG method 9804; Snyder 1987 sec. 7).
+# ln(tan(pi/4 + phi/2) * ((1 - e sin phi)/(1 + e sin phi))^(e/2)) is the
+# isometric latitude, computed as atanh(sin phi) - e atanh(e sin phi).
+
+def _conformal_to_geographic(ell: _Ellipsoid, chi):
+    """Conformal -> geographic latitude series (Snyder eq. 3-5)."""
+    e2 = ell.e2
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+
+
+def _merc_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    e = ell.e
+    k0 = crs.param("k_0", 1.0)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    s = np.sin(phi)
+    x = fe + ell.a * k0 * lam
+    y = fn + ell.a * k0 * (np.arctanh(s) - e * np.arctanh(e * s))
+    return x, y
+
+
+def _merc_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    k0 = crs.param("k_0", 1.0)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    psi = (np.asarray(y, dtype=np.float64) - fn) / (ell.a * k0)
+    chi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2
+    phi = _conformal_to_geographic(ell, chi)
+    lam = (np.asarray(x, dtype=np.float64) - fe) / (ell.a * k0)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Lambert cylindrical equal area (EPSG method 9835 cylindrical case;
+# Snyder 1987 sec. 10, ellipsoidal).  EASE-Grid 2.0 (EPSG:6933) is this
+# projection with lat_ts = 30 on WGS84.
+
+def _cea_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+
+    def q_of(sphi):
+        return (1 - e2) * (
+            sphi / (1 - e2 * sphi * sphi)
+            - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
+        )
+
+    phi_ts = math.radians(crs.param("lat_ts"))
+    s_ts = math.sin(phi_ts)
+    k0 = math.cos(phi_ts) / math.sqrt(1 - e2 * s_ts * s_ts)
+    qp = q_of(1.0)
+    return q_of, k0, qp
+
+
+def _cea_forward(crs: CRS, lon, lat):
+    q_of, k0, _ = _cea_setup(crs)
+    ell = crs.ellipsoid
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    x = fe + ell.a * k0 * lam
+    y = fn + ell.a * q_of(np.sin(phi)) / (2.0 * k0)
+    return x, y
+
+
+def _cea_inverse(crs: CRS, x, y):
+    q_of, k0, qp = _cea_setup(crs)
+    ell = crs.ellipsoid
+    e2 = ell.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    q = 2.0 * (np.asarray(y, dtype=np.float64) - fn) * k0 / ell.a
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    # authalic -> geographic latitude series (Snyder eq. 3-18, the same
+    # coefficients as the LAEA inverse)
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    )
+    lam = (np.asarray(x, dtype=np.float64) - fe) / (ell.a * k0)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Equidistant cylindrical (EPSG method 1028, ellipsoidal): easting scaled
+# by the standard parallel's normal-radius cosine, northing = meridian arc.
+
+def _eqc_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi_ts = math.radians(crs.param("lat_ts"))
+    s_ts = math.sin(phi_ts)
+    nu_cos = ell.a * math.cos(phi_ts) / math.sqrt(1 - ell.e2 * s_ts * s_ts)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    return fe + nu_cos * lam, fn + _meridian_arc(ell, phi)
+
+
+def _eqc_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi_ts = math.radians(crs.param("lat_ts"))
+    s_ts = math.sin(phi_ts)
+    nu_cos = ell.a * math.cos(phi_ts) / math.sqrt(1 - ell.e2 * s_ts * s_ts)
+    phi = _meridian_arc_inverse(
+        ell, np.asarray(y, dtype=np.float64) - fn
+    )
+    lam = (np.asarray(x, dtype=np.float64) - fe) / nu_cos
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
 # Rotated latitude/longitude (CF rotated_latitude_longitude; spherical
 # rotation as in COSMO / proj ob_tran)
 
@@ -1138,6 +1418,12 @@ class Transformer:
             lon, lat = _aea_inverse(self.src, x, y)
         elif self.src.kind == "sinu":
             lon, lat = _sinu_inverse(self.src, x, y)
+        elif self.src.kind == "merc":
+            lon, lat = _merc_inverse(self.src, x, y)
+        elif self.src.kind == "cea":
+            lon, lat = _cea_inverse(self.src, x, y)
+        elif self.src.kind == "eqc":
+            lon, lat = _eqc_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # from geographic
@@ -1157,6 +1443,12 @@ class Transformer:
             return _aea_forward(self.dst, lon, lat)
         if self.dst.kind == "sinu":
             return _sinu_forward(self.dst, lon, lat)
+        if self.dst.kind == "merc":
+            return _merc_forward(self.dst, lon, lat)
+        if self.dst.kind == "cea":
+            return _cea_forward(self.dst, lon, lat)
+        if self.dst.kind == "eqc":
+            return _eqc_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
