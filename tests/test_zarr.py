@@ -229,3 +229,92 @@ class TestZarrRoundtrip:
         )
         assert attrs["_ARRAY_DIMENSIONS"] == ["y", "x"]
         assert attrs["units"] == "K"
+
+
+class TestZarrRealism:
+    """Packed dtypes, CF unpacking, and consolidated metadata -- the
+    shapes real satellite zarr cubes have."""
+
+    @pytest.mark.parametrize("dtype_s", ["<i2", "<u2", "|u1", ">f4", ">i4"])
+    def test_packed_dtypes_decode(self, spark, tmp_path, dtype_s):
+        path = tmp_path / f"dt_{dtype_s.replace('<','l').replace('>','b').replace('|','n')}"
+        adir = path / "arr"
+        adir.mkdir(parents=True)
+        data = np.arange(20).reshape(4, 5).astype(np.dtype(dtype_s))
+        (adir / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [4, 5], "chunks": [4, 5],
+            "dtype": dtype_s, "compressor": None, "fill_value": 0,
+            "order": "C", "filters": None,
+        }))
+        (adir / "0.0").write_bytes(data.tobytes())
+        got = read_zarr(spark, str(path), "arr").toPandas().sort_values(
+            ["j", "i"]
+        )
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), np.arange(20, dtype="f8")
+        )
+
+    def test_unsupported_dtype_rejected(self, spark, tmp_path):
+        path = tmp_path / "dtbad"
+        adir = path / "arr"
+        adir.mkdir(parents=True)
+        (adir / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [1], "chunks": [1],
+            "dtype": "<U4", "compressor": None, "fill_value": 0,
+            "order": "C", "filters": None,
+        }))
+        with pytest.raises(NotImplementedError, match="dtype"):
+            read_zarr(spark, str(path), "arr")
+
+    def test_decode_cf_scale_offset_fill(self, spark, tmp_path):
+        """Packed i2 with CF attributes: _FillValue -> NaN, then
+        scale_factor / add_offset -- xarray decode_cf semantics."""
+        path = tmp_path / "cf"
+        adir = path / "sst"
+        adir.mkdir(parents=True)
+        raw = np.array([[0, 100, -32768], [200, -32768, 300]], dtype="<i2")
+        (adir / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [2, 3], "chunks": [2, 3],
+            "dtype": "<i2", "compressor": None, "fill_value": None,
+            "order": "C", "filters": None,
+        }))
+        (adir / ".zattrs").write_text(json.dumps({
+            "_ARRAY_DIMENSIONS": ["y", "x"],
+            "_FillValue": -32768, "scale_factor": 0.01,
+            "add_offset": 273.15, "units": "K",
+        }))
+        (adir / "0.0").write_bytes(raw.tobytes())
+        got = read_zarr(
+            spark, str(path), "sst", decode_cf=True
+        ).toPandas().sort_values(["j", "i"])
+        vals = got["value"].to_numpy()
+        exp = np.where(raw == -32768, np.nan, raw * 0.01 + 273.15).ravel()
+        np.testing.assert_allclose(vals, exp, equal_nan=True)
+        # without decode_cf the packed integers come back verbatim
+        rawback = read_zarr(spark, str(path), "sst").toPandas()
+        assert rawback["value"].min() == -32768.0
+
+    def test_writer_emits_consolidated_metadata(self, spark, tmp_path):
+        w, h = 9, 7
+        path = str(tmp_path / "cons")
+        write_zarr(_raster(spark, w, h), path, "v", (h, w), (4, 4))
+        zm = json.loads(open(os.path.join(path, ".zmetadata")).read())
+        assert zm["zarr_consolidated_format"] == 1
+        assert "v/.zarray" in zm["metadata"]
+        assert zm["metadata"]["v/.zattrs"]["_ARRAY_DIMENSIONS"] == ["y", "x"]
+        # a second variable merges, not clobbers
+        write_zarr(_raster(spark, w, h), path, "v2", (h, w), (4, 4))
+        zm = json.loads(open(os.path.join(path, ".zmetadata")).read())
+        assert "v/.zarray" in zm["metadata"]
+        assert "v2/.zarray" in zm["metadata"]
+
+    def test_read_uses_consolidated_metadata(self, spark, tmp_path):
+        """With .zmetadata present, per-array JSON files are not opened
+        at plan time (deleted here to prove it) -- the object-store
+        single-GET path."""
+        w, h = 8, 6
+        path = str(tmp_path / "consread")
+        write_zarr(_raster(spark, w, h), path, "v", (h, w), (4, 4))
+        os.remove(os.path.join(path, "v", ".zarray"))
+        got = read_zarr(spark, path, "v").toPandas()
+        assert len(got) == w * h

@@ -114,12 +114,21 @@ ZARR_PIXEL_SCHEMA = T.StructType(
     ]
 )
 
-_DTYPES = {
-    "<f8": np.dtype("<f8"),
-    "<f4": np.dtype("<f4"),
-    "<i4": np.dtype("<i4"),
-    "<i8": np.dtype("<i8"),
-}
+def _np_dtype(dtype_s: str) -> np.dtype:
+    """Numeric zarr v2 dtype string -> numpy dtype (both byte orders,
+    int/uint/float of any width -- the satellite-data reality is mostly
+    packed ``<i2``/``<u2`` with CF scale/offset attributes)."""
+    try:
+        dt = np.dtype(dtype_s)
+    except TypeError:
+        raise NotImplementedError(
+            f"zarr dtype '{dtype_s}' not supported"
+        ) from None
+    if dt.kind not in "iuf":
+        raise NotImplementedError(
+            f"zarr dtype '{dtype_s}' not supported (numeric only)"
+        )
+    return dt
 
 
 def _check_compressor(meta: dict) -> str:
@@ -191,9 +200,26 @@ def write_zarr(
     }
     put.put(f"{var_name}/.zarray", json.dumps(zarray).encode())
     dims = ["t", "y", "x"][-nd:]
+    zattrs = {"_ARRAY_DIMENSIONS": dims, **(attrs or {})}
+    put.put(f"{var_name}/.zattrs", json.dumps(zattrs).encode())
+    # consolidated metadata (object-store default: readers fetch ONE
+    # document instead of one per array); merge with any prior arrays'
+    # entries when the store root is locally readable
+    consolidated: dict = {".zgroup": {"zarr_format": 2}}
+    prior = os.path.join(path, ".zmetadata")
+    if os.path.exists(prior):
+        try:
+            with open(prior) as fp:
+                consolidated.update(json.load(fp).get("metadata", {}))
+        except (OSError, ValueError):
+            pass
+    consolidated[f"{var_name}/.zarray"] = zarray
+    consolidated[f"{var_name}/.zattrs"] = zattrs
     put.put(
-        f"{var_name}/.zattrs",
-        json.dumps({"_ARRAY_DIMENSIONS": dims, **(attrs or {})}).encode(),
+        ".zmetadata",
+        json.dumps(
+            {"zarr_consolidated_format": 1, "metadata": consolidated}
+        ).encode(),
     )
 
     if nd == 2:
@@ -242,6 +268,7 @@ def read_zarr(
     path: str,
     var_name: str,
     bbox_ij: tuple[int, int, int, int] | None = None,
+    decode_cf: bool = False,
 ) -> DataFrame:
     """Read a zarr v2 array as a (t, j, i, value) pixel DataFrame.
 
@@ -249,18 +276,42 @@ def read_zarr(
     FILES intersecting the window are listed into the binaryFile scan
     (driver-side arithmetic over the chunk grid -- no data read), and the
     decoded rows are filtered to the exact window.
+
+    A consolidated store (``.zmetadata`` at the root, the object-store
+    default: one metadata GET instead of one per array) is used when
+    present; per-array JSON is the fallback.
+
+    ``decode_cf=True`` applies the CF packing attributes from
+    ``.zattrs`` the way xarray's ``decode_cf`` does (the reference reads
+    through xarray, cfconv.py:343-358): values equal to ``_FillValue``
+    (or ``missing_value``) become NaN, then
+    ``value * scale_factor + add_offset``.
     """
     adir = os.path.join(path, var_name)
-    with open(os.path.join(adir, ".zarray")) as fp:
-        meta = json.load(fp)
+    zmeta_path = os.path.join(path, ".zmetadata")
+    attrs: dict = {}
+    if os.path.exists(zmeta_path):
+        with open(zmeta_path) as fp:
+            consolidated = json.load(fp)["metadata"]
+        meta = consolidated[f"{var_name}/.zarray"]
+        attrs = consolidated.get(f"{var_name}/.zattrs", {})
+    else:
+        with open(os.path.join(adir, ".zarray")) as fp:
+            meta = json.load(fp)
+        zattrs_path = os.path.join(adir, ".zattrs")
+        if os.path.exists(zattrs_path):
+            with open(zattrs_path) as fp:
+                attrs = json.load(fp)
     if meta.get("order", "C") != "C":
         raise NotImplementedError("only C-order zarr arrays supported")
     if meta.get("filters"):
         raise NotImplementedError("zarr filters not supported")
     comp = _check_compressor(meta)
     dtype_s = meta["dtype"]
-    if dtype_s not in _DTYPES:
-        raise NotImplementedError(f"zarr dtype '{dtype_s}' not supported")
+    dtype = _np_dtype(dtype_s)
+    fill_attr = attrs.get("_FillValue", attrs.get("missing_value"))
+    scale = float(attrs.get("scale_factor", 1.0))
+    offset = float(attrs.get("add_offset", 0.0))
     shape = tuple(int(s) for s in meta["shape"])
     chunks = tuple(int(c) for c in meta["chunks"])
     nd = len(shape)
@@ -308,7 +359,7 @@ def read_zarr(
                     raw = zlib.decompress(raw)
                 elif comp == "blosc":
                     raw = blosc1.decode(raw)
-                block = np.frombuffer(raw, dtype=_DTYPES[dtype_s]).reshape(
+                block = np.frombuffer(raw, dtype=dtype).reshape(
                     ct_t, ct_j, ct_i
                 )
                 t_off, j_off, i_off = kt * ct_t, kj * ct_j, ki * ct_i
@@ -316,7 +367,13 @@ def read_zarr(
                 vt = min(ct_t, nt - t_off)
                 vj = min(ct_j, h - j_off)
                 vi = min(ct_i, w - i_off)
-                block = block[:vt, :vj, :vi]
+                block = block[:vt, :vj, :vi].astype(np.float64)
+                if decode_cf:
+                    if fill_attr is not None:
+                        block = np.where(
+                            block == float(fill_attr), np.nan, block
+                        )
+                    block = block * scale + offset
                 tt, jj, ii = np.meshgrid(
                     np.arange(vt), np.arange(vj), np.arange(vi),
                     indexing="ij",
@@ -327,7 +384,7 @@ def read_zarr(
                             "t": (tt.ravel() + t_off).astype(np.int32),
                             "j": (jj.ravel() + j_off).astype(np.int32),
                             "i": (ii.ravel() + i_off).astype(np.int32),
-                            "value": block.astype(np.float64).ravel(),
+                            "value": block.ravel(),
                         }
                     )
                 )
