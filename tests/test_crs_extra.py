@@ -561,3 +561,96 @@ class TestNewFamiliesCf:
         # the spherical-mercator CF mapping still decodes as webmerc
         wm = CRS.from_epsg(3857)
         assert CRS.from_cf(wm.to_cf()).kind == "webmerc"
+
+
+class TestDatumShift:
+    def test_epsg_9606_worked_example(self):
+        """EPSG Guidance Note 7-2 position-vector example (WGS72 ->
+        WGS84): dz = +4.5 m, rz = +0.554\", ds = +0.219 ppm applied to
+        (3657660.66, 255768.55, 5201382.11) gives
+        (3657660.78, 255778.43, 5201387.75)."""
+        from xcube_resampling_spark.crs import _helmert
+
+        X, Y, Z = _helmert(
+            (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219),
+            np.array([3657660.66]), np.array([255768.55]),
+            np.array([5201382.11]),
+        )
+        assert float(X[0]) == pytest.approx(3657660.78, abs=0.01)
+        assert float(Y[0]) == pytest.approx(255778.43, abs=0.01)
+        assert float(Z[0]) == pytest.approx(5201387.75, abs=0.01)
+
+    def test_geocentric_roundtrip(self):
+        from xcube_resampling_spark.crs import (
+            _Ellipsoid, _geocentric_to_geodetic, _geodetic_to_geocentric,
+        )
+
+        ell = _Ellipsoid(6378137.0, 298.257223563)
+        lons = np.array([-170.0, -10.0, 0.0, 45.5, 179.0])
+        lats = np.array([-85.0, -33.0, 0.0, 52.1, 88.0])
+        X, Y, Z = _geodetic_to_geocentric(ell, lons, lats)
+        lon2, lat2 = _geocentric_to_geodetic(ell, X, Y, Z)
+        np.testing.assert_allclose(lon2, lons, atol=1e-11)
+        np.testing.assert_allclose(lat2, lats, atol=1e-11)
+
+    def test_helmert_seven_param_roundtrip(self):
+        from xcube_resampling_spark.crs import _helmert
+
+        p = (-87.0, -98.0, -121.0, 0.4, -0.3, 0.6, 1.2)
+        X = np.array([3900000.0]); Y = np.array([300000.0])
+        Z = np.array([5000000.0])
+        X2, Y2, Z2 = _helmert(p, X, Y, Z)
+        X3, Y3, Z3 = _helmert(p, X2, Y2, Z2, inverse=True)
+        np.testing.assert_allclose(
+            [float(X3[0]), float(Y3[0]), float(Z3[0])],
+            [float(X[0]), float(Y[0]), float(Z[0])], atol=1e-9,
+        )
+
+    def test_ed50_utm_shift_magnitude_and_roundtrip(self):
+        """ED50 vs WGS84 in central Europe differs by ~100-250 m on the
+        ground; the same WGS84 point must land at measurably different
+        UTM coordinates in EPSG:23032 vs EPSG:32632, and the transform
+        must invert to sub-mm."""
+        ed = CRS.from_epsg(23032)
+        wgs = CRS.from_epsg(32632)
+        assert ed.towgs84 == (-87.0, -98.0, -121.0)
+        fwd = Transformer.from_crs(CRS_WGS84, ed)
+        inv = Transformer.from_crs(ed, CRS_WGS84)
+        lons = np.array([9.0]); lats = np.array([52.0])
+        xe, ye = fwd.transform(lons, lats)
+        xw, yw = Transformer.from_crs(CRS_WGS84, wgs).transform(lons, lats)
+        shift = float(np.hypot(xe - xw, ye - yw)[0])
+        assert 50.0 < shift < 300.0
+        lon2, lat2 = inv.transform(xe, ye)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+    def test_geographic_to_geographic_datum_shift(self):
+        """An ED50 geographic CRS shifts lon/lat even though both ends
+        are 'geographic'."""
+        from xcube_resampling_spark.crs import _Ellipsoid, _ELLIPSOIDS
+
+        ed50_geo = CRS(
+            "geographic", "ED50", _Ellipsoid(*_ELLIPSOIDS["Intl1924"]),
+            towgs84=(-87.0, -98.0, -121.0),
+        )
+        t = Transformer.from_crs(ed50_geo, CRS_WGS84)
+        lon, lat = t.transform(np.array([9.0]), np.array([52.0]))
+        # ED50 coordinates sit NE of WGS84 ones in Europe: converting the
+        # numeric values to WGS84 moves them south-west by ~1-4 arcsec
+        assert float(lon[0]) < 9.0
+        assert float(lat[0]) < 52.0
+        assert abs(float(lat[0]) - 52.0) * 3600 < 10
+        # projection-only CRSs (no towgs84) keep the fast identity path
+        t2 = Transformer.from_crs(CRS_WGS84, CRS.from_string("CRS84"))
+        x, y = t2.transform(np.array([9.0]), np.array([52.0]))
+        assert float(x[0]) == 9.0 and float(y[0]) == 52.0
+
+    def test_spec_roundtrip_with_towgs84(self):
+        ed = CRS.from_epsg(23032)
+        back = CRS.from_spec(ed.to_spec())
+        assert back.equals(ed)
+        assert back.towgs84 == (-87.0, -98.0, -121.0)
+        # old 6-field specs (no towgs84 tail) still parse
+        legacy = "|".join(CRS.from_epsg(32632).to_spec().split("|")[:6])
+        assert CRS.from_spec(legacy).kind == "tmerc"

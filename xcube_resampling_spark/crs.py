@@ -75,6 +75,12 @@ class CRS:
     ellipsoid: _Ellipsoid
     params: tuple = field(default_factory=tuple)  # sorted (key, value) pairs
     auth_code: str | None = None
+    # 3- or 7-parameter Helmert shift of this CRS's datum TO WGS84
+    # (dx, dy, dz [m]) or (dx, dy, dz, rx, ry, rz [arc-sec], s [ppm]),
+    # position-vector convention (EPSG method 9606).  Empty = treated as
+    # WGS84-compatible (projection-only transforms, the pre-round-4
+    # behavior and pyproj's behavior without a pipeline).
+    towgs84: tuple = ()
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -150,6 +156,25 @@ class CRS:
                     ("y_0", 0.0),
                 ),
                 auth_code=f"EPSG:{code}",
+            )
+        if 23028 <= code <= 23038:
+            # ED50 / UTM (International 1924): first datum-shifted CRS in
+            # the registry -- towgs84 is the EPSG:1133 mean European
+            # 3-parameter shift (~0.9 m grade)
+            zone = code - 23000
+            return CRS(
+                "tmerc",
+                f"ED50 / UTM zone {zone}N",
+                _Ellipsoid(*_ELLIPSOIDS["Intl1924"]),
+                params=(
+                    ("k_0", 0.9996),
+                    ("lat_0", 0.0),
+                    ("lon_0", float(zone * 6 - 183)),
+                    ("x_0", 500000.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code=f"EPSG:{code}",
+                towgs84=(-87.0, -98.0, -121.0),
             )
         if code == 27700:
             # OSGB36 / British National Grid (EPSG method 9807 on Airy
@@ -508,32 +533,38 @@ class CRS:
             and self.name == other.name
             and self.ellipsoid == other.ellipsoid
             and self.params == other.params
+            and self.towgs84 == other.towgs84
         )
 
     def __eq__(self, other) -> bool:  # match pyproj CRS == semantics loosely
         return isinstance(other, CRS) and self.equals(other)
 
     def __hash__(self):
-        return hash((self.kind, self.name, self.ellipsoid, self.params))
+        return hash((self.kind, self.name, self.ellipsoid, self.params,
+                     self.towgs84))
 
     def to_spec(self) -> str:
         """Compact string spec, safe to ship to executors."""
         p = ";".join(f"{k}={v!r}" for k, v in self.params)
+        tw = ",".join(repr(v) for v in self.towgs84)
         return (
             f"{self.kind}|{self.name}|{self.ellipsoid.a}|{self.ellipsoid.inv_f}|{p}"
-            f"|{self.auth_code or ''}"
+            f"|{self.auth_code or ''}|{tw}"
         )
 
     @staticmethod
     def from_spec(spec: str) -> "CRS":
-        kind, name, a, inv_f, p, auth = spec.split("|")
+        parts = spec.split("|")
+        kind, name, a, inv_f, p, auth = parts[:6]
+        tw = parts[6] if len(parts) > 6 else ""
         params = tuple(
             (kv.split("=")[0], float(kv.split("=")[1]))
             for kv in p.split(";")
             if kv
         )
         return CRS(kind, name, _Ellipsoid(float(a), float(inv_f)), params,
-                   auth or None)
+                   auth or None,
+                   tuple(float(v) for v in tw.split(",") if v))
 
     def to_cf(self) -> dict:
         """CF grid-mapping attributes (sink-side metadata; parity:
@@ -1379,6 +1410,84 @@ def _rot_pole_from_geographic(crs: CRS, lon, lat):
 
 
 # ---------------------------------------------------------------------- #
+# Datum shifts: geodetic <-> geocentric plus the 7-parameter Helmert
+# transformation, position-vector convention (EPSG method 9606; the
+# 3-parameter geocentric-translation case is method 9603).  This is the
+# same similarity-transform pipeline PROJ runs for +towgs84.
+
+def _geodetic_to_geocentric(ell: _Ellipsoid, lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    nu = ell.a / np.sqrt(1 - ell.e2 * s * s)
+    return (
+        nu * c * np.cos(lam),
+        nu * c * np.sin(lam),
+        nu * (1 - ell.e2) * s,
+    )
+
+
+def _geocentric_to_geodetic(ell: _Ellipsoid, X, Y, Z):
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    # fixed-point iteration on phi (converges to sub-nanometer in < 10
+    # rounds for |h| << a)
+    phi = np.arctan2(Z, p * (1 - ell.e2))
+    for _ in range(10):
+        s = np.sin(phi)
+        nu = ell.a / np.sqrt(1 - ell.e2 * s * s)
+        phi = np.arctan2(Z + ell.e2 * nu * s, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(params: tuple, X, Y, Z, inverse: bool = False):
+    """Apply a 3- or 7-parameter Helmert transform (position vector:
+    rotations in arc-seconds rotate the POINT's position vector)."""
+    dx, dy, dz = params[0], params[1], params[2]
+    if len(params) >= 7:
+        asec = math.pi / (180.0 * 3600.0)
+        rx, ry, rz = (params[3] * asec, params[4] * asec, params[5] * asec)
+        m = 1.0 + params[6] * 1e-6
+    else:
+        rx = ry = rz = 0.0
+        m = 1.0
+    if not inverse:
+        X2 = dx + m * (X - rz * Y + ry * Z)
+        Y2 = dy + m * (rz * X + Y - rx * Z)
+        Z2 = dz + m * (-ry * X + rx * Y + Z)
+        return X2, Y2, Z2
+    # exact inverse of the forward similarity (invert the rotation+scale
+    # matrix, not the small-angle approximation, so roundtrips close)
+    Xs, Ys, Zs = X - dx, Y - dy, Z - dz
+    r = np.array(
+        [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], dtype=np.float64
+    ) * m
+    rinv = np.linalg.inv(r)
+    X2 = rinv[0, 0] * Xs + rinv[0, 1] * Ys + rinv[0, 2] * Zs
+    Y2 = rinv[1, 0] * Xs + rinv[1, 1] * Ys + rinv[1, 2] * Zs
+    Z2 = rinv[2, 0] * Xs + rinv[2, 1] * Ys + rinv[2, 2] * Zs
+    return X2, Y2, Z2
+
+
+def _datum_shift(src: CRS, dst: CRS, lon, lat):
+    """Shift geographic coordinates from src's datum to dst's datum via
+    WGS84 geocentric (h = 0 on the source ellipsoid; the sub-mm height
+    coupling is far below the shifts' own ~1 m grade)."""
+    X, Y, Z = _geodetic_to_geocentric(src.ellipsoid, lon, lat)
+    if src.towgs84:
+        X, Y, Z = _helmert(src.towgs84, X, Y, Z)
+    if dst.towgs84:
+        X, Y, Z = _helmert(dst.towgs84, X, Y, Z, inverse=True)
+    return _geocentric_to_geodetic(dst.ellipsoid, X, Y, Z)
+
+
+def _needs_datum_shift(src: CRS, dst: CRS) -> bool:
+    if src.towgs84 == dst.towgs84 and src.ellipsoid == dst.ellipsoid:
+        return False
+    return bool(src.towgs84 or dst.towgs84)
+
+
+# ---------------------------------------------------------------------- #
 # Transformer
 
 class Transformer:
@@ -1398,7 +1507,9 @@ class Transformer:
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         if self.src.equals(self.dst) or (
-            self.src.kind == "geographic" and self.dst.kind == "geographic"
+            self.src.kind == "geographic"
+            and self.dst.kind == "geographic"
+            and not _needs_datum_shift(self.src, self.dst)
         ):
             return x, y
         # to geographic
@@ -1426,6 +1537,9 @@ class Transformer:
             lon, lat = _eqc_inverse(self.src, x, y)
         else:
             lon, lat = x, y
+        # datum bridge: only when either side declares a towgs84 shift
+        if _needs_datum_shift(self.src, self.dst):
+            lon, lat = _datum_shift(self.src, self.dst, lon, lat)
         # from geographic
         if self.dst.kind == "tmerc":
             return _tmerc_forward(self.dst, lon, lat)
