@@ -365,7 +365,9 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     16-bit band bucket holds ~n/65536 docs of mostly-unrelated hashes;
     4 bands of a 64-bit hash is the standard production dimensioning
     (Manku et al., WWW 2007)."""
-    sh = simhash(docs)
+    # persist: the signature is a 64-aggregate plan that the band
+    # self-join would otherwise evaluate once per join side
+    sh = _persist(simhash(docs))
     bands = sh.select(
         "doc_id", "sh_lo", "sh_hi",
         F.explode(
