@@ -81,15 +81,74 @@ class TestCodec:
             decode_netcdf3(blob)["vars"]["v"]["data"], data
         )
 
-    def test_record_vars_and_bad_magic_rejected(self):
+    def test_bad_magic_rejected(self):
         with pytest.raises(ValueError, match="magic"):
             decode_netcdf3(b"HDF5....")
+
+    def test_record_variable_roundtrip(self):
+        """Unlimited first dim: length 0 in the dim list, count in
+        numrecs, per-record slabs in the data section."""
+        data = np.arange(60, dtype="<f8").reshape(5, 3, 4)
+        blob = encode_netcdf3(
+            "v", data, ("time", "y", "x"), record_dim=True
+        )
+        assert struct.unpack_from(">i", blob, 4)[0] == 5  # numrecs
+        parsed = decode_netcdf3(blob)
+        assert parsed["dims"][0] == ("time", 0)
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+        assert parsed["vars"]["v"]["dims"] == ("time", "y", "x")
+
+    def test_streaming_numrecs_inferred(self):
+        data = np.arange(24, dtype="<f4").reshape(4, 6)
         blob = bytearray(encode_netcdf3(
-            "v", np.zeros(2, dtype="f8"), ("x",)
+            "v", data, ("time", "x"), record_dim=True
         ))
-        struct.pack_into(">i", blob, 4, 7)  # numrecs = 7
-        with pytest.raises(NotImplementedError, match="record"):
-            decode_netcdf3(bytes(blob))
+        struct.pack_into(">i", blob, 4, -1)  # STREAMING sentinel
+        parsed = decode_netcdf3(bytes(blob))
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+
+    def test_two_record_vars_interleaved(self):
+        """Hand-built file with TWO record variables: each record holds
+        var-a's slab then var-b's slab (the real multi-variable layout,
+        not produced by our writer)."""
+        w_a = np.arange(12, dtype="<f8").reshape(3, 4)  # (time, x)
+        w_b = (np.arange(6, dtype="<i4") * 10).reshape(3, 2)
+        blob = bytearray()
+        blob += b"CDF\x01"
+        blob += struct.pack(">i", 3)  # numrecs
+        blob += struct.pack(">ii", 0x0A, 3)  # 3 dims
+        for nm, size in (("time", 0), ("x", 4), ("k", 2)):
+            blob += struct.pack(">i", len(nm)) + nm.encode() \
+                + b"\x00" * ((4 - len(nm) % 4) % 4)
+            blob += struct.pack(">i", size)
+        blob += struct.pack(">ii", 0, 0)  # no global attrs
+        blob += struct.pack(">ii", 0x0B, 2)  # 2 vars
+        header_tail = []
+        # var a: dims (time, x), f8, vsize 32
+        # var b: dims (time, k), i4, vsize 8
+        var_meta = [("a", [0, 1], 6, 32), ("b", [0, 2], 4, 8)]
+        # compute begins after assembling the fixed-length var entries
+        entries = []
+        for nm, dimids, nct, vsize in var_meta:
+            e = struct.pack(">i", len(nm)) + nm.encode() \
+                + b"\x00" * ((4 - len(nm) % 4) % 4)
+            e += struct.pack(">i", len(dimids))
+            for d in dimids:
+                e += struct.pack(">i", d)
+            e += struct.pack(">ii", 0, 0)  # no attrs
+            e += struct.pack(">i", nct)
+            e += struct.pack(">i", vsize)
+            entries.append(e)
+        header_len = len(blob) + sum(len(e) + 4 for e in entries)
+        begins = [header_len, header_len + 32]
+        for e, b0 in zip(entries, begins):
+            blob += e + struct.pack(">i", b0)
+        for rec in range(3):
+            blob += w_a[rec].astype(">f8").tobytes()
+            blob += w_b[rec].astype(">i4").tobytes()
+        parsed = decode_netcdf3(bytes(blob))
+        np.testing.assert_array_equal(parsed["vars"]["a"]["data"], w_a)
+        np.testing.assert_array_equal(parsed["vars"]["b"]["data"], w_b)
 
     def test_cdf2_64bit_offsets(self):
         """A CDF-2 image (version byte 2, 8-byte begin) decodes too."""

@@ -26,10 +26,11 @@ Spark-first mapping:
   (sources/zarr.py) -- one shuffle, no shared-filesystem assumption,
   object-store ready.
 
-Scope: CDF-1 and CDF-2 files, fixed-size (non-record) variables of
-types byte/short/int/float/double, dimension order (y, x) or
-(t, y, x).  Record variables (numrecs > 0) raise a clear
-``NotImplementedError``.
+Scope: CDF-1 and CDF-2 files, variables of types byte/short/int/float/
+double, dimension order (y, x) or (t, y, x), both fixed-size and
+RECORD variables (an unlimited first dimension -- length 0 in the dim
+list, actual count in ``numrecs``, per-record interleaved slabs; the
+STREAMING numrecs sentinel is inferred from the file length).
 """
 
 from __future__ import annotations
@@ -120,9 +121,13 @@ def encode_netcdf3(
     dims: tuple[str, ...],
     global_attrs: dict | None = None,
     var_attrs: dict | None = None,
+    record_dim: bool = False,
 ) -> bytes:
-    """Encode one fixed-size variable (plus its coordinate-free dims) as a
-    CDF-1 file image."""
+    """Encode one variable (plus its coordinate-free dims) as a CDF-1
+    file image.  With ``record_dim=True`` the FIRST dim is written as the
+    unlimited (record) dimension -- length 0 in the dim list, actual
+    length in ``numrecs`` -- and the data section holds one per-record
+    slab per record, the layout real time-series .nc files use."""
     if data.ndim != len(dims):
         raise ValueError("dims must match data.ndim")
     nc_type = _NC_TYPE_OF.get(np.dtype(data.dtype.str.lstrip("<>=")))
@@ -132,13 +137,13 @@ def encode_netcdf3(
         )
     w = _Writer()
     w.buf += b"CDF\x01"
-    w.i4(0)  # numrecs: no record dimension
-    # dim_list
+    w.i4(int(data.shape[0]) if record_dim else 0)  # numrecs
+    # dim_list (record dim is written with length 0)
     w.i4(_NC_DIMENSION)
     w.i4(len(dims))
-    for d, size in zip(dims, data.shape):
+    for k, (d, size) in enumerate(zip(dims, data.shape)):
         w.name(d)
-        w.i4(int(size))
+        w.i4(0 if (record_dim and k == 0) else int(size))
     w.att_list(global_attrs or {})
     # var_list: a single variable
     w.i4(_NC_VARIABLE)
@@ -150,11 +155,26 @@ def encode_netcdf3(
     w.att_list(var_attrs or {})
     w.i4(nc_type)
     raw = data.astype(_NC_TYPES[nc_type]).tobytes()
-    vsize = _pad4(len(raw))
-    w.i4(vsize)
-    begin = len(w.buf) + 4  # header so far + the 4-byte begin field itself
-    w.i4(begin)
-    w.buf += raw + b"\x00" * (vsize - len(raw))
+    if record_dim:
+        # vsize = one record's slab, padded to 4 (the spec waives the
+        # padding for a lone record variable; slabs here are already
+        # 4-aligned for all supported dtypes except trailing i1/i2
+        # slivers, which we pad -- consistent with our own reader and
+        # with libnetcdf's stored-vsize stride)
+        slab = len(raw) // int(data.shape[0])
+        vsize = _pad4(slab)
+        w.i4(vsize)
+        begin = len(w.buf) + 4
+        w.i4(begin)
+        pad = b"\x00" * (vsize - slab)
+        for r in range(int(data.shape[0])):
+            w.buf += raw[r * slab:(r + 1) * slab] + pad
+    else:
+        vsize = _pad4(len(raw))
+        w.i4(vsize)
+        begin = len(w.buf) + 4  # header so far + the begin field itself
+        w.i4(begin)
+        w.buf += raw + b"\x00" * (vsize - len(raw))
     return bytes(w.buf)
 
 
@@ -217,11 +237,7 @@ def decode_netcdf3(buf: bytes) -> dict:
         )
     r = _Reader(buf)
     r.pos = 4
-    numrecs = r.i4()
-    if numrecs != 0:
-        raise NotImplementedError(
-            "netcdf3 record variables (numrecs > 0) not supported"
-        )
+    numrecs = r.i4()  # -1 = STREAMING sentinel: infer from file length
     tag = r.i4()
     ndims = r.i4()
     dims = []
@@ -229,10 +245,13 @@ def decode_netcdf3(buf: bytes) -> dict:
         dims = [(r.name(), r.i4()) for _ in range(ndims)]
     elif not (tag == 0 and ndims == 0):
         raise ValueError(f"bad dimension-list tag {tag}")
+    rec_dimid = next(
+        (k for k, (_, size) in enumerate(dims) if size == 0), None
+    )
     gattrs = r.att_list()
     tag = r.i4()
     nvars = r.i4()
-    out_vars: dict = {}
+    headers = []
     if tag == _NC_VARIABLE:
         for _ in range(nvars):
             vname = r.name()
@@ -240,21 +259,51 @@ def decode_netcdf3(buf: bytes) -> dict:
             dimids = [r.i4() for _ in range(nd)]
             vattrs = r.att_list()
             nc_type = r.i4()
-            r.i4()  # vsize (trust shape instead; 2^32-1 overflow marker)
+            vsize = r.i4()
             begin = r.i8() if version == 2 else r.i4()
             dt = _NC_TYPES.get(nc_type)
             if dt is None:
                 raise NotImplementedError(f"nc_type {nc_type}")
-            shape = tuple(dims[d][1] for d in dimids)
-            count = int(np.prod(shape)) if shape else 1
-            arr = np.frombuffer(buf, dt, count, begin).reshape(shape)
-            out_vars[vname] = {
-                "dims": tuple(dims[d][0] for d in dimids),
-                "attrs": vattrs,
-                "data": arr,
-            }
+            is_rec = bool(dimids) and dimids[0] == rec_dimid
+            headers.append(
+                (vname, dimids, vattrs, dt, vsize, begin, is_rec)
+            )
     elif not (tag == 0 and nvars == 0):
         raise ValueError(f"bad variable-list tag {tag}")
+
+    # record stride = sum of the record variables' stored vsizes (a lone
+    # record variable's stride is its own vsize, matching the spec's
+    # no-padding special case as libnetcdf writes it)
+    recsize = sum(h[4] for h in headers if h[6])
+    if numrecs == -1 and recsize:
+        rec0 = min(h[5] for h in headers if h[6])
+        numrecs = (len(buf) - rec0) // recsize
+    out_vars: dict = {}
+    for vname, dimids, vattrs, dt, vsize, begin, is_rec in headers:
+        fixed_shape = tuple(
+            dims[d][1] for d in dimids if d != rec_dimid or not is_rec
+        )
+        if is_rec:
+            fixed_shape = tuple(dims[d][1] for d in dimids[1:])
+            n_fixed = int(np.prod(fixed_shape)) if fixed_shape else 1
+            slab = n_fixed * dt.itemsize
+            u8 = np.frombuffer(buf, np.uint8)
+            offs = (
+                begin + recsize * np.arange(numrecs)[:, None]
+                + np.arange(slab)[None, :]
+            )
+            arr = (
+                u8[offs].reshape(-1).view(dt)
+                .reshape((numrecs,) + fixed_shape)
+            )
+        else:
+            count = int(np.prod(fixed_shape)) if fixed_shape else 1
+            arr = np.frombuffer(buf, dt, count, begin).reshape(fixed_shape)
+        out_vars[vname] = {
+            "dims": tuple(dims[d][0] for d in dimids),
+            "attrs": vattrs,
+            "data": arr,
+        }
     return {"dims": dims, "attrs": gattrs, "vars": out_vars}
 
 
