@@ -290,6 +290,60 @@ def test_ivf_topk_agrees_with_brute_force_on_probed_buckets(spark):
     assert approx == exact
 
 
+def test_kmeans_ivf_recall_beats_or_matches_seed_index(spark):
+    """Lloyd iterations must yield centroids that separate two obvious
+    clusters, and the trained IVF at nprobe=1 must retrieve the full
+    exact top-k from inside the query's cluster."""
+    from xcube_resampling_spark.extensions.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        knn_brute_force,
+    )
+
+    # two tight clusters on orthogonal axes; seeds (lowest ids) all sit
+    # in cluster A, so the UNtrained index starts degenerate
+    rows = [(i, [1.0 + 0.01 * i, 0.02 * i]) for i in range(10)] + [
+        (10 + i, [0.02 * i, 1.0 + 0.01 * i]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(emb, num_centroids=2, iterations=3)
+    got = {
+        tuple(round(v, 2) for v in r.embedding)
+        for r in cents.collect()
+    }
+    # one centroid per cluster (means near [1, .1] and [.1, 1])
+    axes = sorted(c[0] > c[1] for c in got)
+    assert axes == [False, True]
+    q = [0.0, 1.0]
+    exact = [r.vec_id for r in
+             knn_brute_force(emb, q, k=5).collect()]
+    trained = [r.vec_id for r in
+               ivf_topk(emb, q, k=5, nprobe=1, centroids=cents).collect()]
+    assert trained == exact
+
+    def recall(ids):
+        return len(set(ids) & set(exact)) / len(exact)
+
+    seeded = [r.vec_id for r in
+              ivf_topk(emb, q, k=5, num_centroids=2, nprobe=1).collect()]
+    assert recall(trained) >= recall(seeded)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from xcube_resampling_spark.extensions.similarity import (
+        kmeans_centroids,
+    )
+
+    # 3 identical points with 2 centroids: one cluster goes empty; its
+    # centroid must survive (not NULL) so the index stays usable
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(emb, num_centroids=2, iterations=2)
+    got = cents.orderBy("vec_id").collect()
+    assert len(got) == 2
+    assert all(r.embedding is not None for r in got)
+
+
 # ------------------------------------------------------------------ #
 # multimodal plumbing
 

@@ -89,6 +89,55 @@ def assign_centroids(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 10,
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, fully distributed:
+    deterministic seeding (the ``num_centroids`` lowest vec_ids, k-means
+    always converges to the same result on the same data), then per
+    iteration one broadcast nearest-centroid assignment + one map-side-
+    combinable mean aggregation -- no driver-side data, the centroid
+    table (k x dim doubles) is the only thing on the driver path.
+
+    Returns (vec_id, embedding) shaped like the seed table so it drops
+    into :func:`ivf_topk`'s ``centroids`` seat.
+    """
+    cents = embeddings.orderBy("vec_id").limit(num_centroids).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    for _ in range(iterations):
+        assigned = assign_centroids(embeddings, cents)
+        # positional mean per centroid: explode to (cent_id, pos, v) and
+        # aggregate -- one shuffle keyed by (cent_id, pos), partial aggs
+        # map-side; empty clusters keep their previous centroid
+        comps = assigned.select(
+            "cent_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+        ).groupBy("cent_id", "pos").agg(
+            F.avg(F.col("v").cast("double")).alias("m")
+        )
+        new_cents = comps.groupBy("cent_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        ).select(
+            F.col("cent_id").alias("vec_id"),
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("embedding"),
+        )
+        cents = cents.select("vec_id").join(
+            new_cents, "vec_id", "left"
+        ).join(
+            cents.select(F.col("vec_id"),
+                         F.col("embedding").alias("prev")),
+            "vec_id",
+        ).select(
+            "vec_id",
+            F.coalesce(F.col("embedding"), F.col("prev")).alias("embedding"),
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -96,11 +145,16 @@ def ivf_topk(
     num_centroids: int = 10,
     nprobe: int = 2,
     exclude_vec_id: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k: centroids are the embeddings of the
-    ``num_centroids`` lowest vec_ids (deterministic, oracle-friendly);
-    search probes the ``nprobe`` centroids closest to the query."""
-    centroids = embeddings.orderBy("vec_id").limit(num_centroids)
+    """IVF-bucketed approximate top-k: centroids default to the
+    embeddings of the ``num_centroids`` lowest vec_ids (deterministic,
+    oracle-friendly); pass ``centroids=kmeans_centroids(...)`` for a
+    trained index (tested recall, not oracle-checked -- cross-engine
+    float-mean parity is not guaranteed); search probes the ``nprobe``
+    centroids closest to the query."""
+    if centroids is None:
+        centroids = embeddings.orderBy("vec_id").limit(num_centroids)
     assigned = assign_centroids(embeddings, centroids)
     probes = (
         cosine_to_query(
