@@ -2898,6 +2898,29 @@ def q_zarr_roundtrip_blosc(spark, sf_dir):
     )
 
 
+def q_dedup_stream_keepone(spark, sf_dir):
+    """Batch twin of streaming.stateful.dedup_stream (the streaming face
+    of exact dedup): lowest-doc_id keeper per content hash.  The
+    streaming path (applyInPandasWithState, one bool per distinct hash)
+    is exercised by tests/test_extensions.py against this same twin."""
+    from xcube_resampling_spark.streaming.stateful import dedup_stream
+
+    return dedup_stream(_docs(spark, sf_dir)).select(
+        "content_hash", "keep_id", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+SQL_DEDUP_STREAM = """
+SELECT content_hash, keep_id, md5(text) AS text_md5 FROM (
+  SELECT md5(text) AS content_hash, doc_id AS keep_id, text,
+         row_number() OVER (
+           PARTITION BY md5(text) ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 def q_netcdf_roundtrip(spark, sf_dir):
     """NetCDF-3 classic sink + source end-to-end (SURVEY 2.2 #5; the
     reference consumes NetCDF datasets via xarray): distributed row-band
@@ -2998,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_crs_families": q_reproject_crs_families,
         "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
         "netcdf_roundtrip": q_netcdf_roundtrip,
+        "dedup_stream_keepone": q_dedup_stream_keepone,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3053,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         "reproject_crs_families": _reproject_families_oracle_sql(),
         "zarr_roundtrip_blosc": SQL_CLIP,
         "netcdf_roundtrip": SQL_CLIP,
+        "dedup_stream_keepone": SQL_DEDUP_STREAM,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -689,3 +689,92 @@ def test_dup_components_chains_and_diameter(spark):
     assert {n: got[n] for n in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
     assert got[100] == 100 and got[101] == 100
     assert len(got) == 11
+
+
+def test_dedup_stream_batch_twin(spark):
+    from xcube_resampling_spark.streaming.stateful import dedup_stream
+
+    docs = spark.createDataFrame(
+        [(5, "aa"), (2, "aa"), (7, "bb"), (1, "cc"), (9, "cc")],
+        "doc_id long, text string",
+    )
+    out = {r.text: r.keep_id for r in dedup_stream(docs).collect()}
+    assert out == {"aa": 2, "bb": 7, "cc": 1}
+
+
+def test_dedup_stream_streaming_matches_batch(spark, tmp_path):
+    """Genuine readStream run: one boolean of state per content hash;
+    the streaming result must equal the batch twin's keep-set."""
+    from xcube_resampling_spark.streaming.stateful import dedup_stream
+
+    docs = spark.createDataFrame(
+        [(5, "aa"), (2, "aa"), (7, "bb"), (1, "cc"), (9, "cc"), (3, "bb")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r.text: r.keep_id
+        for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+    }
+    exact = {r.text: r.keep_id for r in dedup_stream(docs).collect()}
+    assert got == exact
+
+
+def test_write_zarr_stream_roundtrip(spark, tmp_path):
+    """Streaming zarr ingestion: 3 frames arrive as a stream (one
+    t-chunk each), the store reads back equal to the batch write."""
+    import numpy as np
+
+    from xcube_resampling_spark.sources import read_zarr, write_zarr
+    from xcube_resampling_spark.sources.zarr import write_zarr_stream
+
+    w, h, nt = 8, 6, 3
+    px = spark.range(nt * w * h).select(
+        (F.col("id") / (w * h)).cast("int").alias("t"),
+        (F.col("id") % (w * h) / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 0.75).cast("double").alias("value"),
+    )
+    src = str(tmp_path / "pxstream")
+    px.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "t int, j int, i int, value double"
+    ).parquet(src)
+    store = str(tmp_path / "zstream")
+    q = write_zarr_stream(
+        stream, store, "v", (nt, h, w), (1, 4, 4),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        # availableNow is not set: wait for the file source to drain
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_zarr(spark, store, "v").toPandas().sort_values(
+        ["t", "j", "i"]
+    )
+    batch_store = str(tmp_path / "zbatch")
+    write_zarr(px, batch_store, "v", (nt, h, w), (1, 4, 4))
+    exp = read_zarr(spark, batch_store, "v").toPandas().sort_values(
+        ["t", "j", "i"]
+    )
+    assert len(got) == nt * w * h
+    np.testing.assert_array_equal(
+        got["value"].to_numpy(), exp["value"].to_numpy()
+    )

@@ -11,6 +11,7 @@ from .pixels import (
 from .netcdf3 import read_netcdf3, write_netcdf3
 from .zarr import (
     ZARR_PIXEL_SCHEMA,
+    write_zarr_stream,
     ChunkPut,
     FsChunkPut,
     ObjectStoreChunkPut,
@@ -33,4 +34,5 @@ __all__ = [
     "write_netcdf3",
     "write_pixels",
     "write_zarr",
+    "write_zarr_stream",
 ]

@@ -166,6 +166,25 @@ def write_zarr(
     ``ObjectStoreChunkPut`` -- any S3-style store, with no shared
     filesystem needed.
     """
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    _write_zarr_metadata(
+        put, path, var_name, shape, chunks, fill_value, compressor, attrs
+    )
+    _write_zarr_chunks(
+        df, put, var_name, shape, chunks, fill_value, compressor
+    )
+
+
+def _write_zarr_metadata(
+    put: ChunkPut,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float,
+    compressor: str,
+    attrs: dict | None,
+) -> None:
     if compressor not in ("zlib", "null", "blosc"):
         raise NotImplementedError(
             "compressor must be 'zlib', 'blosc', or 'null'"
@@ -173,7 +192,6 @@ def write_zarr(
     nd = len(shape)
     if nd not in (2, 3) or len(chunks) != nd:
         raise ValueError("shape/chunks must both be 2-D or 3-D")
-    put = chunk_put if chunk_put is not None else FsChunkPut(path)
     put.put(".zgroup", json.dumps({"zarr_format": 2}).encode())
     fill_json = (
         "NaN" if isinstance(fill_value, float) and np.isnan(fill_value)
@@ -222,6 +240,19 @@ def write_zarr(
         ).encode(),
     )
 
+
+def _write_zarr_chunks(
+    df: DataFrame,
+    put: ChunkPut,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float,
+    compressor: str,
+) -> None:
+    """Distributed chunk-file write: one applyInPandas task per chunk,
+    all bytes through ``put``."""
+    nd = len(shape)
     if nd == 2:
         ct_j, ct_i = chunks
         ct_t = 1
@@ -261,6 +292,48 @@ def write_zarr(
     keyed.groupBy("ck_t", "ck_j", "ck_i").applyInPandas(
         write_chunk, out_schema
     ).count()
+
+
+def write_zarr_stream(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float = float("nan"),
+    compressor: str = "zlib",
+    attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming zarr ingestion: continuous (t, j, i, value) pixel rows
+    (e.g. one satellite frame per micro-batch) land as zarr chunk files.
+
+    Metadata is written ONCE on the driver (`shape` is the declared
+    maximum extent); each micro-batch then runs the same distributed
+    chunk write as the batch sink via ``foreachBatch`` -- appending a
+    time slab IS just writing more chunk files, so zarr absorbs an
+    unbounded stream naturally.  Idempotency: a replayed batch rewrites
+    byte-identical chunk files, PROVIDED every chunk is fully covered by
+    one micro-batch -- partition the stream so a frame (with
+    ``chunks[0] == 1``) never splits across batches.
+
+    Returns the started ``StreamingQuery``.
+    """
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    _write_zarr_metadata(
+        put, path, var_name, shape, chunks, fill_value, compressor, attrs
+    )
+
+    def write_batch(bdf, _epoch_id):
+        _write_zarr_chunks(
+            bdf, put, var_name, shape, chunks, fill_value, compressor
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def read_zarr(

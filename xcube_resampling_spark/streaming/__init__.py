@@ -1,4 +1,5 @@
-from .stateful import first_event_per_key
+from .stateful import dedup_stream, first_event_per_key
 from .windows import sessionize, windowed_event_stats
 
-__all__ = ["first_event_per_key", "sessionize", "windowed_event_stats"]
+__all__ = ["dedup_stream", "first_event_per_key", "sessionize",
+           "windowed_event_stats"]

@@ -92,3 +92,67 @@ def first_event_per_key(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_STREAM_SCHEMA = (
+    "content_hash string, keep_id bigint, text string"
+)
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact document dedup: of all docs sharing a content
+    hash across the WHOLE stream, only the lowest-doc_id first arrival
+    passes downstream -- the streaming face of
+    ``extensions.dedup.dedup_exact``'s keep-one semantics, for feeding a
+    training-data pipeline from a firehose.
+
+    Streaming path: one boolean of state per distinct content hash
+    (``applyInPandasWithState``, update mode): a hash emits on the
+    micro-batch where it is first seen (batch-local winner = min doc_id)
+    and never again, so state is O(distinct documents) no matter how
+    long the stream runs.
+
+    Batch path (same function on a non-streaming frame): the
+    row_number-window twin, SQL-expressible for oracle checks.
+    """
+    hashed = docs.select(
+        F.md5(F.col("text")).alias("content_hash"), "doc_id", "text"
+    )
+    if not docs.isStreaming:
+        win = Window.partitionBy("content_hash").orderBy("doc_id")
+        return (
+            hashed.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(
+                "content_hash", F.col("doc_id").alias("keep_id"), "text"
+            )
+        )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values("doc_id").iloc[0]
+            if best is None or top["doc_id"] < best[0]:
+                best = (top["doc_id"], top["text"])
+        if state.exists or best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                "content_hash": [key[0]],
+                "keep_id": [best[0]],
+                "text": [best[1]],
+            }
+        )
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        DEDUP_STREAM_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
