@@ -778,3 +778,40 @@ def test_write_zarr_stream_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(
         got["value"].to_numpy(), exp["value"].to_numpy()
     )
+
+
+def test_dedup_plans_are_bucketed_not_cartesian(spark):
+    """100-TB plan-shape guard for the whole dedup family: no
+    CartesianProduct and no broadcast nested loop join in any candidate
+    generator (each must be an equi-join on band/bucket/hash keys), and
+    the shingle construction stays inside whole-stage codegen (no
+    interpreted higher-order transform in the hot path)."""
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    docs = _docs(spark, DUP_TEXTS)
+    for op, kw in (
+        (dedup_exact, {}),
+        (dedup_ngram_jaccard, {"threshold": 0.4}),
+        (dedup_minhash_lsh, {"threshold": 0.5}),
+        (dedup_simhash, {}),
+    ):
+        plan = op(docs, **kw)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+
+    from xcube_resampling_spark.extensions.text import exploded_shingles
+
+    shingle_plan = (
+        exploded_shingles(docs, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # explode(sequence) + element_at stay codegen; the transform+slice
+    # lambda shape would show a (codegen-fallback) higher-order function.
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string.
+    assert "transform(" not in shingle_plan
+    assert "*(1)" in shingle_plan

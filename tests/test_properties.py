@@ -161,3 +161,92 @@ class TestSparkBatchedProperties:
         ).filter(F.abs(F.col("o.value") - F.col("s.value")) > 1e-12)
         assert diff.count() == 0
         assert out.count() == w * h
+
+
+class TestCodecProperties:
+    """Driver-side codec invariants for the blosc1 and NetCDF-3 binary
+    formats: any payload must roundtrip byte-exactly."""
+
+    @given(
+        data=st.binary(min_size=0, max_size=5000),
+        typesize=st.sampled_from([1, 2, 4, 8, 16]),
+        shuffle=st.booleans(),
+        blocksize=st.sampled_from([None, 64, 1024]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_blosc1_roundtrip_any_bytes(
+        self, data, typesize, shuffle, blocksize
+    ):
+        from xcube_resampling_spark.sources import blosc1
+
+        frame = blosc1.encode(
+            data, typesize=typesize, shuffle=shuffle, blocksize=blocksize
+        )
+        assert blosc1.decode(frame) == data
+        # header invariant: cbytes field == frame length
+        import struct
+
+        assert struct.unpack_from("<I", frame, 12)[0] == len(frame)
+
+    @given(
+        shape=st.tuples(st.integers(1, 7), st.integers(1, 9)),
+        dtype=st.sampled_from(["f8", "f4", "i4", "i2", "i1"]),
+        record=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_netcdf3_roundtrip_any_array(self, shape, dtype, record, seed):
+        from xcube_resampling_spark.sources.netcdf3 import (
+            decode_netcdf3, encode_netcdf3,
+        )
+
+        rng = np.random.default_rng(seed)
+        data = rng.integers(-120, 120, shape).astype(dtype)
+        blob = encode_netcdf3(
+            "v", data, ("d0", "d1"), record_dim=record,
+            global_attrs={"seed": int(seed)},
+        )
+        parsed = decode_netcdf3(blob)
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+        assert parsed["attrs"]["seed"] == seed
+        assert len(blob) % 4 == 0
+
+    @given(
+        lons=st.lists(st.floats(-179.9, 179.9), min_size=1, max_size=8),
+        lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
+        code=st.sampled_from(
+            [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700, 23032]
+        ),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_any_registry_crs_roundtrips(self, lons, lats, code):
+        """Forward-inverse closure for every projected CRS in the
+        registry, including the datum-shifted ED50 zones."""
+        from xcube_resampling_spark.crs import Transformer
+
+        n = min(len(lons), len(lats))
+        lo = np.array(lons[:n])
+        la = np.array(lats[:n])
+        crs = CRS.from_epsg(code)
+        # keep points inside each projection's sane domain
+        if crs.kind == "tmerc":
+            lon0 = crs.param("lon_0")
+            lo = lon0 + np.clip(lo - lon0, -6.0, 6.0)
+        if crs.kind == "stere":
+            la = np.abs(la) * np.sign(crs.param("lat_0"))
+            la = np.clip(np.abs(la), 45.0, 84.0) * np.sign(
+                crs.param("lat_0")
+            )
+        if crs.kind == "lcc":
+            la = np.clip(la, 20.0, 70.0)
+        if crs.kind == "aea":
+            la = np.clip(la, 10.0, 70.0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        x, y = fwd.transform(lo, la)
+        lo2, la2 = inv.transform(x, y)
+        # datum-shifted paths close to ~cm (the h=0 assumption of the
+        # Helmert bridge), projection-only paths to sub-micrometer
+        atol = 1e-6 if crs.towgs84 else 1e-8
+        np.testing.assert_allclose(lo2, lo, atol=atol)
+        np.testing.assert_allclose(la2, la, atol=atol)
