@@ -2898,6 +2898,33 @@ def q_zarr_roundtrip_blosc(spark, sf_dir):
     )
 
 
+def q_zarr_affine_pipeline(spark, sf_dir):
+    """Source-to-operator composition: the raster lands in a blosc zarr
+    store, is read back through the chunk-pruned decode path, and flows
+    straight into the affine mean-downscale -- one job, distributed end
+    to end, proving the source's output schema drops into the operator
+    layer unchanged.  Oracle twin = downscale SQL over the raw raster
+    (the store roundtrip is the identity on values)."""
+    import tempfile
+
+    from xcube_resampling_spark.operators.affine import resample_pixels
+    from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+    path = tempfile.gettempdir() + "/xcrs_zarr_affine_pipeline"
+    write_zarr(
+        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
+        compressor="blosc",
+    )
+    out = resample_pixels(
+        spark, read_zarr(spark, path, "value"),
+        ((2.5, 0.0, 0.0), (0.0, 2.5, 0.0)),
+        (RW, RH), (10, 16), 1, 1, "mean", False, FILL, False,
+    )
+    return out.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
 def q_dedup_stream_keepone(spark, sf_dir):
     """Batch twin of streaming.stateful.dedup_stream (the streaming face
     of exact dedup): lowest-doc_id keeper per content hash.  The
@@ -3022,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "dedup_stream_keepone": q_dedup_stream_keepone,
+        "zarr_affine_pipeline": q_zarr_affine_pipeline,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3078,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_roundtrip_blosc": SQL_CLIP,
         "netcdf_roundtrip": SQL_CLIP,
         "dedup_stream_keepone": SQL_DEDUP_STREAM,
+        "zarr_affine_pipeline": SQL_AFFINE_DOWNSCALE,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,
