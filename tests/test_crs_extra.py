@@ -654,3 +654,100 @@ class TestDatumShift:
         # old 6-field specs (no towgs84 tail) still parse
         legacy = "|".join(CRS.from_epsg(32632).to_spec().split("|")[:6])
         assert CRS.from_spec(legacy).kind == "tmerc"
+
+
+class TestGeostationary:
+    def test_goes_pug_worked_example(self):
+        """GOES-R ABI PUG Vol 3 sec 5.1.2.8 worked example (GRS80,
+        h = 35786023, lon_0 = -75, sweep x): scan angles
+        (x, y) = (-0.024052, 0.095340) rad map to
+        (lat, lon) = (33.846162, -84.690932)."""
+        h = 35786023.0
+        g = CRS.geostationary(
+            lon_0=-75.0, sweep="x", h=h, ellipsoid="GRS80"
+        )
+        inv = Transformer.from_crs(g, CRS_WGS84)
+        lon, lat = inv.transform(
+            np.array([-0.024052 * h]), np.array([0.095340 * h])
+        )
+        assert float(lon[0]) == pytest.approx(-84.690932, abs=1e-5)
+        assert float(lat[0]) == pytest.approx(33.846162, abs=1e-5)
+        # forward of the same ground point returns the scan angles
+        fwd = Transformer.from_crs(CRS_WGS84, g)
+        x, y = fwd.transform(np.array([-84.690932]), np.array([33.846162]))
+        assert float(x[0]) / h == pytest.approx(-0.024052, abs=1e-6)
+        assert float(y[0]) / h == pytest.approx(0.095340, abs=1e-6)
+
+    def test_spherical_closed_form(self):
+        """Independent plane-trig derivation on a sphere: a point at
+        geocentric angle psi from nadir subtends
+        atan(sin(psi) / (radius_g - cos(psi))) at the satellite."""
+        import math
+
+        from xcube_resampling_spark.crs import _Ellipsoid, _geos_forward
+
+        h, a = 35785831.0, 6378137.0
+        sph = CRS(
+            "geos", "s", _Ellipsoid(a, float("inf")),
+            params=(("h", h), ("lon_0", 0.0), ("sweep_x", 0.0),
+                    ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        rg = 1.0 + h / a
+        for psi_deg in (5.0, 30.0, 60.0):
+            psi = math.radians(psi_deg)
+            expect = h * math.atan(math.sin(psi) / (rg - math.cos(psi)))
+            # along the equator: x carries the angle, y = 0
+            x, y = _geos_forward(
+                sph, np.array([psi_deg]), np.array([0.0])
+            )
+            assert float(x[0]) == pytest.approx(expect, rel=1e-12)
+            assert float(y[0]) == 0.0
+            # along the central meridian: y carries it, x = 0
+            x, y = _geos_forward(
+                sph, np.array([0.0]), np.array([psi_deg])
+            )
+            assert float(y[0]) == pytest.approx(expect, rel=1e-12)
+            assert float(x[0]) == 0.0
+
+    def test_roundtrip_both_sweeps(self):
+        lons = np.array([-80.0, -75.0, -60.0, -40.0])
+        lats = np.array([10.0, 0.0, 45.0, -55.0])
+        for sweep in ("x", "y"):
+            g = CRS.geostationary(lon_0=-75.0, sweep=sweep)
+            fwd = Transformer.from_crs(CRS_WGS84, g)
+            inv = Transformer.from_crs(g, CRS_WGS84)
+            x, y = fwd.transform(lons, lats)
+            lon2, lat2 = inv.transform(x, y)
+            np.testing.assert_allclose(lon2, lons, atol=1e-9)
+            np.testing.assert_allclose(lat2, lats, atol=1e-9)
+        # nadir maps to the grid origin for both sweeps
+        x, y = fwd.transform(np.array([-75.0]), np.array([0.0]))
+        assert float(x[0]) == 0.0 and float(y[0]) == 0.0
+
+    def test_far_side_is_nan(self):
+        """Points beyond the horizon (the far side of the Earth) are not
+        visible from the satellite and must come back NaN, not a bogus
+        coordinate."""
+        g = CRS.geostationary(lon_0=0.0, sweep="y")
+        fwd = Transformer.from_crs(CRS_WGS84, g)
+        x, y = fwd.transform(
+            np.array([178.0, 0.0]), np.array([0.0, 10.0])
+        )
+        assert np.isnan(x[0]) and np.isnan(y[0])
+        assert np.isfinite(x[1]) and np.isfinite(y[1])
+
+    def test_cf_roundtrip_and_legacy_fixed_angle(self):
+        g = CRS.geostationary(lon_0=9.5, sweep="y", h=35785831.0)
+        cf = g.to_cf()
+        assert cf["grid_mapping_name"] == "geostationary"
+        assert cf["sweep_angle_axis"] == "y"
+        back = CRS.from_cf(cf)
+        assert back.kind == "geos"
+        assert back.param("sweep_x") == 0.0
+        assert back.param("h") == 35785831.0
+        # legacy CF 1.6 encoding: fixed_angle_axis is the OTHER axis
+        legacy = {k: v for k, v in cf.items() if k != "sweep_angle_axis"}
+        legacy["fixed_angle_axis"] = "x"
+        assert CRS.from_cf(legacy).param("sweep_x") == 0.0
+        spec_back = CRS.from_spec(g.to_spec())
+        assert spec_back.equals(g)

@@ -344,6 +344,31 @@ class CRS:
         raise ValueError(f"unsupported EPSG code: {code}")
 
     @staticmethod
+    def geostationary(
+        lon_0: float = 0.0,
+        sweep: str = "y",
+        h: float = 35785831.0,
+        ellipsoid: str = "WGS84",
+    ) -> "CRS":
+        """The geostationary fixed grid (PROJ 'geos'): GOES-R ABI uses
+        sweep='x' at lon_0 -75/-137 (verified against the GOES-R PUG
+        worked example), MSG SEVIRI sweep='y' at lon_0 0/9.5/45.5.
+        ``h`` is the perspective height above the ellipsoid."""
+        if sweep not in ("x", "y"):
+            raise ValueError("sweep must be 'x' or 'y'")
+        return CRS(
+            "geos", f"Geostationary (lon_0={lon_0}, sweep={sweep})",
+            _Ellipsoid(*_ELLIPSOIDS[ellipsoid]),
+            params=(
+                ("h", float(h)),
+                ("lon_0", float(lon_0)),
+                ("sweep_x", 1.0 if sweep == "x" else 0.0),
+                ("x_0", 0.0),
+                ("y_0", 0.0),
+            ),
+        )
+
+    @staticmethod
     def from_cf(attrs: dict) -> "CRS":
         """Build a CRS from CF grid-mapping attributes
         (parity: pyproj CRS.from_cf used at reference cfconv.py:91-116)."""
@@ -441,6 +466,23 @@ class CRS:
                 params=(
                     ("pole_lat", float(attrs["grid_north_pole_latitude"])),
                     ("pole_lon", float(attrs["grid_north_pole_longitude"])),
+                ),
+            )
+        if gmn == "geostationary":
+            sweep = attrs.get("sweep_angle_axis")
+            if sweep is None:
+                # legacy CF: fixed_angle_axis is the OTHER axis
+                fixed = attrs.get("fixed_angle_axis", "x")
+                sweep = "y" if fixed == "x" else "x"
+            return CRS(
+                "geos", "Geostationary", ell,
+                params=(
+                    ("h", float(attrs["perspective_point_height"])),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("sweep_x", 1.0 if sweep == "x" else 0.0),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
             )
         if gmn == "sinusoidal":
@@ -655,6 +697,16 @@ class CRS:
                                    self.param("lat_2")],
                 latitude_of_projection_origin=self.param("lat_0"),
                 longitude_of_central_meridian=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "geos":
+            return dict(
+                grid_mapping_name="geostationary",
+                perspective_point_height=self.param("h"),
+                longitude_of_projection_origin=self.param("lon_0"),
+                sweep_angle_axis="x" if self.param("sweep_x") else "y",
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **ell,
@@ -1410,6 +1462,89 @@ def _rot_pole_from_geographic(crs: CRS, lon, lat):
 
 
 # ---------------------------------------------------------------------- #
+# Geostationary satellite view (the GOES-R ABI / MSG SEVIRI fixed grid;
+# PROJ 'geos', CGMS LRIT/HRIT Global Specification sec. 4.4).  Grid
+# coordinates are scan angles times the perspective height:
+# x = h * (scan angle), satellite on the equator at lon_0, height h above
+# the ellipsoid.  'sweep_angle_axis' follows the CF convention:
+# "x" (GOES-R ABI) or "y" (MSG SEVIRI).
+
+def _geos_setup(crs: CRS):
+    ell = crs.ellipsoid
+    h = crs.param("h")
+    radius_g_1 = h / ell.a
+    radius_g = 1.0 + radius_g_1
+    big_c = radius_g * radius_g - 1.0
+    radius_p = (1.0 - ell.f) if ell.f else 1.0  # b/a
+    return h, radius_g_1, radius_g, big_c, radius_p
+
+
+def _geos_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    h, radius_g_1, radius_g, _, radius_p = _geos_setup(crs)
+    rp2 = radius_p * radius_p
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    sweep_x = crs.param("sweep_x", 0.0) != 0.0
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    # geocentric latitude and normalized geocentric radius
+    phi_c = np.arctan(rp2 * np.tan(phi))
+    sc, cc = np.sin(phi_c), np.cos(phi_c)
+    r = radius_p / np.sqrt(rp2 * cc * cc + sc * sc)
+    vx = r * np.cos(lam) * cc
+    vy = r * np.sin(lam) * cc
+    vz = r * sc
+    tmp = radius_g - vx
+    # visibility: the view ray must not pass through the Earth
+    visible = ((radius_g - vx) * vx - vy * vy - vz * vz / rp2) >= 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if sweep_x:
+            x = radius_g_1 * np.arctan(vy / np.hypot(vz, tmp))
+            y = radius_g_1 * np.arctan(vz / tmp)
+        else:
+            x = radius_g_1 * np.arctan(vy / tmp)
+            y = radius_g_1 * np.arctan(vz / np.hypot(vy, tmp))
+    x = np.where(visible, fe + ell.a * x, np.nan)
+    y = np.where(visible, fn + ell.a * y, np.nan)
+    return x, y
+
+
+def _geos_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    h, radius_g_1, radius_g, big_c, radius_p = _geos_setup(crs)
+    rp2 = radius_p * radius_p
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    sweep_x = crs.param("sweep_x", 0.0) != 0.0
+    xn = (np.asarray(x, dtype=np.float64) - fe) / ell.a
+    yn = (np.asarray(y, dtype=np.float64) - fn) / ell.a
+    # unit view-direction components from the scan angles
+    if sweep_x:
+        vz = np.tan(yn / radius_g_1)
+        vy = np.tan(xn / radius_g_1) * np.hypot(1.0, vz)
+    else:
+        vy = np.tan(xn / radius_g_1)
+        vz = np.tan(yn / radius_g_1) * np.hypot(1.0, vy)
+    # intersect the ray (from the satellite toward the Earth) with the
+    # ellipsoid: quadratic in the ray parameter k
+    a_q = vy * vy + (vz / radius_p) ** 2 + 1.0
+    b_q = 2.0 * radius_g * (-1.0)
+    det = b_q * b_q - 4.0 * a_q * big_c
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = (-b_q - np.sqrt(det)) / (2.0 * a_q)
+        px = radius_g - k
+        py = k * vy
+        pz = k * vz
+        lam = np.arctan2(py, px)
+        phi = np.arctan(pz * np.cos(lam) / px)
+        phi = np.arctan(np.tan(phi) / rp2)
+    off = np.where(det < 0.0, np.nan, 0.0)
+    return np.degrees(lam) + lon0 + off, np.degrees(phi) + off
+
+
+# ---------------------------------------------------------------------- #
 # Datum shifts: geodetic <-> geocentric plus the 7-parameter Helmert
 # transformation, position-vector convention (EPSG method 9606; the
 # 3-parameter geocentric-translation case is method 9603).  This is the
@@ -1535,6 +1670,8 @@ class Transformer:
             lon, lat = _cea_inverse(self.src, x, y)
         elif self.src.kind == "eqc":
             lon, lat = _eqc_inverse(self.src, x, y)
+        elif self.src.kind == "geos":
+            lon, lat = _geos_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # datum bridge: only when either side declares a towgs84 shift
@@ -1563,6 +1700,8 @@ class Transformer:
             return _cea_forward(self.dst, lon, lat)
         if self.dst.kind == "eqc":
             return _eqc_forward(self.dst, lon, lat)
+        if self.dst.kind == "geos":
+            return _geos_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
