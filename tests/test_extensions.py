@@ -815,3 +815,24 @@ def test_dedup_plans_are_bucketed_not_cartesian(spark):
     # "*(n)" prefixes mark whole-stage-codegen spans in the plan string.
     assert "transform(" not in shingle_plan
     assert "*(1)" in shingle_plan
+
+
+def test_vocab_stats_hand_computed(spark):
+    """Corpus vocabulary table (tf / df / rank); registry is at the
+    driver's 50-entry cap, so this operator is verified here with a
+    hand-computed golden instead of a DuckDB twin."""
+    from xcube_resampling_spark.extensions.text import vocab_stats
+
+    docs = _docs(spark, ["the cat the hat", "the dog", "cat nap"])
+    rows = {r.tok: r for r in vocab_stats(docs).collect()}
+    assert rows["the"].tf == 3 and rows["the"].df == 2
+    assert rows["cat"].tf == 2 and rows["cat"].df == 2
+    assert rows["dog"].tf == 1 and rows["dog"].df == 1
+    assert rows["the"].rank == 1
+    assert rows["cat"].rank == 2
+    # ties on tf rank alphabetically: dog < hat < nap
+    assert rows["dog"].rank == 3
+    assert rows["hat"].rank == 4
+    assert rows["nap"].rank == 5
+    pruned = {r.tok for r in vocab_stats(docs, min_df=2).collect()}
+    assert pruned == {"the", "cat"}

@@ -179,3 +179,30 @@ def doc_fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
         F.max("h").alias("fp_max"),
         F.count_distinct(F.col("h")).alias("n_shingles"),
     )
+
+
+def vocab_stats(docs: DataFrame, min_df: int = 1) -> DataFrame:
+    """Corpus vocabulary statistics: per distinct token its term
+    frequency (total occurrences), document frequency (docs containing
+    it), and frequency rank -- the table behind stopword derivation,
+    OOV analysis, and tokenizer-vocabulary decisions on a training
+    corpus.
+
+    Shape at scale: explode -> ONE map-side-combinable aggregation
+    keyed by token (tf = count, df = count_distinct doc_id); the rank
+    window runs over the already-aggregated vocabulary (|vocab| <<
+    corpus size).  ``min_df`` prunes hapax noise before ranking.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    ).filter(F.col("df") >= min_df)
+    win = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    return agg.select(
+        "tok", "tf", "df", F.row_number().over(win).alias("rank")
+    )
