@@ -230,3 +230,26 @@ class TestGranuleRoundtrip:
         got = read_netcdf3(spark, path, "v").toPandas()
         assert len(got) == w * h  # dense granules carry NaN for gaps
         assert got[got["i"] == 3]["value"].isna().all()
+
+
+class TestDecodeCf:
+    def test_packed_i2_with_cf_attrs(self, spark, tmp_path):
+        """Packed sst-style variable: _FillValue -> NaN then
+        scale/offset, matching the zarr reader and xarray decode_cf."""
+        raw = np.array([[0, 100, -32768], [200, -32768, 300]], dtype="<i2")
+        blob = encode_netcdf3(
+            "sst", raw, ("y", "x"),
+            var_attrs={"_FillValue": -32768, "scale_factor": 0.01,
+                       "add_offset": 273.15, "units": "K"},
+        )
+        p = tmp_path / "sst.nc"
+        p.write_bytes(blob)
+        got = read_netcdf3(
+            spark, str(p), "sst", decode_cf=True
+        ).toPandas().sort_values(["j", "i"])
+        exp = np.where(raw == -32768, np.nan, raw * 0.01 + 273.15).ravel()
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), exp, equal_nan=True
+        )
+        rawback = read_netcdf3(spark, str(p), "sst").toPandas()
+        assert rawback["value"].min() == -32768.0

@@ -377,6 +377,7 @@ def read_netcdf3(
     path: str,
     var_name: str,
     bbox_ij: tuple[int, int, int, int] | None = None,
+    decode_cf: bool = False,
 ) -> DataFrame:
     """Read a .nc file or a granule directory as (t, j, i, value) rows.
 
@@ -384,6 +385,10 @@ def read_netcdf3(
     prunes whole granule FILES driver-side (band arithmetic, no data
     touched) before the binaryFile listing -- the NetCDF analogue of the
     zarr chunk pruning; rows are then filtered to the exact window.
+
+    ``decode_cf=True`` applies the variable's CF packing attributes
+    (``_FillValue``/``missing_value`` -> NaN, then ``scale_factor`` /
+    ``add_offset``) exactly like the zarr reader and xarray.
     """
     if os.path.isdir(path):
         files = sorted(
@@ -422,6 +427,18 @@ def read_netcdf3(
                     raise ValueError(
                         f"variable {var_name} must be 2-D or 3-D"
                     )
+                data = data.astype(np.float64)
+                if decode_cf:
+                    va = var["attrs"]
+                    fill = va.get("_FillValue", va.get("missing_value"))
+                    if fill is not None:
+                        data = np.where(
+                            data == float(fill), np.nan, data
+                        )
+                    data = (
+                        data * float(va.get("scale_factor", 1.0))
+                        + float(va.get("add_offset", 0.0))
+                    )
                 nt, rows, w = data.shape
                 j_off = int(parsed["attrs"].get("j_offset", 0))
                 i_off = int(parsed["attrs"].get("i_offset", 0))
@@ -436,7 +453,7 @@ def read_netcdf3(
                             "t": (tt.ravel() + t_off).astype(np.int32),
                             "j": (jj.ravel() + j_off).astype(np.int32),
                             "i": (ii.ravel() + i_off).astype(np.int32),
-                            "value": data.astype(np.float64).ravel(),
+                            "value": data.ravel(),
                         }
                     )
                 )
