@@ -1403,12 +1403,23 @@ CEA_XMIN, CEA_YMIN = 868093.23, 5870639.41
 CEA_RES = 60.0
 CEA_YMAX = CEA_YMIN + CEA_H * CEA_RES
 
+# Geostationary fixed grid (PROJ geos semantics; satellite at lon 9,
+# sweep x, h = 35785831, WGS84): the oblique view at 53N compresses
+# ground northing to ~0.44x in scan space, so a 40 m step keeps bbox
+# scales >= 1 (x 2.31, y 1.13); 2430 of 2880 in-bounds, margins >= 1e-2
+GEO_W, GEO_H = 60, 48
+GEO_XMIN, GEO_YMIN = -238.27, 4718936.41
+GEO_RES = 40.0
+GEO_YMAX = GEO_YMIN + GEO_H * GEO_RES
+GEO_H_SAT = 35785831.0
+GEO_LON0 = 9.0
+
 
 def _q_reproject(interp: str, crs_id=3035,
                  grid=((26, 36), (4254100.0, 3345300.0), 100.0),
                  qbits="auto"):
     def q(spark, sf_dir):
-        """CRS reprojection (UTM 32632 -> LAEA 3035) of the synthetic raster.
+        """CRS reprojection (UTM 32632 -> target family) of the raster.
         The DuckDB oracle re-derives the full projection chain (LAEA inverse
         per EPSG guidance note 7-2 method 9820, Krueger-series transverse
         Mercator forward) in pure SQL -- an independent value-level check of
@@ -1439,8 +1450,10 @@ def _q_reproject(interp: str, crs_id=3035,
             src.coords["x"], src.coords["y"], CRS.from_epsg(32632),
             xy_var_names=("x", "y"), xy_dim_names=("x", "y"),
         )
+        target_crs = crs_id() if callable(crs_id) \
+            else CRS.from_user_input(crs_id)
         target_gm = GridMapping.regular(
-            grid[0], grid[1], grid[2], CRS.from_user_input(crs_id)
+            grid[0], grid[1], grid[2], target_crs
         )
         # bilinear blends amplify ~1e-11 cross-engine transcendental noise
         # into round(value, 6) ties; quantizing the fractional indices to a
@@ -1482,15 +1495,28 @@ q_reproject_ease2 = _q_reproject(
     "nearest", 6933,
     ((CEA_W, CEA_H), (CEA_XMIN, CEA_YMIN), CEA_RES),
 )
+
+
+def _geos_crs():
+    from xcube_resampling_spark.crs import CRS
+
+    return CRS.geostationary(lon_0=GEO_LON0, sweep="x", h=GEO_H_SAT)
+
+
+q_reproject_geos = _q_reproject(
+    "nearest", _geos_crs,
+    ((GEO_W, GEO_H), (GEO_XMIN, GEO_YMIN), GEO_RES),
+)
 q_reproject_triangular = _q_reproject("triangular")
 
 
 def q_reproject_crs_families(spark, sf_dir):
-    """Six projection families (web mercator, polar stereo north, LCC
-    2SP, Albers 2SP, MODIS sinusoidal, EASE-Grid 2.0 cylindrical
-    equal-area) verified value-level in ONE tagged union entry so the
-    whole registry stays inside the driver's 50-query correctness window
-    (same pattern as coarsen_reducers)."""
+    """Seven projection families (web mercator, polar stereo north,
+    LCC 2SP, Albers 2SP, MODIS sinusoidal, EASE-Grid 2.0 cylindrical
+    equal-area, geostationary satellite view) verified value-level in
+    ONE tagged union entry so the whole registry stays inside the
+    driver's 50-query correctness window (same pattern as
+    coarsen_reducers)."""
     parts = [
         ("webmerc", q_reproject_webmercator),
         ("stere", q_reproject_polar_stereo),
@@ -1498,6 +1524,7 @@ def q_reproject_crs_families(spark, sf_dir):
         ("aea", q_reproject_albers),
         ("sinu", q_reproject_sinu),
         ("cea", q_reproject_ease2),
+        ("geos", q_reproject_geos),
     ]
     out = None
     for tag, fn in parts:
@@ -1513,7 +1540,8 @@ def _reproject_families_oracle_sql() -> str:
     oracle derivations unioned with a crs tag column."""
     return "\nUNION ALL\n".join(
         _reproject_oracle_sql("nearest", t, tag=t)
-        for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea")
+        for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea",
+                  "geos")
     )
 
 
@@ -1568,6 +1596,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea",
     elif target == "cea":
         gw, gh = CEA_W, CEA_H
         gxmin, gymax, gres = CEA_XMIN, CEA_YMAX, CEA_RES
+    elif target == "geos":
+        gw, gh = GEO_W, GEO_H
+        gxmin, gymax, gres = GEO_XMIN, GEO_YMAX, GEO_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -1820,6 +1851,49 @@ ll AS (
          degrees(beta + {bA} * sin(2.0 * beta) + {bB} * sin(4.0 * beta)
                  + {bC} * sin(6.0 * beta)) AS lat
   FROM e1s
+),"""
+    elif target == "geos":
+        from xcube_resampling_spark.crs import _geos_setup
+
+        geo = CRS.geostationary(lon_0=GEO_LON0, sweep="x", h=GEO_H_SAT)
+        _, rg1, rg, bigc, rp = _geos_setup(geo)
+        rp2 = rp * rp
+        ga = r(geo.ellipsoid.a)
+        inverse_sql = f"""
+-- geostationary view (PROJ geos, sweep x) inverse: scan angles ->
+-- view-ray direction -> ray/ellipsoid quadratic -> geocentric ->
+-- geodetic latitude
+q1 AS (
+  SELECT t, j, i, tx / {ga} AS xn, ty / {ga} AS yn FROM txy
+),
+q2 AS (
+  SELECT t, j, i,
+         tan(xn / {r(rg1)})
+           * sqrt(1.0 + tan(yn / {r(rg1)}) * tan(yn / {r(rg1)})) AS vy,
+         tan(yn / {r(rg1)}) AS vz
+  FROM q1
+),
+q3 AS (
+  SELECT t, j, i, vy, vz,
+         vy * vy + (vz / {r(rp)}) * (vz / {r(rp)}) + 1.0 AS aq
+  FROM q2
+),
+q4 AS (
+  SELECT t, j, i, vy, vz,
+         ((2.0 * {r(rg)}) - sqrt((2.0 * {r(rg)}) * (2.0 * {r(rg)})
+            - 4.0 * aq * {r(bigc)})) / (2.0 * aq) AS k
+  FROM q3
+),
+q5 AS (
+  SELECT t, j, i, {r(rg)} - k AS px, k * vy AS py, k * vz AS pz
+  FROM q4
+),
+ll AS (
+  SELECT t, j, i,
+         {GEO_LON0} + degrees(atan2(py, px)) AS lon,
+         degrees(atan(tan(atan(pz * cos(atan2(py, px)) / px))
+                      / {r(rp2)})) AS lat
+  FROM q5
 ),"""
     elif target == "sinu":
         rr = r(SINU_R)
