@@ -505,7 +505,8 @@ def gather_fused(
             V = np.full((num_t, sj_n, src_w), fill)
             for k in range(num_t):
                 v = real[f"val_{k}"].to_numpy(np.float64)
-                p = real[f"pres_{k}"].fillna(False).to_numpy(bool)
+                p_raw = real[f"pres_{k}"].to_numpy()
+                p = np.where(pd.isna(p_raw), False, p_raw).astype(bool)
                 V[k, sj_arr - sj_lo, si_arr] = np.where(p, v, fill)
         else:
             sj_lo, sj_n = 0, 1

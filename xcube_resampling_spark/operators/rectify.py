@@ -905,9 +905,10 @@ def rectify_fused_tiled(
             V[k, j_arr - j_lo, i_arr - i_lo] = (
                 pdf[f"val_{k}"].to_numpy(np.float64)
             )
-            P[k, j_arr - j_lo, i_arr - i_lo] = (
-                pdf[f"pres_{k}"].fillna(False).to_numpy(bool)
-            )
+            p_raw = pdf[f"pres_{k}"].to_numpy()
+            P[k, j_arr - j_lo, i_arr - i_lo] = np.where(
+                pd.isna(p_raw), False, p_raw
+            ).astype(bool)
 
         p0x, p0y = X[:-1, :-1], Y[:-1, :-1]
         p1x, p1y = X[:-1, 1:], Y[:-1, 1:]
