@@ -824,6 +824,22 @@ def _tmerc_forward_scalar_northing(crs: CRS, lat0: float) -> float:
     return float(y[0])
 
 
+def _wrap_lon(lon):
+    """Wrap longitudes into [-180, 180].
+
+    Values already in range (including the exact +/-180 boundary) pass
+    through bit-identically; only |lon| > 180 is shifted by the nearest
+    multiple of 360. Every projection inverse must end with this so the
+    fwd->inv closure holds for lon_0 != 0 CRSs near the antimeridian
+    (e.g. EPSG:3035 at lon -171 would otherwise invert to +189).
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    out = np.abs(lon) > 180.0
+    if np.any(out):
+        lon = np.where(out, lon - 360.0 * np.round(lon / 360.0), lon)
+    return lon
+
+
 def _tmerc_inverse(crs: CRS, x, y):
     ell = crs.ellipsoid
     e = ell.e
@@ -854,7 +870,7 @@ def _tmerc_inverse(crs: CRS, x, y):
     for _ in range(12):
         s = np.tanh(psi + e * np.arctanh(e * s))
     phi = np.arcsin(np.clip(s, -1.0, 1.0))
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -933,7 +949,7 @@ def _laea_inverse(crs: CRS, x, y):
         + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta_p)
         + (761 * e6 / 45360) * np.sin(6 * beta_p)
     )
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -958,7 +974,7 @@ def _webmerc_inverse(crs: CRS, x, y):
     phi = np.pi / 2 - 2 * np.arctan(
         np.exp(-(np.asarray(y, dtype=np.float64) - fn) / a)
     )
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -1283,7 +1299,7 @@ def _sinu_inverse(crs: CRS, x, y):
     pole = np.abs(np.cos(phi)) < 1e-14
     if np.any(pole):
         lam = np.where(pole, 0.0, lam)
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -1328,7 +1344,7 @@ def _merc_inverse(crs: CRS, x, y):
     chi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2
     phi = _conformal_to_geographic(ell, chi)
     lam = (np.asarray(x, dtype=np.float64) - fe) / (ell.a * k0)
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -1384,7 +1400,7 @@ def _cea_inverse(crs: CRS, x, y):
         + (761 * e6 / 45360) * np.sin(6 * beta)
     )
     lam = (np.asarray(x, dtype=np.float64) - fe) / (ell.a * k0)
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -1415,7 +1431,7 @@ def _eqc_inverse(crs: CRS, x, y):
         ell, np.asarray(y, dtype=np.float64) - fn
     )
     lam = (np.asarray(x, dtype=np.float64) - fe) / nu_cos
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -1541,7 +1557,7 @@ def _geos_inverse(crs: CRS, x, y):
         phi = np.arctan(pz * np.cos(lam) / px)
         phi = np.arctan(np.tan(phi) / rp2)
     off = np.where(det < 0.0, np.nan, 0.0)
-    return np.degrees(lam) + lon0 + off, np.degrees(phi) + off
+    return _wrap_lon(np.degrees(lam) + lon0 + off), np.degrees(phi) + off
 
 
 # ---------------------------------------------------------------------- #
