@@ -181,3 +181,24 @@ class TestChunkPut:
         keys = set(log.read_text().split())
         assert {".zgroup", "v/.zarray", "v/.zattrs"} <= keys
         assert {"v/0.0", "v/0.1"} <= keys
+
+
+class TestCorruptFrames:
+    def test_short_stored_raw_block_raises(self):
+        """A stored-raw stream whose payload is truncated (csize says 32
+        bytes, frame holds 10) must raise, not silently resize the
+        output bytearray and shift every later block."""
+        import struct
+
+        import pytest
+
+        from xcube_resampling_spark.sources import blosc1
+
+        payload = b"0123456789"          # 10 bytes, csize claims 32
+        header = bytes([1, 1, blosc1._DONT_SPLIT, 1])
+        nbytes, blocksize = 32, 32
+        body = struct.pack("<I", 20) + struct.pack("<i", 32) + payload
+        frame_len = 16 + len(body)
+        header += struct.pack("<III", nbytes, blocksize, frame_len)
+        with pytest.raises(ValueError, match="decoded to 10"):
+            blosc1.decode(header + body)

@@ -703,8 +703,9 @@ def test_dedup_stream_batch_twin(spark):
 
 
 def test_dedup_stream_streaming_matches_batch(spark, tmp_path):
-    """Genuine readStream run: one boolean of state per content hash;
-    the streaming result must equal the batch twin's keep-set."""
+    """Genuine readStream run: one (keep_id, text) record of state per
+    content hash; the streaming result must equal the batch twin's
+    keep-set."""
     from xcube_resampling_spark.streaming.stateful import dedup_stream
 
     docs = spark.createDataFrame(
@@ -734,6 +735,59 @@ def test_dedup_stream_streaming_matches_batch(spark, tmp_path):
     }
     exact = {r.text: r.keep_id for r in dedup_stream(docs).collect()}
     assert got == exact
+
+
+def test_dedup_stream_late_lower_id_updates(spark, tmp_path):
+    """A LOWER doc_id arriving in a later micro-batch must re-emit an
+    update-mode row so the stream converges to the global minimum
+    (first-batch-only state would keep doc 5 for 'aa' forever)."""
+    from xcube_resampling_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [(5, "aa"), (7, "bb")], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "aa"), (9, "bb")], "doc_id long, text string"
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    # pin mtimes so the file source triggers b1 strictly before b2
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for sub, ts in (("b1", now - 120), ("b2", now - 60)):
+        for f in (src / sub).iterdir():
+            _os.utime(f, (ts, ts))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT text, keep_id FROM dedup_stream_late"
+    ).collect()
+    # last update per hash wins downstream: 'aa' must have converged
+    # to 2; 'bb' saw no lower id, so exactly one emission with 7
+    per_text: dict = {}
+    for r in rows:
+        per_text.setdefault(r.text, []).append(r.keep_id)
+    assert min(per_text["aa"]) == 2
+    assert per_text["bb"] == [7]
 
 
 def test_write_zarr_stream_roundtrip(spark, tmp_path):

@@ -253,3 +253,55 @@ class TestDecodeCf:
         )
         rawback = read_netcdf3(spark, str(p), "sst").toPandas()
         assert rawback["value"].min() == -32768.0
+
+    def test_vector_missing_value_decodes(self, spark, tmp_path):
+        """CF-legal vector-valued missing_value: every listed value
+        becomes NaN (float(list) used to TypeError here)."""
+        raw = np.array([[0, -9999, 100], [-8888, 200, 300]], dtype="<i4")
+        blob = encode_netcdf3(
+            "sst", raw, ("y", "x"),
+            var_attrs={"missing_value": [-9999, -8888],
+                       "scale_factor": 0.5},
+        )
+        p = tmp_path / "vsst.nc"
+        p.write_bytes(blob)
+        got = read_netcdf3(
+            spark, str(p), "sst", decode_cf=True
+        ).toPandas().sort_values(["j", "i"])
+        exp = np.where(
+            np.isin(raw, [-9999, -8888]), np.nan, raw * 0.5
+        ).ravel()
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), exp, equal_nan=True
+        )
+
+
+class TestWideBandIndex:
+    def test_prune_parses_wide_band_indices(self, spark, tmp_path):
+        """Band indices >= 100000 widen past the 05d pad; the prune
+        filter must parse the full index, not a fixed-width slice
+        (which silently truncated and pruned the WRONG files)."""
+        import json as _json
+
+        w = 4
+        path = tmp_path / "wide"
+        path.mkdir()
+        # band k covers rows [2k, 2k+2); fake a sparse store with bands
+        # 0 and 123456 present
+        for band in (0, 123456):
+            data = np.full((2, w), float(band), dtype="f8")
+            blob = encode_netcdf3(
+                "v", data, ("y", "x"),
+                global_attrs={"j_offset": 2 * band, "i_offset": 0,
+                              "t_offset": 0},
+            )
+            (path / f"part-{band}.nc").write_bytes(blob)
+        (path / "_meta.json").write_text(_json.dumps(
+            {"var": "v", "band_rows": 2}
+        ))
+        j0 = 2 * 123456
+        got = read_netcdf3(
+            spark, str(path), "v", bbox_ij=(0, j0, w, j0 + 2)
+        ).toPandas()
+        assert sorted(got["j"].unique()) == [j0, j0 + 1]
+        assert (got["value"] == 123456.0).all()

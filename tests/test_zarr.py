@@ -318,3 +318,50 @@ class TestZarrRealism:
         os.remove(os.path.join(path, "v", ".zarray"))
         got = read_zarr(spark, path, "v").toPandas()
         assert len(got) == w * h
+
+    def test_stale_zmetadata_falls_back_to_per_array_json(
+        self, spark, tmp_path
+    ):
+        """An array missing from a stale .zmetadata (consolidated before
+        the array was written) must still be readable via its own
+        .zarray/.zattrs files."""
+        w, h = 8, 6
+        path = str(tmp_path / "stale")
+        write_zarr(_raster(spark, w, h), path, "v", (h, w), (4, 4))
+        write_zarr(_raster(spark, w, h), path, "v2", (h, w), (4, 4))
+        # regress .zmetadata to a version that predates v2
+        zm = json.loads(open(os.path.join(path, ".zmetadata")).read())
+        zm["metadata"] = {
+            k: v for k, v in zm["metadata"].items()
+            if not k.startswith("v2/")
+        }
+        open(os.path.join(path, ".zmetadata"), "w").write(json.dumps(zm))
+        got = read_zarr(spark, path, "v2").toPandas()
+        assert len(got) == w * h
+
+    def test_vector_missing_value_decodes(self, spark, tmp_path):
+        """CF-legal vector-valued missing_value: every listed value
+        becomes NaN under decode_cf."""
+        path = tmp_path / "vecfill"
+        adir = path / "sst"
+        adir.mkdir(parents=True)
+        raw = np.array([[0, -9999, 100], [-8888, 200, 300]], dtype="<i4")
+        (adir / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [2, 3], "chunks": [2, 3],
+            "dtype": "<i4", "compressor": None, "fill_value": None,
+            "order": "C", "filters": None,
+        }))
+        (adir / ".zattrs").write_text(json.dumps({
+            "_ARRAY_DIMENSIONS": ["y", "x"],
+            "missing_value": [-9999, -8888], "scale_factor": 0.5,
+        }))
+        (adir / "0.0").write_bytes(raw.tobytes())
+        got = read_zarr(
+            spark, str(path), "sst", decode_cf=True
+        ).toPandas().sort_values(["j", "i"])
+        exp = np.where(
+            np.isin(raw, [-9999, -8888]), np.nan, raw * 0.5
+        ).ravel()
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), exp, equal_nan=True
+        )

@@ -133,6 +133,13 @@ def decode(frame: bytes) -> bytes:
         block = b"".join(parts)
         if flags & _SHUFFLE:
             block = _unshuffle(block, typesize)
+        if len(block) != bsize:
+            # bytearray slice assignment would silently RESIZE on a
+            # short block (corrupt frame), shifting all later data
+            raise ValueError(
+                f"blosc block {b} decoded to {len(block)} bytes, "
+                f"wanted {bsize}"
+            )
         start = b * blocksize
         out[start:start + bsize] = block
     return bytes(out)

@@ -111,6 +111,13 @@ class _Writer:
                 self.att_values(2, v)
             elif isinstance(v, (int, np.integer)):
                 self.att_values(4, [v])
+            elif isinstance(v, (list, tuple, np.ndarray)):
+                # vector-valued attribute (CF-legal, e.g. missing_value)
+                vals = list(v)
+                if all(isinstance(x, (int, np.integer)) for x in vals):
+                    self.att_values(4, vals)
+                else:
+                    self.att_values(6, [float(x) for x in vals])
             else:
                 self.att_values(6, [float(v)])
 
@@ -402,9 +409,13 @@ def read_netcdf3(
                 br = int(meta["band_rows"])
                 _, j0, _, j1 = bbox_ij
                 keep = range(max(0, j0 // br), -(-j1 // br))
+                # part files are f"part-{band:05d}.nc"; parse the index by
+                # splitting (a fixed-width slice truncates band >= 100000)
                 files = [
                     f for f in files
-                    if int(os.path.basename(f)[5:10]) in keep
+                    if int(
+                        os.path.basename(f).split("-")[1].split(".")[0]
+                    ) in keep
                 ]
     else:
         files = [path]
@@ -432,9 +443,14 @@ def read_netcdf3(
                     va = var["attrs"]
                     fill = va.get("_FillValue", va.get("missing_value"))
                     if fill is not None:
-                        data = np.where(
-                            data == float(fill), np.nan, data
-                        )
+                        # CF allows vector-valued missing_value; the attr
+                        # reader returns a list for multi-element attrs
+                        if isinstance(fill, (list, tuple)):
+                            fills = [float(f) for f in fill]
+                        else:
+                            fills = [float(fill)]
+                        mask = np.isin(data, fills)
+                        data = np.where(mask, np.nan, data)
                     data = (
                         data * float(va.get("scale_factor", 1.0))
                         + float(va.get("add_offset", 0.0))

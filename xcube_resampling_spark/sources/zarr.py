@@ -363,12 +363,16 @@ def read_zarr(
     adir = os.path.join(path, var_name)
     zmeta_path = os.path.join(path, ".zmetadata")
     attrs: dict = {}
+    meta = None
     if os.path.exists(zmeta_path):
         with open(zmeta_path) as fp:
             consolidated = json.load(fp)["metadata"]
-        meta = consolidated[f"{var_name}/.zarray"]
+        # a stale .zmetadata (written before this array existed, or by a
+        # ChunkPut rooted elsewhere) may not list var_name -- fall through
+        # to the per-array JSON rather than KeyError
+        meta = consolidated.get(f"{var_name}/.zarray")
         attrs = consolidated.get(f"{var_name}/.zattrs", {})
-    else:
+    if meta is None:
         with open(os.path.join(adir, ".zarray")) as fp:
             meta = json.load(fp)
         zattrs_path = os.path.join(adir, ".zattrs")
@@ -383,6 +387,13 @@ def read_zarr(
     dtype_s = meta["dtype"]
     dtype = _np_dtype(dtype_s)
     fill_attr = attrs.get("_FillValue", attrs.get("missing_value"))
+    # CF allows vector-valued missing_value -> normalize to a float list
+    if fill_attr is None:
+        fill_values: list[float] | None = None
+    elif isinstance(fill_attr, (list, tuple)):
+        fill_values = [float(f) for f in fill_attr]
+    else:
+        fill_values = [float(fill_attr)]
     scale = float(attrs.get("scale_factor", 1.0))
     offset = float(attrs.get("add_offset", 0.0))
     shape = tuple(int(s) for s in meta["shape"])
@@ -442,9 +453,9 @@ def read_zarr(
                 vi = min(ct_i, w - i_off)
                 block = block[:vt, :vj, :vi].astype(np.float64)
                 if decode_cf:
-                    if fill_attr is not None:
+                    if fill_values is not None:
                         block = np.where(
-                            block == float(fill_attr), np.nan, block
+                            np.isin(block, fill_values), np.nan, block
                         )
                     block = block * scale + offset
                 tt, jj, ii = np.meshgrid(

@@ -97,6 +97,7 @@ def first_event_per_key(
 DEDUP_STREAM_SCHEMA = (
     "content_hash string, keep_id bigint, text string"
 )
+_DEDUP_STATE_SCHEMA = "keep_id bigint, text string"
 
 
 def dedup_stream(docs: DataFrame) -> DataFrame:
@@ -106,11 +107,13 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     ``extensions.dedup.dedup_exact``'s keep-one semantics, for feeding a
     training-data pipeline from a firehose.
 
-    Streaming path: one boolean of state per distinct content hash
-    (``applyInPandasWithState``, update mode): a hash emits on the
-    micro-batch where it is first seen (batch-local winner = min doc_id)
-    and never again, so state is O(distinct documents) no matter how
-    long the stream runs.
+    Streaming path: one (keep_id, text) record of state per distinct
+    content hash (``applyInPandasWithState``, update mode): a hash
+    emits on the micro-batch where it is first seen, and again whenever
+    a later batch delivers a LOWER doc_id (update-mode row replaces the
+    previous winner downstream), so the stream converges to the batch
+    twin's global minimum over everything that has arrived. State is
+    O(distinct documents) no matter how long the stream runs.
 
     Batch path (same function on a non-streaming frame): the
     row_number-window twin, SQL-expressible for oracle checks.
@@ -137,10 +140,14 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
                 continue
             top = pdf.sort_values("doc_id").iloc[0]
             if best is None or top["doc_id"] < best[0]:
-                best = (top["doc_id"], top["text"])
-        if state.exists or best is None:
+                best = (int(top["doc_id"]), top["text"])
+        if best is None:
             return
-        state.update((True,))
+        if state.exists:
+            kept_id, kept_text = state.get
+            if best[0] >= kept_id:
+                return
+        state.update((best[0], best[1]))
         yield pd.DataFrame(
             {
                 "content_hash": [key[0]],
@@ -152,7 +159,7 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("content_hash").applyInPandasWithState(
         fn,
         DEDUP_STREAM_SCHEMA,
-        _STATE_SCHEMA,
+        _DEDUP_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )
