@@ -3081,6 +3081,73 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ------------------------------------------------------------------ #
+# tagged unions (the driver's correctness window is 50 entries; these
+# fold same-schema variants into one slot, precedent coarsen_reducers /
+# reproject_crs_families)
+
+
+def _affine_variant_list():
+    return [
+        ("upscale_bilinear", q_affine_upscale_bilinear,
+         SQL_AFFINE_UPSCALE),
+        ("shift_nearest", q_affine_shift_nearest, SQL_AFFINE_SHIFT),
+        ("downscale_mean", q_affine_downscale_mean,
+         SQL_AFFINE_DOWNSCALE),
+        ("shift_nearest_3d", q_affine_3d_shift_nearest, SQL_AFFINE_3D),
+        ("recover_nans", q_affine_recover_nans, SQL_AFFINE_RECOVER),
+    ]
+
+
+def q_affine_variants(spark, sf_dir):
+    """All five affine variants (reference affine.py:55-360), tagged and
+    unioned: bilinear x2 upscale, integer nearest shift, mean downscale,
+    3-D time passthrough, NaN recovery -- one registry slot for the full
+    affine matrix of SURVEY 2.2."""
+    out = None
+    for name, q, _ in _affine_variant_list():
+        d = q(spark, sf_dir).select(
+            F.lit(name).alias("variant"), "t", "j", "i", "value"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _affine_variants_sql():
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS variant, q.* FROM ({sql}) q"
+        for name, _, sql in _affine_variant_list()
+    )
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary table (tf / df / rank) over documents --
+    stopword derivation and tokenizer-vocabulary analysis for a
+    training corpus; one map-side-combinable aggregation, rank window
+    over the small aggregated vocabulary."""
+    from xcube_resampling_spark.extensions.text import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), min_df=2)
+
+
+SQL_VOCAB = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE tok <> '' GROUP BY tok
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT tok, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INT) AS rank
+FROM agg
+"""
+
+
+# ------------------------------------------------------------------ #
 # contract surface
 
 
@@ -3092,9 +3159,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "affine_upscale_bilinear": q_affine_upscale_bilinear,
-        "affine_shift_nearest": q_affine_shift_nearest,
-        "affine_downscale_mean": q_affine_downscale_mean,
+        "affine_variants": q_affine_variants,
         "coarsen_reducers": q_coarsen_reducers,
         "clip_bbox": q_clip_bbox,
         "ij_bbox_containment": q_ij_bbox_containment,
@@ -3109,8 +3174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_antimeridian": q_rectify_antimeridian,
         "rectify_distributed_coords": q_rectify_distributed_coords,
         "rectify_rotated_pole": q_rectify_rotated_pole,
-        "affine_3d_shift_nearest": q_affine_3d_shift_nearest,
-        "affine_recover_nans": q_affine_recover_nans,
         "lon360_roundtrip": q_lon360_roundtrip,
         "resample_dispatch_affine": q_resample_dispatch_affine,
         "resample_identity": q_resample_identity,
@@ -3127,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "vocab_stats": q_vocab_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3147,9 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "affine_upscale_bilinear": SQL_AFFINE_UPSCALE,
-        "affine_shift_nearest": SQL_AFFINE_SHIFT,
-        "affine_downscale_mean": SQL_AFFINE_DOWNSCALE,
+        "affine_variants": _affine_variants_sql(),
         "coarsen_reducers": SQL_COARSEN_REDUCERS,
         "clip_bbox": SQL_CLIP,
         "ij_bbox_containment": SQL_IJ_BBOX,
@@ -3167,8 +3229,6 @@ def oracle_sql() -> dict[str, str]:
         "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,
         "rectify_distributed_coords": SQL_RECTIFY,
         "rectify_rotated_pole": _rotpole_rectify_sql(),
-        "affine_3d_shift_nearest": SQL_AFFINE_3D,
-        "affine_recover_nans": SQL_AFFINE_RECOVER,
         "lon360_roundtrip": SQL_LON360,
         "resample_dispatch_affine": SQL_AFFINE_SHIFT,
         "resample_identity": SQL_IDENTITY,
@@ -3184,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "vocab_stats": SQL_VOCAB,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
