@@ -826,6 +826,104 @@ def _rotpole_rectify_sql() -> str:
     )
 
 
+# Geostationary rectify: a GOES/SEVIRI-style scan-angle swath (sheared in
+# geos scan space, satellite at lon 9, sweep x, 53N oblique view) rectified
+# onto a regular WGS84 grid.  Grid picked by offset scan: min frac-from-0.5
+# margin 2.8e-4, min u/v epsilon margin 3.2e-4, coord-res/target-res scale
+# 1.010 (> SCALE_LIMIT 0.95, pre-downscale never fires), 890/1260 covered.
+GRECT_SX0, GRECT_SAX, GRECT_SBX = -300.0, 55.0, 7.0
+GRECT_SY0, GRECT_SCY, GRECT_SDY = 4719800.0, -52.0, 6.0
+GRECT_W, GRECT_H = 28, 45
+GRECT_X0 = 8.994546553551718
+GRECT_YMAX = 53.23291724104777
+GRECT_RES = 0.00099
+GRECT_YMIN = GRECT_YMAX - GRECT_H * GRECT_RES
+
+
+def q_rectify_geos(spark, sf_dir):
+    """Rectification of a geostationary fixed-grid swath: per-pixel coords
+    live in the geos CRS, so the rectify path drives the full
+    ray/ellipsoid geos inverse through transform_coords_df (reference
+    rectify.py:127-129; transform.py:40-77) before the scatter."""
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.gridmapping.distributed import GridMappingDF
+    from xcube_resampling_spark.operators.rectify import rectify_dataset
+
+    geo_crs = CRS.geostationary(lon_0=GEO_LON0, sweep="x", h=GEO_H_SAT)
+    r = _raster(spark, sf_dir)
+    coords = r.select(
+        "j", "i",
+        (F.lit(GRECT_SX0) + GRECT_SAX * F.col("i")
+         + GRECT_SBX * F.col("j")).cast("double").alias("x"),
+        (F.lit(GRECT_SY0) + GRECT_SCY * F.col("j")
+         + GRECT_SDY * F.col("i")).cast("double").alias("y"),
+    )
+    gmdf = GridMappingDF.from_coords_df(coords, geo_crs, size=(RW, RH))
+    src = SparkDataset(
+        spark=spark,
+        data_vars={"value": Variable("value", r, ("y", "x"), "float64", {})},
+        coords={},
+        yx_dims=("y", "x"),
+    )
+    target_gm = GridMapping.regular(
+        (GRECT_W, GRECT_H), (GRECT_X0, GRECT_YMIN), GRECT_RES, "EPSG:4326"
+    )
+    out = rectify_dataset(
+        src, target_gm=target_gm, source_gm=gmdf,
+        interp_methods="nearest", fill_values=FILL,
+    )
+    return out.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+def _geos_rectify_sql() -> str:
+    from xcube_resampling_spark.crs import CRS, _geos_setup
+
+    geo = CRS.geostationary(lon_0=GEO_LON0, sweep="x", h=GEO_H_SAT)
+    _, rg1, rg, bigc, rp = _geos_setup(geo)
+    rp2 = rp * rp
+    ga = repr(geo.ellipsoid.a)
+    coords_sql = f"""
+  SELECT j, i,
+         {GEO_LON0} + degrees(atan2(py, px)) AS x,
+         degrees(atan(tan(atan(pz * cos(atan2(py, px)) / px))
+                      / {rp2!r})) AS y
+  FROM (
+    SELECT j, i, {rg!r} - k AS px, k * vy AS py, k * vz AS pz
+    FROM (
+      SELECT j, i, vy, vz,
+             ((2.0 * {rg!r}) - sqrt((2.0 * {rg!r}) * (2.0 * {rg!r})
+                - 4.0 * aq * {bigc!r})) / (2.0 * aq) AS k
+      FROM (
+        SELECT j, i, vy, vz,
+               vy * vy + (vz / {rp!r}) * (vz / {rp!r}) + 1.0 AS aq
+        FROM (
+          SELECT j, i,
+                 tan(xn / {rg1!r})
+                   * sqrt(1.0 + tan(yn / {rg1!r}) * tan(yn / {rg1!r}))
+                   AS vy,
+                 tan(yn / {rg1!r}) AS vz
+          FROM (
+            SELECT j, i,
+                   ({GRECT_SX0!r} + {GRECT_SAX!r} * i
+                    + {GRECT_SBX!r} * j) / {ga} AS xn,
+                   ({GRECT_SY0!r} + {GRECT_SCY!r} * j
+                    + {GRECT_SDY!r} * i) / {ga} AS yn
+            FROM src
+          )
+        )
+      )
+    )
+  )
+"""
+    return _rectify_sql_custom(
+        coords_sql, GRECT_W, GRECT_H, GRECT_X0, GRECT_YMAX, GRECT_RES,
+    )
+
+
 def q_rectify_antimeridian(spark, sf_dir):
     """Rectification of a swath crossing the anti-meridian: wrapped
     longitudes are normalized with to_lon_360 (reference
@@ -3174,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_antimeridian": q_rectify_antimeridian,
         "rectify_distributed_coords": q_rectify_distributed_coords,
         "rectify_rotated_pole": q_rectify_rotated_pole,
+        "rectify_geos": q_rectify_geos,
         "lon360_roundtrip": q_lon360_roundtrip,
         "resample_dispatch_affine": q_resample_dispatch_affine,
         "resample_identity": q_resample_identity,
@@ -3229,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,
         "rectify_distributed_coords": SQL_RECTIFY,
         "rectify_rotated_pole": _rotpole_rectify_sql(),
+        "rectify_geos": _geos_rectify_sql(),
         "lon360_roundtrip": SQL_LON360,
         "resample_dispatch_affine": SQL_AFFINE_SHIFT,
         "resample_identity": SQL_IDENTITY,
