@@ -3047,6 +3047,30 @@ def q_zarr_roundtrip(spark, sf_dir):
     )
 
 
+def q_zarr3_roundtrip(spark, sf_dir):
+    """Zarr v3 sink + source end-to-end (sources/zarr3.py): v3 array
+    metadata (zarr.json, bytes+gzip codec chain, default c/<j>/<i>
+    chunk keys), distributed chunk write, chunk-pruned read -- the
+    current zarr core spec next to the v2 path.  Same window as
+    store_roundtrip, so it shares SQL_CLIP."""
+    import tempfile
+
+    from xcube_resampling_spark.sources import read_zarr3, write_zarr3
+
+    path = tempfile.gettempdir() + "/xcrs_zarr3_roundtrip"
+    write_zarr3(
+        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
+        codec="gzip",
+    )
+    back = read_zarr3(spark, path, "value", bbox_ij=(5, 10, 20, 30))
+    return back.select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_zarr_roundtrip_blosc(spark, sf_dir):
     """Zarr roundtrip through the pure-numpy blosc1 codec (byte-shuffle +
     zlib inner streams, sources/blosc1.py): the compressor of real-world
@@ -3283,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm_to_laea_triangular": q_reproject_triangular,
         "reproject_crs_families": q_reproject_crs_families,
         "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
+        "zarr3_roundtrip": q_zarr3_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "dedup_stream_keepone": q_dedup_stream_keepone,
         "zarr_affine_pipeline": q_zarr_affine_pipeline,
@@ -3338,6 +3363,7 @@ def oracle_sql() -> dict[str, str]:
             _reproject_oracle_sql("triangular"),
         "reproject_crs_families": _reproject_families_oracle_sql(),
         "zarr_roundtrip_blosc": SQL_CLIP,
+        "zarr3_roundtrip": SQL_CLIP,
         "netcdf_roundtrip": SQL_CLIP,
         "dedup_stream_keepone": SQL_DEDUP_STREAM,
         "zarr_affine_pipeline": SQL_AFFINE_DOWNSCALE,

@@ -18,6 +18,7 @@ from .zarr import (
     read_zarr,
     write_zarr,
 )
+from .zarr3 import read_zarr3, write_zarr3
 
 __all__ = [
     "CRS_SIDECAR",
@@ -31,8 +32,10 @@ __all__ = [
     "read_netcdf3",
     "read_pixels",
     "read_zarr",
+    "read_zarr3",
     "write_netcdf3",
     "write_pixels",
     "write_zarr",
+    "write_zarr3",
     "write_zarr_stream",
 ]

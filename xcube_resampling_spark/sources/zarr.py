@@ -362,6 +362,15 @@ def read_zarr(
     """
     adir = os.path.join(path, var_name)
     zmeta_path = os.path.join(path, ".zmetadata")
+    if (
+        not os.path.exists(zmeta_path)
+        and not os.path.exists(os.path.join(adir, ".zarray"))
+        and os.path.exists(os.path.join(adir, "zarr.json"))
+    ):
+        # v3 store (per-array zarr.json, no v2 metadata) -> delegate
+        from xcube_resampling_spark.sources.zarr3 import read_zarr3
+
+        return read_zarr3(spark, path, var_name, bbox_ij, decode_cf)
     attrs: dict = {}
     meta = None
     if os.path.exists(zmeta_path):

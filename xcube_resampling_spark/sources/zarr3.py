@@ -1,0 +1,397 @@
+"""Zarr v3 chunk-store source/sink (the current zarr core spec).
+
+The reference opens zarr stores through the zarr-python library
+(reference cfconv.py:343-358), which reads both v2 and v3; this module
+adds the v3 half of that capability next to ``sources/zarr.py`` (v2).
+
+Layout follows the PUBLIC zarr v3 core spec
+(https://zarr-specs.readthedocs.io/en/latest/v3/core/v3.0.html):
+
+* root ``zarr.json`` with ``node_type: "group"``;
+* one directory per array holding its own ``zarr.json``
+  (``node_type: "array"``, ``shape``, ``data_type``, regular
+  ``chunk_grid``, ``chunk_key_encoding``, ``fill_value``, ``codecs``
+  chain, free-form ``attributes``, ``dimension_names``);
+* chunk files under the key encoding: ``default`` -> ``c/<t>/<j>/<i>``
+  (configurable separator), ``v2`` -> ``<t>.<j>.<i>``.  Edge chunks are
+  stored padded to the full chunk shape, like v2.
+
+Codec chains supported end-to-end: ``bytes`` (little or big endian,
+the mandatory array->bytes codec) optionally followed by ``gzip``
+(stdlib) or ``blosc`` (the in-repo pure-numpy blosc1 frame codec,
+sources/blosc1.py).  ``sharding_indexed``, ``transpose``, ``crc32c``
+and ``zstd`` raise ``NotImplementedError`` with a clear message.
+
+The Spark execution shape is identical to the v2 module (and shares
+its scale rationale): metadata is tiny driver-side JSON, chunk writes
+are one ``applyInPandas`` task per chunk through the pluggable
+``ChunkPut`` seam, reads enumerate only window-intersecting chunk
+files into a ``binaryFile`` scan (chunk pruning = partition pruning)
+and decode in ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources import blosc1
+from xcube_resampling_spark.sources.zarr import (
+    ChunkPut,
+    FsChunkPut,
+    ZARR_PIXEL_SCHEMA,
+)
+
+_V3_DTYPES = {
+    "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64",
+    "float32", "float64",
+}
+
+
+def _v3_np_dtype(data_type: str, endian: str) -> np.dtype:
+    if data_type not in _V3_DTYPES:
+        raise NotImplementedError(
+            f"zarr v3 data_type '{data_type}' not supported (numeric only)"
+        )
+    dt = np.dtype(data_type)
+    return dt.newbyteorder("<" if endian == "little" else ">")
+
+
+def _fill_from_json(fill, dtype: np.dtype):
+    """v3 serializes non-finite float fills as the strings
+    "NaN" / "Infinity" / "-Infinity"."""
+    if isinstance(fill, str):
+        return {
+            "NaN": float("nan"),
+            "Infinity": float("inf"),
+            "-Infinity": float("-inf"),
+        }[fill]
+    return fill
+
+
+def _fill_to_json(fill_value: float, data_type: str):
+    if data_type.startswith("float"):
+        f = float(fill_value)
+        if np.isnan(f):
+            return "NaN"
+        if np.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
+        return f
+    return int(fill_value)
+
+
+def _parse_codecs(codecs: list[dict]) -> tuple[str, list[dict]]:
+    """Validate the codec chain; return (endian, bytes->bytes codecs)."""
+    if not codecs:
+        raise ValueError("zarr v3 array metadata has an empty codecs list")
+    for c in codecs:
+        if c.get("name") in ("sharding_indexed", "transpose",
+                             "crc32c", "zstd"):
+            raise NotImplementedError(
+                f"zarr v3 codec '{c['name']}' not available in this build "
+                "(bytes + gzip/blosc only)"
+            )
+    ab = [c for c in codecs if c.get("name") == "bytes"]
+    if len(ab) != 1:
+        raise NotImplementedError(
+            "zarr v3 codec chain must contain exactly one 'bytes' codec"
+        )
+    endian = (ab[0].get("configuration") or {}).get("endian", "little")
+    bb = [c for c in codecs if c.get("name") in ("gzip", "blosc")]
+    unknown = [
+        c["name"] for c in codecs
+        if c.get("name") not in ("bytes", "gzip", "blosc")
+    ]
+    if unknown:
+        raise NotImplementedError(
+            f"zarr v3 codecs {unknown} not available in this build"
+        )
+    return endian, bb
+
+
+def _decode_chain(raw: bytes, bb_codecs: list[dict]) -> bytes:
+    for c in reversed(bb_codecs):
+        if c["name"] == "gzip":
+            raw = _gzip.decompress(raw)
+        elif c["name"] == "blosc":
+            raw = blosc1.decode(raw)
+    return raw
+
+
+def _encode_chain(raw: bytes, bb_codecs: list[dict],
+                  typesize: int) -> bytes:
+    for c in bb_codecs:
+        if c["name"] == "gzip":
+            level = (c.get("configuration") or {}).get("level", 1)
+            raw = _gzip.compress(raw, compresslevel=level)
+        elif c["name"] == "blosc":
+            raw = blosc1.encode(raw, typesize=typesize, clevel=1,
+                                shuffle=True)
+    return raw
+
+
+def _chunk_key(indices: tuple[int, ...], key_enc: dict) -> str:
+    name = key_enc.get("name", "default")
+    sep = (key_enc.get("configuration") or {}).get(
+        "separator", "/" if name == "default" else "."
+    )
+    if name == "default":
+        return "c" + "".join(f"{sep}{k}" for k in indices)
+    if name == "v2":
+        return sep.join(str(k) for k in indices)
+    raise NotImplementedError(
+        f"zarr v3 chunk_key_encoding '{name}' not supported"
+    )
+
+
+def _indices_from_path(path: str, adir: str, key_enc: dict,
+                       nd: int) -> tuple[int, ...]:
+    rel = os.path.relpath(path, adir)
+    name = key_enc.get("name", "default")
+    sep = (key_enc.get("configuration") or {}).get(
+        "separator", "/" if name == "default" else "."
+    )
+    if name == "default":
+        rel = rel.replace(os.sep, sep)
+        parts = rel.split(sep)
+        if parts and parts[0] == "c":
+            parts = parts[1:]
+    else:
+        parts = os.path.basename(rel).split(sep)
+    idx = tuple(int(p) for p in parts)
+    if len(idx) != nd:
+        raise ValueError(f"chunk key '{rel}' does not match rank {nd}")
+    return idx
+
+
+def is_zarr3_array(path: str, var_name: str) -> bool:
+    return os.path.exists(os.path.join(path, var_name, "zarr.json"))
+
+
+def write_zarr3(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float = float("nan"),
+    codec: str | None = "gzip",
+    attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
+    separator: str = "/",
+) -> None:
+    """Write a (t, j, i, value) pixel DataFrame as a zarr v3 float64
+    array (driver writes the two zarr.json documents; executors write
+    one chunk file per ``applyInPandas`` group through ``chunk_put``)."""
+    if codec not in ("gzip", "blosc", None):
+        raise NotImplementedError("codec must be 'gzip', 'blosc', or None")
+    nd = len(shape)
+    if nd not in (2, 3) or len(chunks) != nd:
+        raise ValueError("shape/chunks must both be 2-D or 3-D")
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    codecs: list[dict] = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    if codec == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif codec == "blosc":
+        codecs.append({
+            "name": "blosc",
+            "configuration": {
+                "cname": "zlib", "clevel": 1, "shuffle": "shuffle",
+                "typesize": 8, "blocksize": 0,
+            },
+        })
+    key_enc = {
+        "name": "default", "configuration": {"separator": separator}
+    }
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": "float64",
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunks)},
+        },
+        "chunk_key_encoding": key_enc,
+        "fill_value": _fill_to_json(fill_value, "float64"),
+        "codecs": codecs,
+        "attributes": dict(attrs or {}),
+        "dimension_names": ["t", "y", "x"][-nd:],
+    }
+    put.put("zarr.json", json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}
+    ).encode())
+    put.put(f"{var_name}/zarr.json", json.dumps(meta).encode())
+
+    if nd == 2:
+        ct_j, ct_i = chunks
+        ct_t = 1
+        src = df.filter(F.col("t") == 0)
+    else:
+        ct_t, ct_j, ct_i = chunks
+        src = df
+    keyed = src.select(
+        (F.col("t") / ct_t).cast("int").alias("ck_t"),
+        (F.col("j") / ct_j).cast("int").alias("ck_j"),
+        (F.col("i") / ct_i).cast("int").alias("ck_i"),
+        "t", "j", "i", "value",
+    )
+    fill = float(fill_value)
+    chunk_shape = (ct_t, ct_j, ct_i)
+    bb_codecs = codecs[1:]
+    out_schema = "key string"
+
+    def write_chunk(key, pdf):
+        kt, kj, ki = int(key[0]), int(key[1]), int(key[2])
+        block = np.full(chunk_shape, fill, dtype="<f8")
+        tt = pdf["t"].to_numpy(np.int64) - kt * ct_t
+        jj = pdf["j"].to_numpy(np.int64) - kj * ct_j
+        ii = pdf["i"].to_numpy(np.int64) - ki * ct_i
+        block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
+        raw = _encode_chain(block.tobytes(order="C"), bb_codecs, 8)
+        indices = (kj, ki) if nd == 2 else (kt, kj, ki)
+        k = _chunk_key(indices, key_enc)
+        put.put(f"{var_name}/{k}", raw)
+        return pd.DataFrame({"key": [k]})
+
+    keyed.groupBy("ck_t", "ck_j", "ck_i").applyInPandas(
+        write_chunk, out_schema
+    ).count()
+
+
+def read_zarr3(
+    spark: SparkSession,
+    path: str,
+    var_name: str,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+    decode_cf: bool = False,
+) -> DataFrame:
+    """Read a zarr v3 array as a (t, j, i, value) pixel DataFrame.
+
+    Same contract as ``zarr.read_zarr`` (the v2 reader): ``bbox_ij``
+    prunes chunk FILES driver-side before the binaryFile scan;
+    ``decode_cf=True`` applies ``_FillValue``/``missing_value`` ->
+    NaN then ``scale_factor``/``add_offset`` from the array's
+    ``attributes``."""
+    adir = os.path.join(path, var_name)
+    with open(os.path.join(adir, "zarr.json")) as fp:
+        meta = json.load(fp)
+    if meta.get("node_type") != "array" or meta.get("zarr_format") != 3:
+        raise ValueError(f"{adir}/zarr.json is not a zarr v3 array")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise NotImplementedError(
+            f"zarr v3 chunk_grid '{grid.get('name')}' not supported"
+        )
+    endian, bb_codecs = _parse_codecs(meta.get("codecs", []))
+    dtype = _v3_np_dtype(meta["data_type"], endian)
+    key_enc = meta.get("chunk_key_encoding", {"name": "default"})
+    attrs = meta.get("attributes", {}) or {}
+    fill_attr = attrs.get("_FillValue", attrs.get("missing_value"))
+    if fill_attr is None:
+        fill_values: list[float] | None = None
+    elif isinstance(fill_attr, (list, tuple)):
+        fill_values = [float(f) for f in fill_attr]
+    else:
+        fill_values = [float(fill_attr)]
+    scale = float(attrs.get("scale_factor", 1.0))
+    offset = float(attrs.get("add_offset", 0.0))
+
+    shape = tuple(int(s) for s in meta["shape"])
+    chunks = tuple(int(c) for c in grid["configuration"]["chunk_shape"])
+    nd = len(shape)
+    if nd == 2:
+        shape3 = (1,) + shape
+        chunks3 = (1,) + chunks
+    elif nd == 3:
+        shape3, chunks3 = shape, chunks
+    else:
+        raise NotImplementedError("only 2-D/3-D zarr v3 arrays supported")
+    nt, h, w = shape3
+    ct_t, ct_j, ct_i = chunks3
+    n_kt = -(-nt // ct_t)
+    n_kj = -(-h // ct_j)
+    n_ki = -(-w // ct_i)
+
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        kj_r = range(max(0, j0 // ct_j), min(n_kj, -(-j1 // ct_j)))
+        ki_r = range(max(0, i0 // ct_i), min(n_ki, -(-i1 // ct_i)))
+    else:
+        kj_r, ki_r = range(n_kj), range(n_ki)
+    keys = [
+        _chunk_key((kj, ki) if nd == 2 else (kt, kj, ki), key_enc)
+        for kt in range(n_kt)
+        for kj in kj_r
+        for ki in ki_r
+    ]
+    files = [
+        os.path.join(adir, k) for k in keys
+        if os.path.exists(os.path.join(adir, k))
+    ]
+    if not files:
+        return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+    binf = spark.read.format("binaryFile").load(files)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                local = p[len("file:"):] if p.startswith("file:") else p
+                idx = _indices_from_path(local, adir, key_enc, nd)
+                if nd == 2:
+                    kt, kj, ki = 0, idx[0], idx[1]
+                else:
+                    kt, kj, ki = idx
+                raw = _decode_chain(bytes(content), bb_codecs)
+                block = np.frombuffer(raw, dtype=dtype).reshape(
+                    ct_t, ct_j, ct_i
+                )
+                t_off, j_off, i_off = kt * ct_t, kj * ct_j, ki * ct_i
+                vt = min(ct_t, nt - t_off)
+                vj = min(ct_j, h - j_off)
+                vi = min(ct_i, w - i_off)
+                block = block[:vt, :vj, :vi].astype(np.float64)
+                if decode_cf:
+                    if fill_values is not None:
+                        block = np.where(
+                            np.isin(block, fill_values), np.nan, block
+                        )
+                    block = block * scale + offset
+                tt, jj, ii = np.meshgrid(
+                    np.arange(vt), np.arange(vj), np.arange(vi),
+                    indexing="ij",
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "t": (tt.ravel() + t_off).astype(np.int32),
+                            "j": (jj.ravel() + j_off).astype(np.int32),
+                            "i": (ii.ravel() + i_off).astype(np.int32),
+                            "value": block.ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    df = binf.select("path", "content").mapInPandas(
+        decode, ZARR_PIXEL_SCHEMA
+    )
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        df = df.filter(
+            (F.col("i") >= i0) & (F.col("i") < i1)
+            & (F.col("j") >= j0) & (F.col("j") < j1)
+        )
+    return df
