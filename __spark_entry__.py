@@ -1501,6 +1501,19 @@ CEA_XMIN, CEA_YMIN = 868093.23, 5870639.41
 CEA_RES = 60.0
 CEA_YMAX = CEA_YMIN + CEA_H * CEA_RES
 
+# Hotine Oblique Mercator variant B (EPSG:29873, Timbalai 1948 / RSO
+# Borneo, EPSG method 9815 -- the EPSG GN7-2 worked-example CRS) target:
+# the German source footprint sits ~50 deg off the Bornean central line,
+# where the conformal scale is ~8.7 with a ~57 deg grid rotation, so a
+# 600 m step keeps bbox scales >= 0.98 and ~51% of the axis-aligned
+# target rect intersects the rotated swath; margins 4.8e-4
+# (offset-scanned, tools/scan_rectify_grid.py method)
+OM_W, OM_H = 68, 61
+OM_XMIN = 4642934.366435583
+OM_YMAX = 26193737.880426027
+OM_RES = 600.0
+OM_YMIN = OM_YMAX - OM_H * OM_RES
+
 # Geostationary fixed grid (PROJ geos semantics; satellite at lon 9,
 # sweep x, h = 35785831, WGS84): the oblique view at 53N compresses
 # ground northing to ~0.44x in scan space, so a 40 m step keeps bbox
@@ -1605,16 +1618,20 @@ q_reproject_geos = _q_reproject(
     "nearest", _geos_crs,
     ((GEO_W, GEO_H), (GEO_XMIN, GEO_YMIN), GEO_RES),
 )
+q_reproject_omerc = _q_reproject(
+    "nearest", 29873,
+    ((OM_W, OM_H), (OM_XMIN, OM_YMIN), OM_RES),
+)
 q_reproject_triangular = _q_reproject("triangular")
 
 
 def q_reproject_crs_families(spark, sf_dir):
-    """Seven projection families (web mercator, polar stereo north,
+    """Eight projection families (web mercator, polar stereo north,
     LCC 2SP, Albers 2SP, MODIS sinusoidal, EASE-Grid 2.0 cylindrical
-    equal-area, geostationary satellite view) verified value-level in
-    ONE tagged union entry so the whole registry stays inside the
-    driver's 50-query correctness window (same pattern as
-    coarsen_reducers)."""
+    equal-area, geostationary satellite view, Hotine oblique Mercator
+    variant B) verified value-level in ONE tagged union entry so the
+    whole registry stays inside the driver's 50-query correctness
+    window (same pattern as coarsen_reducers)."""
     parts = [
         ("webmerc", q_reproject_webmercator),
         ("stere", q_reproject_polar_stereo),
@@ -1623,6 +1640,7 @@ def q_reproject_crs_families(spark, sf_dir):
         ("sinu", q_reproject_sinu),
         ("cea", q_reproject_ease2),
         ("geos", q_reproject_geos),
+        ("omerc", q_reproject_omerc),
     ]
     out = None
     for tag, fn in parts:
@@ -1639,7 +1657,7 @@ def _reproject_families_oracle_sql() -> str:
     return "\nUNION ALL\n".join(
         _reproject_oracle_sql("nearest", t, tag=t)
         for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea",
-                  "geos")
+                  "geos", "omerc")
     )
 
 
@@ -1697,6 +1715,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea",
     elif target == "geos":
         gw, gh = GEO_W, GEO_H
         gxmin, gymax, gres = GEO_XMIN, GEO_YMAX, GEO_RES
+    elif target == "omerc":
+        gw, gh = OM_W, OM_H
+        gxmin, gymax, gres = OM_XMIN, OM_YMAX, OM_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -1992,6 +2013,66 @@ ll AS (
          degrees(atan(tan(atan(pz * cos(atan2(py, px)) / px))
                       / {r(rp2)})) AS lat
   FROM q5
+),"""
+    elif target == "omerc":
+        import math as _math
+
+        from xcube_resampling_spark.crs import _omerc_setup
+
+        om = CRS.from_epsg(29873)
+        (o_a, o_b, o_h, o_g0, o_l0, o_gc, o_uc, o_sc) = _omerc_setup(om)
+        oe2 = om.ellipsoid.e2
+        oe4, oe6, oe8 = oe2 * oe2, oe2 ** 3, oe2 ** 4
+        oA = r(oe2 / 2 + 5 * oe4 / 24 + oe6 / 12 + 13 * oe8 / 360)
+        oB = r(7 * oe4 / 48 + 29 * oe6 / 240 + 811 * oe8 / 11520)
+        oC = r(7 * oe6 / 120 + 81 * oe8 / 1120)
+        oD = r(4279 * oe8 / 161280)
+        ofe, ofn = om.param("x_0"), om.param("y_0")
+        cgc, sgc = _math.cos(o_gc), _math.sin(o_gc)
+        cg0, sg0 = _math.cos(o_g0), _math.sin(o_g0)
+        uc_term = abs(o_uc) * o_sc
+        inverse_sql = f"""
+-- Hotine oblique Mercator variant B (EPSG method 9815) inverse:
+-- rectified grid -> aposphere u/v -> conformal latitude series
+o1 AS (
+  SELECT t, j, i,
+         (tx - {r(ofe)}) * {r(cgc)} - (ty - {r(ofn)}) * {r(sgc)} AS av,
+         (ty - {r(ofn)}) * {r(cgc)} + (tx - {r(ofe)}) * {r(sgc)}
+           + {r(uc_term)} AS au
+  FROM txy
+),
+o2 AS (
+  SELECT t, j, i, au,
+         exp(-{r(o_b)} * av / {r(o_a)}) AS qq
+  FROM o1
+),
+o3 AS (
+  SELECT t, j, i,
+         (qq - 1.0 / qq) / 2.0 AS ss,
+         (qq + 1.0 / qq) / 2.0 AS tt,
+         sin({r(o_b)} * au / {r(o_a)}) AS sv,
+         cos({r(o_b)} * au / {r(o_a)}) AS cu
+  FROM o2
+),
+o4 AS (
+  SELECT t, j, i, ss, sv, cu,
+         (sv * {r(cg0)} + ss * {r(sg0)}) / tt AS bu
+  FROM o3
+),
+o5 AS (
+  SELECT t, j, i, ss, sv, cu,
+         PI() / 2 - 2.0 * atan(
+           pow({r(o_h)} / sqrt((1.0 + bu) / (1.0 - bu)),
+               1.0 / {r(o_b)})) AS chi
+  FROM o4
+),
+ll AS (
+  SELECT t, j, i,
+         degrees({r(o_l0)} - atan2(ss * {r(cg0)} - sv * {r(sg0)}, cu)
+                 / {r(o_b)}) AS lon,
+         degrees(chi + {oA} * sin(2.0 * chi) + {oB} * sin(4.0 * chi)
+                 + {oC} * sin(6.0 * chi) + {oD} * sin(8.0 * chi)) AS lat
+  FROM o5
 ),"""
     elif target == "sinu":
         rr = r(SINU_R)

@@ -751,3 +751,67 @@ class TestGeostationary:
         assert CRS.from_cf(legacy).param("sweep_x") == 0.0
         spec_back = CRS.from_spec(g.to_spec())
         assert spec_back.equals(g)
+
+
+class TestObliqueMercator:
+    def test_epsg_gn72_worked_example(self):
+        """EPSG Guidance Note 7-2, Hotine Oblique Mercator variant B
+        worked example: Timbalai 1948 / RSO Borneo (m), EPSG:29873.
+        phi = 5d23'14.1129"N, lam = 115d48'19.8196"E ->
+        E = 679245.73, N = 596562.78."""
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        crs = CRS.from_epsg(29873)
+        geo = CRS("geographic", "Timbalai geographic", crs.ellipsoid, ())
+        lat = 5 + 23 / 60 + 14.1129 / 3600
+        lon = 115 + 48 / 60 + 19.8196 / 3600
+        x, y = Transformer.from_crs(geo, crs).transform(
+            np.array([lon]), np.array([lat])
+        )
+        assert abs(x[0] - 679245.73) < 0.01
+        assert abs(y[0] - 596562.78) < 0.01
+        lo, la = Transformer.from_crs(crs, geo).transform(x, y)
+        np.testing.assert_allclose(lo, [lon], atol=1e-9)
+        np.testing.assert_allclose(la, [lat], atol=1e-9)
+
+    def test_center_maps_to_false_coordinates(self):
+        """Variant B: the projection CENTER (lat_0, lonc) maps exactly
+        to (Ec, Nc)."""
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        crs = CRS.from_epsg(29873)
+        geo = CRS("geographic", "g", crs.ellipsoid, ())
+        x, y = Transformer.from_crs(geo, crs).transform(
+            np.array([115.0]), np.array([4.0])
+        )
+        assert abs(x[0] - 590476.87) < 1e-6
+        assert abs(y[0] - 442857.65) < 1e-6
+
+    def test_cf_roundtrip(self):
+        from xcube_resampling_spark.crs import CRS
+
+        crs = CRS.from_epsg(29873)
+        back = CRS.from_cf(crs.to_cf())
+        assert back.kind == "omerc"
+        assert abs(back.param("alpha") - crs.param("alpha")) < 1e-12
+        assert abs(back.param("gamma") - crs.param("gamma")) < 1e-12
+        assert back.param("x_0") == crs.param("x_0")
+
+    def test_alpha_90_special_case_rejected_clearly(self):
+        import pytest
+
+        from xcube_resampling_spark.crs import CRS, _Ellipsoid, _ELLIPSOIDS
+        from xcube_resampling_spark.crs import _omerc_setup
+
+        swiss = CRS(
+            "omerc", "alpha-90", _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+            params=(("k_0", 1.0), ("lat_0", 46.95), ("lonc", 7.44),
+                    ("alpha", 90.0), ("gamma", 90.0),
+                    ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        with pytest.raises(NotImplementedError, match="alpha"):
+            _omerc_setup(swiss)

@@ -215,7 +215,8 @@ class TestCodecProperties:
         lons=st.lists(st.floats(-179.9, 179.9), min_size=1, max_size=8),
         lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
         code=st.sampled_from(
-            [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700, 23032]
+            [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700,
+             23032, 29873]
         ),
     )
     @settings(max_examples=150, deadline=None)
@@ -239,6 +240,11 @@ class TestCodecProperties:
             )
         if crs.kind == "lcc":
             la = np.clip(la, 20.0, 70.0)
+        if crs.kind == "omerc":
+            # stay away from the oblique poles of the aposphere
+            lonc = crs.param("lonc")
+            lo = lonc + np.clip(lo - lonc, -60.0, 60.0)
+            la = np.clip(la, -60.0, 60.0)
         if crs.kind == "aea":
             la = np.clip(la, 10.0, 70.0)
         fwd = Transformer.from_crs(CRS_WGS84, crs)

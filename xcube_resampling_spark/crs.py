@@ -35,6 +35,7 @@ _ELLIPSOIDS = {
     "Clarke1866": (6378206.4, 294.978698214),  # Snyder test points
     "Airy1830": (6377563.396, 299.3249646),    # OSGB36 / EPSG:27700
     "Intl1924": (6378388.0, 297.0),            # ED50 and Snyder examples
+    "Everest1967": (6377298.556, 300.8017),    # Timbalai 1948 / EPSG:29873
 }
 
 
@@ -192,6 +193,26 @@ class CRS:
                     ("y_0", -100000.0),
                 ),
                 auth_code="EPSG:27700",
+            )
+        if code == 29873:
+            # Timbalai 1948 / RSO Borneo (m): Hotine Oblique Mercator
+            # variant B (EPSG method 9815) -- the worked example of EPSG
+            # Guidance Note 7-2.  Angles converted from the GN's
+            # sexagesimal values.
+            return CRS(
+                "omerc",
+                "Timbalai 1948 / RSO Borneo (m)",
+                _Ellipsoid(*_ELLIPSOIDS["Everest1967"]),
+                params=(
+                    ("k_0", 0.99984),
+                    ("lat_0", 4.0),
+                    ("lonc", 115.0),
+                    ("alpha", 53.0 + 18.0 / 60 + 56.9537 / 3600),
+                    ("gamma", 53.0 + 7.0 / 60 + 48.3685 / 3600),
+                    ("x_0", 590476.87),
+                    ("y_0", 442857.65),
+                ),
+                auth_code="EPSG:29873",
             )
         if code == 3395:
             # WGS 84 / World Mercator (EPSG method 9804, ellipsoidal 1SP)
@@ -400,6 +421,24 @@ class CRS:
                         "latitude_of_projection_origin", 0.0))),
                     ("lon_0", float(attrs.get(
                         "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "oblique_mercator":
+            alpha = float(attrs.get("azimuth_of_central_line", 0.0))
+            return CRS(
+                "omerc", "Hotine Oblique Mercator", ell,
+                params=(
+                    ("k_0", float(attrs.get(
+                        "scale_factor_at_projection_origin", 1.0))),
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lonc", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("alpha", alpha),
+                    ("gamma", float(attrs.get(
+                        "rectified_grid_angle", alpha))),
                     ("x_0", float(attrs.get("false_easting", 0.0))),
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
@@ -722,6 +761,22 @@ class CRS:
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **base,
+            )
+        if self.kind == "omerc":
+            return dict(
+                grid_mapping_name="oblique_mercator",
+                azimuth_of_central_line=self.param("alpha"),
+                # CF has no rectified-grid-angle attribute; GDAL/PROJ
+                # write it alongside, and from_cf reads it back
+                rectified_grid_angle=self.param(
+                    "gamma", self.param("alpha")
+                ),
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lonc"),
+                scale_factor_at_projection_origin=self.param("k_0", 1.0),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
             )
         if self.kind == "lcc":
             return dict(
@@ -1478,6 +1533,102 @@ def _rot_pole_from_geographic(crs: CRS, lon, lat):
 
 
 # ---------------------------------------------------------------------- #
+# Hotine Oblique Mercator, variant B (EPSG method 9815; EPSG Guidance
+# Note 7-2 "Hotine Oblique Mercator" formulas).  The projection of the
+# Malaysian/Bornean RSO grids and (with alpha = 90) the Swiss and
+# Hungarian national grids; false coordinates apply at the projection
+# CENTER (variant B), not the aposphere's natural origin (variant A).
+
+
+def _omerc_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+    phi_c = math.radians(crs.param("lat_0"))
+    lam_c = math.radians(crs.param("lonc"))
+    alpha_c = math.radians(crs.param("alpha"))
+    gamma_c = math.radians(crs.param("gamma", crs.param("alpha")))
+    k_c = crs.param("k_0", 1.0)
+    if abs(math.cos(alpha_c)) < 1e-12:
+        raise NotImplementedError(
+            "omerc with alpha == 90 (Swiss/Hungarian special case) "
+            "not supported"
+        )
+    s_c = math.sin(phi_c)
+    big_b = math.sqrt(1.0 + e2 * math.cos(phi_c) ** 4 / (1.0 - e2))
+    big_a = (ell.a * big_b * k_c * math.sqrt(1.0 - e2)
+             / (1.0 - e2 * s_c * s_c))
+    t0 = (math.tan(math.pi / 4 - phi_c / 2)
+          / ((1.0 - e * s_c) / (1.0 + e * s_c)) ** (e / 2))
+    big_d = (big_b * math.sqrt(1.0 - e2)
+             / (math.cos(phi_c) * math.sqrt(1.0 - e2 * s_c * s_c)))
+    d2 = big_d * big_d if big_d >= 1.0 else 1.0
+    sign_c = 1.0 if phi_c >= 0.0 else -1.0
+    big_f = big_d + math.sqrt(d2 - 1.0) * sign_c
+    big_h = big_f * t0 ** big_b
+    big_g = (big_f - 1.0 / big_f) / 2.0
+    gamma_0 = math.asin(math.sin(alpha_c) / big_d)
+    lam_0 = lam_c - math.asin(big_g * math.tan(gamma_0)) / big_b
+    u_c = (big_a / big_b) * math.atan2(
+        math.sqrt(d2 - 1.0), math.cos(alpha_c)
+    ) * sign_c
+    return (big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_c, sign_c)
+
+
+def _omerc_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    e = ell.e
+    big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_c, sign_c = (
+        _omerc_setup(crs)
+    )
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(phi)
+    t = (np.tan(np.pi / 4 - phi / 2)
+         / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
+    big_q = big_h / t ** big_b
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_t = (big_q + 1.0 / big_q) / 2.0
+    dl = big_b * (lam - lam_0)
+    # keep the aposphere longitude in (-pi, pi]
+    dl = np.arctan2(np.sin(dl), np.cos(dl))
+    big_v = np.sin(dl)
+    big_u = (-big_v * math.cos(gamma_0) + big_s * math.sin(gamma_0)) / big_t
+    v = big_a * np.log((1.0 - big_u) / (1.0 + big_u)) / (2.0 * big_b)
+    u = (big_a * np.arctan2(
+        big_s * math.cos(gamma_0) + big_v * math.sin(gamma_0), np.cos(dl)
+    ) / big_b) - abs(u_c) * sign_c
+    east = v * math.cos(gamma_c) + u * math.sin(gamma_c) + fe
+    north = u * math.cos(gamma_c) - v * math.sin(gamma_c) + fn
+    return east, north
+
+
+def _omerc_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_c, sign_c = (
+        _omerc_setup(crs)
+    )
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    dx = np.asarray(x, dtype=np.float64) - fe
+    dy = np.asarray(y, dtype=np.float64) - fn
+    v = dx * math.cos(gamma_c) - dy * math.sin(gamma_c)
+    u = dy * math.cos(gamma_c) + dx * math.sin(gamma_c) + abs(u_c) * sign_c
+    big_q = np.exp(-big_b * v / big_a)
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_t = (big_q + 1.0 / big_q) / 2.0
+    big_v = np.sin(big_b * u / big_a)
+    big_u = (big_v * math.cos(gamma_0) + big_s * math.sin(gamma_0)) / big_t
+    t = (big_h / np.sqrt((1.0 + big_u) / (1.0 - big_u))) ** (1.0 / big_b)
+    chi = np.pi / 2 - 2.0 * np.arctan(t)
+    phi = _conformal_to_geographic(ell, chi)
+    lam = lam_0 - np.arctan2(
+        big_s * math.cos(gamma_0) - big_v * math.sin(gamma_0),
+        np.cos(big_b * u / big_a),
+    ) / big_b
+    return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
 # Geostationary satellite view (the GOES-R ABI / MSG SEVIRI fixed grid;
 # PROJ 'geos', CGMS LRIT/HRIT Global Specification sec. 4.4).  Grid
 # coordinates are scan angles times the perspective height:
@@ -1688,6 +1839,8 @@ class Transformer:
             lon, lat = _eqc_inverse(self.src, x, y)
         elif self.src.kind == "geos":
             lon, lat = _geos_inverse(self.src, x, y)
+        elif self.src.kind == "omerc":
+            lon, lat = _omerc_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # datum bridge: only when either side declares a towgs84 shift
@@ -1718,6 +1871,8 @@ class Transformer:
             return _eqc_forward(self.dst, lon, lat)
         if self.dst.kind == "geos":
             return _geos_forward(self.dst, lon, lat)
+        if self.dst.kind == "omerc":
+            return _omerc_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
