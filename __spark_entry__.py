@@ -3322,6 +3322,64 @@ def _affine_variants_sql():
     )
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic corpus sampling pipeline (extensions/sampling.py):
+    hash-Bernoulli sample at 60%, per-language cap of 30 docs in hash
+    order, then disjoint 80/10/10 train/valid/test split -- every stage
+    a pure function of (seed, doc_id), so the DuckDB twin is exact.
+    Distinct seeds per stage keep the decisions independent."""
+    from xcube_resampling_spark.extensions.sampling import (
+        sample_by_hash,
+        split_by_hash,
+        stratified_cap,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    d = sample_by_hash(d, "doc_id", 0.6, seed="samp")
+    d = stratified_cap(d, "lang", "doc_id", cap=30, seed="cap")
+    d = split_by_hash(
+        d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed="split",
+    )
+    return d.select("doc_id", "lang", "strata_rank", "split")
+
+
+def _sampling_sql() -> str:
+    space = float(2 ** 32)
+    t_samp = int(0.6 * space)
+    t_train = int(0.8 * space)
+    t_valid = int(0.9 * space)
+
+    def h(seed):
+        return (
+            f"CAST(('0x' || substr(md5('{seed}' || "
+            f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        )
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {h("samp")} AS h_samp,
+         {h("cap")} AS h_cap,
+         {h("split")} AS h_split
+  FROM documents
+),
+samp AS (SELECT * FROM h WHERE h_samp < {t_samp}),
+capd AS (
+  SELECT doc_id, lang, h_split,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY h_cap ASC, doc_id ASC
+         ) AS INT) AS strata_rank
+  FROM samp
+)
+SELECT doc_id, lang, strata_rank,
+       CASE WHEN h_split < {t_train} THEN 'train'
+            WHEN h_split < {t_valid} THEN 'valid'
+            ELSE 'test' END AS split
+FROM capd WHERE strata_rank <= 30
+"""
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary table (tf / df / rank) over documents --
     stopword derivation and tokenizer-vocabulary analysis for a
@@ -3396,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "vocab_stats": q_vocab_stats,
+        "corpus_sample": q_corpus_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3452,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprint": SQL_FINGERPRINT,
         "vocab_stats": SQL_VOCAB,
+        "corpus_sample": _sampling_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

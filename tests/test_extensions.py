@@ -890,3 +890,73 @@ def test_vocab_stats_hand_computed(spark):
     assert rows["nap"].rank == 5
     pruned = {r.tok for r in vocab_stats(docs, min_df=2).collect()}
     assert pruned == {"the", "cat"}
+
+
+class TestSampling:
+    def _docs(self, spark, n=400):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("lang"),
+        )
+
+    def test_sample_by_hash_deterministic_and_calibrated(self, spark):
+        from xcube_resampling_spark.extensions.sampling import sample_by_hash
+
+        d = self._docs(spark)
+        a = {r.doc_id for r in sample_by_hash(d, "doc_id", 0.5, "s").collect()}
+        b = {r.doc_id for r in sample_by_hash(d, "doc_id", 0.5, "s").collect()}
+        assert a == b  # rerun-stable
+        # rate calibration within a loose binomial envelope
+        assert 120 <= len(a) <= 280
+        # monotone: a higher rate keeps a superset
+        c = {r.doc_id for r in sample_by_hash(d, "doc_id", 0.8, "s").collect()}
+        assert a <= c
+        # a different seed decides differently
+        e = {r.doc_id for r in sample_by_hash(d, "doc_id", 0.5, "t").collect()}
+        assert a != e
+
+    def test_split_by_hash_disjoint_and_total(self, spark):
+        from xcube_resampling_spark.extensions.sampling import split_by_hash
+
+        d = self._docs(spark)
+        out = split_by_hash(
+            d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, "s"
+        ).collect()
+        assert len(out) == 400
+        by = {}
+        for r in out:
+            by.setdefault(r.split, set()).add(r.doc_id)
+        assert set(by) <= {"train", "valid", "test"}
+        assert sum(len(v) for v in by.values()) == 400
+        assert len(by["train"]) > len(by.get("valid", set()))
+
+    def test_stratified_cap_uniform_subsample(self, spark):
+        from xcube_resampling_spark.extensions.sampling import stratified_cap
+
+        d = self._docs(spark)
+        out = stratified_cap(d, "lang", "doc_id", cap=10, seed="s").collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.lang, []).append(r.strata_rank)
+        assert set(per) == {"0", "1", "2", "3"}
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, 11))
+        # growing the corpus cannot evict by id-order bias: hash order
+        # means the kept set is a uniform subsample, rerun-stable
+        out2 = stratified_cap(d, "lang", "doc_id", cap=10, seed="s").collect()
+        assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+
+    def test_validation_errors(self, spark):
+        import pytest
+
+        from xcube_resampling_spark.extensions.sampling import (
+            sample_by_hash, split_by_hash, stratified_cap,
+        )
+
+        d = self._docs(spark, 10)
+        with pytest.raises(ValueError, match="rate"):
+            sample_by_hash(d, "doc_id", 1.5)
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_by_hash(d, "doc_id", {"a": 0.5, "b": 0.2})
+        with pytest.raises(ValueError, match="cap"):
+            stratified_cap(d, "lang", "doc_id", 0)

@@ -1,0 +1,107 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Building a training mix from a 100-TB corpus needs sampling that is
+(a) reproducible across runs and engines (no RNG state, no
+``rand()``), (b) stable under repartitioning, and (c) expressible as
+one scan + at most one shuffle.  Everything here keys off
+:func:`~xcube_resampling_spark.extensions.text.hash32` (first 8 md5
+hex chars as an integer), so any engine with md5 produces the same
+sample -- the DuckDB oracle twins are exact, not statistical.
+
+* :func:`sample_by_hash` -- Bernoulli-style sampling by hash
+  threshold: keep iff ``hash32(seed || key) < rate * 2^32``.  Pure
+  filter, no shuffle, no driver state; the same (seed, key) always
+  lands on the same side, so incremental reruns over a growing corpus
+  keep their previous decisions.
+* :func:`split_by_hash` -- disjoint train/validation/test assignment
+  from the same hash: cumulative fraction buckets, one label column.
+  Split membership is a pure function of the key, the property that
+  keeps a document from ever migrating between train and test as the
+  corpus grows.
+* :func:`stratified_cap` -- at most ``cap`` rows per stratum
+  (language, source, domain ...), deterministic preference order:
+  ``row_number`` over a hash-then-key sort, one window shuffle keyed
+  by the stratum.  The hash order makes the cap a uniform subsample
+  of each stratum rather than "first N by id".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from xcube_resampling_spark.extensions.text import hash32
+
+_HASH_SPACE = float(2 ** 32)
+
+
+def _keyed_hash(key: Column, seed: str) -> Column:
+    return hash32(F.concat(F.lit(seed), key.cast("string")))
+
+
+def sample_by_hash(
+    df: DataFrame, key: str | Column, rate: float, seed: str = ""
+) -> DataFrame:
+    """Keep rows whose keyed hash falls below ``rate`` of the 32-bit
+    hash space.  Deterministic, shuffle-free, engine-portable."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold = int(rate * _HASH_SPACE)
+    return df.filter(_keyed_hash(key_col, seed) < F.lit(threshold))
+
+
+def split_by_hash(
+    df: DataFrame,
+    key: str | Column,
+    fractions: dict[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to exactly one named split by cumulative hash
+    buckets (e.g. ``{"train": 0.9, "valid": 0.05, "test": 0.05}``).
+    Fractions must sum to 1 (within 1e-9); iteration order of the dict
+    defines the bucket order."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = _keyed_hash(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        bound = F.lit(int(acc * _HASH_SPACE))
+        branch = F.when(h < bound, F.lit(name))
+        expr = branch if expr is None else expr.when(h < bound, F.lit(name))
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata: str | Column,
+    key: str | Column,
+    cap: int,
+    seed: str = "",
+    rank_col: str = "strata_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen by hash order
+    (a uniform per-stratum subsample), rank exposed in ``rank_col``.
+    One window shuffle keyed by the stratum; ties broken by the key
+    itself so the result is total-ordered and engine-portable."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    strata_col = F.col(strata) if isinstance(strata, str) else strata
+    key_col = F.col(key) if isinstance(key, str) else key
+    win = Window.partitionBy(strata_col).orderBy(
+        _keyed_hash(key_col, seed).asc(), key_col.asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(win))
+        .filter(F.col(rank_col) <= cap)
+    )
