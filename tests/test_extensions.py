@@ -960,3 +960,28 @@ class TestSampling:
             split_by_hash(d, "doc_id", {"a": 0.5, "b": 0.2})
         with pytest.raises(ValueError, match="cap"):
             stratified_cap(d, "lang", "doc_id", 0)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """TF-IDF keyword extraction golden: 'cat' is distinctive for doc 0,
+    'the' is corpus-wide and scores low; registry is at the 50-entry
+    cap, so this operator is verified here instead of a DuckDB twin."""
+    import math
+
+    from xcube_resampling_spark.extensions.text import tfidf_topk
+
+    docs = _docs(spark, ["the cat the cat", "the dog", "the bird"])
+    out = tfidf_topk(docs, k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, {})[r.tok] = r
+    # N=3; idf(cat) = ln(4/2)+1, tf=2 -> top term of doc 0
+    exp_cat = round(2 * (math.log(4 / 2) + 1), 6)
+    assert by[0]["cat"].term_rank == 1
+    assert by[0]["cat"].score == pytest.approx(exp_cat)
+    # 'the' appears in all docs: idf = ln(4/4)+1 = 1 -> score == tf
+    assert by[0]["the"].score == pytest.approx(2.0)
+    assert by[1]["dog"].term_rank == 1
+    assert len(by[1]) == 2 and len(by[2]) == 2
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_topk(docs, k=0)

@@ -206,3 +206,47 @@ def vocab_stats(docs: DataFrame, min_df: int = 1) -> DataFrame:
     return agg.select(
         "tok", "tf", "df", F.row_number().over(win).alias("rank")
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document: ``(doc_id, tok, tf, score,
+    term_rank)`` -- keyword extraction / document summarization over a
+    training corpus.  ``idf = ln((1 + N) / (1 + df)) + 1`` (the smoothed
+    sklearn formulation, so unseen-term idf stays finite); ties break
+    alphabetically for a total, engine-portable order.
+
+    Shape at scale: one explode -> per-(doc, token) count (map-side
+    combinable); document frequencies are derived from THAT result (one
+    row per (doc, tok) already, so df = count(*) per tok -- no second
+    pass over the corpus) and broadcast back; the top-k window
+    partitions by doc_id.  N comes from one scalar aggregate job.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    n_docs = docs.select("doc_id").distinct().count()
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = vocab.select(
+        "tok",
+        (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
+        .alias("idf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .select(
+            "doc_id", "tok", "tf",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+        )
+        .withColumn("term_rank", F.row_number().over(win))
+        .filter(F.col("term_rank") <= k)
+    )
