@@ -3226,25 +3226,50 @@ SELECT content_hash, keep_id, md5(text) AS text_md5 FROM (
 
 
 def q_netcdf_roundtrip(spark, sf_dir):
-    """NetCDF-3 classic sink + source end-to-end (SURVEY 2.2 #5; the
-    reference consumes NetCDF datasets via xarray): distributed row-band
-    granule write through the ChunkPut seam, band-pruned binaryFile read,
-    struct/numpy decode in mapInPandas.  Same window as zarr_roundtrip,
-    so it shares SQL_CLIP."""
+    """NetCDF sink + source end-to-end, BOTH container generations in a
+    tagged union (SURVEY 2.2 #5; the reference consumes NetCDF datasets
+    via xarray): classic NetCDF-3 (sources/netcdf3.py) and NetCDF-4's
+    HDF5 container (sources/hdf5.py: superblock v0, v1 object headers,
+    chunked deflate+shuffle datasets, v1 chunk B-trees).  Each format:
+    distributed row-band granule write through the ChunkPut seam,
+    band-pruned binaryFile read, struct/numpy decode in mapInPandas.
+    Same window as zarr_roundtrip, so both twins share SQL_CLIP."""
     import tempfile
 
-    from xcube_resampling_spark.sources import read_netcdf3, write_netcdf3
-
-    path = tempfile.gettempdir() + "/xcrs_netcdf_roundtrip"
-    write_netcdf3(
-        _raster(spark, sf_dir), path, "value", (RH, RW), band_rows=16
+    from xcube_resampling_spark.sources import (
+        read_hdf5,
+        read_netcdf3,
+        write_hdf5,
+        write_netcdf3,
     )
-    back = read_netcdf3(spark, path, "value", bbox_ij=(5, 10, 20, 30))
-    return back.select(
-        "t",
-        (F.col("j") - 10).cast("int").alias("j"),
-        (F.col("i") - 5).cast("int").alias("i"),
-        F.round("value", 6).alias("value"),
+
+    def clipped(back):
+        return back.select(
+            "t",
+            (F.col("j") - 10).cast("int").alias("j"),
+            (F.col("i") - 5).cast("int").alias("i"),
+            F.round("value", 6).alias("value"),
+        )
+
+    nc_path = tempfile.gettempdir() + "/xcrs_netcdf_roundtrip"
+    write_netcdf3(
+        _raster(spark, sf_dir), nc_path, "value", (RH, RW), band_rows=16
+    )
+    nc = clipped(
+        read_netcdf3(spark, nc_path, "value", bbox_ij=(5, 10, 20, 30))
+    )
+    h5_path = tempfile.gettempdir() + "/xcrs_hdf5_roundtrip"
+    write_hdf5(
+        _raster(spark, sf_dir), h5_path, "value", (RH, RW), band_rows=16
+    )
+    h5 = clipped(
+        read_hdf5(spark, h5_path, "value", bbox_ij=(5, 10, 20, 30))
+    )
+    return (
+        nc.select(F.lit("netcdf3").alias("fmt"), "t", "j", "i", "value")
+        .unionByName(
+            h5.select(F.lit("hdf5").alias("fmt"), "t", "j", "i", "value")
+        )
     )
 
 
@@ -3504,7 +3529,10 @@ def oracle_sql() -> dict[str, str]:
         "reproject_crs_families": _reproject_families_oracle_sql(),
         "zarr_roundtrip_blosc": SQL_CLIP,
         "zarr3_roundtrip": SQL_CLIP,
-        "netcdf_roundtrip": SQL_CLIP,
+        "netcdf_roundtrip": (
+            f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q"
+        ),
         "dedup_stream_keepone": SQL_DEDUP_STREAM,
         "zarr_affine_pipeline": SQL_AFFINE_DOWNSCALE,
         "text_stats": SQL_TEXT_STATS,

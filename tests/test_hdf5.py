@@ -1,0 +1,154 @@
+"""HDF5 subset source/sink: spec-level structure checks, codec
+roundtrips (contiguous / chunked / deflate+shuffle, both endiannesses),
+attribute handling, granule pruning, decode_cf, and clear rejection of
+unsupported features."""
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources import read_hdf5, write_hdf5
+from xcube_resampling_spark.sources.hdf5 import decode_hdf5, encode_hdf5
+
+
+def _raster(spark, w, h, nt=1):
+    return spark.range(nt * w * h).select(
+        (F.col("id") / (w * h)).cast("int").alias("t"),
+        (F.col("id") % (w * h) / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 0.5).cast("double").alias("value"),
+    )
+
+
+class TestCodec:
+    def test_structure_matches_spec(self):
+        """Byte-level spec anchors: signature, superblock v0 field
+        offsets, B-tree/SNOD/HEAP signatures present."""
+        blob = encode_hdf5(
+            "v", np.zeros((2, 2), dtype="<f8"), ("y", "x")
+        )
+        assert blob[:8] == b"\x89HDF\r\n\x1a\n"
+        assert blob[8] == 0          # superblock version 0
+        assert blob[13] == 8 and blob[14] == 8  # offset/length sizes
+        (eof,) = struct.unpack_from("<Q", blob, 40)
+        assert eof == len(blob)
+        assert b"TREE" in blob and b"SNOD" in blob and b"HEAP" in blob
+
+    @pytest.mark.parametrize(
+        "dtype", ["<f8", ">f8", "<f4", "<i4", ">i2", "<u2", "<u1"]
+    )
+    def test_contiguous_roundtrip_dtypes(self, dtype):
+        data = (np.arange(20) % 7).astype(dtype).reshape(4, 5)
+        parsed = decode_hdf5(encode_hdf5("v", data, ("y", "x")))
+        got = parsed["vars"]["v"]["data"]
+        assert got.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(got, data)
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_chunked_roundtrip_edge_chunks(self, compress):
+        data = (np.arange(2 * 7 * 9) % 13).astype("<f8").reshape(2, 7, 9)
+        blob = encode_hdf5(
+            "v", data, ("t", "y", "x"), chunks=(1, 4, 4),
+            compress=compress,
+        )
+        np.testing.assert_array_equal(
+            decode_hdf5(blob)["vars"]["v"]["data"], data
+        )
+        if compress:
+            # constant-ish data must actually compress
+            raw = encode_hdf5("v", np.zeros((64, 64)), ("y", "x"),
+                              chunks=(64, 64), compress=True)
+            flat = encode_hdf5("v", np.zeros((64, 64)), ("y", "x"))
+            assert len(raw) < len(flat) / 4
+
+    def test_attributes_roundtrip(self):
+        blob = encode_hdf5(
+            "v", np.zeros((2, 2)), ("y", "x"),
+            global_attrs={"title": "granule", "j_offset": 128},
+            var_attrs={"scale_factor": 0.25, "_FillValue": -9999,
+                       "missing_value": [-1.0, -2.0]},
+        )
+        p = decode_hdf5(blob)
+        assert p["attrs"] == {"title": "granule", "j_offset": 128}
+        va = p["vars"]["v"]["attrs"]
+        assert va["scale_factor"] == 0.25
+        assert va["_FillValue"] == -9999
+        assert va["missing_value"] == [-1.0, -2.0]
+
+    def test_unsupported_filter_rejected_clearly(self):
+        data = np.zeros((4, 4), dtype="<f8")
+        blob = bytearray(
+            encode_hdf5("v", data, ("y", "x"), chunks=(4, 4),
+                        compress=True)
+        )
+        # rewrite the deflate filter id (1) to szip (4) in the pipeline
+        i = blob.find(b"deflate")
+        blob[i - 8:i - 6] = struct.pack("<H", 4)
+        with pytest.raises(NotImplementedError, match="filter id 4"):
+            decode_hdf5(bytes(blob))
+
+    def test_v2_object_header_rejected_clearly(self):
+        blob = bytearray(encode_hdf5("v", np.zeros((2, 2)), ("y", "x")))
+        (root_oh,) = struct.unpack_from("<Q", blob, 64)
+        blob[root_oh:root_oh + 4] = b"OHDR"
+        with pytest.raises(NotImplementedError, match="version-2"):
+            decode_hdf5(bytes(blob))
+
+    def test_truncated_signature_rejected(self):
+        with pytest.raises(ValueError, match="signature"):
+            decode_hdf5(b"\x00" * 64)
+
+
+class TestSparkRoundtrip:
+    def test_2d_roundtrip_multiband(self, spark, tmp_path):
+        w, h = 16, 32
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "h5store")
+        write_hdf5(df, path, "v", (h, w), band_rows=8)
+        got = read_hdf5(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_3d_roundtrip(self, spark, tmp_path):
+        w, h, nt = 10, 6, 2
+        df = _raster(spark, w, h, nt)
+        path = str(tmp_path / "h5_3d")
+        write_hdf5(df, path, "v", (nt, h, w), band_rows=4)
+        got = read_hdf5(spark, path, "v").toPandas()
+        assert len(got) == nt * h * w
+
+    def test_bbox_prunes_granule_files(self, spark, tmp_path):
+        w, h = 8, 32
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "h5p")
+        write_hdf5(df, path, "v", (h, w), band_rows=8)
+        out = read_hdf5(spark, path, "v", bbox_ij=(0, 9, 8, 15))
+        pdf = out.toPandas()
+        assert sorted(pdf["j"].unique()) == list(range(9, 15))
+
+    def test_single_file_read_and_decode_cf(self, spark, tmp_path):
+        raw = np.array([[0, 100, -32768], [200, -32768, 300]],
+                       dtype="<i2")
+        blob = encode_hdf5(
+            "sst", raw, ("y", "x"),
+            var_attrs={"_FillValue": -32768, "scale_factor": 0.01,
+                       "add_offset": 273.15},
+        )
+        p = tmp_path / "sst.h5"
+        p.write_bytes(blob)
+        got = read_hdf5(
+            spark, str(p), "sst", decode_cf=True
+        ).toPandas().sort_values(["j", "i"])
+        exp = np.where(raw == -32768, np.nan,
+                       raw * 0.01 + 273.15).ravel()
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), exp, equal_nan=True
+        )

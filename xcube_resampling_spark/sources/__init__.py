@@ -9,6 +9,7 @@ from .pixels import (
     write_pixels,
 )
 from .netcdf3 import read_netcdf3, write_netcdf3
+from .hdf5 import read_hdf5, write_hdf5
 from .zarr import (
     ZARR_PIXEL_SCHEMA,
     write_zarr_stream,
@@ -29,10 +30,12 @@ __all__ = [
     "ZARR_PIXEL_SCHEMA",
     "add_spatial_ref",
     "read_grid_mapping",
+    "read_hdf5",
     "read_netcdf3",
     "read_pixels",
     "read_zarr",
     "read_zarr3",
+    "write_hdf5",
     "write_netcdf3",
     "write_pixels",
     "write_zarr",

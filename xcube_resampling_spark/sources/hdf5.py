@@ -1,0 +1,819 @@
+"""HDF5 subset source/sink -- the container format of NetCDF-4.
+
+The reference opens NetCDF-4 datasets through xarray/netCDF4, whose
+storage layer is HDF5 (reference cfconv.py:343-358 reads whatever
+xarray opens).  No HDF5 library ships in this environment, so this
+module implements the PUBLIC file format subset that default netCDF-4
+/ h5py writers produce, straight from the HDF5 File Format
+Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
+
+* superblock version 0 (and 2/3 accepted on read), 8-byte offsets
+  and lengths;
+* version-1 object headers;
+* root group as a version-1 B-tree + SNOD symbol table + local heap
+  (the default "old-style" group every stock libhdf5 writes);
+* messages: dataspace (0x0001), datatype (0x0003: fixed-point and
+  IEEE float, either endianness), fill value (0x0005), data layout
+  (0x0008 v3: contiguous and chunked), filter pipeline (0x000B:
+  deflate and shuffle), attribute (0x000C v1: scalar numeric and
+  ASCII string), object-header continuation (0x0010), symbol table
+  (0x0011);
+* chunked data behind the version-1 chunk B-tree (node type 1),
+  filters applied per chunk in pipeline order (shuffle then deflate
+  on write, inverse on read); edge chunks stored padded, clipped on
+  read -- the same convention as zarr.
+
+Out of scope (raise ``NotImplementedError`` with a clear message):
+version-2 object headers / fractal-heap groups, szip/lzf/scaleoffset
+filters, variable-length and compound datatypes.
+
+Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
+``part-<band>.h5`` files written by one ``applyInPandas`` task each
+(through the pluggable ``ChunkPut``), band-pruned ``binaryFile`` reads
+decoded in ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_resampling_spark.sources.zarr import (
+    ChunkPut,
+    FsChunkPut,
+    ZARR_PIXEL_SCHEMA,
+)
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+# ------------------------------------------------------------------ #
+# writer
+
+
+class _Buf:
+    def __init__(self):
+        self.b = bytearray()
+
+    def tell(self):
+        return len(self.b)
+
+    def write(self, data: bytes):
+        self.b += data
+
+    def pad_to(self, n):
+        while len(self.b) % n:
+            self.b += b"\x00"
+
+    def patch_u64(self, pos, value):
+        self.b[pos:pos + 8] = struct.pack("<Q", value)
+
+
+def _dt_message(dtype: np.dtype) -> bytes:
+    """Datatype message body for fixed-point / IEEE float."""
+    dt = np.dtype(dtype)
+    le = dt.byteorder in ("<", "=") or (dt.byteorder == "|" and True)
+    order_bit = 0 if le else 1
+    if dt.kind in ("i", "u"):
+        cls_ver = 0x10  # class 0 fixed-point, version 1
+        bits0 = order_bit | (0x08 if dt.kind == "i" else 0)
+        body = struct.pack(
+            "<B3B I HH", cls_ver, bits0, 0, 0, dt.itemsize, 0,
+            dt.itemsize * 8,
+        )
+        return body
+    if dt.kind == "f":
+        cls_ver = 0x11  # class 1 float, version 1
+        if dt.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        elif dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            raise NotImplementedError("float16/float128 not supported")
+        # mantissa normalization = 2 (bits 4-5), sign location in byte 1
+        bits0 = order_bit | 0x20
+        sign_loc = dt.itemsize * 8 - 1
+        return struct.pack(
+            "<B3B I", cls_ver, bits0, sign_loc, 0, dt.itemsize
+        ) + props
+    raise NotImplementedError(f"dtype {dt} not supported")
+
+
+def _string_dt_message(n: int) -> bytes:
+    # class 3 string, version 1, null-terminated, ASCII
+    return struct.pack("<B3BI", 0x13, 0x00, 0, 0, n)
+
+
+def _dataspace_msg(shape: tuple[int, ...]) -> bytes:
+    body = struct.pack("<BBB5x", 1, len(shape), 0)
+    for s in shape:
+        body += struct.pack("<Q", s)
+    return body
+
+
+def _scalar_dataspace_msg() -> bytes:
+    return struct.pack("<BBB5x", 1, 0, 0)
+
+
+def _attr_msg(name: str, value) -> bytes:
+    """Attribute message (version 1): scalar int/float or ASCII string."""
+    nm = name.encode() + b"\x00"
+    if isinstance(value, str):
+        data = value.encode()
+        dt = _string_dt_message(len(data))
+        ds = _scalar_dataspace_msg()
+    elif isinstance(value, (int, np.integer)):
+        data = struct.pack("<q", int(value))
+        dt = _dt_message(np.dtype("<i8"))
+        ds = _scalar_dataspace_msg()
+    elif isinstance(value, (list, tuple)):
+        arr = np.asarray(value, dtype="<f8")
+        data = arr.tobytes()
+        dt = _dt_message(np.dtype("<f8"))
+        ds = _dataspace_msg(arr.shape)
+    else:
+        data = struct.pack("<d", float(value))
+        dt = _dt_message(np.dtype("<f8"))
+        ds = _scalar_dataspace_msg()
+
+    def pad8(b):
+        return b + b"\x00" * (-len(b) % 8)
+
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    body += pad8(nm) + pad8(dt) + pad8(ds) + data
+    return body
+
+
+def _messages_block(msgs: list[tuple[int, bytes]]) -> bytes:
+    out = bytearray()
+    for mtype, body in msgs:
+        body = bytes(body)
+        pad = -len(body) % 8
+        out += struct.pack("<HHB3x", mtype, len(body) + pad, 0)
+        out += body + b"\x00" * pad
+    return bytes(out)
+
+
+def _object_header_v1(msgs: list[tuple[int, bytes]]) -> bytes:
+    block = _messages_block(msgs)
+    return struct.pack("<BxHII4x", 1, len(msgs), 1, len(block)) + block
+
+
+def encode_hdf5(
+    var_name: str,
+    data: np.ndarray,
+    dims: tuple[str, ...],
+    global_attrs: dict | None = None,
+    var_attrs: dict | None = None,
+    chunks: tuple[int, ...] | None = None,
+    compress: bool = False,
+) -> bytes:
+    """Encode one dataset (plus root/dataset attributes) as an HDF5
+    file image: superblock v0, v1 object headers, old-style root group.
+    ``chunks`` switches the layout to chunked (v1 chunk B-tree);
+    ``compress`` adds shuffle + deflate to the chunk pipeline."""
+    data = np.ascontiguousarray(data)
+    if data.dtype.kind not in "iuf":
+        raise NotImplementedError("numeric datasets only")
+    if compress and chunks is None:
+        chunks = data.shape
+    buf = _Buf()
+
+    # --- superblock v0 (root entry patched at the end)
+    buf.write(_SIG)
+    buf.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    buf.write(struct.pack("<HHI", 4, 16, 0))
+    buf.write(struct.pack("<Q", 0))            # base address
+    buf.write(struct.pack("<Q", _UNDEF))       # free-space info
+    eof_pos = buf.tell()
+    buf.write(struct.pack("<Q", 0))            # end-of-file (patched)
+    buf.write(struct.pack("<Q", _UNDEF))       # driver info
+    root_entry_pos = buf.tell()
+    buf.write(b"\x00" * 40)                    # root sym table entry
+
+    # --- local heap: "" at 0, then the dataset name
+    name_b = var_name.encode() + b"\x00"
+    heap_data = b"\x00" * 8 + name_b + b"\x00" * (-len(name_b) % 8)
+    name_off = 8
+    free_off = len(heap_data)
+    heap_data += b"\x00" * 16  # free block (size >= 16)
+    heap_hdr_pos = buf.tell()
+    buf.write(b"HEAP" + struct.pack("<B3x", 0))
+    buf.write(struct.pack("<QQQ", len(heap_data), free_off,
+                          heap_hdr_pos + 8 + 24))
+    buf.write(heap_data)
+
+    # --- dataset payload
+    fdata = data
+    msgs: list[tuple[int, bytes]] = [
+        (0x0001, _dataspace_msg(data.shape)),
+        (0x0003, _dt_message(data.dtype)),
+        # fill value v2: alloc early, never written, undefined
+        (0x0005, struct.pack("<BBBB", 2, 1, 0, 0)),
+    ]
+    if chunks is None:
+        data_pos = buf.tell()
+        raw = fdata.tobytes()
+        buf.write(raw)
+        msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_pos,
+                                         len(raw))))
+    else:
+        if len(chunks) != data.ndim:
+            raise ValueError("chunks rank must match data rank")
+        if compress:
+            # filter pipeline v1: shuffle (2) then deflate (1)
+            def filt(fid, name, cdata):
+                nm = name + b"\x00"
+                nm += b"\x00" * (-len(nm) % 8)
+                body = struct.pack("<HHHH", fid, len(nm), 1,
+                                   len(cdata))
+                body += nm + b"".join(
+                    struct.pack("<I", c) for c in cdata
+                )
+                if len(cdata) % 2:
+                    body += b"\x00" * 4
+                return body
+
+            pipe = struct.pack("<BB2x4x", 1, 2) + filt(
+                2, b"shuffle", [data.dtype.itemsize]
+            ) + filt(1, b"deflate", [1])
+            msgs.append((0x000B, pipe))
+        # chunk records
+        grid = [range(0, s, c) for s, c in zip(data.shape, chunks)]
+        entries = []
+        for origin in np.stack(
+            np.meshgrid(*grid, indexing="ij"), axis=-1
+        ).reshape(-1, data.ndim):
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(origin, chunks, data.shape)
+            )
+            block = np.zeros(chunks, dtype=data.dtype)
+            view = fdata[sl]
+            block[tuple(slice(0, v) for v in view.shape)] = view
+            raw = block.tobytes()
+            if compress:
+                raw = _shuffle_bytes(raw, data.dtype.itemsize)
+                raw = zlib.compress(raw, 1)
+            addr = buf.tell()
+            buf.write(raw)
+            entries.append((tuple(int(o) for o in origin), addr,
+                            len(raw)))
+        # single leaf v1 chunk B-tree
+        bt_pos = buf.tell()
+        nd1 = data.ndim + 1
+        node = bytearray()
+        node += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        node += struct.pack("<QQ", _UNDEF, _UNDEF)
+        for origin, addr, nbytes in entries:
+            node += struct.pack("<II", nbytes,
+                                0 if compress else 0)
+            for o in origin:
+                node += struct.pack("<Q", o)
+            node += struct.pack("<Q", 0)  # element-size dim
+            node += struct.pack("<Q", addr)
+        # final key (one past the last chunk in every dim)
+        node += struct.pack("<II", 0, 0)
+        for s in data.shape:
+            node += struct.pack("<Q", s)
+        node += struct.pack("<Q", data.dtype.itemsize)
+        buf.write(bytes(node))
+        layout = struct.pack("<BBBQ", 3, 2, nd1, bt_pos)
+        for c in chunks:
+            layout += struct.pack("<I", c)
+        layout += struct.pack("<I", data.dtype.itemsize)
+        msgs.append((0x0008, layout))
+    for k, v in (var_attrs or {}).items():
+        msgs.append((0x000C, _attr_msg(k, v)))
+    ds_oh_pos = buf.tell()
+    buf.write(_object_header_v1(msgs))
+
+    # --- SNOD with the one dataset
+    snod_pos = buf.tell()
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
+    snod += struct.pack("<QQI4x16x", name_off, ds_oh_pos, 0)
+    # symbol table nodes are sized for 2K entries; one entry is fine,
+    # readers honor the count
+    buf.write(snod)
+
+    # --- group B-tree (v1, node type 0) with one SNOD child
+    bt_pos = buf.tell()
+    bt = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    bt += struct.pack("<QQ", _UNDEF, _UNDEF)
+    bt += struct.pack("<Q", 0)          # key 0: heap offset of ""
+    bt += struct.pack("<Q", snod_pos)   # child 0
+    bt += struct.pack("<Q", name_off)   # key 1: last name
+    buf.write(bt)
+
+    # --- root group object header
+    root_msgs = [(0x0011, struct.pack("<QQ", bt_pos, heap_hdr_pos))]
+    for k, v in (global_attrs or {}).items():
+        root_msgs.append((0x000C, _attr_msg(k, v)))
+    root_oh_pos = buf.tell()
+    buf.write(_object_header_v1(root_msgs))
+
+    # --- patch superblock
+    buf.patch_u64(eof_pos, buf.tell())
+    entry = struct.pack("<QQI4xQQ", 0, root_oh_pos, 1, bt_pos,
+                        heap_hdr_pos)
+    buf.b[root_entry_pos:root_entry_pos + 40] = entry
+    return bytes(buf.b)
+
+
+def _shuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    if itemsize <= 1:
+        return raw
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = len(raw) // itemsize
+    return (
+        arr[: n * itemsize].reshape(n, itemsize).T.tobytes()
+        + raw[n * itemsize:]
+    )
+
+
+def _unshuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    if itemsize <= 1:
+        return raw
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = len(raw) // itemsize
+    return (
+        arr[: n * itemsize].reshape(itemsize, n).T.tobytes()
+        + raw[n * itemsize:]
+    )
+
+
+# ------------------------------------------------------------------ #
+# reader
+
+
+def _parse_superblock(blob: bytes) -> int:
+    """Return the root object-header address."""
+    if blob[:8] != _SIG:
+        raise ValueError("not an HDF5 file (bad signature)")
+    ver = blob[8]
+    if ver == 0:
+        if blob[13] != 8 or blob[14] != 8:
+            raise NotImplementedError(
+                "only 8-byte offsets/lengths supported"
+            )
+        # root symbol table entry at fixed offset 24+... : sig(8) +
+        # versions/sizes(8) + k's+flags(8) + 4 addresses(32) = 56
+        (oh_addr,) = struct.unpack_from("<Q", blob, 56 + 8)
+        return oh_addr
+    if ver in (2, 3):
+        if blob[9] != 8 or blob[10] != 8:
+            raise NotImplementedError(
+                "only 8-byte offsets/lengths supported"
+            )
+        (oh_addr,) = struct.unpack_from("<Q", blob, 36)
+        return oh_addr
+    raise NotImplementedError(f"superblock version {ver} not supported")
+
+
+def _parse_object_header(blob: bytes, pos: int) -> list[tuple[int, bytes]]:
+    ver = blob[pos]
+    if ver != 1:
+        if blob[pos:pos + 4] == b"OHDR":
+            raise NotImplementedError(
+                "version-2 object headers not supported (old-style "
+                "files only)"
+            )
+        raise ValueError(f"bad object header at {pos}")
+    nmsgs, _refs, hsize = struct.unpack_from("<HII", blob, pos + 2)
+    msgs: list[tuple[int, bytes]] = []
+    blocks = [(pos + 16, hsize)]
+    while blocks and len(msgs) < nmsgs:
+        off, remaining = blocks.pop(0)
+        while remaining >= 8 and len(msgs) < nmsgs:
+            mtype, msize, _flags = struct.unpack_from("<HHB", blob, off)
+            body = blob[off + 8: off + 8 + msize]
+            if mtype == 0x0010:  # continuation
+                c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                blocks.append((c_off, c_len))
+            else:
+                msgs.append((mtype, body))
+            off += 8 + msize
+            remaining -= 8 + msize
+    return msgs
+
+
+def _parse_dataspace(body: bytes) -> tuple[int, ...]:
+    ver = body[0]
+    if ver == 1:
+        rank, flags = body[1], body[2]
+        off = 8
+    elif ver == 2:
+        rank, flags = body[1], body[2]
+        off = 4
+    else:
+        raise NotImplementedError(f"dataspace version {ver}")
+    return tuple(
+        struct.unpack_from("<Q", body, off + 8 * i)[0]
+        for i in range(rank)
+    )
+
+
+def _parse_datatype(body: bytes) -> np.dtype:
+    cls = body[0] & 0x0F
+    ver = body[0] >> 4
+    bits0 = body[1]
+    (size,) = struct.unpack_from("<I", body, 4)
+    endian = ">" if (bits0 & 1) else "<"
+    if cls == 0:  # fixed point
+        signed = bool(bits0 & 0x08)
+        return np.dtype(f"{endian}{'i' if signed else 'u'}{size}")
+    if cls == 1:  # float
+        return np.dtype(f"{endian}f{size}")
+    if cls == 3:  # string
+        return np.dtype(f"S{size}")
+    raise NotImplementedError(f"datatype class {cls} not supported")
+
+
+def _parse_attribute(body: bytes):
+    ver = body[0]
+    if ver != 1:
+        raise NotImplementedError(f"attribute message version {ver}")
+    name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+
+    def pad8(n):
+        return n + (-n % 8)
+
+    off = 8
+    name = body[off:off + name_sz].split(b"\x00")[0].decode()
+    off += pad8(name_sz)
+    dt = _parse_datatype(body[off:off + dt_sz])
+    off += pad8(dt_sz)
+    shape = _parse_dataspace(body[off:off + ds_sz])
+    off += pad8(ds_sz)
+    data = body[off:]
+    if dt.kind == "S":
+        return name, data[: dt.itemsize].split(b"\x00")[0].decode()
+    n = int(np.prod(shape)) if shape else 1
+    arr = np.frombuffer(data, dtype=dt, count=n)
+    if not shape:
+        v = arr[0]
+        return name, (int(v) if dt.kind in "iu" else float(v))
+    return name, [
+        int(v) if dt.kind in "iu" else float(v) for v in arr
+    ]
+
+
+def _walk_group(blob: bytes, msgs) -> dict[str, int]:
+    """name -> object header address for an old-style group."""
+    out: dict[str, int] = {}
+    for mtype, body in msgs:
+        if mtype != 0x0011:
+            continue
+        bt_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+        heap_data_addr = struct.unpack_from("<Q", blob, heap_addr + 24)[0]
+
+        def walk_btree(addr):
+            if blob[addr:addr + 4] != b"TREE":
+                raise ValueError("bad group B-tree node")
+            _ntype, level, nused = struct.unpack_from(
+                "<BBH", blob, addr + 4
+            )
+            off = addr + 8 + 16  # skip siblings
+            children = []
+            for _ in range(nused):
+                off += 8  # key
+                (child,) = struct.unpack_from("<Q", blob, off)
+                children.append(child)
+                off += 8
+            for child in children:
+                if level > 0:
+                    walk_btree(child)
+                else:
+                    read_snod(child)
+
+        def read_snod(addr):
+            if blob[addr:addr + 4] != b"SNOD":
+                raise ValueError("bad symbol table node")
+            (nsyms,) = struct.unpack_from("<H", blob, addr + 6)
+            off = addr + 8
+            for _ in range(nsyms):
+                name_off, oh_addr = struct.unpack_from("<QQ", blob, off)
+                name = blob[
+                    heap_data_addr + name_off:
+                    heap_data_addr + name_off + 256
+                ].split(b"\x00")[0].decode()
+                out[name] = oh_addr
+                off += 40
+
+        walk_btree(bt_addr)
+    return out
+
+
+def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
+    # version 1: version(1), nfilters(1), 6 reserved; version 2:
+    # version(1), nfilters(1), no reserved
+    ver = body[0]
+    filters: list[tuple[int, list[int]]] = []
+    nfilters = body[1]
+    off = 8 if ver == 1 else 2
+    for _ in range(nfilters):
+        fid, name_len, _flags, nvals = struct.unpack_from(
+            "<HHHH", body, off
+        )
+        off += 8
+        off += name_len + (-name_len % 8 if ver == 1 else 0)
+        cdata = [
+            struct.unpack_from("<I", body, off + 4 * i)[0]
+            for i in range(nvals)
+        ]
+        off += 4 * nvals
+        if ver == 1 and nvals % 2:
+            off += 4
+        filters.append((fid, cdata))
+    return filters
+
+
+def _apply_filters_inverse(raw: bytes, filters, itemsize: int) -> bytes:
+    for fid, cdata in reversed(filters):
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            raw = _unshuffle_bytes(
+                raw, cdata[0] if cdata else itemsize
+            )
+        else:
+            raise NotImplementedError(
+                f"HDF5 filter id {fid} not supported (deflate/shuffle "
+                "only)"
+            )
+    return raw
+
+
+def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters):
+    arr = np.zeros(shape, dtype=dtype)
+    nd = len(shape)
+
+    def walk(addr):
+        if blob[addr:addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree node")
+        ntype, level, nused = struct.unpack_from("<BBH", blob, addr + 4)
+        off = addr + 8 + 16
+        for _ in range(nused):
+            nbytes, _mask = struct.unpack_from("<II", blob, off)
+            off += 8
+            origin = [
+                struct.unpack_from("<Q", blob, off + 8 * i)[0]
+                for i in range(nd)
+            ]
+            off += 8 * (nd + 1)  # + element-size dimension
+            (child,) = struct.unpack_from("<Q", blob, off)
+            off += 8
+            if level > 0:
+                walk(child)
+                continue
+            raw = blob[child:child + nbytes]
+            raw = _apply_filters_inverse(raw, filters, dtype.itemsize)
+            block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(origin, chunks, shape)
+            )
+            arr[sl] = block[
+                tuple(slice(0, s.stop - s.start) for s in sl)
+            ]
+
+    walk(bt_addr)
+    return arr
+
+
+def decode_hdf5(blob: bytes) -> dict:
+    """Parse an HDF5 file image into
+    ``{"attrs": {...}, "vars": {name: {"data", "attrs", "dims"}}}``
+    (the same shape ``decode_netcdf3`` returns)."""
+    root_oh = _parse_superblock(blob)
+    root_msgs = _parse_object_header(blob, root_oh)
+    g_attrs = dict(
+        _parse_attribute(b) for t, b in root_msgs if t == 0x000C
+    )
+    out_vars: dict[str, dict] = {}
+    for name, oh_addr in _walk_group(blob, root_msgs).items():
+        msgs = _parse_object_header(blob, oh_addr)
+        by_type: dict[int, list[bytes]] = {}
+        for t, b in msgs:
+            by_type.setdefault(t, []).append(b)
+        if 0x0008 not in by_type:
+            continue  # a sub-group or datatype object, not a dataset
+        shape = _parse_dataspace(by_type[0x0001][0])
+        dtype = _parse_datatype(by_type[0x0003][0])
+        filters = (
+            _parse_filters(by_type[0x000B][0])
+            if 0x000B in by_type else []
+        )
+        layout = by_type[0x0008][0]
+        if layout[0] != 3:
+            raise NotImplementedError(
+                f"layout message version {layout[0]} not supported"
+            )
+        lclass = layout[1]
+        if lclass == 1:  # contiguous
+            addr, size = struct.unpack_from("<QQ", layout, 2)
+            data = np.frombuffer(
+                blob[addr:addr + size], dtype=dtype
+            ).reshape(shape)
+        elif lclass == 2:  # chunked
+            nd1 = layout[2]
+            (bt_addr,) = struct.unpack_from("<Q", layout, 3)
+            chunks = tuple(
+                struct.unpack_from("<I", layout, 11 + 4 * i)[0]
+                for i in range(nd1 - 1)
+            )
+            data = _read_chunked(
+                blob, bt_addr, shape, chunks, dtype, filters
+            )
+        elif lclass == 0:  # compact
+            (size,) = struct.unpack_from("<H", layout, 2)
+            data = np.frombuffer(
+                layout[4:4 + size], dtype=dtype
+            ).reshape(shape)
+        else:
+            raise NotImplementedError(f"layout class {lclass}")
+        v_attrs = dict(
+            _parse_attribute(b) for t, b in msgs if t == 0x000C
+        )
+        out_vars[name] = {
+            "data": data, "attrs": v_attrs, "dims": None,
+        }
+    return {"attrs": g_attrs, "vars": out_vars}
+
+
+# ------------------------------------------------------------------ #
+# Spark source/sink (mirrors sources/netcdf3.py)
+
+
+def write_hdf5(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    band_rows: int = 256,
+    fill_value: float = float("nan"),
+    compress: bool = True,
+    attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
+) -> None:
+    """Write a (t, j, i, value) pixel DataFrame as a granule directory
+    of HDF5 files (one horizontal band of ``band_rows`` rows per file,
+    one ``applyInPandas`` task per band, all bytes through
+    ``chunk_put``)."""
+    nd = len(shape)
+    if nd == 2:
+        nt, (h, w) = 1, shape
+        src = df.filter(F.col("t") == 0)
+    elif nd == 3:
+        nt, h, w = shape
+        src = df
+    else:
+        raise ValueError("shape must be (h, w) or (nt, h, w)")
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    fill = float(fill_value)
+    keyed = src.select(
+        (F.col("j") / band_rows).cast("int").alias("band"),
+        "t", "j", "i", "value",
+    )
+    out_schema = T.StructType([T.StructField("file", T.StringType(),
+                                             False)])
+    g_attrs = dict(attrs or {})
+
+    def write_band(key, pdf):
+        band = int(key[0])
+        j0 = band * band_rows
+        rows = min(band_rows, h - j0)
+        block = np.full((nt, rows, w), fill, dtype="<f8")
+        tt = pdf["t"].to_numpy(np.int64)
+        jj = pdf["j"].to_numpy(np.int64) - j0
+        ii = pdf["i"].to_numpy(np.int64)
+        block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
+        dims = ("t", "y", "x") if nd == 3 else ("y", "x")
+        data = block if nd == 3 else block[0]
+        blob = encode_hdf5(
+            var_name, data, dims,
+            global_attrs={"j_offset": j0, **g_attrs},
+            compress=compress,
+        )
+        fname = f"part-{band}.h5"
+        put.put(fname, blob)
+        return pd.DataFrame({"file": [fname]})
+
+    keyed.groupBy("band").applyInPandas(write_band, out_schema).count()
+    put.put(
+        "_meta.json",
+        json.dumps(
+            {"var": var_name, "shape": list(shape),
+             "band_rows": band_rows}
+        ).encode(),
+    )
+
+
+def read_hdf5(
+    spark: SparkSession,
+    path: str,
+    var_name: str,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+    decode_cf: bool = False,
+) -> DataFrame:
+    """Read an .h5 file or granule directory as (t, j, i, value) rows.
+
+    Same contract as ``read_netcdf3``: granule directories with a
+    ``_meta.json`` manifest get driver-side band pruning under
+    ``bbox_ij``; ``decode_cf`` applies _FillValue/missing_value -> NaN
+    then scale_factor/add_offset from the dataset's attributes."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".h5")
+        )
+        meta_path = os.path.join(path, "_meta.json")
+        if bbox_ij is not None and os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            if meta.get("var") == var_name:
+                br = int(meta["band_rows"])
+                _, j0, _, j1 = bbox_ij
+                keep = range(max(0, j0 // br), -(-j1 // br))
+                files = [
+                    f for f in files
+                    if int(re.search(
+                        r"part-(\d+)\.h5", os.path.basename(f)
+                    ).group(1)) in keep
+                ]
+    else:
+        files = [path]
+    if not files:
+        return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+    binf = spark.read.format("binaryFile").load(files)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for content in pdf["content"]:
+                parsed = decode_hdf5(bytes(content))
+                var = parsed["vars"].get(var_name)
+                if var is None:
+                    continue
+                data = var["data"]
+                if data.ndim == 2:
+                    data = data[np.newaxis]
+                elif data.ndim != 3:
+                    raise ValueError(
+                        f"variable {var_name} must be 2-D or 3-D"
+                    )
+                data = data.astype(np.float64)
+                if decode_cf:
+                    va = var["attrs"]
+                    fill = va.get("_FillValue", va.get("missing_value"))
+                    if fill is not None:
+                        if isinstance(fill, (list, tuple)):
+                            fills = [float(f) for f in fill]
+                        else:
+                            fills = [float(fill)]
+                        data = np.where(
+                            np.isin(data, fills), np.nan, data
+                        )
+                    data = (
+                        data * float(va.get("scale_factor", 1.0))
+                        + float(va.get("add_offset", 0.0))
+                    )
+                nt, rows, w = data.shape
+                j_off = int(parsed["attrs"].get("j_offset", 0))
+                i_off = int(parsed["attrs"].get("i_offset", 0))
+                t_off = int(parsed["attrs"].get("t_offset", 0))
+                tt, jj, ii = np.meshgrid(
+                    np.arange(nt), np.arange(rows), np.arange(w),
+                    indexing="ij",
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "t": (tt.ravel() + t_off).astype(np.int32),
+                            "j": (jj.ravel() + j_off).astype(np.int32),
+                            "i": (ii.ravel() + i_off).astype(np.int32),
+                            "value": data.ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    df = binf.select("content").mapInPandas(decode, ZARR_PIXEL_SCHEMA)
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        df = df.filter(
+            (F.col("i") >= i0) & (F.col("i") < i1)
+            & (F.col("j") >= j0) & (F.col("j") < j1)
+        )
+    return df
