@@ -212,6 +212,37 @@ class TestCodecProperties:
         assert len(blob) % 4 == 0
 
     @given(
+        shape=st.tuples(st.integers(1, 7), st.integers(1, 9)),
+        dtype=st.sampled_from(["<f8", ">f4", "<i4", ">i2", "<u2"]),
+        chunked=st.booleans(),
+        compress=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_hdf5_roundtrip_any_array(
+        self, shape, dtype, chunked, compress, seed
+    ):
+        from xcube_resampling_spark.sources.hdf5 import (
+            decode_hdf5, encode_hdf5,
+        )
+
+        rng = np.random.default_rng(seed)
+        data = rng.integers(-120, 120, shape).astype(dtype)
+        chunks = (
+            (max(1, shape[0] // 2), max(1, shape[1] // 2))
+            if (chunked or compress) else None
+        )
+        blob = encode_hdf5(
+            "v", data, ("d0", "d1"), chunks=chunks, compress=compress,
+            global_attrs={"seed": int(seed)},
+        )
+        parsed = decode_hdf5(blob)
+        got = parsed["vars"]["v"]["data"]
+        assert got.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(got, data)
+        assert parsed["attrs"]["seed"] == seed
+
+    @given(
         lons=st.lists(st.floats(-179.9, 179.9), min_size=1, max_size=8),
         lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
         code=st.sampled_from(
