@@ -985,3 +985,41 @@ def test_tfidf_topk_hand_computed(spark):
     assert len(by[1]) == 2 and len(by[2]) == 2
     with pytest.raises(ValueError, match="k must"):
         tfidf_topk(docs, k=0)
+
+
+def test_sampling_and_tfidf_plan_shapes(spark):
+    """100-TB plan-shape guards for the round-5 corpus operators:
+    sample_by_hash and split_by_hash are exchange-free (pure filter /
+    projection); stratified_cap adds exactly one exchange (the stratum
+    window); tfidf_topk joins idf back as a BROADCAST join, never a
+    sort-merge over the corpus."""
+    from xcube_resampling_spark.extensions.sampling import (
+        sample_by_hash, split_by_hash, stratified_cap,
+    )
+    from xcube_resampling_spark.extensions.text import tfidf_topk
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string"))
+        .alias("text"),
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1 for line in plan.split("\n")
+            if "Exchange" in line and "Reused" not in line
+        )
+
+    assert n_exchanges(sample_by_hash(docs, "doc_id", 0.5)) == 0
+    assert n_exchanges(
+        split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    ) == 0
+    assert n_exchanges(
+        stratified_cap(docs, "lang", "doc_id", cap=5)
+    ) == 1
+    plan = tfidf_topk(docs, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
