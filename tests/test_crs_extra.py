@@ -815,3 +815,76 @@ class TestObliqueMercator:
         )
         with pytest.raises(NotImplementedError, match="alpha"):
             _omerc_setup(swiss)
+
+
+class TestSwissObliqueMercator:
+    def test_center_maps_to_false_origin(self):
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        for code, e0, n0 in ((2056, 2600000.0, 1200000.0),
+                             (21781, 600000.0, 200000.0)):
+            crs = CRS.from_epsg(code)
+            g = CRS("geographic", "g", crs.ellipsoid, ())
+            lat0 = 46 + 57 / 60 + 8.66 / 3600
+            lon0 = 7 + 26 / 60 + 22.5 / 3600
+            x, y = Transformer.from_crs(g, crs).transform(
+                np.array([lon0]), np.array([lat0])
+            )
+            assert abs(x[0] - e0) < 1e-6
+            assert abs(y[0] - n0) < 1e-6
+
+    def test_cross_check_against_hotine_limit(self):
+        """Independent validation: EPSG lists CH1903+/LV95 as
+        representable either via method 9814 (this implementation,
+        Rosenmund double projection) or as Hotine variant B with
+        azimuth 90.  The generic aposphere omerc at alpha =
+        90 - 1e-7 deg must agree with somerc to ~1 cm across all of
+        Switzerland (the residual is exactly the alpha perturbation,
+        ~1.1 cm per 100 km)."""
+        import numpy as np
+
+        from xcube_resampling_spark.crs import (
+            CRS, Transformer, _Ellipsoid, _ELLIPSOIDS,
+        )
+
+        sw = CRS.from_epsg(2056)
+        g = CRS("geographic", "g", sw.ellipsoid, ())
+        lat0 = 46 + 57 / 60 + 8.66 / 3600
+        lon0 = 7 + 26 / 60 + 22.5 / 3600
+        hom = CRS(
+            "omerc", "swiss-as-hotine",
+            _Ellipsoid(*_ELLIPSOIDS["Bessel1841"]),
+            params=(("k_0", 1.0), ("lat_0", lat0), ("lonc", lon0),
+                    ("alpha", 89.9999999), ("gamma", 89.9999999),
+                    ("x_0", 2600000.0), ("y_0", 1200000.0)),
+        )
+        lo = np.linspace(6.0, 10.4, 9)
+        la = np.linspace(45.9, 47.7, 9)
+        LO, LA = np.meshgrid(lo, la)
+        xs, ys = Transformer.from_crs(g, sw).transform(
+            LO.ravel(), LA.ravel()
+        )
+        xh, yh = Transformer.from_crs(g, hom).transform(
+            LO.ravel(), LA.ravel()
+        )
+        assert np.abs(xs - xh).max() < 0.02
+        assert np.abs(ys - yh).max() < 0.02
+
+    def test_roundtrip_wide_domain(self):
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        crs = CRS.from_epsg(21781)
+        g = CRS("geographic", "g", crs.ellipsoid, ())
+        lo = np.linspace(-50.0, 65.0, 20)
+        la = np.linspace(-55.0, 55.0, 20)
+        LO, LA = np.meshgrid(lo, la)
+        x, y = Transformer.from_crs(g, crs).transform(
+            LO.ravel(), LA.ravel()
+        )
+        lo2, la2 = Transformer.from_crs(crs, g).transform(x, y)
+        np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
+        np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)

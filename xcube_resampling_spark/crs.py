@@ -36,6 +36,7 @@ _ELLIPSOIDS = {
     "Airy1830": (6377563.396, 299.3249646),    # OSGB36 / EPSG:27700
     "Intl1924": (6378388.0, 297.0),            # ED50 and Snyder examples
     "Everest1967": (6377298.556, 300.8017),    # Timbalai 1948 / EPSG:29873
+    "Bessel1841": (6377397.155, 299.1528128),  # CH1903(+) / EPSG:2056
 }
 
 
@@ -193,6 +194,24 @@ class CRS:
                     ("y_0", -100000.0),
                 ),
                 auth_code="EPSG:27700",
+            )
+        if code in (2056, 21781):
+            # CH1903+ / LV95 and CH1903 / LV03: Swiss Oblique Mercator
+            # (EPSG method 9814, Rosenmund double projection) on Bessel
+            # 1841, centered on the old Bern observatory.
+            lv95 = code == 2056
+            return CRS(
+                "somerc",
+                "CH1903+ / LV95" if lv95 else "CH1903 / LV03",
+                _Ellipsoid(*_ELLIPSOIDS["Bessel1841"]),
+                params=(
+                    ("k_0", 1.0),
+                    ("lat_0", 46.0 + 57.0 / 60 + 8.66 / 3600),
+                    ("lon_0", 7.0 + 26.0 / 60 + 22.5 / 3600),
+                    ("x_0", 2600000.0 if lv95 else 600000.0),
+                    ("y_0", 1200000.0 if lv95 else 200000.0),
+                ),
+                auth_code=f"EPSG:{code}",
             )
         if code == 29873:
             # Timbalai 1948 / RSO Borneo (m): Hotine Oblique Mercator
@@ -1629,6 +1648,99 @@ def _omerc_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Swiss Oblique Mercator (EPSG method 9814; Rosenmund 1903, the
+# swisstopo "Formulas and constants for the calculation of the Swiss
+# conformal cylindrical projection" double projection): ellipsoid ->
+# conformal sphere -> pseudo-equator rotation -> Mercator.  The
+# projection of CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95
+# (EPSG:2056); equivalent to Hotine variant B with azimuth 90 (which
+# _omerc_setup rejects -- this is that case's dedicated implementation).
+
+
+def _somerc_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+    phi0 = math.radians(crs.param("lat_0"))
+    s0 = math.sin(phi0)
+    alpha = math.sqrt(1.0 + (e2 / (1.0 - e2)) * math.cos(phi0) ** 4)
+    b0 = math.asin(s0 / alpha)
+    big_k = (
+        math.log(math.tan(math.pi / 4 + b0 / 2))
+        - alpha * math.log(math.tan(math.pi / 4 + phi0 / 2))
+        + alpha * (e / 2) * math.log(
+            (1.0 + e * s0) / (1.0 - e * s0)
+        )
+    )
+    big_r = (ell.a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+             * crs.param("k_0", 1.0))
+    return alpha, b0, big_k, big_r
+
+
+def _somerc_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    e = ell.e
+    alpha, b0, big_k, big_r = _somerc_setup(crs)
+    lam0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(phi)
+    big_s = (
+        alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+        - alpha * (e / 2) * np.log((1.0 + e * s) / (1.0 - e * s))
+        + big_k
+    )
+    b = 2.0 * (np.arctan(np.exp(big_s)) - np.pi / 4)
+    ell_lam = alpha * (lam - lam0)
+    # rotate the conformal sphere so the projection center (b0, 0)
+    # lands on the pseudo-equator origin (R_y(b0) in cartesian form)
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+    b_bar = np.arcsin(np.clip(
+        cb0 * np.sin(b) - sb0 * np.cos(b) * np.cos(ell_lam), -1.0, 1.0
+    ))
+    l_bar = np.arctan2(
+        np.cos(b) * np.sin(ell_lam),
+        cb0 * np.cos(b) * np.cos(ell_lam) + sb0 * np.sin(b),
+    )
+    east = big_r * l_bar + fe
+    north = big_r * np.log(np.tan(np.pi / 4 + b_bar / 2)) + fn
+    return east, north
+
+
+def _somerc_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    e = ell.e
+    alpha, b0, big_k, big_r = _somerc_setup(crs)
+    lam0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    l_bar = (np.asarray(x, dtype=np.float64) - fe) / big_r
+    b_bar = 2.0 * (np.arctan(np.exp(
+        (np.asarray(y, dtype=np.float64) - fn) / big_r
+    )) - np.pi / 4)
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+    b = np.arcsin(np.clip(
+        cb0 * np.sin(b_bar) + sb0 * np.cos(b_bar) * np.cos(l_bar),
+        -1.0, 1.0,
+    ))
+    ell_lam = np.arctan2(
+        np.cos(b_bar) * np.sin(l_bar),
+        cb0 * np.cos(b_bar) * np.cos(l_bar) - sb0 * np.sin(b_bar),
+    )
+    lam = lam0 + ell_lam / alpha
+    # conformal-sphere latitude -> ellipsoidal latitude by fixed point:
+    # S = ln(tan(pi/4 + b/2)); phi_{k+1} from the forward S expression
+    big_s = np.log(np.tan(np.pi / 4 + b / 2))
+    phi = b
+    for _ in range(12):
+        s = np.sin(phi)
+        phi = 2.0 * (np.arctan(np.exp(
+            (big_s - big_k) / alpha
+            + (e / 2) * np.log((1.0 + e * s) / (1.0 - e * s))
+        )) - np.pi / 4)
+    return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
 # Geostationary satellite view (the GOES-R ABI / MSG SEVIRI fixed grid;
 # PROJ 'geos', CGMS LRIT/HRIT Global Specification sec. 4.4).  Grid
 # coordinates are scan angles times the perspective height:
@@ -1841,6 +1953,8 @@ class Transformer:
             lon, lat = _geos_inverse(self.src, x, y)
         elif self.src.kind == "omerc":
             lon, lat = _omerc_inverse(self.src, x, y)
+        elif self.src.kind == "somerc":
+            lon, lat = _somerc_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # datum bridge: only when either side declares a towgs84 shift
@@ -1873,6 +1987,8 @@ class Transformer:
             return _geos_forward(self.dst, lon, lat)
         if self.dst.kind == "omerc":
             return _omerc_forward(self.dst, lon, lat)
+        if self.dst.kind == "somerc":
+            return _somerc_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
