@@ -1507,12 +1507,27 @@ CEA_YMAX = CEA_YMIN + CEA_H * CEA_RES
 # where the conformal scale is ~8.7 with a ~57 deg grid rotation, so a
 # 600 m step keeps bbox scales >= 0.98 and ~51% of the axis-aligned
 # target rect intersects the rotated swath; margins 4.8e-4
-# (offset-scanned, tools/scan_rectify_grid.py method)
+# (offset-scanned, tools/scan_rectify_grid.py method).  INTEGER origin
+# (see the somerc note: to_int_or_float snaps fractional origins)
 OM_W, OM_H = 68, 61
-OM_XMIN = 4642934.366435583
-OM_YMAX = 26193737.880426027
+OM_XMIN = 4642870.0
+OM_YMAX = 26193841.0
 OM_RES = 600.0
 OM_YMIN = OM_YMAX - OM_H * OM_RES
+
+# Swiss Oblique Mercator (EPSG:2056, CH1903+/LV95, method 9814) target:
+# the German footprint sits ~600 km from Bern where the conformal scale
+# is ~1.004, so a 93 m step keeps bbox scales >= 1.05; 94% in-bounds,
+# margins 6.7e-4 (offset-scanned).  INTEGER origin: GridMapping.regular
+# snaps near-integer floats via to_int_or_float (reference
+# helpers.py:39-48, rel_tol 1e-5 -- at 2.7e6 m ANY fractional origin
+# snaps to the nearest meter), so tight-margin grids must be anchored
+# on exact integers or the spark grid shifts off the oracle's
+SOM_W, SOM_H = 28, 44
+SOM_XMIN = 2704751.0
+SOM_YMAX = 1902804.0
+SOM_RES = 93.0
+SOM_YMIN = SOM_YMAX - SOM_H * SOM_RES
 
 # Geostationary fixed grid (PROJ geos semantics; satellite at lon 9,
 # sweep x, h = 35785831, WGS84): the oblique view at 53N compresses
@@ -1622,14 +1637,19 @@ q_reproject_omerc = _q_reproject(
     "nearest", 29873,
     ((OM_W, OM_H), (OM_XMIN, OM_YMIN), OM_RES),
 )
+q_reproject_somerc = _q_reproject(
+    "nearest", 2056,
+    ((SOM_W, SOM_H), (SOM_XMIN, SOM_YMIN), SOM_RES),
+)
 q_reproject_triangular = _q_reproject("triangular")
 
 
 def q_reproject_crs_families(spark, sf_dir):
-    """Eight projection families (web mercator, polar stereo north,
+    """Nine projection families (web mercator, polar stereo north,
     LCC 2SP, Albers 2SP, MODIS sinusoidal, EASE-Grid 2.0 cylindrical
     equal-area, geostationary satellite view, Hotine oblique Mercator
-    variant B) verified value-level in ONE tagged union entry so the
+    variant B, Swiss oblique Mercator) verified value-level in ONE
+    tagged union entry so the
     whole registry stays inside the driver's 50-query correctness
     window (same pattern as coarsen_reducers)."""
     parts = [
@@ -1641,6 +1661,7 @@ def q_reproject_crs_families(spark, sf_dir):
         ("cea", q_reproject_ease2),
         ("geos", q_reproject_geos),
         ("omerc", q_reproject_omerc),
+        ("somerc", q_reproject_somerc),
     ]
     out = None
     for tag, fn in parts:
@@ -1657,7 +1678,7 @@ def _reproject_families_oracle_sql() -> str:
     return "\nUNION ALL\n".join(
         _reproject_oracle_sql("nearest", t, tag=t)
         for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea",
-                  "geos", "omerc")
+                  "geos", "omerc", "somerc")
     )
 
 
@@ -1718,6 +1739,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea",
     elif target == "omerc":
         gw, gh = OM_W, OM_H
         gxmin, gymax, gres = OM_XMIN, OM_YMAX, OM_RES
+    elif target == "somerc":
+        gw, gh = SOM_W, SOM_H
+        gxmin, gymax, gres = SOM_XMIN, SOM_YMAX, SOM_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -2073,6 +2097,66 @@ ll AS (
          degrees(chi + {oA} * sin(2.0 * chi) + {oB} * sin(4.0 * chi)
                  + {oC} * sin(6.0 * chi) + {oD} * sin(8.0 * chi)) AS lat
   FROM o5
+),"""
+    elif target == "somerc":
+        import math as _math
+
+        from xcube_resampling_spark.crs import _somerc_setup
+
+        sw = CRS.from_epsg(2056)
+        s_alpha, s_b0, s_k, s_r = _somerc_setup(sw)
+        se = sw.ellipsoid.e
+        sfe, sfn = sw.param("x_0"), sw.param("y_0")
+        lam0 = _math.radians(sw.param("lon_0"))
+        sb0, cb0 = _math.sin(s_b0), _math.cos(s_b0)
+        # unrolled fixed point: conformal-sphere latitude b ->
+        # ellipsoidal phi (linear convergence factor ~e^2 = 6.7e-3;
+        # 8 steps reach machine epsilon, matching the python kernel's
+        # 12-step loop bit-for-bit at double precision)
+        it = "b"
+        steps = ""
+        for k in range(8):
+            steps += f""",
+it{k} AS (
+  SELECT t, j, i, elam, ss,
+         2.0 * (atan(exp((ss - {r(s_k)}) / {r(s_alpha)}
+           + ({r(se)} / 2.0) * ln((1.0 + {r(se)} * sin({it}))
+                                  / (1.0 - {r(se)} * sin({it})))))
+           - PI() / 4.0) AS phi{k}
+  FROM {"w3" if k == 0 else f"it{k - 1}"}
+)"""
+            it = f"phi{k}"
+        inverse_sql = f"""
+-- Swiss oblique Mercator (EPSG method 9814, Rosenmund) inverse:
+-- Mercator -> pseudo-equator rotation -> conformal sphere ->
+-- ellipsoid (unrolled fixed point)
+w1 AS (
+  SELECT t, j, i,
+         (tx - {r(sfe)}) / {r(s_r)} AS lb,
+         2.0 * (atan(exp((ty - {r(sfn)}) / {r(s_r)})) - PI() / 4.0)
+           AS bb
+  FROM txy
+),
+w2 AS (
+  SELECT t, j, i,
+         asin(LEAST(GREATEST(
+           {r(cb0)} * sin(bb) + {r(sb0)} * cos(bb) * cos(lb),
+           -1.0), 1.0)) AS b,
+         atan2(cos(bb) * sin(lb),
+               {r(cb0)} * cos(bb) * cos(lb) - {r(sb0)} * sin(bb))
+           AS elam
+  FROM w1
+),
+w3 AS (
+  SELECT t, j, i, elam, b,
+         ln(tan(PI() / 4.0 + b / 2.0)) AS ss
+  FROM w2
+){steps},
+ll AS (
+  SELECT t, j, i,
+         degrees({r(lam0)} + elam / {r(s_alpha)}) AS lon,
+         degrees({it}) AS lat
+  FROM it7
 ),"""
     elif target == "sinu":
         rr = r(SINU_R)

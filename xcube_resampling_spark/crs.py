@@ -444,6 +444,20 @@ class CRS:
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
             )
+        if gmn == "swiss_oblique_cylindrical":
+            return CRS(
+                "somerc", "Swiss Oblique Mercator", ell,
+                params=(
+                    ("k_0", float(attrs.get(
+                        "scale_factor_at_projection_origin", 1.0))),
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
         if gmn == "oblique_mercator":
             alpha = float(attrs.get("azimuth_of_central_line", 0.0))
             return CRS(
@@ -792,6 +806,18 @@ class CRS:
                 ),
                 latitude_of_projection_origin=self.param("lat_0"),
                 longitude_of_projection_origin=self.param("lonc"),
+                scale_factor_at_projection_origin=self.param("k_0", 1.0),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "somerc":
+            # CF has no Swiss grid-mapping name; GDAL's netCDF driver
+            # round-trips method 9814 under this de-facto extension name
+            return dict(
+                grid_mapping_name="swiss_oblique_cylindrical",
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lon_0"),
                 scale_factor_at_projection_origin=self.param("k_0", 1.0),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
