@@ -144,3 +144,34 @@ class TestZarr3Interop:
             (adir / "zarr.json").write_text(json.dumps(meta))
             with pytest.raises(NotImplementedError, match=bad):
                 read_zarr3(spark, str(path), "v")
+
+
+class TestZarr3Streaming:
+    def test_write_zarr3_stream_roundtrip(self, spark, tmp_path):
+        """Streaming v3 ingestion: 3 frames arrive as a stream (one
+        t-chunk each); the store reads back equal to the batch write."""
+        from xcube_resampling_spark.sources import write_zarr3_stream
+
+        w, h, nt = 6, 4, 3
+        df = _raster(spark, w, h, nt)
+        src = str(tmp_path / "frames")
+        df.repartition(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "t int, j int, i int, value double"
+        ).parquet(src)
+        path = str(tmp_path / "v3stream")
+        q = write_zarr3_stream(
+            stream, path, "v", (nt, h, w), (1, h, w),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = read_zarr3(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )

@@ -19,7 +19,7 @@ from .zarr import (
     read_zarr,
     write_zarr,
 )
-from .zarr3 import read_zarr3, write_zarr3
+from .zarr3 import read_zarr3, write_zarr3, write_zarr3_stream
 
 __all__ = [
     "CRS_SIDECAR",
@@ -40,5 +40,6 @@ __all__ = [
     "write_pixels",
     "write_zarr",
     "write_zarr3",
+    "write_zarr3_stream",
     "write_zarr_stream",
 ]

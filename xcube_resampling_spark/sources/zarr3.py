@@ -176,27 +176,22 @@ def is_zarr3_array(path: str, var_name: str) -> bool:
     return os.path.exists(os.path.join(path, var_name, "zarr.json"))
 
 
-def write_zarr3(
-    df: DataFrame,
-    path: str,
+def _write_zarr3_metadata(
+    put: ChunkPut,
     var_name: str,
     shape: tuple[int, ...],
     chunks: tuple[int, ...],
-    fill_value: float = float("nan"),
-    codec: str | None = "gzip",
-    attrs: dict | None = None,
-    chunk_put: ChunkPut | None = None,
-    separator: str = "/",
-) -> None:
-    """Write a (t, j, i, value) pixel DataFrame as a zarr v3 float64
-    array (driver writes the two zarr.json documents; executors write
-    one chunk file per ``applyInPandas`` group through ``chunk_put``)."""
+    fill_value: float,
+    codec: str | None,
+    attrs: dict | None,
+    separator: str,
+) -> tuple[list[dict], dict]:
+    """Driver-side zarr.json documents; returns (codecs, key_enc)."""
     if codec not in ("gzip", "blosc", None):
         raise NotImplementedError("codec must be 'gzip', 'blosc', or None")
     nd = len(shape)
     if nd not in (2, 3) or len(chunks) != nd:
         raise ValueError("shape/chunks must both be 2-D or 3-D")
-    put = chunk_put if chunk_put is not None else FsChunkPut(path)
     codecs: list[dict] = [
         {"name": "bytes", "configuration": {"endian": "little"}}
     ]
@@ -232,7 +227,21 @@ def write_zarr3(
         {"zarr_format": 3, "node_type": "group", "attributes": {}}
     ).encode())
     put.put(f"{var_name}/zarr.json", json.dumps(meta).encode())
+    return codecs, key_enc
 
+
+def _write_zarr3_chunks(
+    df: DataFrame,
+    put: ChunkPut,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float,
+    codecs: list[dict],
+    key_enc: dict,
+) -> None:
+    """Distributed chunk write: one applyInPandas task per chunk."""
+    nd = len(shape)
     if nd == 2:
         ct_j, ct_i = chunks
         ct_t = 1
@@ -267,6 +276,65 @@ def write_zarr3(
     keyed.groupBy("ck_t", "ck_j", "ck_i").applyInPandas(
         write_chunk, out_schema
     ).count()
+
+
+def write_zarr3(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float = float("nan"),
+    codec: str | None = "gzip",
+    attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
+    separator: str = "/",
+) -> None:
+    """Write a (t, j, i, value) pixel DataFrame as a zarr v3 float64
+    array (driver writes the two zarr.json documents; executors write
+    one chunk file per ``applyInPandas`` group through ``chunk_put``)."""
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    codecs, key_enc = _write_zarr3_metadata(
+        put, var_name, shape, chunks, fill_value, codec, attrs, separator
+    )
+    _write_zarr3_chunks(
+        df, put, var_name, shape, chunks, fill_value, codecs, key_enc
+    )
+
+
+def write_zarr3_stream(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    fill_value: float = float("nan"),
+    codec: str | None = "gzip",
+    attrs: dict | None = None,
+    chunk_put: ChunkPut | None = None,
+    separator: str = "/",
+    checkpoint: str | None = None,
+):
+    """Streaming zarr v3 ingestion -- the v3 face of
+    ``zarr.write_zarr_stream``: metadata once on the driver (``shape``
+    is the declared maximum extent), each micro-batch lands as chunk
+    files via ``foreachBatch``.  Replay-idempotent when every chunk is
+    fully covered by one micro-batch (``chunks[0] == 1`` frame chunks).
+    Returns the started ``StreamingQuery``."""
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    codecs, key_enc = _write_zarr3_metadata(
+        put, var_name, shape, chunks, fill_value, codec, attrs, separator
+    )
+
+    def write_batch(bdf, _epoch_id):
+        _write_zarr3_chunks(
+            bdf, put, var_name, shape, chunks, fill_value, codecs, key_enc
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def read_zarr3(
