@@ -135,7 +135,7 @@ class TestZarr3Interop:
             "fill_value": "NaN",
             "dimension_names": ["y", "x"],
         }
-        for bad in ("sharding_indexed", "zstd", "crc32c", "transpose"):
+        for bad in ("zstd", "transpose"):
             meta = dict(base, codecs=[
                 {"name": "bytes",
                  "configuration": {"endian": "little"}},
@@ -144,6 +144,18 @@ class TestZarr3Interop:
             (adir / "zarr.json").write_text(json.dumps(meta))
             with pytest.raises(NotImplementedError, match=bad):
                 read_zarr3(spark, str(path), "v")
+        # sharding is supported only as the SOLE (outermost) codec
+        meta = dict(base, codecs=[
+            {"name": "sharding_indexed", "configuration": {
+                "chunk_shape": [2, 2],
+                "codecs": [{"name": "bytes",
+                            "configuration": {"endian": "little"}}],
+            }},
+            {"name": "gzip", "configuration": {"level": 1}},
+        ])
+        (adir / "zarr.json").write_text(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="sharding"):
+            read_zarr3(spark, str(path), "v")
 
 
 class TestZarr3Streaming:
@@ -175,3 +187,97 @@ class TestZarr3Streaming:
         np.testing.assert_array_equal(
             got["value"].to_numpy(), exp["value"].to_numpy()
         )
+
+
+class TestZarr3Sharding:
+    def test_sharded_roundtrip(self, spark, tmp_path):
+        """sharding_indexed: 2 shards of 2x2 inner gzip chunks each,
+        crc32c'd index at the shard end; roundtrips exactly."""
+        w, h = 16, 8
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "v3shard")
+        write_zarr3(
+            df, path, "v", (h, w), (4, 4), shards=(8, 8),
+        )
+        meta = json.load(open(os.path.join(path, "v", "zarr.json")))
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        assert (meta["chunk_grid"]["configuration"]["chunk_shape"]
+                == [8, 8])
+        # two shard objects, not eight chunk objects
+        sh = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(os.path.join(path, "v", "c"))
+            for f in fs
+        ]
+        assert len(sh) == 2
+        got = read_zarr3(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy()
+        )
+
+    def test_shard_index_integrity(self, spark, tmp_path):
+        """The shard index parses per spec: n_inner (offset, nbytes)
+        uint64 pairs + crc32c; a flipped payload byte fails the inner
+        gzip, a flipped index byte fails the crc."""
+        import struct as _struct
+
+        from xcube_resampling_spark.sources.zarr3 import (
+            _crc32c, _decode_shard,
+        )
+
+        w, h = 8, 8
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "v3shard2")
+        write_zarr3(df, path, "v", (h, w), (4, 4), shards=(8, 8))
+        shard_path = os.path.join(path, "v", "c", "0", "0")
+        blob = open(shard_path, "rb").read()
+        idx = blob[-(16 * 4 + 4):]
+        body, crc = idx[:-4], idx[-4:]
+        assert _crc32c(body) == int.from_bytes(crc, "little")
+        offs = [_struct.unpack_from("<QQ", body, 16 * k)
+                for k in range(4)]
+        assert offs[0][0] == 0
+        assert all(o + n <= len(blob) for o, n in offs)
+        # corrupt the index -> crc mismatch
+        bad = blob[:-2] + bytes([blob[-2] ^ 0xFF]) + blob[-1:]
+        with pytest.raises(ValueError, match="crc32c"):
+            _decode_shard(
+                bad, (1, 8, 8), (1, 4, 4), np.dtype("<f8"),
+                [{"name": "gzip", "configuration": {"level": 1}}],
+                [{"name": "bytes",
+                  "configuration": {"endian": "little"}},
+                 {"name": "crc32c"}],
+                "end", float("nan"),
+            )
+
+    def test_missing_inner_chunk_reads_as_fill(self, spark, tmp_path):
+        """An index entry of (2^64-1, 2^64-1) marks an unwritten inner
+        chunk; readers must emit the store fill value there."""
+        import struct as _struct
+
+        from xcube_resampling_spark.sources.zarr3 import (
+            _crc32c, _decode_shard,
+        )
+
+        w, h = 8, 8
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "v3shard3")
+        write_zarr3(df, path, "v", (h, w), (4, 4), shards=(8, 8),
+                    fill_value=-7.0)
+        shard_path = os.path.join(path, "v", "c", "0", "0")
+        blob = bytearray(open(shard_path, "rb").read())
+        idx_off = len(blob) - (16 * 4 + 4)
+        # mark inner chunk 0 missing, re-checksum
+        _struct.pack_into("<QQ", blob, idx_off,
+                          0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+        body = bytes(blob[idx_off:-4])
+        blob[-4:] = _crc32c(body).to_bytes(4, "little")
+        open(shard_path, "wb").write(bytes(blob))
+        got = read_zarr3(spark, path, "v").toPandas()
+        q = got[(got["j"] < 4) & (got["i"] < 4)]
+        assert (q["value"] == -7.0).all()
+        rest = got[(got["j"] >= 4) | (got["i"] >= 4)]
+        assert (rest["value"] != -7.0).all()

@@ -35,6 +35,7 @@ from __future__ import annotations
 import gzip as _gzip
 import json
 import os
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -88,27 +89,55 @@ def _fill_to_json(fill_value: float, data_type: str):
     return int(fill_value)
 
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, polynomial 0x1EDC6F41 reflected 0x82F63B78)
+    -- the checksum of the zarr v3 ``crc32c`` codec and the sharding
+    index.  Table-driven; only ever run over tiny index buffers."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
 def _parse_codecs(codecs: list[dict]) -> tuple[str, list[dict]]:
     """Validate the codec chain; return (endian, bytes->bytes codecs)."""
     if not codecs:
         raise ValueError("zarr v3 array metadata has an empty codecs list")
     for c in codecs:
-        if c.get("name") in ("sharding_indexed", "transpose",
-                             "crc32c", "zstd"):
+        if c.get("name") in ("transpose", "zstd"):
             raise NotImplementedError(
                 f"zarr v3 codec '{c['name']}' not available in this build "
                 "(bytes + gzip/blosc only)"
             )
+        if c.get("name") == "crc32c":
+            # tolerated as a trailing bytes->bytes checksum (verified
+            # and stripped by _decode_chain)
+            continue
     ab = [c for c in codecs if c.get("name") == "bytes"]
     if len(ab) != 1:
         raise NotImplementedError(
             "zarr v3 codec chain must contain exactly one 'bytes' codec"
         )
     endian = (ab[0].get("configuration") or {}).get("endian", "little")
-    bb = [c for c in codecs if c.get("name") in ("gzip", "blosc")]
+    bb = [
+        c for c in codecs
+        if c.get("name") in ("gzip", "blosc", "crc32c")
+    ]
     unknown = [
         c["name"] for c in codecs
-        if c.get("name") not in ("bytes", "gzip", "blosc")
+        if c.get("name") not in ("bytes", "gzip", "blosc", "crc32c")
     ]
     if unknown:
         raise NotImplementedError(
@@ -123,6 +152,11 @@ def _decode_chain(raw: bytes, bb_codecs: list[dict]) -> bytes:
             raw = _gzip.decompress(raw)
         elif c["name"] == "blosc":
             raw = blosc1.decode(raw)
+        elif c["name"] == "crc32c":
+            body, stored = raw[:-4], raw[-4:]
+            if _crc32c(body) != int.from_bytes(stored, "little"):
+                raise ValueError("zarr v3 crc32c checksum mismatch")
+            raw = body
     return raw
 
 
@@ -135,7 +169,84 @@ def _encode_chain(raw: bytes, bb_codecs: list[dict],
         elif c["name"] == "blosc":
             raw = blosc1.encode(raw, typesize=typesize, clevel=1,
                                 shuffle=True)
+        elif c["name"] == "crc32c":
+            raw = raw + _crc32c(raw).to_bytes(4, "little")
     return raw
+
+
+_SHARD_MISSING = 0xFFFFFFFFFFFFFFFF
+
+
+def _encode_shard(
+    block: np.ndarray,
+    inner: tuple[int, int, int],
+    bb_codecs: list[dict],
+) -> bytes:
+    """One shard object: inner chunks encoded by the inner chain in
+    C order, then the (offset, nbytes) uint64-pair index + crc32c at
+    the shard END (the spec's default index_location)."""
+    n = tuple(s // c for s, c in zip(block.shape, inner))
+    payload = bytearray()
+    entries = []
+    for it in range(n[0]):
+        for ij in range(n[1]):
+            for ii in range(n[2]):
+                sub = np.ascontiguousarray(block[
+                    it * inner[0]:(it + 1) * inner[0],
+                    ij * inner[1]:(ij + 1) * inner[1],
+                    ii * inner[2]:(ii + 1) * inner[2],
+                ])
+                raw = _encode_chain(sub.tobytes(), bb_codecs, 8)
+                entries.append((len(payload), len(raw)))
+                payload += raw
+    index = b"".join(
+        struct.pack("<QQ", off, nb) for off, nb in entries
+    )
+    index += _crc32c(index).to_bytes(4, "little")
+    return bytes(payload) + index
+
+
+def _decode_shard(
+    blob: bytes,
+    outer: tuple[int, int, int],
+    inner: tuple[int, int, int],
+    dtype: np.dtype,
+    bb_codecs: list[dict],
+    index_codecs: list[dict],
+    index_location: str,
+    fill: float,
+) -> np.ndarray:
+    n = tuple(s // c for s, c in zip(outer, inner))
+    n_chunks = n[0] * n[1] * n[2]
+    idx_size = 16 * n_chunks
+    if any(c.get("name") == "crc32c" for c in index_codecs):
+        idx_size += 4
+    if index_location == "start":
+        idx_raw, payload_base = blob[:idx_size], 0
+    else:
+        idx_raw, payload_base = blob[-idx_size:], 0
+    _, idx_bb = _parse_codecs(index_codecs)
+    idx = _decode_chain(idx_raw, idx_bb)
+    out = np.full(outer, fill, dtype=np.float64)
+    k = 0
+    for it in range(n[0]):
+        for ij in range(n[1]):
+            for ii in range(n[2]):
+                off, nb = struct.unpack_from("<QQ", idx, 16 * k)
+                k += 1
+                if off == _SHARD_MISSING and nb == _SHARD_MISSING:
+                    continue
+                raw = _decode_chain(
+                    blob[payload_base + off:payload_base + off + nb],
+                    bb_codecs,
+                )
+                sub = np.frombuffer(raw, dtype=dtype).reshape(inner)
+                out[
+                    it * inner[0]:(it + 1) * inner[0],
+                    ij * inner[1]:(ij + 1) * inner[1],
+                    ii * inner[2]:(ii + 1) * inner[2],
+                ] = sub
+    return out
 
 
 def _chunk_key(indices: tuple[int, ...], key_enc: dict) -> str:
@@ -185,8 +296,14 @@ def _write_zarr3_metadata(
     codec: str | None,
     attrs: dict | None,
     separator: str,
+    shards: tuple[int, ...] | None = None,
 ) -> tuple[list[dict], dict]:
-    """Driver-side zarr.json documents; returns (codecs, key_enc)."""
+    """Driver-side zarr.json documents; returns (codecs, key_enc).
+
+    With ``shards``, the chunk grid is the SHARD grid and the codec
+    chain is one ``sharding_indexed`` codec whose inner chunks are
+    ``chunks`` encoded by the inner chain (crc32c'd index at the shard
+    end, per the zarr v3 sharding codec spec / ZEP 2)."""
     if codec not in ("gzip", "blosc", None):
         raise NotImplementedError("codec must be 'gzip', 'blosc', or None")
     nd = len(shape)
@@ -205,6 +322,28 @@ def _write_zarr3_metadata(
                 "typesize": 8, "blocksize": 0,
             },
         })
+    grid_chunks = chunks
+    if shards is not None:
+        if len(shards) != nd:
+            raise ValueError("shards rank must match shape rank")
+        if any(s % c for s, c in zip(shards, chunks)):
+            raise ValueError(
+                "inner chunk_shape must divide the shard shape"
+            )
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunks),
+                "codecs": codecs,
+                "index_codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }]
+        grid_chunks = shards
     key_enc = {
         "name": "default", "configuration": {"separator": separator}
     }
@@ -215,7 +354,7 @@ def _write_zarr3_metadata(
         "data_type": "float64",
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": list(chunks)},
+            "configuration": {"chunk_shape": list(grid_chunks)},
         },
         "chunk_key_encoding": key_enc,
         "fill_value": _fill_to_json(fill_value, "float64"),
@@ -240,7 +379,10 @@ def _write_zarr3_chunks(
     codecs: list[dict],
     key_enc: dict,
 ) -> None:
-    """Distributed chunk write: one applyInPandas task per chunk."""
+    """Distributed chunk write: one applyInPandas task per chunk
+    (per SHARD when the chain is ``sharding_indexed`` -- ``chunks``
+    is then the shard/grid shape and the inner layout comes from the
+    codec configuration)."""
     nd = len(shape)
     if nd == 2:
         ct_j, ct_i = chunks
@@ -257,7 +399,15 @@ def _write_zarr3_chunks(
     )
     fill = float(fill_value)
     chunk_shape = (ct_t, ct_j, ct_i)
-    bb_codecs = codecs[1:]
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        cfg = codecs[0]["configuration"]
+        inner = tuple(int(c) for c in cfg["chunk_shape"])
+        inner3 = (1,) + inner if len(inner) == 2 else inner
+        _, bb_codecs = _parse_codecs(cfg["codecs"])
+        shard_inner: tuple[int, int, int] | None = inner3
+    else:
+        bb_codecs = codecs[1:]
+        shard_inner = None
     out_schema = "key string"
 
     def write_chunk(key, pdf):
@@ -267,7 +417,10 @@ def _write_zarr3_chunks(
         jj = pdf["j"].to_numpy(np.int64) - kj * ct_j
         ii = pdf["i"].to_numpy(np.int64) - ki * ct_i
         block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
-        raw = _encode_chain(block.tobytes(order="C"), bb_codecs, 8)
+        if shard_inner is not None:
+            raw = _encode_shard(block, shard_inner, bb_codecs)
+        else:
+            raw = _encode_chain(block.tobytes(order="C"), bb_codecs, 8)
         indices = (kj, ki) if nd == 2 else (kt, kj, ki)
         k = _chunk_key(indices, key_enc)
         put.put(f"{var_name}/{k}", raw)
@@ -289,16 +442,25 @@ def write_zarr3(
     attrs: dict | None = None,
     chunk_put: ChunkPut | None = None,
     separator: str = "/",
+    shards: tuple[int, ...] | None = None,
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as a zarr v3 float64
     array (driver writes the two zarr.json documents; executors write
-    one chunk file per ``applyInPandas`` group through ``chunk_put``)."""
+    one chunk file per ``applyInPandas`` group through ``chunk_put``).
+
+    With ``shards`` (a multiple of ``chunks`` per axis) the store uses
+    the ``sharding_indexed`` codec: each written object is one SHARD
+    holding many inner chunks plus a crc32c'd offset index -- the v3
+    layout for object stores where billions of tiny chunk objects are
+    the bottleneck (fewer PUTs, ranged GETs per inner chunk)."""
     put = chunk_put if chunk_put is not None else FsChunkPut(path)
     codecs, key_enc = _write_zarr3_metadata(
-        put, var_name, shape, chunks, fill_value, codec, attrs, separator
+        put, var_name, shape, chunks, fill_value, codec, attrs,
+        separator, shards,
     )
     _write_zarr3_chunks(
-        df, put, var_name, shape, chunks, fill_value, codecs, key_enc
+        df, put, var_name, shape, shards if shards else chunks,
+        fill_value, codecs, key_enc,
     )
 
 
@@ -361,8 +523,27 @@ def read_zarr3(
         raise NotImplementedError(
             f"zarr v3 chunk_grid '{grid.get('name')}' not supported"
         )
-    endian, bb_codecs = _parse_codecs(meta.get("codecs", []))
+    all_codecs = meta.get("codecs", [])
+    if all_codecs and all_codecs[0].get("name") == "sharding_indexed":
+        if len(all_codecs) > 1:
+            raise NotImplementedError(
+                "codecs after sharding_indexed not supported"
+            )
+        shard_cfg = all_codecs[0].get("configuration") or {}
+        endian, bb_codecs = _parse_codecs(shard_cfg["codecs"])
+        shard_inner_raw = tuple(
+            int(c) for c in shard_cfg["chunk_shape"]
+        )
+        shard_index_codecs = shard_cfg.get("index_codecs", [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "crc32c"},
+        ])
+        shard_index_location = shard_cfg.get("index_location", "end")
+    else:
+        shard_cfg = None
+        endian, bb_codecs = _parse_codecs(all_codecs)
     dtype = _v3_np_dtype(meta["data_type"], endian)
+    store_fill = _fill_from_json(meta.get("fill_value", "NaN"), dtype)
     key_enc = meta.get("chunk_key_encoding", {"name": "default"})
     attrs = meta.get("attributes", {}) or {}
     fill_attr = attrs.get("_FillValue", attrs.get("missing_value"))
@@ -421,10 +602,21 @@ def read_zarr3(
                     kt, kj, ki = 0, idx[0], idx[1]
                 else:
                     kt, kj, ki = idx
-                raw = _decode_chain(bytes(content), bb_codecs)
-                block = np.frombuffer(raw, dtype=dtype).reshape(
-                    ct_t, ct_j, ct_i
-                )
+                if shard_cfg is not None:
+                    inner3 = (
+                        (1,) + shard_inner_raw
+                        if len(shard_inner_raw) == 2 else shard_inner_raw
+                    )
+                    block = _decode_shard(
+                        bytes(content), (ct_t, ct_j, ct_i), inner3,
+                        dtype, bb_codecs, shard_index_codecs,
+                        shard_index_location, float(store_fill),
+                    )
+                else:
+                    raw = _decode_chain(bytes(content), bb_codecs)
+                    block = np.frombuffer(raw, dtype=dtype).reshape(
+                        ct_t, ct_j, ct_i
+                    )
                 t_off, j_off, i_off = kt * ct_t, kj * ct_j, ki * ct_i
                 vt = min(ct_t, nt - t_off)
                 vj = min(ct_j, h - j_off)
