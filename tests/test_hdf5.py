@@ -91,11 +91,14 @@ class TestCodec:
         with pytest.raises(NotImplementedError, match="filter id 4"):
             decode_hdf5(bytes(blob))
 
-    def test_v2_object_header_rejected_clearly(self):
-        blob = bytearray(encode_hdf5("v", np.zeros((2, 2)), ("y", "x")))
-        (root_oh,) = struct.unpack_from("<Q", blob, 64)
-        blob[root_oh:root_oh + 4] = b"OHDR"
-        with pytest.raises(NotImplementedError, match="version-2"):
+    def test_future_ohdr_version_rejected_clearly(self):
+        blob = bytearray(
+            encode_hdf5("v", np.zeros((2, 2)), ("y", "x"),
+                        header_version=2)
+        )
+        pos = blob.find(b"OHDR")
+        blob[pos + 4] = 3  # no such version
+        with pytest.raises(NotImplementedError, match="OHDR version 3"):
             decode_hdf5(bytes(blob))
 
     def test_truncated_signature_rejected(self):
@@ -151,4 +154,60 @@ class TestSparkRoundtrip:
                        raw * 0.01 + 273.15).ravel()
         np.testing.assert_allclose(
             got["value"].to_numpy(), exp, equal_nan=True
+        )
+
+
+class TestV2ObjectHeaders:
+    def test_lookup3_published_vectors(self):
+        """lookup3.c's own driver vectors pin the checksum
+        implementation."""
+        from xcube_resampling_spark.sources.hdf5 import _lookup3
+
+        assert _lookup3(b"", 0) == 0xDEADBEEF
+        assert _lookup3(b"Four score and seven years ago", 0) == 0x17770551
+        assert _lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_v2_header_roundtrip(self, compress):
+        data = (np.arange(2 * 5 * 6) % 11).astype("<f8").reshape(2, 5, 6)
+        blob = encode_hdf5(
+            "v", data, ("t", "y", "x"),
+            chunks=(1, 3, 3) if compress else None, compress=compress,
+            global_attrs={"j_offset": 4},
+            var_attrs={"scale_factor": 2.0},
+            header_version=2,
+        )
+        assert b"OHDR" in blob
+        p = decode_hdf5(blob)
+        np.testing.assert_array_equal(p["vars"]["v"]["data"], data)
+        assert p["attrs"]["j_offset"] == 4
+        assert p["vars"]["v"]["attrs"]["scale_factor"] == 2.0
+
+    def test_v2_header_checksum_is_valid(self):
+        """The gateway checksum after the chunk-0 messages must be
+        lookup3 over everything from the OHDR signature on."""
+        from xcube_resampling_spark.sources.hdf5 import _lookup3
+
+        blob = encode_hdf5(
+            "v", np.zeros((2, 2)), ("y", "x"), header_version=2
+        )
+        pos = blob.find(b"OHDR")
+        assert pos >= 0
+        (chunk0,) = struct.unpack_from("<I", blob, pos + 6)
+        end = pos + 10 + chunk0
+        (stored,) = struct.unpack_from("<I", blob, end)
+        assert stored == _lookup3(blob[pos:end])
+
+    def test_spark_reads_v2_band_granules(self, spark, tmp_path):
+        from xcube_resampling_spark.sources.hdf5 import encode_hdf5
+
+        data = np.arange(12, dtype="<f8").reshape(3, 4)
+        p = tmp_path / "v2.h5"
+        p.write_bytes(encode_hdf5("v", data, ("y", "x"),
+                                  header_version=2))
+        got = read_hdf5(spark, str(p), "v").toPandas().sort_values(
+            ["j", "i"]
+        )
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel()
         )

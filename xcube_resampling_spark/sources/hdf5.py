@@ -9,7 +9,9 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
 
 * superblock version 0 (and 2/3 accepted on read), 8-byte offsets
   and lengths;
-* version-1 object headers;
+* version-1 object headers, and version-2 ("OHDR", the libver=latest
+  layout) with Jenkins lookup3 gateway checksums -- readable and
+  writable (``header_version=2``);
 * root group as a version-1 B-tree + SNOD symbol table + local heap
   (the default "old-style" group every stock libhdf5 writes);
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
@@ -24,8 +26,8 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   read -- the same convention as zarr.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-version-2 object headers / fractal-heap groups, szip/lzf/scaleoffset
-filters, variable-length and compound datatypes.
+fractal-heap / link-message groups, szip/lzf/scaleoffset filters,
+variable-length and compound datatypes.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
 ``part-<band>.h5`` files written by one ``applyInPandas`` task each
@@ -155,6 +157,45 @@ def _attr_msg(name: str, value) -> bytes:
     return body
 
 
+def _lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins lookup3 ``hashlittle()`` -- the checksum HDF5 uses
+    for version-2 metadata (object headers, continuation blocks).
+    Public-domain algorithm, lookup3.c; verified against its published
+    test vectors in tests."""
+    mask = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & mask
+
+    a = b = c = (0xDEADBEEF + len(data) + initval) & mask
+    i, length = 0, len(data)
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & mask
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & mask
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & mask
+        a = (a - c) & mask; a ^= rot(c, 4); c = (c + b) & mask
+        b = (b - a) & mask; b ^= rot(a, 6); a = (a + c) & mask
+        c = (c - b) & mask; c ^= rot(b, 8); b = (b + a) & mask
+        a = (a - c) & mask; a ^= rot(c, 16); c = (c + b) & mask
+        b = (b - a) & mask; b ^= rot(a, 19); a = (a + c) & mask
+        c = (c - b) & mask; c ^= rot(b, 4); b = (b + a) & mask
+        i += 12
+        length -= 12
+    if length > 0:
+        tail = data[i:] + b"\x00" * (12 - length)
+        a = (a + int.from_bytes(tail[0:4], "little")) & mask
+        b = (b + int.from_bytes(tail[4:8], "little")) & mask
+        c = (c + int.from_bytes(tail[8:12], "little")) & mask
+        c ^= b; c = (c - rot(b, 14)) & mask
+        a ^= c; a = (a - rot(c, 11)) & mask
+        b ^= a; b = (b - rot(a, 25)) & mask
+        c ^= b; c = (c - rot(b, 16)) & mask
+        a ^= c; a = (a - rot(c, 4)) & mask
+        b ^= a; b = (b - rot(a, 14)) & mask
+        c ^= b; c = (c - rot(b, 24)) & mask
+    return c
+
+
 def _messages_block(msgs: list[tuple[int, bytes]]) -> bytes:
     out = bytearray()
     for mtype, body in msgs:
@@ -170,6 +211,22 @@ def _object_header_v1(msgs: list[tuple[int, bytes]]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(msgs), 1, len(block)) + block
 
 
+def _object_header_v2(msgs: list[tuple[int, bytes]]) -> bytes:
+    """Version-2 ("OHDR") object header: 1-byte message types, no
+    8-byte alignment, lookup3 gateway checksum; chunk-0 size stored in
+    4 bytes (flags bits 0-1 = 2), no times / creation order."""
+    block = bytearray()
+    for mtype, body in msgs:
+        if mtype > 0xFF:
+            raise ValueError("v2 message type must fit one byte")
+        block += struct.pack("<BHB", mtype, len(body), 0)
+        block += bytes(body)
+    hdr = b"OHDR" + struct.pack("<BB", 2, 0x02)
+    hdr += struct.pack("<I", len(block))
+    out = hdr + bytes(block)
+    return out + struct.pack("<I", _lookup3(out))
+
+
 def encode_hdf5(
     var_name: str,
     data: np.ndarray,
@@ -178,11 +235,19 @@ def encode_hdf5(
     var_attrs: dict | None = None,
     chunks: tuple[int, ...] | None = None,
     compress: bool = False,
+    header_version: int = 1,
 ) -> bytes:
     """Encode one dataset (plus root/dataset attributes) as an HDF5
-    file image: superblock v0, v1 object headers, old-style root group.
-    ``chunks`` switches the layout to chunked (v1 chunk B-tree);
-    ``compress`` adds shuffle + deflate to the chunk pipeline."""
+    file image: superblock v0, old-style root group, object headers in
+    version 1 (default; what stock libhdf5 writes) or version 2
+    (``header_version=2``; the libver=latest "OHDR" layout with
+    lookup3 gateway checksums).  ``chunks`` switches the layout to
+    chunked (v1 chunk B-tree); ``compress`` adds shuffle + deflate to
+    the chunk pipeline."""
+    if header_version not in (1, 2):
+        raise ValueError("header_version must be 1 or 2")
+    make_oh = (_object_header_v1 if header_version == 1
+               else _object_header_v2)
     data = np.ascontiguousarray(data)
     if data.dtype.kind not in "iuf":
         raise NotImplementedError("numeric datasets only")
@@ -297,7 +362,7 @@ def encode_hdf5(
     for k, v in (var_attrs or {}).items():
         msgs.append((0x000C, _attr_msg(k, v)))
     ds_oh_pos = buf.tell()
-    buf.write(_object_header_v1(msgs))
+    buf.write(make_oh(msgs))
 
     # --- SNOD with the one dataset
     snod_pos = buf.tell()
@@ -321,7 +386,7 @@ def encode_hdf5(
     for k, v in (global_attrs or {}).items():
         root_msgs.append((0x000C, _attr_msg(k, v)))
     root_oh_pos = buf.tell()
-    buf.write(_object_header_v1(root_msgs))
+    buf.write(make_oh(root_msgs))
 
     # --- patch superblock
     buf.patch_u64(eof_pos, buf.tell())
@@ -381,14 +446,47 @@ def _parse_superblock(blob: bytes) -> int:
     raise NotImplementedError(f"superblock version {ver} not supported")
 
 
+def _parse_object_header_v2(blob: bytes, pos: int) -> list[tuple[int, bytes]]:
+    flags = blob[pos + 5]
+    off = pos + 6
+    if flags & 0x20:
+        off += 16  # access/mod/change/birth times
+    if flags & 0x10:
+        off += 4   # compact/dense attribute phase bounds
+    size_bytes = 1 << (flags & 0x03)
+    chunk0 = int.from_bytes(blob[off:off + size_bytes], "little")
+    off += size_bytes
+    track = bool(flags & 0x04)
+    msgs: list[tuple[int, bytes]] = []
+    # (start, message-bytes length); continuation lengths include the
+    # OCHK signature and trailing checksum, chunk 0's does not
+    blocks = [(off, chunk0)]
+    while blocks:
+        boff, blen = blocks.pop(0)
+        end = boff + blen
+        while boff + 4 <= end:
+            mtype = blob[boff]
+            (msize,) = struct.unpack_from("<H", blob, boff + 1)
+            boff2 = boff + 4 + (2 if track else 0)
+            body = blob[boff2:boff2 + msize]
+            if mtype == 0x10:
+                c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                blocks.append((c_off + 4, c_len - 8))
+            else:
+                msgs.append((mtype, body))
+            boff = boff2 + msize
+    return msgs
+
+
 def _parse_object_header(blob: bytes, pos: int) -> list[tuple[int, bytes]]:
+    if blob[pos:pos + 4] == b"OHDR":
+        if blob[pos + 4] != 2:
+            raise NotImplementedError(
+                f"OHDR version {blob[pos + 4]} not supported"
+            )
+        return _parse_object_header_v2(blob, pos)
     ver = blob[pos]
     if ver != 1:
-        if blob[pos:pos + 4] == b"OHDR":
-            raise NotImplementedError(
-                "version-2 object headers not supported (old-style "
-                "files only)"
-            )
         raise ValueError(f"bad object header at {pos}")
     nmsgs, _refs, hsize = struct.unpack_from("<HII", blob, pos + 2)
     msgs: list[tuple[int, bytes]] = []
