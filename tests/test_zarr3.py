@@ -135,15 +135,21 @@ class TestZarr3Interop:
             "fill_value": "NaN",
             "dimension_names": ["y", "x"],
         }
-        for bad in ("zstd", "transpose"):
-            meta = dict(base, codecs=[
-                {"name": "bytes",
-                 "configuration": {"endian": "little"}},
-                {"name": bad, "configuration": {}},
-            ])
-            (adir / "zarr.json").write_text(json.dumps(meta))
-            with pytest.raises(NotImplementedError, match=bad):
-                read_zarr3(spark, str(path), "v")
+        meta = dict(base, codecs=[
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {}},
+        ])
+        (adir / "zarr.json").write_text(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="zstd"):
+            read_zarr3(spark, str(path), "v")
+        # transpose with a non-permutation order is a hard error
+        meta = dict(base, codecs=[
+            {"name": "transpose", "configuration": {"order": [0, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ])
+        (adir / "zarr.json").write_text(json.dumps(meta))
+        with pytest.raises(ValueError, match="transpose order"):
+            read_zarr3(spark, str(path), "v")
         # sharding is supported only as the SOLE (outermost) codec
         meta = dict(base, codecs=[
             {"name": "sharding_indexed", "configuration": {
@@ -281,3 +287,49 @@ class TestZarr3Sharding:
         assert (q["value"] == -7.0).all()
         rest = got[(got["j"] >= 4) | (got["i"] >= 4)]
         assert (rest["value"] != -7.0).all()
+
+
+class TestZarr3Transpose:
+    @pytest.mark.parametrize("order,shape", [
+        ([1, 0], (3, 5)),
+        ([2, 0, 1], (2, 3, 4)),
+    ])
+    def test_transpose_codec_read(self, spark, tmp_path, order, shape):
+        """Stored chunks hold the permuted axis order; the reader
+        applies the inverse permutation."""
+        arr = np.arange(int(np.prod(shape)), dtype="<f8").reshape(shape)
+        path = tmp_path / f"tr{len(shape)}"
+        adir = path / "v"
+        adir.mkdir(parents=True)
+        (path / "zarr.json").write_text(json.dumps(
+            {"zarr_format": 3, "node_type": "group", "attributes": {}}
+        ))
+        (adir / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(shape), "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(shape)}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": "NaN",
+            "codecs": [
+                {"name": "transpose",
+                 "configuration": {"order": order}},
+                {"name": "bytes",
+                 "configuration": {"endian": "little"}},
+            ],
+            "dimension_names": ["t", "y", "x"][-len(shape):],
+        }))
+        key = "c/" + "/".join("0" for _ in shape)
+        (adir / key).parent.mkdir(parents=True, exist_ok=True)
+        (adir / key).write_bytes(
+            np.ascontiguousarray(np.transpose(arr, order)).tobytes()
+        )
+        from xcube_resampling_spark.sources import read_zarr3
+
+        got = read_zarr3(spark, str(path), "v").toPandas().sort_values(
+            ["t", "j", "i"]
+        )
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), arr.reshape(-1)
+        )

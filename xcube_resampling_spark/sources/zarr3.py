@@ -17,10 +17,12 @@ Layout follows the PUBLIC zarr v3 core spec
   stored padded to the full chunk shape, like v2.
 
 Codec chains supported end-to-end: ``bytes`` (little or big endian,
-the mandatory array->bytes codec) optionally followed by ``gzip``
-(stdlib) or ``blosc`` (the in-repo pure-numpy blosc1 frame codec,
-sources/blosc1.py).  ``sharding_indexed``, ``transpose``, ``crc32c``
-and ``zstd`` raise ``NotImplementedError`` with a clear message.
+the mandatory array->bytes codec) optionally preceded by ``transpose``
+(read path) and followed by ``gzip`` (stdlib), ``blosc`` (the in-repo
+pure-numpy blosc1 frame codec, sources/blosc1.py), and/or ``crc32c``;
+plus the ``sharding_indexed`` codec (ZEP 2): whole shards of inner
+chunks with a crc32c'd offset index, read AND write (``shards=``).
+``zstd`` raises ``NotImplementedError`` with a clear message.
 
 The Spark execution shape is identical to the v2 module (and shares
 its scale rationale): metadata is tiny driver-side JSON, chunk writes
@@ -116,9 +118,9 @@ def _parse_codecs(codecs: list[dict]) -> tuple[str, list[dict]]:
     if not codecs:
         raise ValueError("zarr v3 array metadata has an empty codecs list")
     for c in codecs:
-        if c.get("name") in ("transpose", "zstd"):
+        if c.get("name") == "zstd":
             raise NotImplementedError(
-                f"zarr v3 codec '{c['name']}' not available in this build "
+                "zarr v3 codec 'zstd' not available in this build "
                 "(bytes + gzip/blosc only)"
             )
         if c.get("name") == "crc32c":
@@ -137,7 +139,8 @@ def _parse_codecs(codecs: list[dict]) -> tuple[str, list[dict]]:
     ]
     unknown = [
         c["name"] for c in codecs
-        if c.get("name") not in ("bytes", "gzip", "blosc", "crc32c")
+        if c.get("name") not in ("bytes", "gzip", "blosc", "crc32c",
+                                 "transpose")
     ]
     if unknown:
         raise NotImplementedError(
@@ -247,6 +250,23 @@ def _decode_shard(
                     ii * inner[2]:(ii + 1) * inner[2],
                 ] = sub
     return out
+
+
+def _transpose_order(
+    codecs: list[dict], rank: int
+) -> tuple[int, ...] | None:
+    """Permutation of the array->array ``transpose`` codec, if present
+    (it must precede the ``bytes`` codec; stored chunks hold the
+    permuted axis order and readers apply the inverse)."""
+    for c in codecs:
+        if c.get("name") == "transpose":
+            order = (c.get("configuration") or {}).get("order")
+            if order is None or sorted(order) != list(range(rank)):
+                raise ValueError(
+                    f"invalid transpose order {order!r} for rank {rank}"
+                )
+            return tuple(int(a) for a in order)
+    return None
 
 
 def _chunk_key(indices: tuple[int, ...], key_enc: dict) -> str:
@@ -531,6 +551,11 @@ def read_zarr3(
             )
         shard_cfg = all_codecs[0].get("configuration") or {}
         endian, bb_codecs = _parse_codecs(shard_cfg["codecs"])
+        if any(c.get("name") == "transpose"
+               for c in shard_cfg["codecs"]):
+            raise NotImplementedError(
+                "transpose inside sharding_indexed not supported"
+            )
         shard_inner_raw = tuple(
             int(c) for c in shard_cfg["chunk_shape"]
         )
@@ -559,6 +584,15 @@ def read_zarr3(
     shape = tuple(int(s) for s in meta["shape"])
     chunks = tuple(int(c) for c in grid["configuration"]["chunk_shape"])
     nd = len(shape)
+    t_order = (
+        None if shard_cfg is not None
+        else _transpose_order(all_codecs, nd)
+    )
+    t_inverse = (
+        tuple(int(a) for a in np.argsort(t_order))
+        if t_order is not None else None
+    )
+    chunks_nd = chunks
     if nd == 2:
         shape3 = (1,) + shape
         chunks3 = (1,) + chunks
@@ -612,6 +646,14 @@ def read_zarr3(
                         dtype, bb_codecs, shard_index_codecs,
                         shard_index_location, float(store_fill),
                     )
+                elif t_order is not None:
+                    # stored chunks hold the permuted axis order;
+                    # undo it before the t/j/i promotion
+                    raw = _decode_chain(bytes(content), bb_codecs)
+                    stored = tuple(chunks_nd[a] for a in t_order)
+                    blk = np.frombuffer(raw, dtype=dtype).reshape(stored)
+                    blk = np.transpose(blk, axes=t_inverse)
+                    block = blk.reshape(ct_t, ct_j, ct_i)
                 else:
                     raw = _decode_chain(bytes(content), bb_codecs)
                     block = np.frombuffer(raw, dtype=dtype).reshape(
