@@ -1023,3 +1023,79 @@ def test_sampling_and_tfidf_plan_shapes(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestProductQuantization:
+    def _embeddings(self, spark, n=120, dim=8, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # 4 well-separated clusters so PQ recall is testable
+        centers = rng.normal(0, 10, (4, dim))
+        rows = []
+        for i in range(n):
+            v = centers[i % 4] + rng.normal(0, 0.5, dim)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_pq_roundtrip_recall_and_compression(self, spark):
+        import numpy as np
+
+        from xcube_resampling_spark.extensions.similarity import (
+            pq_encode, pq_topk, pq_train,
+        )
+
+        emb = self._embeddings(spark)
+        books = pq_train(emb, m=4, ksub=8, iterations=2)
+        rows = books.collect()
+        # m*ksub entries, codes dense 0..ksub-1 per subspace
+        assert len(rows) == 4 * 8
+        per_sub = {}
+        for r in rows:
+            per_sub.setdefault(r.sub, set()).add(r.code)
+        assert all(v == set(range(8)) for v in per_sub.values())
+
+        codes = pq_encode(emb, books)
+        crows = codes.collect()
+        assert len(crows) == 120
+        assert all(len(r.codes) == 4 for r in crows)
+        assert all(0 <= c < 8 for r in crows for c in r.codes)
+
+        # ADC can't rank WITHIN a tight cluster (quantization error ~
+        # intra-cluster noise -- inherent to PQ), but cluster-level
+        # recall must be perfect: every top-10 hit for a cluster-0
+        # query belongs to cluster 0 (clusters are ~10 sigma apart)
+        pdf = emb.toPandas()
+        q = list(pdf[pdf.vec_id == 0].embedding.iloc[0])
+        approx = [r.vec_id for r in
+                  pq_topk(codes, books, q, k=10).collect()]
+        assert len(approx) == 10
+        assert all(v % 4 == 0 for v in approx)
+
+    def test_pq_topk_plan_is_shuffle_free(self, spark):
+        """The ADC scan must stay a literal-LUT expression: no join,
+        no exchange before the final top-k."""
+        from xcube_resampling_spark.extensions.similarity import (
+            pq_encode, pq_topk, pq_train,
+        )
+
+        emb = self._embeddings(spark, n=40)
+        books = pq_train(emb, m=2, ksub=4, iterations=1)
+        # localCheckpoint truncates the encode lineage so the plan
+        # under test is ONLY the ADC scoring expression
+        codes = pq_encode(emb, books).localCheckpoint()
+        out = pq_topk(codes, books, [0.0] * 8, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_pq_validation(self, spark):
+        import pytest as _pytest
+
+        from xcube_resampling_spark.extensions.similarity import pq_train
+
+        emb = self._embeddings(spark, n=10, dim=8)
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=3)

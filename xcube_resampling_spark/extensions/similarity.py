@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -174,3 +175,132 @@ def ivf_topk(
     return scored.orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     ).limit(k)
+
+
+def _subvector(col: Column, sub: int, sub_dim: int) -> Column:
+    """Slice one PQ subspace out of the embedding (1-based slice)."""
+    return F.slice(col, sub * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou et al., TPAMI 2011): the
+    vector is split into ``m`` contiguous subvectors and each subspace
+    gets its own ``ksub``-entry k-means codebook, so an embedding
+    compresses to ``m`` one-byte codes (e.g. 768 floats -> 8 bytes at
+    m=8) -- the memory layout that makes billion-vector ANN feasible.
+
+    Returns ``(sub, code, centroid array<double>)``.  Each subspace
+    trains with the distributed Lloyd iterations of
+    :func:`kmeans_centroids` over the SLICED column; the driver loop is
+    over ``m`` subspaces (metadata), never over rows."""
+    dim = len(embeddings.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books = None
+    for sub in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            _subvector(F.col("embedding").cast("array<double>"),
+                       sub, sub_dim).alias("embedding"),
+        )
+        cents = kmeans_centroids(sliced, ksub, iterations).select(
+            F.lit(sub).alias("sub"),
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("embedding").alias("centroid"),
+        )
+        books = cents if books is None else books.unionByName(cents)
+    # re-key codes densely 0..ksub-1 per subspace (seed vec_ids are
+    # arbitrary): deterministic rank by the original id
+    win = Window.partitionBy("sub").orderBy("code")
+    return books.select(
+        "sub",
+        (F.row_number().over(win) - 1).alias("code"),
+        "centroid",
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices: per subspace the
+    L2-nearest centroid (broadcast codebooks + min_by, one shuffle for
+    the final per-vector collect)."""
+    books = codebooks.collect()
+    m = 1 + max(r.sub for r in books)
+    sub_dim = len(books[0].centroid)
+    parts = None
+    for sub in range(m):
+        sv = embeddings.select(
+            "vec_id",
+            _subvector(F.col("embedding").cast("array<double>"),
+                       sub, sub_dim).alias("sv"),
+        )
+        cb = F.broadcast(
+            codebooks.filter(F.col("sub") == sub)
+            .select("code", "centroid")
+        )
+        pairs = sv.crossJoin(cb)
+        d2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("centroid"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = pairs.select(
+            "vec_id", "code", d2.alias("d2")
+        ).groupBy("vec_id").agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("d2"), F.col("code"))
+            ).alias("code")
+        ).select("vec_id", F.lit(sub).alias("sub"), "code")
+        parts = best if parts is None else parts.unionByName(best)
+    return parts.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub", "code"))
+        ).alias("sc")
+    ).select(
+        "vec_id",
+        F.transform(F.col("sc"), lambda s: s["code"]).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query's distance to
+    every codebook centroid becomes a tiny driver-side lookup table
+    (m x ksub doubles) embedded as a LITERAL flat array, so scoring is
+    one whole-stage-codegen expression over the codes column -- zero
+    joins, zero shuffles before the final TakeOrderedAndProject."""
+    books = sorted(
+        codebooks.collect(), key=lambda r: (r.sub, r.code)
+    )
+    m = 1 + max(r.sub for r in books)
+    ksub = 1 + max(r.code for r in books)
+    sub_dim = len(books[0].centroid)
+    lut = [0.0] * (m * ksub)
+    for r in books:
+        q_sub = query[r.sub * sub_dim:(r.sub + 1) * sub_dim]
+        lut[r.sub * ksub + r.code] = float(
+            sum((a - b) ** 2 for a, b in zip(q_sub, r.centroid))
+        )
+    lut_col = F.array(*[F.lit(v) for v in lut])
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(lut_col, (i * ksub + c + 1)
+                                      .cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return codes.select(
+        "vec_id", F.round(dist, 6).alias("adc_dist")
+    ).orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
