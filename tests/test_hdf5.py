@@ -211,3 +211,44 @@ class TestV2ObjectHeaders:
         np.testing.assert_array_equal(
             got["value"].to_numpy(), data.ravel()
         )
+
+
+class TestLinkMessageGroups:
+    @pytest.mark.parametrize("hv", [1, 2])
+    def test_links_group_roundtrip(self, hv):
+        """New-style compact group: Link Info + hard Link messages
+        instead of the symbol-table triple; no HEAP/TREE/SNOD in the
+        file at all."""
+        data = np.arange(12, dtype="<f8").reshape(3, 4)
+        blob = encode_hdf5(
+            "v", data, ("y", "x"), global_attrs={"j_offset": 2},
+            header_version=hv, group_style="links",
+        )
+        assert b"SNOD" not in blob and b"HEAP" not in blob
+        p = decode_hdf5(blob)
+        np.testing.assert_array_equal(p["vars"]["v"]["data"], data)
+        assert p["attrs"]["j_offset"] == 2
+
+    def test_dense_group_storage_rejected_clearly(self):
+        blob = bytearray(
+            encode_hdf5("v", np.zeros((2, 2)), ("y", "x"),
+                        group_style="links")
+        )
+        # point the Link Info fractal-heap address at something real
+        i = blob.find(struct.pack("<BBQQ", 0, 0,
+                                  0xFFFFFFFFFFFFFFFF,
+                                  0xFFFFFFFFFFFFFFFF))
+        assert i > 0
+        struct.pack_into("<Q", blob, i + 2, 4096)
+        with pytest.raises(NotImplementedError, match="fractal-heap"):
+            decode_hdf5(bytes(blob))
+
+    def test_soft_links_are_skipped(self):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _parse_link_message,
+        )
+
+        nm = b"target"
+        # flags bit3: link-type field present; type 1 = soft
+        body = struct.pack("<BBBB", 1, 0x08, 1, len(nm)) + nm + b"/a\x00"
+        assert _parse_link_message(body) is None

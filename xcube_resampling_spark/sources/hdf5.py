@@ -13,7 +13,9 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   layout) with Jenkins lookup3 gateway checksums -- readable and
   writable (``header_version=2``);
 * root group as a version-1 B-tree + SNOD symbol table + local heap
-  (the default "old-style" group every stock libhdf5 writes);
+  (the default "old-style" group every stock libhdf5 writes), and
+  new-style COMPACT groups (Link Info + hard Link messages,
+  ``group_style="links"`` on write);
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
   IEEE float, either endianness), fill value (0x0005), data layout
   (0x0008 v3: contiguous and chunked), filter pipeline (0x000B:
@@ -26,7 +28,7 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   read -- the same convention as zarr.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-fractal-heap / link-message groups, szip/lzf/scaleoffset filters,
+dense fractal-heap link storage, szip/lzf/scaleoffset filters,
 variable-length and compound datatypes.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
@@ -236,6 +238,7 @@ def encode_hdf5(
     chunks: tuple[int, ...] | None = None,
     compress: bool = False,
     header_version: int = 1,
+    group_style: str = "symbol_table",
 ) -> bytes:
     """Encode one dataset (plus root/dataset attributes) as an HDF5
     file image: superblock v0, old-style root group, object headers in
@@ -267,17 +270,19 @@ def encode_hdf5(
     root_entry_pos = buf.tell()
     buf.write(b"\x00" * 40)                    # root sym table entry
 
-    # --- local heap: "" at 0, then the dataset name
-    name_b = var_name.encode() + b"\x00"
-    heap_data = b"\x00" * 8 + name_b + b"\x00" * (-len(name_b) % 8)
-    name_off = 8
-    free_off = len(heap_data)
-    heap_data += b"\x00" * 16  # free block (size >= 16)
-    heap_hdr_pos = buf.tell()
-    buf.write(b"HEAP" + struct.pack("<B3x", 0))
-    buf.write(struct.pack("<QQQ", len(heap_data), free_off,
-                          heap_hdr_pos + 8 + 24))
-    buf.write(heap_data)
+    # --- local heap: "" at 0, then the dataset name (symbol-table
+    # style only; link-message groups need no heap)
+    if group_style == "symbol_table":
+        name_b = var_name.encode() + b"\x00"
+        heap_data = b"\x00" * 8 + name_b + b"\x00" * (-len(name_b) % 8)
+        name_off = 8
+        free_off = len(heap_data)
+        heap_data += b"\x00" * 16  # free block (size >= 16)
+        heap_hdr_pos = buf.tell()
+        buf.write(b"HEAP" + struct.pack("<B3x", 0))
+        buf.write(struct.pack("<QQQ", len(heap_data), free_off,
+                              heap_hdr_pos + 8 + 24))
+        buf.write(heap_data)
 
     # --- dataset payload
     fdata = data
@@ -364,25 +369,40 @@ def encode_hdf5(
     ds_oh_pos = buf.tell()
     buf.write(make_oh(msgs))
 
-    # --- SNOD with the one dataset
-    snod_pos = buf.tell()
-    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
-    snod += struct.pack("<QQI4x16x", name_off, ds_oh_pos, 0)
-    # symbol table nodes are sized for 2K entries; one entry is fine,
-    # readers honor the count
-    buf.write(snod)
+    if group_style == "symbol_table":
+        # --- SNOD with the one dataset
+        snod_pos = buf.tell()
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
+        snod += struct.pack("<QQI4x16x", name_off, ds_oh_pos, 0)
+        # symbol table nodes are sized for 2K entries; one entry is
+        # fine, readers honor the count
+        buf.write(snod)
 
-    # --- group B-tree (v1, node type 0) with one SNOD child
-    bt_pos = buf.tell()
-    bt = b"TREE" + struct.pack("<BBH", 0, 0, 1)
-    bt += struct.pack("<QQ", _UNDEF, _UNDEF)
-    bt += struct.pack("<Q", 0)          # key 0: heap offset of ""
-    bt += struct.pack("<Q", snod_pos)   # child 0
-    bt += struct.pack("<Q", name_off)   # key 1: last name
-    buf.write(bt)
+        # --- group B-tree (v1, node type 0) with one SNOD child
+        bt_pos = buf.tell()
+        bt = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        bt += struct.pack("<QQ", _UNDEF, _UNDEF)
+        bt += struct.pack("<Q", 0)          # key 0: heap offset of ""
+        bt += struct.pack("<Q", snod_pos)   # child 0
+        bt += struct.pack("<Q", name_off)   # key 1: last name
+        buf.write(bt)
+        root_msgs = [
+            (0x0011, struct.pack("<QQ", bt_pos, heap_hdr_pos))
+        ]
+        entry_scratch = (bt_pos, heap_hdr_pos, 1)
+    else:
+        # new-style compact group: Link Info (no fractal heap, no
+        # creation-order index) + one hard Link message per dataset
+        nm = var_name.encode()
+        link = struct.pack("<BBB", 1, 0x00, len(nm)) + nm
+        link += struct.pack("<Q", ds_oh_pos)
+        root_msgs = [
+            (0x0002, struct.pack("<BBQQ", 0, 0, _UNDEF, _UNDEF)),
+            (0x0006, link),
+        ]
+        entry_scratch = (0, 0, 0)
 
     # --- root group object header
-    root_msgs = [(0x0011, struct.pack("<QQ", bt_pos, heap_hdr_pos))]
     for k, v in (global_attrs or {}).items():
         root_msgs.append((0x000C, _attr_msg(k, v)))
     root_oh_pos = buf.tell()
@@ -390,8 +410,10 @@ def encode_hdf5(
 
     # --- patch superblock
     buf.patch_u64(eof_pos, buf.tell())
-    entry = struct.pack("<QQI4xQQ", 0, root_oh_pos, 1, bt_pos,
-                        heap_hdr_pos)
+    entry = struct.pack(
+        "<QQI4xQQ", 0, root_oh_pos, entry_scratch[2],
+        entry_scratch[0], entry_scratch[1],
+    )
     buf.b[root_entry_pos:root_entry_pos + 40] = entry
     return bytes(buf.b)
 
@@ -567,10 +589,57 @@ def _parse_attribute(body: bytes):
     ]
 
 
+def _parse_link_message(body: bytes) -> tuple[str, int] | None:
+    """Link message (0x0006): returns (name, OH address) for hard
+    links, None for soft/external links (skipped with a warning-free
+    pass -- datasets are always hard-linked)."""
+    ver, flags = body[0], body[1]
+    if ver != 1:
+        raise NotImplementedError(f"link message version {ver}")
+    off = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[off]
+        off += 1
+    if flags & 0x04:
+        off += 8  # creation order
+    if flags & 0x10:
+        off += 1  # charset
+    nlen_size = 1 << (flags & 0x03)
+    nlen = int.from_bytes(body[off:off + nlen_size], "little")
+    off += nlen_size
+    name = body[off:off + nlen].decode()
+    off += nlen
+    if ltype != 0:
+        return None  # soft/external/user link
+    (oh_addr,) = struct.unpack_from("<Q", body, off)
+    return name, oh_addr
+
+
 def _walk_group(blob: bytes, msgs) -> dict[str, int]:
-    """name -> object header address for an old-style group."""
+    """name -> object header address: old-style symbol-table groups
+    (0x0011) AND new-style compact link-message groups (0x0006);
+    dense (fractal-heap) link storage is rejected clearly via the
+    Link Info message (0x0002)."""
     out: dict[str, int] = {}
     for mtype, body in msgs:
+        if mtype == 0x0002:
+            # Link Info: version(1), flags(1), [max creation index(8)],
+            # fractal heap addr, name-index b-tree addr
+            off = 2 + (8 if body[1] & 0x01 else 0)
+            (heap_addr,) = struct.unpack_from("<Q", body, off)
+            if heap_addr != _UNDEF:
+                raise NotImplementedError(
+                    "dense (fractal-heap) group link storage not "
+                    "supported; compact link messages and symbol-table "
+                    "groups only"
+                )
+            continue
+        if mtype == 0x0006:
+            link = _parse_link_message(body)
+            if link is not None:
+                out[link[0]] = link[1]
+            continue
         if mtype != 0x0011:
             continue
         bt_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
