@@ -243,6 +243,56 @@ class TestCodecProperties:
         assert parsed["attrs"]["seed"] == seed
 
     @given(
+        shape=st.tuples(st.integers(1, 9), st.integers(1, 11)),
+        codec=st.sampled_from(["gzip", "blosc", None]),
+        sharded=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_zarr3_chunk_roundtrip_any_block(
+        self, shape, codec, sharded, seed
+    ):
+        """Driver-side zarr v3 codec invariants: any block roundtrips
+        through the encode/decode chain, and any shard through the
+        indexed shard layout."""
+        from xcube_resampling_spark.sources.zarr3 import (
+            _decode_chain,
+            _decode_shard,
+            _encode_chain,
+            _encode_shard,
+        )
+
+        rng = np.random.default_rng(seed)
+        data = rng.normal(0, 50, (1,) + shape)
+        chain = []
+        if codec == "gzip":
+            chain = [{"name": "gzip", "configuration": {"level": 1}}]
+        elif codec == "blosc":
+            chain = [{"name": "blosc"}]
+        chain = chain + [{"name": "crc32c"}]
+        if sharded:
+            # inner chunks = halves (padded up to even dims)
+            pad = tuple((1,) + tuple(s + s % 2 for s in shape))
+            block = np.zeros(pad)
+            block[:, :shape[0], :shape[1]] = data
+            inner = (1, pad[1] // 2 or 1, pad[2] // 2 or 1)
+            shard = _encode_shard(block, inner, chain)
+            back = _decode_shard(
+                shard, pad, inner, np.dtype("<f8"), chain,
+                [{"name": "bytes",
+                  "configuration": {"endian": "little"}},
+                 {"name": "crc32c"}],
+                "end", float("nan"),
+            )
+            np.testing.assert_array_equal(back, block)
+        else:
+            raw = _encode_chain(data.tobytes(), chain, 8)
+            back = np.frombuffer(
+                _decode_chain(raw, chain), dtype="<f8"
+            ).reshape(data.shape)
+            np.testing.assert_array_equal(back, data)
+
+    @given(
         lons=st.lists(st.floats(-179.9, 179.9), min_size=1, max_size=8),
         lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
         code=st.sampled_from(
