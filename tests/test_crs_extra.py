@@ -888,3 +888,45 @@ class TestSwissObliqueMercator:
         lo2, la2 = Transformer.from_crs(crs, g).transform(x, y)
         np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
         np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)
+
+
+class TestKrovak:
+    def test_epsg_gn72_worked_example(self):
+        """EPSG Guidance Note 7-2 Krovak worked example (S-JTSK):
+        phi = 50d12'32.4416"N, lam = 34d30'59.1790" East of Ferro ->
+        Southing 1050538.63, Westing 568991.00; EPSG:5514 East-North
+        negates both."""
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        crs = CRS.from_epsg(5514)
+        g = CRS("geographic", "g", crs.ellipsoid, ())
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        lon = (34 + 30 / 60 + 59.1790 / 3600) - (17 + 40 / 60)
+        x, y = Transformer.from_crs(g, crs).transform(
+            np.array([lon]), np.array([lat])
+        )
+        assert abs(x[0] - (-568991.00)) < 0.02
+        assert abs(y[0] - (-1050538.63)) < 0.02
+        lo, la = Transformer.from_crs(crs, g).transform(x, y)
+        np.testing.assert_allclose(lo, [lon], atol=1e-9)
+        np.testing.assert_allclose(la, [lat], atol=1e-9)
+
+    def test_czechia_has_negative_east_north(self):
+        """The whole of Czechia/Slovakia lands in the negative E/N
+        quadrant under EPSG:5514 -- the standard sanity check for
+        Krovak East North axes."""
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, Transformer
+
+        crs = CRS.from_epsg(5514)
+        g = CRS("geographic", "g", crs.ellipsoid, ())
+        LO, LA = np.meshgrid(np.linspace(12.1, 22.5, 8),
+                             np.linspace(47.8, 51.0, 8))
+        x, y = Transformer.from_crs(g, crs).transform(
+            LO.ravel(), LA.ravel()
+        )
+        assert (x < 0).all() and (y < 0).all()
+        assert (-950000 < x).all() and (-1350000 < y).all()

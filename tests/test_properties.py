@@ -297,7 +297,7 @@ class TestCodecProperties:
         lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
         code=st.sampled_from(
             [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700,
-             23032, 29873, 2056]
+             23032, 29873, 2056, 5514]
         ),
     )
     @settings(max_examples=150, deadline=None)
@@ -332,6 +332,11 @@ class TestCodecProperties:
             lon0 = crs.param("lon_0")
             lo = lon0 + np.clip(lo - lon0, -60.0, 60.0)
             la = np.clip(la, -60.0, 60.0)
+        if crs.kind == "krovak":
+            # oblique conic: stay within the cone's sane quadrant
+            lon0 = crs.param("lon_0")
+            lo = lon0 + np.clip(lo - lon0, -30.0, 30.0)
+            la = np.clip(la, 20.0, 70.0)
         if crs.kind == "aea":
             la = np.clip(la, 10.0, 70.0)
         fwd = Transformer.from_crs(CRS_WGS84, crs)

@@ -195,6 +195,26 @@ class CRS:
                 ),
                 auth_code="EPSG:27700",
             )
+        if code == 5514:
+            # S-JTSK / Krovak East North: oblique conformal conic
+            # (EPSG method 9819) on Bessel 1841.  lon_0 stored in
+            # Greenwich terms (42d30' E of Ferro = 24d50' E Greenwich;
+            # the Ferro shift cancels in longitude differences).
+            return CRS(
+                "krovak",
+                "S-JTSK / Krovak East North",
+                _Ellipsoid(*_ELLIPSOIDS["Bessel1841"]),
+                params=(
+                    ("k_0", 0.9999),
+                    ("lat_0", 49.5),
+                    ("lon_0", 24.0 + 50.0 / 60),
+                    ("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600),
+                    ("lat_p", 78.5),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:5514",
+            )
         if code in (2056, 21781):
             # CH1903+ / LV95 and CH1903 / LV03: Swiss Oblique Mercator
             # (EPSG method 9814, Rosenmund double projection) on Bessel
@@ -1767,6 +1787,103 @@ def _somerc_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Krovak oblique conformal conic (EPSG method 9819; EPSG Guidance Note
+# 7-2 "Krovak").  The S-JTSK national grid of Czechia and Slovakia:
+# Gaussian sphere -> rotation to the oblique cone axis -> conformal
+# conic at the pseudo standard parallel.  The native axes point SOUTH
+# (X) and WEST (Y); EPSG:5514 "Krovak East North" negates both.  The
+# historic Ferro prime meridian cancels out of every longitude
+# DIFFERENCE, so Greenwich longitudes work throughout.
+
+
+def _krovak_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+    phi_c = math.radians(crs.param("lat_0"))
+    alpha_c = math.radians(crs.param("alpha"))
+    phi_p = math.radians(crs.param("lat_p"))
+    k_p = crs.param("k_0", 1.0)
+    s_c = math.sin(phi_c)
+    big_a = ell.a * math.sqrt(1.0 - e2) / (1.0 - e2 * s_c * s_c)
+    big_b = math.sqrt(1.0 + e2 * math.cos(phi_c) ** 4 / (1.0 - e2))
+    gamma0 = math.asin(s_c / big_b)
+    t0 = (
+        math.tan(math.pi / 4 + gamma0 / 2)
+        * ((1.0 + e * s_c) / (1.0 - e * s_c)) ** (e * big_b / 2)
+        / math.tan(math.pi / 4 + phi_c / 2) ** big_b
+    )
+    n = math.sin(phi_p)
+    r0 = k_p * big_a / math.tan(phi_p)
+    return big_b, t0, n, r0, alpha_c, phi_p
+
+
+def _krovak_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    e = ell.e
+    big_b, t0, n, r0, alpha_c, phi_p = _krovak_setup(crs)
+    lam0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(phi)
+    big_u = 2.0 * (np.arctan(
+        t0 * np.tan(phi / 2 + np.pi / 4) ** big_b
+        / ((1.0 + e * s) / (1.0 - e * s)) ** (e * big_b / 2)
+    ) - np.pi / 4)
+    big_v = big_b * (lam0 - lam)
+    big_t = np.arcsin(np.clip(
+        math.cos(alpha_c) * np.sin(big_u)
+        + math.sin(alpha_c) * np.cos(big_u) * np.cos(big_v),
+        -1.0, 1.0,
+    ))
+    big_d = np.arcsin(np.clip(
+        np.cos(big_u) * np.sin(big_v) / np.cos(big_t), -1.0, 1.0
+    ))
+    theta = n * big_d
+    r = (r0 * math.tan(math.pi / 4 + phi_p / 2) ** n
+         / np.tan(big_t / 2 + np.pi / 4) ** n)
+    x_south = r * np.cos(theta)
+    y_west = r * np.sin(theta)
+    # EPSG:5514 East-North axes: E = -westing, N = -southing
+    return -y_west + fe, -x_south + fn
+
+
+def _krovak_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    e = ell.e
+    big_b, t0, n, r0, alpha_c, phi_p = _krovak_setup(crs)
+    lam0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    y_west = -(np.asarray(x, dtype=np.float64) - fe)
+    x_south = -(np.asarray(y, dtype=np.float64) - fn)
+    r = np.hypot(x_south, y_west)
+    theta = np.arctan2(y_west, x_south)
+    big_d = theta / n
+    big_t = 2.0 * (np.arctan(
+        (r0 / r) ** (1.0 / n) * math.tan(math.pi / 4 + phi_p / 2)
+    ) - np.pi / 4)
+    big_u = np.arcsin(np.clip(
+        math.cos(alpha_c) * np.sin(big_t)
+        - math.sin(alpha_c) * np.cos(big_t) * np.cos(big_d),
+        -1.0, 1.0,
+    ))
+    big_v = np.arcsin(np.clip(
+        np.cos(big_t) * np.sin(big_d) / np.cos(big_u), -1.0, 1.0
+    ))
+    lam = lam0 - big_v / big_b
+    # Gaussian latitude -> ellipsoidal latitude by fixed point
+    phi = big_u
+    base = np.tan(big_u / 2 + np.pi / 4)
+    for _ in range(12):
+        s = np.sin(phi)
+        phi = 2.0 * (np.arctan(
+            (base / t0) ** (1.0 / big_b)
+            * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2)
+        ) - np.pi / 4)
+    return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
 # Geostationary satellite view (the GOES-R ABI / MSG SEVIRI fixed grid;
 # PROJ 'geos', CGMS LRIT/HRIT Global Specification sec. 4.4).  Grid
 # coordinates are scan angles times the perspective height:
@@ -1981,6 +2098,8 @@ class Transformer:
             lon, lat = _omerc_inverse(self.src, x, y)
         elif self.src.kind == "somerc":
             lon, lat = _somerc_inverse(self.src, x, y)
+        elif self.src.kind == "krovak":
+            lon, lat = _krovak_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # datum bridge: only when either side declares a towgs84 shift
@@ -2015,6 +2134,8 @@ class Transformer:
             return _omerc_forward(self.dst, lon, lat)
         if self.dst.kind == "somerc":
             return _somerc_forward(self.dst, lon, lat)
+        if self.dst.kind == "krovak":
+            return _krovak_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
