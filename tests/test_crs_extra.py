@@ -930,3 +930,46 @@ class TestKrovak:
         )
         assert (x < 0).all() and (y < 0).all()
         assert (-950000 < x).all() and (-1350000 < y).all()
+
+
+class TestSouthernHemisphereNationalGrids:
+    """EPSG:2193 (NZTM2000), EPSG:3577 (Australian Albers), EPSG:3112
+    (GA Lambert): southern-hemisphere parameterizations of the already
+    golden-verified tmerc/aea/lcc machinery -- origin anchors and
+    machine-precision roundtrips over each grid's home territory."""
+
+    def test_origins_and_roundtrips(self):
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, CRS_WGS84, Transformer
+
+        cases = [
+            (2193, 173.0, 1600000.0, 10000000.0, (166, 179, -47, -34)),
+            (3577, 132.0, 0.0, 0.0, (113, 154, -44, -10)),
+            (3112, 134.0, 0.0, 0.0, (113, 154, -44, -10)),
+        ]
+        for code, lon0, fe, fn, (w, e, s, n) in cases:
+            crs = CRS.from_epsg(code)
+            fwd = Transformer.from_crs(CRS_WGS84, crs)
+            inv = Transformer.from_crs(crs, CRS_WGS84)
+            ox, oy = fwd.transform(np.array([lon0]), np.array([0.0]))
+            assert abs(ox[0] - fe) < 1e-6, code
+            assert abs(oy[0] - fn) < 1e-6, code
+            LO, LA = np.meshgrid(np.linspace(w, e, 8),
+                                 np.linspace(s, n, 8))
+            x, y = fwd.transform(LO.ravel(), LA.ravel())
+            lo2, la2 = inv.transform(x, y)
+            np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-7)
+            np.testing.assert_allclose(la2, LA.ravel(), atol=1e-7)
+
+    def test_nztm_false_northing_keeps_coords_positive(self):
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS, CRS_WGS84, Transformer
+
+        crs = CRS.from_epsg(2193)
+        x, y = Transformer.from_crs(CRS_WGS84, crs).transform(
+            np.array([174.7772]), np.array([-41.2889])  # Wellington
+        )
+        assert 1_000_000 < x[0] < 2_100_000
+        assert 4_700_000 < y[0] < 6_300_000

@@ -195,6 +195,54 @@ class CRS:
                 ),
                 auth_code="EPSG:27700",
             )
+        if code == 2193:
+            # NZGD2000 / New Zealand Transverse Mercator 2000: the
+            # generic Krueger tmerc machinery on GRS80
+            return CRS(
+                "tmerc",
+                "NZGD2000 / New Zealand Transverse Mercator 2000",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("k_0", 0.9996),
+                    ("lat_0", 0.0),
+                    ("lon_0", 173.0),
+                    ("x_0", 1600000.0),
+                    ("y_0", 10000000.0),
+                ),
+                auth_code="EPSG:2193",
+            )
+        if code == 3577:
+            # GDA94 / Australian Albers (EPSG method 9822 on GRS80)
+            return CRS(
+                "aea",
+                "GDA94 / Australian Albers",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("lat_1", -18.0),
+                    ("lat_2", -36.0),
+                    ("lat_0", 0.0),
+                    ("lon_0", 132.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3577",
+            )
+        if code == 3112:
+            # GDA94 / Geoscience Australia Lambert (LCC 2SP on GRS80)
+            return CRS(
+                "lcc",
+                "GDA94 / Geoscience Australia Lambert",
+                _Ellipsoid(*_ELLIPSOIDS["GRS80"]),
+                params=(
+                    ("lat_1", -18.0),
+                    ("lat_2", -36.0),
+                    ("lat_0", 0.0),
+                    ("lon_0", 134.0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code="EPSG:3112",
+            )
         if code == 5514:
             # S-JTSK / Krovak East North: oblique conformal conic
             # (EPSG method 9819) on Bessel 1841.  lon_0 stored in
