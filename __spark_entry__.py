@@ -2756,57 +2756,121 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q_knn_ivf(spark, sf_dir):
-    from xcube_resampling_spark.extensions.similarity import ivf_topk
+    """IVF ANN, tagged union of both index constructions:
+
+    * ``seed``: centroids = the 10 lowest vec_ids (the deterministic
+      default).
+    * ``kmeans``: centroids trained by 2 distributed Lloyd iterations
+      (extensions/similarity.py:93) — the oracle twin unrolls both
+      iterations plus the final assignment as generated CTEs, so the
+      trained index is value-level-verified end-to-end (r4 advice #5).
+    """
+    from xcube_resampling_spark.extensions.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
 
     emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
     query = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
-    return ivf_topk(
+    seed = ivf_topk(
         emb, query, k=10, num_centroids=10, nprobe=2, exclude_vec_id=0
+    )
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    trained = kmeans_centroids(emb_d, num_centroids=10, iterations=2)
+    km = ivf_topk(
+        emb_d, query, k=10, num_centroids=10, nprobe=2, exclude_vec_id=0,
+        centroids=trained,
+    )
+    return seed.select(
+        F.lit("seed").alias("variant"), "vec_id", "cosine"
+    ).unionByName(
+        km.select(F.lit("kmeans").alias("variant"), "vec_id", "cosine")
     )
 
 
-SQL_KNN_IVF = f"""
-WITH q AS (SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0),
-cents AS (
-  SELECT vec_id AS cent_id, {_EMB_D} AS cv FROM embeddings
-  ORDER BY vec_id LIMIT 10
-),
-assigned AS (
+def _lloyd_assign_cte(prev: str, tag: str) -> str:
+    """Nearest-centroid assignment CTE (cosine argmax, lowest cent_id on
+    ties) against centroid table ``prev`` — twin of
+    extensions/similarity.py:62 ``assign_centroids``."""
+    return f"""a_{tag} AS (
   SELECT vec_id, cent_id, v FROM (
-    SELECT e.vec_id, c.cent_id, {_EMB_D} AS v,
+    SELECT e.vec_id, c.cent_id, e.v,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_dot_product({_EMB_D}, c.cv)
-                      / (sqrt(list_dot_product({_EMB_D}, {_EMB_D}))
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                      c.cent_id ASC
-           ) AS rn
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE rn = 1
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+)"""
+
+
+def _lloyd_iter_cte(prev: str, cur: str, tag: str) -> str:
+    """One Lloyd iteration: assignment + positional mean; empty clusters
+    keep their previous centroid — twin of similarity.py:93
+    ``kmeans_centroids``'s loop body."""
+    return f"""{_lloyd_assign_cte(prev, tag)},
+m_{tag} AS (
+  SELECT cent_id, pos, avg(val) AS m
+  FROM (SELECT cent_id, unnest(v) AS val,
+               generate_subscripts(v, 1) AS pos FROM a_{tag})
+  GROUP BY cent_id, pos
 ),
-probes AS (
-  SELECT c.cent_id FROM cents c CROSS JOIN q
-  ORDER BY list_dot_product(c.cv, q.qv)
-           / (sqrt(list_dot_product(c.cv, c.cv))
-              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
-           c.cent_id ASC
-  LIMIT 2
+n_{tag} AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cv FROM m_{tag} GROUP BY cent_id
 ),
-bucket AS (
-  SELECT a.vec_id, a.v FROM assigned a JOIN probes p USING (cent_id)
-),
-scored AS (
-  SELECT b.vec_id,
-         ROUND(list_dot_product(b.v, q.qv)
-               / (sqrt(list_dot_product(b.v, b.v))
-                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-  FROM bucket b CROSS JOIN q
-)
-SELECT vec_id, cosine FROM scored WHERE vec_id != 0
-ORDER BY cosine DESC, vec_id ASC LIMIT 10
+{cur} AS (
+  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN n_{tag} n USING (cent_id)
+)"""
+
+
+def _ivf_probe_sql(cent_table: str, assign_table: str, variant: str) -> str:
+    """Probe-and-score tail shared by both IVF variants."""
+    return f"""
+  SELECT '{variant}' AS variant, vec_id, cosine FROM (
+    WITH probes_{variant} AS (
+      SELECT c.cent_id FROM {cent_table} c CROSS JOIN q
+      ORDER BY list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv))
+                  * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               c.cent_id ASC
+      LIMIT 2
+    ),
+    bucket_{variant} AS (
+      SELECT a.vec_id, a.v FROM {assign_table} a
+      JOIN probes_{variant} p USING (cent_id)
+    )
+    SELECT b.vec_id,
+           ROUND(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM bucket_{variant} b CROSS JOIN q
+    WHERE b.vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+  )"""
+
+
+# seed variant: centroids = 10 lowest vec_ids; kmeans variant: 2 unrolled
+# Lloyd iterations (deterministic seeding => bit-stable across engines at
+# 6-dp rounding) + a final assignment, mirroring ivf_topk(centroids=
+# kmeans_centroids(...)).
+SQL_KNN_IVF = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+q AS (SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0),
+c_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 10),
+{_lloyd_assign_cte('c_0', 'seed')},
+{_lloyd_iter_cte('c_0', 'c_1', 'i1')},
+{_lloyd_iter_cte('c_1', 'c_2', 'i2')},
+{_lloyd_assign_cte('c_2', 'fin')}
+{_ivf_probe_sql('c_0', 'a_seed', 'seed')}
+UNION ALL
+{_ivf_probe_sql('c_2', 'a_fin', 'kmeans')}
 """
 
 
