@@ -3554,13 +3554,40 @@ FROM capd WHERE strata_rank <= 30
 
 
 def q_vocab_stats(spark, sf_dir):
-    """Corpus vocabulary table (tf / df / rank) over documents --
-    stopword derivation and tokenizer-vocabulary analysis for a
-    training corpus; one map-side-combinable aggregation, rank window
-    over the small aggregated vocabulary."""
-    from xcube_resampling_spark.extensions.text import vocab_stats
+    """Corpus vocabulary analysis, tagged union of both derived tables:
 
-    return vocab_stats(_docs(spark, sf_dir), min_df=2)
+    * ``vocab``: per-token tf / df / frequency rank (min_df=2) --
+      stopword derivation and tokenizer-vocabulary decisions.
+    * ``tfidf``: per-document top-3 TF-IDF keywords (smoothed sklearn
+      idf), previously golden-tested only -- the union gives the
+      keyword extractor a value-level oracle row without spending a
+      registry slot.
+
+    Shared superset schema (absent fields NULL per variant):
+    (variant, doc_id, tok, tf, df, score, rank).
+    """
+    from xcube_resampling_spark.extensions.text import (
+        tfidf_topk,
+        vocab_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vs = vocab_stats(docs, min_df=2).select(
+        F.lit("vocab").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "tok", "tf", "df",
+        F.lit(None).cast("double").alias("score"),
+        "rank",
+    )
+    tk = tfidf_topk(docs, k=3).select(
+        F.lit("tfidf").alias("variant"),
+        "doc_id", "tok",
+        "tf",
+        F.lit(None).cast("long").alias("df"),
+        "score",
+        F.col("term_rank").alias("rank"),
+    )
+    return vs.unionByName(tk)
 
 
 SQL_VOCAB = """
@@ -3574,10 +3601,34 @@ agg AS (
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
   FROM toks WHERE tok <> '' GROUP BY tok
   HAVING COUNT(DISTINCT doc_id) >= 2
+),
+doc_tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+idf AS (
+  SELECT tok,
+         ln((1.0 + (SELECT COUNT(DISTINCT doc_id) FROM documents))
+            / (1.0 + COUNT(*))) + 1.0 AS idf
+  FROM doc_tf GROUP BY tok
+),
+tfidf AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         ROUND(t.tf * i.idf, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY ROUND(t.tf * i.idf, 6) DESC, t.tok ASC
+         ) AS INT) AS rank
+  FROM doc_tf t JOIN idf i USING (tok)
 )
-SELECT tok, tf, df,
+SELECT 'vocab' AS variant, CAST(NULL AS BIGINT) AS doc_id, tok, tf, df,
+       CAST(NULL AS DOUBLE) AS score,
        CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INT) AS rank
 FROM agg
+UNION ALL
+SELECT 'tfidf' AS variant, doc_id, tok, tf, CAST(NULL AS BIGINT) AS df,
+       score, rank
+FROM tfidf WHERE rank <= 3
 """
 
 
