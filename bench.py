@@ -131,8 +131,10 @@ def bench_affine_down_mean(spark):
     return _affine_down_df(spark, 2048).count()
 
 
-def _reproject_df(spark, n, tn):
-    """UTM -> LAEA reprojection, n x n src (pandas-UDF transform path)."""
+def _reproject_df(spark, n, tn, nt=1):
+    """UTM -> LAEA reprojection, n x n src (pandas-UDF transform path);
+    ``nt`` > 1 stacks that grid into an (t, y, x) cube -- the BASELINE.md
+    5-date-stack shape (resample_in_space_large_example notebook)."""
     import numpy as np
 
     from xcube_resampling_spark.crs import CRS
@@ -140,10 +142,23 @@ def _reproject_df(spark, n, tn):
     from xcube_resampling_spark.gridmapping import GridMapping
     from xcube_resampling_spark.operators.reproject import reproject_dataset
 
-    r = raster_df(spark, n, n)
+    if nt == 1:
+        r = raster_df(spark, n, n)
+        dims = ("y", "x")
+    else:
+        r = spark.range(nt * n * n).select(
+            (F.col("id") / (n * n)).cast("int").alias("t"),
+            ((F.col("id") % (n * n)) / n).cast("int").alias("j"),
+            (F.col("id") % n).cast("int").alias("i"),
+            (
+                F.sin(F.col("id") % n * 0.01)
+                + F.cos(((F.col("id") % (n * n)) / n) * 0.01)
+            ).cast("double").alias("value"),
+        )
+        dims = ("t", "y", "x")
     src = SparkDataset(
         spark=spark,
-        data_vars={"value": Variable("value", r, ("y", "x"), "float64", {})},
+        data_vars={"value": Variable("value", r, dims, "float64", {})},
         coords={
             "x": np.arange(500000.0 + 50.0, 500000.0 + 100.0 * n, 100.0),
             "y": np.arange(5900000.0 - 50.0, 5900000.0 - 100.0 * n, -100.0),
@@ -211,6 +226,16 @@ SCALE_BENCHES = [
         lambda s: _reproject_df(s, 1024, 1000),
         lambda s: _reproject_df(s, 3238, 3162),
     ),
+    (
+        # BASELINE.md 5-date-stack shape (reproject a (5, n, n) cube in
+        # one pass): reference compute+plot of one date at [::20,::20]
+        # from the 5x64800x129600 stack = 50.4 s single-node.  Here the
+        # whole 5x3162x3162 target (50M px, ~5x the one-slice row) is
+        # materialized, not a subsample.
+        "reproject_5slice",
+        lambda s: _reproject_df(s, 1024, 1000, nt=5),
+        lambda s: _reproject_df(s, 3238, 3162, nt=5),
+    ),
 ]
 
 
@@ -269,14 +294,25 @@ def main():
     # pipelines' shuffle count is size-invariant).  NOT included in the
     # headline wall, so round-over-round comparisons stay apples-to-apples.
     scale_times = {}
+    scale_first = {}
     scale_exchanges = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         for name, head_fn, sf1_fn in SCALE_BENCHES:
             spark.catalog.clearCache()
             df1 = sf1_fn(spark)
+            # two runs: the first pays one-time whole-stage-codegen
+            # compilation (~20 s on the rectify plan -- measured 50.5 s
+            # vs 29.2 s at 10x before block auto-sizing) which a
+            # long-lived cluster amortizes; the min is the steady-state
+            # slope the scale audit is about
             t0 = time.perf_counter()
             df1.count()
-            scale_times[name] = round(time.perf_counter() - t0, 3)
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            df1.count()
+            second = time.perf_counter() - t0
+            scale_first[name] = round(first, 3)
+            scale_times[name] = round(min(first, second), 3)
             head_df = head_fn(spark)
             head_df.count()
             scale_exchanges[name] = [
@@ -284,6 +320,7 @@ def main():
             ]
             print(
                 f"# sf1 {name}: {scale_times[name]:.2f}s "
+                f"(first run {first:.2f}s) "
                 f"exchanges={scale_exchanges[name]}",
                 file=sys.stderr,
             )
@@ -299,8 +336,15 @@ def main():
     if scale_times:
         out["scale_10x"] = {
             "queries": scale_times,
+            "first_runs": scale_first,
             "exchanges_head_vs_10x": scale_exchanges,
-            "note": "one run each at ~10x pixels; excluded from value",
+            "note": (
+                "steady-state (min of 2) at ~10x pixels; first_runs "
+                "include one-time codegen; excluded from value. "
+                "reproject_5slice materializes the full 5x3162x3162 "
+                "target -- BASELINE.md's 5-date-stack shape computes one "
+                "date at [::20,::20] in 50.4 s single-node"
+            ),
         }
     print(json.dumps(out))
     spark.stop()

@@ -74,14 +74,23 @@ def main():
         spark = session(partitions)
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).select(F.sum("id")).collect()
-        br = 128 if v == "block128" else 32
-        if v == "head":
-            df = rectify_df(spark, 1890, 1189, 1800, 1256, 48.0, br, br)
+        combos = {
+            "base": (32, 32),
+            "part128": (32, 32),
+            "block128": (128, 128),
+            "b32d128": (32, 128),
+            "b128d32": (128, 32),
+            "auto": (118, 140),   # ceil(src_h/32), ceil(tgt_h/32)
+            "head": (32, 32),
+            "head118": (38, 40),  # ceil(1189/32), ceil(1256/32)
+        }
+        br, dr = combos.get(v, (32, 32))
+        if v.startswith("head"):
+            df = rectify_df(spark, 1890, 1189, 1800, 1256, 48.0, br, dr)
         else:
-            df = rectify_df(spark, 5977, 3760, 5700, 4480, 16.0, br, br)
+            df = rectify_df(spark, 5977, 3760, 5700, 4480, 16.0, br, dr)
         timed(f"{v} run1", df)
-        if v in ("twice", "base", "part128", "block128"):
-            timed(f"{v} run2", df)
+        timed(f"{v} run2", df)
         spark.stop()
 
 

@@ -820,8 +820,8 @@ def rectify_fused_tiled(
     fill_value: float = float("nan"),
     is_int: bool = False,
     uv_delta: float = UV_DELTA,
-    block_rows: int = 32,
-    dst_block_rows: int = 32,
+    block_rows: int | None = None,
+    dst_block_rows: int | None = None,
 ) -> DataFrame:
     """Scatter + gather + densify in TWO shuffles (reference rectify.py's
     two sequential kernels, 458-576 scatter and 663-734 gather, fused).
@@ -855,6 +855,27 @@ def rectify_fused_tiled(
     u_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
     fill = float(fill_value)
+    # Auto-size blocks so each kernel stage runs ~one group per core:
+    # measured at 10x the headline scene (22.5M px, local[32]), 32-row
+    # blocks (118 scatter / 140 densify groups) ran 29.2s steady-state
+    # (1.75x over linear) while one-group-per-core blocks ran 7.8s
+    # (0.47x linear) -- per-group Arrow serialization and task-wave skew
+    # dominate when groups >> cores.  A pixel cap bounds each group's
+    # dense arrays (~8M px -> tens of MB) so wide sources on small
+    # clusters can't blow executor memory; the floor of 32 keeps tiny
+    # inputs on the tested boundary-duplication geometry.
+    par = max(1, fused.sparkSession.sparkContext.defaultParallelism)
+    max_block_px = 8 << 20
+    if block_rows is None:
+        block_rows = min(
+            max(32, -(-src_h // par)),
+            max(32, max_block_px // max(1, src_w)),
+        )
+    if dst_block_rows is None:
+        dst_block_rows = min(
+            max(32, -(-h // par)),
+            max(32, max_block_px // max(1, w)),
+        )
     B = int(block_rows)
     DB = int(dst_block_rows)
     if interp_method not in ("nearest", "bilinear", "triangular"):
