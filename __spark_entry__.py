@@ -1540,6 +1540,15 @@ GEO_YMAX = GEO_YMIN + GEO_H * GEO_RES
 GEO_H_SAT = 35785831.0
 GEO_LON0 = 9.0
 
+# orthographic view from over (52N, 10E); the UTM source footprint maps
+# to x [-66802, -64246], y [135431, 139465] in that frame
+ORT_W, ORT_H = 24, 39
+ORT_XMIN = -66700.0
+ORT_YMAX = 139400.0
+ORT_RES = 100.0
+ORT_YMIN = ORT_YMAX - ORT_H * ORT_RES
+ORT_LAT0, ORT_LON0 = 52.0, 10.0
+
 
 def _q_reproject(interp: str, crs_id=3035,
                  grid=((26, 36), (4254100.0, 3345300.0), 100.0),
@@ -1633,6 +1642,16 @@ q_reproject_geos = _q_reproject(
     "nearest", _geos_crs,
     ((GEO_W, GEO_H), (GEO_XMIN, GEO_YMIN), GEO_RES),
 )
+def _ortho_crs():
+    from xcube_resampling_spark.crs import CRS
+
+    return CRS.orthographic(lat_0=ORT_LAT0, lon_0=ORT_LON0)
+
+
+q_reproject_ortho = _q_reproject(
+    "nearest", _ortho_crs,
+    ((ORT_W, ORT_H), (ORT_XMIN, ORT_YMIN), ORT_RES),
+)
 q_reproject_omerc = _q_reproject(
     "nearest", 29873,
     ((OM_W, OM_H), (OM_XMIN, OM_YMIN), OM_RES),
@@ -1662,6 +1681,7 @@ def q_reproject_crs_families(spark, sf_dir):
         ("geos", q_reproject_geos),
         ("omerc", q_reproject_omerc),
         ("somerc", q_reproject_somerc),
+        ("ortho", q_reproject_ortho),
     ]
     out = None
     for tag, fn in parts:
@@ -1678,7 +1698,7 @@ def _reproject_families_oracle_sql() -> str:
     return "\nUNION ALL\n".join(
         _reproject_oracle_sql("nearest", t, tag=t)
         for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea",
-                  "geos", "omerc", "somerc")
+                  "geos", "omerc", "somerc", "ortho")
     )
 
 
@@ -1742,6 +1762,9 @@ def _reproject_oracle_sql(interp: str, target: str = "laea",
     elif target == "somerc":
         gw, gh = SOM_W, SOM_H
         gxmin, gymax, gres = SOM_XMIN, SOM_YMAX, SOM_RES
+    elif target == "ortho":
+        gw, gh = ORT_W, ORT_H
+        gxmin, gymax, gres = ORT_XMIN, ORT_YMAX, ORT_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -2157,6 +2180,52 @@ ll AS (
          degrees({r(lam0)} + elam / {r(s_alpha)}) AS lon,
          degrees({it}) AS lat
   FROM it7
+),"""
+    elif target == "ortho":
+        import math as _math
+
+        from xcube_resampling_spark.crs import _ortho_setup
+
+        oc = _ortho_crs()
+        oell, _, os0, oc0, onu0 = _ortho_setup(oc)
+        oa2 = oell.a * oell.a
+        ob2 = oa2 * (1.0 - oell.e2)
+        o_off = oell.e2 * onu0 * os0 * oc0
+        oA = oc0 * oc0 / oa2 + os0 * os0 / ob2
+        o_bdiff = 1.0 / ob2 - 1.0 / oa2
+        inverse_sql = f"""
+-- ellipsoidal orthographic (EPSG method 9840) inverse: exact
+-- ray/ellipsoid intersection in the origin's tangent frame
+-- (crs.py _ortho_inverse; the e2 offset makes N' = n-hat . P)
+o1 AS (
+  SELECT t, j, i, tx AS ep, ty - {r(o_off)} AS npp FROM txy
+),
+o2 AS (
+  SELECT t, j, i, ep, npp,
+         2.0 * npp * {r(os0)} * {r(oc0)} * {r(o_bdiff)} AS bq,
+         ((npp * {r(os0)}) * (npp * {r(os0)}) + ep * ep) / {r(oa2)}
+           + (npp * {r(oc0)}) * (npp * {r(oc0)}) / {r(ob2)} - 1.0 AS cq
+  FROM o1
+),
+o3 AS (
+  SELECT t, j, i, ep, npp,
+         (-bq + sqrt(bq * bq - 4.0 * {r(oA)} * cq)) / (2.0 * {r(oA)})
+           AS w
+  FROM o2
+),
+o4 AS (
+  SELECT t, j, i,
+         w * {r(oc0)} - npp * {r(os0)} AS gx,
+         ep AS gy,
+         w * {r(os0)} + npp * {r(oc0)} AS gz
+  FROM o3
+),
+ll AS (
+  SELECT t, j, i,
+         {r(ORT_LON0)} + degrees(atan2(gy, gx)) AS lon,
+         degrees(atan2(gz, {r(1.0 - oell.e2)} * sqrt(gx * gx + gy * gy)))
+           AS lat
+  FROM o4
 ),"""
     elif target == "sinu":
         rr = r(SINU_R)

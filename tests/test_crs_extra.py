@@ -973,3 +973,92 @@ class TestSouthernHemisphereNationalGrids:
         )
         assert 1_000_000 < x[0] < 2_100_000
         assert 4_700_000 < y[0] < 6_300_000
+
+
+class TestOrthographic:
+    """Ellipsoidal orthographic (EPSG method 9840; crs.py _ortho_*).
+
+    Golden: the IOGP Guidance Note 7-2 worked example for the
+    Orthographic method -- WGS 84, origin 55N 5E, FE = FN = 0; the
+    point 53d48'33.82"N 2d07'46.38"E maps to
+    E = -189011.711 m, N = -128640.567 m.
+    """
+
+    LAT = 53 + 48 / 60 + 33.82 / 3600
+    LON = 2 + 7 / 60 + 46.38 / 3600
+
+    def test_epsg_gn72_worked_example(self):
+        crs = CRS.orthographic(lat_0=55.0, lon_0=5.0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([self.LON]), np.array([self.LAT]))
+        assert float(x[0]) == pytest.approx(-189011.711, abs=0.01)
+        assert float(y[0]) == pytest.approx(-128640.567, abs=0.01)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        lo, la = inv.transform(x, y)
+        assert float(lo[0]) == pytest.approx(self.LON, abs=1e-9)
+        assert float(la[0]) == pytest.approx(self.LAT, abs=1e-9)
+
+    def test_origin_maps_to_false_coordinates(self):
+        crs = CRS.orthographic(
+            lat_0=-33.0, lon_0=151.0,
+            false_easting=10000.0, false_northing=20000.0,
+        )
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([151.0]), np.array([-33.0]))
+        assert float(x[0]) == pytest.approx(10000.0, abs=1e-6)
+        assert float(y[0]) == pytest.approx(20000.0, abs=1e-6)
+
+    def test_spherical_limit_closed_form(self):
+        """On a sphere the orthographic forward is Snyder (1987)
+        eq. 20-3/20-4: x = R cosphi sin(lam), y = R (cosphi1 sinphi
+        - sinphi1 cosphi cos lam) -- the ellipsoidal machinery must
+        reduce to it exactly when e2 = 0."""
+        import math
+
+        from xcube_resampling_spark.crs import _Ellipsoid, _ortho_forward
+
+        R = 6370997.0
+        sph = CRS(
+            "ortho", "s", _Ellipsoid(R, float("inf")),
+            params=(("lat_0", 40.0), ("lon_0", -100.0),
+                    ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        phi1, lam0 = math.radians(40.0), -100.0
+        for lon, lat in ((-110.0, 30.0), (-75.0, 55.0), (-100.0, 40.0)):
+            phi = math.radians(lat)
+            lam = math.radians(lon - lam0)
+            ex = R * math.cos(phi) * math.sin(lam)
+            ey = R * (math.cos(phi1) * math.sin(phi)
+                      - math.sin(phi1) * math.cos(phi) * math.cos(lam))
+            x, y = _ortho_forward(sph, np.array([lon]), np.array([lat]))
+            assert float(x[0]) == pytest.approx(ex, abs=1e-6)
+            assert float(y[0]) == pytest.approx(ey, abs=1e-6)
+
+    def test_back_hemisphere_is_nan(self):
+        crs = CRS.orthographic(lat_0=55.0, lon_0=5.0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([-175.0]), np.array([-55.0]))
+        assert np.isnan(x[0]) and np.isnan(y[0])
+
+    def test_roundtrip_visible_disk(self):
+        """Machine-precision closure over the visible hemisphere,
+        including near-limb points where the Newton iteration is
+        damped by the fold of the forward map."""
+        crs = CRS.orthographic(lat_0=55.0, lon_0=5.0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        rng = np.random.default_rng(7)
+        lons = rng.uniform(-180.0, 180.0, 4000)
+        lats = rng.uniform(-90.0, 90.0, 4000)
+        x, y = fwd.transform(lons, lats)
+        vis = ~np.isnan(x)
+        assert vis.sum() > 1000
+        lo, la = inv.transform(x[vis], y[vis])
+        np.testing.assert_allclose(lo, lons[vis], atol=1e-9)
+        np.testing.assert_allclose(la, lats[vis], atol=1e-9)
+
+    def test_cf_and_spec_roundtrip(self):
+        crs = CRS.orthographic(lat_0=55.0, lon_0=5.0)
+        assert CRS.from_cf(crs.to_cf()).equals(crs)
+        assert CRS.from_spec(crs.to_spec()).equals(crs)
+        assert crs.to_cf()["grid_mapping_name"] == "orthographic"

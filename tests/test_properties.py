@@ -348,3 +348,39 @@ class TestCodecProperties:
         atol = 1e-6 if crs.towgs84 else 1e-8
         np.testing.assert_allclose(lo2, lo, atol=atol)
         np.testing.assert_allclose(la2, la, atol=atol)
+
+    @given(
+        lons=st.lists(st.floats(-179.9, 179.9), min_size=1, max_size=8),
+        lats=st.lists(st.floats(-89.9, 89.9), min_size=1, max_size=8),
+        lat0=st.floats(-80.0, 80.0),
+        lon0=st.floats(-179.0, 179.0),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_orthographic_roundtrips_or_nan(self, lons, lats, lat0, lon0):
+        """Orthographic (no EPSG code -> not in the registry sample):
+        any origin, any input -- visible points close at machine
+        precision (the inverse is exact ray-ellipsoid intersection),
+        back-hemisphere points are NaN in BOTH coordinates."""
+        from xcube_resampling_spark.crs import Transformer
+
+        n = min(len(lons), len(lats))
+        lo = np.array(lons[:n])
+        la = np.array(lats[:n])
+        crs = CRS.orthographic(lat_0=lat0, lon_0=lon0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        x, y = fwd.transform(lo, la)
+        assert (np.isnan(x) == np.isnan(y)).all()
+        # machine-precision closure holds away from the exact limb
+        # (the tangency is a double root of the ray intersection, so
+        # float error there is amplified to ~sqrt(eps) ~ 0.1 m)
+        cosang = (
+            np.sin(np.radians(la)) * np.sin(np.radians(lat0))
+            + np.cos(np.radians(la)) * np.cos(np.radians(lat0))
+            * np.cos(np.radians(lo - lon0))
+        )
+        vis = ~np.isnan(x) & (cosang > 1e-6)
+        if vis.any():
+            lo2, la2 = inv.transform(x[vis], y[vis])
+            np.testing.assert_allclose(lo2, lo[vis], atol=1e-8)
+            np.testing.assert_allclose(la2, la[vis], atol=1e-8)

@@ -477,6 +477,29 @@ class CRS:
         )
 
     @staticmethod
+    def orthographic(
+        lat_0: float = 0.0,
+        lon_0: float = 0.0,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "WGS84",
+    ) -> "CRS":
+        """Ellipsoidal orthographic (EPSG method 9840, PROJ 'ortho'):
+        the view from infinity over (lat_0, lon_0).  Satellite full-disk
+        composites and local engineering grids; only the facing
+        hemisphere maps (back-hemisphere points -> NaN)."""
+        return CRS(
+            "ortho", "Orthographic",
+            _Ellipsoid(*_ELLIPSOIDS[ellipsoid]),
+            params=(
+                ("lat_0", float(lat_0)),
+                ("lon_0", float(lon_0)),
+                ("x_0", float(false_easting)),
+                ("y_0", float(false_northing)),
+            ),
+        )
+
+    @staticmethod
     def from_cf(attrs: dict) -> "CRS":
         """Build a CRS from CF grid-mapping attributes
         (parity: pyproj CRS.from_cf used at reference cfconv.py:91-116)."""
@@ -621,6 +644,18 @@ class CRS:
                     ("lon_0", float(attrs.get(
                         "longitude_of_projection_origin", 0.0))),
                     ("sweep_x", 1.0 if sweep == "x" else 0.0),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "orthographic":
+            return CRS(
+                "ortho", "Orthographic", ell,
+                params=(
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
                     ("x_0", float(attrs.get("false_easting", 0.0))),
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
@@ -847,6 +882,15 @@ class CRS:
                 perspective_point_height=self.param("h"),
                 longitude_of_projection_origin=self.param("lon_0"),
                 sweep_angle_axis="x" if self.param("sweep_x") else "y",
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "ortho":
+            return dict(
+                grid_mapping_name="orthographic",
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **ell,
@@ -1603,6 +1647,93 @@ def _eqc_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Orthographic (EPSG method 9840, ellipsoidal; IOGP Guidance Note 7-2
+# "Orthographic" formulas; CF grid_mapping_name "orthographic").  The
+# perspective view from infinity -- used for satellite full-disk
+# composites and local engineering grids.  Only the hemisphere facing
+# the projection origin is mapped; back-hemisphere inputs return NaN
+# (proj's +proj=ortho marks them out-of-domain the same way).
+
+def _ortho_setup(crs: CRS):
+    ell = crs.ellipsoid
+    phi0 = math.radians(crs.param("lat_0"))
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    nu0 = ell.a / math.sqrt(1.0 - ell.e2 * s0 * s0)
+    return ell, phi0, s0, c0, nu0
+
+
+def _ortho_forward(crs: CRS, lon, lat):
+    ell, phi0, s0, c0, nu0 = _ortho_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * sphi * sphi)
+    # GN7-2: E = FE + nu cosphi sin(lam)
+    #        N = FN + nu (sinphi cosphi0 - cosphi sinphi0 cos lam)
+    #             + e2 (nu0 sinphi0 - nu sinphi) cosphi0
+    x = fe + nu * cphi * np.sin(lam)
+    y = (fn + nu * (sphi * c0 - cphi * s0 * np.cos(lam))
+         + ell.e2 * (nu0 * s0 - nu * sphi) * c0)
+    # visibility: spherical angular distance to the origin <= 90 deg
+    visible = sphi * s0 + cphi * c0 * np.cos(lam) >= -1e-10
+    return np.where(visible, x, np.nan), np.where(visible, y, np.nan)
+
+
+def _ortho_inverse(crs: CRS, x, y):
+    """Closed-form ellipsoidal inverse.
+
+    The GN7-2 forward is EXACTLY the parallel projection of the
+    ellipsoid surface point P onto the origin's tangent-plane axes:
+    with unit east/north/up vectors (e, n, u) at the projection origin
+    (work in the frame where lon_0 = 0),
+
+        E - FE = e . P
+        N - FN - e2 nu0 sinphi0 cosphi0 = n . P
+
+    (expand P = (nu cosphi coslam, nu cosphi sinlam,
+    nu (1 - e2) sinphi): the e2 term of the forward N equation is the
+    constant above).  So the inverse is exact ray-ellipsoid
+    intersection: P = E' e + N' n + w u with w from the quadratic
+    (X^2 + Y^2)/a^2 + Z^2/b^2 = 1, larger root = the visible side;
+    then phi = atan2(Z, (1 - e2) hypot(X, Y)) is the exact geodetic
+    latitude of an on-surface point.  No iteration, no limb/pole
+    singularities (a Newton solve on the forward equations was traced
+    diverging near the fold at 87 deg angular distance).
+    """
+    ell, phi0, s0, c0, nu0 = _ortho_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    ep = np.asarray(x, dtype=np.float64) - fe
+    npp = (np.asarray(y, dtype=np.float64) - fn
+           - ell.e2 * nu0 * s0 * c0)
+    a2 = ell.a * ell.a
+    b2 = a2 * (1.0 - ell.e2)
+    # frame (lon_0 = 0): e = (0,1,0), n = (-s0,0,c0), u = (c0,0,s0)
+    # P(w) = (w c0 - N' s0, E', w s0 + N' c0)
+    A = c0 * c0 / a2 + s0 * s0 / b2
+    B = 2.0 * npp * s0 * c0 * (1.0 / b2 - 1.0 / a2)
+    C = ((npp * s0) ** 2 + ep * ep) / a2 + (npp * c0) ** 2 / b2 - 1.0
+    with np.errstate(invalid="ignore"):
+        disc = B * B - 4.0 * A * C
+        # exactly-on-limb points are a double root; float cancellation
+        # can push their discriminant epsilon-negative -> clamp those
+        # to the tangency instead of NaN (genuinely off-disk inputs
+        # have disc << 0 and still return NaN)
+        eps = 1e-12 * (B * B + np.abs(4.0 * A * C))
+        disc = np.where((disc < 0.0) & (disc >= -eps), 0.0, disc)
+        w = (-B + np.sqrt(disc)) / (2.0 * A)  # off-disk -> NaN
+        X = w * c0 - npp * s0
+        Y = ep
+        Z = w * s0 + npp * c0
+        phi = np.arctan2(Z, (1.0 - ell.e2) * np.hypot(X, Y))
+        lam = np.arctan2(Y, X)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
 # Rotated latitude/longitude (CF rotated_latitude_longitude; spherical
 # rotation as in COSMO / proj ob_tran)
 
@@ -2148,6 +2279,8 @@ class Transformer:
             lon, lat = _somerc_inverse(self.src, x, y)
         elif self.src.kind == "krovak":
             lon, lat = _krovak_inverse(self.src, x, y)
+        elif self.src.kind == "ortho":
+            lon, lat = _ortho_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # datum bridge: only when either side declares a towgs84 shift
@@ -2184,6 +2317,8 @@ class Transformer:
             return _somerc_forward(self.dst, lon, lat)
         if self.dst.kind == "krovak":
             return _krovak_forward(self.dst, lon, lat)
+        if self.dst.kind == "ortho":
+            return _ortho_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):
