@@ -2833,10 +2833,17 @@ def q_knn_ivf(spark, sf_dir):
       (extensions/similarity.py:93) — the oracle twin unrolls both
       iterations plus the final assignment as generated CTEs, so the
       trained index is value-level-verified end-to-end (r4 advice #5).
+    * ``pq``: product-quantization ADC top-10 (pq_train/pq_encode/
+      pq_topk; 4 subspaces x 8 codes, 2 Lloyd iterations each) — the
+      twin re-generates the Lloyd CTEs per subspace slice.  ``score``
+      is the cosine for the IVF variants, the ADC L2 distance for pq.
     """
     from xcube_resampling_spark.extensions.similarity import (
         ivf_topk,
         kmeans_centroids,
+        pq_encode,
+        pq_topk,
+        pq_train,
     )
 
     emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
@@ -2855,14 +2862,28 @@ def q_knn_ivf(spark, sf_dir):
         emb_d, query, k=10, num_centroids=10, nprobe=2, exclude_vec_id=0,
         centroids=trained,
     )
+    books = pq_train(emb_d, m=4, ksub=8, iterations=2)
+    codes = pq_encode(emb_d, books)
+    pq = pq_topk(
+        codes.filter(F.col("vec_id") != 0), books, query, k=10
+    )
     return seed.select(
-        F.lit("seed").alias("variant"), "vec_id", "cosine"
+        F.lit("seed").alias("variant"), "vec_id",
+        F.col("cosine").alias("score"),
     ).unionByName(
-        km.select(F.lit("kmeans").alias("variant"), "vec_id", "cosine")
+        km.select(
+            F.lit("kmeans").alias("variant"), "vec_id",
+            F.col("cosine").alias("score"),
+        )
+    ).unionByName(
+        pq.select(
+            F.lit("pq").alias("variant"), "vec_id",
+            F.col("adc_dist").alias("score"),
+        )
     )
 
 
-def _lloyd_assign_cte(prev: str, tag: str) -> str:
+def _lloyd_assign_cte(prev: str, tag: str, src: str = "e") -> str:
     """Nearest-centroid assignment CTE (cosine argmax, lowest cent_id on
     ties) against centroid table ``prev`` — twin of
     extensions/similarity.py:62 ``assign_centroids``."""
@@ -2875,15 +2896,15 @@ def _lloyd_assign_cte(prev: str, tag: str) -> str:
                       / (sqrt(list_dot_product(e.v, e.v))
                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                       c.cent_id ASC) AS rn
-    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+    FROM {src} e CROSS JOIN {prev} c) WHERE rn = 1
 )"""
 
 
-def _lloyd_iter_cte(prev: str, cur: str, tag: str) -> str:
+def _lloyd_iter_cte(prev: str, cur: str, tag: str, src: str = "e") -> str:
     """One Lloyd iteration: assignment + positional mean; empty clusters
     keep their previous centroid — twin of similarity.py:93
     ``kmeans_centroids``'s loop body."""
-    return f"""{_lloyd_assign_cte(prev, tag)},
+    return f"""{_lloyd_assign_cte(prev, tag, src)},
 m_{tag} AS (
   SELECT cent_id, pos, avg(val) AS m
   FROM (SELECT cent_id, unnest(v) AS val,
@@ -2899,10 +2920,71 @@ n_{tag} AS (
 )"""
 
 
+_L2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+       " z -> (z[1] - z[2]) * (z[1] - z[2])))")
+
+
+def _pq_sql(m: int, ksub: int, dim: int) -> str:
+    """CTE block for the PQ variant (twin of similarity.py pq_train /
+    pq_encode / pq_topk at m subspaces, ksub codes, 2 Lloyd iterations
+    per subspace): per-subspace slices train with the same generated
+    Lloyd CTEs (cosine assignment, as kmeans_centroids does), codes are
+    re-keyed densely by seed id, vectors encode by L2 argmin, and the
+    asymmetric distance is the sum of per-subspace query-to-centroid
+    L2 entries — all over the shared ``e`` / ``q`` CTEs."""
+    sd = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * sd + 1, (s + 1) * sd
+        d2 = _L2.format(a="t.v", b="c.cv")
+        qd = _L2.format(a=f"list_slice(q.qv, {lo}, {hi})", b="c.cv")
+        parts.append(f"""e_{s} AS (
+  SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e
+),
+cs0_{s} AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e_{s} ORDER BY vec_id
+  LIMIT {ksub}
+),
+{_lloyd_iter_cte(f'cs0_{s}', f'cs1_{s}', f's{s}i1', f'e_{s}')},
+{_lloyd_iter_cte(f'cs1_{s}', f'cs2_{s}', f's{s}i2', f'e_{s}')},
+cb_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) AS code,
+         cv
+  FROM cs2_{s}
+),
+enc_{s} AS (
+  SELECT vec_id, code FROM (
+    SELECT t.vec_id, c.code,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM e_{s} t CROSS JOIN cb_{s} c) WHERE rn = 1
+),
+lut_{s} AS (
+  SELECT c.code, {qd} AS qd FROM cb_{s} c CROSS JOIN q
+)""")
+    joins = "\n  ".join(
+        f"JOIN enc_{s} x{s} USING (vec_id)\n  "
+        f"JOIN lut_{s} l{s} ON l{s}.code = x{s}.code"
+        for s in range(1, m)
+    )
+    adc = "l0.qd"
+    for s in range(1, m):
+        adc = f"({adc} + l{s}.qd)"
+    return ",\n".join(parts) + f""",
+pq_scored AS (
+  SELECT x0.vec_id, ROUND({adc}, 6) AS score
+  FROM enc_0 x0
+  JOIN lut_0 l0 ON l0.code = x0.code
+  {joins}
+  WHERE x0.vec_id != 0
+)"""
+
+
 def _ivf_probe_sql(cent_table: str, assign_table: str, variant: str) -> str:
-    """Probe-and-score tail shared by both IVF variants."""
+    """Probe-and-score tail shared by the two IVF variants."""
     return f"""
-  SELECT '{variant}' AS variant, vec_id, cosine FROM (
+  SELECT '{variant}' AS variant, vec_id, cosine AS score FROM (
     WITH probes_{variant} AS (
       SELECT c.cent_id FROM {cent_table} c CROSS JOIN q
       ORDER BY list_dot_product(c.cv, q.qv)
@@ -2928,7 +3010,8 @@ def _ivf_probe_sql(cent_table: str, assign_table: str, variant: str) -> str:
 # seed variant: centroids = 10 lowest vec_ids; kmeans variant: 2 unrolled
 # Lloyd iterations (deterministic seeding => bit-stable across engines at
 # 6-dp rounding) + a final assignment, mirroring ivf_topk(centroids=
-# kmeans_centroids(...)).
+# kmeans_centroids(...)); pq variant: product-quantization ADC top-10
+# (4 subspaces x 8 codes, each subspace trained with the same Lloyd CTEs).
 SQL_KNN_IVF = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
 q AS (SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0),
@@ -2936,10 +3019,16 @@ c_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 10),
 {_lloyd_assign_cte('c_0', 'seed')},
 {_lloyd_iter_cte('c_0', 'c_1', 'i1')},
 {_lloyd_iter_cte('c_1', 'c_2', 'i2')},
-{_lloyd_assign_cte('c_2', 'fin')}
+{_lloyd_assign_cte('c_2', 'fin')},
+{_pq_sql(4, 8, 64)}
 {_ivf_probe_sql('c_0', 'a_seed', 'seed')}
 UNION ALL
 {_ivf_probe_sql('c_2', 'a_fin', 'kmeans')}
+UNION ALL
+SELECT 'pq' AS variant, vec_id, score FROM (
+  SELECT vec_id, score FROM pq_scored
+  ORDER BY score ASC, vec_id ASC LIMIT 10
+)
 """
 
 
