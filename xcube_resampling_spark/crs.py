@@ -2015,9 +2015,15 @@ def _krovak_forward(crs: CRS, lon, lat):
         + math.sin(alpha_c) * np.cos(big_u) * np.cos(big_v),
         -1.0, 1.0,
     ))
-    big_d = np.arcsin(np.clip(
-        np.cos(big_u) * np.sin(big_v) / np.cos(big_t), -1.0, 1.0
-    ))
+    # Full-quadrant rotated longitude: the EPSG arcsin form is only
+    # valid while the point stays within 90 deg of the cone-pole
+    # meridian; atan2 agrees with it there (cos D > 0) and keeps the
+    # forward/inverse a bijection outside the official Czech domain.
+    big_d = np.arctan2(
+        np.cos(big_u) * np.sin(big_v),
+        math.cos(alpha_c) * np.cos(big_u) * np.cos(big_v)
+        - math.sin(alpha_c) * np.sin(big_u),
+    )
     theta = n * big_d
     r = (r0 * math.tan(math.pi / 4 + phi_p / 2) ** n
          / np.tan(big_t / 2 + np.pi / 4) ** n)
@@ -2046,9 +2052,11 @@ def _krovak_inverse(crs: CRS, x, y):
         - math.sin(alpha_c) * np.cos(big_t) * np.cos(big_d),
         -1.0, 1.0,
     ))
-    big_v = np.arcsin(np.clip(
-        np.cos(big_t) * np.sin(big_d) / np.cos(big_u), -1.0, 1.0
-    ))
+    big_v = np.arctan2(
+        np.cos(big_t) * np.sin(big_d),
+        math.sin(alpha_c) * np.sin(big_t)
+        + math.cos(alpha_c) * np.cos(big_t) * np.cos(big_d),
+    )
     lam = lam0 - big_v / big_b
     # Gaussian latitude -> ellipsoidal latitude by fixed point
     phi = big_u
