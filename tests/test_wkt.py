@@ -1,0 +1,253 @@
+"""WKT1 / WKT2 / PROJ-string CRS parsing.
+
+Parity target: the reference accepts any pyproj CRS input
+(reference gridmapping/base.py:398-400 CRS.from_user_input), which
+includes WKT text and PROJ strings.  Each test parses an
+independently-sourced WKT/PROJ definition and checks the resulting
+transform against the engine's registry twin at value level.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.crs import CRS, Transformer, CRS_WGS84
+from xcube_resampling_spark.wkt import crs_from_wkt, crs_from_proj
+
+
+def _max_err(crs_a, crs_b, lo_rng, la_rng, n=80, seed=7):
+    rng = np.random.default_rng(seed)
+    lo = rng.uniform(*lo_rng, n)
+    la = rng.uniform(*la_rng, n)
+    fa = Transformer.from_crs(CRS_WGS84, crs_a)
+    fb = Transformer.from_crs(CRS_WGS84, crs_b)
+    xa, ya = fa.transform(lo, la)
+    xb, yb = fb.transform(lo, la)
+    return max(np.abs(xa - xb).max(), np.abs(ya - yb).max())
+
+
+WKT1_32633 = """PROJCS["WGS 84 / UTM zone 33N",
+  GEOGCS["WGS 84",DATUM["WGS_1984",
+    SPHEROID["WGS 84",6378137,298.257223563]],
+    PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+  PROJECTION["Transverse_Mercator"],
+  PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],
+  PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],
+  PARAMETER["false_northing",0],UNIT["metre",1],
+  AUTHORITY["EPSG","32633"]]"""
+
+WKT2_3035 = """PROJCRS["ETRS89-extended / LAEA Europe",
+  BASEGEOGCRS["ETRS89",DATUM["European Terrestrial Reference System 1989",
+    ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]]],
+  CONVERSION["Europe Equal Area 2001",
+    METHOD["Lambert Azimuthal Equal Area",ID["EPSG",9820]],
+    PARAMETER["Latitude of natural origin",52,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of natural origin",10,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["False easting",4321000,LENGTHUNIT["metre",1]],
+    PARAMETER["False northing",3210000,LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],AXIS["northing (Y)",north],AXIS["easting (X)",east],
+  LENGTHUNIT["metre",1],ID["EPSG",3035]]"""
+
+WKT1_5514_FERRO = """PROJCS["S-JTSK (Ferro) / Krovak East North",
+ GEOGCS["S-JTSK (Ferro)",
+  DATUM["S_JTSK_Ferro",
+   SPHEROID["Bessel 1841",6377397.155,299.1528128]],
+  PRIMEM["Ferro",-17.66666666666667],
+  UNIT["degree",0.0174532925199433]],
+ PROJECTION["Krovak"],
+ PARAMETER["latitude_of_center",49.5],
+ PARAMETER["longitude_of_center",42.5],
+ PARAMETER["azimuth",30.28813972222222],
+ PARAMETER["pseudo_standard_parallel_1",78.5],
+ PARAMETER["scale_factor",0.9999],
+ PARAMETER["false_easting",0],
+ PARAMETER["false_northing",0],
+ UNIT["metre",1]]"""
+
+WKT1_29873 = """PROJCS["Timbalai 1948 / RSO Borneo (m)",
+ GEOGCS["Timbalai 1948",
+  DATUM["Timbalai_1948",
+   SPHEROID["Everest 1830 (1967 Definition)",6377298.556,300.8017]],
+  PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],
+ PARAMETER["latitude_of_center",4],
+ PARAMETER["longitude_of_center",115],
+ PARAMETER["azimuth",53.31582047222222],
+ PARAMETER["rectified_grid_angle",53.13010236111111],
+ PARAMETER["scale_factor",0.99984],
+ PARAMETER["false_easting",590476.87],
+ PARAMETER["false_northing",442857.65],
+ UNIT["metre",1],AUTHORITY["EPSG","29873"]]"""
+
+WKT1_TX_CENTRAL_FTUS = """PROJCS["NAD83 / Texas Central (ftUS)",
+ GEOGCS["NAD83",DATUM["North_American_Datum_1983",
+  SPHEROID["GRS 1980",6378137,298.257222101]],
+  PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Lambert_Conformal_Conic_2SP"],
+ PARAMETER["standard_parallel_1",31.88333333333333],
+ PARAMETER["standard_parallel_2",30.11666666666667],
+ PARAMETER["latitude_of_origin",29.66666666666667],
+ PARAMETER["central_meridian",-100.3333333333333],
+ PARAMETER["false_easting",2296583.333],
+ PARAMETER["false_northing",9842500.000000002],
+ UNIT["US survey foot",0.3048006096012192]]"""
+
+WKT2_GOES = """PROJCRS["GOES-R ABI fixed grid",
+ BASEGEOGCRS["GRS80",DATUM["unknown",
+  ELLIPSOID["GRS80",6378137,298.257222101]]],
+ CONVERSION["geos",METHOD["Geostationary Satellite (Sweep X)"],
+  PARAMETER["Longitude of natural origin",-75],
+  PARAMETER["Satellite height",35786023,LENGTHUNIT["metre",1]],
+  PARAMETER["False easting",0],PARAMETER["False northing",0]],
+ CS[Cartesian,2],LENGTHUNIT["metre",1]]"""
+
+WKT1_23031_TOWGS84 = """PROJCS["ED50 / UTM zone 31N",
+ GEOGCS["ED50",DATUM["European_Datum_1950",
+  SPHEROID["International 1924",6378388,297],
+  TOWGS84[-87,-98,-121,0,0,0,0]],
+ PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Transverse_Mercator"],
+ PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",3],
+ PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],
+ PARAMETER["false_northing",0],UNIT["metre",1],
+ AUTHORITY["EPSG","23031"]]"""
+
+
+class TestWkt1:
+    def test_utm_33n_matches_registry(self):
+        crs = crs_from_wkt(WKT1_32633)
+        assert crs.kind == "tmerc"
+        assert crs.auth_code == "EPSG:32633"
+        assert _max_err(crs, CRS.from_epsg(32633), (9, 21), (35, 70)) < 1e-6
+
+    def test_krovak_with_ferro_prime_meridian(self):
+        # EPSG-style WKT references Ferro; lon params shift by -17d40'
+        crs = crs_from_wkt(WKT1_5514_FERRO)
+        assert crs.kind == "krovak"
+        assert abs(crs.param("lon_0") - (24.0 + 50.0 / 60)) < 1e-9
+        # 3 mm floor: the WKT azimuth decimal differs from the
+        # registry's sexagesimal constant in the 7th decimal
+        assert _max_err(crs, CRS.from_epsg(5514), (12, 19), (48, 51)) < 0.01
+
+    def test_hotine_oblique_mercator(self):
+        crs = crs_from_wkt(WKT1_29873)
+        assert crs.kind == "omerc"
+        assert _max_err(crs, CRS.from_epsg(29873), (110, 119), (0, 7)) < 0.01
+
+    def test_us_survey_foot_unit_factor(self):
+        crs = crs_from_wkt(WKT1_TX_CENTRAL_FTUS)
+        assert crs.kind == "lcc"
+        # false easting converted to metres (2296583.333 ftUS)
+        assert abs(crs.param("x_0") - 700000.0) < 1e-3
+        twin = crs_from_proj(
+            "+proj=lcc +lat_1=31.88333333333333 +lat_2=30.11666666666667 "
+            "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 "
+            "+x_0=700000 +y_0=3000000 +ellps=GRS80")
+        assert _max_err(crs, twin, (-104, -97), (28, 33)) < 1e-3
+
+    def test_towgs84_datum_shift_parsed(self):
+        crs = crs_from_wkt(WKT1_23031_TOWGS84)
+        assert crs.towgs84 == (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+        assert _max_err(crs, CRS.from_epsg(23031), (0, 6), (36, 52)) < 1e-6
+
+    def test_geographic_wgs84(self):
+        crs = crs_from_wkt(
+            'GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+            'AUTHORITY["EPSG","4326"]]')
+        assert crs.is_geographic
+
+    def test_unknown_method_raises_with_name(self):
+        bad = WKT1_32633.replace("Transverse_Mercator", "Bonne")
+        with pytest.raises(ValueError, match="Bonne"):
+            crs_from_wkt(bad)
+
+
+class TestWkt2:
+    def test_laea_europe_matches_registry(self):
+        crs = crs_from_wkt(WKT2_3035)
+        assert crs.kind == "laea"
+        assert crs.auth_code == "EPSG:3035"
+        assert _max_err(crs, CRS.from_epsg(3035), (-8, 28), (36, 66)) < 1e-6
+
+    def test_geostationary_sweep_x(self):
+        crs = crs_from_wkt(WKT2_GOES)
+        assert crs.kind == "geos"
+        assert crs.param("sweep_x") == 1.0
+        assert crs.param("h") == 35786023.0
+        twin = crs_from_proj(
+            "+proj=geos +h=35786023 +lon_0=-75 +sweep=x +ellps=GRS80")
+        assert _max_err(crs, twin, (-100, -60), (-40, 40)) < 1e-6
+
+    def test_quoted_quote_escaping(self):
+        crs = crs_from_wkt(WKT2_3035.replace(
+            '"ETRS89-extended / LAEA Europe"',
+            '"ETRS89 ""extended"" LAEA"'))
+        assert crs.name == 'ETRS89 "extended" LAEA'
+
+
+class TestProjString:
+    def test_utm_zone_expansion(self):
+        crs = crs_from_proj("+proj=utm +zone=33 +datum=WGS84")
+        assert _max_err(crs, CRS.from_epsg(32633), (9, 21), (35, 70)) == 0.0
+
+    def test_utm_south(self):
+        crs = crs_from_proj("+proj=utm +zone=60 +south +ellps=WGS84")
+        assert _max_err(crs, CRS.from_epsg(32760), (172, 180), (-50, -10)) \
+            == 0.0
+
+    def test_mercator_lat_ts_variant_b(self):
+        # variant B lat_ts folds into the exact EPSG 9805 k_0
+        crs = crs_from_proj("+proj=merc +lat_ts=41.7 +ellps=WGS84")
+        k0_ref = math.cos(math.radians(41.7)) / math.sqrt(
+            1 - crs.ellipsoid.e2 * math.sin(math.radians(41.7)) ** 2)
+        assert abs(crs.param("k_0") - k0_ref) < 1e-15
+
+    def test_spherical_mercator_is_webmerc(self):
+        crs = crs_from_proj("+proj=merc +a=6378137 +b=6378137")
+        assert crs.kind == "webmerc"
+
+    def test_rotated_pole_matches_cf(self):
+        crs = crs_from_proj(
+            "+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +lon_0=18 "
+            "+ellps=WGS84")
+        cf = CRS.from_cf({
+            "grid_mapping_name": "rotated_latitude_longitude",
+            "grid_north_pole_latitude": 39.25,
+            "grid_north_pole_longitude": -162.0,
+        })
+        assert _max_err(crs, cf, (-10, 30), (30, 60)) < 1e-9
+
+    def test_towgs84_parsed(self):
+        crs = crs_from_proj(
+            "+proj=utm +zone=31 +ellps=intl +towgs84=-87,-98,-121")
+        assert crs.towgs84 == (-87.0, -98.0, -121.0)
+        assert _max_err(crs, CRS.from_epsg(23031), (0, 6), (36, 52)) < 1e-6
+
+    def test_sphere_radius(self):
+        crs = crs_from_proj("+proj=sinu +R=6371007.181 +lon_0=0")
+        assert crs.ellipsoid.a == 6371007.181
+        assert math.isinf(crs.ellipsoid.inv_f)
+
+    def test_unsupported_proj_raises(self):
+        with pytest.raises(ValueError, match="wink2"):
+            crs_from_proj("+proj=wink2 +lat_1=50.467")
+
+
+class TestFromUserInput:
+    def test_from_string_routes_wkt_and_proj(self):
+        assert CRS.from_user_input(WKT1_32633).kind == "tmerc"
+        assert CRS.from_user_input(
+            "+proj=utm +zone=33 +datum=WGS84").kind == "tmerc"
+        assert CRS.from_user_input("EPSG:3035").kind == "laea"
+
+    def test_spec_roundtrip_preserves_wkt_crs(self):
+        crs = crs_from_wkt(WKT1_29873)
+        again = CRS.from_spec(crs.to_spec())
+        assert again.kind == crs.kind
+        assert again.params == crs.params
+        assert again.ellipsoid == crs.ellipsoid

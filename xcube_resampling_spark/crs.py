@@ -21,6 +21,7 @@ small spec string so they can be shipped to executors cheaply.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -100,6 +101,13 @@ class CRS:
     @staticmethod
     def from_string(s: str) -> "CRS":
         su = s.strip().upper()
+        if "+PROJ=" in su:
+            from .wkt import crs_from_proj
+            return crs_from_proj(s.strip())
+        if re.match(r"\s*(PROJCS|GEOGCS|PROJCRS|GEOGCRS|GEODCRS|BOUNDCRS)"
+                    r"\s*[\[(]", su):
+            from .wkt import crs_from_wkt
+            return crs_from_wkt(s.strip())
         if su in ("OGC:CRS84", "CRS84", "WGS84", "WGS 84", "EPSG:CRS84"):
             return CRS_CRS84
         if su.startswith("EPSG:"):

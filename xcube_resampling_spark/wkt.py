@@ -1,0 +1,723 @@
+"""WKT and PROJ-string CRS parsing (no external deps).
+
+The reference accepts any pyproj-understood CRS input -- EPSG codes,
+WKT1/WKT2 text, PROJ strings (reference gridmapping/base.py:398-400
+``pyproj.crs.CRS.from_user_input``).  This module closes most of that
+gap for the projection methods this engine implements: it parses
+
+* WKT1 (OGC 01-009 / GDAL dialect): ``PROJCS[...]``, ``GEOGCS[...]``,
+  incl. ``TOWGS84[...]`` datum shifts and linear ``UNIT`` factors
+  (US survey foot grids work),
+* WKT2 (ISO 19162:2019): ``PROJCRS[...]``, ``GEOGCRS[...]``,
+  ``BOUNDCRS[...]`` with an abridged Helmert transformation,
+* PROJ strings: ``+proj=... +lat_0=... +ellps=...`` for every
+  implemented projection, incl. ``+proj=utm`` zone expansion and
+  ``+towgs84``.
+
+and lowers them onto the same ``CRS(kind, params)`` model the rest of
+the engine uses, so any WKT whose projection method is one of the ~16
+implemented families transforms exactly like its registry twin.
+Unknown methods raise ``ValueError`` with the method name -- same
+failure mode as an unregistered EPSG code.
+
+Grammar reference: OGC 12-063r5 (WKT2), OGC 01-009 sec. 7 (WKT1).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from .crs import CRS, _Ellipsoid, CRS_WGS84
+
+__all__ = ["crs_from_wkt", "crs_from_proj"]
+
+
+# ---------------------------------------------------------------------- #
+# WKT tokenizer / tree builder
+
+
+class _Node:
+    __slots__ = ("keyword", "values")
+
+    def __init__(self, keyword: str, values: list):
+        self.keyword = keyword.upper()
+        self.values = values
+
+    def children(self, *keywords) -> list["_Node"]:
+        ks = {k.upper() for k in keywords}
+        return [v for v in self.values
+                if isinstance(v, _Node) and v.keyword in ks]
+
+    def child(self, *keywords) -> "_Node | None":
+        cs = self.children(*keywords)
+        return cs[0] if cs else None
+
+    def strings(self) -> list[str]:
+        return [v for v in self.values if isinstance(v, str)]
+
+    def numbers(self) -> list[float]:
+        return [v for v in self.values if isinstance(v, float)]
+
+
+_TOKEN = re.compile(
+    r'\s*(?:'
+    r'"((?:[^"]|"")*)"'          # quoted string ("" = escaped quote)
+    r"|([A-Za-z_][A-Za-z0-9_]*)"  # keyword / bareword
+    r"|([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)"  # number
+    r"|([\[\](),])"               # structure
+    r")"
+)
+
+
+def _tokenize(s: str):
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                return
+            raise ValueError(f"bad WKT near {s[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.group(1) is not None:
+            yield ("str", m.group(1).replace('""', '"'))
+        elif m.group(2) is not None:
+            yield ("word", m.group(2))
+        elif m.group(3) is not None:
+            yield ("num", float(m.group(3)))
+        elif m.group(4) in "[(":
+            yield ("open", None)
+        elif m.group(4) in "])":
+            yield ("close", None)
+        # commas are separators; drop them
+
+
+def _parse_wkt(s: str) -> _Node:
+    tokens = list(_tokenize(s))
+    pos = 0
+
+    def parse_node():
+        nonlocal pos
+        kind, kw = tokens[pos]
+        if kind != "word":
+            raise ValueError(f"expected WKT keyword, got {tokens[pos]!r}")
+        pos += 1
+        values: list = []
+        if pos < len(tokens) and tokens[pos][0] == "open":
+            pos += 1
+            while tokens[pos][0] != "close":
+                k, v = tokens[pos]
+                if k == "word":
+                    # nested node or bareword enum (e.g. AXIS north)
+                    if pos + 1 < len(tokens) and tokens[pos + 1][0] == "open":
+                        values.append(parse_node())
+                    else:
+                        values.append(str(v))
+                        pos += 1
+                elif k in ("str", "num"):
+                    values.append(v)
+                    pos += 1
+                else:
+                    raise ValueError(f"unexpected token {tokens[pos]!r}")
+            pos += 1  # consume close
+        return _Node(kw, values)
+
+    node = parse_node()
+    if pos != len(tokens):
+        raise ValueError("trailing content after WKT root node")
+    return node
+
+
+# ---------------------------------------------------------------------- #
+# method / parameter normalization
+
+def _norm(name: str) -> str:
+    return re.sub(r"[^a-z0-9]", "", name.lower())
+
+
+# normalized EPSG / GDAL / ESRI method name -> engine kind
+_METHODS = {
+    # Transverse Mercator (EPSG 9807)
+    "transversemercator": "tmerc",
+    "gausskruger": "tmerc",
+    # LAEA (9820)
+    "lambertazimuthalequalarea": "laea",
+    # Web / spherical Mercator (1024)
+    "popularvisualisationpseudomercator": "webmerc",
+    "mercatorauxiliarysphere": "webmerc",
+    # Ellipsoidal Mercator (9804 variant A, 9805 variant B)
+    "mercatorvarianta": "merc",
+    "mercatorvariantb": "merc_b",
+    "mercator1sp": "merc",
+    "mercator2sp": "merc_b",
+    # Polar stereographic (9810 variant A, 9829 variant B)
+    "polarstereographic": "stere",
+    "polarstereographicvarianta": "stere",
+    "polarstereographicvariantb": "stere",
+    # LCC 2SP (9802) + 1SP (9801)
+    "lambertconicconformal2sp": "lcc",
+    "lambertconformalconic2sp": "lcc",
+    "lambertconicconformal1sp": "lcc_1sp",
+    "lambertconformalconic1sp": "lcc_1sp",
+    "lambertconformalconic": "lcc",
+    # Albers (9822)
+    "albersequalarea": "aea",
+    "albersconicequalarea": "aea",
+    "albers": "aea",
+    # Sinusoidal (9835-adjacent; GDAL/ESRI name)
+    "sinusoidal": "sinu",
+    # Lambert cylindrical equal area (9835)
+    "lambertcylindricalequalarea": "cea",
+    "cylindricalequalarea": "cea",
+    # Equidistant cylindrical (1028/1029)
+    "equidistantcylindrical": "eqc",
+    "equidistantcylindricalspherical": "eqc",
+    "equirectangular": "eqc",
+    # Hotine Oblique Mercator variant B (9815)
+    "hotineobliquemercatorvariantb": "omerc",
+    "hotineobliquemercatorazimuthcenter": "omerc",
+    "obliquemercator": "omerc",
+    "rectifiedskeworthomorphiccentreoriginnaturalorigin": "omerc",
+    # Krovak (9819) -- east-north axis handling is the CRS's job; the
+    # engine's krovak kind IS the east-north (EPSG:5514) orientation
+    "krovak": "krovak",
+    "krovaknorthorientated": "krovak",
+    "krovakeastnorth": "krovak",
+    # Swiss Oblique Mercator (9814)
+    "swissobliquemercator": "somerc",
+    "swissobliquecylindrical": "somerc",
+    "hotineobliquemercator": "omerc",
+    # Geostationary
+    "geostationarysatellitesweepx": "geos_x",
+    "geostationarysatellitesweepy": "geos_y",
+    "geostationarysatellite": "geos_y",  # GDAL WKT1 legacy default
+    # Orthographic (9840)
+    "orthographic": "ortho",
+}
+
+# normalized WKT parameter name -> engine parameter key (per kind where
+# ambiguous; resolved in _lower_params)
+_PARAMS = {
+    "latitudeofnaturalorigin": "lat_0",
+    "latitudeoforigin": "lat_0",
+    "latitudeofprojectioncentre": "lat_0",
+    "latitudeofprojectioncenter": "lat_0",
+    "latitudeofcenter": "lat_0",
+    "latitudeoffalseorigin": "lat_0",
+    "longitudeofnaturalorigin": "lon_0",
+    "centralmeridian": "lon_0",
+    "longitudeoforigin": "lon_0",
+    "longitudeoffalseorigin": "lon_0",
+    "longitudeofprojectioncentre": "lonc",
+    "longitudeofprojectioncenter": "lonc",
+    "longitudeofcenter": "lonc",
+    "scalefactoratnaturalorigin": "k_0",
+    "scalefactor": "k_0",
+    "scalefactoroninitialline": "k_0",
+    "scalefactoronpseudostandardparallel": "k_0",
+    "falseeasting": "x_0",
+    "falsenorthing": "y_0",
+    "eastingatfalseorigin": "x_0",
+    "northingatfalseorigin": "y_0",
+    "eastingatprojectioncentre": "x_0",
+    "northingatprojectioncentre": "y_0",
+    "standardparallel1": "lat_1",
+    "standardparallel2": "lat_2",
+    "latitudeof1ststandardparallel": "lat_1",
+    "latitudeof2ndstandardparallel": "lat_2",
+    "latitudeofstandardparallel": "lat_ts",
+    "standardparallel": "lat_1",
+    "azimuthofinitialline": "alpha",
+    "azimuth": "alpha",
+    "anglefromrectifiedtoskewgrid": "gamma",
+    "rectifiedgridangle": "gamma",
+    "latitudeofpseudostandardparallel": "lat_p",
+    "colatitudeofconeaxis": "_cone_colat",  # Krovak; alpha equivalent
+    "satelliteheight": "h",
+    "heightabovereferenceellipsoid": "h",
+    "perspectivepointheight": "h",
+    "sweepangleaxis": "_sweep",
+    "pseudostandardparallel1": "lat_p",
+}
+
+_DEG_PER_RAD = 180.0 / math.pi
+
+# known ellipsoid aliases (PROJ +ellps= names -> our table keys)
+_ELLPS_ALIASES = {
+    "wgs84": ("WGS84", 6378137.0, 298.257223563),
+    "grs80": ("GRS80", 6378137.0, 298.257222101),
+    "intl": ("Intl1924", 6378388.0, 297.0),
+    "international1924": ("Intl1924", 6378388.0, 297.0),
+    "hayford1909": ("Intl1924", 6378388.0, 297.0),
+    "bessel": ("Bessel1841", 6377397.155, 299.1528128),
+    "bessel1841": ("Bessel1841", 6377397.155, 299.1528128),
+    "airy": ("Airy1830", 6377563.396, 299.3249646),
+    "airy1830": ("Airy1830", 6377563.396, 299.3249646),
+    "clrk66": ("Clarke1866", 6378206.4, 294.978698214),
+    "clarke1866": ("Clarke1866", 6378206.4, 294.978698214),
+    "evrst69": ("Everest1967", 6377298.556, 300.8017),
+    "everest1967": ("Everest1967", 6377298.556, 300.8017),
+}
+
+
+def _unit_factor(node: _Node | None, default: float) -> float:
+    """Conversion factor to the SI base (metre or radian) from a
+    UNIT / LENGTHUNIT / ANGLEUNIT node."""
+    if node is None:
+        return default
+    nums = node.numbers()
+    return nums[0] if nums else default
+
+
+def _find_params(node: _Node) -> list[_Node]:
+    out = list(node.children("PARAMETER"))
+    # WKT2 nests parameters inside CONVERSION[...]
+    conv = node.child("CONVERSION")
+    if conv is not None:
+        out.extend(conv.children("PARAMETER"))
+    return out
+
+
+def _find_method(node: _Node) -> str | None:
+    conv = node.child("CONVERSION")
+    scope = conv if conv is not None else node
+    meth = scope.child("METHOD", "PROJECTION")
+    if meth is None:
+        meth = node.child("PROJECTION")
+    if meth is None:
+        return None
+    names = meth.strings()
+    return names[0] if names else None
+
+
+def _parse_ellipsoid(node: _Node) -> tuple[_Ellipsoid, tuple]:
+    """Extract (ellipsoid, towgs84) from a GEOGCS/GEOGCRS/BASEGEOGCRS
+    subtree (searching DATUM -> SPHEROID/ELLIPSOID)."""
+    datum = node.child("DATUM", "TRF", "GEODETICDATUM")
+    towgs84: tuple = ()
+    ell = _Ellipsoid(6378137.0, 298.257223563)
+    if datum is not None:
+        sph = datum.child("SPHEROID", "ELLIPSOID")
+        if sph is not None:
+            nums = sph.numbers()
+            if len(nums) >= 2:
+                a, inv_f = nums[0], nums[1]
+                # LENGTHUNIT inside ELLIPSOID (WKT2) may scale a
+                lu = sph.child("LENGTHUNIT", "UNIT")
+                a *= _unit_factor(lu, 1.0)
+                ell = _Ellipsoid(a, inv_f if inv_f != 0.0 else float("inf"))
+        tw = datum.child("TOWGS84")
+        if tw is not None:
+            towgs84 = tuple(tw.numbers())
+            if all(v == 0.0 for v in towgs84):
+                towgs84 = ()
+    return ell, towgs84
+
+
+def _bound_towgs84(root: _Node) -> tuple:
+    """BOUNDCRS abridged transformation -> towgs84 7-tuple.
+
+    WKT2 ABRIDGEDTRANSFORMATION parameters use EPSG names; rotations
+    arrive in arc-seconds and scale as (1 + s*1e-6), matching the
+    position-vector convention the engine's Helmert bridge expects.
+    """
+    tr = root.child("ABRIDGEDTRANSFORMATION")
+    if tr is None:
+        return ()
+    vals = {}
+    for p in tr.children("PARAMETER"):
+        names = p.strings()
+        nums = p.numbers()
+        if names and nums:
+            vals[_norm(names[0])] = nums[0]
+    dx = vals.get("xaxistranslation", 0.0)
+    dy = vals.get("yaxistranslation", 0.0)
+    dz = vals.get("zaxistranslation", 0.0)
+    rx = vals.get("xaxisrotation")
+    ry = vals.get("yaxisrotation")
+    rz = vals.get("zaxisrotation")
+    ds = vals.get("scaledifference")
+    if rx is None and ry is None and rz is None and ds is None:
+        return (dx, dy, dz)
+    return (dx, dy, dz, rx or 0.0, ry or 0.0, rz or 0.0,
+            # abridged WKT2 stores scale as (1 + ds in ppm) per ISO
+            # 19162 B.4; accept either the ppm difference or the ratio
+            (ds - 1.0) * 1e6 if ds is not None and abs(ds - 1.0) < 0.01
+            else (ds or 0.0))
+
+
+def _lower_params(kind: str, raw: dict, lin_f: float,
+                  ang_f_deg: float) -> tuple:
+    """Map normalized-WKT-name params to engine (key, value) tuples,
+    applying unit conversion and per-method fixups."""
+    p: dict[str, float] = {}
+    for name, value in raw.items():
+        key = _PARAMS.get(name)
+        if key is None:
+            continue
+        if key in ("x_0", "y_0"):
+            value *= lin_f
+        elif key == "h":
+            value *= lin_f
+        elif key not in ("k_0", "_sweep"):
+            value *= ang_f_deg
+        p[key] = value
+
+    if kind == "merc_b":
+        kind = "merc"
+        # variant B: standard parallel instead of k_0; exact EPSG 9805
+        # equivalence k_0 = cos(p1)/sqrt(1 - e2 sin^2 p1) is applied by
+        # the caller (needs the ellipsoid) -- stash lat_1 under lat_ts
+        p.setdefault("lat_ts", p.pop("lat_1", 0.0))
+    if kind == "lcc_1sp":
+        kind = "lcc"
+        # 1SP: both standard parallels coincide with the origin
+        lat0 = p.get("lat_0", 0.0)
+        p.setdefault("lat_1", lat0)
+        p.setdefault("lat_2", lat0)
+    if kind == "stere":
+        # variant A carries k_0 + lat_0=+-90; variant B carries lat_ts.
+        p.setdefault("lat_0", 90.0 if p.get("lat_ts", 90.0) >= 0 else -90.0)
+        if "lat_ts" not in p:
+            # variant A: recover lat_ts from k_0 is done by the engine's
+            # stere math via k_0? engine expects lat_ts; k_0=1 -> pole
+            k0 = p.get("k_0", 1.0)
+            if k0 == 1.0:
+                p["lat_ts"] = p.get("lat_0", 90.0)
+            else:
+                raise ValueError(
+                    "polar stereographic variant A with k_0 != 1 is not "
+                    "supported; provide standard_parallel (variant B)")
+    if kind == "cea" or kind == "eqc":
+        p.setdefault("lat_ts", p.pop("lat_1", 0.0))
+    if kind == "aea" or kind == "lcc":
+        p.setdefault("lat_1", p.get("lat_ts", 0.0))
+        p.setdefault("lat_2", p.get("lat_1", 0.0))
+        p.pop("lat_ts", None)
+    if kind == "omerc":
+        p.setdefault("lonc", p.pop("lon_0", 0.0))
+        p.setdefault("gamma", p.get("alpha", 0.0))
+    if kind == "krovak":
+        # EPSG stores the co-latitude of the cone axis (30d17'17.303");
+        # engine's alpha is the same angle.  WKT names the origin
+        # longitude "longitude of (projection) centre" -> engine lon_0.
+        if "_cone_colat" in p:
+            p["alpha"] = p.pop("_cone_colat")
+        if "lonc" in p:
+            p.setdefault("lon_0", p.pop("lonc"))
+        p.setdefault("lat_p", 78.5)
+    if kind.startswith("geos"):
+        sweep_x = 1.0 if kind == "geos_x" else 0.0
+        kind = "geos"
+        p["sweep_x"] = sweep_x
+        p.pop("_sweep", None)
+    p.pop("_cone_colat", None)
+    p.pop("_sweep", None)
+    return kind, tuple(sorted(p.items()))
+
+
+def _merc_b_k0(ell: _Ellipsoid, lat_ts_deg: float) -> float:
+    s = math.sin(math.radians(lat_ts_deg))
+    return math.cos(math.radians(lat_ts_deg)) / math.sqrt(
+        1.0 - ell.e2 * s * s)
+
+
+def crs_from_wkt(wkt: str) -> CRS:
+    """Parse WKT1 or WKT2 CRS text into an engine CRS."""
+    root = _parse_wkt(wkt)
+    kw = root.keyword
+    if kw == "BOUNDCRS":
+        src = root.child("SOURCECRS")
+        if src is None:
+            raise ValueError("BOUNDCRS without SOURCECRS")
+        inner = [v for v in src.values if isinstance(v, _Node)][0]
+        crs = _crs_from_node(inner)
+        tw = _bound_towgs84(root)
+        if tw:
+            return CRS(crs.kind, crs.name, crs.ellipsoid, crs.params,
+                       crs.auth_code, towgs84=tw)
+        return crs
+    return _crs_from_node(root)
+
+
+def _crs_from_node(root: _Node) -> CRS:
+    kw = root.keyword
+    names = root.strings()
+    name = names[0] if names else kw
+    if kw in ("GEOGCS", "GEOGCRS", "GEODCRS"):
+        # engine treats all geographic CRSs as lon-lat degrees on their
+        # ellipsoid; datum shift still honored through towgs84
+        ell, towgs84 = _parse_ellipsoid(root)
+        auth = _authority(root)
+        if not towgs84 and abs(ell.a - 6378137.0) < 1e-6:
+            return CRS_WGS84 if auth in (None, "EPSG:4326") else CRS(
+                "geographic", name, ell, auth_code=auth)
+        return CRS("geographic", name, ell, auth_code=auth,
+                   towgs84=towgs84)
+    if kw not in ("PROJCS", "PROJCRS"):
+        raise ValueError(f"unsupported WKT root {kw!r}")
+
+    geog = root.child("GEOGCS", "BASEGEOGCRS", "BASEGEODCRS")
+    if geog is None:
+        raise ValueError("projected WKT without a geographic base")
+    ell, towgs84 = _parse_ellipsoid(geog)
+
+    # non-Greenwich prime meridian (EPSG Krovak WKT references Ferro):
+    # longitude parameters are expressed relative to it
+    pm_node = geog.child("PRIMEM")
+    pm_deg = 0.0
+    if pm_node is not None:
+        nums = pm_node.numbers()
+        if nums:
+            pm_ang = pm_node.child("ANGLEUNIT", "UNIT")
+            f = _unit_factor(pm_ang, None)
+            pm_deg = nums[0] * (f * _DEG_PER_RAD if f is not None else 1.0)
+
+    method_name = _find_method(root)
+    if method_name is None:
+        raise ValueError("projected WKT without METHOD/PROJECTION")
+    kind = _METHODS.get(_norm(method_name))
+    if kind is None:
+        raise ValueError(
+            f"unsupported projection method {method_name!r}")
+
+    # units: WKT1 puts the linear UNIT at PROJCS level and the angular
+    # UNIT inside GEOGCS; WKT2 attaches per-parameter LENGTHUNIT /
+    # ANGLEUNIT and a CS-level unit
+    lin_f = _unit_factor(
+        root.child("UNIT", "LENGTHUNIT")
+        or (root.child("CS").child("LENGTHUNIT")
+            if root.child("CS") else None),
+        1.0)
+    ang_node = geog.child("UNIT", "ANGLEUNIT")
+    ang_f_deg = _unit_factor(ang_node, math.radians(1.0)) * _DEG_PER_RAD
+
+    raw: dict[str, float] = {}
+    for pnode in _find_params(root):
+        pnames = pnode.strings()
+        pnums = pnode.numbers()
+        if not pnames or not pnums:
+            continue
+        value = pnums[0]
+        # WKT2 per-parameter units override the CS-level ones
+        pu = pnode.child("LENGTHUNIT", "ANGLEUNIT", "SCALEUNIT", "UNIT")
+        key = _norm(pnames[0])
+        if pu is not None:
+            f = _unit_factor(pu, 1.0)
+            if pu.keyword in ("ANGLEUNIT",) or (
+                    pu.keyword == "UNIT" and f < 0.1):
+                raw[key] = value * f * _DEG_PER_RAD
+                continue
+            raw[key] = value * f
+            # mark as pre-converted by storing sentinel via direct set
+            # (handled below by passing lin/ang factors of 1 for these)
+            raw[key + "@si"] = 1.0
+            continue
+        raw[key] = value
+
+    # split pre-converted (SI) values from raw ones
+    pre = {k[:-3] for k in raw if k.endswith("@si")}
+    raw = {k: v for k, v in raw.items() if not k.endswith("@si")}
+    raw_plain = {k: v for k, v in raw.items() if k not in pre}
+    kind2, params = _lower_params(kind, raw_plain, lin_f, ang_f_deg)
+    if pre:
+        _, pre_params = _lower_params(kind, {k: raw[k] for k in pre},
+                                      1.0, 1.0)
+        merged = dict(params)
+        merged.update(dict(pre_params))
+        params = tuple(sorted(merged.items()))
+        kind2 = kind2  # kind fixups identical for both halves
+
+    if kind == "merc_b":
+        merged = dict(params)
+        lat_ts = merged.pop("lat_ts", 0.0)
+        merged["k_0"] = _merc_b_k0(ell, lat_ts)
+        params = tuple(sorted(merged.items()))
+
+    if pm_deg:
+        merged = dict(params)
+        for lk in ("lon_0", "lonc", "pole_lon"):
+            if lk in merged:
+                merged[lk] += pm_deg
+        params = tuple(sorted(merged.items()))
+
+    return CRS(kind2, name, ell, params, _authority(root),
+               towgs84=towgs84)
+
+
+def _authority(node: _Node) -> str | None:
+    auth = node.child("AUTHORITY", "ID")
+    if auth is None:
+        return None
+    parts = auth.strings()
+    nums = auth.numbers()
+    if len(parts) >= 2:
+        return f"{parts[0]}:{parts[1]}"
+    if parts and nums:
+        return f"{parts[0]}:{int(nums[0])}"
+    return None
+
+
+# ---------------------------------------------------------------------- #
+# PROJ strings
+
+_PROJ_KINDS = {
+    "longlat": "geographic",
+    "latlong": "geographic",
+    "lonlat": "geographic",
+    "tmerc": "tmerc",
+    "utm": "tmerc",
+    "laea": "laea",
+    "merc": "merc",      # refined below: +k vs +lat_ts vs spherical
+    "webmerc": "webmerc",
+    "stere": "stere",
+    "lcc": "lcc",
+    "aea": "aea",
+    "sinu": "sinu",
+    "cea": "cea",
+    "eqc": "eqc",
+    "omerc": "omerc",
+    "somerc": "somerc",
+    "krovak": "krovak",
+    "geos": "geos",
+    "ortho": "ortho",
+    "ob_tran": "rot_pole",  # +o_proj=longlat rotated pole
+}
+
+_PROJ_PARAM_KEYS = {
+    "lat_0": "lat_0", "lon_0": "lon_0", "k": "k_0", "k_0": "k_0",
+    "x_0": "x_0", "y_0": "y_0", "lat_1": "lat_1", "lat_2": "lat_2",
+    "lat_ts": "lat_ts", "lonc": "lonc", "alpha": "alpha",
+    "gamma": "gamma", "h": "h",
+}
+
+
+def crs_from_proj(s: str) -> CRS:
+    """Parse a PROJ string (``+proj=... +key=value ...``)."""
+    kv: dict[str, str] = {}
+    flags: set[str] = set()
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            flags.add(tok)
+    proj = kv.get("proj")
+    if proj is None:
+        raise ValueError("PROJ string without +proj=")
+    kind = _PROJ_KINDS.get(proj)
+    if kind is None:
+        raise ValueError(f"unsupported +proj={proj!r}")
+
+    # ellipsoid: +ellps name, +a/+rf/+b overrides, +R sphere, +datum
+    ell = _Ellipsoid(6378137.0, 298.257223563)
+    datum = kv.get("datum", "").lower()
+    ellps = kv.get("ellps", "").lower() or (
+        "wgs84" if datum in ("", "wgs84") else datum)
+    if ellps in _ELLPS_ALIASES:
+        _, a, inv_f = _ELLPS_ALIASES[ellps]
+        ell = _Ellipsoid(a, inv_f)
+    if "R" in kv:
+        ell = _Ellipsoid(float(kv["R"]), float("inf"))
+    if "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            ell = _Ellipsoid(a, float(kv["rf"]))
+        elif "b" in kv:
+            b = float(kv["b"])
+            ell = _Ellipsoid(a, float("inf") if b == a else a / (a - b))
+        else:
+            ell = _Ellipsoid(a, float("inf"))
+
+    towgs84: tuple = ()
+    if "towgs84" in kv:
+        towgs84 = tuple(float(v) for v in kv["towgs84"].split(","))
+        if all(v == 0.0 for v in towgs84):
+            towgs84 = ()
+
+    if kind == "geographic":
+        if not towgs84 and abs(ell.a - 6378137.0) < 1e-6 and \
+                abs(ell.inv_f - 298.257223563) < 1e-6:
+            return CRS_WGS84
+        return CRS("geographic", f"+proj={proj}", ell, towgs84=towgs84)
+
+    if kind == "rot_pole":
+        if kv.get("o_proj", "longlat") not in ("longlat", "latlong",
+                                               "lonlat"):
+            raise ValueError("+proj=ob_tran only supported with "
+                             "+o_proj=longlat (rotated pole)")
+        if float(kv.get("o_lon_p", 0.0)) != 0.0:
+            raise ValueError("+proj=ob_tran with o_lon_p != 0 (axial "
+                             "rotation) is not supported")
+        # PROJ <-> CF: grid_north_pole_latitude = o_lat_p,
+        # grid_north_pole_longitude = lon_0 - 180
+        params = (
+            ("pole_lat", float(kv.get("o_lat_p", 90.0))),
+            ("pole_lon", float(kv.get("lon_0", 0.0)) - 180.0),
+        )
+        return CRS("rot_pole", "Rotated pole", ell, params,
+                   towgs84=towgs84)
+
+    p: dict[str, float] = {}
+    for k, key in _PROJ_PARAM_KEYS.items():
+        if k in kv:
+            p[key] = float(kv[k])
+
+    if proj == "utm":
+        zone = int(kv["zone"])
+        south = "south" in flags or "south" in kv
+        p = {
+            "k_0": 0.9996, "lat_0": 0.0, "lon_0": float(zone * 6 - 183),
+            "x_0": 500000.0, "y_0": 10000000.0 if south else 0.0,
+        }
+    if proj == "merc":
+        if "lat_ts" in p and "k_0" not in p:
+            if math.isinf(ell.inv_f):
+                # spherical Mercator with lat_ts: fold into k via sphere
+                p["k_0"] = math.cos(math.radians(p.pop("lat_ts")))
+                kind = "webmerc"
+                if p.get("k_0") == 1.0:
+                    p.pop("k_0")
+            else:
+                p["k_0"] = _merc_b_k0(ell, p.pop("lat_ts"))
+        elif math.isinf(ell.inv_f):
+            kind = "webmerc"
+        p.setdefault("k_0", 1.0)
+        if kind == "webmerc":
+            p.pop("k_0", None)
+            p.pop("lat_ts", None)
+    if kind == "stere":
+        lat0 = p.get("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise ValueError("only polar +proj=stere is supported")
+        p.setdefault("lat_ts", lat0)
+    if kind == "lcc":
+        p.setdefault("lat_1", p.get("lat_0", 0.0))
+        p.setdefault("lat_2", p["lat_1"])
+    if kind == "aea":
+        p.setdefault("lat_1", 29.5)
+        p.setdefault("lat_2", 45.5)
+    if kind in ("cea", "eqc"):
+        p.setdefault("lat_ts", 0.0)
+    if kind == "omerc":
+        p.setdefault("lonc", p.pop("lon_0", 0.0))
+        p.setdefault("gamma", p.get("alpha", 0.0))
+        p.setdefault("k_0", 1.0)
+    if kind == "krovak":
+        p.setdefault("lat_0", 49.5)
+        p.setdefault("lon_0", 24.0 + 50.0 / 60)
+        p.setdefault("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600)
+        p.setdefault("lat_p", 78.5)
+        p.setdefault("k_0", 0.9999)
+    if kind == "geos":
+        p["sweep_x"] = 1.0 if kv.get("sweep", "y") == "x" else 0.0
+        if "h" not in p:
+            raise ValueError("+proj=geos requires +h=")
+
+    p.setdefault("x_0", 0.0)
+    p.setdefault("y_0", 0.0)
+    return CRS(kind, f"+proj={proj}", ell, tuple(sorted(p.items())),
+               towgs84=towgs84)
