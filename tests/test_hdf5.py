@@ -252,3 +252,50 @@ class TestLinkMessageGroups:
         # flags bit3: link-type field present; type 1 = soft
         body = struct.pack("<BBBB", 1, 0x08, 1, len(nm)) + nm + b"/a\x00"
         assert _parse_link_message(body) is None
+
+
+class TestReadNetcdfDispatch:
+    """read_netcdf sniffs magic bytes and routes to the right parser --
+    users hand it .nc paths without knowing the container (parity:
+    reference spatial.py accepts any xarray-openable dataset)."""
+
+    def test_dispatches_hdf5_named_nc(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import read_netcdf
+
+        w, h = 12, 8
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "h5store")
+        write_hdf5(df, path, "v", (h, w), band_rows=4)
+        # rename granules to the NetCDF-4 convention
+        import os
+        for f in os.listdir(path):
+            if f.endswith(".h5"):
+                os.rename(os.path.join(path, f),
+                          os.path.join(path, f[:-3] + ".nc"))
+        got = read_netcdf(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_dispatches_classic(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import (
+            read_netcdf, write_netcdf3)
+
+        w, h = 10, 6
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "ncstore")
+        write_netcdf3(df, path, "v", (h, w), band_rows=3)
+        got = read_netcdf(spark, path, "v").toPandas().sort_values(
+            ["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_rejects_unknown_magic(self, tmp_path):
+        from xcube_resampling_spark.sources import read_netcdf
+
+        p = tmp_path / "junk.nc"
+        p.write_bytes(b"not-a-dataset")
+        with pytest.raises(ValueError, match="neither"):
+            read_netcdf(None, str(p), "v")

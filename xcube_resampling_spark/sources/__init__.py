@@ -21,6 +21,40 @@ from .zarr import (
 )
 from .zarr3 import read_zarr3, write_zarr3, write_zarr3_stream
 
+
+def read_netcdf(spark, path, var_name, bbox_ij=None, decode_cf=False):
+    """Read any ``.nc`` file or granule directory, classic or NetCDF-4.
+
+    Sniffs the magic bytes of one file driver-side (``CDF\\x01``/``02``
+    -> classic parser, ``\\x89HDF`` -> HDF5 parser) and dispatches --
+    the reference's users never know which container a granule uses
+    (xarray hides it; reference operators/spatial.py accepts any
+    xarray-openable dataset), so neither should ours.
+    """
+    import os
+
+    probe = path
+    if os.path.isdir(path):
+        cands = sorted(
+            f for f in os.listdir(path)
+            if f.endswith((".nc", ".h5", ".nc4"))
+        )
+        if not cands:
+            raise ValueError(f"no .nc/.h5 granules under {path!r}")
+        probe = os.path.join(path, cands[0])
+    with open(probe, "rb") as f:
+        magic = f.read(8)
+    if magic[:3] == b"CDF":
+        return read_netcdf3(spark, path, var_name, bbox_ij=bbox_ij,
+                            decode_cf=decode_cf)
+    if magic == b"\x89HDF\r\n\x1a\n":
+        return read_hdf5(spark, path, var_name, bbox_ij=bbox_ij,
+                         decode_cf=decode_cf)
+    raise ValueError(
+        f"{probe!r} is neither classic NetCDF nor HDF5 "
+        f"(magic {magic[:4]!r})")
+
+
 __all__ = [
     "CRS_SIDECAR",
     "ChunkPut",
@@ -31,6 +65,7 @@ __all__ = [
     "add_spatial_ref",
     "read_grid_mapping",
     "read_hdf5",
+    "read_netcdf",
     "read_netcdf3",
     "read_pixels",
     "read_zarr",

@@ -903,7 +903,8 @@ def read_hdf5(
     if os.path.isdir(path):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
-            if f.endswith(".h5")
+            # NetCDF-4 granules are conventionally named .nc/.nc4
+            if f.endswith((".h5", ".nc", ".nc4"))
         )
         meta_path = os.path.join(path, "_meta.json")
         if bbox_ij is not None and os.path.exists(meta_path):
@@ -915,7 +916,7 @@ def read_hdf5(
                 files = [
                     f for f in files
                     if int(re.search(
-                        r"part-(\d+)\.h5", os.path.basename(f)
+                        r"part-(\d+)\.(?:h5|nc4?)$", os.path.basename(f)
                     ).group(1)) in keep
                 ]
     else:
