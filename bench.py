@@ -285,6 +285,12 @@ def main():
             # drop persisted intermediates (dedup shingle tables etc.) so
             # cache from one query doesn't GC-pressure the next
             spark.catalog.clearCache()
+        # measurement isolation: heap garbage from the Arrow-heavy geo
+        # queries otherwise lands as GC time inside whichever query runs
+        # next (observed: dedup_exact 0.68s after a gc vs 1.5s without,
+        # same plan -- the r4->r5 "+37% regression" was this, not a plan
+        # change)
+        spark._jvm.System.gc()
         times[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
