@@ -251,3 +251,70 @@ class TestFromUserInput:
         assert again.kind == crs.kind
         assert again.params == crs.params
         assert again.ellipsoid == crs.ellipsoid
+
+
+class TestWktEmission:
+    """crs_to_wkt / CRS.to_wkt: whole-registry parse-emit closure at
+    transform level (the emitted WKT must mean exactly the same CRS)."""
+
+    REGISTRY = [32633, 32760, 25832, 23031, 27700, 2193, 3577, 3112,
+                5514, 2056, 29873, 3395, 6933, 4087, 3035, 3857, 3031,
+                3413, 5070, 2154]
+
+    # sane probe box per projection family
+    BOXES = {
+        "tmerc": ((-4, 8), (40, 60)), "stere": ((-90, 90), (70, 85)),
+        "krovak": ((13, 18), (48, 51)), "somerc": ((6, 10), (46, 48)),
+        "omerc": ((110, 119), (1, 7)), "aea": ((-110, -80), (25, 48)),
+        "lcc": ((-4, 8), (42, 50)),
+    }
+
+    @pytest.mark.parametrize("code", REGISTRY)
+    def test_registry_roundtrips_through_wkt(self, code):
+        crs = CRS.from_epsg(code)
+        again = crs_from_wkt(crs.to_wkt())
+        assert again.kind == crs.kind
+        lo_rng, la_rng = self.BOXES.get(crs.kind, ((-20, 40), (-35, 65)))
+        if crs.kind == "stere" and crs.param("lat_0") < 0:
+            la_rng = (-85, -70)
+        if crs.kind in ("tmerc",):
+            lon0 = crs.param("lon_0")
+            lo_rng = (lon0 - 5, lon0 + 5)
+        if crs.kind == "lcc" and crs.param("lat_1") < 0:
+            la_rng = (-45, -12)
+        if crs.kind == "aea" and crs.param("lat_1") < 0:
+            la_rng = (-45, -12)
+        err = _max_err(crs, again, lo_rng, la_rng)
+        assert err < 1e-8, (code, err)
+        # datum shift and authority survive
+        tw = tuple(crs.towgs84) + (0.0,) * (7 - len(crs.towgs84)) \
+            if crs.towgs84 else ()
+        assert again.towgs84 == tw
+
+    def test_geos_sweep_axis_survives(self):
+        crs = CRS.from_cf({
+            "grid_mapping_name": "geostationary",
+            "perspective_point_height": 35786023.0,
+            "longitude_of_projection_origin": -75.0,
+            "sweep_angle_axis": "x",
+            "semi_major_axis": 6378137.0,
+            "inverse_flattening": 298.257222101,
+        })
+        again = crs_from_wkt(crs.to_wkt())
+        assert again.param("sweep_x") == 1.0
+        assert _max_err(crs, again, (-100, -60), (-40, 40)) < 1e-8
+
+    def test_spherical_ellipsoid_survives(self):
+        crs = CRS.from_string("MODIS")
+        again = crs_from_wkt(crs.to_wkt())
+        assert math.isinf(again.ellipsoid.inv_f)
+        assert again.ellipsoid.a == crs.ellipsoid.a
+
+    def test_rot_pole_raises_with_alternative(self):
+        cf = CRS.from_cf({
+            "grid_mapping_name": "rotated_latitude_longitude",
+            "grid_north_pole_latitude": 39.25,
+            "grid_north_pole_longitude": -162.0,
+        })
+        with pytest.raises(ValueError, match="ob_tran|to_cf"):
+            cf.to_wkt()

@@ -791,6 +791,12 @@ class CRS:
                    auth or None,
                    tuple(float(v) for v in tw.split(",") if v))
 
+    def to_wkt(self) -> str:
+        """ISO 19162 WKT2 text (parity: pyproj CRS.to_wkt); see
+        wkt.crs_to_wkt for the closure guarantee."""
+        from .wkt import crs_to_wkt
+        return crs_to_wkt(self)
+
     def to_cf(self) -> dict:
         """CF grid-mapping attributes (sink-side metadata; parity:
         reference utils.py:147 `gm.crs.to_cf()`)."""

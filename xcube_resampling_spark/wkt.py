@@ -262,11 +262,20 @@ _ELLPS_ALIASES = {
 
 def _unit_factor(node: _Node | None, default: float) -> float:
     """Conversion factor to the SI base (metre or radian) from a
-    UNIT / LENGTHUNIT / ANGLEUNIT node."""
+    UNIT / LENGTHUNIT / ANGLEUNIT node.  WKT conventionally quotes the
+    degree factor truncated (0.0174532925199433); snap anything within
+    1e-10 relative of radians(1) to the exact value so degree-valued
+    parameters survive a parse bit-for-bit."""
     if node is None:
         return default
     nums = node.numbers()
-    return nums[0] if nums else default
+    if not nums:
+        return default
+    f = nums[0]
+    rad1 = math.radians(1.0)
+    if abs(f - rad1) < 1e-10 * rad1:
+        return rad1
+    return f
 
 
 def _find_params(node: _Node) -> list[_Node]:
@@ -346,23 +355,27 @@ def _bound_towgs84(root: _Node) -> tuple:
             else (ds or 0.0))
 
 
-def _lower_params(kind: str, raw: dict, lin_f: float,
-                  ang_f_deg: float) -> tuple:
-    """Map normalized-WKT-name params to engine (key, value) tuples,
-    applying unit conversion and per-method fixups."""
+def _map_params(raw: dict, lin_f: float, ang_f_deg: float) -> dict:
+    """Normalized-WKT-name params -> engine keys with unit conversion
+    (no method fixups -- those run exactly once in _apply_kind_fixups)."""
     p: dict[str, float] = {}
     for name, value in raw.items():
         key = _PARAMS.get(name)
         if key is None:
             continue
-        if key in ("x_0", "y_0"):
-            value *= lin_f
-        elif key == "h":
+        if key in ("x_0", "y_0", "h"):
             value *= lin_f
         elif key not in ("k_0", "_sweep"):
             value *= ang_f_deg
         p[key] = value
+    return p
 
+
+def _apply_kind_fixups(kind: str, p: dict) -> tuple:
+    """Per-method parameter fixups.  Must be applied exactly once to the
+    complete parameter dict: several fixups install defaults
+    (setdefault), which would clobber real values if a second partial
+    pass merged over them."""
     if kind == "merc_b":
         kind = "merc"
         # variant B: standard parallel instead of k_0; exact EPSG 9805
@@ -397,15 +410,16 @@ def _lower_params(kind: str, raw: dict, lin_f: float,
     if kind == "omerc":
         p.setdefault("lonc", p.pop("lon_0", 0.0))
         p.setdefault("gamma", p.get("alpha", 0.0))
-    if kind == "krovak":
-        # EPSG stores the co-latitude of the cone axis (30d17'17.303");
-        # engine's alpha is the same angle.  WKT names the origin
-        # longitude "longitude of (projection) centre" -> engine lon_0.
+    if kind in ("krovak", "somerc"):
+        # EPSG 9819/9814 name the origin longitude "longitude of
+        # projection centre" -> engine lon_0 (Krovak also stores the
+        # co-latitude of the cone axis, the engine's alpha)
         if "_cone_colat" in p:
             p["alpha"] = p.pop("_cone_colat")
         if "lonc" in p:
             p.setdefault("lon_0", p.pop("lonc"))
-        p.setdefault("lat_p", 78.5)
+        if kind == "krovak":
+            p.setdefault("lat_p", 78.5)
     if kind.startswith("geos"):
         sweep_x = 1.0 if kind == "geos_x" else 0.0
         kind = "geos"
@@ -492,7 +506,8 @@ def _crs_from_node(root: _Node) -> CRS:
     ang_node = geog.child("UNIT", "ANGLEUNIT")
     ang_f_deg = _unit_factor(ang_node, math.radians(1.0)) * _DEG_PER_RAD
 
-    raw: dict[str, float] = {}
+    raw_plain: dict[str, float] = {}  # CS-level units apply
+    raw_si: dict[str, float] = {}     # per-parameter unit already applied
     for pnode in _find_params(root):
         pnames = pnode.strings()
         pnums = pnode.numbers()
@@ -504,29 +519,17 @@ def _crs_from_node(root: _Node) -> CRS:
         key = _norm(pnames[0])
         if pu is not None:
             f = _unit_factor(pu, 1.0)
-            if pu.keyword in ("ANGLEUNIT",) or (
+            if pu.keyword == "ANGLEUNIT" or (
                     pu.keyword == "UNIT" and f < 0.1):
-                raw[key] = value * f * _DEG_PER_RAD
-                continue
-            raw[key] = value * f
-            # mark as pre-converted by storing sentinel via direct set
-            # (handled below by passing lin/ang factors of 1 for these)
-            raw[key + "@si"] = 1.0
-            continue
-        raw[key] = value
+                raw_si[key] = value * f * _DEG_PER_RAD
+            else:
+                raw_si[key] = value * f
+        else:
+            raw_plain[key] = value
 
-    # split pre-converted (SI) values from raw ones
-    pre = {k[:-3] for k in raw if k.endswith("@si")}
-    raw = {k: v for k, v in raw.items() if not k.endswith("@si")}
-    raw_plain = {k: v for k, v in raw.items() if k not in pre}
-    kind2, params = _lower_params(kind, raw_plain, lin_f, ang_f_deg)
-    if pre:
-        _, pre_params = _lower_params(kind, {k: raw[k] for k in pre},
-                                      1.0, 1.0)
-        merged = dict(params)
-        merged.update(dict(pre_params))
-        params = tuple(sorted(merged.items()))
-        kind2 = kind2  # kind fixups identical for both halves
+    p = _map_params(raw_plain, lin_f, ang_f_deg)
+    p.update(_map_params(raw_si, 1.0, 1.0))
+    kind2, params = _apply_kind_fixups(kind, p)
 
     if kind == "merc_b":
         merged = dict(params)
@@ -721,3 +724,214 @@ def crs_from_proj(s: str) -> CRS:
     p.setdefault("y_0", 0.0)
     return CRS(kind, f"+proj={proj}", ell, tuple(sorted(p.items())),
                towgs84=towgs84)
+
+
+# ---------------------------------------------------------------------- #
+# WKT2 emission (pyproj CRS.to_wkt parity for the implemented families)
+
+_DEG_UNIT = 'ANGLEUNIT["degree",0.0174532925199433]'
+_M_UNIT = 'LENGTHUNIT["metre",1]'
+
+# kind -> (EPSG method name, [(wkt param name, engine key, kind_)])
+# kind_ 'a' = angular (degree), 'l' = linear (metre), 's' = scale
+_EMIT = {
+    "tmerc": ("Transverse Mercator", [
+        ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("Scale factor at natural origin", "k_0", "s"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "laea": ("Lambert Azimuthal Equal Area", [
+        ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "webmerc": ("Popular Visualisation Pseudo Mercator", [
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "merc": ("Mercator (variant A)", [
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("Scale factor at natural origin", "k_0", "s"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "cea": ("Lambert Cylindrical Equal Area", [
+        ("Latitude of 1st standard parallel", "lat_ts", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "eqc": ("Equidistant Cylindrical", [
+        ("Latitude of 1st standard parallel", "lat_ts", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "stere": ("Polar Stereographic (variant B)", [
+        ("Latitude of standard parallel", "lat_ts", "a"),
+        ("Longitude of origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "lcc": ("Lambert Conic Conformal (2SP)", [
+        ("Latitude of false origin", "lat_0", "a"),
+        ("Longitude of false origin", "lon_0", "a"),
+        ("Latitude of 1st standard parallel", "lat_1", "a"),
+        ("Latitude of 2nd standard parallel", "lat_2", "a"),
+        ("Easting at false origin", "x_0", "l"),
+        ("Northing at false origin", "y_0", "l"),
+    ]),
+    "aea": ("Albers Equal Area", [
+        ("Latitude of false origin", "lat_0", "a"),
+        ("Longitude of false origin", "lon_0", "a"),
+        ("Latitude of 1st standard parallel", "lat_1", "a"),
+        ("Latitude of 2nd standard parallel", "lat_2", "a"),
+        ("Easting at false origin", "x_0", "l"),
+        ("Northing at false origin", "y_0", "l"),
+    ]),
+    "sinu": ("Sinusoidal", [
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "krovak": ("Krovak", [
+        ("Latitude of projection centre", "lat_0", "a"),
+        ("Longitude of projection centre", "lon_0", "a"),
+        ("Co-latitude of cone axis", "alpha", "a"),
+        ("Latitude of pseudo standard parallel", "lat_p", "a"),
+        ("Scale factor on pseudo standard parallel", "k_0", "s"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "somerc": ("Swiss Oblique Mercator", [
+        ("Latitude of projection centre", "lat_0", "a"),
+        ("Longitude of projection centre", "lon_0", "a"),
+        ("Scale factor at natural origin", "k_0", "s"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "omerc": ("Hotine Oblique Mercator (variant B)", [
+        ("Latitude of projection centre", "lat_0", "a"),
+        ("Longitude of projection centre", "lonc", "a"),
+        ("Azimuth of initial line", "alpha", "a"),
+        ("Angle from Rectified to Skew Grid", "gamma", "a"),
+        ("Scale factor on initial line", "k_0", "s"),
+        ("Easting at projection centre", "x_0", "l"),
+        ("Northing at projection centre", "y_0", "l"),
+    ]),
+    "ortho": ("Orthographic", [
+        ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+}
+
+
+def _num(v: float) -> str:
+    return repr(float(v))
+
+
+def _emit_ellipsoid(ell: _Ellipsoid) -> str:
+    name = "unnamed"
+    for alias, (key, a, inv_f) in _ELLPS_ALIASES.items():
+        if abs(ell.a - a) < 1e-9 and (
+                math.isinf(ell.inv_f) and math.isinf(inv_f)
+                or abs(ell.inv_f - inv_f) < 1e-9):
+            name = key
+            break
+    inv_f = 0.0 if math.isinf(ell.inv_f) else ell.inv_f
+    return (f'ELLIPSOID["{name}",{_num(ell.a)},{_num(inv_f)},{_M_UNIT}]')
+
+
+def _emit_geog(crs: CRS, name: str) -> str:
+    return (
+        f'GEOGCRS["{name}",'
+        f'DATUM["{name}",{_emit_ellipsoid(crs.ellipsoid)}],'
+        f'CS[ellipsoidal,2],'
+        f'AXIS["geodetic latitude (Lat)",north,{_DEG_UNIT}],'
+        f'AXIS["geodetic longitude (Lon)",east,{_DEG_UNIT}]]'
+    )
+
+
+def crs_to_wkt(crs: CRS) -> str:
+    """Emit ISO 19162 WKT2 for an engine CRS.
+
+    ``crs_from_wkt(crs_to_wkt(c))`` is transform-identical to ``c`` for
+    every implemented projected family (whole-registry property test);
+    datum-shifted CRSs wrap in a BOUNDCRS with the abridged Helmert.
+    Rotated-pole grids have no standard WKT projected form -- use
+    ``to_cf()`` / PROJ ``+proj=ob_tran`` for those.
+    """
+    if crs.kind == "geographic":
+        body = _emit_geog(crs, crs.name or "unknown")
+    elif crs.kind == "rot_pole":
+        raise ValueError(
+            "rotated-pole grids have no standard WKT form; use to_cf() "
+            "or a +proj=ob_tran string")
+    else:
+        if crs.kind == "geos":
+            sweep = "X" if crs.param("sweep_x", 0.0) == 1.0 else "Y"
+            method = f"Geostationary Satellite (Sweep {sweep})"
+            plist = [
+                ("Longitude of natural origin", "lon_0", "a"),
+                ("Satellite height", "h", "l"),
+                ("False easting", "x_0", "l"),
+                ("False northing", "y_0", "l"),
+            ]
+        else:
+            if crs.kind not in _EMIT:
+                raise ValueError(f"no WKT emitter for kind {crs.kind!r}")
+            method, plist = _EMIT[crs.kind]
+        params = ",".join(
+            f'PARAMETER["{pname}",{_num(crs.param(key))},'
+            + (_DEG_UNIT if k == "a" else _M_UNIT if k == "l"
+               else 'SCALEUNIT["unity",1]')
+            + "]"
+            for pname, key, k in plist
+        )
+        base = _emit_geog(crs, "base geographic CRS")
+        # GEOGCRS -> BASEGEOGCRS (same structure, base role keyword)
+        base = "BASEGEOGCRS" + base[len("GEOGCRS"):]
+        ident = ""
+        if crs.auth_code and ":" in crs.auth_code:
+            auth, code = crs.auth_code.split(":", 1)
+            if code.isdigit():
+                ident = f',ID["{auth}",{code}]'
+        body = (
+            f'PROJCRS["{crs.name or "unnamed"}",'
+            f"{base},"
+            f'CONVERSION["unnamed",METHOD["{method}"],{params}],'
+            f'CS[Cartesian,2],'
+            f'AXIS["(E)",east,{_M_UNIT}],'
+            f'AXIS["(N)",north,{_M_UNIT}]'
+            f"{ident}]"
+        )
+    if not crs.towgs84:
+        return body
+    tw = crs.towgs84 + (0.0,) * (7 - len(crs.towgs84))
+    # ISO 19162 abridged Helmert: rotations in arc-seconds, scale as
+    # the (1 + ds-ppm * 1e-6) ratio
+    t_params = ",".join(
+        f'PARAMETER["{n}",{_num(v)}]'
+        for n, v in (
+            ("X-axis translation", tw[0]),
+            ("Y-axis translation", tw[1]),
+            ("Z-axis translation", tw[2]),
+            ("X-axis rotation", tw[3]),
+            ("Y-axis rotation", tw[4]),
+            ("Z-axis rotation", tw[5]),
+            ("Scale difference", 1.0 + tw[6] * 1e-6),
+        )
+    )
+    return (
+        f"BOUNDCRS[SOURCECRS[{body}],"
+        f'TARGETCRS[{_emit_geog(CRS_WGS84, "WGS 84")}],'
+        f'ABRIDGEDTRANSFORMATION["to WGS 84",'
+        f'METHOD["Position Vector transformation (geog2D domain)"],'
+        f"{t_params}]]"
+    )
