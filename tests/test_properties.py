@@ -384,3 +384,79 @@ class TestCodecProperties:
             lo2, la2 = inv.transform(x[vis], y[vis])
             np.testing.assert_allclose(lo2, lo[vis], atol=1e-8)
             np.testing.assert_allclose(la2, la[vis], atol=1e-8)
+
+
+class TestWktProperties:
+    """WKT emission/parsing closure under arbitrary parameters."""
+
+    @given(
+        kind=st.sampled_from(
+            ["tmerc", "laea", "merc", "cea", "eqc", "lcc", "aea",
+             "sinu", "ortho"]),
+        lat0=st.floats(-60.0, 60.0),
+        lon0=st.floats(-179.0, 179.0),
+        x0=st.floats(-2e6, 2e6),
+        y0=st.floats(-2e6, 2e6),
+        k0=st.floats(0.9995, 1.0005),
+        ell_i=st.integers(0, 2),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_any_params_roundtrip_through_wkt(
+            self, kind, lat0, lon0, x0, y0, k0, ell_i):
+        """to_wkt -> crs_from_wkt is transform-identical for random
+        parameters on every emitted family (not just registry values)."""
+        from xcube_resampling_spark.crs import _Ellipsoid, _ELLIPSOIDS
+        from xcube_resampling_spark.wkt import crs_from_wkt
+        from xcube_resampling_spark.crs import Transformer
+
+        ell = _Ellipsoid(*_ELLIPSOIDS[
+            ["WGS84", "GRS80", "Intl1924"][ell_i]])
+        params = {"lon_0": lon0, "x_0": x0, "y_0": y0}
+        if kind in ("tmerc", "laea", "ortho"):
+            params["lat_0"] = lat0
+        if kind in ("tmerc", "merc"):
+            params["k_0"] = k0
+        if kind in ("cea", "eqc"):
+            params["lat_ts"] = lat0
+        if kind in ("lcc", "aea"):
+            la = max(min(lat0, 60.0), -60.0)
+            params["lat_0"] = la
+            params["lat_1"] = la - 4.0
+            params["lat_2"] = la + 4.0
+        if kind in ("lcc", "aea") and abs(lat0) < 2.0:
+            # conic constant degenerates when the standard parallels
+            # straddle the equator symmetrically (n -> 0)
+            params["lat_0"] = params["lat_1"] = 20.0
+            params["lat_2"] = 30.0
+        crs = CRS(kind, "fuzz", ell, tuple(sorted(params.items())))
+        again = crs_from_wkt(crs.to_wkt())
+        assert again.kind == crs.kind
+        assert again.ellipsoid == crs.ellipsoid
+        # transform-identical on a probe grid near the origin
+        rng = np.random.default_rng(11)
+        base_lat = params.get("lat_0", params.get("lat_ts", 0.0))
+        base_lat = max(min(base_lat, 80.0), -80.0)
+        lo = lon0 + rng.uniform(-5, 5, 20)
+        la = np.clip(base_lat + rng.uniform(-5, 5, 20), -85, 85)
+        fa = Transformer.from_crs(CRS_WGS84, crs)
+        fb = Transformer.from_crs(CRS_WGS84, again)
+        xa, ya = fa.transform(lo, la)
+        xb, yb = fb.transform(lo, la)
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+    def test_gridmapping_accepts_wkt_and_proj_strings(self):
+        """The operator surface takes CRS as WKT/PROJ text (parity:
+        reference passes any pyproj input through its GridMapping)."""
+        ref = GridMapping.regular((100, 80), (500000.0, 5.4e6),
+                                  100.0, CRS.from_epsg(32633))
+        via_wkt = GridMapping.regular(
+            (100, 80), (500000.0, 5.4e6), 100.0,
+            CRS.from_epsg(32633).to_wkt())
+        via_proj = GridMapping.regular(
+            (100, 80), (500000.0, 5.4e6), 100.0,
+            "+proj=utm +zone=33 +datum=WGS84")
+        assert via_wkt.crs.kind == ref.crs.kind
+        assert via_proj.crs.kind == ref.crs.kind
+        np.testing.assert_array_equal(via_wkt.x_coords, ref.x_coords)
+        np.testing.assert_array_equal(via_proj.y_coords, ref.y_coords)

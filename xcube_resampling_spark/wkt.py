@@ -278,6 +278,14 @@ def _unit_factor(node: _Node | None, default: float) -> float:
     return f
 
 
+def _ang_to_deg(f: float) -> float:
+    """Radian unit factor -> degree conversion factor, with the degree
+    case snapped to exactly 1.0 (f * 180/pi != 1.0 in floats even when
+    f == radians(1), which would smear every angular parameter by an
+    ulp through a parse)."""
+    return 1.0 if f == math.radians(1.0) else f * _DEG_PER_RAD
+
+
 def _find_params(node: _Node) -> list[_Node]:
     out = list(node.children("PARAMETER"))
     # WKT2 nests parameters inside CONVERSION[...]
@@ -485,7 +493,7 @@ def _crs_from_node(root: _Node) -> CRS:
         if nums:
             pm_ang = pm_node.child("ANGLEUNIT", "UNIT")
             f = _unit_factor(pm_ang, None)
-            pm_deg = nums[0] * (f * _DEG_PER_RAD if f is not None else 1.0)
+            pm_deg = nums[0] * (_ang_to_deg(f) if f is not None else 1.0)
 
     method_name = _find_method(root)
     if method_name is None:
@@ -504,7 +512,7 @@ def _crs_from_node(root: _Node) -> CRS:
             if root.child("CS") else None),
         1.0)
     ang_node = geog.child("UNIT", "ANGLEUNIT")
-    ang_f_deg = _unit_factor(ang_node, math.radians(1.0)) * _DEG_PER_RAD
+    ang_f_deg = _ang_to_deg(_unit_factor(ang_node, math.radians(1.0)))
 
     raw_plain: dict[str, float] = {}  # CS-level units apply
     raw_si: dict[str, float] = {}     # per-parameter unit already applied
@@ -521,7 +529,7 @@ def _crs_from_node(root: _Node) -> CRS:
             f = _unit_factor(pu, 1.0)
             if pu.keyword == "ANGLEUNIT" or (
                     pu.keyword == "UNIT" and f < 0.1):
-                raw_si[key] = value * f * _DEG_PER_RAD
+                raw_si[key] = value * _ang_to_deg(f)
             else:
                 raw_si[key] = value * f
         else:
