@@ -1616,14 +1616,33 @@ q_reproject_webmercator = _q_reproject(
 q_reproject_polar_stereo = _q_reproject(
     "nearest", 3413, ((PS_W, PS_H), (PS_XMIN, PS_YMIN), PS_RES)
 )
+# the LCC leg specifies its CRS as WKT2 text instead of an EPSG code:
+# same projection parameters as EPSG:2154, so the values are identical
+# and the WKT parse path (wkt.crs_from_wkt) sits under the driver's
+# value-level oracle gate
+LCC_WKT2 = """PROJCRS["RGF93 v1 / Lambert-93",
+ BASEGEOGCRS["RGF93 v1",DATUM["Reseau Geodesique Francais 1993 v1",
+  ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]]],
+ CONVERSION["Lambert-93",METHOD["Lambert Conic Conformal (2SP)"],
+  PARAMETER["Latitude of false origin",46.5],
+  PARAMETER["Longitude of false origin",3],
+  PARAMETER["Latitude of 1st standard parallel",49],
+  PARAMETER["Latitude of 2nd standard parallel",44],
+  PARAMETER["Easting at false origin",700000,LENGTHUNIT["metre",1]],
+  PARAMETER["Northing at false origin",6600000,LENGTHUNIT["metre",1]]],
+ CS[Cartesian,2],AXIS["(E)",east,LENGTHUNIT["metre",1]],
+ AXIS["(N)",north,LENGTHUNIT["metre",1]],ID["EPSG",2154]]"""
 q_reproject_lcc = _q_reproject(
-    "nearest", 2154, ((LCC_W, LCC_H), (LCC_XMIN, LCC_YMIN), LCC_RES)
+    "nearest", LCC_WKT2, ((LCC_W, LCC_H), (LCC_XMIN, LCC_YMIN), LCC_RES)
 )
 q_reproject_albers = _q_reproject(
     "nearest", 5070, ((AEA_W, AEA_H), (AEA_XMIN, AEA_YMIN), AEA_RES)
 )
+# the sinusoidal leg specifies the MODIS grid as a PROJ string (same
+# sphere radius and parameters as the MODIS registry alias), putting
+# wkt.crs_from_proj under the oracle gate alongside the WKT leg above
 q_reproject_sinu = _q_reproject(
-    "nearest", "MODIS",
+    "nearest", "+proj=sinu +R=6371007.181 +lon_0=0 +x_0=0 +y_0=0",
     ((SINU_W, SINU_H), (SINU_XMIN, SINU_YMIN), SINU_RES),
 )
 q_reproject_ease2 = _q_reproject(
