@@ -318,3 +318,40 @@ class TestWktEmission:
         })
         with pytest.raises(ValueError, match="ob_tran|to_cf"):
             cf.to_wkt()
+
+
+class TestProjEmission:
+    """crs_to_proj / CRS.to_proj: registry closure at parameter level."""
+
+    @pytest.mark.parametrize("code", TestWktEmission.REGISTRY)
+    def test_registry_roundtrips_through_proj_string(self, code):
+        crs = CRS.from_epsg(code)
+        again = crs_from_proj(crs.to_proj())
+        assert again.kind == crs.kind
+        assert dict(again.params) == dict(crs.params)
+        assert again.ellipsoid == crs.ellipsoid
+        assert tuple(again.towgs84) == tuple(crs.towgs84)
+
+    def test_rot_pole_ob_tran_form(self):
+        cf = CRS.from_cf({
+            "grid_mapping_name": "rotated_latitude_longitude",
+            "grid_north_pole_latitude": 39.25,
+            "grid_north_pole_longitude": -162.0,
+        })
+        s = cf.to_proj()
+        assert "+proj=ob_tran" in s
+        again = crs_from_proj(s)
+        assert _max_err(cf, again, (-10, 30), (30, 60)) < 1e-9
+
+    def test_sphere_emits_radius(self):
+        crs = CRS.from_string("MODIS")
+        s = crs.to_proj()
+        assert "+R=6371007.181" in s
+        again = crs_from_proj(s)
+        assert again.ellipsoid == crs.ellipsoid
+
+    def test_geos_sweep_survives(self):
+        crs = CRS.geostationary(lon_0=-75.0, sweep="x", h=35786023.0)
+        again = crs_from_proj(crs.to_proj())
+        assert again.param("sweep_x") == 1.0
+        assert dict(again.params) == dict(crs.params)

@@ -8,7 +8,7 @@ reducers, grid-mapping inference -- plus large-scale training-data operators
 """
 
 from .crs import CRS, CRS_CRS84, CRS_WGS84, Transformer
-from .wkt import crs_from_proj, crs_from_wkt
+from .wkt import crs_from_proj, crs_from_wkt, crs_to_proj, crs_to_wkt
 from .dataset import SparkDataset, Variable
 from .gridmapping import GridMapping
 

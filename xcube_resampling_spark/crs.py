@@ -797,6 +797,11 @@ class CRS:
         from .wkt import crs_to_wkt
         return crs_to_wkt(self)
 
+    def to_proj(self) -> str:
+        """PROJ string (parity: pyproj CRS.to_proj4)."""
+        from .wkt import crs_to_proj
+        return crs_to_proj(self)
+
     def to_cf(self) -> dict:
         """CF grid-mapping attributes (sink-side metadata; parity:
         reference utils.py:147 `gm.crs.to_cf()`)."""

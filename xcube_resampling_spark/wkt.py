@@ -30,7 +30,8 @@ import re
 
 from .crs import CRS, _Ellipsoid, CRS_WGS84
 
-__all__ = ["crs_from_wkt", "crs_from_proj"]
+__all__ = ["crs_from_wkt", "crs_from_proj", "crs_to_wkt",
+           "crs_to_proj"]
 
 
 # ---------------------------------------------------------------------- #
@@ -600,6 +601,9 @@ _PROJ_PARAM_KEYS = {
     "x_0": "x_0", "y_0": "y_0", "lat_1": "lat_1", "lat_2": "lat_2",
     "lat_ts": "lat_ts", "lonc": "lonc", "alpha": "alpha",
     "gamma": "gamma", "h": "h",
+    # not a real PROJ key (PROJ hardcodes Krovak's 78.5) but accepted so
+    # crs_to_proj round-trips parameter-faithfully
+    "lat_p": "lat_p",
 }
 
 
@@ -943,3 +947,63 @@ def crs_to_wkt(crs: CRS) -> str:
         f'METHOD["Position Vector transformation (geog2D domain)"],'
         f"{t_params}]]"
     )
+
+
+# ---------------------------------------------------------------------- #
+# PROJ-string emission (pyproj CRS.to_proj4 parity)
+
+_PROJ_NAMES = {v: k for k, v in _PROJ_KINDS.items()
+               if v not in ("geographic", "rot_pole")}
+_PROJ_NAMES["merc"] = "merc"
+_PROJ_NAMES["webmerc"] = "webmerc"
+_PROJ_NAMES["tmerc"] = "tmerc"
+
+
+def _ellps_token(ell: _Ellipsoid) -> str:
+    for alias, (_, a, inv_f) in _ELLPS_ALIASES.items():
+        if alias in ("international1924", "hayford1909", "bessel1841",
+                     "airy1830", "clarke1866", "everest1967"):
+            continue  # emit the canonical short PROJ names only
+        if abs(ell.a - a) < 1e-9 and not math.isinf(ell.inv_f) \
+                and abs(ell.inv_f - inv_f) < 1e-9:
+            return f"+ellps={alias.upper() if alias in ('wgs84', 'grs80') else alias}"
+    if math.isinf(ell.inv_f):
+        return f"+R={ell.a!r}"
+    return f"+a={ell.a!r} +rf={ell.inv_f!r}"
+
+
+def crs_to_proj(crs: CRS) -> str:
+    """Emit a PROJ string for an engine CRS; ``crs_from_proj`` of the
+    result is parameter-identical (closure-tested).  Rotated pole emits
+    the ``+proj=ob_tran`` form."""
+    ell = _ellps_token(crs.ellipsoid)
+    tw = ""
+    if crs.towgs84:
+        tw = " +towgs84=" + ",".join(repr(float(v)) for v in crs.towgs84)
+    if crs.kind == "geographic":
+        return f"+proj=longlat {ell}{tw} +no_defs"
+    if crs.kind == "rot_pole":
+        return (
+            f"+proj=ob_tran +o_proj=longlat"
+            f" +o_lat_p={crs.param('pole_lat')!r}"
+            f" +lon_0={crs.param('pole_lon') + 180.0!r}"
+            f" {ell}{tw} +no_defs"
+        )
+    name = _PROJ_NAMES.get(crs.kind)
+    if name is None:
+        raise ValueError(f"no PROJ emitter for kind {crs.kind!r}")
+    parts = [f"+proj={name}"]
+    skip = {"sweep_x"}
+    key_map = {"k_0": "k"}
+    for k, v in crs.params:
+        if k in skip:
+            continue
+        parts.append(f"+{key_map.get(k, k)}={float(v)!r}")
+    if crs.kind == "geos":
+        parts.append(
+            "+sweep=" + ("x" if crs.param("sweep_x") == 1.0 else "y"))
+    parts.append(ell)
+    if tw:
+        parts.append(tw.strip())
+    parts.append("+no_defs")
+    return " ".join(parts)
