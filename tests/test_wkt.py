@@ -355,3 +355,30 @@ class TestProjEmission:
         again = crs_from_proj(crs.to_proj())
         assert again.param("sweep_x") == 1.0
         assert dict(again.params) == dict(crs.params)
+
+
+class TestCfWktBridge:
+    """CF grid mappings carry crs_wkt (pyproj to_cf/from_cf parity)."""
+
+    def test_to_cf_includes_crs_wkt(self):
+        cf = CRS.from_epsg(32633).to_cf()
+        assert cf["grid_mapping_name"] == "transverse_mercator"
+        again = crs_from_wkt(cf["crs_wkt"])
+        assert dict(again.params) == dict(CRS.from_epsg(32633).params)
+
+    def test_krovak_roundtrips_via_crs_wkt_only(self):
+        # CF has no grid_mapping_name for Krovak; the wkt attribute is
+        # the only faithful CF serialization
+        k = CRS.from_epsg(5514)
+        cf = k.to_cf()
+        assert "grid_mapping_name" not in cf
+        back = CRS.from_cf(cf)
+        assert back.kind == "krovak"
+        assert dict(back.params) == dict(k.params)
+
+    def test_from_cf_crs_wkt_fallback_for_unsupported_name(self):
+        cf = CRS.from_epsg(3035).to_cf()
+        cf["grid_mapping_name"] = "some_future_mapping"
+        back = CRS.from_cf(cf)
+        assert back.kind == "laea"
+        assert dict(back.params) == dict(CRS.from_epsg(3035).params)

@@ -512,6 +512,12 @@ class CRS:
         """Build a CRS from CF grid-mapping attributes
         (parity: pyproj CRS.from_cf used at reference cfconv.py:91-116)."""
         gmn = attrs.get("grid_mapping_name")
+        if gmn is None and "crs_wkt" in attrs:
+            # CF allows a grid mapping to carry only crs_wkt (pyproj
+            # parses it); also the escape hatch for methods that have a
+            # WKT form but no CF grid_mapping_name (e.g. Krovak)
+            from .wkt import crs_from_wkt
+            return crs_from_wkt(attrs["crs_wkt"])
         if gmn in (None, "latitude_longitude"):
             return CRS_WGS84
         ell = _Ellipsoid(
@@ -733,6 +739,10 @@ class CRS:
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
             )
+        if "crs_wkt" in attrs:
+            # unsupported-by-CF-name method with a parsable WKT twin
+            from .wkt import crs_from_wkt
+            return crs_from_wkt(attrs["crs_wkt"])
         raise ValueError(f"unsupported CF grid mapping: {gmn!r}")
 
     # ------------------------------------------------------------------ #
@@ -804,7 +814,26 @@ class CRS:
 
     def to_cf(self) -> dict:
         """CF grid-mapping attributes (sink-side metadata; parity:
-        reference utils.py:147 `gm.crs.to_cf()`)."""
+        reference utils.py:147 `gm.crs.to_cf()`).
+
+        Like pyproj, the result carries a ``crs_wkt`` attribute
+        alongside the named CF keys whenever the projection has a WKT
+        form; methods CF has no grid_mapping_name for (e.g. Krovak)
+        emit ``crs_wkt`` alone, which ``from_cf`` parses back."""
+        try:
+            attrs = self._to_cf_named()
+        except ValueError:
+            attrs = dict(
+                semi_major_axis=self.ellipsoid.a,
+                inverse_flattening=self.ellipsoid.inv_f,
+            )
+        try:
+            attrs["crs_wkt"] = self.to_wkt()
+        except ValueError:
+            pass  # rotated pole: CF-named only
+        return attrs
+
+    def _to_cf_named(self) -> dict:
         ell = dict(
             semi_major_axis=self.ellipsoid.a,
             inverse_flattening=self.ellipsoid.inv_f,
