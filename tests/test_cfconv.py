@@ -100,6 +100,27 @@ class TestDiscovery:
         gm = grid_mapping_from_dataset(ds)
         assert not gm.crs.is_geographic
 
+    def test_spatial_ref_crs_wkt_only(self, spark):
+        # a grid mapping variable carrying ONLY crs_wkt (no CF
+        # grid_mapping_name) -- legal CF, and the only faithful CF form
+        # for methods like Krovak; discovery parses the WKT
+        ds = _ds(
+            spark,
+            {
+                "x": np.arange(500050.0, 500850.0, 100.0),
+                "y": np.arange(5000550.0, 4999950.0, -100.0),
+                "spatial_ref": 0,
+            },
+            coord_attrs={
+                "spatial_ref": {
+                    "crs_wkt": CRS.from_epsg(32632).to_wkt()
+                }
+            },
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.crs.kind == "tmerc"
+        assert gm.crs.param("lon_0") == 9.0
+
     def test_crs_in_dataset_attrs(self, spark):
         ds = _ds(
             spark,
