@@ -239,6 +239,45 @@ SCALE_BENCHES = [
 ]
 
 
+def _docs_base(spark):
+    import __spark_entry__ as entry_mod
+
+    return entry_mod._docs2(spark, SF_DIR)
+
+
+def _docs_10x(spark, copies: int = 10):
+    """~10x corpus that PRESERVES the base duplicate structure: each copy
+    token-rehashes the text with a copy-salted md5, so a copy's internal
+    dup pairs (the _docs2 original/clone pairs) survive verbatim while
+    different copies share no tokens/shingles -- pair counts scale by
+    `copies`, not by copies^2, the honest shape for a throughput slope."""
+    base = _docs_base(spark)
+    return base.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k"),
+    ).select(
+        (F.col("doc_id") + F.col("k") * 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.substring(
+                    F.md5(F.concat(t, F.col("k").cast("string"))), 1, 8
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+# dedup operators measured at base and ~10x corpus (input persisted, so
+# the timing is the operator, not corpus synthesis)
+DEDUP_SCALE_BENCHES = [
+    ("dedup_exact", "dedup_exact"),
+    ("dedup_minhash_lsh", "dedup_minhash_lsh"),
+    ("dedup_simhash", "dedup_simhash"),
+]
+
+
 def _n_exchanges(df) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
@@ -305,6 +344,7 @@ def main():
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         for name, head_fn, sf1_fn in SCALE_BENCHES:
             spark.catalog.clearCache()
+            spark._jvm.System.gc()  # same isolation as the headline loop
             df1 = sf1_fn(spark)
             # two runs: the first pays one-time whole-stage-codegen
             # compilation (~20 s on the rectify plan -- measured 50.5 s
@@ -331,6 +371,39 @@ def main():
                 file=sys.stderr,
             )
 
+    # dedup scale section: the three dedup operators on a persisted ~10x
+    # corpus (copy-salted token rehash keeps dup structure linear).
+    # Steady-state min-of-2; exchange counts must match the base scale.
+    dedup_scale = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        from xcube_resampling_spark.extensions import dedup as dedup_mod
+
+        docs10 = _docs_10x(spark).persist()
+        n10 = docs10.count()
+        for name, fn_name in DEDUP_SCALE_BENCHES:
+            op = getattr(dedup_mod, fn_name)
+            best = float("inf")
+            rows = None
+            for _ in range(2):
+                dedup_mod.release_cached()
+                t0 = time.perf_counter()
+                rows = op(docs10).count()
+                best = min(best, time.perf_counter() - t0)
+            dedup_mod.release_cached()
+            spark._jvm.System.gc()
+            # candidate generation stays equi-join by construction --
+            # plan-shape asserted in tests/test_properties.py; exchange
+            # counts aren't compared across scales here because the 10x
+            # input is a persisted synthetic frame (different plan root
+            # than the parquet scan)
+            dedup_scale[name] = {"sec": round(best, 3), "rows": rows}
+            print(
+                f"# dedup10x {name}: {best:.2f}s rows={rows}",
+                file=sys.stderr,
+            )
+        docs10.unpersist()
+        dedup_scale["n_docs"] = n10
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall",
@@ -339,6 +412,15 @@ def main():
         "queries": times,
         "sf": float(sf),
     }
+    if dedup_scale:
+        out["dedup_10x"] = {
+            "queries": dedup_scale,
+            "note": (
+                "dedup operators on a persisted ~10x corpus "
+                "(copy-salted token rehash; dup pairs scale linearly); "
+                "steady-state min of 2, excluded from value"
+            ),
+        }
     if scale_times:
         out["scale_10x"] = {
             "queries": scale_times,
