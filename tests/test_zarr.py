@@ -365,3 +365,99 @@ class TestZarrRealism:
         np.testing.assert_allclose(
             got["value"].to_numpy(), exp, equal_nan=True
         )
+
+
+class TestCfStore:
+    """write_zarr_cf / add_spatial_ref: xarray-openable CF stores
+    (parity: reference cfconv.py:320-358 add_spatial_ref on zarr)."""
+
+    def _gm(self):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        return GridMapping.regular(
+            (16, 12), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632)
+        )
+
+    def test_store_layout_is_xarray_convention(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import write_zarr_cf
+
+        gm = self._gm()
+        path = str(tmp_path / "cfstore")
+        write_zarr_cf(_raster(spark, 16, 12), path, "band", gm)
+
+        # data var: dims + grid_mapping pointer
+        va = json.load(open(os.path.join(path, "band", ".zattrs")))
+        assert va["_ARRAY_DIMENSIONS"] == ["y", "x"]
+        assert va["grid_mapping"] == "spatial_ref"
+
+        # 1-D coords: raw float64 little-endian cell centers
+        xa = json.load(open(os.path.join(path, "x", ".zarray")))
+        assert xa["shape"] == [16] and xa["compressor"] is None
+        x = np.frombuffer(
+            open(os.path.join(path, "x", "0"), "rb").read(), "<f8")
+        np.testing.assert_allclose(x, np.asarray(gm.x_coords))
+        ya = json.load(open(os.path.join(path, "y", ".zattrs")))
+        assert ya["_ARRAY_DIMENSIONS"] == ["y"]
+        y = np.frombuffer(
+            open(os.path.join(path, "y", "0"), "rb").read(), "<f8")
+        np.testing.assert_allclose(y, np.asarray(gm.y_coords))
+
+        # spatial_ref: 0-d int var whose attrs rebuild the CRS
+        from xcube_resampling_spark.crs import CRS
+
+        sa = json.load(open(os.path.join(path, "spatial_ref", ".zattrs")))
+        assert sa["_ARRAY_DIMENSIONS"] == []
+        assert "crs_wkt" in sa
+        back = CRS.from_cf(sa)
+        assert back.kind == "tmerc"
+        assert back.param("lon_0") == 9.0
+
+        # everything consolidated
+        meta = json.load(open(os.path.join(path, ".zmetadata")))["metadata"]
+        for k in ("band/.zarray", "x/.zarray", "y/.zarray",
+                  "spatial_ref/.zattrs"):
+            assert k in meta, k
+
+    def test_data_still_readable_by_engine(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import write_zarr_cf
+
+        gm = self._gm()
+        path = str(tmp_path / "cfstore2")
+        df = _raster(spark, 16, 12)
+        write_zarr_cf(df, path, "band", gm)
+        got = read_zarr(spark, path, "band").toPandas().sort_values(
+            ["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_add_spatial_ref_existing_store_any_crs_input(
+            self, spark, tmp_path):
+        from xcube_resampling_spark.sources import (
+            add_spatial_ref_zarr, write_zarr)
+        from xcube_resampling_spark.crs import CRS
+
+        path = str(tmp_path / "plainstore")
+        write_zarr(_raster(spark, 8, 6), path, "v", (6, 8), (6, 8))
+        # CRS given as a PROJ string -- from_user_input surface
+        add_spatial_ref_zarr(path, "+proj=utm +zone=32 +datum=WGS84")
+        va = json.load(open(os.path.join(path, "v", ".zattrs")))
+        assert va["grid_mapping"] == "spatial_ref"
+        sa = json.load(open(os.path.join(path, "spatial_ref", ".zattrs")))
+        assert CRS.from_cf(sa).kind == "tmerc"
+        meta = json.load(open(os.path.join(path, ".zmetadata")))["metadata"]
+        assert "spatial_ref/.zattrs" in meta
+        assert meta["v/.zattrs"]["grid_mapping"] == "spatial_ref"
+
+    def test_3d_cube_with_time_axis(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import write_zarr_cf
+
+        gm = self._gm()
+        path = str(tmp_path / "cfstore3d")
+        write_zarr_cf(_raster(spark, 16, 12, nt=3), path, "band", gm,
+                      nt=3)
+        va = json.load(open(os.path.join(path, "band", ".zattrs")))
+        assert va["_ARRAY_DIMENSIONS"] == ["t", "y", "x"]
+        za = json.load(open(os.path.join(path, "band", ".zarray")))
+        assert za["shape"] == [3, 12, 16]

@@ -18,7 +18,9 @@ from .zarr import (
     ObjectStoreChunkPut,
     read_zarr,
     write_zarr,
+    write_zarr_cf,
 )
+from .zarr import add_spatial_ref as add_spatial_ref_zarr
 from .zarr3 import read_zarr3, write_zarr3, write_zarr3_stream
 
 
@@ -74,6 +76,8 @@ __all__ = [
     "write_netcdf3",
     "write_pixels",
     "write_zarr",
+    "write_zarr_cf",
+    "add_spatial_ref_zarr",
     "write_zarr3",
     "write_zarr3_stream",
     "write_zarr_stream",

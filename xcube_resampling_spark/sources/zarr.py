@@ -294,6 +294,157 @@ def _write_zarr_chunks(
     ).count()
 
 
+def _reconsolidate(put: ChunkPut, path: str, entries: dict) -> None:
+    """Merge new metadata entries into .zmetadata (same local-read
+    pattern as _write_zarr_metadata: the prior document is read via the
+    filesystem when available; a pure object-store root just gets the
+    new entries plus the group marker)."""
+    consolidated: dict = {".zgroup": {"zarr_format": 2}}
+    prior = os.path.join(path, ".zmetadata")
+    if os.path.exists(prior):
+        try:
+            with open(prior) as fp:
+                consolidated.update(json.load(fp).get("metadata", {}))
+        except (OSError, ValueError):
+            pass
+    consolidated.update(entries)
+    put.put(
+        ".zmetadata",
+        json.dumps(
+            {"zarr_consolidated_format": 1, "metadata": consolidated}
+        ).encode(),
+    )
+
+
+def _put_small_array(
+    put: ChunkPut, name: str, values: np.ndarray, attrs: dict
+) -> dict:
+    """Write a tiny driver-side zarr v2 array (1-D coords or the 0-d
+    spatial_ref variable): one uncompressed chunk, float64/int64.
+    Returns the .zmetadata entries."""
+    values = np.asarray(values)
+    dtype = "<i8" if values.dtype.kind in "iu" else "<f8"
+    values = values.astype(dtype)
+    zarray = {
+        "zarr_format": 2,
+        "shape": list(values.shape),
+        "chunks": list(values.shape) if values.ndim else [],
+        "dtype": dtype,
+        "compressor": None,
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+    }
+    put.put(f"{name}/.zarray", json.dumps(zarray).encode())
+    put.put(f"{name}/.zattrs", json.dumps(attrs).encode())
+    chunk_key = ".".join(["0"] * max(values.ndim, 1))
+    put.put(f"{name}/{chunk_key}", values.tobytes(order="C"))
+    return {f"{name}/.zarray": zarray, f"{name}/.zattrs": attrs}
+
+
+def add_spatial_ref(
+    path: str,
+    crs,
+    *,
+    crs_var_name: str = "spatial_ref",
+    data_var_names: list[str] | None = None,
+    chunk_put: ChunkPut | None = None,
+) -> None:
+    """Inject a CF CRS variable into an EXISTING zarr v2 store and point
+    the data variables' ``grid_mapping`` attribute at it, then
+    reconsolidate -- the zarr-store face of the reference's
+    ``add_spatial_ref`` (reference cfconv.py:320-358), which real
+    pipelines run so GDAL/xarray/rioxarray georeference the cube.
+
+    ``crs`` is anything ``CRS.from_user_input`` takes (CRS object, EPSG
+    code, WKT text, PROJ string).  The CRS variable is a 0-d int array
+    whose attrs carry the CF grid-mapping keys plus ``crs_wkt``.
+    """
+    from xcube_resampling_spark.crs import CRS
+
+    crs = CRS.from_user_input(crs)
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    entries = _put_small_array(
+        put, crs_var_name, np.int64(0), {
+            "_ARRAY_DIMENSIONS": [], **crs.to_cf(),
+        }
+    )
+    if data_var_names is None:
+        data_var_names = [
+            d for d in (os.listdir(path) if os.path.isdir(path) else [])
+            if not d.startswith(".")
+            and os.path.exists(os.path.join(path, d, ".zarray"))
+            and d != crs_var_name
+        ]
+    for var in data_var_names:
+        apath = os.path.join(path, var, ".zattrs")
+        attrs: dict = {}
+        if os.path.exists(apath):
+            try:
+                with open(apath) as fp:
+                    attrs = json.load(fp)
+            except (OSError, ValueError):
+                attrs = {}
+        # coordinate arrays georeference themselves; only grid data
+        # variables point at the CRS var
+        dims = attrs.get("_ARRAY_DIMENSIONS", [])
+        if var in ("x", "y", "t", "lon", "lat", "time") or dims == [var]:
+            continue
+        attrs["grid_mapping"] = crs_var_name
+        put.put(f"{var}/.zattrs", json.dumps(attrs).encode())
+        entries[f"{var}/.zattrs"] = attrs
+    _reconsolidate(put, path, entries)
+
+
+def write_zarr_cf(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    grid_mapping,
+    fill_value: float = float("nan"),
+    compressor: str = "zlib",
+    attrs: dict | None = None,
+    nt: int = 0,
+    chunk_put: ChunkPut | None = None,
+    chunks: tuple[int, ...] | None = None,
+) -> None:
+    """Write a pixel DataFrame as an xarray-openable CF zarr v2 store:
+    the distributed data array plus 1-D x/y coordinate arrays (cell
+    centers from the GridMapping), ``_ARRAY_DIMENSIONS`` on every
+    array, and a ``spatial_ref`` variable the data var's
+    ``grid_mapping`` attr points at.  Mirrors what the reference's
+    users get from ``xr.Dataset.to_zarr`` + ``add_spatial_ref``.
+
+    ``nt > 0`` writes a (nt, h, w) cube; 0 writes the 2-D (h, w) array.
+    """
+    gm = grid_mapping
+    w, h = gm.size
+    shape = (nt, h, w) if nt else (h, w)
+    if chunks is None:
+        tw, th = gm.tile_size if gm.tile_size else (w, h)
+        chunks = (1, th, tw) if nt else (th, tw)
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    write_zarr(df, path, var_name, shape, chunks,
+               fill_value=fill_value, compressor=compressor,
+               attrs=attrs, chunk_put=put)
+    entries = {}
+    entries.update(_put_small_array(
+        put, "x", np.asarray(gm.x_coords, dtype="<f8"),
+        {"_ARRAY_DIMENSIONS": ["x"],
+         "standard_name": "projection_x_coordinate"
+         if not gm.crs.is_geographic else "longitude"},
+    ))
+    entries.update(_put_small_array(
+        put, "y", np.asarray(gm.y_coords, dtype="<f8"),
+        {"_ARRAY_DIMENSIONS": ["y"],
+         "standard_name": "projection_y_coordinate"
+         if not gm.crs.is_geographic else "latitude"},
+    ))
+    _reconsolidate(put, path, entries)
+    add_spatial_ref(path, gm.crs, data_var_names=[var_name],
+                    chunk_put=put)
+
+
 def write_zarr_stream(
     df: DataFrame,
     path: str,
