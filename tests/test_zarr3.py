@@ -333,3 +333,55 @@ class TestZarr3Transpose:
         np.testing.assert_array_equal(
             got["value"].to_numpy(), arr.reshape(-1)
         )
+
+
+class TestCfStore3:
+    """write_zarr3_cf / add_spatial_ref3: CF-complete v3 stores."""
+
+    def test_store_layout(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            read_zarr3, write_zarr3_cf)
+
+        gm = GridMapping.regular(
+            (10, 8), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "cf3")
+        df = _raster(spark, 10, 8)
+        write_zarr3_cf(df, path, "band", gm)
+
+        vm = json.load(open(os.path.join(path, "band", "zarr.json")))
+        assert vm["dimension_names"] == ["y", "x"]
+        assert vm["attributes"]["grid_mapping"] == "spatial_ref"
+
+        xm = json.load(open(os.path.join(path, "x", "zarr.json")))
+        assert xm["shape"] == [10] and xm["dimension_names"] == ["x"]
+        x = np.frombuffer(
+            open(os.path.join(path, "x", "c", "0"), "rb").read(), "<f8")
+        np.testing.assert_allclose(x, np.asarray(gm.x_coords))
+
+        sm = json.load(open(os.path.join(path, "spatial_ref",
+                                         "zarr.json")))
+        assert sm["shape"] == []
+        back = CRS.from_cf(sm["attributes"])
+        assert back.kind == "tmerc" and back.param("lon_0") == 9.0
+
+        got = read_zarr3(spark, path, "band").toPandas().sort_values(
+            ["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_add_spatial_ref3_existing_store(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.sources import (
+            add_spatial_ref3, write_zarr3)
+
+        path = str(tmp_path / "plain3")
+        write_zarr3(_raster(spark, 8, 6), path, "v", (6, 8), (6, 8))
+        add_spatial_ref3(path, "EPSG:3035")
+        vm = json.load(open(os.path.join(path, "v", "zarr.json")))
+        assert vm["attributes"]["grid_mapping"] == "spatial_ref"
+        sm = json.load(open(os.path.join(path, "spatial_ref",
+                                         "zarr.json")))
+        assert CRS.from_cf(sm["attributes"]).kind == "laea"

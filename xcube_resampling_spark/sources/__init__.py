@@ -21,7 +21,13 @@ from .zarr import (
     write_zarr_cf,
 )
 from .zarr import add_spatial_ref as add_spatial_ref_zarr
-from .zarr3 import read_zarr3, write_zarr3, write_zarr3_stream
+from .zarr3 import (
+    add_spatial_ref3,
+    read_zarr3,
+    write_zarr3,
+    write_zarr3_cf,
+    write_zarr3_stream,
+)
 
 
 def read_netcdf(spark, path, var_name, bbox_ij=None, decode_cf=False):
@@ -79,6 +85,8 @@ __all__ = [
     "write_zarr_cf",
     "add_spatial_ref_zarr",
     "write_zarr3",
+    "write_zarr3_cf",
+    "add_spatial_ref3",
     "write_zarr3_stream",
     "write_zarr_stream",
 ]

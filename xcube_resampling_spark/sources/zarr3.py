@@ -484,6 +484,116 @@ def write_zarr3(
     )
 
 
+def _put_small_array3(
+    put: ChunkPut, name: str, values: np.ndarray, attrs: dict
+) -> None:
+    """Tiny driver-side v3 array (1-D coords / 0-d spatial_ref): one
+    uncompressed bytes-codec chunk (key ``c/0``, or ``c`` for 0-d)."""
+    values = np.asarray(values)
+    dtype = "int64" if values.dtype.kind in "iu" else "float64"
+    values = values.astype("<i8" if dtype == "int64" else "<f8")
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(values.shape),
+        "data_type": dtype,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(values.shape)},
+        },
+        "chunk_key_encoding": {
+            "name": "default", "configuration": {"separator": "/"}
+        },
+        "fill_value": 0,
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}}],
+        "attributes": attrs,
+    }
+    if values.ndim:
+        meta["dimension_names"] = [name]
+    put.put(f"{name}/zarr.json", json.dumps(meta).encode())
+    chunk_key = "c/" + "/".join(["0"] * values.ndim) if values.ndim \
+        else "c"
+    put.put(f"{name}/{chunk_key}", values.tobytes(order="C"))
+
+
+def add_spatial_ref3(
+    path: str,
+    crs,
+    *,
+    crs_var_name: str = "spatial_ref",
+    data_var_names: list[str] | None = None,
+    chunk_put: ChunkPut | None = None,
+) -> None:
+    """Inject a CF CRS variable into an existing zarr v3 store and point
+    the data variables' ``grid_mapping`` attribute at it (v3 face of
+    the reference's add_spatial_ref; attributes live inside each
+    array's zarr.json)."""
+    from xcube_resampling_spark.crs import CRS
+
+    crs = CRS.from_user_input(crs)
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    _put_small_array3(put, crs_var_name, np.int64(0), crs.to_cf())
+    if data_var_names is None:
+        data_var_names = [
+            d for d in (os.listdir(path) if os.path.isdir(path) else [])
+            if not d.startswith(".") and d != crs_var_name
+            and os.path.exists(os.path.join(path, d, "zarr.json"))
+        ]
+    for var in data_var_names:
+        mpath = os.path.join(path, var, "zarr.json")
+        try:
+            with open(mpath) as fp:
+                meta = json.load(fp)
+        except (OSError, ValueError):
+            continue
+        if meta.get("node_type") != "array":
+            continue
+        dims = meta.get("dimension_names") or []
+        if var in ("x", "y", "t", "lon", "lat", "time") or dims == [var]:
+            continue
+        meta.setdefault("attributes", {})["grid_mapping"] = crs_var_name
+        put.put(f"{var}/zarr.json", json.dumps(meta).encode())
+
+
+def write_zarr3_cf(
+    df: DataFrame,
+    path: str,
+    var_name: str,
+    grid_mapping,
+    fill_value: float = float("nan"),
+    codec: str | None = "gzip",
+    attrs: dict | None = None,
+    nt: int = 0,
+    chunk_put: ChunkPut | None = None,
+    shards: tuple[int, ...] | None = None,
+    chunks: tuple[int, ...] | None = None,
+) -> None:
+    """CF/xarray-complete zarr v3 store: data array + 1-D x/y cell-center
+    coordinate arrays + spatial_ref variable (v3 twin of write_zarr_cf)."""
+    gm = grid_mapping
+    w, h = gm.size
+    shape = (nt, h, w) if nt else (h, w)
+    if chunks is None:
+        tw, th = gm.tile_size if gm.tile_size else (w, h)
+        chunks = (1, th, tw) if nt else (th, tw)
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    write_zarr3(df, path, var_name, shape, chunks,
+                fill_value=fill_value, codec=codec, attrs=attrs,
+                chunk_put=put, shards=shards)
+    geographic = gm.crs.is_geographic
+    _put_small_array3(
+        put, "x", np.asarray(gm.x_coords, dtype="<f8"),
+        {"standard_name": "longitude" if geographic
+         else "projection_x_coordinate"})
+    _put_small_array3(
+        put, "y", np.asarray(gm.y_coords, dtype="<f8"),
+        {"standard_name": "latitude" if geographic
+         else "projection_y_coordinate"})
+    add_spatial_ref3(path, gm.crs, data_var_names=[var_name],
+                     chunk_put=put)
+
+
 def write_zarr3_stream(
     df: DataFrame,
     path: str,
