@@ -461,3 +461,48 @@ class TestCfStore:
         assert va["_ARRAY_DIMENSIONS"] == ["t", "y", "x"]
         za = json.load(open(os.path.join(path, "band", ".zarray")))
         assert za["shape"] == [3, 12, 16]
+
+    def test_grid_mapping_roundtrip_and_resample(self, spark, tmp_path):
+        """Full user workflow: write a CF store, reopen it cold (data +
+        grid mapping from the store alone), downscale 2x through the
+        affine operator -- the reference's open_zarr -> resample loop."""
+        from xcube_resampling_spark.dataset import SparkDataset, Variable
+        from xcube_resampling_spark.operators.affine import (
+            affine_transform_dataset)
+        from xcube_resampling_spark.sources import (
+            read_zarr, read_zarr_grid_mapping, write_zarr_cf)
+
+        gm = self._gm()
+        path = str(tmp_path / "cfrt")
+        write_zarr_cf(_raster(spark, 16, 12), path, "band", gm)
+
+        gm2 = read_zarr_grid_mapping(path)
+        assert gm2 is not None
+        assert gm2.crs.kind == "tmerc"
+        np.testing.assert_allclose(
+            np.asarray(gm2.x_coords), np.asarray(gm.x_coords))
+        assert gm2.size == gm.size
+
+        pixels = read_zarr(spark, path, "band")
+        src = SparkDataset(
+            spark=spark,
+            data_vars={"band": Variable(
+                "band", pixels, ("y", "x"), "float64", {})},
+            coords={"x": np.asarray(gm2.x_coords),
+                    "y": np.asarray(gm2.y_coords)},
+            yx_dims=("y", "x"),
+        )
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        target = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 200.0, gm2.crs)
+        out = affine_transform_dataset(
+            src, target, source_gm=gm2, agg_methods="mean")
+        got = out.data_vars["band"].df.toPandas()
+        assert len(got) == 48
+        # 2x2 mean of the linear ramp: top-left window mean
+        tl = got[(got.j == 0) & (got.i == 0)]["value"].iloc[0]
+        base = _raster(spark, 16, 12).toPandas()
+        manual = base[(base.j < 2) & (base.i < 2)]["value"].mean()
+        assert abs(tl - manual) < 1e-9

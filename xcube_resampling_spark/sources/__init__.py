@@ -17,6 +17,7 @@ from .zarr import (
     FsChunkPut,
     ObjectStoreChunkPut,
     read_zarr,
+    read_zarr_grid_mapping,
     write_zarr,
     write_zarr_cf,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "read_netcdf3",
     "read_pixels",
     "read_zarr",
+    "read_zarr_grid_mapping",
     "read_zarr3",
     "write_hdf5",
     "write_netcdf3",

@@ -445,6 +445,43 @@ def write_zarr_cf(
                     chunk_put=put)
 
 
+def read_zarr_grid_mapping(path: str, crs_var_name: str = "spatial_ref"):
+    """Reconstruct the GridMapping of a CF zarr v2 store written by
+    ``write_zarr_cf`` (or any xarray-convention store with 1-D x/y
+    coordinate arrays and a CRS variable): the read-side of the CF
+    discovery the reference performs through
+    ``GridMapping.from_dataset`` on an opened zarr cube.  Returns None
+    when the store has no coordinate arrays."""
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.gridmapping import GridMapping
+
+    def _arr(name):
+        zpath = os.path.join(path, name, ".zarray")
+        if not os.path.exists(zpath):
+            return None
+        with open(zpath) as fp:
+            za = json.load(fp)
+        if za.get("compressor") is not None or za.get("filters"):
+            raise NotImplementedError(
+                f"coordinate array {name!r} is compressed; only raw "
+                "1-D coordinate arrays are supported")
+        raw = open(os.path.join(path, name, "0"), "rb").read()
+        return np.frombuffer(raw, za["dtype"]).astype("float64")
+
+    x = _arr("x")
+    y = _arr("y")
+    if x is None or y is None:
+        return None
+    apath = os.path.join(path, crs_var_name, ".zattrs")
+    if os.path.exists(apath):
+        with open(apath) as fp:
+            crs = CRS.from_cf(json.load(fp))
+    else:
+        from xcube_resampling_spark.crs import CRS_WGS84 as crs
+    return GridMapping.from_coords(x, y, crs, xy_var_names=("x", "y"),
+                                   xy_dim_names=("x", "y"))
+
+
 def write_zarr_stream(
     df: DataFrame,
     path: str,
