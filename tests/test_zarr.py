@@ -506,3 +506,32 @@ class TestCfStore:
         base = _raster(spark, 16, 12).toPandas()
         manual = base[(base.j < 2) & (base.i < 2)]["value"].mean()
         assert abs(tl - manual) < 1e-9
+
+    def test_open_zarr_dataset_resample_in_space(self, spark, tmp_path):
+        """The reference's two-liner: open the cube, resample it --
+        open_zarr_dataset feeds resample_in_space with no manual
+        plumbing."""
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.spatial import (
+            resample_in_space)
+        from xcube_resampling_spark.sources import (
+            open_zarr_dataset, write_zarr_cf)
+
+        gm = self._gm()
+        path = str(tmp_path / "cfopen")
+        write_zarr_cf(_raster(spark, 16, 12), path, "band", gm,
+                      attrs={"units": "K"})
+
+        ds, gm2 = open_zarr_dataset(spark, path)
+        assert list(ds.data_vars) == ["band"]
+        assert ds.data_vars["band"].attrs.get("units") == "K"
+        assert ds.data_vars["band"].attrs.get("grid_mapping") \
+            == "spatial_ref"
+
+        target = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 200.0, CRS.from_epsg(32632))
+        out = resample_in_space(ds, target, source_gm=gm2,
+                                agg_methods="mean")
+        got = out.data_vars["band"].df.toPandas()
+        assert len(got) == 48

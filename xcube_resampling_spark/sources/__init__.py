@@ -16,6 +16,7 @@ from .zarr import (
     ChunkPut,
     FsChunkPut,
     ObjectStoreChunkPut,
+    open_zarr_dataset,
     read_zarr,
     read_zarr_grid_mapping,
     write_zarr,
@@ -77,6 +78,7 @@ __all__ = [
     "read_netcdf",
     "read_netcdf3",
     "read_pixels",
+    "open_zarr_dataset",
     "read_zarr",
     "read_zarr_grid_mapping",
     "read_zarr3",

@@ -482,6 +482,58 @@ def read_zarr_grid_mapping(path: str, crs_var_name: str = "spatial_ref"):
                                    xy_dim_names=("x", "y"))
 
 
+def open_zarr_dataset(
+    spark: SparkSession,
+    path: str,
+    variables: list[str] | None = None,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+    decode_cf: bool = False,
+):
+    """Open a CF zarr v2 store as ``(SparkDataset, GridMapping)`` -- the
+    one-call analogue of the reference users' ``xr.open_zarr`` +
+    ``GridMapping.from_dataset`` (reference spatial.py:41 accepts any
+    opened dataset).  Data variables stream through the chunk-pruned
+    distributed reader; coordinate/CRS variables come from the store's
+    CF metadata.  The result feeds ``resample_in_space`` directly."""
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+
+    gm = read_zarr_grid_mapping(path)
+    if gm is None:
+        raise ValueError(
+            f"{path!r} has no x/y coordinate arrays; open the variable "
+            "directly with read_zarr and supply a GridMapping")
+    aux = {"x", "y", "t", "time", "lon", "lat", "spatial_ref"}
+    if variables is None:
+        variables = sorted(
+            d for d in os.listdir(path)
+            if not d.startswith(".") and d not in aux
+            and os.path.exists(os.path.join(path, d, ".zarray"))
+        )
+    data_vars = {}
+    for var in variables:
+        with open(os.path.join(path, var, ".zarray")) as fp:
+            za = json.load(fp)
+        dims = ("t", "y", "x")[-len(za["shape"]):]
+        attrs = {}
+        apath = os.path.join(path, var, ".zattrs")
+        if os.path.exists(apath):
+            with open(apath) as fp:
+                attrs = {k: v for k, v in json.load(fp).items()
+                         if k != "_ARRAY_DIMENSIONS"}
+        df = read_zarr(spark, path, var, bbox_ij=bbox_ij,
+                       decode_cf=decode_cf)
+        data_vars[var] = Variable(var, df, dims, "float64", attrs)
+    ds = SparkDataset(
+        spark=spark,
+        data_vars=data_vars,
+        coords={"x": np.asarray(gm.x_coords, dtype="float64"),
+                "y": np.asarray(gm.y_coords, dtype="float64")},
+        coord_attrs={"spatial_ref": gm.crs.to_cf()},
+        yx_dims=("y", "x"),
+    )
+    return ds, gm
+
+
 def write_zarr_stream(
     df: DataFrame,
     path: str,
