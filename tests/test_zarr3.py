@@ -385,3 +385,26 @@ class TestCfStore3:
         sm = json.load(open(os.path.join(path, "spatial_ref",
                                          "zarr.json")))
         assert CRS.from_cf(sm["attributes"]).kind == "laea"
+
+    def test_open_zarr3_dataset_resample(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.spatial import (
+            resample_in_space)
+        from xcube_resampling_spark.sources import (
+            open_zarr3_dataset, write_zarr3_cf)
+
+        gm = GridMapping.regular(
+            (10, 8), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "cf3open")
+        write_zarr3_cf(_raster(spark, 10, 8), path, "band", gm,
+                       attrs={"units": "m"})
+        ds, gm2 = open_zarr3_dataset(spark, path)
+        assert list(ds.data_vars) == ["band"]
+        assert ds.data_vars["band"].attrs["units"] == "m"
+        assert gm2.crs.kind == "tmerc"
+        target = GridMapping.regular(
+            (5, 4), (500000.0, 5000000.0), 200.0, CRS.from_epsg(32632))
+        out = resample_in_space(ds, target, source_gm=gm2,
+                                agg_methods="mean")
+        assert out.data_vars["band"].df.count() == 20

@@ -25,7 +25,9 @@ from .zarr import (
 from .zarr import add_spatial_ref as add_spatial_ref_zarr
 from .zarr3 import (
     add_spatial_ref3,
+    open_zarr3_dataset,
     read_zarr3,
+    read_zarr3_grid_mapping,
     write_zarr3,
     write_zarr3_cf,
     write_zarr3_stream,
@@ -81,7 +83,9 @@ __all__ = [
     "open_zarr_dataset",
     "read_zarr",
     "read_zarr_grid_mapping",
+    "open_zarr3_dataset",
     "read_zarr3",
+    "read_zarr3_grid_mapping",
     "write_hdf5",
     "write_netcdf3",
     "write_pixels",

@@ -594,6 +594,86 @@ def write_zarr3_cf(
                      chunk_put=put)
 
 
+def read_zarr3_grid_mapping(path: str, crs_var_name: str = "spatial_ref"):
+    """Reconstruct the GridMapping of a CF zarr v3 store (v3 twin of
+    zarr.read_zarr_grid_mapping); returns None without x/y arrays."""
+    from xcube_resampling_spark.crs import CRS, CRS_WGS84
+    from xcube_resampling_spark.gridmapping import GridMapping
+
+    def _arr(name):
+        mpath = os.path.join(path, name, "zarr.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as fp:
+            meta = json.load(fp)
+        codecs = [c.get("name") for c in meta.get("codecs", [])]
+        if codecs != ["bytes"]:
+            raise NotImplementedError(
+                f"coordinate array {name!r} uses codecs {codecs}; only "
+                "raw bytes coordinate arrays are supported")
+        endian = "<" if meta["codecs"][0].get("configuration", {}) \
+            .get("endian", "little") == "little" else ">"
+        dt = {"float64": "f8", "int64": "i8"}[meta["data_type"]]
+        raw = open(os.path.join(path, name, "c", "0"), "rb").read()
+        return np.frombuffer(raw, endian + dt).astype("float64")
+
+    x = _arr("x")
+    y = _arr("y")
+    if x is None or y is None:
+        return None
+    mpath = os.path.join(path, crs_var_name, "zarr.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fp:
+            crs = CRS.from_cf(json.load(fp).get("attributes", {}))
+    else:
+        crs = CRS_WGS84
+    return GridMapping.from_coords(x, y, crs, xy_var_names=("x", "y"),
+                                   xy_dim_names=("x", "y"))
+
+
+def open_zarr3_dataset(
+    spark: SparkSession,
+    path: str,
+    variables: list[str] | None = None,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+):
+    """Open a CF zarr v3 store as ``(SparkDataset, GridMapping)`` (v3
+    twin of zarr.open_zarr_dataset)."""
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+
+    gm = read_zarr3_grid_mapping(path)
+    if gm is None:
+        raise ValueError(
+            f"{path!r} has no x/y coordinate arrays; open the variable "
+            "directly with read_zarr3 and supply a GridMapping")
+    aux = {"x", "y", "t", "time", "lon", "lat", "spatial_ref"}
+    if variables is None:
+        variables = sorted(
+            d for d in os.listdir(path)
+            if not d.startswith(".") and d not in aux
+            and os.path.exists(os.path.join(path, d, "zarr.json"))
+        )
+    data_vars = {}
+    for var in variables:
+        with open(os.path.join(path, var, "zarr.json")) as fp:
+            meta = json.load(fp)
+        dims = tuple(meta.get("dimension_names")
+                     or ("t", "y", "x")[-len(meta["shape"]):])
+        attrs = {k: v for k, v in
+                 (meta.get("attributes") or {}).items()}
+        df = read_zarr3(spark, path, var, bbox_ij=bbox_ij)
+        data_vars[var] = Variable(var, df, dims, "float64", attrs)
+    ds = SparkDataset(
+        spark=spark,
+        data_vars=data_vars,
+        coords={"x": np.asarray(gm.x_coords, dtype="float64"),
+                "y": np.asarray(gm.y_coords, dtype="float64")},
+        coord_attrs={"spatial_ref": gm.crs.to_cf()},
+        yx_dims=("y", "x"),
+    )
+    return ds, gm
+
+
 def write_zarr3_stream(
     df: DataFrame,
     path: str,
