@@ -382,3 +382,31 @@ class TestCfWktBridge:
         back = CRS.from_cf(cf)
         assert back.kind == "laea"
         assert dict(back.params) == dict(CRS.from_epsg(3035).params)
+
+
+class TestWkt2Ensemble:
+    def test_datum_ensemble_ellipsoid_parsed(self):
+        # WKT2:2019 output for ETRS89-based CRSs wraps the datum in an
+        # ENSEMBLE node; the GRS80 ellipsoid must still be found (the
+        # WGS84 fallback differs in inverse flattening)
+        wkt = """PROJCRS["ETRS89-extended / LAEA Europe",
+         BASEGEOGCRS["ETRS89",
+          ENSEMBLE["European Terrestrial Reference System 1989 ensemble",
+           MEMBER["ETRF89"],MEMBER["ETRF2000"],
+           ELLIPSOID["GRS 1980",6378137,298.257222101,
+            LENGTHUNIT["metre",1]],
+           ENSEMBLEACCURACY[0.1]]],
+         CONVERSION["Europe Equal Area 2001",
+          METHOD["Lambert Azimuthal Equal Area",ID["EPSG",9820]],
+          PARAMETER["Latitude of natural origin",52,
+           ANGLEUNIT["degree",0.0174532925199433]],
+          PARAMETER["Longitude of natural origin",10,
+           ANGLEUNIT["degree",0.0174532925199433]],
+          PARAMETER["False easting",4321000,LENGTHUNIT["metre",1]],
+          PARAMETER["False northing",3210000,LENGTHUNIT["metre",1]]],
+         CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],
+         LENGTHUNIT["metre",1],ID["EPSG",3035]]"""
+        crs = crs_from_wkt(wkt)
+        assert crs.ellipsoid.inv_f == 298.257222101
+        assert _max_err(crs, CRS.from_epsg(3035), (-8, 28), (36, 66)) \
+            < 1e-6

@@ -311,7 +311,9 @@ def _find_method(node: _Node) -> str | None:
 def _parse_ellipsoid(node: _Node) -> tuple[_Ellipsoid, tuple]:
     """Extract (ellipsoid, towgs84) from a GEOGCS/GEOGCRS/BASEGEOGCRS
     subtree (searching DATUM -> SPHEROID/ELLIPSOID)."""
-    datum = node.child("DATUM", "TRF", "GEODETICDATUM")
+    # WKT2:2019 wraps modern datums in ENSEMBLE["...", MEMBER[...],
+    # ELLIPSOID[...]] (WGS84/ETRS89); the ellipsoid child reads the same
+    datum = node.child("DATUM", "TRF", "GEODETICDATUM", "ENSEMBLE")
     towgs84: tuple = ()
     ell = _Ellipsoid(6378137.0, 298.257223563)
     if datum is not None:
