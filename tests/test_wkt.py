@@ -410,3 +410,25 @@ class TestWkt2Ensemble:
         assert crs.ellipsoid.inv_f == 298.257222101
         assert _max_err(crs, CRS.from_epsg(3035), (-8, 28), (36, 66)) \
             < 1e-6
+
+
+class TestProjUnits:
+    def test_us_survey_foot_false_origin_normalized(self):
+        # Texas Central in ftUS: engine normalizes projected axes to
+        # metres, same as the WKT1 ftUS path
+        c = crs_from_proj(
+            "+proj=lcc +lat_1=31.88333333333333 "
+            "+lat_2=30.11666666666667 +lat_0=29.66666666666667 "
+            "+lon_0=-100.3333333333333 +x_0=2296583.333333333 "
+            "+y_0=9842500 +ellps=GRS80 +units=us-ft")
+        assert abs(c.param("x_0") - 700000.0) < 1e-6
+        assert abs(c.param("y_0") - 3000000.0) < 1e-6
+
+    def test_to_meter_override(self):
+        c = crs_from_proj(
+            "+proj=tmerc +lon_0=9 +x_0=2 +to_meter=0.5 +ellps=WGS84")
+        assert c.param("x_0") == 1.0
+
+    def test_unknown_units_raise(self):
+        with pytest.raises(ValueError, match="units"):
+            crs_from_proj("+proj=tmerc +lon_0=9 +ellps=WGS84 +units=km")

@@ -734,6 +734,21 @@ def crs_from_proj(s: str) -> CRS:
         if "h" not in p:
             raise ValueError("+proj=geos requires +h=")
 
+    # engine convention: projected axes are always metres (WKT parsing
+    # normalizes foot grids the same way).  +units/+to_meter scale the
+    # false origin; other linear params (+h) are metres in PROJ already.
+    unit = kv.get("units", "m")
+    to_m = {"m": 1.0, "meter": 1.0, "metre": 1.0,
+            "us-ft": 1200.0 / 3937.0, "ft": 0.3048}.get(unit)
+    if "to_meter" in kv:
+        to_m = float(kv["to_meter"])
+    if to_m is None:
+        raise ValueError(f"unsupported +units={unit!r}")
+    if to_m != 1.0:
+        for fk in ("x_0", "y_0"):
+            if fk in p:
+                p[fk] *= to_m
+
     p.setdefault("x_0", 0.0)
     p.setdefault("y_0", 0.0)
     return CRS(kind, f"+proj={proj}", ell, tuple(sorted(p.items())),
