@@ -432,3 +432,50 @@ class TestProjUnits:
     def test_unknown_units_raise(self):
         with pytest.raises(ValueError, match="units"):
             crs_from_proj("+proj=tmerc +lon_0=9 +ellps=WGS84 +units=km")
+
+
+class TestUps:
+    """Polar Stereographic variant A (EPSG 9810): the UPS grids."""
+
+    def test_gn72_worked_example(self):
+        # EPSG GN7-2 variant A example: WGS84, k0=0.994, FE=FN=2000000,
+        # 73N 44E -> E 3320416.75, N 632668.43
+        f = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(5041))
+        x, y = f.transform(np.array([44.0]), np.array([73.0]))
+        assert abs(x[0] - 3320416.75) < 0.01
+        assert abs(y[0] - 632668.43) < 0.01
+
+    def test_south_roundtrip(self):
+        crs = CRS.from_epsg(5042)
+        f = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        rng = np.random.default_rng(3)
+        lo = rng.uniform(-179, 179, 200)
+        la = rng.uniform(-88, -60, 200)
+        x, y = f.transform(lo, la)
+        lo2, la2 = inv.transform(x, y)
+        np.testing.assert_allclose(lo2, lo, atol=1e-8)
+        np.testing.assert_allclose(la2, la, atol=1e-8)
+
+    def test_variant_a_wkt_parses(self):
+        wkt = """PROJCS["WGS 84 / UPS North (E,N)",
+         GEOGCS["WGS 84",DATUM["WGS_1984",
+          SPHEROID["WGS 84",6378137,298.257223563]],
+          PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+         PROJECTION["Polar_Stereographic"],
+         PARAMETER["latitude_of_origin",90],
+         PARAMETER["central_meridian",0],
+         PARAMETER["scale_factor",0.994],
+         PARAMETER["false_easting",2000000],
+         PARAMETER["false_northing",2000000],
+         UNIT["metre",1],AUTHORITY["EPSG","5041"]]"""
+        crs = crs_from_wkt(wkt)
+        assert _max_err(crs, CRS.from_epsg(5041), (-179, 179), (62, 88)) \
+            < 1e-6
+
+    def test_variant_a_proj_string(self):
+        crs = crs_from_proj(
+            "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 "
+            "+ellps=WGS84")
+        assert _max_err(crs, CRS.from_epsg(5041), (-179, 179), (62, 88)) \
+            == 0.0

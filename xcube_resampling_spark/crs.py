@@ -309,6 +309,26 @@ class CRS:
                 ),
                 auth_code="EPSG:29873",
             )
+        if code in (5041, 5042):
+            # WGS 84 / UPS North (E,N) and South (E,N): Polar
+            # Stereographic variant A (EPSG method 9810) -- k_0 at the
+            # pole; validated against the EPSG GN7-2 worked example
+            # (73N 44E -> E 3320416.75, N 632668.43)
+            north = code == 5041
+            return CRS(
+                "stere",
+                f"WGS 84 / UPS {'North' if north else 'South'} (E,N)",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("k_0", 0.994),
+                    ("lat_0", 90.0 if north else -90.0),
+                    ("lat_ts", 90.0 if north else -90.0),
+                    ("lon_0", 0.0),
+                    ("x_0", 2000000.0),
+                    ("y_0", 2000000.0),
+                ),
+                auth_code=f"EPSG:{code}",
+            )
         if code == 3395:
             # WGS 84 / World Mercator (EPSG method 9804, ellipsoidal 1SP)
             return CRS(

@@ -400,18 +400,12 @@ def _apply_kind_fixups(kind: str, p: dict) -> tuple:
         p.setdefault("lat_1", lat0)
         p.setdefault("lat_2", lat0)
     if kind == "stere":
-        # variant A carries k_0 + lat_0=+-90; variant B carries lat_ts.
+        # variant A carries k_0 + lat_0=+-90 (engine's stere applies k_0
+        # directly when the standard parallel is the pole); variant B
+        # carries lat_ts
         p.setdefault("lat_0", 90.0 if p.get("lat_ts", 90.0) >= 0 else -90.0)
         if "lat_ts" not in p:
-            # variant A: recover lat_ts from k_0 is done by the engine's
-            # stere math via k_0? engine expects lat_ts; k_0=1 -> pole
-            k0 = p.get("k_0", 1.0)
-            if k0 == 1.0:
-                p["lat_ts"] = p.get("lat_0", 90.0)
-            else:
-                raise ValueError(
-                    "polar stereographic variant A with k_0 != 1 is not "
-                    "supported; provide standard_parallel (variant B)")
+            p["lat_ts"] = p.get("lat_0", 90.0)
     if kind == "cea" or kind == "eqc":
         p.setdefault("lat_ts", p.pop("lat_1", 0.0))
     if kind == "aea" or kind == "lcc":
