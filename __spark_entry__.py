@@ -2086,7 +2086,7 @@ ll AS (
         from xcube_resampling_spark.crs import _omerc_setup
 
         om = CRS.from_epsg(29873)
-        (o_a, o_b, o_h, o_g0, o_l0, o_gc, o_uc, o_sc) = _omerc_setup(om)
+        (o_a, o_b, o_h, o_g0, o_l0, o_gc, o_uoff) = _omerc_setup(om)
         oe2 = om.ellipsoid.e2
         oe4, oe6, oe8 = oe2 * oe2, oe2 ** 3, oe2 ** 4
         oA = r(oe2 / 2 + 5 * oe4 / 24 + oe6 / 12 + 13 * oe8 / 360)
@@ -2096,7 +2096,7 @@ ll AS (
         ofe, ofn = om.param("x_0"), om.param("y_0")
         cgc, sgc = _math.cos(o_gc), _math.sin(o_gc)
         cg0, sg0 = _math.cos(o_g0), _math.sin(o_g0)
-        uc_term = abs(o_uc) * o_sc
+        uc_term = o_uoff
         inverse_sql = f"""
 -- Hotine oblique Mercator variant B (EPSG method 9815) inverse:
 -- rectified grid -> aposphere u/v -> conformal latitude series

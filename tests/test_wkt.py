@@ -479,3 +479,67 @@ class TestUps:
             "+ellps=WGS84")
         assert _max_err(crs, CRS.from_epsg(5041), (-179, 179), (62, 88)) \
             == 0.0
+
+
+class TestOmercVariantA:
+    """EPSG 9812 (Hotine variant A, natural-origin anchoring): GDAL's
+    bare WKT1 'Hotine_Oblique_Mercator' and PROJ '+no_uoff'."""
+
+    def _variant_a(self):
+        b = CRS.from_epsg(29873)
+        return CRS("omerc", "variant A twin", b.ellipsoid,
+                   tuple(sorted(dict(b.params, no_uoff=1.0).items())))
+
+    def test_differs_from_variant_b_by_constant_uc_shift(self):
+        a, b = self._variant_a(), CRS.from_epsg(29873)
+        fa = Transformer.from_crs(CRS_WGS84, a)
+        fb = Transformer.from_crs(CRS_WGS84, b)
+        rng = np.random.default_rng(5)
+        lo = rng.uniform(110, 119, 50)
+        la = rng.uniform(1, 7, 50)
+        xa, ya = fa.transform(lo, la)
+        xb, yb = fb.transform(lo, la)
+        dx, dy = xa - xb, ya - yb
+        # constant offset u_c * (sin gamma, cos gamma), nonzero
+        assert np.ptp(dx) < 1e-6 and np.ptp(dy) < 1e-6
+        assert abs(dx[0]) > 1000.0
+        # and it equals the u_c shift along the rectified grid angle
+        gamma = math.radians(b.param("gamma"))
+        u_c = dy[0] / math.cos(gamma)
+        assert abs(dx[0] - u_c * math.sin(gamma)) < 1e-6
+
+    def test_roundtrip(self):
+        a = self._variant_a()
+        f = Transformer.from_crs(CRS_WGS84, a)
+        inv = Transformer.from_crs(a, CRS_WGS84)
+        rng = np.random.default_rng(6)
+        lo = rng.uniform(110, 119, 100)
+        la = rng.uniform(1, 7, 100)
+        x, y = f.transform(lo, la)
+        lo2, la2 = inv.transform(x, y)
+        np.testing.assert_allclose(lo2, lo, atol=1e-9)
+        np.testing.assert_allclose(la2, la, atol=1e-9)
+
+    def test_wkt1_bare_hotine_is_variant_a(self):
+        crs = crs_from_wkt(WKT1_29873.replace(
+            "Hotine_Oblique_Mercator_Azimuth_Center",
+            "Hotine_Oblique_Mercator"))
+        assert crs.param("no_uoff") == 1.0
+        assert _max_err(crs, self._variant_a(), (110, 119), (1, 7)) < 0.01
+
+    def test_proj_no_uoff_flag(self):
+        crs = crs_from_proj(
+            "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+            "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+            "+y_0=442857.65 +no_uoff +ellps=evrst69")
+        assert crs.param("no_uoff") == 1.0
+        assert _max_err(crs, self._variant_a(), (110, 119), (1, 7)) < 1e-6
+
+    def test_emission_closure_both_variants(self):
+        for crs in (self._variant_a(), CRS.from_epsg(29873)):
+            again_w = crs_from_wkt(crs.to_wkt())
+            again_p = crs_from_proj(crs.to_proj())
+            for again in (again_w, again_p):
+                assert again.param("no_uoff", 0.0) == \
+                    crs.param("no_uoff", 0.0)
+                assert _max_err(crs, again, (110, 119), (1, 7)) == 0.0

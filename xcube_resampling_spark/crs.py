@@ -1883,13 +1883,18 @@ def _omerc_setup(crs: CRS):
     u_c = (big_a / big_b) * math.atan2(
         math.sqrt(d2 - 1.0), math.cos(alpha_c)
     ) * sign_c
-    return (big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_c, sign_c)
+    # EPSG 9815 (variant B, the default) anchors the grid at the
+    # projection centre by shifting u by u_c; EPSG 9812 (variant A,
+    # param no_uoff=1, PROJ +no_uoff, WKT1 'Hotine_Oblique_Mercator')
+    # anchors at the natural origin -- no shift
+    u_off = 0.0 if crs.param("no_uoff", 0.0) else abs(u_c) * sign_c
+    return (big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_off)
 
 
 def _omerc_forward(crs: CRS, lon, lat):
     ell = crs.ellipsoid
     e = ell.e
-    big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_c, sign_c = (
+    big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_off = (
         _omerc_setup(crs)
     )
     fe, fn = crs.param("x_0"), crs.param("y_0")
@@ -1909,7 +1914,7 @@ def _omerc_forward(crs: CRS, lon, lat):
     v = big_a * np.log((1.0 - big_u) / (1.0 + big_u)) / (2.0 * big_b)
     u = (big_a * np.arctan2(
         big_s * math.cos(gamma_0) + big_v * math.sin(gamma_0), np.cos(dl)
-    ) / big_b) - abs(u_c) * sign_c
+    ) / big_b) - u_off
     east = v * math.cos(gamma_c) + u * math.sin(gamma_c) + fe
     north = u * math.cos(gamma_c) - v * math.sin(gamma_c) + fn
     return east, north
@@ -1917,14 +1922,14 @@ def _omerc_forward(crs: CRS, lon, lat):
 
 def _omerc_inverse(crs: CRS, x, y):
     ell = crs.ellipsoid
-    big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_c, sign_c = (
+    big_a, big_b, big_h, gamma_0, lam_0, gamma_c, u_off = (
         _omerc_setup(crs)
     )
     fe, fn = crs.param("x_0"), crs.param("y_0")
     dx = np.asarray(x, dtype=np.float64) - fe
     dy = np.asarray(y, dtype=np.float64) - fn
     v = dx * math.cos(gamma_c) - dy * math.sin(gamma_c)
-    u = dy * math.cos(gamma_c) + dx * math.sin(gamma_c) + abs(u_c) * sign_c
+    u = dy * math.cos(gamma_c) + dx * math.sin(gamma_c) + u_off
     big_q = np.exp(-big_b * v / big_a)
     big_s = (big_q - 1.0 / big_q) / 2.0
     big_t = (big_q + 1.0 / big_q) / 2.0

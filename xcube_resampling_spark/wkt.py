@@ -174,10 +174,13 @@ _METHODS = {
     "equidistantcylindrical": "eqc",
     "equidistantcylindricalspherical": "eqc",
     "equirectangular": "eqc",
-    # Hotine Oblique Mercator variant B (9815)
+    # Hotine Oblique Mercator variant B (9815); bare
+    # "Hotine_Oblique_Mercator" is GDAL's WKT1 name for variant A
+    # (9812, natural-origin anchoring -> engine param no_uoff)
     "hotineobliquemercatorvariantb": "omerc",
     "hotineobliquemercatorazimuthcenter": "omerc",
     "obliquemercator": "omerc",
+    "hotineobliquemercatorvarianta": "omerc_a",
     "rectifiedskeworthomorphiccentreoriginnaturalorigin": "omerc",
     # Krovak (9819) -- east-north axis handling is the CRS's job; the
     # engine's krovak kind IS the east-north (EPSG:5514) orientation
@@ -187,7 +190,7 @@ _METHODS = {
     # Swiss Oblique Mercator (9814)
     "swissobliquemercator": "somerc",
     "swissobliquecylindrical": "somerc",
-    "hotineobliquemercator": "omerc",
+    "hotineobliquemercator": "omerc_a",
     # Geostationary
     "geostationarysatellitesweepx": "geos_x",
     "geostationarysatellitesweepy": "geos_y",
@@ -412,7 +415,10 @@ def _apply_kind_fixups(kind: str, p: dict) -> tuple:
         p.setdefault("lat_1", p.get("lat_ts", 0.0))
         p.setdefault("lat_2", p.get("lat_1", 0.0))
         p.pop("lat_ts", None)
-    if kind == "omerc":
+    if kind in ("omerc", "omerc_a"):
+        if kind == "omerc_a":
+            kind = "omerc"
+            p["no_uoff"] = 1.0
         p.setdefault("lonc", p.pop("lon_0", 0.0))
         p.setdefault("gamma", p.get("alpha", 0.0))
     if kind in ("krovak", "somerc"):
@@ -714,6 +720,8 @@ def crs_from_proj(s: str) -> CRS:
     if kind in ("cea", "eqc"):
         p.setdefault("lat_ts", 0.0)
     if kind == "omerc":
+        if "no_uoff" in flags or "no_off" in flags:
+            p["no_uoff"] = 1.0  # EPSG 9812 variant A
         p.setdefault("lonc", p.pop("lon_0", 0.0))
         p.setdefault("gamma", p.get("alpha", 0.0))
         p.setdefault("k_0", 1.0)
@@ -910,6 +918,14 @@ def crs_to_wkt(crs: CRS) -> str:
             if crs.kind not in _EMIT:
                 raise ValueError(f"no WKT emitter for kind {crs.kind!r}")
             method, plist = _EMIT[crs.kind]
+            if crs.kind == "omerc" and crs.param("no_uoff", 0.0):
+                # EPSG 9812: natural-origin anchoring and FE/FN names
+                method = "Hotine Oblique Mercator (variant A)"
+                plist = [
+                    ("False easting" if k == "x_0" else
+                     "False northing" if k == "y_0" else n, k, u)
+                    for n, k, u in plist
+                ]
         params = ",".join(
             f'PARAMETER["{pname}",{_num(crs.param(key))},'
             + (_DEG_UNIT if k == "a" else _M_UNIT if k == "l"
@@ -1004,7 +1020,7 @@ def crs_to_proj(crs: CRS) -> str:
     if name is None:
         raise ValueError(f"no PROJ emitter for kind {crs.kind!r}")
     parts = [f"+proj={name}"]
-    skip = {"sweep_x"}
+    skip = {"sweep_x", "no_uoff"}
     key_map = {"k_0": "k"}
     for k, v in crs.params:
         if k in skip:
@@ -1013,6 +1029,8 @@ def crs_to_proj(crs: CRS) -> str:
     if crs.kind == "geos":
         parts.append(
             "+sweep=" + ("x" if crs.param("sweep_x") == 1.0 else "y"))
+    if crs.kind == "omerc" and crs.param("no_uoff", 0.0):
+        parts.append("+no_uoff")
     parts.append(ell)
     if tw:
         parts.append(tw.strip())
