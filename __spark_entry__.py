@@ -3700,11 +3700,10 @@ def _sampling_sql() -> str:
     t_train = int(0.8 * space)
     t_valid = int(0.9 * space)
 
+    from xcube_resampling_spark.extensions.text import hash32_sql
+
     def h(seed):
-        return (
-            f"CAST(('0x' || substr(md5('{seed}' || "
-            f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-        )
+        return hash32_sql(f"'{seed}' || CAST(doc_id AS VARCHAR)")
 
     return f"""
 WITH h AS (

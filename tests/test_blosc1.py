@@ -117,6 +117,87 @@ class TestChunkPut:
         assert calls == [("b", "pre/v/0.1", b"x"),
                          ("b", "pre/v/.zarray", b"{}")]
 
+    def test_object_store_get_maps_to_get_object(self):
+        class FakeBody:
+            def read(self):
+                return b'{"a": 1}'
+
+        class FakeClient:
+            def get_object(self, Bucket, Key):
+                if Key == "pre/v/.zattrs":
+                    return {"Body": FakeBody()}
+                raise KeyError(Key)
+
+        put = ObjectStoreChunkPut("b", "pre", client_factory=FakeClient)
+        assert put.get("v/.zattrs") == b'{"a": 1}'
+        assert put.get("missing") is None
+
+    def test_add_spatial_ref_reads_attrs_through_get_seam(self, tmp_path):
+        """Regression: with a non-filesystem ChunkPut, add_spatial_ref
+        used to read .zattrs from the LOCAL path (finding nothing) and
+        overwrite the store's attrs with just {'grid_mapping': ...},
+        destroying _ARRAY_DIMENSIONS/_FillValue."""
+        import json
+
+        from xcube_resampling_spark.sources.zarr import add_spatial_ref
+
+        class DictStorePut(ChunkPut):
+            def __init__(self):
+                self.blobs = {}
+
+            def put(self, key, data):
+                self.blobs[key] = data
+
+            def get(self, key):
+                return self.blobs.get(key)
+
+        put = DictStorePut()
+        prior = {"_ARRAY_DIMENSIONS": ["y", "x"], "_FillValue": -9999}
+        put.put("v/.zarray", json.dumps(
+            {"zarr_format": 2, "shape": [2, 2]}).encode())
+        put.put("v/.zattrs", json.dumps(prior).encode())
+        add_spatial_ref(
+            str(tmp_path / "nonexistent"), "EPSG:4326",
+            data_var_names=["v"], chunk_put=put,
+        )
+        attrs = json.loads(put.blobs["v/.zattrs"])
+        assert attrs["_ARRAY_DIMENSIONS"] == ["y", "x"]
+        assert attrs["_FillValue"] == -9999
+        assert attrs["grid_mapping"] == "spatial_ref"
+        # reconsolidation merged the prior array entries too
+        meta = json.loads(put.blobs[".zmetadata"])["metadata"]
+        assert "spatial_ref/.zattrs" in meta
+        assert meta["v/.zattrs"]["grid_mapping"] == "spatial_ref"
+
+    def test_add_spatial_ref_refuses_blind_attr_overwrite(self, tmp_path):
+        """A put whose get() sees .zarray but not .zattrs must error
+        rather than clobber attrs it cannot read."""
+        import json
+
+        from xcube_resampling_spark.sources.zarr import add_spatial_ref
+
+        class ArrayOnlyPut(ChunkPut):
+            def __init__(self):
+                self.blobs = {}
+
+            def put(self, key, data):
+                self.blobs[key] = data
+
+            def get(self, key):
+                if key.endswith(".zattrs"):
+                    return None
+                return self.blobs.get(key)
+
+        put = ArrayOnlyPut()
+        put.put("v/.zarray", json.dumps(
+            {"zarr_format": 2, "shape": [2, 2]}).encode())
+        put.put("v/.zattrs", b'{"_ARRAY_DIMENSIONS": ["y", "x"]}')
+        with pytest.raises(ValueError, match="ChunkPut.get"):
+            add_spatial_ref(
+                str(tmp_path / "nonexistent"), "EPSG:4326",
+                data_var_names=["v"], chunk_put=put,
+            )
+
     def test_object_store_pickles_without_client(self):
         import pickle
 

@@ -259,7 +259,7 @@ class TestWktEmission:
 
     REGISTRY = [32633, 32760, 25832, 23031, 27700, 2193, 3577, 3112,
                 5514, 2056, 29873, 3395, 6933, 4087, 3035, 3857, 3031,
-                3413, 5070, 2154]
+                3413, 5070, 2154, 5041, 5042]
 
     # sane probe box per projection family
     BOXES = {
@@ -479,6 +479,102 @@ class TestUps:
             "+ellps=WGS84")
         assert _max_err(crs, CRS.from_epsg(5041), (-179, 179), (62, 88)) \
             == 0.0
+
+    def test_variant_a_wkt_emission_keeps_k0(self):
+        # regression: emitting UPS as variant B dropped k_0=0.994
+        # (11.5 km error); the emitter must use the variant-A method
+        for code in (5041, 5042):
+            crs = CRS.from_epsg(code)
+            again = crs_from_wkt(crs.to_wkt())
+            assert again.param("k_0") == 0.994
+            la = (62, 88) if code == 5041 else (-88, -62)
+            assert _max_err(crs, again, (-179, 179), la) < 1e-8
+
+    def test_variant_a_cf_roundtrip_keeps_k0(self):
+        # CF polar_stereographic: variant A carries
+        # scale_factor_at_projection_origin instead of standard_parallel
+        crs = CRS.from_epsg(5041)
+        cf = crs.to_cf()
+        assert cf["scale_factor_at_projection_origin"] == 0.994
+        assert "standard_parallel" not in cf
+        again = CRS.from_cf(cf)
+        assert again.param("k_0") == 0.994
+        assert _max_err(crs, again, (-179, 179), (62, 88)) == 0.0
+        # variant B still roundtrips through standard_parallel
+        b = CRS.from_epsg(3031)
+        cfb = b.to_cf()
+        assert cfb["standard_parallel"] == -71.0
+        assert _max_err(b, CRS.from_cf(cfb), (-179, 179), (-85, -65)) \
+            == 0.0
+
+
+class TestLcc1spScaleFactor:
+    """EPSG 9801 (LCC 1SP): the engine must honor k_0 -- France's
+    legacy NTF Lambert zones and many national 1SP grids carry
+    0.9998-ish scale factors."""
+
+    def test_k0_scales_coordinates_exactly(self):
+        # rho = a F t^n k0 => (x - FE, y - FN) scale linearly in k0
+        from xcube_resampling_spark.crs import _Ellipsoid
+
+        def mk(k0):
+            return CRS(
+                "lcc", "lcc1sp", _Ellipsoid(6378137.0, 298.257223563),
+                params=(("lat_0", 46.8), ("lat_1", 46.8),
+                        ("lat_2", 46.8), ("lon_0", 2.337), ("k_0", k0),
+                        ("x_0", 600000.0), ("y_0", 200000.0)),
+            )
+
+        c1, ck = mk(1.0), mk(0.99987742)
+        rng = np.random.default_rng(11)
+        lo = rng.uniform(-4, 8, 50)
+        la = rng.uniform(42, 51, 50)
+        x1, y1 = Transformer.from_crs(CRS_WGS84, c1).transform(lo, la)
+        xk, yk = Transformer.from_crs(CRS_WGS84, ck).transform(lo, la)
+        np.testing.assert_allclose(
+            xk - 600000.0, 0.99987742 * (x1 - 600000.0), rtol=1e-12)
+        np.testing.assert_allclose(
+            yk - 200000.0, 0.99987742 * (y1 - 200000.0), rtol=1e-12)
+        # and the inverse closes
+        lo2, la2 = Transformer.from_crs(ck, CRS_WGS84).transform(xk, yk)
+        np.testing.assert_allclose(lo2, lo, atol=1e-9)
+        np.testing.assert_allclose(la2, la, atol=1e-9)
+
+    def test_wkt1_1sp_parse_applies_k0(self):
+        wkt = """PROJCS["NTF-ish Lambert zone II",
+         GEOGCS["WGS 84",DATUM["WGS_1984",
+          SPHEROID["WGS 84",6378137,298.257223563]],
+          PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+         PROJECTION["Lambert_Conformal_Conic_1SP"],
+         PARAMETER["latitude_of_origin",46.8],
+         PARAMETER["central_meridian",2.337],
+         PARAMETER["scale_factor",0.99987742],
+         PARAMETER["false_easting",600000],
+         PARAMETER["false_northing",2200000],
+         UNIT["metre",1]]"""
+        crs = crs_from_wkt(wkt)
+        assert crs.param("k_0") == 0.99987742
+        from xcube_resampling_spark.crs import _Ellipsoid
+        ref = CRS(
+            "lcc", "lcc1sp", _Ellipsoid(6378137.0, 298.257223563),
+            params=(("lat_0", 46.8), ("lat_1", 46.8), ("lat_2", 46.8),
+                    ("lon_0", 2.337), ("k_0", 0.99987742),
+                    ("x_0", 600000.0), ("y_0", 2200000.0)),
+        )
+        assert _max_err(crs, ref, (-4, 8), (42, 51)) == 0.0
+
+    def test_1sp_emission_closure(self):
+        from xcube_resampling_spark.crs import _Ellipsoid
+        crs = CRS(
+            "lcc", "lcc1sp", _Ellipsoid(6378137.0, 298.257223563),
+            params=(("lat_0", 46.8), ("lat_1", 46.8), ("lat_2", 46.8),
+                    ("lon_0", 2.337), ("k_0", 0.99987742),
+                    ("x_0", 600000.0), ("y_0", 2200000.0)),
+        )
+        for again in (crs_from_wkt(crs.to_wkt()),
+                      crs_from_proj(crs.to_proj())):
+            assert again.param("k_0") == 0.99987742
+            assert _max_err(crs, again, (-4, 8), (42, 51)) < 1e-8
 
 
 class TestOmercVariantA:

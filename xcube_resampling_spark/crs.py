@@ -604,18 +604,24 @@ class CRS:
         if gmn == "polar_stereographic":
             lat_0 = float(attrs.get("latitude_of_projection_origin", 90.0))
             lat_ts = attrs.get("standard_parallel")
+            sf = attrs.get("scale_factor_at_projection_origin")
             if lat_ts is None:
+                # CF variant A: scale factor at the pole, no standard
+                # parallel (UPS et al.)
                 lat_ts = lat_0
+            params = [
+                ("lat_0", lat_0),
+                ("lat_ts", float(lat_ts)),
+                ("lon_0", float(attrs.get(
+                    "straight_vertical_longitude_from_pole", 0.0))),
+                ("x_0", float(attrs.get("false_easting", 0.0))),
+                ("y_0", float(attrs.get("false_northing", 0.0))),
+            ]
+            if sf is not None:
+                params.insert(2, ("k_0", float(sf)))
             return CRS(
                 "stere", "Polar Stereographic", ell,
-                params=(
-                    ("lat_0", lat_0),
-                    ("lat_ts", float(lat_ts)),
-                    ("lon_0", float(attrs.get(
-                        "straight_vertical_longitude_from_pole", 0.0))),
-                    ("x_0", float(attrs.get("false_easting", 0.0))),
-                    ("y_0", float(attrs.get("false_northing", 0.0))),
-                ),
+                params=tuple(params),
             )
         if gmn == "albers_conical_equal_area":
             sp = attrs.get("standard_parallel")
@@ -880,15 +886,25 @@ class CRS:
                 **ell,
             )
         if self.kind == "stere":
-            return dict(
+            d = dict(
                 grid_mapping_name="polar_stereographic",
                 latitude_of_projection_origin=self.param("lat_0"),
-                standard_parallel=self.param("lat_ts"),
                 straight_vertical_longitude_from_pole=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **ell,
             )
+            # CF: EITHER standard_parallel OR
+            # scale_factor_at_projection_origin.  Variant A (EPSG 9810,
+            # UPS: k_0 at the pole) must carry the scale factor -- a
+            # standard_parallel=90 roundtrip would silently drop k_0
+            if (abs(self.param("lat_ts", 90.0)) >= 90.0 - 1e-12
+                    and self.param("k_0", 1.0) != 1.0):
+                d["scale_factor_at_projection_origin"] = \
+                    self.param("k_0")
+            else:
+                d["standard_parallel"] = self.param("lat_ts")
+            return d
         if self.kind == "webmerc":
             return dict(
                 grid_mapping_name="mercator",
@@ -1456,7 +1472,11 @@ def _lcc_setup(crs: CRS):
         t2 = float(_lcc_t_of(e, np.float64(phi2)))
         m2 = m_of(phi2)
         n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-    af = ell.a * m1 / (n * t1 ** n)  # a * F
+    # EPSG 9801 (1SP): rho = a F t^n k_0 -- the 2SP form (9802) has no
+    # scale factor, so k_0 defaults to 1 and both methods share this
+    # setup.  Folding k_0 into a*F scales rho and rho_0 together, which
+    # keeps the inverse (which divides by af) consistent for free.
+    af = crs.param("k_0", 1.0) * ell.a * m1 / (n * t1 ** n)  # a * F * k0
     rho0 = af * t0 ** n
     return n, af, rho0
 

@@ -221,8 +221,6 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     pass over the corpus) and broadcast back; the top-k window
     partitions by doc_id.  N comes from one scalar aggregate job.
     """
-    import math
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql.window import Window

@@ -347,8 +347,7 @@ def encode_hdf5(
         node += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
         node += struct.pack("<QQ", _UNDEF, _UNDEF)
         for origin, addr, nbytes in entries:
-            node += struct.pack("<II", nbytes,
-                                0 if compress else 0)
+            node += struct.pack("<II", nbytes, 0)  # filter mask: none skipped
             for o in origin:
                 node += struct.pack("<Q", o)
             node += struct.pack("<Q", 0)  # element-size dim
@@ -913,11 +912,16 @@ def read_hdf5(
                 br = int(meta["band_rows"])
                 _, j0, _, j1 = bbox_ij
                 keep = range(max(0, j0 // br), -(-j1 // br))
-                files = [
-                    f for f in files
-                    if int(re.search(
+                # non-part files (unknown band) are kept, not crashed on
+                matches = {
+                    f: re.search(
                         r"part-(\d+)\.(?:h5|nc4?)$", os.path.basename(f)
-                    ).group(1)) in keep
+                    )
+                    for f in files
+                }
+                files = [
+                    f for f, m in matches.items()
+                    if m is None or int(m.group(1)) in keep
                 ]
     else:
         files = [path]

@@ -61,6 +61,14 @@ class ChunkPut:
     def put(self, key: str, data: bytes) -> None:
         raise NotImplementedError
 
+    def get(self, key: str) -> bytes | None:
+        """Read-back seam for metadata merges (``add_spatial_ref`` and
+        reconsolidation read prior ``.zattrs`` / ``.zmetadata`` through
+        it before overwriting).  ``None`` means "not readable through
+        this seam" -- callers then fall back to the local store root,
+        and refuse to clobber metadata they could not read."""
+        return None
+
 
 class FsChunkPut(ChunkPut):
     """Filesystem implementation: local paths, NFS, or fuse mounts."""
@@ -75,6 +83,13 @@ class FsChunkPut(ChunkPut):
             os.makedirs(parent, exist_ok=True)
         with open(path, "wb") as fp:
             fp.write(data)
+
+    def get(self, key: str) -> bytes | None:
+        path = os.path.join(self.root, key)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as fp:
+            return fp.read()
 
 
 class ObjectStoreChunkPut(ChunkPut):
@@ -99,6 +114,22 @@ class ObjectStoreChunkPut(ChunkPut):
             self._client = self.client_factory()
         full = f"{self.prefix}/{key}" if self.prefix else key
         self._client.put_object(Bucket=self.bucket, Key=full, Body=data)
+
+    def get(self, key: str) -> bytes | None:
+        if self.client_factory is None:
+            raise NotImplementedError(
+                "ObjectStoreChunkPut needs a client_factory (e.g. a boto3 "
+                "S3 client constructor); none is available in this build"
+            )
+        if self._client is None:
+            self._client = self.client_factory()
+        full = f"{self.prefix}/{key}" if self.prefix else key
+        try:
+            resp = self._client.get_object(Bucket=self.bucket, Key=full)
+        except Exception:  # boto3 NoSuchKey and friends
+            return None
+        body = resp["Body"]
+        return body.read() if hasattr(body, "read") else body
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -224,13 +255,9 @@ def _write_zarr_metadata(
     # document instead of one per array); merge with any prior arrays'
     # entries when the store root is locally readable
     consolidated: dict = {".zgroup": {"zarr_format": 2}}
-    prior = os.path.join(path, ".zmetadata")
-    if os.path.exists(prior):
-        try:
-            with open(prior) as fp:
-                consolidated.update(json.load(fp).get("metadata", {}))
-        except (OSError, ValueError):
-            pass
+    prior = _get_json(put, path, ".zmetadata")
+    if prior is not None:
+        consolidated.update(prior.get("metadata", {}))
     consolidated[f"{var_name}/.zarray"] = zarray
     consolidated[f"{var_name}/.zattrs"] = zattrs
     put.put(
@@ -294,19 +321,39 @@ def _write_zarr_chunks(
     ).count()
 
 
+def _get_json(put: ChunkPut, path: str, key: str):
+    """Read a small JSON document back from the store: through the
+    ChunkPut's ``get`` seam first, then the local store root.  Returns
+    None when neither can see the key."""
+    try:
+        data = put.get(key)
+    except NotImplementedError:
+        data = None
+    if data is None:
+        local = os.path.join(path, key)
+        if os.path.exists(local):
+            try:
+                with open(local, "rb") as fp:
+                    data = fp.read()
+            except OSError:
+                data = None
+    if data is None:
+        return None
+    try:
+        return json.loads(data)
+    except ValueError:
+        return None
+
+
 def _reconsolidate(put: ChunkPut, path: str, entries: dict) -> None:
-    """Merge new metadata entries into .zmetadata (same local-read
-    pattern as _write_zarr_metadata: the prior document is read via the
-    filesystem when available; a pure object-store root just gets the
+    """Merge new metadata entries into .zmetadata (the prior document is
+    read back through the ChunkPut ``get`` seam, falling back to the
+    local store root; a pure write-only object-store root just gets the
     new entries plus the group marker)."""
     consolidated: dict = {".zgroup": {"zarr_format": 2}}
-    prior = os.path.join(path, ".zmetadata")
-    if os.path.exists(prior):
-        try:
-            with open(prior) as fp:
-                consolidated.update(json.load(fp).get("metadata", {}))
-        except (OSError, ValueError):
-            pass
+    prior = _get_json(put, path, ".zmetadata")
+    if prior is not None:
+        consolidated.update(prior.get("metadata", {}))
     consolidated.update(entries)
     put.put(
         ".zmetadata",
@@ -377,14 +424,19 @@ def add_spatial_ref(
             and d != crs_var_name
         ]
     for var in data_var_names:
-        apath = os.path.join(path, var, ".zattrs")
-        attrs: dict = {}
-        if os.path.exists(apath):
-            try:
-                with open(apath) as fp:
-                    attrs = json.load(fp)
-            except (OSError, ValueError):
-                attrs = {}
+        attrs = _get_json(put, path, f"{var}/.zattrs")
+        if attrs is None:
+            # refuse to clobber attrs we cannot read: if the array's
+            # .zarray IS visible (the variable exists) but its .zattrs
+            # is not, overwriting would silently destroy
+            # _ARRAY_DIMENSIONS / _FillValue / scale_factor
+            if _get_json(put, path, f"{var}/.zarray") is not None:
+                raise ValueError(
+                    f"cannot read existing {var}/.zattrs through this "
+                    "ChunkPut; implement ChunkPut.get() so metadata "
+                    "merges see the store"
+                )
+            attrs = {}
         # coordinate arrays georeference themselves; only grid data
         # variables point at the CRS var
         dims = attrs.get("_ARRAY_DIMENSIONS", [])

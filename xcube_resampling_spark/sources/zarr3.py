@@ -636,6 +636,7 @@ def open_zarr3_dataset(
     path: str,
     variables: list[str] | None = None,
     bbox_ij: tuple[int, int, int, int] | None = None,
+    decode_cf: bool = False,
 ):
     """Open a CF zarr v3 store as ``(SparkDataset, GridMapping)`` (v3
     twin of zarr.open_zarr_dataset)."""
@@ -661,7 +662,8 @@ def open_zarr3_dataset(
                      or ("t", "y", "x")[-len(meta["shape"]):])
         attrs = {k: v for k, v in
                  (meta.get("attributes") or {}).items()}
-        df = read_zarr3(spark, path, var, bbox_ij=bbox_ij)
+        df = read_zarr3(spark, path, var, bbox_ij=bbox_ij,
+                        decode_cf=decode_cf)
         data_vars[var] = Variable(var, df, dims, "float64", attrs)
     ds = SparkDataset(
         spark=spark,

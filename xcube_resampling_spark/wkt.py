@@ -918,6 +918,38 @@ def crs_to_wkt(crs: CRS) -> str:
             if crs.kind not in _EMIT:
                 raise ValueError(f"no WKT emitter for kind {crs.kind!r}")
             method, plist = _EMIT[crs.kind]
+            if crs.kind == "stere" and \
+                    abs(crs.param("lat_ts", 90.0)) >= 90.0 - 1e-12 and \
+                    crs.param("k_0", 1.0) != 1.0:
+                # EPSG 9810 variant A (UPS): the k_0-at-the-pole form;
+                # emitting variant B's standard parallel would silently
+                # drop the 0.994 scale factor
+                method = "Polar Stereographic (variant A)"
+                plist = [
+                    ("Latitude of natural origin", "lat_0", "a"),
+                    ("Longitude of natural origin", "lon_0", "a"),
+                    ("Scale factor at natural origin", "k_0", "s"),
+                    ("False easting", "x_0", "l"),
+                    ("False northing", "y_0", "l"),
+                ]
+            if crs.kind == "lcc" and crs.param("k_0", 1.0) != 1.0:
+                # EPSG 9801 (1SP): the only LCC method that carries a
+                # scale factor; requires coincident parallels at the
+                # natural origin
+                if not (crs.param("lat_1") ==
+                        crs.param("lat_2", crs.param("lat_1")) ==
+                        crs.param("lat_0")):
+                    raise ValueError(
+                        "LCC with k_0 != 1 and distinct standard "
+                        "parallels has no WKT method")
+                method = "Lambert Conic Conformal (1SP)"
+                plist = [
+                    ("Latitude of natural origin", "lat_0", "a"),
+                    ("Longitude of natural origin", "lon_0", "a"),
+                    ("Scale factor at natural origin", "k_0", "s"),
+                    ("False easting", "x_0", "l"),
+                    ("False northing", "y_0", "l"),
+                ]
             if crs.kind == "omerc" and crs.param("no_uoff", 0.0):
                 # EPSG 9812: natural-origin anchoring and FE/FN names
                 method = "Hotine Oblique Mercator (variant A)"
