@@ -297,7 +297,7 @@ class TestCodecProperties:
         lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
         code=st.sampled_from(
             [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700,
-             23032, 29873, 2056, 5514, 5041, 5042]
+             23032, 29873, 2056, 5514, 5041, 5042, 2048, 24200, 27572]
         ),
     )
     @settings(max_examples=150, deadline=None)

@@ -259,7 +259,7 @@ class TestWktEmission:
 
     REGISTRY = [32633, 32760, 25832, 23031, 27700, 2193, 3577, 3112,
                 5514, 2056, 29873, 3395, 6933, 4087, 3035, 3857, 3031,
-                3413, 5070, 2154, 5041, 5042]
+                3413, 5070, 2154, 5041, 5042, 2048, 24200, 27572]
 
     # sane probe box per projection family
     BOXES = {
@@ -575,6 +575,115 @@ class TestLcc1spScaleFactor:
                       crs_from_proj(crs.to_proj())):
             assert again.param("k_0") == 0.99987742
             assert _max_err(crs, again, (-4, 8), (42, 51)) < 1e-8
+
+
+class TestTmercSouthOrientated:
+    """EPSG 9808 (Transverse Mercator South Orientated): the South
+    African Lo grids -- westing/southing axes, otherwise plain TM."""
+
+    def test_reflection_relation_is_exact(self):
+        from xcube_resampling_spark.crs import _Ellipsoid
+
+        lo19 = CRS.from_epsg(2048)
+        plain = CRS(
+            "tmerc", "Lo19 north-orientated",
+            _Ellipsoid(6378137.0, 298.257223563),
+            params=(("k_0", 1.0), ("lat_0", 0.0), ("lon_0", 19.0),
+                    ("x_0", 0.0), ("y_0", 0.0)),
+        )
+        rng = np.random.default_rng(5)
+        lo = rng.uniform(16, 22, 60)
+        la = rng.uniform(-35, -22, 60)
+        xs, ys = Transformer.from_crs(CRS_WGS84, lo19).transform(lo, la)
+        xn, yn = Transformer.from_crs(CRS_WGS84, plain).transform(lo, la)
+        np.testing.assert_array_equal(xs, -xn)
+        np.testing.assert_array_equal(ys, -yn)
+        # south of the equator, southing is positive; west of the
+        # central meridian, westing is positive
+        assert (ys > 0).all()
+        assert (xs[lo < 19.0] > 0).all()
+        assert (xs[lo > 19.0] < 0).all()
+
+    def test_cape_town_and_roundtrip(self):
+        lo19 = CRS.from_epsg(2048)
+        f = Transformer.from_crs(CRS_WGS84, lo19)
+        x, y = f.transform(np.array([18.4241]), np.array([-33.9249]))
+        assert x[0] == pytest.approx(53251.51, abs=1.0)
+        assert y[0] == pytest.approx(3755480.59, abs=1.0)
+        lo2, la2 = Transformer.from_crs(lo19, CRS_WGS84).transform(x, y)
+        assert lo2[0] == pytest.approx(18.4241, abs=1e-9)
+        assert la2[0] == pytest.approx(-33.9249, abs=1e-9)
+
+    def test_gdal_wkt1_parses(self):
+        wkt = """PROJCS["Hartebeesthoek94 / Lo19",
+         GEOGCS["Hartebeesthoek94",DATUM["Hartebeesthoek94",
+          SPHEROID["WGS 84",6378137,298.257223563]],
+          PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+         PROJECTION["Transverse_Mercator_South_Orientated"],
+         PARAMETER["latitude_of_origin",0],
+         PARAMETER["central_meridian",19],
+         PARAMETER["scale_factor",1],
+         PARAMETER["false_easting",0],
+         PARAMETER["false_northing",0],
+         UNIT["metre",1],AUTHORITY["EPSG","2048"]]"""
+        crs = crs_from_wkt(wkt)
+        assert crs.param("south_orient") == 1.0
+        assert _max_err(crs, CRS.from_epsg(2048), (16, 22), (-35, -22)) \
+            == 0.0
+
+    def test_proj_axis_wsu(self):
+        crs = crs_from_proj(
+            "+proj=tmerc +lat_0=0 +lon_0=19 +k=1 +x_0=0 +y_0=0 "
+            "+axis=wsu +ellps=WGS84")
+        assert _max_err(crs, CRS.from_epsg(2048), (16, 22), (-35, -22)) \
+            == 0.0
+        # emission closure carries the axis flag
+        again = crs_from_proj(CRS.from_epsg(2048).to_proj())
+        assert again.param("south_orient") == 1.0
+        assert "+axis=wsu" in CRS.from_epsg(2048).to_proj()
+
+    def test_axis_wsu_rejected_off_tmerc(self):
+        with pytest.raises(ValueError, match="axis"):
+            crs_from_proj("+proj=lcc +lat_1=40 +axis=wsu +ellps=WGS84")
+        with pytest.raises(ValueError, match="axis"):
+            crs_from_proj("+proj=tmerc +lon_0=19 +axis=neu +ellps=WGS84")
+
+    def test_cf_falls_back_to_crs_wkt(self):
+        # CF has no south-orientated TM name: the named keys would flip
+        # the axes, so to_cf carries crs_wkt only -- and from_cf
+        # restores the orientation from it
+        cf = CRS.from_epsg(2048).to_cf()
+        assert "grid_mapping_name" not in cf
+        again = CRS.from_cf(cf)
+        assert again.param("south_orient") == 1.0
+        assert _max_err(CRS.from_epsg(2048), again,
+                        (16, 22), (-35, -22)) < 1e-8
+
+
+class TestNationalLambertGrids:
+    """LCC-1SP national grids registered on the k_0-aware machinery."""
+
+    def test_jamaica_gn72_worked_example(self):
+        # EPSG GN7-2 LCC-1SP example (Jamaica 1969 National Grid):
+        # 17d55'55.80"N 76d56'37.26"W -> E 255966.58, N 142493.51
+        f = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(24200))
+        lat = 17 + 55 / 60 + 55.80 / 3600
+        lon = -(76 + 56 / 60 + 37.26 / 3600)
+        x, y = f.transform(np.array([lon]), np.array([lat]))
+        assert x[0] == pytest.approx(255966.58, abs=0.01)
+        assert y[0] == pytest.approx(142493.51, abs=0.01)
+
+    def test_ntf_lambert_ii_origin_and_shift(self):
+        from xcube_resampling_spark.crs import _lcc_forward
+
+        ntf = CRS.from_epsg(27572)
+        assert ntf.towgs84 == (-168.0, -60.0, 320.0)
+        assert ntf.param("k_0") == 0.99987742
+        # natural origin (52 gr N on the Paris meridian) sits at FE/FN
+        x, y = _lcc_forward(ntf, np.array([2.337229166666667]),
+                            np.array([46.8]))
+        assert x[0] == pytest.approx(600000.0, abs=1e-6)
+        assert y[0] == pytest.approx(2200000.0, abs=1e-6)
 
 
 class TestOmercVariantA:

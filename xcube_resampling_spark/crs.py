@@ -38,6 +38,7 @@ _ELLIPSOIDS = {
     "Intl1924": (6378388.0, 297.0),            # ED50 and Snyder examples
     "Everest1967": (6377298.556, 300.8017),    # Timbalai 1948 / EPSG:29873
     "Bessel1841": (6377397.155, 299.1528128),  # CH1903(+) / EPSG:2056
+    "Clarke1880IGN": (6378249.2, 293.4660212936269),  # NTF (France)
 }
 
 
@@ -202,6 +203,69 @@ class CRS:
                     ("y_0", -100000.0),
                 ),
                 auth_code="EPSG:27700",
+            )
+        if 2046 <= code <= 2055:
+            # Hartebeesthoek94 / Lo15..Lo33 (EPSG method 9808,
+            # Transverse Mercator South Orientated): the South African
+            # survey grids -- westing/southing axes, no false origin,
+            # WGS84 ellipsoid
+            lon0 = 15.0 + 2.0 * (code - 2046)
+            return CRS(
+                "tmerc",
+                f"Hartebeesthoek94 / Lo{lon0:.0f}",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("k_0", 1.0),
+                    ("lat_0", 0.0),
+                    ("lon_0", lon0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                    ("south_orient", 1.0),
+                ),
+                auth_code=f"EPSG:{code}",
+            )
+        if code == 24200:
+            # Jamaica 1969 / Jamaica National Grid (EPSG method 9801,
+            # LCC 1SP with k_0 = 1): the EPSG GN7-2 worked example for
+            # the 1SP method (255966.58 E, 142493.51 N at
+            # 17d55'55.8"N 76d56'37.26"W)
+            return CRS(
+                "lcc",
+                "Jamaica 1969 / Jamaica National Grid",
+                _Ellipsoid(*_ELLIPSOIDS["Clarke1866"]),
+                params=(
+                    ("lat_0", 18.0),
+                    ("lat_1", 18.0),
+                    ("lat_2", 18.0),
+                    ("lon_0", -77.0),
+                    ("k_0", 1.0),
+                    ("x_0", 250000.0),
+                    ("y_0", 150000.0),
+                ),
+                auth_code="EPSG:24200",
+            )
+        if code == 27572:
+            # NTF (Paris) / Lambert zone II ("Lambert II etendu" --
+            # France's pre-RGF93 national grid, EPSG method 9801 LCC
+            # 1SP on Clarke 1880 IGN): lat/lon of natural origin
+            # 52 grads from Greenwich-referenced Paris meridian
+            # (2d20'14.025"), k_0 = 0.99987742; EPSG:1276 3-parameter
+            # NTF -> WGS84 shift
+            return CRS(
+                "lcc",
+                "NTF (Paris) / Lambert zone II",
+                _Ellipsoid(*_ELLIPSOIDS["Clarke1880IGN"]),
+                params=(
+                    ("lat_0", 46.8),
+                    ("lat_1", 46.8),
+                    ("lat_2", 46.8),
+                    ("lon_0", 2.337229166666667),
+                    ("k_0", 0.99987742),
+                    ("x_0", 600000.0),
+                    ("y_0", 2200000.0),
+                ),
+                auth_code="EPSG:27572",
+                towgs84=(-168.0, -60.0, 320.0),
             )
         if code == 2193:
             # NZGD2000 / New Zealand Transverse Mercator 2000: the
@@ -867,6 +931,13 @@ class CRS:
         if self.kind == "geographic":
             return dict(grid_mapping_name="latitude_longitude", **ell)
         if self.kind == "tmerc":
+            if self.param("south_orient", 0.0):
+                # CF has no south-orientated TM mapping; emitting the
+                # plain transverse_mercator keys would silently flip the
+                # Lo grids' axes -> fall back to crs_wkt-only attrs
+                raise ValueError(
+                    "transverse_mercator (south orientated) has no CF "
+                    "grid_mapping_name; carried via crs_wkt")
             return dict(
                 grid_mapping_name="transverse_mercator",
                 scale_factor_at_central_meridian=self.param("k_0", 1.0),
@@ -1108,13 +1179,22 @@ def _tmerc_forward(crs: CRS, lon, lat):
     if lat0 != 0.0:
         y0 = _tmerc_forward_scalar_northing(crs, lat0)
         y = y - y0 + fn  # forward already added fn; keep single fn
+    if crs.param("south_orient", 0.0):
+        # EPSG 9808 (Transverse Mercator South Orientated, the South
+        # African Lo grids): axes run westing/southing -- reflect about
+        # the false origin (Lo grids have FE = FN = 0, so this is plain
+        # negation of the natural-origin easting/northing)
+        x = 2.0 * fe - x
+        y = 2.0 * fn - y
     return x, y
 
 
 def _tmerc_forward_scalar_northing(crs: CRS, lat0: float) -> float:
-    # northing of (lat0, lon0) with false northing included
+    # northing of (lat0, lon0) with false northing included; computed
+    # north-orientated (south_orient reflects AFTER this offset)
     crs0 = CRS(crs.kind, crs.name, crs.ellipsoid,
-               tuple((k, (0.0 if k == "lat_0" else v)) for k, v in crs.params))
+               tuple((k, (0.0 if k in ("lat_0", "south_orient") else v))
+                     for k, v in crs.params))
     _, y = _tmerc_forward(crs0, np.array([crs.param("lon_0")]),
                           np.array([lat0]))
     return float(y[0])
@@ -1146,12 +1226,17 @@ def _tmerc_inverse(crs: CRS, x, y):
     lon0 = crs.param("lon_0")
     fe, fn = crs.param("x_0"), crs.param("y_0")
     lat0 = crs.param("lat_0")
+    x = np.asarray(x, dtype=np.float64)
     y_adj = np.asarray(y, dtype=np.float64)
+    if crs.param("south_orient", 0.0):
+        # undo the EPSG 9808 westing/southing reflection first
+        x = 2.0 * fe - x
+        y_adj = 2.0 * fn - y_adj
     if lat0 != 0.0:
         y_adj = y_adj + (_tmerc_forward_scalar_northing(crs, lat0) - fn)
 
     xi = (y_adj - fn) / (k0 * big_a)
-    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * big_a)
+    eta = (x - fe) / (k0 * big_a)
     xi_p = xi.copy()
     eta_p = eta.copy()
     for j, b_j in enumerate(beta, start=1):

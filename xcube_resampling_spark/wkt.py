@@ -141,6 +141,10 @@ _METHODS = {
     # Transverse Mercator (EPSG 9807)
     "transversemercator": "tmerc",
     "gausskruger": "tmerc",
+    # EPSG 9808 (the South African Lo grids); GDAL WKT1 spells it
+    # "Transverse_Mercator_South_Orientated"
+    "transversemercatorsouthorientated": "tmerc_so",
+    "transversemercatorsouthoriented": "tmerc_so",
     # LAEA (9820)
     "lambertazimuthalequalarea": "laea",
     # Web / spherical Mercator (1024)
@@ -261,6 +265,8 @@ _ELLPS_ALIASES = {
     "clarke1866": ("Clarke1866", 6378206.4, 294.978698214),
     "evrst69": ("Everest1967", 6377298.556, 300.8017),
     "everest1967": ("Everest1967", 6377298.556, 300.8017),
+    "clrk80ign": ("Clarke1880IGN", 6378249.2, 293.4660212936269),
+    "clarke1880ign": ("Clarke1880IGN", 6378249.2, 293.4660212936269),
 }
 
 
@@ -396,6 +402,9 @@ def _apply_kind_fixups(kind: str, p: dict) -> tuple:
         # equivalence k_0 = cos(p1)/sqrt(1 - e2 sin^2 p1) is applied by
         # the caller (needs the ellipsoid) -- stash lat_1 under lat_ts
         p.setdefault("lat_ts", p.pop("lat_1", 0.0))
+    if kind == "tmerc_so":
+        kind = "tmerc"
+        p["south_orient"] = 1.0
     if kind == "lcc_1sp":
         kind = "lcc"
         # 1SP: both standard parallels coincide with the origin
@@ -690,6 +699,15 @@ def crs_from_proj(s: str) -> CRS:
             "k_0": 0.9996, "lat_0": 0.0, "lon_0": float(zone * 6 - 183),
             "x_0": 500000.0, "y_0": 10000000.0 if south else 0.0,
         }
+    axis = kv.get("axis", "enu")
+    if axis == "wsu":
+        if kind != "tmerc":
+            raise ValueError(
+                f"+axis=wsu only supported for +proj=tmerc (EPSG 9808), "
+                f"not +proj={proj}")
+        p["south_orient"] = 1.0
+    elif axis != "enu":
+        raise ValueError(f"+axis={axis} is not supported")
     if proj == "merc":
         if "lat_ts" in p and "k_0" not in p:
             if math.isinf(ell.inv_f):
@@ -918,6 +936,9 @@ def crs_to_wkt(crs: CRS) -> str:
             if crs.kind not in _EMIT:
                 raise ValueError(f"no WKT emitter for kind {crs.kind!r}")
             method, plist = _EMIT[crs.kind]
+            if crs.kind == "tmerc" and crs.param("south_orient", 0.0):
+                # EPSG 9808: same parameters, reflected axes
+                method = "Transverse Mercator (South Orientated)"
             if crs.kind == "stere" and \
                     abs(crs.param("lat_ts", 90.0)) >= 90.0 - 1e-12 and \
                     crs.param("k_0", 1.0) != 1.0:
@@ -973,13 +994,18 @@ def crs_to_wkt(crs: CRS) -> str:
             auth, code = crs.auth_code.split(":", 1)
             if code.isdigit():
                 ident = f',ID["{auth}",{code}]'
+        if crs.kind == "tmerc" and crs.param("south_orient", 0.0):
+            axes = (f'AXIS["westing (Y)",west,{_M_UNIT}],'
+                    f'AXIS["southing (X)",south,{_M_UNIT}]')
+        else:
+            axes = (f'AXIS["(E)",east,{_M_UNIT}],'
+                    f'AXIS["(N)",north,{_M_UNIT}]')
         body = (
             f'PROJCRS["{crs.name or "unnamed"}",'
             f"{base},"
             f'CONVERSION["unnamed",METHOD["{method}"],{params}],'
             f'CS[Cartesian,2],'
-            f'AXIS["(E)",east,{_M_UNIT}],'
-            f'AXIS["(N)",north,{_M_UNIT}]'
+            f"{axes}"
             f"{ident}]"
         )
     if not crs.towgs84:
@@ -1021,7 +1047,8 @@ _PROJ_NAMES["tmerc"] = "tmerc"
 def _ellps_token(ell: _Ellipsoid) -> str:
     for alias, (_, a, inv_f) in _ELLPS_ALIASES.items():
         if alias in ("international1924", "hayford1909", "bessel1841",
-                     "airy1830", "clarke1866", "everest1967"):
+                     "airy1830", "clarke1866", "everest1967",
+                     "clarke1880ign"):
             continue  # emit the canonical short PROJ names only
         if abs(ell.a - a) < 1e-9 and not math.isinf(ell.inv_f) \
                 and abs(ell.inv_f - inv_f) < 1e-9:
@@ -1052,7 +1079,7 @@ def crs_to_proj(crs: CRS) -> str:
     if name is None:
         raise ValueError(f"no PROJ emitter for kind {crs.kind!r}")
     parts = [f"+proj={name}"]
-    skip = {"sweep_x", "no_uoff"}
+    skip = {"sweep_x", "no_uoff", "south_orient"}
     key_map = {"k_0": "k"}
     for k, v in crs.params:
         if k in skip:
@@ -1063,6 +1090,8 @@ def crs_to_proj(crs: CRS) -> str:
             "+sweep=" + ("x" if crs.param("sweep_x") == 1.0 else "y"))
     if crs.kind == "omerc" and crs.param("no_uoff", 0.0):
         parts.append("+no_uoff")
+    if crs.kind == "tmerc" and crs.param("south_orient", 0.0):
+        parts.append("+axis=wsu")  # PROJ's spelling of EPSG 9808
     parts.append(ell)
     if tw:
         parts.append(tw.strip())
