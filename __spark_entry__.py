@@ -2447,17 +2447,56 @@ _H32 = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
 
 SQL_FINGERPRINT = f"""
 WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
-hashed AS (SELECT doc_id, {_H32} AS h FROM sh)
-SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max,
-       COUNT(DISTINCT h) AS n_shingles
-FROM hashed GROUP BY doc_id
+hashed AS (SELECT DISTINCT doc_id, {_H32} AS h FROM sh),
+fp AS (
+  SELECT 'fp' AS tag, doc_id, MIN(h) AS v1, MAX(h) AS v2,
+         CAST(COUNT(*) AS BIGINT) AS v3
+  FROM hashed GROUP BY doc_id
+),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 19 = 3),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+  FROM hashed GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM hashed JOIN bench USING (h) GROUP BY doc_id
+),
+dec AS (
+  SELECT 'decon' AS tag, hits.doc_id, n_hits AS v1, n_sh AS v2,
+         (10000 * n_hits) // n_sh AS v3
+  FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+  WHERE n_hits >= 2
+)
+SELECT * FROM fp UNION ALL SELECT * FROM dec
 """
 
 
 def q_doc_fingerprint(spark, sf_dir):
+    """Tagged union: 'fp' = rolling-hash fingerprints of every document;
+    'decon' = benchmark decontamination hits, where the benchmark corpus
+    is the deterministic doc_id % 19 == 3 slice of the same table (a
+    leaked-test-set scenario: those docs and their near-duplicates get
+    flagged with distinct-shingle hit counts and basis-point fractions).
+    """
+    from xcube_resampling_spark.extensions.dedup import decontaminate
     from xcube_resampling_spark.extensions.text import doc_fingerprint
 
-    return doc_fingerprint(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    fp = doc_fingerprint(docs).select(
+        F.lit("fp").alias("tag"), "doc_id",
+        F.col("fp_min").cast("bigint").alias("v1"),
+        F.col("fp_max").cast("bigint").alias("v2"),
+        F.col("n_shingles").cast("bigint").alias("v3"),
+    )
+    bench = docs.filter(F.col("doc_id") % 19 == 3)
+    dec = decontaminate(docs, bench, min_hits=2).select(
+        F.lit("decon").alias("tag"), "doc_id",
+        F.col("n_hits").cast("bigint").alias("v1"),
+        F.col("n_shingles").cast("bigint").alias("v2"),
+        F.col("hit_bp").cast("bigint").alias("v3"),
+    )
+    return fp.unionByName(dec)
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -1099,3 +1099,93 @@ class TestProductQuantization:
         emb = self._embeddings(spark, n=10, dim=8)
         with _pytest.raises(ValueError, match="not divisible"):
             pq_train(emb, m=3)
+
+
+# ------------------------------------------------------------------ #
+# decontamination
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from xcube_resampling_spark.extensions.dedup import decontaminate
+
+    corpus = _docs(spark, [
+        "a b c d e",   # shingles: "a b c", "b c d", "c d e"
+        "a b c x y",   # shingles: "a b c", "b c x", "c x y"
+        "p q r s t",   # disjoint from the benchmark
+    ])
+    bench = _docs(spark, ["a b c d"])  # shingles: "a b c", "b c d"
+
+    rows = {r.doc_id: r for r in
+            decontaminate(corpus, bench, min_hits=1).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_hits == 2 and rows[0].n_shingles == 3
+    assert rows[0].hit_bp == 20000 // 3  # 6666
+    assert rows[1].n_hits == 1 and rows[1].n_shingles == 3
+    assert rows[1].hit_bp == 10000 // 3  # 3333
+
+    strict = {r.doc_id for r in
+              decontaminate(corpus, bench, min_hits=2).collect()}
+    assert strict == {0}
+
+
+def test_decontaminate_shuffled_join_matches_broadcast(spark):
+    from xcube_resampling_spark.extensions.dedup import decontaminate
+
+    corpus = _docs(spark, ["a b c d e", "a b c x y", "p q r s t"])
+    bench = _docs(spark, ["a b c d", "x"])  # below-k doc adds nothing
+
+    a = sorted(map(tuple, decontaminate(
+        corpus, bench, min_hits=1, broadcast_benchmark=True).collect()))
+    b = sorted(map(tuple, decontaminate(
+        corpus, bench, min_hits=1, broadcast_benchmark=False).collect()))
+    assert a == b and len(a) == 2
+
+
+def test_decontaminate_duplicate_benchmark_shingles_count_once(spark):
+    from xcube_resampling_spark.extensions.dedup import decontaminate
+
+    corpus = _docs(spark, ["a b c a b c a b"])
+    # "a b c" appears in both benchmark docs; the corpus doc's distinct
+    # shingle set is {"a b c","b c a","c a b"} -> exactly 1 distinct hit
+    bench = _docs(spark, ["a b c", "z a b c z"])
+    rows = decontaminate(corpus, bench, min_hits=1).collect()
+    assert len(rows) == 1
+    assert rows[0].n_hits == 1 and rows[0].n_shingles == 3
+
+
+# ------------------------------------------------------------------ #
+# semantic dedup (cluster-then-verify)
+
+
+def test_semantic_dedup_pairs_within_clusters_only(spark):
+    from xcube_resampling_spark.extensions.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.995, 0.0999]),   # cos vs 0 = 0.995.. -> same cluster as 0
+        (3, [0.0999, 0.995]),   # near 1
+        (4, [-1.0, 0.0]),       # anti-parallel to 0: same cluster, cos -1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, num_clusters=2, threshold=0.95,
+                         iterations=1).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out}
+    assert set(pairs) == {(0, 2), (1, 3)}
+    assert pairs[(0, 2)] >= 0.99
+    # every returned pair shares a cluster by construction
+    assert all(r.cluster in (0, 1) for r in out)
+
+
+def test_semantic_dedup_no_cross_join(spark):
+    from xcube_resampling_spark.extensions.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = semantic_dedup(emb, num_clusters=2, iterations=1)._jdf\
+        .queryExecution().executedPlan().toString()
+    # candidate generation must be an equi-join on the cluster id; the
+    # only allowed cartesian is the broadcast centroid assignment
+    assert "CartesianProduct" not in plan

@@ -634,3 +634,128 @@ def dup_components(
     out = labels.select("node", F.col("lab").alias("component"))
     _PERSISTED.append(labels)
     return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_hits: int = 2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_hits`` distinct word ``k``-gram shingles with ANY
+    document of the ``benchmark`` corpus -- the standard guard against
+    test-set leakage into training data (published practice hashes
+    13-grams; ``k`` is a parameter because corpora differ).
+
+    Returns one row per contaminated document:
+    ``(doc_id, n_hits, n_shingles, hit_bp)`` where ``n_hits`` is the
+    count of distinct shingles shared with the benchmark, ``n_shingles``
+    the document's distinct-shingle total, and ``hit_bp`` the integer
+    contamination fraction in basis points (``10000 * n_hits //
+    n_shingles`` -- integer math so both engines agree bit-for-bit).
+
+    100-TB shape: the benchmark side is reduced to its DISTINCT shingle
+    hash set (benchmark suites are tiny next to a training corpus) and
+    broadcast, so the corpus is touched by exactly two
+    map-side-combinable aggregations (distinct-shingle counting) and one
+    broadcast semi-join -- no shuffle keyed on shingles, no skew from
+    stop-shingles (the benchmark set is distinct, so each corpus shingle
+    row matches at most once).  Set ``broadcast_benchmark=False`` for a
+    benchmark too large to broadcast; the join falls back to a shuffled
+    equi-join on the 32-bit hash.
+    """
+    corpus = exploded_shingles(docs, k).select(
+        "doc_id", hash32(F.col("sh")).alias("h")
+    )
+    bench = (
+        exploded_shingles(benchmark, k)
+        .select(hash32(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    sizes = corpus.groupBy("doc_id").agg(
+        F.count_distinct("h").alias("n_shingles")
+    )
+    hits = corpus.join(bench, "h").groupBy("doc_id").agg(
+        F.count_distinct("h").alias("n_hits")
+    )
+    return (
+        hits.filter(F.col("n_hits") >= min_hits)
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_shingles",
+            F.expr("(10000 * n_hits) DIV n_shingles").alias("hit_bp"),
+        )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_clusters: int = 8,
+    threshold: float = 0.95,
+    iterations: int = 2,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    vectors ONLY within their cluster -- candidate generation is an
+    equi-join on the cluster id, so the pair count is bounded by the
+    largest cluster, never n^2.
+
+    Returns ``(id_a, id_b, cosine)`` pairs with ``cosine >= threshold``
+    and ``id_a < id_b``, plus each pair's shared ``cluster`` id.
+
+    100-TB shape: centroids train distributively (``kmeans_centroids`` --
+    per-iteration broadcast assignment + positional-mean agg), the
+    assignment pass is one broadcast join over the corpus, and the
+    within-cluster self-join shuffles on ``cent_id`` (tune
+    ``num_clusters`` so clusters fit a task; SemDeDup used 100k clusters
+    for LAION-scale data).  Exact cosine inside the cluster keeps
+    precision 1.0; recall misses only pairs split across clusters
+    (the paper's accepted trade-off).
+    """
+    from .similarity import assign_centroids, kmeans_centroids
+
+    cents = kmeans_centroids(
+        embeddings, num_centroids=num_clusters, iterations=iterations
+    )
+    assigned = assign_centroids(embeddings, cents).select(
+        "cent_id", "vec_id", "embedding"
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    e = assigned.select(
+        "cent_id", "vec_id", "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cent_id").alias("cluster"),
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

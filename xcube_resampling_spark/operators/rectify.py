@@ -1083,9 +1083,18 @@ def rectify_fused_tiled(
             out[f"val_{k}"] = vals[k]
         return pd.DataFrame(out)
 
-    matches = blocks.groupBy("blk").applyInPandas(
-        scatter_kernel, match_schema
-    )
+    # Explicit repartition pinned to the exact group count: the kernel
+    # stages' cost is per-group numpy compute, not shuffle bytes, so
+    # AQE's byte-based coalescing (which folded 32 groups into 16 tasks
+    # at 10x scale -- half the cores idle) must not apply.  A
+    # user-specified partition count is exempt from AQE coalescing, and
+    # hashpartitioning(blk, N) satisfies the groupBy's required
+    # distribution, so this replaces (not adds to) the implicit
+    # exchange -- plan-asserted exchange counts stay [2, 2].
+    n_src_blk = max(1, (src_h + B - 1) // B)
+    matches = blocks.repartition(n_src_blk, "blk").groupBy(
+        "blk"
+    ).applyInPandas(scatter_kernel, match_schema)
 
     # every target block must appear even if it drew no candidates -> union
     # sentinel rows (dst_i = -1, ignored by the kernel) generated without
@@ -1141,9 +1150,9 @@ def rectify_fused_tiled(
             }
         )
 
-    out = matches.unionByName(sentinels).groupBy("dst_blk").applyInPandas(
-        densify_kernel, PIXEL_SCHEMA
-    )
+    out = matches.unionByName(sentinels).repartition(
+        n_blk, "dst_blk"
+    ).groupBy("dst_blk").applyInPandas(densify_kernel, PIXEL_SCHEMA)
     # the Arrow hop converts the kernel's NaN doubles to SQL NULLs (pandas
     # uses NaN as its null sentinel); the operator's contract is NaN --
     # un-fused gather_var emits real NaNs -- and no output is legitimately
