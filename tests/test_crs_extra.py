@@ -7,6 +7,7 @@ stereographic (p. 315, International 1924 ellipsoid), and the CORDEX
 EUR-11 rotated-pole property (rotated origin -> 18.0E, 50.75N).
 """
 
+import math
 import numpy as np
 import pytest
 
@@ -1062,3 +1063,173 @@ class TestOrthographic:
         assert CRS.from_cf(crs.to_cf()).equals(crs)
         assert CRS.from_spec(crs.to_spec()).equals(crs)
         assert crs.to_cf()["grid_mapping_name"] == "orthographic"
+
+
+class TestMollweide:
+    """Mollweide (Snyder 1987 sec. 31; PROJ 'moll', ESRI:54009)."""
+
+
+    def test_defining_equations_hold(self):
+        """Independent verification: for engine output (x, y), recover
+        theta from y and check BOTH Snyder defining equations
+        (2t + sin 2t = pi sin phi, and the x formula) via bisection --
+        a different solver than the engine's Newton iteration."""
+        crs = CRS.from_user_input("ESRI:54009")
+        a = crs.ellipsoid.a
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        for lon, lat in [(-75.0, 50.0), (12.0, -33.0), (179.0, 80.0),
+                         (-140.0, -5.0)]:
+            x, y = fwd.transform(np.array([lon]), np.array([lat]))
+            phi = math.radians(lat)
+            # bisection on 2t + sin 2t = pi sin phi over [-pi/2, pi/2]
+            lo, hi = -math.pi / 2, math.pi / 2
+            for _ in range(200):
+                mid = (lo + hi) / 2
+                if 2 * mid + math.sin(2 * mid) < math.pi * math.sin(phi):
+                    lo = mid
+                else:
+                    hi = mid
+            t = (lo + hi) / 2
+            ex = a * (2 * math.sqrt(2) / math.pi) * math.radians(lon) \
+                * math.cos(t)
+            ey = a * math.sqrt(2) * math.sin(t)
+            assert float(x[0]) == pytest.approx(ex, abs=1e-5)
+            assert float(y[0]) == pytest.approx(ey, abs=1e-5)
+
+    def test_published_world_extent(self):
+        """World Mollweide bounds: x_max = 2*sqrt(2)*a at (180, 0) and
+        y_max = sqrt(2)*a at the pole (the ESRI:54009 published extent
+        +-18040095.7 / +-9020047.85 for a = 6378137)."""
+        crs = CRS.from_user_input("ESRI:54009")
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([180.0, 0.0]), np.array([0.0, 90.0]))
+        assert float(x[0]) == pytest.approx(18040095.696, abs=1e-2)
+        assert float(y[1]) == pytest.approx(9020047.848, abs=1e-2)
+
+    def test_equal_area_property(self):
+        """The area scale factor of the sphere->plane map is 1
+        everywhere (finite differences on the R = a sphere)."""
+        crs = CRS.mollweide()
+        a = crs.ellipsoid.a
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        rng = np.random.default_rng(3)
+        lons = rng.uniform(-170, 170, 50)
+        lats = rng.uniform(-80, 80, 50)
+        d = 1e-5
+        x0, y0 = fwd.transform(lons, lats)
+        xl, yl = fwd.transform(lons + d, lats)
+        xp, yp = fwd.transform(lons, lats + d)
+        jac = np.abs(
+            (xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)
+        ) / np.radians(d) ** 2
+        sphere = a * a * np.cos(np.radians(lats))
+        np.testing.assert_allclose(jac, sphere, rtol=1e-4)
+
+    def test_roundtrip_and_interchange(self):
+        crs = CRS.mollweide(lon_0=10.0, false_easting=100.0,
+                            false_northing=-200.0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        rng = np.random.default_rng(5)
+        lons = rng.uniform(-180, 180, 2000)
+        lats = rng.uniform(-89.9, 89.9, 2000)
+        x, y = fwd.transform(lons, lats)
+        lo, la = inv.transform(x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-8)
+        np.testing.assert_allclose(la, lats, atol=1e-8)
+        assert CRS.from_string(crs.to_wkt()).params == crs.params
+        assert CRS.from_string(crs.to_proj()).params == crs.params
+        # CF carries it as crs_wkt only (no CF grid_mapping_name)
+        cf = crs.to_cf()
+        assert "grid_mapping_name" not in cf
+        back = CRS.from_cf(cf)
+        assert back.kind == "moll" and back.params == crs.params
+
+    def test_poles_map_all_longitudes_to_zero_x(self):
+        crs = CRS.mollweide()
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([-120.0, 30.0, 180.0]),
+                             np.array([90.0, 90.0, -90.0]))
+        np.testing.assert_allclose(x, 0.0, atol=1e-6)
+
+
+class TestEqualEarth:
+    """Equal Earth (EPSG method 1078; Savric/Patterson/Jenny 2019)."""
+
+    def test_published_equatorial_extent(self):
+        """EPSG:8857's published projected extent: x = +-17243959.06 m
+        at (lon 180, lat 0) -- pins Rq and the polynomial at theta=0."""
+        crs = CRS.from_epsg(8857)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([180.0]), np.array([0.0]))
+        assert float(x[0]) == pytest.approx(17243959.06, abs=0.5)
+        assert float(y[0]) == pytest.approx(0.0, abs=1e-9)
+
+    def test_equal_area_on_the_ellipsoid(self):
+        """Area scale vs the WGS84 ELLIPSOID surface element
+        (a^2 (1-e2) cos(phi) / (1 - e2 sin^2 phi)^2) is exactly 1 --
+        the defining property EPSG method 1078 preserves by going
+        through the authalic latitude."""
+        crs = CRS.from_epsg(8857)
+        ell = crs.ellipsoid
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        rng = np.random.default_rng(11)
+        lons = rng.uniform(-170, 170, 50)
+        lats = rng.uniform(-80, 80, 50)
+        d = 1e-5
+        x0, y0 = fwd.transform(lons, lats)
+        xl, yl = fwd.transform(lons + d, lats)
+        xp, yp = fwd.transform(lons, lats + d)
+        jac = np.abs(
+            (xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)
+        ) / np.radians(d) ** 2
+        s = np.sin(np.radians(lats))
+        ell_elem = (
+            ell.a * ell.a * (1 - ell.e2) * np.cos(np.radians(lats))
+            / (1 - ell.e2 * s * s) ** 2
+        )
+        np.testing.assert_allclose(jac, ell_elem, rtol=1e-4)
+
+    def test_zone_variants_shift_longitude_origin(self):
+        g = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(8857))
+        am = Transformer.from_crs(CRS_WGS84, CRS.from_epsg(8858))
+        xg, yg = g.transform(np.array([-90.0]), np.array([37.0]))
+        xa, ya = am.transform(np.array([-90.0]), np.array([37.0]))
+        assert float(xa[0]) == pytest.approx(0.0, abs=1e-6)
+        assert float(ya[0]) == pytest.approx(float(yg[0]), abs=1e-6)
+
+    def test_roundtrip_and_interchange(self):
+        crs = CRS.from_epsg(8859)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        rng = np.random.default_rng(13)
+        lons = rng.uniform(-180, 180, 2000)
+        lats = rng.uniform(-89.9, 89.9, 2000)
+        x, y = fwd.transform(lons, lats)
+        lo, la = inv.transform(x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-8)
+        # authalic series truncation: ~1e-8 deg, same order as LAEA
+        np.testing.assert_allclose(la, lats, atol=1e-6)
+        assert CRS.from_string(crs.to_wkt()).params == crs.params
+        assert CRS.from_string(crs.to_proj()).params == crs.params
+        cf = crs.to_cf()
+        assert "grid_mapping_name" not in cf
+        back = CRS.from_cf(cf)
+        assert back.kind == "eqearth" and back.params == crs.params
+
+    def test_sphere_fallback(self):
+        """A spherical ellipsoid short-circuits the authalic machinery
+        (beta = phi, Rq = a) without dividing by e = 0."""
+        import dataclasses
+
+        from xcube_resampling_spark.crs import _Ellipsoid
+
+        crs = dataclasses.replace(
+            CRS.equal_earth(),
+            ellipsoid=_Ellipsoid(6371008.7714, float("inf")))
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        x, y = fwd.transform(np.array([33.0]), np.array([21.0]))
+        lo, la = inv.transform(x, y)
+        assert float(lo[0]) == pytest.approx(33.0, abs=1e-9)
+        assert float(la[0]) == pytest.approx(21.0, abs=1e-9)

@@ -297,7 +297,8 @@ class TestCodecProperties:
         lats=st.lists(st.floats(-84.0, 84.0), min_size=1, max_size=8),
         code=st.sampled_from(
             [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700,
-             23032, 29873, 2056, 5514, 5041, 5042, 2048, 24200, 27572]
+             23032, 29873, 2056, 5514, 5041, 5042, 2048, 24200, 27572,
+             8857, 8858, 8859]
         ),
     )
     @settings(max_examples=150, deadline=None)
@@ -392,7 +393,7 @@ class TestWktProperties:
     @given(
         kind=st.sampled_from(
             ["tmerc", "laea", "merc", "cea", "eqc", "lcc", "aea",
-             "sinu", "ortho"]),
+             "sinu", "ortho", "moll", "eqearth"]),
         lat0=st.floats(-60.0, 60.0),
         lon0=st.floats(-179.0, 179.0),
         x0=st.floats(-2e6, 2e6),

@@ -259,7 +259,8 @@ class TestWktEmission:
 
     REGISTRY = [32633, 32760, 25832, 23031, 27700, 2193, 3577, 3112,
                 5514, 2056, 29873, 3395, 6933, 4087, 3035, 3857, 3031,
-                3413, 5070, 2154, 5041, 5042, 2048, 24200, 27572]
+                3413, 5070, 2154, 5041, 5042, 2048, 24200, 27572,
+                8857, 8858, 8859]
 
     # sane probe box per projection family
     BOXES = {

@@ -125,6 +125,14 @@ class CRS:
             )
         if su in ("MODIS", "SR-ORG:6974", "SINUSOIDAL"):
             return CRS_SINU_MODIS
+        if su == "ESRI:54009":
+            # World Mollweide on the WGS84 datum (spherical math on a)
+            return CRS(
+                "moll", "World Mollweide",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(("lon_0", 0.0), ("x_0", 0.0), ("y_0", 0.0)),
+                auth_code="ESRI:54009",
+            )
         raise ValueError(f"unsupported CRS string: {s!r}")
 
     @staticmethod
@@ -436,6 +444,25 @@ class CRS:
                 ),
                 auth_code="EPSG:4087",
             )
+        if code in (8857, 8858, 8859):
+            # WGS 84 / Equal Earth {Greenwich, Americas, Asia-Pacific}
+            # (EPSG method 1078)
+            region, lon0 = {
+                8857: ("Greenwich", 0.0),
+                8858: ("Americas", -90.0),
+                8859: ("Asia-Pacific", 150.0),
+            }[code]
+            return CRS(
+                "eqearth",
+                f"WGS 84 / Equal Earth {region}",
+                _Ellipsoid(*_ELLIPSOIDS["WGS84"]),
+                params=(
+                    ("lon_0", lon0),
+                    ("x_0", 0.0),
+                    ("y_0", 0.0),
+                ),
+                auth_code=f"EPSG:{code}",
+            )
         if code == 3035:
             return CRS(
                 "laea",
@@ -585,6 +612,46 @@ class CRS:
             _Ellipsoid(*_ELLIPSOIDS[ellipsoid]),
             params=(
                 ("lat_0", float(lat_0)),
+                ("lon_0", float(lon_0)),
+                ("x_0", float(false_easting)),
+                ("y_0", float(false_northing)),
+            ),
+        )
+
+    @staticmethod
+    def mollweide(
+        lon_0: float = 0.0,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "WGS84",
+    ) -> "CRS":
+        """Mollweide pseudocylindrical equal-area (PROJ 'moll',
+        ESRI:54009 World_Mollweide).  Global thematic/equal-area
+        mosaics; spherical math on R = a like PROJ."""
+        return CRS(
+            "moll", "Mollweide",
+            _Ellipsoid(*_ELLIPSOIDS[ellipsoid]),
+            params=(
+                ("lon_0", float(lon_0)),
+                ("x_0", float(false_easting)),
+                ("y_0", float(false_northing)),
+            ),
+        )
+
+    @staticmethod
+    def equal_earth(
+        lon_0: float = 0.0,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "WGS84",
+    ) -> "CRS":
+        """Equal Earth (EPSG method 1078): the modern equal-area world
+        projection (EPSG:8857/8858/8859); polynomial on the authalic
+        sphere, exactly area-preserving on the ellipsoid."""
+        return CRS(
+            "eqearth", "Equal Earth",
+            _Ellipsoid(*_ELLIPSOIDS[ellipsoid]),
+            params=(
                 ("lon_0", float(lon_0)),
                 ("x_0", float(false_easting)),
                 ("y_0", float(false_northing)),
@@ -1688,6 +1755,166 @@ def _sinu_inverse(crs: CRS, x, y):
 
 
 # ---------------------------------------------------------------------- #
+# Mollweide (pseudocylindrical equal-area; PROJ 'moll', ESRI:54009
+# "World_Mollweide").  Snyder 1987 sec. 31, eqs 31-1..31-8.  Like PROJ,
+# the math is spherical on R = a regardless of the declared ellipsoid
+# (PROJ's moll never reads the eccentricity) -- so ESRI:54009 "on WGS84"
+# means WGS84 geographic coordinates fed through sphere formulas.
+
+def _moll_theta(phi):
+    """Solve 2t + sin(2t) = pi * sin(phi) for t (Newton, Snyder 31-3);
+    converges quadratically away from the poles, where the solution is
+    t = phi = +-pi/2 (handled explicitly: the derivative vanishes)."""
+    phi = np.asarray(phi, dtype=np.float64)
+    rhs = np.pi * np.sin(phi)
+    t = phi.copy()
+    for _ in range(12):
+        fp = 2.0 + 2.0 * np.cos(2.0 * t)
+        safe = np.abs(fp) > 1e-12
+        step = np.where(
+            safe,
+            (2.0 * t + np.sin(2.0 * t) - rhs) / np.where(safe, fp, 1.0),
+            0.0,
+        )
+        t = t - step
+    pole = np.abs(phi) >= np.pi / 2 - 1e-9
+    return np.where(pole, np.sign(phi) * (np.pi / 2), t)
+
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def _moll_forward(crs: CRS, lon, lat):
+    r = crs.ellipsoid.a
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    t = _moll_theta(phi)
+    x = fe + r * (2.0 * _SQRT2 / np.pi) * lam * np.cos(t)  # Snyder 31-1
+    y = fn + r * _SQRT2 * np.sin(t)                        # Snyder 31-2
+    return x, y
+
+
+def _moll_inverse(crs: CRS, x, y):
+    r = crs.ellipsoid.a
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    t = np.arcsin(np.clip(yr / (r * _SQRT2), -1.0, 1.0))   # Snyder 31-6
+    phi = np.arcsin(np.clip(
+        (2.0 * t + np.sin(2.0 * t)) / np.pi, -1.0, 1.0))   # Snyder 31-7
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.pi * xr / (2.0 * r * _SQRT2 * np.cos(t))  # Snyder 31-8
+    # at the poles every longitude maps to x == 0
+    pole = np.abs(np.cos(t)) < 1e-14
+    if np.any(pole):
+        lam = np.where(pole, 0.0, lam)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Equal Earth (EPSG method 1078; Savric, Patterson & Jenny 2019, "The
+# Equal Earth map projection", IJGIS 33(3) -- the published polynomial
+# constants).  EPSG applies the spherical polynomial to the AUTHALIC
+# latitude on the authalic radius Rq (same q/beta machinery as LAEA,
+# EPSG Guidance Note 7-2), preserving exact equal-area on the ellipsoid.
+# EPSG:8857/8858/8859 are WGS 84 / Equal Earth {Greenwich,Americas,Asia-
+# Pacific}.  theta stays in [-pi/3, pi/3] (sin theta = (sqrt(3)/2) sin
+# beta), so cos theta >= 1/2 -- no polar singularities anywhere.
+
+_EE_A1, _EE_A2, _EE_A3, _EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EE_M = math.sqrt(3.0) / 2.0
+
+
+def _eqearth_setup(crs: CRS):
+    ell = crs.ellipsoid
+    if ell.e2 == 0.0:
+        qp = 2.0
+        rq = ell.a
+
+        def beta_of(phi):
+            return phi
+
+        def phi_of(beta):
+            return beta
+    else:
+        e, e2 = ell.e, ell.e2
+
+        def q_of(sphi):
+            return (1 - e2) * (
+                sphi / (1 - e2 * sphi * sphi)
+                - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
+            )
+
+        qp = q_of(1.0)
+        rq = ell.a * math.sqrt(qp / 2)
+        e4, e6 = e2 * e2, e2 * e2 * e2
+
+        def beta_of(phi):
+            return np.arcsin(np.clip(q_of(np.sin(phi)) / qp, -1.0, 1.0))
+
+        def phi_of(beta):
+            # authalic -> geographic series (Snyder eq. 3-18)
+            return (
+                beta
+                + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040)
+                * np.sin(2 * beta)
+                + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+                + (761 * e6 / 45360) * np.sin(6 * beta)
+            )
+    return rq, beta_of, phi_of
+
+
+def _eqearth_poly(t):
+    """y / Rq as a function of theta (the paper's eq. 2)."""
+    t2 = t * t
+    return _EE_A1 * t + _EE_A2 * t * t2 + t2 * t2 * t2 * t * (
+        _EE_A3 + _EE_A4 * t2)
+
+
+def _eqearth_dpoly(t):
+    """d(y/Rq)/dtheta -- strictly positive on [-pi/3, pi/3]."""
+    t2 = t * t
+    return _EE_A1 + 3 * _EE_A2 * t2 + t2 * t2 * t2 * (
+        7 * _EE_A3 + 9 * _EE_A4 * t2)
+
+
+def _eqearth_forward(crs: CRS, lon, lat):
+    rq, beta_of, _ = _eqearth_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    beta = beta_of(phi)
+    t = np.arcsin(np.clip(_EE_M * np.sin(beta), -1.0, 1.0))
+    x = fe + rq * (2.0 / math.sqrt(3.0)) * lam * np.cos(t) / (
+        _eqearth_dpoly(t))
+    y = fn + rq * _eqearth_poly(t)
+    return x, y
+
+
+def _eqearth_inverse(crs: CRS, x, y):
+    rq, _, phi_of = _eqearth_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    yn = yr / rq
+    # Newton for theta: the polynomial's derivative is >= ~1.07 over the
+    # whole domain, so convergence is quadratic and unconditional
+    t = np.asarray(yn / _EE_A1, dtype=np.float64)
+    for _ in range(10):
+        t = t - (_eqearth_poly(t) - yn) / _eqearth_dpoly(t)
+    beta = np.arcsin(np.clip(np.sin(t) / _EE_M, -1.0, 1.0))
+    lam = xr * math.sqrt(3.0) * _eqearth_dpoly(t) / (2.0 * rq * np.cos(t))
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi_of(beta))
+
+
+# ---------------------------------------------------------------------- #
 # Ellipsoidal Mercator, 1SP (EPSG method 9804; Snyder 1987 sec. 7).
 # ln(tan(pi/4 + phi/2) * ((1 - e sin phi)/(1 + e sin phi))^(e/2)) is the
 # isometric latitude, computed as atanh(sin phi) - e atanh(e sin phi).
@@ -2467,6 +2694,10 @@ class Transformer:
             lon, lat = _krovak_inverse(self.src, x, y)
         elif self.src.kind == "ortho":
             lon, lat = _ortho_inverse(self.src, x, y)
+        elif self.src.kind == "moll":
+            lon, lat = _moll_inverse(self.src, x, y)
+        elif self.src.kind == "eqearth":
+            lon, lat = _eqearth_inverse(self.src, x, y)
         else:
             lon, lat = x, y
         # datum bridge: only when either side declares a towgs84 shift
@@ -2505,6 +2736,10 @@ class Transformer:
             return _krovak_forward(self.dst, lon, lat)
         if self.dst.kind == "ortho":
             return _ortho_forward(self.dst, lon, lat)
+        if self.dst.kind == "moll":
+            return _moll_forward(self.dst, lon, lat)
+        if self.dst.kind == "eqearth":
+            return _eqearth_forward(self.dst, lon, lat)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):

@@ -201,6 +201,10 @@ _METHODS = {
     "geostationarysatellite": "geos_y",  # GDAL WKT1 legacy default
     # Orthographic (9840)
     "orthographic": "ortho",
+    # Mollweide (no EPSG method; GDAL/ESRI WKT name)
+    "mollweide": "moll",
+    # Equal Earth (1078)
+    "equalearth": "eqearth",
 }
 
 # normalized WKT parameter name -> engine parameter key (per kind where
@@ -604,6 +608,8 @@ _PROJ_KINDS = {
     "krovak": "krovak",
     "geos": "geos",
     "ortho": "ortho",
+    "moll": "moll",
+    "eqearth": "eqearth",
     "ob_tran": "rot_pole",  # +o_proj=longlat rotated pole
 }
 
@@ -874,6 +880,16 @@ _EMIT = {
     ]),
     "ortho": ("Orthographic", [
         ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "moll": ("Mollweide", [
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "eqearth": ("Equal Earth", [
         ("Longitude of natural origin", "lon_0", "a"),
         ("False easting", "x_0", "l"),
         ("False northing", "y_0", "l"),
