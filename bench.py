@@ -428,7 +428,7 @@ def main():
             "first_runs": scale_first,
             "exchanges_head_vs_10x": scale_exchanges,
             "note": (
-                "steady-state (min of 2) at ~10x pixels; first_runs "
+                "steady-state (min of last 2 of 3) at ~10x pixels; first_runs "
                 "include one-time codegen; excluded from value. "
                 "reproject_5slice materializes the full 5x3162x3162 "
                 "target -- BASELINE.md's 5-date-stack shape computes one "

@@ -11,6 +11,10 @@ from .crs import CRS, CRS_CRS84, CRS_WGS84, Transformer
 from .wkt import crs_from_proj, crs_from_wkt, crs_to_proj, crs_to_wkt
 from .dataset import SparkDataset, Variable
 from .gridmapping import GridMapping
+from .operators.affine import affine_transform_dataset
+from .operators.rectify import rectify_dataset
+from .operators.reproject import reproject_dataset
+from .operators.spatial import resample_in_space
 
 __version__ = "0.1.0"
 
@@ -22,4 +26,8 @@ __all__ = [
     "SparkDataset",
     "Transformer",
     "Variable",
+    "affine_transform_dataset",
+    "rectify_dataset",
+    "reproject_dataset",
+    "resample_in_space",
 ]
