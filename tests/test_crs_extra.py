@@ -1233,3 +1233,94 @@ class TestEqualEarth:
         lo, la = inv.transform(x, y)
         assert float(lo[0]) == pytest.approx(33.0, abs=1e-9)
         assert float(la[0]) == pytest.approx(21.0, abs=1e-9)
+
+
+class TestObliqueStereographic:
+    """EPSG method 9809 (double stereographic via the conformal sphere);
+    Amersfoort / RD New, the Dutch national grid."""
+
+    def test_epsg_gn72_worked_example(self):
+        """EPSG Guidance Note 7-2 worked example: Amersfoort / RD New,
+        phi = 53 N, lambda = 6 E -> E 196105.283, N 557057.739 (Bessel
+        1841, k0 = 0.9999079, FE/FN 155000/463000)."""
+        rd = CRS.from_epsg(28992)
+        amersfoort = CRS("geographic", "Amersfoort", rd.ellipsoid,
+                         towgs84=rd.towgs84)
+        fwd = Transformer.from_crs(amersfoort, rd)
+        x, y = fwd.transform(np.array([6.0]), np.array([53.0]))
+        assert float(x[0]) == pytest.approx(196105.283, abs=1e-3)
+        assert float(y[0]) == pytest.approx(557057.739, abs=1e-3)
+        inv = Transformer.from_crs(rd, amersfoort)
+        lo, la = inv.transform(x, y)
+        assert float(lo[0]) == pytest.approx(6.0, abs=1e-9)
+        assert float(la[0]) == pytest.approx(53.0, abs=1e-9)
+
+    def test_origin_scale_and_false_coordinates(self):
+        """The natural origin maps to (FE, FN) and the point scale
+        there is k0 (finite differences, isotropic by conformality)."""
+        rd = CRS.from_epsg(28992)
+        g = CRS("geographic", "Amersfoort", rd.ellipsoid)
+        rd_nodatum = CRS(rd.kind, rd.name, rd.ellipsoid, rd.params)
+        fwd = Transformer.from_crs(g, rd_nodatum)
+        lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600
+        lon0 = 5.0 + 23.0 / 60 + 15.5 / 3600
+        x, y = fwd.transform(np.array([lon0]), np.array([lat0]))
+        assert float(x[0]) == pytest.approx(155000.0, abs=1e-6)
+        assert float(y[0]) == pytest.approx(463000.0, abs=1e-6)
+        # meridional scale at the origin vs the ellipsoid's rho
+        # (central difference: forward-difference truncation alone is
+        # ~1e-7 here because the scale's minimum sits at the origin)
+        d = 1e-5
+        x2, y2 = fwd.transform(np.array([lon0]), np.array([lat0 + d]))
+        xm, ym = fwd.transform(np.array([lon0]), np.array([lat0 - d]))
+        ell = rd.ellipsoid
+        s0 = math.sin(math.radians(lat0))
+        rho = ell.a * (1 - ell.e2) / (1 - ell.e2 * s0 * s0) ** 1.5
+        k = float(np.hypot(x2 - xm, y2 - ym)[0]) / (
+            2 * math.radians(d) * rho)
+        assert k == pytest.approx(0.9999079, abs=1e-8)
+
+    def test_conformality(self):
+        """Finite-difference Jacobian is a similarity transform
+        (equal singular values) away from the origin -- the defining
+        property of a conformal projection."""
+        rd = CRS.from_epsg(28992)
+        g = CRS("geographic", "g", rd.ellipsoid)
+        fwd = Transformer.from_crs(g, CRS(rd.kind, rd.name, rd.ellipsoid,
+                                          rd.params))
+        rng = np.random.default_rng(17)
+        lons = 5.4 + rng.uniform(-25, 25, 40)
+        lats = 52.2 + rng.uniform(-25, 25, 40)
+        d = 1e-6
+        x0, y0 = fwd.transform(lons, lats)
+        xl, yl = fwd.transform(lons + d, lats)
+        xp, yp = fwd.transform(lons, lats + d)
+        ell = rd.ellipsoid
+        s = np.sin(np.radians(lats))
+        nu = ell.a / np.sqrt(1 - ell.e2 * s * s)
+        rho = ell.a * (1 - ell.e2) / (1 - ell.e2 * s * s) ** 1.5
+        # scale along parallel and along meridian, in metres per metre
+        k_par = np.hypot(xl - x0, yl - y0) / (
+            np.radians(d) * nu * np.cos(np.radians(lats)))
+        k_mer = np.hypot(xp - x0, yp - y0) / (np.radians(d) * rho)
+        np.testing.assert_allclose(k_par, k_mer, rtol=1e-5)
+
+    def test_wide_domain_roundtrip_and_interchange(self):
+        rd = CRS.from_epsg(28992)
+        g = CRS("geographic", "g", rd.ellipsoid)
+        nod = CRS(rd.kind, rd.name, rd.ellipsoid, rd.params)
+        fwd = Transformer.from_crs(g, nod)
+        inv = Transformer.from_crs(nod, g)
+        rng = np.random.default_rng(19)
+        lons = 5.39 + rng.uniform(-60, 60, 3000)
+        lats = np.clip(52.16 + rng.uniform(-60, 60, 3000), -89.0, 89.0)
+        x, y = fwd.transform(lons, lats)
+        lo, la = inv.transform(x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-9)
+        np.testing.assert_allclose(la, lats, atol=1e-9)
+        again = CRS.from_string(rd.to_wkt())
+        assert again.kind == "sterea" and again.params == rd.params
+        assert again.towgs84 == pytest.approx(rd.towgs84, abs=1e-6)
+        again2 = CRS.from_string(rd.to_proj())
+        assert again2.kind == "sterea" and again2.params == rd.params
+        assert again2.towgs84 == pytest.approx(rd.towgs84)

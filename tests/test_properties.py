@@ -298,7 +298,7 @@ class TestCodecProperties:
         code=st.sampled_from(
             [3035, 3857, 3413, 2154, 5070, 3395, 6933, 4087, 27700,
              23032, 29873, 2056, 5514, 5041, 5042, 2048, 24200, 27572,
-             8857, 8858, 8859]
+             8857, 8858, 8859, 28992]
         ),
     )
     @settings(max_examples=150, deadline=None)
@@ -327,6 +327,11 @@ class TestCodecProperties:
             lonc = crs.param("lonc")
             lo = lonc + np.clip(lo - lonc, -60.0, 60.0)
             la = np.clip(la, -60.0, 60.0)
+        if crs.kind == "sterea":
+            lo = crs.param("lon_0") + np.clip(
+                lo - crs.param("lon_0"), -60.0, 60.0)
+            la = np.clip(la, crs.param("lat_0") - 60.0,
+                         crs.param("lat_0") + 60.0)
         if crs.kind == "somerc":
             # the rotated Mercator blows up near (90 - lat_0, lon_0
             # +- 180); the clipped box keeps far clear of it

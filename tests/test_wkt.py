@@ -260,13 +260,14 @@ class TestWktEmission:
     REGISTRY = [32633, 32760, 25832, 23031, 27700, 2193, 3577, 3112,
                 5514, 2056, 29873, 3395, 6933, 4087, 3035, 3857, 3031,
                 3413, 5070, 2154, 5041, 5042, 2048, 24200, 27572,
-                8857, 8858, 8859]
+                8857, 8858, 8859, 28992]
 
     # sane probe box per projection family
     BOXES = {
         "tmerc": ((-4, 8), (40, 60)), "stere": ((-90, 90), (70, 85)),
         "krovak": ((13, 18), (48, 51)), "somerc": ((6, 10), (46, 48)),
         "omerc": ((110, 119), (1, 7)), "aea": ((-110, -80), (25, 48)),
+        "sterea": ((3, 8), (50, 54)),
         "lcc": ((-4, 8), (42, 50)),
     }
 

@@ -444,6 +444,25 @@ class CRS:
                 ),
                 auth_code="EPSG:4087",
             )
+        if code == 28992:
+            # Amersfoort / RD New (EPSG method 9809, oblique "double"
+            # stereographic on Bessel 1841); towgs84 is the classic
+            # 7-parameter Amersfoort->WGS84 position-vector shift
+            return CRS(
+                "sterea",
+                "Amersfoort / RD New",
+                _Ellipsoid(*_ELLIPSOIDS["Bessel1841"]),
+                params=(
+                    ("k_0", 0.9999079),
+                    ("lat_0", 52.0 + 9.0 / 60 + 22.178 / 3600),
+                    ("lon_0", 5.0 + 23.0 / 60 + 15.5 / 3600),
+                    ("x_0", 155000.0),
+                    ("y_0", 463000.0),
+                ),
+                auth_code="EPSG:28992",
+                towgs84=(565.417, 50.3319, 465.552, -0.398957,
+                         0.343988, -1.8774, 4.0725),
+            )
         if code in (8857, 8858, 8859):
             # WGS 84 / Equal Earth {Greenwich, Americas, Asia-Pacific}
             # (EPSG method 1078)
@@ -1509,6 +1528,96 @@ def _stere_inverse(crs: CRS, x, y):
     lon = np.where(lon > 180.0, lon - 360.0,
                    np.where(lon <= -180.0, lon + 360.0, lon))
     return lon, lat
+
+
+# ---------------------------------------------------------------------- #
+# Oblique (double) Stereographic (EPSG method 9809; PROJ 'sterea'):
+# geographic -> conformal sphere -> spherical stereographic.  The Dutch
+# RD grid (Amersfoort / EPSG:28992) and several other national grids.
+# Formulas per EPSG Guidance Note 7-2 sec. "Oblique and Equatorial
+# Stereographic".
+
+
+def _sterea_setup(crs: CRS):
+    ell = crs.ellipsoid
+    e, e2 = ell.e, ell.e2
+    lat0 = math.radians(crs.param("lat_0"))
+    s0, c0 = math.sin(lat0), math.cos(lat0)
+    # Gaussian radius and conformal-sphere constants at the origin
+    rho0 = ell.a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = ell.a / math.sqrt(1 - e2 * s0 * s0)
+    r = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * c0 ** 4 / (1 - e2))
+    s1 = (1 + s0) / (1 - s0)
+    s2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (s1 * s2 ** e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return ell, r, n, c, chi0, lat0
+
+
+def _sterea_forward(crs: CRS, lon, lat):
+    ell, r, n, c, chi0, _ = _sterea_setup(crs)
+    e = ell.e
+    k0 = crs.param("k_0", 1.0)
+    lam0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    # conformal longitude: LAMBDA = n(lam - lam0) + lam0, differenced
+    # against LAMBDA0 = lam0 -> n * wrapped(lam - lam0)
+    dl = np.arctan2(np.sin(lam - lam0), np.cos(lam - lam0)) * n
+    s = np.sin(phi)
+    pole = np.abs(s) >= 1.0
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        sa = (1 + s) / (1 - s)
+        sb = (1 - e * s) / (1 + e * s)
+        w = c * (sa * sb ** e) ** n
+        chi = np.arcsin(np.clip((w - 1) / (w + 1), -1.0, 1.0))
+    if np.any(pole):
+        chi = np.where(pole, np.sign(s) * (np.pi / 2), chi)
+    b = 1 + np.sin(chi) * math.sin(chi0) \
+        + np.cos(chi) * math.cos(chi0) * np.cos(dl)
+    x = fe + 2 * r * k0 * np.cos(chi) * np.sin(dl) / b
+    y = fn + 2 * r * k0 * (
+        np.sin(chi) * math.cos(chi0)
+        - np.cos(chi) * math.sin(chi0) * np.cos(dl)
+    ) / b
+    return x, y
+
+
+def _sterea_inverse(crs: CRS, x, y):
+    ell, r, n, c, chi0, _ = _sterea_setup(crs)
+    e, e2 = ell.e, ell.e2
+    k0 = crs.param("k_0", 1.0)
+    lam0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    g = 2 * r * k0 * math.tan(np.pi / 4 - chi0 / 2)
+    h = 4 * r * k0 * math.tan(chi0) + g
+    i = np.arctan2(xr, h + yr)
+    j = np.arctan2(xr, g - yr) - i
+    chi = chi0 + 2 * np.arctan((yr - xr * np.tan(j / 2)) / (2 * r * k0))
+    dl = (j + 2 * i) / n
+    # conformal -> geographic latitude: invert the isometric latitude
+    # psi(phi) = psi_chi by EPSG's fixed-point iteration
+    sin_chi = np.sin(chi)
+    psi = 0.5 * np.log((1 + sin_chi) / (c * (1 - sin_chi))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(8):
+        es = e * np.sin(phi)
+        psi_i = np.log(
+            np.tan(phi / 2 + np.pi / 4) * ((1 - es) / (1 + es)) ** (e / 2)
+        )
+        phi = phi - (psi_i - psi) * np.cos(phi) * (
+            1 - es * es) / (1 - e2)
+    return (
+        _wrap_lon(np.degrees(dl + lam0)),
+        np.degrees(phi),
+    )
 
 
 # ---------------------------------------------------------------------- #
@@ -2696,6 +2805,8 @@ class Transformer:
             lon, lat = _ortho_inverse(self.src, x, y)
         elif self.src.kind == "moll":
             lon, lat = _moll_inverse(self.src, x, y)
+        elif self.src.kind == "sterea":
+            lon, lat = _sterea_inverse(self.src, x, y)
         elif self.src.kind == "eqearth":
             lon, lat = _eqearth_inverse(self.src, x, y)
         else:
@@ -2738,6 +2849,8 @@ class Transformer:
             return _ortho_forward(self.dst, lon, lat)
         if self.dst.kind == "moll":
             return _moll_forward(self.dst, lon, lat)
+        if self.dst.kind == "sterea":
+            return _sterea_forward(self.dst, lon, lat)
         if self.dst.kind == "eqearth":
             return _eqearth_forward(self.dst, lon, lat)
         return lon, lat

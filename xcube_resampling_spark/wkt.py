@@ -203,6 +203,9 @@ _METHODS = {
     "orthographic": "ortho",
     # Mollweide (no EPSG method; GDAL/ESRI WKT name)
     "mollweide": "moll",
+    # Oblique (double) Stereographic (9809) -- RD New etc.
+    "obliquestereographic": "sterea",
+    "doublestereographic": "sterea",
     # Equal Earth (1078)
     "equalearth": "eqearth",
 }
@@ -372,11 +375,14 @@ def _bound_towgs84(root: _Node) -> tuple:
     ds = vals.get("scaledifference")
     if rx is None and ry is None and rz is None and ds is None:
         return (dx, dy, dz)
-    return (dx, dy, dz, rx or 0.0, ry or 0.0, rz or 0.0,
-            # abridged WKT2 stores scale as (1 + ds in ppm) per ISO
-            # 19162 B.4; accept either the ppm difference or the ratio
-            (ds - 1.0) * 1e6 if ds is not None and abs(ds - 1.0) < 0.01
-            else (ds or 0.0))
+    if ds is not None and abs(ds - 1.0) < 0.01:
+        # abridged WKT2 stores scale as (1 + ds in ppm) per ISO 19162
+        # B.4; accept either the ppm difference or the ratio.  The
+        # ratio subtraction smears the low bits ((1.0000040725 - 1) *
+        # 1e6 = 4.072499999896451), so snap to 9 significant digits --
+        # EPSG publishes ppm values to at most 7
+        ds = float(f"{(ds - 1.0) * 1e6:.9g}")
+    return (dx, dy, dz, rx or 0.0, ry or 0.0, rz or 0.0, ds or 0.0)
 
 
 def _map_params(raw: dict, lin_f: float, ang_f_deg: float) -> dict:
@@ -610,6 +616,7 @@ _PROJ_KINDS = {
     "ortho": "ortho",
     "moll": "moll",
     "eqearth": "eqearth",
+    "sterea": "sterea",
     "ob_tran": "rot_pole",  # +o_proj=longlat rotated pole
 }
 
@@ -881,6 +888,13 @@ _EMIT = {
     "ortho": ("Orthographic", [
         ("Latitude of natural origin", "lat_0", "a"),
         ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "sterea": ("Oblique Stereographic", [
+        ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("Scale factor at natural origin", "k_0", "s"),
         ("False easting", "x_0", "l"),
         ("False northing", "y_0", "l"),
     ]),
