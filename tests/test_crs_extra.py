@@ -1324,3 +1324,103 @@ class TestObliqueStereographic:
         again2 = CRS.from_string(rd.to_proj())
         assert again2.kind == "sterea" and again2.params == rd.params
         assert again2.towgs84 == pytest.approx(rd.towgs84)
+
+
+class TestAzimuthalEquidistant:
+    """aeqd: spherical closed forms (Snyder sec. 25), exact polar
+    meridian-arc aspect, and geodesic (Vincenty) oblique ellipsoidal
+    aspect -- distances/azimuths from the origin are true."""
+
+    def test_vincenty_published_golden(self):
+        """Geoscience Australia's GDA reference line: Flinders Peak ->
+        Buninyong on GRS80, s = 54972.271 m, az1 = 306 deg 52'05.37"."""
+        from xcube_resampling_spark.crs import (
+            _Ellipsoid, _vincenty_inverse,
+        )
+
+        ell = _Ellipsoid(6378137.0, 298.257222101)
+        p1 = math.radians(-(37 + 57 / 60 + 3.72030 / 3600))
+        l1 = math.radians(144 + 25 / 60 + 29.52440 / 3600)
+        p2 = np.array([math.radians(-(37 + 39 / 60 + 10.15610 / 3600))])
+        l2 = np.array([math.radians(143 + 55 / 60 + 35.38390 / 3600)])
+        s, a1 = _vincenty_inverse(ell, p1, l1, p2, l2)
+        assert float(s[0]) == pytest.approx(54972.271, abs=5e-3)
+        az = math.degrees(float(a1[0])) % 360
+        assert az == pytest.approx(306 + 52 / 60 + 5.37 / 3600, abs=1e-5)
+
+    def test_spherical_distance_and_azimuth_are_true(self):
+        """rho == R * central angle (independent haversine) and the map
+        bearing == the initial great-circle bearing, at every point --
+        the projection's defining property."""
+        from xcube_resampling_spark.crs import _Ellipsoid
+
+        r = 6371000.0
+        crs = CRS("aeqd", "sph", _Ellipsoid(r, float("inf")),
+                  params=(("lat_0", 40.0), ("lon_0", -100.0),
+                          ("x_0", 0.0), ("y_0", 0.0)))
+        g = CRS("geographic", "g", crs.ellipsoid)
+        fwd = Transformer.from_crs(g, crs)
+        rng = np.random.default_rng(2)
+        lo = rng.uniform(-180, 180, 400)
+        la = rng.uniform(-89, 89, 400)
+        x, y = fwd.transform(lo, la)
+        lat0, lon0 = math.radians(40.0), math.radians(-100.0)
+        phi, lam = np.radians(la), np.radians(lo)
+        hav = 2 * np.arcsin(np.sqrt(
+            np.sin((phi - lat0) / 2) ** 2
+            + np.cos(lat0) * np.cos(phi) * np.sin((lam - lon0) / 2) ** 2))
+        np.testing.assert_allclose(np.hypot(x, y), r * hav, atol=1e-5)
+        brg = np.arctan2(
+            np.sin(lam - lon0) * np.cos(phi),
+            math.cos(lat0) * np.sin(phi)
+            - math.sin(lat0) * np.cos(phi) * np.cos(lam - lon0))
+        np.testing.assert_allclose(
+            np.arctan2(x, y), brg, atol=1e-9)
+
+    def test_polar_rho_is_meridian_arc(self):
+        """North polar aspect on WGS84: rho(70N) equals the numerically
+        integrated meridian arc pole->70N (independent quadrature)."""
+        crs = CRS.azimuthal_equidistant(lat_0=90.0)
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        x, y = fwd.transform(np.array([45.0]), np.array([70.0]))
+        ell = crs.ellipsoid
+        t = np.linspace(math.radians(70.0), math.pi / 2, 300001)
+        arc = np.trapz(
+            ell.a * (1 - ell.e2) / (1 - ell.e2 * np.sin(t) ** 2) ** 1.5, t)
+        assert float(np.hypot(x, y)[0]) == pytest.approx(arc, abs=1e-2)
+        # x/y split: theta = lon - lon0 measured from the -y axis
+        assert float(x[0]) == pytest.approx(
+            float(np.hypot(x, y)[0]) * math.sin(math.radians(45.0)))
+
+    def test_roundtrips_all_aspects(self):
+        rng = np.random.default_rng(7)
+        cases = [
+            CRS.azimuthal_equidistant(lat_0=90.0),
+            CRS.azimuthal_equidistant(lat_0=-90.0, lon_0=10.0),
+            CRS.azimuthal_equidistant(lat_0=40.0, lon_0=-100.0,
+                                      false_easting=1e5,
+                                      false_northing=-2e5),
+            CRS.azimuthal_equidistant(lat_0=0.0, lon_0=120.0),
+        ]
+        for crs in cases:
+            fwd = Transformer.from_crs(CRS_WGS84, crs)
+            inv = Transformer.from_crs(crs, CRS_WGS84)
+            lo = crs.param("lon_0") + rng.uniform(-85, 85, 500)
+            la = np.clip(crs.param("lat_0") + rng.uniform(-80, 80, 500),
+                         -89.0, 89.0)
+            x, y = fwd.transform(lo, la)
+            lo2, la2 = inv.transform(x, y)
+            dlo = (lo2 - lo + 180) % 360 - 180
+            # polar aspects go through the meridian-arc inverse series
+            # (~1e-8 deg); geodesic aspects close to machine precision
+            np.testing.assert_allclose(dlo, 0.0, atol=1e-7)
+            np.testing.assert_allclose(la2, la, atol=1e-7)
+
+    def test_interchange_and_cf_name(self):
+        crs = CRS.azimuthal_equidistant(lat_0=40.0, lon_0=-100.0)
+        assert CRS.from_string(crs.to_wkt()).params == crs.params
+        assert CRS.from_string(crs.to_proj()).params == crs.params
+        cf = crs.to_cf()
+        assert cf["grid_mapping_name"] == "azimuthal_equidistant"
+        back = CRS.from_cf(cf)
+        assert back.kind == "aeqd" and back.params == crs.params

@@ -398,7 +398,7 @@ class TestWktProperties:
     @given(
         kind=st.sampled_from(
             ["tmerc", "laea", "merc", "cea", "eqc", "lcc", "aea",
-             "sinu", "ortho", "moll", "eqearth"]),
+             "sinu", "ortho", "moll", "eqearth", "aeqd"]),
         lat0=st.floats(-60.0, 60.0),
         lon0=st.floats(-179.0, 179.0),
         x0=st.floats(-2e6, 2e6),
@@ -418,7 +418,7 @@ class TestWktProperties:
         ell = _Ellipsoid(*_ELLIPSOIDS[
             ["WGS84", "GRS80", "Intl1924"][ell_i]])
         params = {"lon_0": lon0, "x_0": x0, "y_0": y0}
-        if kind in ("tmerc", "laea", "ortho"):
+        if kind in ("tmerc", "laea", "ortho", "aeqd"):
             params["lat_0"] = lat0
         if kind in ("tmerc", "merc"):
             params["k_0"] = k0

@@ -638,6 +638,31 @@ class CRS:
         )
 
     @staticmethod
+    def azimuthal_equidistant(
+        lat_0: float = 0.0,
+        lon_0: float = 0.0,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "WGS84",
+    ) -> "CRS":
+        """Azimuthal Equidistant (PROJ 'aeqd', CF
+        'azimuthal_equidistant'): distances and azimuths from the origin
+        are true.  Polar aspect on an ellipsoid uses the exact meridian
+        arc; oblique ellipsoidal aspects project along true geodesics
+        (Vincenty series, PROJ-compatible); spherical is Snyder sec. 25.
+        Radar/range displays and local AoI grids."""
+        return CRS(
+            "aeqd", "Azimuthal Equidistant",
+            _Ellipsoid(*_ELLIPSOIDS[ellipsoid]),
+            params=(
+                ("lat_0", float(lat_0)),
+                ("lon_0", float(lon_0)),
+                ("x_0", float(false_easting)),
+                ("y_0", float(false_northing)),
+            ),
+        )
+
+    @staticmethod
     def mollweide(
         lon_0: float = 0.0,
         false_easting: float = 0.0,
@@ -841,6 +866,18 @@ class CRS:
         if gmn == "orthographic":
             return CRS(
                 "ortho", "Orthographic", ell,
+                params=(
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
+        if gmn == "azimuthal_equidistant":
+            return CRS(
+                "aeqd", "Azimuthal Equidistant", ell,
                 params=(
                     ("lat_0", float(attrs.get(
                         "latitude_of_projection_origin", 0.0))),
@@ -1123,6 +1160,15 @@ class CRS:
                 perspective_point_height=self.param("h"),
                 longitude_of_projection_origin=self.param("lon_0"),
                 sweep_angle_axis="x" if self.param("sweep_x") else "y",
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "aeqd":
+            return dict(
+                grid_mapping_name="azimuthal_equidistant",
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **ell,
@@ -1618,6 +1664,186 @@ def _sterea_inverse(crs: CRS, x, y):
         _wrap_lon(np.degrees(dl + lam0)),
         np.degrees(phi),
     )
+
+
+# ---------------------------------------------------------------------- #
+# Azimuthal Equidistant (PROJ 'aeqd'; CF 'azimuthal_equidistant').
+# Three regimes, matching PROJ's dispatch:
+#   * spherical ellipsoid -> Snyder sec. 25 closed forms (exact),
+#   * polar aspect on an ellipsoid -> rho = |M(pole) - M(phi)| via the
+#     meridian arc (exact, Snyder 25-16),
+#   * oblique/equatorial aspect on an ellipsoid -> geodesic azimuth +
+#     distance from the origin (Vincenty 1975 inverse/direct series;
+#     PROJ >= 4.9 likewise projects along true geodesics).  Vincenty's
+#     known non-convergence wedge at near-antipodal points (~0.5 deg
+#     around the antipode) returns the last iterate -- the antipode is
+#     outside every practical aeqd domain.
+
+
+def _vincenty_inverse(ell: _Ellipsoid, phi1, lam1, phi2, lam2):
+    """Geodesic distance s and forward azimuth alpha1 from (phi1, lam1)
+    to vectorized (phi2, lam2), radians.  Vincenty 1975 eqs 1-11."""
+    f = ell.f
+    b = ell.a * (1 - f)
+    u1 = np.arctan((1 - f) * np.tan(phi1))
+    u2 = np.arctan((1 - f) * np.tan(phi2))
+    su1, cu1 = np.sin(u1), np.cos(u1)
+    su2, cu2 = np.sin(u2), np.cos(u2)
+    ldiff = np.arctan2(np.sin(lam2 - lam1), np.cos(lam2 - lam1))
+    lam = ldiff.copy()
+    sin_sig = np.zeros_like(lam)
+    cos_sig = np.ones_like(lam)
+    sig = np.zeros_like(lam)
+    sin_alpha = np.zeros_like(lam)
+    cos2_alpha = np.ones_like(lam)
+    cos_2sigm = np.ones_like(lam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(40):
+            sl, cl = np.sin(lam), np.cos(lam)
+            sin_sig = np.sqrt(
+                (cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+            cos_sig = su1 * su2 + cu1 * cu2 * cl
+            sig = np.arctan2(sin_sig, cos_sig)
+            sin_alpha = np.where(
+                sin_sig > 0, cu1 * cu2 * sl / np.where(
+                    sin_sig > 0, sin_sig, 1.0), 0.0)
+            cos2_alpha = 1.0 - sin_alpha * sin_alpha
+            # equatorial geodesics: cos^2 alpha == 0 -> cos(2 sigma_m)
+            # unused (C == f/16*0*(...) keeps the term finite with 0)
+            cos_2sigm = np.where(
+                cos2_alpha > 0,
+                cos_sig - 2 * su1 * su2 / np.where(
+                    cos2_alpha > 0, cos2_alpha, 1.0),
+                0.0)
+            cc = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+            lam = ldiff + (1 - cc) * f * sin_alpha * (
+                sig + cc * sin_sig * (
+                    cos_2sigm + cc * cos_sig * (
+                        -1 + 2 * cos_2sigm * cos_2sigm)))
+    uu2 = cos2_alpha * (ell.a ** 2 - b ** 2) / (b ** 2)
+    aa = 1 + uu2 / 16384 * (4096 + uu2 * (-768 + uu2 * (320 - 175 * uu2)))
+    bb = uu2 / 1024 * (256 + uu2 * (-128 + uu2 * (74 - 47 * uu2)))
+    dsig = bb * sin_sig * (
+        cos_2sigm + bb / 4 * (
+            cos_sig * (-1 + 2 * cos_2sigm ** 2)
+            - bb / 6 * cos_2sigm * (-3 + 4 * sin_sig ** 2)
+            * (-3 + 4 * cos_2sigm ** 2)))
+    s = b * aa * (sig - dsig)
+    alpha1 = np.arctan2(cu2 * np.sin(lam), cu1 * su2 - su1 * cu2 * np.cos(lam))
+    return s, alpha1
+
+
+def _vincenty_direct(ell: _Ellipsoid, phi1, lam1, alpha1, s):
+    """Destination (phi2, lam2) from start + azimuth + geodesic distance
+    (Vincenty 1975 direct, eqs 12-16); radians."""
+    f = ell.f
+    b = ell.a * (1 - f)
+    u1 = np.arctan((1 - f) * np.tan(phi1))
+    su1, cu1 = np.sin(u1), np.cos(u1)
+    sa1, ca1 = np.sin(alpha1), np.cos(alpha1)
+    sig1 = np.arctan2(np.tan(u1), ca1)
+    sin_alpha = cu1 * sa1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    uu2 = cos2_alpha * (ell.a ** 2 - b ** 2) / (b ** 2)
+    aa = 1 + uu2 / 16384 * (4096 + uu2 * (-768 + uu2 * (320 - 175 * uu2)))
+    bb = uu2 / 1024 * (256 + uu2 * (-128 + uu2 * (74 - 47 * uu2)))
+    sig = s / (b * aa)
+    for _ in range(20):
+        cos_2sigm = np.cos(2 * sig1 + sig)
+        sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+        dsig = bb * sin_sig * (
+            cos_2sigm + bb / 4 * (
+                cos_sig * (-1 + 2 * cos_2sigm ** 2)
+                - bb / 6 * cos_2sigm * (-3 + 4 * sin_sig ** 2)
+                * (-3 + 4 * cos_2sigm ** 2)))
+        sig = s / (b * aa) + dsig
+    sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+    cos_2sigm = np.cos(2 * sig1 + sig)
+    phi2 = np.arctan2(
+        su1 * cos_sig + cu1 * sin_sig * ca1,
+        (1 - f) * np.sqrt(
+            sin_alpha ** 2 + (su1 * sin_sig - cu1 * cos_sig * ca1) ** 2))
+    lam = np.arctan2(
+        sin_sig * sa1, cu1 * cos_sig - su1 * sin_sig * ca1)
+    cc = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+    ldiff = lam - (1 - cc) * f * sin_alpha * (
+        sig + cc * sin_sig * (
+            cos_2sigm + cc * cos_sig * (-1 + 2 * cos_2sigm ** 2)))
+    return phi2, lam1 + ldiff
+
+
+def _aeqd_forward(crs: CRS, lon, lat):
+    ell = crs.ellipsoid
+    lat0 = math.radians(crs.param("lat_0"))
+    lon0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    dl = np.arctan2(np.sin(lam - lon0), np.cos(lam - lon0))
+    if ell.e2 == 0.0:
+        # Snyder 25-1..25-4: k' = c / sin c
+        cos_c = (math.sin(lat0) * np.sin(phi)
+                 + math.cos(lat0) * np.cos(phi) * np.cos(dl))
+        c = np.arccos(np.clip(cos_c, -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = np.where(c > 0, c / np.sin(c), 1.0)
+        x = fe + ell.a * k * np.cos(phi) * np.sin(dl)
+        y = fn + ell.a * k * (
+            math.cos(lat0) * np.sin(phi)
+            - math.sin(lat0) * np.cos(phi) * np.cos(dl))
+        return x, y
+    if abs(abs(crs.param("lat_0")) - 90.0) < 1e-12:
+        sgn = 1.0 if crs.param("lat_0") > 0 else -1.0
+        mp = _meridian_arc(ell, np.asarray(sgn * np.pi / 2))
+        rho = np.abs(mp - _meridian_arc(ell, phi))
+        x = fe + rho * np.sin(dl)
+        y = fn - sgn * rho * np.cos(dl)
+        return x, y
+    s, alpha1 = _vincenty_inverse(ell, lat0, 0.0, phi, dl)
+    return fe + s * np.sin(alpha1), fn + s * np.cos(alpha1)
+
+
+def _aeqd_inverse(crs: CRS, x, y):
+    ell = crs.ellipsoid
+    lat0 = math.radians(crs.param("lat_0"))
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    rho = np.hypot(xr, yr)
+    if ell.e2 == 0.0:
+        c = rho / ell.a
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.arcsin(np.clip(
+                np.cos(c) * math.sin(lat0)
+                + yr * np.sin(c) * math.cos(lat0) / np.where(
+                    rho > 0, rho, 1.0), -1.0, 1.0))
+            lam = np.arctan2(
+                xr * np.sin(c),
+                rho * math.cos(lat0) * np.cos(c)
+                - yr * math.sin(lat0) * np.sin(c))
+        center = rho == 0
+        if np.any(center):
+            phi = np.where(center, lat0, phi)
+            lam = np.where(center, 0.0, lam)
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+    if abs(abs(crs.param("lat_0")) - 90.0) < 1e-12:
+        sgn = 1.0 if crs.param("lat_0") > 0 else -1.0
+        mp = float(_meridian_arc(ell, np.asarray(sgn * np.pi / 2)))
+        # north: M(phi) = M(pole) - rho; south: M(phi) = M(pole) + rho
+        phi = _meridian_arc_inverse(ell, mp - sgn * rho)
+        lam = np.arctan2(xr, -sgn * yr)
+        center = rho == 0
+        if np.any(center):
+            lam = np.where(center, 0.0, lam)
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+    alpha1 = np.arctan2(xr, yr)
+    phi, lam = _vincenty_direct(ell, lat0, 0.0, alpha1, rho)
+    center = rho == 0
+    if np.any(center):
+        phi = np.where(center, lat0, phi)
+        lam = np.where(center, 0.0, lam)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -2807,6 +3033,8 @@ class Transformer:
             lon, lat = _moll_inverse(self.src, x, y)
         elif self.src.kind == "sterea":
             lon, lat = _sterea_inverse(self.src, x, y)
+        elif self.src.kind == "aeqd":
+            lon, lat = _aeqd_inverse(self.src, x, y)
         elif self.src.kind == "eqearth":
             lon, lat = _eqearth_inverse(self.src, x, y)
         else:
@@ -2851,6 +3079,8 @@ class Transformer:
             return _moll_forward(self.dst, lon, lat)
         if self.dst.kind == "sterea":
             return _sterea_forward(self.dst, lon, lat)
+        if self.dst.kind == "aeqd":
+            return _aeqd_forward(self.dst, lon, lat)
         if self.dst.kind == "eqearth":
             return _eqearth_forward(self.dst, lon, lat)
         return lon, lat

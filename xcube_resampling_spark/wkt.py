@@ -206,6 +206,11 @@ _METHODS = {
     # Oblique (double) Stereographic (9809) -- RD New etc.
     "obliquestereographic": "sterea",
     "doublestereographic": "sterea",
+    # Azimuthal Equidistant (1125 spherical / 9832 modified); the
+    # engine computes the oblique ellipsoidal aspect along true
+    # geodesics, a superset of the 9832 small-extent series
+    "azimuthalequidistant": "aeqd",
+    "modifiedazimuthalequidistant": "aeqd",
     # Equal Earth (1078)
     "equalearth": "eqearth",
 }
@@ -617,6 +622,7 @@ _PROJ_KINDS = {
     "moll": "moll",
     "eqearth": "eqearth",
     "sterea": "sterea",
+    "aeqd": "aeqd",
     "ob_tran": "rot_pole",  # +o_proj=longlat rotated pole
 }
 
@@ -886,6 +892,12 @@ _EMIT = {
         ("Northing at projection centre", "y_0", "l"),
     ]),
     "ortho": ("Orthographic", [
+        ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "aeqd": ("Azimuthal Equidistant", [
         ("Latitude of natural origin", "lat_0", "a"),
         ("Longitude of natural origin", "lon_0", "a"),
         ("False easting", "x_0", "l"),
