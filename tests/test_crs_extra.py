@@ -1424,3 +1424,155 @@ class TestAzimuthalEquidistant:
         assert cf["grid_mapping_name"] == "azimuthal_equidistant"
         back = CRS.from_cf(cf)
         assert back.kind == "aeqd" and back.params == crs.params
+
+
+class TestGeneralStereographic:
+    """CF 'stereographic' (PROJ stere oblique semantics: conformal
+    latitude + spherical stereographic)."""
+
+    def test_spherical_limit_matches_snyder(self):
+        """On a sphere the formulas must reduce exactly to Snyder
+        21-2..21-4 (independent closed form in the test)."""
+        from xcube_resampling_spark.crs import _Ellipsoid
+
+        r = 6371000.0
+        crs = CRS("stere_obl", "sph", _Ellipsoid(r, float("inf")),
+                  params=(("k_0", 1.0), ("lat_0", 40.0),
+                          ("lon_0", -100.0), ("x_0", 0.0), ("y_0", 0.0)))
+        g = CRS("geographic", "g", crs.ellipsoid)
+        fwd = Transformer.from_crs(g, crs)
+        for lon, lat in [(20.0, -20.0), (-150.0, 70.0), (-100.0, 40.0)]:
+            x, y = fwd.transform(np.array([lon]), np.array([lat]))
+            p1 = math.radians(40.0)
+            l0 = math.radians(-100.0)
+            ph, lm = math.radians(lat), math.radians(lon)
+            k = 2 / (1 + math.sin(p1) * math.sin(ph)
+                     + math.cos(p1) * math.cos(ph) * math.cos(lm - l0))
+            xs = r * k * math.cos(ph) * math.sin(lm - l0)
+            ys = r * k * (math.cos(p1) * math.sin(ph)
+                          - math.sin(p1) * math.cos(ph)
+                          * math.cos(lm - l0))
+            assert float(x[0]) == pytest.approx(xs, abs=1e-6)
+            assert float(y[0]) == pytest.approx(ys, abs=1e-6)
+
+    def test_ellipsoidal_conformality_and_origin_scale(self):
+        """Conformal (equal meridian/parallel scales) everywhere, and
+        point scale k0 at the origin -- central differences."""
+        crs = CRS("stere_obl", "obl", CRS_WGS84.ellipsoid,
+                  params=(("k_0", 0.9999), ("lat_0", 52.0),
+                          ("lon_0", 5.0), ("x_0", 0.0), ("y_0", 0.0)))
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        ell = crs.ellipsoid
+        rng = np.random.default_rng(23)
+        lons = 5 + rng.uniform(-30, 30, 40)
+        lats = 52 + rng.uniform(-30, 30, 40)
+        d = 1e-6
+        x0, y0 = fwd.transform(lons, lats)
+        xl, yl = fwd.transform(lons + d, lats)
+        xp, yp = fwd.transform(lons, lats + d)
+        s = np.sin(np.radians(lats))
+        nu = ell.a / np.sqrt(1 - ell.e2 * s * s)
+        rho = ell.a * (1 - ell.e2) / (1 - ell.e2 * s * s) ** 1.5
+        k_par = np.hypot(xl - x0, yl - y0) / (
+            np.radians(d) * nu * np.cos(np.radians(lats)))
+        k_mer = np.hypot(xp - x0, yp - y0) / (np.radians(d) * rho)
+        np.testing.assert_allclose(k_par, k_mer, rtol=1e-5)
+        # central-difference scale at the origin == k0
+        d = 1e-5
+        xa, ya = fwd.transform(np.array([5.0]), np.array([52.0 + d]))
+        xb, yb = fwd.transform(np.array([5.0]), np.array([52.0 - d]))
+        s0 = math.sin(math.radians(52.0))
+        rho0 = ell.a * (1 - ell.e2) / (1 - ell.e2 * s0 * s0) ** 1.5
+        k = float(np.hypot(xa - xb, ya - yb)[0]) / (
+            2 * math.radians(d) * rho0)
+        assert k == pytest.approx(0.9999, abs=1e-7)
+
+    def test_roundtrip_and_cf_routing(self):
+        crs = CRS("stere_obl", "obl", CRS_WGS84.ellipsoid,
+                  params=(("k_0", 0.9999), ("lat_0", 52.0),
+                          ("lon_0", 5.0), ("x_0", 0.0), ("y_0", 0.0)))
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        rng = np.random.default_rng(29)
+        lo = 5 + rng.uniform(-80, 80, 1000)
+        la = np.clip(52 + rng.uniform(-80, 80, 1000), -89, 89)
+        x, y = fwd.transform(lo, la)
+        lo2, la2 = inv.transform(x, y)
+        np.testing.assert_allclose((lo2 - lo + 180) % 360 - 180, 0.0,
+                                   atol=1e-8)
+        np.testing.assert_allclose(la2, la, atol=1e-8)
+        cf = crs.to_cf()
+        assert cf["grid_mapping_name"] == "stereographic"
+        back = CRS.from_cf(cf)
+        assert back.kind == "stere_obl" and back.params == crs.params
+        # a polar origin routes onto the polar kind (variant A)
+        polar = CRS.from_cf({**cf, "latitude_of_projection_origin": -90.0})
+        assert polar.kind == "stere"
+        assert CRS.from_string(crs.to_wkt()).params == crs.params
+        assert CRS.from_string(crs.to_proj()).params == crs.params
+        # +proj=stere with a non-polar lat_0 now parses (PROJ parity)
+        obl = CRS.from_string("+proj=stere +lat_0=30 +lon_0=10 "
+                              "+ellps=WGS84")
+        assert obl.kind == "stere_obl"
+
+
+class TestVerticalPerspective:
+    """CF 'vertical_perspective' (PROJ 'nsper', Snyder sec. 23)."""
+
+    def test_geos_height_roundtrip_and_limb(self):
+        crs = CRS("nsper", "n", CRS_WGS84.ellipsoid,
+                  params=(("h", 35785831.0), ("lat_0", 0.0),
+                          ("lon_0", -75.0), ("x_0", 0.0), ("y_0", 0.0)))
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        inv = Transformer.from_crs(crs, CRS_WGS84)
+        rng = np.random.default_rng(31)
+        lo = -75 + rng.uniform(-60, 60, 800)
+        la = rng.uniform(-60, 60, 800)
+        x, y = fwd.transform(lo, la)
+        assert not np.isnan(x).any()
+        lo2, la2 = inv.transform(x, y)
+        np.testing.assert_allclose(lo2, lo, atol=1e-9)
+        np.testing.assert_allclose(la2, la, atol=1e-9)
+        # far side is NaN (cos c < 1/P)
+        x, y = fwd.transform(np.array([105.0]), np.array([0.0]))
+        assert np.isnan(x[0]) and np.isnan(y[0])
+
+    def test_orthographic_limit(self):
+        """As h -> infinity the perspective view approaches the
+        orthographic projection (k' -> 1 scaling of the same plane)."""
+        from xcube_resampling_spark.crs import _Ellipsoid
+
+        r = 6371000.0
+        sph = _Ellipsoid(r, float("inf"))
+        n = CRS("nsper", "n", sph,
+                params=(("h", 1e12), ("lat_0", 30.0), ("lon_0", 10.0),
+                        ("x_0", 0.0), ("y_0", 0.0)))
+        g = CRS("geographic", "g", sph)
+        fwd = Transformer.from_crs(g, n)
+        x, y = fwd.transform(np.array([25.0]), np.array([45.0]))
+        # spherical orthographic closed form (Snyder 20-3/20-4)
+        p1, l0 = math.radians(30.0), math.radians(10.0)
+        ph, lm = math.radians(45.0), math.radians(25.0)
+        xo = r * math.cos(ph) * math.sin(lm - l0)
+        yo = r * (math.cos(p1) * math.sin(ph)
+                  - math.sin(p1) * math.cos(ph) * math.cos(lm - l0))
+        assert float(x[0]) == pytest.approx(xo, rel=1e-5)
+        assert float(y[0]) == pytest.approx(yo, rel=1e-5)
+
+    def test_cf_and_interchange(self):
+        crs = CRS("nsper", "n", CRS_WGS84.ellipsoid,
+                  params=(("h", 35785831.0), ("lat_0", 0.0),
+                          ("lon_0", -75.0), ("x_0", 0.0), ("y_0", 0.0)))
+        cf = crs.to_cf()
+        assert cf["grid_mapping_name"] == "vertical_perspective"
+        assert cf["perspective_point_height"] == 35785831.0
+        back = CRS.from_cf(cf)
+        assert back.kind == "nsper" and back.params == crs.params
+        assert CRS.from_string(crs.to_wkt()).params == crs.params
+        assert CRS.from_string(crs.to_proj()).params == crs.params
+        # earth_radius form builds a spherical CRS
+        sph = CRS.from_cf({
+            "grid_mapping_name": "vertical_perspective",
+            "perspective_point_height": 1e7, "earth_radius": 6371000.0,
+        })
+        assert sph.ellipsoid.e2 == 0.0

@@ -398,7 +398,7 @@ class TestWktProperties:
     @given(
         kind=st.sampled_from(
             ["tmerc", "laea", "merc", "cea", "eqc", "lcc", "aea",
-             "sinu", "ortho", "moll", "eqearth", "aeqd"]),
+             "sinu", "ortho", "moll", "eqearth", "aeqd", "stere_obl"]),
         lat0=st.floats(-60.0, 60.0),
         lon0=st.floats(-179.0, 179.0),
         x0=st.floats(-2e6, 2e6),
@@ -418,9 +418,9 @@ class TestWktProperties:
         ell = _Ellipsoid(*_ELLIPSOIDS[
             ["WGS84", "GRS80", "Intl1924"][ell_i]])
         params = {"lon_0": lon0, "x_0": x0, "y_0": y0}
-        if kind in ("tmerc", "laea", "ortho", "aeqd"):
+        if kind in ("tmerc", "laea", "ortho", "aeqd", "stere_obl"):
             params["lat_0"] = lat0
-        if kind in ("tmerc", "merc"):
+        if kind in ("tmerc", "merc", "stere_obl"):
             params["k_0"] = k0
         if kind in ("cea", "eqc"):
             params["lat_ts"] = lat0

@@ -875,6 +875,46 @@ class CRS:
                     ("y_0", float(attrs.get("false_northing", 0.0))),
                 ),
             )
+        if gmn == "stereographic":
+            # CF's general (oblique) stereographic -- pyproj lowers it
+            # onto +proj=stere; a polar origin IS the polar kind
+            lat_0 = float(attrs.get("latitude_of_projection_origin", 0.0))
+            k_0 = float(attrs.get(
+                "scale_factor_at_projection_origin", 1.0))
+            lon_0 = float(attrs.get(
+                "longitude_of_projection_origin", 0.0))
+            fe = float(attrs.get("false_easting", 0.0))
+            fn = float(attrs.get("false_northing", 0.0))
+            if abs(abs(lat_0) - 90.0) < 1e-12:
+                return CRS(
+                    "stere", "Polar Stereographic", ell,
+                    params=(("k_0", k_0), ("lat_0", lat_0),
+                            ("lat_ts", lat_0), ("lon_0", lon_0),
+                            ("x_0", fe), ("y_0", fn)),
+                )
+            return CRS(
+                "stere_obl", "Stereographic", ell,
+                params=(("k_0", k_0), ("lat_0", lat_0),
+                        ("lon_0", lon_0), ("x_0", fe), ("y_0", fn)),
+            )
+        if gmn == "vertical_perspective":
+            radius = attrs.get("earth_radius")
+            e_used = (
+                _Ellipsoid(float(radius), float("inf"))
+                if radius is not None else ell
+            )
+            return CRS(
+                "nsper", "Vertical Perspective", e_used,
+                params=(
+                    ("h", float(attrs["perspective_point_height"])),
+                    ("lat_0", float(attrs.get(
+                        "latitude_of_projection_origin", 0.0))),
+                    ("lon_0", float(attrs.get(
+                        "longitude_of_projection_origin", 0.0))),
+                    ("x_0", float(attrs.get("false_easting", 0.0))),
+                    ("y_0", float(attrs.get("false_northing", 0.0))),
+                ),
+            )
         if gmn == "azimuthal_equidistant":
             return CRS(
                 "aeqd", "Azimuthal Equidistant", ell,
@@ -1163,6 +1203,30 @@ class CRS:
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
                 **ell,
+            )
+        if self.kind == "stere_obl":
+            return dict(
+                grid_mapping_name="stereographic",
+                scale_factor_at_projection_origin=self.param("k_0", 1.0),
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **ell,
+            )
+        if self.kind == "nsper":
+            base = (
+                dict(earth_radius=self.ellipsoid.a)
+                if self.ellipsoid.e2 == 0.0 else ell
+            )
+            return dict(
+                grid_mapping_name="vertical_perspective",
+                perspective_point_height=self.param("h"),
+                latitude_of_projection_origin=self.param("lat_0"),
+                longitude_of_projection_origin=self.param("lon_0"),
+                false_easting=self.param("x_0"),
+                false_northing=self.param("y_0"),
+                **base,
             )
         if self.kind == "aeqd":
             return dict(
@@ -1664,6 +1728,137 @@ def _sterea_inverse(crs: CRS, x, y):
         _wrap_lon(np.degrees(dl + lam0)),
         np.degrees(phi),
     )
+
+
+# ---------------------------------------------------------------------- #
+# Oblique/equatorial Stereographic, PROJ 'stere' semantics (CF
+# 'stereographic'): conformal latitude chi + spherical stereographic,
+# akm1 = 2 a k0 cos(phi0)/sqrt(1 - e2 sin^2 phi0) -- exactly PROJ's
+# e_forward/e_inverse oblique branch, which is what pyproj produces for
+# a CF 'stereographic' grid mapping.  (Polar aspects are the separate
+# EPSG 9810/9829 'stere' kind; the Gaussian-sphere double stereographic
+# EPSG 9809 is 'sterea'.)
+
+
+def _conformal_lat(ell: _Ellipsoid, phi):
+    """chi(phi): conformal latitude (Snyder 3-1)."""
+    e = ell.e
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4 + phi / 2) * (
+        (1 - e * s) / (1 + e * s)) ** (e / 2)
+    return 2 * np.arctan(t) - np.pi / 2
+
+
+def _stere_obl_setup(crs: CRS):
+    ell = crs.ellipsoid
+    lat0 = math.radians(crs.param("lat_0"))
+    k0 = crs.param("k_0", 1.0)
+    s0 = math.sin(lat0)
+    chi0 = float(_conformal_lat(ell, np.float64(lat0)))
+    akm1 = 2 * ell.a * k0 * math.cos(lat0) / math.sqrt(
+        1 - ell.e2 * s0 * s0)
+    return ell, chi0, akm1
+
+
+def _stere_obl_forward(crs: CRS, lon, lat):
+    ell, chi0, akm1 = _stere_obl_setup(crs)
+    lon0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    dl = np.arctan2(np.sin(lam - lon0), np.cos(lam - lon0))
+    chi = _conformal_lat(ell, phi)
+    sc0, cc0 = math.sin(chi0), math.cos(chi0)
+    a_fac = akm1 / (cc0 * (
+        1 + sc0 * np.sin(chi) + cc0 * np.cos(chi) * np.cos(dl)))
+    x = fe + a_fac * np.cos(chi) * np.sin(dl)
+    y = fn + a_fac * (cc0 * np.sin(chi) - sc0 * np.cos(chi) * np.cos(dl))
+    return x, y
+
+
+def _stere_obl_inverse(crs: CRS, x, y):
+    ell, chi0, akm1 = _stere_obl_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    rho = np.hypot(xr, yr)
+    sc0, cc0 = math.sin(chi0), math.cos(chi0)
+    # rho = (akm1/cos chi0) tan(c/2)  ->  c
+    c = 2 * np.arctan2(rho * cc0, akm1)
+    sin_c, cos_c = np.sin(c), np.cos(c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chi = np.arcsin(np.clip(
+            cos_c * sc0 + yr * sin_c * cc0 / np.where(rho > 0, rho, 1.0),
+            -1.0, 1.0))
+        lam = np.arctan2(
+            xr * sin_c, rho * cc0 * cos_c - yr * sc0 * sin_c)
+    center = rho == 0
+    if np.any(center):
+        chi = np.where(center, chi0, chi)
+        lam = np.where(center, 0.0, lam)
+    phi = _conformal_to_geographic(ell, chi)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------- #
+# Vertical (near-side) Perspective, spherical (PROJ 'nsper'; CF
+# 'vertical_perspective').  Snyder 1987 sec. 23: the view from a finite
+# height h above the origin; only the cap cos(c) >= 1/P is visible,
+# P = 1 + h/R.  Like PROJ, spherical math on R = a.
+
+
+def _nsper_setup(crs: CRS):
+    r = crs.ellipsoid.a
+    p = 1.0 + crs.param("h") / r
+    lat0 = math.radians(crs.param("lat_0"))
+    return r, p, lat0
+
+
+def _nsper_forward(crs: CRS, lon, lat):
+    r, p, lat0 = _nsper_setup(crs)
+    lon0 = math.radians(crs.param("lon_0"))
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    dl = np.arctan2(np.sin(lam - lon0), np.cos(lam - lon0))
+    s0, c0 = math.sin(lat0), math.cos(lat0)
+    cos_c = s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(dl)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = (p - 1) / (p - cos_c)                       # Snyder 23-3
+    k = np.where(cos_c >= 1.0 / p, k, np.nan)           # far side -> NaN
+    x = fe + r * k * np.cos(phi) * np.sin(dl)
+    y = fn + r * k * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(dl))
+    return x, y
+
+
+def _nsper_inverse(crs: CRS, x, y):
+    r, p, lat0 = _nsper_setup(crs)
+    lon0 = crs.param("lon_0")
+    fe, fn = crs.param("x_0"), crs.param("y_0")
+    xr = np.asarray(x, dtype=np.float64) - fe
+    yr = np.asarray(y, dtype=np.float64) - fn
+    rho = np.hypot(xr, yr) / r
+    # solve (P-1) sin c + rho cos c = rho P for the near-side root
+    aa = p - 1.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        disc = aa * aa * p * p - (aa * aa + rho * rho) * (p * p - 1.0)
+        sin_c = rho * (aa * p - np.sqrt(disc)) / (aa * aa + rho * rho)
+    sin_c = np.clip(sin_c, -1.0, 1.0)
+    cos_c = np.sqrt(np.clip(1.0 - sin_c * sin_c, 0.0, 1.0))
+    s0, c0 = math.sin(lat0), math.cos(lat0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.arcsin(np.clip(
+            cos_c * s0 + yr / r * sin_c * c0 / np.where(rho > 0, rho, 1.0),
+            -1.0, 1.0))
+        lam = np.arctan2(
+            xr / r * sin_c,
+            rho * c0 * cos_c - yr / r * s0 * sin_c)
+    center = rho == 0
+    if np.any(center):
+        phi = np.where(center, lat0, phi)
+        lam = np.where(center, 0.0, lam)
+    return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------- #
@@ -3035,6 +3230,10 @@ class Transformer:
             lon, lat = _sterea_inverse(self.src, x, y)
         elif self.src.kind == "aeqd":
             lon, lat = _aeqd_inverse(self.src, x, y)
+        elif self.src.kind == "stere_obl":
+            lon, lat = _stere_obl_inverse(self.src, x, y)
+        elif self.src.kind == "nsper":
+            lon, lat = _nsper_inverse(self.src, x, y)
         elif self.src.kind == "eqearth":
             lon, lat = _eqearth_inverse(self.src, x, y)
         else:
@@ -3081,6 +3280,10 @@ class Transformer:
             return _sterea_forward(self.dst, lon, lat)
         if self.dst.kind == "aeqd":
             return _aeqd_forward(self.dst, lon, lat)
+        if self.dst.kind == "stere_obl":
+            return _stere_obl_forward(self.dst, lon, lat)
+        if self.dst.kind == "nsper":
+            return _nsper_forward(self.dst, lon, lat)
         if self.dst.kind == "eqearth":
             return _eqearth_forward(self.dst, lon, lat)
         return lon, lat

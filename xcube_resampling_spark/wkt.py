@@ -211,6 +211,11 @@ _METHODS = {
     # geodesics, a superset of the 9832 small-extent series
     "azimuthalequidistant": "aeqd",
     "modifiedazimuthalequidistant": "aeqd",
+    # ESRI/CF general (oblique) stereographic = PROJ stere semantics;
+    # a polar origin is lowered onto the polar kind in the fixups
+    "stereographic": "stere_obl",
+    # Vertical Perspective (9838's near-side view, spherical)
+    "verticalperspective": "nsper",
     # Equal Earth (1078)
     "equalearth": "eqearth",
 }
@@ -218,6 +223,9 @@ _METHODS = {
 # normalized WKT parameter name -> engine parameter key (per kind where
 # ambiguous; resolved in _lower_params)
 _PARAMS = {
+    "latitudeoftopocentricorigin": "lat_0",
+    "longitudeoftopocentricorigin": "lon_0",
+    "viewpointheight": "h",
     "latitudeofnaturalorigin": "lat_0",
     "latitudeoforigin": "lat_0",
     "latitudeofprojectioncentre": "lat_0",
@@ -426,6 +434,13 @@ def _apply_kind_fixups(kind: str, p: dict) -> tuple:
         lat0 = p.get("lat_0", 0.0)
         p.setdefault("lat_1", lat0)
         p.setdefault("lat_2", lat0)
+    if kind == "stere_obl":
+        lat0 = p.get("lat_0", 0.0)
+        if abs(abs(lat0) - 90.0) < 1e-12:
+            kind = "stere"
+            p.setdefault("lat_ts", lat0)
+        else:
+            p.setdefault("k_0", 1.0)
     if kind == "stere":
         # variant A carries k_0 + lat_0=+-90 (engine's stere applies k_0
         # directly when the standard parallel is the pole); variant B
@@ -623,6 +638,7 @@ _PROJ_KINDS = {
     "eqearth": "eqearth",
     "sterea": "sterea",
     "aeqd": "aeqd",
+    "nsper": "nsper",
     "ob_tran": "rot_pole",  # +o_proj=longlat rotated pole
 }
 
@@ -746,8 +762,13 @@ def crs_from_proj(s: str) -> CRS:
     if kind == "stere":
         lat0 = p.get("lat_0", 90.0)
         if abs(lat0) != 90.0:
-            raise ValueError("only polar +proj=stere is supported")
-        p.setdefault("lat_ts", lat0)
+            # non-polar +proj=stere: PROJ's oblique conformal-latitude
+            # stereographic
+            kind = "stere_obl"
+            p.setdefault("lat_0", lat0)
+            p.setdefault("k_0", 1.0)
+        else:
+            p.setdefault("lat_ts", lat0)
     if kind == "lcc":
         p.setdefault("lat_1", p.get("lat_0", 0.0))
         p.setdefault("lat_2", p["lat_1"])
@@ -772,6 +793,9 @@ def crs_from_proj(s: str) -> CRS:
         p["sweep_x"] = 1.0 if kv.get("sweep", "y") == "x" else 0.0
         if "h" not in p:
             raise ValueError("+proj=geos requires +h=")
+    if kind == "nsper":
+        if "h" not in p:
+            raise ValueError("+proj=nsper requires +h=")
 
     # engine convention: projected axes are always metres (WKT parsing
     # normalizes foot grids the same way).  +units/+to_meter scale the
@@ -894,6 +918,20 @@ _EMIT = {
     "ortho": ("Orthographic", [
         ("Latitude of natural origin", "lat_0", "a"),
         ("Longitude of natural origin", "lon_0", "a"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "stere_obl": ("Stereographic", [
+        ("Latitude of natural origin", "lat_0", "a"),
+        ("Longitude of natural origin", "lon_0", "a"),
+        ("Scale factor at natural origin", "k_0", "s"),
+        ("False easting", "x_0", "l"),
+        ("False northing", "y_0", "l"),
+    ]),
+    "nsper": ("Vertical Perspective", [
+        ("Latitude of topocentric origin", "lat_0", "a"),
+        ("Longitude of topocentric origin", "lon_0", "a"),
+        ("Viewpoint height", "h", "l"),
         ("False easting", "x_0", "l"),
         ("False northing", "y_0", "l"),
     ]),
@@ -1082,6 +1120,7 @@ def crs_to_wkt(crs: CRS) -> str:
 _PROJ_NAMES = {v: k for k, v in _PROJ_KINDS.items()
                if v not in ("geographic", "rot_pole")}
 _PROJ_NAMES["merc"] = "merc"
+_PROJ_NAMES["stere_obl"] = "stere"
 _PROJ_NAMES["webmerc"] = "webmerc"
 _PROJ_NAMES["tmerc"] = "tmerc"
 
