@@ -3777,22 +3777,29 @@ def q_vocab_stats(spark, sf_dir):
       idf), previously golden-tested only -- the union gives the
       keyword extractor a value-level oracle row without spending a
       registry slot.
+    * ``rep``: Gopher-style repetition signals per document
+      (``text.repetition_stats``) -- tok = most frequent word 2-gram,
+      tf = its count, df = distinct-token count, score = the bigram's
+      character fraction, rank = total tokens, frac = duplicate-token
+      fraction.
 
     Shared superset schema (absent fields NULL per variant):
-    (variant, doc_id, tok, tf, df, score, rank).
+    (variant, doc_id, tok, tf, df, score, rank, frac).
     """
     from xcube_resampling_spark.extensions.text import (
+        repetition_stats,
         tfidf_topk,
         vocab_stats,
     )
 
     docs = _docs(spark, sf_dir)
+    null_frac = F.lit(None).cast("double").alias("frac")
     vs = vocab_stats(docs, min_df=2).select(
         F.lit("vocab").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
         "tok", "tf", "df",
         F.lit(None).cast("double").alias("score"),
-        "rank",
+        "rank", null_frac,
     )
     tk = tfidf_topk(docs, k=3).select(
         F.lit("tfidf").alias("variant"),
@@ -3800,9 +3807,19 @@ def q_vocab_stats(spark, sf_dir):
         "tf",
         F.lit(None).cast("long").alias("df"),
         "score",
-        F.col("term_rank").alias("rank"),
+        F.col("term_rank").alias("rank"), null_frac,
     )
-    return vs.unionByName(tk)
+    rp = repetition_stats(docs).select(
+        F.lit("rep").alias("variant"),
+        "doc_id",
+        F.col("top_bigram").alias("tok"),
+        F.col("top_bigram_n").cast("bigint").alias("tf"),
+        F.col("n_distinct").cast("bigint").alias("df"),
+        F.col("top_bigram_char_frac").alias("score"),
+        F.col("n_tokens").cast("int").alias("rank"),
+        F.col("dup_frac").alias("frac"),
+    )
+    return vs.unionByName(tk).unionByName(rp)
 
 
 SQL_VOCAB = """
@@ -3835,15 +3852,64 @@ tfidf AS (
            ORDER BY ROUND(t.tf * i.idf, 6) DESC, t.tok ASC
          ) AS INT) AS rank
   FROM doc_tf t JOIN idf i USING (tok)
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+  FROM toks WHERE tok <> '' GROUP BY doc_id
+  HAVING COUNT(*) >= 2
+),
+bg AS (
+  SELECT doc_id, sh, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(len(toks) - 1 AS BIGINT)),
+             x -> array_to_string(list_slice(toks, x + 1, x + 2), ' ')
+           )) AS sh
+    FROM (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ) WHERE len(toks) >= 2
+  ) GROUP BY doc_id, sh
+),
+topbg AS (
+  SELECT doc_id, sh, n FROM (
+    SELECT doc_id, sh, n,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY n DESC, sh ASC) AS rn
+    FROM bg
+  ) WHERE rn = 1
+),
+norm_len AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(
+           trim(lower(text)), '\\s+', ' ', 'g')) AS BIGINT) AS nl
+  FROM documents
+),
+rep AS (
+  SELECT p.doc_id, t.sh AS tok, t.n AS tf, p.n_distinct AS df,
+         ROUND(CAST(length(t.sh) * t.n AS DOUBLE) / l.nl, 6) AS score,
+         CAST(p.n_tokens AS INT) AS rank,
+         ROUND(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_tokens, 6)
+           AS frac
+  FROM per_doc p
+  JOIN topbg t ON p.doc_id = t.doc_id
+  JOIN norm_len l ON p.doc_id = l.doc_id
 )
 SELECT 'vocab' AS variant, CAST(NULL AS BIGINT) AS doc_id, tok, tf, df,
        CAST(NULL AS DOUBLE) AS score,
-       CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INT) AS rank
+       CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INT) AS rank,
+       CAST(NULL AS DOUBLE) AS frac
 FROM agg
 UNION ALL
 SELECT 'tfidf' AS variant, doc_id, tok, tf, CAST(NULL AS BIGINT) AS df,
-       score, rank
+       score, rank, CAST(NULL AS DOUBLE) AS frac
 FROM tfidf WHERE rank <= 3
+UNION ALL
+SELECT 'rep' AS variant, doc_id, tok, tf, df, score, rank, frac
+FROM rep
 """
 
 

@@ -1189,3 +1189,40 @@ def test_semantic_dedup_no_cross_join(spark):
     # candidate generation must be an equi-join on the cluster id; the
     # only allowed cartesian is the broadcast centroid assignment
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ #
+# repetition signals (Gopher-style quality filters)
+
+
+def test_repetition_stats_hand_golden(spark):
+    from xcube_resampling_spark.extensions.text import repetition_stats
+
+    docs = _docs(spark, [
+        "a b a b a b",     # 6 toks, 2 distinct, top bigram "a b" x3
+        "x y z w",         # no repetition, 3 bigrams each once
+        "solo",            # < 2 tokens -> excluded
+    ])
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert r0.n_tokens == 6 and r0.n_distinct == 2
+    assert r0.dup_frac == pytest.approx(round(1 - 2 / 6, 6))
+    assert r0.top_bigram == "a b" and r0.top_bigram_n == 3
+    # text normalizes to "a b a b a b" (11 chars); "a b" is 3 chars
+    assert r0.top_bigram_char_frac == pytest.approx(round(3 * 3 / 11, 6))
+    r1 = rows[1]
+    assert r1.dup_frac == 0.0
+    # ties broken lexicographically -> "w" last, smallest bigram wins
+    assert r1.top_bigram == "x y" and r1.top_bigram_n == 1
+
+
+def test_repetition_stats_whitespace_normalization(spark):
+    from xcube_resampling_spark.extensions.text import repetition_stats
+
+    docs = _docs(spark, ["  A   b\ta  B  "])
+    r = repetition_stats(docs).collect()[0]
+    # lowered + whitespace-collapsed -> "a b a b" (7 chars), top "a b" x2
+    assert r.n_tokens == 4 and r.n_distinct == 2
+    assert r.top_bigram == "a b"
+    assert r.top_bigram_char_frac == pytest.approx(round(3 * 2 / 7, 6))

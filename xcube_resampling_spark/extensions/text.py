@@ -248,3 +248,62 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("term_rank", F.row_number().over(win))
         .filter(F.col("term_rank") <= k)
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", appendix A1.1): per-document duplicate-token
+    fraction and the most frequent word 2-gram -- the standard filters
+    for boilerplate / degenerate text in training-data pipelines.
+
+    Columns (docs with >= 2 tokens):
+      doc_id, n_tokens, n_distinct, dup_frac (6dp, = 1 - distinct/total),
+      top_bigram (ties -> lexicographically smallest),
+      top_bigram_n, top_bigram_char_frac (6dp: len(top_bigram) *
+      top_bigram_n / len(whitespace-normalized lowercased text)).
+
+    Shape: one explode for tokens + one for bigrams (both codegen), two
+    map-side-combinable aggregations and one per-doc window rank -- no
+    joins against anything non-keyed, scales to any corpus.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+    ).filter(F.col("n_tokens") >= 2).select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+    )
+    bg = exploded_shingles(docs, 2).groupBy("doc_id", "sh").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("sh").asc()
+    )
+    top = bg.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).select(
+        "doc_id",
+        F.col("sh").alias("top_bigram"),
+        F.col("n").alias("top_bigram_n"),
+    )
+    norm_len = docs.select(
+        "doc_id",
+        F.length(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("norm_len"),
+    )
+    return per_doc.join(top, "doc_id").join(norm_len, "doc_id").select(
+        "doc_id", "n_tokens", "n_distinct", "dup_frac",
+        "top_bigram", "top_bigram_n",
+        F.round(
+            F.length("top_bigram") * F.col("top_bigram_n")
+            / F.col("norm_len"), 6
+        ).alias("top_bigram_char_frac"),
+    )
