@@ -1540,6 +1540,29 @@ GEO_YMAX = GEO_YMIN + GEO_H * GEO_RES
 GEO_H_SAT = 35785831.0
 GEO_LON0 = 9.0
 
+# World Mollweide (ESRI:54009): source footprint maps to
+# x [654314, 657267], y [6205751, 6209328].  res = 89 m keeps BOTH bbox
+# scales above SCALE_LIMIT (x 1.10, y 1.03) so the reference's
+# pre-downscale path (reproject.py:338-382) does not rewrite the source
+# grid under the oracle; offsets chosen so nearest-rounding margins
+# stay >= 1.5e-3 in index space (engines agree ~1e-11)
+MOLL_W, MOLL_H = 34, 40
+MOLL_XMIN = 654406.0
+MOLL_YMAX = 6209300.0
+MOLL_RES = 89.0
+MOLL_YMIN = MOLL_YMAX - MOLL_H * MOLL_RES
+
+# spherical azimuthal equidistant centered at (52N, 10E), R = 6371000
+# (the oblique closed-form regime; footprint x [-66540, -64093],
+# y [135391, 139322], margins >= 6e-2)
+AEQ_W, AEQ_H = 22, 37
+AEQ_XMIN = -66450.0
+AEQ_YMAX = 139250.0
+AEQ_RES = 100.0
+AEQ_YMIN = AEQ_YMAX - AEQ_H * AEQ_RES
+AEQ_R = 6371000.0
+AEQ_LAT0, AEQ_LON0 = 52.0, 10.0
+
 # orthographic view from over (52N, 10E); the UTM source footprint maps
 # to x [-66802, -64246], y [135431, 139465] in that frame
 ORT_W, ORT_H = 24, 39
@@ -1675,6 +1698,18 @@ q_reproject_omerc = _q_reproject(
     "nearest", 29873,
     ((OM_W, OM_H), (OM_XMIN, OM_YMIN), OM_RES),
 )
+# the Mollweide leg uses the ESRI authority alias, the aeqd leg a +proj
+# string with +R -- both input paths sit under the oracle gate
+q_reproject_moll = _q_reproject(
+    "nearest", "ESRI:54009",
+    ((MOLL_W, MOLL_H), (MOLL_XMIN, MOLL_YMIN), MOLL_RES),
+)
+q_reproject_aeqd = _q_reproject(
+    "nearest",
+    f"+proj=aeqd +R={AEQ_R} +lat_0={AEQ_LAT0} +lon_0={AEQ_LON0} "
+    "+x_0=0 +y_0=0",
+    ((AEQ_W, AEQ_H), (AEQ_XMIN, AEQ_YMIN), AEQ_RES),
+)
 q_reproject_somerc = _q_reproject(
     "nearest", 2056,
     ((SOM_W, SOM_H), (SOM_XMIN, SOM_YMIN), SOM_RES),
@@ -1683,10 +1718,11 @@ q_reproject_triangular = _q_reproject("triangular")
 
 
 def q_reproject_crs_families(spark, sf_dir):
-    """Nine projection families (web mercator, polar stereo north,
+    """Twelve projection families (web mercator, polar stereo north,
     LCC 2SP, Albers 2SP, MODIS sinusoidal, EASE-Grid 2.0 cylindrical
     equal-area, geostationary satellite view, Hotine oblique Mercator
-    variant B, Swiss oblique Mercator) verified value-level in ONE
+    variant B, Swiss oblique Mercator, orthographic, Mollweide,
+    spherical azimuthal equidistant) verified value-level in ONE
     tagged union entry so the
     whole registry stays inside the driver's 50-query correctness
     window (same pattern as coarsen_reducers)."""
@@ -1701,6 +1737,8 @@ def q_reproject_crs_families(spark, sf_dir):
         ("omerc", q_reproject_omerc),
         ("somerc", q_reproject_somerc),
         ("ortho", q_reproject_ortho),
+        ("moll", q_reproject_moll),
+        ("aeqd", q_reproject_aeqd),
     ]
     out = None
     for tag, fn in parts:
@@ -1717,7 +1755,7 @@ def _reproject_families_oracle_sql() -> str:
     return "\nUNION ALL\n".join(
         _reproject_oracle_sql("nearest", t, tag=t)
         for t in ("webmerc", "stere", "lcc", "aea", "sinu", "cea",
-                  "geos", "omerc", "somerc", "ortho")
+                  "geos", "omerc", "somerc", "ortho", "moll", "aeqd")
     )
 
 
@@ -1784,6 +1822,12 @@ def _reproject_oracle_sql(interp: str, target: str = "laea",
     elif target == "ortho":
         gw, gh = ORT_W, ORT_H
         gxmin, gymax, gres = ORT_XMIN, ORT_YMAX, ORT_RES
+    elif target == "moll":
+        gw, gh = MOLL_W, MOLL_H
+        gxmin, gymax, gres = MOLL_XMIN, MOLL_YMAX, MOLL_RES
+    elif target == "aeqd":
+        gw, gh = AEQ_W, AEQ_H
+        gxmin, gymax, gres = AEQ_XMIN, AEQ_YMAX, AEQ_RES
     else:  # webmerc
         gw, gh = WM_W, WM_H
         gxmin, gymax, gres = WM_XMIN, WM_YMAX, WM_RES
@@ -2245,6 +2289,43 @@ ll AS (
          degrees(atan2(gz, {r(1.0 - oell.e2)} * sqrt(gx * gx + gy * gy)))
            AS lat
   FROM o4
+),"""
+    elif target == "moll":
+        ma = r(6378137.0)
+        msq2 = r(math.sqrt(2.0))
+        inverse_sql = f"""
+-- Mollweide (ESRI:54009, Snyder sec. 31) inverse: closed form --
+-- theta from y, then phi from the defining equation and lam from x
+m1 AS (
+  SELECT t, j, i, tx AS xr, asin(ty / ({ma} * {msq2})) AS th FROM txy
+),
+ll AS (
+  SELECT t, j, i,
+         degrees(PI() * xr / (2.0 * {ma} * {msq2} * cos(th))) AS lon,
+         degrees(asin((2.0 * th + sin(2.0 * th)) / PI())) AS lat
+  FROM m1
+),"""
+    elif target == "aeqd":
+        ar = r(AEQ_R)
+        as0 = r(math.sin(math.radians(AEQ_LAT0)))
+        ac0 = r(math.cos(math.radians(AEQ_LAT0)))
+        inverse_sql = f"""
+-- spherical azimuthal equidistant (Snyder sec. 25) inverse:
+-- c = rho / R, then the generic oblique-azimuthal phi/lam forms
+a1 AS (
+  SELECT t, j, i, tx AS xr, ty AS yr,
+         sqrt(tx * tx + ty * ty) AS rho
+  FROM txy
+),
+a2 AS (SELECT *, rho / {ar} AS c FROM a1),
+ll AS (
+  SELECT t, j, i,
+         {r(AEQ_LON0)} + degrees(atan2(
+           xr * sin(c),
+           rho * {ac0} * cos(c) - yr * {as0} * sin(c))) AS lon,
+         degrees(asin(cos(c) * {as0}
+                      + yr * sin(c) * {ac0} / rho)) AS lat
+  FROM a2
 ),"""
     elif target == "sinu":
         rr = r(SINU_R)
