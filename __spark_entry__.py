@@ -2844,24 +2844,73 @@ WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    from xcube_resampling_spark.extensions.dedup import dedup_embedding_cosine
+    """Tagged union of the two exact-cosine dedup strategies:
 
-    return dedup_embedding_cosine(
-        _spread(spark, _table(spark, sf_dir, "embeddings")), threshold=0.35
+    * ``exact``: brute-force all-pairs cosine >= 0.35 (the tiny-input
+      cross-check; the LSH entry is the scale path).
+    * ``semantic``: SemDeDup cluster-then-verify (dedup.semantic_dedup:
+      8 k-means centroids, 2 distributed Lloyd iterations, exact cosine
+      ONLY within a cluster) -- the DuckDB twin unrolls the Lloyd
+      iterations with the same generated CTEs the knn_ivf kmeans leg
+      uses, then self-joins within cent_id, so the full train->assign->
+      pair pipeline is value-level verified.
+    """
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_embedding_cosine,
+        semantic_dedup,
     )
+
+    emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
+    ex = dedup_embedding_cosine(emb, threshold=0.35).select(
+        F.lit("exact").alias("variant"),
+        F.lit(None).cast("long").alias("cluster"),
+        "id_a", "id_b", "cosine",
+    )
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sm = semantic_dedup(
+        emb_d, num_clusters=8, threshold=0.35, iterations=2
+    ).select(
+        F.lit("semantic").alias("variant"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "id_a", "id_b", "cosine",
+    )
+    return ex.unionByName(sm)
 
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
-SQL_DEDUP_EMB = f"""
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB twin of the q_dedup_embedding_cosine union."""
+    return f"""
 WITH e AS (
   SELECT vec_id, {_EMB_D} AS v,
          sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nrm
   FROM embeddings
+),
+sd0 AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+),
+{_lloyd_iter_cte('sd0', 'sd1', 'sdi1')},
+{_lloyd_iter_cte('sd1', 'sd2', 'sdi2')},
+{_lloyd_assign_cte('sd2', 'sdf')},
+en AS (
+  SELECT a.cent_id, a.vec_id, a.v,
+         sqrt(list_dot_product(a.v, a.v)) AS nrm
+  FROM a_sdf a
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT 'exact' AS variant, CAST(NULL AS BIGINT) AS cluster,
+       a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+UNION ALL
+SELECT 'semantic' AS variant, a.cent_id AS cluster,
+       a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM en a JOIN en b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
 """
 
@@ -4108,7 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": SQL_DEDUP_PIPELINE,
         "dedup_embedding_cosine_lsh": _sql_dedup_emb_lsh(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
-        "dedup_embedding_cosine": SQL_DEDUP_EMB,
+        "dedup_embedding_cosine": _semantic_dedup_sql(),
         "knn_brute_force": SQL_KNN,
         "knn_ivf": SQL_KNN_IVF,
         "windowed_event_stats": SQL_WINDOWED,
