@@ -359,7 +359,10 @@ def main():
                 runs.append(time.perf_counter() - t0)
             first = runs[0]
             scale_first[name] = round(first, 3)
-            scale_times[name] = round(min(runs[1:]), 3)
+            # min over ALL runs: one-time JIT cost only ever inflates a
+            # run, so under box noise the first run can still be the
+            # best steady-state estimate
+            scale_times[name] = round(min(runs), 3)
             head_df = head_fn(spark)
             head_df.count()
             scale_exchanges[name] = [

@@ -1576,3 +1576,93 @@ class TestVerticalPerspective:
             "perspective_point_height": 1e7, "earth_radius": 6371000.0,
         })
         assert sph.ellipsoid.e2 == 0.0
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 self-review findings."""
+
+    def test_mollweide_near_pole_accuracy(self):
+        """Newton converges (early-exit loop) even where the defining
+        equation's derivative vanishes: sub-mm agreement with a
+        bisection solution at 89.99 deg (was ~27 km off with 12 fixed
+        iterations)."""
+        crs = CRS.mollweide()
+        a = crs.ellipsoid.a
+        fwd = Transformer.from_crs(CRS_WGS84, crs)
+        for lat in (89.9, 89.99, 89.995):
+            x, y = fwd.transform(np.array([180.0]), np.array([lat]))
+            phi = math.radians(lat)
+            lo, hi = 0.0, math.pi / 2
+            for _ in range(200):
+                mid = (lo + hi) / 2
+                if 2 * mid + math.sin(2 * mid) < math.pi * math.sin(phi):
+                    lo = mid
+                else:
+                    hi = mid
+            t = (lo + hi) / 2
+            ex = a * (2 * math.sqrt(2) / math.pi) * math.pi * math.cos(t)
+            ey = a * math.sqrt(2) * math.sin(t)
+            assert float(x[0]) == pytest.approx(ex, abs=1e-3)
+            assert float(y[0]) == pytest.approx(ey, abs=1e-3)
+
+    def test_cf_earth_radius_is_honored_for_any_mapping(self):
+        """CF earth_radius declares a spherical figure; decoding it on
+        the WGS84 ellipsoid routed aeqd into the geodesic regime
+        (~1.1 km error at 560 km range)."""
+        cf = {
+            "grid_mapping_name": "azimuthal_equidistant",
+            "earth_radius": 6371000.0,
+            "latitude_of_projection_origin": 40.0,
+            "longitude_of_projection_origin": -100.0,
+        }
+        crs = CRS.from_cf(cf)
+        assert crs.ellipsoid.e2 == 0.0
+        assert crs.ellipsoid.a == 6371000.0
+        # spherical distance property must hold exactly
+        g = CRS("geographic", "g", crs.ellipsoid)
+        fwd = Transformer.from_crs(g, crs)
+        x, y = fwd.transform(np.array([-95.0]), np.array([42.0]))
+        lat0, lon0 = math.radians(40.0), math.radians(-100.0)
+        ph, lm = math.radians(42.0), math.radians(-95.0)
+        hav = 2 * math.asin(math.sqrt(
+            math.sin((ph - lat0) / 2) ** 2
+            + math.cos(lat0) * math.cos(ph)
+            * math.sin((lm - lon0) / 2) ** 2))
+        assert float(np.hypot(x, y)[0]) == pytest.approx(
+            6371000.0 * hav, abs=1e-6)
+        # stereographic too
+        cf2 = {
+            "grid_mapping_name": "stereographic", "earth_radius": 6371000.0,
+            "latitude_of_projection_origin": 40.0,
+            "scale_factor_at_projection_origin": 1.0,
+        }
+        assert CRS.from_cf(cf2).ellipsoid.e2 == 0.0
+
+    def test_to_cf_spherical_emits_earth_radius_strict_json(self):
+        """Spherical CRSs emit CF earth_radius, never
+        inverse_flattening=inf (json.dumps would write the non-strict
+        token Infinity into .zattrs)."""
+        import json
+
+        crs = CRS.from_string(
+            "+proj=aeqd +R=6371000 +lat_0=52 +lon_0=10")
+        cf = crs.to_cf()
+        assert cf["earth_radius"] == 6371000.0
+        assert "inverse_flattening" not in cf
+        json.dumps(cf, allow_nan=False)  # raises on inf/nan
+        back = CRS.from_cf(cf)
+        assert back.ellipsoid.e2 == 0.0 and back.params == crs.params
+
+    def test_proj_stere_defaults_match_proj(self):
+        """+proj=stere defaults lat_0 to 0 (equatorial oblique), not the
+        pole; +lat_ts outside the polar aspects is ignored like PROJ."""
+        c = CRS.from_string("+proj=stere +lon_0=10 +ellps=WGS84")
+        assert c.kind == "stere_obl"
+        assert c.param("lat_0") == 0.0
+        c2 = CRS.from_string(
+            "+proj=stere +lat_0=30 +lat_ts=60 +lon_0=10 +ellps=WGS84")
+        assert c2.kind == "stere_obl"
+        assert all(k != "lat_ts" for k, _ in c2.params)
+        c3 = CRS.from_string(
+            "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84")
+        assert c3.kind == "stere"

@@ -70,8 +70,12 @@ class _Ellipsoid:
 class CRS:
     """A coordinate reference system.
 
-    kind: 'geographic' | 'tmerc' | 'laea'
-    params: projection parameters (lon_0, lat_0, k_0, x_0, y_0) in degrees/m.
+    kind: the projection family -- one of 'geographic', 'tmerc', 'laea',
+      'webmerc', 'merc', 'stere', 'stere_obl', 'sterea', 'lcc', 'aea',
+      'sinu', 'cea', 'eqc', 'geos', 'omerc', 'somerc', 'krovak',
+      'ortho', 'moll', 'eqearth', 'aeqd', 'nsper', 'rot_pole'.
+    params: projection parameters (lon_0, lat_0, k_0, x_0, y_0, ...) in
+      degrees / metres, stored as sorted (key, value) pairs.
     """
 
     kind: str
@@ -715,10 +719,14 @@ class CRS:
             return crs_from_wkt(attrs["crs_wkt"])
         if gmn in (None, "latitude_longitude"):
             return CRS_WGS84
-        ell = _Ellipsoid(
-            float(attrs.get("semi_major_axis", 6378137.0)),
-            float(attrs.get("inverse_flattening", 298.257223563)),
-        )
+        if "earth_radius" in attrs and "semi_major_axis" not in attrs:
+            # CF: earth_radius declares a spherical figure (any mapping)
+            ell = _Ellipsoid(float(attrs["earth_radius"]), float("inf"))
+        else:
+            ell = _Ellipsoid(
+                float(attrs.get("semi_major_axis", 6378137.0)),
+                float(attrs.get("inverse_flattening", 298.257223563)),
+            )
         if gmn == "transverse_mercator":
             return CRS(
                 "tmerc", "Transverse Mercator", ell,
@@ -898,13 +906,8 @@ class CRS:
                         ("lon_0", lon_0), ("x_0", fe), ("y_0", fn)),
             )
         if gmn == "vertical_perspective":
-            radius = attrs.get("earth_radius")
-            e_used = (
-                _Ellipsoid(float(radius), float("inf"))
-                if radius is not None else ell
-            )
             return CRS(
-                "nsper", "Vertical Perspective", e_used,
+                "nsper", "Vertical Perspective", ell,
                 params=(
                     ("h", float(attrs["perspective_point_height"])),
                     ("lat_0", float(attrs.get(
@@ -1087,10 +1090,16 @@ class CRS:
         return attrs
 
     def _to_cf_named(self) -> dict:
-        ell = dict(
-            semi_major_axis=self.ellipsoid.a,
-            inverse_flattening=self.ellipsoid.inv_f,
-        )
+        if self.ellipsoid.e2 == 0.0:
+            # CF prescribes earth_radius for spherical figures; an
+            # inverse_flattening of inf would also serialize as the
+            # non-strict-JSON token Infinity in .zattrs
+            ell = dict(earth_radius=self.ellipsoid.a)
+        else:
+            ell = dict(
+                semi_major_axis=self.ellipsoid.a,
+                inverse_flattening=self.ellipsoid.inv_f,
+            )
         if self.kind == "geographic":
             return dict(grid_mapping_name="latitude_longitude", **ell)
         if self.kind == "tmerc":
@@ -1215,10 +1224,6 @@ class CRS:
                 **ell,
             )
         if self.kind == "nsper":
-            base = (
-                dict(earth_radius=self.ellipsoid.a)
-                if self.ellipsoid.e2 == 0.0 else ell
-            )
             return dict(
                 grid_mapping_name="vertical_perspective",
                 perspective_point_height=self.param("h"),
@@ -1226,7 +1231,7 @@ class CRS:
                 longitude_of_projection_origin=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
-                **base,
+                **ell,
             )
         if self.kind == "aeqd":
             return dict(
@@ -1247,16 +1252,12 @@ class CRS:
                 **ell,
             )
         if self.kind == "sinu":
-            base = (
-                dict(earth_radius=self.ellipsoid.a)
-                if self.ellipsoid.e2 == 0.0 else ell
-            )
             return dict(
                 grid_mapping_name="sinusoidal",
                 longitude_of_projection_origin=self.param("lon_0"),
                 false_easting=self.param("x_0"),
                 false_northing=self.param("y_0"),
-                **base,
+                **ell,
             )
         if self.kind == "omerc":
             return dict(
@@ -1911,10 +1912,15 @@ def _vincenty_inverse(ell: _Ellipsoid, phi1, lam1, phi2, lam2):
                     cos2_alpha > 0, cos2_alpha, 1.0),
                 0.0)
             cc = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+            prev = lam
             lam = ldiff + (1 - cc) * f * sin_alpha * (
                 sig + cc * sin_sig * (
                     cos_2sigm + cc * cos_sig * (
                         -1 + 2 * cos_2sigm * cos_2sigm)))
+            # non-antipodal points converge in < 6 iterations; the cap
+            # only matters inside the documented antipodal wedge
+            if np.all(np.abs(lam - prev) < 1e-14):
+                break
     uu2 = cos2_alpha * (ell.a ** 2 - b ** 2) / (b ** 2)
     aa = 1 + uu2 / 16384 * (4096 + uu2 * (-768 + uu2 * (320 - 175 * uu2)))
     bb = uu2 / 1024 * (256 + uu2 * (-128 + uu2 * (74 - 47 * uu2)))
@@ -1951,7 +1957,10 @@ def _vincenty_direct(ell: _Ellipsoid, phi1, lam1, alpha1, s):
                 cos_sig * (-1 + 2 * cos_2sigm ** 2)
                 - bb / 6 * cos_2sigm * (-3 + 4 * sin_sig ** 2)
                 * (-3 + 4 * cos_2sigm ** 2)))
+        prev = sig
         sig = s / (b * aa) + dsig
+        if np.all(np.abs(sig - prev) < 1e-14):
+            break
     sin_sig, cos_sig = np.sin(sig), np.cos(sig)
     cos_2sigm = np.cos(2 * sig1 + sig)
     phi2 = np.arctan2(
@@ -2292,13 +2301,19 @@ def _sinu_inverse(crs: CRS, x, y):
 # means WGS84 geographic coordinates fed through sphere formulas.
 
 def _moll_theta(phi):
-    """Solve 2t + sin(2t) = pi * sin(phi) for t (Newton, Snyder 31-3);
-    converges quadratically away from the poles, where the solution is
-    t = phi = +-pi/2 (handled explicitly: the derivative vanishes)."""
+    """Solve 2t + sin(2t) = pi * sin(phi) for t (Newton, Snyder 31-3).
+
+    The root is double at the poles (the derivative vanishes), so
+    Newton's rate degrades from quadratic to linear (factor 1/2) as
+    |phi| -> 90 deg; a fixed small iteration count leaves km-scale
+    errors near the poles.  Iterate to convergence instead: the linear
+    regime still halves the error every step, so <= 80 iterations
+    reach machine precision from any latitude, and the early exit
+    keeps the common case at the usual ~5 Newton steps."""
     phi = np.asarray(phi, dtype=np.float64)
     rhs = np.pi * np.sin(phi)
     t = phi.copy()
-    for _ in range(12):
+    for _ in range(80):
         fp = 2.0 + 2.0 * np.cos(2.0 * t)
         safe = np.abs(fp) > 1e-12
         step = np.where(
@@ -2307,6 +2322,8 @@ def _moll_theta(phi):
             0.0,
         )
         t = t - step
+        if np.all(np.abs(step) < 1e-15):
+            break
     pole = np.abs(phi) >= np.pi / 2 - 1e-9
     return np.where(pole, np.sign(phi) * (np.pi / 2), t)
 

@@ -718,7 +718,7 @@ def semantic_dedup(
     precision 1.0; recall misses only pairs split across clusters
     (the paper's accepted trade-off).
     """
-    from .similarity import assign_centroids, kmeans_centroids
+    from .similarity import _dot, _norm, assign_centroids, kmeans_centroids
 
     cents = kmeans_centroids(
         embeddings, num_centroids=num_clusters, iterations=iterations
@@ -726,28 +726,12 @@ def semantic_dedup(
     assigned = assign_centroids(embeddings, cents).select(
         "cent_id", "vec_id", "embedding"
     )
-
-    def norm(col):
-        return F.sqrt(
-            F.aggregate(
-                col, F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-
     e = assigned.select(
         "cent_id", "vec_id", "embedding",
-        norm(F.col("embedding")).alias("nrm"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"), F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("a.embedding"), F.col("b.embedding"))
     pairs = a.join(
         b,
         (F.col("a.cent_id") == F.col("b.cent_id"))

@@ -15,7 +15,7 @@ gap for the projection methods this engine implements: it parses
   ``+towgs84``.
 
 and lowers them onto the same ``CRS(kind, params)`` model the rest of
-the engine uses, so any WKT whose projection method is one of the ~16
+the engine uses, so any WKT whose projection method is one of the ~26
 implemented families transforms exactly like its registry twin.
 Unknown methods raise ``ValueError`` with the method name -- same
 failure mode as an unregistered EPSG code.
@@ -760,12 +760,16 @@ def crs_from_proj(s: str) -> CRS:
             p.pop("k_0", None)
             p.pop("lat_ts", None)
     if kind == "stere":
-        lat0 = p.get("lat_0", 90.0)
+        # PROJ defaults +lat_0 to 0 (equatorial), NOT the pole
+        lat0 = p.get("lat_0", 0.0)
         if abs(lat0) != 90.0:
             # non-polar +proj=stere: PROJ's oblique conformal-latitude
-            # stereographic
+            # stereographic.  PROJ ignores +lat_ts outside the polar
+            # aspects -- mirror that (the parameter only defines the
+            # polar scale).
             kind = "stere_obl"
-            p.setdefault("lat_0", lat0)
+            p["lat_0"] = lat0
+            p.pop("lat_ts", None)
             p.setdefault("k_0", 1.0)
         else:
             p.setdefault("lat_ts", lat0)
