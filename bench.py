@@ -271,10 +271,21 @@ def _docs_10x(spark, copies: int = 10):
 
 # dedup operators measured at base and ~10x corpus (input persisted, so
 # the timing is the operator, not corpus synthesis)
+def _decontaminate_10x(docs):
+    """decontaminate against the doc_id % 19 == 3 slice (the driver
+    entry's leaked-benchmark scenario) -- broadcast benchmark shingle
+    set + two map-side-combinable aggs over the corpus."""
+    from xcube_resampling_spark.extensions.dedup import decontaminate
+
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 19 == 3),
+                         min_hits=2)
+
+
 DEDUP_SCALE_BENCHES = [
     ("dedup_exact", "dedup_exact"),
     ("dedup_minhash_lsh", "dedup_minhash_lsh"),
     ("dedup_simhash", "dedup_simhash"),
+    ("decontaminate", _decontaminate_10x),
 ]
 
 
@@ -385,7 +396,8 @@ def main():
         docs10 = _docs_10x(spark).persist()
         n10 = docs10.count()
         for name, fn_name in DEDUP_SCALE_BENCHES:
-            op = getattr(dedup_mod, fn_name)
+            op = fn_name if callable(fn_name) \
+                else getattr(dedup_mod, fn_name)
             best = float("inf")
             rows = None
             for _ in range(2):

@@ -1226,3 +1226,23 @@ def test_repetition_stats_whitespace_normalization(spark):
     assert r.n_tokens == 4 and r.n_distinct == 2
     assert r.top_bigram == "a b"
     assert r.top_bigram_char_frac == pytest.approx(round(3 * 2 / 7, 6))
+
+
+def test_decontaminate_plan_is_broadcast_and_shuffle_free_on_shingles(spark):
+    """100-TB plan-shape guard: the benchmark shingle set joins the
+    corpus as a BroadcastHashJoin (no shuffle keyed on shingles, no
+    cartesian); the shuffled fallback keeps an equi SortMergeJoin."""
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.extensions.dedup import decontaminate
+
+    docs = _docs(spark, ["a b c d e"] * 6)
+    bench = _docs(spark, ["a b c"])
+    plan = decontaminate(docs, bench)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan2 = decontaminate(docs, bench, broadcast_benchmark=False)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
