@@ -361,8 +361,10 @@ def main():
             # (whole-stage-codegen compilation + C2 warmup of the
             # generated classes -- measured 88.6/91.3/12.7/9.0 s on the
             # rectify plan at 10x: steady state only arrives on run 3)
-            # which a long-lived cluster amortizes; the min of the last
-            # two is the steady-state slope the scale audit is about
+            # which a long-lived cluster amortizes; the min over all
+            # runs is the steady-state slope the scale audit is about
+            # (JIT cost only inflates a run, so under box noise the
+            # first run can still be the best estimate)
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -443,7 +445,7 @@ def main():
             "first_runs": scale_first,
             "exchanges_head_vs_10x": scale_exchanges,
             "note": (
-                "steady-state (min of last 2 of 3) at ~10x pixels; first_runs "
+                "steady-state (min of 3 runs) at ~10x pixels; first_runs "
                 "include one-time codegen; excluded from value. "
                 "reproject_5slice materializes the full 5x3162x3162 "
                 "target -- BASELINE.md's 5-date-stack shape computes one "

@@ -10,13 +10,15 @@ path), at the notebook's scene size (1890 x 1189 px).
 Run:  python examples/rectify_swath.py [out_dir]
 """
 
+import os
 import sys
 import tempfile
 
 import numpy as np
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from xcube_resampling_spark import (  # noqa: E402
     GridMapping, SparkDataset, resample_in_space,

@@ -10,12 +10,14 @@ back-projected bbox, and Catalyst pushes the filter to the scan.
 Run:  python examples/reproject_dataset.py
 """
 
+import os
 import sys
 
 import numpy as np
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from xcube_resampling_spark import (  # noqa: E402
     CRS, GridMapping, SparkDataset, resample_in_space,

@@ -1091,6 +1091,13 @@ def rectify_fused_tiled(
     # hashpartitioning(blk, N) satisfies the groupBy's required
     # distribution, so this replaces (not adds to) the implicit
     # exchange -- plan-asserted exchange counts stay [2, 2].
+    # Partition-count choice, all measured at 10x on local[32]:
+    # N = #keys hash (this) 9.0-12.7 s steady; 4N hash 14.3 s (empty-
+    # partition task + shuffle-fetch overhead); repartitionByRange(N)
+    # 22.9 s (its boundary-sampling pass re-executes the upstream
+    # transform).  Hash collisions at N = #keys serialize a couple of
+    # kernels on the busiest task in theory, but the alternatives'
+    # constant costs are larger in practice.
     n_src_blk = max(1, (src_h + B - 1) // B)
     matches = blocks.repartition(n_src_blk, "blk").groupBy(
         "blk"
