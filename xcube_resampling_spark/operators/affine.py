@@ -390,7 +390,7 @@ def gather_fused(
     recover_nan: bool,
     fill_value,
     idx_map: tuple[int, int, int, int] = (1, 1, 0, 0),
-    block_rows: int = 64,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Single-shuffle block-local twin of :func:`_gather`.
 
@@ -421,6 +421,18 @@ def gather_fused(
     w, h = grid_size
     k_j, k_i, p_j, p_i = idx_map
     fill = float(fill_value)
+    # auto-size blocks toward ~one kernel group per core (the rectify
+    # pattern: per-group Arrow serialization and task-wave skew dominate
+    # when groups >> cores, idle cores when groups << cores), with an
+    # 8M-px cap bounding each group's dense arrays; callers passing an
+    # explicit block_rows (tests) keep it
+    if block_rows is None:
+        par = max(1, src_df.sparkSession.sparkContext.defaultParallelism)
+        max_block_px = 8 << 20
+        block_rows = min(
+            max(16, -(-h // par)),
+            max(16, max_block_px // max(1, w)),
+        )
     B = int(block_rows)
     n_blk = (h + B - 1) // B
 
@@ -596,9 +608,13 @@ def gather_fused(
             }
         )
 
-    out = routed.unionByName(sentinels).groupBy("blk").applyInPandas(
-        kernel, out_schema
-    )
+    # pin the kernel stage at exactly one partition per block (see the
+    # measured partition-count comparison in rectify.py's fused path:
+    # AQE byte-coalescing folds compute-heavy groups; hash at N = #keys
+    # beat both a 4x fan-out and repartitionByRange)
+    out = routed.unionByName(sentinels).repartition(
+        n_blk, "blk"
+    ).groupBy("blk").applyInPandas(kernel, out_schema)
     # the Arrow hop converts the kernel's NaN doubles to SQL NULLs (pandas
     # uses NaN as its null sentinel); _gather's contract is NaN and no
     # output is legitimately NULL, so restore
