@@ -299,3 +299,59 @@ class TestReadNetcdfDispatch:
         p.write_bytes(b"not-a-dataset")
         with pytest.raises(ValueError, match="neither"):
             read_netcdf(None, str(p), "v")
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 spec-review findings."""
+
+    def test_parse_filters_v2_small_ids_have_no_name_field(self):
+        """Version-2 filter descriptions omit the name-length field for
+        filter ids < 256 (libver=latest files); parsing them with the
+        v1 layout scrambled flags/nvals/client-data."""
+        import struct
+
+        from xcube_resampling_spark.sources.hdf5 import _parse_filters
+
+        body = (
+            bytes([2, 2])                       # version 2, 2 filters
+            + struct.pack("<HHH", 2, 0, 1)      # shuffle: id, flags, nvals
+            + struct.pack("<I", 8)              # itemsize 8
+            + struct.pack("<HHH", 1, 1, 1)      # deflate: OPTIONAL flag
+            + struct.pack("<I", 6)              # level 6
+        )
+        assert _parse_filters(body) == [(2, [8], 0), (1, [6], 1)]
+
+    def test_chunk_filter_mask_skips_filters(self):
+        """Bit k of the chunk B-tree filter mask set == filter k was
+        skipped at write time (optional deflate that grew): the raw
+        bytes must pass through undecompressed."""
+        import zlib
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            _apply_filters_inverse,
+        )
+
+        data = bytes(range(32))
+        filters = [(1, [6], 1)]
+        assert _apply_filters_inverse(
+            zlib.compress(data), filters, 8, mask=0) == data
+        assert _apply_filters_inverse(data, filters, 8, mask=1) == data
+
+    def test_parse_fill_value_versions(self):
+        import struct
+
+        import numpy as np
+
+        from xcube_resampling_spark.sources.hdf5 import _parse_fill_value
+
+        f8 = np.dtype("<f8")
+        v3 = bytes([3, 0x20]) + struct.pack("<I", 8) \
+            + np.float64(-9999.0).tobytes()
+        assert _parse_fill_value(v3, f8) == -9999.0
+        v3_undef = bytes([3, 0x00])
+        assert _parse_fill_value(v3_undef, f8) is None
+        v2 = bytes([2, 2, 2, 1]) + struct.pack("<I", 8) \
+            + np.float64(7.5).tobytes()
+        assert _parse_fill_value(v2, f8) == 7.5
+        v2_undef = bytes([2, 2, 2, 0])
+        assert _parse_fill_value(v2_undef, f8) is None

@@ -408,3 +408,98 @@ class TestCfStore3:
         out = resample_in_space(ds, target, source_gm=gm2,
                                 agg_methods="mean")
         assert out.data_vars["band"].df.count() == 20
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 spec-review findings."""
+
+    def test_hex_fill_value_decodes(self):
+        import numpy as np
+
+        from xcube_resampling_spark.sources.zarr3 import _fill_from_json
+
+        # spec-legal byte-precise NaN for float32 (big-endian raw bytes)
+        v = _fill_from_json("0x7fc00000", np.dtype("float32"))
+        assert np.isnan(v)
+        assert _fill_from_json("NaN", np.dtype("float64")) != \
+            _fill_from_json("Infinity", np.dtype("float64"))
+        with pytest.raises(ValueError):
+            _fill_from_json("0x00", np.dtype("float64"))
+        with pytest.raises(NotImplementedError):
+            _fill_from_json("bogus", np.dtype("float64"))
+
+    def test_v2_key_encoding_slash_separator(self, tmp_path):
+        from xcube_resampling_spark.sources.zarr3 import _indices_from_path
+
+        enc = {"name": "v2", "configuration": {"separator": "/"}}
+        adir = str(tmp_path / "store" / "v")
+        assert _indices_from_path(
+            adir + "/0/1/2", adir, enc, 3) == (0, 1, 2)
+        enc_dot = {"name": "v2", "configuration": {"separator": "."}}
+        assert _indices_from_path(
+            adir + "/0.1.2", adir, enc_dot, 3) == (0, 1, 2)
+
+    def test_shard_index_codec_guard_and_endian(self):
+        import numpy as np
+
+        from xcube_resampling_spark.sources.zarr3 import (
+            _decode_shard, _encode_shard,
+        )
+
+        block = np.arange(16, dtype="<f8").reshape(1, 4, 4)
+        shard = _encode_shard(block, (1, 2, 2), [])
+        with pytest.raises(NotImplementedError):
+            _decode_shard(
+                shard, (1, 4, 4), (1, 2, 2), np.dtype("<f8"),
+                [], [{"name": "bytes"}, {"name": "gzip"}],
+                "end", float("nan"),
+            )
+
+    def test_root_group_attributes_survive_second_write(
+            self, spark, tmp_path):
+        import json
+
+        import numpy as np
+
+        from xcube_resampling_spark.sources.zarr3 import (
+            read_zarr3, write_zarr3,
+        )
+
+        path = str(tmp_path / "s.zarr")
+        df = spark.createDataFrame(
+            [(0, j, i, float(j * 4 + i)) for j in range(4)
+             for i in range(4)],
+            "t int, j int, i int, value double",
+        )
+        write_zarr3(df, path, "a", (4, 4), (2, 2))
+        # another tool adds root group attributes
+        root = json.load(open(f"{path}/zarr.json"))
+        root["attributes"]["title"] = "keep me"
+        json.dump(root, open(f"{path}/zarr.json", "w"))
+        write_zarr3(df, path, "b", (4, 4), (2, 2))
+        root2 = json.load(open(f"{path}/zarr.json"))
+        assert root2["attributes"].get("title") == "keep me"
+        out = read_zarr3(spark, path, "b").toPandas()
+        assert len(out) == 16
+
+    def test_add_spatial_ref3_raises_when_metadata_unreadable(
+            self, tmp_path):
+        from xcube_resampling_spark.sources.zarr import ChunkPut
+        from xcube_resampling_spark.sources.zarr3 import add_spatial_ref3
+
+        class BlindPut(ChunkPut):
+            """Writes vanish, reads unavailable -- an object-store put
+            without the read seam."""
+
+            def __init__(self):
+                self.keys = []
+
+            def put(self, key, data):
+                self.keys.append(key)
+
+        put = BlindPut()
+        with pytest.raises(ValueError, match="refusing to skip"):
+            add_spatial_ref3(
+                str(tmp_path / "nowhere.zarr"), "EPSG:4326",
+                data_var_names=["v"], chunk_put=put,
+            )

@@ -479,6 +479,12 @@ def _parse_object_header_v2(blob: bytes, pos: int) -> list[tuple[int, bytes]]:
     off += size_bytes
     track = bool(flags & 0x04)
     msgs: list[tuple[int, bytes]] = []
+    # verify the gateway checksums BEFORE trusting any field: chunk 0's
+    # lookup3 covers OHDR signature through end of messages; each OCHK
+    # continuation's covers its whole block minus the trailing 4 bytes
+    (stored,) = struct.unpack_from("<I", blob, off + chunk0)
+    if _lookup3(blob[pos:off + chunk0]) != stored:
+        raise ValueError("OHDR checksum mismatch (corrupt header)")
     # (start, message-bytes length); continuation lengths include the
     # OCHK signature and trailing checksum, chunk 0's does not
     blocks = [(off, chunk0)]
@@ -492,6 +498,13 @@ def _parse_object_header_v2(blob: bytes, pos: int) -> list[tuple[int, bytes]]:
             body = blob[boff2:boff2 + msize]
             if mtype == 0x10:
                 c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                if blob[c_off:c_off + 4] != b"OCHK":
+                    raise ValueError("bad OCHK continuation signature")
+                (cstored,) = struct.unpack_from(
+                    "<I", blob, c_off + c_len - 4)
+                if _lookup3(blob[c_off:c_off + c_len - 4]) != cstored:
+                    raise ValueError(
+                        "OCHK checksum mismatch (corrupt continuation)")
                 blocks.append((c_off + 4, c_len - 8))
             else:
                 msgs.append((mtype, body))
@@ -681,18 +694,27 @@ def _walk_group(blob: bytes, msgs) -> dict[str, int]:
     return out
 
 
-def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
+def _parse_filters(body: bytes) -> list[tuple[int, list[int], int]]:
     # version 1: version(1), nfilters(1), 6 reserved; version 2:
-    # version(1), nfilters(1), no reserved
+    # version(1), nfilters(1), no reserved.  Each entry: id(2), then --
+    # v1 always, v2 ONLY for ids >= 256 -- name length(2), then
+    # flags(2), nvals(2), name (v1: padded to 8), client data.  The
+    # optional-flag bit (flags & 1) pairs with the per-chunk filter
+    # mask in the chunk B-tree keys.
     ver = body[0]
-    filters: list[tuple[int, list[int]]] = []
+    filters: list[tuple[int, list[int], int]] = []
     nfilters = body[1]
     off = 8 if ver == 1 else 2
     for _ in range(nfilters):
-        fid, name_len, _flags, nvals = struct.unpack_from(
-            "<HHHH", body, off
-        )
-        off += 8
+        (fid,) = struct.unpack_from("<H", body, off)
+        off += 2
+        if ver == 1 or fid >= 256:
+            (name_len,) = struct.unpack_from("<H", body, off)
+            off += 2
+        else:
+            name_len = 0
+        flags, nvals = struct.unpack_from("<HH", body, off)
+        off += 4
         off += name_len + (-name_len % 8 if ver == 1 else 0)
         cdata = [
             struct.unpack_from("<I", body, off + 4 * i)[0]
@@ -701,12 +723,20 @@ def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
         off += 4 * nvals
         if ver == 1 and nvals % 2:
             off += 4
-        filters.append((fid, cdata))
+        filters.append((fid, cdata, flags))
     return filters
 
 
-def _apply_filters_inverse(raw: bytes, filters, itemsize: int) -> bytes:
-    for fid, cdata in reversed(filters):
+def _apply_filters_inverse(
+    raw: bytes, filters, itemsize: int, mask: int = 0
+) -> bytes:
+    """Invert the pipeline; bit k of ``mask`` (from the chunk B-tree
+    key) set means filter k was SKIPPED for this chunk (an optional
+    filter that failed at write time, e.g. deflate that grew)."""
+    for k in range(len(filters) - 1, -1, -1):
+        fid, cdata, _flags = filters[k]
+        if mask & (1 << k):
+            continue
         if fid == 1:
             raw = zlib.decompress(raw)
         elif fid == 2:
@@ -721,8 +751,10 @@ def _apply_filters_inverse(raw: bytes, filters, itemsize: int) -> bytes:
     return raw
 
 
-def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters):
-    arr = np.zeros(shape, dtype=dtype)
+def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters,
+                  fill=None):
+    arr = np.full(shape, fill, dtype=dtype) if fill is not None \
+        else np.zeros(shape, dtype=dtype)
     nd = len(shape)
 
     def walk(addr):
@@ -731,7 +763,7 @@ def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters):
         ntype, level, nused = struct.unpack_from("<BBH", blob, addr + 4)
         off = addr + 8 + 16
         for _ in range(nused):
-            nbytes, _mask = struct.unpack_from("<II", blob, off)
+            nbytes, mask = struct.unpack_from("<II", blob, off)
             off += 8
             origin = [
                 struct.unpack_from("<Q", blob, off + 8 * i)[0]
@@ -744,7 +776,8 @@ def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters):
                 walk(child)
                 continue
             raw = blob[child:child + nbytes]
-            raw = _apply_filters_inverse(raw, filters, dtype.itemsize)
+            raw = _apply_filters_inverse(
+                raw, filters, dtype.itemsize, mask)
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
             sl = tuple(
                 slice(o, min(o + c, s))
@@ -756,6 +789,28 @@ def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters):
 
     walk(bt_addr)
     return arr
+
+
+def _parse_fill_value(body: bytes, dtype: np.dtype):
+    """Fill Value message (0x0005), versions 1-3.  Returns the typed
+    fill value, or None when the message declares none (HDF5's default
+    fill is then all-zero bytes)."""
+    ver = body[0]
+    if ver in (1, 2):
+        defined = body[3]
+        if ver == 1 or defined:
+            (size,) = struct.unpack_from("<I", body, 4)
+            if size == dtype.itemsize:
+                return np.frombuffer(body[8:8 + size], dtype=dtype)[0]
+        return None
+    if ver == 3:
+        flags = body[1]
+        if flags & 0x20:  # fill value defined
+            (size,) = struct.unpack_from("<I", body, 2)
+            if size == dtype.itemsize:
+                return np.frombuffer(body[6:6 + size], dtype=dtype)[0]
+        return None
+    return None
 
 
 def decode_hdf5(blob: bytes) -> dict:
@@ -781,6 +836,9 @@ def decode_hdf5(blob: bytes) -> dict:
             _parse_filters(by_type[0x000B][0])
             if 0x000B in by_type else []
         )
+        fill = None
+        if 0x0005 in by_type:
+            fill = _parse_fill_value(by_type[0x0005][0], dtype)
         layout = by_type[0x0008][0]
         if layout[0] != 3:
             raise NotImplementedError(
@@ -789,9 +847,14 @@ def decode_hdf5(blob: bytes) -> dict:
         lclass = layout[1]
         if lclass == 1:  # contiguous
             addr, size = struct.unpack_from("<QQ", layout, 2)
-            data = np.frombuffer(
-                blob[addr:addr + size], dtype=dtype
-            ).reshape(shape)
+            if addr == _UNDEF:
+                # dataset allocated but never written: all-fill
+                data = np.full(shape, fill if fill is not None else 0,
+                               dtype=dtype)
+            else:
+                data = np.frombuffer(
+                    blob[addr:addr + size], dtype=dtype
+                ).reshape(shape)
         elif lclass == 2:  # chunked
             nd1 = layout[2]
             (bt_addr,) = struct.unpack_from("<Q", layout, 3)
@@ -799,9 +862,14 @@ def decode_hdf5(blob: bytes) -> dict:
                 struct.unpack_from("<I", layout, 11 + 4 * i)[0]
                 for i in range(nd1 - 1)
             )
-            data = _read_chunked(
-                blob, bt_addr, shape, chunks, dtype, filters
-            )
+            if bt_addr == _UNDEF:
+                data = np.full(shape, fill if fill is not None else 0,
+                               dtype=dtype)
+            else:
+                data = _read_chunked(
+                    blob, bt_addr, shape, chunks, dtype, filters,
+                    fill=fill,
+                )
         elif lclass == 0:  # compact
             (size,) = struct.unpack_from("<H", layout, 2)
             data = np.frombuffer(

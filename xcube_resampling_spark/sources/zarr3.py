@@ -70,13 +70,25 @@ def _v3_np_dtype(data_type: str, endian: str) -> np.dtype:
 
 def _fill_from_json(fill, dtype: np.dtype):
     """v3 serializes non-finite float fills as the strings
-    "NaN" / "Infinity" / "-Infinity"."""
+    "NaN" / "Infinity" / "-Infinity", and also allows a byte-precise
+    hex string "0x..." (big-endian raw bytes of the element)."""
     if isinstance(fill, str):
-        return {
+        named = {
             "NaN": float("nan"),
             "Infinity": float("inf"),
             "-Infinity": float("-inf"),
-        }[fill]
+        }
+        if fill in named:
+            return named[fill]
+        if fill.startswith("0x"):
+            raw = bytes.fromhex(fill[2:])
+            if len(raw) != dtype.itemsize:
+                raise ValueError(
+                    f"hex fill value {fill!r} has {len(raw)} bytes, "
+                    f"dtype {dtype} needs {dtype.itemsize}")
+            return np.frombuffer(raw, dtype=dtype.newbyteorder(">"))[0]
+        raise NotImplementedError(
+            f"zarr v3 fill_value {fill!r} not supported")
     return fill
 
 
@@ -221,6 +233,14 @@ def _decode_shard(
 ) -> np.ndarray:
     n = tuple(s // c for s, c in zip(outer, inner))
     n_chunks = n[0] * n[1] * n[2]
+    # the index slice below assumes size-preserving index codecs (the
+    # spec default: bytes + optional crc32c); anything else (e.g. gzip)
+    # would shift the byte ranges -- refuse rather than mis-slice
+    bad = [c.get("name") for c in index_codecs
+           if c.get("name") not in ("bytes", "crc32c")]
+    if bad:
+        raise NotImplementedError(
+            f"sharding index_codecs {bad} not supported")
     idx_size = 16 * n_chunks
     if any(c.get("name") == "crc32c" for c in index_codecs):
         idx_size += 4
@@ -228,14 +248,15 @@ def _decode_shard(
         idx_raw, payload_base = blob[:idx_size], 0
     else:
         idx_raw, payload_base = blob[-idx_size:], 0
-    _, idx_bb = _parse_codecs(index_codecs)
+    idx_endian, idx_bb = _parse_codecs(index_codecs)
     idx = _decode_chain(idx_raw, idx_bb)
+    idx_fmt = "<QQ" if idx_endian == "little" else ">QQ"
     out = np.full(outer, fill, dtype=np.float64)
     k = 0
     for it in range(n[0]):
         for ij in range(n[1]):
             for ii in range(n[2]):
-                off, nb = struct.unpack_from("<QQ", idx, 16 * k)
+                off, nb = struct.unpack_from(idx_fmt, idx, 16 * k)
                 k += 1
                 if off == _SHARD_MISSING and nb == _SHARD_MISSING:
                     continue
@@ -285,7 +306,7 @@ def _chunk_key(indices: tuple[int, ...], key_enc: dict) -> str:
 
 def _indices_from_path(path: str, adir: str, key_enc: dict,
                        nd: int) -> tuple[int, ...]:
-    rel = os.path.relpath(path, adir)
+    rel = os.path.relpath(os.path.abspath(path), os.path.abspath(adir))
     name = key_enc.get("name", "default")
     sep = (key_enc.get("configuration") or {}).get(
         "separator", "/" if name == "default" else "."
@@ -296,7 +317,12 @@ def _indices_from_path(path: str, adir: str, key_enc: dict,
         if parts and parts[0] == "c":
             parts = parts[1:]
     else:
-        parts = os.path.basename(rel).split(sep)
+        # v2 encoding: separator '.' keeps the key in one basename;
+        # separator '/' nests the key as directories -- split the whole
+        # array-relative path either way
+        rel2 = rel.replace(os.sep, sep) if sep == "/" else rel
+        parts = rel2.split(sep) if sep == "/" \
+            else os.path.basename(rel2).split(sep)
     idx = tuple(int(p) for p in parts)
     if len(idx) != nd:
         raise ValueError(f"chunk key '{rel}' does not match rank {nd}")
@@ -382,9 +408,15 @@ def _write_zarr3_metadata(
         "attributes": dict(attrs or {}),
         "dimension_names": ["t", "y", "x"][-nd:],
     }
-    put.put("zarr.json", json.dumps(
-        {"zarr_format": 3, "node_type": "group", "attributes": {}}
-    ).encode())
+    # only create the root group document if the store has none --
+    # an existing one may carry group-level attributes another tool
+    # wrote, which a fresh empty document would silently destroy
+    # (FsChunkPut.get reads the store root; a custom ChunkPut that
+    # cannot read returns None and keeps the old create-always shape)
+    if put.get("zarr.json") is None:
+        put.put("zarr.json", json.dumps(
+            {"zarr_format": 3, "node_type": "group", "attributes": {}}
+        ).encode())
     put.put(f"{var_name}/zarr.json", json.dumps(meta).encode())
     return codecs, key_enc
 
@@ -541,12 +573,24 @@ def add_spatial_ref3(
             and os.path.exists(os.path.join(path, d, "zarr.json"))
         ]
     for var in data_var_names:
-        mpath = os.path.join(path, var, "zarr.json")
-        try:
-            with open(mpath) as fp:
-                meta = json.load(fp)
-        except (OSError, ValueError):
-            continue
+        # read prior metadata THROUGH the ChunkPut seam first (the same
+        # fix the v2 add_spatial_ref got): with a custom put rooted on
+        # an object store, the local path may not exist -- silently
+        # skipping would drop the grid_mapping attribute, and reading
+        # the local file could resurrect stale attributes over the
+        # store's fresher ones
+        raw = put.get(f"{var}/zarr.json")
+        if raw is None:
+            try:
+                with open(os.path.join(path, var, "zarr.json"),
+                          "rb") as fp:
+                    raw = fp.read()
+            except OSError:
+                raise ValueError(
+                    f"cannot read {var}/zarr.json through the ChunkPut "
+                    "or the local store root; refusing to skip the "
+                    "grid_mapping update silently")
+        meta = json.loads(raw)
         if meta.get("node_type") != "array":
             continue
         dims = meta.get("dimension_names") or []
@@ -725,7 +769,10 @@ def read_zarr3(
     ``decode_cf=True`` applies ``_FillValue``/``missing_value`` ->
     NaN then ``scale_factor``/``add_offset`` from the array's
     ``attributes``."""
-    adir = os.path.join(path, var_name)
+    # absolutize ON THE DRIVER: executors receive absolute file: paths
+    # from binaryFile, and their cwd need not match the driver's, so a
+    # relative adir captured in the decode closure would mis-resolve
+    adir = os.path.abspath(os.path.join(path, var_name))
     with open(os.path.join(adir, "zarr.json")) as fp:
         meta = json.load(fp)
     if meta.get("node_type") != "array" or meta.get("zarr_format") != 3:
