@@ -3871,15 +3871,17 @@ def _sampling_sql() -> str:
 
     from xcube_resampling_spark.extensions.text import hash32_sql
 
-    def h(seed):
-        return hash32_sql(f"'{seed}' || CAST(doc_id AS VARCHAR)")
+    def h(salt, seed):
+        return hash32_sql(
+            f"'{salt}|{seed}|' || "
+            "COALESCE('v' || CAST(doc_id AS VARCHAR), 'n')")
 
     return f"""
 WITH h AS (
   SELECT doc_id, lang,
-         {h("samp")} AS h_samp,
-         {h("cap")} AS h_cap,
-         {h("split")} AS h_split
+         {h("sample", "samp")} AS h_samp,
+         {h("strata", "cap")} AS h_cap,
+         {h("split", "split")} AS h_split
   FROM documents
 ),
 samp AS (SELECT * FROM h WHERE h_samp < {t_samp}),

@@ -636,27 +636,28 @@ def test_first_event_per_key_streaming_matches_batch(spark, tmp_path):
         q.awaitTermination(120)
     finally:
         q.stop()
-    got = {
-        r.user_id: r for r in spark.sql(
-            "SELECT * FROM first_event_test"
-        ).collect()
-    }
-    # each key appears exactly once in the update stream
-    assert spark.sql(
-        "SELECT count(*) c FROM first_event_test"
-    ).collect()[0].c == len(got)
+    rows = spark.sql("SELECT * FROM first_event_test").collect()
+    per_key: dict[int, list] = {}
+    for r in rows:
+        per_key.setdefault(r.user_id, []).append(r)
     batch = {
         r.user_id: r for r in first_event_per_key(_events(spark)).collect()
     }
-    assert set(got) == set(batch)
+    assert set(per_key) == set(batch)
+    # CONVERGENCE contract (update mode, like dedup_stream): the stream
+    # re-emits when a later micro-batch delivers a late-but-earlier
+    # event, so the (ts, id)-minimum emission per key equals the batch
+    # twin's global winner exactly
     for uid, r in batch.items():
-        g = got[uid]
-        # the first-seen batch winner may differ from the global batch
-        # winner ONLY if the earlier event arrived in a later micro-batch;
-        # user 2 is single-event, user 1's batch-1 winner is event 1
-        assert g.first_event_id in (r.first_event_id, 1)
-    # user 2 must match exactly (single batch)
-    assert got[2].first_event_id == batch[2].first_event_id
+        winner = min(per_key[uid],
+                     key=lambda g: (g.first_ts, g.first_event_id))
+        assert winner.first_event_id == r.first_event_id
+        assert winner.first_ts == r.first_ts
+    # user 2 is single-event -> exactly one emission; user 1's earlier
+    # event arrives in the SECOND micro-batch -> exactly two emissions
+    # (initial winner + late correction)
+    assert len(per_key[2]) == 1
+    assert len(per_key[1]) == 2
 
 
 def test_dup_components_chains_and_diameter(spark):
@@ -1246,3 +1247,35 @@ def test_decontaminate_plan_is_broadcast_and_shuffle_free_on_shingles(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_sampling_null_keys_and_salted_composition(spark):
+    """Null keys must sample/split like any other value (a bare concat
+    hash went NULL: rate-1.0 samples LOST null rows and every null
+    landed in the last split); and sample->split composition must make
+    independent decisions (same-seed stages shared one hash, so a 50%
+    sample fed 100% 'train')."""
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.extensions.sampling import (
+        sample_by_hash, split_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(400)] + [(None,)] * 4, "doc_id long"
+    )
+    kept = sample_by_hash(df, "doc_id", 1.0)
+    assert kept.count() == 404  # rate 1.0 keeps null-key rows too
+    labels = {
+        r.split for r in
+        split_by_hash(df.filter(F.col("doc_id").isNull()), "doc_id",
+                      {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert len(labels) == 1  # deterministic, but by hash -- not forced
+    # composition: a 50% sample then a 50/50 split must hit BOTH splits
+    samp = sample_by_hash(df, "doc_id", 0.5, seed="s")
+    parts = split_by_hash(samp, "doc_id", {"a": 0.5, "b": 0.5},
+                          seed="s").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in parts}
+    assert set(counts) == {"a", "b"}
+    assert min(counts.values()) > 20  # roughly balanced, not degenerate

@@ -591,3 +591,34 @@ def test_rectify_fused_two_shuffle_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2
+
+
+def test_distributed_orientation_matches_numpy_under_nan(spark):
+    """A NaN edge coordinate makes the reference's
+    np.all(y[0,:] < y[-1,:]) False (j-axis-down); the distributed
+    orientation flag must agree instead of skipping the NaN span."""
+    import numpy as np
+    import pandas as pd
+
+    from xcube_resampling_spark.gridmapping.distributed import (
+        GridMappingDF,
+    )
+
+    h, w = 4, 5
+    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    x = (ii * 0.1).astype(float)
+    y = (jj * 0.1).astype(float)  # ascending -> would be j-axis-up
+    y[0, 2] = np.nan              # one NaN edge coordinate
+    pdf = pd.DataFrame({
+        "j": jj.ravel().astype("int32"), "i": ii.ravel().astype("int32"),
+        "x": x.ravel(), "y": y.ravel(),
+    })
+    coords = spark.createDataFrame(pdf)
+    gm = GridMappingDF.from_coords_df(coords, "EPSG:4326")
+    assert gm.is_j_axis_up is False
+    # without the NaN the same grid IS j-axis-up
+    pdf2 = pdf.copy()
+    pdf2.loc[2, "y"] = 0.0
+    gm2 = GridMappingDF.from_coords_df(
+        spark.createDataFrame(pdf2), "EPSG:4326")
+    assert gm2.is_j_axis_up is True

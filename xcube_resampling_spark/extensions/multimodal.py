@@ -69,6 +69,11 @@ def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Byte-level feature extraction over binary payloads via mapInPandas
     (Arrow-batched; one pass, no shuffle)."""
+    if feat_dim < 1 or 256 % feat_dim != 0:
+        # the byte-histogram reshape pools 256 counts into feat_dim
+        # bins; validate at call time, not as an executor reshape error
+        raise ValueError(
+            f"feat_dim must divide 256, got {feat_dim}")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in FEATURE_SCHEMA.fields]
@@ -133,8 +138,11 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for mid, w, h, payload in zip(
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
             ):
-                w = int(w or 4)
-                h = int(h or 4)
+                # nullable ints arrive through Arrow as float64 with
+                # NaN for NULL -- and NaN is truthy, so `w or 4` keeps
+                # it and int(NaN) raises; test with pd.isna instead
+                w = 4 if pd.isna(w) else int(w)
+                h = 4 if pd.isna(h) else int(h)
                 img = _fake_decode_rgb(payload or b"", w, h)
                 ji = (np.arange(out_h) * h // out_h)
                 ii = (np.arange(out_w) * w // out_w)
@@ -166,7 +174,7 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
             for mid, n, payload in zip(
                 pdf["media_id"], pdf["n_frames"], pdf["payload"]
             ):
-                n = int(n or 0)
+                n = 0 if pd.isna(n) else int(n)
                 payload = payload or b""
                 if n <= 0:
                     continue

@@ -36,8 +36,18 @@ from xcube_resampling_spark.extensions.text import hash32
 _HASH_SPACE = float(2 ** 32)
 
 
-def _keyed_hash(key: Column, seed: str) -> Column:
-    return hash32(F.concat(F.lit(seed), key.cast("string")))
+def _keyed_hash(key: Column, seed: str, salt: str) -> Column:
+    """Null-safe, per-function-salted hash.  NULL keys hash like any
+    other value (a marker disjoint from real keys: 'n' vs 'v'||key) --
+    a bare concat would go NULL and silently drop/misroute null-key
+    rows.  The per-function salt makes composed stages independent:
+    without it, sample_by_hash(rate) followed by split_by_hash with the
+    same seed puts EVERY surviving row in the first split whose
+    cumulative bound exceeds rate (identical hash on both decisions)."""
+    marked = F.when(key.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), key.cast("string"))
+    )
+    return hash32(F.concat(F.lit(f"{salt}|{seed}|"), marked))
 
 
 def sample_by_hash(
@@ -49,7 +59,8 @@ def sample_by_hash(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     key_col = F.col(key) if isinstance(key, str) else key
     threshold = int(rate * _HASH_SPACE)
-    return df.filter(_keyed_hash(key_col, seed) < F.lit(threshold))
+    return df.filter(
+        _keyed_hash(key_col, seed, "sample") < F.lit(threshold))
 
 
 def split_by_hash(
@@ -67,7 +78,7 @@ def split_by_hash(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     key_col = F.col(key) if isinstance(key, str) else key
-    h = _keyed_hash(key_col, seed)
+    h = _keyed_hash(key_col, seed, "split")
     expr = None
     acc = 0.0
     names = list(fractions)
@@ -99,7 +110,7 @@ def stratified_cap(
     strata_col = F.col(strata) if isinstance(strata, str) else strata
     key_col = F.col(key) if isinstance(key, str) else key
     win = Window.partitionBy(strata_col).orderBy(
-        _keyed_hash(key_col, seed).asc(), key_col.asc()
+        _keyed_hash(key_col, seed, "strata").asc(), key_col.asc()
     )
     return (
         df.withColumn(rank_col, F.row_number().over(win))

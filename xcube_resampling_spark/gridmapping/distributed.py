@@ -141,7 +141,7 @@ class GridMappingDF:
         (parity: GridMapping.from_coords_2d, base.py:554-622).
         """
         crs = CRS.from_user_input(crs)
-        stats = _coord_stats(coords, crs, lon_360=False)
+        stats = _coord_stats(coords, crs)
         w, h = (size if size is not None
                 else (stats["w"], stats["h"]))
         is_lon_360 = crs.is_geographic and stats["x_all_max"] > 180.0
@@ -157,7 +157,7 @@ class GridMappingDF:
                 F.when(F.col("x") >= 0.0, F.col("x"))
                 .otherwise(F.col("x") + 360.0),
             )
-            stats = _coord_stats(coords, crs, lon_360=True)
+            stats = _coord_stats(coords, crs)
             is_lon_360 = True
 
         res = _res_from_stats(stats, crs)
@@ -207,8 +207,10 @@ class GridMappingDF:
         )
 
 
-def _coord_stats(coords: DataFrame, crs: CRS, lon_360: bool) -> dict:
-    """All scalar grid statistics in one window pass + one aggregation."""
+def _coord_stats(coords: DataFrame, crs: CRS) -> dict:
+    """All scalar grid statistics in one window pass + ONE aggregation
+    job (edge-row/-column extrema come from struct-ordered min/max, so
+    no separate width/height pre-scan is needed)."""
     win_i = Window.partitionBy("j").orderBy("i")
     win_j = Window.partitionBy("i").orderBy("j")
     win_j_full = win_j.rowsBetween(
@@ -249,19 +251,26 @@ def _coord_stats(coords: DataFrame, crs: CRS, lon_360: bool) -> dict:
     area = x_len * y_len
     area_pos = F.when(area > 0.0, area)
 
-    # grid extent first (cheap max-only agg), then the full scalar sweep --
-    # the conditional "last row / last col" aggregates need w and h
-    wh = coords.agg(
-        (F.max("i") + 1).alias("w"), (F.max("j") + 1).alias("h")
-    ).collect()[0]
-    w, h = int(wh.w), int(wh.h)
+    # orientation: the numpy reference is np.all(y[0, :] < y[-1, :]) --
+    # a column whose edge y is NaN (or NULL) makes the comparison False
+    # there, so the flag must say "not up"; a bare min(y_last - y_first)
+    # would SKIP NaN spans (Spark sorts NaN greatest) and flip the axis
+    # for data the reference treats as j-axis-down
+    span_bad = (
+        F.col("y_col_first").isNull() | F.col("y_col_last").isNull()
+        | F.isnan("y_col_first") | F.isnan("y_col_last")
+    )
+    up_flag = (
+        F.when(span_bad, F.lit(0))
+        .when(F.col("y_col_first") < F.col("y_col_last"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
     agg = d.agg(
+        (F.max("i") + 1).alias("w"),
+        (F.max("j") + 1).alias("h"),
         F.min(area_pos).alias("area_min"),
         F.max(area_pos).alias("area_max"),
-        # orientation: all(y[0, i] < y[h-1, i])  <=>  min over columns of
-        # (y_last - y_first) > 0
-        F.min(F.col("y_col_last") - F.col("y_col_first"))
-        .alias("y_span_min"),
+        F.min(up_flag).alias("up_min"),
         F.max("x").alias("x_all_max"),
         # antimeridian check on the first row / first column diffs only
         # (parity: base.py:571-577 uses x[0, :] and x[:, 0])
@@ -269,32 +278,35 @@ def _coord_stats(coords: DataFrame, crs: CRS, lon_360: bool) -> dict:
         .alias("wrap_xx"),
         F.max(F.when(F.col("i") == 0, _abs_no_nan_col(F.col("dx_j"))))
         .alias("wrap_xy"),
-        F.min(F.when(F.col("i") == 0, F.col("x"))).alias("x_first_col_min"),
-        F.max(F.when(F.col("i") == w - 1, F.col("x")))
-        .alias("x_last_col_max"),
-        F.min(F.when(F.col("j") == 0, F.col("y"))).alias("y_first_row_min"),
-        F.max(F.when(F.col("j") == 0, F.col("y"))).alias("y_first_row_max"),
-        F.min(F.when(F.col("j") == h - 1, F.col("y")))
-        .alias("y_last_row_min"),
-        F.max(F.when(F.col("j") == h - 1, F.col("y")))
-        .alias("y_last_row_max"),
+        # edge-row/-column extrema via struct ordering (no w/h needed):
+        # min(struct(i, x)) lands on i == 0 with the smallest x there;
+        # max(struct(i, x)) on i == w-1 with the largest; the negated-y
+        # variants pick the opposite extremum on the same edge
+        F.min(F.struct("i", "x")).alias("sx_min"),
+        F.max(F.struct("i", "x")).alias("sx_max"),
+        F.min(F.struct("j", "y")).alias("sy_first"),
+        F.min(F.struct(F.col("j"), (-F.col("y")).alias("ny")))
+        .alias("sy_first_neg"),
+        F.max(F.struct("j", "y")).alias("sy_last"),
+        F.max(F.struct(F.col("j"), (-F.col("y")).alias("ny")))
+        .alias("sy_last_neg"),
     ).collect()[0]
     return {
-        "w": w,
-        "h": h,
+        "w": int(agg.w),
+        "h": int(agg.h),
         "area_min": agg.area_min,
         "area_max": agg.area_max,
-        "j_axis_up": agg.y_span_min is not None and agg.y_span_min > 0,
+        "j_axis_up": agg.up_min == 1,
         "x_all_max": agg.x_all_max if agg.x_all_max is not None
         else float("-inf"),
         "wrap_xx": agg.wrap_xx or 0.0,
         "wrap_xy": agg.wrap_xy or 0.0,
-        "x_first_col_min": float(agg.x_first_col_min),
-        "x_last_col_max": float(agg.x_last_col_max),
-        "y_first_row_min": float(agg.y_first_row_min),
-        "y_first_row_max": float(agg.y_first_row_max),
-        "y_last_row_min": float(agg.y_last_row_min),
-        "y_last_row_max": float(agg.y_last_row_max),
+        "x_first_col_min": float(agg.sx_min["x"]),
+        "x_last_col_max": float(agg.sx_max["x"]),
+        "y_first_row_min": float(agg.sy_first["y"]),
+        "y_first_row_max": float(-agg.sy_first_neg["ny"]),
+        "y_last_row_min": float(-agg.sy_last_neg["ny"]),
+        "y_last_row_max": float(agg.sy_last["y"]),
     }
 
 

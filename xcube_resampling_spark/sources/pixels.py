@@ -50,15 +50,16 @@ def write_pixels(
     pruning, base.py:565-606).
     """
     tw, th = tile_size
-    cols = df.columns
+    # floor, not truncating cast: a negative index would otherwise be
+    # WRITTEN to tile 0 but PRUNED to tile -1 by the read path's //
+    # arithmetic -- silent row loss for any out-of-origin window
     out = df.withColumn(
-        "tile_j", (F.col("j") / th).cast("int")
-    ).withColumn("tile_i", (F.col("i") / tw).cast("int"))
+        "tile_j", F.floor(F.col("j") / th).cast("int")
+    ).withColumn("tile_i", F.floor(F.col("i") / tw).cast("int"))
     writer = out.repartition("tile_j", "tile_i").write.mode(mode)
     writer.partitionBy("tile_j", "tile_i").parquet(path)
     if grid_mapping is not None:
         add_spatial_ref(path, grid_mapping, tile_size)
-    _ = cols
 
 
 def add_spatial_ref(

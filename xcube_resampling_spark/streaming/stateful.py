@@ -27,20 +27,25 @@ FIRST_EVENT_SCHEMA = (
     "user_id bigint, first_ts timestamp, first_event_id bigint,"
     " first_value double"
 )
-_STATE_SCHEMA = "seen boolean"
+_STATE_SCHEMA = "first_ts timestamp, first_event_id bigint"
 
 
 def first_event_per_key(
     events: DataFrame,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Emit each key's FIRST event (min (ts, event_id)) exactly once
-    across the whole stream; suppress every later occurrence.
+    """Emit each key's FIRST event (min (ts, event_id)) across the
+    whole stream, in update mode.
 
-    Streaming path: ``applyInPandasWithState`` in update mode -- one
-    boolean of state per key; a key emits on the micro-batch where it is
-    first seen and never again.  Within a batch the winner is the
-    (ts, event_id)-minimum, matching the deterministic batch twin below.
+    Streaming path: ``applyInPandasWithState`` holding the current
+    winner's (ts, event_id) per key; a key emits on the micro-batch
+    where it is first seen and AGAIN whenever a later batch delivers a
+    late-but-earlier event inside the watermark (the update-mode row
+    replaces the previous winner downstream, the same convergence
+    contract as ``dedup_stream``).  Events older than the watermark are
+    dropped by the engine before reaching the state function, so the
+    output converges to the batch twin's minimum over all events that
+    survived the watermark.
 
     Batch path (same function on a non-streaming frame): a row_number
     window -- the SQL-expressible twin the DuckDB oracle checks.
@@ -69,9 +74,16 @@ def first_event_per_key(
             cand = (top["ts"], top["event_id"], top["value"])
             if best is None or (cand[0], cand[1]) < (best[0], best[1]):
                 best = cand
-        if state.exists or best is None:
+        if best is None:
             return
-        state.update((True,))
+        if state.exists:
+            cur_ts, cur_id = state.get
+            # suppress unless this batch brought a strictly earlier
+            # event (late data inside the watermark)
+            if (pd.Timestamp(cur_ts), cur_id) <= (
+                    pd.Timestamp(best[0]), best[1]):
+                return
+        state.update((best[0], int(best[1])))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
