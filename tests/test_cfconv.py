@@ -188,3 +188,114 @@ class TestDiscovery:
             ds, prefer_crs=CRS.from_epsg(32632)
         )
         assert not gm2.crs.is_geographic
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 parity-review findings."""
+
+    def test_geotiff_crs84_with_xy_named_coords(self, spark):
+        """rioxarray reads a CRS-84 GeoTIFF as a latitude_longitude grid
+        mapping whose 1-D coords are literally named 'x'/'y' -- the
+        projected coord bucket must complement the lat-lon proxy
+        (reference cfconv.py:246-251 edge case)."""
+        ds = _ds(
+            spark,
+            {
+                "x": np.arange(0.5, 8.0, 1.0),
+                "y": np.arange(5.5, 0.0, -1.0),
+            },
+            coord_attrs={
+                "spatial_ref": {
+                    "grid_mapping_name": "latitude_longitude",
+                    "semi_major_axis": 6378137.0,
+                    "inverse_flattening": 298.257223563,
+                },
+            },
+            var_attrs={"grid_mapping": "spatial_ref"},
+        )
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.crs.is_geographic
+        assert gm.size == (8, 6)
+        assert gm.xy_var_names == ("x", "y")
+
+    def test_rotated_pole_rlon_rlat(self, spark):
+        """rlon/rlat coords must bind to a rotated_latitude_longitude
+        grid-mapping variable (reference cfconv.py:144-146), not to the
+        projected bucket and not crash."""
+        ds = _ds(
+            spark,
+            {
+                "rlon": np.arange(-10.0 + 0.055, 10.0, 0.11),
+                "rlat": np.arange(-8.0 + 0.055, 8.0, 0.11),
+            },
+            coord_attrs={
+                "rotated_pole": {
+                    "grid_mapping_name": "rotated_latitude_longitude",
+                    "grid_north_pole_latitude": 39.25,
+                    "grid_north_pole_longitude": -162.0,
+                },
+            },
+            var_attrs={"grid_mapping": "rotated_pole"},
+        )
+        ds.yx_dims = ("rlat", "rlon")
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.crs.kind == "rot_pole"
+        assert gm.xy_var_names == ("rlon", "rlat")
+
+    def test_tile_size_inferred_from_variable_chunks(self, spark):
+        """With no explicit tile_size the dataset's declared chunking
+        wins (reference _find_dataset_tile_size)."""
+        ds = _ds(spark, {
+            "lon": np.arange(0.05, 100.0, 0.1),
+            "lat": np.arange(80.0, 0.0, -0.1),
+        })
+        v = ds.data_vars["band"]
+        from dataclasses import replace as _rp
+        try:
+            ds.data_vars["band"] = _rp(v, chunks=(256, 512))
+        except TypeError:
+            v.chunks = (256, 512)
+        gm = grid_mapping_from_dataset(ds)
+        assert gm.tile_size == (512, 256)
+
+    def test_default_preference_matches_reference(self, spark):
+        """prefer_is_regular defaults to None like the reference: with
+        several grid mappings and no preferences, the FIRST one wins
+        (not the first regular one)."""
+        import inspect
+
+        sig = inspect.signature(grid_mapping_from_dataset)
+        assert sig.parameters["prefer_is_regular"].default is None
+
+
+def test_select_variables_unknown_name_raises(spark):
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+
+    df = spark.range(1).selectExpr(
+        "CAST(0 AS INT) t", "CAST(0 AS INT) j", "CAST(0 AS INT) i",
+        "CAST(1.0 AS DOUBLE) value",
+    )
+    ds = SparkDataset(
+        spark=spark,
+        data_vars={"a": Variable("a", df, ("y", "x"), "float64", {})},
+        coords={}, yx_dims=("y", "x"),
+    )
+    with pytest.raises(KeyError, match="chl_typo"):
+        ds.select_variables(["chl_typo"])
+    assert list(ds.select_variables(["a"]).data_vars) == ["a"]
+
+
+def test_to_numpy_int_missing_pixels_take_dtype_fill(spark):
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 7.0)], "t int, j int, i int, value double"
+    )
+    ds = SparkDataset(
+        spark=spark,
+        data_vars={"b": Variable("b", df, ("y", "x"), "uint8", {})},
+        coords={}, yx_dims=("y", "x"),
+    )
+    out = ds.to_numpy("b", (1, 2))
+    assert out[0, 0] == 7
+    assert out[0, 1] == 255  # uint8 default fill, not INT64_MIN

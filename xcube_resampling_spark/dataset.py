@@ -146,6 +146,14 @@ class SparkDataset:
         if len(shape) == 2:
             out = out[0]
         if is_int_dtype(var.dtype):
+            # NaN.astype(int64) is platform-defined garbage (INT64_MIN);
+            # absent pixels of an int variable take the dtype's default
+            # fill unless the caller chose a finite fill explicitly
+            if np.isnan(fill_value):
+                from .constants import default_fill_value
+
+                out = np.where(
+                    np.isnan(out), default_fill_value(var.dtype), out)
             with np.errstate(invalid="ignore"):
                 out_i = out.astype(np.int64)
             return out_i
@@ -158,6 +166,12 @@ class SparkDataset:
             return self
         if isinstance(variables, str):
             variables = [variables]
+        unknown = [v for v in variables if v not in self.data_vars]
+        if unknown:
+            # reference semantics: ds[[...]] raises on unknown names --
+            # a typo must not become a silent empty result
+            raise KeyError(
+                f"variables not found in dataset: {unknown}")
         return replace(
             self,
             data_vars={k: v for k, v in self.data_vars.items()

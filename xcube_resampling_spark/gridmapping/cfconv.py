@@ -40,7 +40,7 @@ def grid_mapping_from_dataset(
     *,
     crs=None,
     tile_size=None,
-    prefer_is_regular: bool | None = True,
+    prefer_is_regular: bool | None = None,
     prefer_crs=None,
     tolerance: float = DEFAULT_TOLERANCE,
 ) -> GridMapping:
@@ -111,6 +111,7 @@ def grid_mapping_from_dataset(
         return (name, arr, dims)
 
     latlon = _Proxy()
+    rotated = _Proxy()
     projected = _Proxy()
 
     candidates = [
@@ -119,18 +120,24 @@ def grid_mapping_from_dataset(
         and isinstance(dataset.coords[n], np.ndarray | list | tuple)
         and np.asarray(dataset.coords[n]).ndim in (1, 2)
     ]
-    # Some products carry 2-D lon/lat as *data* variables
-    # (reference fixture sampledata.py:295-421); accept spatial data vars
-    # named like coordinates as candidates too if they are driver-resident.
-    # (Long-format spatial vars are not scanned here.)
+    # NOTE: in this engine 2-D lon/lat images must arrive via
+    # dataset.coords (driver numpy) or through GridMappingDF for the
+    # distributed path -- data variables are long-format DataFrames and
+    # carry no driver-resident arrays to scan, unlike the reference's
+    # xarray dataset.variables sweep.
 
-    # by CF standard_name (reference cfconv.py:126-138)
+    # by CF standard_name (reference cfconv.py:126-138, incl. the
+    # rotated-pole grid_longitude/grid_latitude pair)
     for n in candidates:
         std = (dataset.coord_attrs.get(n, {}) or {}).get("standard_name")
         if latlon.x is None and std == "longitude":
             latlon.x = coord_entry(n)
         if latlon.y is None and std == "latitude":
             latlon.y = coord_entry(n)
+        if rotated.x is None and std == "grid_longitude":
+            rotated.x = coord_entry(n)
+        if rotated.y is None and std == "grid_latitude":
+            rotated.y = coord_entry(n)
         if projected.x is None and std == "projection_x_coordinate":
             projected.x = coord_entry(n)
         if projected.y is None and std == "projection_y_coordinate":
@@ -142,44 +149,55 @@ def grid_mapping_from_dataset(
             latlon.x = coord_entry(n)
         if latlon.y is None and n in ("lat", "latitude"):
             latlon.y = coord_entry(n)
+        if rotated.x is None and n in ("rlon", "rlongitude"):
+            rotated.x = coord_entry(n)
+        if rotated.y is None and n in ("rlat", "rlatitude"):
+            rotated.y = coord_entry(n)
         if projected.x is None and n in ("x", "xc", "transformed_x"):
             projected.x = coord_entry(n)
         if projected.y is None and n in ("y", "yc", "transformed_y"):
             projected.y = coord_entry(n)
 
-    # Assign coords to proxies (reference cfconv.py:158-181)
+    # Assign coords to proxies by grid-mapping name
+    # (reference cfconv.py:158-165)
     for p in proxies.values():
-        src = latlon if p.name == "latitude_longitude" else projected
+        if p.name == "latitude_longitude":
+            src = latlon
+        elif p.name == "rotated_latitude_longitude":
+            src = rotated
+        else:
+            src = projected
         p.x, p.y = src.x, src.y
 
-    if latlon.x is not None or latlon.y is not None:
-        match = next(
-            (p for p in proxies.values() if p.name == "latitude_longitude"),
-            None,
-        )
-        if match is None:
-            p = _Proxy(crs=crs or CRS_WGS84, name="latitude_longitude")
-            p.x, p.y = latlon.x, latlon.y
-            proxies.setdefault("__latlon__", p)
-        else:
-            if match.x is None:
-                match.x = latlon.x
-            if match.y is None:
-                match.y = latlon.y
-    if projected.x is not None or projected.y is not None:
+    # Complement rules (reference _complement_grid_mapping_coords,
+    # cfconv.py:224-251): each coord bucket either fills the matching
+    # proxy's missing axes or creates a proxy when a fallback CRS is
+    # known.  The projected bucket matches ANY proxy (name filter None)
+    # -- that covers the GeoTIFF CRS-84 edge case where a
+    # latitude_longitude mapping comes with coords literally named
+    # "x"/"y" as rioxarray reads them.
+    def _complement(bucket, name_filter, missing_crs):
+        if bucket.x is None and bucket.y is None:
+            return
         match = next(
             (p for p in proxies.values()
-             if p.name != "latitude_longitude"), None
+             if name_filter is None or p.name == name_filter),
+            None,
         )
-        if match is None and crs is not None:
-            p = _Proxy(crs=crs)
-            p.x, p.y = projected.x, projected.y
-            proxies.setdefault("__projected__", p)
-        elif match is not None:
+        if match is None and missing_crs is not None:
+            p = _Proxy(crs=missing_crs, name=name_filter)
+            p.x, p.y = bucket.x, bucket.y
+            proxies.setdefault(f"__{name_filter or 'projected'}__", p)
+            return
+        if match is not None:
             if match.x is None:
-                match.x = projected.x
+                match.x = bucket.x
             if match.y is None:
-                match.y = projected.y
+                match.y = bucket.y
+
+    _complement(latlon, "latitude_longitude", crs or CRS_WGS84)
+    _complement(rotated, "rotated_latitude_longitude", crs)
+    _complement(projected, None, crs)
 
     grid_mappings = []
     for p in proxies.values():
@@ -190,9 +208,24 @@ def grid_mapping_from_dataset(
             and p.y[1].size >= 2
             and p.x[1].ndim == p.y[1].ndim
         ):
+            # tile size falls back to the dataset's declared chunking
+            # (reference _find_dataset_tile_size via get_dataset_chunks)
+            if tile_size is None:
+                from .helpers import get_dataset_chunks
+
+                chunks = get_dataset_chunks(dataset)
+                if p.x[1].ndim == 1:
+                    txd, tyd = str(p.x[2][0]), str(p.y[2][0])
+                else:
+                    tyd, txd = (str(d) for d in dataset.yx_dims)
+                tw_, th_ = chunks.get(txd), chunks.get(tyd)
+                eff_tile = (tw_, th_) \
+                    if tw_ is not None and th_ is not None else None
+            else:
+                eff_tile = tile_size
             gm = GridMapping.from_coords(
                 p.x[1], p.y[1], p.crs,
-                tile_size=tile_size, tolerance=tolerance,
+                tile_size=eff_tile, tolerance=tolerance,
                 xy_var_names=(str(p.x[0]), str(p.y[0])),
                 xy_dim_names=(
                     (str(p.x[2][0]), str(p.y[2][0]))

@@ -113,6 +113,13 @@ def num_t(dataset, var) -> int:
     entry the extent is derived from the data itself (max t + 1) -- the
     reference derives it from the array shape (xarray always knows it), so
     silently assuming 1 would drop every t > 0 plane.
+
+    KNOWN LIMIT of the data-derived fallback: a TRAILING plane with no
+    coverage at all (every pixel absent in the long format) is
+    indistinguishable from a shorter axis, so it is dropped rather than
+    emitted all-fill.  Attach a coordinate for the leading dim (any
+    values; only its length is read) when trailing empty planes must
+    survive.
     """
     if len(var.dims) < 3:
         return 1
