@@ -750,3 +750,107 @@ class TestOmercVariantA:
                 assert again.param("no_uoff", 0.0) == \
                     crs.param("no_uoff", 0.0)
                 assert _max_err(crs, again, (110, 119), (1, 7)) == 0.0
+
+
+class TestForeignDialectRegressions:
+    """Round-5 review pins: input classes the closure tests never
+    generate (GDAL/ESRI WKT1 dialects, legacy PROJ strings)."""
+
+    def test_gdal_wkt1_laea_longitude_of_center(self):
+        """GDAL's WKT1 for EPSG:3035 uses latitude/longitude_of_center;
+        lonc must land on the engine's lon_0 (it silently fell away,
+        shifting the center ~700 km)."""
+        wkt1 = """PROJCS["ETRS89-extended / LAEA Europe",
+ GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",
+  SPHEROID["GRS 1980",6378137,298.257222101]],
+  PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Lambert_Azimuthal_Equal_Area"],
+ PARAMETER["latitude_of_center",52],
+ PARAMETER["longitude_of_center",10],
+ PARAMETER["false_easting",4321000],
+ PARAMETER["false_northing",3210000],
+ UNIT["metre",1]]"""
+        got = crs_from_wkt(wkt1)
+        ref = CRS.from_epsg(3035)
+        assert got.param("lon_0") == 10.0
+        import numpy as np
+
+        from xcube_resampling_spark.crs import CRS_WGS84, Transformer
+        lo = np.array([5.0, 15.0]); la = np.array([45.0, 55.0])
+        xa, ya = Transformer.from_crs(CRS_WGS84, got).transform(lo, la)
+        xb, yb = Transformer.from_crs(CRS_WGS84, ref).transform(lo, la)
+        np.testing.assert_allclose(xa, xb, atol=1e-6)
+        np.testing.assert_allclose(ya, yb, atol=1e-6)
+
+    def test_proj_pm_paris(self):
+        """+pm=paris longitudes are Paris-relative; the engine stores
+        Greenwich lon_0, so it must shift by 2.33722917 deg (ignoring
+        it landed NTF grids ~260 km west)."""
+        c = crs_from_proj(
+            "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 "
+            "+k_0=0.99987742 +x_0=600000 +y_0=2200000 "
+            "+ellps=clrk80ign +pm=paris")
+        assert c.param("lon_0") == pytest.approx(2.33722917)
+        with pytest.raises(ValueError, match="pm"):
+            crs_from_proj("+proj=longlat +ellps=WGS84 +pm=oslo")
+
+    def test_proj_unknown_ellps_raises_and_krass_parses(self):
+        c = crs_from_proj("+proj=tmerc +lon_0=21 +ellps=krass")
+        assert c.ellipsoid.a == 6378245.0
+        with pytest.raises(ValueError, match="ellps"):
+            crs_from_proj("+proj=tmerc +lon_0=21 +ellps=bogus77")
+        nad27 = crs_from_proj("+proj=lcc +lat_1=33 +lat_2=45 "
+                              "+datum=NAD27")
+        assert nad27.ellipsoid.a == 6378206.4
+        with pytest.raises(ValueError, match="datum"):
+            crs_from_proj("+proj=tmerc +datum=potsdam77")
+
+    def test_spherical_merc_with_scale_keeps_merc_kernel(self):
+        """+proj=merc +R +lat_ts=30 must keep its cos(30) scale -- the
+        webmerc kernel has no k_0 (silently dropped ~15.5%)."""
+        import math as m
+
+        c = crs_from_proj("+proj=merc +R=6371000 +lat_ts=30")
+        assert c.kind == "merc"
+        assert c.param("k_0") == pytest.approx(m.cos(m.radians(30.0)))
+        # unit-scale sphere still lowers to the webmerc fast path
+        c2 = crs_from_proj("+proj=merc +R=6371000")
+        assert c2.kind == "webmerc"
+
+    def test_k0less_crs_emits_unit_scale(self):
+        """A CRS whose params lack k_0 transforms with the kernel
+        default 1.0; its WKT emission must say 1.0, not param()'s
+        generic 0.0 (which collapsed every reparsed coordinate)."""
+        c = crs_from_proj("+proj=sterea +lat_0=52 +lon_0=5 "
+                          "+ellps=bessel")
+        merged = dict(c.params)
+        merged.pop("k_0", None)
+        from dataclasses import replace
+
+        c2 = replace(c, params=tuple(sorted(merged.items())))
+        again = crs_from_wkt(c2.to_wkt())
+        assert again.param("k_0", 1.0) == 1.0
+
+    def test_coordinate_frame_rotation_sign(self):
+        """A BOUNDCRS whose transformation METHOD is Coordinate Frame
+        carries rotations with the opposite sign of the engine's
+        position-vector convention."""
+        base = CRS.from_epsg(28992)
+        wkt = base.to_wkt()
+        assert "Position Vector" in wkt or "ABRIDGED" in wkt.upper()
+        pv = crs_from_wkt(wkt)
+        cf_wkt = wkt.replace("Position Vector transformation",
+                             "Coordinate Frame rotation")
+        cf = crs_from_wkt(cf_wkt)
+        assert cf.towgs84[0] == pv.towgs84[0]
+        for k in (3, 4, 5):
+            assert cf.towgs84[k] == pytest.approx(-pv.towgs84[k])
+
+    def test_quoted_name_survives_emission(self):
+        from dataclasses import replace
+
+        c = replace(CRS.from_epsg(3035),
+                    name='ETRS89 "extended" LAEA')
+        again = crs_from_wkt(c.to_wkt())
+        assert again.name == 'ETRS89 "extended" LAEA'
+        assert again.params == c.params

@@ -185,7 +185,11 @@ _METHODS = {
     "hotineobliquemercatorazimuthcenter": "omerc",
     "obliquemercator": "omerc",
     "hotineobliquemercatorvarianta": "omerc_a",
-    "rectifiedskeworthomorphiccentreoriginnaturalorigin": "omerc",
+    # ESRI Rectified Skew Orthomorphic: natural-origin = variant A
+    # (no_uoff anchoring), center = variant B
+    "rectifiedskeworthomorphicnaturalorigin": "omerc_a",
+    "rectifiedskeworthomorphiccenter": "omerc",
+    "rectifiedskeworthomorphiccentre": "omerc",
     # Krovak (9819) -- east-north axis handling is the CRS's job; the
     # engine's krovak kind IS the east-north (EPSG:5514) orientation
     "krovak": "krovak",
@@ -271,6 +275,13 @@ _PARAMS = {
 _DEG_PER_RAD = 180.0 / math.pi
 
 # known ellipsoid aliases (PROJ +ellps= names -> our table keys)
+# engine keys holding angles in degrees (everything else is linear
+# metres or a unitless scale)
+_ANGULAR_KEYS = {
+    "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc", "alpha",
+    "gamma", "lat_p", "pole_lat", "pole_lon",
+}
+
 _ELLPS_ALIASES = {
     "wgs84": ("WGS84", 6378137.0, 298.257223563),
     "grs80": ("GRS80", 6378137.0, 298.257222101),
@@ -287,6 +298,19 @@ _ELLPS_ALIASES = {
     "everest1967": ("Everest1967", 6377298.556, 300.8017),
     "clrk80ign": ("Clarke1880IGN", 6378249.2, 293.4660212936269),
     "clarke1880ign": ("Clarke1880IGN", 6378249.2, 293.4660212936269),
+    "krass": ("Krassowsky1940", 6378245.0, 298.3),
+    "krassowsky1940": ("Krassowsky1940", 6378245.0, 298.3),
+    "wgs72": ("WGS72", 6378135.0, 298.26),
+    "clrk80": ("Clarke1880RGS", 6378249.145, 293.465),
+    "sphere": ("Sphere", 6370997.0, float("inf")),
+}
+
+# +datum shorthands PROJ expands to an ellipsoid (+ implicit grids/
+# shifts this engine does not model -- the towgs84-less cases behave
+# like PROJ without datum grids)
+_DATUM_ELLPS = {
+    "wgs84": "wgs84", "nad83": "grs80", "nad27": "clrk66",
+    "potsdam": "bessel", "ire65": "airy", "osgb36": "airy",
 }
 
 
@@ -373,6 +397,14 @@ def _bound_towgs84(root: _Node) -> tuple:
     tr = root.child("ABRIDGEDTRANSFORMATION")
     if tr is None:
         return ()
+    # the engine's Helmert bridge is position-vector (EPSG 9606); a
+    # Coordinate Frame rotation method (EPSG 9607/1032...) carries the
+    # rotations with the OPPOSITE sign -- copying them verbatim would
+    # move points ~30 m per arc-second of rotation
+    method = tr.child("METHOD")
+    mname = _norm(method.strings()[0]) if method and method.strings() \
+        else ""
+    cf = "coordinateframe" in mname
     vals = {}
     for p in tr.children("PARAMETER"):
         names = p.strings()
@@ -388,6 +420,10 @@ def _bound_towgs84(root: _Node) -> tuple:
     ds = vals.get("scaledifference")
     if rx is None and ry is None and rz is None and ds is None:
         return (dx, dy, dz)
+    if cf:
+        rx = -rx if rx is not None else None
+        ry = -ry if ry is not None else None
+        rz = -rz if rz is not None else None
     if ds is not None and abs(ds - 1.0) < 0.01:
         # abridged WKT2 stores scale as (1 + ds in ppm) per ISO 19162
         # B.4; accept either the ppm difference or the ratio.  The
@@ -475,6 +511,13 @@ def _apply_kind_fixups(kind: str, p: dict) -> tuple:
         kind = "geos"
         p["sweep_x"] = sweep_x
         p.pop("_sweep", None)
+    if kind not in ("omerc", "krovak", "somerc") and "lonc" in p:
+        # GDAL WKT1 spells the center longitude of laea/aea/aeqd/sinu
+        # (EPSG:3035 et al.) "longitude_of_center" -> engine lon_0; the
+        # engine kernels outside the oblique-Mercator family never read
+        # lonc, so dropping it would silently shift the projection
+        # center (e.g. 3035 by ~700 km)
+        p.setdefault("lon_0", p.pop("lonc"))
     p.pop("_cone_colat", None)
     p.pop("_sweep", None)
     return kind, tuple(sorted(p.items()))
@@ -569,8 +612,15 @@ def _crs_from_node(root: _Node) -> CRS:
         key = _norm(pnames[0])
         if pu is not None:
             f = _unit_factor(pu, 1.0)
-            if pu.keyword == "ANGLEUNIT" or (
-                    pu.keyword == "UNIT" and f < 0.1):
+            if pu.keyword == "UNIT":
+                # generic WKT2 UNIT keyword: classify by what the
+                # parameter MEANS, not by the factor's magnitude (a
+                # centimetre false easting is linear despite f < 0.1,
+                # a radian latitude is angular despite f == 1)
+                angular = _PARAMS.get(key) in _ANGULAR_KEYS
+            else:
+                angular = pu.keyword == "ANGLEUNIT"
+            if angular:
                 raw_si[key] = value * _ang_to_deg(f)
             else:
                 raw_si[key] = value * f
@@ -676,11 +726,18 @@ def crs_from_proj(s: str) -> CRS:
     # ellipsoid: +ellps name, +a/+rf/+b overrides, +R sphere, +datum
     ell = _Ellipsoid(6378137.0, 298.257223563)
     datum = kv.get("datum", "").lower()
-    ellps = kv.get("ellps", "").lower() or (
-        "wgs84" if datum in ("", "wgs84") else datum)
+    if datum and datum not in _DATUM_ELLPS:
+        raise ValueError(f"unsupported +datum={kv['datum']!r}")
+    ellps = kv.get("ellps", "").lower() or _DATUM_ELLPS.get(
+        datum, "wgs84")
     if ellps in _ELLPS_ALIASES:
         _, a, inv_f = _ELLPS_ALIASES[ellps]
         ell = _Ellipsoid(a, inv_f)
+    elif "a" not in kv and "R" not in kv:
+        # silently falling back to WGS84 would shift grids by up to
+        # hundreds of metres (e.g. krass vs wgs84) -- same failure mode
+        # as an unknown +units
+        raise ValueError(f"unsupported +ellps={kv.get('ellps')!r}")
     if "R" in kv:
         ell = _Ellipsoid(float(kv["R"]), float("inf"))
     if "a" in kv:
@@ -698,6 +755,24 @@ def crs_from_proj(s: str) -> CRS:
         towgs84 = tuple(float(v) for v in kv["towgs84"].split(","))
         if all(v == 0.0 for v in towgs84):
             towgs84 = ()
+
+    # +pm= prime meridian: longitudes in the string are relative to it;
+    # the engine stores Greenwich longitudes, so shift lon_0/lonc
+    # (matching the WKT path's PRIMEM handling).  Ignoring it would
+    # land e.g. NTF Paris-meridian grids ~260 km west.
+    pm_raw = kv.get("pm")
+    if pm_raw is not None:
+        pms = {"greenwich": 0.0, "paris": 2.33722917,
+               "ferro": -17.66666666666667, "rome": 12.45233333333333,
+               "madrid": -3.687938888888889}
+        try:
+            pm_deg = float(pm_raw)
+        except ValueError:
+            if pm_raw.lower() not in pms:
+                raise ValueError(f"unsupported +pm={pm_raw!r}")
+            pm_deg = pms[pm_raw.lower()]
+    else:
+        pm_deg = 0.0
 
     if kind == "geographic":
         if not towgs84 and abs(ell.a - 6378137.0) < 1e-6 and \
@@ -748,15 +823,15 @@ def crs_from_proj(s: str) -> CRS:
             if math.isinf(ell.inv_f):
                 # spherical Mercator with lat_ts: fold into k via sphere
                 p["k_0"] = math.cos(math.radians(p.pop("lat_ts")))
-                kind = "webmerc"
-                if p.get("k_0") == 1.0:
-                    p.pop("k_0")
             else:
                 p["k_0"] = _merc_b_k0(ell, p.pop("lat_ts"))
-        elif math.isinf(ell.inv_f):
-            kind = "webmerc"
         p.setdefault("k_0", 1.0)
-        if kind == "webmerc":
+        if math.isinf(ell.inv_f) and p.get("k_0") == 1.0:
+            # unit-scale sphere IS the web-mercator kernel; any other
+            # scale must keep the merc kernel (webmerc has no k_0 --
+            # lowering would silently drop the scale, ~15.5%% at
+            # lat_ts=30)
+            kind = "webmerc"
             p.pop("k_0", None)
             p.pop("lat_ts", None)
     if kind == "stere":
@@ -788,6 +863,11 @@ def crs_from_proj(s: str) -> CRS:
         p.setdefault("gamma", p.get("alpha", 0.0))
         p.setdefault("k_0", 1.0)
     if kind == "krovak":
+        if "czech" in flags:
+            raise NotImplementedError(
+                "+proj=krovak +czech (positive southing/westing axes, "
+                "EPSG:5513) is not supported; use the east-north form "
+                "(EPSG:5514)")
         p.setdefault("lat_0", 49.5)
         p.setdefault("lon_0", 24.0 + 50.0 / 60)
         p.setdefault("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600)
@@ -818,6 +898,10 @@ def crs_from_proj(s: str) -> CRS:
 
     p.setdefault("x_0", 0.0)
     p.setdefault("y_0", 0.0)
+    if pm_deg:
+        for lk in ("lon_0", "lonc", "pole_lon"):
+            if lk in p:
+                p[lk] += pm_deg
     return CRS(kind, f"+proj={proj}", ell, tuple(sorted(p.items())),
                towgs84=towgs84)
 
@@ -827,6 +911,13 @@ def crs_from_proj(s: str) -> CRS:
 
 _DEG_UNIT = 'ANGLEUNIT["degree",0.0174532925199433]'
 _M_UNIT = 'LENGTHUNIT["metre",1]'
+
+
+def _q(name: str) -> str:
+    """Quote a WKT string value, escaping embedded quotes as \"\"
+    (the tokenizer's own escape), so names containing quotes survive
+    the parse-emit closure instead of producing malformed WKT."""
+    return '"' + str(name).replace('"', '""') + '"'
 
 # kind -> (EPSG method name, [(wkt param name, engine key, kind_)])
 # kind_ 'a' = angular (degree), 'l' = linear (metre), 's' = scale
@@ -983,8 +1074,8 @@ def _emit_ellipsoid(ell: _Ellipsoid) -> str:
 
 def _emit_geog(crs: CRS, name: str) -> str:
     return (
-        f'GEOGCRS["{name}",'
-        f'DATUM["{name}",{_emit_ellipsoid(crs.ellipsoid)}],'
+        f'GEOGCRS[{_q(name)},'
+        f'DATUM[{_q(name)},{_emit_ellipsoid(crs.ellipsoid)}],'
         f'CS[ellipsoidal,2],'
         f'AXIS["geodetic latitude (Lat)",north,{_DEG_UNIT}],'
         f'AXIS["geodetic longitude (Lon)",east,{_DEG_UNIT}]]'
@@ -1064,7 +1155,11 @@ def crs_to_wkt(crs: CRS) -> str:
                     for n, k, u in plist
                 ]
         params = ",".join(
-            f'PARAMETER["{pname}",{_num(crs.param(key))},'
+            # scale factors default to 1.0 (param()'s generic 0.0 would
+            # emit k_0=0 for a CRS that never stored it -- the engine
+            # kernels read k_0 with default 1, so the reparse must too)
+            f'PARAMETER["{pname}",'
+            f'{_num(crs.param(key, 1.0 if k == "s" else 0.0))},'
             + (_DEG_UNIT if k == "a" else _M_UNIT if k == "l"
                else 'SCALEUNIT["unity",1]')
             + "]"
@@ -1085,7 +1180,7 @@ def crs_to_wkt(crs: CRS) -> str:
             axes = (f'AXIS["(E)",east,{_M_UNIT}],'
                     f'AXIS["(N)",north,{_M_UNIT}]')
         body = (
-            f'PROJCRS["{crs.name or "unnamed"}",'
+            f'PROJCRS[{_q(crs.name or "unnamed")},'
             f"{base},"
             f'CONVERSION["unnamed",METHOD["{method}"],{params}],'
             f'CS[Cartesian,2],'
