@@ -1092,6 +1092,44 @@ class TestProductQuantization:
         assert "Join" not in plan
         assert "TakeOrderedAndProject" in plan
 
+    def test_assign_centroids_plan_is_shuffle_free(self, spark):
+        """Nearest-centroid assignment must stay a narrow literal-argmax
+        projection: zero exchanges, zero joins (the former
+        crossJoin+groupBy shuffled N x k rows per Lloyd pass -- a
+        10x-data shuffle per iteration at 100 TB)."""
+        from xcube_resampling_spark.extensions.similarity import (
+            assign_centroids,
+        )
+
+        emb = self._embeddings(spark, n=40)
+        cents = emb.orderBy("vec_id").limit(4)
+        out = assign_centroids(emb, cents)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            line for line in plan.splitlines()
+            if "Exchange" in line and "Reused" not in line
+        ]
+        assert exchanges == []
+        assert "Join" not in plan
+
+    def test_pq_encode_plan_is_shuffle_free(self, spark):
+        """Encoding must be one map-only projection over literal
+        codebooks: zero exchanges, zero joins."""
+        from xcube_resampling_spark.extensions.similarity import (
+            pq_encode, pq_train,
+        )
+
+        emb = self._embeddings(spark, n=40)
+        books = pq_train(emb, m=2, ksub=4, iterations=1)
+        out = pq_encode(emb, books)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            line for line in plan.splitlines()
+            if "Exchange" in line and "Reused" not in line
+        ]
+        assert exchanges == []
+        assert "Join" not in plan
+
     def test_pq_validation(self, spark):
         import pytest as _pytest
 

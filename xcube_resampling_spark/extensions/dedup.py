@@ -710,8 +710,8 @@ def semantic_dedup(
     and ``id_a < id_b``, plus each pair's shared ``cluster`` id.
 
     100-TB shape: centroids train distributively (``kmeans_centroids`` --
-    per-iteration broadcast assignment + positional-mean agg), the
-    assignment pass is one broadcast join over the corpus, and the
+    per-iteration narrow literal-centroid assignment + positional-mean
+    agg), the assignment pass is a zero-exchange map-only scan, and the
     within-cluster self-join shuffles on ``cent_id`` (tune
     ``num_clusters`` so clusters fit a task; SemDeDup used 100k clusters
     for LAION-scale data).  Exact cosine inside the cluster keeps

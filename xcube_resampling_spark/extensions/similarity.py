@@ -59,34 +59,64 @@ def knn_brute_force(
     ).limit(k)
 
 
+def _collect_centroids(
+    centroids: DataFrame,
+) -> list[tuple[int, list[float], float]]:
+    """Materialize a (tiny, k-row) centroid table driver-side as
+    ``(cent_id, vector, norm)`` triples.  The norm is computed with the
+    same left-to-right IEEE-double summation as :func:`_norm` so literal
+    and columnar scoring paths are bit-identical."""
+    rows = centroids.select("vec_id", "embedding").collect()
+    out: list[tuple[int, list[float], float]] = []
+    for r in sorted(rows, key=lambda r: int(r.vec_id)):
+        vec = [float(v) for v in r.embedding]
+        acc = 0.0
+        for v in vec:
+            acc += v * v
+        out.append((int(r.vec_id), vec, acc ** 0.5))
+    return out
+
+
 def assign_centroids(
-    embeddings: DataFrame, centroids: DataFrame
+    embeddings: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float], float]],
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast join +
-    min_by -- one scan, no shuffle of the big side beyond the groupBy)."""
-    pairs = embeddings.crossJoin(
-        F.broadcast(
-            centroids.select(
-                F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("cent"),
-            )
+    """Assign each vector to its nearest centroid as ONE narrow
+    projection -- zero exchanges.
+
+    The k centroids (k rows -- always driver-sized) are folded into a
+    literal array-of-structs and the cosine argmax runs inside
+    whole-stage codegen via ``array_max`` over ``struct(cos, -cent_id)``
+    (the same literal-lookup pattern as :func:`pq_topk`'s LUT).  At
+    100 TB this replaces the former crossJoin+groupBy, which shuffled
+    N x k rows per pass, with a map-only scan.
+
+    ``centroids`` may be a DataFrame (collected here; k rows) or a
+    pre-collected list from :func:`_collect_centroids` (used by the
+    Lloyd loop so each iteration reuses the driver-side table).
+    """
+    cents = (
+        _collect_centroids(centroids)
+        if isinstance(centroids, DataFrame)
+        else list(centroids)
+    )
+    emb = F.col("embedding")
+    en = _norm(emb)
+    # deterministic: on cosine ties prefer the lowest centroid id
+    # (struct ordering: higher cos first, then higher -cent_id)
+    scored = F.array(*[
+        F.struct(
+            (_dot(emb, F.array(*[F.lit(v) for v in vec]))
+             / (en * F.lit(cn))).alias("cos"),
+            F.lit(-cid).alias("neg_id"),
+            F.lit(cid).alias("cent_id"),
         )
-    )
-    cos = _dot(F.col("embedding"), F.col("cent")) / (
-        _norm(F.col("embedding")) * _norm(F.col("cent"))
-    )
-    scored = pairs.select("vec_id", "embedding", "cent_id",
-                          cos.alias("cos"))
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.struct("cent_id", "embedding"),
-            # deterministic: on cosine ties prefer the lowest centroid id
-            F.struct(F.col("cos"), -F.col("cent_id")),
-        ).alias("w")
-    ).select(
+        for cid, vec, cn in cents
+    ])
+    return embeddings.select(
         "vec_id",
-        F.col("w.cent_id").alias("cent_id"),
-        F.col("w.embedding").alias("embedding"),
+        F.array_max(scored)["cent_id"].alias("cent_id"),
+        "embedding",
     )
 
 
@@ -98,45 +128,50 @@ def kmeans_centroids(
     """Lloyd's k-means over the embedding column, fully distributed:
     deterministic seeding (the ``num_centroids`` lowest vec_ids, k-means
     always converges to the same result on the same data), then per
-    iteration one broadcast nearest-centroid assignment + one map-side-
-    combinable mean aggregation -- no driver-side data, the centroid
-    table (k x dim doubles) is the only thing on the driver path.
+    iteration one narrow literal-centroid assignment (zero exchanges --
+    see :func:`assign_centroids`) + one map-side-combinable mean
+    aggregation; the centroid table (k x dim doubles) is the only thing
+    on the driver path, exactly Lloyd's algorithm at cluster scale.
 
     Returns (vec_id, embedding) shaped like the seed table so it drops
     into :func:`ivf_topk`'s ``centroids`` seat.
     """
-    cents = embeddings.orderBy("vec_id").limit(num_centroids).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    cents = _collect_centroids(
+        embeddings.orderBy("vec_id").limit(num_centroids).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     )
     for _ in range(iterations):
+        # narrow literal-centroid assignment (zero exchanges), then one
+        # positional-mean agg: explode to (cent_id, pos, v) and average
+        # -- the single shuffle per iteration, and the partial aggs
+        # combine map-side so it moves only k x dim rows per partition.
         assigned = assign_centroids(embeddings, cents)
-        # positional mean per centroid: explode to (cent_id, pos, v) and
-        # aggregate -- one shuffle keyed by (cent_id, pos), partial aggs
-        # map-side; empty clusters keep their previous centroid
         comps = assigned.select(
             "cent_id", F.posexplode(F.col("embedding")).alias("pos", "v")
         ).groupBy("cent_id", "pos").agg(
             F.avg(F.col("v").cast("double")).alias("m")
-        )
-        new_cents = comps.groupBy("cent_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("pm")
-        ).select(
-            F.col("cent_id").alias("vec_id"),
-            F.transform(F.col("pm"), lambda s: s["m"]).alias("embedding"),
-        )
-        cents = cents.select("vec_id").join(
-            new_cents, "vec_id", "left"
-        ).join(
-            cents.select(F.col("vec_id"),
-                         F.col("embedding").alias("prev")),
-            "vec_id",
-        ).select(
-            "vec_id",
-            F.coalesce(F.col("embedding"), F.col("prev")).alias("embedding"),
-        )
-    return cents
+        ).collect()  # k x dim scalars -- centroids live on the driver
+        means: dict[int, dict[int, float]] = {}
+        for r in comps:
+            means.setdefault(int(r.cent_id), {})[int(r.pos)] = float(r.m)
+        nxt = []
+        for cid, prev_vec, _ in cents:
+            got = means.get(cid)
+            if got is None:  # empty cluster keeps its previous centroid
+                vec = prev_vec
+            else:
+                vec = [got[p] for p in sorted(got)]
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            nxt.append((cid, vec, acc ** 0.5))
+        cents = nxt
+    return embeddings.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec, _ in cents],
+        schema="vec_id bigint, embedding array<double>",
+    )
 
 
 def ivf_topk(
@@ -226,45 +261,46 @@ def pq_train(
 
 
 def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Encode each vector as ``m`` codebook indices: per subspace the
-    L2-nearest centroid (broadcast codebooks + min_by, one shuffle for
-    the final per-vector collect)."""
+    """Encode each vector as ``m`` codebook indices in ONE narrow
+    projection -- zero shuffles.
+
+    The codebooks are driver-sized (m x ksub rows) so each subspace's
+    centroids become a literal array-of-structs and the L2 argmin runs
+    inside whole-stage codegen via ``array_min`` over
+    ``struct(d2, code)`` (min d2, lowest code on ties -- the same
+    comparator the former min_by used).  The former implementation
+    crossJoined each subspace and shuffled N x ksub rows per subspace
+    plus a final N-row collect_list; this is map-only."""
     books = codebooks.collect()
     m = 1 + max(r.sub for r in books)
     sub_dim = len(books[0].centroid)
-    parts = None
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in books:
+        by_sub.setdefault(int(r.sub), []).append(
+            (int(r.code), [float(v) for v in r.centroid])
+        )
+    emb = F.col("embedding").cast("array<double>")
+    code_cols = []
     for sub in range(m):
-        sv = embeddings.select(
-            "vec_id",
-            _subvector(F.col("embedding").cast("array<double>"),
-                       sub, sub_dim).alias("sv"),
-        )
-        cb = F.broadcast(
-            codebooks.filter(F.col("sub") == sub)
-            .select("code", "centroid")
-        )
-        pairs = sv.crossJoin(cb)
-        d2 = F.aggregate(
-            F.zip_with(F.col("sv"), F.col("centroid"),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        best = pairs.select(
-            "vec_id", "code", d2.alias("d2")
-        ).groupBy("vec_id").agg(
-            F.min_by(
-                F.col("code"), F.struct(F.col("d2"), F.col("code"))
-            ).alias("code")
-        ).select("vec_id", F.lit(sub).alias("sub"), "code")
-        parts = best if parts is None else parts.unionByName(best)
-    return parts.groupBy("vec_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("sub", "code"))
-        ).alias("sc")
-    ).select(
-        "vec_id",
-        F.transform(F.col("sc"), lambda s: s["code"]).alias("codes"),
+        sv = _subvector(emb, sub, sub_dim)
+        scored = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(v) for v in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(code).alias("code"),
+            )
+            for code, cent in sorted(by_sub[sub])
+        ])
+        code_cols.append(F.array_min(scored)["code"])
+    return embeddings.select(
+        "vec_id", F.array(*code_cols).alias("codes")
     )
 
 
