@@ -258,6 +258,63 @@ class TestReviewRegressions:
         gm = grid_mapping_from_dataset(ds)
         assert gm.tile_size == (512, 256)
 
+    def test_2d_coord_tile_size_uses_coord_dims(self, spark):
+        """Chunk-derived tile size for 2-D coords must key on the COORD
+        VARIABLE's own dims (reference _find_dataset_tile_size uses
+        coords.x.dims), not dataset.yx_dims -- a lon/lat pair living on
+        different dims silently got no tile size."""
+        jj, ii = np.meshgrid(np.arange(40), np.arange(50), indexing="ij")
+        lon = (ii + 0.3 * jj).astype(float)
+        lat = (10.0 - jj + 0.1 * ii).astype(float)
+        df = spark.range(1).selectExpr(
+            "CAST(0 AS INT) t", "CAST(0 AS INT) j", "CAST(0 AS INT) i",
+            "CAST(1.0 AS DOUBLE) value",
+        )
+        ds = SparkDataset(
+            spark=spark,
+            data_vars={
+                "band": Variable(
+                    "band", df, ("rows", "cols"), "float64", {},
+                    chunks=(16, 32),
+                )
+            },
+            coords={
+                "lon": (("rows", "cols"), lon),
+                "lat": (("rows", "cols"), lat),
+            },
+            coord_attrs={},
+            attrs={},
+            yx_dims=("y", "x"),  # deliberately NOT the coord dims
+        )
+        gm = grid_mapping_from_dataset(ds, prefer_is_regular=None)
+        assert gm.tile_size == (32, 16)
+        assert gm.xy_dim_names == ("cols", "rows")
+
+    def test_public_entry_prefers_regular(self, spark):
+        """SparkDataset.grid_mapping (the public entry) defaults
+        prefer_is_regular=True like the reference's public
+        GridMapping.from_dataset; only the internal function defaults
+        None.  With a regular 1-D grid and an irregular 2-D grid in one
+        dataset and no preferences, the regular one must win."""
+        jj, ii = np.meshgrid(np.arange(4), np.arange(5), indexing="ij")
+        ds = _ds(
+            spark,
+            {
+                "x": np.arange(0.5, 5.0, 1.0),
+                "y": np.arange(3.5, 0.0, -1.0),
+                "lon2": (("y", "x"), (ii + 0.3 * jj).astype(float)),
+                "lat2": (("y", "x"), (10.0 - jj + 0.1 * ii).astype(float)),
+            },
+            coord_attrs={
+                "lon2": {"standard_name": "longitude"},
+                "lat2": {"standard_name": "latitude"},
+                "tm": CRS.from_epsg(32632).to_cf(),
+            },
+            var_attrs={"grid_mapping": "tm"},
+        )
+        gm = ds.grid_mapping()
+        assert gm.is_regular
+
     def test_default_preference_matches_reference(self, spark):
         """prefer_is_regular defaults to None like the reference: with
         several grid mappings and no preferences, the FIRST one wins

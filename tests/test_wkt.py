@@ -13,7 +13,12 @@ import numpy as np
 import pytest
 
 from xcube_resampling_spark.crs import CRS, Transformer, CRS_WGS84
-from xcube_resampling_spark.wkt import crs_from_wkt, crs_from_proj
+from xcube_resampling_spark.wkt import (
+    crs_from_proj,
+    crs_from_wkt,
+    crs_to_proj,
+    crs_to_wkt,
+)
 
 
 def _max_err(crs_a, crs_b, lo_rng, la_rng, n=80, seed=7):
@@ -793,6 +798,43 @@ class TestForeignDialectRegressions:
         assert c.param("lon_0") == pytest.approx(2.33722917)
         with pytest.raises(ValueError, match="pm"):
             crs_from_proj("+proj=longlat +ellps=WGS84 +pm=oslo")
+
+    def test_proj_pm_defaulted_lon_0(self):
+        """+pm= must shift even when the string has no explicit +lon_0:
+        PROJ's lon_0 default is 0 RELATIVE TO THE MERIDIAN (the old
+        `if lk in p` guard silently yielded Greenwich lon_0=0)."""
+        c = crs_from_proj("+proj=moll +pm=paris +ellps=WGS84")
+        assert c.param("lon_0") == pytest.approx(2.33722917)
+        c2 = crs_from_proj("+proj=moll +lon_0=10 +pm=paris +ellps=WGS84")
+        assert c2.param("lon_0") == pytest.approx(12.33722917)
+
+    def test_proj_pm_geographic_modeled(self):
+        """+proj=longlat +pm=paris (EPSG:4807-style) must model the
+        meridian, not silently return a Greenwich CRS (~2.34 deg
+        wrong).  The Transformer shifts to/from Greenwich and the
+        parse-emit closure holds in both WKT and PROJ forms."""
+        from xcube_resampling_spark.crs import Transformer
+
+        g = crs_from_proj("+proj=longlat +pm=paris +ellps=WGS84")
+        assert g.param("pm") == pytest.approx(2.33722917)
+        fwd = Transformer.from_crs(g, "OGC:CRS84")
+        lon, lat = fwd.transform([0.0], [48.0])
+        assert lon[0] == pytest.approx(2.33722917)
+        assert lat[0] == pytest.approx(48.0)
+        inv = Transformer.from_crs("OGC:CRS84", g)
+        lon, lat = inv.transform([2.33722917], [48.0])
+        assert lon[0] == pytest.approx(0.0, abs=1e-12)
+        # closure both ways
+        assert crs_from_proj(crs_to_proj(g)).param("pm") == g.param("pm")
+        assert crs_from_wkt(crs_to_wkt(g)).param("pm") == g.param("pm")
+
+    def test_proj_pm_rot_pole(self):
+        """+proj=ob_tran +pm= shifts the pole longitude to Greenwich
+        (the rot_pole branch used to return before the pm block)."""
+        c = crs_from_proj(
+            "+proj=ob_tran +o_proj=longlat +o_lat_p=37 +lon_0=177 "
+            "+pm=2.0 +ellps=WGS84")
+        assert c.param("pole_lon") == pytest.approx(-1.0)
 
     def test_proj_unknown_ellps_raises_and_krass_parses(self):
         c = crs_from_proj("+proj=tmerc +lon_0=21 +ellps=krass")

@@ -3205,6 +3205,7 @@ class Transformer:
         if self.src.equals(self.dst) or (
             self.src.kind == "geographic"
             and self.dst.kind == "geographic"
+            and self.src.param("pm", 0.0) == self.dst.param("pm", 0.0)
             and not _needs_datum_shift(self.src, self.dst)
         ):
             return x, y
@@ -3255,6 +3256,13 @@ class Transformer:
             lon, lat = _eqearth_inverse(self.src, x, y)
         else:
             lon, lat = x, y
+            # geographic source on a non-Greenwich prime meridian
+            # (pm param, e.g. EPSG:4807-style +pm=paris): its
+            # longitudes are meridian-relative -- shift to Greenwich
+            src_pm = self.src.param("pm", 0.0)
+            if src_pm:
+                lon = _wrap_lon(np.asarray(lon, dtype=np.float64)
+                                + src_pm)
         # datum bridge: only when either side declares a towgs84 shift
         if _needs_datum_shift(self.src, self.dst):
             lon, lat = _datum_shift(self.src, self.dst, lon, lat)
@@ -3303,6 +3311,11 @@ class Transformer:
             return _nsper_forward(self.dst, lon, lat)
         if self.dst.kind == "eqearth":
             return _eqearth_forward(self.dst, lon, lat)
+        dst_pm = self.dst.param("pm", 0.0)
+        if dst_pm:
+            # geographic target on a non-Greenwich meridian: emit
+            # meridian-relative longitudes
+            lon = _wrap_lon(np.asarray(lon, dtype=np.float64) - dst_pm)
         return lon, lat
 
     def transform_bounds(self, x_min, y_min, x_max, y_max, densify_pts: int = 21):

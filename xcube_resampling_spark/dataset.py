@@ -184,6 +184,11 @@ class SparkDataset:
     def grid_mapping(self, **kwargs) -> GridMapping:
         from .gridmapping.cfconv import grid_mapping_from_dataset
 
+        # public entry prefers the regular candidate when a dataset
+        # yields several grid mappings (reference GridMapping.
+        # from_dataset defaults prefer_is_regular=True; the internal
+        # new_grid_mapping_from_dataset twin defaults None)
+        kwargs.setdefault("prefer_is_regular", True)
         return grid_mapping_from_dataset(self, **kwargs)
 
 

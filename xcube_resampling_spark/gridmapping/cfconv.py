@@ -24,6 +24,17 @@ class _Proxy:
         self.y = None
 
 
+def _is_dims_tuple(val) -> bool:
+    """True for the xarray-style ``(dims, array)`` coord declaration:
+    a 2-tuple whose first element is a tuple/list of dim-name strings."""
+    return (
+        isinstance(val, tuple) and len(val) == 2
+        and isinstance(val[0], (tuple, list))
+        and len(val[0]) > 0
+        and all(isinstance(d, str) for d in val[0])
+    )
+
+
 def _parse_crs_from_attrs(attrs: dict):
     try:
         crs = CRS.from_cf(attrs)
@@ -103,22 +114,47 @@ def grid_mapping_from_dataset(
             bounds_vars.add(name)
 
     def coord_entry(name):
-        arr = np.asarray(dataset.coords[name])
-        if arr.ndim == 1:
+        # a coord may be declared as an xarray-style (dims, array)
+        # tuple when its dims differ from the dataset's yx_dims (the
+        # reference reads coords.x.dims off the DataArray); bare arrays
+        # default to (name,) for 1-D and the dataset's (y, x) for 2-D.
+        val = dataset.coords[name]
+        cdims = None
+        if _is_dims_tuple(val):
+            cdims, val = val
+            cdims = tuple(str(d) for d in cdims)
+        arr = np.asarray(val)
+        if cdims is not None:
+            dims = cdims
+        elif arr.ndim == 1:
             dims = (name,)
         else:
-            dims = dataset.yx_dims[::-1] if arr.ndim == 2 else None
+            # natural array order (y_dim, x_dim), like xarray's .dims
+            dims = tuple(dataset.yx_dims) if arr.ndim == 2 else None
         return (name, arr, dims)
 
     latlon = _Proxy()
     rotated = _Proxy()
     projected = _Proxy()
 
+    def _coord_array(val):
+        # unwrap the xarray-style (dims, array) tuple form; bare
+        # number tuples/lists remain coordinate data as before
+        if _is_dims_tuple(val):
+            val = val[1]
+        if isinstance(val, (np.ndarray, list, tuple)):
+            try:
+                arr = np.asarray(val)
+            except ValueError:
+                return None
+            return None if arr.dtype == object else arr
+        return None
+
     candidates = [
         n for n in dataset.coords
         if n not in bounds_vars
-        and isinstance(dataset.coords[n], np.ndarray | list | tuple)
-        and np.asarray(dataset.coords[n]).ndim in (1, 2)
+        and (arr := _coord_array(dataset.coords[n])) is not None
+        and arr.ndim in (1, 2)
     ]
     # NOTE: in this engine 2-D lon/lat images must arrive via
     # dataset.coords (driver numpy) or through GridMappingDF for the
@@ -217,7 +253,12 @@ def grid_mapping_from_dataset(
                 if p.x[1].ndim == 1:
                     txd, tyd = str(p.x[2][0]), str(p.y[2][0])
                 else:
-                    tyd, txd = (str(d) for d in dataset.yx_dims)
+                    # reference _find_dataset_tile_size keys the chunk
+                    # lookup by the COORD VARIABLE's own dims
+                    # (coords.x.dims[0]=y, [1]=x), not dataset.yx_dims
+                    # -- a 2-D lon/lat pair on different dims would
+                    # silently get no tile size otherwise
+                    tyd, txd = str(p.x[2][0]), str(p.x[2][1])
                 tw_, th_ = chunks.get(txd), chunks.get(tyd)
                 eff_tile = (tw_, th_) \
                     if tw_ is not None and th_ is not None else None
@@ -230,7 +271,7 @@ def grid_mapping_from_dataset(
                 xy_dim_names=(
                     (str(p.x[2][0]), str(p.y[2][0]))
                     if p.x[1].ndim == 1
-                    else tuple(str(d) for d in dataset.yx_dims[::-1])
+                    else (str(p.x[2][1]), str(p.x[2][0]))
                 ),
             )
             grid_mappings.append(gm)

@@ -553,9 +553,22 @@ def _crs_from_node(root: _Node) -> CRS:
     name = names[0] if names else kw
     if kw in ("GEOGCS", "GEOGCRS", "GEODCRS"):
         # engine treats all geographic CRSs as lon-lat degrees on their
-        # ellipsoid; datum shift still honored through towgs84
+        # ellipsoid; datum shift still honored through towgs84.  A
+        # non-Greenwich PRIMEM becomes a ``pm`` param the Transformer
+        # shifts by (same modeling as crs_from_proj's +pm=).
         ell, towgs84 = _parse_ellipsoid(root)
         auth = _authority(root)
+        pm_node = root.child("PRIMEM")
+        pm = 0.0
+        if pm_node is not None:
+            nums = pm_node.numbers()
+            if nums:
+                f = _unit_factor(
+                    pm_node.child("ANGLEUNIT", "UNIT"), None)
+                pm = nums[0] * (_ang_to_deg(f) if f is not None else 1.0)
+        if pm:
+            return CRS("geographic", name, ell, (("pm", pm),),
+                       auth_code=auth, towgs84=towgs84)
         if not towgs84 and abs(ell.a - 6378137.0) < 1e-6:
             return CRS_WGS84 if auth in (None, "EPSG:4326") else CRS(
                 "geographic", name, ell, auth_code=auth)
@@ -638,10 +651,15 @@ def _crs_from_node(root: _Node) -> CRS:
         params = tuple(sorted(merged.items()))
 
     if pm_deg:
+        # same unconditional-shift rule as crs_from_proj: a missing
+        # central meridian still means "0 east of this meridian"
         merged = dict(params)
-        for lk in ("lon_0", "lonc", "pole_lon"):
-            if lk in merged:
-                merged[lk] += pm_deg
+        if "lonc" in merged:
+            merged["lonc"] += pm_deg
+        elif "pole_lon" in merged:
+            merged["pole_lon"] += pm_deg
+        else:
+            merged["lon_0"] = merged.get("lon_0", 0.0) + pm_deg
         params = tuple(sorted(merged.items()))
 
     return CRS(kind2, name, ell, params, _authority(root),
@@ -775,6 +793,13 @@ def crs_from_proj(s: str) -> CRS:
         pm_deg = 0.0
 
     if kind == "geographic":
+        if pm_deg:
+            # model the meridian: longitudes in this CRS are relative
+            # to it (EPSG:4807 NTF-Paris style); the Transformer shifts
+            # to/from Greenwich.  Silently dropping it was ~2.34 deg
+            # wrong for +proj=longlat +pm=paris.
+            return CRS("geographic", f"+proj={proj}", ell,
+                       (("pm", pm_deg),), towgs84=towgs84)
         if not towgs84 and abs(ell.a - 6378137.0) < 1e-6 and \
                 abs(ell.inv_f - 298.257223563) < 1e-6:
             return CRS_WGS84
@@ -789,10 +814,11 @@ def crs_from_proj(s: str) -> CRS:
             raise ValueError("+proj=ob_tran with o_lon_p != 0 (axial "
                              "rotation) is not supported")
         # PROJ <-> CF: grid_north_pole_latitude = o_lat_p,
-        # grid_north_pole_longitude = lon_0 - 180
+        # grid_north_pole_longitude = lon_0 - 180; +lon_0 is relative
+        # to the prime meridian, so shift to Greenwich here
         params = (
             ("pole_lat", float(kv.get("o_lat_p", 90.0))),
-            ("pole_lon", float(kv.get("lon_0", 0.0)) - 180.0),
+            ("pole_lon", float(kv.get("lon_0", 0.0)) + pm_deg - 180.0),
         )
         return CRS("rot_pole", "Rotated pole", ell, params,
                    towgs84=towgs84)
@@ -899,9 +925,14 @@ def crs_from_proj(s: str) -> CRS:
     p.setdefault("x_0", 0.0)
     p.setdefault("y_0", 0.0)
     if pm_deg:
-        for lk in ("lon_0", "lonc", "pole_lon"):
-            if lk in p:
-                p[lk] += pm_deg
+        # shift the kind's canonical longitude unconditionally: PROJ
+        # defaults +lon_0 to 0 RELATIVE TO THE MERIDIAN, so a string
+        # without an explicit +lon_0 still means lon_0 = pm at
+        # Greenwich (the old `if lk in p` guard silently kept 0)
+        if "lonc" in p:
+            p["lonc"] += pm_deg
+        else:
+            p["lon_0"] = p.get("lon_0", 0.0) + pm_deg
     return CRS(kind, f"+proj={proj}", ell, tuple(sorted(p.items())),
                towgs84=towgs84)
 
@@ -1073,9 +1104,12 @@ def _emit_ellipsoid(ell: _Ellipsoid) -> str:
 
 
 def _emit_geog(crs: CRS, name: str) -> str:
+    pm = crs.param("pm", 0.0) if crs.kind == "geographic" else 0.0
+    primem = f'PRIMEM["unknown",{pm!r},{_DEG_UNIT}],' if pm else ""
     return (
         f'GEOGCRS[{_q(name)},'
         f'DATUM[{_q(name)},{_emit_ellipsoid(crs.ellipsoid)}],'
+        f'{primem}'
         f'CS[ellipsoidal,2],'
         f'AXIS["geodetic latitude (Lat)",north,{_DEG_UNIT}],'
         f'AXIS["geodetic longitude (Lon)",east,{_DEG_UNIT}]]'
@@ -1247,7 +1281,9 @@ def crs_to_proj(crs: CRS) -> str:
     if crs.towgs84:
         tw = " +towgs84=" + ",".join(repr(float(v)) for v in crs.towgs84)
     if crs.kind == "geographic":
-        return f"+proj=longlat {ell}{tw} +no_defs"
+        pm = crs.param("pm", 0.0)
+        pm_tok = f" +pm={float(pm)!r}" if pm else ""
+        return f"+proj=longlat{pm_tok} {ell}{tw} +no_defs"
     if crs.kind == "rot_pole":
         return (
             f"+proj=ob_tran +o_proj=longlat"
