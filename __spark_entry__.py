@@ -332,6 +332,19 @@ SELECT t, CAST(j - 10 AS INT) AS j, CAST(i - 5 AS INT) AS i,
 FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
 """
 
+# zarr_roundtrip's three store bindings (fs / kv / zip) read identical
+# windows, so the twin replays SQL_CLIP once per tag
+SQL_ZARR_STORES = f"""
+WITH src AS ({RASTER_SQL}),
+win AS (
+  SELECT t, CAST(j - 10 AS INT) AS j, CAST(i - 5 AS INT) AS i,
+         ROUND(value, 6) AS value
+  FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
+)
+SELECT v.variant, w.t, w.j, w.i, w.value
+FROM win w CROSS JOIN (VALUES ('fs'), ('kv'), ('zip')) AS v(variant)
+"""
+
 
 # rectify: synthetic sheared swath over the raster
 # lon = i + 0.35*j ; lat = 50 - j - 0.15*i ; target 30x44 at (0, 6), res 1
@@ -3600,25 +3613,73 @@ def q_store_roundtrip(spark, sf_dir):
 
 
 def q_zarr_roundtrip(spark, sf_dir):
-    """Zarr v2 sink + source end-to-end: distributed chunk write (zlib),
-    chunk-pruned binaryFile read of a bbox window, decode in mapInPandas
-    (SURVEY 2.2 #5; reference opens Zarr via zarr.open, cfconv.py:343-358).
-    Same window as store_roundtrip, so it shares SQL_CLIP."""
+    """Zarr v2 sink + source end-to-end, tagged union over the three
+    chunk-store bindings (SURVEY 2.2 #5; reference opens Zarr via
+    zarr.open, cfconv.py:343-358 -- its real stores live on S3):
+
+    * ``fs``: local directory store; chunk-pruned binaryFile read,
+      decode in mapInPandas.
+    * ``kv``: the generic object-store adapter (FlatKVChunkPut): write
+      AND read go through the flat put/get contract an S3 client
+      satisfies -- opaque keys, no directory hierarchy, distributed
+      executor-side GETs over the pruned key list.
+    * ``zip``: the same store zipped into one archive, read back
+      through the read-only ZipChunkStore (the reference examples ship
+      zipped stores).
+
+    Every leg reads the same bbox window, so the oracle is SQL_CLIP
+    replayed per tag."""
+    import os
     import tempfile
+    import zipfile
 
-    from xcube_resampling_spark.sources import read_zarr, write_zarr
-
-    path = tempfile.gettempdir() + "/xcrs_zarr_roundtrip"
-    write_zarr(
-        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
-        compressor="zlib",
+    from xcube_resampling_spark.sources import (
+        FlatKVChunkPut,
+        ZipChunkStore,
+        read_zarr,
+        write_zarr,
     )
-    back = read_zarr(spark, path, "value", bbox_ij=(5, 10, 20, 30))
-    return back.select(
-        "t",
-        (F.col("j") - 10).cast("int").alias("j"),
-        (F.col("i") - 5).cast("int").alias("i"),
-        F.round("value", 6).alias("value"),
+
+    raster = _raster(spark, sf_dir)
+    base = tempfile.gettempdir()
+    path = base + "/xcrs_zarr_roundtrip"
+    write_zarr(
+        raster, path, "value", (RH, RW), (16, 16), compressor="zlib",
+    )
+    fs = read_zarr(spark, path, "value", bbox_ij=(5, 10, 20, 30))
+
+    kv_store = FlatKVChunkPut(base + "/xcrs_zarr_kv", prefix="cube")
+    write_zarr(
+        raster, "ignored", "value", (RH, RW), (16, 16),
+        compressor="zlib", chunk_put=kv_store,
+    )
+    kv = read_zarr(spark, "ignored", "value", bbox_ij=(5, 10, 20, 30),
+                   store=kv_store)
+
+    zpath = base + "/xcrs_zarr_roundtrip.zip"
+    if os.path.exists(zpath):
+        os.remove(zpath)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, path))
+    zp = read_zarr(spark, "ignored", "value", bbox_ij=(5, 10, 20, 30),
+                   store=ZipChunkStore(zpath))
+
+    def leg(df, tag):
+        return df.select(
+            F.lit(tag).alias("variant"),
+            "t",
+            (F.col("j") - 10).cast("int").alias("j"),
+            (F.col("i") - 5).cast("int").alias("i"),
+            F.round("value", 6).alias("value"),
+        )
+
+    return (
+        leg(fs, "fs")
+        .unionByName(leg(kv, "kv"))
+        .unionByName(leg(zp, "zip"))
     )
 
 
@@ -4117,7 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_bbox": SQL_CLIP,
         "ij_bbox_containment": SQL_IJ_BBOX,
         "store_roundtrip": SQL_CLIP,
-        "zarr_roundtrip": SQL_CLIP,
+        "zarr_roundtrip": SQL_ZARR_STORES,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,

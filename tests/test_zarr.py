@@ -535,3 +535,169 @@ class TestCfStore:
                                 agg_methods="mean")
         got = out.data_vars["band"].df.toPandas()
         assert len(got) == 48
+
+
+class TestChunkStores:
+    """Non-filesystem chunk stores: the zipped-zarr input and the
+    generic object-store adapter (VERDICT r5 gaps #5/#6).  The
+    contract a real S3 client must satisfy is exactly what these
+    exercise: opaque keys, put/get/known_keys, picklable."""
+
+    def _zip_store(self, spark, tmp_path, wrap=True):
+        import zipfile
+
+        from xcube_resampling_spark.sources import write_zarr_cf
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        gm = GridMapping.regular(
+            (16, 12), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "plain_store")
+        write_zarr_cf(_raster(spark, 16, 12), path, "band", gm,
+                      attrs={"units": "K"})
+        zpath = str(tmp_path / "store.zarr.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, path)
+                    # optionally wrap under a top-level dir, the common
+                    # "zip -r store.zip store/" layout
+                    arc = os.path.join("store", rel) if wrap else rel
+                    zf.write(full, arc)
+        return zpath, gm
+
+    @pytest.mark.parametrize("wrap", [True, False])
+    def test_zip_store_roundtrip(self, spark, tmp_path, wrap):
+        from xcube_resampling_spark.sources import ZipChunkStore, read_zarr
+
+        zpath, _gm = self._zip_store(spark, tmp_path, wrap=wrap)
+        store = ZipChunkStore(zpath)
+        got = read_zarr(spark, "ignored", "band", store=store) \
+            .toPandas().sort_values(["t", "j", "i"])
+        exp = _raster(spark, 16, 12).toPandas().sort_values(
+            ["t", "j", "i"])
+        assert len(got) == 16 * 12
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_zip_store_open_and_resample(self, spark, tmp_path):
+        """Open a zipped CF store and rectify/resample it -- the
+        reference examples' zipped-store workflow end-to-end."""
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.spatial import (
+            resample_in_space)
+        from xcube_resampling_spark.sources import (
+            ZipChunkStore, open_zarr_dataset)
+
+        from xcube_resampling_spark.operators.affine import (
+            affine_transform_dataset)
+
+        zpath, gm = self._zip_store(spark, tmp_path)
+        store = ZipChunkStore(zpath)
+        ds, gm2 = open_zarr_dataset(spark, zpath, store=store)
+        assert list(ds.data_vars) == ["band"]
+        assert ds.data_vars["band"].attrs.get("units") == "K"
+        assert gm2.size == gm.size
+        assert gm2.xy_bbox == gm.xy_bbox
+        assert gm2.crs.kind == gm.crs.kind
+        # same-CRS downscale through the explicit affine operator: the
+        # 2x2 mean is exactly checkable (resample_in_space would route
+        # to reproject because the CF-roundtripped CRS name differs)
+        target = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 200.0, gm2.crs)
+        out = affine_transform_dataset(
+            ds, target, source_gm=gm2, agg_methods="mean")
+        got = out.data_vars["band"].df.toPandas()
+        assert len(got) == 48
+        base = _raster(spark, 16, 12).toPandas()
+        manual = base[(base.j < 2) & (base.i < 2)]["value"].mean()
+        tl = got[(got.j == 0) & (got.i == 0)]["value"].iloc[0]
+        assert abs(tl - manual) < 1e-9
+        # the dispatcher still runs end-to-end over the zip-store input
+        out2 = resample_in_space(ds, target, source_gm=gm2,
+                                 agg_methods="mean")
+        assert out2.data_vars["band"].df.count() == 48
+
+    def test_zip_store_is_read_only_and_picklable(self, spark, tmp_path):
+        import pickle
+
+        from xcube_resampling_spark.sources import ZipChunkStore
+
+        zpath, _ = self._zip_store(spark, tmp_path)
+        store = ZipChunkStore(zpath)
+        assert store.get("band/.zarray") is not None
+        with pytest.raises(NotImplementedError, match="read-only"):
+            store.put("x", b"")
+        clone = pickle.loads(pickle.dumps(store))
+        assert clone.get("band/.zarray") == store.get("band/.zarray")
+        assert store.get("no/such/key") is None
+
+    def test_flatkv_write_read_roundtrip(self, spark, tmp_path):
+        """write_zarr through the flat object-store adapter, read back
+        through the same store -- no hierarchical filesystem involved
+        in either direction (keys are opaque URIs)."""
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, read_zarr, write_zarr)
+
+        store = FlatKVChunkPut(str(tmp_path / "kv"), prefix="cubes/a")
+        w, h = 25, 17
+        df = _raster(spark, w, h)
+        write_zarr(df, "ignored", "v", (h, w), (8, 8), chunk_put=store)
+        # nothing in the root looks like a zarr directory tree
+        names = os.listdir(str(tmp_path / "kv"))
+        assert not any(os.path.isdir(os.path.join(tmp_path, "kv", n))
+                       for n in names if n != "_tmp")
+        got = read_zarr(spark, "ignored", "v", store=store) \
+            .toPandas().sort_values(["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        assert len(got) == w * h
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_flatkv_bbox_prunes_gets(self, spark, tmp_path):
+        """bbox pruning must happen against known_keys() driver-side:
+        only intersecting chunks are fetched."""
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, read_zarr, write_zarr)
+
+        store = FlatKVChunkPut(str(tmp_path / "kv2"))
+        w, h = 32, 24
+        write_zarr(_raster(spark, w, h), "ignored", "v", (h, w), (8, 8),
+                   chunk_put=store)
+        got = read_zarr(spark, "ignored", "v", bbox_ij=(0, 0, 8, 8),
+                        store=store).toPandas()
+        assert len(got) == 64
+        assert got["i"].max() < 8 and got["j"].max() < 8
+
+    @pytest.mark.parametrize("impl", ["fs", "flatkv"])
+    def test_chunk_put_contract(self, tmp_path, impl):
+        """The four-method contract a drop-in object-store client must
+        satisfy: idempotent put, get-or-None, slash keys opaque,
+        pickle survives."""
+        import pickle
+
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, FsChunkPut)
+
+        store = (FsChunkPut(str(tmp_path / "c_fs")) if impl == "fs"
+                 else FlatKVChunkPut(str(tmp_path / "c_kv"), prefix="p"))
+        assert store.get("a/b/.zarray") is None
+        store.put("a/b/.zarray", b"one")
+        store.put("a/b/.zarray", b"two")  # idempotent overwrite
+        assert store.get("a/b/.zarray") == b"two"
+        clone = pickle.loads(pickle.dumps(store))
+        assert clone.get("a/b/.zarray") == b"two"
+        clone.put("a/b/0.0", b"\x00" * 16)
+        assert store.get("a/b/0.0") == b"\x00" * 16
+
+    def test_flatkv_known_keys(self, tmp_path):
+        from xcube_resampling_spark.sources import FlatKVChunkPut
+
+        store = FlatKVChunkPut(str(tmp_path / "kk"), prefix="pre/fix")
+        store.put("v/.zarray", b"{}")
+        store.put("v/0.0", b"x")
+        other = FlatKVChunkPut(str(tmp_path / "kk"), prefix="other")
+        other.put("w/.zarray", b"{}")
+        assert sorted(store.known_keys()) == ["v/.zarray", "v/0.0"]
+        assert sorted(other.known_keys()) == ["w/.zarray"]

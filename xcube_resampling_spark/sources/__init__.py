@@ -14,8 +14,10 @@ from .zarr import (
     ZARR_PIXEL_SCHEMA,
     write_zarr_stream,
     ChunkPut,
+    FlatKVChunkPut,
     FsChunkPut,
     ObjectStoreChunkPut,
+    ZipChunkStore,
     open_zarr_dataset,
     read_zarr,
     read_zarr_grid_mapping,
