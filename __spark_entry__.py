@@ -3757,6 +3757,48 @@ def q_zarr_affine_pipeline(spark, sf_dir):
     )
 
 
+def q_zarr_levels(spark, sf_dir):
+    """Multi-level ``.levels`` pyramid store (sources/levels.py; the
+    reference workflow's first step opens such a store -- BASELINE.md
+    "Open remote Zarr multi-level store" row, notebook cell 3): write a
+    two-level pyramid (level 1 = NaN-aware 2x2 mean of the base --
+    one map-side-combinable shuffle), reopen level 1 cold through the
+    CF store reader, return its pixels.  Oracle twin = the same 2x2
+    window mean over the raw raster (the store roundtrip is the
+    identity on values)."""
+    import tempfile
+
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.sources import (
+        open_zarr_levels,
+        write_zarr_levels,
+    )
+
+    gm = GridMapping.regular(
+        (RW, RH), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632),
+        tile_size=(16, 16),
+    )
+    path = tempfile.gettempdir() + "/xcrs_zarr_levels"
+    write_zarr_levels(
+        _raster(spark, sf_dir), path, "value", gm,
+        num_levels=2, agg_method="mean",
+    )
+    ds1, gm1 = open_zarr_levels(spark, path, level=1)
+    assert gm1.size == ((RW + 1) // 2, (RH + 1) // 2)
+    return ds1.data_vars["value"].df.select(
+        "t", "j", "i", F.round("value", 6).alias("value")
+    )
+
+
+SQL_ZARR_LEVELS = f"""
+WITH src AS ({RASTER_SQL})
+SELECT t, CAST(j // 2 AS INT) AS j, CAST(i // 2 AS INT) AS i,
+       ROUND(AVG(value), 6) AS value
+FROM src GROUP BY t, j // 2, i // 2
+"""
+
+
 def q_dedup_stream_keepone(spark, sf_dir):
     """Batch twin of streaming.stateful.dedup_stream (the streaming face
     of exact dedup): lowest-doc_id keeper per content hash.  The
@@ -4124,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ij_bbox_containment": q_ij_bbox_containment,
         "store_roundtrip": q_store_roundtrip,
         "zarr_roundtrip": q_zarr_roundtrip,
+        "zarr_levels": q_zarr_levels,
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
         "rectify_fused_nearest": q_rectify_fused_nearest,
@@ -4179,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         "ij_bbox_containment": SQL_IJ_BBOX,
         "store_roundtrip": SQL_CLIP,
         "zarr_roundtrip": SQL_ZARR_STORES,
+        "zarr_levels": SQL_ZARR_LEVELS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,

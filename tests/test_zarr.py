@@ -701,3 +701,142 @@ class TestChunkStores:
         other.put("w/.zarray", b"{}")
         assert sorted(store.known_keys()) == ["v/.zarray", "v/0.0"]
         assert sorted(other.known_keys()) == ["w/.zarray"]
+
+
+class TestLevels:
+    """Multi-level .levels pyramid stores (the reference workflow's
+    cell-3 open_data('...levels') shape; xcube multi-resolution layout:
+    0.zarr/1.zarr/... + .zlevels)."""
+
+    def _gm(self, w=25, h=17):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        return GridMapping.regular(
+            (w, h), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632),
+            tile_size=(8, 8))
+
+    def test_write_open_roundtrip_first(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import (
+            num_zarr_levels, open_zarr_levels, write_zarr_levels)
+
+        gm = self._gm()
+        path = str(tmp_path / "cube.levels")
+        df = _raster(spark, 25, 17)
+        n = write_zarr_levels(df, path, "band", gm)
+        # 25x17 with 8x8 tiles: 25->13->7 fits at level 2 -> 3 levels
+        assert n == 3 and num_zarr_levels(path) == 3
+        assert os.path.isdir(os.path.join(path, "2.zarr"))
+        with open(os.path.join(path, ".zlevels")) as fp:
+            meta = json.load(fp)
+        assert meta["num_levels"] == 3
+        # base level is verbatim
+        ds0, gm0 = open_zarr_levels(spark, path, level=0)
+        assert gm0.size == (25, 17)
+        got = ds0.data_vars["band"].df.toPandas().sort_values(
+            ["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+        # level 1: first-decimation keeps pixel (2j, 2i)
+        ds1, gm1 = open_zarr_levels(spark, path, level=1)
+        assert gm1.size == (13, 9)
+        assert gm1.x_res == 200.0
+        # j-down anchoring: the TOP edge is exact
+        assert gm1.y_max == gm0.y_max
+        assert gm1.x_min == gm0.x_min
+        p1 = ds1.data_vars["band"].df.toPandas()
+        base = exp.set_index(["j", "i"])["value"]
+        for _, r in p1.sample(min(20, len(p1)), random_state=7).iterrows():
+            assert r["value"] == base[(2 * int(r["j"]), 2 * int(r["i"]))]
+        # negative index opens the top overview
+        ds_top, gm_top = open_zarr_levels(spark, path, level=-1)
+        assert gm_top.size == (7, 5)
+        assert ds_top.data_vars["band"].df.count() == 35
+
+    def test_mean_levels_values(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import (
+            open_zarr_levels, write_zarr_levels)
+
+        gm = self._gm(8, 8)
+        path = str(tmp_path / "m.levels")
+        df = _raster(spark, 8, 8)
+        n = write_zarr_levels(df, path, "band", gm, num_levels=2,
+                              agg_method="mean")
+        assert n == 2
+        ds1, gm1 = open_zarr_levels(spark, path, level=1)
+        assert gm1.size == (4, 4)
+        p1 = ds1.data_vars["band"].df.toPandas()
+        base = _raster(spark, 8, 8).toPandas().set_index(["j", "i"])[
+            "value"]
+        for _, r in p1.iterrows():
+            j, i = int(r["j"]), int(r["i"])
+            manual = np.mean([base[(2 * j + dj, 2 * i + di)]
+                              for dj in (0, 1) for di in (0, 1)])
+            assert abs(r["value"] - manual) < 1e-9
+
+    def test_levels_feed_resample(self, spark, tmp_path):
+        """The reference two-liner: open a pyramid level, resample it."""
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.affine import (
+            affine_transform_dataset)
+        from xcube_resampling_spark.sources import (
+            open_zarr_levels, write_zarr_levels)
+
+        gm = self._gm(16, 12)
+        path = str(tmp_path / "r.levels")
+        write_zarr_levels(_raster(spark, 16, 12), path, "band", gm,
+                          num_levels=2, agg_method="mean")
+        ds1, gm1 = open_zarr_levels(spark, path, level=1)
+        target = GridMapping.regular(
+            (4, 3), (500000.0, 5000000.0), 400.0, gm1.crs)
+        out = affine_transform_dataset(
+            ds1, target, source_gm=gm1, agg_methods="mean")
+        assert out.data_vars["band"].df.count() == 12
+
+    def test_levels_through_flatkv_store(self, spark, tmp_path):
+        """Pyramid write AND read through the object-store adapter --
+        no directory layout anywhere."""
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, num_zarr_levels, open_zarr_levels,
+            write_zarr_levels)
+
+        store = FlatKVChunkPut(str(tmp_path / "kv"), prefix="pyr")
+        gm = self._gm(16, 12)
+        df = _raster(spark, 16, 12)
+        n = write_zarr_levels(df, "ignored", "band", gm, num_levels=2,
+                              chunk_put=store)
+        assert n == 2
+        assert num_zarr_levels("ignored", store=store) == 2
+        ds1, gm1 = open_zarr_levels(spark, "ignored", level=1,
+                                    store=store)
+        assert gm1.size == (8, 6)
+        p1 = ds1.data_vars["band"].df.toPandas()
+        assert len(p1) == 48
+        base = df.toPandas().set_index(["j", "i"])["value"]
+        r = p1.iloc[0]
+        assert r["value"] == base[(2 * int(r["j"]), 2 * int(r["i"]))]
+
+    def test_downscale_first_is_narrow(self, spark):
+        """first-decimation must stay a narrow filter: zero exchanges."""
+        from xcube_resampling_spark.sources import downscale_level
+
+        df = _raster(spark, 16, 12)
+        out = downscale_level(df, "first")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            line for line in plan.splitlines()
+            if "Exchange" in line and "Reused" not in line
+        ]
+        assert exchanges == []
+
+    def test_level_out_of_range(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import (
+            open_zarr_levels, write_zarr_levels)
+
+        gm = self._gm(8, 8)
+        path = str(tmp_path / "o.levels")
+        write_zarr_levels(_raster(spark, 8, 8), path, "band", gm,
+                          num_levels=2)
+        with pytest.raises(ValueError, match="out of range"):
+            open_zarr_levels(spark, path, level=2)

@@ -25,6 +25,15 @@ from .zarr import (
     write_zarr_cf,
 )
 from .zarr import add_spatial_ref as add_spatial_ref_zarr
+from .levels import (
+    downscale_level,
+    level_grid_mapping,
+    num_levels_for,
+    num_zarr_levels,
+    open_zarr_levels,
+    read_levels_meta,
+    write_zarr_levels,
+)
 from .zarr3 import (
     add_spatial_ref3,
     open_zarr3_dataset,
