@@ -239,6 +239,62 @@ SCALE_BENCHES = [
 ]
 
 
+def _baseline_shape_df(spark):
+    """BASELINE.md's large ESA-CCI reproject at the SAME scale (the one
+    baseline row with no same-scale repo run until now): source
+    pre-clipped to the Germany bbox [5, 46, 15, 57] at the full 1/360
+    deg (~300 m) CCI resolution -> 3600 x 3960 px, reprojected WGS84 ->
+    EPSG:3035 @ 150 m exactly as notebook cell 5 builds the target
+    (int((extent)/res)+1, xy_min offset by res/2) -> 5167 x 8227 px.
+    The reference's committed numbers for this shape: 9.44 s graph
+    build + 3.48 s compute-and-plot of dst[::5, ::5] (1/25 of the
+    pixels).  Here the FULL 42.5M-px single-date target materializes."""
+    import numpy as np
+
+    from xcube_resampling_spark.crs import CRS, CRS_WGS84, Transformer
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.operators.reproject import (
+        reproject_dataset,
+    )
+
+    res = 1.0 / 360.0
+    lon0, lat0, lon1, lat1 = 5.0, 46.0, 15.0, 57.0
+    w = int(round((lon1 - lon0) / res))   # 3600
+    h = int(round((lat1 - lat0) / res))   # 3960
+    r = raster_df(spark, w, h)
+    src = SparkDataset(
+        spark=spark,
+        data_vars={
+            "lccs_class": Variable(
+                "lccs_class", r, ("lat", "lon"), "float64", {})
+        },
+        coords={
+            "lon": (lon0 + res / 2) + res * np.arange(w),
+            "lat": (lat1 - res / 2) - res * np.arange(h),
+        },
+        yx_dims=("lat", "lon"),
+    )
+    source_gm = GridMapping.from_coords(
+        src.coords["lon"], src.coords["lat"], CRS_WGS84,
+        xy_var_names=("lon", "lat"), xy_dim_names=("lon", "lat"),
+    )
+    t = Transformer.from_crs("EPSG:4326", CRS.from_epsg(3035))
+    tb = t.transform_bounds(lon0, lat0, lon1, lat1)
+    sres = 150.0
+    x_size = int((tb[2] - tb[0]) / sres) + 1
+    y_size = int(abs(tb[3] - tb[1]) / sres) + 1
+    target_gm = GridMapping.regular(
+        (x_size, y_size), (tb[0] - sres / 2, tb[1] - sres / 2), sres,
+        CRS.from_epsg(3035),
+    )
+    out = reproject_dataset(
+        src, target_gm, source_gm=source_gm,
+        interp_methods="nearest", fill_values=float("nan"),
+    )
+    return out.data_vars["lccs_class"].df, (x_size, y_size)
+
+
 def _docs_base(spark):
     import __spark_entry__ as entry_mod
 
@@ -388,6 +444,44 @@ def main():
                 file=sys.stderr,
             )
 
+    # baseline-shape section: BASELINE.md's large ESA-CCI reproject at
+    # the same scale (src 3600x3960 @300m -> dst 5167x8227 @150m,
+    # EPSG:3035).  Reference: 9.44 s graph + 3.48 s compute of
+    # dst[::5,::5]; here the full target materializes.
+    baseline_shape = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        bdf, (bx, by) = _baseline_shape_df(spark)
+        runs = []
+        rows = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = bdf.count()
+            runs.append(time.perf_counter() - t0)
+        baseline_shape = {
+            "sec": round(min(runs), 3),
+            "first_run": round(runs[0], 3),
+            "rows": rows,
+            "target_size": [bx, by],
+            "exchanges": _n_exchanges(bdf),
+            "note": (
+                "ESA-CCI Germany shape at full resolution: src "
+                "3600x3960 @1/360deg, WGS84 -> EPSG:3035 @150 m, FULL "
+                "5167x8227 target materialized (42.5M px).  Reference "
+                "single-node: 9.44 s graph build + 3.48 s compute of "
+                "dst[::5,::5] (1.7M px) -- BASELINE.md rows 18-19"
+            ),
+        }
+        print(
+            f"# baseline_shape: {baseline_shape['sec']:.2f}s "
+            f"(first {baseline_shape['first_run']:.2f}s) rows={rows} "
+            f"target={bx}x{by} exchanges={baseline_shape['exchanges']}",
+            file=sys.stderr,
+        )
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
     # dedup scale section: the three dedup operators on a persisted ~10x
     # corpus (copy-salted token rehash keeps dup structure linear).
     # Steady-state min-of-2; exchange counts must match the base scale.
@@ -439,6 +533,8 @@ def main():
                 "steady-state min of 2, excluded from value"
             ),
         }
+    if baseline_shape:
+        out["baseline_shape"] = baseline_shape
     if scale_times:
         out["scale_10x"] = {
             "queries": scale_times,
