@@ -3862,10 +3862,25 @@ def q_netcdf_roundtrip(spark, sf_dir):
     h5 = clipped(
         read_hdf5(spark, h5_path, "value", bbox_ij=(5, 10, 20, 30))
     )
+    # libver=latest layout: OHDR v2 headers + DENSE fractal-heap link
+    # storage + name-index v2 B-tree (what h5py/netCDF-4 emit for
+    # link-heavy groups -- a real Sentinel granule's shape)
+    hd_path = tempfile.gettempdir() + "/xcrs_hdf5_dense_roundtrip"
+    write_hdf5(
+        _raster(spark, sf_dir), hd_path, "value", (RH, RW),
+        band_rows=16, header_version=2, group_style="dense",
+    )
+    hd = clipped(
+        read_hdf5(spark, hd_path, "value", bbox_ij=(5, 10, 20, 30))
+    )
     return (
         nc.select(F.lit("netcdf3").alias("fmt"), "t", "j", "i", "value")
         .unionByName(
             h5.select(F.lit("hdf5").alias("fmt"), "t", "j", "i", "value")
+        )
+        .unionByName(
+            hd.select(F.lit("hdf5_dense").alias("fmt"),
+                      "t", "j", "i", "value")
         )
     )
 
@@ -4248,7 +4263,9 @@ def oracle_sql() -> dict[str, str]:
         "zarr3_roundtrip": SQL_CLIP,
         "netcdf_roundtrip": (
             f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
-            f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q"
+            f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\n"
+            f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q"
         ),
         "dedup_stream_keepone": SQL_DEDUP_STREAM,
         "zarr_affine_pipeline": SQL_AFFINE_DOWNSCALE,

@@ -229,18 +229,19 @@ class TestLinkMessageGroups:
         np.testing.assert_array_equal(p["vars"]["v"]["data"], data)
         assert p["attrs"]["j_offset"] == 2
 
-    def test_dense_group_storage_rejected_clearly(self):
+    def test_corrupt_dense_heap_rejected_clearly(self):
         blob = bytearray(
             encode_hdf5("v", np.zeros((2, 2)), ("y", "x"),
                         group_style="links")
         )
-        # point the Link Info fractal-heap address at something real
+        # point the Link Info fractal-heap address at garbage: the
+        # dense parser must fail loudly, not silently drop links
         i = blob.find(struct.pack("<BBQQ", 0, 0,
                                   0xFFFFFFFFFFFFFFFF,
                                   0xFFFFFFFFFFFFFFFF))
         assert i > 0
         struct.pack_into("<Q", blob, i + 2, 4096)
-        with pytest.raises(NotImplementedError, match="fractal-heap"):
+        with pytest.raises(ValueError, match="fractal heap"):
             decode_hdf5(bytes(blob))
 
     def test_soft_links_are_skipped(self):
@@ -355,3 +356,174 @@ class TestReviewRegressions:
         assert _parse_fill_value(v2, f8) == 7.5
         v2_undef = bytes([2, 2, 2, 0])
         assert _parse_fill_value(v2_undef, f8) is None
+
+
+class TestDenseGroups:
+    """Dense (fractal heap + name-index v2 B-tree) link storage -- the
+    libver=latest layout once a group exceeds 8 links (HDF5 spec
+    III.A.2 / III.G)."""
+
+    def test_dense_roundtrip_all_layouts(self):
+        import numpy as np
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            decode_hdf5, encode_hdf5)
+
+        data = np.arange(30, dtype="<f8").reshape(5, 6)
+        for hv in (1, 2):
+            for chunks, compress in ((None, False), ((3, 4), True)):
+                blob = encode_hdf5(
+                    "v", data, ("y", "x"), group_style="dense",
+                    header_version=hv, chunks=chunks, compress=compress,
+                    global_attrs={"title": "t"}, var_attrs={"units": "K"},
+                )
+                p = decode_hdf5(blob)
+                np.testing.assert_array_equal(p["vars"]["v"]["data"],
+                                              data)
+                assert p["vars"]["v"]["attrs"]["units"] == "K"
+
+    def test_many_links_single_heap(self):
+        """60 links (leaf node grows past the default 512 bytes, heap
+        block doubles past 512): every name resolves."""
+        import struct
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf, _parse_dense_links, _write_dense_links)
+
+        links = [(f"band_{k:03d}", 0x1000 + k) for k in range(60)]
+        buf = _Buf()
+        buf.write(b"\x00" * 64)  # nonzero base so addresses are real
+        heap_addr, bt_addr = _write_dense_links(buf, links)
+        got = _parse_dense_links(bytes(buf.b), heap_addr, bt_addr)
+        assert got == dict(links)
+
+    def test_depth1_btree_and_indirect_heap(self):
+        """Hand-framed depth-1 name index (BTIN + two BTLF leaves) over
+        a fractal heap with a ROOT INDIRECT block (FHIB + two direct
+        blocks) -- the shapes a link-heavy real product uses, which the
+        repo's own writer never emits."""
+        import struct
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf, _lookup3, _parse_dense_links)
+
+        names = [(f"v{k:02d}", 0x2000 + k) for k in range(10)]
+        off_size, length_size = 4, 2
+        heap_id_len = 1 + off_size + length_size
+        db_hdr = 4 + 1 + 8 + off_size
+        start_size = 256
+        buf = _Buf()
+        buf.write(b"\x00" * 32)
+
+        # link bodies, 5 per direct block
+        def link_body(name, addr):
+            nm = name.encode()
+            return (struct.pack("<BBB", 1, 0x00, len(nm)) + nm
+                    + struct.pack("<Q", addr))
+
+        bodies = [link_body(n, a) for n, a in names]
+        frhp_pos = buf.tell()
+        ib_pos = frhp_pos + 146
+        db0_pos = ib_pos + 4 + 1 + 8 + off_size + 4 * 8
+        db1_pos = db0_pos + start_size
+        hdr = bytearray()
+        hdr += b"FRHP" + bytes([0])
+        hdr += struct.pack("<HH", heap_id_len, 0)
+        hdr += bytes([0])
+        hdr += struct.pack("<I", start_size)
+        hdr += struct.pack("<QQ", 0, 0xFFFFFFFFFFFFFFFF)
+        hdr += struct.pack("<Q", 0) + struct.pack(
+            "<Q", 0xFFFFFFFFFFFFFFFF)
+        hdr += struct.pack("<QQQQ", 2 * start_size, 2 * start_size,
+                           0, len(bodies))
+        hdr += struct.pack("<QQQQ", 0, 0, 0, 0)
+        hdr += struct.pack("<H", 4)
+        hdr += struct.pack("<QQ", start_size, start_size)
+        hdr += struct.pack("<HH", 32, 1)
+        hdr += struct.pack("<Q", ib_pos)
+        hdr += struct.pack("<H", 1)  # root is an indirect block
+        hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+        assert len(hdr) == 146
+        buf.write(bytes(hdr))
+        # FHIB with 4 child slots (width), two real direct blocks
+        ib = bytearray()
+        ib += b"FHIB" + bytes([0]) + struct.pack("<Q", frhp_pos)
+        ib += (0).to_bytes(off_size, "little")
+        ib += struct.pack("<QQQQ", db0_pos, db1_pos,
+                          0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+        buf.write(bytes(ib))
+        heap_ids = []
+        for blk, (pos, base) in enumerate(
+                ((db0_pos, 0), (db1_pos, start_size))):
+            db = bytearray()
+            db += b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_pos)
+            db += base.to_bytes(off_size, "little")
+            for body in bodies[blk * 5:(blk + 1) * 5]:
+                heap_ids.append(
+                    bytes([0])
+                    + (base + len(db)).to_bytes(off_size, "little")
+                    + len(body).to_bytes(length_size, "little"))
+                db += body
+            db += b"\x00" * (start_size - len(db))
+            buf.write(bytes(db))
+        # depth-1 name index: 4 records in leaf0, 1 in the internal
+        # node, 5 in leaf1
+        rec_size = 4 + heap_id_len
+        recs = sorted(
+            (struct.pack("<I", _lookup3(n.encode())) + hid
+             for (n, _), hid in zip(names, heap_ids)),
+            key=lambda r: struct.unpack_from("<I", r)[0])
+        node_size = 512
+        leaf_max = (node_size - 10) // rec_size
+        nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+
+        def leaf(rr):
+            b = bytearray(b"BTLF" + bytes([0, 5]))
+            for r in rr:
+                b += r
+            b += struct.pack("<I", _lookup3(bytes(b)))
+            return bytes(b)
+
+        l0, mid, l1 = recs[:4], recs[4], recs[5:]
+        leaf0_pos = buf.tell()
+        buf.write(leaf(l0))
+        leaf1_pos = buf.tell()
+        buf.write(leaf(l1))
+        btin_pos = buf.tell()
+        btin = bytearray(b"BTIN" + bytes([0, 5]))
+        btin += mid
+        btin += struct.pack("<Q", leaf0_pos) \
+            + len(l0).to_bytes(nrec_size, "little")
+        btin += struct.pack("<Q", leaf1_pos) \
+            + len(l1).to_bytes(nrec_size, "little")
+        btin += struct.pack("<I", _lookup3(bytes(btin)))
+        buf.write(bytes(btin))
+        bthd_pos = buf.tell()
+        bthd = bytearray(b"BTHD" + bytes([0, 5]))
+        bthd += struct.pack("<IHH", node_size, rec_size, 1)
+        bthd += bytes([100, 40])
+        bthd += struct.pack("<QH", btin_pos, 1)
+        bthd += struct.pack("<QI", len(recs), 0)[:8]
+        bthd += struct.pack("<I", _lookup3(bytes(bthd)))
+        buf.write(bytes(bthd))
+
+        got = _parse_dense_links(bytes(buf.b), frhp_pos, bthd_pos)
+        assert got == dict(names)
+
+    def test_netcdf_dispatch_reads_dense(self, spark, tmp_path):
+        """A dense-group granule flows through read_netcdf unchanged."""
+        import numpy as np
+
+        from xcube_resampling_spark.sources import read_netcdf
+        from xcube_resampling_spark.sources.hdf5 import encode_hdf5
+
+        data = np.arange(48, dtype="<f8").reshape(6, 8)
+        p = tmp_path / "dense.nc"
+        p.write_bytes(encode_hdf5(
+            "band", data, ("y", "x"), group_style="dense",
+            header_version=2, chunks=(4, 4), compress=True))
+        got = read_netcdf(spark, str(p), "band").toPandas() \
+            .sort_values(["j", "i"])
+        assert len(got) == 48
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel())

@@ -13,9 +13,12 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   layout) with Jenkins lookup3 gateway checksums -- readable and
   writable (``header_version=2``);
 * root group as a version-1 B-tree + SNOD symbol table + local heap
-  (the default "old-style" group every stock libhdf5 writes), and
+  (the default "old-style" group every stock libhdf5 writes),
   new-style COMPACT groups (Link Info + hard Link messages,
-  ``group_style="links"`` on write);
+  ``group_style="links"`` on write), and new-style DENSE groups
+  (fractal heap FRHP/FHDB/FHIB + name-index version-2 B-tree
+  BTHD/BTIN/BTLF, depth <= 1 -- the ``libver=latest`` layout for
+  groups with more than 8 links; ``group_style="dense"`` on write);
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
   IEEE float, either endianness), fill value (0x0005), data layout
   (0x0008 v3: contiguous and chunked), filter pipeline (0x000B:
@@ -28,8 +31,8 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   read -- the same convention as zarr.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-dense fractal-heap link storage, szip/lzf/scaleoffset filters,
-variable-length and compound datatypes.
+szip/lzf/scaleoffset filters, variable-length and compound datatypes,
+filtered fractal heaps, v2 B-trees deeper than 1.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
 ``part-<band>.h5`` files written by one ``applyInPandas`` task each
@@ -206,6 +209,95 @@ def _messages_block(msgs: list[tuple[int, bytes]]) -> bytes:
         out += struct.pack("<HHB3x", mtype, len(body) + pad, 0)
         out += body + b"\x00" * pad
     return bytes(out)
+
+
+def _write_dense_links(buf: "_Buf",
+                       links: list[tuple[str, int]]) -> tuple[int, int]:
+    """Emit dense group link storage (the ``libver='latest'`` layout
+    for link-heavy groups): one fractal heap (FRHP + a single root
+    FHDB direct block) holding every link message body as a managed
+    object, plus the name-index v2 B-tree (BTHD + one BTLF leaf of
+    (lookup3(name), heap-id) records).  Returns (heap_addr,
+    btree_addr) for the Link Info message."""
+    bodies = []
+    for name, oh_addr in links:
+        nm = name.encode()
+        bodies.append(
+            (nm, struct.pack("<BBB", 1, 0x00, len(nm)) + nm
+             + struct.pack("<Q", oh_addr))
+        )
+    off_size = 4            # max heap size = 32 bits
+    length_size = 2
+    heap_id_len = 1 + off_size + length_size
+    db_hdr = 4 + 1 + 8 + off_size  # flags bit1 clear: no block checksum
+    total = db_hdr + sum(len(b) for _, b in bodies)
+    block = 512
+    while block < total:
+        block *= 2
+
+    frhp_pos = buf.tell()
+    frhp_len = 146          # fixed: all fields below + 4-byte checksum
+    db_addr = frhp_pos + frhp_len
+    hdr = bytearray()
+    hdr += b"FRHP" + bytes([0])
+    hdr += struct.pack("<HH", heap_id_len, 0)   # id len, no io filters
+    hdr += bytes([0])                           # flags
+    hdr += struct.pack("<I", block)             # max managed obj size
+    hdr += struct.pack("<Q", 0)                 # next huge object id
+    hdr += struct.pack("<Q", _UNDEF)            # huge v2 btree
+    hdr += struct.pack("<Q", block - total)     # free space
+    hdr += struct.pack("<Q", _UNDEF)            # free space manager
+    hdr += struct.pack("<QQ", block, block)     # managed / allocated
+    hdr += struct.pack("<Q", total)             # iterator offset
+    hdr += struct.pack("<Q", len(bodies))       # managed object count
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)     # huge/tiny size+count
+    hdr += struct.pack("<H", 4)                 # table width
+    hdr += struct.pack("<QQ", block, block)     # start / max direct
+    hdr += struct.pack("<HH", 32, 1)            # max heap bits, rows
+    hdr += struct.pack("<Q", db_addr)           # root block address
+    hdr += struct.pack("<H", 0)                 # current rows: direct
+    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+    assert len(hdr) == frhp_len
+    buf.write(bytes(hdr))
+
+    db = bytearray()
+    db += b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_pos)
+    db += (0).to_bytes(off_size, "little")      # block heap offset
+    heap_ids = []
+    for nm, body in bodies:
+        heap_ids.append(
+            bytes([0]) + len(db).to_bytes(off_size, "little")
+            + len(body).to_bytes(length_size, "little")
+        )
+        db += body
+    db += b"\x00" * (block - len(db))
+    buf.write(bytes(db))
+
+    rec_size = 4 + heap_id_len
+    recs = sorted(
+        (struct.pack("<I", _lookup3(nm)) + hid
+         for (nm, _), hid in zip(bodies, heap_ids)),
+        key=lambda r: struct.unpack_from("<I", r)[0],
+    )
+    node_size = 512
+    while node_size < 10 + len(recs) * rec_size:
+        node_size *= 2  # keep a single leaf: node size is a stored field
+    leaf_pos = buf.tell()
+    leaf = bytearray(b"BTLF" + bytes([0, 5]))
+    for r in recs:
+        leaf += r
+    leaf += struct.pack("<I", _lookup3(bytes(leaf)))
+    buf.write(bytes(leaf))
+    bthd_pos = buf.tell()
+    bthd = bytearray()
+    bthd += b"BTHD" + bytes([0, 5])
+    bthd += struct.pack("<IHH", node_size, rec_size, 0)
+    bthd += bytes([100, 40])                    # split / merge %
+    bthd += struct.pack("<QH", leaf_pos, len(recs))
+    bthd += struct.pack("<Q", len(recs))        # total records
+    bthd += struct.pack("<I", _lookup3(bytes(bthd)))
+    buf.write(bytes(bthd))
+    return frhp_pos, bthd_pos
 
 
 def _object_header_v1(msgs: list[tuple[int, bytes]]) -> bytes:
@@ -389,6 +481,16 @@ def encode_hdf5(
             (0x0011, struct.pack("<QQ", bt_pos, heap_hdr_pos))
         ]
         entry_scratch = (bt_pos, heap_hdr_pos, 1)
+    elif group_style == "dense":
+        # new-style DENSE group: links live in a fractal heap indexed
+        # by a name v2 B-tree (what libver='latest' emits once a group
+        # exceeds 8 links); Link Info carries both addresses
+        heap_addr, bt_addr = _write_dense_links(
+            buf, [(var_name, ds_oh_pos)])
+        root_msgs = [
+            (0x0002, struct.pack("<BBQQ", 0, 0, heap_addr, bt_addr)),
+        ]
+        entry_scratch = (0, 0, 0)
     else:
         # new-style compact group: Link Info (no fractal heap, no
         # creation-order index) + one hard Link message per dataset
@@ -628,24 +730,169 @@ def _parse_link_message(body: bytes) -> tuple[str, int] | None:
     return name, oh_addr
 
 
+def _parse_fractal_heap(blob: bytes, addr: int) -> dict:
+    """Fractal heap header (FRHP, HDF5 spec III.G) -> the parameters
+    needed to locate managed objects.  Only unfiltered heaps (the kind
+    libhdf5 uses for dense link storage) are supported."""
+    if blob[addr:addr + 4] != b"FRHP":
+        raise ValueError("bad fractal heap signature")
+    heap_id_len, filt_len = struct.unpack_from("<HH", blob, addr + 5)
+    if filt_len:
+        raise NotImplementedError("filtered fractal heaps not supported")
+    flags = blob[addr + 9]
+    # skip: max managed obj size(4), next huge id(8), huge v2 btree(8),
+    # then ten 8-byte bookkeeping fields (free space .. tiny count)
+    off = addr + 10 + 4 + 8 + 8 + 80
+    (width,) = struct.unpack_from("<H", blob, off)
+    start_size, max_direct = struct.unpack_from("<QQ", blob, off + 2)
+    max_heap_bits, _start_rows = struct.unpack_from(
+        "<HH", blob, off + 18)
+    (root_addr,) = struct.unpack_from("<Q", blob, off + 22)
+    (cur_rows,) = struct.unpack_from("<H", blob, off + 30)
+    return {
+        "heap_id_len": heap_id_len,
+        "flags": flags,
+        "width": width,
+        "start_size": start_size,
+        "max_direct": max_direct,
+        "off_size": (max_heap_bits + 7) // 8,
+        "root_addr": root_addr,
+        "cur_rows": cur_rows,
+    }
+
+
+def _heap_row_size(hp: dict, row: int) -> int:
+    """Doubling-table block size of ``row`` (rows 0 and 1 use the
+    starting size, each further row doubles)."""
+    return hp["start_size"] if row <= 1 else hp["start_size"] << (row - 1)
+
+
+def _heap_object(blob: bytes, hp: dict, heap_id: bytes) -> bytes:
+    """Fetch one managed object's bytes by its heap ID (version/type
+    byte + heap offset + length; heap offsets INCLUDE direct-block
+    headers, so a single-direct-block heap is a flat address space)."""
+    b0 = heap_id[0]
+    if (b0 >> 6) & 0x3 or (b0 >> 4) & 0x3:
+        raise NotImplementedError(
+            "only managed fractal-heap objects supported")
+    off_size = hp["off_size"]
+    length_size = hp["heap_id_len"] - 1 - off_size
+    obj_off = int.from_bytes(heap_id[1:1 + off_size], "little")
+    obj_len = int.from_bytes(
+        heap_id[1 + off_size:1 + off_size + length_size], "little")
+    if hp["cur_rows"] == 0:
+        db_addr, block_base = hp["root_addr"], 0
+    else:
+        # root indirect block (FHIB): doubling table of child blocks
+        row, base = 0, 0
+        while True:
+            size = _heap_row_size(hp, row)
+            span = hp["width"] * size
+            if obj_off < base + span:
+                col = (obj_off - base) // size
+                block_base = base + col * size
+                break
+            base += span
+            row += 1
+        max_direct_rows = (
+            (hp["max_direct"] // hp["start_size"]).bit_length() + 1)
+        if row >= max_direct_rows:
+            raise NotImplementedError(
+                "fractal heap with nested indirect blocks not supported")
+        ib = hp["root_addr"]
+        if blob[ib:ib + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block")
+        ptr0 = ib + 4 + 1 + 8 + hp["off_size"]
+        idx = row * hp["width"] + col
+        (db_addr,) = struct.unpack_from("<Q", blob, ptr0 + 8 * idx)
+    if blob[db_addr:db_addr + 4] != b"FHDB":
+        raise ValueError("bad fractal heap direct block")
+    start = db_addr + (obj_off - block_base)
+    return blob[start:start + obj_len]
+
+
+def _v2_btree_records(blob: bytes, addr: int) -> list[bytes]:
+    """Enumerate every record of a version-2 B-tree (BTHD/BTIN/BTLF,
+    HDF5 spec III.A.2), depth 0 or 1 -- enough for dense-group name
+    indices up to thousands of links at the default 512-byte nodes."""
+    if blob[addr:addr + 4] != b"BTHD":
+        raise ValueError("bad v2 B-tree signature")
+    (node_size,) = struct.unpack_from("<I", blob, addr + 6)
+    (rec_size,) = struct.unpack_from("<H", blob, addr + 10)
+    (depth,) = struct.unpack_from("<H", blob, addr + 12)
+    (root_addr,) = struct.unpack_from("<Q", blob, addr + 16)
+    (root_nrec,) = struct.unpack_from("<H", blob, addr + 24)
+    recs: list[bytes] = []
+
+    def read_leaf(a: int, n: int) -> None:
+        if blob[a:a + 4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf")
+        p = a + 6
+        for _ in range(n):
+            recs.append(blob[p:p + rec_size])
+            p += rec_size
+
+    if depth == 0:
+        read_leaf(root_addr, root_nrec)
+    elif depth == 1:
+        if blob[root_addr:root_addr + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node")
+        p = root_addr + 6
+        int_recs = []
+        for _ in range(root_nrec):
+            int_recs.append(blob[p:p + rec_size])
+            p += rec_size
+        # child pointer: address(8) + #records (sized to hold the max
+        # leaf record count; leaves have no subtree-total field)
+        leaf_max = (node_size - 10) // rec_size
+        nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+        children = []
+        for _ in range(root_nrec + 1):
+            (caddr,) = struct.unpack_from("<Q", blob, p)
+            p += 8
+            cn = int.from_bytes(blob[p:p + nrec_size], "little")
+            p += nrec_size
+            children.append((caddr, cn))
+        for k, (caddr, cn) in enumerate(children):
+            read_leaf(caddr, cn)
+            if k < len(int_recs):
+                recs.append(int_recs[k])
+    else:
+        raise NotImplementedError("v2 B-tree depth > 1 not supported")
+    return recs
+
+
+def _parse_dense_links(blob: bytes, heap_addr: int,
+                       bt_addr: int) -> dict[str, int]:
+    """Dense (fractal-heap) group link storage: enumerate the name-index
+    v2 B-tree (record = 4-byte name hash + fractal heap ID), fetch each
+    link message body from the heap, parse it like a compact 0x0006
+    message.  This is what ``libver='latest'`` netCDF-4/h5py emit for
+    groups with more than 8 links."""
+    hp = _parse_fractal_heap(blob, heap_addr)
+    out: dict[str, int] = {}
+    for rec in _v2_btree_records(blob, bt_addr):
+        body = _heap_object(blob, hp, rec[4:])
+        link = _parse_link_message(body)
+        if link is not None:
+            out[link[0]] = link[1]
+    return out
+
+
 def _walk_group(blob: bytes, msgs) -> dict[str, int]:
     """name -> object header address: old-style symbol-table groups
-    (0x0011) AND new-style compact link-message groups (0x0006);
-    dense (fractal-heap) link storage is rejected clearly via the
-    Link Info message (0x0002)."""
+    (0x0011), new-style compact link-message groups (0x0006), and
+    dense fractal-heap link storage via the Link Info message
+    (0x0002)."""
     out: dict[str, int] = {}
     for mtype, body in msgs:
         if mtype == 0x0002:
             # Link Info: version(1), flags(1), [max creation index(8)],
             # fractal heap addr, name-index b-tree addr
             off = 2 + (8 if body[1] & 0x01 else 0)
-            (heap_addr,) = struct.unpack_from("<Q", body, off)
+            heap_addr, bt_addr = struct.unpack_from("<QQ", body, off)
             if heap_addr != _UNDEF:
-                raise NotImplementedError(
-                    "dense (fractal-heap) group link storage not "
-                    "supported; compact link messages and symbol-table "
-                    "groups only"
-                )
+                out.update(_parse_dense_links(blob, heap_addr, bt_addr))
             continue
         if mtype == 0x0006:
             link = _parse_link_message(body)
@@ -900,11 +1147,15 @@ def write_hdf5(
     compress: bool = True,
     attrs: dict | None = None,
     chunk_put: ChunkPut | None = None,
+    header_version: int = 1,
+    group_style: str = "symbol_table",
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as a granule directory
     of HDF5 files (one horizontal band of ``band_rows`` rows per file,
     one ``applyInPandas`` task per band, all bytes through
-    ``chunk_put``)."""
+    ``chunk_put``).  ``header_version=2`` + ``group_style='dense'``
+    emits the libver=latest layout (OHDR headers, fractal-heap link
+    storage)."""
     nd = len(shape)
     if nd == 2:
         nt, (h, w) = 1, shape
@@ -939,6 +1190,8 @@ def write_hdf5(
             var_name, data, dims,
             global_attrs={"j_offset": j0, **g_attrs},
             compress=compress,
+            header_version=header_version,
+            group_style=group_style,
         )
         fname = f"part-{band}.h5"
         put.put(fname, blob)
