@@ -516,6 +516,38 @@ def main():
         docs10.unpersist()
         dedup_scale["n_docs"] = n10
 
+    # 100x dedup scale point (~1M docs): confirms the 10x slopes do
+    # not curve -- minhash's candidate generation stays a banded
+    # equi-join, so doubling data should stay ~linear.  One timed run
+    # after one warm-up-free pass is too noisy at this size; min-of-2
+    # like the 10x section.
+    dedup_scale_100 = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1" \
+            and os.environ.get("SPARK_GRAFT_SKIP_100X") != "1":
+        from xcube_resampling_spark.extensions import dedup as dedup_mod
+
+        docs100 = _docs_10x(spark, copies=100).persist()
+        n100 = docs100.count()
+        for name, fn_name in DEDUP_SCALE_BENCHES:
+            op = fn_name if callable(fn_name) \
+                else getattr(dedup_mod, fn_name)
+            best = float("inf")
+            rows = None
+            for _ in range(2):
+                dedup_mod.release_cached()
+                t0 = time.perf_counter()
+                rows = op(docs100).count()
+                best = min(best, time.perf_counter() - t0)
+            dedup_mod.release_cached()
+            spark._jvm.System.gc()
+            dedup_scale_100[name] = {"sec": round(best, 3), "rows": rows}
+            print(
+                f"# dedup100x {name}: {best:.2f}s rows={rows}",
+                file=sys.stderr,
+            )
+        docs100.unpersist()
+        dedup_scale_100["n_docs"] = n100
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall",
@@ -535,6 +567,16 @@ def main():
         }
     if baseline_shape:
         out["baseline_shape"] = baseline_shape
+    if dedup_scale_100:
+        out["dedup_100x"] = {
+            "queries": dedup_scale_100,
+            "note": (
+                "dedup operators on a persisted ~100x (~1M-doc) corpus "
+                "(same copy-salted construction as dedup_10x; dup pairs "
+                "scale linearly); steady-state min of 2, excluded from "
+                "value -- compare slopes against dedup_10x"
+            ),
+        }
     if scale_times:
         out["scale_10x"] = {
             "queries": scale_times,

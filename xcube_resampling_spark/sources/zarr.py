@@ -832,9 +832,13 @@ def read_zarr(
             attrs = _get_json(store, "", f"{var_name}/.zattrs")
         if meta is None:
             if _get_json(store, "", f"{var_name}/zarr.json") is not None:
-                raise NotImplementedError(
-                    "zarr v3 through a chunk store is not supported; "
-                    "extract the store or use a v2 archive")
+                # v3 store behind the seam -> delegate to the v3 reader
+                from xcube_resampling_spark.sources.zarr3 import (
+                    read_zarr3,
+                )
+
+                return read_zarr3(spark, path, var_name, bbox_ij,
+                                  decode_cf, store=store)
             raise FileNotFoundError(
                 f"no {var_name}/.zarray in the chunk store")
         attrs = attrs or {}

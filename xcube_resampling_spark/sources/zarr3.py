@@ -761,6 +761,7 @@ def read_zarr3(
     var_name: str,
     bbox_ij: tuple[int, int, int, int] | None = None,
     decode_cf: bool = False,
+    store=None,
 ) -> DataFrame:
     """Read a zarr v3 array as a (t, j, i, value) pixel DataFrame.
 
@@ -768,13 +769,23 @@ def read_zarr3(
     prunes chunk FILES driver-side before the binaryFile scan;
     ``decode_cf=True`` applies ``_FillValue``/``missing_value`` ->
     NaN then ``scale_factor``/``add_offset`` from the array's
-    ``attributes``."""
+    ``attributes``.  ``store`` reads through a non-filesystem chunk
+    store (ZipChunkStore / FlatKVChunkPut / any ChunkPut with ``get``):
+    metadata driver-side, chunk GETs distributed over the pruned key
+    list (``path`` is ignored when given)."""
     # absolutize ON THE DRIVER: executors receive absolute file: paths
     # from binaryFile, and their cwd need not match the driver's, so a
     # relative adir captured in the decode closure would mis-resolve
     adir = os.path.abspath(os.path.join(path, var_name))
-    with open(os.path.join(adir, "zarr.json")) as fp:
-        meta = json.load(fp)
+    if store is not None:
+        raw_meta = store.get(f"{var_name}/zarr.json")
+        if raw_meta is None:
+            raise FileNotFoundError(
+                f"no {var_name}/zarr.json in the chunk store")
+        meta = json.loads(raw_meta)
+    else:
+        with open(os.path.join(adir, "zarr.json")) as fp:
+            meta = json.load(fp)
     if meta.get("node_type") != "array" or meta.get("zarr_format") != 3:
         raise ValueError(f"{adir}/zarr.json is not a zarr v3 array")
     grid = meta.get("chunk_grid", {})
@@ -851,84 +862,126 @@ def read_zarr3(
         ki_r = range(max(0, i0 // ct_i), min(n_ki, -(-i1 // ct_i)))
     else:
         kj_r, ki_r = range(n_kj), range(n_ki)
-    keys = [
-        _chunk_key((kj, ki) if nd == 2 else (kt, kj, ki), key_enc)
+    key_idx = {
+        _chunk_key((kj, ki) if nd == 2 else (kt, kj, ki), key_enc):
+            (kt, kj, ki)
         for kt in range(n_kt)
         for kj in kj_r
         for ki in ki_r
-    ]
-    files = [
-        os.path.join(adir, k) for k in keys
-        if os.path.exists(os.path.join(adir, k))
-    ]
-    if not files:
-        return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
-    binf = spark.read.format("binaryFile").load(files)
+    }
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                local = p[len("file:"):] if p.startswith("file:") else p
-                idx = _indices_from_path(local, adir, key_enc, nd)
-                if nd == 2:
-                    kt, kj, ki = 0, idx[0], idx[1]
-                else:
-                    kt, kj, ki = idx
-                if shard_cfg is not None:
-                    inner3 = (
-                        (1,) + shard_inner_raw
-                        if len(shard_inner_raw) == 2 else shard_inner_raw
-                    )
-                    block = _decode_shard(
-                        bytes(content), (ct_t, ct_j, ct_i), inner3,
-                        dtype, bb_codecs, shard_index_codecs,
-                        shard_index_location, float(store_fill),
-                    )
-                elif t_order is not None:
-                    # stored chunks hold the permuted axis order;
-                    # undo it before the t/j/i promotion
-                    raw = _decode_chain(bytes(content), bb_codecs)
-                    stored = tuple(chunks_nd[a] for a in t_order)
-                    blk = np.frombuffer(raw, dtype=dtype).reshape(stored)
-                    blk = np.transpose(blk, axes=t_inverse)
-                    block = blk.reshape(ct_t, ct_j, ct_i)
-                else:
-                    raw = _decode_chain(bytes(content), bb_codecs)
-                    block = np.frombuffer(raw, dtype=dtype).reshape(
-                        ct_t, ct_j, ct_i
-                    )
-                t_off, j_off, i_off = kt * ct_t, kj * ct_j, ki * ct_i
-                vt = min(ct_t, nt - t_off)
-                vj = min(ct_j, h - j_off)
-                vi = min(ct_i, w - i_off)
-                block = block[:vt, :vj, :vi].astype(np.float64)
-                if decode_cf:
-                    if fill_values is not None:
-                        block = np.where(
-                            np.isin(block, fill_values), np.nan, block
-                        )
-                    block = block * scale + offset
-                tt, jj, ii = np.meshgrid(
-                    np.arange(vt), np.arange(vj), np.arange(vi),
-                    indexing="ij",
+    def decode_block(content: bytes, kt: int, kj: int,
+                     ki: int) -> pd.DataFrame:
+        if shard_cfg is not None:
+            inner3 = (
+                (1,) + shard_inner_raw
+                if len(shard_inner_raw) == 2 else shard_inner_raw
+            )
+            block = _decode_shard(
+                content, (ct_t, ct_j, ct_i), inner3,
+                dtype, bb_codecs, shard_index_codecs,
+                shard_index_location, float(store_fill),
+            )
+        elif t_order is not None:
+            # stored chunks hold the permuted axis order;
+            # undo it before the t/j/i promotion
+            raw = _decode_chain(content, bb_codecs)
+            stored = tuple(chunks_nd[a] for a in t_order)
+            blk = np.frombuffer(raw, dtype=dtype).reshape(stored)
+            blk = np.transpose(blk, axes=t_inverse)
+            block = blk.reshape(ct_t, ct_j, ct_i)
+        else:
+            raw = _decode_chain(content, bb_codecs)
+            block = np.frombuffer(raw, dtype=dtype).reshape(
+                ct_t, ct_j, ct_i
+            )
+        t_off, j_off, i_off = kt * ct_t, kj * ct_j, ki * ct_i
+        vt = min(ct_t, nt - t_off)
+        vj = min(ct_j, h - j_off)
+        vi = min(ct_i, w - i_off)
+        block = block[:vt, :vj, :vi].astype(np.float64)
+        if decode_cf:
+            if fill_values is not None:
+                block = np.where(
+                    np.isin(block, fill_values), np.nan, block
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "t": (tt.ravel() + t_off).astype(np.int32),
-                            "j": (jj.ravel() + j_off).astype(np.int32),
-                            "i": (ii.ravel() + i_off).astype(np.int32),
-                            "value": block.ravel(),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            block = block * scale + offset
+        tt, jj, ii = np.meshgrid(
+            np.arange(vt), np.arange(vj), np.arange(vi),
+            indexing="ij",
+        )
+        return pd.DataFrame(
+            {
+                "t": (tt.ravel() + t_off).astype(np.int32),
+                "j": (jj.ravel() + j_off).astype(np.int32),
+                "i": (ii.ravel() + i_off).astype(np.int32),
+                "value": block.ravel(),
+            }
+        )
 
-    df = binf.select("path", "content").mapInPandas(
-        decode, ZARR_PIXEL_SCHEMA
-    )
+    if store is not None:
+        known = getattr(store, "known_keys", None)
+        if callable(known):
+            have = set(known())
+            key_idx = {
+                k: v for k, v in key_idx.items()
+                if f"{var_name}/{k}" in have
+            }
+        if not key_idx:
+            return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+        n_part = max(1, min(
+            len(key_idx), spark.sparkContext.defaultParallelism))
+        keys_df = spark.createDataFrame(
+            [(k, kt, kj, ki) for k, (kt, kj, ki) in key_idx.items()],
+            "chunk string, kt int, kj int, ki int",
+        ).repartition(n_part)
+
+        def fetch(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for key, kt, kj, ki in zip(
+                        pdf["chunk"], pdf["kt"], pdf["kj"], pdf["ki"]):
+                    raw = store.get(f"{var_name}/{key}")
+                    if raw is None:
+                        continue
+                    outs.append(
+                        decode_block(bytes(raw), int(kt), int(kj),
+                                     int(ki)))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        df = keys_df.mapInPandas(fetch, ZARR_PIXEL_SCHEMA)
+    else:
+        files = [
+            os.path.join(adir, k) for k in key_idx
+            if os.path.exists(os.path.join(adir, k))
+        ]
+        if not files:
+            return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+        binf = spark.read.format("binaryFile").load(files)
+
+        def decode(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    local = (p[len("file:"):] if p.startswith("file:")
+                             else p)
+                    idx = _indices_from_path(local, adir, key_enc, nd)
+                    if nd == 2:
+                        kt, kj, ki = 0, idx[0], idx[1]
+                    else:
+                        kt, kj, ki = idx
+                    outs.append(decode_block(bytes(content), kt, kj, ki))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        df = binf.select("path", "content").mapInPandas(
+            decode, ZARR_PIXEL_SCHEMA
+        )
     if bbox_ij is not None:
         i0, j0, i1, j1 = bbox_ij
         df = df.filter(
