@@ -1317,3 +1317,55 @@ def test_sampling_null_keys_and_salted_composition(spark):
     counts = {r.split: r["count"] for r in parts}
     assert set(counts) == {"a", "b"}
     assert min(counts.values()) > 20  # roughly balanced, not degenerate
+
+
+class TestLargeKAssignment:
+    """Past _LITERAL_SCALAR_LIMIT the centroid assignment and PQ encode
+    switch to a broadcast numpy argmax inside mapInPandas -- still zero
+    exchanges, no Catalyst literal blowup (SemDeDup-scale k)."""
+
+    def _embeddings(self, spark, n=60, dim=8):
+        import numpy as np
+        rng = np.random.RandomState(11)
+        rows = [(int(i), [float(v) for v in rng.randn(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    def test_vectorized_matches_literal(self, spark, monkeypatch):
+        from xcube_resampling_spark.extensions import similarity as sim
+
+        emb = self._embeddings(spark)
+        cents = emb.orderBy("vec_id").limit(6)
+        lit = {r.vec_id: r.cent_id
+               for r in sim.assign_centroids(emb, cents).collect()}
+        monkeypatch.setattr(sim, "_LITERAL_SCALAR_LIMIT", 1)
+        vec_df = sim.assign_centroids(emb, cents)
+        vec = {r.vec_id: r.cent_id for r in vec_df.collect()}
+        assert vec == lit
+        plan = vec_df._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            line for line in plan.splitlines()
+            if "Exchange" in line and "Reused" not in line
+        ]
+        assert exchanges == []
+        assert "Join" not in plan
+
+    def test_vectorized_pq_encode_matches_literal(self, spark,
+                                                  monkeypatch):
+        from xcube_resampling_spark.extensions import similarity as sim
+
+        emb = self._embeddings(spark, n=40, dim=8)
+        books = sim.pq_train(emb, m=2, ksub=4, iterations=1)
+        lit = {r.vec_id: list(r.codes)
+               for r in sim.pq_encode(emb, books).collect()}
+        monkeypatch.setattr(sim, "_LITERAL_SCALAR_LIMIT", 1)
+        vec_df = sim.pq_encode(emb, books)
+        vec = {r.vec_id: list(r.codes) for r in vec_df.collect()}
+        assert vec == lit
+        plan = vec_df._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            line for line in plan.splitlines()
+            if "Exchange" in line and "Reused" not in line
+        ]
+        assert exchanges == []

@@ -896,3 +896,45 @@ class TestForeignDialectRegressions:
         again = crs_from_wkt(c.to_wkt())
         assert again.name == 'ETRS89 "extended" LAEA'
         assert again.params == c.params
+
+
+class TestPrimemUnits:
+    """Strict OGC WKT1: a PRIMEM without its own unit is in the GEOGCS
+    angular UNIT (EPSG:4807 quotes Paris as 2.5969213 GRADS)."""
+
+    def test_geogcs_primem_in_grads(self):
+        wkt = (
+            'GEOGCS["NTF (Paris)",DATUM["Nouvelle_Triangulation_'
+            'Francaise_Paris",SPHEROID["Clarke 1880 (IGN)",6378249.2,'
+            '293.4660212936269]],PRIMEM["Paris",2.5969213],'
+            'UNIT["grad",0.01570796326794897]]'
+        )
+        c = crs_from_wkt(wkt)
+        assert c.param("pm") == pytest.approx(2.33722917, abs=1e-6)
+
+    def test_projcs_primem_in_grads(self):
+        wkt = (
+            'PROJCS["NTF (Paris) / Lambert zone II",GEOGCS["NTF '
+            '(Paris)",DATUM["NTF_Paris",SPHEROID["Clarke 1880 (IGN)",'
+            '6378249.2,293.4660212936269]],PRIMEM["Paris",2.5969213],'
+            'UNIT["grad",0.01570796326794897]],'
+            'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+            'PARAMETER["latitude_of_origin",52],'
+            'PARAMETER["central_meridian",0],'
+            'PARAMETER["scale_factor",0.99987742],'
+            'PARAMETER["false_easting",600000],'
+            'PARAMETER["false_northing",2200000],UNIT["metre",1]]'
+        )
+        c = crs_from_wkt(wkt)
+        # lat_0 = 52 grads = 46.8 deg; lon_0 = 0 + Paris = 2.337 deg
+        assert c.param("lat_0") == pytest.approx(46.8)
+        assert c.param("lon_0") == pytest.approx(2.33722917, abs=1e-6)
+
+    def test_degree_primem_unchanged(self):
+        wkt = (
+            'GEOGCS["x",DATUM["d",SPHEROID["WGS 84",6378137,'
+            '298.257223563]],PRIMEM["Paris",2.33722917],'
+            'UNIT["degree",0.0174532925199433]]'
+        )
+        c = crs_from_wkt(wkt)
+        assert c.param("pm") == pytest.approx(2.33722917)

@@ -840,3 +840,92 @@ class TestLevels:
                           num_levels=2)
         with pytest.raises(ValueError, match="out of range"):
             open_zarr_levels(spark, path, level=2)
+
+
+class TestReviewRound6:
+    """Pins for the round-6 self-review findings."""
+
+    def test_levels_elongated_grid_caps_levels(self, spark, tmp_path):
+        """A 16x512 grid with 16x16 tiles must stop halving before a
+        dimension hits 1 (crashed mid-write before, leaving a partial
+        store)."""
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            num_levels_for, open_zarr_levels, write_zarr_levels)
+
+        assert num_levels_for((16, 512), (16, 16)) == 4  # 16->8->4->2
+        gm = GridMapping.regular(
+            (16, 512), (0.0, 0.0), 1.0, CRS.from_epsg(32632),
+            tile_size=(16, 16))
+        path = str(tmp_path / "e.levels")
+        df = spark.range(16 * 512).select(
+            F.lit(0).cast("int").alias("t"),
+            (F.col("id") / 16).cast("int").alias("j"),
+            (F.col("id") % 16).cast("int").alias("i"),
+            F.col("id").cast("double").alias("value"),
+        )
+        n = write_zarr_levels(df, path, "band", gm)
+        assert n == 4
+        _ds, gm3 = open_zarr_levels(spark, path, level=3)
+        assert gm3.size == (2, 64)
+
+    def test_levels_bad_num_levels_fails_before_writing(
+            self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import write_zarr_levels
+
+        gm = GridMapping.regular(
+            (16, 12), (0.0, 0.0), 1.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "bad.levels")
+        with pytest.raises(ValueError, match="pyramid level"):
+            write_zarr_levels(_raster(spark, 16, 12), path, "band", gm,
+                              num_levels=6)
+        assert not os.path.exists(path)  # nothing was written
+
+    def test_store_mode_never_reads_driver_cwd(self, spark, tmp_path,
+                                               monkeypatch):
+        """A key missing from the chunk store must NOT be satisfied by
+        an unrelated file under the driver's cwd."""
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, read_zarr, write_zarr)
+
+        # unrelated consolidated metadata lying in the cwd
+        trap = tmp_path / "trap"
+        trap.mkdir()
+        (trap / ".zmetadata").write_text(json.dumps({
+            "zarr_consolidated_format": 1,
+            "metadata": {"v/.zarray": {
+                "zarr_format": 2, "shape": [2, 2], "chunks": [2, 2],
+                "dtype": "<f8", "compressor": None, "fill_value": None,
+                "order": "C", "filters": None,
+            }},
+        }))
+        monkeypatch.chdir(trap)
+        store = FlatKVChunkPut(str(tmp_path / "kvtrap"))
+        w, h = 25, 17
+        write_zarr(_raster(spark, w, h), "ignored", "v", (h, w), (8, 8),
+                   chunk_put=store)
+        # remove the store's own consolidated doc so the reader must
+        # fall through to the per-array JSON INSIDE the store, not cwd
+        os.remove(store._fname(".zmetadata"))
+        got = read_zarr(spark, "ignored", "v", store=store)
+        assert got.count() == w * h  # real 25x17, not the trap's 2x2
+
+    def test_open_store_unknown_variable_clear_error(self, spark,
+                                                     tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, open_zarr_dataset, write_zarr_cf)
+
+        store = FlatKVChunkPut(str(tmp_path / "kvv"))
+        gm = GridMapping.regular(
+            (16, 12), (500000.0, 5000000.0), 100.0,
+            CRS.from_epsg(32632))
+        write_zarr_cf(_raster(spark, 16, 12), "ignored", "band", gm,
+                      chunk_put=store)
+        with pytest.raises(FileNotFoundError, match="typo_name"):
+            open_zarr_dataset(spark, "ignored",
+                              variables=["typo_name"], store=store)

@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -77,19 +78,77 @@ def _collect_centroids(
     return out
 
 
+# above this many literal scalars (k x dim), fold the centroid table
+# into an executor broadcast + one vectorized numpy argmax instead of a
+# literal Catalyst expression: the literal plan is bit-identical to the
+# SQL oracle but its codegen degrades past the JVM 64KB method limit
+# and its analysis cost grows with k x dim.
+_LITERAL_SCALAR_LIMIT = 16384
+
+
+def _assign_centroids_vectorized(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+) -> DataFrame:
+    """Large-k nearest-centroid assignment: still ZERO exchanges -- a
+    ``mapInPandas`` scan with the (k x dim) centroid matrix broadcast to
+    executors and the cosine argmax as one numpy matmul per Arrow
+    batch.  Float summation order differs from the SQL path by ~1 ulp
+    (pairwise vs sequential), fine for clustering; the literal path
+    stays the oracle-exact one at small k."""
+    import pandas as pd
+
+    ids = np.asarray([cid for cid, _, _ in cents], dtype=np.int64)
+    cmat = np.asarray([vec for _, vec, _ in cents], dtype=np.float64)
+    cnorm = np.asarray([cn for _, _, cn in cents], dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (ids, cmat, cnorm))
+    fields = {f.name: f.dataType.simpleString()
+              for f in embeddings.schema.fields}
+    schema = (f"vec_id {fields['vec_id']}, cent_id bigint, "
+              f"embedding {fields['embedding']}")
+
+    def assign(batches):
+        ids_, cmat_, cnorm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emat = np.asarray(
+                [np.asarray(e, dtype=np.float64)
+                 for e in pdf["embedding"]])
+            enorm = np.sqrt((emat * emat).sum(axis=1))
+            cos = (emat @ cmat_.T) / (
+                enorm[:, None] * cnorm_[None, :])
+            # centroids are sorted by id ascending and np.argmax takes
+            # the FIRST max, so ties resolve to the lowest cent_id --
+            # the same rule as the literal path's struct(cos, -id) max
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cent_id": ids_[best],
+                "embedding": pdf["embedding"],
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema)
+
+
 def assign_centroids(
     embeddings: DataFrame,
     centroids: DataFrame | list[tuple[int, list[float], float]],
 ) -> DataFrame:
     """Assign each vector to its nearest centroid as ONE narrow
-    projection -- zero exchanges.
+    projection -- zero exchanges at ANY k.
 
     The k centroids (k rows -- always driver-sized) are folded into a
     literal array-of-structs and the cosine argmax runs inside
     whole-stage codegen via ``array_max`` over ``struct(cos, -cent_id)``
     (the same literal-lookup pattern as :func:`pq_topk`'s LUT).  At
     100 TB this replaces the former crossJoin+groupBy, which shuffled
-    N x k rows per pass, with a map-only scan.
+    N x k rows per pass, with a map-only scan.  Past
+    ``_LITERAL_SCALAR_LIMIT`` scalars (SemDeDup-scale cluster counts)
+    the same math runs as a broadcast numpy argmax inside
+    ``mapInPandas`` -- still map-only, no Catalyst blowup.
 
     ``centroids`` may be a DataFrame (collected here; k rows) or a
     pre-collected list from :func:`_collect_centroids` (used by the
@@ -100,6 +159,8 @@ def assign_centroids(
         if isinstance(centroids, DataFrame)
         else list(centroids)
     )
+    if cents and len(cents) * len(cents[0][1]) > _LITERAL_SCALAR_LIMIT:
+        return _assign_centroids_vectorized(embeddings, cents)
     emb = F.col("embedding")
     en = _norm(emb)
     # deterministic: on cosine ties prefer the lowest centroid id
@@ -279,6 +340,45 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
         by_sub.setdefault(int(r.sub), []).append(
             (int(r.code), [float(v) for v in r.centroid])
         )
+    ksub = max(len(v) for v in by_sub.values())
+    if m * ksub * sub_dim > _LITERAL_SCALAR_LIMIT:
+        # large codebooks: same math as one broadcast numpy argmin per
+        # subspace inside mapInPandas -- still zero shuffles
+        import pandas as pd
+
+        books_mat = [
+            np.asarray([c for _, c in sorted(by_sub[s])],
+                       dtype=np.float64)
+            for s in range(m)
+        ]
+        bc = embeddings.sparkSession.sparkContext.broadcast(books_mat)
+        vt = {f.name: f.dataType.simpleString()
+              for f in embeddings.schema.fields}["vec_id"]
+
+        def encode(batches):
+            mats = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emat = np.asarray(
+                    [np.asarray(e, dtype=np.float64)
+                     for e in pdf["embedding"]])
+                codes = np.empty((len(pdf), len(mats)), dtype=np.int32)
+                for s, cmat in enumerate(mats):
+                    sv = emat[:, s * sub_dim:(s + 1) * sub_dim]
+                    # ||x - c||^2 argmin; np.argmin takes the first
+                    # (lowest code) on ties like the literal path
+                    d2 = ((sv[:, None, :] - cmat[None, :, :]) ** 2
+                          ).sum(axis=2)
+                    codes[:, s] = np.argmin(d2, axis=1)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes),
+                })
+
+        return embeddings.select("vec_id", "embedding").mapInPandas(
+            encode, f"vec_id {vt}, codes array<int>")
+
     emb = F.col("embedding").cast("array<double>")
     code_cols = []
     for sub in range(m):

@@ -51,11 +51,16 @@ _AGG_METHODS = ("first", "mean", "min", "max")
 def num_levels_for(size: tuple[int, int],
                    tile_size: tuple[int, int]) -> int:
     """Number of pyramid levels: halve until one tile holds the whole
-    level (the xcube rule -- the top level is a single-tile overview)."""
+    level (the xcube rule -- the top level is a single-tile overview).
+    Halving stops early when the NEXT level would drop either dimension
+    below 2 pixels (a 1-wide grid has no resolvable resolution), so
+    elongated grids top out with a valid overview instead of crashing
+    mid-pyramid."""
     w, h = size
     tw, th = tile_size
     n = 1
-    while w > tw or h > th:
+    while (w > tw or h > th) \
+            and (w + 1) // 2 >= 2 and (h + 1) // 2 >= 2:
         w, h = (w + 1) // 2, (h + 1) // 2
         n += 1
     return n
@@ -72,6 +77,11 @@ def level_grid_mapping(gm, level: int):
     w2, h2 = w, h
     for _ in range(level):
         w2, h2 = (w2 + 1) // 2, (h2 + 1) // 2
+    if w2 < 2 or h2 < 2:
+        raise ValueError(
+            f"pyramid level {level} of a {w}x{h} grid would be "
+            f"{w2}x{h2}; every level needs >= 2 px per axis -- use "
+            f"fewer levels")
     from xcube_resampling_spark.gridmapping import GridMapping
 
     res2 = (gm.x_res * f, gm.y_res * f)
@@ -150,6 +160,12 @@ def write_zarr_levels(
         num_levels = num_levels_for(gm.size, tile)
     if num_levels < 1:
         raise ValueError("num_levels must be >= 1")
+    # validate EVERY level grid up front: an explicit num_levels that
+    # ceil-halves a dimension below 2 must fail before any bytes land
+    # (a partial .levels store with no .zlevels would otherwise be
+    # mis-read as a complete shallower pyramid)
+    for k in range(num_levels):
+        level_grid_mapping(gm, k)
     put = chunk_put if chunk_put is not None else FsChunkPut(path)
     level_df = df
     for k in range(num_levels):

@@ -448,12 +448,15 @@ def _write_zarr_chunks(
 def _get_json(put: ChunkPut, path: str, key: str):
     """Read a small JSON document back from the store: through the
     ChunkPut's ``get`` seam first, then the local store root.  Returns
-    None when neither can see the key."""
+    None when neither can see the key.  An EMPTY ``path`` disables the
+    filesystem fallback entirely -- store-mode readers pass "" so a key
+    missing from the chunk store can never be silently satisfied by an
+    unrelated file under the driver's cwd."""
     try:
         data = put.get(key)
     except NotImplementedError:
         data = None
-    if data is None:
+    if data is None and path:
         local = os.path.join(path, key)
         if os.path.exists(local):
             try:
@@ -727,6 +730,10 @@ def open_zarr_dataset(
     data_vars = {}
     for var in variables:
         za = _var_json(var, ".zarray")
+        if za is None:
+            raise FileNotFoundError(
+                f"no {var}/.zarray in the store -- unknown variable "
+                f"{var!r}")
         dims = ("t", "y", "x")[-len(za["shape"]):]
         zattrs = _var_json(var, ".zattrs") or {}
         attrs = {k: v for k, v in zattrs.items()

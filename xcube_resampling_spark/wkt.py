@@ -565,6 +565,12 @@ def _crs_from_node(root: _Node) -> CRS:
             if nums:
                 f = _unit_factor(
                     pm_node.child("ANGLEUNIT", "UNIT"), None)
+                if f is None:
+                    # strict OGC WKT1: a PRIMEM without its own unit is
+                    # in the GEOGCS angular UNIT (e.g. EPSG:4807 quotes
+                    # Paris as 2.5969213 GRADS); degrees when absent
+                    f = _unit_factor(root.child("UNIT", "ANGLEUNIT"),
+                                     None)
                 pm = nums[0] * (_ang_to_deg(f) if f is not None else 1.0)
         if pm:
             return CRS("geographic", name, ell, (("pm", pm),),
@@ -591,6 +597,10 @@ def _crs_from_node(root: _Node) -> CRS:
         if nums:
             pm_ang = pm_node.child("ANGLEUNIT", "UNIT")
             f = _unit_factor(pm_ang, None)
+            if f is None:
+                # strict OGC WKT1: PRIMEM longitude is in the base
+                # GEOGCS angular unit (grad-based French grids)
+                f = _unit_factor(geog.child("UNIT", "ANGLEUNIT"), None)
             pm_deg = nums[0] * (_ang_to_deg(f) if f is not None else 1.0)
 
     method_name = _find_method(root)
