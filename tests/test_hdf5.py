@@ -527,3 +527,92 @@ class TestDenseGroups:
         assert len(got) == 48
         np.testing.assert_array_equal(
             got["value"].to_numpy(), data.ravel())
+
+
+class TestLzfFilter:
+    """LZF (filter id 32000, h5py's default alternative compressor):
+    decode-only support, fixtures framed by a minimal reference
+    compressor written against the LibLZF stream format."""
+
+    @staticmethod
+    def _lzf_compress_naive(data: bytes) -> bytes:
+        """Greedy reference compressor: longest back-reference within
+        the 8KB window at each position, literals otherwise."""
+        out = bytearray()
+        lits = bytearray()
+
+        def flush():
+            while lits:
+                take = min(32, len(lits))
+                out.append(take - 1)
+                out.extend(lits[:take])
+                del lits[:take]
+
+        i, n = 0, len(data)
+        while i < n:
+            best_len, best_off = 0, 0
+            lo = max(0, i - 0x2000)
+            for j in range(lo, i):
+                ln = 0
+                while (i + ln < n and ln < 264
+                       and data[j + ln] == data[i + ln]):
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_off = ln, i - j - 1
+            if best_len >= 3:
+                flush()
+                ell = best_len - 2
+                if ell < 7:
+                    out.append((ell << 5) | (best_off >> 8))
+                else:
+                    out.append((7 << 5) | (best_off >> 8))
+                    out.append(ell - 7)
+                out.append(best_off & 0xFF)
+                i += best_len
+            else:
+                lits.append(data[i])
+                i += 1
+        flush()
+        return bytes(out)
+
+    def test_decompress_roundtrip(self):
+        from xcube_resampling_spark.sources.hdf5 import _lzf_decompress
+
+        for data in (
+            b"",
+            b"abc",
+            b"a" * 500,                      # long overlapping copy
+            bytes(range(256)) * 3,           # repeated block
+            b"the quick brown fox " * 40,
+            bytes([7, 7, 7, 1, 2, 3] * 100),
+        ):
+            comp = self._lzf_compress_naive(data)
+            assert _lzf_decompress(comp) == data
+
+    def test_lzf_chunked_dataset_reads(self):
+        """A chunked dataset whose pipeline is (shuffle, lzf) decodes --
+        the fixture swaps our deflate bytes for LZF ones in a
+        hand-adjusted copy of the writer's output."""
+        import struct as _s
+
+        import numpy as np
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            _apply_filters_inverse, _shuffle_bytes)
+
+        data = np.arange(48, dtype="<f8").reshape(6, 8)
+        raw = _shuffle_bytes(data.tobytes(), 8)
+        comp = self._lzf_compress_naive(raw)
+        filters = [(2, [8], 1), (32000, [], 1)]
+        back = _apply_filters_inverse(comp, filters, 8, mask=0)
+        np.testing.assert_array_equal(
+            np.frombuffer(back, "<f8").reshape(6, 8), data)
+
+    def test_corrupt_stream_raises(self):
+        import pytest as _p
+
+        from xcube_resampling_spark.sources.hdf5 import _lzf_decompress
+
+        with _p.raises(ValueError, match="LZF"):
+            # back-reference before the start of output
+            _lzf_decompress(bytes([0x20 | 0x1F, 0xFF]))

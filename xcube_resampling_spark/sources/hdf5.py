@@ -27,11 +27,12 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   (0x0011);
 * chunked data behind the version-1 chunk B-tree (node type 1),
   filters applied per chunk in pipeline order (shuffle then deflate
-  on write, inverse on read); edge chunks stored padded, clipped on
-  read -- the same convention as zarr.
+  on write, inverse on read; LZF -- h5py's filter id 32000 --
+  decodes too); edge chunks stored padded, clipped on read -- the
+  same convention as zarr.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-szip/lzf/scaleoffset filters, variable-length and compound datatypes,
+szip/scaleoffset filters, variable-length and compound datatypes,
 filtered fractal heaps, v2 B-trees deeper than 1.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
@@ -974,6 +975,38 @@ def _parse_filters(body: bytes) -> list[tuple[int, list[int], int]]:
     return filters
 
 
+def _lzf_decompress(raw: bytes) -> bytes:
+    """LZF decompression (Marc Lehmann's LibLZF stream format, the
+    algorithm h5py's lzf filter -- HDF5 filter id 32000 -- applies per
+    chunk): a sequence of control bytes; ctrl < 0x20 is a literal run
+    of ctrl+1 bytes, otherwise a back-reference of length (ctrl >> 5)
+    + 2 (+ an extension byte when the 3-bit length field saturates at
+    7) at offset ((ctrl & 0x1f) << 8 | next) + 1."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ctrl = raw[i]
+        i += 1
+        if ctrl < 0x20:
+            run = ctrl + 1
+            out += raw[i:i + run]
+            i += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += raw[i]
+                i += 1
+            length += 2
+            ref = len(out) - (((ctrl & 0x1F) << 8) | raw[i]) - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("corrupt LZF stream (bad offset)")
+            for _ in range(length):  # overlapping copies are the norm
+                out.append(out[ref])
+                ref += 1
+    return bytes(out)
+
+
 def _apply_filters_inverse(
     raw: bytes, filters, itemsize: int, mask: int = 0
 ) -> bytes:
@@ -990,10 +1023,12 @@ def _apply_filters_inverse(
             raw = _unshuffle_bytes(
                 raw, cdata[0] if cdata else itemsize
             )
+        elif fid == 32000:
+            raw = _lzf_decompress(raw)
         else:
             raise NotImplementedError(
-                f"HDF5 filter id {fid} not supported (deflate/shuffle "
-                "only)"
+                f"HDF5 filter id {fid} not supported (deflate/shuffle/"
+                "lzf only)"
             )
     return raw
 
