@@ -938,3 +938,27 @@ class TestPrimemUnits:
         )
         c = crs_from_wkt(wkt)
         assert c.param("pm") == pytest.approx(2.33722917)
+
+    def test_gdal_dialect_grads_unit_degree_primem(self):
+        """GDAL-dialect WKT1 writes PRIMEM in DEGREES even when the
+        GEOGCS UNIT is grads (epsg.io's EPSG:27572 form); the
+        known-meridian table disambiguates against strict OGC."""
+        wkt = (
+            'GEOGCS["NTF (Paris)",DATUM["NTF_Paris",SPHEROID['
+            '"Clarke 1880 (IGN)",6378249.2,293.4660212936269]],'
+            'PRIMEM["Paris",2.33722917],'
+            'UNIT["grad",0.01570796326794897]]'
+        )
+        c = crs_from_wkt(wkt)
+        assert c.param("pm") == pytest.approx(2.33722917, abs=1e-6)
+
+    def test_unknown_meridian_uses_cs_unit(self):
+        """A meridian name outside the PROJ table falls back to the
+        strict-OGC rule (scale by the CS angular unit)."""
+        wkt = (
+            'GEOGCS["x",DATUM["d",SPHEROID["WGS 84",6378137,'
+            '298.257223563]],PRIMEM["Custom",10.0],'
+            'UNIT["grad",0.01570796326794897]]'
+        )
+        c = crs_from_wkt(wkt)
+        assert c.param("pm") == pytest.approx(9.0)

@@ -929,3 +929,34 @@ class TestReviewRound6:
         with pytest.raises(FileNotFoundError, match="typo_name"):
             open_zarr_dataset(spark, "ignored",
                               variables=["typo_name"], store=store)
+
+    def test_levels_through_zip_store(self, spark, tmp_path):
+        """A zipped .levels pyramid opens read-only through
+        ZipChunkStore (how a shipped multi-resolution product would
+        arrive)."""
+        import zipfile
+
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            ZipChunkStore, num_zarr_levels, open_zarr_levels,
+            write_zarr_levels)
+
+        gm = GridMapping.regular(
+            (16, 12), (500000.0, 5000000.0), 100.0,
+            CRS.from_epsg(32632))
+        path = str(tmp_path / "z.levels")
+        df = _raster(spark, 16, 12)
+        write_zarr_levels(df, path, "band", gm, num_levels=2)
+        zpath = str(tmp_path / "z.levels.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, path))
+        store = ZipChunkStore(zpath)
+        assert num_zarr_levels("ignored", store=store) == 2
+        ds1, gm1 = open_zarr_levels(spark, "ignored", level=1,
+                                    store=store)
+        assert gm1.size == (8, 6)
+        assert ds1.data_vars["band"].df.count() == 48

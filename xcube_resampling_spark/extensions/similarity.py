@@ -98,6 +98,9 @@ def _assign_centroids_vectorized(
     stays the oracle-exact one at small k."""
     import pandas as pd
 
+    # id-ascending order makes np.argmax's first-index tie rule equal
+    # the literal path's struct(cos, -id) max (lowest id wins)
+    cents = sorted(cents, key=lambda c: c[0])
     ids = np.asarray([cid for cid, _, _ in cents], dtype=np.int64)
     cmat = np.asarray([vec for _, vec, _ in cents], dtype=np.float64)
     cnorm = np.asarray([cn for _, _, cn in cents], dtype=np.float64)
@@ -105,7 +108,10 @@ def _assign_centroids_vectorized(
         (ids, cmat, cnorm))
     fields = {f.name: f.dataType.simpleString()
               for f in embeddings.schema.fields}
-    schema = (f"vec_id {fields['vec_id']}, cent_id bigint, "
+    # match the literal path's cent_id type (F.lit of the same ids)
+    cid_t = "int" if all(-2**31 <= c < 2**31 for c, _, _ in cents) \
+        else "bigint"
+    schema = (f"vec_id {fields['vec_id']}, cent_id {cid_t}, "
               f"embedding {fields['embedding']}")
 
     def assign(batches):
@@ -347,8 +353,10 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
         import pandas as pd
 
         books_mat = [
-            np.asarray([c for _, c in sorted(by_sub[s])],
-                       dtype=np.float64)
+            (np.asarray([c for c, _ in sorted(by_sub[s])],
+                        dtype=np.int32),
+             np.asarray([v for _, v in sorted(by_sub[s])],
+                        dtype=np.float64))
             for s in range(m)
         ]
         bc = embeddings.sparkSession.sparkContext.broadcast(books_mat)
@@ -364,13 +372,18 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
                     [np.asarray(e, dtype=np.float64)
                      for e in pdf["embedding"]])
                 codes = np.empty((len(pdf), len(mats)), dtype=np.int32)
-                for s, cmat in enumerate(mats):
+                for s, (code_vals, cmat) in enumerate(mats):
                     sv = emat[:, s * sub_dim:(s + 1) * sub_dim]
-                    # ||x - c||^2 argmin; np.argmin takes the first
-                    # (lowest code) on ties like the literal path
-                    d2 = ((sv[:, None, :] - cmat[None, :, :]) ** 2
-                          ).sum(axis=2)
-                    codes[:, s] = np.argmin(d2, axis=1)
+                    # argmin ||x - c||^2 == argmin(-2 x.c + ||c||^2):
+                    # one batch x ksub matmul, never the batch x ksub x
+                    # dim broadcast temporary.  np.argmin takes the
+                    # first (lowest code, rows are code-sorted) on ties
+                    # like the literal path.
+                    scores = (-2.0 * (sv @ cmat.T)
+                              + (cmat * cmat).sum(axis=1)[None, :])
+                    # emit the ACTUAL code values -- per-subspace codes
+                    # need not be dense 0..k-1
+                    codes[:, s] = code_vals[np.argmin(scores, axis=1)]
                 yield pd.DataFrame({
                     "vec_id": pdf["vec_id"],
                     "codes": list(codes),

@@ -989,21 +989,34 @@ def _lzf_decompress(raw: bytes) -> bytes:
         i += 1
         if ctrl < 0x20:
             run = ctrl + 1
+            if i + run > n:
+                raise ValueError("corrupt LZF stream (truncated run)")
             out += raw[i:i + run]
             i += run
         else:
             length = ctrl >> 5
             if length == 7:
+                if i >= n:
+                    raise ValueError(
+                        "corrupt LZF stream (truncated length)")
                 length += raw[i]
                 i += 1
             length += 2
+            if i >= n:
+                raise ValueError("corrupt LZF stream (truncated ref)")
             ref = len(out) - (((ctrl & 0x1F) << 8) | raw[i]) - 1
             i += 1
             if ref < 0:
                 raise ValueError("corrupt LZF stream (bad offset)")
-            for _ in range(length):  # overlapping copies are the norm
-                out.append(out[ref])
-                ref += 1
+            if ref + length <= len(out):
+                # non-overlapping: one slice copy (shuffled float data
+                # is almost all back-references -- a per-byte Python
+                # loop here made every chunk O(n) interpreter ops)
+                out += out[ref:ref + length]
+            else:
+                for _ in range(length):  # overlapping copy
+                    out.append(out[ref])
+                    ref += 1
     return bytes(out)
 
 

@@ -160,12 +160,12 @@ def write_zarr_levels(
         num_levels = num_levels_for(gm.size, tile)
     if num_levels < 1:
         raise ValueError("num_levels must be >= 1")
-    # validate EVERY level grid up front: an explicit num_levels that
-    # ceil-halves a dimension below 2 must fail before any bytes land
-    # (a partial .levels store with no .zlevels would otherwise be
-    # mis-read as a complete shallower pyramid)
-    for k in range(num_levels):
-        level_grid_mapping(gm, k)
+    # validate the DEEPEST level up front (sizes shrink monotonically,
+    # so it alone proves every level valid): an explicit num_levels
+    # that ceil-halves a dimension below 2 must fail before any bytes
+    # land -- a partial .levels store with no .zlevels would otherwise
+    # be mis-read as a complete shallower pyramid
+    level_grid_mapping(gm, num_levels - 1)
     put = chunk_put if chunk_put is not None else FsChunkPut(path)
     level_df = df
     for k in range(num_levels):

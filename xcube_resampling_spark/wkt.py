@@ -332,6 +332,56 @@ def _unit_factor(node: _Node | None, default: float) -> float:
     return f
 
 
+# the PROJ known-meridian table (Greenwich longitudes, degrees) -- used
+# to disambiguate the WKT1 PRIMEM dialect split: strict OGC 01-009 puts
+# the PRIMEM longitude in the GEOGCS angular UNIT, while the GDAL/ESRI
+# dialect always writes degrees.  PROJ special-cases exactly this on
+# import (e.g. Paris is 2.5969213 in grads OR 2.33722917 in degrees).
+_KNOWN_MERIDIANS = {
+    "greenwich": 0.0,
+    "lisbon": -9.131906111111112,
+    "paris": 2.33722917,
+    "bogota": -74.08091666666667,
+    "madrid": -3.687938888888889,
+    "rome": 12.45233333333333,
+    "bern": 7.439583333333333,
+    "jakarta": 106.80771944444444,
+    "ferro": -17.66666666666667,
+    "brussels": 4.367975,
+    "stockholm": 18.05827777777778,
+    "athens": 23.7163375,
+    "oslo": 10.72291666666667,
+}
+
+
+def _primem_deg(pm_node: "_Node", geog_unit_node) -> float:
+    """PRIMEM longitude in Greenwich degrees.  A per-node ANGLEUNIT
+    wins (WKT2); otherwise the WKT1 dialect split is disambiguated
+    against the known-meridian table: the value is accepted as-is when
+    it matches the named meridian's degree longitude (GDAL dialect),
+    else scaled by the GEOGCS angular unit (strict OGC 01-009)."""
+    nums = pm_node.numbers()
+    if not nums:
+        return 0.0
+    val = nums[0]
+    f = _unit_factor(pm_node.child("ANGLEUNIT", "UNIT"), None)
+    if f is not None:
+        return val * _ang_to_deg(f)
+    g = _unit_factor(geog_unit_node, None)
+    gdeg = _ang_to_deg(g) if g is not None else 1.0
+    if gdeg == 1.0:
+        return val
+    names = pm_node.strings()
+    known = _KNOWN_MERIDIANS.get(names[0].lower()) if names else None
+    scaled = val * gdeg
+    if known is not None:
+        if abs(scaled - known) < 1e-6:
+            return scaled      # strict OGC: value was in the CS unit
+        if abs(val - known) < 1e-6:
+            return val         # GDAL dialect: value already degrees
+    return scaled
+
+
 def _ang_to_deg(f: float) -> float:
     """Radian unit factor -> degree conversion factor, with the degree
     case snapped to exactly 1.0 (f * 180/pi != 1.0 in floats even when
@@ -561,17 +611,7 @@ def _crs_from_node(root: _Node) -> CRS:
         pm_node = root.child("PRIMEM")
         pm = 0.0
         if pm_node is not None:
-            nums = pm_node.numbers()
-            if nums:
-                f = _unit_factor(
-                    pm_node.child("ANGLEUNIT", "UNIT"), None)
-                if f is None:
-                    # strict OGC WKT1: a PRIMEM without its own unit is
-                    # in the GEOGCS angular UNIT (e.g. EPSG:4807 quotes
-                    # Paris as 2.5969213 GRADS); degrees when absent
-                    f = _unit_factor(root.child("UNIT", "ANGLEUNIT"),
-                                     None)
-                pm = nums[0] * (_ang_to_deg(f) if f is not None else 1.0)
+            pm = _primem_deg(pm_node, root.child("UNIT", "ANGLEUNIT"))
         if pm:
             return CRS("geographic", name, ell, (("pm", pm),),
                        auth_code=auth, towgs84=towgs84)
@@ -593,15 +633,7 @@ def _crs_from_node(root: _Node) -> CRS:
     pm_node = geog.child("PRIMEM")
     pm_deg = 0.0
     if pm_node is not None:
-        nums = pm_node.numbers()
-        if nums:
-            pm_ang = pm_node.child("ANGLEUNIT", "UNIT")
-            f = _unit_factor(pm_ang, None)
-            if f is None:
-                # strict OGC WKT1: PRIMEM longitude is in the base
-                # GEOGCS angular unit (grad-based French grids)
-                f = _unit_factor(geog.child("UNIT", "ANGLEUNIT"), None)
-            pm_deg = nums[0] * (_ang_to_deg(f) if f is not None else 1.0)
+        pm_deg = _primem_deg(pm_node, geog.child("UNIT", "ANGLEUNIT"))
 
     method_name = _find_method(root)
     if method_name is None:
