@@ -616,3 +616,46 @@ class TestLzfFilter:
         with _p.raises(ValueError, match="LZF"):
             # back-reference before the start of output
             _lzf_decompress(bytes([0x20 | 0x1F, 0xFF]))
+
+
+class TestDenseAndLzfProperties:
+    """Hypothesis properties for the round-6 binary-format additions."""
+
+    def test_lzf_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from xcube_resampling_spark.sources.hdf5 import _lzf_decompress
+
+        compress = TestLzfFilter._lzf_compress_naive
+
+        @given(st.binary(max_size=2000))
+        @settings(max_examples=150, deadline=None)
+        def check(data):
+            assert _lzf_decompress(compress(data)) == data
+
+        check()
+
+    def test_dense_links_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf, _parse_dense_links, _write_dense_links)
+
+        name = st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=40)
+
+        @given(st.dictionaries(name, st.integers(0, 2**40), min_size=1,
+                               max_size=120))
+        @settings(max_examples=60, deadline=None)
+        def check(links):
+            buf = _Buf()
+            buf.write(b"\x00" * 48)
+            heap_addr, bt_addr = _write_dense_links(
+                buf, sorted(links.items()))
+            got = _parse_dense_links(bytes(buf.b), heap_addr, bt_addr)
+            assert got == links
+
+        check()

@@ -22,9 +22,10 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
   IEEE float, either endianness), fill value (0x0005), data layout
   (0x0008 v3: contiguous and chunked), filter pipeline (0x000B:
-  deflate and shuffle), attribute (0x000C v1: scalar numeric and
-  ASCII string), object-header continuation (0x0010), symbol table
-  (0x0011);
+  deflate and shuffle), attribute (0x000C v1: scalar numeric, ASCII
+  string, and VARIABLE-LENGTH string via the global heap -- the form
+  h5py writes every str attribute in), object-header continuation
+  (0x0010), symbol table (0x0011);
 * chunked data behind the version-1 chunk B-tree (node type 1),
   filters applied per chunk in pipeline order (shuffle then deflate
   on write, inverse on read; LZF -- h5py's filter id 32000 --
@@ -32,8 +33,9 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   same convention as zarr.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-szip/scaleoffset filters, variable-length and compound datatypes,
-filtered fractal heaps, v2 B-trees deeper than 1.
+szip/scaleoffset filters, variable-length and compound DATASETS
+(vlen-string attributes decode), filtered fractal heaps, v2 B-trees
+deeper than 1.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
 ``part-<band>.h5`` files written by one ``applyInPandas`` task each
@@ -675,7 +677,27 @@ def _parse_datatype(body: bytes) -> np.dtype:
     raise NotImplementedError(f"datatype class {cls} not supported")
 
 
-def _parse_attribute(body: bytes):
+def _global_heap_object(blob: bytes, addr: int, index: int) -> bytes:
+    """One object out of a global heap collection (GCOL, spec III.E)
+    -- where libhdf5 stores variable-length data, incl. every h5py
+    string attribute."""
+    if blob[addr:addr + 4] != b"GCOL":
+        raise ValueError("bad global heap collection signature")
+    (coll_size,) = struct.unpack_from("<Q", blob, addr + 8)
+    p = addr + 16
+    end = addr + coll_size
+    while p + 16 <= end:
+        (idx, _refc) = struct.unpack_from("<HH", blob, p)
+        (obj_size,) = struct.unpack_from("<Q", blob, p + 8)
+        if idx == 0:  # free space terminator
+            break
+        if idx == index:
+            return blob[p + 16:p + 16 + obj_size]
+        p += 16 + obj_size + (-obj_size % 8)
+    raise ValueError(f"global heap object {index} not found")
+
+
+def _parse_attribute(body: bytes, blob: bytes = b""):
     ver = body[0]
     if ver != 1:
         raise NotImplementedError(f"attribute message version {ver}")
@@ -687,11 +709,26 @@ def _parse_attribute(body: bytes):
     off = 8
     name = body[off:off + name_sz].split(b"\x00")[0].decode()
     off += pad8(name_sz)
-    dt = _parse_datatype(body[off:off + dt_sz])
-    off += pad8(dt_sz)
+    dt_body = body[off:off + dt_sz]
+    dt_cls = dt_body[0] & 0x0F
+    off_dt = off
+    off = off_dt + pad8(dt_sz)
     shape = _parse_dataspace(body[off:off + ds_sz])
     off += pad8(ds_sz)
     data = body[off:]
+    if dt_cls == 9:  # variable-length
+        if (dt_body[1] & 0x0F) != 1:
+            raise NotImplementedError(
+                "vlen attribute of non-string base type not supported")
+        # each element: length(4) + global heap address(8) + index(4)
+        n = int(np.prod(shape)) if shape else 1
+        vals = []
+        for k in range(n):
+            ln, gaddr, gidx = struct.unpack_from("<IQI", data, k * 16)
+            raw = _global_heap_object(blob, gaddr, gidx)[:ln]
+            vals.append(raw.decode("utf-8", errors="replace"))
+        return name, (vals if shape else vals[0])
+    dt = _parse_datatype(dt_body)
     if dt.kind == "S":
         return name, data[: dt.itemsize].split(b"\x00")[0].decode()
     n = int(np.prod(shape)) if shape else 1
@@ -1115,7 +1152,7 @@ def decode_hdf5(blob: bytes) -> dict:
     root_oh = _parse_superblock(blob)
     root_msgs = _parse_object_header(blob, root_oh)
     g_attrs = dict(
-        _parse_attribute(b) for t, b in root_msgs if t == 0x000C
+        _parse_attribute(b, blob) for t, b in root_msgs if t == 0x000C
     )
     out_vars: dict[str, dict] = {}
     for name, oh_addr in _walk_group(blob, root_msgs).items():
@@ -1173,7 +1210,7 @@ def decode_hdf5(blob: bytes) -> dict:
         else:
             raise NotImplementedError(f"layout class {lclass}")
         v_attrs = dict(
-            _parse_attribute(b) for t, b in msgs if t == 0x000C
+            _parse_attribute(b, blob) for t, b in msgs if t == 0x000C
         )
         out_vars[name] = {
             "data": data, "attrs": v_attrs, "dims": None,
