@@ -3885,6 +3885,98 @@ def q_netcdf_roundtrip(spark, sf_dir):
     )
 
 
+def q_geotiff_roundtrip(spark, sf_dir):
+    """GeoTIFF/COG sink + source end-to-end, three legs in a tagged
+    union (SURVEY 2.2 #5 -- the reference's users feed it
+    rioxarray-opened GeoTIFFs, reference cfconv.py:66-212 handles
+    their CRS-84 coord naming; here the container itself is parsed
+    clean-room, sources/geotiff.py):
+
+    * ``deflate``: float64 tiled+Deflate write, ranged-read with tile
+      pruning to the shared clip window (SQL_CLIP twin);
+    * ``lzw_int``: int32 + TIFF-LZW + horizontal-differencing
+      predictor (the early-change code-width variant), integer-valued
+      doubles so the cast is exact on both engines;
+    * ``overview``: BigTIFF with one reduced level; reading overview 1
+      returns the NaN-aware 2x2 mean (the ``mean`` coarsen reducer
+      semantics), the COG pyramid analogue of ``zarr_levels``.
+
+    Write is the multipart shape (one applyInPandas task per tile,
+    driver streams parts into the final file); read prunes the tile
+    table driver-side and range-reads per executor -- no full-file IO.
+    """
+    import tempfile
+
+    from xcube_resampling_spark.sources import (
+        read_geotiff,
+        write_geotiff,
+    )
+
+    base = tempfile.gettempdir()
+    r = _raster(spark, sf_dir)
+
+    p1 = base + "/xcrs_gtiff_deflate.tif"
+    write_geotiff(
+        r, p1, (RH, RW), crs="EPSG:32633", xy_min=(500000.0, 4.0e6),
+        xy_res=10.0, tile_size=16, compression="deflate",
+        dtype="float64",
+    )
+    t1 = read_geotiff(spark, p1, bbox_ij=(5, 10, 20, 30)).select(
+        F.lit("deflate").alias("fmt"),
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+    ri = r.select(
+        "t", "j", "i",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    p2 = base + "/xcrs_gtiff_lzw.tif"
+    write_geotiff(
+        ri, p2, (RH, RW), crs="EPSG:3035", xy_min=(4.0e6, 3.0e6),
+        xy_res=100.0, tile_size=16, compression="lzw", dtype="int32",
+    )
+    t2 = read_geotiff(spark, p2, bbox_ij=(5, 10, 20, 30)).select(
+        F.lit("lzw_int").alias("fmt"),
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
+    p3 = base + "/xcrs_gtiff_cog.tif"
+    write_geotiff(
+        r, p3, (RH, RW), crs="EPSG:32633", xy_min=(500000.0, 4.0e6),
+        xy_res=10.0, tile_size=16, compression="deflate",
+        dtype="float64", bigtiff=True, overviews=1,
+    )
+    t3 = read_geotiff(spark, p3, overview=1).select(
+        F.lit("overview").alias("fmt"),
+        "t", "j", "i",
+        F.round("value", 6).alias("value"),
+    )
+    return t1.unionByName(t2).unionByName(t3)
+
+
+SQL_GEOTIFF = f"""
+WITH src AS ({RASTER_SQL})
+SELECT 'deflate' AS fmt, t, CAST(j - 10 AS INT) AS j,
+       CAST(i - 5 AS INT) AS i, ROUND(value, 6) AS value
+FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
+UNION ALL
+SELECT 'lzw_int' AS fmt, t, CAST(j - 10 AS INT) AS j,
+       CAST(i - 5 AS INT) AS i,
+       ROUND(CAST(FLOOR(value * 100) AS DOUBLE), 6) AS value
+FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
+UNION ALL
+SELECT 'overview' AS fmt, t, CAST(j // 2 AS INT) AS j,
+       CAST(i // 2 AS INT) AS i, ROUND(AVG(value), 6) AS value
+FROM src GROUP BY t, j // 2, i // 2
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """Classic relational baseline (TPC-H Q1 shape) proving scan +
     filter + groupBy parity on lineitem."""
@@ -4204,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
         "zarr3_roundtrip": q_zarr3_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
+        "geotiff_roundtrip": q_geotiff_roundtrip,
         "dedup_stream_keepone": q_dedup_stream_keepone,
         "zarr_affine_pipeline": q_zarr_affine_pipeline,
         "text_stats": q_text_stats,
@@ -4267,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL\n"
             f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q"
         ),
+        "geotiff_roundtrip": SQL_GEOTIFF,
         "dedup_stream_keepone": SQL_DEDUP_STREAM,
         "zarr_affine_pipeline": SQL_AFFINE_DOWNSCALE,
         "text_stats": SQL_TEXT_STATS,

@@ -1,0 +1,513 @@
+"""GeoTIFF / COG source + sink tests.
+
+Codec layer (LZW with early-change widths, PackBits, predictor) is
+property-tested standalone; the container layer roundtrips through the
+repo's own writer plus hand-framed fixtures for the layouts the writer
+does not emit (strips with a short last strip, chunky interleave,
+big-endian) so the reader's spec coverage does not silently shrink to
+"whatever our writer produces".
+"""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.sources.geotiff import (
+    BytesRangeReader,
+    COMPRESSION_DEFLATE,
+    COMPRESSION_LZW,
+    COMPRESSION_NONE,
+    COMPRESSION_PACKBITS,
+    CountingRangeReader,
+    FileRangeReader,
+    _decode_tile_bytes,
+    _encode_tile_bytes,
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    open_geotiff_dataset,
+    read_geotiff,
+    read_geotiff_grid_mapping,
+    read_geotiff_meta,
+    write_geotiff,
+)
+
+
+def _pixels(spark, arr3d):
+    nt, h, w = arr3d.shape
+    rows = [
+        (t, j, i, float(arr3d[t, j, i]))
+        for t in range(nt) for j in range(h) for i in range(w)
+        if not np.isnan(arr3d[t, j, i])
+    ]
+    return spark.createDataFrame(rows, "t int, j int, i int, value double")
+
+
+class TestCodecs:
+    def test_lzw_bit_width_boundaries(self):
+        # enough distinct 2-grams to push the table past 511/1023/2047
+        # and through a 4094-entry reset
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(0, 256, 200_000, dtype=np.uint8))
+        enc = _lzw_encode(data)
+        assert _lzw_decode(enc) == data
+        assert len(enc) > 0
+
+    def test_lzw_compresses_runs(self):
+        data = b"A" * 10_000
+        enc = _lzw_encode(data)
+        assert len(enc) < 500
+        assert _lzw_decode(enc) == data
+
+    def test_lzw_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(st.binary(max_size=4096))
+        @settings(max_examples=100, deadline=None)
+        def check(data):
+            assert _lzw_decode(_lzw_encode(data)) == data
+
+        check()
+
+    def test_lzw_rejects_bad_first_code(self):
+        # a stream whose first code after Clear is non-literal
+        acc = (256 << 9) | 300  # Clear, then code 300
+        blob = acc << (24 - 18)
+        with pytest.raises(ValueError, match="LZW"):
+            _lzw_decode(blob.to_bytes(3, "big"))
+
+    def test_packbits_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(st.binary(max_size=2048))
+        @settings(max_examples=100, deadline=None)
+        def check(data):
+            assert _packbits_decode(_packbits_encode(data)) == data
+
+        check()
+
+    def test_packbits_noop_128(self):
+        assert _packbits_decode(bytes([128, 0, 65])) == b"A"
+
+    @pytest.mark.parametrize("dt", ["uint8", "int16", "uint16",
+                                    "int32", "float32", "float64"])
+    @pytest.mark.parametrize("comp", [COMPRESSION_NONE, COMPRESSION_LZW,
+                                      COMPRESSION_DEFLATE,
+                                      COMPRESSION_PACKBITS])
+    def test_tile_roundtrip(self, dt, comp):
+        a = (np.arange(32 * 48).reshape(32, 48) % 251).astype(dt)
+        for pred in (1, 2):
+            if pred == 2 and np.dtype(dt).kind == "f":
+                continue
+            raw = _encode_tile_bytes(a, comp, pred)
+            back = _decode_tile_bytes(raw, comp, pred, np.dtype(dt),
+                                      32, 48, 1, "<")
+            assert np.array_equal(back[0], a)
+
+    def test_predictor_on_float_raises(self):
+        a = np.zeros((16, 16), dtype="float32")
+        with pytest.raises(NotImplementedError):
+            _decode_tile_bytes(a.tobytes(), COMPRESSION_NONE, 2,
+                               np.dtype("float32"), 16, 16, 1, "<")
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("compression", ["none", "lzw", "deflate",
+                                             "packbits"])
+    def test_float_roundtrip(self, spark, tmp_path, compression):
+        h, w = 37, 41
+        rng = np.random.default_rng(11)
+        vals = rng.normal(5, 2, (1, h, w))
+        path = str(tmp_path / f"rt_{compression}.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(500000.0, 4e6), xy_res=10.0, tile_size=16,
+            compression=compression, dtype="float64",
+        )
+        back = (read_geotiff(spark, path).toPandas()
+                .sort_values(["j", "i"]))
+        assert np.allclose(
+            back["value"].to_numpy().reshape(h, w), vals[0])
+
+    def test_int_predictor_roundtrip(self, spark, tmp_path):
+        h, w = 33, 20
+        vals = (np.arange(h * w).reshape(1, h, w) % 1000).astype("f8")
+        path = str(tmp_path / "ipred.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:3035",
+            xy_min=(4e6, 3e6), xy_res=100.0, tile_size=16,
+            compression="lzw", dtype="int32",
+        )
+        ifds, _ = read_geotiff_meta(path)
+        assert ifds[0].predictor == 2  # auto for int + lzw
+        back = (read_geotiff(spark, path).toPandas()
+                .sort_values(["j", "i"]))
+        assert np.array_equal(
+            back["value"].to_numpy().reshape(h, w), vals[0])
+
+    def test_multiband_roundtrip(self, spark, tmp_path):
+        nt, h, w = 3, 21, 18
+        rng = np.random.default_rng(5)
+        vals = rng.normal(0, 1, (nt, h, w))
+        path = str(tmp_path / "mb.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (nt, h, w), crs="EPSG:4326",
+            xy_min=(10.0, 50.0), xy_res=0.01, tile_size=16,
+            dtype="float32",
+        )
+        back = read_geotiff(spark, path).toPandas()
+        assert len(back) == nt * h * w
+        for t in range(nt):
+            sl = (back[back["t"] == t].sort_values(["j", "i"])
+                  ["value"].to_numpy().reshape(h, w))
+            assert np.allclose(sl, vals[t], atol=1e-6)
+        # single-band selection reads only that band's tiles
+        one = read_geotiff(spark, path, bands=[1]).toPandas()
+        assert set(one["t"]) == {1}
+
+    def test_bigtiff_roundtrip(self, spark, tmp_path):
+        h, w = 19, 23
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        path = str(tmp_path / "big.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=30.0, tile_size=16,
+            bigtiff=True, dtype="float64",
+        )
+        with open(path, "rb") as f:
+            assert struct.unpack("<H", f.read(4)[2:])[0] == 43
+        back = (read_geotiff(spark, path).toPandas()
+                .sort_values(["j", "i"]))
+        assert np.array_equal(
+            back["value"].to_numpy().reshape(h, w), vals[0])
+
+    def test_nodata_and_sparse_tiles(self, spark, tmp_path):
+        # rows only in the top-left tile: the other tiles are sparse
+        # (offset 0 -- GDAL convention) and read back as nodata
+        h, w = 40, 40
+        vals = np.full((1, h, w), np.nan)
+        vals[0, :16, :16] = 7.0
+        path = str(tmp_path / "sparse.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+            nodata=-9999.0, dtype="float32",
+        )
+        ifds, _ = read_geotiff_meta(path)
+        assert ifds[0].nodata == -9999.0
+        assert 0 in ifds[0].offsets  # sparse tiles present
+        back = read_geotiff(spark, path, decode_cf=True).toPandas()
+        grid = (back.sort_values(["j", "i"])["value"]
+                .to_numpy().reshape(h, w))
+        assert np.all(grid[:16, :16] == 7.0)
+        assert np.all(np.isnan(grid[16:, :]))
+        raw = read_geotiff(spark, path).toPandas()
+        rg = (raw.sort_values(["j", "i"])["value"]
+              .to_numpy().reshape(h, w))
+        assert np.all(rg[16:, :] == -9999.0)
+
+    def test_overviews_mean(self, spark, tmp_path):
+        h, w = 32, 32
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        path = str(tmp_path / "ov.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+            overviews=2, dtype="float64",
+        )
+        ifds, _ = read_geotiff_meta(path)
+        assert len(ifds) == 3
+        assert not ifds[0].is_reduced and ifds[1].is_reduced
+        ov1 = (read_geotiff(spark, path, overview=1).toPandas()
+               .sort_values(["j", "i"])["value"]
+               .to_numpy().reshape(16, 16))
+        expect = vals[0].reshape(16, 2, 16, 2).mean(axis=(1, 3))
+        assert np.allclose(ov1, expect)
+        # overview grid mapping: doubled resolution, same bbox origin
+        gm0 = read_geotiff_grid_mapping(path)
+        gm1 = read_geotiff_grid_mapping(path, overview=1)
+        assert gm1.size == (16, 16)
+        assert gm1.xy_res == (20, 20)
+        assert gm1.x_min == gm0.x_min and gm1.y_max == gm0.y_max
+
+    def test_bbox_prunes_tile_reads(self, spark, tmp_path):
+        """Corrupt every tile OUTSIDE the bbox window: a pruned read
+        must still succeed (it never touches them), proving pruning
+        happens at the byte-range level, not post-filter."""
+        h, w = 48, 48
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        path = str(tmp_path / "prune.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+            compression="deflate", dtype="float64",
+        )
+        ifds, _ = read_geotiff_meta(path)
+        ifd = ifds[0]
+        blob = bytearray(open(path, "rb").read())
+        for kj in range(3):
+            for ki in range(3):
+                if kj == 0 and ki == 0:
+                    continue
+                ix = ifd.tile_index(0, kj, ki)
+                off, cnt = ifd.offsets[ix], ifd.counts[ix]
+                blob[off:off + cnt] = b"\xff" * cnt
+        open(path, "wb").write(bytes(blob))
+        sub = (read_geotiff(spark, path, bbox_ij=(0, 0, 16, 16))
+               .toPandas().sort_values(["j", "i"]))
+        assert np.array_equal(
+            sub["value"].to_numpy().reshape(16, 16), vals[0][:16, :16])
+        with pytest.raises(Exception):
+            read_geotiff(spark, path).toPandas()
+
+    def test_bytes_range_reader(self, spark, tmp_path):
+        h, w = 18, 18
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        path = str(tmp_path / "brr.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+            dtype="float64",
+        )
+        rr = BytesRangeReader(open(path, "rb").read())
+        back = (read_geotiff(spark, rr).toPandas()
+                .sort_values(["j", "i"]))
+        assert np.array_equal(
+            back["value"].to_numpy().reshape(h, w), vals[0])
+
+    def test_driver_reads_only_header_ranges(self, tmp_path, spark):
+        """COG promise: metadata access touches only leading bytes."""
+        h, w = 64, 64
+        vals = np.zeros((1, h, w))
+        path = str(tmp_path / "head.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+            dtype="float32",
+        )
+        cr = CountingRangeReader(FileRangeReader(path))
+        read_geotiff_grid_mapping(cr)
+        total = sum(s for _o, s in cr.calls)
+        touched = max(o + s for o, s in cr.calls)
+        assert touched < 2048  # IFD chain leads the file
+        assert total < 4096
+
+
+class TestGeoKeys:
+    def test_projected_crs_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "crs_p.tif")
+        vals = np.zeros((1, 17, 17))
+        write_geotiff(
+            _pixels(spark, vals), path, (17, 17), crs="EPSG:3035",
+            xy_min=(4e6, 3e6), xy_res=100.0, tile_size=16,
+            dtype="float32",
+        )
+        gm = read_geotiff_grid_mapping(path)
+        assert gm.crs.auth_code == "EPSG:3035"
+        assert not gm.crs.is_geographic
+
+    def test_geographic_crs_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "crs_g.tif")
+        vals = np.zeros((1, 17, 17))
+        write_geotiff(
+            _pixels(spark, vals), path, (17, 17), crs="EPSG:4326",
+            xy_min=(10.0, 50.0), xy_res=0.5, tile_size=16,
+            dtype="float32",
+        )
+        gm = read_geotiff_grid_mapping(path)
+        assert gm.crs.is_geographic
+        assert gm.xy_bbox == (10.0, 50.0, 18.5, 58.5)
+
+    def test_non_epsg_crs_write_raises(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+
+        crs = CRS.from_user_input("+proj=moll +R=6371000")
+        with pytest.raises(NotImplementedError, match="non-EPSG"):
+            write_geotiff(
+                _pixels(spark, np.zeros((1, 17, 17))),
+                str(tmp_path / "x.tif"), (17, 17), crs=crs,
+                xy_min=(0.0, 0.0), xy_res=1000.0,
+            )
+
+    def test_user_defined_crs_read_needs_override(self, spark,
+                                                  tmp_path):
+        # hand-patch the ProjectedCSType key to 32767 (user-defined)
+        path = str(tmp_path / "ud.tif")
+        write_geotiff(
+            _pixels(spark, np.zeros((1, 17, 17))), path, (17, 17),
+            crs="EPSG:32633", xy_min=(0.0, 0.0), xy_res=10.0,
+            tile_size=16, dtype="float32",
+        )
+        blob = bytearray(open(path, "rb").read())
+        pcs = struct.pack("<H", 32633)
+        ix = bytes(blob).find(struct.pack("<HHH", 3072, 0, 1) + pcs)
+        assert ix > 0
+        blob[ix + 6:ix + 8] = struct.pack("<H", 32767)
+        open(path, "wb").write(bytes(blob))
+        with pytest.raises(NotImplementedError, match="user-defined"):
+            read_geotiff_grid_mapping(path)
+        gm = read_geotiff_grid_mapping(path, crs="EPSG:32633")
+        assert gm.crs.auth_code == "EPSG:32633"
+
+
+def _frame_tiff(bo, entries, payload):
+    """Hand-frame a minimal classic TIFF: header + one IFD + payload
+    already positioned at known offsets (entries reference them)."""
+    n = len(entries)
+    ifd_off = 8
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM")
+    out += struct.pack(bo + "HI", 42, ifd_off)
+    out += struct.pack(bo + "H", n)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        out += val if isinstance(val, bytes) else struct.pack(
+            bo + "I", val)
+    out += struct.pack(bo + "I", 0)
+    data_off = len(out)
+    out += payload
+    return bytes(out), data_off
+
+
+class TestForeignLayouts:
+    """Layouts the repo's writer never emits -- strips with a short
+    last strip, chunky interleave, big-endian -- hand-framed so the
+    reader is tested against the spec, not against our writer."""
+
+    def _strip_file(self, bo, vals, rps, comp=COMPRESSION_NONE,
+                    chunky_bands=1):
+        h, w = vals.shape[-2], vals.shape[-1]
+        dt = np.dtype("int16").newbyteorder(bo)
+        strips = []
+        for s0 in range(0, h, rps):
+            rows = vals[..., s0:s0 + rps, :]
+            if chunky_bands > 1:
+                # (spp, rows, w) -> interleaved (rows, w, spp)
+                rows = np.moveaxis(rows, 0, -1)
+            raw = np.ascontiguousarray(rows.astype(dt)).tobytes()
+            if comp == COMPRESSION_DEFLATE:
+                raw = zlib.compress(raw)
+            strips.append(raw)
+        # payload at fixed offset after the IFD
+        n_entries = 11
+        hdr = 8 + 2 + n_entries * 12 + 4
+        offs = []
+        bps_off = hdr
+        fmt_off = hdr + 2 * chunky_bands
+        so_off = hdr + 4 * chunky_bands
+        bc_off = so_off + 4 * len(strips)
+        pos = bc_off + 4 * len(strips)
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        payload = b"".join([
+            struct.pack(bo + "%dH" % chunky_bands,
+                        *([16] * chunky_bands)),
+            struct.pack(bo + "%dH" % chunky_bands,
+                        *([2] * chunky_bands)),
+            struct.pack(bo + "%dI" % len(offs), *offs),
+            struct.pack(bo + "%dI" % len(strips),
+                        *[len(s) for s in strips]),
+        ] + strips)
+        if chunky_bands > 2:
+            # > 2 shorts: genuinely out of line
+            bps_val = struct.pack(bo + "I", bps_off)
+            fmt_val = struct.pack(bo + "I", fmt_off)
+        else:
+            # 1-2 shorts fit the 4-byte inline value field
+            bps_val = struct.pack(
+                bo + "HH", 16, 16 if chunky_bands == 2 else 0)
+            fmt_val = struct.pack(
+                bo + "HH", 2, 2 if chunky_bands == 2 else 0)
+        # count-1 LONG entries carry the VALUE inline, not an offset
+        so_val = struct.pack(
+            bo + "I", offs[0] if len(offs) == 1 else so_off)
+        bc_val = struct.pack(
+            bo + "I",
+            len(strips[0]) if len(strips) == 1 else bc_off)
+        entries = [
+            (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+            (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+            (258, 3, chunky_bands, bps_val),
+            (259, 3, 1, struct.pack(bo + "HH", comp, 0)),
+            (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+            (273, 4, len(offs), so_val),
+            (277, 3, 1, struct.pack(bo + "HH", chunky_bands, 0)),
+            (278, 3, 1, struct.pack(bo + "HH", rps, 0)),
+            (279, 4, len(strips), bc_val),
+            (284, 3, 1, struct.pack(bo + "HH", 1, 0)),
+            (339, 3, chunky_bands, fmt_val),
+        ]
+        blob, _ = _frame_tiff(bo, entries, payload)
+        return blob
+
+    @pytest.mark.parametrize("bo", ["<", ">"])
+    def test_strips_short_last_strip(self, spark, bo):
+        h, w = 11, 7  # rps=4 -> last strip has 3 rows
+        vals = (np.arange(h * w).reshape(h, w) % 300 - 100)
+        blob = self._strip_file(bo, vals, rps=4)
+        back = (read_geotiff(spark, BytesRangeReader(blob))
+                .toPandas().sort_values(["j", "i"]))
+        assert np.array_equal(
+            back["value"].to_numpy().reshape(h, w), vals)
+
+    def test_strips_deflate(self, spark):
+        h, w = 10, 6
+        vals = np.arange(h * w).reshape(h, w) % 128
+        blob = self._strip_file("<", vals, rps=4,
+                                comp=COMPRESSION_DEFLATE)
+        back = (read_geotiff(spark, BytesRangeReader(blob))
+                .toPandas().sort_values(["j", "i"]))
+        assert np.array_equal(
+            back["value"].to_numpy().reshape(h, w), vals)
+
+    def test_chunky_interleave(self, spark):
+        # PlanarConfiguration=1: samples interleaved per pixel
+        nt, h, w = 2, 6, 5
+        vals = np.arange(nt * h * w).reshape(nt, h, w) % 200
+        blob = self._strip_file("<", vals, rps=6, chunky_bands=nt)
+        back = read_geotiff(spark, BytesRangeReader(blob)).toPandas()
+        for t in range(nt):
+            sl = (back[back["t"] == t].sort_values(["j", "i"])
+                  ["value"].to_numpy().reshape(h, w))
+            assert np.array_equal(sl, vals[t])
+
+    def test_bare_tiff_needs_model_tags(self, spark):
+        vals = np.zeros((4, 4), dtype=int)
+        blob = self._strip_file("<", vals, rps=4)
+        with pytest.raises(ValueError, match="ModelPixelScale"):
+            read_geotiff_grid_mapping(BytesRangeReader(blob))
+
+
+class TestPipeline:
+    def test_open_and_resample(self, spark, tmp_path):
+        """GeoTIFF -> open_geotiff_dataset -> resample_in_space
+        (affine downscale), the reference's rioxarray entry path."""
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.spatial import (
+            resample_in_space,
+        )
+
+        h, w = 24, 24
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        path = str(tmp_path / "pipe.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(500000.0, 4e6), xy_res=10.0, tile_size=16,
+            dtype="float64",
+        )
+        ds, gm = open_geotiff_dataset(spark, path)
+        target = GridMapping.regular(
+            (12, 12), (500000.0, 4e6), 20.0, gm.crs)
+        out = resample_in_space(ds, source_gm=gm, target_gm=target)
+        got = (out.data_vars["band_data"].df.toPandas()
+               .sort_values(["j", "i"])["value"]
+               .to_numpy().reshape(12, 12))
+        expect = vals[0].reshape(12, 2, 12, 2).mean(axis=(1, 3))
+        assert np.allclose(got, expect)

@@ -34,6 +34,16 @@ from .levels import (
     read_levels_meta,
     write_zarr_levels,
 )
+from .geotiff import (
+    BytesRangeReader,
+    FileRangeReader,
+    RangeReader,
+    open_geotiff_dataset,
+    read_geotiff,
+    read_geotiff_grid_mapping,
+    read_geotiff_meta,
+    write_geotiff,
+)
 from .zarr3 import (
     add_spatial_ref3,
     open_zarr3_dataset,
@@ -94,6 +104,14 @@ __all__ = [
     "open_zarr_dataset",
     "read_zarr",
     "read_zarr_grid_mapping",
+    "RangeReader",
+    "FileRangeReader",
+    "BytesRangeReader",
+    "open_geotiff_dataset",
+    "read_geotiff",
+    "read_geotiff_grid_mapping",
+    "read_geotiff_meta",
+    "write_geotiff",
     "open_zarr3_dataset",
     "read_zarr3",
     "read_zarr3_grid_mapping",

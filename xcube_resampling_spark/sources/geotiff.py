@@ -1,0 +1,1257 @@
+"""GeoTIFF / Cloud-Optimized GeoTIFF (COG) source and sink.
+
+Clean-room implementation from the public specifications -- no gdal /
+rasterio / PIL in the environment, and none needed:
+
+* TIFF 6.0 (Adobe, June 1992): header, IFD layout, tag types, strip
+  and tile organization, PackBits (section 9), LZW with the early-change
+  code-width convention (section 13), horizontal-differencing predictor
+  (section 14).
+* BigTIFF ("TIFF version 43", libtiff 4 layout): 8-byte offsets, u64
+  IFD entry counts, 20-byte IFD entries, types LONG8/SLONG8/IFD8.
+* OGC GeoTIFF 1.1 (OGC 19-008r4): ModelPixelScaleTag /
+  ModelTiepointTag / ModelTransformationTag raster->model mapping,
+  GeoKeyDirectoryTag key parsing, PixelIsArea vs PixelIsPoint raster
+  space.
+* GDAL conventions consumed by the wider ecosystem: the ASCII
+  GDAL_NODATA tag (42113), sparse files (tile offset 0 = all-nodata),
+  Deflate compression under both tag values (8 and legacy 32946).
+
+The reference consumes GeoTIFF through rioxarray/xarray into the same
+``GridMapping.from_dataset`` discovery this repo implements in
+``gridmapping/cfconv.py`` (reference cfconv.py:66-212 handles the
+rioxarray CRS-84 x/y naming); here the container itself is parsed and
+the pixels stream straight into the (t, j, i, value) DataFrame layout
+every operator consumes.
+
+Scale design
+------------
+* **Read** is COG-shaped: the driver fetches only the header + IFD
+  chain through a :class:`RangeReader` (two small ranged GETs for a
+  COG, whose IFDs lead the file), prunes the tile table against
+  ``bbox_ij`` driver-side (pure arithmetic), and parallelizes the
+  surviving ``(band, tile, offset, bytecount)`` list; each executor
+  range-reads and decodes its own tiles.  No full-file read ever
+  happens, which is the entire point of the COG layout on object
+  stores -- a real S3 client is one ``RangeReader`` subclass away.
+* **Write** is the multipart-upload shape: one ``applyInPandas`` task
+  per output tile encodes and stores its compressed bytes through the
+  ``ChunkPut`` seam, returning only ``(tile key, byte size)``; the
+  driver then computes the final offsets from the (metadata-sized)
+  size table and streams the parts into place -- assembly moves bytes,
+  never decodes pixels.  Overview levels (the "CO" in COG) are reduced
+  2x per level via a NaN-aware mean aggregation (same semantics as the
+  ``mean`` coarsen reducer, operators/coarsen.py) and written as
+  reduced-resolution IFDs (NewSubfileType=1).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources.zarr import (
+    ChunkPut,
+    FsChunkPut,
+    ZARR_PIXEL_SCHEMA,
+)
+
+__all__ = [
+    "RangeReader",
+    "FileRangeReader",
+    "BytesRangeReader",
+    "read_geotiff",
+    "read_geotiff_meta",
+    "read_geotiff_grid_mapping",
+    "open_geotiff_dataset",
+    "write_geotiff",
+]
+
+
+# ------------------------------------------------------------------ #
+# ranged-read seam (the S3 GET-with-Range contract)
+
+
+class RangeReader:
+    """Byte-range access to one TIFF file.  ``read`` maps 1:1 onto an
+    object-store ranged GET; instances must be picklable so executors
+    can fetch their own tile ranges."""
+
+    def read(self, offset: int, size: int) -> bytes:
+        raise NotImplementedError
+
+    def size(self) -> int:
+        raise NotImplementedError
+
+
+class FileRangeReader(RangeReader):
+    """Local-filesystem ranged reads (lazily opened per process)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fp = None
+
+    def _file(self):
+        if self._fp is None:
+            self._fp = open(self.path, "rb")
+        return self._fp
+
+    def read(self, offset: int, size: int) -> bytes:
+        fp = self._file()
+        fp.seek(offset)
+        return fp.read(size)
+
+    def size(self) -> int:
+        return os.path.getsize(self.path)
+
+    def __getstate__(self):
+        return {"path": self.path}
+
+    def __setstate__(self, state):
+        self.path = state["path"]
+        self._fp = None
+
+
+class BytesRangeReader(RangeReader):
+    """In-memory reader (tests, tiny files)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def read(self, offset: int, size: int) -> bytes:
+        return self.data[offset:offset + size]
+
+    def size(self) -> int:
+        return len(self.data)
+
+
+class CountingRangeReader(RangeReader):
+    """Wraps another reader and counts requests/bytes -- lets tests
+    assert that bbox pruning really avoided the skipped tiles."""
+
+    def __init__(self, inner: RangeReader):
+        self.inner = inner
+        self.calls: list[tuple[int, int]] = []
+
+    def read(self, offset: int, size: int) -> bytes:
+        self.calls.append((offset, size))
+        return self.inner.read(offset, size)
+
+    def size(self) -> int:
+        return self.inner.size()
+
+
+# ------------------------------------------------------------------ #
+# TIFF tag constants (TIFF 6.0 section 8; GeoTIFF 1.1 section 7)
+
+TAG_NEW_SUBFILE_TYPE = 254
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+TAG_MODEL_PIXEL_SCALE = 33550
+TAG_MODEL_TIEPOINT = 33922
+TAG_MODEL_TRANSFORMATION = 34264
+TAG_GEO_KEY_DIRECTORY = 34735
+TAG_GEO_DOUBLE_PARAMS = 34736
+TAG_GEO_ASCII_PARAMS = 34737
+TAG_GDAL_NODATA = 42113
+
+COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE = 8
+COMPRESSION_PACKBITS = 32773
+COMPRESSION_DEFLATE_OLD = 32946  # legacy tag value, same stream
+
+# GeoKey ids (GeoTIFF 1.1 Annex A)
+KEY_GT_MODEL_TYPE = 1024
+KEY_GT_RASTER_TYPE = 1025
+KEY_GT_CITATION = 1026
+KEY_GEOGRAPHIC_TYPE = 2048
+KEY_GEOG_CITATION = 2049
+KEY_PROJECTED_CS_TYPE = 3072
+KEY_PCS_CITATION = 3073
+
+MODEL_TYPE_PROJECTED = 1
+MODEL_TYPE_GEOGRAPHIC = 2
+RASTER_PIXEL_IS_AREA = 1
+RASTER_PIXEL_IS_POINT = 2
+
+# field types (TIFF 6.0 section 2 + BigTIFF additions)
+_TYPE_BYTES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
+
+_SAMPLE_FORMAT_UINT = 1
+_SAMPLE_FORMAT_INT = 2
+_SAMPLE_FORMAT_FLOAT = 3
+
+_DTYPES = {
+    ("u", 8): np.dtype("uint8"), ("u", 16): np.dtype("uint16"),
+    ("u", 32): np.dtype("uint32"), ("i", 8): np.dtype("int8"),
+    ("i", 16): np.dtype("int16"), ("i", 32): np.dtype("int32"),
+    ("f", 32): np.dtype("float32"), ("f", 64): np.dtype("float64"),
+}
+
+
+# ------------------------------------------------------------------ #
+# codecs
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 section 9: n in [0,127] -> copy n+1 literal bytes;
+    n in [-127,-1] -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy run-length PackBits: emit runs of >=3 equal bytes as a
+    replicate packet, everything else as literal packets of <=128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal: scan until a >=3 run starts or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 section 13): MSB-first bit packing,
+    9-bit initial codes, and the *early-change* convention -- the code
+    width grows when the next table index to assign reaches 2**bits-1
+    (one code earlier than vanilla LZW)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < bits:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate truncation
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+        nbits -= bits
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            bits = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW: first code after clear not a "
+                                 "literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << bits) - 1 and bits < 12:
+            bits += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Matched-pair TIFF LZW encoder (early change; Clear emitted when
+    the table reaches 4094 entries, per the libtiff convention)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, bits: int):
+        nonlocal acc, nbits
+        acc = (acc << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits = 9
+    emit(_LZW_CLEAR, bits)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], bits)
+        table[wc] = next_code
+        next_code += 1
+        # the encoder's table runs ONE entry ahead of the decoder's
+        # (deferred-entry asymmetry), so it bumps at 2**bits where the
+        # decoder bumps at 2**bits - 1 -- libtiff's matched pair
+        if next_code == (1 << bits) and bits < 12:
+            bits += 1
+        if next_code == 4094:
+            emit(_LZW_CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bits = 9
+        w = c
+    if w:
+        emit(table[w], bits)
+    emit(_LZW_EOI, bits)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
+    """Horizontal differencing inverse (TIFF 6.0 section 14): cumulative
+    sum along rows in the sample's own integer width (mod 2**n)."""
+    return np.cumsum(arr, axis=-1, dtype=arr.dtype).astype(arr.dtype)
+
+
+def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
+    out = arr.copy()
+    out[..., 1:] = arr[..., 1:] - arr[..., :-1]
+    return out
+
+
+def _decode_tile_bytes(
+    raw: bytes,
+    compression: int,
+    predictor: int,
+    dtype: np.dtype,
+    th: int,
+    tw: int,
+    spp: int,
+    endian: str,
+) -> np.ndarray:
+    """One stored tile/strip -> (spp, th, tw) array in native order."""
+    if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
+        raw = zlib.decompress(raw)
+    elif compression == COMPRESSION_LZW:
+        raw = _lzw_decode(raw)
+    elif compression == COMPRESSION_PACKBITS:
+        raw = _packbits_decode(raw)
+    elif compression != COMPRESSION_NONE:
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported (supported: "
+            "none, LZW, Deflate, PackBits)")
+    dt = dtype.newbyteorder(endian)
+    arr = np.frombuffer(raw, dtype=dt, count=th * tw * spp)
+    # chunky: row-major (th, tw, spp); predictor stride = spp
+    arr = arr.reshape(th, tw, spp)
+    if predictor == 2:
+        if dtype.kind not in "iu":
+            raise NotImplementedError(
+                "predictor 2 on non-integer samples")
+        arr = np.cumsum(arr, axis=1, dtype=dt).astype(dt)
+    elif predictor not in (0, 1):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    return np.ascontiguousarray(np.moveaxis(arr, 2, 0))
+
+
+def _encode_tile_bytes(
+    block: np.ndarray,  # (th, tw) single-sample
+    compression: int,
+    predictor: int,
+) -> bytes:
+    if predictor == 2:
+        block = _apply_predictor2(block)
+    raw = block.tobytes()
+    if compression == COMPRESSION_DEFLATE:
+        return zlib.compress(raw, 6)
+    if compression == COMPRESSION_LZW:
+        return _lzw_encode(raw)
+    if compression == COMPRESSION_PACKBITS:
+        return _packbits_encode(raw)
+    if compression == COMPRESSION_NONE:
+        return raw
+    raise NotImplementedError(f"TIFF compression {compression}")
+
+
+# ------------------------------------------------------------------ #
+# IFD parsing
+
+
+def _parse_header(rr: RangeReader):
+    head = rr.read(0, 16)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", head[2:4])
+    if magic == 42:
+        (off,) = struct.unpack(bo + "I", head[4:8])
+        return bo, False, off
+    if magic == 43:
+        osz, zero = struct.unpack(bo + "HH", head[4:8])
+        if osz != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (off,) = struct.unpack(bo + "Q", head[8:16])
+        return bo, True, off
+    raise ValueError(f"not a TIFF file (magic {magic})")
+
+
+def _parse_ifd(rr: RangeReader, off: int, bo: str, big: bool):
+    """One IFD -> ({tag: (type, values tuple)}, next_ifd_offset).
+    Out-of-line values are fetched with their own ranged reads."""
+    if big:
+        (count,) = struct.unpack(bo + "Q", rr.read(off, 8))
+        ent_sz, base = 20, off + 8
+    else:
+        (count,) = struct.unpack(bo + "H", rr.read(off, 2))
+        ent_sz, base = 12, off + 2
+    blob = rr.read(base, count * ent_sz + (8 if big else 4))
+    tags: dict[int, tuple[int, tuple]] = {}
+    inline = 8 if big else 4
+    cfmt = "Q" if big else "I"
+    for k in range(count):
+        e = blob[k * ent_sz:(k + 1) * ent_sz]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        (cnt,) = struct.unpack(bo + cfmt, e[4:4 + (8 if big else 4)])
+        vfield = e[4 + (8 if big else 4):ent_sz]
+        esz = _TYPE_BYTES.get(typ)
+        if esz is None:
+            continue  # unknown type: skip per spec
+        total = esz * cnt
+        data = vfield[:total] if total <= inline else rr.read(
+            struct.unpack(bo + cfmt, vfield)[0], total)
+        if typ == 2:  # ASCII
+            tags[tag] = (typ, (data.split(b"\x00")[0].decode(
+                "ascii", errors="replace"),))
+        elif typ == 5:  # RATIONAL
+            vals = struct.unpack(bo + "%dI" % (2 * cnt), data)
+            tags[tag] = (typ, tuple(
+                vals[2 * i] / vals[2 * i + 1] if vals[2 * i + 1] else 0.0
+                for i in range(cnt)))
+        elif typ in _TYPE_FMT:
+            tags[tag] = (typ, struct.unpack(
+                bo + "%d%s" % (cnt, _TYPE_FMT[typ]), data))
+    (nxt,) = struct.unpack(
+        bo + cfmt, blob[count * ent_sz:count * ent_sz + (8 if big else 4)]
+    )
+    return tags, nxt
+
+
+def _tag(tags, tag, default=None):
+    v = tags.get(tag)
+    return v[1] if v is not None else default
+
+
+class TiffIFD:
+    """Parsed metadata of one image (main raster or overview level)."""
+
+    def __init__(self, tags: dict, bo: str):
+        self.tags = tags
+        self.endian = "<" if bo == "<" else ">"
+        self.width = int(_tag(tags, TAG_IMAGE_WIDTH)[0])
+        self.height = int(_tag(tags, TAG_IMAGE_LENGTH)[0])
+        self.spp = int(_tag(tags, TAG_SAMPLES_PER_PIXEL, (1,))[0])
+        bps = _tag(tags, TAG_BITS_PER_SAMPLE, (8,))
+        if len(set(bps)) != 1:
+            raise NotImplementedError("mixed bits-per-sample")
+        self.bits = int(bps[0])
+        fmts = _tag(tags, TAG_SAMPLE_FORMAT, (_SAMPLE_FORMAT_UINT,))
+        kind = {_SAMPLE_FORMAT_UINT: "u", _SAMPLE_FORMAT_INT: "i",
+                _SAMPLE_FORMAT_FLOAT: "f"}.get(int(fmts[0]))
+        if kind is None:
+            raise NotImplementedError(
+                f"TIFF sample format {fmts[0]} not supported")
+        dt = _DTYPES.get((kind, self.bits))
+        if dt is None:
+            raise NotImplementedError(
+                f"TIFF {self.bits}-bit {kind!r} samples not supported")
+        self.dtype = dt
+        self.compression = int(_tag(tags, TAG_COMPRESSION, (1,))[0])
+        self.predictor = int(_tag(tags, TAG_PREDICTOR, (1,))[0])
+        self.planar = int(_tag(tags, TAG_PLANAR_CONFIG, (1,))[0])
+        self.is_reduced = bool(
+            int(_tag(tags, TAG_NEW_SUBFILE_TYPE, (0,))[0]) & 1)
+        nod = _tag(tags, TAG_GDAL_NODATA)
+        self.nodata: float | None = None
+        if nod is not None:
+            s = nod[0].strip()
+            if s and s.lower() != "none":
+                self.nodata = float(s)
+        if TAG_TILE_WIDTH in tags:
+            self.tiled = True
+            self.tile_w = int(_tag(tags, TAG_TILE_WIDTH)[0])
+            self.tile_h = int(_tag(tags, TAG_TILE_LENGTH)[0])
+            self.offsets = [int(v) for v in _tag(tags, TAG_TILE_OFFSETS)]
+            self.counts = [int(v) for v in
+                           _tag(tags, TAG_TILE_BYTE_COUNTS)]
+        else:
+            self.tiled = False
+            self.tile_w = self.width
+            rps = int(_tag(tags, TAG_ROWS_PER_STRIP,
+                           (self.height,))[0])
+            self.tile_h = min(rps, self.height)
+            self.offsets = [int(v) for v in
+                            _tag(tags, TAG_STRIP_OFFSETS)]
+            self.counts = [int(v) for v in
+                           _tag(tags, TAG_STRIP_BYTE_COUNTS)]
+
+    @property
+    def tiles_across(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_down(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    def tile_index(self, band: int, kj: int, ki: int) -> int:
+        """Index into offsets/counts (TIFF 6.0: tiles row-major; planar
+        config 2 stores each sample's full tile set consecutively)."""
+        per_band = self.tiles_across * self.tiles_down
+        if self.planar == 2:
+            return band * per_band + kj * self.tiles_across + ki
+        return kj * self.tiles_across + ki
+
+
+def read_geotiff_meta(
+    path: str | RangeReader,
+) -> tuple[list[TiffIFD], RangeReader]:
+    """Parse the full IFD chain (main image + overview levels)."""
+    rr = path if isinstance(path, RangeReader) else FileRangeReader(path)
+    bo, big, off = _parse_header(rr)
+    ifds: list[TiffIFD] = []
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        tags, off = _parse_ifd(rr, off, bo, big)
+        if TAG_IMAGE_WIDTH in tags:
+            ifds.append(TiffIFD(tags, bo))
+    if not ifds:
+        raise ValueError("TIFF file contains no image directories")
+    return ifds, rr
+
+
+# ------------------------------------------------------------------ #
+# GeoTIFF model space + CRS
+
+
+def _parse_geokeys(tags: dict) -> dict[int, object]:
+    """GeoKeyDirectoryTag -> {key_id: value} with double/ascii keys
+    resolved through GeoDoubleParams / GeoAsciiParams."""
+    raw = _tag(tags, TAG_GEO_KEY_DIRECTORY)
+    if raw is None:
+        return {}
+    doubles = _tag(tags, TAG_GEO_DOUBLE_PARAMS, ())
+    ascii_ = _tag(tags, TAG_GEO_ASCII_PARAMS, ("",))[0]
+    n_keys = int(raw[3])
+    out: dict[int, object] = {}
+    for k in range(n_keys):
+        kid, loc, cnt, val = raw[4 + 4 * k:8 + 4 * k]
+        if loc == 0:
+            out[kid] = int(val)
+        elif loc == TAG_GEO_DOUBLE_PARAMS:
+            vals = doubles[val:val + cnt]
+            out[kid] = float(vals[0]) if cnt == 1 else tuple(vals)
+        elif loc == TAG_GEO_ASCII_PARAMS:
+            out[kid] = ascii_[val:val + cnt].rstrip("|")
+    return out
+
+
+def _crs_from_geokeys(geo: dict, crs=None):
+    """GeoKeys -> engine CRS; an explicit ``crs`` argument overrides."""
+    from xcube_resampling_spark.crs import CRS, CRS_WGS84
+
+    if crs is not None:
+        return CRS.from_user_input(crs)
+    model = int(geo.get(KEY_GT_MODEL_TYPE, 0))
+    if model == MODEL_TYPE_PROJECTED:
+        code = int(geo.get(KEY_PROJECTED_CS_TYPE, 32767))
+        if code == 32767:
+            raise NotImplementedError(
+                "user-defined projected CRS (ProjectedCSTypeGeoKey="
+                "32767); pass crs=... (any WKT/PROJ/EPSG form) "
+                f"[citation: {geo.get(KEY_PCS_CITATION, '')!r}]")
+        return CRS.from_epsg(code)
+    if model == MODEL_TYPE_GEOGRAPHIC:
+        code = int(geo.get(KEY_GEOGRAPHIC_TYPE, 4326))
+        if code == 32767:
+            raise NotImplementedError(
+                "user-defined geographic CRS (GeographicTypeGeoKey="
+                "32767); pass crs=... "
+                f"[citation: {geo.get(KEY_GEOG_CITATION, '')!r}]")
+        return CRS.from_epsg(code)
+    if not geo:
+        return CRS_WGS84  # bare TIFF: same default as rioxarray-less
+    raise NotImplementedError(
+        f"GTModelTypeGeoKey {model} (ModelTypeUndefined/UserDefined) "
+        "not supported; pass crs=...")
+
+
+def _model_transform(tags: dict, geo: dict):
+    """Raster->model mapping -> (x0, y0, sx, sy, pixel_is_point).
+    x(i) = x0 + i*sx ; y(j) = y0 - j*sy with (i, j) at the raster
+    point the raster type designates (GeoTIFF 1.1 section 7.2)."""
+    pip = int(geo.get(KEY_GT_RASTER_TYPE, RASTER_PIXEL_IS_AREA)) \
+        == RASTER_PIXEL_IS_POINT
+    scale = _tag(tags, TAG_MODEL_PIXEL_SCALE)
+    tie = _tag(tags, TAG_MODEL_TIEPOINT)
+    if scale is not None and tie is not None:
+        sx, sy = float(scale[0]), float(scale[1])
+        i0, j0, _k, x0, y0 = (float(tie[0]), float(tie[1]),
+                              float(tie[2]), float(tie[3]),
+                              float(tie[4]))
+        return x0 - i0 * sx, y0 + j0 * sy, sx, sy, pip
+    tr = _tag(tags, TAG_MODEL_TRANSFORMATION)
+    if tr is not None:
+        # 4x4 row-major; only axis-aligned north-up supported (the
+        # rotation terms would need an irregular grid mapping)
+        if float(tr[1]) != 0.0 or float(tr[4]) != 0.0:
+            raise NotImplementedError(
+                "rotated ModelTransformationTag not supported")
+        sx, sy = float(tr[0]), -float(tr[5])
+        return float(tr[3]), float(tr[7]), sx, sy, pip
+    raise ValueError("no ModelPixelScale+ModelTiepoint / "
+                     "ModelTransformation in the GeoTIFF")
+
+
+def read_geotiff_grid_mapping(
+    path: str | RangeReader, overview: int = 0, crs=None,
+):
+    """GridMapping of the GeoTIFF's main raster (or overview level k).
+
+    Mirrors the discovery the reference gets from rioxarray +
+    ``GridMapping.from_dataset`` (reference cfconv.py:66-212): CRS from
+    the GeoKeys, a regular grid from the pixel-scale/tiepoint model.
+    """
+    from xcube_resampling_spark.gridmapping import GridMapping
+
+    ifds, _rr = read_geotiff_meta(path)
+    if overview >= len(ifds):
+        raise ValueError(
+            f"overview {overview} out of range ({len(ifds)} levels)")
+    ifd = ifds[overview]
+    geo = _parse_geokeys(ifds[0].tags)
+    x0, y0, sx, sy, pip = _model_transform(ifds[0].tags, geo)
+    if overview:
+        # overview pixels cover 2**k source pixels; the model-space
+        # bbox is unchanged
+        fx = ifds[0].width / ifd.width
+        fy = ifds[0].height / ifd.height
+        sx, sy = sx * fx, sy * fy
+    if pip:
+        # PixelIsPoint: the tiepoint grid node is the CELL CENTER
+        x0, y0 = x0 - sx / 2, y0 + sy / 2
+    c = _crs_from_geokeys(geo, crs)
+    # GridMapping tile sizes must be >= 2; 1-row strips fall back to
+    # the untiled default
+    tile = (ifd.tile_w, ifd.tile_h) \
+        if ifd.tile_w > 1 and ifd.tile_h > 1 else None
+    return GridMapping.regular(
+        (ifd.width, ifd.height),
+        (x0, y0 - sy * ifd.height),
+        (sx, sy),
+        c,
+        tile_size=tile,
+    )
+
+
+# ------------------------------------------------------------------ #
+# distributed read
+
+
+def read_geotiff(
+    spark: SparkSession,
+    path: str | RangeReader,
+    bbox_ij: tuple[int, int, int, int] | None = None,
+    overview: int = 0,
+    bands: list[int] | None = None,
+    decode_cf: bool = False,
+) -> DataFrame:
+    """Read a (Geo)TIFF as a (t, j, i, value) pixel DataFrame with
+    t = band index.
+
+    COG read path: the driver touches only the header + IFD chain (for
+    an actual COG these lead the file -- two small ranged GETs), prunes
+    the tile table against ``bbox_ij`` (half-open (i0, j0, i1, j1))
+    with pure arithmetic, and ships the surviving (band, tile, offset,
+    nbytes) quadruples to executors, each of which range-reads and
+    decodes only its own tiles.  Sparse tiles (offset 0, the GDAL
+    sparse-file convention) decode as all-nodata without any read.
+
+    ``decode_cf=True`` maps the GDAL_NODATA value to NaN (the rioxarray
+    ``masked=True`` behavior); raw sample values come back otherwise.
+    """
+    ifds, rr = read_geotiff_meta(path)
+    if overview >= len(ifds):
+        raise ValueError(
+            f"overview {overview} out of range ({len(ifds)} levels)")
+    ifd = ifds[overview]
+    spp = ifd.spp
+    use_bands = list(range(spp)) if bands is None else list(bands)
+    for b in use_bands:
+        if not 0 <= b < spp:
+            raise ValueError(f"band {b} out of range (spp={spp})")
+
+    na, nd = ifd.tiles_across, ifd.tiles_down
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        ki_r = range(max(0, i0 // ifd.tile_w),
+                     min(na, -(-i1 // ifd.tile_w)))
+        kj_r = range(max(0, j0 // ifd.tile_h),
+                     min(nd, -(-j1 // ifd.tile_h)))
+    else:
+        ki_r, kj_r = range(na), range(nd)
+
+    tasks = []
+    if ifd.planar == 1:
+        # chunky: one stored tile holds ALL samples interleaved
+        for kj in kj_r:
+            for ki in ki_r:
+                ix = ifd.tile_index(0, kj, ki)
+                tasks.append((-1, kj, ki, ifd.offsets[ix],
+                              ifd.counts[ix]))
+    else:
+        for b in use_bands:
+            for kj in kj_r:
+                for ki in ki_r:
+                    ix = ifd.tile_index(b, kj, ki)
+                    tasks.append((b, kj, ki, ifd.offsets[ix],
+                                  ifd.counts[ix]))
+    if not tasks:
+        return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
+
+    n_part = max(1, min(len(tasks),
+                        spark.sparkContext.defaultParallelism))
+    tasks_df = spark.createDataFrame(
+        tasks, "band int, kj int, ki int, off bigint, nbytes bigint"
+    ).repartition(n_part)
+
+    height, width = ifd.height, ifd.width
+    tw, th = ifd.tile_w, ifd.tile_h
+    comp, pred, dt = ifd.compression, ifd.predictor, ifd.dtype
+    endian = ifd.endian
+    nodata = ifd.nodata
+    planar = ifd.planar
+    band_set = use_bands
+
+    tiled = ifd.tiled
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for band, kj, ki, off, nbytes in zip(
+                pdf["band"], pdf["kj"], pdf["ki"], pdf["off"],
+                pdf["nbytes"],
+            ):
+                kj, ki = int(kj), int(ki)
+                vj = min(th, height - kj * th)
+                vi = min(tw, width - ki * tw)
+                if int(off) == 0 and int(nbytes) == 0:
+                    # GDAL sparse tile: implicit nodata fill
+                    fill = nodata if nodata is not None else (
+                        float("nan") if dt.kind == "f" else 0.0)
+                    planes = {
+                        b: np.full((vj, vi), fill, dtype="f8")
+                        for b in (band_set if planar == 1
+                                  else [int(band)])
+                    }
+                else:
+                    raw = rr.read(int(off), int(nbytes))
+                    # tiles are padded to (th, tw); the LAST STRIP is
+                    # not (TIFF 6.0: a strip holds only its real rows)
+                    eff_th = th if tiled else vj
+                    cube = _decode_tile_bytes(
+                        raw, comp, pred, dt, eff_th, tw,
+                        spp if planar == 1 else 1, endian,
+                    )
+                    if planar == 1:
+                        planes = {
+                            b: cube[b, :vj, :vi].astype("f8")
+                            for b in band_set
+                        }
+                    else:
+                        planes = {
+                            int(band): cube[0, :vj, :vi].astype("f8")
+                        }
+                jj, ii = np.meshgrid(
+                    np.arange(vj), np.arange(vi), indexing="ij")
+                for b, plane in planes.items():
+                    if decode_cf and nodata is not None:
+                        plane = np.where(
+                            plane == nodata, np.nan, plane)
+                    outs.append(pd.DataFrame({
+                        "t": np.full(plane.size, b, dtype=np.int32),
+                        "j": (jj.ravel() + kj * th).astype(np.int32),
+                        "i": (ii.ravel() + ki * tw).astype(np.int32),
+                        "value": plane.ravel(),
+                    }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    df = tasks_df.mapInPandas(fetch, ZARR_PIXEL_SCHEMA)
+    if bbox_ij is not None:
+        i0, j0, i1, j1 = bbox_ij
+        df = df.filter(
+            (F.col("i") >= i0) & (F.col("i") < i1)
+            & (F.col("j") >= j0) & (F.col("j") < j1)
+        )
+    return df
+
+
+def open_geotiff_dataset(
+    spark: SparkSession,
+    path: str | RangeReader,
+    var_name: str = "band_data",
+    bbox_ij: tuple[int, int, int, int] | None = None,
+    overview: int = 0,
+    decode_cf: bool = False,
+    crs=None,
+):
+    """Open a GeoTIFF as ``(SparkDataset, GridMapping)`` -- the
+    one-call analogue of ``rioxarray.open_rasterio`` +
+    ``GridMapping.from_dataset`` feeding ``resample_in_space``."""
+    from xcube_resampling_spark.dataset import SparkDataset, Variable
+
+    gm = read_geotiff_grid_mapping(path, overview=overview, crs=crs)
+    df = read_geotiff(spark, path, bbox_ij=bbox_ij, overview=overview,
+                      decode_cf=decode_cf)
+    var = Variable(var_name, df, ("t", "y", "x"), "float64", {})
+    ds = SparkDataset(
+        spark=spark,
+        data_vars={var_name: var},
+        coords={"x": np.asarray(gm.x_coords, dtype="float64"),
+                "y": np.asarray(gm.y_coords, dtype="float64")},
+        coord_attrs={"spatial_ref": gm.crs.to_cf()},
+        yx_dims=("y", "x"),
+    )
+    return ds, gm
+
+
+# ------------------------------------------------------------------ #
+# write
+
+
+def _geokeys_for_crs(crs) -> tuple[list[int], str]:
+    """CRS -> (GeoKeyDirectory shorts, ascii params).  EPSG-coded CRSs
+    only (the interchange GeoTIFF 1.1 defines); others raise."""
+    code = None
+    if crs.auth_code and crs.auth_code.upper().startswith("EPSG:"):
+        code = int(crs.auth_code.split(":", 1)[1])
+    keys: list[tuple[int, int, int, int]] = []
+    ascii_parts: list[str] = []
+
+    def add_ascii(kid: int, text: str):
+        start = sum(len(s) for s in ascii_parts)
+        ascii_parts.append(text + "|")
+        keys.append((kid, TAG_GEO_ASCII_PARAMS, len(text) + 1, start))
+
+    if crs.is_geographic:
+        if code is None:
+            if crs.name in ("WGS 84", "WGS84"):
+                code = 4326
+            else:
+                raise NotImplementedError(
+                    f"writing a non-EPSG geographic CRS ({crs.name!r}) "
+                    "to GeoTIFF is not supported")
+        keys.insert(0, (KEY_GT_MODEL_TYPE, 0, 1, MODEL_TYPE_GEOGRAPHIC))
+        keys.append((KEY_GT_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA))
+        keys.append((KEY_GEOGRAPHIC_TYPE, 0, 1, code))
+        add_ascii(KEY_GEOG_CITATION, crs.name or f"EPSG:{code}")
+    else:
+        if code is None:
+            raise NotImplementedError(
+                f"writing a non-EPSG projected CRS ({crs.name!r}) to "
+                "GeoTIFF is not supported (GeoTIFF 1.1 interchange "
+                "needs an EPSG ProjectedCSTypeGeoKey)")
+        keys.insert(0, (KEY_GT_MODEL_TYPE, 0, 1, MODEL_TYPE_PROJECTED))
+        keys.append((KEY_GT_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA))
+        keys.append((KEY_PROJECTED_CS_TYPE, 0, 1, code))
+        add_ascii(KEY_PCS_CITATION, crs.name or f"EPSG:{code}")
+    keys.sort(key=lambda k: k[0])
+    dir_shorts = [1, 1, 0, len(keys)]
+    for kid, loc, cnt, val in keys:
+        dir_shorts += [kid, loc, cnt, val]
+    return dir_shorts, "".join(ascii_parts)
+
+
+class _IfdBuilder:
+    """Accumulates (tag, type, values) entries and serializes one IFD
+    with its out-of-line values, classic or BigTIFF layout."""
+
+    def __init__(self, big: bool):
+        self.big = big
+        self.entries: list[tuple[int, int, tuple]] = []
+
+    def add(self, tag: int, typ: int, values):
+        if isinstance(values, (int, float, str)):
+            values = (values,)
+        self.entries.append((tag, typ, tuple(values)))
+
+    def sizes(self) -> tuple[int, int]:
+        """(ifd_bytes, overflow_bytes) -- fixed once entries are set."""
+        n = len(self.entries)
+        ent = 20 if self.big else 12
+        head = 8 if self.big else 2
+        tail = 8 if self.big else 4
+        inline = 8 if self.big else 4
+        overflow = 0
+        for _tag_, typ, vals in self.entries:
+            total = _TYPE_BYTES[typ] * self._count(typ, vals)
+            if total > inline:
+                overflow += total + (total % 2)
+        return head + n * ent + tail, overflow
+
+    @staticmethod
+    def _count(typ: int, vals) -> int:
+        if typ == 2:
+            return len(vals[0]) + 1
+        return len(vals)
+
+    def serialize(self, ifd_off: int, next_off: int) -> bytes:
+        bo = "<"
+        big = self.big
+        inline = 8 if big else 4
+        cfmt = "Q" if big else "I"
+        ifd_sz, _ovf = self.sizes()
+        data_off = ifd_off + ifd_sz
+        body = bytearray()
+        over = bytearray()
+        self.entries.sort(key=lambda e: e[0])
+        if big:
+            body += struct.pack(bo + "Q", len(self.entries))
+        else:
+            body += struct.pack(bo + "H", len(self.entries))
+        for tag, typ, vals in self.entries:
+            cnt = self._count(typ, vals)
+            if typ == 2:
+                payload = vals[0].encode("ascii") + b"\x00"
+            else:
+                payload = struct.pack(
+                    bo + "%d%s" % (cnt, _TYPE_FMT[typ]), *vals)
+            body += struct.pack(bo + "HH", tag, typ)
+            body += struct.pack(bo + cfmt, cnt)
+            if len(payload) <= inline:
+                body += payload.ljust(inline, b"\x00")
+            else:
+                body += struct.pack(bo + cfmt, data_off + len(over))
+                over += payload
+                if len(payload) % 2:
+                    over += b"\x00"
+        body += struct.pack(bo + cfmt, next_off)
+        return bytes(body) + bytes(over)
+
+
+def _sample_format_of(dt: np.dtype) -> int:
+    return {"u": _SAMPLE_FORMAT_UINT, "i": _SAMPLE_FORMAT_INT,
+            "f": _SAMPLE_FORMAT_FLOAT}[dt.kind]
+
+
+_COMP_CODES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
+               "deflate": COMPRESSION_DEFLATE,
+               "packbits": COMPRESSION_PACKBITS}
+
+
+def write_geotiff(
+    df: DataFrame,
+    path: str,
+    shape: tuple[int, ...],
+    gm=None,
+    crs=None,
+    xy_min: tuple[float, float] | None = None,
+    xy_res: tuple[float, float] | float | None = None,
+    tile_size: int = 256,
+    compression: str = "deflate",
+    predictor: int | None = None,
+    dtype: str = "float32",
+    nodata: float | None = None,
+    bigtiff: bool = False,
+    overviews: int = 0,
+    chunk_put: ChunkPut | None = None,
+) -> None:
+    """Write a (t, j, i, value) pixel DataFrame as ONE tiled GeoTIFF
+    (COG layout: IFD chain up front, tile data behind, optional 2x
+    overview levels with NewSubfileType=1), t = band.
+
+    Distributed multipart shape: one ``applyInPandas`` task per output
+    tile encodes its compressed bytes through ``chunk_put`` (default: a
+    ``.parts`` directory next to the output) and returns (key, nbytes);
+    the driver computes offsets from that metadata-sized table, then
+    streams the parts into the final file in order -- the same
+    assemble-from-parts flow an S3 multipart upload performs, with the
+    local file standing in for the composed object.
+
+    Georeferencing comes from ``gm`` (a GridMapping) or from
+    ``crs`` + ``xy_min`` + ``xy_res``; the CRS must carry an EPSG code
+    (GeoTIFF 1.1 interchange).  ``overviews=k`` adds k reduced levels,
+    each a NaN-aware 2x2 mean (the ``mean`` coarsen reducer semantics).
+    """
+    import shutil
+    import tempfile
+
+    nd_ = len(shape)
+    if nd_ == 2:
+        nt, (h, w) = 1, shape
+        src = df.filter(F.col("t") == 0)
+    elif nd_ == 3:
+        nt, h, w = shape
+        src = df
+    else:
+        raise ValueError("shape must be (h, w) or (nt, h, w)")
+    comp = _COMP_CODES.get(compression)
+    if comp is None:
+        raise ValueError(
+            f"compression {compression!r} not in {sorted(_COMP_CODES)}")
+    dt = np.dtype(dtype)
+    if (dt.kind, dt.itemsize * 8) not in _DTYPES:
+        raise ValueError(f"dtype {dtype!r} not TIFF-writable here")
+    if predictor is None:
+        predictor = 2 if dt.kind in "iu" and comp in (
+            COMPRESSION_LZW, COMPRESSION_DEFLATE) else 1
+    if predictor == 2 and dt.kind not in "iu":
+        raise ValueError("predictor 2 needs an integer dtype")
+    if gm is not None:
+        x0, y0 = gm.x_min, gm.y_max
+        sx, sy = gm.xy_res
+        crs_obj = gm.crs
+    else:
+        if crs is None or xy_min is None or xy_res is None:
+            raise ValueError("pass gm= or crs= + xy_min= + xy_res=")
+        from xcube_resampling_spark.crs import CRS
+        crs_obj = CRS.from_user_input(crs)
+        if isinstance(xy_res, (int, float)):
+            xy_res = (float(xy_res), float(xy_res))
+        sx, sy = xy_res
+        x0, y0 = xy_min[0], xy_min[1] + sy * h
+    geo_dir, geo_ascii = _geokeys_for_crs(crs_obj)
+
+    put = chunk_put if chunk_put is not None else FsChunkPut(
+        path + ".parts")
+    ts = int(tile_size)
+    if ts % 16:
+        raise ValueError("TIFF tile size must be a multiple of 16")
+    fill = float(nodata) if nodata is not None else (
+        float("nan") if dt.kind == "f" else 0.0)
+
+    # ---- level geometry: level 0 = full res, level k = ceil(prev/2)
+    levels: list[tuple[int, int]] = [(h, w)]
+    for _ in range(overviews):
+        ph, pw = levels[-1]
+        if ph < 2 or pw < 2:
+            break
+        levels.append((-(-ph // 2), -(-pw // 2)))
+
+    # ---- distributed tile encode, one level at a time (each level's
+    # aggregation is one map-side-combinable shuffle; tile grouping
+    # rides the same exchange)
+    sizes: dict[tuple[int, int, int, int], int] = {}
+    lvl_df = src
+    out_schema = ("lvl int, band int, kj int, ki int, nbytes bigint")
+    for lvl, (lh, lw) in enumerate(levels):
+        if lvl:
+            # NaN-aware 2x mean (mean coarsen reducer semantics):
+            # NaN -> NULL so avg skips, then NULL -> NaN back
+            prev = lvl_df.select(
+                "t",
+                (F.col("j") / 2).cast("int").alias("j"),
+                (F.col("i") / 2).cast("int").alias("i"),
+                F.when(F.isnan(F.col("value")), None)
+                .otherwise(F.col("value")).alias("v"),
+            )
+            lvl_df = prev.groupBy("t", "j", "i").agg(
+                F.coalesce(F.avg("v"), F.lit(float("nan")))
+                .alias("value")
+            )
+        keyed = lvl_df.select(
+            F.col("t").cast("int").alias("band"),
+            (F.col("j") / ts).cast("int").alias("kj"),
+            (F.col("i") / ts).cast("int").alias("ki"),
+            "j", "i", "value",
+        )
+
+        def make_write_tile(_lvl):
+            def write_tile(key, pdf):
+                band, kj, ki = int(key[0]), int(key[1]), int(key[2])
+                block = np.full((ts, ts), fill, dtype=dt)
+                jj = pdf["j"].to_numpy(np.int64) - kj * ts
+                ii = pdf["i"].to_numpy(np.int64) - ki * ts
+                vals = pdf["value"].to_numpy(np.float64)
+                if dt.kind in "iu":
+                    if nodata is not None:
+                        vals = np.where(
+                            np.isnan(vals), float(nodata), vals)
+                    vals = np.rint(vals)
+                block[jj, ii] = vals.astype(dt)
+                raw = _encode_tile_bytes(block, comp, predictor)
+                put.put(f"tiles/{_lvl}.{band}.{kj}.{ki}", raw)
+                return pd.DataFrame({
+                    "lvl": [_lvl], "band": [band], "kj": [kj],
+                    "ki": [ki], "nbytes": [len(raw)],
+                })
+            return write_tile
+
+        rows = keyed.groupBy("band", "kj", "ki").applyInPandas(
+            make_write_tile(lvl), out_schema).collect()
+        for r in rows:
+            sizes[(r.lvl, r.band, r.kj, r.ki)] = int(r.nbytes)
+
+    # ---- assemble: header + IFD chain + tile data (COG order)
+    builders: list[_IfdBuilder] = []
+    tile_orders: list[list[tuple[int, int, int, int]]] = []
+    for lvl, (lh, lw) in enumerate(levels):
+        na, nd2 = -(-lw // ts), -(-lh // ts)
+        order = [
+            (lvl, b, kj, ki)
+            for b in range(nt) for kj in range(nd2) for ki in range(na)
+        ]
+        tile_orders.append(order)
+        bld = _IfdBuilder(bigtiff)
+        builders.append(bld)
+        if lvl:
+            bld.add(TAG_NEW_SUBFILE_TYPE, 4, 1)
+        bld.add(TAG_IMAGE_WIDTH, 4, lw)
+        bld.add(TAG_IMAGE_LENGTH, 4, lh)
+        bld.add(TAG_BITS_PER_SAMPLE, 3, tuple([dt.itemsize * 8] * nt))
+        bld.add(TAG_COMPRESSION, 3, comp)
+        bld.add(TAG_PHOTOMETRIC, 3, 1)
+        bld.add(TAG_SAMPLES_PER_PIXEL, 3, nt)
+        bld.add(TAG_PLANAR_CONFIG, 3, 2)
+        if predictor != 1:
+            bld.add(TAG_PREDICTOR, 3, predictor)
+        bld.add(TAG_TILE_WIDTH, 3, ts)
+        bld.add(TAG_TILE_LENGTH, 3, ts)
+        bld.add(TAG_SAMPLE_FORMAT, 3,
+                tuple([_sample_format_of(dt)] * nt))
+        # offsets patched below once the layout is known (type LONG8
+        # for BigTIFF, LONG for classic)
+        bld.add(TAG_TILE_OFFSETS, 16 if bigtiff else 4,
+                tuple([0] * len(order)))
+        bld.add(TAG_TILE_BYTE_COUNTS, 4, tuple(
+            sizes.get(k, 0) for k in order))
+        if lvl == 0:
+            bld.add(TAG_MODEL_PIXEL_SCALE, 12, (sx, sy, 0.0))
+            bld.add(TAG_MODEL_TIEPOINT, 12,
+                    (0.0, 0.0, 0.0, x0, y0, 0.0))
+            bld.add(TAG_GEO_KEY_DIRECTORY, 3, tuple(geo_dir))
+            if geo_ascii:
+                bld.add(TAG_GEO_ASCII_PARAMS, 2, geo_ascii)
+            if nodata is not None:
+                bld.add(TAG_GDAL_NODATA, 2, repr(float(nodata)))
+    head_sz = 16 if bigtiff else 8
+    # compute IFD positions (IFD chain leads the file -- COG layout)
+    ifd_offs: list[int] = []
+    pos = head_sz
+    for bld in builders:
+        ifd_offs.append(pos)
+        isz, osz = bld.sizes()
+        pos += isz + osz
+    data_start = pos
+    # tile offsets per level, in file order level 0 tiles, level 1, ...
+    cur = data_start
+    offsets_per_level: list[list[int]] = []
+    for order in tile_orders:
+        offs = []
+        for k in order:
+            nb = sizes.get(k, 0)
+            if nb == 0:
+                offs.append(0)  # sparse tile (GDAL convention)
+            else:
+                offs.append(cur)
+                cur += nb + (nb % 2)
+        offsets_per_level.append(offs)
+    # patch offsets into the builders
+    for bld, offs in zip(builders, offsets_per_level):
+        for idx, (tag, typ, _vals) in enumerate(bld.entries):
+            if tag == TAG_TILE_OFFSETS:
+                bld.entries[idx] = (tag, 16 if bigtiff else 4,
+                                    tuple(offs))
+    # serialize
+    tmp_fd, tmp_name = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        suffix=".tif.tmp")
+    try:
+        with os.fdopen(tmp_fd, "wb") as out:
+            if bigtiff:
+                out.write(b"II" + struct.pack("<HHHQ", 43, 8, 0,
+                                              ifd_offs[0]))
+            else:
+                out.write(b"II" + struct.pack("<HI", 42, ifd_offs[0]))
+            for li, bld in enumerate(builders):
+                nxt = ifd_offs[li + 1] if li + 1 < len(builders) else 0
+                out.write(bld.serialize(ifd_offs[li], nxt))
+            # stream tile parts into place
+            for order, offs in zip(tile_orders, offsets_per_level):
+                for k, off in zip(order, offs):
+                    if off == 0:
+                        continue
+                    lvl, b, kj, ki = k
+                    blob = put.get(f"tiles/{lvl}.{b}.{kj}.{ki}")
+                    out.write(blob)
+                    if len(blob) % 2:
+                        out.write(b"\x00")
+        shutil.move(tmp_name, path)
+    finally:
+        if os.path.exists(tmp_name):
+            os.unlink(tmp_name)
+    if chunk_put is None and os.path.isdir(path + ".parts"):
+        shutil.rmtree(path + ".parts")
