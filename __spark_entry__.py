@@ -2524,6 +2524,69 @@ SELECT doc_id, lang AS lang_true, cand AS lang_pred,
 FROM ranked WHERE rn = 1
 """
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (extensions/pii.py) -- the standard
+    pre-training scrub stage (C4/Dolma/FineWeb all run one).  The
+    corpus is augmented with deterministic synthetic PII (email +
+    phone + IPv4 derived from doc_id, so every row has known-true
+    hits on any scale factor), then per-kind ``regexp_count`` stats
+    and a typed-placeholder ``regexp_replace`` rewrite -- all
+    whole-stage codegen, zero UDFs, zero shuffles: a pure map over
+    the corpus scan at any scale.  The DuckDB twin is generated from
+    the same PII_PATTERNS dict so the engines can never drift."""
+    from xcube_resampling_spark.extensions.pii import (
+        pii_stats,
+        redact_pii,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end."),
+        ).alias("text"),
+    )
+    return pii_stats(d).join(redact_pii(d), "doc_id").select(
+        "doc_id", "n_email", "n_cc16", "n_ssn", "n_phone", "n_ipv4",
+        "n_pii", "redacted",
+    )
+
+
+def _pii_sql():
+    from xcube_resampling_spark.extensions.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) "
+        f"AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    repl = "text"
+    for k, p in PII_PATTERNS.items():
+        repl = f"regexp_replace({repl}, '{p}', '[{k.upper()}]', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-202-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 end.' AS text
+  FROM documents WHERE doc_id < 300
+),
+s AS (SELECT doc_id, {counts}, {repl} AS redacted FROM d)
+SELECT doc_id, n_email, n_cc16, n_ssn, n_phone, n_ipv4,
+       CAST({total} AS BIGINT) AS n_pii, redacted
+FROM s
+"""
+
+
 _SHINGLES_SQL = """
   SELECT doc_id,
          unnest(list_transform(
@@ -4301,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_affine_pipeline": q_zarr_affine_pipeline,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
+        "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "vocab_stats": q_vocab_stats,
         "corpus_sample": q_corpus_sample,
@@ -4365,6 +4429,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_affine_pipeline": SQL_AFFINE_DOWNSCALE,
         "text_stats": SQL_TEXT_STATS,
         "language_id": SQL_LANGUAGE_ID,
+        "pii_scrub": _pii_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "vocab_stats": SQL_VOCAB,
         "corpus_sample": _sampling_sql(),
