@@ -511,3 +511,72 @@ class TestPipeline:
                .to_numpy().reshape(12, 12))
         expect = vals[0].reshape(12, 2, 12, 2).mean(axis=(1, 3))
         assert np.allclose(got, expect)
+
+
+class TestReviewRegressions:
+    """Regressions for the round-6 review findings: overview nodata,
+    PixelIsPoint overview registration, NaN-to-int refusal."""
+
+    def test_overview_nodata_masked(self, spark, tmp_path):
+        # data only in the top-left quadrant; overview tiles outside
+        # it are sparse and must fill with NODATA, and decode_cf must
+        # mask them -- the writer now tags GDAL_NODATA on EVERY IFD
+        h, w = 64, 64
+        vals = np.full((1, h, w), np.nan)
+        vals[0, :32, :32] = 5.0
+        path = str(tmp_path / "ovnd.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+            overviews=1, nodata=-9999.0, dtype="float32",
+        )
+        ifds, _ = read_geotiff_meta(path)
+        assert ifds[0].nodata == -9999.0
+        assert ifds[1].nodata == -9999.0  # was: None (level-0 only)
+        grid = (read_geotiff(spark, path, overview=1, decode_cf=True)
+                .toPandas().sort_values(["j", "i"])["value"]
+                .to_numpy().reshape(32, 32))
+        assert np.all(grid[:16, :16] == 5.0)
+        assert np.all(np.isnan(grid[16:, 16:]))
+        raw = (read_geotiff(spark, path, overview=1).toPandas()
+               .sort_values(["j", "i"])["value"]
+               .to_numpy().reshape(32, 32))
+        assert np.all(raw[16:, 16:] == -9999.0)
+
+    def test_pixel_is_point_overview_origin(self, spark, tmp_path):
+        # PixelIsPoint shifts the grid by half a FULL-RES pixel at
+        # every overview level; shifting by half an overview pixel
+        # would misregister level 1 against level 0 by sx/2
+        h, w = 32, 32
+        path = str(tmp_path / "pip.tif")
+        write_geotiff(
+            _pixels(spark, np.zeros((1, h, w))), path, (h, w),
+            crs="EPSG:32633", xy_min=(0.0, 0.0), xy_res=10.0,
+            tile_size=16, overviews=1, dtype="float32",
+        )
+        # patch GTRasterTypeGeoKey 1025: PixelIsArea(1)->PixelIsPoint(2)
+        blob = bytearray(open(path, "rb").read())
+        key = struct.pack("<HHHH", 1025, 0, 1, 1)
+        ix = bytes(blob).find(key)
+        assert ix > 0
+        blob[ix:ix + 8] = struct.pack("<HHHH", 1025, 0, 1, 2)
+        open(path, "wb").write(bytes(blob))
+        gm0 = read_geotiff_grid_mapping(path)
+        gm1 = read_geotiff_grid_mapping(path, overview=1)
+        assert gm0.x_min == -5.0  # tiepoint is now a cell center
+        assert gm1.x_min == gm0.x_min  # same half-SOURCE-pixel shift
+        assert gm1.y_max == gm0.y_max
+        assert gm1.xy_res == (20, 20)
+
+    def test_int_nan_without_nodata_raises(self, spark, tmp_path):
+        # an explicit NaN VALUE row (decode_cf reads produce these);
+        # _pixels would drop it as an absent pixel, so build directly
+        df = spark.createDataFrame(
+            [(0, 0, 0, 3.0), (0, 0, 1, float("nan"))],
+            "t int, j int, i int, value double")
+        with pytest.raises(Exception, match="integer dtype"):
+            write_geotiff(
+                df, str(tmp_path / "bad.tif"),
+                (16, 16), crs="EPSG:32633", xy_min=(0.0, 0.0),
+                xy_res=10.0, tile_size=16, dtype="int32",
+            )

@@ -146,3 +146,32 @@ class TestCrossEngine:
                         f"'[{k.upper()}]', 'g')")
             red = con.sql(f"SELECT {expr}").fetchone()[0]
             assert spark_red[ix] == red, ix
+
+
+class TestPhoneAnchoring:
+    def test_digit_run_tail_not_redacted(self, spark):
+        # '9999123-456-7890' is not a phone: without the \b after the
+        # optional +CC group the 3-3-4 tail inside the longer digit
+        # run was matched and partially redacted
+        df = spark.createDataFrame(
+            [(1, "ref 9999123-456-7890 end"),
+             (2, "call 123-456-7890 now"),
+             (3, "intl +44 123-456-7890 ok")],
+            "doc_id bigint, text string")
+        from xcube_resampling_spark.extensions.pii import (
+            pii_stats, redact_pii)
+        stats = {r["doc_id"]: r["n_phone"]
+                 for r in pii_stats(df).collect()}
+        assert stats == {1: 0, 2: 1, 3: 1}
+        red = {r["doc_id"]: r["redacted"]
+               for r in redact_pii(df).collect()}
+        assert red[1] == "ref 9999123-456-7890 end"
+        assert red[2] == "call [PHONE] now"
+        assert red[3] == "intl [PHONE] ok"
+
+    def test_empty_kinds_raises(self, spark):
+        from xcube_resampling_spark.extensions.pii import pii_stats
+        df = spark.createDataFrame([(1, "x")],
+                                   "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="at least one"):
+            pii_stats(df, kinds=())

@@ -52,8 +52,11 @@ PII_PATTERNS: dict[str, str] = {
     "cc16": r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b",
     # US SSN shape nnn-nn-nnnn
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    # NANP-style phone: optional +country prefix, then 3-3-4 separated
-    "phone": r"(?:\+\d{1,3}[-. ])?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    # NANP-style phone: optional +country prefix, then 3-3-4 separated.
+    # The \b sits AFTER the optional +CC group (a leading \b would
+    # break the '+1 ...' form); without it '9999123-456-7890' would
+    # redact a 3-3-4 tail out of a longer digit run
+    "phone": r"(?:\+\d{1,3}[-. ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
     # dotted-quad IPv4
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
@@ -101,6 +104,9 @@ def pii_stats(
     ``n_pii`` total.  One narrow projection (``regexp_count`` per
     kind), no shuffle."""
     ks = PII_KINDS if kinds is None else tuple(kinds)
+    if not ks:
+        raise ValueError("pii_stats: kinds must name at least one "
+                         f"pattern of {PII_KINDS}")
     text = F.col(text_col)
     counts = [
         F.regexp_count(text, F.lit(PII_PATTERNS[k]))

@@ -47,7 +47,6 @@ Scale design
 
 from __future__ import annotations
 
-import math
 import os
 import struct
 import zlib
@@ -293,6 +292,10 @@ def _lzw_decode(data: bytes) -> bytes:
             nbits += 8
         code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
         nbits -= bits
+        # keep the accumulator bounded: without this mask it grows by
+        # ~9-12 bits per code and every shift copies the whole big-int,
+        # making the decode O(n^2) in tile size
+        acc &= (1 << nbits) - 1
         if code == _LZW_EOI:
             return bytes(out)
         if code == _LZW_CLEAR:
@@ -333,6 +336,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        acc &= (1 << nbits) - 1  # bound the big-int (see _lzw_decode)
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -365,12 +369,6 @@ def _lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
-
-
-def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
-    """Horizontal differencing inverse (TIFF 6.0 section 14): cumulative
-    sum along rows in the sample's own integer width (mod 2**n)."""
-    return np.cumsum(arr, axis=-1, dtype=arr.dtype).astype(arr.dtype)
 
 
 def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
@@ -676,32 +674,39 @@ def _model_transform(tags: dict, geo: dict):
 
 
 def read_geotiff_grid_mapping(
-    path: str | RangeReader, overview: int = 0, crs=None,
+    path: str | RangeReader, overview: int = 0, crs=None, _meta=None,
 ):
     """GridMapping of the GeoTIFF's main raster (or overview level k).
 
     Mirrors the discovery the reference gets from rioxarray +
     ``GridMapping.from_dataset`` (reference cfconv.py:66-212): CRS from
     the GeoKeys, a regular grid from the pixel-scale/tiepoint model.
+
+    ``_meta``: pre-parsed ``read_geotiff_meta`` result, so callers that
+    also read pixels pay the header/IFD ranged reads once.
     """
     from xcube_resampling_spark.gridmapping import GridMapping
 
-    ifds, _rr = read_geotiff_meta(path)
+    ifds, _rr = _meta if _meta is not None else read_geotiff_meta(path)
     if overview >= len(ifds):
         raise ValueError(
             f"overview {overview} out of range ({len(ifds)} levels)")
     ifd = ifds[overview]
     geo = _parse_geokeys(ifds[0].tags)
     x0, y0, sx, sy, pip = _model_transform(ifds[0].tags, geo)
+    if pip:
+        # PixelIsPoint: the tiepoint grid node is the CELL CENTER of a
+        # FULL-RESOLUTION pixel, so shift by half a level-0 pixel
+        # BEFORE applying the overview scale-up (shifting after would
+        # move overview grids by half an overview pixel and misregister
+        # them against level 0)
+        x0, y0 = x0 - sx / 2, y0 + sy / 2
     if overview:
         # overview pixels cover 2**k source pixels; the model-space
         # bbox is unchanged
         fx = ifds[0].width / ifd.width
         fy = ifds[0].height / ifd.height
         sx, sy = sx * fx, sy * fy
-    if pip:
-        # PixelIsPoint: the tiepoint grid node is the CELL CENTER
-        x0, y0 = x0 - sx / 2, y0 + sy / 2
     c = _crs_from_geokeys(geo, crs)
     # GridMapping tile sizes must be >= 2; 1-row strips fall back to
     # the untiled default
@@ -727,6 +732,7 @@ def read_geotiff(
     overview: int = 0,
     bands: list[int] | None = None,
     decode_cf: bool = False,
+    _meta=None,
 ) -> DataFrame:
     """Read a (Geo)TIFF as a (t, j, i, value) pixel DataFrame with
     t = band index.
@@ -742,7 +748,7 @@ def read_geotiff(
     ``decode_cf=True`` maps the GDAL_NODATA value to NaN (the rioxarray
     ``masked=True`` behavior); raw sample values come back otherwise.
     """
-    ifds, rr = read_geotiff_meta(path)
+    ifds, rr = _meta if _meta is not None else read_geotiff_meta(path)
     if overview >= len(ifds):
         raise ValueError(
             f"overview {overview} out of range ({len(ifds)} levels)")
@@ -791,7 +797,10 @@ def read_geotiff(
     tw, th = ifd.tile_w, ifd.tile_h
     comp, pred, dt = ifd.compression, ifd.predictor, ifd.dtype
     endian = ifd.endian
-    nodata = ifd.nodata
+    # overview IFDs in foreign COGs often omit GDAL_NODATA (GDAL
+    # itself tags every IFD, but it is only required on the first):
+    # fall back to the full-resolution IFD's value
+    nodata = ifd.nodata if ifd.nodata is not None else ifds[0].nodata
     planar = ifd.planar
     band_set = use_bands
 
@@ -873,9 +882,11 @@ def open_geotiff_dataset(
     ``GridMapping.from_dataset`` feeding ``resample_in_space``."""
     from xcube_resampling_spark.dataset import SparkDataset, Variable
 
-    gm = read_geotiff_grid_mapping(path, overview=overview, crs=crs)
+    meta = read_geotiff_meta(path)  # one header/IFD parse, two users
+    gm = read_geotiff_grid_mapping(path, overview=overview, crs=crs,
+                                   _meta=meta)
     df = read_geotiff(spark, path, bbox_ij=bbox_ij, overview=overview,
-                      decode_cf=decode_cf)
+                      decode_cf=decode_cf, _meta=meta)
     var = Variable(var_name, df, ("t", "y", "x"), "float64", {})
     ds = SparkDataset(
         spark=spark,
@@ -1106,6 +1117,7 @@ def write_geotiff(
     # rides the same exchange)
     sizes: dict[tuple[int, int, int, int], int] = {}
     lvl_df = src
+    persisted: list = []
     out_schema = ("lvl int, band int, kj int, ki int, nbytes bigint")
     for lvl, (lh, lw) in enumerate(levels):
         if lvl:
@@ -1122,6 +1134,13 @@ def write_geotiff(
                 F.coalesce(F.avg("v"), F.lit(float("nan")))
                 .alias("value")
             )
+        if len(levels) > 1:
+            # each level is consumed twice (its own tile write + the
+            # next level's coarsen); without the persist, level k's
+            # action re-runs every upstream level's groupBy from src
+            # -- O(k^2) shuffles for k overviews
+            lvl_df = lvl_df.persist()
+            persisted.append(lvl_df)
         keyed = lvl_df.select(
             F.col("t").cast("int").alias("band"),
             (F.col("j") / ts).cast("int").alias("kj"),
@@ -1140,6 +1159,12 @@ def write_geotiff(
                     if nodata is not None:
                         vals = np.where(
                             np.isnan(vals), float(nodata), vals)
+                    elif np.isnan(vals).any():
+                        # np.rint(NaN).astype(int) is platform garbage
+                        # (INT_MIN on most) -- refuse to write it
+                        raise ValueError(
+                            "NaN values with an integer dtype require "
+                            "nodata= so they can be encoded")
                     vals = np.rint(vals)
                 block[jj, ii] = vals.astype(dt)
                 raw = _encode_tile_bytes(block, comp, predictor)
@@ -1154,6 +1179,11 @@ def write_geotiff(
             make_write_tile(lvl), out_schema).collect()
         for r in rows:
             sizes[(r.lvl, r.band, r.kj, r.ki)] = int(r.nbytes)
+        if len(persisted) > 1:
+            # level lvl-1 has now served both consumers
+            persisted[-2].unpersist()
+    for d in persisted:
+        d.unpersist()
 
     # ---- assemble: header + IFD chain + tile data (COG order)
     builders: list[_IfdBuilder] = []
@@ -1195,8 +1225,11 @@ def write_geotiff(
             bld.add(TAG_GEO_KEY_DIRECTORY, 3, tuple(geo_dir))
             if geo_ascii:
                 bld.add(TAG_GEO_ASCII_PARAMS, 2, geo_ascii)
-            if nodata is not None:
-                bld.add(TAG_GDAL_NODATA, 2, repr(float(nodata)))
+        if nodata is not None:
+            # on EVERY IFD (GDAL writes it per-IFD too): overview
+            # reads take nodata from their own IFD, so tagging only
+            # level 0 would silently un-mask overview fill pixels
+            bld.add(TAG_GDAL_NODATA, 2, repr(float(nodata)))
     head_sz = 16 if bigtiff else 8
     # compute IFD positions (IFD chain leads the file -- COG layout)
     ifd_offs: list[int] = []
@@ -1246,6 +1279,15 @@ def write_geotiff(
                         continue
                     lvl, b, kj, ki = k
                     blob = put.get(f"tiles/{lvl}.{b}.{kj}.{ki}")
+                    if blob is None:
+                        # ChunkPut.get may legally return None
+                        # (put-only stores, zarr.py:64-70); fail with
+                        # the actual constraint instead of a TypeError
+                        raise ValueError(
+                            "write_geotiff needs a readable chunk "
+                            "store to assemble the file: "
+                            f"{type(put).__name__}.get() returned "
+                            f"None for tiles/{lvl}.{b}.{kj}.{ki}")
                     out.write(blob)
                     if len(blob) % 2:
                         out.write(b"\x00")
