@@ -2656,6 +2656,130 @@ def q_doc_fingerprint(spark, sf_dir):
     return fp.unionByName(dec)
 
 
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph-level exact dedup (extensions/dedup.py::dedup_paragraph,
+    the C4/Dolma scrub shape).  The corpus has single-line documents, so
+    the query synthesizes two-paragraph docs by pairing each document's
+    text with the text of doc (doc_id + 7) mod n: every original text
+    then appears as paragraph 0 of one doc AND paragraph 1 of another,
+    giving known-true cross-document paragraph duplicates with a
+    non-trivial first-occurrence structure."""
+    from xcube_resampling_spark.extensions.dedup import dedup_paragraph
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    second = docs.select(
+        ((F.col("doc_id") + 7) % n).alias("doc_id"),
+        F.col("text").alias("text2"),
+    )
+    synth = docs.join(second, "doc_id").select(
+        "doc_id", F.concat_ws("\n", "text", "text2").alias("text")
+    )
+    return dedup_paragraph(synth, sep="\n")
+
+
+SQL_DEDUP_PARAGRAPH = """
+WITH synth AS (
+  SELECT a.doc_id, a.text || chr(10) || b.text AS text
+  FROM documents a
+  JOIN documents b
+    ON a.doc_id = (b.doc_id + 7) % (SELECT COUNT(*) FROM documents)
+), paras AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(len(ps) AS BIGINT))) AS INT) AS pos,
+         unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM synth)
+), np AS (
+  SELECT * FROM paras WHERE length(trim(para)) > 0
+), first AS (
+  -- lexicographic (doc_id, pos) min, encoded scalar (pos < 1e6 here)
+  SELECT md5(para) AS ph, MIN(doc_id * 1000000 + pos) AS f
+  FROM np GROUP BY md5(para)
+), kept AS (
+  SELECT np.doc_id, np.pos, np.para,
+         (np.doc_id * 1000000 + np.pos = f.f) AS keep
+  FROM np JOIN first f ON f.ph = md5(np.para)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_para,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0 THEN
+         md5(string_agg(CASE WHEN keep THEN para END, chr(10)
+                        ORDER BY pos))
+       END AS clean_hash
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (extensions/packing.py) --
+    'span' rows are the (doc x sequence) overlap plan at seq_len=64,
+    'stat' rows the per-sequence packing summary.  The Spark side uses
+    the two-phase range-partitioned prefix sum (no global sort); the
+    oracle's plain ORDER BY window is the semantic twin."""
+    from xcube_resampling_spark.extensions.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = pack_sequences(docs, seq_len=64, n_buckets=16).select(
+        F.lit("span").alias("tag"), F.col("doc_id").alias("id"),
+        F.col("seq_id").alias("k"), F.col("doc_off").alias("v1"),
+        F.col("seq_off").alias("v2"), F.col("n_tok").alias("v3"),
+    )
+    stats = packing_stats(docs, seq_len=64, n_buckets=16).select(
+        F.lit("stat").alias("tag"), F.col("seq_id").alias("id"),
+        F.col("n_docs").cast("bigint").alias("k"),
+        F.col("n_continuations").alias("v1"),
+        F.col("n_tok").alias("v2"),
+        F.expr("n_tok * 1000000 DIV 64").alias("v3"),
+    )
+    return spans.unionByName(stats)
+
+
+SQL_PACK_SEQUENCES = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(
+                     trim(lower(text)), '\\s+')) AS BIGINT)
+         END AS n_tok
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS strt
+  FROM c WHERE n_tok > 0
+), spans AS (
+  SELECT doc_id, n_tok, strt,
+         CAST(unnest(range(strt // 64, (strt + n_tok - 1) // 64 + 1))
+              AS BIGINT) AS seq_id
+  FROM placed
+), seg AS (
+  SELECT doc_id, seq_id,
+         GREATEST(strt, seq_id * 64) - strt AS doc_off,
+         GREATEST(strt, seq_id * 64) - seq_id * 64 AS seq_off,
+         LEAST(strt + n_tok, (seq_id + 1) * 64)
+           - GREATEST(strt, seq_id * 64) AS n_tok
+  FROM spans
+)
+SELECT 'span' AS tag, doc_id AS id, seq_id AS k,
+       CAST(doc_off AS BIGINT) AS v1, CAST(seq_off AS BIGINT) AS v2,
+       CAST(n_tok AS BIGINT) AS v3
+FROM seg
+UNION ALL
+SELECT 'stat' AS tag, seq_id AS id, CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN doc_off > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS v1,
+       CAST(SUM(n_tok) AS BIGINT) AS v2,
+       CAST(SUM(n_tok) * 1000000 // 64 AS BIGINT) AS v3
+FROM seg GROUP BY seq_id
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from xcube_resampling_spark.extensions.dedup import dedup_exact
 
@@ -4369,6 +4493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "corpus_sample": q_corpus_sample,
         "dedup_exact": q_dedup_exact,
+        "dedup_paragraph": q_dedup_paragraph,
+        "pack_sequences": q_pack_sequences,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
@@ -4434,6 +4560,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": SQL_VOCAB,
         "corpus_sample": _sampling_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_components": SQL_DEDUP_COMPONENTS,

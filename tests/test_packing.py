@@ -1,0 +1,165 @@
+"""Tests for paragraph-level dedup (extensions/dedup.py) and sequence
+packing (extensions/packing.py): hand-computed goldens, edge cases, and
+the plan-shape guarantee that packing never funnels the corpus through
+a single-task global sort."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.extensions.dedup import dedup_paragraph
+from xcube_resampling_spark.extensions.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestDedupParagraph:
+    def test_hand_computed(self, spark):
+        out = {
+            r["doc_id"]: (r["n_para"], r["n_kept"], r["clean_hash"])
+            for r in dedup_paragraph(_docs(spark, [
+                (1, "aaa\nbbb\nccc"),
+                (2, "bbb\nddd"),
+                (3, "ddd\n  \nccc\nddd"),
+                (4, "bbb"),
+            ])).collect()
+        }
+        # doc 1: all three paragraphs are global firsts
+        assert out[1] == (3, 3, out[1][2]) and out[1][2] is not None
+        # doc 2: bbb first seen at (1,1); ddd is new
+        assert out[2][:2] == (2, 1)
+        # doc 3: ddd first seen at (2,1) < (3,0); blank para dropped
+        assert out[3] == (3, 0, None)
+        assert out[4] == (1, 0, None)
+
+    def test_within_doc_repeat_kept_once(self, spark):
+        out = dedup_paragraph(
+            _docs(spark, [(1, "x\nx\nx")])).collect()[0]
+        assert (out["n_para"], out["n_kept"]) == (3, 1)
+
+    def test_clean_hash_matches_joined_text(self, spark):
+        import hashlib
+
+        out = dedup_paragraph(
+            _docs(spark, [(1, "aaa\nbbb"), (2, "bbb\nccc")])
+        ).filter(F.col("doc_id") == 2).collect()[0]
+        assert out["clean_hash"] == hashlib.md5(b"ccc").hexdigest()
+
+    def test_custom_separator(self, spark):
+        out = {
+            r["doc_id"]: r["n_kept"]
+            for r in dedup_paragraph(
+                _docs(spark, [(1, "p. q"), (2, "q. r")]), sep=r"\. "
+            ).collect()
+        }
+        assert out == {1: 2, 2: 1}
+
+    def test_all_blank_doc_absent(self, spark):
+        rows = dedup_paragraph(
+            _docs(spark, [(1, "a"), (2, " \n  ")])).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+
+
+class TestPackSequences:
+    def _spans(self, spark, rows, L, nb=3):
+        return sorted(
+            (r["doc_id"], r["seq_id"], r["doc_off"], r["seq_off"],
+             r["n_tok"])
+            for r in pack_sequences(
+                _docs(spark, rows), seq_len=L, n_buckets=nb
+            ).collect()
+        )
+
+    def test_hand_computed(self, spark):
+        got = self._spans(spark, [
+            (10, "a b c"),
+            (11, "d e f g h"),
+            (12, "i j k l m n o p q r"),
+            (13, ""),
+            (14, "x"),
+        ], L=8)
+        assert got == [
+            (10, 0, 0, 0, 3),
+            (11, 0, 0, 3, 5),
+            (12, 1, 0, 0, 8),
+            (12, 2, 8, 0, 2),
+            (14, 2, 0, 2, 1),
+        ]
+
+    def test_doc_longer_than_many_sequences(self, spark):
+        got = self._spans(
+            spark, [(1, " ".join(["t"] * 20))], L=8, nb=5)
+        assert got == [(1, 0, 0, 0, 8), (1, 1, 8, 0, 8),
+                       (1, 2, 16, 0, 4)]
+
+    def test_bucket_count_invariance(self, spark):
+        rows = [(i, " ".join(["w"] * (1 + i % 7))) for i in range(40)]
+        assert self._spans(spark, rows, L=16, nb=1) == \
+            self._spans(spark, rows, L=16, nb=13)
+
+    def test_sparse_nonzero_doc_ids(self, spark):
+        # ordering is by doc_id, not by row position or density
+        got = self._spans(spark, [
+            (1000, "a b"), (5, "c d e"), (70, "f"),
+        ], L=4, nb=2)
+        assert got == [
+            (5, 0, 0, 0, 3),
+            (70, 0, 0, 3, 1),
+            (1000, 1, 0, 0, 2),
+        ]
+
+    def test_stats(self, spark):
+        out = {
+            r["seq_id"]: (r["n_docs"], r["n_continuations"],
+                          r["n_tok"], r["fill"])
+            for r in packing_stats(_docs(spark, [
+                (10, "a b c"),
+                (11, "d e f g h"),
+                (12, "i j k l m n o p q r"),
+                (14, "x"),
+            ]), seq_len=8, n_buckets=3).collect()
+        }
+        assert out == {
+            0: (2, 0, 8, 1.0),
+            1: (1, 0, 8, 1.0),
+            2: (2, 1, 3, 0.375),
+        }
+
+    def test_no_tokens_lost(self, spark):
+        rows = [(i, " ".join(["w"] * (1 + i % 11)))
+                for i in range(100)]
+        docs = _docs(spark, rows)
+        total = sum(1 + i % 11 for i in range(100))
+        packed = pack_sequences(docs, seq_len=32, n_buckets=7)
+        assert packed.agg(F.sum("n_tok")).first()[0] == total
+        # every sequence except the last is exactly full
+        stats = packing_stats(docs, seq_len=32, n_buckets=7) \
+            .orderBy("seq_id").collect()
+        assert all(r["n_tok"] == 32 for r in stats[:-1])
+
+    def test_seq_len_validation(self, spark):
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(_docs(spark, [(1, "a")]), seq_len=0)
+
+    def test_no_single_partition_exchange(self, spark):
+        """The prefix sum must be range-bucketed: a plain
+        Window.orderBy would show SinglePartition or a global Sort
+        before the window."""
+        docs = _docs(
+            spark, [(i, "w x y") for i in range(50)])
+        p = pack_sequences(docs, seq_len=8, n_buckets=4)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            p.explain("formatted")
+        plan = buf.getvalue()
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(bucket" in plan

@@ -743,3 +743,80 @@ def semantic_dedup(
         F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def dedup_paragraph(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4 / Dolma scrub shape): split
+    every document on ``sep``, keep only the globally FIRST occurrence
+    of each distinct non-blank paragraph (first = lowest
+    ``(doc_id, position)``), and reassemble each document from its
+    surviving paragraphs in original order.
+
+    Returns one row per input document:
+    ``(doc_id, n_para, n_kept, clean_hash)`` where ``clean_hash`` is
+    the md5 of the re-joined text (NULL when every paragraph was a
+    duplicate -- the pipeline drop case).
+
+    100-TB shape: the split is a narrow ``posexplode``; the
+    first-occurrence table is ONE map-side-combinable
+    ``groupBy(para_hash).agg(min(struct(doc_id, pos)))`` -- partial
+    aggregation absorbs boilerplate-paragraph skew where a window
+    ``row_number`` would sort every copy of a hot paragraph in one
+    task; survivors come back via an equi-join on the hash (AQE
+    skew-join splits any residual hot key) and the reassembly is one
+    ``groupBy(doc_id)``.  No windows, no cross joins; 3 exchanges
+    total, each on a natural key.
+    """
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), sep))
+            .alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .select("doc_id", "pos", "para",
+                F.md5(F.col("para")).alias("ph"))
+    )
+    first = paras.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = paras.join(first, "ph").select(
+        "doc_id", "pos", "para",
+        (
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.pos") == F.col("pos"))
+        ).alias("keep"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_para"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    sep,
+                    F.array_compact(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"),
+                                    F.struct("pos", "para"),
+                                )
+                            )
+                        ).getField("para")
+                    ),
+                )
+            ).alias("clean_hash"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_para").cast("bigint").alias("n_para"),
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("clean_hash"))
+            .alias("clean_hash"),
+        )
+    )

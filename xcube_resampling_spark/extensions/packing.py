@@ -1,0 +1,161 @@
+"""Sequence packing: lay a document corpus end-to-end into fixed-length
+training sequences (the GPT-style "concatenate and chunk" batching that
+every LLM pre-training pipeline runs between data curation and the
+trainer).
+
+Semantics
+---------
+Documents are concatenated in ``doc_id`` order into one global token
+stream; the stream is cut every ``seq_len`` tokens.  ``pack_sequences``
+returns one row per (document x sequence) overlap:
+
+    (doc_id, seq_id, doc_off, seq_off, n_tok)
+
+i.e. tokens ``[doc_off, doc_off + n_tok)`` of the document land at
+``[seq_off, seq_off + n_tok)`` of training sequence ``seq_id``.  A
+document shorter than the remaining room contributes one row; a
+document straddling a boundary is split across consecutive sequences
+(no padding, no document loss -- the standard packing contract).
+Zero-token documents contribute nothing.
+
+Scale design
+------------
+The only global state is the prefix sum of token counts in ``doc_id``
+order.  A single ``Window.orderBy(doc_id)`` would funnel the whole
+corpus through ONE task, so the prefix sum is computed in the
+two-phase range-partitioned form (the same trick as
+``RDD.zipWithIndex``):
+
+1. bucket each doc by a monotonic range of ``doc_id``
+   (``n_buckets`` ~ cluster parallelism; bucket boundaries from the
+   1-row global min/max scalar),
+2. per-bucket token totals -- ONE map-side-combinable ``groupBy`` over
+   ``n_buckets`` rows, cumulated driver-side into bucket base offsets
+   (a ~KB literal map, broadcast into the plan),
+3. per-bucket cumulative sums -- a window partitioned BY BUCKET, so
+   every task sorts only its own range slice.
+
+Total: one scalar agg, one tiny agg, one bucket-partitioned window.
+No global sort, no single-task stage; the span fan-out is a narrow
+``explode(sequence(...))``.  Token counts are whitespace tokens
+(``text.tokens_col``) by default -- swap ``n_tokens_col`` in for a
+real tokenizer's counts when available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = ["pack_sequences", "packing_stats"]
+
+
+def _with_prefix_sum(
+    counts: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(doc_id, n_tok) -> + ``start`` = tokens before this doc in
+    doc_id order, via the two-phase range-partitioned prefix sum."""
+    lo, hi = counts.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).first()
+    span = max(1, int(hi) - int(lo) + 1)
+    nb = max(1, min(int(n_buckets), span))
+    # monotonic in doc_id: equal doc_id order <=> (bucket, doc_id) order
+    bucket = ((F.col("doc_id") - F.lit(int(lo)))
+              * nb / F.lit(span)).cast("int")
+    b = counts.withColumn("bucket", bucket)
+    totals = (
+        b.groupBy("bucket").agg(F.sum("n_tok").alias("tot"))
+        .orderBy("bucket").collect()
+    )
+    base, acc = {}, 0
+    for r in totals:
+        base[int(r["bucket"])] = acc
+        acc += int(r["tot"])
+    base_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in base.items() for x in kv]
+        ),
+        F.col("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return b.withColumn(
+        "start",
+        base_col + F.coalesce(F.sum("n_tok").over(w), F.lit(0)),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_tokens_col: Column | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: one row per (doc x sequence)
+    overlap -- see the module docstring for the contract."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    # split('') yields [''] -- an empty/whitespace doc is 0 tokens
+    default_n = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(F.size(tokens_col(F.col("text"))))
+    n_tok = (
+        n_tokens_col if n_tokens_col is not None else default_n
+    ).cast("bigint")
+    counts = (
+        docs.select("doc_id", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    placed = _with_prefix_sum(counts, n_buckets)
+    L = F.lit(int(seq_len))
+    first_seq = (F.col("start") / L).cast("bigint")
+    last_seq = ((F.col("start") + F.col("n_tok") - 1) / L).cast("bigint")
+    seg_start = F.greatest(F.col("start"), F.col("seq_id") * L)
+    seg_end = F.least(
+        F.col("start") + F.col("n_tok"), (F.col("seq_id") + 1) * L
+    )
+    return (
+        placed.select(
+            "doc_id", "start", "n_tok",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            (seg_start - F.col("start")).alias("doc_off"),
+            (seg_start - F.col("seq_id") * L).alias("seq_off"),
+            (seg_end - seg_start).alias("n_tok"),
+        )
+    )
+
+
+def packing_stats(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_tokens_col: Column | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-sequence packing summary: how many documents feed each
+    sequence, how many are mid-document continuations, and the fill
+    level (the last sequence is the only one allowed to be short)."""
+    spans = pack_sequences(docs, seq_len, n_tokens_col, n_buckets)
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_off") > 0).cast("bigint"))
+            .alias("n_continuations"),
+            F.sum("n_tok").alias("n_tok"),
+        )
+        .select(
+            "seq_id", "n_docs", "n_continuations", "n_tok",
+            F.round(F.col("n_tok") / F.lit(int(seq_len)), 6)
+            .alias("fill"),
+        )
+    )
