@@ -2723,12 +2723,13 @@ def q_pack_sequences(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    spans = pack_sequences(docs, seq_len=64, n_buckets=16).select(
+    plan = pack_sequences(docs, seq_len=64, n_buckets=16)
+    spans = plan.select(
         F.lit("span").alias("tag"), F.col("doc_id").alias("id"),
         F.col("seq_id").alias("k"), F.col("doc_off").alias("v1"),
         F.col("seq_off").alias("v2"), F.col("n_tok").alias("v3"),
     )
-    stats = packing_stats(docs, seq_len=64, n_buckets=16).select(
+    stats = packing_stats(docs, seq_len=64, spans=plan).select(
         F.lit("stat").alias("tag"), F.col("seq_id").alias("id"),
         F.col("n_docs").cast("bigint").alias("k"),
         F.col("n_continuations").alias("v1"),
@@ -2740,11 +2741,11 @@ def q_pack_sequences(spark, sf_dir):
 
 SQL_PACK_SEQUENCES = """
 WITH c AS (
+  -- non-empty split fields only (split keeps empty edge fields)
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE CAST(len(regexp_split_to_array(
-                     trim(lower(text)), '\\s+')) AS BIGINT)
-         END AS n_tok
+         CAST(len(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x != '')) AS BIGINT) AS n_tok
   FROM documents
 ), placed AS (
   SELECT doc_id, n_tok,

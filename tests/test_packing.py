@@ -163,3 +163,101 @@ class TestPackSequences:
         plan = buf.getvalue()
         assert "SinglePartition" not in plan
         assert "hashpartitioning(bucket" in plan
+
+
+class TestReviewRegressions:
+    def test_empty_corpus(self, spark):
+        out = pack_sequences(
+            _docs(spark, [(1, ""), (2, "  \n ")]), seq_len=8)
+        assert out.count() == 0
+        assert out.columns == [
+            "doc_id", "seq_id", "doc_off", "seq_off", "n_tok"]
+
+    def test_whitespace_edges_not_counted(self, spark):
+        # '\thello world\n' is 2 tokens, not 3/4 phantom ones
+        got = {
+            (r["doc_id"], r["seq_id"]): r["n_tok"]
+            for r in pack_sequences(_docs(spark, [
+                (1, "\thello world\n"), (2, "a"),
+            ]), seq_len=8, n_buckets=2).collect()
+        }
+        assert got == {(1, 0): 2, (2, 0): 1}
+
+    def test_wide_sparse_doc_ids_exact(self, spark):
+        # hash-derived 64-bit ids: double bucket math would wrap or
+        # round and silently scramble the prefix order
+        big = 2 ** 61
+        got = sorted(
+            (r["doc_id"], r["seq_id"], r["seq_off"], r["n_tok"])
+            for r in pack_sequences(_docs(spark, [
+                (big + 5, "c d"), (3, "a b e"), (big, "f"),
+            ]), seq_len=4, n_buckets=8).collect()
+        )
+        assert got == [
+            (3, 0, 0, 3),
+            (big, 0, 3, 1),
+            (big + 5, 1, 0, 2),
+        ]
+
+    def test_stats_from_spans(self, spark):
+        docs = _docs(spark, [(1, "a b c"), (2, "d e")])
+        plan = pack_sequences(docs, seq_len=4, n_buckets=2)
+        via_spans = packing_stats(docs, seq_len=4, spans=plan) \
+            .orderBy("seq_id").collect()
+        direct = packing_stats(docs, seq_len=4, n_buckets=2) \
+            .orderBy("seq_id").collect()
+        assert via_spans == direct
+
+    def test_text_col_param(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y z")], "doc_id bigint, body string")
+        out = pack_sequences(df, seq_len=8, text_col="body").collect()
+        assert out[0]["n_tok"] == 3
+
+    def test_release_cached(self, spark):
+        from xcube_resampling_spark.extensions.packing import (
+            release_cached)
+        pack_sequences(_docs(spark, [(1, "a b")]), seq_len=8).count()
+        release_cached()
+        from xcube_resampling_spark.extensions import packing
+        assert packing._PERSISTED == []
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10 ** 6),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=9),
+)
+def test_packing_invariants(spark, corpus, L, nb):
+    """Random corpora: tokens are conserved, every sequence is gap-free
+    and full except the last, and doc order inside a sequence follows
+    doc_id order."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in corpus]
+    spans = sorted(
+        (r["seq_id"], r["seq_off"], r["doc_id"], r["n_tok"])
+        for r in pack_sequences(
+            _docs(spark, rows), seq_len=L, n_buckets=nb
+        ).collect()
+    )
+    total = sum(n for _, n in corpus)
+    assert sum(s[3] for s in spans) == total
+    # gap-free: spans tile [0, total) in (seq_id, seq_off) order
+    pos = 0
+    prev_doc = None
+    for seq_id, seq_off, doc_id, n in spans:
+        assert seq_id * L + seq_off == pos
+        if seq_off > 0:
+            assert prev_doc is None or doc_id >= prev_doc
+        pos += n
+        prev_doc = doc_id
+    assert pos == total

@@ -756,10 +756,15 @@ def dedup_paragraph(
     ``(doc_id, position)``), and reassemble each document from its
     surviving paragraphs in original order.
 
-    Returns one row per input document:
+    Returns one row per document that has at least one non-blank
+    paragraph (documents that are empty or all-blank produce no row --
+    the pipeline drops them before dedup anyway):
     ``(doc_id, n_para, n_kept, clean_hash)`` where ``clean_hash`` is
-    the md5 of the re-joined text (NULL when every paragraph was a
-    duplicate -- the pipeline drop case).
+    the md5 of the surviving paragraphs joined by the LITERAL ``sep``
+    text (exact for plain separators like ``"\\n"``; for a regex
+    ``sep`` the hash is still a stable fingerprint of the survivor
+    sequence, not reconstructable text), NULL when every paragraph was
+    a duplicate.  Note ``sep`` is a REGEX on the split side.
 
     100-TB shape: the split is a narrow ``posexplode``; the
     first-occurrence table is ONE map-side-combinable
@@ -799,16 +804,17 @@ def dedup_paragraph(
             F.md5(
                 F.concat_ws(
                     sep,
-                    F.array_compact(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("keep"),
-                                    F.struct("pos", "para"),
-                                )
+                    # collect_list drops the NULLs of the
+                    # otherwise-less when(); array_sort restores
+                    # document order (pos is unique per doc)
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "para"),
                             )
-                        ).getField("para")
-                    ),
+                        )
+                    ).getField("para"),
                 )
             ).alias("clean_hash"),
         )

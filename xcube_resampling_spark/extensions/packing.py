@@ -49,22 +49,48 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col
 
-__all__ = ["pack_sequences", "packing_stats"]
+__all__ = ["pack_sequences", "packing_stats", "release_cached"]
+
+# counts tables persisted by _with_prefix_sum (three consumers: the
+# min/max scalar, the bucket totals, and the window) -- same lifecycle
+# pattern as dedup._PERSISTED
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist every token-count table cached by prior packing calls."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def _with_prefix_sum(
     counts: DataFrame, n_buckets: int
-) -> DataFrame:
+) -> DataFrame | None:
     """(doc_id, n_tok) -> + ``start`` = tokens before this doc in
-    doc_id order, via the two-phase range-partitioned prefix sum."""
+    doc_id order, via the two-phase range-partitioned prefix sum.
+    ``None`` when the input is empty."""
+    counts = counts.persist()
+    _PERSISTED.append(counts)
     lo, hi = counts.agg(
         F.min("doc_id"), F.max("doc_id")
     ).first()
-    span = max(1, int(hi) - int(lo) + 1)
+    if lo is None:
+        return None
+    span = int(hi) - int(lo) + 1
+    if span > 2 ** 62:
+        # (doc_id - lo) must stay well inside int64 on the executors
+        raise ValueError(
+            f"doc_id span [{lo}, {hi}] is too wide to range-bucket; "
+            "remap ids to a narrower range first")
     nb = max(1, min(int(n_buckets), span))
-    # monotonic in doc_id: equal doc_id order <=> (bucket, doc_id) order
-    bucket = ((F.col("doc_id") - F.lit(int(lo)))
-              * nb / F.lit(span)).cast("int")
+    # exact integer bucketing, monotonic in doc_id (so (bucket, doc_id)
+    # order == doc_id order): width W >= span/nb guarantees the max id
+    # lands in bucket <= nb-1.  Double arithmetic here would wrap or
+    # round past 2**53 for hash-derived 64-bit ids and silently
+    # scramble the prefix order.
+    width = -(-span // nb)
+    bucket = F.expr(
+        f"CAST((doc_id - {int(lo)}) DIV {width} AS INT)")
     b = counts.withColumn("bucket", bucket)
     totals = (
         b.groupBy("bucket").agg(F.sum("n_tok").alias("tot"))
@@ -96,15 +122,18 @@ def pack_sequences(
     seq_len: int = 2048,
     n_tokens_col: Column | None = None,
     n_buckets: int = 256,
+    text_col: str = "text",
 ) -> DataFrame:
     """Concat-and-chunk packing plan: one row per (doc x sequence)
     overlap -- see the module docstring for the contract."""
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    # split('') yields [''] -- an empty/whitespace doc is 0 tokens
-    default_n = F.when(
-        F.trim(F.col("text")) == "", F.lit(0)
-    ).otherwise(F.size(tokens_col(F.col("text"))))
+    # count NON-EMPTY split fields: split keeps empty edge fields, so
+    # '\\thello' or a '\\n'-only doc would otherwise count phantom
+    # tokens (F.trim strips only spaces, not \\t/\\n)
+    default_n = F.size(F.filter(
+        tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+    ))
     n_tok = (
         n_tokens_col if n_tokens_col is not None else default_n
     ).cast("bigint")
@@ -113,9 +142,16 @@ def pack_sequences(
         .filter(F.col("n_tok") > 0)
     )
     placed = _with_prefix_sum(counts, n_buckets)
+    if placed is None:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "doc_id bigint, seq_id bigint, doc_off bigint, "
+            "seq_off bigint, n_tok bigint",
+        )
     L = F.lit(int(seq_len))
-    first_seq = (F.col("start") / L).cast("bigint")
-    last_seq = ((F.col("start") + F.col("n_tok") - 1) / L).cast("bigint")
+    # integer DIV: double division would round past 2**53 total tokens
+    first_seq = F.expr(f"start DIV {int(seq_len)}")
+    last_seq = F.expr(f"(start + n_tok - 1) DIV {int(seq_len)}")
     seg_start = F.greatest(F.col("start"), F.col("seq_id") * L)
     seg_end = F.least(
         F.col("start") + F.col("n_tok"), (F.col("seq_id") + 1) * L
@@ -140,11 +176,17 @@ def packing_stats(
     seq_len: int = 2048,
     n_tokens_col: Column | None = None,
     n_buckets: int = 256,
+    text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-sequence packing summary: how many documents feed each
     sequence, how many are mid-document continuations, and the fill
-    level (the last sequence is the only one allowed to be short)."""
-    spans = pack_sequences(docs, seq_len, n_tokens_col, n_buckets)
+    level (the last sequence is the only one allowed to be short).
+    Pass ``spans`` (a ``pack_sequences`` result) to summarize an
+    existing plan instead of recomputing it."""
+    if spans is None:
+        spans = pack_sequences(
+            docs, seq_len, n_tokens_col, n_buckets, text_col)
     return (
         spans.groupBy("seq_id")
         .agg(
