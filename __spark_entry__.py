@@ -4261,6 +4261,69 @@ def q_corpus_sample(spark, sf_dir):
     return d.select("doc_id", "lang", "strata_rank", "split")
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Weighted training mix with epoch upsampling
+    (extensions/sampling.py::mix_sources): src0 3x, src1 at 40%,
+    src2 2.5x (two full epochs + a deterministic half epoch), src3
+    dropped, all other sources dropped by omission.  A single narrow
+    projection -- zero shuffles -- so the per-(source, epoch) counts
+    come from one groupBy on the mixed frame."""
+    from xcube_resampling_spark.extensions.sampling import mix_sources
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    mixed = mix_sources(
+        d,
+        {"src0": 3.0, "src1": 0.4, "src2": 2.5, "src3": 0.0},
+        seed="mix",
+    )
+    per_doc = mixed.select(
+        F.lit("doc").alias("tag"), "doc_id", "source",
+        F.col("epoch").cast("bigint").alias("v"),
+    )
+    per_src = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+    ).select(
+        F.lit("src").alias("tag"), F.lit(-1).cast("bigint")
+        .alias("doc_id"), "source",
+        (F.col("n") * 1000000 + F.col("nd")).cast("bigint").alias("v"),
+    )
+    return per_doc.unionByName(per_src)
+
+
+def _corpus_mix_sql() -> str:
+    from xcube_resampling_spark.extensions.text import hash32_sql
+
+    h = hash32_sql(
+        "'mix|mix|' || COALESCE('v' || CAST(doc_id AS VARCHAR), 'n')")
+    space = float(2 ** 32)
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.4
+                     WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 0.0
+                     ELSE 0.0 END AS wt,
+         {h} AS hx
+  FROM documents
+), ne AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(wt) AS INT)
+         + CASE WHEN hx < FLOOR((wt - FLOOR(wt)) * {space})
+                THEN 1 ELSE 0 END AS n_epochs
+  FROM w
+), mixed AS (
+  SELECT doc_id, source,
+         CAST(unnest(range(0, n_epochs)) AS BIGINT) AS epoch
+  FROM ne WHERE n_epochs > 0
+)
+SELECT 'doc' AS tag, doc_id, source, epoch AS v FROM mixed
+UNION ALL
+SELECT 'src' AS tag, CAST(-1 AS BIGINT) AS doc_id, source,
+       CAST(COUNT(*) * 1000000 + COUNT(DISTINCT doc_id) AS BIGINT) AS v
+FROM mixed GROUP BY source
+"""
+
+
 def _sampling_sql() -> str:
     space = float(2 ** 32)
     t_samp = int(0.6 * space)
@@ -4493,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "vocab_stats": q_vocab_stats,
         "corpus_sample": q_corpus_sample,
+        "corpus_mix": q_corpus_mix,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "pack_sequences": q_pack_sequences,
@@ -4560,6 +4624,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "vocab_stats": SQL_VOCAB,
         "corpus_sample": _sampling_sql(),
+        "corpus_mix": _corpus_mix_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
         "pack_sequences": SQL_PACK_SEQUENCES,

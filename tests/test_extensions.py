@@ -1369,3 +1369,70 @@ class TestLargeKAssignment:
             if "Exchange" in line and "Reused" not in line
         ]
         assert exchanges == []
+
+
+# ------------------------------------------------------------------ #
+# mix_sources (weighted training mix with epoch upsampling)
+
+
+class TestMixSources:
+    def _df(self, spark):
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_integral_weight_replicates(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        out = mix_sources(self._df(spark), {"s0": 2.0}).collect()
+        assert len(out) == 40  # 20 docs x 2 epochs
+        assert {r["epoch"] for r in out} == {0, 1}
+
+    def test_fractional_weight_subsamples(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        out = mix_sources(self._df(spark), {"s1": 0.5}).collect()
+        assert 0 < len(out) < 20
+        assert all(r["epoch"] == 0 for r in out)
+
+    def test_mixed_weight_partial_epoch(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        full = mix_sources(self._df(spark), {"s2": 1.0}).collect()
+        out = mix_sources(self._df(spark), {"s2": 1.5}).collect()
+        assert len(full) == 20
+        assert 20 < len(out) < 40
+        # the partial epoch is a subset of the docs, at epoch 1
+        extra = [r for r in out if r["epoch"] == 1]
+        assert all(r["source"] == "s2" for r in extra)
+
+    def test_zero_and_missing_weight_drop(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        out = mix_sources(
+            self._df(spark), {"s0": 0.0, "s1": 1.0}).collect()
+        assert {r["source"] for r in out} == {"s1"}
+
+    def test_deterministic_and_seeded(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        a = sorted((r["doc_id"], r["epoch"]) for r in mix_sources(
+            self._df(spark), {"s1": 0.5}, seed="a").collect())
+        b = sorted((r["doc_id"], r["epoch"]) for r in mix_sources(
+            self._df(spark), {"s1": 0.5}, seed="a").collect())
+        c = sorted((r["doc_id"], r["epoch"]) for r in mix_sources(
+            self._df(spark), {"s1": 0.5}, seed="b").collect())
+        assert a == b
+        assert a != c
+
+    def test_negative_weight_raises(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        with pytest.raises(ValueError, match=">= 0"):
+            mix_sources(self._df(spark), {"s0": -0.1})
+
+    def test_no_shuffle(self, spark):
+        from xcube_resampling_spark.extensions.sampling import mix_sources
+
+        out = mix_sources(self._df(spark), {"s0": 2.5})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -116,3 +116,53 @@ def stratified_cap(
         df.withColumn(rank_col, F.row_number().over(win))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str | Column = "source",
+    key: str | Column = "doc_id",
+    seed: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Weighted data mixture with epoch upsampling -- the step that
+    turns a curated corpus into a training mix (e.g. Wikipedia at
+    weight 3.0, web text at 0.3).
+
+    Each source's weight ``w`` means "sample this source at rate w":
+    ``floor(w)`` full copies (epochs 0..floor(w)-1) plus a
+    hash-deterministic ``frac(w)`` subsample as the final partial
+    epoch.  Sources absent from ``weights`` are dropped (weight 0).
+    Output rows carry ``epoch_col`` so downstream shuffles can keep
+    replicas apart (e.g. ``pack_sequences`` over (epoch, doc_id)).
+
+    100-TB shape: a single narrow projection -- the weight lookup is a
+    literal CASE chain, the replication an ``explode(sequence(...))``,
+    and the fractional decision the same engine-portable md5 threshold
+    as :func:`sample_by_hash`.  No shuffle, no RNG state; rerunning
+    over a grown corpus keeps every previous decision.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    src = F.col(source_col) if isinstance(source_col, str) else source_col
+    key_col = F.col(key) if isinstance(key, str) else key
+
+    w_expr = None
+    for s, w in weights.items():
+        branch = (src == F.lit(s), F.lit(float(w)))
+        w_expr = F.when(*branch) if w_expr is None else w_expr.when(*branch)
+    w_expr = w_expr.otherwise(F.lit(0.0)) if w_expr is not None \
+        else F.lit(0.0)
+
+    n_full = F.floor(w_expr).cast("int")
+    # integer threshold, exact in both engines (same as sample_by_hash)
+    frac_keep = _keyed_hash(key_col, seed, "mix") < F.floor(
+        (w_expr - n_full) * F.lit(_HASH_SPACE)).cast("bigint")
+    n_epochs = n_full + frac_keep.cast("int")
+    # sequence(0, -1) would DESCEND; empty array drops the row instead
+    epochs = F.when(
+        n_epochs > 0, F.sequence(F.lit(0), n_epochs - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(epoch_col, F.explode(epochs))
