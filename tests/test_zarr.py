@@ -960,3 +960,100 @@ class TestReviewRound6:
                                     store=store)
         assert gm1.size == (8, 6)
         assert ds1.data_vars["band"].df.count() == 48
+
+
+class TestReviewRound6b:
+    """Pins for the second round-6 review pass (get-only stores,
+    add_spatial_ref3 discovery, dense-heap field widths)."""
+
+    def _gm(self, w, h):
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        return GridMapping.regular(
+            (w, h), (0.0, 0.0), 10.0, "EPSG:32633", tile_size=(8, 8))
+
+    def test_levels_through_get_only_store(self, spark, tmp_path):
+        """A store WITHOUT known_keys() must still open (.levels sub-
+        store wrappers previously exposed a raising known_keys that
+        made get-only stores look enumerable and crashed the read)."""
+        from xcube_resampling_spark.sources import (
+            FlatKVChunkPut, open_zarr_levels, write_zarr_levels)
+
+        full = FlatKVChunkPut(str(tmp_path / "kv"), prefix="pyr")
+        gm = self._gm(16, 12)
+        write_zarr_levels(_raster(spark, 16, 12), "ignored", "band",
+                          gm, num_levels=2, chunk_put=full)
+
+        class GetOnly:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def get(self, key):
+                return self._inner.get(key)
+
+        ds1, gm1 = open_zarr_levels(
+            spark, "ignored", level=1, store=GetOnly(full))
+        assert gm1.size == (8, 6)
+        assert len(ds1.data_vars["band"].df.toPandas()) == 48
+
+    def test_add_spatial_ref3_discovers_via_known_keys(
+            self, spark, tmp_path):
+        """Non-local root + enumerable store: variables are discovered
+        through known_keys() instead of silently skipping all of them."""
+        import json
+
+        from xcube_resampling_spark.sources import FlatKVChunkPut
+        from xcube_resampling_spark.sources.zarr3 import (
+            add_spatial_ref3, write_zarr3)
+
+        store = FlatKVChunkPut(str(tmp_path / "kv3"), prefix="c")
+        write_zarr3(_raster(spark, 8, 8), "ignored", "band",
+                    (8, 8), (4, 4), chunk_put=store)
+        add_spatial_ref3("ignored", "EPSG:32633", chunk_put=store)
+        meta = json.loads(store.get("band/zarr.json"))
+        assert meta["attributes"]["grid_mapping"] == "spatial_ref"
+        assert store.get("spatial_ref/zarr.json") is not None
+
+    def test_add_spatial_ref3_get_only_nonlocal_raises(self, tmp_path):
+        from xcube_resampling_spark.sources.zarr3 import add_spatial_ref3
+
+        class GetOnlyPut:
+            def get(self, key):
+                return None
+
+            def put(self, key, data):
+                pass
+
+        with pytest.raises(ValueError, match="data_var_names"):
+            add_spatial_ref3("nonexistent-root", "EPSG:32633",
+                             chunk_put=GetOnlyPut())
+
+    def test_hdf5_group_style_typo_raises(self):
+        import numpy as np
+
+        from xcube_resampling_spark.sources.hdf5 import encode_hdf5
+
+        with pytest.raises(ValueError, match="group_style"):
+            encode_hdf5("v", np.zeros((2, 2), dtype="f4"),
+                        ("y", "x"), group_style="Dense")
+
+    def test_hdf5_dense_max_managed_obj_fixed(self):
+        """FRHP 'maximum size of managed objects' stays 4096 so the
+        length-field width libhdf5 derives (2 bytes) matches the stored
+        7-byte heap ids even when the direct block grows past 64 KiB."""
+        import struct
+
+        import numpy as np
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            decode_hdf5, encode_hdf5)
+
+        data = np.arange(6, dtype="f8").reshape(2, 3)
+        blob = encode_hdf5("var", data, ("y", "x"),
+                           header_version=2, group_style="dense")
+        ix = blob.find(b"FRHP")
+        assert ix > 0
+        max_man = struct.unpack_from("<I", blob, ix + 10)[0]
+        assert max_man == 4096
+        parsed = decode_hdf5(blob)
+        assert "var" in parsed["vars"]

@@ -231,6 +231,19 @@ def _write_dense_links(buf: "_Buf",
         )
     off_size = 4            # max heap size = 32 bits
     length_size = 2
+    # length_size must agree with what libhdf5 DERIVES:
+    # MIN(bytes(max direct block size), bytes(max managed obj size)).
+    # Keeping "maximum size of managed objects" at a fixed 4096 pins
+    # the derived width to 2 no matter how far the direct block grows;
+    # sizing it to the block (as the heap grows past 64 KiB) would
+    # make stock readers expect 3-byte lengths against our stored
+    # 7-byte heap ids.
+    max_man_obj = 4096
+    for nm, b in bodies:
+        if len(b) > max_man_obj:
+            raise NotImplementedError(
+                f"link message for {nm!r} exceeds the managed-object "
+                f"limit ({len(b)} > {max_man_obj} bytes)")
     heap_id_len = 1 + off_size + length_size
     db_hdr = 4 + 1 + 8 + off_size  # flags bit1 clear: no block checksum
     total = db_hdr + sum(len(b) for _, b in bodies)
@@ -245,7 +258,7 @@ def _write_dense_links(buf: "_Buf",
     hdr += b"FRHP" + bytes([0])
     hdr += struct.pack("<HH", heap_id_len, 0)   # id len, no io filters
     hdr += bytes([0])                           # flags
-    hdr += struct.pack("<I", block)             # max managed obj size
+    hdr += struct.pack("<I", max_man_obj)       # max managed obj size
     hdr += struct.pack("<Q", 0)                 # next huge object id
     hdr += struct.pack("<Q", _UNDEF)            # huge v2 btree
     hdr += struct.pack("<Q", block - total)     # free space
@@ -344,6 +357,12 @@ def encode_hdf5(
     the chunk pipeline."""
     if header_version not in (1, 2):
         raise ValueError("header_version must be 1 or 2")
+    if group_style not in ("symbol_table", "dense", "links"):
+        # a typo would otherwise silently fall into the compact
+        # link-message else-branch and still round-trip
+        raise ValueError(
+            f"group_style must be 'symbol_table', 'links' or 'dense', "
+            f"got {group_style!r}")
     make_oh = (_object_header_v1 if header_version == 1
                else _object_header_v2)
     data = np.ascontiguousarray(data)

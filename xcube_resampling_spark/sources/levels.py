@@ -168,9 +168,16 @@ def write_zarr_levels(
     level_grid_mapping(gm, num_levels - 1)
     put = chunk_put if chunk_put is not None else FsChunkPut(path)
     level_df = df
+    persisted = []
     for k in range(num_levels):
         gk = level_grid_mapping(gm, k)
-        sub = _SubPut(put, f"{k}.zarr")
+        if num_levels > 1:
+            # each level feeds two actions (its own store write + the
+            # next level's downscale); without the persist, level k
+            # replays the base scan and all k prior downscale shuffles
+            level_df = level_df.persist()
+            persisted.append(level_df)
+        sub = _sub_put(put, f"{k}.zarr")
         write_zarr_cf(
             level_df, os.path.join(path, f"{k}.zarr"), var_name, gk,
             fill_value=fill_value, compressor=compressor, attrs=attrs,
@@ -178,6 +185,10 @@ def write_zarr_levels(
         )
         if k + 1 < num_levels:
             level_df = downscale_level(level_df, agg_method)
+        if len(persisted) > 1:
+            persisted[-2].unpersist()
+    for d in persisted:
+        d.unpersist()
     put.put(LEVELS_META_KEY, json.dumps({
         "version": "1.0",
         "num_levels": int(num_levels),
@@ -242,7 +253,15 @@ def open_zarr_levels(
         raise ValueError(f"level {level} out of range [0, {n})")
     sub_store = None
     if store is not None:
-        sub_store = _SubPut(store, f"{level}.zarr")
+        sub_store = _sub_put(store, f"{level}.zarr")
+        if variables is None and not callable(
+                getattr(sub_store, "known_keys", None)):
+            # get-only store: the .zlevels document names the data
+            # variables, so the open need not enumerate keys
+            ams = read_levels_meta(path, store=store) \
+                .get("agg_methods") or {}
+            if ams:
+                variables = list(ams)
     return open_zarr_dataset(
         spark, os.path.join(path, f"{level}.zarr"),
         variables=variables, bbox_ij=bbox_ij, decode_cf=decode_cf,
@@ -264,10 +283,25 @@ class _SubPut(ChunkPut):
     def get(self, key: str) -> bytes | None:
         return self._put.get(f"{self._prefix}/{key}")
 
+
+class _SubPutKnown(_SubPut):
+    """Prefix wrapper over a store that CAN enumerate keys.  A separate
+    class (chosen by :func:`_sub_put`) so that feature probes of the
+    form ``callable(getattr(store, "known_keys", None))`` -- which the
+    zarr readers use to decide between pruned and listed reads -- see
+    the method only when the underlying store actually has it; a
+    raising method on the base class would make a get-only store look
+    enumerable and crash the read."""
+
     def known_keys(self) -> list[str]:
-        known = getattr(self._put, "known_keys", None)
-        if not callable(known):
-            raise NotImplementedError(
-                "underlying store has no known_keys()")
         pre = self._prefix + "/"
-        return [k[len(pre):] for k in known() if k.startswith(pre)]
+        return [
+            k[len(pre):] for k in self._put.known_keys()
+            if k.startswith(pre)
+        ]
+
+
+def _sub_put(put: ChunkPut, prefix: str) -> _SubPut:
+    cls = _SubPutKnown if callable(
+        getattr(put, "known_keys", None)) else _SubPut
+    return cls(put, prefix)

@@ -106,10 +106,7 @@ def _fill_to_json(fill_value: float, data_type: str):
 _CRC32C_TABLE = None
 
 
-def _crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli, polynomial 0x1EDC6F41 reflected 0x82F63B78)
-    -- the checksum of the zarr v3 ``crc32c`` codec and the sharding
-    index.  Table-driven; only ever run over tiny index buffers."""
+def _crc32c_table() -> list[int]:
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
         table = []
@@ -119,9 +116,115 @@ def _crc32c(data: bytes) -> int:
                 c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
             table.append(c)
         _CRC32C_TABLE = table
+    return _CRC32C_TABLE
+
+
+_CRC32C_BLOCK = 1024
+# lazily built vectorization tables (see _crc32c):
+#   W[j][b]  = state after feeding (j zeros, byte b, BLOCK-1-j zeros)
+#              from state 0  -- the position-contribution table
+#   ZT[k][b] = Z_BLOCK applied to state (b << 8k), byte-decomposed
+#              zero-shift table, so Z_BLOCK(c) is 4 lookups
+_CRC32C_VECT: tuple | None = None
+
+
+def _crc32c_vect_tables():
+    global _CRC32C_VECT
+    if _CRC32C_VECT is None:
+        t0 = np.asarray(_crc32c_table(), dtype=np.uint32)
+
+        def z1(states: np.ndarray) -> np.ndarray:
+            # one zero-byte step, elementwise on uint32 states
+            return t0[(states & 0xFF).astype(np.int64)] ^ (states >> 8)
+
+        S = _CRC32C_BLOCK
+        # W built back-to-front: distance 0 (last byte) is t0 itself
+        w = np.empty((S, 256), dtype=np.uint32)
+        w[S - 1] = t0
+        for j in range(S - 2, -1, -1):
+            w[j] = z1(w[j + 1])
+        zt = np.empty((4, 256), dtype=np.uint32)
+        for k in range(4):
+            basis = (np.arange(256, dtype=np.uint32)) << np.uint32(
+                8 * k)
+            for _ in range(S):
+                basis = z1(basis)
+            zt[k] = basis
+        _CRC32C_VECT = (w, [zt])  # zt levels: shift by S, 2S, 4S, ...
+    return _CRC32C_VECT
+
+
+def _crc32c_apply_zt(zt: np.ndarray, states: np.ndarray) -> np.ndarray:
+    """Apply a byte-decomposed zero-shift table to uint32 states,
+    elementwise (4 gathers + 3 XORs)."""
+    s = states.astype(np.int64)
+    return (zt[0][s & 0xFF] ^ zt[1][(s >> 8) & 0xFF]
+            ^ zt[2][(s >> 16) & 0xFF] ^ zt[3][s >> 24])
+
+
+def _crc32c_zt_level(levels: list, i: int) -> np.ndarray:
+    """Zero-shift table for 2**i blocks, derived by self-composition:
+    Z_{2n} basis = Z_n applied to Z_n's own table entries."""
+    while len(levels) <= i:
+        prev = levels[-1]
+        levels.append(np.stack([
+            _crc32c_apply_zt(prev, prev[k]) for k in range(4)
+        ]).astype(np.uint32))
+    return levels[i]
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, polynomial 0x1EDC6F41 reflected 0x82F63B78)
+    -- the checksum of the zarr v3 ``crc32c`` codec and the sharding
+    index.
+
+    Small buffers (shard indexes) use the plain table loop.  Chunk
+    payloads go through a numpy-vectorized block algorithm built on the
+    GF(2)-linearity of the CRC state update: a block's data
+    contribution is the XOR of per-(position, byte) table entries (one
+    fancy-index gather + xor-reduce per 1 KiB block), and carrying the
+    running state across a block is four byte-decomposed zero-shift
+    lookups -- ~100x the byte loop, which at ~1 s/MB would otherwise
+    dominate reads of externally written stores that checksum whole
+    chunks rather than just shard indexes."""
+    table = _crc32c_table()
     crc = 0xFFFFFFFF
+    n = len(data)
+    S = _CRC32C_BLOCK
+    if n >= 4 * S:
+        w, levels = _crc32c_vect_tables()
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n_blocks = n // S
+        # uint8 view straight into the gather (no int64 copy)
+        blocks = arr[: n_blocks * S].reshape(n_blocks, S)
+        contrib = np.bitwise_xor.reduce(
+            w[np.arange(S), blocks], axis=1)
+        # fold(c_0..c_{m-1}) = XOR_k Z_{(m-1-k)S}(c_k), computed as a
+        # log2(m) tree of vectorized pairwise combines (pad with ZERO
+        # contributions at the FRONT -- Z(0)=0 keeps them inert):
+        # level i pairs (a, b) -> Z_{2^i S}(a) ^ b
+        m = 1 << (n_blocks - 1).bit_length()
+        if m != n_blocks:
+            contrib = np.concatenate([
+                np.zeros(m - n_blocks, dtype=np.uint32), contrib])
+        lvl = 0
+        while len(contrib) > 1:
+            zt = _crc32c_zt_level(levels, lvl)
+            contrib = (_crc32c_apply_zt(zt, contrib[0::2])
+                       ^ contrib[1::2]).astype(np.uint32)
+            lvl += 1
+        # carry the init state over all n_blocks blocks: binary
+        # exponentiation over the same zero-shift levels
+        c = np.uint32(crc)
+        for bit in range(n_blocks.bit_length()):
+            if (n_blocks >> bit) & 1:
+                zt = _crc32c_zt_level(levels, bit)
+                c = np.uint32(_crc32c_apply_zt(
+                    zt, np.asarray([c], dtype=np.uint32))[0])
+        crc = int(c ^ contrib[0])
+        data = data[n_blocks * S:]
     for b in data:
-        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
 
 
@@ -567,11 +670,29 @@ def add_spatial_ref3(
     put = chunk_put if chunk_put is not None else FsChunkPut(path)
     _put_small_array3(put, crs_var_name, np.int64(0), crs.to_cf())
     if data_var_names is None:
-        data_var_names = [
-            d for d in (os.listdir(path) if os.path.isdir(path) else [])
-            if not d.startswith(".") and d != crs_var_name
-            and os.path.exists(os.path.join(path, d, "zarr.json"))
-        ]
+        if os.path.isdir(path):
+            data_var_names = [
+                d for d in os.listdir(path)
+                if not d.startswith(".") and d != crs_var_name
+                and os.path.exists(os.path.join(path, d, "zarr.json"))
+            ]
+        else:
+            # non-local root: discover arrays through the store seam;
+            # an empty discovery here would silently produce an
+            # un-georeferenced store, so a store that cannot enumerate
+            # must get explicit names
+            known = getattr(put, "known_keys", None)
+            if not callable(known):
+                raise ValueError(
+                    f"{path!r} is not a local directory and the chunk "
+                    "store cannot enumerate keys; pass data_var_names "
+                    "explicitly")
+            data_var_names = sorted({
+                k.split("/", 1)[0] for k in known()
+                if k.endswith("/zarr.json")
+                and not k.startswith(".")
+                and k.split("/", 1)[0] != crs_var_name
+            })
     for var in data_var_names:
         # read prior metadata THROUGH the ChunkPut seam first (the same
         # fix the v2 add_spatial_ref got): with a custom put rooted on
