@@ -2720,6 +2720,7 @@ def q_pack_sequences(spark, sf_dir):
     from xcube_resampling_spark.extensions.packing import (
         pack_sequences,
         packing_stats,
+        shuffle_shards,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -2736,10 +2737,22 @@ def q_pack_sequences(spark, sf_dir):
         F.col("n_tok").alias("v2"),
         F.expr("n_tok * 1000000 DIV 64").alias("v3"),
     )
-    return spans.unionByName(stats)
+    shards = shuffle_shards(plan, n_shards=4, seed="sh").select(
+        F.lit("shard").alias("tag"), F.col("seq_id").alias("id"),
+        F.col("shard").cast("bigint").alias("k"),
+        F.col("pos").alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+        F.lit(0).cast("bigint").alias("v3"),
+    )
+    return spans.unionByName(stats).unionByName(shards)
 
 
-SQL_PACK_SEQUENCES = """
+def _pack_sequences_sql() -> str:
+    from xcube_resampling_spark.extensions.text import hash32_sql
+
+    SHARD_HASH = hash32_sql(
+        "'shard|sh|' || 'v' || CAST(seq_id AS VARCHAR)")
+    return f"""
 WITH c AS (
   -- non-empty split fields only (split keeps empty edge fields)
   SELECT doc_id,
@@ -2778,6 +2791,19 @@ SELECT 'stat' AS tag, seq_id AS id, CAST(COUNT(*) AS BIGINT) AS k,
        CAST(SUM(n_tok) AS BIGINT) AS v2,
        CAST(SUM(n_tok) * 1000000 // 64 AS BIGINT) AS v3
 FROM seg GROUP BY seq_id
+UNION ALL
+SELECT 'shard' AS tag, seq_id AS id, CAST(shrd AS BIGINT) AS k,
+       CAST(row_number() OVER (
+         PARTITION BY shrd ORDER BY hx ASC, seq_id ASC
+       ) AS BIGINT) AS v1,
+       CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+FROM (
+  SELECT seq_id, hx, hx % 4 AS shrd FROM (
+    SELECT DISTINCT seq_id,
+           {SHARD_HASH} AS hx
+    FROM seg
+  )
+)
 """
 
 
@@ -4627,7 +4653,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _corpus_mix_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
-        "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_sequences": _pack_sequences_sql(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_components": SQL_DEDUP_COMPONENTS,

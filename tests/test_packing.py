@@ -261,3 +261,56 @@ def test_packing_invariants(spark, corpus, L, nb):
         pos += n
         prev_doc = doc_id
     assert pos == total
+
+
+class TestShuffleShards:
+    def test_partition_of_sequences(self, spark):
+        from xcube_resampling_spark.extensions.packing import (
+            shuffle_shards)
+
+        docs = _docs(spark, [(i, " ".join(["w"] * 5))
+                             for i in range(40)])
+        spans = pack_sequences(docs, seq_len=8, n_buckets=4)
+        n_seqs = spans.select("seq_id").distinct().count()
+        out = shuffle_shards(spans, 3, seed="s").collect()
+        assert len(out) == n_seqs
+        assert {r["shard"] for r in out} <= {0, 1, 2}
+        # positions are 1..k dense within each shard
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    def test_deterministic_but_seed_sensitive(self, spark):
+        from xcube_resampling_spark.extensions.packing import (
+            shuffle_shards)
+
+        docs = _docs(spark, [(i, "a b c") for i in range(30)])
+        spans = pack_sequences(docs, seq_len=4, n_buckets=2)
+        a = sorted(map(tuple, shuffle_shards(spans, 4, "x").collect()))
+        b = sorted(map(tuple, shuffle_shards(spans, 4, "x").collect()))
+        c = sorted(map(tuple, shuffle_shards(spans, 4, "y").collect()))
+        assert a == b
+        assert a != c
+
+    def test_order_not_monotonic_in_seq_id(self, spark):
+        """The whole point: within a shard the training order is
+        hash-shuffled, not seq_id order."""
+        from xcube_resampling_spark.extensions.packing import (
+            shuffle_shards)
+
+        docs = _docs(spark, [(i, "a b c d") for i in range(200)])
+        spans = pack_sequences(docs, seq_len=4, n_buckets=4)
+        out = shuffle_shards(spans, 1, seed="s") \
+            .orderBy("pos").collect()
+        ids = [r["seq_id"] for r in out]
+        assert ids != sorted(ids)
+
+    def test_n_shards_validation(self, spark):
+        from xcube_resampling_spark.extensions.packing import (
+            shuffle_shards)
+
+        docs = _docs(spark, [(1, "a")])
+        with pytest.raises(ValueError, match="n_shards"):
+            shuffle_shards(pack_sequences(docs, seq_len=4), 0)

@@ -49,7 +49,8 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col
 
-__all__ = ["pack_sequences", "packing_stats", "release_cached"]
+__all__ = ["pack_sequences", "packing_stats", "shuffle_shards",
+           "release_cached"]
 
 # counts tables persisted by _with_prefix_sum (three consumers: the
 # min/max scalar, the bucket totals, and the window) -- same lifecycle
@@ -200,4 +201,47 @@ def packing_stats(
             F.round(F.col("n_tok") / F.lit(int(seq_len)), 6)
             .alias("fill"),
         )
+    )
+
+
+def shuffle_shards(
+    spans: DataFrame,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign every packed
+    sequence (a ``pack_sequences`` result, or any frame with a
+    ``seq_id`` column) to an output shard and a position within it.
+
+    Real pipelines randomize sequence order before the trainer reads
+    shards round-robin; doing it with ``rand()`` makes reruns
+    unreproducible.  Here both decisions are the keyed md5 hash of
+    ``seq_id`` (the same engine-portable scheme as
+    ``sampling.sample_by_hash``): shard = hash mod ``n_shards``,
+    position = rank of (hash, seq_id) within the shard.  Returns
+    ``(seq_id, shard, pos)``, one row per distinct sequence.
+
+    100-TB shape: one distinct on seq_id (map-side combinable) and one
+    window partitioned BY SHARD -- each task sorts only its own
+    shard's ids, never a global order.  Choose ``n_shards`` >= cluster
+    parallelism so no task sorts more than ~total/n_shards rows.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql.window import Window
+
+    from .sampling import _keyed_hash
+
+    seqs = spans.select("seq_id").distinct()
+    h = _keyed_hash(F.col("seq_id"), seed, "shard")
+    win = Window.partitionBy("shard").orderBy(
+        F.col("h").asc(), F.col("seq_id").asc())
+    return (
+        seqs.select(
+            "seq_id",
+            F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(win).cast("bigint"))
+        .select("seq_id", "shard", "pos")
     )
