@@ -1,0 +1,132 @@
+"""End-to-end training-data curation pipeline on the extension
+operators: quality-filter -> PII scrub -> exact + paragraph + MinHash
+dedup -> benchmark decontamination -> weighted source mixing ->
+sequence packing -> deterministic shard shuffle.
+
+Every stage is the 100-TB-shaped operator from
+``xcube_resampling_spark.extensions`` -- narrow projections and
+map-side-combinable aggregations, no cross joins, no RNG state; the
+whole pipeline is one lazy DataFrame graph until the final actions.
+
+Run:  python examples/llm_pipeline.py [sf_dir]
+(default sf_dir: /root/testdata/sf0.01)
+"""
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from xcube_resampling_spark.extensions.dedup import (  # noqa: E402
+    decontaminate,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_paragraph,
+    release_cached,
+)
+from xcube_resampling_spark.extensions.packing import (  # noqa: E402
+    pack_sequences,
+    packing_stats,
+    shuffle_shards,
+)
+from xcube_resampling_spark.extensions.pii import (  # noqa: E402
+    pii_stats,
+    redact_pii,
+)
+from xcube_resampling_spark.extensions.sampling import (  # noqa: E402
+    mix_sources,
+    split_by_hash,
+)
+from xcube_resampling_spark.extensions.text import (  # noqa: E402
+    text_stats,
+)
+
+
+def main(sf_dir: str) -> None:
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        # local-mode default is a 1 GiB driver heap shared by all
+        # executor threads -- far too small for a 32-thread run
+        .config("spark.driver.memory", "8g")
+        .appName("llm-data-pipeline-example")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+    print(f"corpus: {n0} documents")
+
+    # ---- 1. quality filter (Gopher-style gates on cheap signals)
+    stats = text_stats(docs)
+    keep = stats.filter(
+        (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0)
+    ).select("doc_id")
+    docs = docs.join(keep, "doc_id")
+    print(f"after quality filter: {docs.count()}")
+
+    # ---- 2. PII scrub (regex detection + typed-placeholder rewrite)
+    flagged = pii_stats(docs).filter(F.col("n_pii") > 0).count()
+    docs = docs.drop("text").join(
+        redact_pii(docs, out_col="text"), "doc_id")
+    print(f"PII: {flagged} documents had hits; all redacted")
+
+    # ---- 3. dedup: exact groups, then duplicate paragraphs, then
+    # MinHash near-dups (drop the non-keeper of every verified pair)
+    exact = dedup_exact(docs)
+    print(f"exact-dup groups: {exact.count()}")
+    cleaned = dedup_paragraph(docs)
+    docs = docs.join(
+        cleaned.filter(F.col("n_kept") > 0).select("doc_id"), "doc_id")
+    print(f"after paragraph dedup: {docs.count()}")
+    pairs = dedup_minhash_lsh(docs, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+    print(f"after MinHash near-dedup: {docs.count()}")
+
+    # ---- 4. benchmark decontamination (13-gram overlap vs a held-out
+    # "benchmark" slice)
+    bench = docs.filter(F.col("doc_id") % 97 == 13)
+    hits = decontaminate(docs, bench, min_hits=2)
+    docs = docs.join(
+        hits.filter(F.col("hit_bp") > 5000).select("doc_id"),
+        "doc_id", "left_anti")
+    # materialize the curated corpus once: every later stage would
+    # otherwise replay the whole filter/scrub/dedup lineage
+    docs = docs.persist()
+    print(f"after decontamination: {docs.count()}")
+    release_cached()
+
+    # ---- 5. train/valid split + weighted source mixing with epochs
+    docs = split_by_hash(
+        docs, "doc_id", {"train": 0.95, "valid": 0.05}, seed="split")
+    train = docs.filter(F.col("split") == "train")
+    weights = {f"src{i}": (2.0 if i < 3 else 0.7) for i in range(20)}
+    mixed = mix_sources(train, weights, seed="mix")
+    # keep replicas distinct downstream: re-key by (epoch, doc_id)
+    mixed = mixed.select(
+        (F.col("epoch") * 1_000_000_000 + F.col("doc_id"))
+        .alias("doc_id"), "text")
+    print(f"training mix: {mixed.count()} documents (with epochs)")
+
+    # ---- 6. pack into fixed-length sequences, summarize, shard
+    spans = pack_sequences(mixed, seq_len=512)
+    stats = packing_stats(mixed, seq_len=512, spans=spans)
+    shards = shuffle_shards(spans, n_shards=8, seed="shards")
+    n_seq = stats.count()
+    fill = stats.agg(F.avg("fill")).first()[0]
+    per_shard = shards.groupBy("shard").count().orderBy("shard")
+    print(f"packed {n_seq} sequences of 512 tokens, "
+          f"mean fill {fill:.3f}")
+    print("shard sizes:",
+          [r["count"] for r in per_shard.collect()])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
