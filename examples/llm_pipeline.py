@@ -109,8 +109,11 @@ def main(sf_dir: str) -> None:
     weights = {f"src{i}": (2.0 if i < 3 else 0.7) for i in range(20)}
     mixed = mix_sources(train, weights, seed="mix")
     # keep replicas distinct downstream: re-key by (epoch, doc_id)
+    # with a DERIVED stride -- a fixed 1e9 would silently collide for
+    # hash-derived 64-bit doc_ids
+    stride = int(train.agg(F.max("doc_id")).first()[0]) + 1
     mixed = mixed.select(
-        (F.col("epoch") * 1_000_000_000 + F.col("doc_id"))
+        (F.col("epoch") * F.lit(stride) + F.col("doc_id"))
         .alias("doc_id"), "text")
     print(f"training mix: {mixed.count()} documents (with epochs)")
 
@@ -119,7 +122,7 @@ def main(sf_dir: str) -> None:
     stats = packing_stats(mixed, seq_len=512, spans=spans)
     shards = shuffle_shards(spans, n_shards=8, seed="shards")
     n_seq = stats.count()
-    fill = stats.agg(F.avg("fill")).first()[0]
+    fill = stats.agg(F.avg("fill")).first()[0] or 0.0
     per_shard = shards.groupBy("shard").count().orderBy("shard")
     print(f"packed {n_seq} sequences of 512 tokens, "
           f"mean fill {fill:.3f}")

@@ -1057,3 +1057,17 @@ class TestReviewRound6b:
         assert max_man == 4096
         parsed = decode_hdf5(blob)
         assert "var" in parsed["vars"]
+
+    def test_levels_write_keeps_caller_cache(self, spark, tmp_path):
+        """write_zarr_levels must not unpersist a cache the CALLER
+        created on the input frame (it persists a derived alias for
+        level 0 instead)."""
+        from xcube_resampling_spark.sources import write_zarr_levels
+
+        df = _raster(spark, 16, 12).persist()
+        df.count()
+        gm = self._gm(16, 12)
+        write_zarr_levels(df, str(tmp_path / "c.levels"), "band", gm,
+                          num_levels=2)
+        assert df.storageLevel.useMemory  # still cached
+        df.unpersist()

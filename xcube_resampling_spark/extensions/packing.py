@@ -228,8 +228,6 @@ def shuffle_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    from pyspark.sql.window import Window
-
     from .sampling import _keyed_hash
 
     seqs = spans.select("seq_id").distinct()

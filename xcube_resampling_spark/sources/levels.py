@@ -174,9 +174,15 @@ def write_zarr_levels(
         if num_levels > 1:
             # each level feeds two actions (its own store write + the
             # next level's downscale); without the persist, level k
-            # replays the base scan and all k prior downscale shuffles
-            level_df = level_df.persist()
-            persisted.append(level_df)
+            # replays the base scan and all k prior downscale shuffles.
+            # If the CALLER already cached the input (k=0), leave their
+            # cache alone -- persisting/unpersisting here would clear
+            # the CacheManager entry for their plan on exit
+            already = (level_df.storageLevel.useMemory
+                       or level_df.storageLevel.useDisk)
+            if not already:
+                level_df = level_df.persist()
+                persisted.append(level_df)
         sub = _sub_put(put, f"{k}.zarr")
         write_zarr_cf(
             level_df, os.path.join(path, f"{k}.zarr"), var_name, gk,
@@ -246,7 +252,8 @@ def open_zarr_levels(
     reference's ``store.open_data(...).get_dataset(level)``
     (``level=0`` == ``base_dataset``).  Negative levels count from the
     top (``level=-1`` is the coarsest overview)."""
-    n = num_zarr_levels(path, store=store)
+    meta = read_levels_meta(path, store=store)  # ONE .zlevels fetch
+    n = int(meta["num_levels"])
     if level < 0:
         level += n
     if not 0 <= level < n:
@@ -258,8 +265,7 @@ def open_zarr_levels(
                 getattr(sub_store, "known_keys", None)):
             # get-only store: the .zlevels document names the data
             # variables, so the open need not enumerate keys
-            ams = read_levels_meta(path, store=store) \
-                .get("agg_methods") or {}
+            ams = meta.get("agg_methods") or {}
             if ams:
                 variables = list(ams)
     return open_zarr_dataset(

@@ -195,33 +195,46 @@ def _crc32c(data: bytes) -> int:
         w, levels = _crc32c_vect_tables()
         arr = np.frombuffer(data, dtype=np.uint8)
         n_blocks = n // S
-        # uint8 view straight into the gather (no int64 copy)
-        blocks = arr[: n_blocks * S].reshape(n_blocks, S)
-        contrib = np.bitwise_xor.reduce(
-            w[np.arange(S), blocks], axis=1)
-        # fold(c_0..c_{m-1}) = XOR_k Z_{(m-1-k)S}(c_k), computed as a
-        # log2(m) tree of vectorized pairwise combines (pad with ZERO
-        # contributions at the FRONT -- Z(0)=0 keeps them inert):
-        # level i pairs (a, b) -> Z_{2^i S}(a) ^ b
-        m = 1 << (n_blocks - 1).bit_length()
-        if m != n_blocks:
-            contrib = np.concatenate([
-                np.zeros(m - n_blocks, dtype=np.uint32), contrib])
-        lvl = 0
-        while len(contrib) > 1:
-            zt = _crc32c_zt_level(levels, lvl)
-            contrib = (_crc32c_apply_zt(zt, contrib[0::2])
-                       ^ contrib[1::2]).astype(np.uint32)
-            lvl += 1
-        # carry the init state over all n_blocks blocks: binary
-        # exponentiation over the same zero-shift levels
-        c = np.uint32(crc)
-        for bit in range(n_blocks.bit_length()):
-            if (n_blocks >> bit) & 1:
-                zt = _crc32c_zt_level(levels, bit)
-                c = np.uint32(_crc32c_apply_zt(
-                    zt, np.asarray([c], dtype=np.uint32))[0])
-        crc = int(c ^ contrib[0])
+
+        def shift_state(c: int, nblk: int) -> int:
+            # advance a state over nblk blocks of zeros: binary
+            # exponentiation over the doubling zero-shift tables
+            s = np.asarray([c], dtype=np.uint32)
+            for bit in range(nblk.bit_length()):
+                if (nblk >> bit) & 1:
+                    zt = _crc32c_zt_level(levels, bit)
+                    s = _crc32c_apply_zt(zt, s).astype(np.uint32)
+            return int(s[0])
+
+        def fold_slab(blocks: np.ndarray) -> int:
+            # fold(c_0..c_{m-1}) = XOR_k Z_{(m-1-k)S}(c_k): a log2(m)
+            # tree of vectorized pairwise combines (pad with ZERO
+            # contributions at the FRONT -- Z(0)=0 keeps them inert);
+            # level i pairs (a, b) -> Z_{2^i S}(a) ^ b
+            contrib = np.bitwise_xor.reduce(
+                w[np.arange(S), blocks], axis=1)
+            m = 1 << (len(contrib) - 1).bit_length()
+            if m != len(contrib):
+                contrib = np.concatenate([
+                    np.zeros(m - len(contrib), dtype=np.uint32),
+                    contrib])
+            lvl = 0
+            while len(contrib) > 1:
+                zt = _crc32c_zt_level(levels, lvl)
+                contrib = (_crc32c_apply_zt(zt, contrib[0::2])
+                           ^ contrib[1::2]).astype(np.uint32)
+                lvl += 1
+            return int(contrib[0])
+
+        # bounded slabs: the gather materializes a 4x-slab uint32 temp,
+        # so a whole-buffer pass over a 512 MB chunk would allocate
+        # ~2 GB at once; 16 Ki blocks (16 MiB data, ~64 MiB temp) keeps
+        # memory flat with no measurable speed cost
+        SLAB = 16384
+        for s0 in range(0, n_blocks, SLAB):
+            nblk = min(SLAB, n_blocks - s0)
+            blocks = arr[s0 * S: (s0 + nblk) * S].reshape(nblk, S)
+            crc = shift_state(crc, nblk) ^ fold_slab(blocks)
         data = data[n_blocks * S:]
     for b in data:
         crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
