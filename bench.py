@@ -550,6 +550,38 @@ def main():
         docs100.unpersist()
         dedup_scale_100["n_docs"] = n100
 
+    # packing scale: pack_sequences + shard shuffle over the 10x and
+    # 100x corpora -- the two-phase prefix sum's slope should be
+    # ~linear (no global sort, no single-task stage)
+    packing_scale = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        from xcube_resampling_spark.extensions import packing as pk
+
+        for tag, copies in (("10x", 10), ("100x", 100)):
+            if copies == 100 and \
+                    os.environ.get("SPARK_GRAFT_SKIP_100X") == "1":
+                continue
+            docs = _docs_10x(spark, copies=copies).persist()
+            nd = docs.count()
+            best = float("inf")
+            rows = None
+            for _ in range(2):
+                pk.release_cached()
+                t0 = time.perf_counter()
+                spans = pk.pack_sequences(docs, seq_len=2048)
+                rows = pk.shuffle_shards(spans, n_shards=64).count()
+                best = min(best, time.perf_counter() - t0)
+            pk.release_cached()
+            docs.unpersist()
+            spark._jvm.System.gc()
+            packing_scale[tag] = {
+                "sec": round(best, 3), "sequences": rows, "n_docs": nd,
+            }
+            print(
+                f"# packing {tag}: {best:.2f}s seqs={rows}",
+                file=sys.stderr,
+            )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall",
@@ -569,6 +601,16 @@ def main():
         }
     if baseline_shape:
         out["baseline_shape"] = baseline_shape
+    if packing_scale:
+        out["packing_scale"] = {
+            "queries": packing_scale,
+            "note": (
+                "pack_sequences(seq_len=2048) + shuffle_shards(64) "
+                "over the copy-salted 10x/100x corpora; the two-phase "
+                "range-partitioned prefix sum should scale ~linearly "
+                "(no global sort)"
+            ),
+        }
     if dedup_scale_100:
         out["dedup_100x"] = {
             "queries": dedup_scale_100,
