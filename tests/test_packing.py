@@ -314,3 +314,19 @@ class TestShuffleShards:
         docs = _docs(spark, [(1, "a")])
         with pytest.raises(ValueError, match="n_shards"):
             shuffle_shards(pack_sequences(docs, seq_len=4), 0)
+
+    def test_no_single_partition_window(self, spark):
+        """The shard window must partition BY SHARD -- a global
+        row_number would funnel every sequence through one task."""
+        from xcube_resampling_spark.extensions.packing import (
+            shuffle_shards)
+
+        docs = _docs(spark, [(i, "a b c") for i in range(50)])
+        spans = pack_sequences(docs, seq_len=4, n_buckets=4)
+        out = shuffle_shards(spans, 8)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(shard" in plan
