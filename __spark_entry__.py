@@ -2807,6 +2807,43 @@ FROM (
 """
 
 
+def q_lm_quality(spark, sf_dir):
+    """Unigram LM quality scores (extensions/text.py::unigram_logprob,
+    the CCNet perplexity-filter shape with a corpus-fitted unigram
+    model).  Per-token log-probs round to integer micro-nats before the
+    per-document sum, so the reduction is an exact bigint in both
+    engines regardless of summation order."""
+    from xcube_resampling_spark.extensions.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "nll_micro")
+
+
+SQL_LM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x != '')) AS tok
+  FROM documents
+), model AS (
+  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+), consts AS (
+  SELECT CAST(SUM(tf) AS DOUBLE) + 0.5 * (COUNT(*) + 1.0) AS denom
+  FROM model
+), lp AS (
+  SELECT tok,
+         CAST(ROUND(ln((tf + 0.5) / (SELECT denom FROM consts))
+                    * 1000000) AS BIGINT) AS lpm
+  FROM model
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(-SUM(lp.lpm) AS BIGINT) AS nll_micro
+FROM toks t JOIN lp ON lp.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from xcube_resampling_spark.extensions.dedup import dedup_exact
 
@@ -4581,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "vocab_stats": q_vocab_stats,
+        "lm_quality": q_lm_quality,
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,
         "dedup_exact": q_dedup_exact,
@@ -4649,6 +4687,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "vocab_stats": SQL_VOCAB,
+        "lm_quality": SQL_LM_QUALITY,
         "corpus_sample": _sampling_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -1436,3 +1436,55 @@ class TestMixSources:
         out = mix_sources(self._df(spark), {"s0": 2.5})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------ #
+# unigram LM quality scoring
+
+
+class TestUnigramLogprob:
+    def test_repeated_common_tokens_score_low(self, spark):
+        from xcube_resampling_spark.extensions.text import unigram_logprob
+
+        docs = _docs(spark, [
+            "the cat sat on the mat",
+            "the the the the",
+            "zx qv kj wp",
+        ])
+        out = {r["doc_id"]: r["nll"]
+               for r in unigram_logprob(docs).collect()}
+        # common-token doc < mixed doc < rare-token gibberish
+        assert out[1] < out[0] < out[2]
+
+    def test_hand_computed_two_token_corpus(self, spark):
+        import math
+
+        from xcube_resampling_spark.extensions.text import unigram_logprob
+
+        docs = _docs(spark, ["a a a b"])
+        row = unigram_logprob(docs).collect()[0]
+        denom = 4 + 0.5 * (2 + 1)  # total + alpha*(|V|+1)
+        lpa = round(math.log(3.5 / denom) * 1e6)
+        lpb = round(math.log(1.5 / denom) * 1e6)
+        assert row["n_tokens"] == 4
+        assert row["nll_micro"] == -(3 * lpa + lpb)
+
+    def test_external_model_and_unseen_tokens(self, spark):
+        import math
+
+        from xcube_resampling_spark.extensions.text import unigram_logprob
+
+        model = _docs(spark, ["x y x"])
+        target = spark.createDataFrame(
+            [(100, "x z")], "doc_id long, text string")
+        row = unigram_logprob(target, model_docs=model).collect()[0]
+        denom = 3 + 0.5 * (2 + 1)
+        lpx = round(math.log(2.5 / denom) * 1e6)
+        lpz = round(math.log(0.5 / denom) * 1e6)  # unseen mass
+        assert row["nll_micro"] == -(lpx + lpz)
+
+    def test_empty_corpus(self, spark):
+        from xcube_resampling_spark.extensions.text import unigram_logprob
+
+        docs = _docs(spark, ["", "   "])
+        assert unigram_logprob(docs).count() == 0

@@ -307,3 +307,72 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             / F.col("norm_len"), 6
         ).alias("top_bigram_char_frac"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document unigram language-model score -- the CCNet-style
+    perplexity quality filter (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets"), with a corpus-fitted unigram
+    model standing in for their KenLM 5-gram: documents whose tokens
+    are improbable under a reference corpus (gibberish, boilerplate
+    soup, wrong language) score high and get cut at a threshold.
+
+    The model is additive-smoothed over ``model_docs`` (default: the
+    scored corpus itself -- self-perplexity):
+    ``P(tok) = (tf + alpha) / (total + alpha * (|V| + 1))``, with the
+    unseen-token mass at ``tf = 0``.  Returns one row per document:
+    ``(doc_id, n_tokens, nll)`` where ``nll`` is the mean negative
+    log-probability (= ln(perplexity)), rounded to 6dp.
+
+    Shape at scale: one map-side-combinable token aggregation fits the
+    model (|V| << corpus); scoring is an explode + broadcast join on
+    the token + one groupBy(doc_id) mean -- no windows, no driver data
+    beyond two scalar aggregates.
+    """
+    import math
+
+    src = model_docs if model_docs is not None else docs
+    toks_m = src.select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    model = toks_m.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total, vsize = model.agg(
+        F.sum("tf"), F.count(F.lit(1))
+    ).first()
+    if total is None:
+        total, vsize = 0, 0
+    denom = float(total) + alpha * (float(vsize) + 1.0)
+    # per-token log-probs rounded to integer micro-nats FIRST: the
+    # per-document reduction is then an exact bigint sum, immune to
+    # float summation order (partition count, engine) -- the same
+    # integer-micro-units pattern as text_stats.quality_score
+    lp_micro = model.select(
+        "tok",
+        F.round(
+            F.log((F.col("tf") + F.lit(float(alpha))) / F.lit(denom))
+            * 1_000_000
+        ).cast("bigint").alias("lpm"),
+    )
+    unseen_lpm = int(round(math.log(alpha / denom) * 1_000_000)) \
+        if denom > 0 else 0
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = (
+        toks.join(F.broadcast(lp_micro), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.coalesce(F.col("lpm"), F.lit(unseen_lpm))))
+            .alias("nll_micro"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "nll_micro",
+        F.round(F.col("nll_micro") / F.col("n_tokens") / 1_000_000, 6)
+        .alias("nll"),
+    )
