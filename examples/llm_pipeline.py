@@ -43,6 +43,7 @@ from xcube_resampling_spark.extensions.sampling import (  # noqa: E402
 )
 from xcube_resampling_spark.extensions.text import (  # noqa: E402
     text_stats,
+    unigram_logprob,
 )
 
 
@@ -62,13 +63,19 @@ def main(sf_dir: str) -> None:
     n0 = docs.count()
     print(f"corpus: {n0} documents")
 
-    # ---- 1. quality filter (Gopher-style gates on cheap signals)
+    # ---- 1. quality filter (Gopher-style gates on cheap signals +
+    # CCNet-style unigram LM perplexity: drop the worst-scoring tail)
     stats = text_stats(docs)
     keep = stats.filter(
         (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0)
     ).select("doc_id")
     docs = docs.join(keep, "doc_id")
-    print(f"after quality filter: {docs.count()}")
+    lm = unigram_logprob(docs)
+    cutoff = lm.agg(
+        F.expr("percentile_approx(nll, 0.98)")).first()[0]
+    docs = docs.join(
+        lm.filter(F.col("nll") <= cutoff).select("doc_id"), "doc_id")
+    print(f"after quality + perplexity filter: {docs.count()}")
 
     # ---- 2. PII scrub (regex detection + typed-placeholder rewrite)
     flagged = pii_stats(docs).filter(F.col("n_pii") > 0).count()
