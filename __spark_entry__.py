@@ -2844,6 +2844,62 @@ GROUP BY t.doc_id
 """
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup spans (extensions/dedup.py::
+    dedup_substring_spans, the Lee et al. 2021 shape): on the doc+clone
+    corpus every clone is fully covered by duplicated 8-token windows,
+    and any organic repeated passages contribute partial spans -- all
+    integer token positions, so the oracle comparison is exact."""
+    from xcube_resampling_spark.extensions.dedup import (
+        dedup_substring_spans,
+    )
+
+    return dedup_substring_spans(_docs2(spark, sf_dir), k=8)
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH d2 AS ({DOCS2_SQL}),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)),
+                     '\\s+'), x -> x != '') AS toks
+  FROM d2
+), g AS (
+  SELECT doc_id,
+     CAST(unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS INT)
+       AS pos,
+     unnest(list_transform(
+       range(0, CAST(len(toks) - 7 AS BIGINT)),
+       i -> md5(array_to_string(
+         list_slice(toks, CAST(i + 1 AS BIGINT),
+                    CAST(i + 8 AS BIGINT)), chr(31))))) AS gh
+  FROM t WHERE len(toks) >= 8
+), firsts AS (
+  SELECT gh, MIN(doc_id * 1000000 + pos) AS f, COUNT(*) AS cnt
+  FROM g GROUP BY gh
+), cuts AS (
+  SELECT g.doc_id, g.pos, g.pos + 8 AS e
+  FROM g JOIN firsts fs ON fs.gh = g.gh
+  WHERE fs.cnt > 1 AND g.doc_id * 1000000 + g.pos <> fs.f
+), marked AS (
+  SELECT doc_id, pos, e,
+     CASE WHEN pos > COALESCE(MAX(e) OVER (
+       PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+     THEN 1 ELSE 0 END AS brk
+  FROM cuts
+), grps AS (
+  SELECT doc_id, pos, e, SUM(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end
+FROM grps GROUP BY doc_id, grp
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from xcube_resampling_spark.extensions.dedup import dedup_exact
 
@@ -4623,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
+        "dedup_substring": q_dedup_substring,
         "pack_sequences": q_pack_sequences,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4692,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _corpus_mix_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
+        "dedup_substring": SQL_DEDUP_SUBSTRING,
         "pack_sequences": _pack_sequences_sql(),
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

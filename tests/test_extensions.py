@@ -1488,3 +1488,62 @@ class TestUnigramLogprob:
 
         docs = _docs(spark, ["", "   "])
         assert unigram_logprob(docs).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# exact-substring dedup spans
+
+
+class TestSubstringSpans:
+    def _spans(self, spark, rows, k):
+        from xcube_resampling_spark.extensions.dedup import (
+            dedup_substring_spans)
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup_substring_spans(df, k=k).collect()
+        )
+
+    def test_clone_fully_covered_first_kept(self, spark):
+        got = self._spans(spark, [
+            (1, "a b c d e f g h"),
+            (4, "a b c d e f g h"),
+        ], k=4)
+        # doc 1 is the global first: untouched; doc 4 fully covered
+        assert got == [(4, 0, 8)]
+
+    def test_partial_overlap_merges(self, spark):
+        got = self._spans(spark, [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e z"),
+        ], k=4)
+        # windows [2,6) and [3,7) of doc 2 merge into one span
+        assert got == [(2, 2, 7)]
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        got = self._spans(spark, [
+            (1, "p q r s 1 2 3 4 5 t u v w"),
+            (2, "p q r s 6 7 8 9 0 t u v w"),
+        ], k=4)
+        assert got == [(2, 0, 4), (2, 9, 13)]
+
+    def test_within_doc_repetition(self, spark):
+        got = self._spans(spark, [(1, "m n o p m n o p")], k=4)
+        # second occurrence of the 4-gram at pos 4 is cut
+        assert got == [(1, 4, 8)]
+
+    def test_short_docs_skipped(self, spark):
+        got = self._spans(spark, [(1, "a b"), (2, "a b")], k=4)
+        assert got == []
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from xcube_resampling_spark.extensions.dedup import (
+            dedup_substring_spans)
+
+        df = spark.createDataFrame([(1, "a")],
+                                   "doc_id long, text string")
+        with _pytest.raises(ValueError, match="k must be"):
+            dedup_substring_spans(df, k=1)

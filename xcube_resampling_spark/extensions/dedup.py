@@ -826,3 +826,85 @@ def dedup_paragraph(
             .alias("clean_hash"),
         )
     )
+
+
+def dedup_substring_spans(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    find every k-token window that occurs more than once in the corpus
+    and return, per document, the merged token spans covered by
+    NON-FIRST occurrences -- the text to cut, keeping exactly one copy
+    (the globally first by ``(doc_id, pos)``) of every duplicated
+    passage.  The reference implementation builds a suffix array; at
+    Spark scale the k-gram hash join reaches the same spans for
+    fixed-width windows without any global ordering structure.
+
+    Returns ``(doc_id, span_start, span_end)`` -- token positions,
+    end-exclusive, non-overlapping and sorted within each document.
+
+    100-TB shape: k-grams are generated ARRAY-SIDE (one ``transform``
+    over the token array -- a narrow projection, no explode of k x
+    corpus rows); the occurrence table is one map-side-combinable
+    ``groupBy(gram_hash)``; survivors come back via an equi-join (AQE
+    splits hot boilerplate grams); span merging is a window bounded by
+    a single document's length.  No cross joins, no global sort.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 tokens")
+    from pyspark.sql.window import Window
+
+    from .text import tokens_col
+
+    toks = F.filter(
+        tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+    )
+    # filter BEFORE building grams: sequence(0, n-k) with n < k would
+    # otherwise generate a DESCENDING range and feed slice() a
+    # non-positive start
+    base = docs.select("doc_id", toks.alias("toks")) \
+        .filter(F.size("toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.md5(
+            F.concat_ws("\x1f", F.slice(F.col("toks"), i + 1, k))),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gh"))
+    firsts = occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).filter(F.col("cnt") > 1)
+    cuts = occ.join(firsts, "gh").filter(
+        ~(
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.pos") == F.col("pos"))
+        )
+    ).select("doc_id", "pos", (F.col("pos") + k).alias("end"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = cuts.withColumn(
+        "brk",
+        (F.col("pos") > F.coalesce(prev_max, F.lit(-1)))
+        .cast("int"),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+        )
+    )
