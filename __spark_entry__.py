@@ -2872,7 +2872,7 @@ t AS (
        range(0, CAST(len(toks) - 7 AS BIGINT)),
        i -> md5(array_to_string(
          list_slice(toks, CAST(i + 1 AS BIGINT),
-                    CAST(i + 8 AS BIGINT)), chr(31))))) AS gh
+                    CAST(i + 8 AS BIGINT)), ' ')))) AS gh
   FROM t WHERE len(toks) >= 8
 ), firsts AS (
   SELECT gh, MIN(doc_id * 1000000 + pos) AS f, COUNT(*) AS cnt

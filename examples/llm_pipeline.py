@@ -70,7 +70,7 @@ def main(sf_dir: str) -> None:
         (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0)
     ).select("doc_id")
     docs = docs.join(keep, "doc_id")
-    lm = unigram_logprob(docs)
+    lm = unigram_logprob(docs).persist()  # cutoff + filter reuse it
     cutoff = lm.agg(
         F.expr("percentile_approx(nll, 0.98)")).first()[0]
     docs = docs.join(

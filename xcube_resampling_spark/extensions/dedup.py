@@ -844,7 +844,12 @@ def dedup_substring_spans(
     fixed-width windows without any global ordering structure.
 
     Returns ``(doc_id, span_start, span_end)`` -- token positions,
-    end-exclusive, non-overlapping and sorted within each document.
+    end-exclusive, non-overlapping within each document (row ORDER is
+    not guaranteed -- sort by ``span_start`` when applying cuts).
+    Caveat shared with the fixed-width approximation itself: for a
+    SELF-OVERLAPPING repeat inside one document (e.g. a run "a a a a",
+    k=2) the cut span can overlap the kept first window, so degenerate
+    runs may not retain one full intact copy.
 
     100-TB shape: k-grams are generated ARRAY-SIDE (one ``transform``
     over the token array -- a narrow projection, no explode of k x
@@ -863,17 +868,26 @@ def dedup_substring_spans(
         tokens_col(F.col(text_col)), lambda t: t != F.lit("")
     )
     # filter BEFORE building grams: sequence(0, n-k) with n < k would
-    # otherwise generate a DESCENDING range and feed slice() a
-    # non-positive start
+    # otherwise generate a DESCENDING range; the gram string joins
+    # tokens with " " (tokens are whitespace-split, so a space can
+    # never occur INSIDE one -- a control-char separator could, and
+    # would let different windows collide); k element_at lookups keep
+    # the whole projection in codegen (the exploded_shingles pattern,
+    # measured ~6x the transform+slice lambda)
     base = docs.select("doc_id", toks.alias("toks")) \
-        .filter(F.size("toks") >= k)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - k),
-        lambda i: F.md5(
-            F.concat_ws("\x1f", F.slice(F.col("toks"), i + 1, k))),
+        .withColumn("n", F.size("toks")).filter(F.col("n") >= k)
+    idx = base.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
     )
-    occ = base.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gh"))
+    occ = idx.select(
+        "doc_id", "pos",
+        F.md5(F.concat_ws(
+            " ", *[F.element_at("toks", F.col("pos") + 1 + r)
+                   for r in range(k)]
+        )).alias("gh"),
+    )
+    occ = _persist(occ)  # both sides of the firsts join read it
     firsts = occ.groupBy("gh").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("cnt"),

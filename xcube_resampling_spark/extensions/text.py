@@ -313,6 +313,7 @@ def unigram_logprob(
     docs: DataFrame,
     model_docs: DataFrame | None = None,
     alpha: float = 0.5,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document unigram language-model score -- the CCNet-style
     perplexity quality filter (Wenzek et al. 2020, "CCNet: Extracting
@@ -329,17 +330,26 @@ def unigram_logprob(
     log-probability (= ln(perplexity)), rounded to 6dp.
 
     Shape at scale: one map-side-combinable token aggregation fits the
-    model (|V| << corpus); scoring is an explode + broadcast join on
-    the token + one groupBy(doc_id) mean -- no windows, no driver data
-    beyond two scalar aggregates.
+    model (|V| << corpus); scoring is an explode + join on the token +
+    one groupBy(doc_id) sum -- no windows, no driver data beyond two
+    scalar aggregates.  The model joins broadcast by default; for a
+    web-scale vocabulary (10^8+ distinct tokens easily exceeds the
+    broadcast limit) pass ``broadcast_model=False`` to use a shuffle
+    join keyed by the token.
     """
     import math
 
+    if alpha <= 0:
+        raise ValueError(
+            f"alpha must be > 0 (the unseen-token mass), got {alpha}")
     src = model_docs if model_docs is not None else docs
     toks_m = src.select(
         F.explode(tokens_col(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    model = toks_m.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: the scalar totals job AND the scoring join both read
+    # it (vocabulary-sized, small relative to the corpus)
+    model = toks_m.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf")).persist()
     total, vsize = model.agg(
         F.sum("tf"), F.count(F.lit(1))
     ).first()
@@ -362,8 +372,9 @@ def unigram_logprob(
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
+    lp_side = F.broadcast(lp_micro) if broadcast_model else lp_micro
     per_doc = (
-        toks.join(F.broadcast(lp_micro), "tok", "left")
+        toks.join(lp_side, "tok", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
