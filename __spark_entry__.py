@@ -4626,6 +4626,243 @@ FROM rep
 
 
 # ------------------------------------------------------------------ #
+# round-7 folds: the driver's correctness gate checks at most 50 registry
+# entries, so the r6 tail (ann / event / multimodal / fused-rectify /
+# reproject-method singles) folds into tagged unions -- every operator
+# stays value-level-checked every round.  Harmonized superset schemas,
+# absent fields NULL per leg (precedent: affine_variants / vocab_stats).
+
+
+def q_rectify_fused(spark, sf_dir):
+    """Fused-kernel rectify (rectify_fused_tiled), nearest + bilinear in
+    one tagged union; both legs share the swath oracles."""
+    n = q_rectify_fused_nearest(spark, sf_dir).select(
+        F.lit("nearest").alias("variant"), "t", "j", "i", "value"
+    )
+    b = q_rectify_fused_bilinear(spark, sf_dir).select(
+        F.lit("bilinear").alias("variant"), "t", "j", "i", "value"
+    )
+    return n.unionByName(b)
+
+
+def _rectify_fused_sql():
+    return (
+        f"SELECT 'nearest' AS variant, q.* FROM ({SQL_RECTIFY}) q\n"
+        f"UNION ALL\n"
+        f"SELECT 'bilinear' AS variant, q.* FROM ({SQL_RECTIFY_BILINEAR}) q"
+    )
+
+
+def q_reproject_methods(spark, sf_dir):
+    """UTM 32632 -> LAEA 3035 reprojection, all three interpolation
+    methods (reference reproject.py:268-335) in one tagged union."""
+    out = None
+    for m in ("nearest", "bilinear", "triangular"):
+        d = _q_reproject(m)(spark, sf_dir).select(
+            F.lit(m).alias("variant"), "t", "j", "i", "value"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _reproject_methods_sql():
+    return "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS variant, q.* "
+        f"FROM ({_reproject_oracle_sql(m)}) q"
+        for m in ("nearest", "bilinear", "triangular")
+    )
+
+
+def q_ann_suite(spark, sf_dir):
+    """Embedding similarity suite in one tagged union:
+
+    * ``brute``: exact top-10 cosine (knn_brute_force shape).
+    * ``seed`` / ``kmeans`` / ``pq``: the three IVF/PQ index variants
+      (q_knn_ivf's union, unchanged).
+    * ``exact`` / ``semantic``: the two exact-cosine dedup strategies
+      (q_dedup_embedding_cosine's union, unchanged).
+
+    Superset schema (variant, cluster, id_a, id_b, score); pair legs
+    carry id_b, single-vector legs leave it NULL."""
+    nul = F.lit(None).cast("long")
+    brute = q_knn_brute_force(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), nul.alias("cluster"),
+        F.col("vec_id").alias("id_a"), nul.alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
+    ivf = q_knn_ivf(spark, sf_dir).select(
+        "variant", nul.alias("cluster"),
+        F.col("vec_id").alias("id_a"), nul.alias("id_b"), "score",
+    )
+    cos = q_dedup_embedding_cosine(spark, sf_dir).select(
+        "variant", "cluster", "id_a", "id_b",
+        F.col("cosine").alias("score"),
+    )
+    return brute.unionByName(ivf).unionByName(cos)
+
+
+def _ann_suite_sql():
+    return f"""
+SELECT 'brute' AS variant, CAST(NULL AS BIGINT) AS cluster,
+       vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b, cosine AS score
+FROM ({SQL_KNN}) q
+UNION ALL
+SELECT variant, CAST(NULL AS BIGINT) AS cluster, vec_id AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, score
+FROM ({SQL_KNN_IVF}) q
+UNION ALL
+SELECT variant, cluster, id_a, id_b, cosine AS score
+FROM ({_semantic_dedup_sql()}) q
+"""
+
+
+def q_event_suite(spark, sf_dir):
+    """Event analytics + relational baseline in one tagged union:
+
+    * ``windowed``: 1-hour tumbling windows (k1=win_start,
+      k3=event_type, n=n_events, v1=sum_value, v2=n_users).
+    * ``sessionize``: 30-min gap sessions (k1=start, k2=end,
+      k3=user_id, n=n_events, v1=sum_value).
+    * ``first_event``: stateful-streaming first event per user
+      (k1=first_ts_us, k2=first_event_id, k3=user_id, v1=first_value).
+    * ``pricing``: TPC-H Q1 on lineitem (k3=returnflag|linestatus,
+      n=count_order, v1=sum_qty, v2=sum_base_price, v3=sum_disc_price,
+      v4=avg_qty)."""
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    w = q_windowed_event_stats(spark, sf_dir).select(
+        F.lit("windowed").alias("leg"),
+        F.col("win_start").alias("k1"), nl.alias("k2"),
+        F.col("event_type").alias("k3"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v1"),
+        F.col("n_users").cast("double").alias("v2"),
+        nd.alias("v3"), nd.alias("v4"),
+    )
+    s = q_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("leg"),
+        F.col("session_start").alias("k1"),
+        F.col("session_end").alias("k2"),
+        F.col("user_id").cast("string").alias("k3"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v1"),
+        nd.alias("v2"), nd.alias("v3"), nd.alias("v4"),
+    )
+    fe = q_stream_first_event(spark, sf_dir).select(
+        F.lit("first_event").alias("leg"),
+        F.col("first_ts_us").alias("k1"),
+        F.col("first_event_id").alias("k2"),
+        F.col("user_id").cast("string").alias("k3"),
+        nl.alias("n"),
+        F.col("first_value").alias("v1"),
+        nd.alias("v2"), nd.alias("v3"), nd.alias("v4"),
+    )
+    pr = q_pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("leg"),
+        nl.alias("k1"), nl.alias("k2"),
+        F.concat_ws(
+            "|", "l_returnflag", "l_linestatus"
+        ).alias("k3"),
+        F.col("count_order").alias("n"),
+        F.col("sum_qty").alias("v1"),
+        F.col("sum_base_price").alias("v2"),
+        F.col("sum_disc_price").alias("v3"),
+        F.col("avg_qty").alias("v4"),
+    )
+    _ = ns
+    return w.unionByName(s).unionByName(fe).unionByName(pr)
+
+
+def _event_suite_sql():
+    return f"""
+SELECT 'windowed' AS leg, win_start AS k1, CAST(NULL AS BIGINT) AS k2,
+       event_type AS k3, n_events AS n, sum_value AS v1,
+       CAST(n_users AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM ({SQL_WINDOWED}) q
+UNION ALL
+SELECT 'sessionize' AS leg, session_start AS k1, session_end AS k2,
+       CAST(user_id AS VARCHAR) AS k3, n_events AS n, sum_value AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM ({SQL_SESSIONIZE}) q
+UNION ALL
+SELECT 'first_event' AS leg, first_ts_us AS k1, first_event_id AS k2,
+       CAST(user_id AS VARCHAR) AS k3, CAST(NULL AS BIGINT) AS n,
+       first_value AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+FROM ({SQL_STREAM_FIRST_EVENT}) q
+UNION ALL
+SELECT 'pricing' AS leg, CAST(NULL AS BIGINT) AS k1,
+       CAST(NULL AS BIGINT) AS k2,
+       l_returnflag || '|' || l_linestatus AS k3, count_order AS n,
+       sum_qty AS v1, sum_base_price AS v2, sum_disc_price AS v3,
+       avg_qty AS v4
+FROM ({SQL_PRICING}) q
+"""
+
+
+def q_multimodal_suite(spark, sf_dir):
+    """The three multimodal operators in one tagged union:
+
+    * ``features``: byte histogram stats (k1=n_bytes, v1=byte_mean,
+      v2=byte_entropy).
+    * ``resize``: per-output-byte resize check (k1=width, k2=height,
+      k3=pos, v1=byte).
+    * ``frames``: frame sampling (k1=frame_idx, k2=n_bytes,
+      s=frame_md5)."""
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    ft = q_multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("leg"), "media_id",
+        F.col("n_bytes").cast("long").alias("k1"),
+        nl.alias("k2"), nl.alias("k3"),
+        F.col("byte_mean").alias("v1"),
+        F.col("byte_entropy").alias("v2"),
+        ns.alias("s"),
+    )
+    rz = q_multimodal_resize(spark, sf_dir).select(
+        F.lit("resize").alias("leg"), "media_id",
+        F.col("width").cast("long").alias("k1"),
+        F.col("height").cast("long").alias("k2"),
+        F.col("pos").cast("long").alias("k3"),
+        F.col("byte").cast("double").alias("v1"),
+        nd.alias("v2"), ns.alias("s"),
+    )
+    fr = q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frames").alias("leg"), "media_id",
+        F.col("frame_idx").cast("long").alias("k1"),
+        F.col("n_bytes").cast("long").alias("k2"),
+        nl.alias("k3"), nd.alias("v1"), nd.alias("v2"),
+        F.col("frame_md5").alias("s"),
+    )
+    return ft.unionByName(rz).unionByName(fr)
+
+
+def _multimodal_suite_sql():
+    return f"""
+SELECT 'features' AS leg, media_id, CAST(n_bytes AS BIGINT) AS k1,
+       CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+       byte_mean AS v1, byte_entropy AS v2, CAST(NULL AS VARCHAR) AS s
+FROM ({SQL_MULTIMODAL_FEATURES}) q
+UNION ALL
+SELECT 'resize' AS leg, media_id, CAST(width AS BIGINT) AS k1,
+       CAST(height AS BIGINT) AS k2, CAST(pos AS BIGINT) AS k3,
+       CAST(byte AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM ({SQL_MULTIMODAL_RESIZE}) q
+UNION ALL
+SELECT 'frames' AS leg, media_id, CAST(frame_idx AS BIGINT) AS k1,
+       CAST(n_bytes AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       frame_md5 AS s
+FROM ({SQL_MULTIMODAL_FRAMES}) q
+"""
+
+
+# ------------------------------------------------------------------ #
 # contract surface
 
 
@@ -4646,8 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_levels": q_zarr_levels,
         "rectify_swath_nearest": q_rectify_swath_nearest,
         "rectify_swath_bilinear": _q_rectify("bilinear"),
-        "rectify_fused_nearest": q_rectify_fused_nearest,
-        "rectify_fused_bilinear": q_rectify_fused_bilinear,
+        "rectify_fused": q_rectify_fused,
         "rectify_swath_triangular": _q_rectify("triangular"),
         "rectify_swath_3d_nearest": q_rectify_swath_3d_nearest,
         "rectify_antimeridian": q_rectify_antimeridian,
@@ -4657,11 +4893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lon360_roundtrip": q_lon360_roundtrip,
         "resample_dispatch_affine": q_resample_dispatch_affine,
         "resample_identity": q_resample_identity,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "reproject_utm_to_laea": q_reproject_raster,
-        "reproject_utm_to_laea_bilinear": _q_reproject("bilinear"),
-        "reproject_utm_to_laea_triangular": q_reproject_triangular,
+        "multimodal_suite": q_multimodal_suite,
+        "reproject_methods": q_reproject_methods,
         "reproject_crs_families": q_reproject_crs_families,
         "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
         "zarr3_roundtrip": q_zarr3_roundtrip,
@@ -4687,14 +4920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "knn_brute_force": q_knn_brute_force,
-        "knn_ivf": q_knn_ivf,
-        "windowed_event_stats": q_windowed_event_stats,
-        "sessionize": q_sessionize,
-        "stream_first_event": q_stream_first_event,
-        "multimodal_features": q_multimodal_features,
-        "pricing_summary": q_pricing_summary,
+        "ann_suite": q_ann_suite,
+        "event_suite": q_event_suite,
     }
 
 
@@ -4707,13 +4934,10 @@ def oracle_sql() -> dict[str, str]:
         "store_roundtrip": SQL_CLIP,
         "zarr_roundtrip": SQL_ZARR_STORES,
         "zarr_levels": SQL_ZARR_LEVELS,
-        "multimodal_features": SQL_MULTIMODAL_FEATURES,
-        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
-        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+        "multimodal_suite": _multimodal_suite_sql(),
         "rectify_swath_nearest": SQL_RECTIFY,
         "rectify_swath_bilinear": SQL_RECTIFY_BILINEAR,
-        "rectify_fused_nearest": SQL_RECTIFY,
-        "rectify_fused_bilinear": SQL_RECTIFY_BILINEAR,
+        "rectify_fused": _rectify_fused_sql(),
         "rectify_swath_triangular": SQL_RECTIFY_TRIANGULAR,
         "rectify_swath_3d_nearest": SQL_RECTIFY_3D,
         "rectify_antimeridian": SQL_RECTIFY_ANTIMERIDIAN,
@@ -4723,10 +4947,7 @@ def oracle_sql() -> dict[str, str]:
         "lon360_roundtrip": SQL_LON360,
         "resample_dispatch_affine": SQL_AFFINE_SHIFT,
         "resample_identity": SQL_IDENTITY,
-        "reproject_utm_to_laea": _reproject_oracle_sql("nearest"),
-        "reproject_utm_to_laea_bilinear": _reproject_oracle_sql("bilinear"),
-        "reproject_utm_to_laea_triangular":
-            _reproject_oracle_sql("triangular"),
+        "reproject_methods": _reproject_methods_sql(),
         "reproject_crs_families": _reproject_families_oracle_sql(),
         "zarr_roundtrip_blosc": SQL_CLIP,
         "zarr3_roundtrip": SQL_CLIP,
@@ -4757,11 +4978,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": SQL_DEDUP_PIPELINE,
         "dedup_embedding_cosine_lsh": _sql_dedup_emb_lsh(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
-        "dedup_embedding_cosine": _semantic_dedup_sql(),
-        "knn_brute_force": SQL_KNN,
-        "knn_ivf": SQL_KNN_IVF,
-        "windowed_event_stats": SQL_WINDOWED,
-        "sessionize": SQL_SESSIONIZE,
-        "stream_first_event": SQL_STREAM_FIRST_EVENT,
-        "pricing_summary": SQL_PRICING,
+        "ann_suite": _ann_suite_sql(),
+        "event_suite": _event_suite_sql(),
     }

@@ -187,7 +187,10 @@ def bench_reproject(spark):
 def _entry_query(name):
     import __spark_entry__ as entry_mod
 
-    fn = entry_mod.queries()[name]
+    # registry keys fold into tagged unions over time (driver gate caps
+    # at 50 entries); the bench series keeps the original query names by
+    # falling back to the still-defined q_<name> builders
+    fn = entry_mod.queries().get(name) or getattr(entry_mod, "q_" + name)
 
     def run(spark):
         return fn(spark, SF_DIR).count()
