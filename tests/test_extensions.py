@@ -1489,6 +1489,19 @@ class TestUnigramLogprob:
         docs = _docs(spark, ["", "   "])
         assert unigram_logprob(docs).count() == 0
 
+    def test_release_cached_unpersists_model(self, spark):
+        from xcube_resampling_spark.extensions import text as text_mod
+
+        text_mod.release_cached()  # clean slate
+        docs = _docs(spark, ["a a b"])
+        text_mod.unigram_logprob(docs).count()
+        assert len(text_mod._PERSISTED) == 1
+        model = text_mod._PERSISTED[0]
+        assert model.storageLevel.useMemory
+        text_mod.release_cached()
+        assert not text_mod._PERSISTED
+        assert not model.storageLevel.useMemory
+
 
 # ------------------------------------------------------------------ #
 # exact-substring dedup spans

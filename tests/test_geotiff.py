@@ -568,6 +568,65 @@ class TestReviewRegressions:
         assert gm1.y_max == gm0.y_max
         assert gm1.xy_res == (20, 20)
 
+    def test_parse_ifd_srational_and_undefined(self):
+        # SRATIONAL (type 10) decodes signed pairs; UNDEFINED (type 7)
+        # keeps raw bytes -- neither is silently dropped
+        import struct
+
+        from xcube_resampling_spark.sources.geotiff import (
+            BytesRangeReader, _parse_ifd,
+        )
+
+        # classic little-endian IFD at offset 0: 2 entries + next=0,
+        # SRATIONAL value out-of-line at offset 30
+        ifd = struct.pack("<H", 2)
+        ifd += struct.pack("<HHI", 37380, 10, 1) + struct.pack("<I", 30)
+        ifd += struct.pack("<HHI", 700, 7, 4) + b"\x01\x02\x03\x04"
+        ifd += struct.pack("<I", 0)  # next IFD
+        assert len(ifd) == 30
+        ifd += struct.pack("<ii", -3, 2)  # -1.5
+        tags, nxt = _parse_ifd(BytesRangeReader(ifd), 0, "<", False)
+        assert nxt == 0
+        assert tags[37380] == (10, (-1.5,))
+        assert tags[700] == (7, (b"\x01\x02\x03\x04",))
+
+    def test_j_axis_up_write_not_flipped(self, spark, tmp_path):
+        # a j-up grid counts rows upward from y_min; the writer must
+        # remap j -> h-1-j so the file's top row holds the y_max data
+        # (it silently wrote a vertically flipped file before r7)
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        h, w = 17, 16
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        gm = GridMapping.regular(
+            (w, h), (10.0, 50.0), 0.5, "EPSG:4326", is_j_axis_up=True,
+        )
+        path = str(tmp_path / "jup.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), gm=gm, tile_size=16,
+            dtype="float64",
+        )
+        back = (read_geotiff(spark, path).toPandas()
+                .sort_values(["j", "i"]))
+        got = back["value"].to_numpy().reshape(h, w)
+        # read_geotiff yields j-down rows: row 0 = y_max edge = the
+        # j-up grid's LAST row
+        assert np.allclose(got, vals[0][::-1])
+        gm_back = read_geotiff_grid_mapping(path)
+        assert gm_back.xy_bbox == (10.0, 50.0, 18.0, 58.5)
+
+        # the raw crs+xy_min path takes the same remap via j_axis_up=
+        path2 = str(tmp_path / "jup_raw.tif")
+        write_geotiff(
+            _pixels(spark, vals), path2, (h, w), crs="EPSG:4326",
+            xy_min=(10.0, 50.0), xy_res=0.5, tile_size=16,
+            dtype="float64", j_axis_up=True,
+        )
+        got2 = (read_geotiff(spark, path2).toPandas()
+                .sort_values(["j", "i"])["value"]
+                .to_numpy().reshape(h, w))
+        assert np.allclose(got2, vals[0][::-1])
+
     def test_int_nan_without_nodata_raises(self, spark, tmp_path):
         # an explicit NaN VALUE row (decode_cf reads produce these);
         # _pixels would drop it as an absent pixel, so build directly

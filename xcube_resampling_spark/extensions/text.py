@@ -10,6 +10,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# LM model frames persisted by unigram_logprob -- same release pattern
+# as packing._PERSISTED / dedup._PERSISTED: a long-lived session calls
+# release_cached() between corpora so vocabulary tables don't pile up
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist model DataFrames cached by operators in this module."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 # language-ID marker words (tiny per-language stopword profiles);
 # heuristic n-gram/stopword language identification
 LANG_MARKERS = {
@@ -347,9 +359,11 @@ def unigram_logprob(
         F.explode(tokens_col(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
     # persisted: the scalar totals job AND the scoring join both read
-    # it (vocabulary-sized, small relative to the corpus)
+    # it (vocabulary-sized, small relative to the corpus); tracked in
+    # _PERSISTED so release_cached() can free it
     model = toks_m.groupBy("tok").agg(
         F.count(F.lit(1)).alias("tf")).persist()
+    _PERSISTED.append(model)
     total, vsize = model.agg(
         F.sum("tf"), F.count(F.lit(1))
     ).first()

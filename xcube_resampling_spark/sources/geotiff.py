@@ -483,14 +483,17 @@ def _parse_ifd(rr: RangeReader, off: int, bo: str, big: bool):
         if typ == 2:  # ASCII
             tags[tag] = (typ, (data.split(b"\x00")[0].decode(
                 "ascii", errors="replace"),))
-        elif typ == 5:  # RATIONAL
-            vals = struct.unpack(bo + "%dI" % (2 * cnt), data)
+        elif typ in (5, 10):  # RATIONAL / SRATIONAL
+            vals = struct.unpack(
+                bo + "%d%s" % (2 * cnt, "I" if typ == 5 else "i"), data)
             tags[tag] = (typ, tuple(
                 vals[2 * i] / vals[2 * i + 1] if vals[2 * i + 1] else 0.0
                 for i in range(cnt)))
         elif typ in _TYPE_FMT:
             tags[tag] = (typ, struct.unpack(
                 bo + "%d%s" % (cnt, _TYPE_FMT[typ]), data))
+        else:  # UNDEFINED (7): keep raw bytes rather than drop the tag
+            tags[tag] = (typ, (data,))
     (nxt,) = struct.unpack(
         bo + cfmt, blob[count * ent_sz:count * ent_sz + (8 if big else 4)]
     )
@@ -1039,6 +1042,7 @@ def write_geotiff(
     bigtiff: bool = False,
     overviews: int = 0,
     chunk_put: ChunkPut | None = None,
+    j_axis_up: bool = False,
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as ONE tiled GeoTIFF
     (COG layout: IFD chain up front, tile data behind, optional 2x
@@ -1095,6 +1099,17 @@ def write_geotiff(
         sx, sy = xy_res
         x0, y0 = xy_min[0], xy_min[1] + sy * h
     geo_dir, geo_ascii = _geokeys_for_crs(crs_obj)
+
+    # TIFF rows are written top-first with the tiepoint at y_max; a
+    # j-up grid (row j=0 = y_min, as base.y_coords models) must remap
+    # j -> h-1-j or the file comes out vertically flipped with no error
+    flip_j = bool(gm.is_j_axis_up) if gm is not None else bool(j_axis_up)
+    if flip_j:
+        src = src.select(
+            "t",
+            (F.lit(int(h) - 1) - F.col("j")).cast("int").alias("j"),
+            "i", "value",
+        )
 
     put = chunk_put if chunk_put is not None else FsChunkPut(
         path + ".parts")
