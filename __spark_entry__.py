@@ -2846,19 +2846,55 @@ GROUP BY t.doc_id
 
 def q_dedup_substring(spark, sf_dir):
     """Exact-substring dedup spans (extensions/dedup.py::
-    dedup_substring_spans, the Lee et al. 2021 shape): on the doc+clone
-    corpus every clone is fully covered by duplicated 8-token windows,
-    and any organic repeated passages contribute partial spans -- all
-    integer token positions, so the oracle comparison is exact."""
+    dedup_substring_spans, the Lee et al. 2021 shape), two legs:
+
+    * ``corpus``: the doc+clone corpus at k=8 -- every clone is fully
+      covered by duplicated 8-token windows, organic repeats contribute
+      partial spans.
+    * ``runs``: degenerate self-overlapping repeats at k=2 -- each doc
+      is its own first token repeated 10 times, so every window after
+      pos 0 duplicates window 0.  The cut span must start at 2 (not 1):
+      the kept first copy survives intact (the r6 caveat, now fixed by
+      the clamp in dedup_substring_spans).
+
+    All integer token positions, so the oracle comparison is exact."""
     from xcube_resampling_spark.extensions.dedup import (
         dedup_substring_spans,
     )
+    from xcube_resampling_spark.extensions.text import tokens_col
 
-    return dedup_substring_spans(_docs2(spark, sf_dir), k=8)
+    corpus = dedup_substring_spans(_docs2(spark, sf_dir), k=8).select(
+        F.lit("corpus").alias("leg"), "doc_id", "span_start", "span_end",
+    )
+    runs_src = _docs(spark, sf_dir).filter(F.col("doc_id") < 5).select(
+        "doc_id",
+        F.array_join(
+            F.array_repeat(
+                F.element_at(
+                    F.filter(
+                        tokens_col(F.col("text")),
+                        lambda t: t != F.lit(""),
+                    ),
+                    1,
+                ),
+                10,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    runs = dedup_substring_spans(runs_src, k=2).select(
+        F.lit("runs").alias("leg"), "doc_id", "span_start", "span_end",
+    )
+    return corpus.unionByName(runs)
 
 
-SQL_DEDUP_SUBSTRING = f"""
-WITH d2 AS ({DOCS2_SQL}),
+def _substring_spans_sql(src_sql: str, k: int) -> str:
+    """DuckDB twin of dedup_substring_spans(src, k) -- k-gram hash
+    occurrence table, global-first selection via the doc_id*1e6+pos
+    lexicographic encoding, same-doc self-overlap clamp, doc-bounded
+    span merge."""
+    return f"""
+WITH d2 AS ({src_sql}),
 t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(text)),
@@ -2866,19 +2902,24 @@ t AS (
   FROM d2
 ), g AS (
   SELECT doc_id,
-     CAST(unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS INT)
+     CAST(unnest(range(0, CAST(len(toks) - {k - 1} AS BIGINT))) AS INT)
        AS pos,
      unnest(list_transform(
-       range(0, CAST(len(toks) - 7 AS BIGINT)),
+       range(0, CAST(len(toks) - {k - 1} AS BIGINT)),
        i -> md5(array_to_string(
          list_slice(toks, CAST(i + 1 AS BIGINT),
-                    CAST(i + 8 AS BIGINT)), ' ')))) AS gh
-  FROM t WHERE len(toks) >= 8
+                    CAST(i + {k} AS BIGINT)), ' ')))) AS gh
+  FROM t WHERE len(toks) >= {k}
 ), firsts AS (
   SELECT gh, MIN(doc_id * 1000000 + pos) AS f, COUNT(*) AS cnt
   FROM g GROUP BY gh
 ), cuts AS (
-  SELECT g.doc_id, g.pos, g.pos + 8 AS e
+  SELECT g.doc_id,
+     CASE WHEN g.doc_id = fs.f // 1000000
+               AND g.pos < fs.f % 1000000 + {k}
+          THEN CAST(fs.f % 1000000 + {k} AS INT)
+          ELSE g.pos END AS pos,
+     g.pos + {k} AS e
   FROM g JOIN firsts fs ON fs.gh = g.gh
   WHERE fs.cnt > 1 AND g.doc_id * 1000000 + g.pos <> fs.f
 ), marked AS (
@@ -2898,6 +2939,22 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(MAX(e) AS BIGINT) AS span_end
 FROM grps GROUP BY doc_id, grp
 """
+
+
+_RUNS_SRC_SQL = """
+  SELECT doc_id,
+         trim(repeat(
+           list_filter(regexp_split_to_array(trim(lower(text)),
+                       '\\s+'), x -> x != '')[1] || ' ', 10)) AS text
+  FROM documents WHERE doc_id < 5
+"""
+
+SQL_DEDUP_SUBSTRING = (
+    "SELECT 'corpus' AS leg, q.* FROM ("
+    + _substring_spans_sql(DOCS2_SQL, 8) + ") q\nUNION ALL\n"
+    "SELECT 'runs' AS leg, q.* FROM ("
+    + _substring_spans_sql(_RUNS_SRC_SQL, 2) + ") q"
+)
 
 
 def q_dedup_exact(spark, sf_dir):

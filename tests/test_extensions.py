@@ -1550,6 +1550,21 @@ class TestSubstringSpans:
         got = self._spans(spark, [(1, "a b"), (2, "a b")], k=4)
         assert got == []
 
+    def test_self_overlapping_run_keeps_intact_copy(self, spark):
+        # "a a a a a a" at k=2: windows 1..4 all duplicate window 0.
+        # Without the clamp the cut span was [1,6) -- the kept first
+        # window [0,2) lost token 1.  The clamp starts the cut at 2.
+        got = self._spans(spark, [(1, "a a a a a a")], k=2)
+        assert got == [(1, 2, 6)]
+
+    def test_run_duplicate_across_docs_fully_cut(self, spark):
+        # the first doc keeps one intact window; the later doc (no
+        # same-doc first window) is cut entirely
+        got = self._spans(spark, [
+            (1, "a a a a"), (2, "a a a a"),
+        ], k=2)
+        assert got == [(1, 2, 4), (2, 0, 4)]
+
     def test_k_validation(self, spark):
         import pytest as _pytest
 

@@ -846,10 +846,10 @@ def dedup_substring_spans(
     Returns ``(doc_id, span_start, span_end)`` -- token positions,
     end-exclusive, non-overlapping within each document (row ORDER is
     not guaranteed -- sort by ``span_start`` when applying cuts).
-    Caveat shared with the fixed-width approximation itself: for a
-    SELF-OVERLAPPING repeat inside one document (e.g. a run "a a a a",
-    k=2) the cut span can overlap the kept first window, so degenerate
-    runs may not retain one full intact copy.
+    SELF-OVERLAPPING repeats inside one document (e.g. a run
+    "a a a a", k=2) clamp their cut start past the kept first window,
+    so degenerate runs always retain one full intact copy of the
+    duplicated k-window.
 
     100-TB shape: k-grams are generated ARRAY-SIDE (one ``transform``
     over the token array -- a narrow projection, no explode of k x
@@ -897,7 +897,21 @@ def dedup_substring_spans(
             (F.col("first.doc_id") == F.col("doc_id"))
             & (F.col("first.pos") == F.col("pos"))
         )
-    ).select("doc_id", "pos", (F.col("pos") + k).alias("end"))
+    ).select(
+        "doc_id",
+        # self-overlap guard: an occurrence that overlaps the kept
+        # first window IN THE SAME document (degenerate runs like
+        # "a a a a" at k=2, where windows at pos 1..n-k all repeat
+        # window 0) starts its cut AFTER that window, so the kept
+        # first copy survives intact.  first.pos <= pos within the
+        # same doc (min-struct), so the clamped start stays < end.
+        F.when(
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("pos") < F.col("first.pos") + k),
+            F.col("first.pos") + k,
+        ).otherwise(F.col("pos")).alias("pos"),
+        (F.col("pos") + k).alias("end"),
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
