@@ -4868,7 +4868,14 @@ def q_multimodal_suite(spark, sf_dir):
     * ``resize``: per-output-byte resize check (k1=width, k2=height,
       k3=pos, v1=byte).
     * ``frames``: frame sampling (k1=frame_idx, k2=n_bytes,
-      s=frame_md5)."""
+      s=frame_md5).
+    * ``png`` / ``bmp``: REAL codec round-trips -- payloads are
+      encoded executor-side with the clean-room PNG/BMP encoders
+      (extensions/imagecodec.py), decoded back with decode_image, and
+      every decoded byte is oracle-checked (the codecs are lossless,
+      so decoded bytes equal the deterministic tiling of the document
+      text the DuckDB twin replays).  Same column mapping as
+      ``resize``."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
@@ -4895,7 +4902,36 @@ def q_multimodal_suite(spark, sf_dir):
         nl.alias("k3"), nd.alias("v1"), nd.alias("v2"),
         F.col("frame_md5").alias("s"),
     )
-    return ft.unionByName(rz).unionByName(fr)
+    out = ft.unionByName(rz).unionByName(fr)
+    from xcube_resampling_spark.extensions.multimodal import (
+        decode_images,
+        encode_images,
+    )
+
+    media = _media(spark, sf_dir)
+    for codec in ("png", "bmp"):
+        dec = decode_images(encode_images(media, codec))
+        hexed = dec.select(
+            "media_id", "width", "height", F.hex("pixels").alias("hx")
+        )
+        leg = hexed.select(
+            "media_id", "width", "height",
+            F.explode(F.sequence(
+                F.lit(0), F.col("width") * F.col("height") * 3 - 1
+            )).alias("pos"),
+            "hx",
+        ).select(
+            F.lit(codec).alias("leg"), "media_id",
+            F.col("width").cast("long").alias("k1"),
+            F.col("height").cast("long").alias("k2"),
+            F.col("pos").cast("long").alias("k3"),
+            F.conv(
+                F.substring(F.col("hx"), F.col("pos") * 2 + 1, 2), 16, 10
+            ).cast("double").alias("v1"),
+            nd.alias("v2"), ns.alias("s"),
+        )
+        out = out.unionByName(leg)
+    return out
 
 
 def _multimodal_suite_sql():
@@ -4916,6 +4952,25 @@ SELECT 'frames' AS leg, media_id, CAST(frame_idx AS BIGINT) AS k1,
        CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
        frame_md5 AS s
 FROM ({SQL_MULTIMODAL_FRAMES}) q
+UNION ALL
+SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
+  WITH m AS (
+    SELECT doc_id AS media_id, text,
+           CAST(4 + (doc_id % 9) // 3 AS INT) AS w, 4 AS h
+    FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 0
+  ),
+  p AS (
+    SELECT media_id, text, w, h, CAST(k AS INT) AS pos
+    FROM m, generate_series(0, 71) t(k) WHERE k < w * h * 3
+  )
+  SELECT c.leg, media_id, CAST(w AS BIGINT) AS k1,
+         CAST(h AS BIGINT) AS k2, CAST(pos AS BIGINT) AS k3,
+         CAST(ascii(substr(
+           text, CAST(pos % length(text) AS INT) + 1, 1)) AS DOUBLE)
+           AS v1,
+         CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
+  FROM p CROSS JOIN (VALUES ('png'), ('bmp')) AS c(leg)
+) q
 """
 
 

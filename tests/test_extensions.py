@@ -398,14 +398,18 @@ def test_sample_frames(spark):
     assert by_media == {2: [0, 2, 4], 5: [0, 2, 4]}
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_non_png_bmp_is_stubbed():
+    # PNG/BMP decode natively (clean-room codecs, test_imagecodec.py);
+    # formats needing external libraries still raise loudly
     from xcube_resampling_spark.extensions.multimodal import (
         DecoderNotAvailable,
         decode_image,
     )
 
     with pytest.raises(DecoderNotAvailable):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff.jpeg.")
+    with pytest.raises(DecoderNotAvailable):
+        decode_image(b"")
 
 
 # ------------------------------------------------------------------ #

@@ -1,0 +1,234 @@
+"""Clean-room PNG/BMP codec tests (extensions/imagecodec.py) and the
+real-decode multimodal operators built on them."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.extensions.imagecodec import (
+    PNG_SIGNATURE,
+    decode_bmp,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    sniff_image_format,
+    to_rgb,
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _hand_png(img: np.ndarray, ftypes, ctype=2, depth=8,
+              plte: bytes | None = None) -> bytes:
+    """Reference encoder independent of encode_png: explicit filter
+    type per row, optional palette."""
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    bpp = max(1, c * depth // 8)
+    flat = img.reshape(h, -1).astype(np.int64)
+    raw = b""
+    prev = np.zeros(flat.shape[1], np.int64)
+    for j, ft in enumerate(ftypes):
+        cur = flat[j]
+        n = len(cur)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - left) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) % 256
+        else:  # paeth
+            enc = np.empty(n, np.int64)
+            for i in range(n):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else cc)
+                enc[i] = (cur[i] - pred) % 256
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+class TestPng:
+    def test_rgb_roundtrip(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+    def test_gray_and_rgba_roundtrip(self):
+        rng = np.random.default_rng(8)
+        g = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+        out = decode_png(encode_png(g))
+        assert out.shape == (5, 9, 1)
+        assert (out[..., 0] == g).all()
+        a = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+        assert (decode_png(encode_png(a)) == a).all()
+
+    def test_all_five_filters(self):
+        # one row per filter type, built by the independent reference
+        # encoder -- exercises the decoder's Sub/Up/Average/Paeth paths
+        # regardless of what encode_png chooses
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        assert (decode_png(_hand_png(img, [0, 1, 2, 3, 4])) == img).all()
+
+    def test_palette8(self):
+        rng = np.random.default_rng(10)
+        plte = bytes(rng.integers(0, 256, 12, dtype=np.uint8))  # 4 colors
+        idx = rng.integers(0, 4, (6, 5), dtype=np.uint8)
+        png = _hand_png(idx, [0] * 6, ctype=3, plte=plte)
+        got = decode_png(png)
+        want = np.frombuffer(plte, np.uint8).reshape(4, 3)[idx]
+        assert (got == want).all()
+
+    def test_gray_depth1_scaling(self):
+        # 1-bit gray: w=10 -> stride 2, packed MSB-first, 1 -> 255
+        bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]], np.uint8)
+        packed = np.packbits(bits, axis=1)
+        ihdr = struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0)
+        raw = b"\x00" + packed.tobytes()
+        png = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(raw))
+               + _chunk(b"IEND", b""))
+        got = decode_png(png)
+        assert got.shape == (1, 10, 1)
+        assert (got[0, :, 0] == bits[0] * 255).all()
+
+    def test_crc_mismatch_raises(self):
+        png = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+        png[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(png))
+
+    def test_interlace_and_16bit_raise(self):
+        ihdr7 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+        png7 = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr7)
+                + _chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            decode_png(png7)
+        ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        png16 = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr16)
+                 + _chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match="16-bit"):
+            decode_png(png16)
+
+    def test_bad_signature_raises(self):
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"JFIF....")
+
+    def test_to_rgb_shapes(self):
+        assert to_rgb(np.zeros((2, 3), np.uint8)).shape == (2, 3, 3)
+        assert to_rgb(np.zeros((2, 3, 2), np.uint8)).shape == (2, 3, 3)
+        assert to_rgb(np.zeros((2, 3, 4), np.uint8)).shape == (2, 3, 3)
+
+
+class TestBmp:
+    def test_rgb_roundtrip_with_padding(self):
+        # w=5: 15 bytes/row -> padded to 16
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    def test_top_down(self):
+        img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(4, 2, 3)
+        data = bytearray(encode_bmp(img))
+        # flip height sign -> top-down; rows must be reinterpreted
+        h = struct.unpack("<i", data[22:26])[0]
+        data[22:26] = struct.pack("<i", -h)
+        got = decode_bmp(bytes(data))
+        assert (got == img[::-1]).all()
+
+    def test_palette8(self):
+        pal = bytes(
+            b for i in range(4) for b in (i * 10, i * 20, i * 30, 0))
+        idx = np.array([[0, 1], [2, 3]], np.uint8)
+        rows = np.zeros((2, 4), np.uint8)  # w=2 -> padded to 4
+        rows[:, :2] = idx[::-1]  # bottom-up
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8,
+                           2835, 2835, 4, 0)
+        off = 14 + 40 + len(pal)
+        hdr = struct.pack("<2sIHHI", b"BM", off + 8, 0, 0, off)
+        got = decode_bmp(hdr + info + pal + rows.tobytes())
+        # stored BGRA -> RGB
+        want = np.array(
+            [[i * 30, i * 20, i * 10] for i in range(4)],
+            np.uint8)[idx]
+        assert (got == want).all()
+
+    def test_32bit(self):
+        img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+        bgrx = np.zeros((2, 2, 4), np.uint8)
+        bgrx[..., 0] = img[..., 2]
+        bgrx[..., 1] = img[..., 1]
+        bgrx[..., 2] = img[..., 0]
+        rows = bgrx[::-1].reshape(2, 8)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, 16,
+                           2835, 2835, 0, 0)
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 54)
+        assert (decode_bmp(hdr + info + rows.tobytes()) == img).all()
+
+    def test_compressed_raises(self):
+        data = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+        data[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        with pytest.raises(NotImplementedError, match="compression"):
+            decode_bmp(bytes(data))
+
+
+class TestSniffAndDispatch:
+    def test_sniff(self):
+        assert sniff_image_format(
+            encode_png(np.zeros((2, 2, 3), np.uint8))) == "png"
+        assert sniff_image_format(
+            encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
+        assert sniff_image_format(b"\xff\xd8\xff") is None
+
+    def test_decode_image_dispatch(self):
+        from xcube_resampling_spark.extensions.multimodal import (
+            DecoderNotAvailable, decode_image,
+        )
+
+        img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        assert (decode_image(encode_png(img)) == img).all()
+        assert (decode_image(encode_bmp(img)) == img).all()
+        with pytest.raises(DecoderNotAvailable):
+            decode_image(b"\xff\xd8\xffJPEG...")
+
+
+class TestSparkOperators:
+    def test_encode_then_decode_images(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            _fake_decode_rgb,
+            decode_images,
+            encode_images,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 9)
+        for codec in ("png", "bmp"):
+            out = decode_images(encode_images(media, codec)).collect()
+            assert out  # image rows only
+            for r in out:
+                src = [
+                    m for m in media.collect()
+                    if m["media_id"] == r["media_id"]][0]
+                want = _fake_decode_rgb(
+                    src["payload"], src["width"], src["height"])
+                got = np.frombuffer(r["pixels"], np.uint8).reshape(
+                    r["height"], r["width"], 3)
+                assert (got == want).all(), (codec, r["media_id"])

@@ -46,11 +46,32 @@ class DecoderNotAvailable(NotImplementedError):
     """Raised where a real image/audio codec would be invoked."""
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real implementation would be PIL/libjpeg.  This environment
-    has no codecs; see _fake_decode_rgb for the deterministic test fake."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to (h, w, 3) uint8 RGB.
+
+    PNG and BMP decode natively through the clean-room codecs in
+    :mod:`.imagecodec` (zlib + numpy, spec-derived -- no imaging
+    library).  Other formats (JPEG, WebP, ...) require external
+    codec libraries absent from this build and raise
+    :class:`DecoderNotAvailable`; ``_fake_decode_rgb`` remains the
+    deterministic stand-in for those in tests.
+    """
+    from .imagecodec import (
+        decode_bmp,
+        decode_png,
+        sniff_image_format,
+        to_rgb,
+    )
+
+    fmt = sniff_image_format(payload or b"")
+    if fmt == "png":
+        return to_rgb(decode_png(payload))
+    if fmt == "bmp":
+        return decode_bmp(payload)
     raise DecoderNotAvailable(
-        "image decoding requires PIL/opencv, not available in this build"
+        "only PNG and BMP decode natively (clean-room codecs in "
+        "imagecodec.py); JPEG/audio/video decoding requires external "
+        "libraries not available in this build"
     )
 
 
@@ -188,6 +209,75 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(
+        compute, schema
+    )
+
+
+def encode_images(
+    media: DataFrame, codec: str = "png"
+) -> DataFrame:
+    """Re-encode image payloads to a real container format (PNG or
+    BMP, clean-room codecs): payload bytes are interpreted through
+    :func:`decode_image` when they already sniff as PNG/BMP, else
+    through the deterministic tiling fake, then encoded executor-side.
+    Returns the media frame with ``payload`` replaced -- a narrow
+    ``mapInPandas`` pass, no shuffle."""
+    from .imagecodec import encode_bmp, encode_png, sniff_image_format
+
+    if codec not in ("png", "bmp"):
+        raise ValueError(f"codec must be png or bmp, got {codec!r}")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for w, h, payload in zip(
+                pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w = 4 if pd.isna(w) else int(w)
+                h = 4 if pd.isna(h) else int(h)
+                payload = payload or b""
+                if sniff_image_format(payload):
+                    img = decode_image(payload)
+                else:
+                    img = _fake_decode_rgb(payload, w, h)
+                payloads.append(
+                    encode_png(img) if codec == "png" else encode_bmp(img)
+                )
+            out["payload"] = payloads
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        compute, media.schema
+    )
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Real image decode (PNG/BMP): one row per image with the raw RGB
+    bytes -- ``(media_id, width, height, pixels)``, pixels in row-major
+    (h, w, 3) order.  A narrow ``mapInPandas`` pass; payloads that are
+    neither PNG nor BMP raise ``DecoderNotAvailable`` loudly."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("pixels", T.BinaryType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload or b"")
+                h, w = img.shape[:2]
+                rows.append((mid, w, h, img.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
         compute, schema
     )
 
