@@ -2716,12 +2716,25 @@ def q_pack_sequences(spark, sf_dir):
     'span' rows are the (doc x sequence) overlap plan at seq_len=64,
     'stat' rows the per-sequence packing summary.  The Spark side uses
     the two-phase range-partitioned prefix sum (no global sort); the
-    oracle's plain ORDER BY window is the semantic twin."""
+    oracle's plain ORDER BY window is the semantic twin.
+
+    'bpe_tok' / 'bpe_span' legs run the REAL tokenizer (extensions/
+    bpe.py, Sennrich BPE with the pinned 40-rule merge table): bpe_tok
+    value-checks every document's full token sequence (count + hash32
+    of the joined tokens), bpe_span re-packs at seq_len=64 using BPE
+    token counts through pack_sequences(n_tokens_col=...) -- the
+    whitespace-count seam the packing docstring flags, now closed."""
+    from xcube_resampling_spark.extensions.bpe import (
+        bpe_token_count_col,
+        bpe_tokenize,
+        pinned_merges,
+    )
     from xcube_resampling_spark.extensions.packing import (
         pack_sequences,
         packing_stats,
         shuffle_shards,
     )
+    from xcube_resampling_spark.extensions.text import hash32
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     plan = pack_sequences(docs, seq_len=64, n_buckets=16)
@@ -2744,14 +2757,40 @@ def q_pack_sequences(spark, sf_dir):
         F.lit(0).cast("bigint").alias("v2"),
         F.lit(0).cast("bigint").alias("v3"),
     )
-    return spans.unionByName(stats).unionByName(shards)
+    merges = pinned_merges(40)
+    bpe_tok = bpe_tokenize(docs, merges, method="sql").select(
+        F.lit("bpe_tok").alias("tag"), F.col("doc_id").alias("id"),
+        F.col("n_tokens").alias("k"),
+        hash32(F.array_join("tokens", " ")).alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+        F.lit(0).cast("bigint").alias("v3"),
+    )
+    bplan = pack_sequences(
+        docs, seq_len=64,
+        n_tokens_col=bpe_token_count_col(merges), n_buckets=16,
+    )
+    bpe_span = bplan.select(
+        F.lit("bpe_span").alias("tag"), F.col("doc_id").alias("id"),
+        F.col("seq_id").alias("k"), F.col("doc_off").alias("v1"),
+        F.col("seq_off").alias("v2"), F.col("n_tok").alias("v3"),
+    )
+    return (
+        spans.unionByName(stats).unionByName(shards)
+        .unionByName(bpe_tok).unionByName(bpe_span)
+    )
 
 
 def _pack_sequences_sql() -> str:
+    from xcube_resampling_spark.extensions.bpe import (
+        merges_sql,
+        pinned_merges,
+    )
     from xcube_resampling_spark.extensions.text import hash32_sql
 
     SHARD_HASH = hash32_sql(
         "'shard|sh|' || 'v' || CAST(seq_id AS VARCHAR)")
+    BPE_CHAIN = merges_sql("w", pinned_merges(40))
+    TOK_HASH = hash32_sql("array_to_string(toks, ' ')")
     return f"""
 WITH c AS (
   -- non-empty split fields only (split keeps empty edge fields)
@@ -2802,6 +2841,52 @@ FROM (
     SELECT DISTINCT seq_id,
            {SHARD_HASH} AS hx
     FROM seg
+  )
+)
+UNION ALL
+SELECT 'bpe_tok' AS tag, doc_id AS id,
+       CAST(len(toks) AS BIGINT) AS k,
+       {TOK_HASH} AS v1,
+       CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+FROM (
+  SELECT doc_id,
+         flatten(list_transform(
+           list_filter(regexp_split_to_array(trim(lower(text)),
+                       '\\s+'), x -> x != ''),
+           w -> string_split(trim({BPE_CHAIN}, ' '), '  ')
+         )) AS toks
+  FROM documents
+)
+UNION ALL
+SELECT 'bpe_span' AS tag, doc_id AS id, seq_id AS k,
+       CAST(doc_off AS BIGINT) AS v1, CAST(seq_off AS BIGINT) AS v2,
+       CAST(n_tok AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, seq_id,
+         GREATEST(strt, seq_id * 64) - strt AS doc_off,
+         GREATEST(strt, seq_id * 64) - seq_id * 64 AS seq_off,
+         LEAST(strt + n_tok, (seq_id + 1) * 64)
+           - GREATEST(strt, seq_id * 64) AS n_tok
+  FROM (
+    SELECT doc_id, n_tok, strt,
+           CAST(unnest(range(strt // 64, (strt + n_tok - 1) // 64 + 1))
+                AS BIGINT) AS seq_id
+    FROM (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS strt
+      FROM (
+        SELECT doc_id,
+               CAST(len(flatten(list_transform(
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                             '\\s+'), x -> x != ''),
+                 w -> string_split(trim({BPE_CHAIN}, ' '), '  ')
+               ))) AS BIGINT) AS n_tok
+        FROM documents
+      ) WHERE n_tok > 0
+    )
   )
 )
 """

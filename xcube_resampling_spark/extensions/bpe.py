@@ -1,0 +1,279 @@
+"""Byte-pair-encoding tokenizer (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units", arXiv:1508.07909 -- the
+public algorithm behind the GPT-2 byte-level tokenizer family).
+
+Semantics
+---------
+Merges apply **in rank order**, one left-to-right non-overlapping pass
+per rule -- the original subword-nmt ``apply_bpe`` contract.  (GPT-2's
+encoder loops on the minimum-rank bigram instead; the two differ only
+when a later merge re-creates an earlier-rank pair.  The in-order form
+is pinned here because it is expressible as a pure codegen string
+rewrite, giving the tokenizer an exact cross-engine oracle.)
+
+Words are whitespace-split (``text.tokens_col``), so a word can never
+contain a space -- which makes the space character a collision-free
+symbol separator: a word becomes `` a  b  c `` (one space around each
+symbol, two between), and merge rule ``(a, b)`` is the plain string
+replacement ``" a  b " -> " ab "``.  ``replace`` scans left-to-right
+non-overlapping in both Spark and DuckDB, which is exactly one BPE
+merge pass.  The whole tokenization is therefore a chain of ``K``
+``replace`` calls inside whole-stage codegen -- no UDF on the default
+path.
+
+Scale design
+------------
+* ``bpe_train``: ONE map-side-combinable word-count shuffle, then the
+  top ``max_word_types`` word types (a TakeOrdered, no global sort)
+  train driver-side -- the standard train-on-a-bounded-sample practice
+  (sentencepiece does the same); the word-type distribution's head
+  carries virtually all merge mass.
+* ``bpe_tokenize``: the codegen path is a narrow projection (K string
+  scans per word, zero shuffles).  For large merge tables
+  (K >~ 200) the ``pandas`` path memoizes per DISTINCT word inside
+  each Arrow batch, the same trick real tokenizer servers use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = [
+    "bpe_train",
+    "bpe_tokenize",
+    "bpe_token_count_col",
+    "merges_column",
+    "merges_sql",
+    "pinned_merges",
+]
+
+
+# ------------------------------------------------------------------ #
+# training
+
+
+def _merge_pass(sym: tuple, a: str, b: str) -> tuple:
+    """One left-to-right non-overlapping merge pass over a symbol
+    tuple."""
+    out = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_on_word_counts(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE training over a word-frequency table (driver-side).
+    Deterministic: ties break to the lexicographically smallest pair."""
+    vocab: dict[tuple, int] = {}
+    for w, c in word_counts.items():
+        if w:
+            t = tuple(w)
+            vocab[t] = vocab.get(t, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        a, b = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append((a, b))
+        vocab = {
+            _merge_pass(sym, a, b) if a in sym else sym: c
+            for sym, c in vocab.items()
+        }
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 100,
+    text_col: str = "text",
+    max_word_types: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Train a merge table on a corpus: one word-count shuffle, top
+    ``max_word_types`` types to the driver, local pair-merge loop."""
+    toks = docs.select(
+        F.explode(
+            F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    counts = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(int(max_word_types))
+        .collect()
+    )
+    return train_on_word_counts(
+        {r["w"]: r["c"] for r in counts}, num_merges
+    )
+
+
+# ------------------------------------------------------------------ #
+# application: codegen chain (exact cross-engine twin)
+
+
+def _seed_column(word: Column) -> Column:
+    """word -> `` a  b  c `` symbol string (single space around each
+    character, so boundaries between symbols are double spaces)."""
+    return F.regexp_replace(word, "(.)", r" $1 ")
+
+
+def merges_column(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """The symbol string of ``word`` after applying ``merges`` in rank
+    order -- a chain of ``replace`` calls, all in codegen."""
+    s = _seed_column(word)
+    for a, b in merges:
+        s = F.replace(
+            s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        )
+    return s
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def merges_sql(word_expr: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`merges_column` over ``word_expr``."""
+    s = f"regexp_replace({word_expr}, '(.)', ' \\1 ', 'g')"
+    for a, b in merges:
+        s = (f"replace({s}, {_sql_quote(f' {a}  {b} ')}, "
+             f"{_sql_quote(f' {a}{b} ')})")
+    return s
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    method: str = "auto",
+) -> DataFrame:
+    """Tokenize a corpus: ``(doc_id, tokens array<string>, n_tokens)``.
+
+    ``method='sql'`` (default for <= 200 merges): pure codegen chain.
+    ``method='pandas'``: Arrow-batched ``mapInPandas`` with per-word
+    memoization -- the scale path for big merge tables.  Both apply
+    merges in rank order, so results are identical.
+    """
+    if method == "auto":
+        method = "sql" if len(merges) <= 200 else "pandas"
+    words = F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+    if method == "sql":
+        toks = F.flatten(
+            F.transform(
+                words,
+                lambda w: F.split(F.trim(merges_column(w, merges)), "  "),
+            )
+        )
+        return docs.select(
+            "doc_id",
+            toks.alias("tokens"),
+        ).select(
+            "doc_id", "tokens",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+        )
+    if method != "pandas":
+        raise ValueError(f"method must be auto|sql|pandas, got {method!r}")
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pre = docs.select("doc_id", words.alias("words"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType()), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def apply(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                sym: tuple = tuple(word)
+                for a, b in merges:
+                    if a in sym:
+                        sym = _merge_pass(sym, a, b)
+                got = list(sym)
+                cache[word] = got
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in ws for t in apply(w)] for ws in pdf["words"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "tokens": toks,
+                "n_tokens": [len(t) for t in toks],
+            })
+
+    return pre.mapInPandas(compute, schema)
+
+
+def bpe_token_count_col(
+    merges: list[tuple[str, str]], text_col: str = "text"
+) -> Column:
+    """Per-row BPE token count as a pure codegen column -- drop-in for
+    ``pack_sequences(n_tokens_col=...)``.  Counts symbols without
+    materializing them: per word, tokens = 1 + (number of double-space
+    boundaries left after the merge chain)."""
+    words = F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+    per_word = F.transform(
+        words,
+        lambda w: F.size(
+            F.split(F.trim(merges_column(w, merges)), "  ")
+        ).cast("bigint"),
+    )
+    return F.coalesce(
+        F.aggregate(per_word, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x),
+        F.lit(0).cast("bigint"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# pinned merge table (for oracle rows: both engines need the SAME
+# literals, and oracle SQL strings are built without data access)
+
+_PINNED_SAMPLE = (
+    "the quick brown fox jumps over the lazy dog "
+    "the rain in spain stays mainly in the plain "
+    "to be or not to be that is the question "
+    "all the world is a stage and all the men and women merely players "
+    "data pipelines pack tokens into sequences for training runs "
+    "the model learns the distribution of the training data"
+)
+
+_PINNED: list[tuple[str, str]] | None = None
+
+
+def pinned_merges(num_merges: int = 40) -> list[tuple[str, str]]:
+    """Deterministic merge table trained on an embedded sample text --
+    the fixture both the Spark queries and their DuckDB twins embed as
+    literals.  Cached; independent of any corpus."""
+    global _PINNED
+    if _PINNED is None or len(_PINNED) < num_merges:
+        wc: dict[str, int] = {}
+        for w in _PINNED_SAMPLE.split():
+            wc[w] = wc.get(w, 0) + 1
+        _PINNED = train_on_word_counts(wc, num_merges)
+    return _PINNED[:num_merges]
