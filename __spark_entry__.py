@@ -2893,15 +2893,28 @@ FROM (
 
 
 def q_lm_quality(spark, sf_dir):
-    """Unigram LM quality scores (extensions/text.py::unigram_logprob,
-    the CCNet perplexity-filter shape with a corpus-fitted unigram
-    model).  Per-token log-probs round to integer micro-nats before the
+    """LM perplexity quality scores (the CCNet filter shape), tagged
+    union of both corpus-fitted models:
+
+    * ``uni``: unigram (extensions/text.py::unigram_logprob).
+    * ``bi``: bigram with additive-smoothed unigram backoff
+      (text.py::bigram_logprob) -- sees word order, one step toward
+      CCNet's KenLM 5-gram.
+
+    Per-token log-probs round to integer micro-nats before the
     per-document sum, so the reduction is an exact bigint in both
     engines regardless of summation order."""
-    from xcube_resampling_spark.extensions.text import unigram_logprob
+    from xcube_resampling_spark.extensions.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
 
-    return unigram_logprob(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "nll_micro")
+    docs = _docs(spark, sf_dir)
+    uni = unigram_logprob(docs).select(
+        F.lit("uni").alias("leg"), "doc_id", "n_tokens", "nll_micro")
+    bi = bigram_logprob(docs).select(
+        F.lit("bi").alias("leg"), "doc_id", "n_tokens", "nll_micro")
+    return uni.unionByName(bi)
 
 
 SQL_LM_QUALITY = """
@@ -2921,11 +2934,51 @@ WITH toks AS (
          CAST(ROUND(ln((tf + 0.5) / (SELECT denom FROM consts))
                     * 1000000) AS BIGINT) AS lpm
   FROM model
+),
+t2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+), pr AS (
+  SELECT doc_id,
+         CASE WHEN i > 0 THEN ws[i] END AS prev,
+         ws[i + 1] AS tok
+  FROM (
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(len(ws) AS BIGINT))) AS INT) AS i,
+           ws
+    FROM t2
+  )
+), big AS (
+  SELECT prev, tok, COUNT(*) AS c2 FROM pr
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, COUNT(*) AS cctx FROM pr
+  WHERE prev IS NOT NULL GROUP BY prev
+), sc AS (
+  SELECT pr.doc_id,
+         CAST(ROUND(CASE WHEN pr.prev IS NULL
+           THEN ln((COALESCE(u.tf, 0) + 0.5)
+                   / (SELECT denom FROM consts))
+           ELSE ln((COALESCE(b.c2, 0)
+                    + 0.5 * ((COALESCE(u.tf, 0) + 0.5)
+                             / (SELECT denom FROM consts)))
+                   / (COALESCE(c.cctx, 0) + 0.5))
+           END * 1000000) AS BIGINT) AS lpm
+  FROM pr
+  LEFT JOIN model u ON u.tok = pr.tok
+  LEFT JOIN big b ON b.prev = pr.prev AND b.tok = pr.tok
+  LEFT JOIN ctx c ON c.prev = pr.prev
 )
-SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+SELECT 'uni' AS leg, t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(-SUM(lp.lpm) AS BIGINT) AS nll_micro
 FROM toks t JOIN lp ON lp.tok = t.tok
 GROUP BY t.doc_id
+UNION ALL
+SELECT 'bi' AS leg, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(-SUM(lpm) AS BIGINT) AS nll_micro
+FROM sc GROUP BY doc_id
 """
 
 

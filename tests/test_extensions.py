@@ -1493,6 +1493,60 @@ class TestUnigramLogprob:
         docs = _docs(spark, ["", "   "])
         assert unigram_logprob(docs).count() == 0
 
+    def test_bigram_hand_computed(self, spark):
+        import math
+
+        from xcube_resampling_spark.extensions.text import bigram_logprob
+
+        docs = _docs(spark, ["a b a b"])
+        row = bigram_logprob(docs).collect()[0]
+        # unigram: tf(a)=2, tf(b)=2, total=4, |V|=2
+        denom = 4 + 0.5 * (2 + 1)
+        p1a = (2 + 0.5) / denom
+        p1b = (2 + 0.5) / denom
+        # bigrams: c(a b)=2, c(b a)=1; ctx: c(a)=2, c(b)=1
+        lp0 = round(math.log(p1a) * 1e6)                      # first 'a'
+        lp_ab = round(math.log((2 + 0.5 * p1b) / (2 + 0.5)) * 1e6)
+        lp_ba = round(math.log((1 + 0.5 * p1a) / (1 + 0.5)) * 1e6)
+        assert row["n_tokens"] == 4
+        assert row["nll_micro"] == -(lp0 + 2 * lp_ab + lp_ba)
+
+    def test_bigram_unseen_context_backs_off_to_unigram(self, spark):
+        import math
+
+        from xcube_resampling_spark.extensions.text import bigram_logprob
+
+        model = _docs(spark, ["x y"])
+        target = spark.createDataFrame(
+            [(9, "q x")], "doc_id long, text string")
+        row = bigram_logprob(target, model_docs=model).collect()[0]
+        denom = 2 + 0.5 * (2 + 1)
+        p1q = 0.5 / denom          # unseen token
+        p1x = (1 + 0.5) / denom
+        lp_q = round(math.log(p1q) * 1e6)
+        # context 'q' unseen -> (0 + 0.5*p1x)/(0 + 0.5) = p1x exactly
+        lp_x = round(math.log((0 + 0.5 * p1x) / (0 + 0.5)) * 1e6)
+        assert round(math.log(p1x) * 1e6) == lp_x  # clean backoff
+        assert row["nll_micro"] == -(lp_q + lp_x)
+
+    def test_bigram_ranks_scrambled_below_fluent(self, spark):
+        from xcube_resampling_spark.extensions.text import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        model = _docs(spark, ["the cat sat on the mat"] * 3)
+        target = spark.createDataFrame(
+            [(100, "the cat sat"), (101, "sat the cat")],
+            "doc_id long, text string")
+        bi = {r["doc_id"]: r["nll"] for r in bigram_logprob(
+            target, model_docs=model).collect()}
+        uni = {r["doc_id"]: r["nll"] for r in unigram_logprob(
+            target, model_docs=model).collect()}
+        # same bag of words: unigram can't separate them, bigram can
+        assert uni[100] == uni[101]
+        assert bi[100] < bi[101]
+
     def test_release_cached_unpersists_model(self, spark):
         from xcube_resampling_spark.extensions import text as text_mod
 

@@ -401,3 +401,101 @@ def unigram_logprob(
         F.round(F.col("nll_micro") / F.col("n_tokens") / 1_000_000, 6)
         .alias("nll"),
     )
+
+
+def _token_pairs(src: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, prev, tok) stream: one row per token with its left
+    neighbor (NULL for the first token of a document) -- an array-side
+    projection + explode, no window."""
+    words = F.filter(
+        tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+    )
+    pairs = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.get(words, i - 1).alias("prev"), w.alias("tok")
+        ),
+    )
+    return src.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.prev", "p.tok")
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    broadcast_model: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model score with additive-smoothed
+    unigram backoff -- a step from :func:`unigram_logprob` toward
+    CCNet's KenLM n-gram filter (Wenzek et al. 2020 use a 5-gram;
+    unigram ranks gibberish but not fluency, the bigram sees word
+    order).
+
+    ``P(w|v) = (c(vw) + alpha * P1(w)) / (c(v) + alpha)`` with
+    ``P1(w) = (tf(w) + alpha) / (total + alpha * (|V| + 1))``.  The
+    first token of a document scores ``ln P1(w)``; an unseen context
+    (``c(v) = 0`` forces ``c(vw) = 0``) collapses to ``ln P1(w)``
+    exactly -- clean backoff, no extra constants.  Per-token log-probs
+    round to integer micro-nats BEFORE the per-document sum, so the
+    reduction is an exact bigint in both engines (same scheme as
+    unigram_logprob).
+
+    Returns ``(doc_id, n_tokens, nll_micro, nll)``.
+
+    Scale shape: two map-side-combinable aggregations fit the model
+    (unigram tf + bigram counts; the context table is one more groupBy
+    over the bigram stream); scoring is an array-side pair projection,
+    three model joins (broadcast by default, shuffle with
+    ``broadcast_model=False`` for web-scale vocabularies), and one
+    ``groupBy(doc_id)``.
+    """
+    if alpha <= 0:
+        raise ValueError(
+            f"alpha must be > 0 (the unseen mass), got {alpha}")
+    src = model_docs if model_docs is not None else docs
+    mpairs = _token_pairs(src, text_col)
+    # persisted: the unigram scalar job + three model aggregations all
+    # read the pair stream
+    mpairs = mpairs.persist()
+    _PERSISTED.append(mpairs)
+    uni = mpairs.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    uni = uni.persist()
+    _PERSISTED.append(uni)
+    total, vsize = uni.agg(F.sum("tf"), F.count(F.lit(1))).first()
+    if total is None:
+        total, vsize = 0, 0
+    denom = float(total) + alpha * (float(vsize) + 1.0)
+    big = mpairs.filter(F.col("prev").isNotNull()).groupBy(
+        "prev", "tok"
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    ctx = mpairs.filter(F.col("prev").isNotNull()).groupBy(
+        "prev"
+    ).agg(F.count(F.lit(1)).alias("cctx"))
+    b = F.broadcast if broadcast_model else (lambda d: d)
+    scored = (
+        _token_pairs(docs, text_col)
+        .join(b(uni), "tok", "left")
+        .join(b(big), ["prev", "tok"], "left")
+        .join(b(ctx), ["prev"], "left")
+    )
+    a = F.lit(float(alpha))
+    p1 = (F.coalesce(F.col("tf"), F.lit(0)) + a) / F.lit(denom)
+    lp = F.when(F.col("prev").isNull(), F.log(p1)).otherwise(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + a * p1)
+            / (F.coalesce(F.col("cctx"), F.lit(0)) + a)
+        )
+    )
+    lpm = F.round(lp * 1_000_000).cast("bigint")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum(lpm)).alias("nll_micro"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "nll_micro",
+        F.round(F.col("nll_micro") / F.col("n_tokens") / 1_000_000, 6)
+        .alias("nll"),
+    )
