@@ -4876,11 +4876,25 @@ def q_ann_suite(spark, sf_dir):
       (q_knn_ivf's union, unchanged).
     * ``exact`` / ``semantic``: the two exact-cosine dedup strategies
       (q_dedup_embedding_cosine's union, unchanged).
+    * ``ivfpq``: the composed IVFADC production shape
+      (similarity.py::ivf_pq_topk) -- seed-centroid IVF probing, PQ
+      asymmetric-distance scoring restricted to the probed buckets.
+    * ``recall_ivfpq``: one row reporting recall@10 of the ivfpq leg
+      against the exact brute-force top-10 (id_a = hits, id_b = k,
+      score = recall) -- the quality metric a production ANN ships
+      with, value-checked cross-engine.
 
     Superset schema (variant, cluster, id_a, id_b, score); pair legs
     carry id_b, single-vector legs leave it NULL."""
+    from xcube_resampling_spark.extensions.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
     nul = F.lit(None).cast("long")
-    brute = q_knn_brute_force(spark, sf_dir).select(
+    brute10 = q_knn_brute_force(spark, sf_dir)
+    brute = brute10.select(
         F.lit("brute").alias("variant"), nul.alias("cluster"),
         F.col("vec_id").alias("id_a"), nul.alias("id_b"),
         F.col("cosine").alias("score"),
@@ -4893,7 +4907,67 @@ def q_ann_suite(spark, sf_dir):
         "variant", "cluster", "id_a", "id_b",
         F.col("cosine").alias("score"),
     )
-    return brute.unionByName(ivf).unionByName(cos)
+    emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    query = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    books = pq_train(emb_d, m=4, ksub=8, iterations=2)
+    ivfpq10 = ivf_pq_topk(
+        emb_d, query, k=10, num_centroids=10, nprobe=2,
+        codebooks=books, codes=pq_encode(emb_d, books),
+        exclude_vec_id=0,
+    )
+    ivfpq = ivfpq10.select(
+        F.lit("ivfpq").alias("variant"), nul.alias("cluster"),
+        F.col("vec_id").alias("id_a"), nul.alias("id_b"),
+        F.col("adc_dist").alias("score"),
+    )
+    rec = (
+        ivfpq10.select("vec_id")
+        .join(brute10.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit("recall_ivfpq").alias("variant"), nul.alias("cluster"),
+            F.col("hits").cast("long").alias("id_a"),
+            F.lit(10).cast("long").alias("id_b"),
+            F.round(F.col("hits") / 10.0, 6).alias("score"),
+        )
+    )
+    return (
+        brute.unionByName(ivf).unionByName(cos)
+        .unionByName(ivfpq).unionByName(rec)
+    )
+
+
+def _ivfpq_top10_sql() -> str:
+    """Subquery: IVFADC top-10 (seed IVF probe + in-bucket PQ ADC) --
+    twin of similarity.py::ivf_pq_topk at the ann_suite parameters."""
+    return f"""(
+  WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+  q AS (SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0),
+  c_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+          ORDER BY vec_id LIMIT 10),
+  {_lloyd_assign_cte('c_0', 'seed')},
+  {_pq_sql(4, 8, 64)},
+  probes_pq AS (
+    SELECT c.cent_id FROM c_0 c CROSS JOIN q
+    ORDER BY list_dot_product(c.cv, q.qv)
+             / (sqrt(list_dot_product(c.cv, c.cv))
+                * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             c.cent_id ASC
+    LIMIT 2
+  ),
+  bucket_pq AS (
+    SELECT a.vec_id FROM a_seed a JOIN probes_pq p USING (cent_id)
+  )
+  SELECT s.vec_id, s.score
+  FROM pq_scored s JOIN bucket_pq b USING (vec_id)
+  ORDER BY s.score ASC, s.vec_id ASC LIMIT 10
+)"""
 
 
 def _ann_suite_sql():
@@ -4908,6 +4982,16 @@ FROM ({SQL_KNN_IVF}) q
 UNION ALL
 SELECT variant, cluster, id_a, id_b, cosine AS score
 FROM ({_semantic_dedup_sql()}) q
+UNION ALL
+SELECT 'ivfpq' AS variant, CAST(NULL AS BIGINT) AS cluster,
+       vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b, score
+FROM {_ivfpq_top10_sql()} t
+UNION ALL
+SELECT 'recall_ivfpq' AS variant, CAST(NULL AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS id_a, CAST(10 AS BIGINT) AS id_b,
+       ROUND(COUNT(*) / 10.0, 6) AS score
+FROM {_ivfpq_top10_sql()} iv
+JOIN (SELECT vec_id FROM ({SQL_KNN}) b) br USING (vec_id)
 """
 
 

@@ -1143,6 +1143,87 @@ class TestProductQuantization:
         with _pytest.raises(ValueError, match="not divisible"):
             pq_train(emb, m=3)
 
+    def test_ivf_pq_composed_recall(self, spark):
+        # the production IVFADC shape: probing + in-bucket ADC must
+        # recover most of the exact top-k on clustered data
+        from xcube_resampling_spark.extensions.similarity import (
+            ivf_pq_topk,
+            kmeans_centroids,
+            knn_brute_force,
+        )
+
+        emb = self._embeddings(spark, n=120, dim=8)
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").first()["embedding"]]
+        exact = {r.vec_id for r in
+                 knn_brute_force(emb, q, k=10, exclude_vec_id=0)
+                 .collect()}
+        cents = kmeans_centroids(emb, num_centroids=4, iterations=3)
+        got = ivf_pq_topk(
+            emb, q, k=10, nprobe=2, m=4, ksub=8, iterations=2,
+            centroids=cents, exclude_vec_id=0,
+        ).collect()
+        assert len(got) == 10
+        dists = [r.adc_dist for r in got]
+        assert dists == sorted(dists)
+        recall = len({r.vec_id for r in got} & exact) / 10
+        assert recall >= 0.5, recall  # pinned threshold
+
+    def test_ivf_pq_rerank_exact_order(self, spark):
+        from xcube_resampling_spark.extensions.similarity import (
+            ivf_pq_topk,
+            kmeans_centroids,
+        )
+
+        emb = self._embeddings(spark, n=80, dim=8)
+        q = [float(x) for x in
+             emb.filter("vec_id = 1").first()["embedding"]]
+        cents = kmeans_centroids(emb, num_centroids=4, iterations=3)
+        out = ivf_pq_topk(
+            emb, q, k=5, nprobe=2, centroids=cents, rerank=20,
+            exclude_vec_id=1,
+        ).collect()
+        assert len(out) == 5
+        assert set(out[0].asDict()) == {"vec_id", "adc_dist", "cosine"}
+        cos = [r.cosine for r in out]
+        assert cos == sorted(cos, reverse=True)
+
+    def test_ivf_pq_rerank_validation_and_precomputed_cent_id(
+            self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as SF
+
+        from xcube_resampling_spark.extensions.similarity import (
+            assign_centroids,
+            ivf_pq_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        emb = self._embeddings(spark, n=40, dim=8)
+        with _pytest.raises(ValueError, match="rerank"):
+            ivf_pq_topk(emb, [0.0] * 8, k=10, rerank=5)
+        # a codes frame carrying cent_id (the real-index layout) skips
+        # the assignment join and must give the same answer
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").first()["embedding"]]
+        cents = emb.orderBy("vec_id").limit(4)
+        books = pq_train(emb, m=4, ksub=8, iterations=2)
+        codes = pq_encode(emb, books)
+        with_cent = codes.join(
+            assign_centroids(emb, cents).select("vec_id", "cent_id"),
+            "vec_id")
+        base = ivf_pq_topk(
+            emb, q, k=5, num_centroids=4, nprobe=2,
+            codebooks=books, codes=codes, exclude_vec_id=0).collect()
+        pre = ivf_pq_topk(
+            emb, q, k=5, num_centroids=4, nprobe=2, codebooks=books,
+            codes=with_cent.select(
+                "vec_id", "codes", SF.col("cent_id")),
+            exclude_vec_id=0).collect()
+        assert [(r.vec_id, r.adc_dist) for r in base] == \
+            [(r.vec_id, r.adc_dist) for r in pre]
+
 
 # ------------------------------------------------------------------ #
 # decontamination

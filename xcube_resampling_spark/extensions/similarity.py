@@ -417,23 +417,18 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
-def pq_topk(
-    codes: DataFrame,
-    codebooks: DataFrame,
-    query: list[float],
-    k: int = 10,
-) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: the query's distance to
-    every codebook centroid becomes a tiny driver-side lookup table
-    (m x ksub doubles) embedded as a LITERAL flat array, so scoring is
-    one whole-stage-codegen expression over the codes column -- zero
-    joins, zero shuffles before the final TakeOrderedAndProject."""
+def _adc_dist_col(codebooks: DataFrame, query: list[float]) -> Column:
+    """Asymmetric-distance expression over a ``codes`` column: the
+    query's squared distance to every codebook centroid becomes a tiny
+    driver-side lookup table (m x ksub doubles) embedded as a LITERAL
+    flat array, so scoring is one whole-stage-codegen expression --
+    zero joins, zero shuffles."""
     books = sorted(
         codebooks.collect(), key=lambda r: (r.sub, r.code)
     )
-    m = 1 + max(r.sub for r in books)
     ksub = 1 + max(r.code for r in books)
     sub_dim = len(books[0].centroid)
+    m = 1 + max(r.sub for r in books)
     lut = [0.0] * (m * ksub)
     for r in books:
         q_sub = query[r.sub * sub_dim:(r.sub + 1) * sub_dim]
@@ -441,7 +436,7 @@ def pq_topk(
             sum((a - b) ** 2 for a, b in zip(q_sub, r.centroid))
         )
     lut_col = F.array(*[F.lit(v) for v in lut])
-    dist = F.aggregate(
+    return F.aggregate(
         F.transform(
             F.col("codes"),
             lambda c, i: F.element_at(lut_col, (i * ksub + c + 1)
@@ -450,6 +445,104 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (see
+    :func:`_adc_dist_col`); one codegen projection + a
+    TakeOrderedAndProject."""
+    dist = _adc_dist_col(codebooks, query)
     return codes.select(
         "vec_id", F.round(dist, 6).alias("adc_dist")
     ).orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    num_centroids: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+    rerank: int = 0,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF bucket probing composed with PQ asymmetric-distance scoring
+    -- the IVFADC shape of Jegou et al. (TPAMI 2011), the production
+    billion-vector ANN layout: the coarse quantizer prunes the corpus
+    to ``nprobe`` buckets, the candidates are scored from their m-byte
+    PQ codes (no full vectors touched), and optionally the best
+    ``rerank`` candidates re-rank by exact cosine against the stored
+    embeddings.
+
+    Returns ``(vec_id, adc_dist)``, plus ``cosine`` when ``rerank > 0``
+    (final order: cosine desc).
+
+    Scale shape: centroid assignment is the shuffle-free literal argmax
+    (:func:`assign_centroids`); the probe list is a broadcast semi-join;
+    the codes-to-bucket equi-join is the only shuffle (in a real index
+    the codes are stored WITH their cent_id, making it free -- pass a
+    pre-joined ``codes`` frame carrying ``cent_id`` to skip it); ADC is
+    one codegen projection; re-rank touches ``rerank`` << N vectors.
+    """
+    if centroids is None:
+        centroids = embeddings.orderBy("vec_id").limit(num_centroids)
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, ksub=ksub, iterations=iterations)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks)
+    probes = (
+        cosine_to_query(
+            centroids.select("vec_id", "embedding"), query
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(nprobe)
+        .select(F.col("vec_id").alias("cent_id"))
+    )
+    if "cent_id" in codes.columns:
+        bucket_codes = codes.join(F.broadcast(probes), "cent_id")
+    else:
+        assigned = assign_centroids(embeddings, centroids).select(
+            "vec_id", "cent_id")
+        bucket_ids = assigned.join(
+            F.broadcast(probes), "cent_id").select("vec_id")
+        bucket_codes = codes.join(bucket_ids, "vec_id")
+    if exclude_vec_id is not None:
+        bucket_codes = bucket_codes.filter(
+            F.col("vec_id") != exclude_vec_id)
+    dist = _adc_dist_col(codebooks, query)
+    scored = bucket_codes.select(
+        "vec_id", F.round(dist, 6).alias("adc_dist"))
+    if rerank and rerank > 0:
+        if rerank < k:
+            raise ValueError(
+                f"rerank={rerank} must be >= k={k} (it is the "
+                "candidate pool the exact pass re-orders)")
+        cand = scored.orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        ).limit(rerank)
+        exact = cosine_to_query(
+            cand.join(embeddings, "vec_id").select(
+                "vec_id", "embedding"),
+            query,
+        )
+        return (
+            cand.join(exact, "vec_id")
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id", "adc_dist", "cosine")
+        )
+    return scored.orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    ).limit(k)
