@@ -332,8 +332,8 @@ SELECT t, CAST(j - 10 AS INT) AS j, CAST(i - 5 AS INT) AS i,
 FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
 """
 
-# zarr_roundtrip's three store bindings (fs / kv / zip) read identical
-# windows, so the twin replays SQL_CLIP once per tag
+# zarr_roundtrip's four store bindings (fs / kv / zip / http) read
+# identical windows, so the twin replays SQL_CLIP once per tag
 SQL_ZARR_STORES = f"""
 WITH src AS ({RASTER_SQL}),
 win AS (
@@ -342,7 +342,8 @@ win AS (
   FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
 )
 SELECT v.variant, w.t, w.j, w.i, w.value
-FROM win w CROSS JOIN (VALUES ('fs'), ('kv'), ('zip')) AS v(variant)
+FROM win w
+CROSS JOIN (VALUES ('fs'), ('kv'), ('zip'), ('http')) AS v(variant)
 """
 
 
@@ -4128,6 +4129,10 @@ def q_zarr_roundtrip(spark, sf_dir):
     * ``zip``: the same store zipped into one archive, read back
       through the read-only ZipChunkStore (the reference examples ship
       zipped stores).
+    * ``http``: write AND read over real HTTP against an in-process
+      object-store server (sources/httpstore.py) -- executor PUTs and
+      GETs travel over actual sockets, so an S3/fsspec client is a
+      verified drop-in behind the same contract.
 
     Every leg reads the same bbox window, so the oracle is SQL_CLIP
     replayed per tag."""
@@ -4137,6 +4142,8 @@ def q_zarr_roundtrip(spark, sf_dir):
 
     from xcube_resampling_spark.sources import (
         FlatKVChunkPut,
+        HttpChunkStore,
+        LocalHttpStoreServer,
         ZipChunkStore,
         read_zarr,
         write_zarr,
@@ -4169,6 +4176,21 @@ def q_zarr_roundtrip(spark, sf_dir):
     zp = read_zarr(spark, "ignored", "value", bbox_ij=(5, 10, 20, 30),
                    store=ZipChunkStore(zpath))
 
+    # http leg: the server must outlive the returned DataFrame's
+    # EXECUTION, not just its construction -- materialize inside the
+    # server scope and return the rows as a local DataFrame
+    with LocalHttpStoreServer(base + "/xcrs_zarr_http") as srv:
+        http_store = HttpChunkStore(srv.url)
+        write_zarr(
+            raster, "ignored", "value", (RH, RW), (16, 16),
+            compressor="zlib", chunk_put=http_store,
+        )
+        ht_rows = read_zarr(
+            spark, "ignored", "value", bbox_ij=(5, 10, 20, 30),
+            store=http_store,
+        ).collect()
+    ht = spark.createDataFrame(ht_rows, "t int, j int, i int, value double")
+
     def leg(df, tag):
         return df.select(
             F.lit(tag).alias("variant"),
@@ -4182,6 +4204,7 @@ def q_zarr_roundtrip(spark, sf_dir):
         leg(fs, "fs")
         .unionByName(leg(kv, "kv"))
         .unionByName(leg(zp, "zip"))
+        .unionByName(leg(ht, "http"))
     )
 
 
@@ -4402,14 +4425,20 @@ def q_geotiff_roundtrip(spark, sf_dir):
     * ``overview``: BigTIFF with one reduced level; reading overview 1
       returns the NaN-aware 2x2 mean (the ``mean`` coarsen reducer
       semantics), the COG pyramid analogue of ``zarr_levels``.
+    * ``http``: the deflate file re-read over real HTTP ranged GETs
+      (HttpRangeReader against an in-process server) -- the actual COG
+      access pattern, proving the RangeReader seam over sockets.
 
     Write is the multipart shape (one applyInPandas task per tile,
     driver streams parts into the final file); read prunes the tile
     table driver-side and range-reads per executor -- no full-file IO.
     """
+    import shutil
     import tempfile
 
     from xcube_resampling_spark.sources import (
+        HttpRangeReader,
+        LocalHttpStoreServer,
         read_geotiff,
         write_geotiff,
     )
@@ -4459,7 +4488,25 @@ def q_geotiff_roundtrip(spark, sf_dir):
         "t", "j", "i",
         F.round("value", 6).alias("value"),
     )
-    return t1.unionByName(t2).unionByName(t3)
+
+    # http leg: materialize while the in-process server is up
+    srv_root = base + "/xcrs_gtiff_http"
+    with LocalHttpStoreServer(srv_root) as srv:
+        shutil.copy(p1, srv_root + "/scene.tif")
+        ht_rows = read_geotiff(
+            spark, HttpRangeReader(srv.url + "/scene.tif"),
+            bbox_ij=(5, 10, 20, 30),
+        ).collect()
+    t4 = spark.createDataFrame(
+        ht_rows, "t int, j int, i int, value double"
+    ).select(
+        F.lit("http").alias("fmt"),
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+    return t1.unionByName(t2).unionByName(t3).unionByName(t4)
 
 
 SQL_GEOTIFF = f"""
@@ -4476,6 +4523,10 @@ UNION ALL
 SELECT 'overview' AS fmt, t, CAST(j // 2 AS INT) AS j,
        CAST(i // 2 AS INT) AS i, ROUND(AVG(value), 6) AS value
 FROM src GROUP BY t, j // 2, i // 2
+UNION ALL
+SELECT 'http' AS fmt, t, CAST(j - 10 AS INT) AS j,
+       CAST(i - 5 AS INT) AS i, ROUND(value, 6) AS value
+FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
 """
 
 

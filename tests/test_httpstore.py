@@ -1,0 +1,122 @@
+"""HTTP object-store contract tests (sources/httpstore.py): the
+ChunkPut and RangeReader seams over real sockets with real Range
+headers -- an S3/fsspec client is a drop-in behind these contracts."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources import (
+    HttpChunkStore,
+    HttpRangeReader,
+    LocalHttpStoreServer,
+)
+
+
+class TestHttpChunkStore:
+    def test_put_get_roundtrip_and_404(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            store.put("var/0.0", b"\x01\x02")
+            store.put("var/.zarray", b"{}")
+            assert store.get("var/0.0") == b"\x01\x02"
+            assert store.get("missing") is None
+            assert sorted(store.known_keys()) == [
+                "var/.zarray", "var/0.0"]
+
+    def test_put_overwrites_idempotently(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            store.put("k", b"one")
+            store.put("k", b"two")  # Spark task re-run
+            assert store.get("k") == b"two"
+            assert store.known_keys() == ["k"]
+
+    def test_store_pickles_without_connection(self, tmp_path):
+        import pickle
+
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            store.put("k", b"v")
+            clone = pickle.loads(pickle.dumps(store))
+            assert clone.get("k") == b"v"
+
+
+class TestHttpRangeReader:
+    def test_ranged_reads_and_size(self, tmp_path):
+        data = bytes(range(256)) * 4
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            (tmp_path / "s" / "f.bin").write_bytes(data)
+            rr = HttpRangeReader(srv.url + "/f.bin")
+            assert rr.size() == len(data)
+            assert rr.read(0, 10) == data[:10]
+            assert rr.read(100, 50) == data[100:150]
+            assert rr.read(len(data) - 5, 100) == data[-5:]
+            assert rr.read(3, 0) == b""
+
+    def test_reader_pickles(self, tmp_path):
+        import pickle
+
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            (tmp_path / "s" / "f.bin").write_bytes(b"abcdef")
+            rr = HttpRangeReader(srv.url + "/f.bin")
+            assert rr.size() == 6
+            clone = pickle.loads(pickle.dumps(rr))
+            assert clone.read(2, 3) == b"cde"
+            assert clone.size() == 6
+
+
+class TestZarrOverHttp:
+    def test_zarr_write_read_over_http(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+        h, w = 24, 20
+        rows = [(0, j, i, float(j * w + i))
+                for j in range(h) for i in range(w)]
+        px = spark.createDataFrame(
+            rows, "t int, j int, i int, value double")
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            write_zarr(px, "ignored", "value", (h, w), (8, 8),
+                       compressor="zlib", chunk_put=store)
+            back = read_zarr(
+                spark, "ignored", "value", bbox_ij=(2, 3, 10, 12),
+                store=store,
+            ).collect()
+        got = {(r.j, r.i): r.value for r in back}
+        want = {(j, i): float(j * w + i)
+                for j in range(3, 12) for i in range(2, 10)}
+        assert got == want
+
+
+class TestGeoTiffOverHttp:
+    def test_cog_ranged_reads_prune_tiles(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import (
+            read_geotiff,
+            write_geotiff,
+        )
+        from xcube_resampling_spark.sources.geotiff import (
+            CountingRangeReader,
+        )
+
+        h, w = 48, 48
+        vals = np.arange(h * w, dtype="f8").reshape(1, h, w)
+        rows = [(0, j, i, float(vals[0, j, i]))
+                for j in range(h) for i in range(w)]
+        px = spark.createDataFrame(
+            rows, "t int, j int, i int, value double")
+        path = str(tmp_path / "scene.tif")
+        write_geotiff(px, path, (h, w), crs="EPSG:32633",
+                      xy_min=(0.0, 0.0), xy_res=10.0, tile_size=16,
+                      compression="deflate", dtype="float64")
+        srv_root = tmp_path / "s"
+        with LocalHttpStoreServer(str(srv_root)) as srv:
+            import shutil
+
+            shutil.copy(path, srv_root / "scene.tif")
+            rr = CountingRangeReader(
+                HttpRangeReader(srv.url + "/scene.tif"))
+            got = (read_geotiff(spark, rr, bbox_ij=(0, 0, 16, 16))
+                   .agg(F.count(F.lit(1)), F.sum("value")).first())
+        assert got[0] == 256
+        assert got[1] == float(vals[0, :16, :16].sum())

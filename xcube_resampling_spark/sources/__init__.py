@@ -44,6 +44,11 @@ from .geotiff import (
     read_geotiff_meta,
     write_geotiff,
 )
+from .httpstore import (
+    HttpChunkStore,
+    HttpRangeReader,
+    LocalHttpStoreServer,
+)
 from .zarr3 import (
     add_spatial_ref3,
     open_zarr3_dataset,
