@@ -5060,7 +5060,6 @@ def q_event_suite(spark, sf_dir):
       v4=avg_qty)."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
-    ns = F.lit(None).cast("string")
     w = q_windowed_event_stats(spark, sf_dir).select(
         F.lit("windowed").alias("leg"),
         F.col("win_start").alias("k1"), nl.alias("k2"),
@@ -5100,7 +5099,6 @@ def q_event_suite(spark, sf_dir):
         F.col("sum_disc_price").alias("v3"),
         F.col("avg_qty").alias("v4"),
     )
-    _ = ns
     return w.unionByName(s).unionByName(fe).unionByName(pr)
 
 

@@ -41,9 +41,16 @@ from xcube_resampling_spark.extensions.sampling import (  # noqa: E402
     mix_sources,
     split_by_hash,
 )
+from xcube_resampling_spark.extensions.bpe import (  # noqa: E402
+    bpe_token_count_col,
+    bpe_train,
+)
 from xcube_resampling_spark.extensions.text import (  # noqa: E402
     text_stats,
     unigram_logprob,
+)
+from xcube_resampling_spark.extensions.text import (  # noqa: E402
+    release_cached as release_lm_models,
 )
 
 
@@ -76,6 +83,8 @@ def main(sf_dir: str) -> None:
     docs = docs.join(
         lm.filter(F.col("nll") <= cutoff).select("doc_id"), "doc_id")
     print(f"after quality + perplexity filter: {docs.count()}")
+    lm.unpersist()
+    release_lm_models()  # drop the cached vocabulary table
 
     # ---- 2. PII scrub (regex detection + typed-placeholder rewrite)
     flagged = pii_stats(docs).filter(F.col("n_pii") > 0).count()
@@ -124,9 +133,14 @@ def main(sf_dir: str) -> None:
         .alias("doc_id"), "text")
     print(f"training mix: {mixed.count()} documents (with epochs)")
 
-    # ---- 6. pack into fixed-length sequences, summarize, shard
-    spans = pack_sequences(mixed, seq_len=512)
-    stats = packing_stats(mixed, seq_len=512, spans=spans)
+    # ---- 6. train a BPE tokenizer on the curated corpus and pack
+    # into fixed-length sequences using ITS token counts (not the
+    # whitespace approximation), summarize, shard
+    merges = bpe_train(train, num_merges=64)
+    n_tok = bpe_token_count_col(merges)
+    spans = pack_sequences(mixed, seq_len=512, n_tokens_col=n_tok)
+    stats = packing_stats(
+        mixed, seq_len=512, spans=spans, n_tokens_col=n_tok)
     shards = shuffle_shards(spans, n_shards=8, seed="shards")
     n_seq = stats.count()
     fill = stats.agg(F.avg("fill")).first()[0] or 0.0

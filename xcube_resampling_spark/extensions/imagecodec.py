@@ -6,8 +6,12 @@ deflate get real decoders here -- the same clean-room-codec pattern as
 the blosc1/LZW/crc32c implementations in ``sources/``:
 
 * **PNG** per the W3C PNG specification (ISO/IEC 15948): chunk stream
-  with CRC-32 verification, IHDR/PLTE/tRNS/IDAT/IEND, zlib-compressed
-  scanlines, all five row filters (None/Sub/Up/Average/Paeth), color
+  with CRC-32 verification, IHDR/PLTE/IDAT/IEND (ancillary chunks like
+  tRNS are CRC-checked then skipped; alpha is dropped by
+  :func:`to_rgb` anyway), zlib-compressed scanlines, all five row
+  filters (None/Sub/Up/Average/Paeth -- Average/Paeth are
+  left-sequential by definition, so those two undo loops are scalar;
+  Sub vectorizes as a per-lane cumsum, Up as one vector add), color
   types 0/2/3/4/6 at bit depths 1/2/4/8 (16-bit and Adam7 interlace
   raise ``NotImplementedError`` -- out of scope, loudly).
 * **BMP** per the Windows BITMAPFILEHEADER + BITMAPINFOHEADER layout:

@@ -204,10 +204,14 @@ class LocalHttpStoreServer:
                 self.end_headers()
 
             def do_PUT(self):
+                import threading as _th
+
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 p = self._path()
-                tmp = f"{p}.__tmp__{os.getpid()}"
+                # handler threads share one pid -- include the thread
+                # id so concurrent PUTs never share a tmp file
+                tmp = f"{p}.__tmp__{os.getpid()}.{_th.get_ident()}"
                 with open(tmp, "wb") as fp:
                     fp.write(body)
                 os.replace(tmp, p)
