@@ -1628,6 +1628,18 @@ class TestUnigramLogprob:
         assert uni[100] == uni[101]
         assert bi[100] < bi[101]
 
+    def test_bigram_model_joins_broadcast(self, spark):
+        from xcube_resampling_spark.extensions.text import bigram_logprob
+
+        docs = _docs(spark, ["a b c", "b c a"])
+        plan = bigram_logprob(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        shuffled = bigram_logprob(docs, broadcast_model=False)
+        plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan2  # still a valid plan, model not inlined
+
     def test_release_cached_unpersists_model(self, spark):
         from xcube_resampling_spark.extensions import text as text_mod
 

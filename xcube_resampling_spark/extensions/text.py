@@ -475,8 +475,12 @@ def bigram_logprob(
         "prev"
     ).agg(F.count(F.lit(1)).alias("cctx"))
     b = F.broadcast if broadcast_model else (lambda d: d)
+    # self-fitted model: score from the already-persisted pair stream
+    # instead of re-scanning the corpus
+    spairs = mpairs if model_docs is None else _token_pairs(
+        docs, text_col)
     scored = (
-        _token_pairs(docs, text_col)
+        spairs
         .join(b(uni), "tok", "left")
         .join(b(big), ["prev", "tok"], "left")
         .join(b(ctx), ["prev"], "left")
