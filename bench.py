@@ -610,6 +610,42 @@ def main():
                 file=sys.stderr,
             )
 
+    # tokenizer scale: the BPE codegen merge chain (40 pinned rules)
+    # over the 10x and 100x corpora -- a narrow projection, so the
+    # slope should be ~linear in bytes with zero shuffles
+    tokenize_scale = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        from xcube_resampling_spark.extensions.bpe import (
+            bpe_token_count_col,
+            pinned_merges,
+        )
+
+        merges = pinned_merges(40)
+        n_tok = bpe_token_count_col(merges)
+        for tag, copies in (("10x", 10), ("100x", 100)):
+            if copies == 100 and \
+                    os.environ.get("SPARK_GRAFT_SKIP_100X") == "1":
+                continue
+            docs = _docs_10x(spark, copies=copies).persist()
+            nd = docs.count()
+            runs = []
+            tot = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                tot = docs.agg(F.sum(n_tok).alias("n")).first()["n"]
+                runs.append(time.perf_counter() - t0)
+            docs.unpersist()
+            spark._jvm.System.gc()
+            tokenize_scale[tag] = {
+                "sec": round(min(runs), 3),
+                "runs": [round(r, 3) for r in runs],
+                "tokens": int(tot), "n_docs": nd,
+            }
+            print(
+                f"# tokenize {tag}: {min(runs):.2f}s tokens={tot}",
+                file=sys.stderr,
+            )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall",
@@ -638,6 +674,15 @@ def main():
                 "over the copy-salted 10x/100x corpora; the two-phase "
                 "range-partitioned prefix sum should scale ~linearly "
                 "(no global sort)"
+            ),
+        }
+    if tokenize_scale:
+        out["tokenize_scale"] = {
+            "queries": tokenize_scale,
+            "note": (
+                "BPE tokenization (40-rule codegen merge chain) over "
+                "the copy-salted 10x/100x corpora; pure narrow "
+                "projection, slope should be ~linear in bytes"
             ),
         }
     if dedup_scale_100:
