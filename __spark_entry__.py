@@ -5146,7 +5146,13 @@ def q_multimodal_suite(spark, sf_dir):
       every decoded byte is oracle-checked (the codecs are lossless,
       so decoded bytes equal the deterministic tiling of the document
       text the DuckDB twin replays).  Same column mapping as
-      ``resize``."""
+      ``resize``.
+    * ``wav``: REAL audio decode -- payload bytes containerized as
+      16-bit PCM WAV executor-side (audiocodec.py), decoded back, and
+      integer-exact signal features (n_samples, zero crossings,
+      sum |s|) checked against the DuckDB twin's little-endian sample
+      reconstruction from the document text (k1=n_samples,
+      k2=zero_crossings, k3=sum_abs, v1=sample_rate)."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
@@ -5175,11 +5181,22 @@ def q_multimodal_suite(spark, sf_dir):
     )
     out = ft.unionByName(rz).unionByName(fr)
     from xcube_resampling_spark.extensions.multimodal import (
+        audio_features,
         decode_images,
+        encode_audio_wav,
         encode_images,
     )
 
     media = _media(spark, sf_dir)
+    wav = audio_features(encode_audio_wav(media)).select(
+        F.lit("wav").alias("leg"), "media_id",
+        F.col("n_samples").alias("k1"),
+        F.col("zero_crossings").alias("k2"),
+        F.col("sum_abs").alias("k3"),
+        F.col("sample_rate").cast("double").alias("v1"),
+        nd.alias("v2"), ns.alias("s"),
+    )
+    out = out.unionByName(wav)
     for codec in ("png", "bmp"):
         dec = decode_images(encode_images(media, codec))
         hexed = dec.select(
@@ -5242,6 +5259,44 @@ SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
          CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
   FROM p CROSS JOIN (VALUES ('png'), ('bmp')) AS c(leg)
 ) q
+UNION ALL
+SELECT 'wav' AS leg, m.media_id,
+       CAST(length(m.text) // 2 AS BIGINT) AS k1,
+       CAST(COALESCE(z.zc, 0) AS BIGINT) AS k2,
+       CAST(COALESCE(z.sa, 0) AS BIGINT) AS k3,
+       CAST(16000 AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+) m
+LEFT JOIN (
+  SELECT media_id,
+         SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                  THEN 1 ELSE 0 END) AS zc,
+         SUM(ABS(v)) AS sa
+  FROM (
+    SELECT media_id, k, v,
+           CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sgn,
+           lag(CASE WHEN v >= 0 THEN 1 ELSE -1 END) OVER (
+             PARTITION BY media_id ORDER BY k) AS prev_sgn
+    FROM (
+      SELECT media_id, k,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+      FROM (
+        SELECT doc_id AS media_id,
+               CAST(unnest(range(0, CAST(length(text) // 2 AS BIGINT)))
+                    AS INT) AS k,
+               text
+        FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+      ) idx,
+      LATERAL (SELECT
+        ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+        + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)) AS raw
+      ) r
+    )
+  ) GROUP BY media_id
+) z ON z.media_id = m.media_id
 """
 
 

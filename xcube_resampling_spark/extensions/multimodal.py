@@ -75,6 +75,24 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to ``(samples (n, channels), rate)``.
+
+    WAV/PCM decodes natively (clean-room RIFF parser in
+    :mod:`.audiocodec`); compressed formats (MP3/AAC/FLAC) need codec
+    libraries absent from this build and raise
+    :class:`DecoderNotAvailable`."""
+    from .audiocodec import decode_wav, is_wav
+
+    if is_wav(payload or b""):
+        return decode_wav(payload)
+    raise DecoderNotAvailable(
+        "only WAV/PCM decodes natively (clean-room codec in "
+        "audiocodec.py); MP3/AAC/FLAC require external libraries not "
+        "available in this build"
+    )
+
+
 def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: tile the payload bytes into an
     (h, w, 3) uint8 array.  Stands in for a codec so the downstream
@@ -278,6 +296,77 @@ def decode_images(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(
+        compute, schema
+    )
+
+
+def encode_audio_wav(media: DataFrame) -> DataFrame:
+    """Wrap audio payload bytes as real WAV files executor-side: the
+    raw bytes are interpreted as 16-bit little-endian PCM (trailing odd
+    byte dropped) at the row's ``sample_rate`` and containerized with
+    the clean-room RIFF writer.  Returns the media frame with
+    ``payload`` replaced -- a narrow ``mapInPandas`` pass."""
+    from .audiocodec import encode_wav
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for rate, payload in zip(pdf["sample_rate"], pdf["payload"]):
+                rate = 16000 if pd.isna(rate) else int(rate)
+                payload = bytes(payload or b"")
+                usable = len(payload) - (len(payload) % 2)
+                samples = np.frombuffer(
+                    payload[:usable], dtype="<i2")
+                payloads.append(encode_wav(samples, rate))
+            out["payload"] = payloads
+            yield out
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        compute, media.schema
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real audio decode + integer-exact signal features per payload:
+    ``(media_id, sample_rate, n_samples, zero_crossings, sum_abs)``.
+    Zero crossings count sign changes between consecutive samples
+    (sample >= 0 counts as positive); ``sum_abs`` is the exact
+    integer sum of absolute sample values -- both bigint-exact, so the
+    features have value-level cross-engine oracles.  One narrow
+    ``mapInPandas`` pass; non-WAV payloads raise loudly."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("zero_crossings", T.LongType(), False),
+            T.StructField("sum_abs", T.LongType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload or b""))
+                mono = samples[:, 0].astype(np.int64)
+                if len(mono):
+                    signs = np.where(mono >= 0, 1, -1)
+                    zc = int((signs[1:] != signs[:-1]).sum())
+                else:
+                    zc = 0
+                rows.append((
+                    mid, rate, len(mono), zc,
+                    int(np.abs(mono).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "zero_crossings", "sum_abs"],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
         compute, schema
     )
 
