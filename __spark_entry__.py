@@ -5152,7 +5152,12 @@ def q_multimodal_suite(spark, sf_dir):
       integer-exact signal features (n_samples, zero crossings,
       sum |s|) checked against the DuckDB twin's little-endian sample
       reconstruction from the document text (k1=n_samples,
-      k2=zero_crossings, k3=sum_abs, v1=sample_rate)."""
+      k2=zero_crossings, k3=sum_abs, v1=sample_rate).
+    * ``y4m``: REAL video decode -- payload bytes containerized as
+      uncompressed YUV4MPEG2 executor-side (videocodec.py, 6 mono
+      4x4 frames), decoded back, per-frame integer features
+      (k1=frame_idx, k2=sum_bytes, k3=order-pinning weighted sum,
+      v1=n_px) against the twin's byte-tiling reconstruction."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
@@ -5185,6 +5190,8 @@ def q_multimodal_suite(spark, sf_dir):
         decode_images,
         encode_audio_wav,
         encode_images,
+        encode_video_y4m,
+        video_frame_features,
     )
 
     media = _media(spark, sf_dir)
@@ -5196,7 +5203,15 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("sample_rate").cast("double").alias("v1"),
         nd.alias("v2"), ns.alias("s"),
     )
-    out = out.unionByName(wav)
+    y4m = video_frame_features(encode_video_y4m(media)).select(
+        F.lit("y4m").alias("leg"), "media_id",
+        F.col("frame_idx").cast("long").alias("k1"),
+        F.col("sum_bytes").alias("k2"),
+        F.col("wsum_bytes").alias("k3"),
+        F.col("n_px").cast("double").alias("v1"),
+        nd.alias("v2"), ns.alias("s"),
+    )
+    out = out.unionByName(wav).unionByName(y4m)
     for codec in ("png", "bmp"):
         dec = decode_images(encode_images(media, codec))
         hexed = dec.select(
@@ -5297,6 +5312,23 @@ LEFT JOIN (
     )
   ) GROUP BY media_id
 ) z ON z.media_id = m.media_id
+UNION ALL
+SELECT 'y4m' AS leg, media_id, frame_idx AS k1,
+       CAST(SUM(byte) AS BIGINT) AS k2,
+       CAST(SUM((p + 1) * byte) AS BIGINT) AS k3,
+       CAST(16 AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM (
+  SELECT media_id, CAST(t // 16 AS BIGINT) AS frame_idx,
+         CAST(t % 16 AS BIGINT) AS p,
+         ascii(substr(text, CAST(t % length(text) AS INT) + 1, 1))
+           AS byte
+  FROM (
+    SELECT doc_id AS media_id, text,
+           CAST(unnest(range(0, 96)) AS INT) AS t
+    FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
+  )
+) GROUP BY media_id, frame_idx
 """
 
 

@@ -1,0 +1,100 @@
+"""Clean-room Y4M codec tests (extensions/videocodec.py) and the real
+video-decode multimodal operators."""
+
+import numpy as np
+import pytest
+
+from xcube_resampling_spark.extensions.videocodec import (
+    decode_y4m,
+    encode_y4m,
+    is_y4m,
+)
+
+
+class TestY4m:
+    def test_mono_roundtrip(self):
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 256, (5, 6, 8), dtype=np.uint8)
+        back_y, u, v, meta = decode_y4m(encode_y4m(y, fps=(30, 1)))
+        assert (back_y == y).all() and u is None and v is None
+        assert meta["width"] == 8 and meta["height"] == 6
+        assert meta["fps"] == (30, 1) and meta["colorspace"] == "mono"
+
+    def test_420_roundtrip(self):
+        rng = np.random.default_rng(4)
+        y = rng.integers(0, 256, (3, 4, 6), dtype=np.uint8)
+        u = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+        v = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+        by, bu, bv, meta = decode_y4m(encode_y4m(y, u, v))
+        assert (by == y).all() and (bu == u).all() and (bv == v).all()
+        assert meta["colorspace"] == "420"
+
+    def test_444_roundtrip(self):
+        rng = np.random.default_rng(5)
+        y = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+        u = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+        v = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+        by, bu, bv, meta = decode_y4m(encode_y4m(y, u, v))
+        assert (by == y).all() and (bu == u).all() and (bv == v).all()
+        assert meta["colorspace"] == "444"
+
+    def test_zero_frames(self):
+        y = np.zeros((0, 4, 4), np.uint8)
+        by, _, _, meta = decode_y4m(encode_y4m(y))
+        assert by.shape == (0, 4, 4)
+
+    def test_errors(self):
+        with pytest.raises(ValueError, match="YUV4MPEG2"):
+            decode_y4m(b"RIFF....")
+        y = np.zeros((1, 4, 4), np.uint8)
+        data = bytearray(encode_y4m(y))
+        data[data.index(b"Cmono") + 1:data.index(b"Cmono") + 5] = b"411 "
+        with pytest.raises(NotImplementedError, match="C411"):
+            decode_y4m(bytes(data))
+        good = encode_y4m(y)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_y4m(good[:-3])
+        with pytest.raises(ValueError, match="chroma"):
+            encode_y4m(y, np.zeros((1, 3, 3), np.uint8),
+                       np.zeros((1, 3, 3), np.uint8))
+        assert not is_y4m(b"xx")
+
+    def test_decode_video_dispatch(self):
+        from xcube_resampling_spark.extensions.multimodal import (
+            DecoderNotAvailable,
+            decode_video,
+        )
+
+        y = np.arange(16, dtype=np.uint8).reshape(1, 4, 4)
+        by, _, _, _ = decode_video(encode_y4m(y))
+        assert (by == y).all()
+        with pytest.raises(DecoderNotAvailable):
+            decode_video(b"\x00\x00\x00\x18ftypmp42")
+
+
+class TestVideoOperators:
+    def test_encode_then_frame_features(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            encode_video_y4m,
+            synthetic_media,
+            video_frame_features,
+        )
+
+        media = synthetic_media(spark, 12)
+        out = video_frame_features(
+            encode_video_y4m(media)).collect()
+        assert out
+        src = {m["media_id"]: m for m in media.collect()}
+        for r in out:
+            m = src[r["media_id"]]
+            buf = np.frombuffer(bytes(m["payload"]), np.uint8)
+            t0 = r["frame_idx"] * 16
+            frame = np.array(
+                [buf[(t0 + p) % buf.size] for p in range(16)],
+                np.int64)
+            assert r["n_px"] == 16
+            assert r["sum_bytes"] == int(frame.sum())
+            assert r["wsum_bytes"] == int(
+                (frame * (np.arange(16) + 1)).sum())
+        n_frames = {r["media_id"] for r in out}
+        assert n_frames  # every video row produced frames

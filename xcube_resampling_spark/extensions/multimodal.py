@@ -93,6 +93,95 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     )
 
 
+def decode_video(payload: bytes):
+    """Decode a video payload to ``(y, u, v, meta)`` -- see
+    :func:`.videocodec.decode_y4m`.
+
+    Y4M (uncompressed YUV4MPEG2) decodes natively; compressed video
+    (H.264/VP9/AV1) needs codec libraries absent from this build and
+    raises :class:`DecoderNotAvailable`."""
+    from .videocodec import decode_y4m, is_y4m
+
+    if is_y4m(payload or b""):
+        return decode_y4m(payload)
+    raise DecoderNotAvailable(
+        "only Y4M (uncompressed YUV4MPEG2) decodes natively "
+        "(clean-room codec in videocodec.py); H.264/VP9/AV1 require "
+        "external libraries not available in this build"
+    )
+
+
+def encode_video_y4m(
+    media: DataFrame, frame_w: int = 4, frame_h: int = 4
+) -> DataFrame:
+    """Containerize video payload bytes as real Y4M executor-side: the
+    raw bytes tile into ``n_frames`` mono Y planes of
+    ``frame_h x frame_w`` (byte ``t`` of the frame stream =
+    ``payload[t mod len]``, the same deterministic tiling the image
+    fake uses).  Returns the media frame with ``payload`` replaced."""
+    from .videocodec import encode_y4m
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for n, payload in zip(pdf["n_frames"], pdf["payload"]):
+                n = 1 if pd.isna(n) else max(1, int(n))
+                buf = np.frombuffer(
+                    bytes(payload or b"\x00"), np.uint8)
+                if buf.size == 0:
+                    buf = np.zeros(1, np.uint8)
+                need = n * frame_h * frame_w
+                reps = int(np.ceil(need / buf.size))
+                y = np.tile(buf, reps)[:need].reshape(
+                    n, frame_h, frame_w)
+                payloads.append(encode_y4m(y))
+            out["payload"] = payloads
+            yield out
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        compute, media.schema
+    )
+
+
+def video_frame_features(media: DataFrame) -> DataFrame:
+    """Real video decode + integer-exact per-frame features:
+    ``(media_id, frame_idx, n_px, sum_bytes, wsum_bytes)`` where
+    ``wsum_bytes = sum((pos+1) * byte)`` pins the byte ORDER, not just
+    the multiset -- both bigint-exact for cross-engine oracles.  One
+    narrow ``mapInPandas`` pass; non-Y4M payloads raise loudly."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("sum_bytes", T.LongType(), False),
+            T.StructField("wsum_bytes", T.LongType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                y, _u, _v, _meta = decode_video(bytes(payload or b""))
+                for k in range(y.shape[0]):
+                    flat = y[k].reshape(-1).astype(np.int64)
+                    rows.append((
+                        mid, k, flat.size, int(flat.sum()),
+                        int((flat * (np.arange(flat.size) + 1)).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_px",
+                         "sum_bytes", "wsum_bytes"],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        compute, schema
+    )
+
+
 def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: tile the payload bytes into an
     (h, w, 3) uint8 array.  Stands in for a codec so the downstream
