@@ -74,6 +74,18 @@ class TestWav:
 
 
 class TestAudioOperators:
+    def test_audio_pipeline_is_shuffle_free(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            audio_features,
+            encode_audio_wav,
+            synthetic_media,
+        )
+        from tests.test_imagecodec import _n_exchanges
+
+        media = synthetic_media(spark, 9)
+        assert _n_exchanges(
+            audio_features(encode_audio_wav(media))) == 0
+
     def test_encode_then_features(self, spark):
         from xcube_resampling_spark.extensions.multimodal import (
             audio_features,

@@ -210,7 +210,25 @@ class TestSniffAndDispatch:
             decode_image(b"\xff\xd8\xffJPEG...")
 
 
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for ln in plan.split("\n")
+               if "Exchange" in ln and "Reused" not in ln)
+
+
 class TestSparkOperators:
+    def test_codec_pipeline_is_shuffle_free(self, spark):
+        # encode -> decode is two narrow mapInPandas passes: the
+        # 100-TB shape claim, plan-asserted
+        from xcube_resampling_spark.extensions.multimodal import (
+            decode_images,
+            encode_images,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 9)
+        assert _n_exchanges(decode_images(encode_images(media))) == 0
+
     def test_encode_then_decode_images(self, spark):
         from xcube_resampling_spark.extensions.multimodal import (
             _fake_decode_rgb,

@@ -73,6 +73,18 @@ class TestY4m:
 
 
 class TestVideoOperators:
+    def test_video_pipeline_is_shuffle_free(self, spark):
+        from tests.test_imagecodec import _n_exchanges
+        from xcube_resampling_spark.extensions.multimodal import (
+            encode_video_y4m,
+            synthetic_media,
+            video_frame_features,
+        )
+
+        media = synthetic_media(spark, 9)
+        assert _n_exchanges(
+            video_frame_features(encode_video_y4m(media))) == 0
+
     def test_encode_then_frame_features(self, spark):
         from xcube_resampling_spark.extensions.multimodal import (
             encode_video_y4m,
