@@ -73,6 +73,26 @@ class TestY4m:
 
 
 class TestVideoOperators:
+    def test_sample_frames_decodes_real_y4m(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            encode_video_y4m,
+            sample_frames,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 12)
+        real = encode_video_y4m(media)  # payloads now real Y4M
+        out = sample_frames(real, every_nth=2).collect()
+        assert out
+        src = {m["media_id"]: m for m in media.collect()}
+        for r in out:
+            buf = np.frombuffer(
+                bytes(src[r["media_id"]]["payload"]), np.uint8)
+            t0 = r["frame_idx"] * 16
+            want = bytes(buf[(t0 + p) % buf.size] for p in range(16))
+            assert bytes(r["frame"]) == want  # actual Y plane bytes
+        assert {r["frame_idx"] for r in out} == {0, 2, 4}
+
     def test_video_pipeline_is_shuffle_free(self, spark):
         from tests.test_imagecodec import _n_exchanges
         from xcube_resampling_spark.extensions.multimodal import (
