@@ -1509,6 +1509,57 @@ class TestMixSources:
         assert a == b
         assert a != c
 
+    def test_temperature_weights_math(self):
+        from xcube_resampling_spark.extensions.sampling import (
+            temperature_weights,
+        )
+
+        counts = {"big": 900, "small": 100}
+        # T=1: natural proportions -> every rate is exactly 1.0
+        w1 = temperature_weights(counts, temperature=1.0)
+        assert w1 == {"big": 1.0, "small": 1.0}
+        # T->flat: p -> 1/2 each; small upsamples, big downsamples
+        w = temperature_weights(counts, temperature=100.0)
+        assert w["small"] > 1.0 > w["big"]
+        assert abs(w["small"] * 100 + w["big"] * 900 - 1000) < 1e-6
+        # exact T=2 hand check: p_i = sqrt(n_i)/Z
+        w2 = temperature_weights(counts, temperature=2.0)
+        z = 900 ** 0.5 + 100 ** 0.5
+        assert abs(w2["small"] - (100 ** 0.5 / z) * 1000 / 100) < 1e-12
+        # max_epochs caps without redistribution
+        wc = temperature_weights(
+            counts, temperature=100.0, max_epochs=1.5)
+        assert wc["small"] == 1.5 and wc["big"] == w["big"]
+        # target_total scales linearly; zero-count sources drop
+        wt = temperature_weights(
+            {"a": 10, "b": 0}, temperature=1.0, target_total=20)
+        assert wt == {"a": 2.0}
+        assert temperature_weights({}) == {}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="temperature"):
+            temperature_weights(counts, temperature=0)
+        with _pytest.raises(ValueError, match="max_epochs"):
+            temperature_weights(counts, max_epochs=-1)
+
+    def test_source_counts_and_temperature_mix_end_to_end(self, spark):
+        from pyspark.sql import functions as SF
+
+        from xcube_resampling_spark.extensions.sampling import (
+            mix_sources,
+            source_counts,
+            temperature_weights,
+        )
+
+        df = self._df(spark)  # 20 docs per source s0/s1/s2
+        counts = source_counts(df)
+        assert counts == {"s0": 20, "s1": 20, "s2": 20}
+        w = temperature_weights(counts, temperature=1.0)
+        mixed = mix_sources(df, w, seed="t")
+        # natural proportions at T=1: exactly one epoch of everything
+        assert mixed.count() == 60
+        assert mixed.agg(SF.max("epoch")).first()[0] == 0
+
     def test_negative_weight_raises(self, spark):
         from xcube_resampling_spark.extensions.sampling import mix_sources
 

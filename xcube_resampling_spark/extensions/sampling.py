@@ -166,3 +166,60 @@ def mix_sources(
         n_epochs > 0, F.sequence(F.lit(0), n_epochs - 1)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def source_counts(
+    df: DataFrame, source_col: str | Column = "source"
+) -> dict[str, int]:
+    """Per-source document counts as a driver dict (one map-side-
+    combinable aggregation over however many sources exist -- the
+    result is sources-sized, not corpus-sized)."""
+    src = F.col(source_col) if isinstance(source_col, str) else source_col
+    rows = df.groupBy(src.alias("source")).agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    return {r["source"]: int(r["n"]) for r in rows}
+
+
+def temperature_weights(
+    counts: dict[str, int],
+    temperature: float = 1.0,
+    target_total: float | None = None,
+    max_epochs: float | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixing weights for :func:`mix_sources` -- the
+    standard multilingual/multi-source LLM recipe (mT5/PaLM shape):
+    sampling probability ``p_i proportional to n_i^(1/T)``, so ``T=1``
+    preserves natural proportions and larger ``T`` flattens toward
+    uniform, boosting low-resource sources.
+
+    The returned weight is the per-document sampling RATE
+    ``w_i = p_i * target_total / n_i`` (``target_total`` defaults to
+    the corpus size, i.e. a same-sized remix).  ``max_epochs`` caps any
+    single source's upsampling (the mT5 guard against tiny sources
+    repeating hundreds of times); capped mass is NOT redistributed --
+    the mix just comes out slightly smaller, which keeps every weight a
+    pure function of (counts, T, caps).
+
+    Driver-side pure function of the counts dict (pair it with
+    :func:`source_counts`); feed the result straight into
+    :func:`mix_sources`, which applies each rate as floor(w) full
+    epochs + a hash-deterministic fractional epoch.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    sized = {s: int(n) for s, n in counts.items() if n > 0}
+    if not sized:
+        return {}
+    total = float(sum(sized.values()))
+    tgt = float(target_total) if target_total is not None else total
+    powed = {s: n ** (1.0 / temperature) for s, n in sized.items()}
+    z = sum(powed.values())
+    out = {}
+    for s, n in sized.items():
+        w = (powed[s] / z) * tgt / n
+        if max_epochs is not None:
+            w = min(w, float(max_epochs))
+        out[s] = w
+    return out
