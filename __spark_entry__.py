@@ -4939,7 +4939,10 @@ def q_ann_suite(spark, sf_dir):
     carry id_b, single-vector legs leave it NULL."""
     from xcube_resampling_spark.extensions.similarity import (
         ivf_pq_topk,
+        ivf_topk,
+        kmeans_centroids,
         pq_encode,
+        pq_topk,
         pq_train,
     )
 
@@ -4950,14 +4953,12 @@ def q_ann_suite(spark, sf_dir):
         F.col("vec_id").alias("id_a"), nul.alias("id_b"),
         F.col("cosine").alias("score"),
     )
-    ivf = q_knn_ivf(spark, sf_dir).select(
-        "variant", nul.alias("cluster"),
-        F.col("vec_id").alias("id_a"), nul.alias("id_b"), "score",
-    )
     cos = q_dedup_embedding_cosine(spark, sf_dir).select(
         "variant", "cluster", "id_a", "id_b",
         F.col("cosine").alias("score"),
     )
+    # the q_knn_ivf legs, rebuilt here so the PQ codebooks train ONCE
+    # and feed both the 'pq' and the composed 'ivfpq' legs
     emb = _spread(spark, _table(spark, sf_dir, "embeddings"))
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -4966,10 +4967,32 @@ def q_ann_suite(spark, sf_dir):
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
+    seed10 = ivf_topk(
+        emb, query, k=10, num_centroids=10, nprobe=2, exclude_vec_id=0)
+    trained = kmeans_centroids(emb_d, num_centroids=10, iterations=2)
+    km10 = ivf_topk(
+        emb_d, query, k=10, num_centroids=10, nprobe=2,
+        exclude_vec_id=0, centroids=trained,
+    )
     books = pq_train(emb_d, m=4, ksub=8, iterations=2)
+    codes = pq_encode(emb_d, books)
+    pq10 = pq_topk(codes.filter(F.col("vec_id") != 0), books, query, k=10)
+
+    def ivf_leg(df, tag, score_col):
+        return df.select(
+            F.lit(tag).alias("variant"), nul.alias("cluster"),
+            F.col("vec_id").alias("id_a"), nul.alias("id_b"),
+            F.col(score_col).alias("score"),
+        )
+
+    ivf = (
+        ivf_leg(seed10, "seed", "cosine")
+        .unionByName(ivf_leg(km10, "kmeans", "cosine"))
+        .unionByName(ivf_leg(pq10, "pq", "adc_dist"))
+    )
     ivfpq10 = ivf_pq_topk(
         emb_d, query, k=10, num_centroids=10, nprobe=2,
-        codebooks=books, codes=pq_encode(emb_d, books),
+        codebooks=books, codes=codes,
         exclude_vec_id=0,
     )
     ivfpq = ivfpq10.select(
