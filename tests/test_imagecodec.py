@@ -229,6 +229,29 @@ class TestSparkOperators:
         media = synthetic_media(spark, 9)
         assert _n_exchanges(decode_images(encode_images(media))) == 0
 
+    def test_reencode_real_payload_transcodes(self, spark):
+        # a payload that already IS an image decodes through the real
+        # codec (ignoring the metadata w/h) and transcodes losslessly
+        import numpy as np
+
+        from xcube_resampling_spark.extensions.multimodal import (
+            decode_images,
+            encode_images,
+        )
+
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [(0, "image", bytearray(encode_png(img)), 99, 99,
+              None, None)],
+            "media_id long, kind string, payload binary, width int, "
+            "height int, sample_rate int, n_frames int",
+        )
+        out = decode_images(encode_images(media, "bmp")).collect()[0]
+        assert (out["width"], out["height"]) == (7, 5)
+        got = np.frombuffer(bytes(out["pixels"]), np.uint8)
+        assert (got.reshape(5, 7, 3) == img).all()
+
     def test_encode_then_decode_images(self, spark):
         from xcube_resampling_spark.extensions.multimodal import (
             _fake_decode_rgb,
