@@ -392,6 +392,96 @@ class TestCodecProperties:
             np.testing.assert_allclose(la2, la[vis], atol=1e-8)
 
 
+class TestMediaCodecProperties:
+    """Roundtrip invariants for the clean-room media codecs: any
+    shape/dtype the encoder accepts must decode byte-exactly."""
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_any_image(self, h, w, c, seed):
+        from xcube_resampling_spark.extensions.imagecodec import (
+            decode_png, encode_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == (h, w, c)
+        assert (back == img).all()
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_roundtrip_any_image(self, h, w, seed):
+        from xcube_resampling_spark.extensions.imagecodec import (
+            decode_bmp, encode_bmp,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    @given(
+        n=st.integers(0, 300),
+        ch=st.integers(1, 3),
+        dtype=st.sampled_from(["u1", "<i2", "<i4"]),
+        rate=st.integers(1, 192000),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip_any_pcm(self, n, ch, dtype, rate, seed):
+        from xcube_resampling_spark.extensions.audiocodec import (
+            decode_wav, encode_wav,
+        )
+
+        rng = np.random.default_rng(seed)
+        dt = np.dtype(dtype)
+        info = np.iinfo(dt)
+        s = rng.integers(
+            info.min, int(info.max) + 1, (n, ch)).astype(dt)
+        back, r = decode_wav(encode_wav(s, rate))
+        assert r == rate
+        assert back.shape == (n, ch) and (back == s).all()
+
+    @given(
+        n=st.integers(0, 5),
+        h=st.integers(1, 5),
+        w=st.integers(1, 5),
+        chroma=st.sampled_from(["mono", "444", "420"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_y4m_roundtrip_any_frames(self, n, h, w, chroma, seed):
+        from xcube_resampling_spark.extensions.videocodec import (
+            decode_y4m, encode_y4m,
+        )
+
+        rng = np.random.default_rng(seed)
+        if chroma == "420":
+            h, w = h * 2, w * 2  # 4:2:0 needs even dims
+        y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        if chroma == "mono":
+            u = v = None
+        else:
+            cs = (h, w) if chroma == "444" else (h // 2, w // 2)
+            u = rng.integers(0, 256, (n, *cs), dtype=np.uint8)
+            v = rng.integers(0, 256, (n, *cs), dtype=np.uint8)
+        by, bu, bv, meta = decode_y4m(encode_y4m(y, u, v))
+        assert (by == y).all()
+        if u is None:
+            assert bu is None and bv is None
+        else:
+            assert (bu == u).all() and (bv == v).all()
+
+
 class TestWktProperties:
     """WKT emission/parsing closure under arbitrary parameters."""
 
