@@ -4740,11 +4740,20 @@ def q_vocab_stats(spark, sf_dir):
       tf = its count, df = distinct-token count, score = the bigram's
       character fraction, rank = total tokens, frac = duplicate-token
       fraction.
+    * ``gopher_counts`` / ``gopher_lines`` / ``gopher_flags``: the
+      Gopher A1.1 quality-rule gate (``text.gopher_rules``) -- counts
+      (tf=n_words, df=sum_word_len, score=n_alpha_words,
+      rank=n_req_stops), line stats (tf=n_lines, df=n_bullet,
+      score=n_ellipsis, rank=n_symbols), and the rule bits
+      (tf=flag_bits, rank=pass_all); every flag is an integer-exact
+      cross-multiplied inequality, so the rows hash identically in
+      both engines.
 
     Shared superset schema (absent fields NULL per variant):
     (variant, doc_id, tok, tf, df, score, rank, frac).
     """
     from xcube_resampling_spark.extensions.text import (
+        gopher_rules,
         repetition_stats,
         tfidf_topk,
         vocab_stats,
@@ -4777,7 +4786,33 @@ def q_vocab_stats(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("rank"),
         F.col("dup_frac").alias("frac"),
     )
-    return vs.unionByName(tk).unionByName(rp)
+    g = gopher_rules(docs)
+    ns_tok = F.lit(None).cast("string").alias("tok")
+    gc = g.select(
+        F.lit("gopher_counts").alias("variant"), "doc_id", ns_tok,
+        F.col("n_words").alias("tf"),
+        F.col("sum_word_len").alias("df"),
+        F.col("n_alpha_words").cast("double").alias("score"),
+        F.col("n_req_stops").cast("int").alias("rank"), null_frac,
+    )
+    gl = g.select(
+        F.lit("gopher_lines").alias("variant"), "doc_id", ns_tok,
+        F.col("n_lines").alias("tf"),
+        F.col("n_bullet_lines").alias("df"),
+        F.col("n_ellipsis_lines").cast("double").alias("score"),
+        F.col("n_symbols").cast("int").alias("rank"), null_frac,
+    )
+    gf = g.select(
+        F.lit("gopher_flags").alias("variant"), "doc_id", ns_tok,
+        F.col("flag_bits").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("pass_all").cast("int").alias("rank"), null_frac,
+    )
+    return (
+        vs.unionByName(tk).unionByName(rp)
+        .unionByName(gc).unionByName(gl).unionByName(gf)
+    )
 
 
 SQL_VOCAB = """
@@ -4855,6 +4890,60 @@ rep AS (
   FROM per_doc p
   JOIN topbg t ON p.doc_id = t.doc_id
   JOIN norm_len l ON p.doc_id = l.doc_id
+),
+gw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS ws,
+         lower(text) AS lt
+  FROM documents
+),
+gc AS (
+  SELECT doc_id, ws, lt,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(COALESCE(
+           list_sum(list_transform(ws, w -> length(w))), 0)
+           AS BIGINT) AS sum_len,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+           AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(lt, '#|\\.\\.\\.'))
+           AS BIGINT) AS n_sym,
+         CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_req,
+         list_filter(list_transform(string_split(lt, chr(10)),
+                                    l -> trim(l)),
+                     l -> l != '') AS lns
+  FROM gw
+),
+gl2 AS (
+  SELECT doc_id, n_words, sum_len, n_alpha, n_sym, n_req,
+         CAST(len(lns) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lns,
+           l -> regexp_matches(l, '^[-*•] '))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lns,
+           l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+           AS BIGINT) AS n_ell
+  FROM gc
+),
+gfl AS (
+  SELECT *,
+    CASE WHEN n_words >= 50 AND n_words <= 100000
+         THEN 1 ELSE 0 END AS f1,
+    CASE WHEN n_words > 0 AND sum_len >= 3 * n_words
+              AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS f2,
+    CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS f3,
+    CASE WHEN 10 * n_bullet <= n_lines THEN 1 ELSE 0 END AS f4,
+    CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS f5,
+    CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS f6,
+    CASE WHEN n_req >= 2 THEN 1 ELSE 0 END AS f7
+  FROM gl2
 )
 SELECT 'vocab' AS variant, CAST(NULL AS BIGINT) AS doc_id, tok, tf, df,
        CAST(NULL AS DOUBLE) AS score,
@@ -4868,6 +4957,28 @@ FROM tfidf WHERE rank <= 3
 UNION ALL
 SELECT 'rep' AS variant, doc_id, tok, tf, df, score, rank, frac
 FROM rep
+UNION ALL
+SELECT 'gopher_counts' AS variant, doc_id,
+       CAST(NULL AS VARCHAR) AS tok, n_words AS tf, sum_len AS df,
+       CAST(n_alpha AS DOUBLE) AS score, CAST(n_req AS INT) AS rank,
+       CAST(NULL AS DOUBLE) AS frac
+FROM gfl
+UNION ALL
+SELECT 'gopher_lines' AS variant, doc_id,
+       CAST(NULL AS VARCHAR) AS tok, n_lines AS tf, n_bullet AS df,
+       CAST(n_ell AS DOUBLE) AS score, CAST(n_sym AS INT) AS rank,
+       CAST(NULL AS DOUBLE) AS frac
+FROM gfl
+UNION ALL
+SELECT 'gopher_flags' AS variant, doc_id,
+       CAST(NULL AS VARCHAR) AS tok,
+       CAST(f1 + 2 * f2 + 4 * f3 + 8 * f4 + 16 * f5 + 32 * f6
+            + 64 * f7 AS BIGINT) AS tf,
+       CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS score,
+       CAST(CASE WHEN f1 + f2 + f3 + f4 + f5 + f6 + f7 = 7
+                 THEN 1 ELSE 0 END AS INT) AS rank,
+       CAST(NULL AS DOUBLE) AS frac
+FROM gfl
 """
 
 

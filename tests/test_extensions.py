@@ -1625,6 +1625,55 @@ class TestUnigramLogprob:
         docs = _docs(spark, ["", "   "])
         assert unigram_logprob(docs).count() == 0
 
+    def test_gopher_rules_flags(self, spark):
+        from xcube_resampling_spark.extensions.text import gopher_rules
+
+        good = ("the cat and dog have that with be to of play nice "
+                * 5).strip()  # 60 words, mean len ~3.5, stopword-rich
+        rows = [
+            (0, good),
+            (1, "short doc"),                       # rule 1 fails
+            (2, " ".join(["supercalifragilistic"] * 60)),  # rule 2, 7
+            (3, good + " " + "# " * 20),            # symbol-heavy
+            (4, good + "\n" + "\n".join("- bullet" for _ in range(9))),
+            (5, good + "\n" + "\n".join(
+                f"line {i} trails..." for i in range(9))),
+            (6, good + " " + "123 456 789 " * 10),  # digit words
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in gopher_rules(docs, min_words=50).collect()}
+        assert out[0]["pass_all"] == 1
+        assert out[0]["flag_bits"] == 0b1111111
+        assert out[1]["f_word_count"] == 0 and out[1]["pass_all"] == 0
+        assert out[2]["f_mean_word_len"] == 0
+        assert out[2]["f_req_stopwords"] == 0
+        assert out[3]["f_symbol_ratio"] == 0
+        # doc 4: 9 bullet lines of 10 non-empty lines -> > 10% bullets
+        assert out[4]["n_lines"] == 10
+        assert out[4]["n_bullet_lines"] == 9
+        assert out[4]["f_bullet_lines"] == 0
+        # doc 5: 9 of 10 lines end with ellipsis -> > 30%
+        assert out[5]["f_ellipsis_lines"] == 0
+        # doc 6: 30 of 90 words are pure digits -> alpha ratio 2/3 < .8
+        assert out[6]["f_alpha_words"] == 0
+
+    def test_gopher_rules_empty_doc(self, spark):
+        from xcube_resampling_spark.extensions.text import gopher_rules
+
+        docs = spark.createDataFrame(
+            [(0, ""), (1, "   \n  ")], "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in
+               gopher_rules(docs).collect()}
+        for d in (0, 1):
+            assert out[d]["n_words"] == 0
+            assert out[d]["f_word_count"] == 0
+            assert out[d]["f_mean_word_len"] == 0
+            assert out[d]["pass_all"] == 0
+            # vacuous line/symbol rules hold on empty input
+            assert out[d]["f_bullet_lines"] == 1
+            assert out[d]["f_symbol_ratio"] == 1
+
     def test_bigram_hand_computed(self, spark):
         import math
 

@@ -106,6 +106,110 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# the Gopher rule-7 required-stopword set (Rae et al. 2021, A1.1)
+GOPHER_REQUIRED_STOPS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", appendix A1.1 -- the MassiveText heuristics
+    most open pipelines reuse): per-document counts, the seven rule
+    flags, and the combined pass bit.
+
+    Rules: (1) word count in [min_words, max_words]; (2) mean word
+    length in [3, 10]; (3) symbol-to-word ratio (# or ...) <= 0.1;
+    (4) <= 10% of lines start with a bullet; (5) <= 30% of lines end
+    with an ellipsis; (6) >= 80% of words contain an alphabetic
+    character; (7) >= 2 of the required stopwords appear.
+
+    Every flag is an INTEGER-EXACT comparison: ratio thresholds are
+    cross-multiplied inequalities over counts (e.g. mean length in
+    [3, 10] becomes ``3*n <= sum_len <= 10*n``), so no float division
+    can flip a flag between engines.  Lines are the non-empty
+    space-trimmed splits of the lowered text.  One narrow projection,
+    zero shuffles.
+    """
+    lowered = F.lower(F.col(text_col))
+    words = F.filter(
+        tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+    )
+    n_words = F.size(words).cast("bigint")
+    sum_len = F.coalesce(
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"), lambda a, x: a + x,
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("bigint")
+    n_symbols = F.regexp_count(
+        lowered, F.lit(r"#|\.\.\.")
+    ).cast("bigint")
+    lines = F.filter(
+        F.transform(F.split(lowered, "\n"), F.trim),
+        lambda ln: ln != F.lit(""),
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^[-*•] "))
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPS])
+    n_req = F.size(F.array_intersect(words, req)).cast("bigint")
+
+    def flag(cond):
+        return F.when(cond, 1).otherwise(0).cast("int")
+
+    f_words = flag(
+        (n_words >= min_words) & (n_words <= max_words))
+    f_mean = flag(
+        (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+        & (n_words > 0))
+    f_sym = flag(10 * n_symbols <= n_words)
+    f_bullet = flag(10 * n_bullet <= n_lines)
+    f_ell = flag(10 * n_ellipsis <= 3 * n_lines)
+    f_alpha = flag(5 * n_alpha_words >= 4 * n_words)
+    f_stops = flag(n_req >= 2)
+    flags = [f_words, f_mean, f_sym, f_bullet, f_ell, f_alpha, f_stops]
+    bitmask = None
+    for i, f in enumerate(flags):
+        term = f.cast("bigint") * (1 << i)
+        bitmask = term if bitmask is None else bitmask + term
+    pass_all = flag(
+        sum(flags[1:], flags[0].cast("int")) == len(flags))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_req.alias("n_req_stops"),
+        f_words.alias("f_word_count"),
+        f_mean.alias("f_mean_word_len"),
+        f_sym.alias("f_symbol_ratio"),
+        f_bullet.alias("f_bullet_lines"),
+        f_ell.alias("f_ellipsis_lines"),
+        f_alpha.alias("f_alpha_words"),
+        f_stops.alias("f_req_stopwords"),
+        bitmask.cast("bigint").alias("flag_bits"),
+        pass_all.alias("pass_all"),
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language identification: count marker-word hits per
     language in the token set, argmax with alphabetic tie-break."""
