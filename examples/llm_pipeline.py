@@ -46,6 +46,7 @@ from xcube_resampling_spark.extensions.bpe import (  # noqa: E402
     bpe_train,
 )
 from xcube_resampling_spark.extensions.text import (  # noqa: E402
+    gopher_rules,
     text_stats,
     unigram_logprob,
 )
@@ -70,8 +71,18 @@ def main(sf_dir: str) -> None:
     n0 = docs.count()
     print(f"corpus: {n0} documents")
 
-    # ---- 1. quality filter (Gopher-style gates on cheap signals +
+    # ---- 1. quality filter (Gopher rule gate + cheap signals +
     # CCNet-style unigram LM perplexity: drop the worst-scoring tail)
+    gate = gopher_rules(docs, min_words=10)
+    # this synthetic corpus is single-line and stopword-light, so gate
+    # on the structural rules (length, symbols, bullets, alpha words)
+    # rather than pass_all
+    keep_g = gate.filter(
+        (F.col("f_word_count") == 1) & (F.col("f_symbol_ratio") == 1)
+        & (F.col("f_bullet_lines") == 1) & (F.col("f_alpha_words") == 1)
+    ).select("doc_id")
+    docs = docs.join(keep_g, "doc_id")
+    print(f"after Gopher rule gate: {docs.count()}")
     stats = text_stats(docs)
     keep = stats.filter(
         (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0)
