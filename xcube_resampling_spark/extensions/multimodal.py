@@ -1,12 +1,19 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
-Images/audio/video are carried as ``binary`` columns with a metadata struct.
-The Spark-side machinery -- schema, Arrow batch shape, ``mapInPandas``
-pipelines, partition sizing -- is real and tested; the actual codec calls are
-STUBBED behind ``DecoderNotAvailable`` / a clearly-marked deterministic fake,
-because no image/audio libraries exist in this environment.  Swapping
-``_fake_decode_rgb`` for a real ``PIL.Image.open`` keeps every signature and
-plan identical.
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; all transforms are narrow Arrow-batched ``mapInPandas`` passes
+(plan-asserted shuffle-free).
+
+Decode is REAL for every format whose byte layout is public and needs
+no external codec library -- the clean-room implementations in
+:mod:`.imagecodec` (PNG, BMP), :mod:`.audiocodec` (WAV/PCM), and
+:mod:`.videocodec` (Y4M): ``decode_image`` / ``decode_audio`` /
+``decode_video`` dispatch on magic bytes.  Formats that genuinely
+require codec libraries absent from this build (JPEG/WebP, MP3/AAC/
+FLAC, H.264/VP9/AV1) raise :class:`DecoderNotAvailable` loudly;
+``_fake_decode_rgb`` remains the clearly-marked deterministic stand-in
+those paths use in tests, and swapping it for ``PIL.Image.open`` keeps
+every signature and plan identical.
 """
 
 from __future__ import annotations
