@@ -2901,12 +2901,15 @@ def q_lm_quality(spark, sf_dir):
     * ``bi``: bigram with additive-smoothed unigram backoff
       (text.py::bigram_logprob) -- sees word order, one step toward
       CCNet's KenLM 5-gram.
+    * ``tri``: trigram with recursive additive backoff through the
+      bigram and unigram (text.py::trigram_logprob).
 
     Per-token log-probs round to integer micro-nats before the
     per-document sum, so the reduction is an exact bigint in both
     engines regardless of summation order."""
     from xcube_resampling_spark.extensions.text import (
         bigram_logprob,
+        trigram_logprob,
         unigram_logprob,
     )
 
@@ -2915,7 +2918,9 @@ def q_lm_quality(spark, sf_dir):
         F.lit("uni").alias("leg"), "doc_id", "n_tokens", "nll_micro")
     bi = bigram_logprob(docs).select(
         F.lit("bi").alias("leg"), "doc_id", "n_tokens", "nll_micro")
-    return uni.unionByName(bi)
+    tri = trigram_logprob(docs).select(
+        F.lit("tri").alias("leg"), "doc_id", "n_tokens", "nll_micro")
+    return uni.unionByName(bi).unionByName(tri)
 
 
 SQL_LM_QUALITY = """
@@ -2971,6 +2976,48 @@ t2 AS (
   LEFT JOIN model u ON u.tok = pr.tok
   LEFT JOIN big b ON b.prev = pr.prev AND b.tok = pr.tok
   LEFT JOIN ctx c ON c.prev = pr.prev
+), pr3 AS (
+  SELECT doc_id,
+         CASE WHEN i > 1 THEN ws[i - 1] END AS prev2,
+         CASE WHEN i > 0 THEN ws[i] END AS prev,
+         ws[i + 1] AS tok
+  FROM (
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(len(ws) AS BIGINT))) AS INT) AS i,
+           ws
+    FROM t2
+  )
+), tri AS (
+  SELECT prev2, prev, tok, COUNT(*) AS c3 FROM pr3
+  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, tok
+), ctx2 AS (
+  SELECT prev2, prev, COUNT(*) AS cctx2 FROM pr3
+  WHERE prev2 IS NOT NULL GROUP BY prev2, prev
+), sc3 AS (
+  SELECT pr3.doc_id,
+         CAST(ROUND(CASE
+           WHEN pr3.prev IS NULL
+           THEN ln((COALESCE(u.tf, 0) + 0.5)
+                   / (SELECT denom FROM consts))
+           WHEN pr3.prev2 IS NULL
+           THEN ln((COALESCE(b.c2, 0)
+                    + 0.5 * ((COALESCE(u.tf, 0) + 0.5)
+                             / (SELECT denom FROM consts)))
+                   / (COALESCE(c.cctx, 0) + 0.5))
+           ELSE ln((COALESCE(tr.c3, 0)
+                    + 0.5 * ((COALESCE(b.c2, 0)
+                              + 0.5 * ((COALESCE(u.tf, 0) + 0.5)
+                                       / (SELECT denom FROM consts)))
+                             / (COALESCE(c.cctx, 0) + 0.5)))
+                   / (COALESCE(x2.cctx2, 0) + 0.5))
+           END * 1000000) AS BIGINT) AS lpm
+  FROM pr3
+  LEFT JOIN model u ON u.tok = pr3.tok
+  LEFT JOIN big b ON b.prev = pr3.prev AND b.tok = pr3.tok
+  LEFT JOIN ctx c ON c.prev = pr3.prev
+  LEFT JOIN tri tr ON tr.prev2 = pr3.prev2 AND tr.prev = pr3.prev
+                  AND tr.tok = pr3.tok
+  LEFT JOIN ctx2 x2 ON x2.prev2 = pr3.prev2 AND x2.prev = pr3.prev
 )
 SELECT 'uni' AS leg, t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(-SUM(lp.lpm) AS BIGINT) AS nll_micro
@@ -2980,6 +3027,10 @@ UNION ALL
 SELECT 'bi' AS leg, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(-SUM(lpm) AS BIGINT) AS nll_micro
 FROM sc GROUP BY doc_id
+UNION ALL
+SELECT 'tri' AS leg, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(-SUM(lpm) AS BIGINT) AS nll_micro
+FROM sc3 GROUP BY doc_id
 """
 
 

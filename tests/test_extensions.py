@@ -1710,6 +1710,57 @@ class TestUnigramLogprob:
         assert round(math.log(p1x) * 1e6) == lp_x  # clean backoff
         assert row["nll_micro"] == -(lp_q + lp_x)
 
+    def test_trigram_hand_computed(self, spark):
+        import math
+
+        from xcube_resampling_spark.extensions.text import (
+            trigram_logprob,
+        )
+
+        docs = _docs(spark, ["a b c a b c"])
+        row = trigram_logprob(docs).collect()[0]
+        # unigram: tf(a)=tf(b)=tf(c)=2, total=6, |V|=3
+        denom = 6 + 0.5 * (3 + 1)
+        p1 = {t: (2 + 0.5) / denom for t in "abc"}
+        # bigrams: ab x2, bc x2, ca x1; ctx: a=2, b=2, c=1
+        p2_ab = (2 + 0.5 * p1["b"]) / (2 + 0.5)
+        p2_bc = (2 + 0.5 * p1["c"]) / (2 + 0.5)
+        # trigrams: abc x2, bca x1, cab x1; trigram contexts (pairs at
+        # i-2,i-1 for i >= 2): ab=2, bc=1, ca=1
+        p3_abc = (2 + 0.5 * p2_bc) / (2 + 0.5)
+        p2_ca = (1 + 0.5 * p1["a"]) / (1 + 0.5)
+        p3_bca = (1 + 0.5 * p2_ca) / (1 + 0.5)
+        p3_cab = (1 + 0.5 * p2_ab) / (1 + 0.5)
+        lps = [
+            math.log(p1["a"]),      # 'a' (no context)
+            math.log(p2_ab),        # 'b' | a
+            math.log(p3_abc),       # 'c' | a b
+            math.log(p3_bca),       # 'a' | b c
+            math.log(p3_cab),       # 'b' | c a
+            math.log(p3_abc),       # 'c' | a b
+        ]
+        want = -sum(round(v * 1e6) for v in lps)
+        assert row["n_tokens"] == 6
+        assert row["nll_micro"] == want
+
+    def test_trigram_ranks_fluency_above_bigram_ambiguity(self, spark):
+        from xcube_resampling_spark.extensions.text import (
+            bigram_logprob,
+            trigram_logprob,
+        )
+
+        # two 3-gram patterns sharing all bigrams: 'a b'/'b a' appear
+        # in both, so the bigram can't tell the orders apart, but the
+        # trigram can
+        model = _docs(spark, ["x a b a y", "x a b a y", "x a b a y"])
+        target = spark.createDataFrame(
+            [(100, "a b a"), (101, "b a b")],
+            "doc_id long, text string")
+        tri = {r["doc_id"]: r["nll"] for r in trigram_logprob(
+            target, model_docs=model).collect()}
+        assert tri[100] < tri[101]
+        bigram_logprob(target, model_docs=model).collect()  # smoke
+
     def test_bigram_ranks_scrambled_below_fluent(self, spark):
         from xcube_resampling_spark.extensions.text import (
             bigram_logprob,

@@ -525,6 +525,25 @@ def _token_pairs(src: DataFrame, text_col: str) -> DataFrame:
     ).select("doc_id", "p.prev", "p.tok")
 
 
+def _token_triples(src: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, prev2, prev, tok) stream: each token with its two left
+    neighbors (NULL beyond the document start)."""
+    words = F.filter(
+        tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+    )
+    triples = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.get(words, i - 2).alias("prev2"),
+            F.get(words, i - 1).alias("prev"),
+            w.alias("tok"),
+        ),
+    )
+    return src.select(
+        "doc_id", F.explode(triples).alias("p")
+    ).select("doc_id", "p.prev2", "p.prev", "p.tok")
+
+
 def bigram_logprob(
     docs: DataFrame,
     model_docs: DataFrame | None = None,
@@ -596,6 +615,93 @@ def bigram_logprob(
             (F.coalesce(F.col("c2"), F.lit(0)) + a * p1)
             / (F.coalesce(F.col("cctx"), F.lit(0)) + a)
         )
+    )
+    lpm = F.round(lp * 1_000_000).cast("bigint")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum(lpm)).alias("nll_micro"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "nll_micro",
+        F.round(F.col("nll_micro") / F.col("n_tokens") / 1_000_000, 6)
+        .alias("nll"),
+    )
+
+
+def trigram_logprob(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    broadcast_model: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document trigram LM score with recursive additive backoff
+    -- the full n-gram ladder toward CCNet's KenLM filter:
+
+    ``P3(w|u,v) = (c(uvw) + a*P2(w|v)) / (c(uv) + a)``
+    ``P2(w|v)   = (c(vw)  + a*P1(w))   / (c(v)  + a)``
+    ``P1(w)     = (tf(w) + a) / (total + a*(|V| + 1))``
+
+    The first token scores ``ln P1``, the second ``ln P2``; unseen
+    contexts collapse one backoff level exactly (no extra constants),
+    because ``c(ctx) = 0`` forces the numerator count to 0.  Same
+    integer micro-nat rounding before the per-document sum as the
+    unigram/bigram scorers, so the reduction is an exact bigint.
+
+    Scale shape: three map-side-combinable aggregations fit the model
+    (unigram / bigram / trigram counts; context tables are one more
+    groupBy each); scoring is an array-side triple projection + five
+    model joins (broadcast by default; ``broadcast_model=False`` for
+    web-scale vocabularies) + one ``groupBy(doc_id)``.
+    """
+    if alpha <= 0:
+        raise ValueError(
+            f"alpha must be > 0 (the unseen mass), got {alpha}")
+    src = model_docs if model_docs is not None else docs
+    mtri = _token_triples(src, text_col).persist()
+    _PERSISTED.append(mtri)
+    uni = mtri.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    uni = uni.persist()
+    _PERSISTED.append(uni)
+    total, vsize = uni.agg(F.sum("tf"), F.count(F.lit(1))).first()
+    if total is None:
+        total, vsize = 0, 0
+    denom = float(total) + alpha * (float(vsize) + 1.0)
+    has_p = F.col("prev").isNotNull()
+    has_p2 = F.col("prev2").isNotNull()
+    big = mtri.filter(has_p).groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).alias("c2"))
+    ctx = mtri.filter(has_p).groupBy("prev").agg(
+        F.count(F.lit(1)).alias("cctx"))
+    tri = mtri.filter(has_p2).groupBy("prev2", "prev", "tok").agg(
+        F.count(F.lit(1)).alias("c3"))
+    ctx2 = mtri.filter(has_p2).groupBy("prev2", "prev").agg(
+        F.count(F.lit(1)).alias("cctx2"))
+    b = F.broadcast if broadcast_model else (lambda d: d)
+    spairs = mtri if model_docs is None else _token_triples(
+        docs, text_col)
+    scored = (
+        spairs
+        .join(b(uni), "tok", "left")
+        .join(b(big), ["prev", "tok"], "left")
+        .join(b(ctx), ["prev"], "left")
+        .join(b(tri), ["prev2", "prev", "tok"], "left")
+        .join(b(ctx2), ["prev2", "prev"], "left")
+    )
+    a = F.lit(float(alpha))
+    p1 = (F.coalesce(F.col("tf"), F.lit(0)) + a) / F.lit(denom)
+    p2 = (
+        (F.coalesce(F.col("c2"), F.lit(0)) + a * p1)
+        / (F.coalesce(F.col("cctx"), F.lit(0)) + a)
+    )
+    p3 = (
+        (F.coalesce(F.col("c3"), F.lit(0)) + a * p2)
+        / (F.coalesce(F.col("cctx2"), F.lit(0)) + a)
+    )
+    lp = (
+        F.when(F.col("prev").isNull(), F.log(p1))
+        .when(F.col("prev2").isNull(), F.log(p2))
+        .otherwise(F.log(p3))
     )
     lpm = F.round(lp * 1_000_000).cast("bigint")
     per_doc = scored.groupBy("doc_id").agg(
