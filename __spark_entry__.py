@@ -2724,18 +2724,26 @@ def q_pack_sequences(spark, sf_dir):
     value-checks every document's full token sequence (count + hash32
     of the joined tokens), bpe_span re-packs at seq_len=64 using BPE
     token counts through pack_sequences(n_tokens_col=...) -- the
-    whitespace-count seam the packing docstring flags, now closed."""
+    whitespace-count seam the packing docstring flags, now closed.
+
+    The 'assemble' leg materializes the actual training sequences from
+    the plan (packing.assemble_sequences): every sequence's full token
+    stream is value-checked by count + hash32 of the joined tokens."""
     from xcube_resampling_spark.extensions.bpe import (
         bpe_token_count_col,
         bpe_tokenize,
         pinned_merges,
     )
     from xcube_resampling_spark.extensions.packing import (
+        assemble_sequences,
         pack_sequences,
         packing_stats,
         shuffle_shards,
     )
-    from xcube_resampling_spark.extensions.text import hash32
+    from xcube_resampling_spark.extensions.text import (
+        hash32,
+        tokens_col,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     plan = pack_sequences(docs, seq_len=64, n_buckets=16)
@@ -2775,9 +2783,23 @@ def q_pack_sequences(spark, sf_dir):
         F.col("seq_id").alias("k"), F.col("doc_off").alias("v1"),
         F.col("seq_off").alias("v2"), F.col("n_tok").alias("v3"),
     )
+    tok_df = docs.select(
+        "doc_id",
+        F.filter(
+            tokens_col(F.col("text")), lambda t: t != F.lit("")
+        ).alias("tokens"),
+    )
+    asm = assemble_sequences(tok_df, plan).select(
+        F.lit("assemble").alias("tag"), F.col("seq_id").alias("id"),
+        F.col("n_tok").alias("k"),
+        hash32(F.array_join("tokens", " ")).alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+        F.lit(0).cast("bigint").alias("v3"),
+    )
     return (
         spans.unionByName(stats).unionByName(shards)
         .unionByName(bpe_tok).unionByName(bpe_span)
+        .unionByName(asm)
     )
 
 
@@ -2857,6 +2879,26 @@ FROM (
            w -> string_split(trim({BPE_CHAIN}, ' '), '  ')
          )) AS toks
   FROM documents
+)
+UNION ALL
+SELECT 'assemble' AS tag, seq_id AS id,
+       CAST(len(toks) AS BIGINT) AS k,
+       {TOK_HASH} AS v1,
+       CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+FROM (
+  SELECT seq_id, flatten(list(piece ORDER BY seq_off)) AS toks
+  FROM (
+    SELECT s.seq_id, s.seq_off,
+           list_slice(tw.toks, s.doc_off + 1,
+                      s.doc_off + s.n_tok) AS piece
+    FROM seg s
+    JOIN (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)),
+                         '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ) tw ON tw.doc_id = s.doc_id
+  ) GROUP BY seq_id
 )
 UNION ALL
 SELECT 'bpe_span' AS tag, doc_id AS id, seq_id AS k,

@@ -330,3 +330,84 @@ class TestShuffleShards:
         plan = buf.getvalue()
         assert "SinglePartition" not in plan
         assert "hashpartitioning(shard" in plan
+
+
+class TestAssembleSequences:
+    def test_hand_computed_assembly(self, spark):
+        from xcube_resampling_spark.extensions.packing import (
+            assemble_sequences,
+        )
+        from xcube_resampling_spark.extensions.text import tokens_col
+
+        # doc 1: 5 tokens, doc 2: 4 tokens; seq_len=4 -> streams:
+        # seq0 = [a b c d], seq1 = [e p q r], seq2 = [s]
+        docs = _docs(spark, [(1, "a b c d e"), (2, "p q r s")])
+        spans = pack_sequences(docs, seq_len=4, n_buckets=2)
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                tokens_col(F.col("text")), lambda t: t != F.lit("")
+            ).alias("tokens"),
+        )
+        out = {r["seq_id"]: (r["n_tok"], list(r["tokens"]))
+               for r in assemble_sequences(toks, spans).collect()}
+        assert out == {
+            0: (4, ["a", "b", "c", "d"]),
+            1: (4, ["e", "p", "q", "r"]),
+            2: (1, ["s"]),
+        }
+
+    def test_full_sequences_exactly_seq_len(self, spark):
+        from xcube_resampling_spark.extensions.packing import (
+            assemble_sequences,
+        )
+        from xcube_resampling_spark.extensions.text import tokens_col
+
+        docs = _docs(
+            spark, [(i, " ".join(f"t{i}x{k}" for k in range(7)))
+                    for i in range(30)])
+        spans = pack_sequences(docs, seq_len=16, n_buckets=4)
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                tokens_col(F.col("text")), lambda t: t != F.lit("")
+            ).alias("tokens"),
+        )
+        out = assemble_sequences(toks, spans).collect()
+        total = 30 * 7
+        full, last = divmod(total, 16)
+        assert len(out) == full + (1 if last else 0)
+        by_id = sorted(out, key=lambda r: r["seq_id"])
+        for r in by_id[:-1]:
+            assert r["n_tok"] == 16
+        # the concatenation order is doc_id order
+        stream = [t for r in by_id for t in r["tokens"]]
+        want = [f"t{i}x{k}" for i in range(30) for k in range(7)]
+        assert stream == want
+
+    def test_bpe_tokens_assembly_consistent(self, spark):
+        from xcube_resampling_spark.extensions.bpe import (
+            bpe_token_count_col,
+            bpe_tokenize,
+            pinned_merges,
+        )
+        from xcube_resampling_spark.extensions.packing import (
+            assemble_sequences,
+        )
+
+        merges = pinned_merges(20)
+        docs = _docs(spark, [
+            (1, "the quick brown fox"), (2, "question training the"),
+        ])
+        spans = pack_sequences(
+            docs, seq_len=8,
+            n_tokens_col=bpe_token_count_col(merges), n_buckets=2)
+        toks = bpe_tokenize(docs, merges, method="sql") \
+            .select("doc_id", "tokens")
+        out = assemble_sequences(toks, spans).collect()
+        stream = [t for r in sorted(out, key=lambda r: r["seq_id"])
+                  for t in r["tokens"]]
+        want = [t for r in bpe_tokenize(
+            docs, merges, method="sql").orderBy("doc_id").collect()
+            for t in r["tokens"]]
+        assert stream == want

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from .text import tokens_col
 
 __all__ = ["pack_sequences", "packing_stats", "shuffle_shards",
-           "release_cached"]
+           "assemble_sequences", "release_cached"]
 
 # counts tables persisted by _with_prefix_sum (three consumers: the
 # min/max scalar, the bucket totals, and the window) -- same lifecycle
@@ -242,4 +242,56 @@ def shuffle_shards(
         )
         .withColumn("pos", F.row_number().over(win).cast("bigint"))
         .select("seq_id", "shard", "pos")
+    )
+
+
+def assemble_sequences(
+    tokens: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Materialize the training sequences a :func:`pack_sequences` plan
+    describes: join each (doc x sequence) span back to the document's
+    token array, slice its ``[doc_off, doc_off + n_tok)`` piece, and
+    reassemble per ``seq_id`` in ``seq_off`` order.
+
+    ``tokens`` is ``(doc_id, <tokens_col> array<string>)`` -- e.g. the
+    output of ``bpe.bpe_tokenize`` -- and must be the SAME tokenization
+    the plan's token counts came from, or slices will misalign (the
+    plan carries counts only).
+
+    Returns ``(seq_id, n_tok, tokens)``.  The last sequence of the
+    stream may be shorter than ``seq_len``; every other one is exactly
+    full by the packing contract.
+
+    Scale shape: one equi-join on ``doc_id`` (the span table is a few
+    rows per document) and one ``groupBy(seq_id)`` whose groups are
+    bounded by ``seq_len`` tokens -- both shuffles on natural keys, no
+    global sort; pieces order inside a group by a bounded
+    ``sort_array`` over at most seq_len struct entries.
+    """
+    piece = F.slice(
+        F.col(tokens_col),
+        (F.col("doc_off") + 1).cast("int"),
+        F.col("n_tok").cast("int"),
+    )
+    joined = spans.join(tokens, "doc_id").select(
+        "seq_id",
+        F.struct(F.col("seq_off"), piece.alias("piece")).alias("part"),
+    )
+    parts = F.sort_array(F.collect_list("part"))
+    return (
+        joined.groupBy("seq_id")
+        .agg(parts.alias("parts"))
+        .select(
+            "seq_id",
+            F.flatten(
+                F.transform(F.col("parts"), lambda p: p["piece"])
+            ).alias("tokens"),
+        )
+        .select(
+            "seq_id",
+            F.size("tokens").cast("bigint").alias("n_tok"),
+            "tokens",
+        )
     )
