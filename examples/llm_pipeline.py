@@ -160,6 +160,20 @@ def main(sf_dir: str) -> None:
           f"mean fill {fill:.3f}")
     print("shard sizes:",
           [r["count"] for r in per_shard.collect()])
+
+    # ---- 7. materialize the actual token streams (what a trainer
+    # reads): tokenize with the trained merges, assemble per the plan
+    from xcube_resampling_spark.extensions.bpe import bpe_tokenize
+    from xcube_resampling_spark.extensions.packing import (
+        assemble_sequences,
+    )
+
+    toks = bpe_tokenize(mixed, merges, method="sql") \
+        .select("doc_id", "tokens")
+    seqs = assemble_sequences(toks, spans)
+    n_full = seqs.filter(F.col("n_tok") == 512).count()
+    print(f"materialized {seqs.count()} sequences "
+          f"({n_full} exactly full)")
     spark.stop()
 
 
