@@ -4999,7 +4999,7 @@ gc AS (
            AS BIGINT) AS sum_len,
          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
            AS BIGINT) AS n_alpha,
-         CAST(len(regexp_extract_all(lt, '#|\\.\\.\\.'))
+         CAST(len(regexp_extract_all(lt, '#|\\.\\.\\.|…'))
            AS BIGINT) AS n_sym,
          CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)

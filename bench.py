@@ -710,7 +710,42 @@ def main():
                 "date at [::20,::20] in 50.4 s single-node"
             ),
         }
-    print(json.dumps(out))
+    # Full detail (per-run lists, notes, scale sections) goes to a FILE:
+    # round 7 lost its headline numbers because the single stdout JSON line
+    # outgrew the driver's capture buffer ("parsed": null, tail only).
+    # stdout gets a compact line that always fits.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_root, "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as exc:  # never let the detail file kill the headline
+        print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "detail_file": "BENCH_FULL.json",
+    }
+    if scale_times:
+        compact["scale_10x"] = scale_times
+        compact["scale_10x_median"] = scale_median
+    if dedup_scale_100:
+        compact["dedup_100x"] = {
+            k: v["sec"] for k, v in dedup_scale_100.items()
+            if isinstance(v, dict) and "sec" in v
+        }
+    if tokenize_scale:
+        compact["tokenize_100x_sec"] = tokenize_scale.get(
+            "100x", tokenize_scale.get("10x", {})
+        ).get("sec")
+    if baseline_shape:
+        compact["baseline_shape_sec"] = baseline_shape.get("sec")
+        compact["baseline_shape_median"] = baseline_shape.get("median")
+    print(json.dumps(compact))
     spark.stop()
 
 

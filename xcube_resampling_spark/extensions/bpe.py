@@ -36,6 +36,8 @@ Scale design
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -264,16 +266,25 @@ _PINNED_SAMPLE = (
 )
 
 _PINNED: list[tuple[str, str]] | None = None
+# largest num_merges the cache was trained for; training can yield FEWER
+# merges than requested (pairs run out), so compare against the request,
+# not len(_PINNED), or an unsatisfiable request retrains forever
+_PINNED_REQ = 0
+_PINNED_LOCK = threading.Lock()
 
 
 def pinned_merges(num_merges: int = 40) -> list[tuple[str, str]]:
     """Deterministic merge table trained on an embedded sample text --
     the fixture both the Spark queries and their DuckDB twins embed as
-    literals.  Cached; independent of any corpus."""
-    global _PINNED
-    if _PINNED is None or len(_PINNED) < num_merges:
-        wc: dict[str, int] = {}
-        for w in _PINNED_SAMPLE.split():
-            wc[w] = wc.get(w, 0) + 1
-        _PINNED = train_on_word_counts(wc, num_merges)
-    return _PINNED[:num_merges]
+    literals.  Cached (thread-safe); independent of any corpus.  May
+    return fewer than ``num_merges`` entries if the sample runs out of
+    mergeable pairs."""
+    global _PINNED, _PINNED_REQ
+    with _PINNED_LOCK:
+        if _PINNED is None or _PINNED_REQ < num_merges:
+            wc: dict[str, int] = {}
+            for w in _PINNED_SAMPLE.split():
+                wc[w] = wc.get(w, 0) + 1
+            _PINNED = train_on_word_counts(wc, num_merges)
+            _PINNED_REQ = num_merges
+        return _PINNED[:num_merges]

@@ -249,6 +249,7 @@ def assemble_sequences(
     tokens: DataFrame,
     spans: DataFrame,
     tokens_col: str = "tokens",
+    strict: bool = True,
 ) -> DataFrame:
     """Materialize the training sequences a :func:`pack_sequences` plan
     describes: join each (doc x sequence) span back to the document's
@@ -269,13 +270,44 @@ def assemble_sequences(
     bounded by ``seq_len`` tokens -- both shuffles on natural keys, no
     global sort; pieces order inside a group by a bounded
     ``sort_array`` over at most seq_len struct entries.
+
+    With ``strict=True`` (the default) every slice is checked against
+    the plan: a document missing from ``tokens`` or a token array
+    shorter than the planned span raises immediately (naming the
+    ``doc_id``) instead of silently dropping or truncating pieces into
+    corrupted mid-stream sequences.  ``strict=False`` restores the
+    unguarded inner-join behavior for callers that pre-filter.
     """
     piece = F.slice(
         F.col(tokens_col),
         (F.col("doc_off") + 1).cast("int"),
         F.col("n_tok").cast("int"),
     )
-    joined = spans.join(tokens, "doc_id").select(
+    if strict:
+        ok = F.col(tokens_col).isNotNull() & (
+            F.size(piece).cast("bigint") == F.col("n_tok")
+        )
+        msg = F.concat(
+            F.lit("assemble_sequences: doc_id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" has "),
+            F.coalesce(
+                F.size(F.col(tokens_col)).cast("string"), F.lit("NO")
+            ),
+            F.lit(" tokens but the plan expects a slice of "),
+            F.col("n_tok").cast("string"),
+            F.lit(" at offset "),
+            F.col("doc_off").cast("string"),
+            F.lit(" -- tokens frame does not match the plan's "
+                  "tokenization"),
+        )
+        # assert_true returns NULL when ok and throws otherwise; keep it
+        # inside the piece expression so Catalyst cannot prune it away
+        piece = F.when(F.assert_true(ok, msg).isNull(), piece)
+        joined = spans.join(tokens, "doc_id", "left")
+    else:
+        joined = spans.join(tokens, "doc_id")
+    joined = joined.select(
         "seq_id",
         F.struct(F.col("seq_off"), piece.alias("piece")).alias("part"),
     )

@@ -124,7 +124,8 @@ def gopher_rules(
     flags, and the combined pass bit.
 
     Rules: (1) word count in [min_words, max_words]; (2) mean word
-    length in [3, 10]; (3) symbol-to-word ratio (# or ...) <= 0.1;
+    length in [3, 10]; (3) symbol-to-word ratio (#, ... or the
+    Unicode ellipsis …) <= 0.1;
     (4) <= 10% of lines start with a bullet; (5) <= 30% of lines end
     with an ellipsis; (6) >= 80% of words contain an alphabetic
     character; (7) >= 2 of the required stopwords appear.
@@ -152,7 +153,7 @@ def gopher_rules(
         F.filter(words, lambda w: w.rlike("[a-z]"))
     ).cast("bigint")
     n_symbols = F.regexp_count(
-        lowered, F.lit(r"#|\.\.\.")
+        lowered, F.lit(r"#|\.\.\.|…")
     ).cast("bigint")
     lines = F.filter(
         F.transform(F.split(lowered, "\n"), F.trim),

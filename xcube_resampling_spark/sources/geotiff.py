@@ -1103,7 +1103,18 @@ def write_geotiff(
     # TIFF rows are written top-first with the tiepoint at y_max; a
     # j-up grid (row j=0 = y_min, as base.y_coords models) must remap
     # j -> h-1-j or the file comes out vertically flipped with no error
-    flip_j = bool(gm.is_j_axis_up) if gm is not None else bool(j_axis_up)
+    if gm is not None:
+        # gm carries its own axis orientation; an explicit j_axis_up=
+        # alongside it is either redundant or contradictory -- reject
+        # the contradiction instead of silently preferring gm
+        if j_axis_up and not gm.is_j_axis_up:
+            raise ValueError(
+                "j_axis_up=True conflicts with gm.is_j_axis_up=False; "
+                "gm's orientation is authoritative -- drop j_axis_up="
+            )
+        flip_j = bool(gm.is_j_axis_up)
+    else:
+        flip_j = bool(j_axis_up)
     if flip_j:
         src = src.select(
             "t",

@@ -99,9 +99,27 @@ class HttpRangeReader(RangeReader):
         req.add_header("Range", f"bytes={offset}-{offset + size - 1}")
         with urllib.request.urlopen(req) as resp:
             data = resp.read()
+            content_range = resp.headers.get("Content-Range")
         if resp.status == 200:
             # server ignored the Range header; slice locally
             return data[offset:offset + size]
+        # validate the 206 byte count: a range extending past EOF legally
+        # clamps (file-read semantics, Content-Range carries the total),
+        # but anything ELSE short is a truncating server/proxy -- fail
+        # HERE with coordinates, not later as an opaque struct.unpack
+        # error inside a format parser
+        expected = size
+        if content_range and "/" in content_range:
+            total_s = content_range.rsplit("/", 1)[1]
+            if total_s.isdigit():
+                expected = max(0, min(size, int(total_s) - offset))
+        if len(data) != expected:
+            raise OSError(
+                f"short range read from {self.url}: requested "
+                f"[{offset}, {offset + size}) = {size} bytes, "
+                f"expected {expected}, got {len(data)} "
+                f"(Content-Range: {content_range!r})"
+            )
         return data
 
     def size(self) -> int:
