@@ -4841,12 +4841,20 @@ def q_vocab_stats(spark, sf_dir):
       (tf=flag_bits, rank=pass_all); every flag is an integer-exact
       cross-multiplied inequality, so the rows hash identically in
       both engines.
+    * ``linerep`` / ``pararep`` / ``topgram`` / ``dupgram``: the full
+      Gopher A1.2 repetition table (``text.line_repetition_stats``)
+      over deterministically synthesized multi-line docs -- duplicate
+      line/paragraph counts+fractions (linerep carries the combined
+      rep_pass bit in rank), top 2/3/4-gram char fractions (rank=n,
+      tok=the gram), and duplicate 5..10-gram occupancy fractions
+      (rank=n).
 
     Shared superset schema (absent fields NULL per variant):
     (variant, doc_id, tok, tf, df, score, rank, frac).
     """
     from xcube_resampling_spark.extensions.text import (
         gopher_rules,
+        line_repetition_stats,
         repetition_stats,
         tfidf_topk,
         vocab_stats,
@@ -4902,9 +4910,68 @@ def q_vocab_stats(spark, sf_dir):
         F.lit(None).cast("double").alias("score"),
         F.col("pass_all").cast("int").alias("rank"), null_frac,
     )
+    # A1.2 repetition legs: the corpus is single-line, so synthesize
+    # line/paragraph structure deterministically (doc_id % 3 == 0 ->
+    # duplicate line; % 5 == 0 -> duplicate paragraph) in BOTH engines
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", "text", "text"),
+        ).when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n\n"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    lr = line_repetition_stats(synth)
+    # ONE pass over the (mapInPandas) stats: each doc emits its 11
+    # repetition rows as an exploded array of leg structs, instead of
+    # 11 unions each recomputing the stats stage
+
+    def leg(variant, tok, tf, df, score, rank, frac):
+        return F.struct(
+            F.lit(variant).alias("variant"),
+            tok.alias("tok"),
+            tf.cast("bigint").alias("tf"),
+            df.cast("bigint").alias("df"),
+            score.cast("double").alias("score"),
+            rank.cast("int").alias("rank"),
+            frac.cast("double").alias("frac"),
+        )
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    ni = F.lit(None).cast("int")
+    legs = [
+        leg("linerep", ns, F.col("n_lines"), F.col("dup_lines"),
+            F.col("dup_line_char_frac"), F.col("rep_pass"),
+            F.col("dup_line_frac")),
+        leg("pararep", ns, F.col("n_paras"), F.col("dup_paras"),
+            F.col("dup_para_char_frac"), ni, F.col("dup_para_frac")),
+    ]
+    for n in (2, 3, 4):
+        legs.append(leg(
+            "topgram", F.col(f"top{n}_gram"), F.col(f"top{n}_n"),
+            F.col("norm_len"), nd, F.lit(n), F.col(f"top{n}_char_frac"),
+        ))
+    for n in range(5, 11):
+        legs.append(leg(
+            "dupgram", ns, nl, nl, nd, F.lit(n),
+            F.col(f"dup{n}_char_frac"),
+        ))
+    lx = lr.select(
+        "doc_id", F.explode(F.array(*legs)).alias("r")
+    ).select(
+        F.col("r.variant").alias("variant"), "doc_id",
+        F.col("r.tok").alias("tok"), F.col("r.tf").alias("tf"),
+        F.col("r.df").alias("df"), F.col("r.score").alias("score"),
+        F.col("r.rank").alias("rank"), F.col("r.frac").alias("frac"),
+    )
     return (
         vs.unionByName(tk).unionByName(rp)
         .unionByName(gc).unionByName(gl).unionByName(gf)
+        .unionByName(lx)
     )
 
 
@@ -5037,6 +5104,155 @@ gfl AS (
     CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS f6,
     CASE WHEN n_req >= 2 THEN 1 ELSE 0 END AS f7
   FROM gl2
+),
+lsyn AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+              WHEN doc_id % 5 = 0
+                THEN text || chr(10) || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+lbase AS (
+  SELECT doc_id,
+    list_sort(list_filter(
+      list_transform(string_split(text, chr(10)), x -> trim(x)),
+      x -> x != '')) AS slines,
+    list_sort(list_filter(
+      list_transform(string_split_regex(text, '\\n\\n+'),
+                     x -> trim(x)),
+      x -> x != '')) AS sparas,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t != '') AS toks
+  FROM lsyn
+),
+lstat AS (
+  SELECT doc_id, toks,
+    CAST(len(slines) AS BIGINT) AS n_lines,
+    CAST(COALESCE(list_sum(list_transform(slines, x -> length(x))),
+                  0) AS BIGINT) AS line_chars,
+    CAST(len(list_filter(range(2, len(slines) + 1),
+                         i -> slines[i] = slines[i-1]))
+         AS BIGINT) AS dup_lines,
+    CAST(COALESCE(list_sum(list_transform(
+           list_filter(range(2, len(slines) + 1),
+                       i -> slines[i] = slines[i-1]),
+           i -> length(slines[i]))), 0) AS BIGINT) AS dup_line_chars,
+    CAST(len(sparas) AS BIGINT) AS n_paras,
+    CAST(COALESCE(list_sum(list_transform(sparas, x -> length(x))),
+                  0) AS BIGINT) AS para_chars,
+    CAST(len(list_filter(range(2, len(sparas) + 1),
+                         i -> sparas[i] = sparas[i-1]))
+         AS BIGINT) AS dup_paras,
+    CAST(COALESCE(list_sum(list_transform(
+           list_filter(range(2, len(sparas) + 1),
+                       i -> sparas[i] = sparas[i-1]),
+           i -> length(sparas[i]))), 0) AS BIGINT) AS dup_para_chars,
+    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS norm_len,
+    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))),
+                  0) AS BIGINT) AS tok_chars
+  FROM lbase
+),
+lgram AS (
+  SELECT *,
+    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+    list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3,
+    list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 3), ' ')) AS g4,
+    list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS g5,
+    list_transform(range(1, greatest(len(toks) - 5, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 5), ' ')) AS g6,
+    list_transform(range(1, greatest(len(toks) - 6, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 6), ' ')) AS g7,
+    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS g8,
+    list_transform(range(1, greatest(len(toks) - 8, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 8), ' ')) AS g9,
+    list_transform(range(1, greatest(len(toks) - 9, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 9), ' ')) AS g10
+  FROM lstat
+),
+ltop AS (
+  SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+         n_paras, dup_paras, para_chars, dup_para_chars,
+         norm_len, tok_chars,
+    list_aggregate(list_transform(list_distinct(g2),
+      s -> {'negn': -len(list_filter(g2, x -> x = s)), 's': s}),
+      'min') AS t2,
+    list_aggregate(list_transform(list_distinct(g3),
+      s -> {'negn': -len(list_filter(g3, x -> x = s)), 's': s}),
+      'min') AS t3,
+    list_aggregate(list_transform(list_distinct(g4),
+      s -> {'negn': -len(list_filter(g4, x -> x = s)), 's': s}),
+      'min') AS t4,
+    CAST(COALESCE(list_sum(list_transform(
+      list_distinct(flatten(list_transform(
+        list_filter(range(1, len(g5) + 1),
+                    i -> len(list_filter(g5, x -> x = g5[i])) > 1),
+        i -> range(i, i + 5)))),
+      j -> length(toks[j]))), 0) AS BIGINT) AS cov5,
+    CAST(COALESCE(list_sum(list_transform(
+      list_distinct(flatten(list_transform(
+        list_filter(range(1, len(g6) + 1),
+                    i -> len(list_filter(g6, x -> x = g6[i])) > 1),
+        i -> range(i, i + 6)))),
+      j -> length(toks[j]))), 0) AS BIGINT) AS cov6,
+    CAST(COALESCE(list_sum(list_transform(
+      list_distinct(flatten(list_transform(
+        list_filter(range(1, len(g7) + 1),
+                    i -> len(list_filter(g7, x -> x = g7[i])) > 1),
+        i -> range(i, i + 7)))),
+      j -> length(toks[j]))), 0) AS BIGINT) AS cov7,
+    CAST(COALESCE(list_sum(list_transform(
+      list_distinct(flatten(list_transform(
+        list_filter(range(1, len(g8) + 1),
+                    i -> len(list_filter(g8, x -> x = g8[i])) > 1),
+        i -> range(i, i + 8)))),
+      j -> length(toks[j]))), 0) AS BIGINT) AS cov8,
+    CAST(COALESCE(list_sum(list_transform(
+      list_distinct(flatten(list_transform(
+        list_filter(range(1, len(g9) + 1),
+                    i -> len(list_filter(g9, x -> x = g9[i])) > 1),
+        i -> range(i, i + 9)))),
+      j -> length(toks[j]))), 0) AS BIGINT) AS cov9,
+    CAST(COALESCE(list_sum(list_transform(
+      list_distinct(flatten(list_transform(
+        list_filter(range(1, len(g10) + 1),
+                    i -> len(list_filter(g10, x -> x = g10[i])) > 1),
+        i -> range(i, i + 10)))),
+      j -> length(toks[j]))), 0) AS BIGINT) AS cov10
+  FROM lgram
+),
+lrep AS (
+  SELECT *,
+    CAST(COALESCE(-t2.negn, 0) AS BIGINT) AS n2,
+    CAST(COALESCE(-t2.negn * length(t2.s), 0) AS BIGINT) AS c2,
+    CAST(COALESCE(-t3.negn, 0) AS BIGINT) AS n3,
+    CAST(COALESCE(-t3.negn * length(t3.s), 0) AS BIGINT) AS c3,
+    CAST(COALESCE(-t4.negn, 0) AS BIGINT) AS n4,
+    CAST(COALESCE(-t4.negn * length(t4.s), 0) AS BIGINT) AS c4
+  FROM ltop
+),
+lpass AS (
+  SELECT *,
+    CASE WHEN 100 * dup_lines <= 30 * n_lines
+          AND 100 * dup_line_chars <= 20 * line_chars
+          AND 100 * dup_paras <= 30 * n_paras
+          AND 100 * dup_para_chars <= 20 * para_chars
+          AND 100 * c2 <= 20 * norm_len
+          AND 100 * c3 <= 18 * norm_len
+          AND 100 * c4 <= 16 * norm_len
+          AND 100 * cov5 <= 15 * tok_chars
+          AND 100 * cov6 <= 14 * tok_chars
+          AND 100 * cov7 <= 13 * tok_chars
+          AND 100 * cov8 <= 12 * tok_chars
+          AND 100 * cov9 <= 11 * tok_chars
+          AND 100 * cov10 <= 10 * tok_chars
+         THEN 1 ELSE 0 END AS rep_pass
+  FROM lrep
 )
 SELECT 'vocab' AS variant, CAST(NULL AS BIGINT) AS doc_id, tok, tf, df,
        CAST(NULL AS DOUBLE) AS score,
@@ -5072,6 +5288,58 @@ SELECT 'gopher_flags' AS variant, doc_id,
                  THEN 1 ELSE 0 END AS INT) AS rank,
        CAST(NULL AS DOUBLE) AS frac
 FROM gfl
+UNION ALL
+SELECT 'linerep' AS variant, doc_id, CAST(NULL AS VARCHAR) AS tok,
+       n_lines AS tf, dup_lines AS df,
+       CASE WHEN line_chars > 0 THEN ROUND(
+         CAST(dup_line_chars AS DOUBLE) / line_chars, 6)
+         ELSE 0.0 END AS score,
+       CAST(rep_pass AS INT) AS rank,
+       CASE WHEN n_lines > 0 THEN ROUND(
+         CAST(dup_lines AS DOUBLE) / n_lines, 6)
+         ELSE 0.0 END AS frac
+FROM lpass
+UNION ALL
+SELECT 'pararep' AS variant, doc_id, CAST(NULL AS VARCHAR) AS tok,
+       n_paras AS tf, dup_paras AS df,
+       CASE WHEN para_chars > 0 THEN ROUND(
+         CAST(dup_para_chars AS DOUBLE) / para_chars, 6)
+         ELSE 0.0 END AS score,
+       CAST(NULL AS INT) AS rank,
+       CASE WHEN n_paras > 0 THEN ROUND(
+         CAST(dup_paras AS DOUBLE) / n_paras, 6)
+         ELSE 0.0 END AS frac
+FROM lpass
+UNION ALL
+SELECT 'topgram' AS variant, doc_id, t2.s AS tok, n2 AS tf,
+       norm_len AS df, CAST(NULL AS DOUBLE) AS score,
+       CAST(2 AS INT) AS rank,
+       CASE WHEN norm_len > 0 THEN ROUND(
+         CAST(c2 AS DOUBLE) / norm_len, 6) ELSE 0.0 END AS frac
+FROM lpass
+UNION ALL
+SELECT 'topgram' AS variant, doc_id, t3.s AS tok, n3 AS tf,
+       norm_len AS df, CAST(NULL AS DOUBLE) AS score,
+       CAST(3 AS INT) AS rank,
+       CASE WHEN norm_len > 0 THEN ROUND(
+         CAST(c3 AS DOUBLE) / norm_len, 6) ELSE 0.0 END AS frac
+FROM lpass
+UNION ALL
+SELECT 'topgram' AS variant, doc_id, t4.s AS tok, n4 AS tf,
+       norm_len AS df, CAST(NULL AS DOUBLE) AS score,
+       CAST(4 AS INT) AS rank,
+       CASE WHEN norm_len > 0 THEN ROUND(
+         CAST(c4 AS DOUBLE) / norm_len, 6) ELSE 0.0 END AS frac
+FROM lpass
+UNION ALL
+SELECT 'dupgram' AS variant, doc_id, CAST(NULL AS VARCHAR) AS tok,
+       CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+       CAST(NULL AS DOUBLE) AS score, CAST(n AS INT) AS rank,
+       CASE WHEN tok_chars > 0 THEN ROUND(CAST(
+         CASE n WHEN 5 THEN cov5 WHEN 6 THEN cov6 WHEN 7 THEN cov7
+                WHEN 8 THEN cov8 WHEN 9 THEN cov9 ELSE cov10 END
+         AS DOUBLE) / tok_chars, 6) ELSE 0.0 END AS frac
+FROM lpass, (SELECT unnest(range(5, 11)) AS n)
 """
 
 
@@ -5138,6 +5406,11 @@ def q_ann_suite(spark, sf_dir):
       against the exact brute-force top-10 (id_a = hits, id_b = k,
       score = recall) -- the quality metric a production ANN ships
       with, value-checked cross-engine.
+    * ``knn_cluster``: cluster-bounded k-NN graph
+      (similarity.py::knn_within_clusters, k=3, seed centroids) --
+      each vector's top-3 cosine neighbors within its own IVF
+      cluster, the SemDeDup candidate structure (cluster=cent_id,
+      id_a=vec_id, id_b=neighbor_id, score=cosine).
 
     Superset schema (variant, cluster, id_a, id_b, score); pair legs
     carry id_b, single-vector legs leave it NULL."""
@@ -5145,6 +5418,7 @@ def q_ann_suite(spark, sf_dir):
         ivf_pq_topk,
         ivf_topk,
         kmeans_centroids,
+        knn_within_clusters,
         pq_encode,
         pq_topk,
         pq_train,
@@ -5215,9 +5489,16 @@ def q_ann_suite(spark, sf_dir):
             F.round(F.col("hits") / 10.0, 6).alias("score"),
         )
     )
+    knnc = knn_within_clusters(emb_d, k=3, num_centroids=10).select(
+        F.lit("knn_cluster").alias("variant"),
+        F.col("cent_id").cast("long").alias("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
     return (
         brute.unionByName(ivf).unionByName(cos)
-        .unionByName(ivfpq).unionByName(rec)
+        .unionByName(ivfpq).unionByName(rec).unionByName(knnc)
     )
 
 
@@ -5270,6 +5551,27 @@ SELECT 'recall_ivfpq' AS variant, CAST(NULL AS BIGINT) AS cluster,
        ROUND(COUNT(*) / 10.0, 6) AS score
 FROM {_ivfpq_top10_sql()} iv
 JOIN (SELECT vec_id FROM ({SQL_KNN}) b) br USING (vec_id)
+UNION ALL
+SELECT 'knn_cluster' AS variant, CAST(cent_id AS BIGINT) AS cluster,
+       id_a, id_b, score
+FROM (
+  WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+  c_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+          ORDER BY vec_id LIMIT 10),
+  {_lloyd_assign_cte('c_0', 'knnc')},
+  prs AS (
+    SELECT a1.cent_id, a1.vec_id AS id_a, a2.vec_id AS id_b,
+           ROUND(list_dot_product(a1.v, a2.v)
+                 / (sqrt(list_dot_product(a1.v, a1.v))
+                    * sqrt(list_dot_product(a2.v, a2.v))), 6) AS score
+    FROM a_knnc a1 JOIN a_knnc a2 USING (cent_id)
+    WHERE a1.vec_id != a2.vec_id
+  )
+  SELECT cent_id, id_a, id_b, score,
+         row_number() OVER (
+           PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+  FROM prs
+) t WHERE rn <= 3
 """
 
 

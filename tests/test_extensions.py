@@ -1674,6 +1674,76 @@ class TestUnigramLogprob:
             assert out[d]["f_bullet_lines"] == 1
             assert out[d]["f_symbol_ratio"] == 1
 
+    def test_line_repetition_hand_golden(self, spark):
+        from xcube_resampling_spark.extensions.text import (
+            line_repetition_stats,
+        )
+
+        docs = spark.createDataFrame([
+            (1, "a b c\na b c\nx y z"),
+            (2, "p q\n\np q\n\nr s t"),
+            (3, "one two one two one two one two five"),
+            (4, ""),
+            (5, "u v w x y z a b c d u v w x y z a b c d"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in line_repetition_stats(docs).collect()}
+        # doc 1: 3 lines, "a b c" twice -> 1 dup occurrence of 5 chars
+        assert out[1]["n_lines"] == 3 and out[1]["dup_lines"] == 1
+        assert out[1]["dup_line_frac"] == 0.333333
+        assert out[1]["dup_line_char_frac"] == 0.333333  # 5/15
+        assert out[1]["rep_pass"] == 0  # 1/3 > 0.30
+        # doc 2: paragraphs p q / p q / r s t -> 1 dup of 3
+        assert out[2]["n_paras"] == 3 and out[2]["dup_paras"] == 1
+        assert out[2]["dup_para_frac"] == 0.333333
+        # doc 3: top 2-gram "one two" x4; norm_len 36 -> 28/36
+        assert out[3]["top2_gram"] == "one two"
+        assert out[3]["top2_n"] == 4
+        # 3-grams: "one two one" x3 ties "two one two" x3 -> lex min
+        assert out[3]["top3_gram"] == "one two one"
+        assert out[3]["top3_n"] == 3
+        assert out[3]["top2_char_frac"] == 0.777778
+        assert out[3]["rep_pass"] == 0
+        # doc 4: empty -> all zero counts, vacuous pass
+        assert out[4]["n_lines"] == 0 and out[4]["norm_len"] == 0
+        assert out[4]["rep_pass"] == 1
+        # doc 5: the whole 20-token text is one repeated 10-gram ->
+        # full occupancy at every n in 5..10
+        for n in range(5, 11):
+            assert out[5][f"dup{n}_char_frac"] == 1.0
+        assert out[5]["rep_pass"] == 0
+
+    def test_line_repetition_occupancy_counts_chars_once(self, spark):
+        from xcube_resampling_spark.extensions.text import (
+            line_repetition_stats,
+        )
+
+        # "a b c d e" repeated: overlapping repeated 5-grams must not
+        # push the occupancy fraction past 1.0
+        docs = spark.createDataFrame(
+            [(0, "a b c d e a b c d e a b c d e")],
+            "doc_id long, text string")
+        row = line_repetition_stats(docs).collect()[0]
+        assert row["dup5_char_frac"] == 1.0
+        # no repeated 8-gram of the 15 tokens? there is (period 5),
+        # occupancy still capped at 1
+        assert 0.0 <= row["dup8_char_frac"] <= 1.0
+
+    def test_line_repetition_clean_doc_passes_rep_gate(self, spark):
+        from xcube_resampling_spark.extensions.text import (
+            line_repetition_stats,
+        )
+
+        # all-distinct long-ish tokens: no dup lines/paras/n-grams;
+        # the top-2-gram fraction must stay under 20% of norm_len
+        text = " ".join(f"tokenword{i:03d}" for i in range(60))
+        docs = spark.createDataFrame(
+            [(0, text)], "doc_id long, text string")
+        row = line_repetition_stats(docs).collect()[0]
+        assert row["dup_lines"] == 0 and row["dup_paras"] == 0
+        assert row["dup5_char_frac"] == 0.0
+        assert row["rep_pass"] == 1
+
     def test_bigram_hand_computed(self, spark):
         import math
 

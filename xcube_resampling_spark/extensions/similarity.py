@@ -279,6 +279,57 @@ def ivf_topk(
     ).limit(k)
 
 
+def knn_within_clusters(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_centroids: int = 10,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-bounded k-NN graph: each vector's top-``k`` cosine
+    neighbors restricted to its own IVF cluster -- the candidate
+    structure SemDeDup-style semantic dedup and k-NN-graph builders
+    use instead of the quadratic all-pairs join.
+
+    Centroids default to the embeddings of the ``num_centroids``
+    lowest vec_ids (deterministic, oracle-friendly); pass
+    ``centroids=kmeans_centroids(...)`` for a trained index.
+
+    Returns ``(cent_id, vec_id, neighbor_id, cosine, rank)`` with
+    ``rank <= k`` (6-dp cosine; ties break to the lowest
+    neighbor_id).  Vectors alone in their cluster emit no rows.
+
+    Scale shape: the assignment is :func:`assign_centroids`'s
+    zero-exchange literal argmax; the self-join shuffles each side
+    once on ``cent_id``; the per-vector top-k is a window inside the
+    already-co-partitioned cluster.  Candidate count is
+    sum(|cluster|^2), controlled by ``num_centroids`` -- at 100 TB
+    you raise the centroid count so clusters stay bounded, exactly
+    the IVF trade-off, and nothing here is all-pairs."""
+    if centroids is None:
+        centroids = embeddings.orderBy("vec_id").limit(num_centroids)
+    assigned = assign_centroids(embeddings, centroids)
+    left = assigned.select(
+        "cent_id", "vec_id", F.col("embedding").alias("emb_a"))
+    right = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = left.join(right, "cent_id").filter(
+        F.col("vec_id") != F.col("neighbor_id"))
+    cosine = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select("cent_id", "vec_id", "neighbor_id",
+                     cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _subvector(col: Column, sub: int, sub_dim: int) -> Column:
     """Slice one PQ subspace out of the embedding (1-based slice)."""
     return F.slice(col, sub * sub_dim + 1, sub_dim)

@@ -1,8 +1,11 @@
 """Text analysis operators over a documents table.
 
-All operators are pure Spark SQL expressions (whole-stage codegen, no UDFs)
+Operators are pure Spark SQL expressions (whole-stage codegen, no UDFs)
 over ``documents(doc_id, text, lang, source, n_chars)`` and have exact
-ANSI-SQL DuckDB oracles in __spark_entry__.py.
+ANSI-SQL DuckDB oracles in __spark_entry__.py.  The one exception is
+:func:`line_repetition_stats`, whose per-document n-gram Counter work
+runs in an Arrow-batched ``mapInPandas`` (integer counts only -- the
+fractions/flags on top stay integer-exact Catalyst expressions).
 """
 
 from __future__ import annotations
@@ -424,6 +427,203 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             / F.col("norm_len"), 6
         ).alias("top_bigram_char_frac"),
     )
+
+
+# Gopher A1.2 repetition thresholds (Rae et al. 2021, table A1):
+# filter a document when the fraction EXCEEDS the threshold.  Stored as
+# (numerator_scale, denominator_scale) integer pairs so every flag is a
+# cross-multiplied integer inequality (frac <= a/b  <=>  b*num <= a*den).
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": (30, 100),
+    "dup_para_frac": (30, 100),
+    "dup_line_char_frac": (20, 100),
+    "dup_para_char_frac": (20, 100),
+    "top2_char_frac": (20, 100),
+    "top3_char_frac": (18, 100),
+    "top4_char_frac": (16, 100),
+    "dup5_char_frac": (15, 100),
+    "dup6_char_frac": (14, 100),
+    "dup7_char_frac": (13, 100),
+    "dup8_char_frac": (12, 100),
+    "dup9_char_frac": (11, 100),
+    "dup10_char_frac": (10, 100),
+}
+
+
+def _rep_counts_batch(texts):
+    """Per-document A1.2 integer counts (plain Python over one Arrow
+    batch) -- each doc is bounded work (Counter over lines/paragraphs/
+    n-grams), so the whole stage is a linear, embarrassingly parallel
+    narrow map.  Kept as counts only: the fractions and threshold flags
+    are integer-exact Catalyst expressions on top, so no Python float
+    ever reaches the output."""
+    from collections import Counter
+
+    out = []
+    for text in texts:
+        text = text or ""
+        # str.strip(" ") mirrors Spark/DuckDB trim (spaces only)
+        lines = [x for x in
+                 (s.strip(" ") for s in text.split("\n")) if x]
+        paras = [x for x in
+                 (s.strip(" ") for s in _PARA_RE.split(text)) if x]
+        toks = text.lower().split()
+        row = {}
+        for tag, items in (("line", lines), ("para", paras)):
+            c = Counter(items)
+            row[f"n_{tag}s"] = len(items)
+            row[f"{tag}_chars"] = sum(map(len, items))
+            row[f"dup_{tag}s"] = sum(v - 1 for v in c.values())
+            row[f"dup_{tag}_chars"] = sum(
+                (v - 1) * len(k) for k, v in c.items() if v > 1)
+        row["norm_len"] = max(len(" ".join(toks)), 0)
+        row["tok_chars"] = sum(map(len, toks))
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                negn, top = min((-v, k) for k, v in c.items())
+                row[f"top{n}_gram"] = top
+                row[f"top{n}_n"] = -negn
+            else:
+                row[f"top{n}_gram"] = None
+                row[f"top{n}_n"] = 0
+        for n in range(5, 11):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if c[g] > 1:
+                    covered.update(range(i, i + n))
+            row[f"cov{n}"] = sum(len(toks[j]) for j in covered)
+        out.append(row)
+    return out
+
+
+import re as _re
+
+_PARA_RE = _re.compile(r"\n\n+")
+
+_REP_COUNT_FIELDS = (
+    "n_lines", "line_chars", "dup_lines", "dup_line_chars",
+    "n_paras", "para_chars", "dup_paras", "dup_para_chars",
+    "norm_len", "tok_chars",
+    "top2_gram", "top2_n", "top3_gram", "top3_n", "top4_gram",
+    "top4_n", "cov5", "cov6", "cov7", "cov8", "cov9", "cov10",
+)
+
+
+def line_repetition_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher A1.2 repetition table (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.2 -- the
+    repetition-removal stage every MassiveText-derived pipeline
+    reuses): per-document duplicate line / paragraph fractions, top
+    2/3/4-gram character fractions, duplicate 5..10-gram character
+    fractions, and the combined pass bit against the paper's
+    thresholds.
+
+    Definitions (documented because open implementations differ):
+    lines are the non-empty trimmed ``\\n``-splits of the raw text,
+    paragraphs the non-empty trimmed ``\\n\\n``-splits; duplicate
+    line/paragraph numerators count occurrences BEYOND the first
+    (the NeMo-Curator/Dolma convention), char denominators are total
+    line (paragraph) chars.  n-grams are whitespace word n-grams of
+    the lowered text; top-n-gram char fraction = count * len(gram) /
+    norm_len (= length of the whitespace-normalized lowered text);
+    duplicate-n-gram char fraction is positional OCCUPANCY -- token
+    positions covered by at least one repeated n-gram, chars counted
+    once (the paper: "taking care not to count characters more than
+    once") -- over total token chars, so it is bounded by 1.
+    Every pass flag is a cross-multiplied INTEGER inequality
+    (``frac <= t`` becomes ``100*num <= t_pct*den``), so no float
+    division can flip a flag between engines; the reported ``*_frac``
+    columns are 6-dp conveniences.
+
+    Scale shape: the counts come from ONE Arrow-batched
+    ``mapInPandas`` (bounded Counter work per document -- linear,
+    embarrassingly parallel, zero shuffles; a pure-Catalyst
+    higher-order-function formulation was measured ~3 orders of
+    magnitude slower because nested array lambdas evaluate
+    interpreted), and the fractions/flags are integer-exact codegen
+    expressions on top.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [T.StructField("doc_id", T.LongType(), False)]
+    for name in _REP_COUNT_FIELDS:
+        if name.endswith("_gram"):
+            fields.append(T.StructField(name, T.StringType(), True))
+        else:
+            fields.append(T.StructField(name, T.LongType(), False))
+    schema = T.StructType(fields)
+    pre = docs.select("doc_id", F.col(text_col).alias("text"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = _rep_counts_batch(pdf["text"].tolist())
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for name in _REP_COUNT_FIELDS:
+                out[name] = [r[name] for r in rows]
+            yield pd.DataFrame(out)
+
+    counts = pre.mapInPandas(compute, schema=schema)
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    def flag(num, den, key):
+        t_num, t_den = GOPHER_REP_THRESHOLDS[key]
+        return F.when(
+            t_den * num <= t_num * den, 1).otherwise(0).cast("int")
+
+    c = F.col
+    cols = [
+        c("doc_id"), c("n_lines"), c("dup_lines"), c("line_chars"),
+        c("dup_line_chars"),
+        frac(c("dup_lines"), c("n_lines")).alias("dup_line_frac"),
+        frac(c("dup_line_chars"), c("line_chars"))
+        .alias("dup_line_char_frac"),
+        c("n_paras"), c("dup_paras"),
+        frac(c("dup_paras"), c("n_paras")).alias("dup_para_frac"),
+        frac(c("dup_para_chars"), c("para_chars"))
+        .alias("dup_para_char_frac"),
+        c("norm_len"),
+    ]
+    flags = [
+        flag(c("dup_lines"), c("n_lines"), "dup_line_frac"),
+        flag(c("dup_line_chars"), c("line_chars"),
+             "dup_line_char_frac"),
+        flag(c("dup_paras"), c("n_paras"), "dup_para_frac"),
+        flag(c("dup_para_chars"), c("para_chars"),
+             "dup_para_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        top_chars = c(f"top{n}_n") * F.coalesce(
+            F.length(c(f"top{n}_gram")), F.lit(0))
+        cols += [
+            c(f"top{n}_gram"), c(f"top{n}_n"),
+            frac(top_chars, c("norm_len")).alias(f"top{n}_char_frac"),
+        ]
+        flags.append(
+            flag(top_chars, c("norm_len"), f"top{n}_char_frac"))
+    for n in range(5, 11):
+        cols.append(
+            frac(c(f"cov{n}"), c("tok_chars"))
+            .alias(f"dup{n}_char_frac"))
+        flags.append(
+            flag(c(f"cov{n}"), c("tok_chars"), f"dup{n}_char_frac"))
+    pass_all = F.when(
+        sum(flags[1:], flags[0].cast("int")) == len(flags), 1
+    ).otherwise(0).cast("int")
+    return counts.select(*cols, pass_all.alias("rep_pass"))
 
 
 def unigram_logprob(
