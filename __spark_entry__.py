@@ -2935,6 +2935,63 @@ FROM (
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shape quality scoring (extensions/classifier.py
+    ::linear_score): binary hashed-linear model over unigram + bigram
+    features, weights in integer micro-units so the margin sum and the
+    hard label are exact bigint arithmetic on both engines.  Uses the
+    pinned deterministic weight table (dim=256, bias=-50000); prob is
+    intentionally excluded from the oracle columns (sigmoid's exp is
+    the one op whose last ulp may differ between JVM and DuckDB)."""
+    from xcube_resampling_spark.extensions.classifier import (
+        linear_score,
+        pinned_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return linear_score(
+        docs, pinned_weights(256), bias_micro=-50000
+    ).select("doc_id", "n_feats", "sum_micro", "label")
+
+
+def _quality_classifier_sql() -> str:
+    from xcube_resampling_spark.extensions.classifier import (
+        pinned_weights,
+    )
+
+    wl = "[" + ", ".join(str(w) for w in pinned_weights(256)) + "]"
+    bias = -50000
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(w, list_transform(
+           range(1, greatest(len(w) - 1, 0) + 1),
+           i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS fs
+  FROM ws
+),
+scored AS (
+  SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+    CAST(COALESCE(list_sum(list_transform(fs,
+      t -> ({wl})[(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                   % 256) + 1])), 0) AS BIGINT) AS sum_micro
+  FROM feats
+)
+SELECT doc_id, n_feats, sum_micro,
+  CAST(CASE WHEN n_feats > 0
+            THEN CASE WHEN n_feats * ({bias}) + sum_micro > 0
+                      THEN 1 ELSE 0 END
+            ELSE CASE WHEN {bias} > 0 THEN 1 ELSE 0 END
+       END AS INT) AS label
+FROM scored
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """LM perplexity quality scores (the CCNet filter shape), tagged
     union of both corpus-fitted models:
@@ -5906,6 +5963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "vocab_stats": q_vocab_stats,
+        "quality_classifier": q_quality_classifier,
         "lm_quality": q_lm_quality,
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,
@@ -5964,6 +6022,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_sql(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "vocab_stats": SQL_VOCAB,
+        "quality_classifier": _quality_classifier_sql(),
         "lm_quality": SQL_LM_QUALITY,
         "corpus_sample": _sampling_sql(),
         "corpus_mix": _corpus_mix_sql(),

@@ -1947,3 +1947,100 @@ class TestSubstringSpans:
                                    "doc_id long, text string")
         with _pytest.raises(ValueError, match="k must be"):
             dedup_substring_spans(df, k=1)
+
+
+class TestQualityClassifier:
+    def test_hand_computed_margin_and_label(self, spark):
+        import hashlib
+
+        from xcube_resampling_spark.extensions.classifier import (
+            linear_score,
+            pinned_weights,
+        )
+
+        W = pinned_weights(16)
+        docs = spark.createDataFrame(
+            [(0, "aa bb"), (1, "")], "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in linear_score(docs, W, bias_micro=5).collect()}
+
+        def h32(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        feats = ["aa", "bb", "aa bb"]  # unigrams + the one bigram
+        exp = sum(W[h32(f) % 16] for f in feats)
+        assert out[0]["n_feats"] == 3
+        assert out[0]["sum_micro"] == exp
+        assert out[0]["label"] == int(3 * 5 + exp > 0)
+        # empty doc: label decided by the bias alone
+        assert out[1]["n_feats"] == 0 and out[1]["label"] == 1
+
+    def test_literal_and_join_paths_agree(self, spark):
+        from xcube_resampling_spark.extensions.classifier import (
+            linear_score,
+            pinned_weights,
+        )
+
+        W = pinned_weights(256)
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i + 1} common word") for i in range(40)],
+            "doc_id long, text string")
+        lit = {r["doc_id"]: (r["sum_micro"], r["label"])
+               for r in linear_score(docs, W).collect()}
+        jn = {r["doc_id"]: (r["sum_micro"], r["label"])
+              for r in linear_score(docs, W, max_literal_dim=8)
+              .collect()}
+        assert lit == jn
+
+    def test_training_separates_classes(self, spark):
+        import random
+
+        from xcube_resampling_spark.extensions.classifier import (
+            fasttext_train,
+            linear_score,
+        )
+
+        rnd = random.Random(7)
+        good = "the and of to in is it that for on".split()
+        bad = "zxq qqv kjx vvw pzk wqx jjz xxv qzz kkw".split()
+        rows = []
+        for i in range(120):
+            src = good if i % 2 == 0 else bad
+            words = [src[rnd.randrange(10)] for _ in range(20)]
+            rows.append((i, " ".join(words), 1 if i % 2 == 0 else 0))
+        tr = spark.createDataFrame(
+            rows, "doc_id long, text string, label int")
+        wm, bm = fasttext_train(tr, dim=64, epochs=12, lr=4.0)
+        pred = {r["doc_id"]: r["label"]
+                for r in linear_score(tr, wm, bm).collect()}
+        acc = sum(1 for i, _, y in rows if pred[i] == y) / len(rows)
+        assert acc > 0.95
+
+    def test_training_is_deterministic(self, spark):
+        from xcube_resampling_spark.extensions.classifier import (
+            fasttext_train,
+        )
+
+        tr = spark.createDataFrame(
+            [(i, "good words here" if i % 2 else "junk zx qv",
+              i % 2) for i in range(20)],
+            "doc_id long, text string, label int")
+        a = fasttext_train(tr, dim=32, epochs=3, lr=1.0)
+        b = fasttext_train(tr, dim=32, epochs=3, lr=1.0)
+        assert a == b
+
+    def test_prob_is_sigmoid_of_average_margin(self, spark):
+        import math
+
+        from xcube_resampling_spark.extensions.classifier import (
+            linear_score,
+        )
+
+        # single bucket: every feature weight 1_000_000 (=1.0)
+        docs = spark.createDataFrame(
+            [(0, "x y")], "doc_id long, text string")
+        row = linear_score(docs, [1_000_000], bias_micro=0) \
+            .collect()[0]
+        assert row["n_feats"] == 3
+        assert row["sum_micro"] == 3_000_000
+        assert abs(row["prob"] - 1 / (1 + math.exp(-1.0))) < 1e-12
