@@ -2728,7 +2728,14 @@ def q_pack_sequences(spark, sf_dir):
 
     The 'assemble' leg materializes the actual training sequences from
     the plan (packing.assemble_sequences): every sequence's full token
-    stream is value-checked by count + hash32 of the joined tokens."""
+    stream is value-checked by count + hash32 of the joined tokens.
+
+    The 'shards' leg runs the FULL sharded training-output writer
+    (packing.write_token_shards / read_token_shards): vocab-encode,
+    write binary .bin/.idx shard files through the ChunkPut seam,
+    read them back, and value-check per shard the sequence count, the
+    sum of decoded token ids, the token count, and the manifest byte
+    size."""
     from xcube_resampling_spark.extensions.bpe import (
         bpe_token_count_col,
         bpe_tokenize,
@@ -2789,17 +2796,65 @@ def q_pack_sequences(spark, sf_dir):
             tokens_col(F.col("text")), lambda t: t != F.lit("")
         ).alias("tokens"),
     )
-    asm = assemble_sequences(tok_df, plan).select(
+    seq_df = assemble_sequences(tok_df, plan)
+    asm = seq_df.select(
         F.lit("assemble").alias("tag"), F.col("seq_id").alias("id"),
         F.col("n_tok").alias("k"),
         hash32(F.array_join("tokens", " ")).alias("v1"),
         F.lit(0).cast("bigint").alias("v2"),
         F.lit(0).cast("bigint").alias("v3"),
     )
+    # 'shards' leg: the FULL writer loop -- vocab-encode, write the
+    # binary .bin/.idx shard files through the ChunkPut seam, read
+    # them BACK, and value-check per shard: k = sequences decoded,
+    # v1 = sum of decoded token ids (validates vocab mapping + byte
+    # layout), v2 = tokens decoded, v3 = manifest byte size
+    import tempfile
+
+    from xcube_resampling_spark.extensions.packing import (
+        build_token_vocab,
+        read_token_shards,
+        write_token_shards,
+    )
+    from xcube_resampling_spark.sources.zarr import FsChunkPut
+
+    shard_plan = shuffle_shards(plan, n_shards=4, seed="sh")
+    vocab = build_token_vocab(seq_df)
+    put = FsChunkPut(tempfile.mkdtemp(prefix="xrs_shards_"))
+    man_rows = write_token_shards(
+        seq_df, shard_plan, put, vocab=vocab, dtype="uint32"
+    ).collect()  # materializes the writes; 4 manifest rows
+    man_df = spark.createDataFrame(
+        [(int(r["shard"]), int(r["nbytes"])) for r in man_rows],
+        schema="shard int, nbytes bigint",
+    )
+    back = read_token_shards(spark, put, n_shards=4).select(
+        "shard",
+        F.size("tokens").cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.col("tokens"), F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("id_sum"),
+    )
+    shard_files = (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("id_sum").alias("v1"),
+            F.sum("n_tok").alias("v2"),
+        )
+        .join(F.broadcast(man_df), "shard")
+        .select(
+            F.lit("shards").alias("tag"),
+            F.col("shard").cast("bigint").alias("id"),
+            "k", "v1", "v2",
+            F.col("nbytes").alias("v3"),
+        )
+    )
     return (
         spans.unionByName(stats).unionByName(shards)
         .unionByName(bpe_tok).unionByName(bpe_span)
-        .unionByName(asm)
+        .unionByName(asm).unionByName(shard_files)
     )
 
 
@@ -2841,6 +2896,36 @@ WITH c AS (
          LEAST(strt + n_tok, (seq_id + 1) * 64)
            - GREATEST(strt, seq_id * 64) AS n_tok
   FROM spans
+), tw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)),
+                     '\\s+'), x -> x != '') AS toks
+  FROM documents
+), asm_str AS (
+  SELECT seq_id, flatten(list(piece ORDER BY seq_off)) AS toks
+  FROM (
+    SELECT s.seq_id, s.seq_off,
+           list_slice(tw.toks, s.doc_off + 1,
+                      s.doc_off + s.n_tok) AS piece
+    FROM seg s JOIN tw ON tw.doc_id = s.doc_id
+  ) GROUP BY seq_id
+), shrd AS (
+  SELECT seq_id, hx % 4 AS shard,
+         row_number() OVER (
+           PARTITION BY hx % 4 ORDER BY hx ASC, seq_id ASC) AS pos
+  FROM (SELECT DISTINCT seq_id, {SHARD_HASH} AS hx FROM seg)
+), vid AS (
+  -- build_token_vocab twin: id by count desc, tok asc, 0-based
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) - 1
+                   AS BIGINT) AS tok_id
+  FROM (SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(toks) AS tok FROM asm_str) GROUP BY tok)
+), seq_ids AS (
+  SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(tok_id) AS BIGINT) AS id_sum
+  FROM (SELECT seq_id, unnest(toks) AS tok FROM asm_str) st
+  JOIN vid USING (tok)
+  GROUP BY seq_id
 )
 SELECT 'span' AS tag, doc_id AS id, seq_id AS k,
        CAST(doc_off AS BIGINT) AS v1, CAST(seq_off AS BIGINT) AS v2,
@@ -2854,18 +2939,10 @@ SELECT 'stat' AS tag, seq_id AS id, CAST(COUNT(*) AS BIGINT) AS k,
        CAST(SUM(n_tok) * 1000000 // 64 AS BIGINT) AS v3
 FROM seg GROUP BY seq_id
 UNION ALL
-SELECT 'shard' AS tag, seq_id AS id, CAST(shrd AS BIGINT) AS k,
-       CAST(row_number() OVER (
-         PARTITION BY shrd ORDER BY hx ASC, seq_id ASC
-       ) AS BIGINT) AS v1,
+SELECT 'shard' AS tag, seq_id AS id, CAST(shard AS BIGINT) AS k,
+       CAST(pos AS BIGINT) AS v1,
        CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
-FROM (
-  SELECT seq_id, hx, hx % 4 AS shrd FROM (
-    SELECT DISTINCT seq_id,
-           {SHARD_HASH} AS hx
-    FROM seg
-  )
-)
+FROM shrd
 UNION ALL
 SELECT 'bpe_tok' AS tag, doc_id AS id,
        CAST(len(toks) AS BIGINT) AS k,
@@ -2885,21 +2962,17 @@ SELECT 'assemble' AS tag, seq_id AS id,
        CAST(len(toks) AS BIGINT) AS k,
        {TOK_HASH} AS v1,
        CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
-FROM (
-  SELECT seq_id, flatten(list(piece ORDER BY seq_off)) AS toks
-  FROM (
-    SELECT s.seq_id, s.seq_off,
-           list_slice(tw.toks, s.doc_off + 1,
-                      s.doc_off + s.n_tok) AS piece
-    FROM seg s
-    JOIN (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(lower(text)),
-                         '\\s+'), x -> x != '') AS toks
-      FROM documents
-    ) tw ON tw.doc_id = s.doc_id
-  ) GROUP BY seq_id
-)
+FROM asm_str
+UNION ALL
+SELECT 'shards' AS tag, CAST(sh.shard AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(si.id_sum) AS BIGINT) AS v1,
+       CAST(SUM(si.n_tok) AS BIGINT) AS v2,
+       -- nbytes of shard-k.bin + .idx: uint32 ids + 24-byte header
+       -- + 12 bytes (seq_id u64 + len u32) per sequence
+       CAST(4 * SUM(si.n_tok) + 24 + 12 * COUNT(*) AS BIGINT) AS v3
+FROM shrd sh JOIN seq_ids si USING (seq_id)
+GROUP BY sh.shard
 UNION ALL
 SELECT 'bpe_span' AS tag, doc_id AS id, seq_id AS k,
        CAST(doc_off AS BIGINT) AS v1, CAST(seq_off AS BIGINT) AS v2,

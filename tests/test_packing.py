@@ -411,3 +411,123 @@ class TestAssembleSequences:
             docs, merges, method="sql").orderBy("doc_id").collect()
             for t in r["tokens"]]
         assert stream == want
+
+
+class TestTokenShards:
+    def _pipeline(self, spark, tmp_path, dtype="uint32", n_shards=3):
+        from xcube_resampling_spark.extensions.packing import (
+            assemble_sequences,
+            build_token_vocab,
+            pack_sequences,
+            shuffle_shards,
+            write_token_shards,
+        )
+        from xcube_resampling_spark.sources.zarr import FsChunkPut
+
+        docs = _docs(spark, [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the five boxing wizards jump quickly"),
+            (4, "sphinx of black quartz judge my vow"),
+        ])
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim(F.lower("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            ).alias("tokens"),
+        )
+        spans = pack_sequences(docs, seq_len=5, n_buckets=2)
+        seqs = assemble_sequences(toks, spans)
+        plan = shuffle_shards(spans, n_shards=n_shards)
+        vocab = build_token_vocab(seqs)
+        put = FsChunkPut(str(tmp_path / "out"))
+        man = write_token_shards(
+            seqs, plan, put, vocab=vocab, dtype=dtype).collect()
+        return seqs, plan, vocab, put, man
+
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        from xcube_resampling_spark.extensions.packing import (
+            read_token_shards,
+        )
+
+        seqs, plan, vocab, put, man = self._pipeline(spark, tmp_path)
+        back = read_token_shards(spark, put, n_shards=3)
+        vmap = {int(r["tok_id"]): r["tok"] for r in vocab.collect()}
+        orig = {r["seq_id"]: list(r["tokens"])
+                for r in seqs.collect()}
+        plan_map = {r["seq_id"]: (r["shard"], r["pos"])
+                    for r in plan.collect()}
+        got = {}
+        for r in back.collect():
+            got[r["seq_id"]] = [vmap[i] for i in r["tokens"]]
+            assert plan_map[r["seq_id"]] == (r["shard"], r["pos"])
+        assert got == orig
+
+    def test_manifest_counts_and_crc(self, spark, tmp_path):
+        import zlib
+
+        seqs, plan, vocab, put, man = self._pipeline(spark, tmp_path)
+        total_tokens = sum(
+            len(r["tokens"]) for r in seqs.collect())
+        assert sum(r["n_tokens"] for r in man) == total_tokens
+        assert sum(r["n_seq"] for r in man) == seqs.count()
+        for r in man:
+            blob = put.get(f"shards/shard-{r['shard']:05d}.bin")
+            idx = put.get(f"shards/shard-{r['shard']:05d}.idx")
+            assert blob is not None and idx is not None
+            assert zlib.crc32(blob) & 0xFFFFFFFF == r["crc32"]
+            assert len(blob) + len(idx) == r["nbytes"]
+            assert len(blob) == 4 * r["n_tokens"]  # uint32
+            assert idx[:8] == b"XRSPSHRD"
+
+    def test_uint16_roundtrip_and_overflow(self, spark, tmp_path):
+        from xcube_resampling_spark.extensions.packing import (
+            read_token_shards,
+            write_token_shards,
+        )
+        from xcube_resampling_spark.sources.zarr import FsChunkPut
+
+        seqs, plan, vocab, put, _ = self._pipeline(
+            spark, tmp_path, dtype="uint16")
+        back = read_token_shards(spark, put, n_shards=3)
+        assert back.count() == seqs.count()
+        # ids past 65535 must refuse uint16 loudly
+        big = spark.createDataFrame(
+            [(0, [70000])], "seq_id long, tokens array<bigint>")
+        plan1 = spark.createDataFrame(
+            [(0, 0, 1)], "seq_id long, shard int, pos long")
+        put2 = FsChunkPut(str(tmp_path / "o2"))
+        with pytest.raises(Exception, match="uint16"):
+            write_token_shards(
+                big, plan1, put2, vocab=None, dtype="uint16"
+            ).collect()
+
+    def test_missing_shard_raises(self, spark, tmp_path):
+        from xcube_resampling_spark.extensions.packing import (
+            read_token_shards,
+        )
+
+        seqs, plan, vocab, put, _ = self._pipeline(spark, tmp_path)
+        with pytest.raises(Exception, match="missing"):
+            read_token_shards(spark, put, n_shards=9).collect()
+
+    def test_prewired_integer_ids_without_vocab(self, spark, tmp_path):
+        from xcube_resampling_spark.extensions.packing import (
+            read_token_shards,
+            write_token_shards,
+        )
+        from xcube_resampling_spark.sources.zarr import FsChunkPut
+
+        seqs = spark.createDataFrame(
+            [(0, [3, 1, 4, 1, 5]), (1, [9, 2, 6])],
+            "seq_id long, tokens array<bigint>")
+        plan = spark.createDataFrame(
+            [(0, 0, 1), (1, 1, 1)],
+            "seq_id long, shard int, pos long")
+        put = FsChunkPut(str(tmp_path / "ids"))
+        man = write_token_shards(seqs, plan, put, vocab=None).collect()
+        assert sum(r["n_tokens"] for r in man) == 8
+        back = {r["seq_id"]: list(r["tokens"]) for r in
+                read_token_shards(spark, put, n_shards=2).collect()}
+        assert back == {0: [3, 1, 4, 1, 5], 1: [9, 2, 6]}

@@ -44,13 +44,15 @@ real tokenizer's counts when available.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
 
 __all__ = ["pack_sequences", "packing_stats", "shuffle_shards",
-           "assemble_sequences", "release_cached"]
+           "assemble_sequences", "release_cached",
+           "build_token_vocab", "write_token_shards",
+           "read_token_shards"]
 
 # counts tables persisted by _with_prefix_sum (three consumers: the
 # min/max scalar, the bucket totals, and the window) -- same lifecycle
@@ -327,3 +329,233 @@ def assemble_sequences(
             "tokens",
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# sharded training-output writer (the Megatron .bin/.idx shape)
+
+_SHARD_MAGIC = b"XRSPSHRD"
+_SHARD_VERSION = 1
+_DTYPES = {"uint16": 2, "uint32": 4}
+
+
+def build_token_vocab(
+    seqs: DataFrame, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Deterministic token vocabulary over a tokens-array column:
+    ``(tok, tok_id)`` with ids assigned by descending frequency, ties
+    to the lexicographically smaller token (id 0 = most frequent).
+
+    The counting is one map-side-combinable shuffle; the id
+    assignment is a global rank over the VOCABULARY (model-sized --
+    tens of thousands of types, not corpus-sized), so the single-task
+    window is bounded regardless of corpus size.
+    """
+    counts = (
+        seqs.select(F.explode(F.col(tokens_col)).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return counts.select(
+        "tok",
+        (F.row_number().over(win) - 1).cast("bigint").alias("tok_id"),
+    )
+
+
+def _encode_shard(shard, pdf, vocab_map, dtype, prefix, put):
+    """Encode one shard's sequences (pos order) to .bin/.idx bytes and
+    PUT them; returns the manifest row.  Pure function of its input,
+    so Spark task re-runs overwrite with identical bytes (the ChunkPut
+    idempotency contract)."""
+    import zlib
+
+    import numpy as np
+
+    pdf = pdf.sort_values("pos")
+    np_dtype = np.dtype(dtype).newbyteorder("<")
+    parts = []
+    lengths = []
+    seq_ids = []
+    for seq_id, toks in zip(pdf["seq_id"], pdf["tokens"]):
+        if vocab_map is None:
+            ids = np.asarray(toks, dtype=np.int64)
+        else:
+            ids = np.fromiter(
+                (vocab_map[t] for t in toks), dtype=np.int64,
+                count=len(toks),
+            )
+        limit = np.iinfo(np_dtype).max
+        if ids.size and int(ids.max()) > limit:
+            raise ValueError(
+                f"token id {int(ids.max())} exceeds {dtype}; use a "
+                f"wider dtype"
+            )
+        parts.append(ids.astype(np_dtype).tobytes())
+        lengths.append(len(toks))
+        seq_ids.append(int(seq_id))
+    bin_bytes = b"".join(parts)
+    idx = bytearray()
+    idx += _SHARD_MAGIC
+    idx += int(_SHARD_VERSION).to_bytes(4, "little")
+    idx += int(_DTYPES[dtype]).to_bytes(4, "little")
+    idx += len(lengths).to_bytes(8, "little")
+    for sid in seq_ids:
+        idx += int(sid).to_bytes(8, "little")
+    for ln in lengths:
+        idx += int(ln).to_bytes(4, "little")
+    idx_bytes = bytes(idx)
+    put.put(f"{prefix}/shard-{shard:05d}.bin", bin_bytes)
+    put.put(f"{prefix}/shard-{shard:05d}.idx", idx_bytes)
+    return {
+        "shard": shard,
+        "n_seq": len(lengths),
+        "n_tokens": int(sum(lengths)),
+        "nbytes": len(bin_bytes) + len(idx_bytes),
+        "crc32": zlib.crc32(bin_bytes) & 0xFFFFFFFF,
+    }
+
+
+def write_token_shards(
+    seqs: DataFrame,
+    shards: DataFrame,
+    put,
+    vocab: DataFrame | None = None,
+    dtype: str = "uint32",
+    prefix: str = "shards",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Write packed training sequences as sharded binary token files
+    through the :class:`~..sources.zarr.ChunkPut` seam -- the
+    trainer-facing output format (the Megatron-LM ``.bin``/``.idx``
+    shape, clean-room layout).
+
+    ``seqs`` is ``(seq_id, tokens array<string>)`` (e.g.
+    :func:`assemble_sequences` output); ``shards`` is the
+    ``(seq_id, shard, pos)`` plan from :func:`shuffle_shards`.  Each
+    shard ``k`` becomes two objects under ``prefix/``:
+
+    * ``shard-{k:05d}.bin`` -- the shard's token ids back-to-back,
+      little-endian ``dtype``, sequences in ``pos`` order;
+    * ``shard-{k:05d}.idx`` -- magic ``XRSPSHRD``, version u32,
+      dtype code u32 (2=uint16, 4=uint32), n_seq u64, then n_seq
+      seq_ids (u64) and n_seq sequence lengths (u32).
+
+    ``vocab`` maps tokens to ids (:func:`build_token_vocab`); it is
+    model-sized, so it rides to executors as a broadcast dict.  With
+    ``vocab=None`` the tokens column must already be integer ids.
+
+    Returns the manifest ``(shard, n_seq, n_tokens, nbytes, crc32)``
+    -- one row per shard actually written.
+
+    100-TB shape: one equi-join of the plan to the sequences on
+    ``seq_id``, one explicit ``repartition(n_shards, shard)`` feeding
+    ``groupBy(shard).applyInPandas`` (the measured-fastest
+    kernel-stage layout), inside which encoding is numpy and the PUT
+    is the same idempotent object-store seam the zarr/GeoTIFF writers
+    ship through.  Shard count bounds task memory: pick
+    ``n_shards >= corpus_tokens * itemsize / target_shard_bytes``.
+    """
+    if dtype not in _DTYPES:
+        raise ValueError(f"dtype must be one of {sorted(_DTYPES)}")
+    spark = seqs.sparkSession
+    if vocab is not None:
+        vmap = {r["tok"]: int(r["tok_id"]) for r in vocab.collect()}
+        bmap = spark.sparkContext.broadcast(vmap)
+    else:
+        bmap = None
+    joined = shards.join(
+        seqs.select("seq_id", F.col(tokens_col).alias("tokens")),
+        "seq_id",
+    ).select("shard", "pos", "seq_id", "tokens")
+
+    def write_one(key, pdf):
+        import pandas as pd
+
+        row = _encode_shard(
+            int(key[0]), pdf,
+            bmap.value if bmap is not None else None,
+            dtype, prefix, put,
+        )
+        return pd.DataFrame([row])
+
+    shard_ids = shards.select("shard").distinct()
+    n = shard_ids.count()
+    return (
+        joined.repartition(max(int(n), 1), "shard")
+        .groupBy("shard")
+        .applyInPandas(
+            write_one,
+            schema=("shard int, n_seq bigint, n_tokens bigint, "
+                    "nbytes bigint, crc32 bigint"),
+        )
+    )
+
+
+def read_token_shards(
+    spark: SparkSession,
+    store,
+    n_shards: int,
+    prefix: str = "shards",
+) -> DataFrame:
+    """Read back :func:`write_token_shards` output through a store's
+    ``get(key)`` seam: one task per shard, each decoding its own
+    ``.idx``/``.bin`` pair.  Returns ``(shard, pos, seq_id, tokens
+    array<bigint>)`` -- ids, not strings (join a vocab to invert).
+    Missing shards raise (a training run must never silently read a
+    partial corpus)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("seq_id", T.LongType(), False),
+        T.StructField("tokens", T.ArrayType(T.LongType()), False),
+    ])
+
+    def read_batch(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for shard in pdf["id"]:
+                shard = int(shard)
+                idx = store.get(f"{prefix}/shard-{shard:05d}.idx")
+                blob = store.get(f"{prefix}/shard-{shard:05d}.bin")
+                if idx is None or blob is None:
+                    raise FileNotFoundError(
+                        f"shard {shard} missing under {prefix}/")
+                if idx[:8] != _SHARD_MAGIC:
+                    raise ValueError(f"bad shard magic in {shard}")
+                dcode = int.from_bytes(idx[12:16], "little")
+                n_seq = int.from_bytes(idx[16:24], "little")
+                off = 24
+                sids = [
+                    int.from_bytes(idx[off + 8 * i:off + 8 * i + 8],
+                                   "little")
+                    for i in range(n_seq)
+                ]
+                off += 8 * n_seq
+                lens = [
+                    int.from_bytes(idx[off + 4 * i:off + 4 * i + 4],
+                                   "little")
+                    for i in range(n_seq)
+                ]
+                np_dtype = np.dtype(
+                    "<u2" if dcode == 2 else "<u4")
+                ids = np.frombuffer(blob, dtype=np_dtype)
+                cur = 0
+                for pos0, (sid, ln) in enumerate(zip(sids, lens)):
+                    rows.append((
+                        shard, pos0 + 1, sid,
+                        [int(v) for v in ids[cur:cur + ln]],
+                    ))
+                    cur += ln
+                if cur != ids.size:
+                    raise ValueError(
+                        f"shard {shard}: .bin has {ids.size} ids, "
+                        f".idx accounts for {cur}")
+            yield pd.DataFrame(
+                rows, columns=["shard", "pos", "seq_id", "tokens"])
+
+    return spark.range(n_shards).mapInPandas(read_batch, schema=schema)
