@@ -49,15 +49,24 @@ class HttpChunkStore(ChunkPut):
     one path segment under ``base_url`` (opaque keys, no directory
     hierarchy -- the S3 object-name model)."""
 
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, signer=None):
         self.base_url = base_url.rstrip("/")
+        self.signer = signer  # optional sigv4.SigV4Signer
 
     def _url(self, key: str) -> str:
         return f"{self.base_url}/{quote(key, safe='')}"
 
+    def _request(self, url: str, method: str,
+                 data: bytes | None = None):
+        req = urllib.request.Request(url, data=data, method=method)
+        if self.signer is not None:
+            for k, v in self.signer.sign(method, url, data).items():
+                if k.lower() != "host":  # urllib sets Host itself
+                    req.add_header(k, v)
+        return req
+
     def put(self, key: str, data: bytes) -> None:
-        req = urllib.request.Request(
-            self._url(key), data=data, method="PUT")
+        req = self._request(self._url(key), "PUT", data)
         with urllib.request.urlopen(req) as resp:
             if resp.status not in (200, 201, 204):
                 raise OSError(
@@ -65,7 +74,8 @@ class HttpChunkStore(ChunkPut):
 
     def get(self, key: str) -> bytes | None:
         try:
-            with urllib.request.urlopen(self._url(key)) as resp:
+            req = self._request(self._url(key), "GET")
+            with urllib.request.urlopen(req) as resp:
                 return resp.read()
         except urllib.error.HTTPError as e:
             if e.code == 404:
@@ -74,8 +84,8 @@ class HttpChunkStore(ChunkPut):
 
     def known_keys(self) -> list[str]:
         try:
-            with urllib.request.urlopen(
-                    f"{self.base_url}/__keys__") as resp:
+            req = self._request(f"{self.base_url}/__keys__", "GET")
+            with urllib.request.urlopen(req) as resp:
                 text = resp.read().decode("utf-8")
         except urllib.error.HTTPError as e:
             if e.code == 404:
@@ -88,15 +98,28 @@ class HttpRangeReader(RangeReader):
     """Ranged HTTP reads of one remote file -- the COG access pattern
     (every tile fetch is one ``Range: bytes=a-b`` GET)."""
 
-    def __init__(self, url: str):
+    def __init__(self, url: str, signer=None):
         self.url = url
+        self.signer = signer  # optional sigv4.SigV4Signer
         self._size: int | None = None
+
+    def _sign(self, req, method: str,
+              extra: dict[str, str] | None = None) -> None:
+        if self.signer is None:
+            return
+        for k, v in self.signer.sign(
+                method, self.url, None, extra or {}).items():
+            if k.lower() != "host":
+                req.add_header(k, v)
 
     def read(self, offset: int, size: int) -> bytes:
         if size <= 0:
             return b""
         req = urllib.request.Request(self.url)
-        req.add_header("Range", f"bytes={offset}-{offset + size - 1}")
+        rng = f"bytes={offset}-{offset + size - 1}"
+        # S3 signs the range header when present
+        self._sign(req, "GET", {"range": rng})
+        req.add_header("Range", rng)
         with urllib.request.urlopen(req) as resp:
             data = resp.read()
             content_range = resp.headers.get("Content-Range")
@@ -125,15 +148,17 @@ class HttpRangeReader(RangeReader):
     def size(self) -> int:
         if self._size is None:
             req = urllib.request.Request(self.url, method="HEAD")
+            self._sign(req, "HEAD")
             with urllib.request.urlopen(req) as resp:
                 self._size = int(resp.headers["Content-Length"])
         return self._size
 
     def __getstate__(self):
-        return {"url": self.url}
+        return {"url": self.url, "signer": self.signer}
 
     def __setstate__(self, state):
         self.url = state["url"]
+        self.signer = state.get("signer")
         self._size = None
 
 
@@ -143,9 +168,10 @@ class LocalHttpStoreServer:
     re-runs), and a ``__keys__`` newline manifest.  Use as a context
     manager; ``url`` is ``http://127.0.0.1:<port>``."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, sigv4_secret: str | None = None):
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+        self.sigv4_secret = sigv4_secret
         self._httpd = None
         self._thread = None
         self.url: str | None = None
@@ -158,12 +184,35 @@ class LocalHttpStoreServer:
         )
 
         root = self.root
+        sigv4_secret = self.sigv4_secret
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
 
             def log_message(self, *a):  # quiet
                 pass
+
+            def _authorized(self, payload: bytes) -> bool:
+                """When the server holds a SigV4 secret, re-derive the
+                signature from the RAW received request (the real-S3
+                behavior) and 403 on any mismatch."""
+                if sigv4_secret is None:
+                    return True
+                from .sigv4 import verify_request
+
+                ok, reason = verify_request(
+                    self.command, self.path,
+                    {k: v for k, v in self.headers.items()},
+                    payload, sigv4_secret,
+                )
+                if not ok:
+                    body = reason.encode("utf-8")
+                    self.send_response(403)
+                    self.send_header(
+                        "Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                return ok
 
             def _path(self):
                 # one flat segment; keys are percent-encoded
@@ -177,6 +226,8 @@ class LocalHttpStoreServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if not self._authorized(b""):
+                    return
                 if self.path.lstrip("/") == "__keys__":
                     keys = sorted(
                         n for n in os.listdir(root)
@@ -210,6 +261,8 @@ class LocalHttpStoreServer:
                 self._send_bytes(200, data)
 
             def do_HEAD(self):
+                if not self._authorized(b""):
+                    return
                 p = self._path()
                 if not os.path.isfile(p):
                     self.send_response(404)
@@ -226,6 +279,8 @@ class LocalHttpStoreServer:
 
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
+                if not self._authorized(body):
+                    return
                 p = self._path()
                 # handler threads share one pid -- include the thread
                 # id so concurrent PUTs never share a tmp file
