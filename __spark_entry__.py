@@ -5893,7 +5893,23 @@ def q_multimodal_suite(spark, sf_dir):
             nd.alias("v2"), ns.alias("s"),
         )
         out = out.unionByName(leg)
-    return out
+    # 'jpeg' leg: the lossy clean-room codec -- dims + round-trip
+    # pass bit.  The byte-tiled fake images are noise-like (JPEG's
+    # worst case), measured max err 6 at q=98; tol=10 still fails
+    # loudly for any DCT/Huffman defect (those produce errors ~100+).
+    # Exact-byte checks only make sense for the lossless codecs above.
+    from xcube_resampling_spark.extensions.multimodal import (
+        jpeg_roundtrip_check,
+    )
+
+    jp = jpeg_roundtrip_check(media, quality=98, tol=10).select(
+        F.lit("jpeg").alias("leg"), "media_id",
+        F.col("width").cast("long").alias("k1"),
+        F.col("height").cast("long").alias("k2"),
+        F.col("ok").cast("long").alias("k3"),
+        nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
+    )
+    return out.unionByName(jp)
 
 
 def _multimodal_suite_sql():
@@ -5988,6 +6004,14 @@ FROM (
     FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
   )
 ) GROUP BY media_id, frame_idx
+UNION ALL
+SELECT 'jpeg' AS leg, doc_id AS media_id,
+       CAST(4 + (doc_id % 9) // 3 AS BIGINT) AS k1,
+       CAST(4 AS BIGINT) AS k2,
+       CAST(1 AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 0
 """
 
 

@@ -6,11 +6,13 @@ struct; all transforms are narrow Arrow-batched ``mapInPandas`` passes
 
 Decode is REAL for every format whose byte layout is public and needs
 no external codec library -- the clean-room implementations in
-:mod:`.imagecodec` (PNG, BMP), :mod:`.audiocodec` (WAV/PCM), and
+:mod:`.imagecodec` (PNG, BMP), :mod:`.jpegcodec` (baseline JPEG,
+full DCT+Huffman), :mod:`.audiocodec` (WAV/PCM), and
 :mod:`.videocodec` (Y4M): ``decode_image`` / ``decode_audio`` /
 ``decode_video`` dispatch on magic bytes.  Formats that genuinely
-require codec libraries absent from this build (JPEG/WebP, MP3/AAC/
-FLAC, H.264/VP9/AV1) raise :class:`DecoderNotAvailable` loudly;
+require codec libraries absent from this build (WebP, progressive
+JPEG, MP3/AAC/FLAC, H.264/VP9/AV1) raise
+:class:`DecoderNotAvailable` loudly;
 ``_fake_decode_rgb`` remains the clearly-marked deterministic stand-in
 those paths use in tests, and swapping it for ``PIL.Image.open`` keeps
 every signature and plan identical.
@@ -56,12 +58,13 @@ class DecoderNotAvailable(NotImplementedError):
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to (h, w, 3) uint8 RGB.
 
-    PNG and BMP decode natively through the clean-room codecs in
-    :mod:`.imagecodec` (zlib + numpy, spec-derived -- no imaging
-    library).  Other formats (JPEG, WebP, ...) require external
-    codec libraries absent from this build and raise
-    :class:`DecoderNotAvailable`; ``_fake_decode_rgb`` remains the
-    deterministic stand-in for those in tests.
+    PNG, BMP and baseline JPEG decode natively through the clean-room
+    codecs in :mod:`.imagecodec` / :mod:`.jpegcodec` (zlib + numpy,
+    spec-derived -- no imaging library).  Remaining formats (WebP,
+    progressive JPEG, ...) require external codec libraries absent
+    from this build and raise :class:`DecoderNotAvailable`;
+    ``_fake_decode_rgb`` remains the deterministic stand-in for those
+    in tests.
     """
     from .imagecodec import (
         decode_bmp,
@@ -75,10 +78,18 @@ def decode_image(payload: bytes) -> np.ndarray:
         return to_rgb(decode_png(payload))
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return img
     raise DecoderNotAvailable(
-        "only PNG and BMP decode natively (clean-room codecs in "
-        "imagecodec.py); JPEG/audio/video decoding requires external "
-        "libraries not available in this build"
+        "only PNG, BMP and baseline JPEG decode natively (clean-room "
+        "codecs in imagecodec.py/jpegcodec.py); WebP and other "
+        "formats require external libraries not available in this "
+        "build"
     )
 
 
@@ -399,6 +410,59 @@ def decode_images(media: DataFrame) -> DataFrame:
                 rows.append((mid, w, h, img.tobytes()))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        compute, schema
+    )
+
+
+def jpeg_roundtrip_check(
+    media: DataFrame, quality: int = 90, tol: int = 12
+) -> DataFrame:
+    """Encode each image payload's pixels to baseline JPEG
+    (clean-room :mod:`.jpegcodec`), decode the bytes back, and report
+    ``(media_id, width, height, max_err, ok)`` where ``max_err`` is
+    the largest per-channel absolute difference and ``ok`` flags
+    ``max_err <= tol`` (JPEG is lossy, so the oracle checks the pass
+    bit + dims; PSNR-level checks live in the codec's unit tests).
+    A narrow ``mapInPandas`` pass over image rows."""
+    from .imagecodec import sniff_image_format
+    from .jpegcodec import decode_jpeg, encode_jpeg
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("max_err", T.IntegerType(), False),
+        T.StructField("ok", T.IntegerType(), False),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["payload"],
+            ):
+                w = 4 if pd.isna(w) else int(w)
+                h = 4 if pd.isna(h) else int(h)
+                payload = payload or b""
+                if sniff_image_format(payload):
+                    img = decode_image(payload)
+                else:
+                    img = _fake_decode_rgb(payload, w, h)
+                dec = decode_jpeg(encode_jpeg(img, quality, "444"))
+                err = int(np.max(np.abs(
+                    dec.astype(np.int32) - img.astype(np.int32))))
+                rows.append((
+                    mid, img.shape[1], img.shape[0], err,
+                    1 if err <= tol else 0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "max_err",
+                         "ok"],
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(
