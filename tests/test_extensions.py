@@ -398,8 +398,8 @@ def test_sample_frames(spark):
     assert by_media == {2: [0, 2, 4], 5: [0, 2, 4]}
 
 
-def test_decode_image_non_png_bmp_is_stubbed():
-    # PNG/BMP decode natively (clean-room codecs, test_imagecodec.py);
+def test_decode_image_unknown_format_is_stubbed():
+    # PNG/BMP/baseline-JPEG decode natively (clean-room codecs);
     # formats needing external libraries still raise loudly
     from xcube_resampling_spark.extensions.multimodal import (
         DecoderNotAvailable,
@@ -407,9 +407,13 @@ def test_decode_image_non_png_bmp_is_stubbed():
     )
 
     with pytest.raises(DecoderNotAvailable):
-        decode_image(b"\xff\xd8\xff.jpeg.")
+        decode_image(b"RIFF....WEBPVP8 ")
     with pytest.raises(DecoderNotAvailable):
         decode_image(b"")
+    # a JPEG SOI with a garbage body is a JPEG parse error, not a
+    # missing decoder
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff.jpeg.")
 
 
 # ------------------------------------------------------------------ #

@@ -196,7 +196,8 @@ class TestSniffAndDispatch:
             encode_png(np.zeros((2, 2, 3), np.uint8))) == "png"
         assert sniff_image_format(
             encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
-        assert sniff_image_format(b"\xff\xd8\xff") is None
+        assert sniff_image_format(b"\xff\xd8\xff") == "jpeg"
+        assert sniff_image_format(b"RIFFxxxx") is None
 
     def test_decode_image_dispatch(self):
         from xcube_resampling_spark.extensions.multimodal import (
@@ -206,8 +207,16 @@ class TestSniffAndDispatch:
         img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
         assert (decode_image(encode_png(img)) == img).all()
         assert (decode_image(encode_bmp(img)) == img).all()
+        # baseline JPEG now decodes natively (lossy -> near, not equal)
+        from xcube_resampling_spark.extensions.jpegcodec import (
+            encode_jpeg,
+        )
+
+        dec = decode_image(encode_jpeg(img, 95))
+        assert dec.shape == img.shape
+        assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 16
         with pytest.raises(DecoderNotAvailable):
-            decode_image(b"\xff\xd8\xffJPEG...")
+            decode_image(b"RIFF....WEBPVP8 ")
 
 
 def _n_exchanges(df) -> int:
