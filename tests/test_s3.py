@@ -1,0 +1,131 @@
+"""S3-protocol client + local S3-dialect server: ListObjectsV2
+pagination, multipart upload, SigV4-signed distributed zarr writes."""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.request
+
+import pytest
+
+from xcube_resampling_spark.sources.s3 import (
+    LocalS3Server,
+    S3ChunkStore,
+)
+from xcube_resampling_spark.sources.sigv4 import SigV4Signer
+
+SECRET = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+
+
+def _signer():
+    return SigV4Signer(
+        "AKIDEXAMPLE", SECRET, "us-east-1", "s3",
+        clock=lambda: "20250815T120000Z")
+
+
+class TestObjectOps:
+    def test_put_get_roundtrip(self, tmp_path):
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            s3 = S3ChunkStore(srv.url, "bucket")
+            s3.put("var/0.0", b"\x01\x02\x03")
+            s3.put("nested/deep/key.json", b"{}")
+            assert s3.get("var/0.0") == b"\x01\x02\x03"
+            assert s3.get("nested/deep/key.json") == b"{}"
+            assert s3.get("absent") is None
+
+    def test_prefix_scoping(self, tmp_path):
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            a = S3ChunkStore(srv.url, "bucket", prefix="cube-a")
+            b = S3ChunkStore(srv.url, "bucket", prefix="cube-b")
+            a.put("k", b"A")
+            b.put("k", b"B")
+            assert a.get("k") == b"A" and b.get("k") == b"B"
+            assert a.known_keys() == ["k"]
+            assert b.known_keys() == ["k"]
+
+    def test_list_objects_pagination(self, tmp_path):
+        with LocalS3Server(str(tmp_path / "b"), max_keys=3) as srv:
+            s3 = S3ChunkStore(srv.url, "bucket", prefix="p")
+            keys = [f"var/0.{i}" for i in range(10)] + [".zarray"]
+            for k in keys:
+                s3.put(k, b"x")
+            assert sorted(s3.known_keys()) == sorted(keys)
+
+    def test_multipart_upload_reassembles(self, tmp_path):
+        data = bytes(range(256)) * 40  # 10240 bytes
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            s3 = S3ChunkStore(
+                srv.url, "bucket",
+                multipart_threshold=4096, part_size=3000)
+            s3.put("big.bin", data)  # 4 parts
+            assert s3.get("big.bin") == data
+            # small object still goes through plain PutObject
+            s3.put("small.bin", b"tiny")
+            assert s3.get("small.bin") == b"tiny"
+
+    def test_multipart_unknown_upload_404(self, tmp_path):
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(urllib.request.Request(
+                    srv.url + "/bucket/k?partNumber=1&uploadId=nope",
+                    data=b"x", method="PUT"))
+            assert ei.value.code == 404
+
+    def test_ranged_get_for_cog_reads(self, tmp_path):
+        from xcube_resampling_spark.sources.httpstore import (
+            HttpRangeReader,
+        )
+
+        data = bytes(range(256)) * 4
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            S3ChunkStore(srv.url, "bucket").put("f.bin", data)
+            rr = HttpRangeReader(srv.url + "/bucket/f.bin")
+            assert rr.size() == len(data)
+            assert rr.read(100, 50) == data[100:150]
+
+
+class TestSignedS3:
+    def test_signed_roundtrip_and_rejections(self, tmp_path):
+        with LocalS3Server(
+                str(tmp_path / "b"), sigv4_secret=SECRET) as srv:
+            s3 = S3ChunkStore(srv.url, "bucket", signer=_signer())
+            s3.put("k", b"v")
+            assert s3.get("k") == b"v"
+            assert s3.known_keys() == ["k"]
+            # unsigned client is refused
+            plain = S3ChunkStore(srv.url, "bucket")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                plain.put("x", b"y")
+            assert ei.value.code == 403
+
+    def test_signed_multipart(self, tmp_path):
+        data = b"ab" * 5000
+        with LocalS3Server(
+                str(tmp_path / "b"), sigv4_secret=SECRET) as srv:
+            s3 = S3ChunkStore(
+                srv.url, "bucket", signer=_signer(),
+                multipart_threshold=2048, part_size=4000)
+            s3.put("big", data)
+            assert s3.get("big") == data
+
+    def test_signed_distributed_zarr_roundtrip(self, spark, tmp_path):
+        """Executors sign every chunk PUT; the server verifies each
+        signature from the raw bytes -- zarr on 'S3', end to end."""
+        from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+        h, w = 12, 10
+        rows = [(0, j, i, float(j * w + i))
+                for j in range(h) for i in range(w)]
+        px = spark.createDataFrame(
+            rows, "t int, j int, i int, value double")
+        with LocalS3Server(
+                str(tmp_path / "b"), sigv4_secret=SECRET) as srv:
+            store = S3ChunkStore(
+                srv.url, "bucket", prefix="cube", signer=_signer())
+            write_zarr(px, "ignored", "value", (h, w), (4, 5),
+                       compressor="zlib", chunk_put=store)
+            back = read_zarr(
+                spark, "ignored", "value", store=store).collect()
+        got = {(r.j, r.i): r.value for r in back}
+        assert got == {(j, i): float(j * w + i)
+                       for j in range(h) for i in range(w)}
