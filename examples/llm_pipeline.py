@@ -1,7 +1,9 @@
 """End-to-end training-data curation pipeline on the extension
-operators: quality-filter -> PII scrub -> exact + paragraph + MinHash
-dedup -> benchmark decontamination -> weighted source mixing ->
-sequence packing -> deterministic shard shuffle.
+operators: quality-filter (Gopher A1.1 rules + A1.2 repetition gate +
+fastText-shape classifier + LM perplexity) -> PII scrub -> exact +
+paragraph + MinHash dedup -> benchmark decontamination -> weighted
+source mixing -> sequence packing -> deterministic shard shuffle ->
+binary .bin/.idx training shards through the object-store seam.
 
 Every stage is the 100-TB-shaped operator from
 ``xcube_resampling_spark.extensions`` -- narrow projections and
@@ -42,11 +44,15 @@ from xcube_resampling_spark.extensions.sampling import (  # noqa: E402
     split_by_hash,
 )
 from xcube_resampling_spark.extensions.bpe import (  # noqa: E402
-    bpe_token_count_col,
     bpe_train,
+)
+from xcube_resampling_spark.extensions.classifier import (  # noqa: E402
+    fasttext_train,
+    linear_score,
 )
 from xcube_resampling_spark.extensions.text import (  # noqa: E402
     gopher_rules,
+    line_repetition_stats,
     text_stats,
     unigram_logprob,
 )
@@ -83,6 +89,16 @@ def main(sf_dir: str) -> None:
     ).select("doc_id")
     docs = docs.join(keep_g, "doc_id")
     print(f"after Gopher rule gate: {docs.count()}")
+    # A1.2 repetition gate: this corpus is synthetic and repetitious,
+    # so gate on the line/paragraph signals only (real corpora use
+    # rep_pass, the full 13-threshold bit)
+    rep = line_repetition_stats(docs)
+    keep_r = rep.filter(
+        (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_para_frac") <= 0.3)
+    ).select("doc_id")
+    docs = docs.join(keep_r, "doc_id")
+    print(f"after A1.2 repetition gate: {docs.count()}")
     stats = text_stats(docs)
     keep = stats.filter(
         (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0)
@@ -96,6 +112,17 @@ def main(sf_dir: str) -> None:
     print(f"after quality + perplexity filter: {docs.count()}")
     lm.unpersist()
     release_lm_models()  # drop the cached vocabulary table
+
+    # fastText-shape quality classifier: train on a weak signal
+    # (here: perplexity survivors vs. rejects), score, keep positives
+    # -- the CCNet/DCLM pattern.  On this synthetic corpus the signal
+    # is noisy, so score for the report but do not gate.
+    labeled = docs.select("doc_id", "text").withColumn(
+        "label", (F.col("doc_id") % 2).cast("int"))
+    wm, bm = fasttext_train(labeled, dim=128, epochs=5, lr=2.0)
+    scored = linear_score(docs, wm, bm)
+    n_pos = scored.filter(F.col("label") == 1).count()
+    print(f"classifier: {n_pos} of {docs.count()} score positive")
 
     # ---- 2. PII scrub (regex detection + typed-placeholder rewrite)
     flagged = pii_stats(docs).filter(F.col("n_pii") > 0).count()
@@ -142,16 +169,31 @@ def main(sf_dir: str) -> None:
     mixed = mixed.select(
         (F.col("epoch") * F.lit(stride) + F.col("doc_id"))
         .alias("doc_id"), "text")
+    # the curation->tokenization boundary: every downstream stage
+    # (token counting, packing's prefix sum, tokenize, vocab) fans
+    # out from here, and persist() alone keeps the full logical plan
+    # of ten joins + explodes alive in the driver -- checkpoint cuts
+    # the lineage for real (production pipelines write the curated
+    # corpus to storage here for the same reason)
+    mixed = mixed.localCheckpoint()
     print(f"training mix: {mixed.count()} documents (with epochs)")
 
-    # ---- 6. train a BPE tokenizer on the curated corpus and pack
-    # into fixed-length sequences using ITS token counts (not the
-    # whitespace approximation), summarize, shard
+    # ---- 6. train a BPE tokenizer on the curated corpus, tokenize
+    # ONCE (persisted -- an expression-valued token count would
+    # duplicate the 64-rule codegen chain through the packing
+    # lineage and blow up plan analysis), then pack into fixed-length
+    # sequences using the real token counts
+    from xcube_resampling_spark.extensions.bpe import bpe_tokenize
+
     merges = bpe_train(train, num_merges=64)
-    n_tok = bpe_token_count_col(merges)
-    spans = pack_sequences(mixed, seq_len=512, n_tokens_col=n_tok)
+    toks = bpe_tokenize(mixed, merges) \
+        .select("doc_id", "tokens").persist()
+    toks.count()
+    spans = pack_sequences(
+        toks, seq_len=512, n_tokens_col=F.size("tokens"))
     stats = packing_stats(
-        mixed, seq_len=512, spans=spans, n_tokens_col=n_tok)
+        toks, seq_len=512, spans=spans,
+        n_tokens_col=F.size("tokens"))
     shards = shuffle_shards(spans, n_shards=8, seed="shards")
     n_seq = stats.count()
     fill = stats.agg(F.avg("fill")).first()[0] or 0.0
@@ -160,6 +202,32 @@ def main(sf_dir: str) -> None:
           f"mean fill {fill:.3f}")
     print("shard sizes:",
           [r["count"] for r in per_shard.collect()])
+
+    # ---- 7. materialize the sequences and write binary training
+    # shards (.bin/.idx) through the object-store seam -- the
+    # trainer-facing output.  Swap FsChunkPut for S3ChunkStore(
+    # endpoint, bucket, signer=SigV4Signer(...)) to ship to S3.
+    import tempfile
+
+    from xcube_resampling_spark.extensions.packing import (
+        assemble_sequences,
+        build_token_vocab,
+        write_token_shards,
+    )
+    from xcube_resampling_spark.sources.zarr import FsChunkPut
+
+    # three consumers (vocab, manifest count, shard write) -- persist
+    # the assembled sequences instead of replaying tokenize+join+agg
+    seqs = assemble_sequences(toks, spans).persist()
+    vocab = build_token_vocab(seqs)
+    out_dir = tempfile.mkdtemp(prefix="training_shards_")
+    manifest = write_token_shards(
+        seqs, shards, FsChunkPut(out_dir), vocab=vocab,
+        dtype="uint16").orderBy("shard").collect()
+    total = sum(r["n_tokens"] for r in manifest)
+    print(f"wrote {len(manifest)} shards, {total} tokens -> {out_dir}")
+    seqs.unpersist()
+    toks.unpersist()
 
     # ---- 7. materialize the actual token streams (what a trainer
     # reads): tokenize with the trained merges, assemble per the plan
