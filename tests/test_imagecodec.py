@@ -116,17 +116,13 @@ class TestPng:
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(png))
 
-    def test_interlace_and_16bit_raise(self):
+    def test_interlace_raises(self):
+        # (16-bit is now SUPPORTED -- see TestPng16Bit)
         ihdr7 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
         png7 = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr7)
                 + _chunk(b"IEND", b""))
         with pytest.raises(NotImplementedError, match="Adam7"):
             decode_png(png7)
-        ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-        png16 = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr16)
-                 + _chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError, match="16-bit"):
-            decode_png(png16)
 
     def test_bad_signature_raises(self):
         with pytest.raises(ValueError, match="signature"):
@@ -282,3 +278,68 @@ class TestSparkOperators:
                 got = np.frombuffer(r["pixels"], np.uint8).reshape(
                     r["height"], r["width"], 3)
                 assert (got == want).all(), (codec, r["media_id"])
+
+
+class TestPng16Bit:
+    def test_roundtrip_gray16(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 65536, (7, 11), dtype=np.uint16)
+        dec = decode_png(encode_png(img))
+        assert dec.dtype == np.uint16
+        assert (dec[..., 0] == img).all()
+
+    def test_roundtrip_rgb16_and_rgba16(self):
+        rng = np.random.default_rng(6)
+        for c in (3, 4):
+            img = rng.integers(0, 65536, (5, 9, c), dtype=np.uint16)
+            dec = decode_png(encode_png(img))
+            assert dec.shape == img.shape and (dec == img).all()
+
+    def test_roundtrip_gray_alpha16(self):
+        img = (np.arange(4 * 6 * 2, dtype=np.uint16) * 997
+               ).reshape(4, 6, 2)
+        dec = decode_png(encode_png(img))
+        assert dec.shape == (4, 6, 2) and (dec == img).all()
+
+    def test_filtered_16bit_rows_decode(self):
+        """Hand-build a 16-bit gray PNG using Sub and Up filters --
+        filters operate on BYTES with bpp=2 per the spec."""
+        w, h = 4, 3
+        img = np.array([
+            [1000, 2000, 3000, 60000],
+            [1100, 2100, 3100, 60100],
+            [1200, 2200, 3200, 60200],
+        ], dtype=np.uint16)
+        rows = np.ascontiguousarray(
+            img.astype(">u2")).view(np.uint8).reshape(h, w * 2)
+        scan = bytearray()
+        # row 0: Sub (bpp=2 lanes)
+        r0 = rows[0].astype(np.int64)
+        sub = r0.copy()
+        sub[2:] = (r0[2:] - r0[:-2]) % 256
+        scan += b"\x01" + bytes(sub.astype(np.uint8))
+        # rows 1, 2: Up
+        for j in (1, 2):
+            up = (rows[j].astype(np.int64)
+                  - rows[j - 1].astype(np.int64)) % 256
+            scan += b"\x02" + bytes(up.astype(np.uint8))
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        png = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+               + _chunk(b"IEND", b""))
+        dec = decode_png(png)
+        assert (dec[..., 0] == img).all()
+
+    def test_to_rgb_scales_16bit(self):
+        img = np.full((2, 2), 0xABCD, dtype=np.uint16)
+        rgb = to_rgb(decode_png(encode_png(img)))
+        assert rgb.dtype == np.uint8
+        assert (rgb == 0xAB).all()
+
+    def test_16bit_palette_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+        png = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="16-bit palette"):
+            decode_png(png)

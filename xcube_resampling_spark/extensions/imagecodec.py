@@ -12,15 +12,17 @@ the blosc1/LZW/crc32c implementations in ``sources/``:
   filters (None/Sub/Up/Average/Paeth -- Average/Paeth are
   left-sequential by definition, so those two undo loops are scalar;
   Sub vectorizes as a per-lane cumsum, Up as one vector add), color
-  types 0/2/3/4/6 at bit depths 1/2/4/8 (16-bit and Adam7 interlace
-  raise ``NotImplementedError`` -- out of scope, loudly).
+  types 0/2/3/4/6 at bit depths 1/2/4/8/16 -- 16-bit (DEM tiles,
+  scientific rasters) decodes to uint16 with big-endian samples per
+  the spec (Adam7 interlace raises ``NotImplementedError`` -- out of
+  scope, loudly).
 * **BMP** per the Windows BITMAPFILEHEADER + BITMAPINFOHEADER layout:
   uncompressed (BI_RGB) 8/24/32-bit, bottom-up and top-down rows,
   4-byte row padding, 8-bit palette.
 
-Encoders emit canonical subsets (PNG: non-interlaced 8-bit, filter
-None; BMP: 24-bit BI_RGB) -- enough for lossless round-trips in tests
-and for writing thumbnails from pipelines.
+Encoders emit canonical subsets (PNG: non-interlaced 8- or 16-bit,
+filter None; BMP: 24-bit BI_RGB) -- enough for lossless round-trips in
+tests and for writing thumbnails / elevation tiles from pipelines.
 
 The reference engine delegates raster decode to GDAL-family libraries;
 this module is spec-derived, not ported (no reference counterpart).
@@ -137,7 +139,9 @@ def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8 array.
+    """PNG bytes -> (h, w, channels) uint8 array (uint16 for 16-bit
+    files -- scientific rasters/DEM tiles; samples are stored
+    big-endian per the spec and returned native).
 
     Channels follow the stored color type: 1 (gray / palette index
     resolved through PLTE to RGB -> 3), 2 (gray+alpha), 3 (RGB),
@@ -166,10 +170,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError("PNG Adam7 interlace not supported")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype} invalid")
-    if depth == 16:
-        raise NotImplementedError("16-bit PNG not supported")
-    if depth not in (1, 2, 4, 8):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"PNG bit depth {depth} invalid")
+    if depth == 16 and ctype == 3:
+        raise ValueError("PNG 16-bit palette images are invalid")
     if depth < 8 and ctype not in (0, 3):
         raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
     ch = _PNG_CHANNELS[ctype]
@@ -177,6 +181,11 @@ def decode_png(data: bytes) -> np.ndarray:
     bpp = max(1, (ch * depth + 7) // 8)
     raw = zlib.decompress(bytes(idat))
     rows = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        # filters operate on BYTES (bpp = 2*ch) -- already undone;
+        # samples are big-endian u16
+        be = np.ascontiguousarray(rows.reshape(h, stride)[:, :w * ch * 2])
+        return be.view(">u2").reshape(h, w, ch).astype(np.uint16)
     if depth < 8:
         vals = _unpack_subbyte(rows, w, depth)
         if ctype == 0:  # gray: scale to full range
@@ -201,7 +210,9 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def to_rgb(img: np.ndarray) -> np.ndarray:
     """Any decoded (h, w[, c]) uint8 -> (h, w, 3) RGB (alpha dropped,
-    gray replicated)."""
+    gray replicated; 16-bit samples scaled to their high byte)."""
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
     if img.ndim == 2:
         img = img[..., None]
     c = img.shape[2]
@@ -222,19 +233,28 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray, level: int = 6) -> bytes:
-    """(h, w[, c]) uint8 -> PNG bytes (8-bit, non-interlaced, filter
-    None rows; c in {1: gray, 3: RGB, 4: RGBA})."""
-    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    """(h, w[, c]) uint8 or uint16 -> PNG bytes (8- or 16-bit,
+    non-interlaced, filter None rows; c in {1: gray, 2: gray+alpha,
+    3: RGB, 4: RGBA}).  uint16 input writes a 16-bit PNG with
+    big-endian samples per the spec."""
+    src = np.asarray(img)
+    sixteen = src.dtype == np.uint16
+    a = np.ascontiguousarray(
+        src.astype(np.uint16 if sixteen else np.uint8))
     if a.ndim == 2:
         a = a[..., None]
-    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
-        raise ValueError("encode_png needs (h, w) or (h, w, 1|3|4)")
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png needs (h, w) or (h, w, 1|2|3|4)")
     h, w, c = a.shape
-    ctype = {1: 0, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    stride = w * c
-    flat = a.reshape(h, stride)
-    scan = np.zeros((h, stride + 1), dtype=np.uint8)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    depth = 16 if sixteen else 8
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    if sixteen:
+        flat = np.ascontiguousarray(
+            a.astype(">u2")).view(np.uint8).reshape(h, w * c * 2)
+    else:
+        flat = a.reshape(h, w * c)
+    scan = np.zeros((h, flat.shape[1] + 1), dtype=np.uint8)
     scan[:, 1:] = flat  # filter byte 0 per row
     idat = zlib.compress(scan.tobytes(), level)
     return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
