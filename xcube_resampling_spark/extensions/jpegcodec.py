@@ -498,6 +498,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # the spec allows 0xFF fill bytes before a marker code
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -548,6 +551,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not "
+                    "supported -- one interleaved scan only")
             order = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si:3 + 2 * si]

@@ -380,10 +380,17 @@ def _encode_shard(shard, pdf, vocab_map, dtype, prefix, put):
         if vocab_map is None:
             ids = np.asarray(toks, dtype=np.int64)
         else:
-            ids = np.fromiter(
-                (vocab_map[t] for t in toks), dtype=np.int64,
-                count=len(toks),
-            )
+            try:
+                ids = np.fromiter(
+                    (vocab_map[t] for t in toks), dtype=np.int64,
+                    count=len(toks),
+                )
+            except KeyError as exc:
+                raise ValueError(
+                    f"token {exc} of sequence {int(seq_id)} is not in "
+                    "the vocab -- build_token_vocab must run over the "
+                    "SAME sequences being written"
+                ) from None
         limit = np.iinfo(np_dtype).max
         if ids.size and int(ids.max()) > limit:
             raise ValueError(
@@ -527,6 +534,11 @@ def read_token_shards(
                         f"shard {shard} missing under {prefix}/")
                 if idx[:8] != _SHARD_MAGIC:
                     raise ValueError(f"bad shard magic in {shard}")
+                ver = int.from_bytes(idx[8:12], "little")
+                if ver != _SHARD_VERSION:
+                    raise ValueError(
+                        f"shard {shard}: format version {ver} != "
+                        f"{_SHARD_VERSION}")
                 dcode = int.from_bytes(idx[12:16], "little")
                 n_seq = int.from_bytes(idx[16:24], "little")
                 off = 24
