@@ -14,6 +14,9 @@ from xcube_resampling_spark.sources.s3 import (
 )
 from xcube_resampling_spark.sources.sigv4 import SigV4Signer
 
+# the PUBLIC example credential pair from the AWS SigV4 documentation
+# (AKIDEXAMPLE / ...EXAMPLEKEY) -- a documented test vector, NOT a
+# real secret
 SECRET = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
 
 

@@ -26,6 +26,9 @@ from xcube_resampling_spark.sources.sigv4 import (
     verify_request,
 )
 
+# the PUBLIC example credential pair from the AWS SigV4 documentation
+# (AKIDEXAMPLE / ...EXAMPLEKEY) -- a documented test vector, NOT a
+# real secret
 SECRET = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
 
 
