@@ -730,6 +730,15 @@ def main():
         "sf": float(sf),
         "detail_file": "BENCH_FULL.json",
     }
+    try:
+        import subprocess
+
+        compact["rev"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        compact["rev"] = None
     if scale_times:
         compact["scale_10x"] = scale_times
         compact["scale_10x_median"] = scale_median
