@@ -116,13 +116,14 @@ class TestPng:
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(png))
 
-    def test_interlace_raises(self):
-        # (16-bit is now SUPPORTED -- see TestPng16Bit)
-        ihdr7 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
-        png7 = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr7)
-                + _chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError, match="Adam7"):
-            decode_png(png7)
+    def test_bad_interlace_method_raises(self):
+        # (16-bit and Adam7 are now SUPPORTED -- see TestPng16Bit /
+        # TestAdam7)
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
+        png = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="interlace"):
+            decode_png(png)
 
     def test_bad_signature_raises(self):
         with pytest.raises(ValueError, match="signature"):
@@ -342,4 +343,82 @@ class TestPng16Bit:
                + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
                + _chunk(b"IEND", b""))
         with pytest.raises(ValueError, match="16-bit palette"):
+            decode_png(png)
+
+
+def _encode_adam7(img: np.ndarray, depth: int = 8) -> bytes:
+    """Test-local Adam7 encoder: filter-0 rows per pass (the decoder
+    under test must reassemble the passes)."""
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    a = img if img.ndim == 3 else img[..., None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    scan = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = a[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for j in range(ph):
+            scan += b"\x00"
+            if depth == 16:
+                scan += np.ascontiguousarray(
+                    sub[j].astype(">u2")).tobytes()
+            elif depth == 8:
+                scan += np.ascontiguousarray(
+                    sub[j].astype(np.uint8)).tobytes()
+            else:  # sub-byte gray: pack MSB-first
+                bits = np.unpackbits(
+                    sub[j, :, 0].astype(np.uint8)[:, None], axis=1,
+                )[:, 8 - depth:]
+                flat = bits.reshape(-1)
+                pad = (-len(flat)) % 8
+                flat = np.concatenate(
+                    [flat, np.zeros(pad, np.uint8)])
+                scan += np.packbits(flat).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _chunk(b"IEND", b""))
+
+
+class TestAdam7:
+    def test_rgb8_interlaced_matches_progressive(self):
+        rng = np.random.default_rng(11)
+        for h, w in [(1, 1), (3, 5), (8, 8), (9, 13), (16, 7)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert (decode_png(_encode_adam7(img)) == img).all()
+
+    def test_gray16_interlaced(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 65536, (11, 6, 1), dtype=np.uint16)
+        dec = decode_png(_encode_adam7(img, depth=16))
+        assert dec.dtype == np.uint16
+        assert (dec == img).all()
+
+    def test_subbyte_gray_interlaced(self):
+        # 2-bit gray: values 0..3 scale to 0/85/170/255
+        img = (np.arange(7 * 9) % 4).reshape(7, 9, 1).astype(np.uint8)
+        dec = decode_png(_encode_adam7(img, depth=2))
+        assert (dec[..., 0] == img[..., 0] * 85).all()
+
+    def test_truncated_interlaced_raises(self):
+        # an 8x8 RGB Adam7 scan needs a known byte count; compress a
+        # scan that is 5 bytes short and expect a loud error
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                  (0, 1, 1, 2))
+        need = 0
+        for x0, y0, dx, dy in passes:
+            pw = (8 - x0 + dx - 1) // dx
+            ph = (8 - y0 + dy - 1) // dy
+            if pw and ph:
+                need += ph * (pw * 3 + 1)
+        bad_idat = zlib.compress(b"\x00" * (need - 5))
+        png = (PNG_SIGNATURE
+               + _chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1))
+               + _chunk(b"IDAT", bad_idat) + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="truncated"):
             decode_png(png)

@@ -14,8 +14,8 @@ the blosc1/LZW/crc32c implementations in ``sources/``:
   Sub vectorizes as a per-lane cumsum, Up as one vector add), color
   types 0/2/3/4/6 at bit depths 1/2/4/8/16 -- 16-bit (DEM tiles,
   scientific rasters) decodes to uint16 with big-endian samples per
-  the spec (Adam7 interlace raises ``NotImplementedError`` -- out of
-  scope, loudly).
+  the spec -- and Adam7 interlace (seven independently-filtered
+  sub-images scattered by the fixed pass geometry).
 * **BMP** per the Windows BITMAPFILEHEADER + BITMAPINFOHEADER layout:
   uncompressed (BI_RGB) 8/24/32-bit, bottom-up and top-down rows,
   4-byte row padding, 8-bit palette.
@@ -138,6 +138,61 @@ def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
     return out[:, :w].astype(np.uint8)
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _rows_to_samples(
+    rows: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes -> sample grid: (h, w) ints for
+    sub-byte depths, (h, w, ch) uint8 for depth 8, uint16 (big-endian
+    samples) for depth 16."""
+    h = rows.shape[0]
+    stride = rows.shape[1]
+    if depth == 16:
+        be = np.ascontiguousarray(rows[:, :w * ch * 2])
+        return be.view(">u2").reshape(h, w, ch).astype(np.uint16)
+    if depth < 8:
+        return _unpack_subbyte(rows, w, depth)
+    return rows.reshape(h, stride)[:, :w * ch].reshape(h, w, ch)
+
+
+def _deinterlace_adam7(
+    raw: bytes, w: int, h: int, ch: int, depth: int
+) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images, scattered onto
+    the output grid by the fixed pass geometry.  Empty passes (zero
+    width or height) contribute no scanlines, per the spec."""
+    if depth == 16:
+        out = np.zeros((h, w, ch), dtype=np.uint16)
+    elif depth < 8:
+        out = np.zeros((h, w), dtype=np.uint8)
+    else:
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        bpp = max(1, (ch * depth + 7) // 8)
+        need = ph * (stride + 1)
+        chunk = arr[pos:pos + need]
+        if len(chunk) != need:
+            raise ValueError("PNG interlaced pixel data truncated")
+        pos += need
+        rows = _unfilter(chunk.tobytes(), ph, stride, bpp)
+        samples = _rows_to_samples(rows, pw, ch, depth)
+        out[y0::dy, x0::dx] = samples
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8 array (uint16 for 16-bit
     files -- scientific rasters/DEM tiles; samples are stored
@@ -166,8 +221,8 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += body
     if w is None:
         raise ValueError("PNG has no IHDR")
-    if interlace == 1:
-        raise NotImplementedError("PNG Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype} invalid")
     if depth not in (1, 2, 4, 8, 16):
@@ -177,17 +232,18 @@ def decode_png(data: bytes) -> np.ndarray:
     if depth < 8 and ctype not in (0, 3):
         raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
     ch = _PNG_CHANNELS[ctype]
-    stride = (w * ch * depth + 7) // 8
-    bpp = max(1, (ch * depth + 7) // 8)
     raw = zlib.decompress(bytes(idat))
-    rows = _unfilter(raw, h, stride, bpp)
+    if interlace == 1:
+        samples = _deinterlace_adam7(raw, w, h, ch, depth)
+    else:
+        stride = (w * ch * depth + 7) // 8
+        bpp = max(1, (ch * depth + 7) // 8)
+        rows = _unfilter(raw, h, stride, bpp)
+        samples = _rows_to_samples(rows, w, ch, depth)
     if depth == 16:
-        # filters operate on BYTES (bpp = 2*ch) -- already undone;
-        # samples are big-endian u16
-        be = np.ascontiguousarray(rows.reshape(h, stride)[:, :w * ch * 2])
-        return be.view(">u2").reshape(h, w, ch).astype(np.uint16)
+        return samples
     if depth < 8:
-        vals = _unpack_subbyte(rows, w, depth)
+        vals = samples
         if ctype == 0:  # gray: scale to full range
             scale = 255 // ((1 << depth) - 1)
             return (vals * scale).astype(np.uint8)[..., None]
@@ -197,15 +253,14 @@ def decode_png(data: bytes) -> np.ndarray:
         if int(vals.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[vals]
-    px = rows.reshape(h, stride)[:, :w * ch].reshape(h, w, ch)
     if ctype == 3:
         if plte is None:
             raise ValueError("PNG palette image without PLTE")
-        idxs = px[..., 0]
+        idxs = samples[..., 0]
         if int(idxs.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[idxs]
-    return px
+    return samples
 
 
 def to_rgb(img: np.ndarray) -> np.ndarray:
