@@ -195,6 +195,15 @@ class TestStructureAndErrors:
         with pytest.raises(NotImplementedError, match="SOF"):
             decode_jpeg(bytes(enc))
 
+    def test_truncated_scan_raises_valueerror(self):
+        # cutting entropy data mid-scan must surface as ValueError
+        # ("truncated"), never a raw IndexError
+        enc = encode_jpeg(_gradient(32, 32), 90)
+        sos = enc.find(b"\xff\xda")
+        cut = enc[: sos + 20]  # header + a few entropy bytes
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(cut)
+
     def test_rejects_bad_quality_input_dtype(self):
         with pytest.raises(ValueError, match="uint8"):
             encode_jpeg(np.zeros((8, 8, 3), dtype=np.float32))

@@ -66,6 +66,34 @@ class TestObjectOps:
             s3.put("small.bin", b"tiny")
             assert s3.get("small.bin") == b"tiny"
 
+    def test_multipart_threshold_alone_triggers(self, tmp_path):
+        # threshold BELOW part_size: objects between the two must still
+        # go multipart (single-part multipart upload is valid S3)
+        data = bytes(range(256)) * 8  # 2048 bytes
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            s3 = S3ChunkStore(
+                srv.url, "bucket",
+                multipart_threshold=1024, part_size=4096)
+            s3.put("mid.bin", data)  # one-part multipart
+            assert s3.get("mid.bin") == data
+
+    def test_suffix_range_get(self, tmp_path):
+        # RFC 7233 suffix form bytes=-N must serve the last N bytes
+        data = bytes(range(256))
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            S3ChunkStore(srv.url, "bucket").put("f.bin", data)
+            req = urllib.request.Request(srv.url + "/bucket/f.bin")
+            req.add_header("Range", "bytes=-16")
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 206
+                assert resp.read() == data[-16:]
+            # bytes=- (no length) is unsatisfiable -> 416
+            req = urllib.request.Request(srv.url + "/bucket/f.bin")
+            req.add_header("Range", "bytes=-")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 416
+
     def test_multipart_unknown_upload_404(self, tmp_path):
         with LocalS3Server(str(tmp_path / "b")) as srv:
             with pytest.raises(urllib.error.HTTPError) as ei:

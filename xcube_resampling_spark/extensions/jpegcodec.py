@@ -202,9 +202,18 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError(
+                "JPEG scan data truncated (entropy stream ended before "
+                "the expected block count)"
+            )
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError(
+                    "JPEG scan data truncated after a 0xFF byte"
+                )
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed

@@ -452,7 +452,11 @@ def write_token_shards(
     ``vocab=None`` the tokens column must already be integer ids.
 
     Returns the manifest ``(shard, n_seq, n_tokens, nbytes, crc32)``
-    -- one row per shard actually written.
+    -- one row per shard.  The writes are LAZY, like every Spark sink
+    built on a transformation: no shard object exists until the caller
+    materializes the manifest (``.collect()``, ``.count()``, or writing
+    it somewhere), and re-materializing re-runs the PUTs (idempotent --
+    same keys, same bytes).
 
     100-TB shape: one equi-join of the plan to the sequences on
     ``seq_id``, one explicit ``repartition(n_shards, shard)`` feeding

@@ -246,8 +246,15 @@ class LocalHttpStoreServer:
                 if rng and rng.startswith("bytes="):
                     spec = rng[len("bytes="):]
                     lo_s, _, hi_s = spec.partition("-")
-                    lo = int(lo_s)
-                    hi = int(hi_s) if hi_s else len(data) - 1
+                    if not lo_s:  # RFC 7233 suffix form: bytes=-N
+                        if not hi_s or int(hi_s) == 0:
+                            self._send_bytes(416, b"invalid range")
+                            return
+                        lo = max(0, len(data) - int(hi_s))
+                        hi = len(data) - 1
+                    else:
+                        lo = int(lo_s)
+                        hi = int(hi_s) if hi_s else len(data) - 1
                     part = data[lo:hi + 1]
                     self.send_response(206)
                     self.send_header(

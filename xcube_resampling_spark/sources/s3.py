@@ -87,8 +87,10 @@ class S3ChunkStore(ChunkPut):
     # -- ChunkPut contract ------------------------------------------- #
 
     def put(self, key: str, data: bytes) -> None:
-        if len(data) >= self.multipart_threshold and \
-                len(data) > self.part_size:
+        # threshold alone decides: a single-part multipart upload is
+        # valid S3, so objects between threshold and part_size must not
+        # silently fall back to one plain PUT
+        if len(data) >= self.multipart_threshold:
             self._put_multipart(key, data)
             return
         with self._request("PUT", self._url(key), data) as resp:
@@ -265,8 +267,16 @@ class LocalS3Server:
                 rng = self.headers.get("Range")
                 if rng and rng.startswith("bytes="):
                     lo_s, _, hi_s = rng[6:].partition("-")
-                    lo = int(lo_s)
-                    hi = int(hi_s) if hi_s else len(data) - 1
+                    if not lo_s:  # RFC 7233 suffix form: bytes=-N
+                        if not hi_s or int(hi_s) == 0:
+                            self._send(416, b"<Error><Code>"
+                                            b"InvalidRange</Code></Error>")
+                            return
+                        lo = max(0, len(data) - int(hi_s))
+                        hi = len(data) - 1
+                    else:
+                        lo = int(lo_s)
+                        hi = int(hi_s) if hi_s else len(data) - 1
                     part = data[lo:hi + 1]
                     self._send(206, part, headers=[(
                         "Content-Range",
