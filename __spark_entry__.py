@@ -343,7 +343,8 @@ win AS (
 )
 SELECT v.variant, w.t, w.j, w.i, w.value
 FROM win w
-CROSS JOIN (VALUES ('fs'), ('kv'), ('zip'), ('http')) AS v(variant)
+CROSS JOIN (VALUES ('fs'), ('kv'), ('zip'), ('http'),
+            ('blosc'), ('blosc_lz4'), ('lz4')) AS v(variant)
 """
 
 
@@ -4356,6 +4357,13 @@ def q_zarr_roundtrip(spark, sf_dir):
       object-store server (sources/httpstore.py) -- executor PUTs and
       GETs travel over actual sockets, so an S3/fsspec client is a
       verified drop-in behind the same contract.
+    * ``blosc`` / ``blosc_lz4`` / ``lz4``: the same roundtrip through
+      the pure-numpy blosc1 frame codec (sources/blosc1.py) with zlib
+      and LZ4 inner streams and through numcodecs' plain-LZ4 framing
+      (sources/lz4.py, clean-room block codec) -- ``blosc(cname='lz4')``
+      is the numcodecs DEFAULT, i.e. the byte format of essentially
+      every real-world zarr v2 store, including the reference's own S3
+      ``.levels`` input (reference cfconv.py:343-358).
 
     Every leg reads the same bbox window, so the oracle is SQL_CLIP
     replayed per tag."""
@@ -4414,6 +4422,15 @@ def q_zarr_roundtrip(spark, sf_dir):
         ).collect()
     ht = spark.createDataFrame(ht_rows, "t int, j int, i int, value double")
 
+    comp_legs = {}
+    for comp in ("blosc", "blosc-lz4", "lz4"):
+        cpath = base + "/xcrs_zarr_roundtrip_" + comp.replace("-", "_")
+        write_zarr(
+            raster, cpath, "value", (RH, RW), (16, 16), compressor=comp,
+        )
+        comp_legs[comp.replace("-", "_")] = read_zarr(
+            spark, cpath, "value", bbox_ij=(5, 10, 20, 30))
+
     def leg(df, tag):
         return df.select(
             F.lit(tag).alias("variant"),
@@ -4423,12 +4440,15 @@ def q_zarr_roundtrip(spark, sf_dir):
             F.round("value", 6).alias("value"),
         )
 
-    return (
+    out = (
         leg(fs, "fs")
         .unionByName(leg(kv, "kv"))
         .unionByName(leg(zp, "zip"))
         .unionByName(leg(ht, "http"))
     )
+    for tag, df in comp_legs.items():
+        out = out.unionByName(leg(df, tag))
+    return out
 
 
 def q_zarr3_roundtrip(spark, sf_dir):
@@ -4447,29 +4467,6 @@ def q_zarr3_roundtrip(spark, sf_dir):
         codec="gzip",
     )
     back = read_zarr3(spark, path, "value", bbox_ij=(5, 10, 20, 30))
-    return back.select(
-        "t",
-        (F.col("j") - 10).cast("int").alias("j"),
-        (F.col("i") - 5).cast("int").alias("i"),
-        F.round("value", 6).alias("value"),
-    )
-
-
-def q_zarr_roundtrip_blosc(spark, sf_dir):
-    """Zarr roundtrip through the pure-numpy blosc1 codec (byte-shuffle +
-    zlib inner streams, sources/blosc1.py): the compressor of real-world
-    zarr stores (reference opens them via zarr.open, cfconv.py:343-358).
-    Same window as zarr_roundtrip, so it shares SQL_CLIP."""
-    import tempfile
-
-    from xcube_resampling_spark.sources import read_zarr, write_zarr
-
-    path = tempfile.gettempdir() + "/xcrs_zarr_roundtrip_blosc"
-    write_zarr(
-        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
-        compressor="blosc",
-    )
-    back = read_zarr(spark, path, "value", bbox_ij=(5, 10, 20, 30))
     return back.select(
         "t",
         (F.col("j") - 10).cast("int").alias("j"),
@@ -6049,7 +6046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_suite": q_multimodal_suite,
         "reproject_methods": q_reproject_methods,
         "reproject_crs_families": q_reproject_crs_families,
-        "zarr_roundtrip_blosc": q_zarr_roundtrip_blosc,
         "zarr3_roundtrip": q_zarr3_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "geotiff_roundtrip": q_geotiff_roundtrip,
@@ -6103,7 +6099,6 @@ def oracle_sql() -> dict[str, str]:
         "resample_identity": SQL_IDENTITY,
         "reproject_methods": _reproject_methods_sql(),
         "reproject_crs_families": _reproject_families_oracle_sql(),
-        "zarr_roundtrip_blosc": SQL_CLIP,
         "zarr3_roundtrip": SQL_CLIP,
         "netcdf_roundtrip": (
             f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"

@@ -22,7 +22,8 @@ def _raster(spark, w, h, nt=1):
 
 
 class TestZarrRoundtrip:
-    @pytest.mark.parametrize("compressor", ["zlib", "null"])
+    @pytest.mark.parametrize(
+        "compressor", ["zlib", "null", "blosc-lz4", "lz4"])
     def test_2d_roundtrip_edge_chunks(self, spark, tmp_path, compressor):
         """25x17 array with 8x8 chunks: edge chunks are stored padded and
         clipped back on read."""

@@ -32,10 +32,12 @@ Byte-shuffle is applied per block before compression: the block's
 byte planes (a numpy reshape/transpose); trailing bytes that do not
 fill an element are carried unshuffled, matching c-blosc.
 
-Inner codecs: ``zlib`` (stdlib) end-to-end; stored-raw streams of any
-codec decode fine (so low-entropy blocks from blosclz/lz4 stores often
-work); compressed blosclz/lz4/zstd streams raise ``NotImplementedError``
-with a clear message.  Bit-shuffle frames raise likewise.
+Inner codecs: ``zlib`` (stdlib) and ``lz4`` (the in-repo clean-room
+block codec, sources/lz4.py -- the numcodecs ``Blosc`` DEFAULT, so
+real-world zarr v2 stores now open) end-to-end; stored-raw streams
+of any codec decode fine.  Compressed blosclz/snappy/zstd streams
+and bit-shuffle frames raise ``NotImplementedError`` with a clear
+message.
 
 The encoder always sets the dont-split flag (one stream per block),
 which real c-blosc decoders honor (the flag exists precisely so
@@ -49,12 +51,16 @@ import zlib
 
 import numpy as np
 
+from xcube_resampling_spark.sources import lz4 as _lz4
+
 _MEMCPY = 0x2
 _SHUFFLE = 0x1
 _BITSHUFFLE = 0x4
 _DONT_SPLIT = 0x10
 _CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_LZ4_ID = 1
 _ZLIB_ID = 3
+_CNAME_IDS = {"zlib": _ZLIB_ID, "lz4": _LZ4_ID}
 _MAX_BLOCK = 256 * 1024
 
 
@@ -124,10 +130,14 @@ def decode(frame: bytes) -> bytes:
                         f"blosc split decoded to {len(raw)}, wanted {want}"
                     )
                 parts.append(raw)
+            elif codec == _LZ4_ID:
+                raw = _lz4.decompress_block(
+                    bytes(frame[off:off + csize]), want)
+                parts.append(raw)
             else:
                 raise NotImplementedError(
                     f"blosc inner codec '{_CODECS[codec]}' not available in "
-                    "this build (zlib and stored-raw streams only)"
+                    "this build (zlib, lz4, and stored-raw streams only)"
                 )
             off += csize
         block = b"".join(parts)
@@ -151,14 +161,22 @@ def encode(
     clevel: int = 1,
     shuffle: bool = True,
     blocksize: int | None = None,
+    cname: str = "zlib",
 ) -> bytes:
-    """Encode raw bytes as a blosc1 frame (zlib inner codec).
+    """Encode raw bytes as a blosc1 frame (``zlib`` or ``lz4`` inner
+    codec -- ``lz4`` produces the byte format real c-blosc emits for
+    the numcodecs default ``Blosc(cname='lz4')``).
 
     The frame is decodable by any conformant blosc1 reader: standard
-    header, per-block offset table, dont-split flag set, zlib streams
-    with stored-raw fallback, whole-frame memcpy fallback when
+    header, per-block offset table, dont-split flag set, compressed
+    streams with stored-raw fallback, whole-frame memcpy fallback when
     compression does not pay.
     """
+    if cname not in _CNAME_IDS:
+        raise NotImplementedError(
+            f"blosc encode cname '{cname}' not available "
+            "(zlib or lz4)"
+        )
     nbytes = len(data)
     if nbytes == 0:
         return struct.pack("<BBBBIII", 2, 1, _MEMCPY, typesize, 0, 0, 16)
@@ -169,7 +187,8 @@ def encode(
         blocksize += typesize - blocksize % typesize
     blocksize = min(blocksize, max(nbytes, typesize))
     nblocks = -(-nbytes // blocksize)
-    flags = (_ZLIB_ID << 5) | _DONT_SPLIT | (_SHUFFLE if shuffle else 0)
+    codec_id = _CNAME_IDS[cname]
+    flags = (codec_id << 5) | _DONT_SPLIT | (_SHUFFLE if shuffle else 0)
     header_len = 16 + 4 * nblocks
     chunks: list[bytes] = []
     bstarts = np.zeros(nblocks, dtype="<u4")
@@ -179,7 +198,10 @@ def encode(
         block = data[start:start + min(blocksize, nbytes - start)]
         if shuffle:
             block = _shuffle(block, typesize)
-        comp = zlib.compress(block, clevel)
+        if codec_id == _LZ4_ID:
+            comp = _lz4.compress_block(block)
+        else:
+            comp = zlib.compress(block, clevel)
         if len(comp) >= len(block):  # stored-raw stream
             comp = block
         stream = struct.pack("<i", len(comp)) + comp

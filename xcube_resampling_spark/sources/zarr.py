@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xcube_resampling_spark.sources import blosc1
+from xcube_resampling_spark.sources import blosc1, lz4
 
 
 class ChunkPut:
@@ -290,11 +290,11 @@ def _check_compressor(meta: dict) -> str:
     comp = meta.get("compressor")
     if comp is None:
         return "null"
-    if comp.get("id") in ("zlib", "blosc"):
+    if comp.get("id") in ("zlib", "blosc", "lz4"):
         return comp["id"]
     raise NotImplementedError(
         f"zarr compressor '{comp.get('id')}' not available in this build "
-        "(zlib, blosc (zlib/raw inner streams), or null)"
+        "(zlib, lz4, blosc (zlib/lz4/raw inner streams), or null)"
     )
 
 
@@ -340,9 +340,10 @@ def _write_zarr_metadata(
     compressor: str,
     attrs: dict | None,
 ) -> None:
-    if compressor not in ("zlib", "null", "blosc"):
+    if compressor not in ("zlib", "null", "blosc", "blosc-lz4", "lz4"):
         raise NotImplementedError(
-            "compressor must be 'zlib', 'blosc', or 'null'"
+            "compressor must be 'zlib', 'blosc', 'blosc-lz4', 'lz4', "
+            "or 'null'"
         )
     nd = len(shape)
     if nd not in (2, 3) or len(chunks) != nd:
@@ -359,6 +360,14 @@ def _write_zarr_metadata(
             "id": "blosc", "cname": "zlib", "clevel": 1, "shuffle": 1,
             "blocksize": 0,
         }
+    elif compressor == "blosc-lz4":
+        # the numcodecs DEFAULT shape for real-world zarr v2 stores
+        comp_meta = {
+            "id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+            "blocksize": 0,
+        }
+    elif compressor == "lz4":
+        comp_meta = {"id": "lz4", "acceleration": 1}
     else:
         comp_meta = None
     zarray = {
@@ -433,6 +442,11 @@ def _write_zarr_chunks(
             raw = zlib.compress(raw, 1)
         elif compressor == "blosc":
             raw = blosc1.encode(raw, typesize=8, clevel=1, shuffle=True)
+        elif compressor == "blosc-lz4":
+            raw = blosc1.encode(
+                raw, typesize=8, shuffle=True, cname="lz4")
+        elif compressor == "lz4":
+            raw = lz4.compress_framed(raw)
         name = (
             f"{kj}.{ki}" if nd == 2 else f"{kt}.{kj}.{ki}"
         )
@@ -929,6 +943,8 @@ def read_zarr(
             raw = zlib.decompress(raw)
         elif comp == "blosc":
             raw = blosc1.decode(raw)
+        elif comp == "lz4":
+            raw = lz4.decompress_framed(raw)
         block = np.frombuffer(raw, dtype=dtype).reshape(
             ct_t, ct_j, ct_i
         )
