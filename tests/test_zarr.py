@@ -203,20 +203,29 @@ class TestZarrRoundtrip:
         )
 
     def test_blosc_foreign_codec_rejected_clearly(self):
-        """A genuinely lz4-compressed stream (codec id 1, stream smaller
-        than its uncompressed size) must raise, not mis-decode."""
+        """A compressed stream of a codec this build lacks (snappy,
+        id 2) must raise NotImplementedError, not mis-decode; a
+        malformed stream of a supported codec (lz4, id 1) must raise
+        ValueError, not return garbage."""
         import struct
 
         from xcube_resampling_spark.sources import blosc1
 
         body = struct.pack("<i", 3) + b"\x01\x02\x03"
-        frame = (
+        frame_snappy = (
+            struct.pack("<BBBBIII", 2, 1, (2 << 5) | 0x10, 1, 64, 64,
+                        16 + 4 + len(body))
+            + struct.pack("<I", 20) + body
+        )
+        with pytest.raises(NotImplementedError, match="snappy"):
+            blosc1.decode(frame_snappy)
+        frame_lz4 = (
             struct.pack("<BBBBIII", 2, 1, (1 << 5) | 0x10, 1, 64, 64,
                         16 + 4 + len(body))
             + struct.pack("<I", 20) + body
         )
-        with pytest.raises(NotImplementedError, match="lz4"):
-            blosc1.decode(frame)
+        with pytest.raises(ValueError):
+            blosc1.decode(frame_lz4)
 
     def test_zattrs_dimensions(self, spark, tmp_path):
         w, h = 6, 5

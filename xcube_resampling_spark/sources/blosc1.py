@@ -34,10 +34,11 @@ fill an element are carried unshuffled, matching c-blosc.
 
 Inner codecs: ``zlib`` (stdlib) and ``lz4`` (the in-repo clean-room
 block codec, sources/lz4.py -- the numcodecs ``Blosc`` DEFAULT, so
-real-world zarr v2 stores now open) end-to-end; stored-raw streams
-of any codec decode fine.  Compressed blosclz/snappy/zstd streams
-and bit-shuffle frames raise ``NotImplementedError`` with a clear
-message.
+real-world zarr v2 stores now open) end-to-end; ``zstd`` streams
+decode through the in-repo RFC 8878 codec (sources/zstd.py);
+stored-raw streams of any codec decode fine.  Compressed blosclz/
+snappy streams and bit-shuffle frames raise ``NotImplementedError``
+with a clear message.
 
 The encoder always sets the dont-split flag (one stream per block),
 which real c-blosc decoders honor (the flag exists precisely so
@@ -60,6 +61,7 @@ _DONT_SPLIT = 0x10
 _CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _LZ4_ID = 1
 _ZLIB_ID = 3
+_ZSTD_ID = 4
 _CNAME_IDS = {"zlib": _ZLIB_ID, "lz4": _LZ4_ID}
 _MAX_BLOCK = 256 * 1024
 
@@ -134,10 +136,21 @@ def decode(frame: bytes) -> bytes:
                 raw = _lz4.decompress_block(
                     bytes(frame[off:off + csize]), want)
                 parts.append(raw)
+            elif codec == _ZSTD_ID:
+                from xcube_resampling_spark.sources import zstd as _zstd
+
+                raw = _zstd.decompress(bytes(frame[off:off + csize]))
+                if len(raw) != want:
+                    raise ValueError(
+                        f"blosc zstd split decoded to {len(raw)}, "
+                        f"wanted {want}"
+                    )
+                parts.append(raw)
             else:
                 raise NotImplementedError(
                     f"blosc inner codec '{_CODECS[codec]}' not available in "
-                    "this build (zlib, lz4, and stored-raw streams only)"
+                    "this build (zlib, lz4, zstd, and stored-raw streams "
+                    "only)"
                 )
             off += csize
         block = b"".join(parts)
