@@ -231,3 +231,45 @@ if os.environ.get("XRS_LZ4_FUZZ"):  # opt-in deeper fuzz loop
     def test_fuzz_roundtrip(data):
         assert lz4.decompress_block(
             lz4.compress_block(data), len(data)) == data
+
+
+# ------------------------------------------------------------------ #
+# interop with a REAL lz4 implementation: pyarrow bundles liblz4 and
+# exposes the raw BLOCK format as pyarrow.Codec("lz4_raw") -- exactly
+# the format sources/lz4.py implements.
+
+def _real_lz4():
+    try:
+        import pyarrow as pa
+
+        return pa.Codec("lz4_raw")
+    except Exception:
+        return None
+
+
+@pytest.mark.skipif(_real_lz4() is None,
+                    reason="pyarrow lz4_raw codec unavailable")
+class TestLiblz4Interop:
+    CASES = [
+        b"",
+        b"a",
+        b"hello world " * 100 + bytes(range(256)),
+        b"x" * 70_000,
+        bytes(np.random.default_rng(3).integers(
+            0, 256, 5000, dtype=np.uint8)),
+        (b"the quick brown fox " * 40) * 23,
+    ]
+
+    def test_decode_liblz4_output(self):
+        c = _real_lz4()
+        for i, d in enumerate(self.CASES):
+            block = c.compress(d, asbytes=True)
+            assert lz4.decompress_block(block, len(d)) == d, f"case {i}"
+
+    def test_liblz4_decodes_our_output(self):
+        c = _real_lz4()
+        for i, d in enumerate(self.CASES):
+            ours = lz4.compress_block(d)
+            got = c.decompress(ours, decompressed_size=len(d),
+                               asbytes=True)
+            assert got == d, f"case {i}"
