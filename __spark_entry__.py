@@ -5899,14 +5899,25 @@ def q_multimodal_suite(spark, sf_dir):
         jpeg_roundtrip_check,
     )
 
-    jp = jpeg_roundtrip_check(media, quality=98, tol=10).select(
+    jpc = jpeg_roundtrip_check(media, quality=98, tol=10)
+    jp = jpc.select(
         F.lit("jpeg").alias("leg"), "media_id",
         F.col("width").cast("long").alias("k1"),
         F.col("height").cast("long").alias("k2"),
         F.col("ok").cast("long").alias("k3"),
         nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
     )
-    return out.unionByName(jp)
+    # 'jpeg_prog' leg: the progressive (SOF2) encoding of the same
+    # pixels must decode BIT-IDENTICAL to the baseline decode (shared
+    # quantized coefficients) -- an exact pass bit, not a tolerance.
+    jp2 = jpc.select(
+        F.lit("jpeg_prog").alias("leg"), "media_id",
+        F.col("width").cast("long").alias("k1"),
+        F.col("height").cast("long").alias("k2"),
+        F.col("prog_exact").cast("long").alias("k3"),
+        nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
+    )
+    return out.unionByName(jp).unionByName(jp2)
 
 
 def _multimodal_suite_sql():
@@ -6003,6 +6014,14 @@ FROM (
 ) GROUP BY media_id, frame_idx
 UNION ALL
 SELECT 'jpeg' AS leg, doc_id AS media_id,
+       CAST(4 + (doc_id % 9) // 3 AS BIGINT) AS k1,
+       CAST(4 AS BIGINT) AS k2,
+       CAST(1 AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 0
+UNION ALL
+SELECT 'jpeg_prog' AS leg, doc_id AS media_id,
        CAST(4 + (doc_id % 9) // 3 AS BIGINT) AS k1,
        CAST(4 AS BIGINT) AS k2,
        CAST(1 AS BIGINT) AS k3,

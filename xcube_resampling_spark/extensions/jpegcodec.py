@@ -1,24 +1,36 @@
-"""Clean-room baseline JPEG codec (ITU-T T.81 / ISO 10918-1, baseline
-sequential DCT, Huffman entropy coding) -- pure numpy, no imaging
-library, same clean-room pattern as the PNG/BMP/WAV/Y4M codecs.
+"""Clean-room JPEG codec (ITU-T T.81 / ISO 10918-1: baseline
+sequential AND progressive DCT, Huffman entropy coding) -- pure
+numpy, no imaging library, same clean-room pattern as the
+PNG/BMP/WAV/Y4M codecs.
 
-Encoder
--------
-JFIF output: 8x8 forward DCT (exact matrix form), Annex-K quantization
-tables scaled by the libjpeg quality formula, zigzag + DC DPCM + AC
-run-length coding, standard-shaped canonical Huffman tables (embedded
-in DHT, so ANY conforming decoder reads them -- validity does not
-depend on matching libjpeg's defaults bit-for-bit), 4:4:4 or 4:2:0
-chroma subsampling, grayscale or RGB (BT.601 full-range YCbCr).
+Encoders
+--------
+:func:`encode_jpeg` -- baseline JFIF output: 8x8 forward DCT (exact
+matrix form), Annex-K quantization tables scaled by the libjpeg
+quality formula, zigzag + DC DPCM + AC run-length coding,
+standard-shaped canonical Huffman tables (embedded in DHT, so ANY
+conforming decoder reads them -- validity does not depend on matching
+libjpeg's defaults bit-for-bit), 4:4:4 or 4:2:0 chroma subsampling,
+grayscale or RGB (BT.601 full-range YCbCr), optional restart markers.
+:func:`encode_jpeg_progressive` -- SOF2 output with a 4-kind scan
+script (DC first + DC refinement + per-component AC first + AC
+refinement) that exercises every progressive decode path; shares the
+baseline encoder's quantizer, so the two encodings of one image
+decode bit-identically.
 
 Decoder
 -------
-General baseline: parses DQT/DHT/SOF0/SOS/DRI from the stream (tables
-come from the FILE, not from this module's constants), interleaved
-MCU scan with sampling factors 1-2, restart markers, byte unstuffing,
-dequantize + inverse DCT + chroma upsampling + color conversion.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` loudly.
+Parses DQT/DHT/SOF/SOS/DRI from the stream (tables come from the
+FILE, not this module's constants).  Baseline/extended sequential
+(SOF0/1) including multi-scan non-interleaved files, and progressive
+(SOF2) per T.81 Annex G: spectral selection, successive
+approximation, DC/AC refinement scans, cross-block EOB runs with
+correction bits, restart markers in any scan kind.  All scans
+accumulate into per-component coefficient buffers; dequantize + IDCT
+run once, vectorized over all blocks.  Arithmetic coding, lossless/
+hierarchical SOFs, and 12-bit precision raise ``NotImplementedError``
+loudly.  Verified against real-world camera/web files of both
+flavors.
 
 The reference engine gets JPEG from GDAL-family libraries; this module
 is spec-derived, not ported (no reference counterpart).
@@ -30,7 +42,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 # ------------------------------------------------------------------ #
 # constants
@@ -299,12 +311,9 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 
 def _encode_block(
-    block: np.ndarray, qt: np.ndarray, dc_codes, ac_codes,
-    dc_pred: int, bw: _BitWriter,
+    zz: np.ndarray, dc_codes, ac_codes, dc_pred: int, bw: _BitWriter,
 ) -> int:
-    f = _C @ (block - 128.0) @ _CT
-    q = np.round(f / qt).astype(np.int64)
-    zz = q.reshape(-1)[_ZZ_FLAT]
+    """Emit one block's quantized zigzag coefficients (baseline)."""
     # DC
     diff = int(zz[0]) - dc_pred
     size, bits = _magnitude(diff)
@@ -354,33 +363,7 @@ def encode_jpeg(
     subsampling) or ``'420'`` (2x2 -- the web default);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (the error-resilience feature real camera files use)."""
-    img = np.asarray(img)
-    if img.dtype != np.uint8:
-        raise ValueError("encode_jpeg needs uint8 input")
-    if img.ndim == 2:
-        planes = [img.astype(np.float64)]
-        sampling = [(1, 1)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img)
-        if subsampling == "444":
-            planes = [ycc[..., c] for c in range(3)]
-            sampling = [(1, 1), (1, 1), (1, 1)]
-        elif subsampling == "420":
-            y = ycc[..., 0]
-            # mean-pool chroma 2x2 (pad odd dims first)
-            cb = _pad_to_blocks(ycc[..., 1], 2, 2)
-            cr = _pad_to_blocks(ycc[..., 2], 2, 2)
-            cb = cb.reshape(
-                cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
-            cr = cr.reshape(
-                cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
-            planes = [y, cb, cr]
-            sampling = [(2, 2), (1, 1), (1, 1)]
-        else:
-            raise ValueError("subsampling must be '444' or '420'")
-    else:
-        raise ValueError("encode_jpeg needs (h,w) or (h,w,3) input")
-    h, w = img.shape[:2]
+    h, w, planes, sampling = _prep_planes(img, subsampling)
     n_comp = len(planes)
     qt_l = _quality_scale(_QT_LUMA, quality)
     qt_c = _quality_scale(_QT_CHROMA, quality)
@@ -396,17 +379,7 @@ def encode_jpeg(
     vmax = max(s[1] for s in sampling)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    padded = []
-    for p, (sh, sv) in zip(planes, sampling):
-        ph = mcuy * 8 * sv
-        pw = mcux * 8 * sh
-        pp = _pad_to_blocks(p, 8, 8)
-        pp = np.pad(
-            pp,
-            ((0, ph - pp.shape[0]), (0, pw - pp.shape[1])),
-            mode="edge",
-        )
-        padded.append(pp)
+    coef = _quantize_planes(planes, sampling, qts, mcux, mcuy)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -452,17 +425,258 @@ def encode_jpeg(
                 sh, sv = sampling[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
                         preds[ci] = _encode_block(
-                            block, qts[ci], dcs[ci], acs[ci],
-                            preds[ci], bw,
+                            coef[ci][my * sv + by, mx * sh + bx],
+                            dcs[ci], acs[ci], preds[ci], bw,
                         )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _prep_planes(img, subsampling):
+    """Shared encoder front matter: color transform + chroma
+    subsampling.  Returns (h, w, planes, sampling)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("JPEG encoding needs uint8 input")
+    if img.ndim == 2:
+        return img.shape[0], img.shape[1], \
+            [img.astype(np.float64)], [(1, 1)]
+    if img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        if subsampling == "444":
+            return img.shape[0], img.shape[1], \
+                [ycc[..., c] for c in range(3)], \
+                [(1, 1), (1, 1), (1, 1)]
+        if subsampling == "420":
+            y = ycc[..., 0]
+            cb = _pad_to_blocks(ycc[..., 1], 2, 2)
+            cr = _pad_to_blocks(ycc[..., 2], 2, 2)
+            cb = cb.reshape(
+                cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(
+                cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+            return img.shape[0], img.shape[1], [y, cb, cr], \
+                [(2, 2), (1, 1), (1, 1)]
+        raise ValueError("subsampling must be '444' or '420'")
+    raise ValueError("JPEG encoding needs (h,w) or (h,w,3) input")
+
+
+def _quantize_planes(planes, sampling, qts, mcux, mcuy):
+    """DCT + quantize every 8x8 block of every (padded) plane.
+    Returns per-component ``(nby, nbx, 64)`` int32 zigzag-order
+    coefficient arrays over the full MCU-padded grid."""
+    out = []
+    for p, (sh, sv), qt in zip(planes, sampling, qts):
+        ph, pw = mcuy * 8 * sv, mcux * 8 * sh
+        pp = _pad_to_blocks(p, 8, 8)
+        pp = np.pad(pp, ((0, ph - pp.shape[0]), (0, pw - pp.shape[1])),
+                    mode="edge")
+        nby, nbx = ph // 8, pw // 8
+        blocks = pp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ij,abjk,kl->abil", _C, blocks - 128.0, _CT)
+        q = np.round(f / qt[None, None]).astype(np.int32)
+        out.append(q.reshape(nby, nbx, 64)[..., _ZZ_FLAT])
+    return out
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444",
+) -> bytes:
+    """Encode to a PROGRESSIVE (SOF2) JFIF JPEG, T.81 Annex G.
+
+    Scan script (covers every progressive decode path: spectral
+    selection, successive approximation, DC and AC refinement):
+
+    1. DC first, all components interleaved, Al=1
+    2. DC refinement, Al=0 (raw bits, no entropy tables)
+    3. per component: AC first, Ss=1..63, Al=1
+    4. per component: AC refinement, Ss=1..63, Ah=1, Al=0
+
+    EOB runs are flushed per block (EOB0 only), so the standard
+    baseline Huffman tables suffice; any conformant decoder accepts
+    longer runs, so this is a pure encoder-side simplification."""
+    h, w, planes, sampling = _prep_planes(img, subsampling)
+    n_comp = len(planes)
+    qt_l = _quality_scale(_QT_LUMA, quality)
+    qt_c = _quality_scale(_QT_CHROMA, quality)
+    qts = [qt_l] + [qt_c] * (n_comp - 1)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coef = _quantize_planes(planes, sampling, qts, mcux, mcuy)
+    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dcs = [dc_l] + [dc_c] * (n_comp - 1)
+    acs = [ac_l] + [ac_c] * (n_comp - 1)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))
+    out += _dqt_segment(0, qt_l)
+    if n_comp > 1:
+        out += _dqt_segment(1, qt_c)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n_comp])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if n_comp > 1:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    def sos_header(comp_ids, tds, tas, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    def mcu_blocks():
+        """Interleaved block order over the padded grid."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(sampling):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, coef[ci][my * sv + by,
+                                               mx * sh + bx]
+
+    # scan 1: DC first (interleaved, Al=1)
+    out += sos_header(list(range(1, n_comp + 1)),
+                      [0] + [1] * (n_comp - 1), [0] * n_comp,
+                      0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * n_comp
+    for ci, zz in mcu_blocks():
+        dcv = int(zz[0]) >> 1  # DC point transform: arithmetic shift
+        size, bits = _magnitude(dcv - preds[ci])
+        preds[ci] = dcv
+        code, length = dcs[ci][size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement (Al=0) -- one raw bit per block
+    out += sos_header(list(range(1, n_comp + 1)),
+                      [0] * n_comp, [0] * n_comp, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, zz in mcu_blocks():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # per-component block grids for non-interleaved AC scans
+    grids = []
+    for ci, (sh, sv) in enumerate(sampling):
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+
+    # scans 3..: AC first per component (Ss=1..63, Al=1)
+    for ci in range(n_comp):
+        out += sos_header([ci + 1], [0], [0 if ci == 0 else 1],
+                          1, 63, 0, 1)
+        bw = _BitWriter()
+        bh, bwid = grids[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                _emit_ac_first(coef[ci][by, bx], 1, 63, 1,
+                               acs[ci], bw)
+        bw.flush()
+        out += bw.out
+
+    # scans ..: AC refinement per component (Ah=1, Al=0)
+    for ci in range(n_comp):
+        out += sos_header([ci + 1], [0], [0 if ci == 0 else 1],
+                          1, 63, 1, 0)
+        bw = _BitWriter()
+        bh, bwid = grids[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                _emit_ac_refine(coef[ci][by, bx], 1, 63, 0,
+                                acs[ci], bw)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_ac_first(zz, ss, se, al, ac_codes, bw):
+    """AC first-scan block (T.81 G.1.2.2): run-length over the point-
+    transformed band; EOB0 closes any trailing zero run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+        sv = t if v > 0 else -t
+        size, bits = _magnitude(sv)
+        code, length = ac_codes[(r << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        r = 0
+    if r:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+
+
+def _emit_ac_refine(zz, ss, se, al, ac_codes, bw):
+    """AC refinement block (T.81 G.1.2.3): correction bits for
+    history coefficients ride along buffered; newly nonzero
+    coefficients emit (run, 1) + sign; EOB0 carries leftovers."""
+    absv = [abs(int(zz[k])) >> al for k in range(64)]
+    eob_pos = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob_pos = k
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        # ZRL only when the run cannot fold into the final EOB
+        while r > 15 and k <= eob_pos:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+        for b in pending:
+            bw.write(b, 1)
 
 
 # ------------------------------------------------------------------ #
@@ -494,8 +708,17 @@ class _HuffTable:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to ``(h, w)`` grayscale or ``(h, w, 3)``
-    RGB uint8."""
+    """Decode a JPEG to ``(h, w)`` grayscale or ``(h, w, 3)`` RGB
+    uint8.
+
+    Handles baseline/extended sequential (SOF0/SOF1) including
+    multi-scan non-interleaved files, AND progressive (SOF2) per
+    T.81 Annex G: spectral selection, successive approximation, DC
+    and AC refinement scans, EOB runs, and restart markers in any
+    scan kind.  All scans accumulate into per-component coefficient
+    buffers; dequantization + IDCT happen once at EOI (vectorized
+    over all blocks).  Arithmetic coding, hierarchical (SOF3+), and
+    12-bit precision raise ``NotImplementedError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -504,7 +727,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
-    while pos < len(data):
+    progressive = False
+    coef: list[np.ndarray] | None = None
+    geom: dict = {}
+    saw_scan = False
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         # the spec allows 0xFF fill bytes before a marker code
@@ -539,10 +766,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17:off + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 prog
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
             comps = []
@@ -551,92 +779,251 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq,
                 })
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geom = {"hmax": hmax, "vmax": vmax,
+                    "mcux": mcux, "mcuy": mcuy}
+            coef = []
+            for c in comps:
+                # full (MCU-padded) grid for interleaved addressing;
+                # non-interleaved scans cover the ceil(size/8) subgrid
+                cw = -(-(w * c["h"]) // hmax)
+                ch = -(-(h * c["v"]) // vmax)
+                c["bw"] = -(-cw // 8)
+                c["bh"] = -(-ch // 8)
+                coef.append(np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic)")
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if coef is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG not "
-                    "supported -- one interleaved scan only")
-            order = []
+            scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si:3 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                ci, comp = next(
+                    (i, c) for i, c in enumerate(comps)
+                    if c["id"] == cs)
                 comp["td"] = tdta >> 4
                 comp["ta"] = tdta & 0xF
-                order.append(comp)
-            return _decode_scan(
-                data, pos, order, qts, huff, h, w, restart_interval)
+                scan.append((ci, comp))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            pos = _decode_scan_into(
+                data, pos, scan, coef, huff, geom,
+                restart_interval, progressive, ss, se, ah, al)
+            saw_scan = True
+            # resume marker parsing: skip pad bits / stray restarts
+            while pos < len(data) - 1:
+                if data[pos] == 0xFF and data[pos + 1] != 0x00:
+                    if 0xD0 <= data[pos + 1] <= 0xD7:
+                        pos += 2
+                        continue
+                    break
+                pos += 1
         # other segments (APPn, COM) are skipped
-    raise ValueError("no SOS marker found")
+    if not saw_scan:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(comps, coef, qts, h, w, geom)
 
 
-def _decode_scan(
-    data, pos, comps, qts, huff, h, w, restart_interval
-) -> np.ndarray:
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        planes.append(np.zeros(
-            (mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64))
+def _decode_scan_into(
+    data, pos, scan, coef, huff, geom,
+    restart_interval, progressive, ss, se, ah, al,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient buffers;
+    return the byte position after the scan data.  Dispatches on the
+    T.81 scan kind: sequential (DC+AC), progressive DC first/refine,
+    progressive AC first/refine (Annex G.2)."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError(
+                "progressive AC scan must be non-interleaved")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral selection bounds")
     br = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                br.align_to_marker()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_t = huff[(0, c["td"])]
-                ac_t = huff[(1, c["ta"])]
-                qt = qts[c["tq"]].astype(np.float64)
+    preds = [0] * len(scan)
+    eobrun = [0]
+    interleaved = len(scan) > 1
+    mcux, mcuy = geom["mcux"], geom["mcuy"]
+
+    def decode_block(si, zz):
+        ci, c = scan[si]
+        if not progressive:
+            _seq_block(br, zz, huff[(0, c["td"])], huff[(1, c["ta"])],
+                       preds, si)
+        elif ss == 0 and ah == 0:
+            size = huff[(0, c["td"])].decode(br)
+            preds[si] += _extend(br.read(size), size)
+            zz[0] = preds[si] << al
+        elif ss == 0:
+            if br.read(1):
+                zz[0] |= 1 << al
+        elif ah == 0:
+            _ac_first_block(br, zz, huff[(1, c["ta"])], ss, se, al,
+                            eobrun)
+        else:
+            _ac_refine_block(br, zz, huff[(1, c["ta"])], ss, se, al,
+                             eobrun)
+
+    if interleaved:
+        units = mcuy * mcux
+    else:
+        # single-component scan: MCU = one block over the component's
+        # own ceil(size/8) grid (T.81 A.2.2), in any coding mode
+        _, c0 = scan[0]
+        units = c0["bh"] * c0["bw"]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            br.align_to_marker()
+            preds = [0] * len(scan)
+            eobrun[0] = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for si, (ci, c) in enumerate(scan):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = dc_t.decode(br)
-                        diff = _extend(br.read(size), size)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.read(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[_ZZ_FLAT] = zz
-                        f = blk.reshape(8, 8) * qt
-                        pix = _CT @ f @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-            mcu_count += 1
+                        decode_block(
+                            si,
+                            coef[ci][my * c["v"] + by,
+                                     mx * c["h"] + bx])
+        else:
+            ci, c = scan[0]
+            by, bx = divmod(u, c["bw"])
+            decode_block(0, coef[ci][by, bx])
+    return br.pos
+
+
+def _seq_block(br, zz, dc_t, ac_t, preds, si):
+    size = dc_t.decode(br)
+    preds[si] += _extend(br.read(size), size)
+    zz[0] = preds[si]
+    k = 1
+    while k < 64:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.read(s), s)
+        k += 1
+
+
+def _ac_first_block(br, zz, ac_t, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (T.81 G.2.2): baseline
+    run-length coding over the spectral band, plus EOBn run symbols
+    covering whole zero bands of the FOLLOWING blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += br.read(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(br, zz, ac_t, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.2.3): one
+    correction bit per already-nonzero coefficient, new coefficients
+    enter with magnitude ``1 << al``, EOB runs carry correction bits
+    for the blocks they span."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += br.read(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size != 1")
+                newval = p1 if br.read(1) else m1
+            # advance over r zero-history coefficients, emitting
+            # correction bits for nonzero ones along the way
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    if br.read(1) and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError(
+                        "AC refinement run past the spectral band")
+                zz[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        # correction bits for the rest of this block's band
+        while k <= se:
+            v = int(zz[k])
+            if v != 0:
+                if br.read(1) and (v & p1) == 0:
+                    zz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _reconstruct(comps, coef, qts, h, w, geom) -> np.ndarray:
+    """Dequantize + IDCT all blocks (vectorized), assemble planes,
+    upsample subsampled chroma, convert color."""
+    hmax, vmax = geom["hmax"], geom["vmax"]
     full = []
-    for c, p in zip(comps, planes):
+    for c, cz in zip(comps, coef):
+        qt = qts[c["tq"]].astype(np.float64)
+        nby, nbx, _ = cz.shape
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[..., _ZZ_FLAT] = cz
+        f = nat.reshape(nby, nbx, 8, 8) * qt[None, None]
+        pix = np.einsum("ij,abjk,kl->abil", _CT, f, _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ch = -(-(h * c["v"]) // vmax)
+        cw = -(-(w * c["h"]) // hmax)
+        plane = plane[:ch, :cw]
         if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(
-                np.repeat(p, vmax // c["v"], axis=0),
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0),
                 hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
     if len(full) == 3:

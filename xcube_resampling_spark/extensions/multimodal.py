@@ -422,13 +422,21 @@ def jpeg_roundtrip_check(
 ) -> DataFrame:
     """Encode each image payload's pixels to baseline JPEG
     (clean-room :mod:`.jpegcodec`), decode the bytes back, and report
-    ``(media_id, width, height, max_err, ok)`` where ``max_err`` is
-    the largest per-channel absolute difference and ``ok`` flags
-    ``max_err <= tol`` (JPEG is lossy, so the oracle checks the pass
-    bit + dims; PSNR-level checks live in the codec's unit tests).
-    A narrow ``mapInPandas`` pass over image rows."""
+    ``(media_id, width, height, max_err, ok, prog_exact)`` where
+    ``max_err`` is the largest per-channel absolute difference, ``ok``
+    flags ``max_err <= tol`` (JPEG is lossy, so the oracle checks the
+    pass bit + dims; PSNR-level checks live in the codec's unit
+    tests), and ``prog_exact`` flags that the PROGRESSIVE (SOF2)
+    encoding of the same pixels decodes bit-identical to the baseline
+    decode -- the two coding paths share quantized coefficients, so
+    any divergence is a codec defect.  A narrow ``mapInPandas`` pass
+    over image rows."""
     from .imagecodec import sniff_image_format
-    from .jpegcodec import decode_jpeg, encode_jpeg
+    from .jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
@@ -436,6 +444,7 @@ def jpeg_roundtrip_check(
         T.StructField("height", T.IntegerType(), False),
         T.StructField("max_err", T.IntegerType(), False),
         T.StructField("ok", T.IntegerType(), False),
+        T.StructField("prog_exact", T.IntegerType(), False),
     ])
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -455,14 +464,17 @@ def jpeg_roundtrip_check(
                 dec = decode_jpeg(encode_jpeg(img, quality, "444"))
                 err = int(np.max(np.abs(
                     dec.astype(np.int32) - img.astype(np.int32))))
+                dec_p = decode_jpeg(
+                    encode_jpeg_progressive(img, quality, "444"))
                 rows.append((
                     mid, img.shape[1], img.shape[0], err,
                     1 if err <= tol else 0,
+                    1 if np.array_equal(dec, dec_p) else 0,
                 ))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "max_err",
-                         "ok"],
+                         "ok", "prog_exact"],
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(
