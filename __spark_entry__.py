@@ -5095,10 +5095,32 @@ def q_vocab_stats(spark, sf_dir):
         F.col("r.df").alias("df"), F.col("r.score").alias("score"),
         F.col("r.rank").alias("rank"), F.col("r.frac").alias("frac"),
     )
+    # 'html' leg: HTML text-extraction structural counters
+    # (extensions/html.py) over deterministically wrapped documents --
+    # tag count, decoded text chars, micro-unit link density, block
+    # count, anchor-text chars; all integer-exact in both engines.
+    from xcube_resampling_spark.extensions.html import (
+        html_stats,
+        synthesize_html,
+    )
+
+    hm = html_stats(docs.select(
+        "doc_id",
+        synthesize_html(F.col("text"), F.col("doc_id")).alias("html"),
+    ))
+    hleg = hm.select(
+        F.lit("html").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("tok"),
+        F.col("n_tags").alias("tf"),
+        F.col("text_chars").alias("df"),
+        (F.col("link_density_micro") / F.lit(1000000.0)).alias("score"),
+        F.col("n_blocks").cast("int").alias("rank"),
+        F.col("link_chars").cast("double").alias("frac"),
+    )
     return (
         vs.unionByName(tk).unionByName(rp)
         .unionByName(gc).unionByName(gl).unionByName(gf)
-        .unionByName(lx)
+        .unionByName(lx).unionByName(hleg)
     )
 
 
@@ -5468,6 +5490,28 @@ SELECT 'dupgram' AS variant, doc_id, CAST(NULL AS VARCHAR) AS tok,
          AS DOUBLE) / tok_chars, 6) ELSE 0.0 END AS frac
 FROM lpass, (SELECT unnest(range(5, 11)) AS n)
 """
+
+
+def _html_variant_sql() -> str:
+    from xcube_resampling_spark.extensions.html import (
+        SQL_HTML_STATS_EXPRS,
+        synthesize_html_sql,
+    )
+
+    x = SQL_HTML_STATS_EXPRS(synthesize_html_sql("text", "doc_id"))
+    return f"""
+UNION ALL
+SELECT 'html' AS variant, doc_id, CAST(NULL AS VARCHAR) AS tok,
+       {x['n_tags']} AS tf,
+       {x['text_chars']} AS df,
+       CAST({x['link_density_micro']} AS DOUBLE) / 1000000.0 AS score,
+       {x['n_blocks']} AS rank,
+       CAST({x['link_chars']} AS DOUBLE) AS frac
+FROM documents
+"""
+
+
+SQL_VOCAB += _html_variant_sql()
 
 
 # ------------------------------------------------------------------ #

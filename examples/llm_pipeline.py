@@ -1,5 +1,6 @@
 """End-to-end training-data curation pipeline on the extension
-operators: quality-filter (Gopher A1.1 rules + A1.2 repetition gate +
+operators: HTML text extraction (jusText-style boilerplate removal)
+-> quality-filter (Gopher A1.1 rules + A1.2 repetition gate +
 fastText-shape classifier + LM perplexity) -> PII scrub -> exact +
 paragraph + MinHash dedup -> benchmark decontamination -> weighted
 source mixing -> sequence packing -> deterministic shard shuffle ->
@@ -59,6 +60,10 @@ from xcube_resampling_spark.extensions.text import (  # noqa: E402
 from xcube_resampling_spark.extensions.text import (  # noqa: E402
     release_cached as release_lm_models,
 )
+from xcube_resampling_spark.extensions.html import (  # noqa: E402
+    extract_html_text,
+    synthesize_html,
+)
 
 
 def main(sf_dir: str) -> None:
@@ -76,6 +81,28 @@ def main(sf_dir: str) -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
     print(f"corpus: {n0} documents")
+
+    # ---- 0. HTML text extraction (the web-corpus front door): wrap
+    # the plain-text corpus in deterministic markup to stand in for a
+    # crawl, then run the jusText-style extractor -- block
+    # segmentation + link-density/stopword-density boilerplate
+    # classification, one narrow mapInPandas pass
+    wrapped = docs.select(
+        "doc_id",
+        synthesize_html(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    # this synthetic corpus is stopword-light pseudo-English, so the
+    # stopword-density gates are disabled (real crawls keep the
+    # jusText defaults: stop_low=0.30, stop_high=0.32); the link-
+    # density gate still strips the nav boilerplate
+    extracted = extract_html_text(
+        wrapped, length_high=120, stop_low=0.0, stop_high=0.0)
+    docs = docs.drop("text").join(
+        extracted.filter(F.col("n_good_blocks") > 0)
+        .select("doc_id", "text"),
+        "doc_id",
+    )
+    print(f"after HTML extraction: {docs.count()}")
 
     # ---- 1. quality filter (Gopher rule gate + cheap signals +
     # CCNet-style unigram LM perplexity: drop the worst-scoring tail)
