@@ -4572,7 +4572,11 @@ def q_netcdf_roundtrip(spark, sf_dir):
     tagged union (SURVEY 2.2 #5; the reference consumes NetCDF datasets
     via xarray): classic NetCDF-3 (sources/netcdf3.py) and NetCDF-4's
     HDF5 container (sources/hdf5.py: superblock v0, v1 object headers,
-    chunked deflate+shuffle datasets, v1 chunk B-trees).  Each format:
+    chunked deflate+shuffle datasets, v1 chunk B-trees), plus a
+    'compound' leg (class-6 table datasets through the distributed
+    write_hdf5_table/read_hdf5_table pair) and a 'vlen' leg (class-9
+    variable-length string dataset through the global heap).  Each
+    raster format:
     distributed row-band granule write through the ChunkPut seam,
     band-pruned binaryFile read, struct/numpy decode in mapInPandas.
     Same window as zarr_roundtrip, so both twins share SQL_CLIP."""
@@ -4618,6 +4622,53 @@ def q_netcdf_roundtrip(spark, sf_dir):
     hd = clipped(
         read_hdf5(spark, hd_path, "value", bbox_ij=(5, 10, 20, 30))
     )
+    # 'compound' leg: the same raster rows as a NetCDF-4 table-like
+    # product -- a 1-D COMPOUND dataset per shard file (class 6
+    # datatype), distributed write + read through the table pair
+    # (sources/hdf5.py write_hdf5_table/read_hdf5_table)
+    from xcube_resampling_spark.sources.hdf5 import (
+        decode_hdf5,
+        encode_hdf5,
+        read_hdf5_table,
+        write_hdf5_table,
+    )
+
+    tcols = {"rid": "<i8", "t": "<i4", "j": "<i4", "i": "<i4",
+             "value": "<f8"}
+    tb_path = tempfile.gettempdir() + "/xcrs_hdf5_table_roundtrip"
+    write_hdf5_table(
+        _raster(spark, sf_dir).withColumn(
+            "rid", (F.col("j") * RW + F.col("i")).cast("long")),
+        tb_path, "rid", tcols, rows_per_file=256,
+    )
+    tb = read_hdf5_table(spark, tb_path, tcols).filter(
+        (F.col("i") >= 5) & (F.col("i") < 20)
+        & (F.col("j") >= 10) & (F.col("j") < 30)
+    ).select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+    # 'vlen' leg: a variable-length STRING dataset (class 9 datatype +
+    # global heap, the stock netCDF-4 string-variable layout) over the
+    # same window; the decoded strings surface as integer-exact
+    # signals (t = length, value = codepoint sum)
+    vals = [
+        f"r{j}c{i}" for j in range(10, 30) for i in range(5, 20)
+    ]
+    import numpy as _np
+
+    varr = _np.array(vals, dtype=object).reshape(20, 15)
+    vparsed = decode_hdf5(encode_hdf5("names", varr, ("y", "x")))
+    vgot = vparsed["vars"]["names"]["data"]
+    vrows = [
+        (int(len(s)), jj, ii, float(sum(ord(c) for c in s)))
+        for jj in range(20) for ii in range(15)
+        for s in [str(vgot[jj, ii])]
+    ]
+    vl = spark.createDataFrame(
+        vrows, "t int, j int, i int, value double")
     return (
         nc.select(F.lit("netcdf3").alias("fmt"), "t", "j", "i", "value")
         .unionByName(
@@ -4625,6 +4676,14 @@ def q_netcdf_roundtrip(spark, sf_dir):
         )
         .unionByName(
             hd.select(F.lit("hdf5_dense").alias("fmt"),
+                      "t", "j", "i", "value")
+        )
+        .unionByName(
+            tb.select(F.lit("compound").alias("fmt"),
+                      "t", "j", "i", "value")
+        )
+        .unionByName(
+            vl.select(F.lit("vlen").alias("fmt"),
                       "t", "j", "i", "value")
         )
     )
@@ -6167,7 +6226,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\n"
-            f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q"
+            f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\n"
+            f"SELECT 'compound' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            "UNION ALL\n"
+            "SELECT 'vlen' AS fmt, CAST(length(s) AS INT) AS t,\n"
+            "       CAST(j - 10 AS INT) AS j, CAST(i - 5 AS INT) AS i,\n"
+            "       CAST(list_sum(list_transform(\n"
+            "         regexp_extract_all(s, '.'), c -> ascii(c)))\n"
+            "         AS DOUBLE) AS value\n"
+            "FROM (SELECT j, i,\n"
+            "        'r' || CAST(j AS VARCHAR) || 'c'\n"
+            "          || CAST(i AS VARCHAR) AS s\n"
+            "      FROM (SELECT unnest(range(10, 30)) AS j),\n"
+            "           (SELECT unnest(range(5, 20)) AS i))"
         ),
         "geotiff_roundtrip": SQL_GEOTIFF,
         "dedup_stream_keepone": SQL_DEDUP_STREAM,

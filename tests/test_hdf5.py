@@ -4,6 +4,7 @@ attribute handling, granule pruning, decode_cf, and clear rejection of
 unsupported features."""
 
 import json
+import os
 import struct
 import zlib
 
@@ -659,3 +660,182 @@ class TestDenseAndLzfProperties:
             assert got == links
 
         check()
+
+
+class TestCompoundVlen:
+    """Compound (class 6) and variable-length (class 9) datatypes --
+    NetCDF-4 string variables and table-like products."""
+
+    REC = np.dtype([("t", "<i4"), ("j", "<i4"), ("value", "<f8"),
+                    ("tag", "S4")])
+
+    def _rec(self, n=10):
+        rec = np.zeros(n, dtype=self.REC)
+        rec["t"] = np.arange(n)
+        rec["j"] = np.arange(n) * 3
+        rec["value"] = np.linspace(-1, 1, n)
+        rec["tag"] = [f"t{k}".encode() for k in range(n)]
+        return rec
+
+    def test_compound_contiguous_roundtrip(self):
+        rec = self._rec()
+        got = decode_hdf5(
+            encode_hdf5("table", rec, ("row",)))["vars"]["table"]["data"]
+        assert got.dtype == rec.dtype
+        np.testing.assert_array_equal(got, rec)
+
+    def test_compound_chunked_deflate_roundtrip(self):
+        # shuffle works on whole records (itemsize = record size)
+        rec = self._rec(20)
+        blob = encode_hdf5("table", rec, ("row",), chunks=(8,),
+                           compress=True)
+        got = decode_hdf5(blob)["vars"]["table"]["data"]
+        np.testing.assert_array_equal(got, rec)
+
+    def test_compound_dense_v2_headers(self):
+        rec = self._rec()
+        blob = encode_hdf5("table", rec, ("row",), header_version=2,
+                           group_style="dense")
+        got = decode_hdf5(blob)["vars"]["table"]["data"]
+        np.testing.assert_array_equal(got, rec)
+
+    def test_compound_v2_and_v3_datatype_messages(self):
+        # our encoder writes v1 members; real libhdf5 also emits v2
+        # (packed like v1 minus array info) and v3 (unpadded names,
+        # minimal-size offsets).  Hand-frame both.
+        from xcube_resampling_spark.sources.hdf5 import _parse_datatype
+
+        i4 = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
+        f8 = struct.pack(
+            "<B3BI", 0x11, 0x20, 63, 0, 8
+        ) + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        # v2: name padded to 8, offset u32, member dt
+        mem_a = b"a\x00" + b"\x00" * 6 + struct.pack("<I", 0) + i4
+        mem_b = b"bb\x00" + b"\x00" * 5 + struct.pack("<I", 8) + f8
+        v2 = struct.pack("<BBBBI", 0x26, 2, 0, 0, 16) + mem_a + mem_b
+        dt = _parse_datatype(v2)
+        assert dt.names == ("a", "bb")
+        assert dt.fields["a"][0] == np.dtype("<i4")
+        assert dt.fields["bb"] == (np.dtype("<f8"), 8)
+        assert dt.itemsize == 16
+        # v3: unpadded nul-terminated name, 1-byte offset (size < 256)
+        mem_a3 = b"a\x00" + bytes([0]) + i4
+        mem_b3 = b"bb\x00" + bytes([8]) + f8
+        v3 = struct.pack("<BBBBI", 0x36, 2, 0, 0, 16) + mem_a3 + mem_b3
+        dt3 = _parse_datatype(v3)
+        assert dt3 == dt
+
+    def test_compound_attribute(self):
+        rec = self._rec(3)
+        blob = encode_hdf5(
+            "x", np.arange(4.0), ("n",),
+            var_attrs={"range": 7},
+        )
+        # hand-frame a compound scalar attribute onto the dataset is
+        # complex; instead verify via _parse_attribute directly
+        from xcube_resampling_spark.sources.hdf5 import (
+            _dt_message,
+            _parse_attribute,
+        )
+
+        dt = np.dtype([("lo", "<i4"), ("hi", "<f8")])
+        val = np.zeros((), dtype=dt)
+        val["lo"] = -3
+        val["hi"] = 2.5
+        dt_msg = _dt_message(dt)
+        ds_msg = struct.pack("<BBBB4x", 1, 0, 0, 0)  # scalar v1
+
+        def pad8(b):
+            return b + b"\x00" * (-len(b) % 8)
+
+        name = b"valid_range\x00"
+        body = struct.pack(
+            "<BxHHH", 1, len(name), len(dt_msg), len(ds_msg))
+        body += pad8(name) + pad8(dt_msg) + pad8(ds_msg)
+        body += val.tobytes()
+        got_name, got_val = _parse_attribute(body)
+        assert got_name == "valid_range"
+        assert got_val == {"lo": -3, "hi": 2.5}
+
+    def test_vlen_string_roundtrip(self):
+        vs = np.array(
+            ["hello", "", "a much longer string with spaces", "x",
+             "Ünïcode ok"], dtype=object)
+        got = decode_hdf5(
+            encode_hdf5("names", vs, ("row",)))["vars"]["names"]["data"]
+        assert list(got) == list(vs)
+
+    def test_vlen_string_2d(self):
+        vs = np.array([["a", "bb"], ["ccc", ""]], dtype=object)
+        got = decode_hdf5(
+            encode_hdf5("n2", vs, ("y", "x")))["vars"]["n2"]["data"]
+        assert got.shape == (2, 2)
+        assert got.tolist() == vs.tolist()
+
+    def test_vlen_sequence_roundtrip(self):
+        seqs = np.empty(3, dtype=object)
+        seqs[0] = np.array([1, 2, 3], "<i4")
+        seqs[1] = np.array([], "<i4")
+        seqs[2] = np.array([7, -9], "<i4")
+        got = decode_hdf5(
+            encode_hdf5("ragged", seqs, ("row",)))["vars"]["ragged"]["data"]
+        assert [list(a) for a in got] == [[1, 2, 3], [], [7, -9]]
+
+    def test_vlen_chunked_write_refused(self):
+        vs = np.array(["a", "b"], dtype=object)
+        with pytest.raises(NotImplementedError, match="contiguous"):
+            encode_hdf5("names", vs, ("row",), chunks=(1,))
+
+    def test_compound_non_numeric_member_refused(self):
+        rec = np.zeros(2, dtype=np.dtype([("a", "<i4"), ("o", "O")]))
+        with pytest.raises((NotImplementedError, TypeError)):
+            encode_hdf5("t", rec, ("row",))
+
+
+class TestHdf5Table:
+    def test_table_write_read_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            read_hdf5_table,
+            write_hdf5_table,
+        )
+
+        df = spark.range(500).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 7).cast("int").alias("cat"),
+            (F.col("id") * 0.5).alias("score"),
+            F.concat(F.lit("tag"),
+                     (F.col("id") % 5).cast("string")).alias("tag"),
+        )
+        path = str(tmp_path / "table")
+        cols = {"row_id": "<i8", "cat": "<i4", "score": "<f8",
+                "tag": "S6"}
+        write_hdf5_table(df, path, "row_id", cols, rows_per_file=128)
+        files = sorted(os.listdir(path))
+        assert "_meta.json" in files and "part-3.h5" in files
+        back = read_hdf5_table(spark, path, cols)
+        a = back.orderBy("row_id").toPandas()
+        b = df.orderBy("row_id").toPandas()
+        for c in cols:
+            np.testing.assert_array_equal(
+                a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+
+    def test_table_missing_member_raises(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            read_hdf5_table,
+            write_hdf5_table,
+        )
+
+        df = spark.range(10).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") * 2).alias("v"))
+        path = str(tmp_path / "t2")
+        write_hdf5_table(
+            df, path, "row_id", {"row_id": "<i8", "v": "<i8"})
+        bad = read_hdf5_table(
+            spark, path, {"row_id": "<i8", "missing": "<f8"})
+        with pytest.raises(Exception, match="missing"):
+            bad.collect()

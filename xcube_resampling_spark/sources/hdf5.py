@@ -20,27 +20,36 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   BTHD/BTIN/BTLF, depth <= 1 -- the ``libver=latest`` layout for
   groups with more than 8 links; ``group_style="dense"`` on write);
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
-  IEEE float, either endianness), fill value (0x0005), data layout
-  (0x0008 v3: contiguous and chunked), filter pipeline (0x000B:
-  deflate and shuffle), attribute (0x000C v1: scalar numeric, ASCII
-  string, and VARIABLE-LENGTH string via the global heap -- the form
-  h5py writes every str attribute in), object-header continuation
-  (0x0010), symbol table (0x0011);
+  IEEE float in either endianness, fixed strings, COMPOUND class 6 in
+  member-layout versions 1-3, and VARIABLE-LENGTH class 9), fill
+  value (0x0005), data layout (0x0008 v3: contiguous and chunked),
+  filter pipeline (0x000B: deflate and shuffle), attribute (0x000C
+  v1: scalar numeric, ASCII string, compound -> dict, and
+  variable-length string via the global heap -- the form h5py writes
+  every str attribute in), object-header continuation (0x0010),
+  symbol table (0x0011);
 * chunked data behind the version-1 chunk B-tree (node type 1),
   filters applied per chunk in pipeline order (shuffle then deflate
   on write, inverse on read; LZF -- h5py's filter id 32000 --
   decodes too); edge chunks stored padded, clipped on read -- the
-  same convention as zarr.
+  same convention as zarr;
+* COMPOUND datasets (NetCDF-4 table-like products) in every layout
+  incl. chunked+filtered (shuffle works on whole records), written
+  as class-6 v1 messages; variable-length STRING and SEQUENCE
+  datasets (stock netCDF-4 string variables) resolved through global
+  heap collections -- contiguous/compact layouts, null descriptors
+  tolerated, written with an in-file GCOL.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-szip/scaleoffset filters, variable-length and compound DATASETS
-(vlen-string attributes decode), filtered fractal heaps, v2 B-trees
-deeper than 1.
+szip/scaleoffset filters, filtered/chunked vlen datasets, vlen
+members inside compounds, filtered fractal heaps, v2 B-trees deeper
+than 1.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
 ``part-<band>.h5`` files written by one ``applyInPandas`` task each
 (through the pluggable ``ChunkPut``), band-pruned ``binaryFile`` reads
-decoded in ``mapInPandas``.
+decoded in ``mapInPandas``; compound tables get their own distributed
+pair (:func:`write_hdf5_table` / :func:`read_hdf5_table`).
 """
 
 from __future__ import annotations
@@ -91,8 +100,27 @@ class _Buf:
 
 
 def _dt_message(dtype: np.dtype) -> bytes:
-    """Datatype message body for fixed-point / IEEE float."""
+    """Datatype message body: fixed-point / IEEE float / fixed string
+    / compound (class 6 version 1, the layout stock libhdf5 writes for
+    NetCDF-4 table-like products)."""
     dt = np.dtype(dtype)
+    if dt.names:  # compound
+        props = b""
+        for nm in dt.names:
+            sub, off = dt.fields[nm][0], dt.fields[nm][1]
+            name_b = nm.encode() + b"\x00"
+            name_b += b"\x00" * (-len(name_b) % 8)
+            # v1 member: padded name, byte offset, dimensionality,
+            # 3 reserved, dim permutation, 4 reserved, 4 dim sizes
+            props += name_b
+            props += struct.pack("<IB3xI4x4I", off, 0, 0, 0, 0, 0, 0)
+            props += _dt_message(sub)
+        n = len(dt.names)
+        return struct.pack(
+            "<BBBBI", 0x16, n & 0xFF, (n >> 8) & 0xFF, 0, dt.itemsize
+        ) + props
+    if dt.kind == "S":
+        return _string_dt_message(dt.itemsize)
     le = dt.byteorder in ("<", "=") or (dt.byteorder == "|" and True)
     order_bit = 0 if le else 1
     if dt.kind in ("i", "u"):
@@ -366,8 +394,41 @@ def encode_hdf5(
     make_oh = (_object_header_v1 if header_version == 1
                else _object_header_v2)
     data = np.ascontiguousarray(data)
-    if data.dtype.kind not in "iuf":
-        raise NotImplementedError("numeric datasets only")
+    vlen_strs = None
+    vlen_base = None
+    if data.dtype == object:
+        # variable-length dataset: one global heap collection +
+        # contiguous (len, gcol addr, index) descriptors.  str
+        # elements -> vlen string; ndarray elements -> vlen sequence
+        # of the (common) base dtype
+        flat = list(data.reshape(-1))
+        if flat and isinstance(flat[0], np.ndarray):
+            vlen_base = flat[0].dtype
+            vlen_strs = []
+            for a in flat:
+                a = np.ascontiguousarray(a, dtype=vlen_base)
+                vlen_strs.append((a.size, a.tobytes()))
+        else:
+            vlen_strs = [
+                (len(b), b) for b in (
+                    ("" if s is None else str(s)).encode("utf-8")
+                    for s in flat
+                )
+            ]
+        if chunks is not None or compress:
+            raise NotImplementedError(
+                "vlen datasets are written contiguous only")
+    elif data.dtype.names:
+        bad = [
+            nm for nm in data.dtype.names
+            if data.dtype.fields[nm][0].kind not in "iufS"
+        ]
+        if bad:
+            raise NotImplementedError(
+                f"compound members {bad} not numeric/fixed-string")
+    elif data.dtype.kind not in "iuf":
+        raise NotImplementedError(
+            "numeric, compound, or vlen-string datasets only")
     if compress and chunks is None:
         chunks = data.shape
     buf = _Buf()
@@ -400,13 +461,39 @@ def encode_hdf5(
 
     # --- dataset payload
     fdata = data
+    if vlen_strs is not None:
+        if vlen_base is not None:  # class 9 vlen sequence
+            dt_msg = struct.pack("<BBBBI", 0x19, 0x00, 0, 0, 16) \
+                + _dt_message(vlen_base)
+        else:  # class 9 vlen string, base = 1-byte class 3 string
+            dt_msg = struct.pack("<BBBBI", 0x19, 0x01, 0, 0, 16) \
+                + _string_dt_message(1)
+    else:
+        dt_msg = _dt_message(data.dtype)
     msgs: list[tuple[int, bytes]] = [
         (0x0001, _dataspace_msg(data.shape)),
-        (0x0003, _dt_message(data.dtype)),
+        (0x0003, dt_msg),
         # fill value v2: alloc early, never written, undefined
         (0x0005, struct.pack("<BBBB", 2, 1, 0, 0)),
     ]
-    if chunks is None:
+    if vlen_strs is not None:
+        gcol_pos = buf.tell()
+        gbody = b""
+        for k, (_n, s) in enumerate(vlen_strs, start=1):
+            gbody += struct.pack("<HH4xQ", k, 1, len(s)) + s
+            gbody += b"\x00" * (-len(s) % 8)
+        gbody += struct.pack("<HH4xQ", 0, 0, 16)  # free-space object
+        buf.write(b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(gbody))
+                  + gbody)
+        data_pos = buf.tell()
+        desc = b"".join(
+            struct.pack("<IQI", n, gcol_pos, k + 1)
+            for k, (n, _s) in enumerate(vlen_strs)
+        )
+        buf.write(desc)
+        msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_pos,
+                                         len(desc))))
+    elif chunks is None:
         data_pos = buf.tell()
         raw = fdata.tobytes()
         buf.write(raw)
@@ -680,20 +767,83 @@ def _parse_dataspace(body: bytes) -> tuple[int, ...]:
     )
 
 
-def _parse_datatype(body: bytes) -> np.dtype:
-    cls = body[0] & 0x0F
-    ver = body[0] >> 4
-    bits0 = body[1]
-    (size,) = struct.unpack_from("<I", body, 4)
+class _Vlen:
+    """Marker for a variable-length datatype (class 9): elements in
+    the file are 16-byte (length, global-heap address, index)
+    descriptors; the payload lives in global heap collections."""
+
+    itemsize = 16
+
+    def __init__(self, kind: str, base):
+        self.kind = kind  # 'string' or 'sequence'
+        self.base = base
+
+    def __repr__(self):
+        return f"_Vlen({self.kind}, {self.base})"
+
+
+def _parse_dt_at(body: bytes, pos: int):
+    """Parse one datatype message at ``pos``; returns
+    ``(np.dtype | _Vlen, end_pos)``.  Recursion handles compound
+    members (versions 1-3) and vlen base types."""
+    b0 = body[pos]
+    cls, ver = b0 & 0x0F, b0 >> 4
+    bits0, bits1 = body[pos + 1], body[pos + 2]
+    (size,) = struct.unpack_from("<I", body, pos + 4)
     endian = ">" if (bits0 & 1) else "<"
-    if cls == 0:  # fixed point
+    p = pos + 8
+    if cls == 0:  # fixed point: props = bit offset + precision
         signed = bool(bits0 & 0x08)
-        return np.dtype(f"{endian}{'i' if signed else 'u'}{size}")
-    if cls == 1:  # float
-        return np.dtype(f"{endian}f{size}")
-    if cls == 3:  # string
-        return np.dtype(f"S{size}")
+        return np.dtype(
+            f"{endian}{'i' if signed else 'u'}{size}"), p + 4
+    if cls == 1:  # float: props = offsets/sizes/bias (12 bytes)
+        return np.dtype(f"{endian}f{size}"), p + 12
+    if cls == 3:  # fixed string: no props
+        return np.dtype(f"S{size}"), p
+    if cls == 6:  # compound
+        n = bits0 | (bits1 << 8)
+        names, formats, offsets = [], [], []
+        for _ in range(n):
+            end = body.index(b"\x00", p)
+            name = body[p:end].decode()
+            nlen = end - p + 1
+            if ver in (1, 2):
+                p += nlen + (-nlen % 8)  # padded to 8
+                (off,) = struct.unpack_from("<I", body, p)
+                p += 4
+                if ver == 1:
+                    # dimensionality + reserved + permutation +
+                    # reserved + 4 dim sizes
+                    p += 1 + 3 + 4 + 4 + 16
+            elif ver == 3:
+                p += nlen  # not padded
+                nb = (1 if size < 256 else 2 if size < 65536
+                      else 4 if size < 2 ** 32 else 8)
+                off = int.from_bytes(body[p:p + nb], "little")
+                p += nb
+            else:
+                raise NotImplementedError(
+                    f"compound datatype version {ver}")
+            sub, p = _parse_dt_at(body, p)
+            if isinstance(sub, _Vlen):
+                raise NotImplementedError(
+                    "vlen member inside a compound datatype")
+            names.append(name)
+            formats.append(sub)
+            offsets.append(off)
+        return np.dtype({
+            "names": names, "formats": formats,
+            "offsets": offsets, "itemsize": size,
+        }), p
+    if cls == 9:  # variable-length
+        kind = "string" if (bits0 & 0x0F) == 1 else "sequence"
+        base, p = _parse_dt_at(body, p)
+        return _Vlen(kind, base), p
     raise NotImplementedError(f"datatype class {cls} not supported")
+
+
+def _parse_datatype(body: bytes):
+    return _parse_dt_at(body, 0)[0]
 
 
 def _global_heap_object(blob: bytes, addr: int, index: int) -> bytes:
@@ -748,6 +898,24 @@ def _parse_attribute(body: bytes, blob: bytes = b""):
             vals.append(raw.decode("utf-8", errors="replace"))
         return name, (vals if shape else vals[0])
     dt = _parse_datatype(dt_body)
+    if dt.names:  # compound attribute -> dict per element
+        n = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(data, dtype=dt, count=n)
+
+        def conv(rec):
+            out = {}
+            for nm in dt.names:
+                sub = dt.fields[nm][0]
+                v = rec[nm]
+                if sub.kind in "iu":
+                    out[nm] = int(v)
+                elif sub.kind == "f":
+                    out[nm] = float(v)
+                else:
+                    out[nm] = bytes(v).split(b"\x00")[0].decode()
+            return out
+
+        return name, ([conv(r) for r in arr] if shape else conv(arr[0]))
     if dt.kind == "S":
         return name, data[: dt.itemsize].split(b"\x00")[0].decode()
     n = int(np.prod(shape)) if shape else 1
@@ -1102,6 +1270,55 @@ def _apply_filters_inverse(
     return raw
 
 
+def _read_vlen_dataset(blob, layout, shape, dtype: "_Vlen", filters):
+    """Variable-length dataset (class 9): read the 16-byte descriptor
+    records, then resolve each element from its global heap
+    collection.  Strings decode to ``str``; sequences to numpy arrays
+    of the base type.  Contiguous and compact layouts only (stock
+    netCDF-4 writes vlen string datasets contiguous)."""
+    if filters:
+        raise NotImplementedError("filtered vlen datasets")
+    if layout[0] != 3:
+        raise NotImplementedError(
+            f"layout message version {layout[0]} not supported")
+    lclass = layout[1]
+    n = int(np.prod(shape)) if shape else 1
+    out = np.empty(n, dtype=object)
+    if lclass == 1:
+        addr, size = struct.unpack_from("<QQ", layout, 2)
+        if addr == _UNDEF:
+            raw = b""
+        else:
+            raw = blob[addr:addr + size]
+    elif lclass == 0:
+        (size,) = struct.unpack_from("<H", layout, 2)
+        raw = layout[4:4 + size]
+    else:
+        raise NotImplementedError(
+            "vlen datasets: contiguous/compact layouts only")
+    if not raw:
+        out[:] = "" if dtype.kind == "string" else None
+        return out.reshape(shape)
+    desc = np.frombuffer(
+        raw, dtype=np.dtype(
+            [("len", "<u4"), ("addr", "<u8"), ("idx", "<u4")]),
+        count=n)
+    for k in range(n):
+        ln = int(desc["len"][k])
+        addr, idx = int(desc["addr"][k]), int(desc["idx"][k])
+        if idx == 0 or addr in (0, _UNDEF):
+            # null descriptor (libhdf5's empty/never-written element)
+            ob = b""
+            ln = 0
+        else:
+            ob = _global_heap_object(blob, addr, idx)
+        if dtype.kind == "string":
+            out[k] = ob[:ln].decode("utf-8", errors="replace")
+        else:
+            out[k] = np.frombuffer(ob, dtype=dtype.base, count=ln)
+    return out.reshape(shape)
+
+
 def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters,
                   fill=None):
     arr = np.full(shape, fill, dtype=dtype) if fill is not None \
@@ -1187,6 +1404,16 @@ def decode_hdf5(blob: bytes) -> dict:
             _parse_filters(by_type[0x000B][0])
             if 0x000B in by_type else []
         )
+        if isinstance(dtype, _Vlen):
+            out_vars[name] = {
+                "data": _read_vlen_dataset(
+                    blob, by_type[0x0008][0], shape, dtype, filters),
+                "attrs": dict(
+                    _parse_attribute(b, blob)
+                    for t, b in msgs if t == 0x000C),
+                "dims": None,
+            }
+            continue
         fill = None
         if 0x0005 in by_type:
             fill = _parse_fill_value(by_type[0x0005][0], dtype)
@@ -1200,8 +1427,9 @@ def decode_hdf5(blob: bytes) -> dict:
             addr, size = struct.unpack_from("<QQ", layout, 2)
             if addr == _UNDEF:
                 # dataset allocated but never written: all-fill
-                data = np.full(shape, fill if fill is not None else 0,
-                               dtype=dtype)
+                data = (np.full(shape, fill, dtype=dtype)
+                        if fill is not None
+                        else np.zeros(shape, dtype=dtype))
             else:
                 data = np.frombuffer(
                     blob[addr:addr + size], dtype=dtype
@@ -1214,8 +1442,9 @@ def decode_hdf5(blob: bytes) -> dict:
                 for i in range(nd1 - 1)
             )
             if bt_addr == _UNDEF:
-                data = np.full(shape, fill if fill is not None else 0,
-                               dtype=dtype)
+                data = (np.full(shape, fill, dtype=dtype)
+                        if fill is not None
+                        else np.zeros(shape, dtype=dtype))
             else:
                 data = _read_chunked(
                     blob, bt_addr, shape, chunks, dtype, filters,
@@ -1414,3 +1643,155 @@ def read_hdf5(
             & (F.col("j") >= j0) & (F.col("j") < j1)
         )
     return df
+
+
+# ------------------------------------------------------------------ #
+# compound "table" datasets (NetCDF-4 table-like products)
+
+_TABLE_SPARK_TYPES = {
+    "i1": T.IntegerType(), "i2": T.IntegerType(),
+    "i4": T.IntegerType(), "i8": T.LongType(),
+    "u1": T.IntegerType(), "u2": T.IntegerType(), "u4": T.LongType(),
+    "f4": T.FloatType(), "f8": T.DoubleType(),
+}
+
+
+def _table_spark_field(name: str, dt: str) -> T.StructField:
+    d = np.dtype(dt)
+    if d.kind == "S":
+        return T.StructField(name, T.StringType(), False)
+    key = f"{d.kind}{d.itemsize}"
+    if key not in _TABLE_SPARK_TYPES:
+        raise NotImplementedError(f"table member dtype {dt}")
+    return T.StructField(name, _TABLE_SPARK_TYPES[key], False)
+
+
+def write_hdf5_table(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    columns: dict[str, str],
+    var_name: str = "table",
+    rows_per_file: int = 65536,
+    chunk_put: ChunkPut | None = None,
+    attrs: dict | None = None,
+    compress: bool = False,
+    header_version: int = 1,
+    group_style: str = "symbol_table",
+) -> None:
+    """Write row data as a granule directory of 1-D COMPOUND datasets
+    -- the NetCDF-4 "table-like product" shape (one record per row,
+    members from ``columns``: name -> numpy dtype string, fixed
+    strings as ``'S<n>'``).
+
+    Files shard by ``key_col // rows_per_file`` (one ``applyInPandas``
+    task per shard, rows sorted by key within the file, all bytes
+    through ``chunk_put``) -- the same scale shape as
+    :func:`write_hdf5`: at 100 TB this is a single hash shuffle into
+    bounded ~record-count files, no driver materialization."""
+    put = chunk_put if chunk_put is not None else FsChunkPut(path)
+    cols = dict(columns)
+    if key_col not in cols:
+        raise ValueError("key_col must be one of the table columns")
+    rec_dtype = np.dtype([(c, cols[c]) for c in cols])
+    out_schema = T.StructType(
+        [T.StructField("file", T.StringType(), False)])
+    g_attrs = dict(attrs or {})
+
+    def write_shard(key, pdf):
+        pdf = pdf.sort_values(key_col)
+        rec = np.zeros(len(pdf), dtype=rec_dtype)
+        for c in cols:
+            d = np.dtype(cols[c])
+            if d.kind == "S":
+                rec[c] = (
+                    pdf[c].astype(str).str.encode("utf-8").to_numpy()
+                )
+            else:
+                rec[c] = pdf[c].to_numpy().astype(d)
+        blob = encode_hdf5(
+            var_name, rec, ("row",),
+            global_attrs=g_attrs,
+            compress=compress,
+            chunks=(max(len(rec), 1),) if compress else None,
+            header_version=header_version,
+            group_style=group_style,
+        )
+        fname = f"part-{int(key[0])}.h5"
+        put.put(fname, blob)
+        return pd.DataFrame({"file": [fname]})
+
+    keyed = df.select(
+        (F.col(key_col) / rows_per_file).cast("int").alias("_shard"),
+        *cols,
+    )
+    keyed.groupBy("_shard").applyInPandas(
+        write_shard, out_schema).count()
+    put.put(
+        "_meta.json",
+        json.dumps({
+            "var": var_name, "table": True,
+            "columns": {c: str(np.dtype(cols[c])) for c in cols},
+            "key": key_col, "rows_per_file": rows_per_file,
+        }).encode(),
+    )
+
+
+def read_hdf5_table(
+    spark: SparkSession,
+    path: str,
+    columns: dict[str, str],
+    var_name: str = "table",
+) -> DataFrame:
+    """Read a compound-dataset granule directory (or single .h5 file)
+    back as one Spark column per member.  ``columns`` mirrors the
+    write-side dict (it fixes the Spark schema without a driver-side
+    file peek); members present in the file but absent from
+    ``columns`` are ignored, missing ones raise.  Decoding is the
+    same distributed binaryFile + ``mapInPandas`` shape as
+    :func:`read_hdf5`."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith((".h5", ".nc", ".nc4"))
+        )
+    else:
+        files = [path]
+    schema = T.StructType(
+        [_table_spark_field(c, d) for c, d in columns.items()])
+    if not files:
+        return spark.createDataFrame([], schema=schema)
+    binf = spark.read.format("binaryFile").load(files)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for content in pdf["content"]:
+                parsed = decode_hdf5(bytes(content))
+                var = parsed["vars"].get(var_name)
+                if var is None:
+                    continue
+                rec = var["data"]
+                if rec.dtype.names is None:
+                    raise ValueError(
+                        f"dataset {var_name} is not a compound table")
+                cols = {}
+                for c, d in columns.items():
+                    if c not in rec.dtype.names:
+                        raise ValueError(
+                            f"member {c!r} missing from table "
+                            f"(has {rec.dtype.names})")
+                    v = rec[c]
+                    if np.dtype(d).kind == "S":
+                        cols[c] = [
+                            b.split(b"\x00")[0].decode(
+                                "utf-8", errors="replace")
+                            for b in v.tolist()
+                        ]
+                    else:
+                        cols[c] = v
+                outs.append(pd.DataFrame(cols))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return binf.select("content").mapInPandas(decode, schema)
