@@ -403,3 +403,45 @@ class TestLibzstdInterop:
                           tables="fitted")
         assert c.decompress(f, decompressed_size=len(d),
                             asbytes=True) == d
+
+
+class TestZarr2Zstd:
+    def test_write_read_roundtrip_numcodecs_shape(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+        h, w = 20, 30
+        df = spark.range(h * w).select(
+            F.lit(0).cast("int").alias("t"),
+            (F.col("id") / w).cast("int").alias("j"),
+            (F.col("id") % w).cast("int").alias("i"),
+            (F.col("id") % 13 * 0.5).cast("double").alias("value"),
+        )
+        path = str(tmp_path / "cube.zarr")
+        write_zarr(df, path, "band", (h, w), (8, 16),
+                   compressor="zstd")
+        meta = json.loads(
+            (tmp_path / "cube.zarr" / "band" / ".zarray").read_text())
+        assert meta["compressor"]["id"] == "zstd"
+        # chunks are BARE zstd frames (the numcodecs Zstd shape) --
+        # when a real libzstd is present, cross-decode one
+        raw = (tmp_path / "cube.zarr" / "band" / "0.0").read_bytes()
+        assert raw[:4] == _MAGIC
+        try:
+            import pyarrow as pa
+
+            real = pa.Codec("zstd")
+            n = 8 * 16 * 8
+            assert real.decompress(
+                raw, decompressed_size=n, asbytes=True) \
+                == zstd.decompress(raw)
+        except Exception:
+            pass
+        got = read_zarr(spark, path, "band").toPandas().sort_values(
+            ["j", "i"])
+        exp = df.toPandas().sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())

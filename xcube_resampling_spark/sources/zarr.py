@@ -21,10 +21,12 @@ Spark-first mapping (SURVEY.md section 2.2 #5):
   equivalent to parquet partition pruning.  Decode (zlib/raw ->
   ``np.frombuffer`` -> reshape -> clip edge padding) runs in
   ``mapInPandas`` per file, emitting long-format pixel rows.
-* compressors: ``zlib`` (stdlib), ``null`` (raw), and ``blosc`` via the
-  in-repo pure-numpy blosc1 codec (sources/blosc1.py -- zlib inner
-  streams and stored-raw streams; compressed blosclz/lz4/zstd streams
-  raise with a clear message).
+* compressors: ``zlib`` (stdlib), ``null`` (raw), plain ``lz4``
+  (numcodecs u32-size framing over the in-repo block codec,
+  sources/lz4.py), plain ``zstd`` (bare RFC 8878 frames, the
+  numcodecs Zstd shape, sources/zstd.py), and ``blosc`` via the
+  in-repo pure-numpy blosc1 codec (zlib/lz4/zstd inner streams and
+  stored-raw; compressed blosclz/snappy raise with a clear message).
 * chunk placement is pluggable: executors write through a ``ChunkPut``
   object (default ``FsChunkPut`` for local/NFS/fuse paths; an
   object-store implementation only needs ``put(key, bytes)``), so the
@@ -44,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xcube_resampling_spark.sources import blosc1, lz4
+from xcube_resampling_spark.sources import blosc1, lz4, zstd
 
 
 class ChunkPut:
@@ -290,11 +292,12 @@ def _check_compressor(meta: dict) -> str:
     comp = meta.get("compressor")
     if comp is None:
         return "null"
-    if comp.get("id") in ("zlib", "blosc", "lz4"):
+    if comp.get("id") in ("zlib", "blosc", "lz4", "zstd"):
         return comp["id"]
     raise NotImplementedError(
         f"zarr compressor '{comp.get('id')}' not available in this build "
-        "(zlib, lz4, blosc (zlib/lz4/raw inner streams), or null)"
+        "(zlib, lz4, zstd, blosc (zlib/lz4/zstd/raw inner streams), "
+        "or null)"
     )
 
 
@@ -340,10 +343,11 @@ def _write_zarr_metadata(
     compressor: str,
     attrs: dict | None,
 ) -> None:
-    if compressor not in ("zlib", "null", "blosc", "blosc-lz4", "lz4"):
+    if compressor not in ("zlib", "null", "blosc", "blosc-lz4",
+                          "lz4", "zstd"):
         raise NotImplementedError(
             "compressor must be 'zlib', 'blosc', 'blosc-lz4', 'lz4', "
-            "or 'null'"
+            "'zstd', or 'null'"
         )
     nd = len(shape)
     if nd not in (2, 3) or len(chunks) != nd:
@@ -368,6 +372,9 @@ def _write_zarr_metadata(
         }
     elif compressor == "lz4":
         comp_meta = {"id": "lz4", "acceleration": 1}
+    elif compressor == "zstd":
+        # numcodecs Zstd: a bare RFC 8878 frame, no extra framing
+        comp_meta = {"id": "zstd", "level": 0}
     else:
         comp_meta = None
     zarray = {
@@ -447,6 +454,8 @@ def _write_zarr_chunks(
                 raw, typesize=8, shuffle=True, cname="lz4")
         elif compressor == "lz4":
             raw = lz4.compress_framed(raw)
+        elif compressor == "zstd":
+            raw = zstd.compress(raw)
         name = (
             f"{kj}.{ki}" if nd == 2 else f"{kt}.{kj}.{ki}"
         )
@@ -945,6 +954,8 @@ def read_zarr(
             raw = blosc1.decode(raw)
         elif comp == "lz4":
             raw = lz4.decompress_framed(raw)
+        elif comp == "zstd":
+            raw = zstd.decompress(raw)
         block = np.frombuffer(raw, dtype=dtype).reshape(
             ct_t, ct_j, ct_i
         )
