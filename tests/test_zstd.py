@@ -391,6 +391,21 @@ class TestLibzstdInterop:
                                asbytes=True)
             assert got == d, f"case {i}"
 
+
+    def test_decode_streaming_frames(self):
+        # pa.CompressedOutputStream emits STREAMING frames: window
+        # descriptor, no frame content size (descriptor 0x00) -- the
+        # shape the zstd CLI writes
+        import pyarrow as pa
+
+        data = b"streaming frame test " * 500
+        buf = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(buf, "zstd") as st:
+            st.write(data)
+        frame = buf.getvalue().to_pybytes()
+        assert frame[4] == 0x00  # no single-segment, no FCS
+        assert zstd.decompress(frame) == data
+
     def test_libzstd_decodes_multiblock(self):
         # > _MAX_BLOCK forces multiple blocks; cross-block match
         # windows and table-carry must survive a real decoder
