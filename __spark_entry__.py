@@ -4452,27 +4452,34 @@ def q_zarr_roundtrip(spark, sf_dir):
 
 
 def q_zarr3_roundtrip(spark, sf_dir):
-    """Zarr v3 sink + source end-to-end (sources/zarr3.py): v3 array
-    metadata (zarr.json, bytes+gzip codec chain, default c/<j>/<i>
-    chunk keys), distributed chunk write, chunk-pruned read -- the
-    current zarr core spec next to the v2 path.  Same window as
-    store_roundtrip, so it shares SQL_CLIP."""
+    """Zarr v3 sink + source end-to-end (sources/zarr3.py), one leg
+    per codec chain in a tagged union: v3 array metadata (zarr.json,
+    default c/<j>/<i> chunk keys), distributed chunk write,
+    chunk-pruned read -- the current zarr core spec next to the v2
+    path.  Legs: 'gzip' (bytes+gzip) and 'zstd' (bytes+zstd, the v3
+    DEFAULT compressor, spec-framed RFC 8878 chunks through the
+    in-repo codec).  Same window as store_roundtrip, so both legs
+    share SQL_CLIP."""
     import tempfile
 
     from xcube_resampling_spark.sources import read_zarr3, write_zarr3
 
-    path = tempfile.gettempdir() + "/xcrs_zarr3_roundtrip"
-    write_zarr3(
-        _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
-        codec="gzip",
-    )
-    back = read_zarr3(spark, path, "value", bbox_ij=(5, 10, 20, 30))
-    return back.select(
-        "t",
-        (F.col("j") - 10).cast("int").alias("j"),
-        (F.col("i") - 5).cast("int").alias("i"),
-        F.round("value", 6).alias("value"),
-    )
+    legs = []
+    for codec in ("gzip", "zstd"):
+        path = tempfile.gettempdir() + f"/xcrs_zarr3_roundtrip_{codec}"
+        write_zarr3(
+            _raster(spark, sf_dir), path, "value", (RH, RW), (16, 16),
+            codec=codec,
+        )
+        back = read_zarr3(spark, path, "value", bbox_ij=(5, 10, 20, 30))
+        legs.append(back.select(
+            F.lit(codec).alias("fmt"),
+            "t",
+            (F.col("j") - 10).cast("int").alias("j"),
+            (F.col("i") - 5).cast("int").alias("i"),
+            F.round("value", 6).alias("value"),
+        ))
+    return legs[0].unionByName(legs[1])
 
 
 def q_zarr_affine_pipeline(spark, sf_dir):
@@ -6221,7 +6228,11 @@ def oracle_sql() -> dict[str, str]:
         "resample_identity": SQL_IDENTITY,
         "reproject_methods": _reproject_methods_sql(),
         "reproject_crs_families": _reproject_families_oracle_sql(),
-        "zarr3_roundtrip": SQL_CLIP,
+        "zarr3_roundtrip": (
+            f"SELECT 'gzip' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\n"
+            f"SELECT 'zstd' AS fmt, q.* FROM ({SQL_CLIP}) q"
+        ),
         "netcdf_roundtrip": (
             f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"

@@ -358,22 +358,25 @@ def _n_exchanges(df) -> int:
 
 def _plateau_runs(action, max_runs=8, tol=0.15):
     """Warm until steady state instead of a fixed run budget: stop as
-    soon as two CONSECUTIVE runs agree within ``tol`` (ratio test),
-    cap at ``max_runs``.  Returns ``(runs, plateau, certified_run)``
-    where ``certified_run`` is the 0-based index of the run that
-    confirmed the plateau (None when the cap was hit first).  Fixed
-    budgets on this box are a lottery: measured identical-plan
-    sequences like 88.6/91.3/12.7/9.0 s put steady state past run 3,
-    while a fixed 5-run loop wastes 4 runs on queries that settle by
-    run 2."""
+    soon as THREE consecutive runs all agree within ``tol`` (ratio of
+    the window's min to its max), cap at ``max_runs``.  Returns
+    ``(runs, plateau, certified_run)`` where ``certified_run`` is the
+    0-based index of the run that confirmed the plateau (None when
+    the cap was hit first).  A two-run test is not enough: measured
+    identical-plan sequences like 88.6/91.3/12.7/9.0 s open with two
+    agreeing COLD runs, which a pair-test would certify at 88.6 s --
+    ~10x above the 9 s steady state.  The third run must confirm, so
+    a cold pair followed by the JIT drop keeps the loop warming;
+    stable queries still finish in 3 runs instead of the old fixed
+    5."""
     runs = []
     for i in range(max_runs):
         t0 = time.perf_counter()
         action()
         runs.append(time.perf_counter() - t0)
-        if len(runs) >= 2:
-            a, b = runs[-2], runs[-1]
-            if min(a, b) / max(a, b) >= 1.0 - tol:
+        if len(runs) >= 3:
+            window = runs[-3:]
+            if min(window) / max(window) >= 1.0 - tol:
                 return runs, True, i
     return runs, False, None
 

@@ -160,3 +160,23 @@ class TestSignedS3:
         got = {(r.j, r.i): r.value for r in back}
         assert got == {(j, i): float(j * w + i)
                        for j in range(h) for i in range(w)}
+
+
+def test_empty_put_never_multipart(tmp_path):
+    """A zero-part CompleteMultipartUpload is invalid against real
+    S3: empty bodies must go as one plain PUT even when the
+    multipart threshold is 0."""
+    from xcube_resampling_spark.sources.s3 import (
+        LocalS3Server,
+        S3ChunkStore,
+    )
+
+    with LocalS3Server(str(tmp_path / "b")) as srv:
+        store = S3ChunkStore(
+            srv.url, "bucket", multipart_threshold=0,
+            part_size=5 * 1024 * 1024)
+        store.put("empty.bin", b"")
+        assert store.get("empty.bin") == b""
+        # and non-empty bodies at threshold 0 still go multipart
+        store.put("small.bin", b"xy")
+        assert store.get("small.bin") == b"xy"

@@ -460,3 +460,57 @@ class TestZarr2Zstd:
         exp = df.toPandas().sort_values(["j", "i"])
         np.testing.assert_array_equal(
             got["value"].to_numpy(), exp["value"].to_numpy())
+
+
+class TestReviewRegressions:
+    """Round-9 self-review findings."""
+
+    def test_long_nseq_form(self):
+        # > 0x7F00 sequences per block needs the 3-byte 0xFF header
+        # form; the encoder previously refused and crashed compress()
+        # on dense-match inputs
+        seqs = [(1, 1, 3)] + [(0, 1, 3)] * 33000
+        sect, _ = zstd._sequences_section(seqs, "predefined")
+        assert sect[0] == 255
+        n, used = zstd._read_nseq(sect)
+        assert n == 33001 and used == 3
+        body = zstd._raw_literals_section(b"a") + sect
+        out_len = 1 + 3 * 33001
+        frame = _MAGIC + bytes([0xA0]) + struct.pack("<I", out_len)
+        frame += (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        frame += body
+        assert zstd.decompress(frame) == b"a" * out_len
+        c = _real_zstd()
+        if c is not None:
+            assert c.decompress(frame, decompressed_size=out_len,
+                                asbytes=True) == b"a" * out_len
+
+    def test_dense_match_input_compresses(self):
+        # a 128 KB stream of 4-byte tokens where nearly every aligned
+        # token has a prior match -- tens of thousands of sequences in
+        # one block (previously ValueError past 0x7F00)
+        rng = np.random.default_rng(42)
+        toks = [bytes(t) for t in
+                rng.integers(0, 256, (182, 4), dtype=np.uint8)]
+        ids = rng.integers(0, 182, 32768)
+        data = b"".join(toks[i] for i in ids)
+        f = zstd.compress(data)
+        assert zstd.decompress(f) == data
+        c = _real_zstd()
+        if c is not None:
+            assert c.decompress(f, decompressed_size=len(data),
+                                asbytes=True) == data
+
+    def test_match_window_bounded_to_current_frame(self):
+        # RFC 8878: a match may not reach before the current frame's
+        # start.  A corrupt second frame must fail loudly, not copy
+        # bytes from the first frame.
+        f1 = zstd.compress(b"X" * 64)
+        # frame 2: no literals, one sequence with offset 32 into...
+        # nothing (its own frame is empty so far)
+        sect, _ = zstd._sequences_section([(0, 32, 8)], "predefined")
+        body = zstd._raw_literals_section(b"") + sect
+        f2 = _MAGIC + _frame_header(8)
+        f2 += _block(body, 2, 1, len(body))
+        with pytest.raises(ValueError, match="window"):
+            zstd.decompress(f1 + f2)

@@ -213,7 +213,7 @@ def _classify(length, words, link_chars, stop_hits,
     if link_density > max_link_density:
         return "bad"
     if length < length_low:
-        return "short" if link_density <= max_link_density else "bad"
+        return "short"
     if stop_density >= stop_high:
         return "good" if length > length_high else "neargood"
     if stop_density >= stop_low:

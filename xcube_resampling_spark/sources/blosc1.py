@@ -53,6 +53,7 @@ import zlib
 import numpy as np
 
 from xcube_resampling_spark.sources import lz4 as _lz4
+from xcube_resampling_spark.sources import zstd as _zstd
 
 _MEMCPY = 0x2
 _SHUFFLE = 0x1
@@ -137,8 +138,6 @@ def decode(frame: bytes) -> bytes:
                     bytes(frame[off:off + csize]), want)
                 parts.append(raw)
             elif codec == _ZSTD_ID:
-                from xcube_resampling_spark.sources import zstd as _zstd
-
                 raw = _zstd.decompress(bytes(frame[off:off + csize]))
                 if len(raw) != want:
                     raise ValueError(

@@ -89,8 +89,10 @@ class S3ChunkStore(ChunkPut):
     def put(self, key: str, data: bytes) -> None:
         # threshold alone decides: a single-part multipart upload is
         # valid S3, so objects between threshold and part_size must not
-        # silently fall back to one plain PUT
-        if len(data) >= self.multipart_threshold:
+        # silently fall back to one plain PUT.  Empty bodies always go
+        # as a plain PUT -- a zero-part CompleteMultipartUpload is
+        # invalid against real S3.
+        if data and len(data) >= self.multipart_threshold:
             self._put_multipart(key, data)
             return
         with self._request("PUT", self._url(key), data) as resp:

@@ -555,27 +555,10 @@ def _encode_huf_weights_fse(ws: list[int]) -> bytes | None:
         return None
     al = 5
     size = 1 << al
-    max_sym = max(counts)
-    probs = [0] * (max_sym + 1)
-    total = n
-    for v, c in sorted(counts.items()):
-        probs[v] = max(1, round(c * size / total))
-    cap = size >> 1
-    for v in range(len(probs)):
-        if probs[v] > cap:
-            probs[v] = cap
-    drift = size - sum(probs)
-    order = sorted(counts, key=counts.get, reverse=True)
-    k = 0
-    while drift != 0:
-        v = order[k % len(order)]
-        step = 1 if drift > 0 else -1
-        if 1 <= probs[v] + step <= cap:
-            probs[v] += step
-            drift -= step
-        k += 1
-        if k > 10 * len(order) + 16:
-            return None
+    try:
+        probs = _normalize_probs(counts, al, cap=size >> 1)
+    except ValueError:
+        return None
     while probs and probs[-1] == 0:
         probs.pop()
     desc = _write_fse_distribution(al, probs)
@@ -853,10 +836,11 @@ def _decode_sequences(
             raise ValueError("zstd sequence literals overrun")
         out += lits[lit_pos:lit_pos + lit_len]
         lit_pos += lit_len
-        if offset > len(out):
+        if offset > len(out) - frame_state.get("base", 0):
             raise ValueError(
                 f"zstd match offset {offset} exceeds window "
-                f"({len(out)} bytes)")
+                f"({len(out) - frame_state.get('base', 0)} bytes of "
+                "the current frame)")
         start = len(out) - offset
         if offset >= match_len:
             out += out[start:start + match_len]
@@ -934,6 +918,11 @@ def _decode_frame(data: bytes, pos: int, out: bytearray) -> int:
         pos += fcs_len
     frame_state: dict = {}
     frame_start = len(out)
+    # matches may only reach back to the current frame's start
+    # (RFC 8878 window rule); without this, a corrupt second frame in
+    # concatenated input would silently copy the previous frame's
+    # bytes instead of failing loudly
+    frame_state["base"] = frame_start
     while True:
         if len(data) - pos < 3:
             raise ValueError("zstd block header truncated")
@@ -1066,21 +1055,26 @@ _ML_PREDEF = ("fse", _ML_DEF_AL, _build_fse_table(_ML_DEF_AL, _ML_DEF))
 _OF_PREDEF = ("fse", _OF_DEF_AL, _build_fse_table(_OF_DEF_AL, _OF_DEF))
 
 
-def _normalize_probs(counts: dict[int, int], al: int) -> list[int]:
+def _normalize_probs(
+    counts: dict[int, int], al: int, cap: int | None = None
+) -> list[int]:
     """Histogram -> FSE probabilities: every present symbol gets >= 1
-    slot, total exactly ``1 << al``."""
+    slot, total exactly ``1 << al``.  ``cap`` bounds any single
+    probability (the Huffman-weights table needs <= half the table so
+    every state update consumes >= 1 bit)."""
     size = 1 << al
+    hi = size if cap is None else cap
     total = sum(counts.values())
     probs = [0] * (max(counts) + 1)
     for v, c in counts.items():
-        probs[v] = max(1, round(c * size / total))
+        probs[v] = min(hi, max(1, round(c * size / total)))
     drift = size - sum(probs)
     order = sorted(counts, key=counts.get, reverse=True)
     k = 0
     while drift != 0:
         v = order[k % len(order)]
         step = 1 if drift > 0 else -1
-        if probs[v] + step >= 1:
+        if 1 <= probs[v] + step <= hi:
             probs[v] += step
             drift -= step
         k += 1
@@ -1136,14 +1130,20 @@ def _sequences_section(
     reuse ``prev_tables`` from the previous block).  Returns
     (bytes, tables) so a following block can repeat the tables."""
     n = len(seqs)
-    if n >= 0x7F00:
+    if n >= 0x7F00 + 0x10000:
+        # a 128 KB block holds < 44K three-byte matches, so this is a
+        # logic-error guard, not a reachable input condition
         raise ValueError("zstd encoder: too many sequences per block")
     head = bytearray()
     if n < 128:
         head.append(n)
-    else:
+    elif n < 0x7F00:
         head.append(128 + (n >> 8))
         head.append(n & 0xFF)
+    else:  # long form: 0xFF + little-endian (n - 0x7F00)
+        head.append(255)
+        head.append((n - 0x7F00) & 0xFF)
+        head.append(((n - 0x7F00) >> 8) & 0xFF)
     ll_codes = [_ll_code(ll) for ll, _, _ in seqs]
     of_vals = [off + 3 for _, off, _ in seqs]
     of_codes = [v.bit_length() - 1 for v in of_vals]
