@@ -480,3 +480,44 @@ def _ac_symbols_for_block(zz):
     if r:
         syms.add(0x00)
     return syms
+
+
+class TestProgressiveRestartsAnd422:
+    def test_422_subsampling_roundtrip(self):
+        img = _gradient(33, 45)
+        enc = encode_jpeg(img, 90, "422")
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > 32
+        # 422 sits between 444 and 420 in size
+        s444 = len(encode_jpeg(img, 90, "444"))
+        s420 = len(encode_jpeg(img, 90, "420"))
+        assert s420 < len(enc) < s444
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    def test_progressive_422_twin(self, sub):
+        img = _gradient(33, 45)
+        b = decode_jpeg(encode_jpeg(img, 90, sub))
+        p = decode_jpeg(encode_jpeg_progressive(img, 90,
+                                                subsampling=sub))
+        np.testing.assert_array_equal(b, p)
+
+    @pytest.mark.parametrize("ri", [1, 3, 7])
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    def test_progressive_restart_markers(self, ri, sub):
+        # RSTn in EVERY scan kind (interleaved DC, raw-bit DC refine,
+        # non-interleaved AC first/refine) -- the decoder must reset
+        # predictors and EOB runs at each marker
+        img = _gradient(33, 45)
+        enc = encode_jpeg_progressive(img, 90, subsampling=sub,
+                                      restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+        base = decode_jpeg(encode_jpeg(img, 90, sub))
+        np.testing.assert_array_equal(decode_jpeg(enc), base)
+
+    def test_progressive_restart_grayscale(self):
+        g = _gradient(24, 40)[..., 0]
+        enc = encode_jpeg_progressive(g, 90, restart_interval=2)
+        np.testing.assert_array_equal(
+            decode_jpeg(enc), decode_jpeg(encode_jpeg(g, 90)))

@@ -10,13 +10,14 @@ matrix form), Annex-K quantization tables scaled by the libjpeg
 quality formula, zigzag + DC DPCM + AC run-length coding,
 standard-shaped canonical Huffman tables (embedded in DHT, so ANY
 conforming decoder reads them -- validity does not depend on matching
-libjpeg's defaults bit-for-bit), 4:4:4 or 4:2:0 chroma subsampling,
-grayscale or RGB (BT.601 full-range YCbCr), optional restart markers.
+libjpeg's defaults bit-for-bit), 4:4:4 / 4:2:2 / 4:2:0 chroma
+subsampling, grayscale or RGB (BT.601 full-range YCbCr), optional
+restart markers.
 :func:`encode_jpeg_progressive` -- SOF2 output with a 4-kind scan
 script (DC first + DC refinement + per-component AC first + AC
-refinement) that exercises every progressive decode path; shares the
-baseline encoder's quantizer, so the two encodings of one image
-decode bit-identically.
+refinement) that exercises every progressive decode path, optional
+restart markers in every scan kind; shares the baseline encoder's
+quantizer, so the two encodings of one image decode bit-identically.
 
 Decoder
 -------
@@ -360,7 +361,8 @@ def encode_jpeg(
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 to a
     baseline JFIF JPEG.  ``subsampling``: ``'444'`` (no chroma
-    subsampling) or ``'420'`` (2x2 -- the web default);
+    subsampling), ``'422'`` (2x1 horizontal), or ``'420'`` (2x2 --
+    the web default);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (the error-resilience feature real camera files use)."""
     h, w, planes, sampling = _prep_planes(img, subsampling)
@@ -460,7 +462,17 @@ def _prep_planes(img, subsampling):
                 cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
             return img.shape[0], img.shape[1], [y, cb, cr], \
                 [(2, 2), (1, 1), (1, 1)]
-        raise ValueError("subsampling must be '444' or '420'")
+        if subsampling == "422":
+            y = ycc[..., 0]
+            cb = _pad_to_blocks(ycc[..., 1], 1, 2)
+            cr = _pad_to_blocks(ycc[..., 2], 1, 2)
+            cb = cb.reshape(
+                cb.shape[0], cb.shape[1] // 2, 2).mean(2)
+            cr = cr.reshape(
+                cr.shape[0], cr.shape[1] // 2, 2).mean(2)
+            return img.shape[0], img.shape[1], [y, cb, cr], \
+                [(2, 1), (1, 1), (1, 1)]
+        raise ValueError("subsampling must be '444', '422', or '420'")
     raise ValueError("JPEG encoding needs (h,w) or (h,w,3) input")
 
 
@@ -484,6 +496,7 @@ def _quantize_planes(planes, sampling, qts, mcux, mcuy):
 
 def encode_jpeg_progressive(
     img: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode to a PROGRESSIVE (SOF2) JFIF JPEG, T.81 Annex G.
 
@@ -497,7 +510,10 @@ def encode_jpeg_progressive(
 
     EOB runs are flushed per block (EOB0 only), so the standard
     baseline Huffman tables suffice; any conformant decoder accepts
-    longer runs, so this is a pure encoder-side simplification."""
+    longer runs, so this is a pure encoder-side simplification.
+    ``restart_interval`` > 0 emits DRI + RSTn markers in EVERY scan
+    (the interval counts MCUs in the interleaved DC scans and blocks
+    in the non-interleaved AC scans, per A.2.2)."""
     h, w, planes, sampling = _prep_planes(img, subsampling)
     n_comp = len(planes)
     qt_l = _quality_scale(_QT_LUMA, quality)
@@ -533,6 +549,10 @@ def encode_jpeg_progressive(
         out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
+    if restart_interval:
+        out += (b"\xff\xdd" + struct.pack(">H", 4)
+                + struct.pack(">H", int(restart_interval)))
+
     def sos_header(comp_ids, tds, tas, ss, se, ah, al):
         body = bytes([len(comp_ids)])
         for cid, td, ta in zip(comp_ids, tds, tas):
@@ -540,10 +560,33 @@ def encode_jpeg_progressive(
         body += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
 
-    def mcu_blocks():
-        """Interleaved block order over the padded grid."""
+    class _Scan:
+        """Restart bookkeeping for one scan: RSTn numbering starts at
+        0 per scan and cycles mod 8; ``boundary()`` is called before
+        each restart unit (MCU or block)."""
+
+        def __init__(self):
+            self.bw = _BitWriter()
+            self.unit = 0
+            self.rst = 0
+            self.reset = False
+
+        def boundary(self):
+            self.reset = False
+            if restart_interval and self.unit \
+                    and self.unit % restart_interval == 0:
+                self.bw.flush()
+                self.bw.out += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                self.reset = True
+            self.unit += 1
+
+    def mcu_blocks(scan):
+        """Interleaved block order over the padded grid, with restart
+        boundaries between MCUs."""
         for my in range(mcuy):
             for mx in range(mcux):
+                scan.boundary()
                 for ci, (sh, sv) in enumerate(sampling):
                     for by in range(sv):
                         for bx in range(sh):
@@ -554,27 +597,30 @@ def encode_jpeg_progressive(
     out += sos_header(list(range(1, n_comp + 1)),
                       [0] + [1] * (n_comp - 1), [0] * n_comp,
                       0, 0, 0, 1)
-    bw = _BitWriter()
+    sc = _Scan()
     preds = [0] * n_comp
-    for ci, zz in mcu_blocks():
+    for ci, zz in mcu_blocks(sc):
+        if sc.reset:
+            preds = [0] * n_comp
+            sc.reset = False
         dcv = int(zz[0]) >> 1  # DC point transform: arithmetic shift
         size, bits = _magnitude(dcv - preds[ci])
         preds[ci] = dcv
         code, length = dcs[ci][size]
-        bw.write(code, length)
+        sc.bw.write(code, length)
         if size:
-            bw.write(bits, size)
-    bw.flush()
-    out += bw.out
+            sc.bw.write(bits, size)
+    sc.bw.flush()
+    out += sc.bw.out
 
     # scan 2: DC refinement (Al=0) -- one raw bit per block
     out += sos_header(list(range(1, n_comp + 1)),
                       [0] * n_comp, [0] * n_comp, 0, 0, 1, 0)
-    bw = _BitWriter()
-    for ci, zz in mcu_blocks():
-        bw.write(int(zz[0]) & 1, 1)
-    bw.flush()
-    out += bw.out
+    sc = _Scan()
+    for ci, zz in mcu_blocks(sc):
+        sc.bw.write(int(zz[0]) & 1, 1)
+    sc.bw.flush()
+    out += sc.bw.out
 
     # per-component block grids for non-interleaved AC scans
     grids = []
@@ -587,27 +633,29 @@ def encode_jpeg_progressive(
     for ci in range(n_comp):
         out += sos_header([ci + 1], [0], [0 if ci == 0 else 1],
                           1, 63, 0, 1)
-        bw = _BitWriter()
+        sc = _Scan()
         bh, bwid = grids[ci]
         for by in range(bh):
             for bx in range(bwid):
+                sc.boundary()
                 _emit_ac_first(coef[ci][by, bx], 1, 63, 1,
-                               acs[ci], bw)
-        bw.flush()
-        out += bw.out
+                               acs[ci], sc.bw)
+        sc.bw.flush()
+        out += sc.bw.out
 
     # scans ..: AC refinement per component (Ah=1, Al=0)
     for ci in range(n_comp):
         out += sos_header([ci + 1], [0], [0 if ci == 0 else 1],
                           1, 63, 1, 0)
-        bw = _BitWriter()
+        sc = _Scan()
         bh, bwid = grids[ci]
         for by in range(bh):
             for bx in range(bwid):
+                sc.boundary()
                 _emit_ac_refine(coef[ci][by, bx], 1, 63, 0,
-                                acs[ci], bw)
-        bw.flush()
-        out += bw.out
+                                acs[ci], sc.bw)
+        sc.bw.flush()
+        out += sc.bw.out
 
     out += b"\xff\xd9"
     return bytes(out)
