@@ -1081,3 +1081,44 @@ class TestReviewRound6b:
                           num_levels=2)
         assert df.storageLevel.useMemory  # still cached
         df.unpersist()
+
+
+def test_gzip_compressor_read(spark, tmp_path):
+    """numcodecs GZip stores (compressor id 'gzip': gzip-framed
+    deflate chunks) read back; our writer emits zlib, so the fixture
+    re-frames a written store's chunks + metadata as gzip."""
+    import gzip as _gzip
+    import json as _json
+    import zlib as _zlib
+
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+    h, w = 10, 12
+    df = spark.range(h * w).select(
+        F.lit(0).cast("int").alias("t"),
+        (F.col("id") / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 1.0).alias("value"))
+    path = str(tmp_path / "g.zarr")
+    write_zarr(df, path, "v", (h, w), (8, 8), compressor="zlib")
+    za = tmp_path / "g.zarr" / "v" / ".zarray"
+    m = _json.loads(za.read_text())
+    m["compressor"] = {"id": "gzip", "level": 1}
+    za.write_text(_json.dumps(m))
+    zm = tmp_path / "g.zarr" / ".zmetadata"
+    if zm.exists():
+        mm = _json.loads(zm.read_text())
+        mm["metadata"]["v/.zarray"]["compressor"] = \
+            {"id": "gzip", "level": 1}
+        zm.write_text(_json.dumps(mm))
+    for f in (tmp_path / "g.zarr" / "v").iterdir():
+        if not f.name.startswith("."):
+            f.write_bytes(_gzip.compress(
+                _zlib.decompress(f.read_bytes()), 1))
+    back = read_zarr(spark, path, "v").toPandas().sort_values(
+        ["j", "i"])
+    exp = df.toPandas().sort_values(["j", "i"])
+    np.testing.assert_array_equal(
+        back["value"].to_numpy(), exp["value"].to_numpy())

@@ -292,12 +292,12 @@ def _check_compressor(meta: dict) -> str:
     comp = meta.get("compressor")
     if comp is None:
         return "null"
-    if comp.get("id") in ("zlib", "blosc", "lz4", "zstd"):
+    if comp.get("id") in ("zlib", "gzip", "blosc", "lz4", "zstd"):
         return comp["id"]
     raise NotImplementedError(
         f"zarr compressor '{comp.get('id')}' not available in this build "
-        "(zlib, lz4, zstd, blosc (zlib/lz4/zstd/raw inner streams), "
-        "or null)"
+        "(zlib, gzip, lz4, zstd, blosc (zlib/lz4/zstd/raw inner "
+        "streams), or null)"
     )
 
 
@@ -950,6 +950,10 @@ def read_zarr(
             kt, kj, ki = parts
         if comp == "zlib":
             raw = zlib.decompress(raw)
+        elif comp == "gzip":  # numcodecs GZip: gzip-framed deflate
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
         elif comp == "blosc":
             raw = blosc1.decode(raw)
         elif comp == "lz4":
