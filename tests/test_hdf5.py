@@ -839,3 +839,55 @@ class TestHdf5Table:
             spark, path, {"row_id": "<i8", "missing": "<f8"})
         with pytest.raises(Exception, match="missing"):
             bad.collect()
+
+
+class TestAttributeVersions:
+    """Attribute message versions 2 and 3 (libver=latest layouts):
+    unpadded name/datatype/dataspace, v3's name-charset byte."""
+
+    def _frame(self, ver, name, dt_msg, ds_msg, payload,
+               charset=b"\x00"):
+        head = struct.pack(
+            "<BBHHH", ver, 0, len(name), len(dt_msg), len(ds_msg))
+        if ver == 3:
+            head += charset
+        return head + name + dt_msg + ds_msg + payload
+
+    def test_v2_scalar_int(self):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _dt_message,
+            _parse_attribute,
+        )
+
+        dt = _dt_message(np.dtype("<i4"))
+        ds = struct.pack("<BBBB4x", 1, 0, 0, 0)  # scalar v1
+        body = self._frame(2, b"count\x00", dt, ds,
+                           struct.pack("<i", -42))
+        assert _parse_attribute(body) == ("count", -42)
+
+    def test_v3_scalar_float_and_array(self):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _dt_message,
+            _parse_attribute,
+        )
+
+        dt = _dt_message(np.dtype("<f8"))
+        ds = struct.pack("<BBBB4x", 1, 0, 0, 0)
+        body = self._frame(3, b"scale\x00", dt, ds,
+                           struct.pack("<d", 0.125))
+        assert _parse_attribute(body) == ("scale", 0.125)
+        # 1-D array dataspace (v1: dimensionality 1 + one u64 dim)
+        ds1 = struct.pack("<BBBB4xQ", 1, 1, 0, 0, 3)
+        body = self._frame(3, b"rng\x00", dt, ds1,
+                           struct.pack("<3d", 1.0, 2.0, 4.0))
+        assert _parse_attribute(body) == ("rng", [1.0, 2.0, 4.0])
+
+    def test_v2_shared_datatype_refused(self):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _parse_attribute,
+        )
+
+        body = struct.pack("<BBHHH", 2, 0x01, 2, 8, 8) + b"x\x00" \
+            + b"\x00" * 16
+        with pytest.raises(NotImplementedError, match="SHARED"):
+            _parse_attribute(body)

@@ -868,14 +868,23 @@ def _global_heap_object(blob: bytes, addr: int, index: int) -> bytes:
 
 def _parse_attribute(body: bytes, blob: bytes = b""):
     ver = body[0]
-    if ver != 1:
+    if ver not in (1, 2, 3):
         raise NotImplementedError(f"attribute message version {ver}")
     name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+    if ver >= 2:
+        flags = body[1]
+        if flags & 0x03:
+            # shared datatype/dataspace live behind 8-byte heap IDs
+            raise NotImplementedError(
+                "attribute with SHARED datatype/dataspace message")
 
     def pad8(n):
-        return n + (-n % 8)
+        # v1 pads name/datatype/dataspace to 8; v2/v3 pack them
+        return n + (-n % 8) if ver == 1 else n
 
     off = 8
+    if ver == 3:
+        off = 9  # one extra byte: name character-set encoding
     name = body[off:off + name_sz].split(b"\x00")[0].decode()
     off += pad8(name_sz)
     dt_body = body[off:off + dt_sz]
