@@ -5906,9 +5906,10 @@ def q_multimodal_suite(spark, sf_dir):
       k3=pos, v1=byte).
     * ``frames``: frame sampling (k1=frame_idx, k2=n_bytes,
       s=frame_md5).
-    * ``png`` / ``bmp``: REAL codec round-trips -- payloads are
-      encoded executor-side with the clean-room PNG/BMP encoders
-      (extensions/imagecodec.py), decoded back with decode_image, and
+    * ``png`` / ``bmp`` / ``gif``: REAL codec round-trips --
+      payloads are encoded executor-side with the clean-room
+      PNG/BMP/GIF encoders (extensions/imagecodec.py + gifcodec.py,
+      GIF lossless at <= 256 colors), decoded with decode_image, and
       every decoded byte is oracle-checked (the codecs are lossless,
       so decoded bytes equal the deterministic tiling of the document
       text the DuckDB twin replays).  Same column mapping as
@@ -5978,7 +5979,10 @@ def q_multimodal_suite(spark, sf_dir):
         nd.alias("v2"), ns.alias("s"),
     )
     out = out.unionByName(wav).unionByName(y4m)
-    for codec in ("png", "bmp"):
+    # gif joins the lossless legs: the synthetic tiles have <= 28
+    # distinct colors, so the clean-room GIF palette round-trip is
+    # byte-exact like PNG/BMP
+    for codec in ("png", "bmp", "gif"):
         dec = decode_images(encode_images(media, codec))
         hexed = dec.select(
             "media_id", "width", "height", F.hex("pixels").alias("hx")
@@ -6065,7 +6069,7 @@ SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
            text, CAST(pos % length(text) AS INT) + 1, 1)) AS DOUBLE)
            AS v1,
          CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
-  FROM p CROSS JOIN (VALUES ('png'), ('bmp')) AS c(leg)
+  FROM p CROSS JOIN (VALUES ('png'), ('bmp'), ('gif')) AS c(leg)
 ) q
 UNION ALL
 SELECT 'wav' AS leg, m.media_id,

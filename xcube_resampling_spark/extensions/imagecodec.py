@@ -42,13 +42,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_image_format(data: bytes) -> str | None:
-    """'png' | 'bmp' | 'jpeg' | None from magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | None from magic bytes."""
     if data[:8] == PNG_SIGNATURE:
         return "png"
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:4] == b"GIF8":
+        return "gif"
     return None
 
 

@@ -85,11 +85,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
         return img
+    if fmt == "gif":
+        from .gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise DecoderNotAvailable(
-        "only PNG, BMP and baseline JPEG decode natively (clean-room "
-        "codecs in imagecodec.py/jpegcodec.py); WebP and other "
-        "formats require external libraries not available in this "
-        "build"
+        "only PNG, BMP, JPEG (baseline + progressive), and GIF decode "
+        "natively (clean-room codecs in imagecodec.py / jpegcodec.py "
+        "/ gifcodec.py); WebP and other formats require external "
+        "libraries not available in this build"
     )
 
 
@@ -351,16 +355,19 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
 def encode_images(
     media: DataFrame, codec: str = "png"
 ) -> DataFrame:
-    """Re-encode image payloads to a real container format (PNG or
-    BMP, clean-room codecs): payload bytes are interpreted through
-    :func:`decode_image` when they already sniff as PNG/BMP, else
-    through the deterministic tiling fake, then encoded executor-side.
-    Returns the media frame with ``payload`` replaced -- a narrow
-    ``mapInPandas`` pass, no shuffle."""
+    """Re-encode image payloads to a real container format (PNG, BMP,
+    or GIF -- all clean-room codecs): payload bytes are interpreted
+    through :func:`decode_image` when they already sniff as a known
+    format, else through the deterministic tiling fake, then encoded
+    executor-side.  Returns the media frame with ``payload`` replaced
+    -- a narrow ``mapInPandas`` pass, no shuffle.  GIF is lossless
+    for <= 256-color images (the synthetic tiles always are)."""
+    from .gifcodec import encode_gif
     from .imagecodec import encode_bmp, encode_png, sniff_image_format
 
-    if codec not in ("png", "bmp"):
-        raise ValueError(f"codec must be png or bmp, got {codec!r}")
+    if codec not in ("png", "bmp", "gif"):
+        raise ValueError(f"codec must be png, bmp or gif, got {codec!r}")
+    enc = {"png": encode_png, "bmp": encode_bmp, "gif": encode_gif}[codec]
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -376,9 +383,7 @@ def encode_images(
                     img = decode_image(payload)
                 else:
                     img = _fake_decode_rgb(payload, w, h)
-                payloads.append(
-                    encode_png(img) if codec == "png" else encode_bmp(img)
-                )
+                payloads.append(enc(img))
             out["payload"] = payloads
             yield out
 
