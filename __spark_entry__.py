@@ -6031,7 +6031,36 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("prog_exact").cast("long").alias("k3"),
         nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
     )
-    return out.unionByName(jp).unionByName(jp2)
+    # 'dhash' / 'dhash_pairs' legs: perceptual image near-dup -- the
+    # 64-bit difference hash as two exact int halves, and the banded
+    # Hamming pair join over the media plus an id-shifted duplicate
+    # copy (guaranteeing distance-0 pairs).  max_distance=3 keeps the
+    # 4x16-bit banding EXHAUSTIVE by pigeonhole, so the twin's
+    # all-pairs SQL finds the identical set.
+    from xcube_resampling_spark.extensions.multimodal import (
+        dhash_pairs,
+        image_dhash,
+    )
+
+    dh = image_dhash(media)
+    dleg = dh.select(
+        F.lit("dhash").alias("leg"), "media_id",
+        F.col("dhash_hi").alias("k1"),
+        F.col("dhash_lo").alias("k2"),
+        nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
+    )
+    dup = dh.unionByName(dh.select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        "dhash_hi", "dhash_lo"))
+    pleg = dhash_pairs(dup, max_distance=3).select(
+        F.lit("dhash_pairs").alias("leg"),
+        F.col("id_a").alias("media_id"),
+        F.col("id_b").cast("long").alias("k1"),
+        F.col("distance").cast("long").alias("k2"),
+        nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
+    )
+    return (out.unionByName(jp).unionByName(jp2)
+            .unionByName(dleg).unionByName(pleg))
 
 
 def _multimodal_suite_sql():
@@ -6142,6 +6171,65 @@ SELECT 'jpeg_prog' AS leg, doc_id AS media_id,
        CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
        CAST(NULL AS VARCHAR) AS s
 FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 0
+UNION ALL
+SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
+  WITH m AS (
+    SELECT doc_id AS media_id, text,
+           CAST(4 + (doc_id % 9) // 3 AS INT) AS w, 4 AS h
+    FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 0
+  ),
+  cells AS (
+    SELECT media_id, y, x,
+           (ascii(substr(text, CAST(
+              ((y*h//8)*w + (x*w//9))*3 % length(text) AS INT)+1, 1))
+          + ascii(substr(text, CAST(
+              (((y*h//8)*w + (x*w//9))*3 + 1) % length(text) AS INT)+1,
+              1))
+          + ascii(substr(text, CAST(
+              (((y*h//8)*w + (x*w//9))*3 + 2) % length(text) AS INT)+1,
+              1))) // 3 AS g
+    FROM m,
+         (SELECT unnest(range(0, 8)) AS y),
+         (SELECT unnest(range(0, 9)) AS x)
+  ),
+  hashes AS (
+    SELECT c1.media_id,
+           CAST(COALESCE(SUM(CASE WHEN c1.g > c2.g
+                 AND c1.y*8 + c1.x >= 32
+                 THEN (CAST(1 AS BIGINT)
+                       << CAST(c1.y*8 + c1.x - 32 AS INT))
+                 ELSE 0 END), 0) AS BIGINT) AS hi,
+           CAST(COALESCE(SUM(CASE WHEN c1.g > c2.g
+                 AND c1.y*8 + c1.x < 32
+                 THEN (CAST(1 AS BIGINT) << CAST(c1.y*8 + c1.x AS INT))
+                 ELSE 0 END), 0) AS BIGINT) AS lo
+    FROM cells c1 JOIN cells c2
+      ON c1.media_id = c2.media_id AND c1.y = c2.y
+         AND c2.x = c1.x + 1
+    WHERE c1.x < 8
+    GROUP BY c1.media_id
+  ),
+  dup AS (
+    SELECT media_id, hi, lo FROM hashes
+    UNION ALL SELECT media_id + 100000, hi, lo FROM hashes
+  ),
+  prs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) AS d
+    FROM dup a JOIN dup b ON a.media_id < b.media_id
+  )
+  SELECT 'dhash' AS leg, media_id, hi AS k1, lo AS k2,
+         CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS v1,
+         CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
+  FROM hashes
+  UNION ALL
+  SELECT 'dhash_pairs' AS leg, id_a AS media_id,
+         CAST(id_b AS BIGINT) AS k1, CAST(d AS BIGINT) AS k2,
+         CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS v1,
+         CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
+  FROM prs WHERE d <= 3
+) q
 """
 
 

@@ -2048,3 +2048,62 @@ class TestQualityClassifier:
         assert row["n_feats"] == 3
         assert row["sum_micro"] == 3_000_000
         assert abs(row["prob"] - 1 / (1 + math.exp(-1.0))) < 1e-12
+
+
+class TestImageDhash:
+    def test_known_hash_and_invariance(self, spark):
+        from xcube_resampling_spark.extensions.gifcodec import (
+            encode_gif,
+        )
+        from xcube_resampling_spark.extensions.multimodal import (
+            image_dhash,
+        )
+
+        # gradient image: every left pixel < right pixel -> all-zero
+        # dhash; reversed gradient -> all-ones
+        import numpy as np
+        asc = np.tile(np.arange(0, 240, 10, dtype=np.uint8), (8, 1))
+        asc = np.stack([asc] * 3, -1)
+        desc = asc[:, ::-1].copy()
+        rows = [
+            (1, "image", bytes(encode_gif(asc)), 24, 8, None, None),
+            (2, "image", bytes(encode_gif(desc)), 24, 8, None, None),
+        ]
+        from xcube_resampling_spark.extensions.multimodal import (
+            MEDIA_SCHEMA,
+        )
+
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: (r.dhash_hi, r.dhash_lo)
+               for r in image_dhash(df).collect()}
+        assert got[1] == (0, 0)
+        assert got[2] == (0xFFFFFFFF, 0xFFFFFFFF)
+
+    def test_pairs_banded_join_plan_and_results(self, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.extensions.multimodal import (
+            dhash_pairs,
+        )
+
+        rows = [
+            (1, 0, 0),          # A
+            (2, 0, 1),          # dist 1 from A
+            (3, 0, 0b111),      # dist 3 from A
+            (4, 0xFFFFFFFF, 0xFFFFFFFF),  # far from all
+            (5, 0, 0),          # exact dup of A
+        ]
+        h = spark.createDataFrame(
+            rows, "media_id long, dhash_hi long, dhash_lo long")
+        got = {(r.id_a, r.id_b): r.distance
+               for r in dhash_pairs(h, max_distance=3).collect()}
+        assert got[(1, 5)] == 0
+        assert got[(1, 2)] == 1
+        assert got[(1, 3)] == 3
+        assert got[(2, 3)] == 2
+        assert not any(4 in p for p in got)
+        # candidate generation must stay an equi-join (no cartesian)
+        plan = dhash_pairs(h)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "HashJoin" in plan

@@ -6,12 +6,12 @@ struct; all transforms are narrow Arrow-batched ``mapInPandas`` passes
 
 Decode is REAL for every format whose byte layout is public and needs
 no external codec library -- the clean-room implementations in
-:mod:`.imagecodec` (PNG, BMP), :mod:`.jpegcodec` (baseline JPEG,
-full DCT+Huffman), :mod:`.audiocodec` (WAV/PCM), and
-:mod:`.videocodec` (Y4M): ``decode_image`` / ``decode_audio`` /
-``decode_video`` dispatch on magic bytes.  Formats that genuinely
-require codec libraries absent from this build (WebP, progressive
-JPEG, MP3/AAC/FLAC, H.264/VP9/AV1) raise
+:mod:`.imagecodec` (PNG, BMP), :mod:`.jpegcodec` (JPEG, baseline AND
+progressive, full DCT+Huffman), :mod:`.gifcodec` (GIF87a/89a),
+:mod:`.audiocodec` (WAV/PCM), and :mod:`.videocodec` (Y4M):
+``decode_image`` / ``decode_audio`` / ``decode_video`` dispatch on
+magic bytes.  Formats that genuinely require codec libraries absent
+from this build (WebP, MP3/AAC/FLAC, H.264/VP9/AV1) raise
 :class:`DecoderNotAvailable` loudly;
 ``_fake_decode_rgb`` remains the clearly-marked deterministic stand-in
 those paths use in tests, and swapping it for ``PIL.Image.open`` keeps
@@ -58,10 +58,11 @@ class DecoderNotAvailable(NotImplementedError):
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to (h, w, 3) uint8 RGB.
 
-    PNG, BMP and baseline JPEG decode natively through the clean-room
-    codecs in :mod:`.imagecodec` / :mod:`.jpegcodec` (zlib + numpy,
-    spec-derived -- no imaging library).  Remaining formats (WebP,
-    progressive JPEG, ...) require external codec libraries absent
+    PNG, BMP, JPEG (baseline + progressive) and GIF decode natively
+    through the clean-room codecs in :mod:`.imagecodec` /
+    :mod:`.jpegcodec` / :mod:`.gifcodec` (zlib + numpy, spec-derived
+    -- no imaging library).  Remaining formats (WebP, ...) require
+    external codec libraries absent
     from this build and raise :class:`DecoderNotAvailable`;
     ``_fake_decode_rgb`` remains the deterministic stand-in for those
     in tests.
@@ -574,3 +575,113 @@ def synthetic_media(spark, n: int = 20) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# image near-duplicate detection (perceptual difference hash)
+
+
+def image_dhash(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual difference hash per image (the public dHash
+    algorithm): grayscale ``(r+g+b)//3``, nearest-neighbor resample to
+    ``(hash_h, hash_w+1)`` (same index math as :func:`resize_images`),
+    one bit per horizontal neighbor pair ``g[y,x] > g[y,x+1]``.
+
+    Returns ``(media_id, dhash_hi, dhash_lo)`` -- the 64-bit hash as
+    two int32-range halves (bit ``y*hash_w+x``; bits 32..63 in
+    ``dhash_hi``), which keeps every engine's BIGINT arithmetic
+    signed-overflow-free.  Real payloads decode through the clean-room
+    codecs; others use the deterministic tiling fake.  One narrow
+    ``mapInPandas`` pass."""
+    from .imagecodec import sniff_image_format
+
+    if hash_w * hash_h > 64:
+        raise ValueError("dhash is capped at 64 bits")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), False),
+        T.StructField("dhash_lo", T.LongType(), False),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["payload"],
+            ):
+                w = 4 if pd.isna(w) else int(w)
+                h = 4 if pd.isna(h) else int(h)
+                payload = payload or b""
+                if sniff_image_format(payload):
+                    img = decode_image(payload)
+                else:
+                    img = _fake_decode_rgb(payload, w, h)
+                ih, iw = img.shape[:2]
+                g = img.astype(np.int32).sum(axis=2) // 3
+                ji = np.arange(hash_h) * ih // hash_h
+                ii = np.arange(hash_w + 1) * iw // (hash_w + 1)
+                s = g[np.ix_(ji, ii)]
+                bits = (s[:, :-1] > s[:, 1:]).ravel()
+                val = 0
+                for k in np.nonzero(bits)[0]:
+                    val |= 1 << int(k)
+                rows.append((int(mid), val >> 32, val & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash_hi", "dhash_lo"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        compute, schema
+    )
+
+
+def dhash_pairs(
+    hashes: DataFrame, max_distance: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over dHash:
+    ``(id_a, id_b, distance)`` with ``id_a < id_b`` and
+    ``distance <= max_distance``.
+
+    Candidate generation is a BANDED equi-join (the simhash pattern):
+    the 64-bit hash splits into four 16-bit bands; any pair within
+    Hamming distance 3 shares at least one band by pigeonhole, and
+    real near-dups at larger distances still overwhelmingly collide.
+    No all-pairs comparison at any scale -- one shuffle on
+    (band, value), then ``bit_count(xor)`` verification in codegen."""
+    h = hashes.select(
+        "media_id",
+        F.col("dhash_hi").cast("long").alias("hi"),
+        F.col("dhash_lo").cast("long").alias("lo"),
+    )
+    bands = h.select(
+        "media_id", "hi", "lo",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(({'hi' if b >= 2 else 'lo'} >> "
+                    f"{16 * (b % 2)}) & 65535)"
+                ).cast("long").alias("val"),
+            )
+            for b in range(4)
+        ])).alias("bv"),
+    ).select("media_id", "hi", "lo",
+             F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+             + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+             ).alias("distance"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("distance") <= max_distance)
