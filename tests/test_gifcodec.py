@@ -215,3 +215,34 @@ class TestDispatch:
         enc = encode_gif(img)
         assert sniff_image_format(enc) == "gif"
         np.testing.assert_array_equal(decode_image(enc), img)
+
+
+class TestReviewRegressions:
+    def test_overhanging_transparent_frame(self):
+        # a frame rect taller than the logical screen with
+        # transparency must composite the clipped region, not crash
+        pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        idx1 = np.full(16, 1, np.uint8)
+        over = np.full(24, 2, np.uint8)  # 4x6 on a 4x4 screen
+        over[3] = 0
+        gce = bytes([0x01, 0, 0, 0])  # transparent index 0
+        gif = _hand_gif(
+            4, 4, pal, 2, _lzw_encode(idx1, 2),
+            extra_images=(
+                (0, 0, 4, 6, 0, 2, _lzw_encode(over, 2), gce),),
+        )
+        frames = [f for f, _ in decode_gif_frames(gif)]
+        assert frames[1].shape == (4, 4, 3)
+        palette = np.asarray(pal, np.uint8)
+        # position 3 is transparent -> frame-1 red shows through
+        np.testing.assert_array_equal(frames[1][0, 3], palette[1])
+        np.testing.assert_array_equal(frames[1][0, 0], palette[2])
+
+    def test_early_end_code_zero_fills(self):
+        pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        short = _lzw_encode(np.array([1, 2], np.uint8), 2)
+        gif = _hand_gif(2, 2, pal, 2, short)  # promises 4 pixels
+        img = decode_gif(gif)
+        palette = np.asarray(pal, np.uint8)
+        np.testing.assert_array_equal(img[0, 0], palette[1])
+        np.testing.assert_array_equal(img[1, 1], palette[0])  # filled

@@ -93,6 +93,10 @@ def _lzw_decode(stream: bytes, min_code_size: int, n_pixels: int
             prev = None
             continue
         if code == end:
+            # an early end code (truncated/malformed file) zero-fills
+            # the remainder, same salvage as a missing end code
+            if len(out) < n_pixels:
+                out.extend(b"\x00" * (n_pixels - len(out)))
             break
         if prev is None:
             entry = table[code]
@@ -188,12 +192,12 @@ def decode_gif_frames(data: bytes):
         before = screen.copy() if disposal == 3 else None
         region = ct[idx]
         tile = screen[top:top + h, left:left + w]
+        th, tw = tile.shape[:2]  # frame rects may overhang the screen
         if transparent is not None:
-            mask = (idx != transparent)[..., np.newaxis]
-            tile[:] = np.where(mask, region[:tile.shape[0],
-                                            :tile.shape[1]], tile)
+            mask = (idx != transparent)[:th, :tw, np.newaxis]
+            tile[:] = np.where(mask, region[:th, :tw], tile)
         else:
-            tile[:] = region[:tile.shape[0], :tile.shape[1]]
+            tile[:] = region[:th, :tw]
         yield screen.copy(), delay
         yielded = True
         if disposal == 2:  # restore background in the frame's region

@@ -394,10 +394,11 @@ def encode_images(
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Real image decode (PNG/BMP): one row per image with the raw RGB
-    bytes -- ``(media_id, width, height, pixels)``, pixels in row-major
-    (h, w, 3) order.  A narrow ``mapInPandas`` pass; payloads that are
-    neither PNG nor BMP raise ``DecoderNotAvailable`` loudly."""
+    """Real image decode (PNG/BMP/JPEG/GIF via :func:`decode_image`):
+    one row per image with the raw RGB bytes --
+    ``(media_id, width, height, pixels)``, pixels in row-major
+    (h, w, 3) order.  A narrow ``mapInPandas`` pass; unsupported
+    payloads raise ``DecoderNotAvailable`` loudly."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -637,19 +638,49 @@ def image_dhash(
     )
 
 
+_DHASH_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist band tables cached by prior :func:`dhash_pairs`."""
+    while _DHASH_PERSISTED:
+        _DHASH_PERSISTED.pop().unpersist()
+
+
 def dhash_pairs(
     hashes: DataFrame, max_distance: int = 6
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over dHash:
     ``(id_a, id_b, distance)`` with ``id_a < id_b`` and
-    ``distance <= max_distance``.
+    ``distance <= max_distance`` -- the result is COMPLETE, not a
+    heuristic sample.
 
     Candidate generation is a BANDED equi-join (the simhash pattern):
-    the 64-bit hash splits into four 16-bit bands; any pair within
-    Hamming distance 3 shares at least one band by pigeonhole, and
-    real near-dups at larger distances still overwhelmingly collide.
-    No all-pairs comparison at any scale -- one shuffle on
-    (band, value), then ``bit_count(xor)`` verification in codegen."""
+    the 64-bit hash splits into ``max_distance + 1`` bands, so by
+    pigeonhole every pair within the distance bound shares at least
+    one unchanged band and is generated.  No all-pairs comparison at
+    any scale -- one shuffle on (band, value), then ``bit_count(xor)``
+    verification in codegen.  The band table is persisted (the
+    self-join would otherwise re-run the upstream image decode once
+    per side); call :func:`release_cached` to drop it."""
+    if not 0 <= max_distance <= 32:
+        raise ValueError("max_distance must be in [0, 32]")
+    n_bands = max(2, max_distance + 1)
+    width = 64 // n_bands
+
+    def band_val(b: int):
+        s = b * width
+        e = 64 if b == n_bands - 1 else s + width
+        # hi/lo are the int32-range halves; bands may straddle bit 32
+        if e <= 32:
+            expr = f"(lo >> {s}) & {(1 << (e - s)) - 1}"
+        elif s >= 32:
+            expr = f"(hi >> {s - 32}) & {(1 << (e - s)) - 1}"
+        else:
+            expr = (f"((lo >> {s}) | ((hi & {(1 << (e - 32)) - 1}) "
+                    f"<< {32 - s}))")
+        return F.expr(expr).cast("long").alias("val")
+
     h = hashes.select(
         "media_id",
         F.col("dhash_hi").cast("long").alias("hi"),
@@ -658,18 +689,13 @@ def dhash_pairs(
     bands = h.select(
         "media_id", "hi", "lo",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(
-                    f"(({'hi' if b >= 2 else 'lo'} >> "
-                    f"{16 * (b % 2)}) & 65535)"
-                ).cast("long").alias("val"),
-            )
-            for b in range(4)
+            F.struct(F.lit(b).alias("band"), band_val(b))
+            for b in range(n_bands)
         ])).alias("bv"),
     ).select("media_id", "hi", "lo",
              F.col("bv.band").alias("band"),
-             F.col("bv.val").alias("val"))
+             F.col("bv.val").alias("val")).persist()
+    _DHASH_PERSISTED.append(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
