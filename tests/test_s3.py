@@ -180,3 +180,63 @@ def test_empty_put_never_multipart(tmp_path):
         # and non-empty bodies at threshold 0 still go multipart
         store.put("small.bin", b"xy")
         assert store.get("small.bin") == b"xy"
+
+
+def test_blosc_lz4_levels_pyramid_over_s3(spark, tmp_path):
+    """BASELINE.md row 11's exact real-world input shape: a .levels
+    multi-level pyramid whose chunks are blosc-lz4 (the numcodecs
+    default), served over the S3 protocol with SigV4-signed requests
+    -- written distributed through S3ChunkStore, reopened COLD from a
+    fresh client."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.crs import CRS
+    from xcube_resampling_spark.gridmapping import GridMapping
+    from xcube_resampling_spark.sources import (
+        open_zarr_levels,
+        write_zarr_levels,
+    )
+    from xcube_resampling_spark.sources.s3 import (
+        LocalS3Server,
+        S3ChunkStore,
+    )
+
+    w, h = 25, 17
+    df = spark.range(w * h).select(
+        F.lit(0).cast("int").alias("t"),
+        (F.col("id") / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 0.5).cast("double").alias("value"),
+    )
+    gm = GridMapping.regular(
+        (w, h), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632),
+        tile_size=(8, 8))
+    with LocalS3Server(str(tmp_path / "bucket"),
+                       sigv4_secret=SECRET) as srv:
+        put = S3ChunkStore(
+            srv.url, "bucket", prefix="cube.levels", signer=_signer())
+        n = write_zarr_levels(
+            df, "cube.levels", "band", gm,
+            compressor="blosc-lz4", chunk_put=put)
+        assert n == 3
+        # on-the-wire chunks really are blosc-lz4 frames
+        import json as _json
+
+        za = _json.loads(put.get("0.zarr/band/.zarray"))
+        assert za["compressor"]["cname"] == "lz4"
+        # reopen COLD through a fresh client
+        put2 = S3ChunkStore(
+            srv.url, "bucket", prefix="cube.levels", signer=_signer())
+        ds0, gm0 = open_zarr_levels(
+            spark, "cube.levels", level=0, store=put2)
+        assert gm0.size == (w, h)
+        got = ds0.data_vars["band"].df.toPandas().sort_values(
+            ["j", "i"])
+        exp = df.toPandas().sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+        # the coarsest overview opens too
+        ds2, gm2 = open_zarr_levels(
+            spark, "cube.levels", level=-1, store=put2)
+        assert ds2.data_vars["band"].df.count() > 0
