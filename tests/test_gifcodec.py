@@ -246,3 +246,33 @@ class TestReviewRegressions:
         palette = np.asarray(pal, np.uint8)
         np.testing.assert_array_equal(img[0, 0], palette[1])
         np.testing.assert_array_equal(img[1, 1], palette[0])  # filled
+
+
+class TestVideoSource:
+    def test_animated_gif_as_video(self, spark):
+        # two-frame animation -> decode_video returns a (2, h, w) luma
+        # stack; video_frame_features consumes it like Y4M
+        from xcube_resampling_spark.extensions.multimodal import (
+            MEDIA_SCHEMA,
+            decode_video,
+            video_frame_features,
+        )
+
+        pal = [(0, 0, 0), (90, 90, 90), (180, 180, 180), (255, 255, 255)]
+        idx1 = np.full(16, 1, np.uint8)
+        idx2 = np.full(16, 2, np.uint8)
+        gif = _hand_gif(
+            4, 4, pal, 2, _lzw_encode(idx1, 2),
+            extra_images=(
+                (0, 0, 4, 4, 0, 2, _lzw_encode(idx2, 2), None),),
+        )
+        y, u, v, meta = decode_video(gif)
+        assert y.shape == (2, 4, 4) and u is None
+        assert int(y[0, 0, 0]) == 90 and int(y[1, 0, 0]) == 180
+        df = spark.createDataFrame(
+            [(1, "video", bytes(gif), None, None, None, 2)],
+            MEDIA_SCHEMA)
+        feats = video_frame_features(df).collect()
+        assert [r.frame_idx for r in feats] == [0, 1]
+        assert feats[0].sum_bytes == 16 * 90
+        assert feats[1].sum_bytes == 16 * 180

@@ -120,17 +120,31 @@ def decode_video(payload: bytes):
     """Decode a video payload to ``(y, u, v, meta)`` -- see
     :func:`.videocodec.decode_y4m`.
 
-    Y4M (uncompressed YUV4MPEG2) decodes natively; compressed video
-    (H.264/VP9/AV1) needs codec libraries absent from this build and
-    raises :class:`DecoderNotAvailable`."""
+    Y4M (uncompressed YUV4MPEG2) decodes natively; ANIMATED GIFs
+    decode through :mod:`.gifcodec` (frames composited per the
+    disposal model, luma = integer ``(r+g+b)//3``, mono -- the same
+    contract as grayscale Y4M).  Compressed video (H.264/VP9/AV1)
+    needs codec libraries absent from this build and raises
+    :class:`DecoderNotAvailable`."""
     from .videocodec import decode_y4m, is_y4m
 
     if is_y4m(payload or b""):
         return decode_y4m(payload)
+    if (payload or b"")[:4] == b"GIF8":
+        from .gifcodec import decode_gif_frames
+
+        frames = [f for f, _delay in decode_gif_frames(payload)]
+        y = np.stack([
+            f.astype(np.int32).sum(axis=2) // 3 for f in frames
+        ]).astype(np.uint8)
+        meta = {"width": y.shape[2], "height": y.shape[1],
+                "fps": (10, 1), "colorspace": "mono"}
+        return y, None, None, meta
     raise DecoderNotAvailable(
-        "only Y4M (uncompressed YUV4MPEG2) decodes natively "
-        "(clean-room codec in videocodec.py); H.264/VP9/AV1 require "
-        "external libraries not available in this build"
+        "only Y4M (uncompressed YUV4MPEG2) and animated GIF decode "
+        "natively (clean-room codecs in videocodec.py / gifcodec.py); "
+        "H.264/VP9/AV1 require external libraries not available in "
+        "this build"
     )
 
 
