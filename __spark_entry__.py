@@ -5978,7 +5978,25 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("n_px").cast("double").alias("v1"),
         nd.alias("v2"), ns.alias("s"),
     )
-    out = out.unionByName(wav).unionByName(y4m)
+    # 'avi' leg: REAL video CONTAINER round-trip -- payload bytes
+    # tiled into RGB frames, written as an uncompressed-DIB AVI
+    # (extensions/avicodec.py: RIFF hdrl/movi/idx1, bottom-up padded
+    # BGR rows -- lossless), decoded back through decode_video's AVI
+    # branch (luma = integer (r+g+b)//3), per-frame integer features
+    # against the twin's byte-tiling reconstruction.
+    from xcube_resampling_spark.extensions.multimodal import (
+        encode_video_avi,
+    )
+
+    avi = video_frame_features(encode_video_avi(media)).select(
+        F.lit("avi").alias("leg"), "media_id",
+        F.col("frame_idx").cast("long").alias("k1"),
+        F.col("sum_bytes").alias("k2"),
+        F.col("wsum_bytes").alias("k3"),
+        F.col("n_px").cast("double").alias("v1"),
+        nd.alias("v2"), ns.alias("s"),
+    )
+    out = out.unionByName(wav).unionByName(y4m).unionByName(avi)
     # gif joins the lossless legs: the synthetic tiles have <= 28
     # distinct colors, so the clean-room GIF palette round-trip is
     # byte-exact like PNG/BMP
@@ -6149,6 +6167,27 @@ FROM (
          CAST(t % 16 AS BIGINT) AS p,
          ascii(substr(text, CAST(t % length(text) AS INT) + 1, 1))
            AS byte
+  FROM (
+    SELECT doc_id AS media_id, text,
+           CAST(unnest(range(0, 96)) AS INT) AS t
+    FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
+  )
+) GROUP BY media_id, frame_idx
+UNION ALL
+SELECT 'avi' AS leg, media_id, frame_idx AS k1,
+       CAST(SUM(luma) AS BIGINT) AS k2,
+       CAST(SUM((p + 1) * luma) AS BIGINT) AS k3,
+       CAST(16 AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM (
+  SELECT media_id, CAST(t // 16 AS BIGINT) AS frame_idx,
+         CAST(t % 16 AS BIGINT) AS p,
+         (ascii(substr(text, CAST((3*t) % length(text) AS INT) + 1, 1))
+        + ascii(substr(text,
+                       CAST((3*t+1) % length(text) AS INT) + 1, 1))
+        + ascii(substr(text,
+                       CAST((3*t+2) % length(text) AS INT) + 1, 1)))
+           // 3 AS luma
   FROM (
     SELECT doc_id AS media_id, text,
            CAST(unnest(range(0, 96)) AS INT) AS t

@@ -130,3 +130,71 @@ class TestVideoOperators:
                 (frame * (np.arange(16) + 1)).sum())
         n_frames = {r["media_id"] for r in out}
         assert n_frames  # every video row produced frames
+
+class TestAviVideoOperators:
+    def test_decode_video_avi_dispatch(self):
+        from xcube_resampling_spark.extensions.avicodec import encode_avi
+        from xcube_resampling_spark.extensions.multimodal import (
+            decode_video,
+        )
+
+        rgb = np.arange(48, dtype=np.uint8).reshape(1, 4, 4, 3)
+        y, u, v, meta = decode_video(encode_avi(list(rgb), codec="DIB"))
+        assert u is None and v is None
+        want = rgb[0].astype(np.int32).sum(axis=2) // 3
+        assert (y[0] == want).all()
+        assert meta["width"] == 4 and meta["colorspace"] == "mono"
+
+    def test_avi_frame_features_match_tiling(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            encode_video_avi,
+            synthetic_media,
+            video_frame_features,
+        )
+
+        media = synthetic_media(spark, 12)
+        out = video_frame_features(encode_video_avi(media)).collect()
+        assert out
+        src = {m["media_id"]: m for m in media.collect()}
+        for r in out:
+            buf = np.frombuffer(
+                bytes(src[r["media_id"]]["payload"]), np.uint8
+            ).astype(np.int64)
+            t0 = r["frame_idx"] * 48
+            luma = np.array([
+                (buf[(t0 + 3 * p) % buf.size]
+                 + buf[(t0 + 3 * p + 1) % buf.size]
+                 + buf[(t0 + 3 * p + 2) % buf.size]) // 3
+                for p in range(16)
+            ])
+            assert r["n_px"] == 16
+            assert r["sum_bytes"] == int(luma.sum())
+            assert r["wsum_bytes"] == int(
+                (luma * (np.arange(16) + 1)).sum())
+
+    def test_avi_pipeline_is_shuffle_free(self, spark):
+        from tests.test_imagecodec import _n_exchanges
+        from xcube_resampling_spark.extensions.multimodal import (
+            encode_video_avi,
+            synthetic_media,
+            video_frame_features,
+        )
+
+        media = synthetic_media(spark, 9)
+        assert _n_exchanges(
+            video_frame_features(encode_video_avi(media))) == 0
+
+    def test_mjpg_avi_through_frame_features(self, spark):
+        # lossy path: structure (frame count, n_px) must survive
+        from xcube_resampling_spark.extensions.multimodal import (
+            encode_video_avi,
+            synthetic_media,
+            video_frame_features,
+        )
+
+        media = synthetic_media(spark, 6)
+        out = video_frame_features(
+            encode_video_avi(media, frame_w=8, frame_h=8, codec="MJPG")
+        ).collect()
+        assert out
+        assert all(r["n_px"] == 64 for r in out)

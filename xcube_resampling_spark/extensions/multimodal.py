@@ -123,9 +123,11 @@ def decode_video(payload: bytes):
     Y4M (uncompressed YUV4MPEG2) decodes natively; ANIMATED GIFs
     decode through :mod:`.gifcodec` (frames composited per the
     disposal model, luma = integer ``(r+g+b)//3``, mono -- the same
-    contract as grayscale Y4M).  Compressed video (H.264/VP9/AV1)
-    needs codec libraries absent from this build and raises
-    :class:`DecoderNotAvailable`."""
+    contract as grayscale Y4M); AVI containers decode through
+    :mod:`.avicodec` (MJPG frames via the clean-room JPEG codec,
+    uncompressed DIB frames exactly; same luma contract).
+    Compressed video (H.264/VP9/AV1) needs codec libraries absent
+    from this build and raises :class:`DecoderNotAvailable`."""
     from .videocodec import decode_y4m, is_y4m
 
     if is_y4m(payload or b""):
@@ -140,11 +142,23 @@ def decode_video(payload: bytes):
         meta = {"width": y.shape[2], "height": y.shape[1],
                 "fps": (10, 1), "colorspace": "mono"}
         return y, None, None, meta
+    from .avicodec import decode_avi, is_avi
+
+    if is_avi(payload or b""):
+        frames, avimeta = decode_avi(payload)
+        if not frames:
+            raise ValueError("AVI stream holds no video frames")
+        y = np.stack([
+            f.astype(np.int32).sum(axis=2) // 3 for f in frames
+        ]).astype(np.uint8)
+        meta = {"width": avimeta["width"], "height": avimeta["height"],
+                "fps": avimeta["fps"], "colorspace": "mono"}
+        return y, None, None, meta
     raise DecoderNotAvailable(
-        "only Y4M (uncompressed YUV4MPEG2) and animated GIF decode "
-        "natively (clean-room codecs in videocodec.py / gifcodec.py); "
-        "H.264/VP9/AV1 require external libraries not available in "
-        "this build"
+        "only Y4M (uncompressed YUV4MPEG2), animated GIF and AVI "
+        "(MJPG / uncompressed DIB) decode natively (clean-room codecs "
+        "in videocodec.py / gifcodec.py / avicodec.py); H.264/VP9/AV1 "
+        "require external libraries not available in this build"
     )
 
 
@@ -173,6 +187,49 @@ def encode_video_y4m(
                 y = np.tile(buf, reps)[:need].reshape(
                     n, frame_h, frame_w)
                 payloads.append(encode_y4m(y))
+            out["payload"] = payloads
+            yield out
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        compute, media.schema
+    )
+
+
+def encode_video_avi(
+    media: DataFrame,
+    frame_w: int = 4,
+    frame_h: int = 4,
+    codec: str = "DIB",
+    quality: int = 90,
+) -> DataFrame:
+    """Containerize video payload bytes as a real AVI executor-side:
+    the raw bytes tile into ``n_frames`` RGB frames of
+    ``frame_h x frame_w`` (byte ``t`` of the frame stream =
+    ``payload[t mod len]``, the same deterministic tiling every other
+    containerizer uses), written through the clean-room
+    :mod:`.avicodec` encoder.  ``codec='DIB'`` (uncompressed BGR) is
+    LOSSLESS, so the downstream decode is byte-exact;
+    ``codec='MJPG'`` exercises the Motion-JPEG path.  Returns the
+    media frame with ``payload`` replaced -- one narrow
+    ``mapInPandas`` pass, no shuffle."""
+    from .avicodec import encode_avi
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for n, payload in zip(pdf["n_frames"], pdf["payload"]):
+                n = 1 if pd.isna(n) else max(1, int(n))
+                buf = np.frombuffer(
+                    bytes(payload or b"\x00"), np.uint8)
+                if buf.size == 0:
+                    buf = np.zeros(1, np.uint8)
+                need = n * frame_h * frame_w * 3
+                reps = int(np.ceil(need / buf.size))
+                frames = np.tile(buf, reps)[:need].reshape(
+                    n, frame_h, frame_w, 3)
+                payloads.append(encode_avi(
+                    list(frames), codec=codec, quality=quality))
             out["payload"] = payloads
             yield out
 
