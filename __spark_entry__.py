@@ -5970,6 +5970,24 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("sample_rate").cast("double").alias("v1"),
         nd.alias("v2"), ns.alias("s"),
     )
+    # 'flac' leg: REAL COMPRESSED audio round-trip -- the same PCM
+    # interpretation Rice-compressed through the clean-room FLAC
+    # codec (extensions/flaccodec.py, lossless), decoded back via
+    # decode_audio's FLAC branch; features must equal the wav leg's
+    # (empty payloads become one zero sample -- GREATEST in the twin).
+    from xcube_resampling_spark.extensions.multimodal import (
+        encode_audio_flac,
+    )
+
+    flac = audio_features(encode_audio_flac(media)).select(
+        F.lit("flac").alias("leg"), "media_id",
+        F.col("n_samples").alias("k1"),
+        F.col("zero_crossings").alias("k2"),
+        F.col("sum_abs").alias("k3"),
+        F.col("sample_rate").cast("double").alias("v1"),
+        nd.alias("v2"), ns.alias("s"),
+    )
+    wav = wav.unionByName(flac)
     y4m = video_frame_features(encode_video_y4m(media)).select(
         F.lit("y4m").alias("leg"), "media_id",
         F.col("frame_idx").cast("long").alias("k1"),
@@ -6121,6 +6139,44 @@ SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
 UNION ALL
 SELECT 'wav' AS leg, m.media_id,
        CAST(length(m.text) // 2 AS BIGINT) AS k1,
+       CAST(COALESCE(z.zc, 0) AS BIGINT) AS k2,
+       CAST(COALESCE(z.sa, 0) AS BIGINT) AS k3,
+       CAST(16000 AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS VARCHAR) AS s
+FROM (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+) m
+LEFT JOIN (
+  SELECT media_id,
+         SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                  THEN 1 ELSE 0 END) AS zc,
+         SUM(ABS(v)) AS sa
+  FROM (
+    SELECT media_id, k, v,
+           CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sgn,
+           lag(CASE WHEN v >= 0 THEN 1 ELSE -1 END) OVER (
+             PARTITION BY media_id ORDER BY k) AS prev_sgn
+    FROM (
+      SELECT media_id, k,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+      FROM (
+        SELECT doc_id AS media_id,
+               CAST(unnest(range(0, CAST(length(text) // 2 AS BIGINT)))
+                    AS INT) AS k,
+               text
+        FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+      ) idx,
+      LATERAL (SELECT
+        ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+        + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)) AS raw
+      ) r
+    )
+  ) GROUP BY media_id
+) z ON z.media_id = m.media_id
+UNION ALL
+SELECT 'flac' AS leg, m.media_id,
+       CAST(GREATEST(length(m.text) // 2, 1) AS BIGINT) AS k1,
        CAST(COALESCE(z.zc, 0) AS BIGINT) AS k2,
        CAST(COALESCE(z.sa, 0) AS BIGINT) AS k3,
        CAST(16000 AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,

@@ -102,17 +102,21 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode an audio payload to ``(samples (n, channels), rate)``.
 
     WAV/PCM decodes natively (clean-room RIFF parser in
-    :mod:`.audiocodec`); compressed formats (MP3/AAC/FLAC) need codec
-    libraries absent from this build and raise
-    :class:`DecoderNotAvailable`."""
+    :mod:`.audiocodec`); FLAC decodes natively too (clean-room
+    RFC 9639 codec in :mod:`.flaccodec` -- the format of real speech
+    corpora like LibriSpeech); MP3/AAC need codec libraries absent
+    from this build and raise :class:`DecoderNotAvailable`."""
     from .audiocodec import decode_wav, is_wav
+    from .flaccodec import decode_flac, is_flac
 
     if is_wav(payload or b""):
         return decode_wav(payload)
+    if is_flac(payload or b""):
+        return decode_flac(payload)
     raise DecoderNotAvailable(
-        "only WAV/PCM decodes natively (clean-room codec in "
-        "audiocodec.py); MP3/AAC/FLAC require external libraries not "
-        "available in this build"
+        "only WAV/PCM and FLAC decode natively (clean-room codecs in "
+        "audiocodec.py / flaccodec.py); MP3/AAC require external "
+        "libraries not available in this build"
     )
 
 
@@ -579,6 +583,36 @@ def encode_audio_wav(media: DataFrame) -> DataFrame:
                 samples = np.frombuffer(
                     payload[:usable], dtype="<i2")
                 payloads.append(encode_wav(samples, rate))
+            out["payload"] = payloads
+            yield out
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        compute, media.schema
+    )
+
+
+def encode_audio_flac(media: DataFrame) -> DataFrame:
+    """Wrap audio payload bytes as real FLAC streams executor-side:
+    the raw bytes are interpreted as 16-bit little-endian PCM
+    (trailing odd byte dropped, empty payloads become one zero
+    sample) at the row's ``sample_rate`` and compressed LOSSLESSLY
+    with the clean-room :mod:`.flaccodec` encoder, so downstream
+    decodes are sample-exact.  Returns the media frame with
+    ``payload`` replaced -- a narrow ``mapInPandas`` pass."""
+    from .flaccodec import encode_flac
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for rate, payload in zip(pdf["sample_rate"], pdf["payload"]):
+                rate = 16000 if pd.isna(rate) else int(rate)
+                payload = bytes(payload or b"")
+                usable = len(payload) - (len(payload) % 2)
+                samples = np.frombuffer(payload[:usable], dtype="<i2")
+                if samples.size == 0:
+                    samples = np.zeros(1, np.int16)
+                payloads.append(encode_flac(samples, rate))
             out["payload"] = payloads
             yield out
 
