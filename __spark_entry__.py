@@ -4629,6 +4629,26 @@ def q_netcdf_roundtrip(spark, sf_dir):
     hd = clipped(
         read_hdf5(spark, hd_path, "value", bbox_ij=(5, 10, 20, 30))
     )
+    # 'szip' leg: the CCSDS 121 extended-Rice filter (HDF5 filter 4,
+    # the NASA HDF-EOS compressor; clean-room codec in
+    # sources/szip.py) through the same distributed granule pair --
+    # int32 FLOOR(value*100) samples so the round-trip is
+    # integer-exact on both engines (szip tops out at 32-bit samples)
+    sz_path = tempfile.gettempdir() + "/xcrs_hdf5_szip_roundtrip"
+    write_hdf5(
+        _raster(spark, sf_dir).withColumn(
+            "value", F.floor(F.col("value") * 100).cast("double")),
+        sz_path, "value", (RH, RW), band_rows=16,
+        compress="szip", dtype="<i4", fill_value=0,
+    )
+    sz = read_hdf5(
+        spark, sz_path, "value", bbox_ij=(5, 10, 20, 30)
+    ).select(
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.col("value"),
+    )
     # 'compound' leg: the same raster rows as a NetCDF-4 table-like
     # product -- a 1-D COMPOUND dataset per shard file (class 6
     # datatype), distributed write + read through the table pair
@@ -4687,6 +4707,10 @@ def q_netcdf_roundtrip(spark, sf_dir):
         )
         .unionByName(
             tb.select(F.lit("compound").alias("fmt"),
+                      "t", "j", "i", "value")
+        )
+        .unionByName(
+            sz.select(F.lit("szip").alias("fmt"),
                       "t", "j", "i", "value")
         )
         .unionByName(
@@ -6427,6 +6451,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\n"
             f"SELECT 'compound' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            "UNION ALL\n"
+            "SELECT 'szip' AS fmt, t, j, i,\n"
+            "       CAST(FLOOR(raw * 100) AS DOUBLE) AS value\n"
+            f"FROM (SELECT t, CAST(j - 10 AS INT) AS j,\n"
+            f"             CAST(i - 5 AS INT) AS i, value AS raw\n"
+            f"      FROM ({RASTER_SQL}) src\n"
+            f"      WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30) q\n"
             "UNION ALL\n"
             "SELECT 'vlen' AS fmt, CAST(length(s) AS INT) AS t,\n"
             "       CAST(j - 10 AS INT) AS j, CAST(i - 5 AS INT) AS i,\n"

@@ -86,10 +86,10 @@ class TestCodec:
             encode_hdf5("v", data, ("y", "x"), chunks=(4, 4),
                         compress=True)
         )
-        # rewrite the deflate filter id (1) to szip (4) in the pipeline
+        # rewrite the deflate filter id (1) to scaleoffset (6)
         i = blob.find(b"deflate")
-        blob[i - 8:i - 6] = struct.pack("<H", 4)
-        with pytest.raises(NotImplementedError, match="filter id 4"):
+        blob[i - 8:i - 6] = struct.pack("<H", 6)
+        with pytest.raises(NotImplementedError, match="filter id 6"):
             decode_hdf5(bytes(blob))
 
     def test_future_ohdr_version_rejected_clearly(self):

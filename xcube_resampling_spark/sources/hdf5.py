@@ -31,8 +31,11 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
 * chunked data behind the version-1 chunk B-tree (node type 1),
   filters applied per chunk in pipeline order (shuffle then deflate
   on write, inverse on read; LZF -- h5py's filter id 32000 --
-  decodes too); edge chunks stored padded, clipped on read -- the
-  same convention as zarr;
+  decodes too; SZIP -- filter id 4, the NASA HDF-EOS compressor --
+  decodes AND encodes through the clean-room CCSDS 121.0-B-2
+  extended-Rice codec in :mod:`.szip`, ``compress="szip"`` on
+  write); edge chunks stored padded, clipped on read -- the same
+  convention as zarr;
 * COMPOUND datasets (NetCDF-4 table-like products) in every layout
   incl. chunked+filtered (shuffle works on whole records), written
   as class-6 v1 messages; variable-length STRING and SEQUENCE
@@ -41,9 +44,8 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   tolerated, written with an in-file GCOL.
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
-szip/scaleoffset filters, filtered/chunked vlen datasets, vlen
-members inside compounds, filtered fractal heaps, v2 B-trees deeper
-than 1.
+scaleoffset filter, filtered/chunked vlen datasets, vlen members
+inside compounds, filtered fractal heaps, v2 B-trees deeper than 1.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
 ``part-<band>.h5`` files written by one ``applyInPandas`` task each
@@ -381,8 +383,9 @@ def encode_hdf5(
     version 1 (default; what stock libhdf5 writes) or version 2
     (``header_version=2``; the libver=latest "OHDR" layout with
     lookup3 gateway checksums).  ``chunks`` switches the layout to
-    chunked (v1 chunk B-tree); ``compress`` adds shuffle + deflate to
-    the chunk pipeline."""
+    chunked (v1 chunk B-tree); ``compress=True`` adds shuffle +
+    deflate to the chunk pipeline, ``compress="szip"`` the CCSDS 121
+    Rice filter (id 4) instead."""
     if header_version not in (1, 2):
         raise ValueError("header_version must be 1 or 2")
     if group_style not in ("symbol_table", "dense", "links"):
@@ -502,8 +505,8 @@ def encode_hdf5(
     else:
         if len(chunks) != data.ndim:
             raise ValueError("chunks rank must match data rank")
+        szip_params = None
         if compress:
-            # filter pipeline v1: shuffle (2) then deflate (1)
             def filt(fid, name, cdata):
                 nm = name + b"\x00"
                 nm += b"\x00" * (-len(nm) % 8)
@@ -516,9 +519,37 @@ def encode_hdf5(
                     body += b"\x00" * 4
                 return body
 
-            pipe = struct.pack("<BB2x4x", 1, 2) + filt(
-                2, b"shuffle", [data.dtype.itemsize]
-            ) + filt(1, b"deflate", [1])
+            if compress == "szip":
+                # filter pipeline v1: szip (4) -- CCSDS 121 Rice,
+                # cd_values the same 4 H5Pset_szip stores
+                from .szip import (
+                    SZ_EC_OPTION_MASK,
+                    SZ_LSB_OPTION_MASK,
+                    SZ_MSB_OPTION_MASK,
+                    SZ_NN_OPTION_MASK,
+                    SZ_RAW_OPTION_MASK,
+                )
+
+                bits = data.dtype.itemsize * 8
+                if bits > 32:
+                    raise NotImplementedError(
+                        "szip supports sample widths up to 32 bits; "
+                        f"dtype {data.dtype} is {bits}")
+                order_mask = (SZ_MSB_OPTION_MASK
+                              if data.dtype.byteorder == ">"
+                              else SZ_LSB_OPTION_MASK)
+                opts = (SZ_EC_OPTION_MASK | SZ_NN_OPTION_MASK
+                        | SZ_RAW_OPTION_MASK | order_mask)
+                ppb = 16
+                ppsl = int(min(4096, max(chunks[-1], 2)))
+                szip_params = (opts, bits, ppb, ppsl)
+                pipe = struct.pack("<BB2x4x", 1, 1) + filt(
+                    4, b"szip", list(szip_params))
+            else:
+                # filter pipeline v1: shuffle (2) then deflate (1)
+                pipe = struct.pack("<BB2x4x", 1, 2) + filt(
+                    2, b"shuffle", [data.dtype.itemsize]
+                ) + filt(1, b"deflate", [1])
             msgs.append((0x000B, pipe))
         # chunk records
         grid = [range(0, s, c) for s, c in zip(data.shape, chunks)]
@@ -534,7 +565,11 @@ def encode_hdf5(
             view = fdata[sl]
             block[tuple(slice(0, v) for v in view.shape)] = view
             raw = block.tobytes()
-            if compress:
+            if szip_params is not None:
+                from .szip import szip_encode
+
+                raw = szip_encode(raw, *szip_params)
+            elif compress:
                 raw = _shuffle_bytes(raw, data.dtype.itemsize)
                 raw = zlib.compress(raw, 1)
             addr = buf.tell()
@@ -1254,11 +1289,14 @@ def _lzf_decompress(raw: bytes) -> bytes:
 
 
 def _apply_filters_inverse(
-    raw: bytes, filters, itemsize: int, mask: int = 0
+    raw: bytes, filters, itemsize: int, mask: int = 0,
+    n_elements: int | None = None,
 ) -> bytes:
     """Invert the pipeline; bit k of ``mask`` (from the chunk B-tree
     key) set means filter k was SKIPPED for this chunk (an optional
-    filter that failed at write time, e.g. deflate that grew)."""
+    filter that failed at write time, e.g. deflate that grew).
+    ``n_elements`` (the chunk's element count) is required by szip,
+    whose stream doesn't carry its own length."""
     for k in range(len(filters) - 1, -1, -1):
         fid, cdata, _flags = filters[k]
         if mask & (1 << k):
@@ -1269,12 +1307,25 @@ def _apply_filters_inverse(
             raw = _unshuffle_bytes(
                 raw, cdata[0] if cdata else itemsize
             )
+        elif fid == 4:
+            from .szip import szip_decode
+
+            if len(cdata) < 4:
+                raise ValueError(
+                    "szip filter needs 4 client-data values, got "
+                    f"{list(cdata)}")
+            if n_elements is None:
+                raise ValueError(
+                    "szip chunk decode needs the element count")
+            raw = szip_decode(
+                raw, n_elements, cdata[0], cdata[1], cdata[2],
+                cdata[3])
         elif fid == 32000:
             raw = _lzf_decompress(raw)
         else:
             raise NotImplementedError(
                 f"HDF5 filter id {fid} not supported (deflate/shuffle/"
-                "lzf only)"
+                "szip/lzf only)"
             )
     return raw
 
@@ -1354,7 +1405,8 @@ def _read_chunked(blob, bt_addr, shape, chunks, dtype, filters,
                 continue
             raw = blob[child:child + nbytes]
             raw = _apply_filters_inverse(
-                raw, filters, dtype.itemsize, mask)
+                raw, filters, dtype.itemsize, mask,
+                n_elements=int(np.prod(chunks)))
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
             sl = tuple(
                 slice(o, min(o + c, s))
@@ -1491,13 +1543,16 @@ def write_hdf5(
     chunk_put: ChunkPut | None = None,
     header_version: int = 1,
     group_style: str = "symbol_table",
+    dtype: str = "<f8",
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as a granule directory
     of HDF5 files (one horizontal band of ``band_rows`` rows per file,
     one ``applyInPandas`` task per band, all bytes through
     ``chunk_put``).  ``header_version=2`` + ``group_style='dense'``
     emits the libver=latest layout (OHDR headers, fractal-heap link
-    storage)."""
+    storage).  ``dtype`` is the stored element type (values are cast;
+    integer dtypes need an integer-representable ``fill_value``, and
+    ``compress="szip"`` needs a <= 32-bit one)."""
     nd = len(shape)
     if nd == 2:
         nt, (h, w) = 1, shape
@@ -1521,11 +1576,14 @@ def write_hdf5(
         band = int(key[0])
         j0 = band * band_rows
         rows = min(band_rows, h - j0)
-        block = np.full((nt, rows, w), fill, dtype="<f8")
+        dt = np.dtype(dtype)
+        block = np.full(
+            (nt, rows, w),
+            dt.type(fill) if dt.kind in "iu" else fill, dtype=dt)
         tt = pdf["t"].to_numpy(np.int64)
         jj = pdf["j"].to_numpy(np.int64) - j0
         ii = pdf["i"].to_numpy(np.int64)
-        block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
+        block[tt, jj, ii] = pdf["value"].to_numpy(np.float64).astype(dt)
         dims = ("t", "y", "x") if nd == 3 else ("y", "x")
         data = block if nd == 3 else block[0]
         blob = encode_hdf5(
