@@ -891,3 +891,66 @@ class TestAttributeVersions:
             + b"\x00" * 16
         with pytest.raises(NotImplementedError, match="SHARED"):
             _parse_attribute(body)
+
+
+class TestDeepV2Btree:
+    """Multi-level name-index B-trees (BTIN internal nodes): the shape
+    real link-heavy granules reach past a few thousand names."""
+
+    def _roundtrip(self, n_links, node_size):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf,
+            _parse_dense_links,
+            _write_dense_links,
+        )
+
+        links = [(f"var_{k:05d}", 0x2000 + k) for k in range(n_links)]
+        buf = _Buf()
+        buf.write(b"\x00" * 64)
+        heap_addr, bt_addr = _write_dense_links(
+            buf, links, node_size=node_size)
+        blob = bytes(buf.b)
+        got = _parse_dense_links(blob, heap_addr, bt_addr)
+        assert got == dict(links)
+        return blob, bt_addr
+
+    def test_depth_grows_with_small_nodes(self):
+        import struct as _s
+
+        # 64-byte nodes, 11-byte records -> leaves hold 4; 120 links
+        # force at least two internal levels
+        blob, bt_addr = self._roundtrip(120, 64)
+        (depth,) = _s.unpack_from("<H", blob, bt_addr + 12)
+        assert depth >= 2
+
+    def test_depth3_roundtrip(self):
+        import struct as _s
+
+        blob, bt_addr = self._roundtrip(600, 64)
+        (depth,) = _s.unpack_from("<H", blob, bt_addr + 12)
+        assert depth >= 3
+
+    def test_default_node_size_stays_shallow(self):
+        import struct as _s
+
+        blob, bt_addr = self._roundtrip(200, 512)
+        (depth,) = _s.unpack_from("<H", blob, bt_addr + 12)
+        assert depth <= 1
+
+    def test_total_record_count_stored(self):
+        import struct as _s
+
+        blob, bt_addr = self._roundtrip(120, 64)
+        (total,) = _s.unpack_from("<Q", blob, bt_addr + 26)
+        assert total == 120
+
+    def test_node_too_small_raises(self):
+        import pytest as _pt
+
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf,
+            _write_v2_btree,
+        )
+
+        with _pt.raises(ValueError, match="node size"):
+            _write_v2_btree(_Buf(), [b"x" * 11] * 4, 11, node_size=20)

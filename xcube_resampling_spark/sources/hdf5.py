@@ -17,7 +17,7 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   new-style COMPACT groups (Link Info + hard Link messages,
   ``group_style="links"`` on write), and new-style DENSE groups
   (fractal heap FRHP/FHDB/FHIB + name-index version-2 B-tree
-  BTHD/BTIN/BTLF, depth <= 1 -- the ``libver=latest`` layout for
+  BTHD/BTIN/BTLF at any depth -- the ``libver=latest`` layout for
   groups with more than 8 links; ``group_style="dense"`` on write);
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
   IEEE float in either endianness, fixed strings, COMPOUND class 6 in
@@ -45,7 +45,7 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
 
 Out of scope (raise ``NotImplementedError`` with a clear message):
 scaleoffset filter, filtered/chunked vlen datasets, vlen members
-inside compounds, filtered fractal heaps, v2 B-trees deeper than 1.
+inside compounds, filtered fractal heaps.
 
 Spark plumbing mirrors ``sources/netcdf3.py``: a granule directory of
 ``part-<band>.h5`` files written by one ``applyInPandas`` task each
@@ -245,13 +245,15 @@ def _messages_block(msgs: list[tuple[int, bytes]]) -> bytes:
 
 
 def _write_dense_links(buf: "_Buf",
-                       links: list[tuple[str, int]]) -> tuple[int, int]:
+                       links: list[tuple[str, int]],
+                       node_size: int = 512) -> tuple[int, int]:
     """Emit dense group link storage (the ``libver='latest'`` layout
     for link-heavy groups): one fractal heap (FRHP + a single root
     FHDB direct block) holding every link message body as a managed
-    object, plus the name-index v2 B-tree (BTHD + one BTLF leaf of
-    (lookup3(name), heap-id) records).  Returns (heap_addr,
-    btree_addr) for the Link Info message."""
+    object, plus the name-index v2 B-tree of (lookup3(name), heap-id)
+    records -- grown to as many BTIN levels as ``node_size`` forces
+    (:func:`_write_v2_btree`).  Returns (heap_addr, btree_addr) for
+    the Link Info message."""
     bodies = []
     for name, oh_addr in links:
         nm = name.encode()
@@ -325,25 +327,104 @@ def _write_dense_links(buf: "_Buf",
          for (nm, _), hid in zip(bodies, heap_ids)),
         key=lambda r: struct.unpack_from("<I", r)[0],
     )
-    node_size = 512
-    while node_size < 10 + len(recs) * rec_size:
-        node_size *= 2  # keep a single leaf: node size is a stored field
-    leaf_pos = buf.tell()
-    leaf = bytearray(b"BTLF" + bytes([0, 5]))
-    for r in recs:
-        leaf += r
-    leaf += struct.pack("<I", _lookup3(bytes(leaf)))
-    buf.write(bytes(leaf))
+    bthd_pos = _write_v2_btree(buf, recs, rec_size,
+                               node_size=node_size)
+    return frhp_pos, bthd_pos
+
+
+def _chunk_with_seps(items: list, cap: int):
+    """Split ordered items into groups of <= ``cap`` with one
+    separator pulled out between consecutive groups (the static
+    B-tree build).  ``cap`` must be >= 2 so a trailing single item can
+    always fold into the final group arithmetic."""
+    groups, seps = [], []
+    i, n = 0, len(items)
+    while True:
+        g = min(cap, n - i)
+        if n - (i + g) == 1:  # never leave a dangling separator
+            g -= 1
+        groups.append(items[i:i + g])
+        if i + g >= n:
+            break
+        seps.append(items[i + g])
+        i += g + 1
+    return groups, seps
+
+
+def _write_v2_btree(buf: "_Buf", recs: list[bytes], rec_size: int,
+                    node_size: int = 512) -> int:
+    """Write a version-2 B-tree (type 5 name index) of ANY depth:
+    records split bottom-up into BTLF leaves and BTIN internal levels
+    per the spec's capacity/pointer-width recurrence
+    (:func:`_v2_btree_sizes`), so multi-level trees round-trip with
+    :func:`_v2_btree_records`.  Returns the BTHD address."""
+    leaf_max = (node_size - 10) // rec_size
+    if leaf_max < 2:
+        raise ValueError(
+            f"v2 B-tree node size {node_size} too small for two "
+            f"{rec_size}-byte records per leaf")
+
+    def write_leaf(leaf_recs):
+        pos = buf.tell()
+        node = bytearray(b"BTLF" + bytes([0, 5]))
+        for r in leaf_recs:
+            node += r
+        node += struct.pack("<I", _lookup3(bytes(node)))
+        buf.write(bytes(node))
+        return pos, len(leaf_recs), len(leaf_recs)
+
+    groups, seps = _chunk_with_seps(recs, leaf_max)
+    level = [write_leaf(g) for g in groups]  # (addr, nrec, total)
+    depth = 0
+    while len(level) > 1:
+        depth += 1
+        max_nrec, cum_tot = _v2_btree_sizes(node_size, rec_size, depth)
+        nsz = max(1, (max_nrec[depth - 1].bit_length() + 7) // 8)
+        tsz = (max(1, (cum_tot[depth - 1].bit_length() + 7) // 8)
+               if depth >= 2 else 0)
+
+        def write_internal(children, node_recs, nsz=nsz, tsz=tsz):
+            pos = buf.tell()
+            node = bytearray(b"BTIN" + bytes([0, 5]))
+            for r in node_recs:
+                node += r
+            for caddr, cn, ctot in children:
+                node += struct.pack("<Q", caddr)
+                node += cn.to_bytes(nsz, "little")
+                if tsz:
+                    node += ctot.to_bytes(tsz, "little")
+            node += struct.pack("<I", _lookup3(bytes(node)))
+            buf.write(bytes(node))
+            total = len(node_recs) + sum(c[2] for c in children)
+            return pos, len(node_recs), total
+
+        # a node holds g children and g-1 records; one separator is
+        # pulled up between consecutive nodes
+        nodes, parent_seps = [], []
+        i, n = 0, len(level)
+        cap_children = max_nrec[depth] + 1
+        while True:
+            g = min(cap_children, n - i)
+            if n - (i + g) == 1:
+                g -= 1
+            nodes.append(write_internal(
+                level[i:i + g], seps[i:i + g - 1]))
+            if i + g >= n:
+                break
+            parent_seps.append(seps[i + g - 1])
+            i += g
+        level, seps = nodes, parent_seps
+    root_addr, root_nrec, total = level[0]
     bthd_pos = buf.tell()
     bthd = bytearray()
     bthd += b"BTHD" + bytes([0, 5])
-    bthd += struct.pack("<IHH", node_size, rec_size, 0)
+    bthd += struct.pack("<IHH", node_size, rec_size, depth)
     bthd += bytes([100, 40])                    # split / merge %
-    bthd += struct.pack("<QH", leaf_pos, len(recs))
-    bthd += struct.pack("<Q", len(recs))        # total records
+    bthd += struct.pack("<QH", root_addr, root_nrec)
+    bthd += struct.pack("<Q", total)            # total records
     bthd += struct.pack("<I", _lookup3(bytes(bthd)))
     buf.write(bytes(bthd))
-    return frhp_pos, bthd_pos
+    return bthd_pos
 
 
 def _object_header_v1(msgs: list[tuple[int, bytes]]) -> bytes:
@@ -1080,10 +1161,37 @@ def _heap_object(blob: bytes, hp: dict, heap_id: bytes) -> bytes:
     return blob[start:start + obj_len]
 
 
+def _v2_btree_sizes(node_size: int, rec_size: int, depth: int):
+    """Per-depth node capacities and cumulative subtree maxima (HDF5
+    spec III.A.2 / H5B2): these derive the stored widths of a child
+    pointer's record-count and subtree-total fields, so reader and
+    writer must compute them identically."""
+    leaf_max = (node_size - 10) // rec_size
+    if leaf_max < 1:
+        raise ValueError(
+            f"v2 B-tree node size {node_size} cannot hold one "
+            f"{rec_size}-byte record")
+    max_nrec = [leaf_max]
+    cum_tot = [leaf_max]
+    for d in range(1, depth + 1):
+        nsz = max(1, (max_nrec[d - 1].bit_length() + 7) // 8)
+        tsz = (max(1, (cum_tot[d - 1].bit_length() + 7) // 8)
+               if d >= 2 else 0)
+        ptr = 8 + nsz + tsz
+        cap = (node_size - 10 - ptr) // (rec_size + ptr)
+        if cap < 1:
+            raise ValueError(
+                f"v2 B-tree node size {node_size} cannot hold an "
+                f"internal node at depth {d}")
+        max_nrec.append(cap)
+        cum_tot.append(cum_tot[d - 1] * (cap + 1) + cap)
+    return max_nrec, cum_tot
+
+
 def _v2_btree_records(blob: bytes, addr: int) -> list[bytes]:
     """Enumerate every record of a version-2 B-tree (BTHD/BTIN/BTLF,
-    HDF5 spec III.A.2), depth 0 or 1 -- enough for dense-group name
-    indices up to thousands of links at the default 512-byte nodes."""
+    HDF5 spec III.A.2) at ANY depth -- dense-group name indices of
+    real granules grow internal levels past a few thousand links."""
     if blob[addr:addr + 4] != b"BTHD":
         raise ValueError("bad v2 B-tree signature")
     (node_size,) = struct.unpack_from("<I", blob, addr + 6)
@@ -1091,43 +1199,44 @@ def _v2_btree_records(blob: bytes, addr: int) -> list[bytes]:
     (depth,) = struct.unpack_from("<H", blob, addr + 12)
     (root_addr,) = struct.unpack_from("<Q", blob, addr + 16)
     (root_nrec,) = struct.unpack_from("<H", blob, addr + 24)
+    max_nrec, cum_tot = _v2_btree_sizes(node_size, rec_size, depth)
     recs: list[bytes] = []
 
-    def read_leaf(a: int, n: int) -> None:
-        if blob[a:a + 4] != b"BTLF":
-            raise ValueError("bad v2 B-tree leaf")
-        p = a + 6
-        for _ in range(n):
-            recs.append(blob[p:p + rec_size])
-            p += rec_size
-
-    if depth == 0:
-        read_leaf(root_addr, root_nrec)
-    elif depth == 1:
-        if blob[root_addr:root_addr + 4] != b"BTIN":
+    def read_node(a: int, n: int, d: int) -> None:
+        if d == 0:
+            if blob[a:a + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf")
+            p = a + 6
+            for _ in range(n):
+                recs.append(blob[p:p + rec_size])
+                p += rec_size
+            return
+        if blob[a:a + 4] != b"BTIN":
             raise ValueError("bad v2 B-tree internal node")
-        p = root_addr + 6
-        int_recs = []
-        for _ in range(root_nrec):
-            int_recs.append(blob[p:p + rec_size])
+        p = a + 6
+        node_recs = []
+        for _ in range(n):
+            node_recs.append(blob[p:p + rec_size])
             p += rec_size
-        # child pointer: address(8) + #records (sized to hold the max
-        # leaf record count; leaves have no subtree-total field)
-        leaf_max = (node_size - 10) // rec_size
-        nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+        # child pointer: address(8) + record count (sized for the
+        # child's max) + subtree total (only when children are
+        # themselves internal, i.e. this node's depth >= 2)
+        nsz = max(1, (max_nrec[d - 1].bit_length() + 7) // 8)
+        tsz = (max(1, (cum_tot[d - 1].bit_length() + 7) // 8)
+               if d >= 2 else 0)
         children = []
-        for _ in range(root_nrec + 1):
+        for _ in range(n + 1):
             (caddr,) = struct.unpack_from("<Q", blob, p)
             p += 8
-            cn = int.from_bytes(blob[p:p + nrec_size], "little")
-            p += nrec_size
+            cn = int.from_bytes(blob[p:p + nsz], "little")
+            p += nsz + tsz
             children.append((caddr, cn))
         for k, (caddr, cn) in enumerate(children):
-            read_leaf(caddr, cn)
-            if k < len(int_recs):
-                recs.append(int_recs[k])
-    else:
-        raise NotImplementedError("v2 B-tree depth > 1 not supported")
+            read_node(caddr, cn, d - 1)
+            if k < len(node_recs):
+                recs.append(node_recs[k])
+
+    read_node(root_addr, root_nrec, depth)
     return recs
 
 
