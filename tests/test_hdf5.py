@@ -781,10 +781,40 @@ class TestCompoundVlen:
             encode_hdf5("ragged", seqs, ("row",)))["vars"]["ragged"]["data"]
         assert [list(a) for a in got] == [[1, 2, 3], [], [7, -9]]
 
-    def test_vlen_chunked_write_refused(self):
+    def test_vlen_chunked_filtered_roundtrip(self):
+        # netCDF-4's layout for a string variable with zlib=True: the
+        # 16-byte descriptor stream is chunked + shuffle/deflate; the
+        # global heap stays raw
+        vs = np.array(
+            [f"name_{k}" * (1 + k % 3) for k in range(40)],
+            dtype=object).reshape(8, 5)
+        blob = encode_hdf5("names", vs, ("y", "x"), chunks=(3, 2),
+                           compress=True)
+        got = decode_hdf5(blob)["vars"]["names"]["data"]
+        assert got.shape == (8, 5)
+        assert [str(x) for x in got.reshape(-1)] == list(
+            vs.reshape(-1))
+
+    def test_vlen_chunked_unfiltered_roundtrip(self):
+        vs = np.array(["alpha", "", "gamma", "d"], dtype=object)
+        blob = encode_hdf5("names", vs, ("row",), chunks=(3,))
+        got = decode_hdf5(blob)["vars"]["names"]["data"]
+        assert [str(x) for x in got] == list(vs)
+
+    def test_vlen_sequence_chunked_roundtrip(self):
+        vs = np.array(
+            [np.arange(k, dtype="<i4") for k in (3, 0, 5, 1)],
+            dtype=object)
+        blob = encode_hdf5("seqs", vs, ("row",), chunks=(2,),
+                           compress=True)
+        got = decode_hdf5(blob)["vars"]["seqs"]["data"]
+        for a, b in zip(got, vs):
+            np.testing.assert_array_equal(a, b)
+
+    def test_vlen_szip_refused_clearly(self):
         vs = np.array(["a", "b"], dtype=object)
-        with pytest.raises(NotImplementedError, match="contiguous"):
-            encode_hdf5("names", vs, ("row",), chunks=(1,))
+        with pytest.raises(NotImplementedError, match="descriptor"):
+            encode_hdf5("names", vs, ("row",), compress="szip")
 
     def test_compound_non_numeric_member_refused(self):
         rec = np.zeros(2, dtype=np.dtype([("a", "<i4"), ("o", "O")]))

@@ -499,9 +499,10 @@ def encode_hdf5(
                     for s in flat
                 )
             ]
-        if chunks is not None or compress:
+        if compress == "szip":
             raise NotImplementedError(
-                "vlen datasets are written contiguous only")
+                "szip cannot filter 16-byte vlen descriptors "
+                "(32-bit sample ceiling); use compress=True")
     elif data.dtype.names:
         bad = [
             nm for nm in data.dtype.names
@@ -560,6 +561,7 @@ def encode_hdf5(
         # fill value v2: alloc early, never written, undefined
         (0x0005, struct.pack("<BBBB", 2, 1, 0, 0)),
     ]
+    chunk_src = None  # array routed through the chunked writer below
     if vlen_strs is not None:
         gcol_pos = buf.tell()
         gbody = b""
@@ -569,14 +571,22 @@ def encode_hdf5(
         gbody += struct.pack("<HH4xQ", 0, 0, 16)  # free-space object
         buf.write(b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(gbody))
                   + gbody)
-        data_pos = buf.tell()
         desc = b"".join(
             struct.pack("<IQI", n, gcol_pos, k + 1)
             for k, (n, _s) in enumerate(vlen_strs)
         )
-        buf.write(desc)
-        msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_pos,
-                                         len(desc))))
+        if chunks is None and not compress:
+            data_pos = buf.tell()
+            buf.write(desc)
+            msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_pos,
+                                             len(desc))))
+        else:
+            # chunked/filtered DESCRIPTOR stream (what netCDF-4 emits
+            # for a string variable with zlib=True); heap stays raw
+            chunk_src = np.frombuffer(
+                desc, np.dtype("V16")).reshape(data.shape)
+            if chunks is None:
+                chunks = data.shape
     elif chunks is None:
         data_pos = buf.tell()
         raw = fdata.tobytes()
@@ -584,7 +594,9 @@ def encode_hdf5(
         msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_pos,
                                          len(raw))))
     else:
-        if len(chunks) != data.ndim:
+        chunk_src = fdata
+    if chunk_src is not None:
+        if len(chunks) != chunk_src.ndim:
             raise ValueError("chunks rank must match data rank")
         szip_params = None
         if compress:
@@ -611,13 +623,13 @@ def encode_hdf5(
                     SZ_RAW_OPTION_MASK,
                 )
 
-                bits = data.dtype.itemsize * 8
+                bits = chunk_src.dtype.itemsize * 8
                 if bits > 32:
                     raise NotImplementedError(
                         "szip supports sample widths up to 32 bits; "
-                        f"dtype {data.dtype} is {bits}")
+                        f"dtype {chunk_src.dtype} is {bits}")
                 order_mask = (SZ_MSB_OPTION_MASK
-                              if data.dtype.byteorder == ">"
+                              if chunk_src.dtype.byteorder == ">"
                               else SZ_LSB_OPTION_MASK)
                 opts = (SZ_EC_OPTION_MASK | SZ_NN_OPTION_MASK
                         | SZ_RAW_OPTION_MASK | order_mask)
@@ -629,21 +641,21 @@ def encode_hdf5(
             else:
                 # filter pipeline v1: shuffle (2) then deflate (1)
                 pipe = struct.pack("<BB2x4x", 1, 2) + filt(
-                    2, b"shuffle", [data.dtype.itemsize]
+                    2, b"shuffle", [chunk_src.dtype.itemsize]
                 ) + filt(1, b"deflate", [1])
             msgs.append((0x000B, pipe))
         # chunk records
-        grid = [range(0, s, c) for s, c in zip(data.shape, chunks)]
+        grid = [range(0, s, c) for s, c in zip(chunk_src.shape, chunks)]
         entries = []
         for origin in np.stack(
             np.meshgrid(*grid, indexing="ij"), axis=-1
-        ).reshape(-1, data.ndim):
+        ).reshape(-1, chunk_src.ndim):
             sl = tuple(
                 slice(o, min(o + c, s))
-                for o, c, s in zip(origin, chunks, data.shape)
+                for o, c, s in zip(origin, chunks, chunk_src.shape)
             )
-            block = np.zeros(chunks, dtype=data.dtype)
-            view = fdata[sl]
+            block = np.zeros(chunks, dtype=chunk_src.dtype)
+            view = chunk_src[sl]
             block[tuple(slice(0, v) for v in view.shape)] = view
             raw = block.tobytes()
             if szip_params is not None:
@@ -651,7 +663,7 @@ def encode_hdf5(
 
                 raw = szip_encode(raw, *szip_params)
             elif compress:
-                raw = _shuffle_bytes(raw, data.dtype.itemsize)
+                raw = _shuffle_bytes(raw, chunk_src.dtype.itemsize)
                 raw = zlib.compress(raw, 1)
             addr = buf.tell()
             buf.write(raw)
@@ -659,7 +671,7 @@ def encode_hdf5(
                             len(raw)))
         # single leaf v1 chunk B-tree
         bt_pos = buf.tell()
-        nd1 = data.ndim + 1
+        nd1 = chunk_src.ndim + 1
         node = bytearray()
         node += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
         node += struct.pack("<QQ", _UNDEF, _UNDEF)
@@ -671,14 +683,14 @@ def encode_hdf5(
             node += struct.pack("<Q", addr)
         # final key (one past the last chunk in every dim)
         node += struct.pack("<II", 0, 0)
-        for s in data.shape:
+        for s in chunk_src.shape:
             node += struct.pack("<Q", s)
-        node += struct.pack("<Q", data.dtype.itemsize)
+        node += struct.pack("<Q", chunk_src.dtype.itemsize)
         buf.write(bytes(node))
         layout = struct.pack("<BBBQ", 3, 2, nd1, bt_pos)
         for c in chunks:
             layout += struct.pack("<I", c)
-        layout += struct.pack("<I", data.dtype.itemsize)
+        layout += struct.pack("<I", chunk_src.dtype.itemsize)
         msgs.append((0x0008, layout))
     for k, v in (var_attrs or {}).items():
         msgs.append((0x000C, _attr_msg(k, v)))
@@ -1443,10 +1455,10 @@ def _read_vlen_dataset(blob, layout, shape, dtype: "_Vlen", filters):
     """Variable-length dataset (class 9): read the 16-byte descriptor
     records, then resolve each element from its global heap
     collection.  Strings decode to ``str``; sequences to numpy arrays
-    of the base type.  Contiguous and compact layouts only (stock
-    netCDF-4 writes vlen string datasets contiguous)."""
-    if filters:
-        raise NotImplementedError("filtered vlen datasets")
+    of the base type.  Contiguous, compact, and chunked layouts --
+    chunked+filtered is what netCDF-4 emits for a string variable
+    with ``zlib=True`` (only the DESCRIPTOR stream is filtered; heap
+    objects stay raw)."""
     if layout[0] != 3:
         raise NotImplementedError(
             f"layout message version {layout[0]} not supported")
@@ -1454,17 +1466,40 @@ def _read_vlen_dataset(blob, layout, shape, dtype: "_Vlen", filters):
     n = int(np.prod(shape)) if shape else 1
     out = np.empty(n, dtype=object)
     if lclass == 1:
+        if filters:
+            raise NotImplementedError(
+                "filtered contiguous vlen datasets")
         addr, size = struct.unpack_from("<QQ", layout, 2)
         if addr == _UNDEF:
             raw = b""
         else:
             raw = blob[addr:addr + size]
     elif lclass == 0:
+        if filters:
+            raise NotImplementedError("filtered compact vlen datasets")
         (size,) = struct.unpack_from("<H", layout, 2)
         raw = layout[4:4 + size]
+    elif lclass == 2:  # chunked descriptor stream
+        nd1 = layout[2]
+        (bt_addr,) = struct.unpack_from("<Q", layout, 3)
+        chunks = tuple(
+            struct.unpack_from("<I", layout, 11 + 4 * i)[0]
+            for i in range(nd1 - 1)
+        )
+        if bt_addr == _UNDEF:
+            raw = b""
+        else:
+            # each element is one 16-byte descriptor: read the chunk
+            # grid as opaque 16-byte records (shuffle cdata says 16,
+            # so unshuffle works on whole descriptors)
+            desc_arr = _read_chunked(
+                blob, bt_addr, shape if shape else (1,),
+                chunks, np.dtype("V16"), filters,
+            )
+            raw = desc_arr.tobytes()
     else:
         raise NotImplementedError(
-            "vlen datasets: contiguous/compact layouts only")
+            "vlen datasets: contiguous/compact/chunked layouts only")
     if not raw:
         out[:] = "" if dtype.kind == "string" else None
         return out.reshape(shape)
