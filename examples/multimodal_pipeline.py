@@ -83,10 +83,11 @@ def main(sf_dir: str) -> None:
     kept = gifs.join(losers, "media_id", "left_anti")
     print(f"near-dup pairs (d<=4): {pairs.count()}; "
           f"images kept: {kept.count()} of {n_img}")
-    release_cached()
 
     # ---- 3. training-input prep: thumbnail resize for the kept
     # images, frame samples for the videos, WAV features for audio
+    # (the dhash band table stays persisted until `thumbs` -- which
+    # re-walks kept -> losers -> pairs -- has actually run)
     thumbs = resize_images(kept, 8, 8)
     n_thumb_bytes = thumbs.select(
         F.sum(F.length("pixels")).alias("b")).first()["b"]
@@ -99,6 +100,7 @@ def main(sf_dir: str) -> None:
     print(f"thumbnails: {n_thumb_bytes} pixel bytes; "
           f"video frames decoded: {n_frames} (sampled {sampled}); "
           f"wav containers: {n_wav}")
+    release_cached()
     spark.stop()
 
 

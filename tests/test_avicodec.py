@@ -197,3 +197,31 @@ def test_idx1_present_and_offsets_resolve():
         assert data[movi_fourcc + off:movi_fourcc + off + 4] == b"00db"
         (csz,) = struct.unpack_from("<I", data, movi_fourcc + off + 4)
         assert csz == sz
+
+
+def test_top_down_dib_decodes_unflipped():
+    frames = _frames(1, 6, 4)
+    data = bytearray(encode_avi(frames, codec="DIB"))
+    # negate biHeight in strf (BITMAPINFOHEADER) AND re-pack each
+    # frame's rows top-down so pixel content is preserved
+    i = data.find(b"strf")
+    struct.pack_into("<i", data, i + 8 + 8, -6)
+    from xcube_resampling_spark.extensions.avicodec import _encode_dib
+
+    td = _encode_dib(frames[0][::-1])  # bottom-up of flipped = top-down
+    out = bytes(data).replace(_encode_dib(frames[0]), td)
+    decoded, meta = decode_avi(out)
+    assert meta["height"] == 6
+    np.testing.assert_array_equal(decoded[0], frames[0])
+
+
+def test_zero_size_first_chunk_emits_blank_frame():
+    frames = _frames(2, 8, 8)
+    data = encode_avi(frames, codec="DIB")
+    movi = data.find(b"movi")
+    buf = bytearray(data)
+    buf[movi + 4:movi + 4] = b"00db" + struct.pack("<I", 0)
+    out, meta = decode_avi(_fix_sizes(bytes(buf)))
+    assert len(out) == 3
+    assert not out[0].any()  # blank, not silently dropped
+    np.testing.assert_array_equal(out[1], frames[0])

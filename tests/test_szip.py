@@ -293,3 +293,27 @@ class TestHdf5SzipFilter:
             chunks=(8, 8), compress="szip")
         i = blob.find(b"szip")
         assert i > 0
+
+
+def test_hdf5_szip_chunk_carries_libhdf5_size_header(self=None):
+    # H5Z__filter_szip frames every chunk with a 4-byte LE
+    # uncompressed byte count; our chunks must carry it so real
+    # libhdf5 readers can open them
+    import struct as _s
+
+    from xcube_resampling_spark.sources.hdf5 import (
+        decode_hdf5,
+        encode_hdf5,
+    )
+
+    data = np.arange(64, dtype=np.int16).reshape(8, 8)
+    blob = encode_hdf5("v", data, ("y", "x"), chunks=(8, 8),
+                       compress="szip")
+    parsed = decode_hdf5(blob)
+    np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+    # locate the chunk via the v1 B-tree: single TREE node type 1
+    i = blob.find(b"TREE" + bytes([1]))
+    nbytes, _mask = _s.unpack_from("<II", blob, i + 24)
+    (addr,) = _s.unpack_from("<Q", blob, i + 24 + 8 + 24)
+    (declared,) = _s.unpack_from("<I", blob, addr)
+    assert declared == 128  # 64 int16 samples

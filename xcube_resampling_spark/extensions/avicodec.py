@@ -109,9 +109,11 @@ def _ensure_dht(jpeg: bytes) -> bytes:
     return jpeg[:sos_at] + dht + jpeg[sos_at:]
 
 
-def _decode_dib(chunk: bytes, w: int, h: int, bpp: int) -> np.ndarray:
-    """BI_RGB frame chunk -> (h, w, 3) uint8 RGB.  Rows are bottom-up
-    BGR(A), padded to 4-byte boundaries."""
+def _decode_dib(chunk: bytes, w: int, h: int, bpp: int,
+                top_down: bool = False) -> np.ndarray:
+    """BI_RGB frame chunk -> (h, w, 3) uint8 RGB.  Rows are BGR(A)
+    padded to 4-byte boundaries, bottom-up unless the header declared
+    a negative biHeight (the top-down form)."""
     if bpp not in (24, 32):
         raise NotImplementedError(
             f"uncompressed AVI frames with biBitCount={bpp} not "
@@ -123,7 +125,9 @@ def _decode_dib(chunk: bytes, w: int, h: int, bpp: int) -> np.ndarray:
             f"DIB frame chunk holds {len(chunk)} bytes, needs "
             f"{stride * h} for {w}x{h}x{bpp}")
     rows = np.frombuffer(chunk[: stride * h], np.uint8).reshape(h, stride)
-    px = rows[:, : w * nb].reshape(h, w, nb)[::-1]  # bottom-up
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    if not top_down:
+        px = px[::-1]
     return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
 
 
@@ -180,6 +184,7 @@ def decode_avi(data: bytes):
         raise ValueError("AVI has no video ('vids') stream")
     if movi is None:
         raise ValueError("AVI has no movi LIST")
+    top_down = h < 0  # negative biHeight = top-down DIB rows
     h = abs(h)
     codec_s = (codec or b"\x00\x00\x00\x00").decode(
         "ascii", errors="replace").strip("\x00 ").upper()
@@ -203,10 +208,12 @@ def decode_avi(data: bytes):
     out = []
     for fourcc, chunk in frames:
         if not chunk:
-            # zero-size chunk = dropped/repeat frame (legal in AVI);
-            # repeat the previous frame
-            if out:
-                out.append(out[-1])
+            # zero-size chunk = dropped/repeat frame (legal in AVI):
+            # repeat the previous frame, or emit a blank one when the
+            # stream STARTS dropped -- silently skipping would shift
+            # every later frame index off the timeline
+            out.append(out[-1] if out
+                       else np.zeros((h, w, 3), np.uint8))
             continue
         if codec_s == "MJPG":
             from .jpegcodec import decode_jpeg
@@ -216,7 +223,8 @@ def decode_avi(data: bytes):
                 img = np.repeat(img[:, :, None], 3, axis=2)
             out.append(img)
         else:
-            out.append(_decode_dib(bytes(chunk), w, h, bpp))
+            out.append(_decode_dib(bytes(chunk), w, h, bpp,
+                                   top_down=top_down))
     meta = {
         "width": int(w), "height": int(h),
         "fps": (int(rate) or 25, int(scale) or 1),

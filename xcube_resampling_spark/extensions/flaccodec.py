@@ -96,68 +96,13 @@ def _crc16(data: bytes) -> int:
 # --------------------------------------------------------------------- #
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0  # bit position
-        self.nbits = len(data) * 8
-        # one-bit positions, for O(log) unary reads
-        self._ones = np.flatnonzero(
-            np.unpackbits(np.frombuffer(data, np.uint8)))
-
-    def read(self, n: int) -> int:
-        end = self.pos + n
-        if end > self.nbits:
-            raise ValueError("FLAC stream truncated mid-field")
-        b0, b1 = self.pos >> 3, (end + 7) >> 3
-        chunk = int.from_bytes(self.data[b0:b1], "big")
-        self.pos = end
-        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
-
-    def signed(self, n: int) -> int:
-        v = self.read(n)
-        return v - (1 << n) if v >= (1 << (n - 1)) else v
-
-    def unary(self) -> int:
-        i = np.searchsorted(self._ones, self.pos)
-        if i >= self._ones.size:
-            raise ValueError("FLAC stream truncated mid-unary")
-        one_at = int(self._ones[i])
-        q = one_at - self.pos
-        self.pos = one_at + 1
-        return q
-
-    def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+from ..bitio import BitReader as _BitReader  # noqa: E402
+from ..bitio import BitWriter as _BitWriterBase  # noqa: E402
 
 
-class _BitWriter:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nacc = 0
-
-    def write(self, n: int, v: int) -> None:
-        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
-        self.nacc += n
-        while self.nacc >= 8:
-            self.nacc -= 8
-            self.buf.append((self.acc >> self.nacc) & 0xFF)
-        self.acc &= (1 << self.nacc) - 1
-
-    def unary(self, q: int) -> None:
-        while q >= 32:
-            self.write(32, 0)
-            q -= 32
-        self.write(q + 1, 1)
-
-    def align(self) -> None:
-        if self.nacc:
-            self.write(8 - self.nacc, 0)
-
-    def getvalue(self) -> bytes:
-        assert self.nacc == 0
-        return bytes(self.buf)
+class _BitWriter(_BitWriterBase):
+    def getvalue(self) -> bytes:  # FLAC callers require alignment
+        return super().getvalue(pad=False)
 
 
 # --------------------------------------------------------------------- #
@@ -348,9 +293,14 @@ def decode_flac(data: bytes, verify_md5: bool = True):
     sr0, ch0, bps0, total, md5 = info
 
     chans: list = [[] for _ in range(ch0)]
-    while pos < len(data) and pos + 2 <= len(data):
-        frame_start = pos
-        r = _BitReader(data[pos:])
+    # ONE reader over the whole stream (slicing a fresh reader per
+    # frame re-indexes the remaining bytes every frame = O(n^2); a
+    # real 3-minute FLAC has ~2000 frames)
+    r = _BitReader(data)
+    r.pos = pos * 8
+    while r.pos + 16 <= r.nbits:
+        frame_start = r.pos >> 3  # frames are byte-aligned
+        pos = frame_start
         sync = r.read(14)
         if sync != _SYNC:
             raise ValueError(f"bad FLAC frame sync at byte {pos}")
@@ -387,7 +337,7 @@ def decode_flac(data: bytes, verify_md5: bool = True):
         bps = bps0 if bps_code == 0 else _BPS_CODES.get(bps_code)
         if bps is None:
             raise ValueError(f"FLAC bps code {bps_code} is reserved")
-        hdr_bytes = (r.pos + 7) >> 3
+        hdr_bytes = ((r.pos + 7) >> 3) - frame_start
         if _crc8(data[pos:pos + hdr_bytes]) != r.read(8):
             raise ValueError(f"FLAC frame header CRC-8 mismatch at {pos}")
 
@@ -413,11 +363,10 @@ def decode_flac(data: bytes, verify_md5: bool = True):
             raise ValueError(
                 f"frame channel count {n_ch} != STREAMINFO {ch0}")
         r.align()
-        body_bytes = r.pos >> 3
+        body_bytes = (r.pos >> 3) - frame_start
         crc = r.read(16)
         if _crc16(data[frame_start:frame_start + body_bytes]) != crc:
             raise ValueError(f"FLAC frame CRC-16 mismatch at {frame_start}")
-        pos = frame_start + body_bytes + 2
         for c in range(ch0):
             chans[c].append(subs[c])
 

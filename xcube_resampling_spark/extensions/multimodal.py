@@ -182,14 +182,9 @@ def encode_video_y4m(
             payloads = []
             for n, payload in zip(pdf["n_frames"], pdf["payload"]):
                 n = 1 if pd.isna(n) else max(1, int(n))
-                buf = np.frombuffer(
-                    bytes(payload or b"\x00"), np.uint8)
-                if buf.size == 0:
-                    buf = np.zeros(1, np.uint8)
-                need = n * frame_h * frame_w
-                reps = int(np.ceil(need / buf.size))
-                y = np.tile(buf, reps)[:need].reshape(
-                    n, frame_h, frame_w)
+                y = _tile_bytes(
+                    bytes(payload or b""), n * frame_h * frame_w
+                ).reshape(n, frame_h, frame_w)
                 payloads.append(encode_y4m(y))
             out["payload"] = payloads
             yield out
@@ -224,14 +219,9 @@ def encode_video_avi(
             payloads = []
             for n, payload in zip(pdf["n_frames"], pdf["payload"]):
                 n = 1 if pd.isna(n) else max(1, int(n))
-                buf = np.frombuffer(
-                    bytes(payload or b"\x00"), np.uint8)
-                if buf.size == 0:
-                    buf = np.zeros(1, np.uint8)
-                need = n * frame_h * frame_w * 3
-                reps = int(np.ceil(need / buf.size))
-                frames = np.tile(buf, reps)[:need].reshape(
-                    n, frame_h, frame_w, 3)
+                frames = _tile_bytes(
+                    bytes(payload or b""), n * frame_h * frame_w * 3
+                ).reshape(n, frame_h, frame_w, 3)
                 payloads.append(encode_avi(
                     list(frames), codec=codec, quality=quality))
             out["payload"] = payloads
@@ -280,16 +270,24 @@ def video_frame_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _tile_bytes(payload: bytes, need: int) -> np.ndarray:
+    """The deterministic tiling contract every containerizer and the
+    SQL oracles share: byte ``t`` of the output = ``payload[t mod
+    len]`` (empty payloads tile a single zero byte).  Single-sourced
+    here because three oracle legs depend on it byte-for-byte."""
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(need / buf.size))
+    return np.tile(buf, reps)[:need]
+
+
 def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: tile the payload bytes into an
     (h, w, 3) uint8 array.  Stands in for a codec so the downstream
     plumbing (batching, schema, resize math) is fully exercised."""
     need = width * height * 3
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    if buf.size == 0:
-        buf = np.zeros(1, dtype=np.uint8)
-    reps = int(np.ceil(need / buf.size))
-    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+    return _tile_bytes(payload, need).reshape(height, width, 3)
 
 
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:

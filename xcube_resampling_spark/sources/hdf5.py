@@ -661,7 +661,10 @@ def encode_hdf5(
             if szip_params is not None:
                 from .szip import szip_encode
 
-                raw = szip_encode(raw, *szip_params)
+                # the libhdf5 filter framing: 4-byte LE uncompressed
+                # byte count, then the szip stream
+                raw = struct.pack("<I", len(raw)) + szip_encode(
+                    raw, *szip_params)
             elif compress:
                 raw = _shuffle_bytes(raw, chunk_src.dtype.itemsize)
                 raw = zlib.compress(raw, 1)
@@ -1438,9 +1441,19 @@ def _apply_filters_inverse(
             if n_elements is None:
                 raise ValueError(
                     "szip chunk decode needs the element count")
+            # libhdf5's H5Z__filter_szip frames the stream with a
+            # 4-byte little-endian uncompressed byte count -- strip
+            # it (and sanity-check it) before the codec sees bits
+            if len(raw) < 4:
+                raise ValueError("szip chunk shorter than its header")
+            (nbytes_orig,) = struct.unpack_from("<I", raw, 0)
             raw = szip_decode(
-                raw, n_elements, cdata[0], cdata[1], cdata[2],
+                raw[4:], n_elements, cdata[0], cdata[1], cdata[2],
                 cdata[3])
+            if nbytes_orig and len(raw) != nbytes_orig:
+                raise ValueError(
+                    f"szip chunk decoded to {len(raw)} bytes, header "
+                    f"declared {nbytes_orig}")
         elif fid == 32000:
             raw = _lzf_decompress(raw)
         else:

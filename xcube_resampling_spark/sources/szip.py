@@ -39,6 +39,8 @@ import math
 
 import numpy as np
 
+from ..bitio import BitReader, BitWriter
+
 __all__ = ["szip_decode", "szip_encode",
            "SZ_EC_OPTION_MASK", "SZ_NN_OPTION_MASK",
            "SZ_LSB_OPTION_MASK", "SZ_MSB_OPTION_MASK",
@@ -72,57 +74,20 @@ def _sample_dtype(n: int, opts: int) -> np.dtype:
 # --------------------------------------------------------------------- #
 
 
-class _Reader:
+class _Reader(BitReader):
+    """Shared MSB-first reader; ``fs`` is the CCSDS name for unary."""
+
     def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.nbits = len(data) * 8
-        self._ones = np.flatnonzero(
-            np.unpackbits(np.frombuffer(data, np.uint8)))
+        super().__init__(data, label="szip")
 
-    def read(self, n: int) -> int:
-        end = self.pos + n
-        if end > self.nbits:
-            raise ValueError("szip stream truncated mid-field")
-        b0, b1 = self.pos >> 3, (end + 7) >> 3
-        chunk = int.from_bytes(self.data[b0:b1], "big")
-        self.pos = end
-        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
-
-    def fs(self) -> int:
-        i = np.searchsorted(self._ones, self.pos)
-        if i >= self._ones.size:
-            raise ValueError("szip stream truncated mid-FS-codeword")
-        one_at = int(self._ones[i])
-        q = one_at - self.pos
-        self.pos = one_at + 1
-        return q
+    fs = BitReader.unary
 
 
-class _Writer:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nacc = 0
-
-    def write(self, n: int, v: int) -> None:
-        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
-        self.nacc += n
-        while self.nacc >= 8:
-            self.nacc -= 8
-            self.buf.append((self.acc >> self.nacc) & 0xFF)
-        self.acc &= (1 << self.nacc) - 1
-
-    def fs(self, q: int) -> None:
-        while q >= 32:
-            self.write(32, 0)
-            q -= 32
-        self.write(q + 1, 1)
+class _Writer(BitWriter):
+    fs = BitWriter.unary
 
     def getvalue(self) -> bytes:
-        if self.nacc:
-            self.write(8 - self.nacc, 0)
-        return bytes(self.buf)
+        return super().getvalue(pad=True)
 
 
 # --------------------------------------------------------------------- #
