@@ -984,3 +984,60 @@ class TestDeepV2Btree:
 
         with _pt.raises(ValueError, match="node size"):
             _write_v2_btree(_Buf(), [b"x" * 11] * 4, 11, node_size=20)
+
+
+class TestNestedFractalHeap:
+    """Doubling-table heaps with FHIB indirect blocks, nested past
+    max_direct_rows -- the structure libhdf5 heaps grow into once
+    link messages exceed width * (2*start + ... + max_direct)."""
+
+    def _roundtrip(self, n_links, start=512, max_direct=1024):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf,
+            _parse_dense_links,
+            _write_dense_links,
+        )
+
+        links = [(f"layer_{k:05d}", 0x3000 + k) for k in range(n_links)]
+        buf = _Buf()
+        buf.write(b"\x00" * 32)
+        heap_addr, bt_addr = _write_dense_links(
+            buf, links, heap_start_size=start,
+            heap_max_direct=max_direct)
+        blob = bytes(buf.b)
+        got = _parse_dense_links(blob, heap_addr, bt_addr)
+        assert got == dict(links)
+        return blob
+
+    def test_multirow_direct_heap(self):
+        # enough links for several direct rows, no nesting yet
+        blob = self._roundtrip(100)
+        assert blob.count(b"FHIB") == 1  # just the root
+
+    def test_nested_indirect_blocks(self):
+        # start=512, max_direct=1024, width=4 -> max_direct_rows=3;
+        # direct coverage = 4*(512+512+1024) = 8 KiB; ~24 B/link means
+        # ~2000 links guarantee nested indirect rows
+        blob = self._roundtrip(2500)
+        assert blob.count(b"FHIB") > 1  # root + nested blocks
+
+    def test_deeply_nested(self):
+        # tiny table: direct span 4*(64+64+128)=1 KiB; 6000 links
+        # (~150 KiB) force two levels of indirect nesting
+        blob = self._roundtrip(6000, start=64, max_direct=128)
+        assert blob.count(b"FHIB") > 5
+
+    def test_single_block_default_unchanged(self):
+        from xcube_resampling_spark.sources.hdf5 import (
+            _Buf,
+            _parse_dense_links,
+            _write_dense_links,
+        )
+
+        links = [(f"v{k}", k) for k in range(10)]
+        buf = _Buf()
+        heap_addr, bt_addr = _write_dense_links(buf, links)
+        blob = bytes(buf.b)
+        assert b"FHIB" not in blob  # root direct block, cur_rows=0
+        assert _parse_dense_links(blob, heap_addr, bt_addr) == dict(
+            links)

@@ -16,9 +16,10 @@ Specification (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
   (the default "old-style" group every stock libhdf5 writes),
   new-style COMPACT groups (Link Info + hard Link messages,
   ``group_style="links"`` on write), and new-style DENSE groups
-  (fractal heap FRHP/FHDB/FHIB + name-index version-2 B-tree
-  BTHD/BTIN/BTLF at any depth -- the ``libver=latest`` layout for
-  groups with more than 8 links; ``group_style="dense"`` on write);
+  (fractal heap FRHP/FHDB/FHIB incl. NESTED indirect blocks, +
+  name-index version-2 B-tree BTHD/BTIN/BTLF at any depth, both
+  readable and writable -- the ``libver=latest`` layout for groups
+  with more than 8 links; ``group_style="dense"`` on write);
 * messages: dataspace (0x0001), datatype (0x0003: fixed-point and
   IEEE float in either endianness, fixed strings, COMPOUND class 6 in
   member-layout versions 1-3, and VARIABLE-LENGTH class 9), fill
@@ -244,16 +245,71 @@ def _messages_block(msgs: list[tuple[int, bytes]]) -> bytes:
     return bytes(out)
 
 
+def _frhp_header(heap_id_len, max_man_obj, free, managed, total_used,
+                 n_objs, width, start_size, max_direct, root_addr,
+                 cur_rows) -> bytes:
+    hdr = bytearray()
+    hdr += b"FRHP" + bytes([0])
+    hdr += struct.pack("<HH", heap_id_len, 0)   # id len, no io filters
+    hdr += bytes([0])                           # flags
+    hdr += struct.pack("<I", max_man_obj)       # max managed obj size
+    hdr += struct.pack("<Q", 0)                 # next huge object id
+    hdr += struct.pack("<Q", _UNDEF)            # huge v2 btree
+    hdr += struct.pack("<Q", free)              # free space
+    hdr += struct.pack("<Q", _UNDEF)            # free space manager
+    hdr += struct.pack("<QQ", managed, managed)  # managed / allocated
+    hdr += struct.pack("<Q", total_used)        # iterator offset
+    hdr += struct.pack("<Q", n_objs)            # managed object count
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)     # huge/tiny size+count
+    hdr += struct.pack("<H", width)             # table width
+    hdr += struct.pack("<QQ", start_size, max_direct)
+    hdr += struct.pack("<HH", 32, 1)            # max heap bits, rows
+    hdr += struct.pack("<Q", root_addr)         # root block address
+    hdr += struct.pack("<H", cur_rows)
+    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+    assert len(hdr) == 146
+    return bytes(hdr)
+
+
+def _heap_slots(hp: dict, base: int = 0, nrows: int | None = None):
+    """Yield ``(path, base, size)`` for every DIRECT-block slot of a
+    doubling table in heap-offset order; ``path`` is the chain of
+    (row, col) entries from the root, descending through nested
+    indirect slots.  ``nrows=None`` = the unbounded root table."""
+    mdr = _heap_max_direct_rows(hp)
+    row = 0
+    while nrows is None or row < nrows:
+        size = _heap_row_size(hp, row)
+        for col in range(hp["width"]):
+            if row < mdr:
+                yield ((row, col),), base, size
+            else:
+                for sub, sb, ss in _heap_slots(
+                        hp, base, _heap_iblock_rows(hp, size)):
+                    yield ((row, col),) + sub, sb, ss
+            base += size
+        row += 1
+
+
 def _write_dense_links(buf: "_Buf",
                        links: list[tuple[str, int]],
-                       node_size: int = 512) -> tuple[int, int]:
+                       node_size: int = 512,
+                       heap_start_size: int | None = None,
+                       heap_max_direct: int = 64 * 1024,
+                       heap_width: int = 4) -> tuple[int, int]:
     """Emit dense group link storage (the ``libver='latest'`` layout
-    for link-heavy groups): one fractal heap (FRHP + a single root
-    FHDB direct block) holding every link message body as a managed
-    object, plus the name-index v2 B-tree of (lookup3(name), heap-id)
-    records -- grown to as many BTIN levels as ``node_size`` forces
-    (:func:`_write_v2_btree`).  Returns (heap_addr, btree_addr) for
-    the Link Info message."""
+    for link-heavy groups): one fractal heap holding every link
+    message body as a managed object, plus the name-index v2 B-tree
+    of (lookup3(name), heap-id) records -- grown to as many BTIN
+    levels as ``node_size`` forces (:func:`_write_v2_btree`).
+
+    By default the heap is a single root direct block grown to fit
+    (compact, the common shape).  Passing ``heap_start_size`` writes a
+    REAL doubling table instead -- FHIB indirect blocks, nested once
+    the table outgrows ``heap_max_direct`` rows, exactly the
+    structure giant libhdf5 heaps have -- which is how the nested
+    read path is round-trip tested.  Returns (heap_addr, btree_addr)
+    for the Link Info message."""
     bodies = []
     for name, oh_addr in links:
         nm = name.encode()
@@ -278,48 +334,34 @@ def _write_dense_links(buf: "_Buf",
                 f"limit ({len(b)} > {max_man_obj} bytes)")
     heap_id_len = 1 + off_size + length_size
     db_hdr = 4 + 1 + 8 + off_size  # flags bit1 clear: no block checksum
-    total = db_hdr + sum(len(b) for _, b in bodies)
-    block = 512
-    while block < total:
-        block *= 2
 
-    frhp_pos = buf.tell()
-    frhp_len = 146          # fixed: all fields below + 4-byte checksum
-    db_addr = frhp_pos + frhp_len
-    hdr = bytearray()
-    hdr += b"FRHP" + bytes([0])
-    hdr += struct.pack("<HH", heap_id_len, 0)   # id len, no io filters
-    hdr += bytes([0])                           # flags
-    hdr += struct.pack("<I", max_man_obj)       # max managed obj size
-    hdr += struct.pack("<Q", 0)                 # next huge object id
-    hdr += struct.pack("<Q", _UNDEF)            # huge v2 btree
-    hdr += struct.pack("<Q", block - total)     # free space
-    hdr += struct.pack("<Q", _UNDEF)            # free space manager
-    hdr += struct.pack("<QQ", block, block)     # managed / allocated
-    hdr += struct.pack("<Q", total)             # iterator offset
-    hdr += struct.pack("<Q", len(bodies))       # managed object count
-    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)     # huge/tiny size+count
-    hdr += struct.pack("<H", 4)                 # table width
-    hdr += struct.pack("<QQ", block, block)     # start / max direct
-    hdr += struct.pack("<HH", 32, 1)            # max heap bits, rows
-    hdr += struct.pack("<Q", db_addr)           # root block address
-    hdr += struct.pack("<H", 0)                 # current rows: direct
-    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
-    assert len(hdr) == frhp_len
-    buf.write(bytes(hdr))
-
-    db = bytearray()
-    db += b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_pos)
-    db += (0).to_bytes(off_size, "little")      # block heap offset
-    heap_ids = []
-    for nm, body in bodies:
-        heap_ids.append(
-            bytes([0]) + len(db).to_bytes(off_size, "little")
-            + len(body).to_bytes(length_size, "little")
-        )
-        db += body
-    db += b"\x00" * (block - len(db))
-    buf.write(bytes(db))
+    if heap_start_size is None:
+        # single root direct block, grown to fit
+        total = db_hdr + sum(len(b) for _, b in bodies)
+        block = 512
+        while block < total:
+            block *= 2
+        frhp_pos = buf.tell()
+        db_addr = frhp_pos + 146
+        buf.write(_frhp_header(
+            heap_id_len, max_man_obj, block - total, block, total,
+            len(bodies), 4, block, block, db_addr, 0))
+        db = bytearray()
+        db += b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_pos)
+        db += (0).to_bytes(off_size, "little")  # block heap offset
+        heap_ids = []
+        for nm, body in bodies:
+            heap_ids.append(
+                bytes([0]) + len(db).to_bytes(off_size, "little")
+                + len(body).to_bytes(length_size, "little")
+            )
+            db += body
+        db += b"\x00" * (block - len(db))
+        buf.write(bytes(db))
+    else:
+        frhp_pos, heap_ids = _write_doubling_heap(
+            buf, bodies, heap_id_len, max_man_obj, off_size,
+            length_size, heap_start_size, heap_max_direct, heap_width)
 
     rec_size = 4 + heap_id_len
     recs = sorted(
@@ -330,6 +372,101 @@ def _write_dense_links(buf: "_Buf",
     bthd_pos = _write_v2_btree(buf, recs, rec_size,
                                node_size=node_size)
     return frhp_pos, bthd_pos
+
+
+def _write_doubling_heap(buf: "_Buf", bodies, heap_id_len: int,
+                         max_man_obj: int, off_size: int,
+                         length_size: int, start_size: int,
+                         max_direct: int, width: int):
+    """Write a REAL doubling-table fractal heap: direct blocks sized
+    per the row table, FHIB indirect blocks -- NESTED once rows pass
+    max_direct_rows, the structure giant libhdf5 heaps have -- and
+    the FRHP patched in place once the root address is known.
+    Returns ``(frhp_pos, heap_ids)``."""
+    if not bodies:
+        raise ValueError("doubling heap needs at least one object")
+    hp = {"start_size": start_size, "max_direct": max_direct,
+          "width": width, "off_size": off_size}
+    db_hdr = 4 + 1 + 8 + off_size
+    for v, nm in ((start_size, "heap_start_size"),
+                  (max_direct, "heap_max_direct")):
+        if v <= 0 or v & (v - 1):
+            raise ValueError(f"{nm} must be a power of two")
+    if max_direct < start_size or start_size <= db_hdr:
+        raise ValueError(
+            "need heap_max_direct >= heap_start_size > block header")
+    frhp_pos = buf.tell()
+    buf.write(b"\x00" * 146)  # FRHP placeholder, patched below
+
+    slots = _heap_slots(hp)
+    blocks: list[tuple] = []
+    heap_ids = []
+    used_bytes = 0
+    cur = None
+    for _nm, body in bodies:
+        if len(body) + db_hdr > max_direct:
+            raise NotImplementedError(
+                "link message larger than the largest direct block")
+        while cur is None or len(cur[3]) + len(body) > cur[2]:
+            path, base, size = next(slots)
+            db = bytearray(b"FHDB") + bytes([0])
+            db += struct.pack("<Q", frhp_pos)
+            db += base.to_bytes(off_size, "little")
+            cur = (path, base, size, db)
+            blocks.append(cur)
+        heap_ids.append(
+            bytes([0])
+            + (cur[1] + len(cur[3])).to_bytes(off_size, "little")
+            + len(body).to_bytes(length_size, "little"))
+        cur[3].extend(body)
+        used_bytes += len(body)
+
+    addr_by_path = {}
+    for path, base, size, db in blocks:
+        addr_by_path[path] = buf.tell()
+        buf.write(bytes(db).ljust(size, b"\x00"))
+
+    def block_base_of(parent_base: int, row: int, col: int) -> int:
+        b = parent_base
+        for r in range(row):
+            b += width * _heap_row_size(hp, r)
+        return b + col * _heap_row_size(hp, row)
+
+    def write_iblock(prefix: tuple, base: int, nrows: int) -> int:
+        entries = {}
+        nested = set()
+        for path, addr in addr_by_path.items():
+            if len(path) <= len(prefix) or path[:len(prefix)] != prefix:
+                continue
+            head = path[len(prefix)]
+            if len(path) == len(prefix) + 1:
+                entries[head] = addr
+            else:
+                nested.add(head)
+        for row, col in sorted(nested):
+            entries[(row, col)] = write_iblock(
+                prefix + ((row, col),),
+                block_base_of(base, row, col),
+                _heap_iblock_rows(hp, _heap_row_size(hp, row)))
+        ib = bytearray(b"FHIB") + bytes([0])
+        ib += struct.pack("<Q", frhp_pos)
+        ib += base.to_bytes(off_size, "little")
+        for r in range(nrows):
+            for c in range(width):
+                ib += struct.pack("<Q", entries.get((r, c), _UNDEF))
+        ib += struct.pack("<I", _lookup3(bytes(ib)))
+        pos = buf.tell()
+        buf.write(bytes(ib))
+        return pos
+
+    cur_rows = max(p[0][0] for p in addr_by_path) + 1
+    root_addr = write_iblock((), 0, cur_rows)
+    managed = blocks[-1][1] + blocks[-1][2]
+    buf.b[frhp_pos:frhp_pos + 146] = _frhp_header(
+        heap_id_len, max_man_obj, managed - used_bytes, managed,
+        used_bytes, len(bodies), width, start_size, max_direct,
+        root_addr, cur_rows)
+    return frhp_pos, heap_ids
 
 
 def _chunk_with_seps(items: list, cap: int):
@@ -1132,6 +1269,53 @@ def _heap_row_size(hp: dict, row: int) -> int:
     return hp["start_size"] if row <= 1 else hp["start_size"] << (row - 1)
 
 
+def _heap_max_direct_rows(hp: dict) -> int:
+    return (hp["max_direct"] // hp["start_size"]).bit_length() + 1
+
+
+def _heap_iblock_rows(hp: dict, size: int) -> int:
+    """Rows of an indirect block covering ``size`` bytes (H5HF
+    size-to-rows: log2(size) - log2(start_size * width) + 1)."""
+    return (size.bit_length()
+            - (hp["start_size"] * hp["width"]).bit_length() + 1)
+
+
+def _heap_locate(blob: bytes, hp: dict, obj_off: int):
+    """Descend the doubling table from the root indirect block --
+    through NESTED indirect blocks (the shape heaps grow into past
+    width * (2*start + ... + max_direct) bytes of link messages) --
+    to the direct block holding ``obj_off``.  Returns
+    ``(direct_block_addr, block_base)``."""
+    max_direct_rows = _heap_max_direct_rows(hp)
+    ib, ib_base, nrows = hp["root_addr"], 0, hp["cur_rows"]
+    while True:
+        if blob[ib:ib + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block")
+        rel = obj_off - ib_base
+        row, base = 0, 0
+        while row < nrows:
+            size = _heap_row_size(hp, row)
+            span = hp["width"] * size
+            if rel < base + span:
+                col = (rel - base) // size
+                block_base = ib_base + base + col * size
+                break
+            base += span
+            row += 1
+        else:
+            raise ValueError(
+                "fractal heap offset beyond indirect block coverage")
+        ptr0 = ib + 4 + 1 + 8 + hp["off_size"]
+        idx = row * hp["width"] + col
+        (child,) = struct.unpack_from("<Q", blob, ptr0 + 8 * idx)
+        if child in (0, _UNDEF):
+            raise ValueError("fractal heap object in an absent block")
+        if row < max_direct_rows:
+            return child, block_base
+        ib, ib_base = child, block_base
+        nrows = _heap_iblock_rows(hp, size)
+
+
 def _heap_object(blob: bytes, hp: dict, heap_id: bytes) -> bytes:
     """Fetch one managed object's bytes by its heap ID (version/type
     byte + heap offset + length; heap offsets INCLUDE direct-block
@@ -1148,28 +1332,7 @@ def _heap_object(blob: bytes, hp: dict, heap_id: bytes) -> bytes:
     if hp["cur_rows"] == 0:
         db_addr, block_base = hp["root_addr"], 0
     else:
-        # root indirect block (FHIB): doubling table of child blocks
-        row, base = 0, 0
-        while True:
-            size = _heap_row_size(hp, row)
-            span = hp["width"] * size
-            if obj_off < base + span:
-                col = (obj_off - base) // size
-                block_base = base + col * size
-                break
-            base += span
-            row += 1
-        max_direct_rows = (
-            (hp["max_direct"] // hp["start_size"]).bit_length() + 1)
-        if row >= max_direct_rows:
-            raise NotImplementedError(
-                "fractal heap with nested indirect blocks not supported")
-        ib = hp["root_addr"]
-        if blob[ib:ib + 4] != b"FHIB":
-            raise ValueError("bad fractal heap indirect block")
-        ptr0 = ib + 4 + 1 + 8 + hp["off_size"]
-        idx = row * hp["width"] + col
-        (db_addr,) = struct.unpack_from("<Q", blob, ptr0 + 8 * idx)
+        db_addr, block_base = _heap_locate(blob, hp, obj_off)
     if blob[db_addr:db_addr + 4] != b"FHDB":
         raise ValueError("bad fractal heap direct block")
     start = db_addr + (obj_off - block_base)
