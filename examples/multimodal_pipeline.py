@@ -1,8 +1,9 @@
 """Multimodal training-data curation pipeline on the media operators:
 containerize -> REAL decode (PNG / JPEG incl. progressive / GIF /
-WAV / Y4M, all clean-room codecs) -> feature extraction -> perceptual
-near-dup removal (dHash + pigeonhole-complete banded Hamming join) ->
-resize + frame sampling for the training shards.
+MJPEG-AVI / WAV / FLAC / Y4M, all clean-room codecs) -> feature
+extraction -> perceptual near-dup removal (dHash +
+pigeonhole-complete banded Hamming join) -> resize + frame sampling
+for the training shards.
 
 The media table is synthesized from the documents corpus (payload =
 text bytes, the same deterministic stand-in the oracle suite uses);
@@ -25,10 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 from xcube_resampling_spark.extensions.multimodal import (  # noqa: E402
+    audio_features,
     dhash_pairs,
+    encode_audio_flac,
     encode_audio_wav,
     encode_images,
-    encode_video_y4m,
+    encode_video_avi,
     extract_features,
     image_dhash,
     release_cached,
@@ -91,15 +94,21 @@ def main(sf_dir: str) -> None:
     thumbs = resize_images(kept, 8, 8)
     n_thumb_bytes = thumbs.select(
         F.sum(F.length("pixels")).alias("b")).first()["b"]
-    vids = encode_video_y4m(media)
-    frames = video_frame_features(vids)
+    vids = encode_video_avi(media, codec="MJPG", quality=92)
+    frames = video_frame_features(vids)  # real RIFF + MJPEG decode
     n_frames = frames.count()
     sampled = sample_frames(media, every_nth=2).count()
-    wavs = encode_audio_wav(media)
-    n_wav = wavs.count()
+    flacs = encode_audio_flac(media)  # lossless Rice compression
+    feats_a = audio_features(flacs)
+    n_audio = feats_a.count()
+    wav_bytes = encode_audio_wav(media).select(
+        F.sum(F.length("payload")).alias("b")).first()["b"]
+    flac_bytes = flacs.select(
+        F.sum(F.length("payload")).alias("b")).first()["b"]
     print(f"thumbnails: {n_thumb_bytes} pixel bytes; "
-          f"video frames decoded: {n_frames} (sampled {sampled}); "
-          f"wav containers: {n_wav}")
+          f"MJPEG-AVI frames decoded: {n_frames} (sampled {sampled}); "
+          f"FLAC audio decoded: {n_audio} "
+          f"({flac_bytes}B flac vs {wav_bytes}B wav)")
     release_cached()
     spark.stop()
 
