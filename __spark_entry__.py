@@ -6011,7 +6011,21 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("sample_rate").cast("double").alias("v1"),
         nd.alias("v2"), ns.alias("s"),
     )
-    wav = wav.unionByName(flac)
+    # 'audio_fp' leg: energy-envelope near-dup fingerprint
+    # (Haitsma-Kalker shape, pure integer) computed over the FLAC
+    # round-trip -- decode + windowed |s| sums + threshold bits all
+    # integer-exact against the twin's sample reconstruction
+    from xcube_resampling_spark.extensions.multimodal import (
+        audio_fingerprint,
+    )
+
+    afp = audio_fingerprint(encode_audio_flac(media)).select(
+        F.lit("audio_fp").alias("leg"), "media_id",
+        F.col("fp_hi").alias("k1"),
+        F.col("fp_lo").alias("k2"),
+        nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
+    )
+    wav = wav.unionByName(flac).unionByName(afp)
     y4m = video_frame_features(encode_video_y4m(media)).select(
         F.lit("y4m").alias("leg"), "media_id",
         F.col("frame_idx").cast("long").alias("k1"),
@@ -6236,6 +6250,51 @@ LEFT JOIN (
     )
   ) GROUP BY media_id
 ) z ON z.media_id = m.media_id
+UNION ALL
+SELECT 'audio_fp' AS leg, media_id,
+       CAST(SUM(CASE WHEN w >= 32 AND w < 64 AND bit = 1
+                THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT))
+                ELSE 0 END) AS BIGINT) AS k1,
+       CAST(SUM(CASE WHEN w < 32 AND bit = 1
+                THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+                ELSE 0 END) AS BIGINT) AS k2,
+       CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
+FROM (
+  SELECT media_id, w,
+         CASE WHEN lead(en) OVER (PARTITION BY media_id ORDER BY w)
+                   > en THEN 1 ELSE 0 END AS bit
+  FROM (
+    SELECT m.media_id, g.w, COALESCE(e.en, 0) AS en
+    FROM (
+      SELECT doc_id AS media_id, text,
+             CAST(length(text) // 2 AS BIGINT) AS n
+      FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+    ) m
+    CROSS JOIN (SELECT CAST(unnest(range(0, 65)) AS INT) AS w) g
+    LEFT JOIN (
+      SELECT media_id, CAST(k * 65 // n AS INT) AS w,
+             SUM(ABS(v)) AS en
+      FROM (
+        SELECT media_id, k, n,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+                 AS v
+        FROM (
+          SELECT doc_id AS media_id, text,
+                 CAST(length(text) // 2 AS BIGINT) AS n,
+                 CAST(unnest(range(0,
+                      CAST(length(text) // 2 AS BIGINT))) AS INT) AS k
+          FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+        ) idx,
+        LATERAL (SELECT
+          ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+          + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1))
+            AS raw
+        ) r
+      ) GROUP BY media_id, w
+    ) e ON e.media_id = m.media_id AND e.w = g.w
+  )
+) GROUP BY media_id
 UNION ALL
 SELECT 'y4m' AS leg, media_id, frame_idx AS k1,
        CAST(SUM(byte) AS BIGINT) AS k2,

@@ -397,3 +397,93 @@ class TestFlacOperators:
         x = _tone(8000, amp=3000)
         assert len(encode_flac(x, 16000)) < 0.7 * len(
             encode_wav(x[:, 0], 16000))
+
+
+def test_id3v2_prefixed_stream_decodes():
+    x = _tone(500)
+    base = encode_flac(x, 16000)
+    tag_body = b"\x00" * 200
+    # syncsafe size 200 = 0x00 0x00 0x01 0x48
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F])
+    data = id3 + tag_body + base
+    assert is_flac(data)
+    y, sr = decode_flac(data)
+    np.testing.assert_array_equal(y, x)
+    assert not is_flac(id3 + tag_body + b"JUNK")
+
+
+class TestAudioFingerprint:
+    def test_identical_audio_distance_zero(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            audio_fingerprint,
+            dhash_pairs,
+            encode_audio_flac,
+            release_cached,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 15)
+        fp = audio_fingerprint(encode_audio_flac(media))
+        rows = {r["media_id"]: (r["fp_hi"], r["fp_lo"])
+                for r in fp.collect()}
+        assert rows
+        # a duplicate copy at shifted ids must pair at distance 0
+        from pyspark.sql import functions as F
+
+        dup = fp.unionByName(fp.select(
+            (F.col("media_id") + 1000).alias("media_id"),
+            "fp_hi", "fp_lo"))
+        pairs = dhash_pairs(
+            dup.select("media_id",
+                       F.col("fp_hi").alias("dhash_hi"),
+                       F.col("fp_lo").alias("dhash_lo")),
+            max_distance=0,
+        ).collect()
+        release_cached()
+        exact = {(p["id_a"], p["id_b"]) for p in pairs
+                 if p["id_b"] == p["id_a"] + 1000}
+        assert len(exact) == len(rows)
+
+    def test_fingerprint_matches_manual_energy_walk(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            audio_fingerprint,
+            encode_audio_wav,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 9)
+        got = {r["media_id"]: (r["fp_hi"] << 32) | r["fp_lo"]
+               for r in audio_fingerprint(
+                   encode_audio_wav(media)).collect()}
+        src = {m["media_id"]: bytes(m["payload"])
+               for m in media.collect() if m["kind"] == "audio"}
+        assert set(got) == set(src)
+        for mid, payload in src.items():
+            usable = len(payload) - len(payload) % 2
+            s = np.abs(np.frombuffer(
+                payload[:usable], "<i2").astype(np.int64))
+            en = np.zeros(65, np.int64)
+            for i, v in enumerate(s):
+                en[i * 65 // s.size] += v
+            want = 0
+            for k in range(64):
+                if en[k + 1] > en[k]:
+                    want |= 1 << k
+            assert got[mid] == want
+
+    def test_wav_and_flac_fingerprints_agree(self, spark):
+        from xcube_resampling_spark.extensions.multimodal import (
+            audio_fingerprint,
+            encode_audio_flac,
+            encode_audio_wav,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 12)
+        via_wav = {r["media_id"]: (r["fp_hi"], r["fp_lo"])
+                   for r in audio_fingerprint(
+                       encode_audio_wav(media)).collect()}
+        via_flac = {r["media_id"]: (r["fp_hi"], r["fp_lo"])
+                    for r in audio_fingerprint(
+                        encode_audio_flac(media)).collect()}
+        assert via_wav == via_flac

@@ -52,8 +52,26 @@ _FIXED_COEFS = {
 }
 
 
+def _skip_id3(data: bytes) -> int:
+    """Real-world FLAC files often carry a prepended ID3v2 tag (a
+    tagging-tool habit the format spec discourages but decoders
+    accept).  Returns the offset where the FLAC stream starts."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    # syncsafe 28-bit size, excluding the 10-byte header
+    size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    off = 10 + size
+    if data[5] & 0x10:  # footer-present flag
+        off += 10
+    return off if data[off:off + 4] == b"fLaC" else 0
+
+
 def is_flac(data: bytes) -> bool:
-    return data[:4] == b"fLaC"
+    if data[:4] == b"fLaC":
+        return True
+    off = _skip_id3(data)
+    return off > 0 and data[off:off + 4] == b"fLaC"
 
 
 # --------------------------------------------------------------------- #
@@ -260,7 +278,7 @@ def decode_flac(data: bytes, verify_md5: bool = True):
     is verified when the stream carries one (all-zero = unset)."""
     if not is_flac(data):
         raise ValueError("not a FLAC stream (no fLaC magic)")
-    pos = 4
+    pos = _skip_id3(data) + 4
     info = None
     while True:
         if pos + 4 > len(data):

@@ -663,6 +663,57 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def audio_fingerprint(
+    media: DataFrame, n_windows: int = 65
+) -> DataFrame:
+    """Audio near-dup fingerprint -- the energy-envelope form of the
+    Haitsma-Kalker robust hash, kept in pure integer arithmetic so
+    the 64-bit value has an exact cross-engine oracle: decode
+    (WAV or FLAC), take the first channel, split the samples into
+    ``n_windows`` equal spans (sample ``i`` lands in window
+    ``i * n_windows // n``), integer energy = ``sum |s|`` per window,
+    bit ``k`` set when ``energy[k+1] > energy[k]``.
+
+    Returns ``(media_id, fp_hi, fp_lo)`` -- the same int32-range
+    halves layout as :func:`image_dhash`, so :func:`dhash_pairs`
+    (renamed columns) gives the COMPLETE banded-Hamming near-dup pair
+    set for audio too.  One narrow ``mapInPandas`` pass."""
+    if n_windows - 1 > 64:
+        raise ValueError("fingerprint is capped at 64 bits")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp_hi", T.LongType(), False),
+        T.StructField("fp_lo", T.LongType(), False),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_audio(bytes(payload or b""))
+                mono = np.abs(samples[:, 0].astype(np.int64))
+                n = mono.size
+                en = np.zeros(n_windows, np.int64)
+                if n:
+                    w = (np.arange(n) * n_windows) // n
+                    # float64 bincount is integer-exact below 2^53
+                    # per window (|int16| sums get nowhere near)
+                    en = np.bincount(
+                        w, weights=mono, minlength=n_windows
+                    ).astype(np.int64)
+                bits = en[1:] > en[:-1]
+                val = 0
+                for k in np.nonzero(bits)[0]:
+                    val |= 1 << int(k)
+                rows.append((int(mid), val >> 32, val & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fp_hi", "fp_lo"])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        compute, schema
+    )
+
+
 def synthetic_media(spark, n: int = 20) -> DataFrame:
     """Deterministic synthetic media table for tests."""
     rows = []

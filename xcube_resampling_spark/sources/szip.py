@@ -333,11 +333,18 @@ def szip_encode(
         if nn:
             ref = int(sl[0])
             w.write(n, ref)
-            pred = ref
-            vals = []
-            for x in sl[1:].tolist():
-                vals.append(_map_delta(int(x), pred, xmax))
-                pred = int(x)
+            # vectorized theta-limited mapping: pred[i] = x[i-1] is
+            # known up-front on encode (unlike decode, where the
+            # chain is sequential)
+            x = sl[1:].astype(np.int64)
+            pred = sl[:-1].astype(np.int64)
+            d = x - pred
+            theta = np.minimum(pred, xmax - pred)
+            mapped = np.where(
+                (d >= 0) & (d <= theta), 2 * d,
+                np.where((d < 0) & (-d <= theta), -2 * d - 1,
+                         theta + np.abs(d)))
+            vals = [int(v) for v in mapped.tolist()]
         else:
             vals = [int(v) for v in sl.tolist()]
         # split into blocks (first block J-1 when a reference was sent)
