@@ -6052,7 +6052,20 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("n_px").cast("double").alias("v1"),
         nd.alias("v2"), ns.alias("s"),
     )
-    out = out.unionByName(wav).unionByName(y4m).unionByName(avi)
+    # 'video_fp' leg: the same integer energy-envelope near-dup hash
+    # over the decoded Y4M luma stream (96 tiled bytes per video)
+    from xcube_resampling_spark.extensions.multimodal import (
+        video_fingerprint,
+    )
+
+    vfp = video_fingerprint(encode_video_y4m(media)).select(
+        F.lit("video_fp").alias("leg"), "media_id",
+        F.col("fp_hi").alias("k1"),
+        F.col("fp_lo").alias("k2"),
+        nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
+    )
+    out = (out.unionByName(wav).unionByName(y4m).unionByName(avi)
+           .unionByName(vfp))
     # gif joins the lossless legs: the synthetic tiles have <= 28
     # distinct colors, so the clean-room GIF palette round-trip is
     # byte-exact like PNG/BMP
@@ -6312,6 +6325,31 @@ FROM (
     FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
   )
 ) GROUP BY media_id, frame_idx
+UNION ALL
+SELECT 'video_fp' AS leg, media_id,
+       CAST(SUM(CASE WHEN w >= 32 AND w < 64 AND bit = 1
+                THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT))
+                ELSE 0 END) AS BIGINT) AS k1,
+       CAST(SUM(CASE WHEN w < 32 AND bit = 1
+                THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+                ELSE 0 END) AS BIGINT) AS k2,
+       CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
+FROM (
+  SELECT media_id, w,
+         CASE WHEN lead(en) OVER (PARTITION BY media_id ORDER BY w)
+                   > en THEN 1 ELSE 0 END AS bit
+  FROM (
+    SELECT media_id, CAST(t * 65 // 96 AS INT) AS w,
+           SUM(ascii(substr(text,
+               CAST(t % length(text) AS INT) + 1, 1))) AS en
+    FROM (
+      SELECT doc_id AS media_id, text,
+             CAST(unnest(range(0, 96)) AS INT) AS t
+      FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
+    ) GROUP BY media_id, w
+  )
+) GROUP BY media_id
 UNION ALL
 SELECT 'avi' AS leg, media_id, frame_idx AS k1,
        CAST(SUM(luma) AS BIGINT) AS k2,

@@ -714,6 +714,48 @@ def audio_fingerprint(
     )
 
 
+def video_fingerprint(
+    media: DataFrame, n_windows: int = 65
+) -> DataFrame:
+    """Video near-dup fingerprint: the same integer energy-envelope
+    hash as :func:`audio_fingerprint`, over the decoded luma stream
+    (all frames' Y planes concatenated in display order -- Y4M, GIF
+    and AVI all decode to that contract).  Returns ``(media_id,
+    fp_hi, fp_lo)``; pair detection reuses :func:`dhash_pairs`."""
+    if n_windows - 1 > 64:
+        raise ValueError("fingerprint is capped at 64 bits")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp_hi", T.LongType(), False),
+        T.StructField("fp_lo", T.LongType(), False),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                y, _u, _v, _meta = decode_video(bytes(payload or b""))
+                flat = y.reshape(-1).astype(np.int64)
+                n = flat.size
+                en = np.zeros(n_windows, np.int64)
+                if n:
+                    w = (np.arange(n) * n_windows) // n
+                    en = np.bincount(
+                        w, weights=flat, minlength=n_windows
+                    ).astype(np.int64)
+                bits = en[1:] > en[:-1]
+                val = 0
+                for k in np.nonzero(bits)[0]:
+                    val |= 1 << int(k)
+                rows.append((int(mid), val >> 32, val & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fp_hi", "fp_lo"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        compute, schema
+    )
+
+
 def synthetic_media(spark, n: int = 20) -> DataFrame:
     """Deterministic synthetic media table for tests."""
     rows = []
