@@ -225,3 +225,54 @@ def test_zero_size_first_chunk_emits_blank_frame():
     assert len(out) == 3
     assert not out[0].any()  # blank, not silently dropped
     np.testing.assert_array_equal(out[1], frames[0])
+
+
+class TestAviAudioStream:
+    def test_pcm_audio_roundtrip(self):
+        from xcube_resampling_spark.extensions.avicodec import (
+            decode_avi_audio,
+        )
+
+        rng = np.random.default_rng(11)
+        audio = rng.integers(-20000, 20000, (1600, 2)).astype(np.int16)
+        data = encode_avi(_frames(4, 8, 8), fps=10, codec="DIB",
+                          audio=audio, audio_rate=8000)
+        got, rate = decode_avi_audio(data)
+        assert rate == 8000
+        np.testing.assert_array_equal(got, audio)
+        # the video track still decodes untouched
+        frames, meta = decode_avi(data)
+        assert len(frames) == 4
+
+    def test_mono_audio(self):
+        from xcube_resampling_spark.extensions.avicodec import (
+            decode_avi_audio,
+        )
+
+        audio = np.arange(-50, 50, dtype=np.int16)
+        data = encode_avi(_frames(2, 8, 8), codec="MJPG", audio=audio)
+        got, rate = decode_avi_audio(data)
+        assert rate == 16000
+        np.testing.assert_array_equal(got[:, 0], audio)
+
+    def test_no_audio_stream_raises(self):
+        from xcube_resampling_spark.extensions.avicodec import (
+            decode_avi_audio,
+        )
+
+        with pytest.raises(ValueError, match="auds"):
+            decode_avi_audio(encode_avi(_frames(1)))
+
+    def test_mp3_track_refused_loudly(self):
+        from xcube_resampling_spark.extensions.avicodec import (
+            decode_avi_audio,
+        )
+
+        data = bytearray(encode_avi(
+            _frames(1), audio=np.zeros(100, np.int16)))
+        # rewrite wFormatTag 1 -> 0x55 (MP3) in the audio strf
+        i = data.find(b"auds")
+        j = data.find(b"strf", i)
+        struct.pack_into("<H", data, j + 8, 0x55)
+        with pytest.raises(NotImplementedError, match="PCM only"):
+            decode_avi_audio(bytes(data))

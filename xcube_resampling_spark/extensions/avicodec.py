@@ -31,7 +31,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_avi", "encode_avi", "is_avi"]
+__all__ = ["decode_avi", "decode_avi_audio", "encode_avi", "is_avi"]
 
 _AVIF_HASINDEX = 0x00000010
 _AVIIF_KEYFRAME = 0x00000010
@@ -234,6 +234,74 @@ def decode_avi(data: bytes):
     return out, meta
 
 
+def decode_avi_audio(data: bytes):
+    """Extract the FIRST audio (``auds``) stream of an AVI as
+    ``(samples (n, channels), sample_rate)`` -- integer PCM only
+    (WAVEFORMATEX ``wFormatTag`` 1; MP3/AC3 tracks need external
+    decoders and raise :class:`NotImplementedError`).  The common
+    "pull the audio out of a crawled video" step."""
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI stream")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    stream_no = None
+    n_streams = 0
+    fmt = None
+    movi = None
+    for fourcc, body, size in _chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        ltype = data[body:body + 4]
+        if ltype == b"hdrl":
+            for f2, b2, s2 in _chunks(data, body + 4, body + size):
+                if f2 == b"LIST" and data[b2:b2 + 4] == b"strl":
+                    this_no = n_streams
+                    n_streams += 1
+                    if stream_no is not None:
+                        continue
+                    is_auds = False
+                    for f3, b3, s3 in _chunks(data, b2 + 4, b2 + s2):
+                        if f3 == b"strh" and s3 >= 48:
+                            if data[b3:b3 + 4] != b"auds":
+                                break
+                            is_auds = True
+                            stream_no = this_no
+                        elif f3 == b"strf" and is_auds and s3 >= 14:
+                            fmt = struct.unpack_from(
+                                "<HHIIHH", data, b3)
+        elif ltype == b"movi":
+            movi = (body + 4, body + size)
+    if stream_no is None or fmt is None:
+        raise ValueError("AVI has no audio ('auds') stream")
+    if movi is None:
+        raise ValueError("AVI has no movi LIST")
+    tag, n_ch, rate, _bps_avg, _align, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"AVI audio format tag {tag} not supported (PCM only; "
+            "MP3/AC3 need external decoders)")
+    if bits not in (8, 16, 32):
+        raise NotImplementedError(
+            f"AVI PCM with {bits} bits per sample not supported")
+    prefix = b"%02d" % stream_no
+    pcm = bytearray()
+    for fourcc, body, size in _chunks(data, movi[0], movi[1]):
+        if fourcc == b"LIST":
+            for f2, b2, s2 in _chunks(data, body + 4, body + size):
+                if f2[:2] == prefix and f2[2:4] == b"wb":
+                    pcm += data[b2:b2 + s2]
+            continue
+        if fourcc[:2] == prefix and fourcc[2:4] == b"wb":
+            pcm += data[body:body + size]
+    dt = {8: np.dtype("u1"), 16: np.dtype("<i2"),
+          32: np.dtype("<i4")}[bits]
+    frame_bytes = dt.itemsize * max(1, n_ch)
+    usable = len(pcm) - (len(pcm) % frame_bytes)
+    samples = np.frombuffer(bytes(pcm[:usable]), dt).reshape(
+        -1, max(1, n_ch))
+    return samples, int(rate)
+
+
 # --------------------------------------------------------------------- #
 # encode
 # --------------------------------------------------------------------- #
@@ -257,6 +325,8 @@ def encode_avi(
     fps: int = 25,
     codec: str = "DIB",
     quality: int = 90,
+    audio=None,
+    audio_rate: int = 16000,
 ) -> bytes:
     """Encode ``(h, w, 3)`` uint8 RGB frames (all equal-sized) as a
     spec-complete AVI: ``hdrl`` with ``avih``/``strh``/``strf``, a
@@ -264,7 +334,10 @@ def encode_avi(
 
     ``codec='DIB'`` writes uncompressed bottom-up BGR rows (lossless);
     ``codec='MJPG'`` writes one baseline JPEG per frame through
-    :func:`.jpegcodec.encode_jpeg` at ``quality``."""
+    :func:`.jpegcodec.encode_jpeg` at ``quality``.  ``audio`` adds a
+    second stream: ``(n,)`` or ``(n, channels)`` int16 PCM samples at
+    ``audio_rate``, interleaved as one ``01wb`` chunk per video frame
+    (the standard muxing); :func:`decode_avi_audio` extracts it."""
     frames = [np.asarray(f, np.uint8) for f in frames]
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
@@ -286,6 +359,15 @@ def encode_avi(
         raise ValueError(f"codec must be DIB or MJPG, got {codec!r}")
     max_sz = max(len(p) for p in payloads)
 
+    aud = None
+    if audio is not None:
+        aud = np.asarray(audio, np.int16)
+        if aud.ndim == 1:
+            aud = aud[:, None]
+        if aud.ndim != 2 or not (1 <= aud.shape[1] <= 8):
+            raise ValueError("audio must be (n,) or (n, channels)")
+    n_streams = 2 if aud is not None else 1
+
     avih = struct.pack(
         "<14I",
         1_000_000 // max(1, fps),  # dwMicroSecPerFrame
@@ -293,7 +375,7 @@ def encode_avi(
         0,                         # dwPaddingGranularity
         _AVIF_HASINDEX,            # dwFlags
         len(frames),               # dwTotalFrames
-        0, 1,                      # dwInitialFrames, dwStreams
+        0, n_streams,              # dwInitialFrames, dwStreams
         max_sz,                    # dwSuggestedBufferSize
         w, h, 0, 0, 0, 0,          # width, height, reserved[4]
     )
@@ -316,15 +398,45 @@ def encode_avi(
         stride * h, 0, 0, 0, 0)
     strl = b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
     hdrl = b"hdrl" + _chunk(b"avih", avih) + _chunk(b"LIST", strl)
+    audio_chunks: list[bytes] = []
+    if aud is not None:
+        n_ch = aud.shape[1]
+        block_align = 2 * n_ch
+        strh_a = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIii",
+                0, 0, 0, 0,
+                1, audio_rate,           # scale, rate (samples/s)
+                0, aud.shape[0],         # start, length in samples
+                block_align * audio_rate, -1, block_align)
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        # WAVEFORMATEX, wFormatTag 1 = PCM, cbSize 0
+        strf_a = struct.pack(
+            "<HHIIHHH", 1, n_ch, audio_rate,
+            audio_rate * block_align, block_align, 16, 0)
+        hdrl += _chunk(b"LIST", b"strl" + _chunk(b"strh", strh_a)
+                       + _chunk(b"strf", strf_a))
+        spf = -(-aud.shape[0] // len(frames))  # samples per frame
+        for k in range(len(frames)):
+            part = aud[k * spf:(k + 1) * spf]
+            audio_chunks.append(
+                part.astype("<i2").tobytes() if part.size else b"")
 
     movi_body = b"movi"
     idx = b""
-    for p in payloads:
+    for k, p in enumerate(payloads):
         # idx1 offsets point at the chunk fourcc, relative to the
         # 'movi' fourcc position (the widespread convention)
         idx += b"00" + ckid[2:] + struct.pack(
             "<III", _AVIIF_KEYFRAME, len(movi_body), len(p))
         movi_body += _chunk(ckid, p)
+        if audio_chunks and audio_chunks[k]:
+            idx += b"01wb" + struct.pack(
+                "<III", _AVIIF_KEYFRAME, len(movi_body),
+                len(audio_chunks[k]))
+            movi_body += _chunk(b"01wb", audio_chunks[k])
 
     riff_body = (
         b"AVI "
