@@ -276,3 +276,15 @@ class TestAviAudioStream:
         struct.pack_into("<H", data, j + 8, 0x55)
         with pytest.raises(NotImplementedError, match="PCM only"):
             decode_avi_audio(bytes(data))
+
+
+def test_decode_audio_accepts_avi_track():
+    from xcube_resampling_spark.extensions.multimodal import (
+        decode_audio,
+    )
+
+    audio = np.arange(-400, 400, dtype=np.int16)
+    data = encode_avi(_frames(2, 8, 8), audio=audio, audio_rate=8000)
+    got, rate = decode_audio(data)
+    assert rate == 8000
+    np.testing.assert_array_equal(got[:, 0], audio)

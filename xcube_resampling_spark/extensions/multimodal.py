@@ -104,8 +104,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     WAV/PCM decodes natively (clean-room RIFF parser in
     :mod:`.audiocodec`); FLAC decodes natively too (clean-room
     RFC 9639 codec in :mod:`.flaccodec` -- the format of real speech
-    corpora like LibriSpeech); MP3/AAC need codec libraries absent
-    from this build and raise :class:`DecoderNotAvailable`."""
+    corpora like LibriSpeech); an AVI payload yields its PCM audio
+    TRACK (:func:`.avicodec.decode_avi_audio` -- the "audio out of a
+    crawled video" step).  MP3/AAC need codec libraries absent from
+    this build and raise :class:`DecoderNotAvailable`."""
     from .audiocodec import decode_wav, is_wav
     from .flaccodec import decode_flac, is_flac
 
@@ -113,10 +115,15 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         return decode_wav(payload)
     if is_flac(payload or b""):
         return decode_flac(payload)
+    from .avicodec import decode_avi_audio, is_avi
+
+    if is_avi(payload or b""):
+        return decode_avi_audio(payload)
     raise DecoderNotAvailable(
-        "only WAV/PCM and FLAC decode natively (clean-room codecs in "
-        "audiocodec.py / flaccodec.py); MP3/AAC require external "
-        "libraries not available in this build"
+        "only WAV/PCM, FLAC, and AVI PCM tracks decode natively "
+        "(clean-room codecs in audiocodec.py / flaccodec.py / "
+        "avicodec.py); MP3/AAC require external libraries not "
+        "available in this build"
     )
 
 
