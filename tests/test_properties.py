@@ -556,3 +556,117 @@ class TestWktProperties:
         assert via_proj.crs.kind == ref.crs.kind
         np.testing.assert_array_equal(via_wkt.x_coords, ref.x_coords)
         np.testing.assert_array_equal(via_proj.y_coords, ref.y_coords)
+
+
+class TestNewCodecProperties:
+    """Roundtrip invariants for the round-9 codecs: FLAC (lossless),
+    AVI/DIB (lossless), szip (lossless), any input the encoders
+    accept."""
+
+    @given(
+        n=st.integers(1, 3000),
+        ch=st.integers(1, 4),
+        bps=st.sampled_from([8, 16, 24]),
+        block=st.sampled_from([192, 256, 4096]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_flac_roundtrip_any_pcm(self, n, ch, bps, block, seed):
+        from xcube_resampling_spark.extensions.flaccodec import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(seed)
+        lim = 1 << (bps - 1)
+        x = rng.integers(-lim, lim, (n, ch)).astype(
+            np.int16 if bps <= 16 else np.int32)
+        back, sr = decode_flac(
+            encode_flac(x, 16000, bps=bps, block_size=block))
+        assert sr == 16000
+        assert (back == x).all()
+
+    @given(
+        n_frames=st.integers(1, 6),
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        fps=st.integers(1, 60),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_avi_dib_roundtrip_any_frames(
+        self, n_frames, h, w, fps, seed
+    ):
+        from xcube_resampling_spark.extensions.avicodec import (
+            decode_avi,
+            encode_avi,
+        )
+
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                  for _ in range(n_frames)]
+        out, meta = decode_avi(encode_avi(frames, fps=fps))
+        assert meta["n_frames"] == n_frames
+        assert meta["fps"] == (fps, 1)
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+
+    @given(
+        n=st.integers(1, 2000),
+        bits=st.sampled_from([8, 16, 32]),
+        j=st.sampled_from([4, 8, 16, 32]),
+        ppsl=st.integers(1, 300),
+        nn=st.booleans(),
+        smooth=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_szip_roundtrip_any_samples(
+        self, n, bits, j, ppsl, nn, smooth, seed
+    ):
+        from xcube_resampling_spark.sources.szip import (
+            SZ_EC_OPTION_MASK,
+            SZ_LSB_OPTION_MASK,
+            SZ_NN_OPTION_MASK,
+            szip_decode,
+            szip_encode,
+        )
+
+        rng = np.random.default_rng(seed)
+        hi = (1 << bits) - 1
+        if smooth:
+            x = np.cumsum(rng.integers(-3, 4, n))
+            x = (x - x.min()).astype(np.uint64)
+            x = np.minimum(x, hi)
+        else:
+            x = rng.integers(0, hi + 1, n).astype(np.uint64)
+        dt = {8: "<u1", 16: "<u2", 32: "<u4"}[bits]
+        raw = x.astype(dt).tobytes()
+        opts = SZ_EC_OPTION_MASK | SZ_LSB_OPTION_MASK
+        if nn:
+            opts |= SZ_NN_OPTION_MASK
+        enc = szip_encode(raw, opts, bits, j, ppsl)
+        assert szip_decode(enc, n, opts, bits, j, ppsl) == raw
+
+    @given(
+        n=st.integers(0, 2000),
+        ch=st.integers(1, 2),
+        n_frames=st.integers(1, 5),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_avi_audio_track_roundtrip(self, n, ch, n_frames, seed):
+        from xcube_resampling_spark.extensions.avicodec import (
+            decode_avi_audio,
+            encode_avi,
+        )
+
+        rng = np.random.default_rng(seed)
+        audio = rng.integers(-32768, 32768, (max(n, 1), ch)).astype(
+            np.int16)
+        frames = [rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+                  for _ in range(n_frames)]
+        data = encode_avi(frames, audio=audio, audio_rate=22050)
+        got, rate = decode_avi_audio(data)
+        assert rate == 22050
+        assert (got == audio).all()
