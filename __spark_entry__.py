@@ -6064,8 +6064,32 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("fp_lo").alias("k2"),
         nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
     )
+    # 'probe' leg: header-only container metadata (no decode) over
+    # one real container per modality -- the curation pre-filter
+    # (extensions/mediaprobe.py; also parses MP4/ISO-BMFF, tested at
+    # unit level since the engine cannot synthesize MP4s)
+    from xcube_resampling_spark.extensions.mediaprobe import (
+        media_probe,
+    )
+    from xcube_resampling_spark.extensions.multimodal import (
+        encode_images,
+    )
+
+    probe_src = (
+        encode_images(media, "gif")
+        .unionByName(encode_audio_flac(media))
+        .unionByName(encode_video_y4m(media))
+    )
+    pr = media_probe(probe_src).select(
+        F.lit("probe").alias("leg"), "media_id",
+        F.coalesce(F.col("width"), F.col("sample_rate")).alias("k1"),
+        F.coalesce(F.col("height"), F.col("channels")).alias("k2"),
+        F.coalesce(F.col("n_frames"), F.col("duration_ms")).alias("k3"),
+        nd.alias("v1"), nd.alias("v2"),
+        F.col("format").alias("s"),
+    )
     out = (out.unionByName(wav).unionByName(y4m).unionByName(avi)
-           .unionByName(vfp))
+           .unionByName(vfp).unionByName(pr))
     # gif joins the lossless legs: the synthetic tiles have <= 28
     # distinct colors, so the clean-room GIF palette round-trip is
     # byte-exact like PNG/BMP
@@ -6325,6 +6349,19 @@ FROM (
     FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
   )
 ) GROUP BY media_id, frame_idx
+UNION ALL
+SELECT 'probe' AS leg, doc_id AS media_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4 + (doc_id % 9) // 3
+            WHEN 1 THEN 16000 ELSE 4 END AS BIGINT) AS k1,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4
+            WHEN 1 THEN 1 ELSE 4 END AS BIGINT) AS k2,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1
+            WHEN 1 THEN GREATEST(length(text) // 2, 1) * 1000 // 16000
+            ELSE 6 END AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CASE doc_id % 3 WHEN 0 THEN 'gif'
+            WHEN 1 THEN 'flac' ELSE 'y4m' END AS s
+FROM documents WHERE doc_id < {_MEDIA_N}
 UNION ALL
 SELECT 'video_fp' AS leg, media_id,
        CAST(SUM(CASE WHEN w >= 32 AND w < 64 AND bit = 1

@@ -1,0 +1,339 @@
+"""Container probing: identify a media payload and pull its declared
+metadata WITHOUT decoding -- the cheap first pass of a crawled-media
+curation pipeline (filter by codec/dimensions/duration before any
+expensive decode, and know what a payload IS even when its codec
+needs an external decoder).
+
+Pure header parsing from the public container specs:
+
+* MP4 / ISO-BMFF (the dominant crawled-video container): box walk --
+  ``ftyp`` brand, ``mvhd`` timescale/duration, per-``trak`` ``tkhd``
+  dimensions + ``hdlr`` handler + ``stsd`` sample-entry fourcc (the
+  codec, e.g. ``avc1``/``hev1``/``mp4a``).  Metadata only: H.264/AAC
+  payloads still need external decoders and stay undecodable here.
+* AVI, GIF, Y4M, WAV, FLAC, PNG, BMP, JPEG (incl. progressive),
+  MP3 (ID3/frame-sync detection, format only).
+
+Everything returns plain dict fields; :func:`media_probe` is the
+Spark operator (one Arrow ``mapInPandas`` pass, fixed schema).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np  # noqa: F401  (kept for parity with sibling modules)
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["probe_media", "media_probe"]
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return  # malformed/truncated: stop cleanly
+        yield btype, body, pos + size
+        pos += size
+
+
+def _probe_mp4(data: bytes) -> dict:
+    out = {"format": "mp4"}
+    tracks = []
+    for btype, body, bend in _mp4_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            out["brand"] = data[body:body + 4].decode(
+                "ascii", errors="replace").strip()
+        elif btype == b"moov":
+            for b2, p2, e2 in _mp4_boxes(data, body, bend):
+                if b2 == b"mvhd":
+                    ver = data[p2]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", data,
+                                                     p2 + 4 + 16)
+                    else:
+                        ts, dur = struct.unpack_from(">II", data,
+                                                     p2 + 4 + 8)
+                    if ts:
+                        out["duration_ms"] = int(dur * 1000 // ts)
+                elif b2 == b"trak":
+                    tracks.append(_probe_trak(data, p2, e2))
+    vid = next((t for t in tracks if t.get("kind") == "vide"), None)
+    aud = next((t for t in tracks if t.get("kind") == "soun"), None)
+    if vid:
+        out["width"] = vid.get("width")
+        out["height"] = vid.get("height")
+        out["codec"] = vid.get("codec")
+    if aud:
+        out["audio_codec"] = aud.get("codec")
+    out["n_tracks"] = len(tracks)
+    return out
+
+
+def _probe_trak(data: bytes, start: int, end: int) -> dict:
+    t: dict = {}
+    for btype, body, bend in _mp4_boxes(data, start, end):
+        if btype == b"tkhd":
+            ver = data[body]
+            off = body + 4 + (32 if ver == 1 else 20)
+            # reserved(8) layer(2) alt(2) volume(2) reserved(2)
+            # matrix(36) then width/height as 16.16 fixed
+            off += 8 + 2 + 2 + 2 + 2 + 36
+            if off + 8 <= bend:
+                w, h = struct.unpack_from(">II", data, off)
+                t["width"], t["height"] = w >> 16, h >> 16
+        elif btype == b"mdia":
+            for b2, p2, e2 in _mp4_boxes(data, body, bend):
+                if b2 == b"hdlr":
+                    t["kind"] = data[p2 + 8:p2 + 12].decode(
+                        "ascii", errors="replace")
+                elif b2 == b"minf":
+                    for b3, p3, e3 in _mp4_boxes(data, p2, e2):
+                        if b3 != b"stbl":
+                            continue
+                        for b4, p4, e4 in _mp4_boxes(data, p3, e3):
+                            if b4 == b"stsd" and p4 + 16 <= e4:
+                                t["codec"] = data[p4 + 12:p4 + 16
+                                                  ].decode(
+                                    "ascii", errors="replace").strip()
+    return t
+
+
+def _gif_frame_count(data: bytes) -> int:
+    """Count image descriptors by walking GIF blocks (skipping LZW
+    sub-block lengths -- no pixel decode)."""
+    try:
+        flags = data[10]
+        pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+        count = 0
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                count += 1
+                dflags = data[pos + 9]
+                pos += 10
+                if dflags & 0x80:
+                    pos += 3 * (2 << (dflags & 7))
+                pos += 1  # LZW minimum code size
+                while pos < len(data) and data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            else:
+                break  # malformed: stop counting
+        return count
+    except IndexError:
+        return 0
+
+
+def _probe_jpeg(data: bytes) -> dict:
+    out = {"format": "jpeg"}
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            out.update(width=w, height=h,
+                       codec="jpeg_progressive" if marker == 0xC2
+                       else "jpeg_baseline")
+            return out
+        if marker == 0xDA:
+            break
+        if 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seglen
+    return out
+
+
+def probe_media(payload: bytes) -> dict:
+    """Sniff + header-parse one payload; always returns at least
+    ``{"format": ...}`` (``"unknown"`` if nothing matches).  Never
+    decodes sample data, so it is safe and cheap on ANY input,
+    including codecs this engine cannot decode (H.264 MP4s, MP3s)."""
+    data = payload or b""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return _probe_mp4(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        out = {"format": "avi"}
+        try:
+            from .avicodec import _chunks
+
+            (riff_size,) = struct.unpack_from("<I", data, 4)
+            end = min(len(data), 8 + riff_size)
+            n_streams = 0
+            for fourcc, body, size in _chunks(data, 12, end):
+                if fourcc == b"LIST" and data[body:body + 4] == b"hdrl":
+                    for f2, b2, s2 in _chunks(data, body + 4,
+                                              body + size):
+                        if f2 == b"avih":
+                            (uspf,) = struct.unpack_from(
+                                "<I", data, b2)
+                            (total,) = struct.unpack_from(
+                                "<I", data, b2 + 16)
+                            w, h = struct.unpack_from(
+                                "<II", data, b2 + 32)
+                            out.update(
+                                width=w, height=h, n_frames=total,
+                                duration_ms=int(
+                                    total * uspf // 1000))
+                        elif f2 == b"LIST" and data[b2:b2 + 4] == \
+                                b"strl":
+                            n_streams += 1
+                            for f3, b3, s3 in _chunks(
+                                    data, b2 + 4, b2 + s2):
+                                if (f3 == b"strh"
+                                        and data[b3:b3 + 4] == b"vids"):
+                                    c = data[b3 + 4:b3 + 8].decode(
+                                        "ascii", errors="replace"
+                                    ).strip("\x00 ")
+                                    out["codec"] = c or "DIB"
+            out["n_tracks"] = n_streams
+        except ValueError:
+            pass
+        return out
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return {"format": "gif", "width": w, "height": h,
+                "n_frames": _gif_frame_count(data)}
+    if data[:9] == b"YUV4MPEG2":
+        nl = data.find(b"\n")
+        out = {"format": "y4m"}
+        cs = "420"
+        for tok in data[9:nl].split(b" "):
+            tok = tok.decode("ascii", errors="replace")
+            if tok[:1] == "W":
+                out["width"] = int(tok[1:])
+            elif tok[:1] == "H":
+                out["height"] = int(tok[1:])
+            elif tok[:1] == "C":
+                cs = tok[1:]
+        w, h = out.get("width", 0), out.get("height", 0)
+        if cs == "mono":
+            fsize = w * h
+        elif cs.startswith("444"):
+            fsize = 3 * w * h
+        else:
+            fsize = w * h + 2 * ((w // 2) * (h // 2))
+        # walk FRAME markers structurally (the raw planes can contain
+        # the ASCII bytes 'FRAME', so a substring count would lie)
+        n, pos = 0, nl + 1
+        while (fsize and pos + 5 <= len(data)
+               and data[pos:pos + 5] == b"FRAME"):
+            fnl = data.find(b"\n", pos)
+            if fnl < 0:
+                break
+            pos = fnl + 1 + fsize
+            if pos > len(data):
+                break
+            n += 1
+        out["n_frames"] = n
+        return out
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        out = {"format": "wav"}
+        i = data.find(b"fmt ")
+        if i >= 0:
+            tag, ch, rate = struct.unpack_from("<HHI", data, i + 8)
+            out.update(sample_rate=rate, channels=ch,
+                       codec="pcm" if tag == 1 else f"tag{tag}")
+        j = data.find(b"data")
+        if j >= 0 and i >= 0:
+            (nbytes,) = struct.unpack_from("<I", data, j + 4)
+            (_t, nch, rate2) = struct.unpack_from("<HHI", data, i + 8)
+            (_a, bits) = struct.unpack_from("<HH", data, i + 20)
+            denom = rate2 * nch * max(bits // 8, 1)
+            if denom:
+                out["duration_ms"] = int(nbytes * 1000 // denom)
+        return out
+    from .flaccodec import _skip_id3, is_flac
+
+    if is_flac(data):
+        off = (_skip_id3(data) if data[:4] != b"fLaC" else 0) + 8
+        # STREAMINFO: sr(20 bits) ch-1(3) bps-1(5) total(36) at +10
+        b = data[off + 10:off + 18]
+        if len(b) == 8:
+            v = int.from_bytes(b, "big")
+            sr = v >> 44
+            ch = ((v >> 41) & 0x7) + 1
+            total = v & ((1 << 36) - 1)
+            out = {"format": "flac", "sample_rate": sr,
+                   "channels": ch, "codec": "flac"}
+            if sr:
+                out["duration_ms"] = int(total * 1000 // sr)
+            return out
+        return {"format": "flac"}
+    if data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF
+                              and (data[1] & 0xE0) == 0xE0):
+        return {"format": "mp3", "codec": "mp3"}
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", data, 16)
+        return {"format": "png", "width": w, "height": h}
+    if data[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", data, 18)
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if data[:2] == b"\xff\xd8":
+        return _probe_jpeg(data)
+    return {"format": "unknown"}
+
+
+_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), False),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("channels", T.LongType(), True),
+])
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """Probe every payload's container metadata (no decode): the
+    curation pre-filter.  One narrow ``mapInPandas`` pass over ALL
+    kinds; schema ``(media_id, format, codec, width, height,
+    n_frames, duration_ms, sample_rate, channels)`` with NULLs where
+    the container doesn't declare a field."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _PROBE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = probe_media(bytes(payload or b""))
+                rows.append((
+                    int(mid), p.get("format", "unknown"),
+                    p.get("codec"), p.get("width"), p.get("height"),
+                    p.get("n_frames"), p.get("duration_ms"),
+                    p.get("sample_rate"), p.get("channels"),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute, _PROBE_SCHEMA
+    )
