@@ -6003,7 +6003,8 @@ def q_multimodal_suite(spark, sf_dir):
         encode_audio_flac,
     )
 
-    flac = audio_features(encode_audio_flac(media)).select(
+    flacs = encode_audio_flac(media)
+    flac = audio_features(flacs).select(
         F.lit("flac").alias("leg"), "media_id",
         F.col("n_samples").alias("k1"),
         F.col("zero_crossings").alias("k2"),
@@ -6019,14 +6020,15 @@ def q_multimodal_suite(spark, sf_dir):
         audio_fingerprint,
     )
 
-    afp = audio_fingerprint(encode_audio_flac(media)).select(
+    afp = audio_fingerprint(flacs).select(
         F.lit("audio_fp").alias("leg"), "media_id",
         F.col("fp_hi").alias("k1"),
         F.col("fp_lo").alias("k2"),
         nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
     )
     wav = wav.unionByName(flac).unionByName(afp)
-    y4m = video_frame_features(encode_video_y4m(media)).select(
+    y4ms = encode_video_y4m(media)
+    y4m = video_frame_features(y4ms).select(
         F.lit("y4m").alias("leg"), "media_id",
         F.col("frame_idx").cast("long").alias("k1"),
         F.col("sum_bytes").alias("k2"),
@@ -6058,7 +6060,7 @@ def q_multimodal_suite(spark, sf_dir):
         video_fingerprint,
     )
 
-    vfp = video_fingerprint(encode_video_y4m(media)).select(
+    vfp = video_fingerprint(y4ms).select(
         F.lit("video_fp").alias("leg"), "media_id",
         F.col("fp_hi").alias("k1"),
         F.col("fp_lo").alias("k2"),
@@ -6077,8 +6079,8 @@ def q_multimodal_suite(spark, sf_dir):
 
     probe_src = (
         encode_images(media, "gif")
-        .unionByName(encode_audio_flac(media))
-        .unionByName(encode_video_y4m(media))
+        .unionByName(flacs)
+        .unionByName(y4ms)
     )
     pr = media_probe(probe_src).select(
         F.lit("probe").alias("leg"), "media_id",

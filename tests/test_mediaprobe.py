@@ -164,7 +164,9 @@ class TestProbeNativeFormats:
             if p["format"] in ("png", "gif"):
                 assert p.get("width", 0) > 0
                 checked += 1
-        assert checked >= 10 or not (pngs + gifs)
+        files = pngs + gifs
+        # most real files must probe; tolerate a few misnamed ones
+        assert not files or checked >= max(1, len(files) // 2)
 
 
 class TestMediaProbeOperator:
@@ -202,3 +204,49 @@ class TestMediaProbeOperator:
         )
 
         assert _n_exchanges(media_probe(synthetic_media(spark, 9))) == 0
+
+
+class TestProbeNeverRaises:
+    def test_truncated_headers_degrade_to_format(self):
+        # the review's repro set: every one used to raise
+        cases = [
+            (b"GIF89a", "gif"),
+            (b"\x89PNG\r\n\x1a\n", "png"),
+            (b"BMx", "bmp"),
+            (b"RIFF\x10\x00\x00\x00WAVEfmt ", "wav"),
+            (b"\xff\xd8\xff\xc0\x00\x11\x08", "jpeg"),
+            (b"YUV4MPEG2 Wx H4\n", "y4m"),
+            (b"RIFF\x08\x00\x00\x00AVI ", "avi"),
+            (b"fLaC\x00", "flac"),
+        ]
+        for payload, fmt in cases:
+            p = probe_media(payload)
+            assert p["format"] == fmt, payload
+
+    def test_c422_y4m_frame_count(self):
+        # C422 frame = w*h + 2*(w//2)*h bytes; a 4:2:0-sized walk
+        # would land mid-plane and undercount
+        w, h, n = 4, 4, 3
+        frame = bytes(w * h + 2 * (w // 2) * h)
+        data = (b"YUV4MPEG2 W4 H4 F25:1 C422\n"
+                + (b"FRAME\n" + frame) * n)
+        p = probe_media(data)
+        assert p["n_frames"] == n
+
+    def test_wav_data_substring_in_comment_chunk(self):
+        # a LIST-INFO chunk whose text contains 'data' must not be
+        # mistaken for the data chunk
+        import struct as _s
+
+        from xcube_resampling_spark.extensions.audiocodec import (
+            encode_wav,
+        )
+
+        wav = bytearray(encode_wav(np.zeros(8000, np.int16), 8000))
+        note = b"INFOICMT" + _s.pack("<I", 16) + b"field data 2024\x00"
+        lst = b"LIST" + _s.pack("<I", len(note)) + note
+        # insert before the fmt chunk (after the 12-byte RIFF header)
+        wav[12:12] = lst
+        _s.pack_into("<I", wav, 4, len(wav) - 8)
+        p = probe_media(bytes(wav))
+        assert p["duration_ms"] == 1000

@@ -267,8 +267,15 @@ def decode_avi_audio(data: bytes):
                             is_auds = True
                             stream_no = this_no
                         elif f3 == b"strf" and is_auds and s3 >= 14:
-                            fmt = struct.unpack_from(
-                                "<HHIIHH", data, b3)
+                            # 14-byte WAVEFORMAT (no wBitsPerSample)
+                            # is legal: derive bits from block align
+                            tag_, ch_, rate_, avg_, align_ = (
+                                struct.unpack_from("<HHIIH", data, b3))
+                            bits_ = (struct.unpack_from(
+                                "<H", data, b3 + 14)[0] if s3 >= 16
+                                else (align_ // max(ch_, 1)) * 8)
+                            fmt = (tag_, ch_, rate_, avg_, align_,
+                                   bits_)
         elif ltype == b"movi":
             movi = (body + 4, body + size)
     if stream_no is None or fmt is None:

@@ -173,9 +173,41 @@ def _probe_jpeg(data: bytes) -> dict:
 def probe_media(payload: bytes) -> dict:
     """Sniff + header-parse one payload; always returns at least
     ``{"format": ...}`` (``"unknown"`` if nothing matches).  Never
-    decodes sample data, so it is safe and cheap on ANY input,
+    decodes sample data and NEVER raises -- truncated or malformed
+    headers degrade to the bare sniffed format (crawled data is the
+    whole point of a prober), so it is safe and cheap on ANY input,
     including codecs this engine cannot decode (H.264 MP4s, MP3s)."""
     data = payload or b""
+    try:
+        return _probe(data)
+    except Exception:
+        # header parse died mid-way: keep the sniffed format at least
+        return {"format": _sniff(data)}
+
+
+def _sniff(data: bytes) -> str:
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"fLaC" or data[:3] == b"ID3":
+        return "flac" if data[:4] == b"fLaC" else "mp3"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    return "unknown"
+
+
+def _probe(data: bytes) -> dict:
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return _probe_mp4(data)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
@@ -235,9 +267,15 @@ def probe_media(payload: bytes) -> dict:
         w, h = out.get("width", 0), out.get("height", 0)
         if cs == "mono":
             fsize = w * h
+        elif cs.startswith("444alpha"):
+            fsize = 4 * w * h
         elif cs.startswith("444"):
             fsize = 3 * w * h
-        else:
+        elif cs.startswith("422"):
+            fsize = w * h + 2 * ((w // 2) * h)
+        elif cs.startswith("411"):
+            fsize = w * h + 2 * ((w // 4) * h)
+        else:  # the 420 family
             fsize = w * h + 2 * ((w // 2) * (h // 2))
         # walk FRAME markers structurally (the raw planes can contain
         # the ASCII bytes 'FRAME', so a substring count would lie)
@@ -254,18 +292,30 @@ def probe_media(payload: bytes) -> dict:
         out["n_frames"] = n
         return out
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        # walk RIFF chunks (a substring find would match 'data'
+        # inside a LIST-INFO/bext comment)
+        from .avicodec import _chunks
+
         out = {"format": "wav"}
-        i = data.find(b"fmt ")
-        if i >= 0:
-            tag, ch, rate = struct.unpack_from("<HHI", data, i + 8)
-            out.update(sample_rate=rate, channels=ch,
-                       codec="pcm" if tag == 1 else f"tag{tag}")
-        j = data.find(b"data")
-        if j >= 0 and i >= 0:
-            (nbytes,) = struct.unpack_from("<I", data, j + 4)
-            (_t, nch, rate2) = struct.unpack_from("<HHI", data, i + 8)
-            (_a, bits) = struct.unpack_from("<HH", data, i + 20)
-            denom = rate2 * nch * max(bits // 8, 1)
+        fmt = None
+        nbytes = None
+        (riff_size,) = struct.unpack_from("<I", data, 4)
+        end = min(len(data), 8 + riff_size)
+        for fourcc, body, size in _chunks(data, 12, end):
+            if fourcc == b"fmt " and size >= 14:
+                tag, ch, rate, _avg, align = struct.unpack_from(
+                    "<HHIIH", data, body)
+                bits = (struct.unpack_from("<H", data, body + 14)[0]
+                        if size >= 16
+                        else (align // max(ch, 1)) * 8)
+                fmt = (tag, ch, rate, bits)
+                out.update(sample_rate=rate, channels=ch,
+                           codec="pcm" if tag == 1 else f"tag{tag}")
+            elif fourcc == b"data":
+                nbytes = size
+        if fmt and nbytes is not None:
+            tag, ch, rate, bits = fmt
+            denom = rate * ch * max(bits // 8, 1)
             if denom:
                 out["duration_ms"] = int(nbytes * 1000 // denom)
         return out

@@ -670,6 +670,28 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _envelope_fp(values: np.ndarray, n_windows: int) -> tuple:
+    """The shared energy-envelope hash: split ``values`` (already
+    non-negative int64) into ``n_windows`` equal spans (element ``i``
+    lands in window ``i * n_windows // n``), integer sum per window,
+    bit ``k`` set when ``energy[k+1] > energy[k]``.  Returns the
+    64-bit value as ``(hi, lo)`` int32-range halves.  Oracle-critical:
+    the audio AND video fingerprint SQL twins replay exactly this."""
+    n = values.size
+    en = np.zeros(n_windows, np.int64)
+    if n:
+        w = (np.arange(n) * n_windows) // n
+        # float64 bincount is integer-exact below 2^53 per window
+        # (|int16| / byte sums get nowhere near)
+        en = np.bincount(
+            w, weights=values, minlength=n_windows).astype(np.int64)
+    bits = en[1:] > en[:-1]
+    val = 0
+    for k in np.nonzero(bits)[0]:
+        val |= 1 << int(k)
+    return val >> 32, val & 0xFFFFFFFF
+
+
 def audio_fingerprint(
     media: DataFrame, n_windows: int = 65
 ) -> DataFrame:
@@ -699,20 +721,8 @@ def audio_fingerprint(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 samples, _rate = decode_audio(bytes(payload or b""))
                 mono = np.abs(samples[:, 0].astype(np.int64))
-                n = mono.size
-                en = np.zeros(n_windows, np.int64)
-                if n:
-                    w = (np.arange(n) * n_windows) // n
-                    # float64 bincount is integer-exact below 2^53
-                    # per window (|int16| sums get nowhere near)
-                    en = np.bincount(
-                        w, weights=mono, minlength=n_windows
-                    ).astype(np.int64)
-                bits = en[1:] > en[:-1]
-                val = 0
-                for k in np.nonzero(bits)[0]:
-                    val |= 1 << int(k)
-                rows.append((int(mid), val >> 32, val & 0xFFFFFFFF))
+                hi, lo = _envelope_fp(mono, n_windows)
+                rows.append((int(mid), hi, lo))
             yield pd.DataFrame(
                 rows, columns=["media_id", "fp_hi", "fp_lo"])
 
@@ -743,18 +753,8 @@ def video_fingerprint(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 y, _u, _v, _meta = decode_video(bytes(payload or b""))
                 flat = y.reshape(-1).astype(np.int64)
-                n = flat.size
-                en = np.zeros(n_windows, np.int64)
-                if n:
-                    w = (np.arange(n) * n_windows) // n
-                    en = np.bincount(
-                        w, weights=flat, minlength=n_windows
-                    ).astype(np.int64)
-                bits = en[1:] > en[:-1]
-                val = 0
-                for k in np.nonzero(bits)[0]:
-                    val |= 1 << int(k)
-                rows.append((int(mid), val >> 32, val & 0xFFFFFFFF))
+                hi, lo = _envelope_fp(flat, n_windows)
+                rows.append((int(mid), hi, lo))
             yield pd.DataFrame(
                 rows, columns=["media_id", "fp_hi", "fp_lo"])
 
