@@ -250,3 +250,35 @@ class TestProbeNeverRaises:
         _s.pack_into("<I", wav, 4, len(wav) - 8)
         p = probe_media(bytes(wav))
         assert p["duration_ms"] == 1000
+
+
+class TestProbeMp3:
+    def _frame_header(self, ver=3, layer_field=1, br_idx=9, sr_idx=0,
+                      mode=3):
+        # ver 3=MPEG1; layer_field 1=Layer III; br_idx 9 -> 128 kbps
+        b1 = 0xE0 | (ver << 3) | (layer_field << 1) | 1
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        b3 = mode << 6
+        return bytes([0xFF, b1, b2, b3])
+
+    def test_mpeg1_layer3_header(self):
+        data = self._frame_header() + bytes(16000)
+        p = probe_media(data)
+        assert p["codec"] == "mpeg1_layer3"
+        assert p["sample_rate"] == 44100
+        assert p["channels"] == 1
+        # 128 kbps CBR over ~16 KB -> ~1s
+        assert 900 <= p["duration_ms"] <= 1100
+
+    def test_id3_skipped_to_first_frame(self):
+        id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 40]) + bytes(40)
+        data = id3 + self._frame_header(
+            ver=2, layer_field=1, br_idx=4, sr_idx=1, mode=0)
+        p = probe_media(data + bytes(2000))
+        assert p["codec"] == "mpeg2_layer3"
+        assert p["sample_rate"] == 24000
+        assert p["channels"] == 2
+
+    def test_bare_id3_still_mp3(self):
+        assert probe_media(b"ID3\x04\x00\x00\x00\x00\x00\x00")[
+            "format"] == "mp3"

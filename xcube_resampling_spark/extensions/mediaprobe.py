@@ -114,6 +114,60 @@ def _probe_trak(data: bytes, start: int, end: int) -> dict:
     return t
 
 
+# MPEG audio frame-header tables (ISO 11172-3 / 13818-3, public)
+_MP3_BITRATES = {
+    # (version_group, layer): kbps by bitrate index 1-14
+    ("v1", 1): (32, 64, 96, 128, 160, 192, 224, 256,
+                288, 320, 352, 384, 416, 448),
+    ("v1", 2): (32, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320, 384),
+    ("v1", 3): (32, 40, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320),
+    ("v2", 1): (32, 48, 56, 64, 80, 96, 112, 128,
+                144, 160, 176, 192, 224, 256),
+    ("v2", 2): (8, 16, 24, 32, 40, 48, 56, 64,
+                80, 96, 112, 128, 144, 160),
+    ("v2", 3): (8, 16, 24, 32, 40, 48, 56, 64,
+                80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _probe_mp3(data: bytes) -> dict:
+    """Parse the first MPEG audio frame header (after any ID3v2 tag):
+    layer, bitrate, sample rate, channel mode -- plus a CBR-assuming
+    duration estimate.  No decode (Layer III needs an external
+    decoder and stays honest about it)."""
+    out = {"format": "mp3", "codec": "mp3"}
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size + (10 if data[5] & 0x10 else 0)
+    if pos + 4 > len(data):
+        return out
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    if data[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        return out
+    ver = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = 4 - ((b1 >> 1) & 3)  # field 3->Layer I ... 1->Layer III
+    br_idx = b2 >> 4
+    sr_idx = (b2 >> 2) & 3
+    if ver == 1 or layer == 4 or sr_idx == 3:
+        return out  # reserved fields: report format only
+    out["codec"] = f"mpeg{'1' if ver == 3 else '2'}_layer{layer}"
+    rates = _MP3_RATES[ver]
+    out["sample_rate"] = rates[sr_idx]
+    out["channels"] = 1 if (b3 >> 6) == 3 else 2
+    if 1 <= br_idx <= 14:
+        group = "v1" if ver == 3 else "v2"
+        kbps = _MP3_BITRATES[(group, layer)][br_idx - 1]
+        out["duration_ms"] = int(
+            (len(data) - pos) * 8 // kbps)  # CBR estimate
+    return out
+
+
 def _gif_frame_count(data: bytes) -> int:
     """Count image descriptors by walking GIF blocks (skipping LZW
     sub-block lengths -- no pixel decode)."""
@@ -338,7 +392,7 @@ def _probe(data: bytes) -> dict:
         return {"format": "flac"}
     if data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF
                               and (data[1] & 0xE0) == 0xE0):
-        return {"format": "mp3", "codec": "mp3"}
+        return _probe_mp3(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack_from(">II", data, 16)
         return {"format": "png", "width": w, "height": h}
