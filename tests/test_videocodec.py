@@ -245,3 +245,21 @@ class TestVideoFingerprint:
              for r in video_fingerprint(
                  encode_video_avi(media)).collect()}
         assert a == b and a
+
+
+def test_sample_frames_decodes_avi_and_gif(spark):
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.extensions.multimodal import (
+        encode_video_avi,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    out = sample_frames(
+        encode_video_avi(media), every_nth=2).collect()
+    assert out
+    # real decode: each frame is a 4x4 luma plane = 16 bytes
+    assert all(len(bytes(r["frame"])) == 16 for r in out)
+    assert {r["frame_idx"] for r in out} == {0, 2, 4}

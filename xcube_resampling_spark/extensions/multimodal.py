@@ -390,12 +390,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling for video payloads: emits one row per kept frame
-    (mapInPandas fan-out).  A payload that IS a real container (Y4M)
-    decodes through the clean-room codec and emits actual Y planes;
-    anything else falls back to the documented deterministic byte-slice
-    fake (``n_frames`` equal slices)."""
-    from .videocodec import decode_y4m, is_y4m
-
+    (mapInPandas fan-out).  A payload that IS a real container (Y4M,
+    animated GIF, AVI) decodes through the clean-room codecs and
+    emits actual Y planes; anything else falls back to the documented
+    deterministic byte-slice fake (``n_frames`` equal slices)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -411,8 +409,11 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
                 pdf["media_id"], pdf["n_frames"], pdf["payload"]
             ):
                 payload = bytes(payload or b"")
-                if is_y4m(payload):
-                    y, _u, _v, _meta = decode_y4m(payload)
+                try:
+                    y, _u, _v, _meta = decode_video(payload)
+                except DecoderNotAvailable:
+                    y = None
+                if y is not None:
                     for f_idx in range(0, y.shape[0], every_nth):
                         rows.append((mid, f_idx, y[f_idx].tobytes()))
                     continue
