@@ -74,6 +74,17 @@ def main(sf_dir: str) -> None:
     # the clean-room codecs (every byte round-trips through a genuine
     # container parse, not a fake)
     gifs = encode_images(media, "gif")
+    # probe first (header-only, no decode): the pre-filter that
+    # routes real crawled media by container/codec before any
+    # expensive decode -- also classifies MP4/MP3 payloads the
+    # engine deliberately cannot decode
+    from xcube_resampling_spark.extensions.mediaprobe import (
+        media_probe,
+    )
+
+    probed = media_probe(gifs).groupBy("format").count().collect()
+    routing = [(r["format"], r["count"]) for r in probed]
+    print(f"probe routing: {routing}")
     feats = extract_features(gifs, feat_dim=8)
     n_img = feats.count()
     print(f"decoded + featurized {n_img} GIF-containerized images")
