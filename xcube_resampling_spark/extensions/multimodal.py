@@ -8,10 +8,13 @@ Decode is REAL for every format whose byte layout is public and needs
 no external codec library -- the clean-room implementations in
 :mod:`.imagecodec` (PNG, BMP), :mod:`.jpegcodec` (JPEG, baseline AND
 progressive, full DCT+Huffman), :mod:`.gifcodec` (GIF87a/89a),
-:mod:`.audiocodec` (WAV/PCM), and :mod:`.videocodec` (Y4M):
-``decode_image`` / ``decode_audio`` / ``decode_video`` dispatch on
-magic bytes.  Formats that genuinely require codec libraries absent
-from this build (WebP, MP3/AAC/FLAC, H.264/VP9/AV1) raise
+:mod:`.audiocodec` (WAV/PCM), :mod:`.flaccodec` (FLAC, RFC 9639),
+:mod:`.videocodec` (Y4M), and :mod:`.avicodec` (AVI: MJPEG +
+uncompressed DIB, PCM audio tracks): ``decode_image`` /
+``decode_audio`` / ``decode_video`` dispatch on magic bytes, and
+:mod:`.mediaprobe` classifies ANY payload (incl. MP4/MP3) header-only
+first.  Formats that genuinely require codec libraries absent from
+this build (WebP, MP3/AAC decode, H.264/VP9/AV1) raise
 :class:`DecoderNotAvailable` loudly;
 ``_fake_decode_rgb`` remains the clearly-marked deterministic stand-in
 those paths use in tests, and swapping it for ``PIL.Image.open`` keeps
