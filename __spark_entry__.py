@@ -5836,6 +5836,130 @@ FROM (
 """
 
 
+_URL_N = 3000
+
+
+def _synth_urls(spark, sf_dir):
+    """Deterministic URL column over documents (the corpus has no URL
+    field): four case shapes exercising uppercase scheme/host, www
+    prefixes, default ports, tracking params, fragments, trailing
+    slashes, and a multi-part public suffix.  The DuckDB twin
+    replays the same synthesis, then states the CANONICAL form
+    analytically -- so the whole parse+normalize pipeline is verified
+    against a known answer."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _URL_N)
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit("HTTPS://www."), F.col("source"),
+            F.lit(".Example.COM:443/a/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("/?utm_source=feed&x=1#top")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example.com:80/a/"),
+            (F.col("doc_id") % 50).cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit("https://sub."), F.col("source"),
+            F.lit(".example.co.uk/b/"),
+            F.col("doc_id").cast("string"), F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/a/"),
+            ((F.col("doc_id") + 4) % 50).cast("string"),
+            F.lit("?x=1")))
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+def q_url_suite(spark, sf_dir):
+    """URL curation operators (extensions/urlops.py -- the CCNet/
+    RefinedWeb stage upstream of text filtering), five legs:
+
+    * ``norm``: canonical URL per doc (lowercase scheme/host, www +
+      default ports dropped, utm_* params and fragments removed,
+      trailing slash trimmed) -- pure Catalyst, no UDF.
+    * ``domain``: PSL-style registered domain (multi-part suffix set).
+    * ``dedup``: exact URL dedup on the canonical form (min doc_id
+      per URL + dup count; ONE map-side-combinable shuffle).
+    * ``domstats``: docs per registered domain.
+    * ``blocked``: broadcast anti-join against a domain blocklist.
+    """
+    from xcube_resampling_spark.extensions.urlops import (
+        domain_stats,
+        filter_blocked_domains,
+        normalize_url,
+        registered_domain,
+        url_dedup,
+        url_parts,
+    )
+
+    docs = _synth_urls(spark, sf_dir)
+    nl = F.lit(None).cast("long")
+    norm = docs.select(
+        F.lit("norm").alias("leg"), "doc_id", nl.alias("k1"),
+        normalize_url(F.col("url")).alias("s"))
+    host = url_parts(F.col("url"))["host"]
+    dom = docs.select(
+        F.lit("domain").alias("leg"), "doc_id", nl.alias("k1"),
+        registered_domain(
+            F.regexp_replace(host, r"^www\.", "")).alias("s"))
+    ded = url_dedup(docs).select(
+        F.lit("dedup").alias("leg"), "doc_id",
+        F.col("n_dups").alias("k1"), F.col("norm_url").alias("s"))
+    dstats = domain_stats(docs).select(
+        F.lit("domstats").alias("leg"),
+        F.lit(0).cast("long").alias("doc_id"),
+        F.col("count").alias("k1"), F.col("domain").alias("s"))
+    blocklist = spark.createDataFrame(
+        [("example.co.uk",)], "domain string")
+    blocked = filter_blocked_domains(docs, blocklist).select(
+        F.lit("blocked").alias("leg"), "doc_id",
+        F.lit(1).cast("long").alias("k1"),
+        F.lit(None).cast("string").alias("s"))
+    return (norm.unionByName(dom).unionByName(ded)
+            .unionByName(dstats).unionByName(blocked))
+
+
+def _url_suite_sql():
+    canon = f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'https://' || source || '.example.com/a/'
+                         || CAST(doc_id % 50 AS VARCHAR) || '?x=1'
+             WHEN 1 THEN 'http://' || source || '.example.com/a/'
+                         || CAST(doc_id % 50 AS VARCHAR)
+             WHEN 2 THEN 'https://sub.' || source
+                         || '.example.co.uk/b/'
+                         || CAST(doc_id AS VARCHAR)
+             ELSE 'https://' || source || '.example.com/a/'
+                  || CAST((doc_id + 4) % 50 AS VARCHAR) || '?x=1'
+           END AS norm,
+           CASE WHEN doc_id % 4 = 2 THEN 'example.co.uk'
+                ELSE 'example.com' END AS dom
+    FROM documents WHERE doc_id < {_URL_N}
+    """
+    return f"""
+SELECT 'norm' AS leg, doc_id, CAST(NULL AS BIGINT) AS k1, norm AS s
+FROM ({canon}) c
+UNION ALL
+SELECT 'domain' AS leg, doc_id, CAST(NULL AS BIGINT) AS k1, dom AS s
+FROM ({canon}) c
+UNION ALL
+SELECT 'dedup' AS leg, MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS k1, norm AS s
+FROM ({canon}) c GROUP BY norm
+UNION ALL
+SELECT 'domstats' AS leg, CAST(0 AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS k1, dom AS s
+FROM ({canon}) c GROUP BY dom
+UNION ALL
+SELECT 'blocked' AS leg, doc_id, CAST(1 AS BIGINT) AS k1,
+       CAST(NULL AS VARCHAR) AS s
+FROM ({canon}) c WHERE dom <> 'example.co.uk'
+"""
+
+
 def q_event_suite(spark, sf_dir):
     """Event analytics + relational baseline in one tagged union:
 
@@ -6548,6 +6672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_suite": q_ann_suite,
         "event_suite": q_event_suite,
+        "url_suite": q_url_suite,
     }
 
 
@@ -6630,4 +6755,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "ann_suite": _ann_suite_sql(),
         "event_suite": _event_suite_sql(),
+        "url_suite": _url_suite_sql(),
     }
