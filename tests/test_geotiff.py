@@ -639,3 +639,80 @@ class TestReviewRegressions:
                 (16, 16), crs="EPSG:32633", xy_min=(0.0, 0.0),
                 xy_res=10.0, tile_size=16, dtype="int32",
             )
+
+
+class TestJpegCompression:
+    """TIFF compression 7 -- JPEG tiles through the clean-room T.81
+    codec (the aerial/visual-imagery COG flavor)."""
+
+    def test_jpeg_tile_roundtrip_smooth(self, spark, tmp_path):
+        h, w = 34, 39
+        jj, ii = np.mgrid[0:h, 0:w]
+        vals = (120 + 60 * np.sin(jj / 9.0) * np.cos(ii / 7.0)
+                ).astype("u1").astype("f8")[None]
+        path = str(tmp_path / "jp.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(5e5, 4e6), xy_res=10.0, tile_size=16,
+            compression="jpeg", dtype="uint8",
+        )
+        ifds, _ = read_geotiff_meta(path)
+        assert ifds[0].compression == 7
+        back = (read_geotiff(spark, path).toPandas()
+                .sort_values(["j", "i"]))
+        got = back["value"].to_numpy().reshape(h, w)
+        err = np.abs(got - vals[0]).max()
+        assert err <= 8  # smooth content at q90
+
+    def test_jpeg_requires_uint8(self, spark, tmp_path):
+        vals = np.zeros((1, 8, 8))
+        with pytest.raises(ValueError, match="uint8"):
+            write_geotiff(
+                _pixels(spark, vals), str(tmp_path / "x.tif"), (8, 8),
+                crs="EPSG:4326", xy_min=(0.0, 0.0), xy_res=1.0,
+                compression="jpeg", dtype="float32",
+            )
+
+    def test_jpegtables_tag_spliced(self, spark, tmp_path):
+        # strip each tile's DQT/DHT into a shared JPEGTables tag
+        # (the form GDAL writes) and confirm decode still works
+        import struct as _s
+
+        h, w = 16, 16
+        vals = np.full((1, h, w), 99.0)
+        path = str(tmp_path / "jt.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:4326",
+            xy_min=(0.0, 0.0), xy_res=1.0, tile_size=16,
+            compression="jpeg", dtype="uint8",
+        )
+        from xcube_resampling_spark.sources.geotiff import (
+            TAG_JPEG_TABLES,
+            _decode_tile_bytes,
+        )
+
+        data = open(path, "rb").read()
+        soi = data.find(b"\xff\xd8")
+        eoi = data.find(b"\xff\xd9", soi) + 2
+        tile = data[soi:eoi]
+
+        # split: tables (DQT/DHT) vs the rest
+        tables, rest, pos = b"", b"", 2
+        while pos < len(tile) - 2:
+            marker = tile[pos + 1]
+            if marker == 0xDA:
+                rest += tile[pos:-2]
+                break
+            (seglen,) = _s.unpack_from(">H", tile, pos + 2)
+            seg = tile[pos:pos + 2 + seglen]
+            if marker in (0xDB, 0xC4):
+                tables += seg
+            else:
+                rest += seg
+            pos += 2 + seglen
+        jpeg_tables = b"\xff\xd8" + tables + b"\xff\xd9"
+        bare_tile = b"\xff\xd8" + rest + b"\xff\xd9"
+        cube = _decode_tile_bytes(
+            bare_tile, 7, 1, np.dtype("u1"), 16, 16, 1, "<",
+            jpeg_tables=jpeg_tables)
+        assert np.all(np.abs(cube.astype(int) - 99) <= 2)

@@ -178,9 +178,11 @@ TAG_GDAL_NODATA = 42113
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_JPEG = 7  # "new-style" JPEG (TIFF/EP), tables in tag 347
 COMPRESSION_DEFLATE = 8
 COMPRESSION_PACKBITS = 32773
 COMPRESSION_DEFLATE_OLD = 32946  # legacy tag value, same stream
+TAG_JPEG_TABLES = 347
 
 # GeoKey ids (GeoTIFF 1.1 Annex A)
 KEY_GT_MODEL_TYPE = 1024
@@ -386,8 +388,36 @@ def _decode_tile_bytes(
     tw: int,
     spp: int,
     endian: str,
+    jpeg_tables: bytes | None = None,
 ) -> np.ndarray:
     """One stored tile/strip -> (spp, th, tw) array in native order."""
+    if compression == COMPRESSION_JPEG:
+        # aerial/visual COGs: each tile is a JPEG stream, shared
+        # DQT/DHT may live in the JPEGTables tag (splice its segments
+        # after the tile's SOI; tile-local tables override later)
+        from ..extensions.jpegcodec import decode_jpeg
+
+        if dtype != np.dtype("u1"):
+            raise NotImplementedError(
+                "JPEG-compressed TIFF requires uint8 samples")
+        stream = bytes(raw)
+        if jpeg_tables and len(jpeg_tables) > 4:
+            stream = (b"\xff\xd8" + bytes(jpeg_tables[2:-2])
+                      + stream[2:])
+        img = decode_jpeg(stream)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] < spp:
+            raise ValueError(
+                f"JPEG tile decodes {img.shape[2]} samples, IFD "
+                f"declares {spp}")
+        if predictor not in (0, 1):
+            raise NotImplementedError(
+                "TIFF predictor with JPEG compression")
+        arr = np.zeros((th, tw, spp), dtype=dtype)
+        h2, w2 = min(th, img.shape[0]), min(tw, img.shape[1])
+        arr[:h2, :w2, :] = img[:h2, :w2, :spp]
+        return np.ascontiguousarray(np.moveaxis(arr, 2, 0))
     if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
         raw = zlib.decompress(raw)
     elif compression == COMPRESSION_LZW:
@@ -397,7 +427,7 @@ def _decode_tile_bytes(
     elif compression != COMPRESSION_NONE:
         raise NotImplementedError(
             f"TIFF compression {compression} not supported (supported: "
-            "none, LZW, Deflate, PackBits)")
+            "none, LZW, Deflate, PackBits, JPEG)")
     dt = dtype.newbyteorder(endian)
     arr = np.frombuffer(raw, dtype=dt, count=th * tw * spp)
     # chunky: row-major (th, tw, spp); predictor stride = spp
@@ -417,6 +447,13 @@ def _encode_tile_bytes(
     compression: int,
     predictor: int,
 ) -> bytes:
+    if compression == COMPRESSION_JPEG:
+        from ..extensions.jpegcodec import encode_jpeg
+
+        if block.dtype != np.dtype("u1"):
+            raise NotImplementedError(
+                "JPEG-compressed TIFF requires uint8 samples")
+        return encode_jpeg(np.ascontiguousarray(block), quality=90)
     if predictor == 2:
         block = _apply_predictor2(block)
     raw = block.tobytes()
@@ -534,6 +571,9 @@ class TiffIFD:
         self.planar = int(_tag(tags, TAG_PLANAR_CONFIG, (1,))[0])
         self.is_reduced = bool(
             int(_tag(tags, TAG_NEW_SUBFILE_TYPE, (0,))[0]) & 1)
+        jt = _tag(tags, TAG_JPEG_TABLES)
+        self.jpeg_tables: bytes | None = (
+            bytes(jt[0]) if jt else None)
         nod = _tag(tags, TAG_GDAL_NODATA)
         self.nodata: float | None = None
         if nod is not None:
@@ -799,6 +839,7 @@ def read_geotiff(
     height, width = ifd.height, ifd.width
     tw, th = ifd.tile_w, ifd.tile_h
     comp, pred, dt = ifd.compression, ifd.predictor, ifd.dtype
+    jtab = ifd.jpeg_tables
     endian = ifd.endian
     # overview IFDs in foreign COGs often omit GDAL_NODATA (GDAL
     # itself tags every IFD, but it is only required on the first):
@@ -836,6 +877,7 @@ def read_geotiff(
                     cube = _decode_tile_bytes(
                         raw, comp, pred, dt, eff_th, tw,
                         spp if planar == 1 else 1, endian,
+                        jpeg_tables=jtab,
                     )
                     if planar == 1:
                         planes = {
@@ -1023,7 +1065,8 @@ def _sample_format_of(dt: np.dtype) -> int:
 
 _COMP_CODES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                "deflate": COMPRESSION_DEFLATE,
-               "packbits": COMPRESSION_PACKBITS}
+               "packbits": COMPRESSION_PACKBITS,
+               "jpeg": COMPRESSION_JPEG}
 
 
 def write_geotiff(
@@ -1085,6 +1128,8 @@ def write_geotiff(
             COMPRESSION_LZW, COMPRESSION_DEFLATE) else 1
     if predictor == 2 and dt.kind not in "iu":
         raise ValueError("predictor 2 needs an integer dtype")
+    if comp == COMPRESSION_JPEG and dt != np.dtype("u1"):
+        raise ValueError("compression='jpeg' requires dtype='uint8'")
     if gm is not None:
         x0, y0 = gm.x_min, gm.y_max
         sx, sy = gm.xy_res
@@ -1193,6 +1238,16 @@ def write_geotiff(
                             "nodata= so they can be encoded")
                     vals = np.rint(vals)
                 block[jj, ii] = vals.astype(dt)
+                if comp == COMPRESSION_JPEG:
+                    # replicate edge pixels into the pad region (the
+                    # GDAL convention): a zero-padded edge is a sharp
+                    # step that rings across the whole DCT block
+                    vj = int(jj.max()) + 1 if jj.size else ts
+                    vi = int(ii.max()) + 1 if ii.size else ts
+                    if vj < ts:
+                        block[vj:, :] = block[vj - 1:vj, :]
+                    if vi < ts:
+                        block[:, vi:] = block[:, vi - 1:vi]
                 raw = _encode_tile_bytes(block, comp, predictor)
                 put.put(f"tiles/{_lvl}.{band}.{kj}.{ki}", raw)
                 return pd.DataFrame({
