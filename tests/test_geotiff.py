@@ -716,3 +716,23 @@ class TestJpegCompression:
             bare_tile, 7, 1, np.dtype("u1"), 16, 16, 1, "<",
             jpeg_tables=jpeg_tables)
         assert np.all(np.abs(cube.astype(int) - 99) <= 2)
+
+    def test_chunky_rgb_jpeg_tile_decodes(self):
+        # photometric-color COGs store 3-sample chunky JPEG tiles
+        from xcube_resampling_spark.extensions.jpegcodec import (
+            encode_jpeg,
+        )
+        from xcube_resampling_spark.sources.geotiff import (
+            _decode_tile_bytes,
+        )
+
+        rgb = np.zeros((16, 16, 3), np.uint8)
+        rgb[:, :, 0] = 200
+        rgb[:, :, 2] = 50
+        cube = _decode_tile_bytes(
+            encode_jpeg(rgb, quality=95), 7, 1, np.dtype("u1"),
+            16, 16, 3, "<")
+        assert cube.shape == (3, 16, 16)
+        assert abs(int(cube[0].mean()) - 200) <= 3
+        assert int(cube[1].mean()) <= 6
+        assert abs(int(cube[2].mean()) - 50) <= 4
