@@ -5889,9 +5889,8 @@ def q_url_suite(spark, sf_dir):
         domain_stats,
         filter_blocked_domains,
         normalize_url,
-        registered_domain,
         url_dedup,
-        url_parts,
+        url_domain,
     )
 
     docs = _synth_urls(spark, sf_dir)
@@ -5899,11 +5898,9 @@ def q_url_suite(spark, sf_dir):
     norm = docs.select(
         F.lit("norm").alias("leg"), "doc_id", nl.alias("k1"),
         normalize_url(F.col("url")).alias("s"))
-    host = url_parts(F.col("url"))["host"]
     dom = docs.select(
         F.lit("domain").alias("leg"), "doc_id", nl.alias("k1"),
-        registered_domain(
-            F.regexp_replace(host, r"^www\.", "")).alias("s"))
+        url_domain(F.col("url")).alias("s"))
     ded = url_dedup(docs).select(
         F.lit("dedup").alias("leg"), "doc_id",
         F.col("n_dups").alias("k1"), F.col("norm_url").alias("s"))

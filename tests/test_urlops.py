@@ -116,3 +116,40 @@ class TestParts:
         assert r["port"] == "8443"
         assert r["path"] == "/p/q"
         assert r["query"] == "a=1"
+
+
+class TestReviewRegressions:
+    def test_userinfo_stripped(self, spark):
+        # the classic blocklist-evasion vector
+        blocked = spark.createDataFrame([("bad.co.uk",)],
+                                        "domain string")
+        docs = spark.createDataFrame(
+            [(1, "https://user@bad.co.uk/x"),
+             (2, "https://u:pw@bad.co.uk:8080/x"),
+             (3, "https://good.com/y")],
+            "doc_id long, url string")
+        kept = filter_blocked_domains(docs, blocked).collect()
+        assert [r["doc_id"] for r in kept] == [3]
+        assert _norm(spark, "https://u:pw@ex.com:8080/x") == \
+            "https://ex.com:8080/x"
+
+    def test_fragment_question_mark_not_query(self, spark):
+        assert _norm(spark, "https://ex.com/a#sec?b=2") == \
+            "https://ex.com/a"
+
+    def test_schemeless_urls_stay_distinct(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "www.a.com/x"), (2, "www.b.org/y")],
+            "doc_id long, url string")
+        out = url_dedup(docs).collect()
+        assert len(out) == 2  # no conflation onto one key
+
+    def test_staging_column_collision_raises(self, spark):
+        import pytest as _pt
+
+        blocked = spark.createDataFrame([("x.com",)], "domain string")
+        docs = spark.createDataFrame(
+            [(1, "https://a.com/x", "v")],
+            "doc_id long, url string, __xrs_url_domain string")
+        with _pt.raises(ValueError, match="__xrs_url_domain"):
+            filter_blocked_domains(docs, blocked)

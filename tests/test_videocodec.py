@@ -263,3 +263,29 @@ def test_sample_frames_decodes_avi_and_gif(spark):
     # real decode: each frame is a 4x4 luma plane = 16 bytes
     assert all(len(bytes(r["frame"])) == 16 for r in out)
     assert {r["frame_idx"] for r in out} == {0, 2, 4}
+
+
+def test_sample_frames_falls_back_on_unsupported_codec(spark):
+    # an H264-fourcc AVI must take the byte-slice fallback, not
+    # fail the stage
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    from xcube_resampling_spark.extensions.avicodec import encode_avi
+    from xcube_resampling_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    data = bytearray(encode_avi(
+        [np.zeros((4, 4, 3), np.uint8)] * 2, codec="MJPG"))
+    i = data.find(b"MJPG")
+    data[i:i + 4] = b"H264"
+    i = data.find(b"MJPG", i + 4)
+    data[i:i + 4] = b"H264"
+    media = spark.createDataFrame(
+        [(1, "video", bytes(data), None, None, None, 2)],
+        schema=MEDIA_SCHEMA)
+    out = sample_frames(media, every_nth=1).collect()
+    assert len(out) == 2  # fallback slices, no crash

@@ -414,7 +414,12 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
                 payload = bytes(payload or b"")
                 try:
                     y, _u, _v, _meta = decode_video(payload)
-                except DecoderNotAvailable:
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError covers DecoderNotAvailable
+                    # AND unsupported-codec AVIs (H.264 fourccs);
+                    # ValueError covers corrupt/audio-only containers
+                    # -- crawled data must fall back, not fail the
+                    # whole Spark stage
                     y = None
                 if y is not None:
                     for f_idx in range(0, y.shape[0], every_nth):

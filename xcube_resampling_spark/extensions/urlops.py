@@ -42,13 +42,19 @@ MULTI_TLDS = ("co.uk", "org.uk", "ac.uk", "com.au", "net.au",
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the '?' must appear BEFORE any '#': a fragment may legally contain
+# '?' (RFC 3986) and must not be mistaken for the query
+_QUERY_RE = r"^[^#]*\?([^#]*)"
 
 
 def url_parts(url: Column) -> dict:
     """Split a URL column into ``scheme host port path query`` --
-    anchored regexes only, identical between Spark and DuckDB."""
+    anchored regexes only, identical between Spark and DuckDB.
+    Userinfo (``user:pw@``) is stripped from the authority per
+    RFC 3986 before host/port extraction (it is also the classic
+    blocklist-evasion vector)."""
     auth = F.regexp_extract(url, _AUTH_RE, 1)
+    auth = F.regexp_extract(auth, r"([^@]*)$", 1)  # drop userinfo
     host = F.regexp_extract(auth, r"^([^:]*)", 1)
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     return {
@@ -87,7 +93,13 @@ def normalize_url(url: Column) -> Column:
         F.size(kept) > 0,
         F.concat(F.lit("?"), F.array_join(kept, "&")),
     ).otherwise(F.lit(""))
-    return F.concat(p["scheme"], F.lit("://"), host, port, path, query)
+    built = F.concat(p["scheme"], F.lit("://"), host, port, path,
+                     query)
+    # scheme-less / relative strings can't be canonicalized: pass
+    # them through untouched rather than conflating every one of
+    # them onto the same ':///' key (which would make url_dedup drop
+    # distinct documents as duplicates)
+    return F.when(p["scheme"] == "", url).otherwise(built)
 
 
 def registered_domain(host: Column) -> Column:
@@ -108,6 +120,14 @@ def registered_domain(host: Column) -> Column:
             .otherwise(last2))
 
 
+def url_domain(url: Column) -> Column:
+    """Registered domain straight from a URL column (host extraction
+    + ``www.`` strip + PSL heuristic) -- the single definition every
+    domain consumer shares."""
+    host = url_parts(url)["host"]
+    return registered_domain(F.regexp_replace(host, r"^www\.", ""))
+
+
 def url_dedup(df: DataFrame, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """Exact URL dedup on the normalized form: one row per canonical
@@ -123,10 +143,9 @@ def url_dedup(df: DataFrame, url_col: str = "url",
 def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Documents per registered domain -- the curation view that
     drives domain-level sampling caps."""
-    host = url_parts(F.col(url_col))["host"]
-    dom = registered_domain(
-        F.regexp_replace(host, r"^www\.", "")).alias("domain")
-    return df.select(dom).groupBy("domain").count()
+    return df.select(
+        url_domain(F.col(url_col)).alias("domain")
+    ).groupBy("domain").count()
 
 
 def filter_blocked_domains(df: DataFrame, blocked: DataFrame,
@@ -134,9 +153,10 @@ def filter_blocked_domains(df: DataFrame, blocked: DataFrame,
     """Drop rows whose registered domain appears in ``blocked``
     (column ``domain``) -- a broadcast LEFT ANTI join; the blocklist
     is list-sized, never shuffled against the corpus."""
-    host = url_parts(F.col(url_col))["host"]
-    dom = registered_domain(F.regexp_replace(host, r"^www\.", ""))
-    return df.withColumn("_dom", dom).join(
-        F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
-        "_dom", "left_anti",
-    ).drop("_dom")
+    key = "__xrs_url_domain"  # collision-safe staging column
+    if key in df.columns:
+        raise ValueError(f"input already has a {key!r} column")
+    return df.withColumn(key, url_domain(F.col(url_col))).join(
+        F.broadcast(blocked.select(F.col("domain").alias(key))),
+        key, "left_anti",
+    ).drop(key)

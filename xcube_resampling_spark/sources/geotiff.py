@@ -572,8 +572,15 @@ class TiffIFD:
         self.is_reduced = bool(
             int(_tag(tags, TAG_NEW_SUBFILE_TYPE, (0,))[0]) & 1)
         jt = _tag(tags, TAG_JPEG_TABLES)
-        self.jpeg_tables: bytes | None = (
-            bytes(jt[0]) if jt else None)
+        # UNDEFINED (7) parses to (bytes,); a writer that stored the
+        # tag as BYTE (1) yields a tuple of ints -- bytes(first_int)
+        # would silently build a zero buffer of that LENGTH
+        if jt is None:
+            self.jpeg_tables: bytes | None = None
+        elif isinstance(jt[0], (bytes, bytearray)):
+            self.jpeg_tables = bytes(jt[0])
+        else:
+            self.jpeg_tables = bytes(jt)
         nod = _tag(tags, TAG_GDAL_NODATA)
         self.nodata: float | None = None
         if nod is not None:
@@ -1130,6 +1137,13 @@ def write_geotiff(
         raise ValueError("predictor 2 needs an integer dtype")
     if comp == COMPRESSION_JPEG and dt != np.dtype("u1"):
         raise ValueError("compression='jpeg' requires dtype='uint8'")
+    if comp == COMPRESSION_JPEG and nodata is not None:
+        # lossy DCT shifts stored nodata values by a few counts, so
+        # the exact-equality mask on read silently stops matching
+        # (the hazard GDAL documents for JPEG + nodata)
+        raise ValueError(
+            "compression='jpeg' cannot preserve an exact nodata "
+            "value (lossy); use deflate/lzw for masked rasters")
     if gm is not None:
         x0, y0 = gm.x_min, gm.y_max
         sx, sy = gm.xy_res
