@@ -133,6 +133,28 @@ class TestReviewRegressions:
         assert _norm(spark, "https://u:pw@ex.com:8080/x") == \
             "https://ex.com:8080/x"
 
+    def test_trailing_dot_host_normalized(self, spark):
+        # 'example.com.' is the same FQDN as 'example.com' -- without
+        # the strip, registered_domain returns 'com.' and the host
+        # bypasses the blocklist (round-9 ADVICE)
+        blocked = spark.createDataFrame([("bad.co.uk",)],
+                                        "domain string")
+        docs = spark.createDataFrame(
+            [(1, "https://bad.co.uk./x"),
+             (2, "https://sub.bad.co.uk.:8080/x"),
+             (3, "https://good.com/y")],
+            "doc_id long, url string")
+        kept = filter_blocked_domains(docs, blocked).collect()
+        assert [r["doc_id"] for r in kept] == [3]
+        assert _norm(spark, "https://EX.com./a") == \
+            _norm(spark, "https://ex.com/a")
+        got = spark.createDataFrame(
+            [("https://a.ex.com./p",)], "url string").select(
+            registered_domain(
+                url_parts(F.col("url"))["host"]).alias("d")
+        ).first()["d"]
+        assert got == "ex.com"
+
     def test_fragment_question_mark_not_query(self, spark):
         assert _norm(spark, "https://ex.com/a#sec?b=2") == \
             "https://ex.com/a"

@@ -289,3 +289,28 @@ def test_sample_frames_falls_back_on_unsupported_codec(spark):
         schema=MEDIA_SCHEMA)
     out = sample_frames(media, every_nth=1).collect()
     assert len(out) == 2  # fallback slices, no crash
+
+
+def test_sample_frames_survives_truncated_and_malformed(spark):
+    # decode_video raises struct.error on a truncated GIF header and
+    # can raise IndexError from malformed LZW codes -- one corrupt
+    # crawled payload must not fail the whole stage (round-9 ADVICE)
+    from xcube_resampling_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    payloads = [
+        b"GIF89a\x05",                      # truncated header
+        b"GIF89a" + b"\x00" * 20,           # garbage body
+        b"RIFF\x10\x00\x00\x00AVI ",        # truncated AVI
+        b"YUV4MPEG2 ",                      # truncated Y4M
+        b"\xff\xd8\xff",                    # not a video at all
+    ]
+    media = spark.createDataFrame(
+        [(i, "video", p, None, None, None, 2)
+         for i, p in enumerate(payloads)],
+        schema=MEDIA_SCHEMA)
+    out = sample_frames(media, every_nth=1).collect()
+    # every payload falls back to the 2-slice fake
+    assert len(out) == 2 * len(payloads)

@@ -23,6 +23,7 @@ every signature and plan identical.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -414,12 +415,15 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
                 payload = bytes(payload or b"")
                 try:
                     y, _u, _v, _meta = decode_video(payload)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError,
+                        struct.error, IndexError, EOFError):
                     # NotImplementedError covers DecoderNotAvailable
                     # AND unsupported-codec AVIs (H.264 fourccs);
-                    # ValueError covers corrupt/audio-only containers
-                    # -- crawled data must fall back, not fail the
-                    # whole Spark stage
+                    # ValueError covers corrupt/audio-only containers;
+                    # struct.error/IndexError/EOFError cover truncated
+                    # headers and malformed LZW/bitstream codes from
+                    # corrupt crawled payloads -- crawled data must
+                    # fall back, not fail the whole Spark stage
                     y = None
                 if y is not None:
                     for f_idx in range(0, y.shape[0], every_nth):

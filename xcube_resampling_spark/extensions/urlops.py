@@ -56,6 +56,12 @@ def url_parts(url: Column) -> dict:
     auth = F.regexp_extract(url, _AUTH_RE, 1)
     auth = F.regexp_extract(auth, r"([^@]*)$", 1)  # drop userinfo
     host = F.regexp_extract(auth, r"^([^:]*)", 1)
+    # a trailing root-label dot ('example.com.') is the same FQDN:
+    # without this strip, registered_domain sees labels
+    # ['example','com',''] -> 'com.' and the host bypasses
+    # filter_blocked_domains -- the same blocklist-evasion class as
+    # userinfo smuggling
+    host = F.regexp_replace(host, r"\.$", "")
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     return {
         "scheme": F.lower(F.regexp_extract(url, _SCHEME_RE, 1)),
