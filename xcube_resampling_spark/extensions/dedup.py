@@ -53,6 +53,91 @@ def release_cached() -> None:
         _PERSISTED.pop().unpersist()
 
 
+# Hot-bucket short-circuit threshold for every banded-LSH self-join.
+# Candidate pairs are quadratic in bucket size, so one boilerplate
+# cluster (licence pages, templated docs) of 10^6 rows sharing a band
+# key would emit 10^12 pairs and kill the stage at 100-TB scale.  Above
+# the cap a bucket contributes only size-1 "star" candidates against
+# its minimum-id representative -- linear, and still individually
+# verified downstream.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def banded_candidate_pairs(
+    bands: DataFrame,
+    id_col: str,
+    key_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...] = (),
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b [, <payload>_a..., <payload>_b...])``
+    with ``id_a < id_b`` from a banded-LSH table, with a hot-bucket
+    short-circuit -- the shared candidate generator for the MinHash,
+    SimHash, sign-LSH, and dHash band joins.
+
+    Buckets of at most ``max_bucket`` rows self-join on ``key_cols``
+    (equi-join, never a cross join).  Larger buckets -- quadratic pair
+    blow-up territory -- are detected with ONE map-side-combinable
+    groupBy (its output is at most ``n_rows / max_bucket`` keys, so it
+    broadcasts) and short-circuited: each member pairs only with the
+    bucket's minimum-id representative (``size - 1`` star candidates,
+    no join at all).  Every candidate, star or not, still goes through
+    the caller's exact verification (Jaccard / Hamming / cosine), so
+    precision is unchanged; pair-level recall INSIDE a hot bucket
+    degrades to representative connectivity, which is exactly what the
+    downstream :func:`dup_components` clustering needs -- members that
+    verify against the representative land in one component.  This is
+    the standard production dimensioning for boilerplate-heavy corpora.
+
+    ``max_bucket=None`` disables the cap (full self-join everywhere).
+    The default (1000) keeps the short-circuit out of the way at test
+    scale while bounding any bucket's contribution to ~500k pairs.
+    """
+    keys = list(key_cols)
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("__bsz"),
+                F.min(id_col).alias("__rep"),
+                *[
+                    F.min_by(F.col(c), F.col(id_col)).alias(f"__rep_{c}")
+                    for c in payload_cols
+                ],
+            )
+            .filter(F.col("__bsz") > max_bucket)
+            .drop("__bsz")
+        )
+        tagged = bands.join(F.broadcast(hot), keys, "left")
+        small = tagged.filter(F.col("__rep").isNull()).select(
+            id_col, *keys, *payload_cols
+        )
+        star = tagged.filter(
+            F.col("__rep").isNotNull() & (F.col(id_col) != F.col("__rep"))
+        ).select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"__rep_{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+    else:
+        small, star = bands, None
+    a = small.alias("a")
+    b = small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in keys:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min doc_id
     (hash-groupBy, the canonical exact-dedup shape)."""
@@ -202,7 +287,8 @@ def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def dedup_minhash_lsh(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5
+    docs: DataFrame, k: int = 3, threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, verified with true
     Jaccard.  Bands of NUM_PERM/BANDS rows; candidates = docs sharing a
@@ -217,7 +303,10 @@ def dedup_minhash_lsh(
     verification joins the candidate pairs back to the (small,
     auto-broadcastable) array table twice and computes
     size(array_intersect) -- no shingle-row explode, no re-shuffle of the
-    shingle table."""
+    shingle table.  Band buckets above ``max_bucket`` rows (boilerplate
+    clusters) short-circuit to star candidates against the bucket
+    representative via :func:`banded_candidate_pairs` -- linear, never
+    quadratic, in bucket size."""
     hashed = exploded_shingles(docs, k).select(
         "doc_id", hash32(F.col("sh")).alias("h")
     )
@@ -258,19 +347,8 @@ def dedup_minhash_lsh(
         "doc_id", F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
+    cand = banded_candidate_pairs(
+        bands, "doc_id", ("band", "band_key"), max_bucket=max_bucket
     )
     # verify candidates with the exact Jaccard from the cached arrays
     arr_a = sets.select(
@@ -368,7 +446,10 @@ def simhash(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash(
+    docs: DataFrame, max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Near-duplicate pairs by 64-bit SimHash: candidates share one of 4
     16-bit bands (pigeonhole: <= 3 differing bits leave at least one band
     identical, so recall at max_hamming=3 is exact), verified by exact
@@ -377,7 +458,10 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Scale shape: banded equi-join, never all-pairs.  At ~10^9 docs each
     16-bit band bucket holds ~n/65536 docs of mostly-unrelated hashes;
     4 bands of a 64-bit hash is the standard production dimensioning
-    (Manku et al., WWW 2007)."""
+    (Manku et al., WWW 2007).  Identical-hash pile-ups (templated docs
+    all hashing to one value) would still be quadratic, so buckets
+    above ``max_bucket`` short-circuit to star candidates via
+    :func:`banded_candidate_pairs`."""
     # persist: the signature is a 64-aggregate plan that the band
     # self-join would otherwise evaluate once per join side
     sh = _persist(simhash(docs))
@@ -398,26 +482,12 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh_lo", "sh_hi",
+    ).select("doc_id",
+             F.col("sh_lo").alias("lo"), F.col("sh_hi").alias("hi"),
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh_lo").alias("lo_a"),
-            F.col("a.sh_hi").alias("hi_a"),
-            F.col("b.sh_lo").alias("lo_b"),
-            F.col("b.sh_hi").alias("hi_b"),
-        )
-        .distinct()
+    cand = banded_candidate_pairs(
+        bands, "doc_id", ("band", "key"), payload_cols=("lo", "hi"),
+        max_bucket=max_bucket,
     )
     hamming = F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
@@ -482,7 +552,8 @@ def hyperplane_sign(idx: int) -> float:
 
 
 def dedup_embedding_cosine_lsh(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate vector pairs: sign-LSH bucketed candidates, exact
     cosine verified -- the 100-TB shape of :func:`dedup_embedding_cosine`.
@@ -537,19 +608,8 @@ def dedup_embedding_cosine_lsh(
     ).select(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
+    cand = banded_candidate_pairs(
+        bands, "vec_id", ("band", "key"), max_bucket=max_bucket
     )
     ea = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),

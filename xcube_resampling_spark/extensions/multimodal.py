@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import dedup
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -864,7 +866,8 @@ def release_cached() -> None:
 
 
 def dhash_pairs(
-    hashes: DataFrame, max_distance: int = 6
+    hashes: DataFrame, max_distance: int = 6,
+    max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over dHash:
     ``(id_a, id_b, distance)`` with ``id_a < id_b`` and
@@ -878,7 +881,14 @@ def dhash_pairs(
     any scale -- one shuffle on (band, value), then ``bit_count(xor)``
     verification in codegen.  The band table is persisted (the
     self-join would otherwise re-run the upstream image decode once
-    per side); call :func:`release_cached` to drop it."""
+    per side); call :func:`release_cached` to drop it.
+
+    ``max_bucket`` short-circuits band buckets above that size --
+    near-identical boilerplate images (blank thumbnails, site logos)
+    pile onto one band value and would otherwise emit quadratic
+    candidate pairs; see
+    :func:`~xcube_resampling_spark.extensions.dedup
+    .banded_candidate_pairs`.  ``None`` disables the cap."""
     if not 0 <= max_distance <= 32:
         raise ValueError("max_distance must be in [0, 32]")
     n_bands = max(2, max_distance + 1)
@@ -912,18 +922,13 @@ def dhash_pairs(
              F.col("bv.band").alias("band"),
              F.col("bv.val").alias("val")).persist()
     _DHASH_PERSISTED.append(bands)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, on=["band", "val"])
-        .filter(F.col("a.media_id") < F.col("b.media_id"))
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            (F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
-             + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
-             ).alias("distance"),
-        )
-        .distinct()
+    cand = dedup.banded_candidate_pairs(
+        bands, "media_id", ("band", "val"), payload_cols=("hi", "lo"),
+        max_bucket=max_bucket,
     )
-    return cand.filter(F.col("distance") <= max_distance)
+    return cand.select(
+        "id_a", "id_b",
+        (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+         ).alias("distance"),
+    ).filter(F.col("distance") <= max_distance)
