@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xcube_resampling_spark.sources import blosc1, lz4, zstd
+from xcube_resampling_spark.sources import (
+    blosc1,
+    lz4,
+    numcodecs_filters,
+    zstd,
+)
 
 
 class ChunkPut:
@@ -301,6 +306,25 @@ def _check_compressor(meta: dict) -> str:
     )
 
 
+def _decompress_chunk(raw: bytes, comp: str,
+                      filters: list | None = None) -> bytes:
+    """Chunk bytes -> raw array bytes: byte compressor first, then the
+    numcodecs filter chain last-to-first (zarr v2 decode order)."""
+    if comp == "zlib":
+        raw = zlib.decompress(raw)
+    elif comp == "gzip":  # numcodecs GZip: gzip-framed deflate
+        import gzip as _gzip
+
+        raw = _gzip.decompress(raw)
+    elif comp == "blosc":
+        raw = blosc1.decode(raw)
+    elif comp == "lz4":
+        raw = lz4.decompress_framed(raw)
+    elif comp == "zstd":
+        raw = zstd.decompress(raw)
+    return numcodecs_filters.decode_filters(raw, filters)
+
+
 def write_zarr(
     df: DataFrame,
     path: str,
@@ -311,8 +335,17 @@ def write_zarr(
     compressor: str = "zlib",
     attrs: dict | None = None,
     chunk_put: ChunkPut | None = None,
+    filters: list | None = None,
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as a zarr v2 array.
+
+    ``filters`` is an optional numcodecs filter chain (list of config
+    dicts, e.g. ``[{"id": "delta", "dtype": "<f8"}]``) applied in
+    order before the compressor; blocks are ``<f8``, so array-level
+    filters must use ``dtype: "<f8"``.  A ``delta`` filter with the
+    default NaN ``fill_value`` does not roundtrip (decode is a cumsum,
+    so the padded edge-chunk NaNs poison every later element --
+    numcodecs behaves identically); pass a numeric fill with delta.
 
     ``shape``/``chunks`` are (nt, h, w) or (h, w); 2-D arrays take their
     pixels from t == 0.  Chunk files are written by executor tasks (one
@@ -326,10 +359,11 @@ def write_zarr(
     """
     put = chunk_put if chunk_put is not None else FsChunkPut(path)
     _write_zarr_metadata(
-        put, path, var_name, shape, chunks, fill_value, compressor, attrs
+        put, path, var_name, shape, chunks, fill_value, compressor,
+        attrs, filters,
     )
     _write_zarr_chunks(
-        df, put, var_name, shape, chunks, fill_value, compressor
+        df, put, var_name, shape, chunks, fill_value, compressor, filters
     )
 
 
@@ -342,7 +376,11 @@ def _write_zarr_metadata(
     fill_value: float,
     compressor: str,
     attrs: dict | None,
+    filters: list | None = None,
 ) -> None:
+    if filters:
+        for f in filters:
+            numcodecs_filters._resolve(f)
     if compressor not in ("zlib", "null", "blosc", "blosc-lz4",
                           "lz4", "zstd"):
         raise NotImplementedError(
@@ -385,7 +423,7 @@ def _write_zarr_metadata(
         "compressor": comp_meta,
         "fill_value": fill_json,
         "order": "C",
-        "filters": None,
+        "filters": list(filters) if filters else None,
     }
     put.put(f"{var_name}/.zarray", json.dumps(zarray).encode())
     dims = ["t", "y", "x"][-nd:]
@@ -416,6 +454,7 @@ def _write_zarr_chunks(
     chunks: tuple[int, ...],
     fill_value: float,
     compressor: str,
+    filters: list | None = None,
 ) -> None:
     """Distributed chunk-file write: one applyInPandas task per chunk,
     all bytes through ``put``."""
@@ -445,6 +484,7 @@ def _write_zarr_chunks(
         ii = pdf["i"].to_numpy(np.int64) - ki * ct_i
         block[tt, jj, ii] = pdf["value"].to_numpy(np.float64)
         raw = block.tobytes(order="C")
+        raw = numcodecs_filters.encode_filters(raw, filters)
         if compressor == "zlib":
             raw = zlib.compress(raw, 1)
         elif compressor == "blosc":
@@ -676,12 +716,23 @@ def read_zarr_grid_mapping(path: str, crs_var_name: str = "spatial_ref",
         if za_raw is None:
             return None
         za = json.loads(za_raw)
-        if za.get("compressor") is not None or za.get("filters"):
-            raise NotImplementedError(
-                f"coordinate array {name!r} is compressed; only raw "
-                "1-D coordinate arrays are supported")
-        raw = _bytes(f"{name}/0")
-        return np.frombuffer(raw, za["dtype"]).astype("float64")
+        # real-world stores routinely compress (and filter) even the
+        # 1-D coordinate arrays -- decode through the same chunk
+        # pipeline as the data variables, concatenating all chunks
+        comp = _check_compressor(za)
+        filters = za.get("filters") or None
+        n = int(za["shape"][0])
+        c = int(za["chunks"][0]) if za.get("chunks") else n
+        parts = []
+        for k in range(-(-n // c) if c else 1):
+            raw = _bytes(f"{name}/{k}")
+            if raw is None:
+                return None
+            parts.append(np.frombuffer(
+                _decompress_chunk(bytes(raw), comp, filters),
+                za["dtype"],
+            ))
+        return np.concatenate(parts)[:n].astype("float64")
 
     x = _arr("x")
     y = _arr("y")
@@ -902,8 +953,10 @@ def read_zarr(
                     attrs = json.load(fp)
     if meta.get("order", "C") != "C":
         raise NotImplementedError("only C-order zarr arrays supported")
-    if meta.get("filters"):
-        raise NotImplementedError("zarr filters not supported")
+    filters = meta.get("filters") or None
+    if filters:
+        for f in filters:
+            numcodecs_filters._resolve(f)  # fail fast on unknown ids
     comp = _check_compressor(meta)
     dtype_s = meta["dtype"]
     dtype = _np_dtype(dtype_s)
@@ -948,18 +1001,7 @@ def read_zarr(
             kt, kj, ki = 0, parts[0], parts[1]
         else:
             kt, kj, ki = parts
-        if comp == "zlib":
-            raw = zlib.decompress(raw)
-        elif comp == "gzip":  # numcodecs GZip: gzip-framed deflate
-            import gzip as _gzip
-
-            raw = _gzip.decompress(raw)
-        elif comp == "blosc":
-            raw = blosc1.decode(raw)
-        elif comp == "lz4":
-            raw = lz4.decompress_framed(raw)
-        elif comp == "zstd":
-            raw = zstd.decompress(raw)
+        raw = _decompress_chunk(raw, comp, filters)
         block = np.frombuffer(raw, dtype=dtype).reshape(
             ct_t, ct_j, ct_i
         )
