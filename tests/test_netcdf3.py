@@ -166,6 +166,107 @@ class TestCodec:
         )
 
 
+class TestCdf5:
+    """CDF-5 ("64-bit data", PnetCDF spec): every NON_NEG header field
+    widens to 8 bytes; unsigned/64-bit nc_types become available."""
+
+    def test_header_bytes_follow_spec(self):
+        data = np.arange(6, dtype="f8").reshape(2, 3)
+        blob = encode_netcdf3("v", data, ("y", "x"), version=5)
+        assert blob[:4] == b"CDF\x05"
+        assert struct.unpack_from(">q", blob, 4)[0] == 0  # numrecs i8
+        assert struct.unpack_from(">i", blob, 12)[0] == 0x0A
+        assert struct.unpack_from(">q", blob, 16)[0] == 2  # ndims i8
+        # first dim: name length is an i8 in CDF-5
+        assert struct.unpack_from(">q", blob, 24)[0] == 1
+        assert blob[32:33] == b"y"
+        assert struct.unpack_from(">q", blob, 36)[0] == 2  # dim size i8
+        parsed = decode_netcdf3(blob)
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+
+    @pytest.mark.parametrize(
+        "dtype", ["f8", "f4", "i4", "i2", "i1", "u1", "u2", "u4",
+                  "i8", "u8"])
+    def test_dtype_roundtrip(self, dtype):
+        data = np.array([0, 1, 2, 100], dtype=dtype).reshape(2, 2)
+        blob = encode_netcdf3("v", data, ("y", "x"), version=5)
+        back = decode_netcdf3(blob)["vars"]["v"]["data"]
+        assert back.dtype.str.lstrip("<>=|") == dtype
+        np.testing.assert_array_equal(back, data)
+
+    def test_int64_range(self):
+        data = np.array([2 ** 40, -(2 ** 40), 2 ** 62], dtype="i8")
+        blob = encode_netcdf3("v", data, ("x",), version=5)
+        np.testing.assert_array_equal(
+            decode_netcdf3(blob)["vars"]["v"]["data"], data)
+
+    def test_cdf5_only_dtypes_need_version_5(self):
+        data = np.array([1, 2], dtype="u8")
+        with pytest.raises(NotImplementedError, match="version=5"):
+            encode_netcdf3("v", data, ("x",))
+        with pytest.raises(NotImplementedError, match="version=5"):
+            encode_netcdf3("v", data, ("x",), version=2)
+
+    def test_attrs_roundtrip(self):
+        blob = encode_netcdf3(
+            "v", np.zeros((2, 2), "f8"), ("y", "x"), version=5,
+            global_attrs={"title": "cdf5 granule", "j_offset": 128},
+            var_attrs={"missing_value": [-9.0, -8.0], "units": "K"},
+        )
+        parsed = decode_netcdf3(blob)
+        assert parsed["attrs"]["title"] == "cdf5 granule"
+        assert parsed["attrs"]["j_offset"] == 128
+        v = parsed["vars"]["v"]["attrs"]
+        assert v["units"] == "K"
+        assert v["missing_value"] == [-9.0, -8.0]
+
+    def test_record_variable_roundtrip(self):
+        data = np.arange(24, dtype="f4").reshape(3, 2, 4)
+        blob = encode_netcdf3(
+            "v", data, ("t", "y", "x"), record_dim=True, version=5)
+        assert struct.unpack_from(">q", blob, 4)[0] == 3  # numrecs
+        parsed = decode_netcdf3(blob)
+        assert parsed["dims"][0] == ("t", 0)
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+
+    def test_streaming_numrecs_sentinel(self):
+        data = np.arange(12, dtype="f8").reshape(3, 4)
+        blob = bytearray(encode_netcdf3(
+            "v", data, ("t", "x"), record_dim=True, version=5))
+        blob[4:12] = b"\xff" * 8  # 8-byte STREAMING sentinel
+        parsed = decode_netcdf3(bytes(blob))
+        np.testing.assert_array_equal(parsed["vars"]["v"]["data"], data)
+
+    def test_cdf2_encode_roundtrip(self):
+        # version=2 writes a true CDF-2 (8-byte begin, 4-byte NON_NEG)
+        data = np.arange(8, dtype="f8").reshape(2, 4)
+        blob = encode_netcdf3("v", data, ("y", "x"), version=2)
+        assert blob[:4] == b"CDF\x02"
+        assert struct.unpack_from(">i", blob, 4)[0] == 0  # still i4
+        np.testing.assert_array_equal(
+            decode_netcdf3(blob)["vars"]["v"]["data"], data)
+
+    def test_distributed_granules(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        w, h = 12, 10
+        df = spark.range(w * h).select(
+            F.lit(0).alias("t"),
+            (F.col("id") / w).cast("int").alias("j"),
+            (F.col("id") % w).cast("int").alias("i"),
+            (F.col("id") * 0.25).cast("double").alias("value"),
+        )
+        path = str(tmp_path / "gran5")
+        write_netcdf3(df, path, "v", (h, w), band_rows=4, version=5)
+        with open(f"{path}/part-00000.nc", "rb") as fp:
+            assert fp.read(4) == b"CDF\x05"
+        got = read_netcdf3(spark, path, "v").toPandas() \
+            .sort_values(["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+
 class TestGranuleRoundtrip:
     def test_2d_roundtrip_multiband(self, spark, tmp_path):
         w, h = 21, 17

@@ -26,11 +26,15 @@ Spark-first mapping:
   (sources/zarr.py) -- one shuffle, no shared-filesystem assumption,
   object-store ready.
 
-Scope: CDF-1 and CDF-2 files, variables of types byte/short/int/float/
-double, dimension order (y, x) or (t, y, x), both fixed-size and
-RECORD variables (an unlimited first dimension -- length 0 in the dim
-list, actual count in ``numrecs``, per-record interleaved slabs; the
-STREAMING numrecs sentinel is inferred from the file length).
+Scope: CDF-1, CDF-2 (64-bit offsets), and CDF-5 (magic ``CDF\\x05``,
+"64-bit data": every NON_NEG header field widens to 8 bytes and the
+unsigned/64-bit nc_types 7-11 become available -- the PnetCDF "CDF-5
+file format specification") files; variables of types byte/short/int/
+float/double (+ ubyte/ushort/uint/int64/uint64 in CDF-5), dimension
+order (y, x) or (t, y, x), both fixed-size and RECORD variables (an
+unlimited first dimension -- length 0 in the dim list, actual count in
+``numrecs``, per-record interleaved slabs; the STREAMING numrecs
+sentinel is inferred from the file length).
 """
 
 from __future__ import annotations
@@ -53,7 +57,8 @@ _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 
-# nc_type -> (numpy dtype, size in bytes)
+# nc_type -> (numpy dtype, size in bytes); 7-11 are the CDF-5
+# ("64-bit data", magic CDF\x05) additions
 _NC_TYPES = {
     1: np.dtype(">i1"),  # NC_BYTE
     2: np.dtype("S1"),   # NC_CHAR
@@ -61,9 +66,18 @@ _NC_TYPES = {
     4: np.dtype(">i4"),  # NC_INT
     5: np.dtype(">f4"),  # NC_FLOAT
     6: np.dtype(">f8"),  # NC_DOUBLE
+    7: np.dtype(">u1"),  # NC_UBYTE   (CDF-5)
+    8: np.dtype(">u2"),  # NC_USHORT  (CDF-5)
+    9: np.dtype(">u4"),  # NC_UINT    (CDF-5)
+    10: np.dtype(">i8"),  # NC_INT64   (CDF-5)
+    11: np.dtype(">u8"),  # NC_UINT64  (CDF-5)
 }
 _NC_TYPE_OF = {np.dtype("f8"): 6, np.dtype("f4"): 5, np.dtype("i4"): 4,
                np.dtype("i2"): 3, np.dtype("i1"): 1}
+# dtypes only expressible in a CDF-5 file
+_NC_TYPE_OF_CDF5 = {np.dtype("u1"): 7, np.dtype("u2"): 8,
+                    np.dtype("u4"): 9, np.dtype("i8"): 10,
+                    np.dtype("u8"): 11}
 
 
 def _pad4(n: int) -> int:
@@ -71,40 +85,48 @@ def _pad4(n: int) -> int:
 
 
 class _Writer:
-    """Assemble one classic (CDF-1) file in memory."""
+    """Assemble one classic file image in memory.  ``w64`` switches
+    every NON_NEG field to the 8-byte CDF-5 form (the 4-byte tags,
+    nc_type constants, and 4-byte value padding are unchanged in
+    CDF-5)."""
 
-    def __init__(self):
+    def __init__(self, w64: bool = False):
         self.buf = bytearray()
+        self.w64 = w64
 
     def i4(self, v: int):
         self.buf += struct.pack(">i", v)
 
+    def nn(self, v: int):
+        """NON_NEG: 4-byte in CDF-1/2, 8-byte in CDF-5."""
+        self.buf += struct.pack(">q" if self.w64 else ">i", v)
+
     def name(self, s: str):
         b = s.encode()
-        self.i4(len(b))
+        self.nn(len(b))
         self.buf += b + b"\x00" * (_pad4(len(b)) - len(b))
 
     def att_values(self, nc_type: int, values) -> None:
         if nc_type == 2:  # NC_CHAR: text attribute
             b = values.encode() if isinstance(values, str) else bytes(values)
             self.i4(2)
-            self.i4(len(b))
+            self.nn(len(b))
             self.buf += b + b"\x00" * (_pad4(len(b)) - len(b))
             return
         arr = np.asarray(values).reshape(-1)
         dt = _NC_TYPES[nc_type]
         raw = arr.astype(dt).tobytes()
         self.i4(nc_type)
-        self.i4(arr.size)
+        self.nn(arr.size)
         self.buf += raw + b"\x00" * (_pad4(len(raw)) - len(raw))
 
     def att_list(self, attrs: dict):
         if not attrs:
             self.i4(0)
-            self.i4(0)
+            self.nn(0)
             return
         self.i4(_NC_ATTRIBUTE)
-        self.i4(len(attrs))
+        self.nn(len(attrs))
         for k, v in attrs.items():
             self.name(k)
             if isinstance(v, str):
@@ -129,39 +151,57 @@ def encode_netcdf3(
     global_attrs: dict | None = None,
     var_attrs: dict | None = None,
     record_dim: bool = False,
+    version: int = 1,
 ) -> bytes:
-    """Encode one variable (plus its coordinate-free dims) as a CDF-1
+    """Encode one variable (plus its coordinate-free dims) as a classic
     file image.  With ``record_dim=True`` the FIRST dim is written as the
     unlimited (record) dimension -- length 0 in the dim list, actual
     length in ``numrecs`` -- and the data section holds one per-record
-    slab per record, the layout real time-series .nc files use."""
+    slab per record, the layout real time-series .nc files use.
+
+    ``version`` selects the container: 1 (CDF-1), 2 (CDF-2: 64-bit
+    begin offsets), or 5 (CDF-5 "64-bit data": every NON_NEG field is
+    8-byte and the unsigned/64-bit nc_types are available)."""
     if data.ndim != len(dims):
         raise ValueError("dims must match data.ndim")
-    nc_type = _NC_TYPE_OF.get(np.dtype(data.dtype.str.lstrip("<>=")))
+    if version not in (1, 2, 5):
+        raise ValueError("version must be 1, 2, or 5")
+    base_dt = np.dtype(data.dtype.str.lstrip("<>="))
+    nc_type = _NC_TYPE_OF.get(base_dt)
+    if nc_type is None and version == 5:
+        nc_type = _NC_TYPE_OF_CDF5.get(base_dt)
     if nc_type is None:
+        hint = (" (unsigned/64-bit integers need version=5)"
+                if base_dt in _NC_TYPE_OF_CDF5 else "")
         raise NotImplementedError(
-            f"netcdf3 dtype {data.dtype} not supported"
+            f"netcdf3 dtype {data.dtype} not supported{hint}"
         )
-    w = _Writer()
-    w.buf += b"CDF\x01"
-    w.i4(int(data.shape[0]) if record_dim else 0)  # numrecs
+    w = _Writer(w64=(version == 5))
+    off8 = version in (2, 5)
+    w.buf += b"CDF" + bytes([version])
+    w.nn(int(data.shape[0]) if record_dim else 0)  # numrecs
     # dim_list (record dim is written with length 0)
     w.i4(_NC_DIMENSION)
-    w.i4(len(dims))
+    w.nn(len(dims))
     for k, (d, size) in enumerate(zip(dims, data.shape)):
         w.name(d)
-        w.i4(0 if (record_dim and k == 0) else int(size))
+        w.nn(0 if (record_dim and k == 0) else int(size))
     w.att_list(global_attrs or {})
     # var_list: a single variable
     w.i4(_NC_VARIABLE)
-    w.i4(1)
+    w.nn(1)
     w.name(var_name)
-    w.i4(len(dims))
+    w.nn(len(dims))
     for k in range(len(dims)):
-        w.i4(k)
+        w.nn(k)
     w.att_list(var_attrs or {})
     w.i4(nc_type)
     raw = data.astype(_NC_TYPES[nc_type]).tobytes()
+    begin_w = 8 if off8 else 4
+
+    def offset(v):
+        w.buf += struct.pack(">q" if off8 else ">i", v)
+
     if record_dim:
         # vsize = one record's slab, padded to 4 (the spec waives the
         # padding for a lone record variable; slabs here are already
@@ -170,25 +210,26 @@ def encode_netcdf3(
         # with libnetcdf's stored-vsize stride)
         slab = len(raw) // int(data.shape[0])
         vsize = _pad4(slab)
-        w.i4(vsize)
-        begin = len(w.buf) + 4
-        w.i4(begin)
+        w.nn(vsize)
+        begin = len(w.buf) + begin_w
+        offset(begin)
         pad = b"\x00" * (vsize - slab)
         for r in range(int(data.shape[0])):
             w.buf += raw[r * slab:(r + 1) * slab] + pad
     else:
         vsize = _pad4(len(raw))
-        w.i4(vsize)
-        begin = len(w.buf) + 4  # header so far + the begin field itself
-        w.i4(begin)
+        w.nn(vsize)
+        begin = len(w.buf) + begin_w  # header so far + the begin field
+        offset(begin)
         w.buf += raw + b"\x00" * (vsize - len(raw))
     return bytes(w.buf)
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, w64: bool = False):
         self.buf = buf
         self.pos = 0
+        self.w64 = w64
 
     def i4(self) -> int:
         (v,) = struct.unpack_from(">i", self.buf, self.pos)
@@ -200,15 +241,19 @@ class _Reader:
         self.pos += 8
         return v
 
+    def nn(self) -> int:
+        """NON_NEG: 4-byte in CDF-1/2, 8-byte in CDF-5."""
+        return self.i8() if self.w64 else self.i4()
+
     def name(self) -> str:
-        n = self.i4()
+        n = self.nn()
         s = self.buf[self.pos:self.pos + n].decode()
         self.pos += _pad4(n)
         return s
 
     def att_values(self):
         nc_type = self.i4()
-        n = self.i4()
+        n = self.nn()
         if nc_type == 2:
             v = self.buf[self.pos:self.pos + n].decode()
             self.pos += _pad4(n)
@@ -221,7 +266,7 @@ class _Reader:
 
     def att_list(self) -> dict:
         tag = self.i4()
-        n = self.i4()
+        n = self.nn()
         if tag == 0 and n == 0:
             return {}
         if tag != _NC_ATTRIBUTE:
@@ -238,18 +283,19 @@ def decode_netcdf3(buf: bytes) -> dict:
     if buf[:3] != b"CDF":
         raise ValueError("not a netcdf classic file (bad magic)")
     version = buf[3]
-    if version not in (1, 2):
+    if version not in (1, 2, 5):
         raise NotImplementedError(
-            f"netcdf version byte {version} not supported (CDF-1/2 only)"
+            f"netcdf version byte {version} not supported "
+            "(CDF-1/2/5 only)"
         )
-    r = _Reader(buf)
+    r = _Reader(buf, w64=(version == 5))
     r.pos = 4
-    numrecs = r.i4()  # -1 = STREAMING sentinel: infer from file length
+    numrecs = r.nn()  # -1 = STREAMING sentinel: infer from file length
     tag = r.i4()
-    ndims = r.i4()
+    ndims = r.nn()
     dims = []
     if tag == _NC_DIMENSION:
-        dims = [(r.name(), r.i4()) for _ in range(ndims)]
+        dims = [(r.name(), r.nn()) for _ in range(ndims)]
     elif not (tag == 0 and ndims == 0):
         raise ValueError(f"bad dimension-list tag {tag}")
     rec_dimid = next(
@@ -257,17 +303,17 @@ def decode_netcdf3(buf: bytes) -> dict:
     )
     gattrs = r.att_list()
     tag = r.i4()
-    nvars = r.i4()
+    nvars = r.nn()
     headers = []
     if tag == _NC_VARIABLE:
         for _ in range(nvars):
             vname = r.name()
-            nd = r.i4()
-            dimids = [r.i4() for _ in range(nd)]
+            nd = r.nn()
+            dimids = [r.nn() for _ in range(nd)]
             vattrs = r.att_list()
             nc_type = r.i4()
-            vsize = r.i4()
-            begin = r.i8() if version == 2 else r.i4()
+            vsize = r.nn()
+            begin = r.i8() if version in (2, 5) else r.i4()
             dt = _NC_TYPES.get(nc_type)
             if dt is None:
                 raise NotImplementedError(f"nc_type {nc_type}")
@@ -323,12 +369,14 @@ def write_netcdf3(
     fill_value: float = float("nan"),
     attrs: dict | None = None,
     chunk_put: ChunkPut | None = None,
+    version: int = 1,
 ) -> None:
     """Write a (t, j, i, value) pixel DataFrame as a DIRECTORY of classic
     NetCDF granule files, one per row band (``band_rows`` rows of the
     grid each, the real-world granule layout).  Each granule records its
     grid position in ``j_offset`` and decodes independently -- the write
     is one ``applyInPandas`` shuffle, all bytes through ``chunk_put``.
+    ``version`` = 1 (CDF-1), 2 (CDF-2), or 5 (CDF-5).
     """
     nd = len(shape)
     if nd == 2:
@@ -363,6 +411,7 @@ def write_netcdf3(
         blob = encode_netcdf3(
             var_name, data, dims,
             global_attrs={"j_offset": j0, **g_attrs},
+            version=version,
         )
         fname = f"part-{band:05d}.nc"
         put.put(fname, blob)
