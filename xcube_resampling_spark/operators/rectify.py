@@ -62,6 +62,28 @@ COORDS_SCHEMA = T.StructType(
 )
 
 
+MAX_BLOCK_PX = 8 << 20  # per-group dense-array cap (~64 MB of f8)
+
+
+def auto_block_rows(
+    n_rows: int, n_cols: int, parallelism: int,
+    max_block_px: int = MAX_BLOCK_PX,
+) -> int:
+    """Row-block height for the fused rectify kernels: ~one group per
+    core (measured: per-group Arrow serialization and task-wave skew
+    dominate when groups >> cores -- 0.47x vs 1.75x linear at 10x the
+    headline scene), bounded by a per-group PIXEL cap so wide sources
+    on small clusters can't blow executor memory (``block_rows * width
+    <= max_block_px`` whenever the cap, not the 32-row floor, decides),
+    with a floor of 32 rows to keep tiny inputs on the tested
+    boundary-duplication geometry."""
+    par = max(1, int(parallelism))
+    return min(
+        max(32, -(-int(n_rows) // par)),
+        max(32, int(max_block_px) // max(1, int(n_cols))),
+    )
+
+
 def coords_to_df(spark: SparkSession, gm: GridMapping) -> DataFrame:
     """2-D coordinate images -> long-format (j, i, x, y) DataFrame."""
     import pandas as pd
@@ -855,27 +877,12 @@ def rectify_fused_tiled(
     u_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
     fill = float(fill_value)
-    # Auto-size blocks so each kernel stage runs ~one group per core:
-    # measured at 10x the headline scene (22.5M px, local[32]), 32-row
-    # blocks (118 scatter / 140 densify groups) ran 29.2s steady-state
-    # (1.75x over linear) while one-group-per-core blocks ran 7.8s
-    # (0.47x linear) -- per-group Arrow serialization and task-wave skew
-    # dominate when groups >> cores.  A pixel cap bounds each group's
-    # dense arrays (~8M px -> tens of MB) so wide sources on small
-    # clusters can't blow executor memory; the floor of 32 keeps tiny
-    # inputs on the tested boundary-duplication geometry.
+    # block sizing rationale + measurements: see auto_block_rows
     par = max(1, fused.sparkSession.sparkContext.defaultParallelism)
-    max_block_px = 8 << 20
     if block_rows is None:
-        block_rows = min(
-            max(32, -(-src_h // par)),
-            max(32, max_block_px // max(1, src_w)),
-        )
+        block_rows = auto_block_rows(src_h, src_w, par)
     if dst_block_rows is None:
-        dst_block_rows = min(
-            max(32, -(-h // par)),
-            max(32, max_block_px // max(1, w)),
-        )
+        dst_block_rows = auto_block_rows(h, w, par)
     B = int(block_rows)
     DB = int(dst_block_rows)
     if interp_method not in ("nearest", "bilinear", "triangular"):
