@@ -344,7 +344,8 @@ win AS (
 SELECT v.variant, w.t, w.j, w.i, w.value
 FROM win w
 CROSS JOIN (VALUES ('fs'), ('kv'), ('zip'), ('http'),
-            ('blosc'), ('blosc_lz4'), ('lz4')) AS v(variant)
+            ('blosc'), ('blosc_lz4'), ('lz4'),
+            ('filters')) AS v(variant)
 """
 
 
@@ -4365,6 +4366,10 @@ def q_zarr_roundtrip(spark, sf_dir):
       every real-world zarr v2 store, including the reference's own S3
       ``.levels`` input (reference cfconv.py:343-358).
 
+    * ``filters``: a numcodecs filter chain (byte Shuffle) ahead of the
+      zstd compressor (sources/numcodecs_filters.py) -- the packed-EO
+      store shape (CMEMS/ESA cubes filter before compressing).
+
     Every leg reads the same bbox window, so the oracle is SQL_CLIP
     replayed per tag."""
     import os
@@ -4430,6 +4435,18 @@ def q_zarr_roundtrip(spark, sf_dir):
         )
         comp_legs[comp.replace("-", "_")] = read_zarr(
             spark, cpath, "value", bbox_ij=(5, 10, 20, 30))
+
+    # numcodecs filter chain ahead of the compressor: byte Shuffle is
+    # the bit-exact choice for a value-hash oracle leg (Delta's f8
+    # cumsum decode can re-round ULPs on arbitrary doubles -- it gets
+    # golden + interop coverage in tests/test_zarr_filters.py instead)
+    fpath = base + "/xcrs_zarr_roundtrip_filters"
+    write_zarr(
+        raster, fpath, "value", (RH, RW), (16, 16), compressor="zstd",
+        filters=[{"id": "shuffle", "elementsize": 8}],
+    )
+    comp_legs["filters"] = read_zarr(
+        spark, fpath, "value", bbox_ij=(5, 10, 20, 30))
 
     def leg(df, tag):
         return df.select(
@@ -4577,7 +4594,9 @@ SELECT content_hash, keep_id, md5(text) AS text_md5 FROM (
 def q_netcdf_roundtrip(spark, sf_dir):
     """NetCDF sink + source end-to-end, BOTH container generations in a
     tagged union (SURVEY 2.2 #5; the reference consumes NetCDF datasets
-    via xarray): classic NetCDF-3 (sources/netcdf3.py) and NetCDF-4's
+    via xarray): classic NetCDF-3 (sources/netcdf3.py), CDF-5
+    ("64-bit data" container, 8-byte NON_NEG header fields per the
+    PnetCDF spec) and NetCDF-4's
     HDF5 container (sources/hdf5.py: superblock v0, v1 object headers,
     chunked deflate+shuffle datasets, v1 chunk B-trees), plus a
     'compound' leg (class-6 table datasets through the distributed
@@ -4610,6 +4629,17 @@ def q_netcdf_roundtrip(spark, sf_dir):
     )
     nc = clipped(
         read_netcdf3(spark, nc_path, "value", bbox_ij=(5, 10, 20, 30))
+    )
+    # 'cdf5' leg: the same granules in the CDF-5 ("64-bit data")
+    # container -- every NON_NEG header field 8-byte per the PnetCDF
+    # spec -- through the same distributed write/read pair
+    nc5_path = tempfile.gettempdir() + "/xcrs_netcdf5_roundtrip"
+    write_netcdf3(
+        _raster(spark, sf_dir), nc5_path, "value", (RH, RW),
+        band_rows=16, version=5,
+    )
+    nc5 = clipped(
+        read_netcdf3(spark, nc5_path, "value", bbox_ij=(5, 10, 20, 30))
     )
     h5_path = tempfile.gettempdir() + "/xcrs_hdf5_roundtrip"
     write_hdf5(
@@ -4698,6 +4728,10 @@ def q_netcdf_roundtrip(spark, sf_dir):
         vrows, "t int, j int, i int, value double")
     return (
         nc.select(F.lit("netcdf3").alias("fmt"), "t", "j", "i", "value")
+        .unionByName(
+            nc5.select(F.lit("cdf5").alias("fmt"),
+                       "t", "j", "i", "value")
+        )
         .unionByName(
             h5.select(F.lit("hdf5").alias("fmt"), "t", "j", "i", "value")
         )
@@ -6704,6 +6738,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "netcdf_roundtrip": (
             f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\nSELECT 'cdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\n"
             f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
