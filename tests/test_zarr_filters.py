@@ -106,6 +106,25 @@ class TestCodecs:
         # deltas of arange are tiny -> shuffle + zlib crush it
         assert len(enc) < len(raw) // 4
 
+    def test_bitround(self):
+        # round-half-to-even to keepbits mantissa bits; decode identity
+        conf = {"id": "bitround", "keepbits": 6}
+        vals = np.linspace(-17.3, 42.9, 257)
+        enc = np.frombuffer(
+            encode_filters(vals.tobytes(), [conf]), "<f8")
+        nz = vals != 0
+        rel = np.abs(enc[nz] - vals[nz]) / np.abs(vals[nz])
+        assert rel.max() < 2.0 ** -6
+        # dropped mantissa bits are exactly zero
+        assert (enc.view(np.uint64) & np.uint64((1 << 46) - 1) == 0).all()
+        assert decode_filters(enc.tobytes(), [conf]) == enc.tobytes()
+        # keepbits = full mantissa -> identity
+        full = {"id": "bitround", "keepbits": 52}
+        assert encode_filters(vals.tobytes(), [full]) == vals.tobytes()
+        with pytest.raises(ValueError):
+            encode_filters(vals.tobytes(),
+                           [{"id": "bitround", "keepbits": 60}])
+
     def test_unknown_filter_raises(self):
         with pytest.raises(NotImplementedError, match="vlen-utf8"):
             decode_filters(b"", [{"id": "vlen-utf8"}])

@@ -603,11 +603,15 @@ def dedup_embedding_cosine_lsh(
     e = embeddings.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    bands = e.select(
+    # persist: the 16 hyperplane dots per vector are interpreted
+    # higher-order aggregates, and the capped candidate generator
+    # walks the band table three times (hot-key groupBy, tag join,
+    # self-join)
+    bands = _persist(e.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    ))
     cand = banded_candidate_pairs(
         bands, "vec_id", ("band", "key"), max_bucket=max_bucket
     )

@@ -114,6 +114,36 @@ def _shuffle_decode(raw: bytes, conf: dict) -> bytes:
     return out + raw[count * es:]
 
 
+def _bitround_encode(raw: bytes, conf: dict) -> bytes:
+    # numcodecs BitRound: round-half-to-even the float mantissa down
+    # to ``keepbits`` bits (Klöwer et al., the ERA5-style lossy float
+    # prep that makes the compressor bite).  The stored config has no
+    # dtype (numcodecs infers it from the buffer); our write path is
+    # <f8 blocks, overridable via an explicit "dtype" entry.
+    dtype = np.dtype(conf.get("dtype", "<f8"))
+    keepbits = int(conf["keepbits"])
+    bits = 52 if dtype.itemsize == 8 else 23
+    if not 0 <= keepbits <= bits:
+        raise ValueError(f"keepbits must be in [0, {bits}]")
+    if keepbits == bits:
+        return raw
+    itype = np.dtype(f"{dtype.byteorder}u{dtype.itemsize}")
+    b = np.frombuffer(raw, dtype=dtype).view(itype).copy()
+    maskbits = bits - keepbits
+    width = 8 * dtype.itemsize
+    mask = itype.type(((1 << width) - 1) ^ ((1 << maskbits) - 1))
+    half_quantum1 = itype.type((1 << (maskbits - 1)) - 1)
+    with np.errstate(over="ignore"):  # carry into the exponent is the
+        b += ((b >> itype.type(maskbits))  # round-up case, not an error
+              & itype.type(1)) + half_quantum1
+        b &= mask
+    return b.view(dtype).tobytes()
+
+
+def _bitround_decode(raw: bytes, conf: dict) -> bytes:
+    return raw  # lossy on encode; stored bytes ARE the floats
+
+
 def _astype_encode(raw: bytes, conf: dict) -> bytes:
     arr = np.frombuffer(raw, dtype=np.dtype(conf["decode_dtype"]))
     return arr.astype(
@@ -154,6 +184,7 @@ _ARRAY_CODECS = {
     "quantize": (_quantize_encode, _quantize_decode),
     "shuffle": (_shuffle_encode, _shuffle_decode),
     "astype": (_astype_encode, _astype_decode),
+    "bitround": (_bitround_encode, _bitround_decode),
 }
 
 
