@@ -1,0 +1,259 @@
+"""Kerchunk-style virtual zarr (sources/kerchunk.py): reference
+builders for HDF5 / NetCDF-3 files and band-granule directories, the
+RefChunkStore contract, ranged (never whole-file) reads, and the
+distributed read path through read_zarr(store=...)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_resampling_spark.sources import (
+    RefChunkStore,
+    granule_dir_refs,
+    hdf5_refs,
+    load_refs,
+    netcdf3_refs,
+    read_zarr,
+    save_refs,
+    write_hdf5,
+    write_netcdf3,
+)
+from xcube_resampling_spark.sources.hdf5 import encode_hdf5
+from xcube_resampling_spark.sources.netcdf3 import encode_netcdf3
+
+
+def _raster(spark, w, h, nt=1):
+    return spark.range(nt * w * h).select(
+        (F.col("id") / (w * h)).cast("int").alias("t"),
+        (F.col("id") % (w * h) / w).cast("int").alias("j"),
+        (F.col("id") % w).cast("int").alias("i"),
+        (F.col("id") * 0.5).cast("double").alias("value"),
+    )
+
+
+class TestRefStore:
+    def test_inline_and_range_refs(self, tmp_path):
+        data = bytes(range(200))
+        (tmp_path / "blob.bin").write_bytes(data)
+        store = RefChunkStore({
+            "meta": '{"zarr_format": 2}',
+            "b64": "base64:" + __import__("base64")
+                   .b64encode(b"\x01\x02").decode(),
+            "whole": ["blob.bin"],
+            "range": ["blob.bin", 50, 10],
+        }, base_dir=str(tmp_path))
+        assert store.get("meta") == b'{"zarr_format": 2}'
+        assert store.get("b64") == b"\x01\x02"
+        assert store.get("whole") == data
+        assert store.get("range") == data[50:60]
+        assert store.get("missing") is None
+        assert set(store.known_keys()) == {"meta", "b64", "whole",
+                                           "range"}
+
+    def test_wraps_full_kerchunk_doc(self, tmp_path):
+        doc = {"version": 1, "refs": {"k": "v"}}
+        save_refs(doc["refs"], str(tmp_path / "r.json"))
+        loaded = load_refs(str(tmp_path / "r.json"))
+        assert loaded["version"] == 1
+        assert RefChunkStore(loaded).get("k") == b"v"
+
+    def test_store_is_picklable(self):
+        import pickle
+
+        s = RefChunkStore({"k": "v"}, base_dir="/x")
+        s2 = pickle.loads(pickle.dumps(s))
+        assert s2.get("k") == b"v"
+
+
+class TestHdf5Refs:
+    def test_contiguous_dataset(self, spark, tmp_path):
+        data = np.arange(48, dtype="<f8").reshape(6, 8) * 0.25
+        p = str(tmp_path / "one.h5")
+        with open(p, "wb") as fp:
+            fp.write(encode_hdf5("sst", data, ("y", "x"),
+                                 var_attrs={"units": "K"}))
+        refs = hdf5_refs(p)
+        za = json.loads(refs["sst/.zarray"])
+        assert za["shape"] == [6, 8] and za["chunks"] == [6, 8]
+        assert za["compressor"] is None and za["filters"] is None
+        # the single chunk is a RANGE into the archive, not a copy
+        tgt, off, ln = refs["sst/0.0"]
+        assert tgt == p and ln == 48 * 8
+        got = read_zarr(spark, "virtual", "sst",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel())
+
+    def test_chunked_shuffle_deflate(self, spark, tmp_path):
+        """compress=True chunked datasets: the shuffle+deflate pipeline
+        maps to zarr zlib + numcodecs shuffle -- decoded by the SAME
+        filter module the zarr reader uses."""
+        data = np.arange(35 * 22, dtype="<f8").reshape(35, 22)
+        p = str(tmp_path / "cz.h5")
+        with open(p, "wb") as fp:
+            fp.write(encode_hdf5("v", data, ("y", "x"),
+                                 chunks=(16, 16), compress=True))
+        refs = hdf5_refs(p)
+        za = json.loads(refs["v/.zarray"])
+        assert za["compressor"]["id"] == "zlib"
+        assert za["filters"] == [{"id": "shuffle", "elementsize": 8}]
+        # 3x2 chunk grid referenced chunk-for-chunk
+        keys = [k for k in refs if k.startswith("v/") and
+                not k.endswith((".zarray", ".zattrs"))]
+        assert sorted(keys) == sorted(
+            f"v/{j}.{i}" for j in range(3) for i in range(2))
+        got = read_zarr(spark, "virtual", "v",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel())
+
+    def test_unmappable_pipeline_rejected(self, tmp_path):
+        # szip chunks (filter 4) cannot be referenced verbatim: no
+        # zarr codec decodes the libhdf5 szip framing
+        data = np.arange(64, dtype="<i4").reshape(8, 8)
+        p = str(tmp_path / "sz.h5")
+        with open(p, "wb") as fp:
+            fp.write(encode_hdf5("v", data, ("y", "x"),
+                                 chunks=(8, 8), compress="szip"))
+        with pytest.raises(NotImplementedError, match="zarr mapping"):
+            hdf5_refs(p)
+
+
+class TestNetcdf3Refs:
+    def test_fixed_variable(self, spark, tmp_path):
+        data = np.arange(40, dtype="<f4").reshape(5, 8)
+        p = str(tmp_path / "c.nc")
+        with open(p, "wb") as fp:
+            fp.write(encode_netcdf3("rad", data, ("y", "x"),
+                                    var_attrs={"scale_factor": 2.0}))
+        refs = netcdf3_refs(p)
+        za = json.loads(refs["rad/.zarray"])
+        assert za["dtype"] == ">f4"
+        assert json.loads(refs["rad/.zattrs"])["scale_factor"] == 2.0
+        got = read_zarr(spark, "virtual", "rad",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel().astype("f8"))
+
+    def test_record_variable_one_chunk_per_record(self, spark,
+                                                  tmp_path):
+        data = np.arange(3 * 4 * 5, dtype="<f8").reshape(3, 4, 5)
+        p = str(tmp_path / "rec.nc")
+        with open(p, "wb") as fp:
+            fp.write(encode_netcdf3("v", data, ("t", "y", "x"),
+                                    record_dim=True))
+        refs = netcdf3_refs(p)
+        za = json.loads(refs["v/.zarray"])
+        assert za["shape"] == [3, 4, 5] and za["chunks"] == [1, 4, 5]
+        assert {k for k in refs if k[2:3].isdigit() or
+                k.startswith("v/0") or k.startswith("v/1") or
+                k.startswith("v/2")} >= {"v/0.0.0", "v/1.0.0",
+                                         "v/2.0.0"}
+        got = read_zarr(spark, "virtual", "v",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel())
+
+    def test_cdf5_file(self, spark, tmp_path):
+        data = np.arange(12, dtype="<f8").reshape(3, 4)
+        p = str(tmp_path / "c5.nc")
+        with open(p, "wb") as fp:
+            fp.write(encode_netcdf3("v", data, ("y", "x"), version=5))
+        got = read_zarr(spark, "virtual", "v",
+                        store=RefChunkStore(netcdf3_refs(p))) \
+            .toPandas().sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), data.ravel())
+
+
+class TestGranuleDir:
+    @pytest.mark.parametrize("writer,exact_bands", [
+        ("netcdf3", True), ("hdf5", True),
+        ("netcdf3", False), ("hdf5", False),
+    ])
+    def test_virtual_cube_matches_native_read(self, spark, tmp_path,
+                                              writer, exact_bands):
+        """A granule directory read as ONE virtual zarr cube must equal
+        the native granule reader -- including a short edge band
+        (inlined padded chunk)."""
+        w = 12
+        h = 16 if exact_bands else 14  # band_rows=4 -> short last band
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "gran")
+        if writer == "netcdf3":
+            write_netcdf3(df, path, "v", (h, w), band_rows=4)
+        else:
+            write_hdf5(df, path, "v", (h, w), band_rows=4)
+        refs = granule_dir_refs(path)
+        za = json.loads(refs["v/.zarray"])
+        assert za["shape"] == [h, w] and za["chunks"] == [4, w]
+        got = read_zarr(spark, "virtual", "v",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        assert len(got) == h * w
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+        if not exact_bands:
+            # the edge band must be inline, full bands must be ranges
+            assert isinstance(refs["v/3.0"], str)
+            assert refs["v/3.0"].startswith("base64:")
+            assert isinstance(refs["v/0.0"], list)
+
+    def test_3d_cube(self, spark, tmp_path):
+        w, h, nt = 6, 8, 2
+        df = _raster(spark, w, h, nt)
+        path = str(tmp_path / "gran3")
+        write_hdf5(df, path, "v", (nt, h, w), band_rows=4)
+        refs = granule_dir_refs(path)
+        za = json.loads(refs["v/.zarray"])
+        assert za["shape"] == [nt, h, w]
+        assert za["chunks"] == [nt, 4, w]
+        got = read_zarr(spark, "virtual", "v",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_bbox_prunes_ranged_reads(self, spark, tmp_path):
+        """The virtual cube inherits the zarr reader's chunk pruning:
+        a window read touches only intersecting granule ranges."""
+        w, h = 16, 16
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "granp")
+        write_netcdf3(df, path, "v", (h, w), band_rows=4)
+        refs = granule_dir_refs(path)
+        out = read_zarr(spark, "virtual", "v", bbox_ij=(0, 4, 8, 8),
+                        store=RefChunkStore(refs)).toPandas()
+        assert len(out) == 4 * 8
+        assert out["j"].between(4, 7).all()
+
+    def test_http_targets(self, spark, tmp_path):
+        """Targets can be URLs: ranged GETs over real sockets (the
+        actual remote-archive pattern)."""
+        from xcube_resampling_spark.sources import LocalHttpStoreServer
+
+        w, h = 8, 8
+        df = _raster(spark, w, h)
+        path = str(tmp_path / "granh")
+        write_netcdf3(df, path, "v", (h, w), band_rows=4)
+        with LocalHttpStoreServer(path) as srv:
+            refs = granule_dir_refs(path, sources={
+                f: f"{srv.url}/{f}" for f in os.listdir(path)
+            })
+            rows = read_zarr(
+                spark, "virtual", "v", store=RefChunkStore(refs)
+            ).collect()
+        assert len(rows) == h * w
+        exp = {(r["j"], r["i"]): r["value"]
+               for r in df.collect()}
+        for r in rows:
+            assert exp[(r["j"], r["i"])] == r["value"]

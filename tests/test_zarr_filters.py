@@ -191,6 +191,34 @@ class TestHandCraftedInterop:
         np.testing.assert_allclose(
             got["value"].to_numpy(), vals.ravel(), atol=1e-9)
 
+    def test_int_delta_chunked_store(self, spark, tmp_path):
+        """Delta over int32 pixels (the packed-counter shape Delta is
+        actually for -- exact by integer arithmetic), two chunks, with
+        CF scale/offset decoding on top."""
+        h, w = 4, 10
+        vals = (np.arange(h * w, dtype="<i4").reshape(h, w) * 3 + 7)
+        dconf = {"id": "delta", "dtype": "<i4"}
+        store = tmp_path / "cnt"
+        (store / "n").mkdir(parents=True)
+        (store / ".zgroup").write_text('{"zarr_format": 2}')
+        (store / "n" / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [h, w], "chunks": [h, 5],
+            "dtype": "<i4",
+            "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0, "order": "C", "filters": [dconf],
+        }))
+        (store / "n" / ".zattrs").write_text(json.dumps({
+            "scale_factor": 0.5, "add_offset": 100.0,
+        }))
+        for k in range(2):
+            chunk = np.ascontiguousarray(vals[:, k * 5:(k + 1) * 5])
+            (store / "n" / f"0.{k}").write_bytes(zlib.compress(
+                encode_filters(chunk.tobytes(), [dconf]), 1))
+        got = read_zarr(spark, str(store), "n", decode_cf=True) \
+            .toPandas().sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), vals.ravel() * 0.5 + 100.0)
+
     def test_compressed_filtered_coordinates(self, spark, tmp_path):
         """read_zarr_grid_mapping must decode compressed + Delta'd,
         multi-chunk 1-D coordinate arrays (real stores compress

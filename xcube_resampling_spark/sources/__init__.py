@@ -49,6 +49,14 @@ from .httpstore import (
     HttpRangeReader,
     LocalHttpStoreServer,
 )
+from .kerchunk import (
+    RefChunkStore,
+    granule_dir_refs,
+    hdf5_refs,
+    load_refs,
+    netcdf3_refs,
+    save_refs,
+)
 from .zarr3 import (
     add_spatial_ref3,
     open_zarr3_dataset,
@@ -63,7 +71,7 @@ from .zarr3 import (
 def read_netcdf(spark, path, var_name, bbox_ij=None, decode_cf=False):
     """Read any ``.nc`` file or granule directory, classic or NetCDF-4.
 
-    Sniffs the magic bytes of one file driver-side (``CDF\\x01``/``02``
+    Sniffs the magic bytes of one file driver-side (``CDF\\x01``/``02``/``05``
     -> classic parser, ``\\x89HDF`` -> HDF5 parser) and dispatches --
     the reference's users never know which container a granule uses
     (xarray hides it; reference operators/spatial.py accepts any
@@ -95,6 +103,12 @@ def read_netcdf(spark, path, var_name, bbox_ij=None, decode_cf=False):
 
 __all__ = [
     "CRS_SIDECAR",
+    "RefChunkStore",
+    "granule_dir_refs",
+    "hdf5_refs",
+    "load_refs",
+    "netcdf3_refs",
+    "save_refs",
     "ChunkPut",
     "FsChunkPut",
     "ObjectStoreChunkPut",

@@ -274,11 +274,15 @@ class _Reader:
         return {self.name(): self.att_values() for _ in range(n)}
 
 
-def decode_netcdf3(buf: bytes) -> dict:
-    """Parse a classic file image.
+def parse_netcdf3_header(buf: bytes) -> dict:
+    """Header-only parse of a classic file image: dimensions, global
+    attributes, and per-variable layout (dtype, begin offset, vsize,
+    record flag) WITHOUT touching the data section -- the metadata a
+    virtual-zarr reference builder (sources/kerchunk.py) needs.
 
-    Returns ``{"dims": [(name, size), ...], "attrs": {...}, "vars":
-    {name: {"dims": (...), "attrs": {...}, "data": np.ndarray}}}``.
+    Returns ``{"version", "dims", "attrs", "numrecs", "recsize",
+    "rec_dimid", "vars": [(name, dimids, attrs, dtype, vsize, begin,
+    is_rec)]}``.
     """
     if buf[:3] != b"CDF":
         raise ValueError("not a netcdf classic file (bad magic)")
@@ -331,8 +335,27 @@ def decode_netcdf3(buf: bytes) -> dict:
     if numrecs == -1 and recsize:
         rec0 = min(h[5] for h in headers if h[6])
         numrecs = (len(buf) - rec0) // recsize
+    return {
+        "version": version, "dims": dims, "attrs": gattrs,
+        "numrecs": numrecs, "recsize": recsize,
+        "rec_dimid": rec_dimid, "vars": headers,
+    }
+
+
+def decode_netcdf3(buf: bytes) -> dict:
+    """Parse a classic file image.
+
+    Returns ``{"dims": [(name, size), ...], "attrs": {...}, "vars":
+    {name: {"dims": (...), "attrs": {...}, "data": np.ndarray}}}``.
+    """
+    hdr = parse_netcdf3_header(buf)
+    dims = hdr["dims"]
+    gattrs = hdr["attrs"]
+    numrecs = hdr["numrecs"]
+    recsize = hdr["recsize"]
+    rec_dimid = hdr["rec_dimid"]
     out_vars: dict = {}
-    for vname, dimids, vattrs, dt, vsize, begin, is_rec in headers:
+    for vname, dimids, vattrs, dt, vsize, begin, is_rec in hdr["vars"]:
         fixed_shape = tuple(
             dims[d][1] for d in dimids if d != rec_dimid or not is_rec
         )
