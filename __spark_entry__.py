@@ -4641,6 +4641,20 @@ def q_netcdf_roundtrip(spark, sf_dir):
     nc5 = clipped(
         read_netcdf3(spark, nc5_path, "value", bbox_ij=(5, 10, 20, 30))
     )
+    # 'kerchunk' leg: the classic granule DIRECTORY lifted into ONE
+    # virtual zarr cube by reference (sources/kerchunk.py) -- no byte
+    # rewritten, executors ranged-read the original .nc files through
+    # the zarr chunk-store seam with chunk pruning intact
+    from xcube_resampling_spark.sources import (
+        RefChunkStore,
+        granule_dir_refs,
+        read_zarr,
+    )
+
+    kc = clipped(read_zarr(
+        spark, "virtual", "value", bbox_ij=(5, 10, 20, 30),
+        store=RefChunkStore(granule_dir_refs(nc_path)),
+    ))
     h5_path = tempfile.gettempdir() + "/xcrs_hdf5_roundtrip"
     write_hdf5(
         _raster(spark, sf_dir), h5_path, "value", (RH, RW), band_rows=16
@@ -4731,6 +4745,10 @@ def q_netcdf_roundtrip(spark, sf_dir):
         .unionByName(
             nc5.select(F.lit("cdf5").alias("fmt"),
                        "t", "j", "i", "value")
+        )
+        .unionByName(
+            kc.select(F.lit("kerchunk").alias("fmt"),
+                      "t", "j", "i", "value")
         )
         .unionByName(
             h5.select(F.lit("hdf5").alias("fmt"), "t", "j", "i", "value")
@@ -6739,6 +6757,8 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": (
             f"SELECT 'netcdf3' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\nSELECT 'cdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\n"
+            f"SELECT 'kerchunk' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\n"
             f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
