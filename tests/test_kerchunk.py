@@ -236,6 +236,50 @@ class TestGranuleDir:
         assert len(out) == 4 * 8
         assert out["j"].between(4, 7).all()
 
+    def test_record_layout_granules_rejected(self, tmp_path):
+        """Review regression: a granule whose variable is NOT a single
+        block (record layout -> one chunk per record) must be refused
+        with a clear error, never combined into a silently corrupt
+        cube."""
+        d = tmp_path / "recdir"
+        d.mkdir()
+        data = np.arange(24, dtype="<f8").reshape(2, 3, 4)
+        (d / "part-00000.nc").write_bytes(
+            encode_netcdf3("v", data, ("t", "y", "x"),
+                           record_dim=True))
+        (d / "_meta.json").write_text(json.dumps(
+            {"var": "v", "shape": [2, 3, 4], "band_rows": 3}))
+        with pytest.raises(NotImplementedError, match="multiple chunk"):
+            granule_dir_refs(str(d))
+
+    def test_pipeline_order_guard(self):
+        """Review regression: deflate anywhere but last (or repeated)
+        has no zarr mapping -- zarr always inflates first."""
+        from xcube_resampling_spark.sources.kerchunk import (
+            _h5_pipeline_to_zarr,
+        )
+
+        comp, filt = _h5_pipeline_to_zarr(
+            [(2, [8], 0), (1, [1], 0)])  # shuffle, deflate = OK
+        assert comp == {"id": "zlib", "level": 1}
+        assert filt == [{"id": "shuffle", "elementsize": 8}]
+        with pytest.raises(NotImplementedError):
+            _h5_pipeline_to_zarr([(1, [1], 0), (2, [8], 0)])
+        with pytest.raises(NotImplementedError):
+            _h5_pipeline_to_zarr([(1, [1], 0), (1, [2], 0)])
+
+    def test_header_only_io(self, tmp_path):
+        """Ref building must not read the data section: build refs for
+        a file whose data region far exceeds its header and confirm the
+        refs point INTO the file rather than inlining bytes."""
+        data = np.zeros((400, 500), "<f8")  # 1.6 MB of data
+        p = str(tmp_path / "big.nc")
+        with open(p, "wb") as fp:
+            fp.write(encode_netcdf3("v", data, ("y", "x")))
+        refs = netcdf3_refs(p)
+        ref = refs["v/0.0"]
+        assert isinstance(ref, list) and ref[2] == 400 * 500 * 8
+
     def test_http_targets(self, spark, tmp_path):
         """Targets can be URLs: ranged GETs over real sockets (the
         actual remote-archive pattern)."""

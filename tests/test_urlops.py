@@ -154,6 +154,14 @@ class TestReviewRegressions:
                 url_parts(F.col("url"))["host"]).alias("d")
         ).first()["d"]
         assert got == "ex.com"
+        # repeated trailing dots (review regression): same evasion
+        # class, same strip
+        kept = filter_blocked_domains(
+            spark.createDataFrame([(1, "https://bad.co.uk../x")],
+                                  "doc_id long, url string"),
+            spark.createDataFrame([("bad.co.uk",)], "domain string"),
+        ).collect()
+        assert kept == []
 
     def test_fragment_question_mark_not_query(self, spark):
         assert _norm(spark, "https://ex.com/a#sec?b=2") == \

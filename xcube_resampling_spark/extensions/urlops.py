@@ -61,7 +61,7 @@ def url_parts(url: Column) -> dict:
     # ['example','com',''] -> 'com.' and the host bypasses
     # filter_blocked_domains -- the same blocklist-evasion class as
     # userinfo smuggling
-    host = F.regexp_replace(host, r"\.$", "")
+    host = F.regexp_replace(host, r"\.+$", "")
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     return {
         "scheme": F.lower(F.regexp_extract(url, _SCHEME_RE, 1)),

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import base64
 import json
+import mmap
 import os
 import struct
 import zlib
@@ -151,11 +152,20 @@ def _h5_pipeline_to_zarr(filters: list) -> tuple[dict | None, list | None]:
     """HDF5 filter pipeline -> (zarr compressor, zarr filters).
 
     Encode order shuffle-then-deflate becomes zarr's zlib compressor
-    (outermost on decode) plus a numcodecs ``shuffle`` filter."""
+    (outermost on decode) plus a numcodecs ``shuffle`` filter.  zarr
+    ALWAYS decodes the compressor first, so deflate must be the LAST
+    pipeline entry (and unique) -- any other order would build a
+    manifest whose chunks fail to inflate; refuse instead."""
     comp = None
     zfilters: list[dict] = []
-    for fid, cdata, _flags in filters:
+    for k, (fid, cdata, _flags) in enumerate(filters):
         if fid == 1:  # deflate
+            if comp is not None or k != len(filters) - 1:
+                raise NotImplementedError(
+                    "only a single trailing deflate entry maps to the "
+                    "zarr compressor; this pipeline's order has no "
+                    "zarr mapping"
+                )
             comp = {"id": "zlib", "level": int(cdata[0]) if cdata else 1}
         elif fid == 2:  # shuffle
             zfilters.append({
@@ -206,6 +216,17 @@ def _walk_chunk_refs(blob: bytes, bt_addr: int, nd: int):
     return out
 
 
+def _map_file(fp):
+    """Memory-map a file read-only so the header parsers touch only
+    the pages they actually read (superblock, object headers, B-tree
+    nodes) -- ref building stays O(header bytes) of real I/O on
+    multi-GB granules.  Empty files can't be mapped; fall back."""
+    try:
+        return mmap.mmap(fp.fileno(), 0, access=mmap.ACCESS_READ)
+    except (ValueError, OSError):
+        return fp.read()
+
+
 def hdf5_refs(
     path: str,
     source: str | None = None,
@@ -213,10 +234,17 @@ def hdf5_refs(
 ) -> dict:
     """Build zarr references for the numeric datasets of one
     HDF5/NetCDF-4 file.  ``source`` is the target string embedded in
-    the refs (defaults to ``path``; pass a URL for remote reads)."""
+    the refs (defaults to ``path``; pass a URL for remote reads).
+    Header-only I/O: the file is memory-mapped, so only the metadata
+    pages are ever read."""
     with open(path, "rb") as fp:
-        blob = fp.read()
-    src = source if source is not None else path
+        blob = _map_file(fp)
+        src = source if source is not None else path
+        return _hdf5_refs_from(blob, src, var_names)
+
+
+def _hdf5_refs_from(blob, src: str,
+                    var_names: list[str] | None) -> dict:
     refs: dict = {".zgroup": json.dumps({"zarr_format": 2})}
     root_oh = _h5._parse_superblock(blob)
     root_msgs = _h5._parse_object_header(blob, root_oh)
@@ -301,13 +329,14 @@ def netcdf3_refs(path: str, source: str | None = None) -> dict:
 
     Fixed variables become single-chunk arrays; record variables map
     one chunk per record -- the interleaved record layout IS a chunk
-    grid along the unlimited dimension."""
+    grid along the unlimited dimension.  Header-only I/O via mmap (the
+    header is a prefix; ``len(buf)`` for the STREAMING-numrecs case
+    costs a stat, not a read)."""
     with open(path, "rb") as fp:
-        buf = fp.read()
+        buf = _map_file(fp)
     src = source if source is not None else path
     hdr = parse_netcdf3_header(buf)
     dims = hdr["dims"]
-    rec_dimid = hdr["rec_dimid"]
     refs: dict = {".zgroup": json.dumps({"zarr_format": 2})}
     for vname, dimids, vattrs, dt, vsize, begin, is_rec in hdr["vars"]:
         if dt.kind not in "iuf":
@@ -387,6 +416,14 @@ def granule_dir_refs(path: str, sources: dict | None = None) -> dict:
         else:
             frefs = netcdf3_refs(fname, source=src)
         za = json.loads(frefs[f"{var}/.zarray"])
+        if list(za["chunks"]) != list(za["shape"]):
+            raise NotImplementedError(
+                f"granule {os.path.basename(fname)} stores {var!r} as "
+                f"multiple chunks (chunks {za['chunks']} != shape "
+                f"{za['shape']}); only single-block granules (the "
+                "write_netcdf3/write_hdf5 band layout) combine into a "
+                "virtual cube"
+            )
         if dtype_str is None:
             dtype_str = za["dtype"]
             comp = za["compressor"]

@@ -722,6 +722,8 @@ def read_zarr_grid_mapping(path: str, crs_var_name: str = "spatial_ref",
         comp = _check_compressor(za)
         filters = za.get("filters") or None
         n = int(za["shape"][0])
+        if n == 0:
+            return None  # empty coordinate array is unusable
         c = int(za["chunks"][0]) if za.get("chunks") else n
         parts = []
         for k in range(-(-n // c) if c else 1):
