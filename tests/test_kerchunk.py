@@ -280,6 +280,44 @@ class TestGranuleDir:
         ref = refs["v/0.0"]
         assert isinstance(ref, list) and ref[2] == 400 * 500 * 8
 
+    def test_concat_time_refs(self, spark, tmp_path):
+        """MultiZarrToZarr shape: one granule directory per 'day'
+        combined into a (T, h, w) cube along a new time axis."""
+        from xcube_resampling_spark.sources import concat_time_refs
+
+        w, h = 10, 8
+        days = []
+        for day in range(3):
+            df = _raster(spark, w, h).withColumn(
+                "value", F.col("value") + day * 1000.0)
+            p = str(tmp_path / f"day{day}")
+            write_netcdf3(df, p, "v", (h, w), band_rows=4)
+            days.append(granule_dir_refs(p))
+        cube = concat_time_refs(days, "v")
+        za = json.loads(cube["v/.zarray"])
+        assert za["shape"] == [3, h, w]
+        assert za["chunks"] == [1, 4, w]
+        got = read_zarr(spark, "virtual", "v",
+                        store=RefChunkStore(cube)).toPandas()
+        assert len(got) == 3 * h * w
+        base = _raster(spark, w, h).toPandas().set_index(["j", "i"])
+        for _, r in got.iterrows():
+            assert r["value"] == base.loc[(r["j"], r["i"]),
+                                          "value"] + r["t"] * 1000.0
+
+    def test_concat_rejects_heterogeneous(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import concat_time_refs
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        write_netcdf3(_raster(spark, 8, 8), a, "v", (8, 8),
+                      band_rows=4)
+        write_netcdf3(_raster(spark, 6, 6), b, "v", (6, 6),
+                      band_rows=3)
+        with pytest.raises(ValueError, match="disagrees"):
+            concat_time_refs(
+                [granule_dir_refs(a), granule_dir_refs(b)], "v")
+
     def test_http_targets(self, spark, tmp_path):
         """Targets can be URLs: ranged GETs over real sockets (the
         actual remote-archive pattern)."""

@@ -51,6 +51,7 @@ from .httpstore import (
 )
 from .kerchunk import (
     RefChunkStore,
+    concat_time_refs,
     granule_dir_refs,
     hdf5_refs,
     load_refs,
@@ -104,6 +105,7 @@ def read_netcdf(spark, path, var_name, bbox_ij=None, decode_cf=False):
 __all__ = [
     "CRS_SIDECAR",
     "RefChunkStore",
+    "concat_time_refs",
     "granule_dir_refs",
     "hdf5_refs",
     "load_refs",

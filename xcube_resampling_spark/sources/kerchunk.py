@@ -53,6 +53,7 @@ from xcube_resampling_spark.sources.zarr import ChunkPut
 
 __all__ = [
     "RefChunkStore",
+    "concat_time_refs",
     "hdf5_refs",
     "netcdf3_refs",
     "granule_dir_refs",
@@ -480,6 +481,69 @@ def granule_dir_refs(path: str, sources: dict | None = None) -> dict:
     if attrs:
         refs[f"{var}/.zattrs"] = json.dumps(attrs)
     return refs
+
+
+def concat_time_refs(refs_list: list, var: str) -> dict:
+    """Concatenate N single-time virtual cubes along a new (or length-1)
+    leading time axis -- kerchunk's MultiZarrToZarr shape for the
+    one-granule-directory-per-day archive.
+
+    Every input must describe ``var`` with identical spatial shape,
+    chunk grid, dtype, and codec chain; 2-D ``(h, w)`` inputs and 3-D
+    ``(1, h, w)`` inputs both work.  Chunk ``j.i`` (or ``0.j.i``) of
+    input ``t`` becomes ``t.j.i`` of the combined cube, so the result
+    has chunks ``(1, cj, ci)`` and prunes along time for free."""
+    if not refs_list:
+        raise ValueError("refs_list is empty")
+    combined: dict = {".zgroup": json.dumps({"zarr_format": 2})}
+    base = None
+    for t, refs in enumerate(refs_list):
+        refs = refs.get("refs", refs)
+        za = json.loads(refs[f"{var}/.zarray"])
+        shape, chunks = list(za["shape"]), list(za["chunks"])
+        if len(shape) == 3:
+            if shape[0] != 1 or chunks[0] != 1:
+                raise NotImplementedError(
+                    f"input {t} has a time axis of length "
+                    f"{shape[0]}; only single-time cubes concatenate"
+                )
+            shape, chunks = shape[1:], chunks[1:]
+        sig = (shape, chunks, za["dtype"], za["compressor"],
+               za["filters"], za["fill_value"])
+        if base is None:
+            base = sig
+            combined[f"{var}/.zarray"] = json.dumps({
+                "zarr_format": 2,
+                "shape": [len(refs_list)] + shape,
+                "chunks": [1] + chunks,
+                "dtype": za["dtype"],
+                "compressor": za["compressor"],
+                "fill_value": za["fill_value"],
+                "order": "C",
+                "filters": za["filters"],
+            })
+            zattrs = refs.get(f"{var}/.zattrs")
+            if zattrs:
+                combined[f"{var}/.zattrs"] = zattrs
+        elif sig != base:
+            raise ValueError(
+                f"input {t} disagrees with input 0 on shape/chunks/"
+                "dtype/codecs; heterogeneous cubes cannot concatenate"
+            )
+        prefix = f"{var}/"
+        for key, ref in refs.items():
+            if not key.startswith(prefix) or key.endswith(
+                    (".zarray", ".zattrs")):
+                continue
+            ck = key[len(prefix):]
+            parts = ck.split(".")
+            if len(parts) == 3:
+                if parts[0] != "0":
+                    raise NotImplementedError(
+                        f"unexpected time chunk {ck!r} in input {t}")
+                parts = parts[1:]
+            combined[f"{var}/{t}.{'.'.join(parts)}"] = ref
+    return combined
 
 
 def _band_file(path: str, band: int) -> str:
