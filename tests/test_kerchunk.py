@@ -173,6 +173,53 @@ class TestNetcdf3Refs:
             got["value"].to_numpy(), data.ravel())
 
 
+class TestGeotiffRefs:
+    def test_deflate_cog_tiles(self, spark, tmp_path):
+        """Deflate COG tiles referenced chunk-for-chunk; the virtual
+        read must equal the native GeoTIFF reader."""
+        from xcube_resampling_spark.sources import read_geotiff
+        from xcube_resampling_spark.sources.kerchunk import (
+            geotiff_refs,
+        )
+
+        w, h = 40, 30
+        df = _raster(spark, w, h)
+        p = str(tmp_path / "a.tif")
+        from xcube_resampling_spark.sources import write_geotiff
+
+        write_geotiff(df, p, (h, w), xy_min=(0.0, 0.0), xy_res=1.0,
+                      crs="EPSG:4326", tile_size=16,
+                      compression="deflate", dtype="float64")
+        refs = geotiff_refs(p)
+        za = json.loads(refs["band_1/.zarray"])
+        assert za["shape"] == [h, w] and za["chunks"] == [16, 16]
+        assert za["compressor"]["id"] == "zlib"
+        # every tile is a RANGE ref (tiles are stored padded)
+        assert all(isinstance(refs[f"band_1/{j}.{i}"], list)
+                   for j in range(2) for i in range(3))
+        got = read_zarr(spark, "virtual", "band_1",
+                        store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["j", "i"])
+        native = read_geotiff(spark, p).toPandas() \
+            .sort_values(["j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), native["value"].to_numpy())
+
+    def test_predictor_refused(self, spark, tmp_path):
+        from xcube_resampling_spark.sources import write_geotiff
+        from xcube_resampling_spark.sources.kerchunk import (
+            geotiff_refs,
+        )
+
+        p = str(tmp_path / "pred.tif")
+        write_geotiff(_raster(spark, 16, 16), p, (16, 16),
+                      xy_min=(0.0, 0.0), xy_res=1.0, crs="EPSG:4326",
+                      tile_size=16, compression="deflate",
+                      predictor=2, dtype="int32")
+        with pytest.raises(NotImplementedError, match="predictor"):
+            geotiff_refs(p)
+
+
 class TestGranuleDir:
     @pytest.mark.parametrize("writer,exact_bands", [
         ("netcdf3", True), ("hdf5", True),

@@ -52,6 +52,7 @@ from .httpstore import (
 from .kerchunk import (
     RefChunkStore,
     concat_time_refs,
+    geotiff_refs,
     granule_dir_refs,
     hdf5_refs,
     load_refs,
@@ -106,6 +107,7 @@ __all__ = [
     "CRS_SIDECAR",
     "RefChunkStore",
     "concat_time_refs",
+    "geotiff_refs",
     "granule_dir_refs",
     "hdf5_refs",
     "load_refs",

@@ -54,6 +54,7 @@ from xcube_resampling_spark.sources.zarr import ChunkPut
 __all__ = [
     "RefChunkStore",
     "concat_time_refs",
+    "geotiff_refs",
     "hdf5_refs",
     "netcdf3_refs",
     "granule_dir_refs",
@@ -480,6 +481,89 @@ def granule_dir_refs(path: str, sources: dict | None = None) -> dict:
     })
     if attrs:
         refs[f"{var}/.zattrs"] = json.dumps(attrs)
+    return refs
+
+
+def geotiff_refs(
+    path: str,
+    source: str | None = None,
+    var_prefix: str = "band",
+) -> dict:
+    """Build zarr references for a (Geo)TIFF/COG main image.
+
+    Deflate-compressed or raw tiles map chunk-for-chunk (TIFF 6.0
+    stores tiles padded to the full tile size, exactly zarr's edge
+    convention); strips are width-spanning chunks, with a short final
+    strip padded and inlined.  GDAL sparse tiles (offset 0) become
+    absent chunks.  One array per band (``band_1``, ``band_2``, ... --
+    planar-separate files only for multi-band).  LZW/PackBits/JPEG
+    tiles and predictor!=1 have no zarr codec and are refused (TIFF
+    predictor 2 resets per ROW; zarr's delta filter is flat per chunk,
+    so the two are NOT interchangeable)."""
+    from xcube_resampling_spark.sources.geotiff import (
+        read_geotiff_meta,
+    )
+
+    ifds, rr = read_geotiff_meta(path)
+    ifd = next((f for f in ifds if not f.is_reduced), ifds[0])
+    src = source if source is not None else path
+    if ifd.compression == 1:
+        comp = None
+    elif ifd.compression in (8, 32946):  # Deflate (Adobe / legacy)
+        comp = {"id": "zlib", "level": 6}
+    else:
+        raise NotImplementedError(
+            f"TIFF compression {ifd.compression} has no zarr codec "
+            "(deflate or none only)"
+        )
+    if ifd.predictor != 1:
+        raise NotImplementedError(
+            "TIFF predictor 2/3 resets per row; zarr has no matching "
+            "filter -- cannot reference these tiles verbatim"
+        )
+    if ifd.spp > 1 and ifd.planar != 2:
+        raise NotImplementedError(
+            "chunky (pixel-interleaved) multi-band tiles are not "
+            "C-order band blocks; only planar-separate maps to zarr"
+        )
+    dt = np.dtype(ifd.dtype).newbyteorder(ifd.endian)
+    full = ifd.tile_h * ifd.tile_w * dt.itemsize
+    refs: dict = {".zgroup": json.dumps({"zarr_format": 2})}
+    for band in range(ifd.spp):
+        var = f"{var_prefix}_{band + 1}"
+        for kj in range(ifd.tiles_down):
+            for ki in range(ifd.tiles_across):
+                idx = ifd.tile_index(band, kj, ki)
+                off, cnt = ifd.offsets[idx], ifd.counts[idx]
+                if off == 0 or cnt == 0:
+                    continue  # GDAL sparse tile -> absent chunk
+                rows = min(ifd.tile_h, ifd.height - kj * ifd.tile_h)
+                if not ifd.tiled and rows < ifd.tile_h:
+                    # short final strip: pad to the declared chunk
+                    raw = rr.read(off, cnt)
+                    if comp is not None:
+                        raw = zlib.decompress(raw)
+                    raw = raw + b"\x00" * (full - len(raw))
+                    if comp is not None:
+                        raw = zlib.compress(raw, 6)
+                    refs[f"{var}/{kj}.{ki}"] = (
+                        "base64:" + base64.b64encode(raw).decode())
+                else:
+                    refs[f"{var}/{kj}.{ki}"] = [src, int(off),
+                                                int(cnt)]
+        refs[f"{var}/.zarray"] = json.dumps({
+            "zarr_format": 2,
+            "shape": [ifd.height, ifd.width],
+            "chunks": [ifd.tile_h, ifd.tile_w],
+            "dtype": dt.str,
+            "compressor": comp,
+            "fill_value": ifd.nodata,
+            "order": "C",
+            "filters": None,
+        })
+        if ifd.nodata is not None:
+            refs[f"{var}/.zattrs"] = json.dumps(
+                {"_FillValue": ifd.nodata})
     return refs
 
 
