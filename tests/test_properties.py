@@ -670,3 +670,128 @@ class TestNewCodecProperties:
         got, rate = decode_avi_audio(data)
         assert rate == 22050
         assert (got == audio).all()
+
+
+class TestFilterChainProperties:
+    """Roundtrip invariants for the zarr v2 numcodecs filter chains
+    (sources/numcodecs_filters.py) over arbitrary shapes/dtypes."""
+
+    @given(
+        n=st.integers(0, 4000),
+        dtype=st.sampled_from(["<i2", "<i4", "<i8", ">i4", "<f8"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_delta_roundtrip_any_ints(self, n, dtype, seed):
+        from xcube_resampling_spark.sources.numcodecs_filters import (
+            decode_filters,
+            encode_filters,
+        )
+
+        rng = np.random.default_rng(seed)
+        dt = np.dtype(dtype)
+        if dt.kind == "f":
+            # dyadic rationals: float delta is exact on these
+            vals = (rng.integers(-2**30, 2**30, n) / 1024.0).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            vals = rng.integers(info.min, info.max, n,
+                                dtype=dt.newbyteorder("=")).astype(dt)
+        conf = {"id": "delta", "dtype": dtype}
+        enc = encode_filters(vals.tobytes(), [conf])
+        assert np.array_equal(
+            np.frombuffer(decode_filters(enc, [conf]), dt), vals)
+
+    @given(
+        n=st.integers(0, 2000),
+        es=st.integers(1, 16),
+        extra=st.integers(0, 15),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_shuffle_roundtrip_any_size(self, n, es, extra, seed):
+        from xcube_resampling_spark.sources.numcodecs_filters import (
+            decode_filters,
+            encode_filters,
+        )
+
+        rng = np.random.default_rng(seed)
+        raw = rng.bytes(n * es + extra)
+        conf = {"id": "shuffle", "elementsize": es}
+        assert decode_filters(
+            encode_filters(raw, [conf]), [conf]) == raw
+
+    @given(
+        n=st.integers(0, 1000),
+        chain=st.lists(
+            st.sampled_from(["delta", "shuffle", "zlib", "zstd",
+                             "lz4"]),
+            min_size=0, max_size=4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_arbitrary_chain_roundtrip(self, n, chain, seed):
+        from xcube_resampling_spark.sources.numcodecs_filters import (
+            decode_filters,
+            encode_filters,
+        )
+
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(-1000, 1000, n, dtype="<i4")
+        # well-formed chains put array filters before byte codecs
+        # (delta can't view a compressed stream as i4 -- numcodecs
+        # rejects that order too)
+        chain = sorted(
+            chain, key=lambda c: c in ("zlib", "zstd", "lz4"))
+        confs = []
+        for c in chain:
+            if c == "delta":
+                confs.append({"id": "delta", "dtype": "<i4"})
+            elif c == "shuffle":
+                confs.append({"id": "shuffle", "elementsize": 4})
+            else:
+                confs.append({"id": c})
+        raw = vals.tobytes()
+        assert decode_filters(
+            encode_filters(raw, confs), confs) == raw
+
+
+class TestKerchunkProperties:
+    """Any single-variable classic file maps to references whose
+    virtual read reproduces the array (driver-side decode through
+    RefChunkStore -- no Spark in the loop, so hypothesis can afford
+    many examples)."""
+
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        version=st.sampled_from([1, 2, 5]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_netcdf3_refs_cover_array(self, h, w, version, seed,
+                                      tmp_path_factory):
+        from xcube_resampling_spark.sources.kerchunk import (
+            RefChunkStore,
+            netcdf3_refs,
+        )
+        from xcube_resampling_spark.sources.netcdf3 import (
+            encode_netcdf3,
+        )
+
+        rng = np.random.default_rng(seed)
+        data = rng.normal(0, 1, (h, w))
+        d = tmp_path_factory.mktemp("kc")
+        p = str(d / "f.nc")
+        with open(p, "wb") as fp:
+            fp.write(encode_netcdf3("v", data, ("y", "x"),
+                                    version=version))
+        import json as _json
+
+        refs = netcdf3_refs(p)
+        store = RefChunkStore(refs)
+        za = _json.loads(store.get("v/.zarray"))
+        assert za["shape"] == [h, w]
+        raw = store.get("v/0.0")
+        got = np.frombuffer(raw, za["dtype"]).reshape(h, w)
+        np.testing.assert_array_equal(got, data)
