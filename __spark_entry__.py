@@ -6662,6 +6662,123 @@ SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
 
 
 # ------------------------------------------------------------------ #
+# temporal resampling suite (operators/temporal.py): downsample-with-
+# reducers, interpolating upsample, forward gap-fill, best-pixel
+# composite -- the resample_in_time family, one registry slot.
+
+# 10 frames x 10x10 pixels carved from events (event_id < 1000 exists at
+# every SF).  Frame labels are IRREGULAR epoch days so the interp legs
+# prove real bracket search, not stride arithmetic.
+TDAYS = (1, 2, 4, 7, 11, 16, 22, 29, 37, 46)
+TPERIOD = 15                       # agg bucket width (days)
+TTARGETS = (1, 3, 9, 20, 33, 46)   # interp targets: exact hits + between
+
+
+def _time_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, j, i, value) cube; every 7th observation NaN (gap pattern)."""
+    ev = _table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    tf = (F.col("event_id") / 100).cast("int")
+    j = ((F.col("event_id") % 100) / 10).cast("int")
+    i = (F.col("event_id") % 10).cast("int")
+    day = F.element_at(
+        F.array(*[F.lit(d) for d in TDAYS]), tf + 1
+    ).cast("long")
+    val = F.when(
+        (i + 2 * j + 3 * tf) % 7 == 0, F.lit(float("nan"))
+    ).otherwise(F.col("value"))
+    return ev.select(
+        day.alias("t"), j.alias("j"), i.alias("i"), val.alias("value")
+    )
+
+
+TIME_CUBE_SQL = f"""
+  SELECT CAST(list_extract({list(TDAYS)},
+              CAST(event_id // 100 AS INT) + 1) AS BIGINT) AS t,
+         CAST((event_id % 100) // 10 AS INT) AS j,
+         CAST(event_id % 10 AS INT) AS i,
+         CASE WHEN (event_id % 10 + 2 * ((event_id % 100) // 10)
+                    + 3 * (event_id // 100)) % 7 = 0
+              THEN CAST('NaN' AS DOUBLE) ELSE value END AS value
+  FROM events WHERE event_id < 1000
+"""
+
+
+def q_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample_in_time family over an irregular 10-frame cube: NaN-aware
+    bucket reducers (mean/max/count), linear + nearest interpolation via
+    the broadcast weighted gather, forward gap-fill, max-value composite
+    (operators/temporal.py; xcube's public resample_in_time surface)."""
+    from xcube_resampling_spark.operators import temporal as TT
+
+    cube = _time_cube(spark, sf_dir)
+    legs: list[tuple[str, DataFrame]] = []
+    for m in ("mean", "max", "count"):
+        legs.append((f"agg_{m}", TT.resample_time_agg(cube, m, TPERIOD)))
+    for m in ("linear", "nearest"):
+        legs.append(
+            (f"interp_{m}",
+             TT.resample_time_interp(cube, TDAYS, TTARGETS, m))
+        )
+    legs.append(("ffill", TT.forward_fill_time(cube)))
+    legs.append(("composite", TT.composite_best_pixel(cube)))
+    out = None
+    for name, d in legs:
+        d = d.select(
+            F.lit(name).alias("leg"),
+            F.col("t").cast("long").alias("t"),
+            F.col("j").cast("int").alias("j"),
+            F.col("i").cast("int").alias("i"),
+            F.col("value").cast("double").alias("value"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _time_suite_sql() -> str:
+    from xcube_resampling_spark.operators.temporal import interp_weights
+
+    nv = "CASE WHEN isnan(value) THEN NULL ELSE value END"
+    nan = "CAST('NaN' AS DOUBLE)"
+    parts = []
+    for m, expr in (
+        ("mean", f"COALESCE(AVG({nv}), {nan})"),
+        ("max", f"COALESCE(MAX({nv}), {nan})"),
+        ("count", f"CAST(COUNT({nv}) AS DOUBLE)"),
+    ):
+        parts.append(f"""
+SELECT 'agg_{m}' AS leg, t, j, i, {expr} AS value
+FROM (SELECT CAST(t // {TPERIOD} AS BIGINT) AS t, j, i, value
+      FROM ({TIME_CUBE_SQL}))
+GROUP BY t, j, i""")
+    for m in ("linear", "nearest"):
+        vals = ", ".join(
+            f"({ts}, {to}, CAST({w!r} AS DOUBLE))"
+            for ts, to, w in interp_weights(TDAYS, TTARGETS, m)
+        )
+        parts.append(f"""
+SELECT 'interp_{m}' AS leg, CAST(m.t_out AS BIGINT) AS t, c.j, c.i,
+       SUM(c.value * m.weight) AS value
+FROM ({TIME_CUBE_SQL}) c
+JOIN (VALUES {vals}) m(t, t_out, weight) ON c.t = m.t
+GROUP BY m.t_out, c.j, c.i""")
+    parts.append(f"""
+SELECT 'ffill' AS leg, t, j, i,
+       COALESCE(last_value({nv} IGNORE NULLS) OVER (
+           PARTITION BY j, i ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {nan})
+       AS value
+FROM ({TIME_CUBE_SQL})""")
+    parts.append(f"""
+SELECT 'composite' AS leg, t, j, i, value FROM (
+  SELECT t, j, i, value,
+         row_number() OVER (PARTITION BY j, i
+                            ORDER BY value DESC, t ASC) AS rn
+  FROM ({TIME_CUBE_SQL}) WHERE NOT isnan(value)
+) WHERE rn = 1""")
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p}\n) u" for p in parts)
+
+
+# ------------------------------------------------------------------ #
 # contract surface
 
 
@@ -6722,6 +6839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_suite": q_ann_suite,
         "event_suite": q_event_suite,
         "url_suite": q_url_suite,
+        "time_suite": q_time_suite,
     }
 
 
@@ -6808,4 +6926,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_suite": _ann_suite_sql(),
         "event_suite": _event_suite_sql(),
         "url_suite": _url_suite_sql(),
+        "time_suite": _time_suite_sql(),
     }

@@ -1,0 +1,393 @@
+"""Temporal resampling operators (operators/temporal.py).
+
+Semantics pinned against numpy/pandas (skipna reducers, np.interp,
+DataFrame.ffill) -- the same oracles xcube's resample_in_time inherits
+from xarray.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_resampling_spark.operators.temporal import (
+    TIME_REDUCERS,
+    composite_best_pixel,
+    forward_fill_time,
+    interp_weights,
+    resample_time_agg,
+    resample_time_interp,
+)
+
+NAN = float("nan")
+DAYS = (1, 2, 4, 7, 11, 16)
+
+
+def _cube(spark):
+    """Two pixels x six irregular frames; pixel (0,1) has gaps, pixel
+    (1,0) is all-NaN in the second bucket (days 16+)."""
+    rows = []
+    vals_01 = [2.0, NAN, 6.0, NAN, 3.0, 5.0]
+    vals_10 = [1.0, 4.0, 4.0, 9.0, 2.0, NAN]
+    for t, v in zip(DAYS, vals_01):
+        rows.append((t, 0, 1, v))
+    for t, v in zip(DAYS, vals_10):
+        rows.append((t, 1, 0, v))
+    return spark.createDataFrame(
+        rows, "t long, j int, i int, value double"
+    )
+
+
+def _collect(df):
+    return {
+        (r.t, r.j, r.i): r.value
+        for r in df.collect()
+    }
+
+
+def _eq(a, b):
+    if a is None or b is None:
+        return a is b
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    return a == pytest.approx(b)
+
+
+class TestAgg:
+    def test_all_reducers_match_numpy(self, spark):
+        cube = _cube(spark)
+        # bucket 0 = days < 15 (frames 1,2,4,7,11); bucket 1 = day 16
+        win_01 = np.array([2.0, NAN, 6.0, NAN, 3.0])
+        win_10 = np.array([1.0, 4.0, 4.0, 9.0, 2.0])
+        expect = {
+            "mean": (np.nanmean(win_01), np.nanmean(win_10)),
+            "median": (np.nanmedian(win_01), np.nanmedian(win_10)),
+            "min": (np.nanmin(win_01), np.nanmin(win_10)),
+            "max": (np.nanmax(win_01), np.nanmax(win_10)),
+            "sum": (np.nansum(win_01), np.nansum(win_10)),
+            "std": (np.nanstd(win_01), np.nanstd(win_10)),
+            "var": (np.nanvar(win_01), np.nanvar(win_10)),
+            "count": (3.0, 5.0),
+            "first": (2.0, 1.0),   # earliest VALID observation
+            "last": (3.0, 2.0),    # latest VALID observation
+        }
+        assert set(expect) == set(TIME_REDUCERS)
+        for method, (e01, e10) in expect.items():
+            got = _collect(resample_time_agg(cube, method, 15))
+            assert _eq(got[(0, 0, 1)], e01), method
+            assert _eq(got[(0, 1, 0)], e10), method
+
+    def test_all_nan_bucket(self, spark):
+        cube = _cube(spark)
+        # pixel (1,0), bucket 1 (day 16) is the single NaN observation
+        for method, want in [
+            ("mean", NAN), ("min", NAN), ("max", NAN), ("std", NAN),
+            ("first", NAN), ("last", NAN),
+            ("sum", 0.0), ("count", 0.0),
+        ]:
+            got = _collect(resample_time_agg(cube, method, 15))
+            assert _eq(got[(1, 1, 0)], want), method
+
+    def test_left_labeled_buckets(self, spark):
+        cube = _cube(spark)
+        got = _collect(resample_time_agg(cube, "count", 5))
+        # days 1,2,4 -> bucket 0; 7 -> 1; 11 -> 2; 16 -> 3
+        assert got[(0, 1, 0)] == 3.0
+        assert got[(1, 1, 0)] == 1.0
+        assert got[(2, 1, 0)] == 1.0
+        assert got[(3, 1, 0)] == 0.0
+
+    def test_invalid_method(self, spark):
+        with pytest.raises(ValueError, match="invalid time reducer"):
+            resample_time_agg(_cube(spark), "mode", 15)
+
+
+class TestInterpWeights:
+    def test_linear_brackets(self):
+        rows = interp_weights((1, 4, 10), (1, 2, 10), "linear")
+        assert (1, 1, 1.0) in rows            # exact hit -> one row
+        assert (1, 2, pytest.approx(2 / 3)) in [
+            (a, b, pytest.approx(w)) for a, b, w in rows
+        ] or any(
+            a == 1 and b == 2 and w == pytest.approx(2 / 3)
+            for a, b, w in rows
+        )
+        assert any(
+            a == 4 and b == 2 and w == pytest.approx(1 / 3)
+            for a, b, w in rows
+        )
+        assert (10, 10, 1.0) in rows
+
+    def test_weights_sum_to_one_per_target(self):
+        rows = interp_weights(DAYS, (1, 3, 9, 14, 16), "linear")
+        per = {}
+        for _, t_out, w in rows:
+            per[t_out] = per.get(t_out, 0.0) + w
+        assert all(v == pytest.approx(1.0) for v in per.values())
+
+    def test_nearest_tie_goes_earlier(self):
+        # 3 is equidistant from 2 and 4 -> earlier frame wins
+        rows = interp_weights((2, 4), (3,), "nearest")
+        assert rows == [(2, 3, 1.0)]
+
+    def test_extrapolation_refused(self):
+        with pytest.raises(ValueError, match="outside source span"):
+            interp_weights(DAYS, (0,), "linear")
+        with pytest.raises(ValueError, match="outside source span"):
+            interp_weights(DAYS, (17,), "nearest")
+
+    def test_duplicate_labels_refused(self):
+        with pytest.raises(ValueError, match="duplicate source"):
+            interp_weights((1, 1, 2), (1,), "linear")
+        # duplicated targets would double their weights through the
+        # gather's SUM -- refused loudly
+        with pytest.raises(ValueError, match="duplicate target"):
+            interp_weights((1, 2), (1, 1), "linear")
+
+    def test_invalid_method(self):
+        with pytest.raises(ValueError, match="invalid interp"):
+            interp_weights(DAYS, (2,), "cubic")
+
+
+class TestInterp:
+    def test_linear_matches_np_interp(self, spark):
+        cube = _cube(spark)
+        targets = (1, 3, 9, 13, 16)
+        got = _collect(
+            resample_time_interp(cube, DAYS, targets, "linear")
+        )
+        # pixel (1,0) is NaN-free until day 16 exclusive
+        clean = np.array([1.0, 4.0, 4.0, 9.0, 2.0])
+        for t_out in (1, 3, 9):
+            want = float(np.interp(t_out, DAYS[:5], clean))
+            assert got[(t_out, 1, 0)] == pytest.approx(want)
+
+    def test_nan_bracket_propagates(self, spark):
+        cube = _cube(spark)
+        got = _collect(
+            resample_time_interp(cube, DAYS, (3, 9), "linear")
+        )
+        # pixel (0,1): day 3 brackets (2, 4) with NaN at day 2
+        assert math.isnan(got[(3, 0, 1)])
+        # day 9 brackets (7, 11) with NaN at day 7
+        assert math.isnan(got[(9, 0, 1)])
+
+    def test_exact_hit_passthrough_keeps_nan(self, spark):
+        cube = _cube(spark)
+        got = _collect(
+            resample_time_interp(cube, DAYS, (2, 4), "linear")
+        )
+        assert math.isnan(got[(2, 0, 1)])
+        assert got[(4, 0, 1)] == 6.0
+
+    def test_nearest(self, spark):
+        cube = _cube(spark)
+        got = _collect(
+            resample_time_interp(cube, DAYS, (5, 6), "nearest")
+        )
+        # 5 -> frame 4 (dist 1 vs 2); 6 -> frame 7 (dist 1 vs 2)
+        assert got[(5, 1, 0)] == 4.0
+        assert got[(6, 1, 0)] == 9.0
+
+
+class TestForwardFill:
+    def test_matches_pandas_ffill(self, spark):
+        cube = _cube(spark)
+        got = _collect(forward_fill_time(cube))
+        series = pd.Series(
+            [2.0, NAN, 6.0, NAN, 3.0, 5.0], index=list(DAYS)
+        ).ffill()
+        for t in DAYS:
+            assert _eq(got[(t, 0, 1)], series.loc[t])
+
+    def test_leading_gap_stays_nan(self, spark):
+        cube = spark.createDataFrame(
+            [(1, 0, 0, NAN), (2, 0, 0, NAN), (3, 0, 0, 7.0),
+             (4, 0, 0, NAN)],
+            "t long, j int, i int, value double",
+        )
+        got = _collect(forward_fill_time(cube))
+        assert math.isnan(got[(1, 0, 0)])
+        assert math.isnan(got[(2, 0, 0)])
+        assert got[(3, 0, 0)] == 7.0
+        assert got[(4, 0, 0)] == 7.0
+
+    def test_row_count_preserved(self, spark):
+        cube = _cube(spark)
+        assert forward_fill_time(cube).count() == cube.count()
+
+
+class TestComposite:
+    def test_max_value_wins(self, spark):
+        cube = _cube(spark)
+        got = {(r.j, r.i): (r.t, r.value)
+               for r in composite_best_pixel(cube).collect()}
+        assert got[(0, 1)] == (4, 6.0)
+        assert got[(1, 0)] == (7, 9.0)
+
+    def test_tie_breaks_to_earliest_frame(self, spark):
+        cube = spark.createDataFrame(
+            [(5, 0, 0, 3.0), (2, 0, 0, 3.0), (9, 0, 0, 3.0)],
+            "t long, j int, i int, value double",
+        )
+        got = composite_best_pixel(cube).collect()
+        assert (got[0].t, got[0].value) == (2, 3.0)
+
+    def test_all_nan_pixel_absent(self, spark):
+        cube = spark.createDataFrame(
+            [(1, 0, 0, NAN), (2, 0, 0, NAN), (1, 0, 1, 1.0)],
+            "t long, j int, i int, value double",
+        )
+        rows = composite_best_pixel(cube).collect()
+        assert len(rows) == 1 and rows[0].i == 1
+
+    def test_separate_score_column(self, spark):
+        # min-cloud style: score is its own column, negated for "min"
+        cube = spark.createDataFrame(
+            [(1, 0, 0, 10.0, -0.8), (2, 0, 0, 20.0, -0.1)],
+            "t long, j int, i int, value double, neg_cloud double",
+        )
+        got = composite_best_pixel(cube, score_col="neg_cloud").collect()
+        assert got[0].value == 20.0 and got[0].t == 2
+
+
+# ------------------------------------------------------------------ #
+# streaming rollup (the live-ingest shape of resample_time_agg)
+
+
+def _ts_cube(spark):
+    rows = [
+        ("2024-01-01 03:00:00", 0, 0, 1.0),
+        ("2024-01-01 15:00:00", 0, 0, 3.0),
+        ("2024-01-01 21:00:00", 0, 0, NAN),
+        ("2024-01-02 06:00:00", 0, 0, 8.0),
+        ("2024-01-01 09:00:00", 0, 1, NAN),
+        ("2024-01-01 18:00:00", 0, 1, NAN),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, j int, i int, value double"
+    )
+    return df.select(
+        df.ts_s.cast("timestamp").alias("ts"), "j", "i", "value"
+    )
+
+
+class TestStreamingCubeRollup:
+    def test_batch_semantics(self, spark):
+        from xcube_resampling_spark.streaming.windows import (
+            streaming_cube_rollup,
+        )
+
+        out = streaming_cube_rollup(_ts_cube(spark), "1 day")
+        got = {
+            (r.win_start.strftime("%m-%d"), r.j, r.i): r
+            for r in out.collect()
+        }
+        day1 = got[("01-01", 0, 0)]
+        assert day1.mean_value == pytest.approx(2.0)  # NaN skipped
+        assert (day1.n_valid, day1.n_obs) == (2, 3)
+        day2 = got[("01-02", 0, 0)]
+        assert day2.mean_value == 8.0
+        all_nan = got[("01-01", 0, 1)]
+        assert math.isnan(all_nan.mean_value)
+        assert (all_nan.n_valid, all_nan.n_obs) == (0, 2)
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        from xcube_resampling_spark.streaming.windows import (
+            streaming_cube_rollup,
+        )
+
+        src = str(tmp_path / "cube")
+        _ts_cube(spark).write.parquet(src)
+        stream = spark.readStream.schema(
+            "ts timestamp, j int, i int, value double"
+        ).parquet(src)
+        assert stream.isStreaming
+        out = streaming_cube_rollup(stream, "1 day")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cube_rollup_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        live = {
+            (r.win_start, r.j, r.i): (r.mean_value, r.n_valid, r.n_obs)
+            for r in spark.sql("SELECT * FROM cube_rollup_test").collect()
+        }
+        batch = {
+            (r.win_start, r.j, r.i): (r.mean_value, r.n_valid, r.n_obs)
+            for r in streaming_cube_rollup(
+                _ts_cube(spark), "1 day"
+            ).collect()
+        }
+        assert set(live) == set(batch)
+        for k in batch:
+            for a, b in zip(live[k], batch[k]):
+                assert _eq(float(a), float(b))
+
+
+# ------------------------------------------------------------------ #
+# properties (driver-side mapping math: no Spark session needed)
+
+
+class TestInterpWeightProperties:
+    @given(
+        axis=st.lists(
+            st.integers(0, 10_000), min_size=2, max_size=40, unique=True
+        ),
+        frac=st.lists(
+            st.floats(0.0, 1.0, allow_nan=False), min_size=1, max_size=20
+        ),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_linear_weights_partition_unity(self, axis, frac):
+        axis = sorted(axis)
+        lo, hi = axis[0], axis[-1]
+        targets = sorted({int(lo + f * (hi - lo)) for f in frac})
+        rows = interp_weights(axis, targets, "linear")
+        per: dict[int, float] = {}
+        for t_src, t_out, w in rows:
+            assert t_src in axis
+            assert 0.0 <= w <= 1.0
+            per[t_out] = per.get(t_out, 0.0) + w
+        for t_out in targets:
+            assert per[t_out] == pytest.approx(1.0)
+
+    @given(
+        axis=st.lists(
+            st.integers(0, 10_000), min_size=2, max_size=40, unique=True
+        ),
+        frac=st.floats(0.0, 1.0, allow_nan=False),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_nearest_picks_min_distance(self, axis, frac):
+        axis = sorted(axis)
+        t_out = int(axis[0] + frac * (axis[-1] - axis[0]))
+        ((t_src, _, w),) = interp_weights(axis, [t_out], "nearest")
+        assert w == 1.0
+        best = min(abs(s - t_out) for s in axis)
+        assert abs(t_src - t_out) == best
+        # tie -> earlier frame
+        tied = [s for s in axis if abs(s - t_out) == best]
+        assert t_src == min(tied)
+
+    @given(
+        axis=st.lists(
+            st.integers(0, 1000), min_size=2, max_size=20, unique=True
+        ),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_exact_frame_hits_are_passthrough(self, axis):
+        for method in ("linear", "nearest"):
+            rows = interp_weights(sorted(axis), sorted(axis), method)
+            assert sorted(rows) == sorted(
+                (s, s, 1.0) for s in axis
+            )

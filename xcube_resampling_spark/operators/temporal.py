@@ -1,0 +1,259 @@
+"""Temporal resampling operators over relational cubes.
+
+The spatial operators in this package cover the reference's
+``resample_in_space`` surface (reference resampler.py:40-117); a user of
+that ecosystem invariably also runs its temporal twin (xcube's public
+``resample_in_time``: downsample a time axis with reducers, upsample with
+nearest/linear interpolation) plus the two classic EO time-axis ops it
+composes with: forward gap-filling and best-pixel compositing.  This module
+re-expresses all four Spark-first over the package's relational cube model
+(rows = ``(t, j, i, value)``; ``t`` is the frame label, e.g. epoch days).
+
+Scale design (the 100-TB contract):
+
+* **Downsampling** (`resample_time_agg`) is ONE map-side-combinable
+  ``groupBy(bucket, j, i)`` -- Catalyst's partial aggregation means each
+  executor combines its local frames before the single exchange; no
+  per-frame pass, no driver traffic.
+* **Upsampling** (`resample_time_interp`) gathers by weighted sum: the
+  time axis is metadata-sized (thousands of frames for a decades-long
+  daily cube), so the target->source bracket mapping is computed
+  driver-side and **broadcast**; pixels join it (zero shuffle -- broadcast
+  hash join) and ONE ``groupBy(t_out, j, i)`` sums ``value * weight``.
+  Linear interpolation, nearest, and exact-hit passthrough are all just
+  different weight tables; NaN brackets propagate through the sum exactly
+  like xarray's linear interp.
+* **Forward fill** (`forward_fill_time`) is ONE shuffle by pixel key plus
+  a sorted window scan (``last(..., ignorenulls=True)``) -- the classic
+  gap-fill; partitioning by (j, i) spreads uniformly at any raster size.
+* **Compositing** (`composite_best_pixel`) is ONE map-side-combinable
+  ``max_by`` -- the max-NDVI / min-cloud "best pixel" mosaic; the
+  (score, -t) struct key makes ties deterministic (earliest frame wins)
+  so results are partitioning-invariant.
+
+None of these collect pixel data to the driver; the only driver-side
+object is the frame-label axis (already metadata in every query here,
+same status as the grid mapping in the spatial operators).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _nan_to_null(c: Column) -> Column:
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# downsampling: reducers over time buckets
+# ---------------------------------------------------------------------------
+
+TIME_REDUCERS = (
+    "mean", "median", "min", "max", "sum", "std", "var", "count",
+    "first", "last",
+)
+
+
+def resample_time_agg(
+    pixels: DataFrame,
+    method: str,
+    period: int,
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Downsample the time axis: one output frame per ``period`` of ``t``.
+
+    Buckets are ``t // period`` (left-labeled bins, xcube's
+    ``resample_in_time`` convention of labeling by bin start).  Reducers
+    are NaN-aware the way xarray's skipna=True reducers are: NaN
+    observations are skipped; an all-NaN bucket yields NaN (``sum`` -> 0.0,
+    ``count`` -> 0 valid observations).  ``first``/``last`` pick the
+    earliest/latest *valid* observation in the bucket (min_by/max_by on
+    ``t`` over NaN-filtered rows -- deterministic because ``t`` is unique
+    per pixel).
+
+    One map-side-combinable shuffle; no window materialization.
+    """
+    t = F.col(time_col)
+    bucket = (t / F.lit(period)).cast("long").alias(time_col)
+    nv = _nan_to_null(F.col(value_col))
+    keys = [bucket, *(F.col(k) for k in key_cols)]
+
+    if method == "mean":
+        agg = F.avg(nv)
+    elif method == "median":
+        agg = F.percentile(nv, F.lit(0.5))
+    elif method == "min":
+        agg = F.min(nv)
+    elif method == "max":
+        agg = F.max(nv)
+    elif method == "sum":
+        agg = F.coalesce(F.sum(nv), F.lit(0.0))
+    elif method == "std":
+        agg = F.coalesce(
+            F.stddev_pop(nv), F.when(F.count(nv) > 0, F.lit(0.0))
+        )
+    elif method == "var":
+        agg = F.coalesce(
+            F.var_pop(nv), F.when(F.count(nv) > 0, F.lit(0.0))
+        )
+    elif method == "count":
+        # valid (non-NaN) observations -- xarray's count, NOT the spatial
+        # coarsen count (np.count_nonzero, coarsen.py:83)
+        agg = F.count(nv).cast("double")
+    elif method == "first":
+        agg = F.min_by(nv, F.when(nv.isNotNull(), t))
+    elif method == "last":
+        agg = F.max_by(nv, F.when(nv.isNotNull(), t))
+    else:
+        raise ValueError(f"invalid time reducer {method!r}")
+
+    if method not in ("sum", "count"):
+        agg = F.coalesce(agg, F.lit(float("nan")))
+    return pixels.groupBy(*keys).agg(agg.alias(value_col))
+
+
+# ---------------------------------------------------------------------------
+# upsampling: interpolation as a broadcast weighted gather
+# ---------------------------------------------------------------------------
+
+def interp_weights(
+    source_times: Sequence[int],
+    target_times: Sequence[int],
+    method: str,
+) -> list[tuple[int, int, float]]:
+    """Driver-side bracket mapping: ``(t_src, t_out, weight)`` rows.
+
+    ``linear``: a target strictly between frames gets both brackets with
+    the usual lerp weights; an exact frame hit gets one row of weight 1.
+    ``nearest``: one row of weight 1 for the closest frame (ties -> the
+    earlier frame, matching xarray's default tie direction for
+    ``method="nearest"`` with equal distances).
+
+    Targets outside the source span raise -- extrapolation is a silent
+    data-quality bug at scale, so it is refused loudly here (callers clip
+    their target axis first).
+    """
+    axis = sorted(source_times)
+    if len(axis) != len(set(axis)):
+        raise ValueError("duplicate source frame labels")
+    if len(target_times) != len(set(target_times)):
+        # a duplicated target would double its weights through the
+        # gather's SUM -- and the relational output keyed by (t, j, i)
+        # cannot represent two copies of one frame anyway
+        raise ValueError("duplicate target frame labels")
+    rows: list[tuple[int, int, float]] = []
+    for t_out in target_times:
+        if t_out < axis[0] or t_out > axis[-1]:
+            raise ValueError(
+                f"target time {t_out} outside source span"
+                f" [{axis[0]}, {axis[-1]}]"
+            )
+        # rightmost frame <= t_out
+        lo = max(s for s in axis if s <= t_out)
+        hi = min(s for s in axis if s >= t_out)
+        if method == "nearest":
+            pick = lo if (t_out - lo) <= (hi - t_out) else hi
+            rows.append((pick, t_out, 1.0))
+        elif method == "linear":
+            if lo == hi:
+                rows.append((lo, t_out, 1.0))
+            else:
+                w = (t_out - lo) / (hi - lo)
+                rows.append((lo, t_out, 1.0 - w))
+                rows.append((hi, t_out, w))
+        else:
+            raise ValueError(f"invalid interp method {method!r}")
+    return rows
+
+
+def resample_time_interp(
+    pixels: DataFrame,
+    source_times: Sequence[int],
+    target_times: Sequence[int],
+    method: str = "linear",
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Upsample / re-grid the time axis by interpolation.
+
+    The weight table from :func:`interp_weights` is broadcast (it has at
+    most ``2 * len(target_times)`` rows); pixels broadcast-join it on the
+    source frame label -- no shuffle -- then ONE ``groupBy(t_out, key)``
+    sums ``value * weight``.  A NaN in either bracket propagates to NaN,
+    exactly xarray's linear-interp semantics.
+    """
+    spark = pixels.sparkSession
+    mapping = spark.createDataFrame(
+        interp_weights(source_times, target_times, method),
+        f"{time_col} long, t_out long, weight double",
+    )
+    joined = pixels.join(F.broadcast(mapping), time_col)
+    keys = [F.col("t_out").alias(time_col), *(F.col(k) for k in key_cols)]
+    return joined.groupBy(*keys).agg(
+        F.sum(F.col(value_col) * F.col("weight")).alias(value_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap filling and compositing
+# ---------------------------------------------------------------------------
+
+def forward_fill_time(
+    pixels: DataFrame,
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Fill NaN observations from the latest earlier valid frame.
+
+    ``last(value, ignorenulls=True)`` over a per-pixel time-ordered window
+    (rows unbounded-preceding .. current).  Leading gaps (no earlier valid
+    frame) stay NaN.  One shuffle, by pixel key.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(_nan_to_null(F.col(value_col)), ignorenulls=True).over(w)
+    return pixels.select(
+        time_col, *key_cols,
+        F.coalesce(filled, F.lit(float("nan"))).alias(value_col),
+    )
+
+
+def composite_best_pixel(
+    pixels: DataFrame,
+    score_col: str = "value",
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Best-pixel mosaic: per pixel, the frame with the highest score.
+
+    The max-NDVI / min-cloud composite (negate the score for "min").  NaN
+    observations are never candidates; a pixel with no valid frame is
+    absent from the output (callers union a fill frame if they need dense
+    coverage).  Tie-break: equal scores pick the EARLIEST frame, so the
+    result is partitioning- and input-order-invariant.  One
+    map-side-combinable ``max_by`` shuffle.
+    """
+    valid = pixels.filter(~F.isnan(F.col(score_col)))
+    picked = F.max_by(
+        F.struct(F.col(time_col), F.col(value_col)),
+        F.struct(F.col(score_col), -F.col(time_col)),
+    ).alias("picked")
+    out = valid.groupBy(*key_cols).agg(picked)
+    return out.select(
+        F.col(f"picked.{time_col}").alias(time_col),
+        *key_cols,
+        F.col(f"picked.{value_col}").alias(value_col),
+    )

@@ -1,5 +1,9 @@
 from .stateful import dedup_stream, first_event_per_key
-from .windows import sessionize, windowed_event_stats
+from .windows import (
+    sessionize,
+    streaming_cube_rollup,
+    windowed_event_stats,
+)
 
 __all__ = ["dedup_stream", "first_event_per_key", "sessionize",
            "windowed_event_stats"]

@@ -45,6 +45,51 @@ def windowed_event_stats(
     )
 
 
+def streaming_cube_rollup(
+    pixels: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming counterpart of ``resample_time_agg``
+    (operators/temporal.py): granules land as micro-batches of
+    ``(ts, j, i, value)`` rows and the engine maintains NaN-aware
+    per-pixel rollups over tumbling event-time windows.
+
+    This is the live-ingest shape of a 100-TB cube pipeline: each new
+    scene only touches its own window's state, the watermark expires
+    state for windows no late granule can still join, and the groupBy
+    is the same single map-side-combinable exchange as the batch
+    operator.  On a batch DataFrame it degrades to a plain GROUP BY,
+    which is how the unit tests pin window values exactly.
+
+    Emits per (window-start, j, i): NaN-aware ``mean_value``, the count
+    of valid observations ``n_valid``, and the total observation count
+    ``n_obs`` (so downstream can distinguish "all-NaN window" from
+    "no coverage yet").
+    """
+    src = pixels
+    if pixels.isStreaming:
+        src = pixels.withWatermark("ts", watermark)
+    v = F.col("value")
+    nv = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
+    return (
+        src.groupBy(
+            F.window("ts", window_duration).alias("win"), "j", "i"
+        )
+        .agg(
+            F.coalesce(F.avg(nv), F.lit(float("nan"))).alias(
+                "mean_value"
+            ),
+            F.count(nv).alias("n_valid"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "j", "i", "mean_value", "n_valid", "n_obs",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
