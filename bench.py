@@ -670,6 +670,61 @@ def main():
                 file=sys.stderr,
             )
 
+    # temporal scale: the resample_in_time family over a synthesized
+    # 24M-row cube (2M pixels x 12 irregular frames).  agg is ONE
+    # map-side-combinable shuffle, interp is a broadcast gather + ONE
+    # shuffle, composite is ONE max_by shuffle -- the slopes to watch
+    # are all shuffle throughput, so a generated (zero-I/O) input is
+    # the right probe.
+    temporal_scale = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        from xcube_resampling_spark.operators import temporal as tmod
+
+        t_days = (1, 2, 4, 7, 11, 16, 22, 29, 37, 46, 53, 60)
+        n_px, n_frames = 2_000_000, len(t_days)
+        side = 1414  # ~sqrt(2M): j = px // side, i = px % side
+        base = spark.range(n_px * n_frames)
+        fr = (F.col("id") % n_frames).cast("int")
+        px = (F.col("id") / n_frames).cast("long")
+        day = F.element_at(
+            F.array(*[F.lit(d) for d in t_days]), fr + 1
+        ).cast("long")
+        val = F.when(
+            (F.col("id") % 7) == 0, F.lit(float("nan"))
+        ).otherwise((F.col("id") % 1000).cast("double"))
+        cube = base.select(
+            day.alias("t"),
+            (px / side).cast("int").alias("j"),
+            (px % side).cast("int").alias("i"),
+            val.alias("value"),
+        ).persist()
+        n_rows = cube.count()
+        for name, build in (
+            ("agg_mean", lambda: tmod.resample_time_agg(
+                cube, "mean", 15)),
+            ("interp_linear", lambda: tmod.resample_time_interp(
+                cube, t_days, (3, 9, 20, 33, 48, 57), "linear")),
+            ("composite", lambda: tmod.composite_best_pixel(cube)),
+        ):
+            runs = []
+            rows = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = build().count()
+                runs.append(time.perf_counter() - t0)
+            spark._jvm.System.gc()
+            temporal_scale[name] = {
+                "sec": round(min(runs), 3), "rows": rows,
+                "runs": [round(r, 3) for r in runs],
+                "exchanges": _n_exchanges(build()),
+            }
+            print(
+                f"# temporal {name}: {min(runs):.2f}s rows={rows}",
+                file=sys.stderr,
+            )
+        cube.unpersist()
+        temporal_scale["n_rows"] = n_rows
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall",
@@ -717,6 +772,17 @@ def main():
                 "(same copy-salted construction as dedup_10x; dup pairs "
                 "scale linearly); steady-state min of 2, excluded from "
                 "value -- compare slopes against dedup_10x"
+            ),
+        }
+    if temporal_scale:
+        out["temporal_scale"] = {
+            "queries": temporal_scale,
+            "note": (
+                "resample_in_time family over a generated 24M-row cube "
+                "(2M px x 12 irregular frames, NaN every 7th): agg = "
+                "one map-side-combinable shuffle, interp = broadcast "
+                "weighted gather + one shuffle, composite = one max_by "
+                "shuffle; min of 2, excluded from value"
             ),
         }
     if scale_times:
@@ -783,6 +849,11 @@ def main():
     if baseline_shape:
         compact["baseline_shape_sec"] = baseline_shape.get("sec")
         compact["baseline_shape_median"] = baseline_shape.get("median")
+    if temporal_scale:
+        compact["temporal_scale"] = {
+            k: v["sec"] for k, v in temporal_scale.items()
+            if isinstance(v, dict) and "sec" in v
+        }
     print(json.dumps(compact))
     spark.stop()
 
