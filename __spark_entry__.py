@@ -6721,6 +6721,38 @@ def q_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     legs.append(("ffill", TT.forward_fill_time(cube)))
     legs.append(("composite", TT.composite_best_pixel(cube)))
+    # CF time decoding over the frame axis (functions/cftime.py):
+    # 'cf_decode' = real-calendar decode (hours unit, epoch with a
+    # time-of-day, negative inputs included) surfaced as unix seconds;
+    # 'cf_360day' = fixed-calendar component decode packed as
+    # y*10000 + m*100 + d
+    from xcube_resampling_spark.functions.cftime import (
+        decode_cf_time,
+        decode_cf_time_components,
+    )
+
+    days = cube.select("t").distinct()
+    v = (F.col("t") - 30).cast("double")  # negatives: pre-epoch legs
+    dec = decode_cf_time(v, "hours since 2000-01-01 06:00:00")
+    legs.append((
+        "cf_decode",
+        days.select(
+            "t", F.lit(0).alias("j"), F.lit(0).alias("i"),
+            (F.unix_micros(dec) / F.lit(1_000_000))
+            .cast("double").alias("value"),
+        ),
+    ))
+    comp = decode_cf_time_components(
+        v, "days since 1999-12-27", "360_day"
+    )
+    legs.append((
+        "cf_360day",
+        days.select(
+            "t", F.lit(0).alias("j"), F.lit(0).alias("i"),
+            (comp.year * 10000 + comp.month * 100 + comp.day)
+            .cast("double").alias("value"),
+        ),
+    ))
     out = None
     for name, d in legs:
         d = d.select(
@@ -6775,6 +6807,23 @@ SELECT 'composite' AS leg, t, j, i, value FROM (
                             ORDER BY value DESC, t ASC) AS rn
   FROM ({TIME_CUBE_SQL}) WHERE NOT isnan(value)
 ) WHERE rn = 1""")
+    # cf_decode: epoch 2000-01-01 06:00:00 UTC = 946706400 s; input
+    # (t - 30) hours, so unix seconds = 946706400 + (t-30)*3600
+    parts.append(f"""
+SELECT 'cf_decode' AS leg, t, 0 AS j, 0 AS i,
+       CAST(946706400 + (t - 30) * 3600 AS DOUBLE) AS value
+FROM (SELECT DISTINCT t FROM ({TIME_CUBE_SQL}))""")
+    # cf_360day: epoch 1999-12-27 in the 360-day calendar is
+    # day-of-era 1999*360 + 330 + 26; all inputs stay positive there,
+    # so truncating division == floor
+    doe0 = 1999 * 360 + 330 + 26
+    parts.append(f"""
+SELECT 'cf_360day' AS leg, t, 0 AS j, 0 AS i,
+       CAST((doe // 360) * 10000
+            + ((doe % 360) // 30 + 1) * 100
+            + (doe % 360) % 30 + 1 AS DOUBLE) AS value
+FROM (SELECT DISTINCT t, {doe0} + (t - 30) AS doe
+      FROM ({TIME_CUBE_SQL}))""")
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p}\n) u" for p in parts)
 
 

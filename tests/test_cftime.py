@@ -1,0 +1,211 @@
+"""CF time decoding (functions/cftime.py): real calendars against
+pandas, fixed-length calendars against a pure-Python mirror of the
+published cftime semantics."""
+
+import pandas as pd
+import pytest
+from xcube_resampling_spark.functions.cftime import (
+    _CAL_MONTHS,
+    decode_cf_time,
+    decode_cf_time_components,
+    encode_cf_time,
+    parse_cf_time_units,
+)
+
+from pyspark.sql import functions as F
+
+
+def _decode_py(value, units, cal):
+    """Driver-side mirror for fixed calendars (independent arithmetic:
+    per-unit loops instead of div/mod chains)."""
+    unit_ns, epoch = parse_cf_time_units(units)
+    months = _CAL_MONTHS[cal]
+    total_us = (round(value * unit_ns) + 500) // 1000  # ns -> us
+    tod = (epoch.hour * 3600 + epoch.minute * 60 + epoch.second) \
+        * 1_000_000 + epoch.microsecond
+    y, m, d = epoch.year, epoch.month, epoch.day
+    us = tod + total_us
+    day_us = 86_400_000_000
+    days, us = divmod(us, day_us)
+    d += days
+    while d > months[m - 1]:
+        d -= months[m - 1]
+        m += 1
+        if m == 13:
+            m, y = 1, y + 1
+    while d < 1:
+        m -= 1
+        if m == 0:
+            m, y = 12, y - 1
+        d += months[m - 1]
+    sec = us // 1_000_000
+    return (y, m, int(d), sec // 3600, (sec // 60) % 60, sec % 60)
+
+
+class TestUnitsParse:
+    def test_common_forms(self):
+        assert parse_cf_time_units("days since 2000-01-01") == (
+            86_400_000_000_000, pd.Timestamp("2000-01-01"))
+        assert parse_cf_time_units(
+            "seconds since 1970-01-01 00:00:00") == (
+            1_000_000_000, pd.Timestamp("1970-01-01"))
+        u, e = parse_cf_time_units(
+            "hours since 1900-01-01 06:30:15.25")
+        assert u == 3_600_000_000_000
+        assert e == pd.Timestamp("1900-01-01 06:30:15.25")
+
+    def test_utc_offset_normalized(self):
+        _, e = parse_cf_time_units("days since 2000-01-01 00:00:00+02")
+        assert e == pd.Timestamp("1999-12-31 22:00:00")
+
+    def test_rejects(self):
+        with pytest.raises(ValueError, match="unparseable"):
+            parse_cf_time_units("2000-01-01")
+        with pytest.raises(ValueError, match="calendar-dependent"):
+            parse_cf_time_units("months since 2000-01-01")
+        with pytest.raises(ValueError, match="unknown CF time unit"):
+            parse_cf_time_units("fortnights since 2000-01-01")
+
+
+class TestRealCalendar:
+    def test_decode_matches_pandas(self, spark):
+        df = spark.createDataFrame(
+            [(0.0,), (1.5,), (366.0,), (-365.0,)], "v double")
+        got = [
+            r.ts for r in df.select(
+                decode_cf_time(
+                    F.col("v"), "days since 2000-01-01").alias("ts")
+            ).collect()
+        ]
+        base = pd.Timestamp("2000-01-01")
+        want = [base + pd.Timedelta(days=v)
+                for v in (0.0, 1.5, 366.0, -365.0)]
+        assert [pd.Timestamp(t) for t in got] == want
+
+    def test_integer_input_and_seconds_units(self, spark):
+        df = spark.createDataFrame([(946684800,)], "v long")
+        (row,) = df.select(
+            decode_cf_time(
+                F.col("v"), "seconds since 1970-01-01").alias("ts")
+        ).collect()
+        assert pd.Timestamp(row.ts) == pd.Timestamp("2000-01-01")
+
+    def test_roundtrip_encode(self, spark):
+        units = "hours since 1987-06-05 04:03:02"
+        df = spark.createDataFrame(
+            [(0.0,), (25.5,), (-12.25,), (87660.0,)], "v double")
+        got = df.select(
+            encode_cf_time(
+                decode_cf_time(F.col("v"), units), units
+            ).alias("v2"), "v"
+        ).collect()
+        for r in got:
+            assert r.v2 == pytest.approx(r.v, abs=1e-9)
+
+    def test_microsecond_exactness_far_from_epoch(self, spark):
+        # 10^9 seconds + 1 us: a double-seconds path would lose the us
+        units = "microseconds since 1970-01-01"
+        df = spark.createDataFrame(
+            [(1_000_000_000_000_001,)], "v long")
+        (row,) = df.select(
+            decode_cf_time(F.col("v"), units).alias("ts")).collect()
+        assert pd.Timestamp(row.ts).microsecond == 1
+
+    def test_nanoseconds_since_epoch_exact_beyond_2_53(self, spark):
+        # xarray's datetime64[ns] encoding: int64 ns since 1970 is
+        # ~1.7e18, far beyond double's 2**53 -- the split integer
+        # path must keep every microsecond
+        units = "nanoseconds since 1970-01-01"
+        v = 1_755_300_123_456_789_000  # 2026-08-16ish, us-aligned
+        df = spark.createDataFrame([(v,)], "v long")
+        (row,) = df.select(
+            decode_cf_time(F.col("v"), units).alias("ts")).collect()
+        assert pd.Timestamp(row.ts).value == v
+
+    def test_ns_rounds_half_up_to_us(self, spark):
+        units = "nanoseconds since 1970-01-01"
+        df = spark.createDataFrame([(1_500,), (1_499,)], "v long")
+        got = sorted(pd.Timestamp(r.ts).microsecond for r in df.select(
+            decode_cf_time(F.col("v"), units).alias("ts")).collect())
+        assert got == [1, 2]
+
+    def test_fixed_calendar_refused(self, spark):
+        with pytest.raises(ValueError, match="decode_cf_time_components"):
+            decode_cf_time(
+                F.col("v"), "days since 2000-01-01", "360_day")
+        with pytest.raises(ValueError, match="unknown CF calendar"):
+            decode_cf_time(
+                F.col("v"), "days since 2000-01-01", "discworld")
+
+
+class TestFixedCalendars:
+    @pytest.mark.parametrize("cal,value,want", [
+        # 360_day: every month is 30 days
+        ("360_day", 0, (2000, 1, 1, 0, 0, 0)),
+        ("360_day", 29, (2000, 1, 30, 0, 0, 0)),
+        ("360_day", 30, (2000, 2, 1, 0, 0, 0)),
+        ("360_day", 359, (2000, 12, 30, 0, 0, 0)),
+        ("360_day", 360, (2001, 1, 1, 0, 0, 0)),
+        ("360_day", -1, (1999, 12, 30, 0, 0, 0)),
+        # noleap: 2000-02-29 does not exist
+        ("noleap", 58, (2000, 2, 28, 0, 0, 0)),
+        ("noleap", 59, (2000, 3, 1, 0, 0, 0)),
+        ("noleap", 365, (2001, 1, 1, 0, 0, 0)),
+        # all_leap: every Feb has 29
+        ("all_leap", 59, (2000, 2, 29, 0, 0, 0)),
+        ("all_leap", 366, (2001, 1, 1, 0, 0, 0)),
+    ])
+    def test_known_dates(self, spark, cal, value, want):
+        df = spark.createDataFrame([(float(value),)], "v double")
+        (row,) = df.select(
+            decode_cf_time_components(
+                F.col("v"), "days since 2000-01-01", cal).alias("c")
+        ).collect()
+        c = row.c
+        assert (c.year, c.month, c.day, c.hour, c.minute,
+                c.second) == want
+
+    def test_time_of_day_and_epoch_offset(self, spark):
+        # epoch with a time-of-day; half-day value
+        units = "hours since 1850-01-01 12:00:00"
+        df = spark.createDataFrame([(13.5,)], "v double")
+        (row,) = df.select(
+            decode_cf_time_components(
+                F.col("v"), units, "noleap").alias("c")
+        ).collect()
+        c = row.c
+        assert (c.year, c.month, c.day, c.hour, c.minute,
+                c.second) == (1850, 1, 2, 1, 30, 0)
+
+    @pytest.mark.parametrize("cal", sorted(_CAL_MONTHS))
+    def test_matches_python_mirror(self, spark, cal):
+        import numpy as np
+
+        units = "days since 2000-03-15 06:00:00"
+        rng = np.random.RandomState(7)
+        values = [int(v) for v in rng.randint(-200_000, 200_000, 40)]
+        values += [0, 1, -1, 365, -365, 36_000]
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(values)],
+            "idx int, v double",
+        )
+        rows = df.select(
+            "idx",
+            decode_cf_time_components(
+                F.col("v"), units, cal).alias("c"),
+        ).collect()
+        for r in rows:
+            c = r.c
+            got = (c.year, c.month, c.day, c.hour, c.minute, c.second)
+            assert got == _decode_py(values[r.idx], units, cal), (
+                cal, values[r.idx])
+
+    def test_nonexistent_epoch_refused(self, spark):
+        with pytest.raises(ValueError, match="does not exist"):
+            decode_cf_time_components(
+                F.col("v"), "days since 2000-01-31", "360_day")
+
+    def test_real_calendar_refused(self):
+        with pytest.raises(ValueError, match="not fixed-length"):
+            decode_cf_time_components(
+                F.col("v"), "days since 2000-01-01", "standard")

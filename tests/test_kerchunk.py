@@ -352,6 +352,28 @@ class TestGranuleDir:
             assert r["value"] == base.loc[(r["j"], r["i"]),
                                           "value"] + r["t"] * 1000.0
 
+    def test_concat_rewrites_array_dimensions(self, spark, tmp_path):
+        """A 2-D input's _ARRAY_DIMENSIONS gains the new leading time
+        axis in the combined cube (verbatim copy would advertise a
+        2-D dim list on a 3-D array)."""
+        from xcube_resampling_spark.sources import (
+            concat_time_refs,
+            netcdf3_refs,
+        )
+
+        data = np.arange(12, dtype="<f8").reshape(3, 4)
+        days = []
+        for day in range(2):
+            p = str(tmp_path / f"single{day}.nc")
+            with open(p, "wb") as fp:
+                fp.write(encode_netcdf3("v", data + day, ("lat", "lon")))
+            days.append(netcdf3_refs(p))
+        assert json.loads(days[0]["v/.zattrs"])[
+            "_ARRAY_DIMENSIONS"] == ["lat", "lon"]
+        cube = concat_time_refs(days, "v")
+        assert json.loads(cube["v/.zattrs"])[
+            "_ARRAY_DIMENSIONS"] == ["time", "lat", "lon"]
+
     def test_concat_rejects_heterogeneous(self, spark, tmp_path):
         from xcube_resampling_spark.sources import concat_time_refs
 

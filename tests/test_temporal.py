@@ -104,6 +104,18 @@ class TestAgg:
         with pytest.raises(ValueError, match="invalid time reducer"):
             resample_time_agg(_cube(spark), "mode", 15)
 
+    def test_negative_labels_floor_not_truncate(self, spark):
+        # pre-epoch frames: day -7 belongs to bucket -1 = [-15, 0),
+        # NOT to bucket 0 (which a toward-zero cast would produce,
+        # silently doubling bucket 0's width)
+        cube = spark.createDataFrame(
+            [(-7, 0, 0, 1.0), (-15, 0, 0, 3.0), (7, 0, 0, 5.0)],
+            "t long, j int, i int, value double",
+        )
+        got = _collect(resample_time_agg(cube, "mean", 15))
+        assert got[(-1, 0, 0)] == 2.0   # days -15 and -7
+        assert got[(0, 0, 0)] == 5.0    # day 7 only
+
 
 class TestInterpWeights:
     def test_linear_brackets(self):

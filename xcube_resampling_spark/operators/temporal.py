@@ -80,8 +80,15 @@ def resample_time_agg(
 
     One map-side-combinable shuffle; no window materialization.
     """
-    t = F.col(time_col)
-    bucket = (t / F.lit(period)).cast("long").alias(time_col)
+    t = F.col(time_col).cast("long")
+    # FLOOR division in exact integer arithmetic: (t - pmod(t, p)) / p.
+    # A double round-trip (floor(t / p)) would lose exactness above
+    # 2**53 (epoch-nanosecond labels are ~1.7e18), and a plain cast
+    # truncates toward zero, putting pre-epoch labels (negative t,
+    # e.g. climate records before 1970) into a double-width bucket 0.
+    p = F.lit(period).cast("long")
+    pmod = ((t % p) + p) % p
+    bucket = ((t - pmod) / p).cast("long").alias(time_col)
     nv = _nan_to_null(F.col(value_col))
     keys = [bucket, *(F.col(k) for k in key_cols)]
 

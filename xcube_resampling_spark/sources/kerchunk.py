@@ -608,7 +608,16 @@ def concat_time_refs(refs_list: list, var: str) -> dict:
             })
             zattrs = refs.get(f"{var}/.zattrs")
             if zattrs:
-                combined[f"{var}/.zattrs"] = zattrs
+                za_doc = json.loads(zattrs)
+                dims = za_doc.get("_ARRAY_DIMENSIONS")
+                if isinstance(dims, list) and len(dims) == len(shape):
+                    # input described the SPATIAL array (e.g.
+                    # netcdf3_refs emits ["lat","lon"]); the combined
+                    # cube gained a leading time axis -- a verbatim
+                    # copy would advertise a 2-D dim list on a 3-D
+                    # array and break xarray-convention consumers
+                    za_doc["_ARRAY_DIMENSIONS"] = ["time"] + dims
+                combined[f"{var}/.zattrs"] = json.dumps(za_doc)
         elif sig != base:
             raise ValueError(
                 f"input {t} disagrees with input 0 on shape/chunks/"
