@@ -600,6 +600,56 @@ def main():
         docs100.unpersist()
         dedup_scale_100["n_docs"] = n100
 
+    # adversarial skew: the 100x corpus plus ONE 50k-document
+    # boilerplate cluster (identical licence-page text).  Without the
+    # hot-bucket cap every band key of the cluster would emit
+    # 50k^2/2 = 1.25e9 candidate pairs PER BAND; with the cap
+    # (extensions/dedup.py DEFAULT_MAX_BUCKET) the cluster contributes
+    # 50k-1 star candidates per band and runtime stays within ~2x of
+    # the skew-free 100x row above.
+    dedup_skew = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1" \
+            and os.environ.get("SPARK_GRAFT_SKIP_100X") != "1":
+        from xcube_resampling_spark.extensions import dedup as dedup_mod
+
+        boiler = spark.range(50_000).select(
+            (F.col("id") + 50_000_000).alias("doc_id"),
+            F.lit(
+                "this software is provided as is without warranty of "
+                "any kind express or implied including but not limited "
+                "to the warranties of merchantability fitness for a "
+                "particular purpose and noninfringement " * 3
+            ).alias("text"),
+        )
+        skewed = (
+            _docs_10x(spark, copies=100)
+            .select("doc_id", "text")
+            .unionByName(boiler)
+            .persist()
+        )
+        n_skew = skewed.count()
+        runs = []
+        rows = None
+        for _ in range(2):
+            dedup_mod.release_cached()
+            t0 = time.perf_counter()
+            rows = dedup_mod.dedup_minhash_lsh(skewed).count()
+            runs.append(time.perf_counter() - t0)
+        dedup_mod.release_cached()
+        skewed.unpersist()
+        spark._jvm.System.gc()
+        dedup_skew = {
+            "sec": round(min(runs), 3), "rows": rows,
+            "runs": [round(r, 3) for r in runs],
+            "n_docs": n_skew,
+            "cluster_size": 50_000,
+        }
+        print(
+            f"# dedup_skew minhash: {min(runs):.2f}s rows={rows} "
+            f"(50k-doc boilerplate cluster)",
+            file=sys.stderr,
+        )
+
     # packing scale: pack_sequences + shard shuffle over the 10x and
     # 100x corpora -- the two-phase prefix sum's slope should be
     # ~linear (no global sort, no single-task stage)
@@ -774,6 +824,17 @@ def main():
                 "value -- compare slopes against dedup_10x"
             ),
         }
+    if dedup_skew:
+        out["dedup_skew"] = {
+            "minhash": dedup_skew,
+            "note": (
+                "dedup_minhash_lsh over the 100x corpus plus one "
+                "50k-document identical-text boilerplate cluster; the "
+                "hot-bucket cap short-circuits the cluster to star "
+                "candidates (uncapped it would be 1.25e9 pairs per "
+                "band).  Compare sec against dedup_100x minhash"
+            ),
+        }
     if temporal_scale:
         out["temporal_scale"] = {
             "queries": temporal_scale,
@@ -854,6 +915,8 @@ def main():
             k: v["sec"] for k, v in temporal_scale.items()
             if isinstance(v, dict) and "sec" in v
         }
+    if dedup_skew:
+        compact["dedup_skew_minhash_sec"] = dedup_skew.get("sec")
     print(json.dumps(compact))
     spark.stop()
 
