@@ -6779,19 +6779,26 @@ def _time_suite_sql() -> str:
     ):
         parts.append(f"""
 SELECT 'agg_{m}' AS leg, t, j, i, {expr} AS value
-FROM (SELECT CAST(t // {TPERIOD} AS BIGINT) AS t, j, i, value
+FROM (SELECT CAST((t // {TPERIOD}) * {TPERIOD} AS BIGINT) AS t,
+             j, i, value
       FROM ({TIME_CUBE_SQL}))
 GROUP BY t, j, i""")
     for m in ("linear", "nearest"):
+        wrows = interp_weights(TDAYS, TTARGETS, m)
+        n_exp: dict = {}
+        for _, to, _ in wrows:
+            n_exp[to] = n_exp.get(to, 0) + 1
         vals = ", ".join(
-            f"({ts}, {to}, CAST({w!r} AS DOUBLE))"
-            for ts, to, w in interp_weights(TDAYS, TTARGETS, m)
+            f"({ts}, {to}, CAST({w!r} AS DOUBLE), {n_exp[to]})"
+            for ts, to, w in wrows
         )
         parts.append(f"""
 SELECT 'interp_{m}' AS leg, CAST(m.t_out AS BIGINT) AS t, c.j, c.i,
-       SUM(c.value * m.weight) AS value
+       CASE WHEN COUNT(*) = MAX(m.n_exp)
+            THEN SUM(c.value * m.weight)
+            ELSE CAST('NaN' AS DOUBLE) END AS value
 FROM ({TIME_CUBE_SQL}) c
-JOIN (VALUES {vals}) m(t, t_out, weight) ON c.t = m.t
+JOIN (VALUES {vals}) m(t, t_out, weight, n_exp) ON c.t = m.t
 GROUP BY m.t_out, c.j, c.i""")
     parts.append(f"""
 SELECT 'ffill' AS leg, t, j, i,

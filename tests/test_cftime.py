@@ -209,3 +209,62 @@ class TestFixedCalendars:
         with pytest.raises(ValueError, match="not fixed-length"):
             decode_cf_time_components(
                 F.col("v"), "days since 2000-01-01", "standard")
+
+
+class TestOutOfBoundsEpochs:
+    def test_cmip_noleap_year_one_epoch(self, spark):
+        # the canonical CMIP/CESM axis: days since 0001-01-01, noleap.
+        # Year 1 is outside pandas' ns bounds (1677-2262); the nominal
+        # parse must carry it.  cftime: 730000 days / 365 = 2000 years
+        # exactly -> 2001-01-01.
+        df = spark.createDataFrame([(730000.0,), (0.0,)], "v double")
+        rows = df.select(
+            "v",
+            decode_cf_time_components(
+                F.col("v"), "days since 0001-01-01", "noleap"
+            ).alias("c"),
+        ).collect()
+        got = {r.v: (r.c.year, r.c.month, r.c.day) for r in rows}
+        assert got[0.0] == (1, 1, 1)
+        assert got[730000.0] == (2001, 1, 1)
+
+    def test_360day_epoch_only_valid_in_that_calendar(self, spark):
+        # 2000-02-30 exists in the 360-day calendar but not on the
+        # real timeline; pd.Timestamp refuses it, the nominal parse
+        # must accept it
+        df = spark.createDataFrame([(0.0,), (1.0,)], "v double")
+        rows = df.select(
+            "v",
+            decode_cf_time_components(
+                F.col("v"), "days since 2000-02-30", "360_day"
+            ).alias("c"),
+        ).collect()
+        got = {r.v: (r.c.year, r.c.month, r.c.day) for r in rows}
+        assert got[0.0] == (2000, 2, 30)
+        assert got[1.0] == (2000, 3, 1)
+
+    def test_real_calendar_beyond_pandas_bounds(self, spark):
+        # decode_cf_time spans Spark's timestamp range, not pandas':
+        # days since 0001-01-01 (proleptic Gregorian), value 730485 =
+        # exactly the days to 2001-01-01 (computed with the same
+        # public civil-calendar algorithm Python's datetime uses)
+        import datetime
+
+        want_days = (datetime.date(2001, 1, 1)
+                     - datetime.date(1, 1, 1)).days
+        df = spark.createDataFrame([(float(want_days),)], "v double")
+        (row,) = df.select(
+            decode_cf_time(
+                F.col("v"), "days since 0001-01-01").alias("ts")
+        ).collect()
+        assert pd.Timestamp(row.ts) == pd.Timestamp("2001-01-01")
+
+    def test_nominal_rejects_garbage(self):
+        from xcube_resampling_spark.functions.cftime import (
+            _parse_nominal,
+        )
+
+        with pytest.raises(ValueError, match="unparseable CF epoch"):
+            _parse_nominal("January 1st 2000")
+        with pytest.raises(ValueError, match="invalid CF epoch"):
+            _parse_nominal("2000-13-01")

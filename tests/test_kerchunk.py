@@ -408,3 +408,60 @@ class TestGranuleDir:
                for r in df.collect()}
         for r in rows:
             assert exp[(r["j"], r["i"])] == r["value"]
+
+
+class TestReviewRegressions:
+    def test_scalar_variable_valid_zarr_metadata(self, tmp_path):
+        """0-d variables (CF grid-mapping scalars like 'crs') must get
+        spec-valid zarr v2 metadata: chunks == [] with chunk key '0',
+        not a [1]-chunked 0-d array."""
+        from xcube_resampling_spark.sources import netcdf3_refs
+        from xcube_resampling_spark.sources.netcdf3 import (
+            encode_netcdf3,
+        )
+
+        p = str(tmp_path / "scalar.nc")
+        with open(p, "wb") as fp:
+            fp.write(encode_netcdf3(
+                "crs", np.int32(42).reshape(()), ()))
+        refs = netcdf3_refs(p)
+        za = json.loads(refs["crs/.zarray"])
+        assert za["shape"] == [] and za["chunks"] == []
+        target, off, length = refs["crs/0"]
+        with open(p, "rb") as fp:
+            fp.seek(off)
+            raw = fp.read(length)
+        assert np.frombuffer(raw, ">i4")[0] == 42
+
+    def test_heterogeneous_granules_refused(self, spark, tmp_path):
+        """A granule directory whose bands disagree on codec chain
+        (mixed .nc/.h5 writers) must refuse instead of building a
+        manifest whose .zarray lies about some chunks' bytes."""
+        from xcube_resampling_spark.sources import granule_dir_refs
+        from xcube_resampling_spark.sources.hdf5 import encode_hdf5
+
+        w, h = 6, 8
+        path = str(tmp_path / "mixed")
+        write_netcdf3(_raster(spark, w, h), path, "v", (h, w),
+                      band_rows=4)
+        # overwrite band 1 with a deflate-compressed HDF5 granule of
+        # the same block shape
+        data = np.arange(4 * w, dtype="<f8").reshape(4, w)
+        with open(os.path.join(path, "part-00001.nc"), "wb") as fp:
+            os.unlink(fp.name)
+        with open(os.path.join(path, "part-1.h5"), "wb") as fp:
+            fp.write(encode_hdf5("v", data, ("y", "x"),
+                                 chunks=(4, w), compress=True))
+        with pytest.raises(ValueError, match="disagrees with band 0"):
+            granule_dir_refs(path)
+
+    def test_refchunkstore_pickles_without_reader_cache(self):
+        import pickle
+
+        from xcube_resampling_spark.sources import RefChunkStore
+
+        store = RefChunkStore({"a/.zarray": "{}"})
+        store._readers["http://example/x"] = object()  # unpicklable
+        clone = pickle.loads(pickle.dumps(store))
+        assert clone.refs == store.refs
+        assert clone._readers == {}

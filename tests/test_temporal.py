@@ -82,38 +82,39 @@ class TestAgg:
 
     def test_all_nan_bucket(self, spark):
         cube = _cube(spark)
-        # pixel (1,0), bucket 1 (day 16) is the single NaN observation
+        # pixel (1,0), bin [15, 30) (day 16) is the single NaN obs
         for method, want in [
             ("mean", NAN), ("min", NAN), ("max", NAN), ("std", NAN),
             ("first", NAN), ("last", NAN),
             ("sum", 0.0), ("count", 0.0),
         ]:
             got = _collect(resample_time_agg(cube, method, 15))
-            assert _eq(got[(1, 1, 0)], want), method
+            assert _eq(got[(15, 1, 0)], want), method
 
-    def test_left_labeled_buckets(self, spark):
+    def test_bin_start_labels(self, spark):
         cube = _cube(spark)
         got = _collect(resample_time_agg(cube, "count", 5))
-        # days 1,2,4 -> bucket 0; 7 -> 1; 11 -> 2; 16 -> 3
+        # bin-start labels in input units (xcube convention):
+        # days 1,2,4 -> bin 0; 7 -> 5; 11 -> 10; 16 -> 15
         assert got[(0, 1, 0)] == 3.0
-        assert got[(1, 1, 0)] == 1.0
-        assert got[(2, 1, 0)] == 1.0
-        assert got[(3, 1, 0)] == 0.0
+        assert got[(5, 1, 0)] == 1.0
+        assert got[(10, 1, 0)] == 1.0
+        assert got[(15, 1, 0)] == 0.0
 
     def test_invalid_method(self, spark):
         with pytest.raises(ValueError, match="invalid time reducer"):
             resample_time_agg(_cube(spark), "mode", 15)
 
     def test_negative_labels_floor_not_truncate(self, spark):
-        # pre-epoch frames: day -7 belongs to bucket -1 = [-15, 0),
-        # NOT to bucket 0 (which a toward-zero cast would produce,
-        # silently doubling bucket 0's width)
+        # pre-epoch frames: day -7 belongs to bin [-15, 0) labeled
+        # -15, NOT to bin 0 (which a toward-zero cast would produce,
+        # silently doubling bin 0's width)
         cube = spark.createDataFrame(
             [(-7, 0, 0, 1.0), (-15, 0, 0, 3.0), (7, 0, 0, 5.0)],
             "t long, j int, i int, value double",
         )
         got = _collect(resample_time_agg(cube, "mean", 15))
-        assert got[(-1, 0, 0)] == 2.0   # days -15 and -7
+        assert got[(-15, 0, 0)] == 2.0  # days -15 and -7
         assert got[(0, 0, 0)] == 5.0    # day 7 only
 
 
@@ -203,6 +204,21 @@ class TestInterp:
         # 5 -> frame 4 (dist 1 vs 2); 6 -> frame 7 (dist 1 vs 2)
         assert got[(5, 1, 0)] == 4.0
         assert got[(6, 1, 0)] == 9.0
+
+    def test_missing_bracket_row_yields_nan(self, spark):
+        # SPARSE cube: the pixel has a row at t=4 but NO row at t=7
+        # (absent chunk / filtered frame, not a NaN observation) --
+        # target 5 brackets (4, 7), and a bare inner-join SUM would
+        # silently emit the scaled-down partial 2/3*10
+        cube = spark.createDataFrame(
+            [(4, 0, 0, 10.0), (11, 0, 0, 20.0)],
+            "t long, j int, i int, value double",
+        )
+        got = _collect(
+            resample_time_interp(cube, (4, 7, 11), (5, 4), "linear")
+        )
+        assert math.isnan(got[(5, 0, 0)])
+        assert got[(4, 0, 0)] == 10.0  # exact hit still passes through
 
 
 class TestForwardFill:

@@ -85,6 +85,79 @@ _UNITS_RE = re.compile(
     r"^\s*(?P<unit>[a-zA-Z]+)\s+since\s+(?P<epoch>.+?)\s*$"
 )
 
+# nominal ISO-ish epoch: year (sign allowed, any width), month, day,
+# optional time-of-day with fractional seconds.  Used when pandas
+# cannot represent the instant (year outside 1677-2262 -- the CMIP
+# "days since 0001-01-01" noleap axis -- or a date that only exists
+# in the target calendar, e.g. 2000-02-30 in 360_day).
+_NOMINAL_RE = re.compile(
+    r"^(?P<y>-?\d{1,6})-(?P<m>\d{1,2})-(?P<d>\d{1,2})"
+    r"(?:[ T](?P<H>\d{1,2}):(?P<M>\d{1,2})"
+    r"(?::(?P<S>\d{1,2})(?P<frac>\.\d+)?)?)?$"
+)
+
+
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian days since 1970-01-01 (Howard Hinnant's
+    public-domain civil-calendar algorithm, branchless form)."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+class _NominalDate:
+    """Minimal epoch stand-in when pandas can't represent the instant.
+
+    Carries the nominal calendar fields (what fixed-calendar
+    decomposition needs) and a ``value`` in proleptic-Gregorian
+    nanoseconds since 1970 (what real-calendar decoding needs --
+    Spark timestamps span far beyond pandas' 1677-2262 ns window)."""
+
+    __slots__ = ("year", "month", "day", "hour", "minute", "second",
+                 "microsecond")
+
+    def __init__(self, year, month, day, hour=0, minute=0, second=0,
+                 microsecond=0):
+        self.year, self.month, self.day = year, month, day
+        self.hour, self.minute, self.second = hour, minute, second
+        self.microsecond = microsecond
+
+    def __repr__(self):
+        return (f"_NominalDate({self.year:04d}-{self.month:02d}-"
+                f"{self.day:02d} {self.hour:02d}:{self.minute:02d}:"
+                f"{self.second:02d}.{self.microsecond:06d})")
+
+
+def _epoch_ns(epoch) -> int:
+    """Epoch -> proleptic-Gregorian ns since 1970, computed from the
+    NOMINAL fields via the civil-calendar algorithm.  Never touches
+    ``pd.Timestamp.value``: pandas parses out-of-ns-range epochs (year
+    1) at second resolution and ``.value`` raises OverflowError."""
+    days = _days_from_civil(epoch.year, epoch.month, epoch.day)
+    sec = (days * 86400 + epoch.hour * 3600 + epoch.minute * 60
+           + epoch.second)
+    return (sec * 1_000_000_000 + epoch.microsecond * 1000
+            + getattr(epoch, "nanosecond", 0))
+
+
+def _parse_nominal(epoch_str: str) -> _NominalDate:
+    m = _NOMINAL_RE.match(epoch_str.strip())
+    if not m:
+        raise ValueError(f"unparseable CF epoch: {epoch_str!r}")
+    frac = m.group("frac")
+    us = int(round(float(frac) * 1_000_000)) if frac else 0
+    mo, d = int(m.group("m")), int(m.group("d"))
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        raise ValueError(f"invalid CF epoch date: {epoch_str!r}")
+    return _NominalDate(
+        int(m.group("y")), mo, d,
+        int(m.group("H") or 0), int(m.group("M") or 0),
+        int(m.group("S") or 0), us,
+    )
+
 # fixed-length calendars: days per month
 _CAL_MONTHS = {
     "360_day": (30,) * 12,
@@ -99,8 +172,15 @@ _REAL_CALENDARS = (
 )
 
 
-def parse_cf_time_units(units: str) -> Tuple[int, pd.Timestamp]:
+def parse_cf_time_units(units: str) -> Tuple[int, object]:
     """Split a CF ``units`` string into (unit_nanoseconds, epoch).
+
+    The epoch is a ``pd.Timestamp`` when pandas can represent it and a
+    :class:`_NominalDate` otherwise (years outside 1677-2262, or dates
+    that only exist in a fixed calendar); both expose the nominal
+    y/m/d/h/m/s/us nominal fields (instant math goes through
+    :func:`_epoch_ns`, which never touches pandas' ns-bounded
+    ``.value``).
 
     ``"days since 2000-01-01"`` -> ``(86_400_000_000_000,
     Timestamp("2000-01-01"))``.  The epoch parse accepts anything
@@ -118,9 +198,17 @@ def parse_cf_time_units(units: str) -> Tuple[int, pd.Timestamp]:
         )
     if unit not in _UNIT_NS:
         raise ValueError(f"unknown CF time unit {unit!r}")
-    epoch = pd.Timestamp(m.group("epoch"))
-    if epoch.tzinfo is not None:
-        epoch = epoch.tz_convert("UTC").tz_localize(None)
+    epoch_str = m.group("epoch")
+    try:
+        epoch = pd.Timestamp(epoch_str)
+        if epoch.tzinfo is not None:
+            epoch = epoch.tz_convert("UTC").tz_localize(None)
+    except (ValueError, OverflowError):
+        # pandas bounds (1677-2262) or a date that only exists in a
+        # fixed calendar (e.g. 2000-02-30 in 360_day): fall back to
+        # the nominal field parse.  OutOfBoundsDatetime subclasses
+        # ValueError.
+        epoch = _parse_nominal(epoch_str)
     return _UNIT_NS[unit], epoch
 
 
@@ -177,7 +265,7 @@ def decode_cf_time(
             )
         raise ValueError(f"unknown CF calendar {calendar!r}")
     unit_ns, epoch = parse_cf_time_units(units)
-    epoch_us = (int(epoch.value) + 500) // 1000  # ns -> us, half-up
+    epoch_us = (_epoch_ns(epoch) + 500) // 1000  # ns -> us, half-up
     return F.timestamp_micros(
         F.lit(epoch_us) + _value_us(values, unit_ns)
     )
@@ -196,7 +284,7 @@ def encode_cf_time(
             f"{calendar!r}"
         )
     unit_ns, epoch = parse_cf_time_units(units)
-    epoch_us = epoch.value // 1000
+    epoch_us = (_epoch_ns(epoch) + 500) // 1000
     us = F.unix_micros(ts) - F.lit(int(epoch_us))
     return us.cast("double") * F.lit(1000.0) / F.lit(float(unit_ns))
 

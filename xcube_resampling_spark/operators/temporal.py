@@ -69,8 +69,11 @@ def resample_time_agg(
 ) -> DataFrame:
     """Downsample the time axis: one output frame per ``period`` of ``t``.
 
-    Buckets are ``t // period`` (left-labeled bins, xcube's
-    ``resample_in_time`` convention of labeling by bin start).  Reducers
+    Output frames are labeled by BIN START in the input unit
+    (``floor(t / period) * period`` -- xcube's ``resample_in_time``
+    convention), so the result's time axis composes with unresampled
+    data: a daily cube at period=30 yields frames 0, 30, 60, ...
+    Reducers
     are NaN-aware the way xarray's skipna=True reducers are: NaN
     observations are skipped; an all-NaN bucket yields NaN (``sum`` -> 0.0,
     ``count`` -> 0 valid observations).  ``first``/``last`` pick the
@@ -88,7 +91,7 @@ def resample_time_agg(
     # e.g. climate records before 1970) into a double-width bucket 0.
     p = F.lit(period).cast("long")
     pmod = ((t % p) + p) % p
-    bucket = ((t - pmod) / p).cast("long").alias(time_col)
+    bucket = (t - pmod).alias(time_col)  # bin start, input units
     nv = _nan_to_null(F.col(value_col))
     keys = [bucket, *(F.col(k) for k in key_cols)]
 
@@ -103,13 +106,11 @@ def resample_time_agg(
     elif method == "sum":
         agg = F.coalesce(F.sum(nv), F.lit(0.0))
     elif method == "std":
-        agg = F.coalesce(
-            F.stddev_pop(nv), F.when(F.count(nv) > 0, F.lit(0.0))
-        )
+        # stddev_pop is NULL only for zero valid rows (n=1 gives 0.0),
+        # and the shared coalesce below maps that to NaN
+        agg = F.stddev_pop(nv)
     elif method == "var":
-        agg = F.coalesce(
-            F.var_pop(nv), F.when(F.count(nv) > 0, F.lit(0.0))
-        )
+        agg = F.var_pop(nv)
     elif method == "count":
         # valid (non-NaN) observations -- xarray's count, NOT the spatial
         # coarsen count (np.count_nonzero, coarsen.py:83)
@@ -196,16 +197,29 @@ def resample_time_interp(
     source frame label -- no shuffle -- then ONE ``groupBy(t_out, key)``
     sums ``value * weight``.  A NaN in either bracket propagates to NaN,
     exactly xarray's linear-interp semantics.
+
+    Sparse cubes are handled like NaN frames: if a pixel is MISSING the
+    row for one of a target's bracket frames (absent chunk, filtered
+    frame), the gather counts how many bracket rows actually joined
+    against the driver-known expectation and emits NaN instead of a
+    silently scaled-down partial sum.
     """
     spark = pixels.sparkSession
+    rows = interp_weights(source_times, target_times, method)
+    n_exp = {}
+    for _, t_out, _ in rows:
+        n_exp[t_out] = n_exp.get(t_out, 0) + 1
     mapping = spark.createDataFrame(
-        interp_weights(source_times, target_times, method),
-        f"{time_col} long, t_out long, weight double",
+        [(ts, to, w, n_exp[to]) for ts, to, w in rows],
+        f"{time_col} long, t_out long, weight double, n_exp int",
     )
     joined = pixels.join(F.broadcast(mapping), time_col)
     keys = [F.col("t_out").alias(time_col), *(F.col(k) for k in key_cols)]
     return joined.groupBy(*keys).agg(
-        F.sum(F.col(value_col) * F.col("weight")).alias(value_col)
+        F.when(
+            F.count(F.lit(1)) == F.first("n_exp"),
+            F.sum(F.col(value_col) * F.col("weight")),
+        ).otherwise(F.lit(float("nan"))).alias(value_col)
     )
 
 

@@ -84,6 +84,18 @@ class RefChunkStore(ChunkPut):
     def __init__(self, refs: dict, base_dir: str | None = None):
         self.refs = dict(refs.get("refs", refs))
         self.base_dir = base_dir
+        # per-process reader cache (NOT pickled): an executor task
+        # fetching hundreds of chunks from one http(s) target reuses
+        # one ranged reader instead of opening a connection per chunk
+        self._readers: dict = {}
+
+    def __getstate__(self):
+        return {"refs": self.refs, "base_dir": self.base_dir}
+
+    def __setstate__(self, state):
+        self.refs = state["refs"]
+        self.base_dir = state["base_dir"]
+        self._readers = {}
 
     def known_keys(self) -> list[str]:
         return list(self.refs)
@@ -107,11 +119,13 @@ class RefChunkStore(ChunkPut):
         offset = int(ref[1]) if len(ref) > 1 else 0
         length = int(ref[2]) if len(ref) > 2 else -1
         if target.startswith(("http://", "https://")):
-            from xcube_resampling_spark.sources.httpstore import (
-                HttpRangeReader,
-            )
+            rr = self._readers.get(target)
+            if rr is None:
+                from xcube_resampling_spark.sources.httpstore import (
+                    HttpRangeReader,
+                )
 
-            rr = HttpRangeReader(target)
+                rr = self._readers[target] = HttpRangeReader(target)
             if length < 0:
                 length = rr.size() - offset
             return rr.read(offset, length)
@@ -356,9 +370,12 @@ def netcdf3_refs(path: str, source: str | None = None) -> dict:
                     src, int(begin + r * hdr["recsize"]), int(slab)]
         else:
             shape = tuple(dims[d][1] for d in dimids)
-            chunks = shape or (1,)
+            # zarr v2 0-d arrays: chunks == [] and the single chunk
+            # key is "0" (a [1]-chunked 0-d .zarray is invalid --
+            # len(chunks) must equal len(shape))
+            chunks = shape
             count = int(np.prod(shape)) if shape else 1
-            key = ".".join("0" for _ in (shape or (1,)))
+            key = ".".join("0" for _ in shape) or "0"
             refs[f"{vname}/{key}"] = [
                 src, int(begin), int(count * dt.itemsize)]
         zarray = {
@@ -426,17 +443,27 @@ def granule_dir_refs(path: str, sources: dict | None = None) -> dict:
                 "write_netcdf3/write_hdf5 band layout) combine into a "
                 "virtual cube"
             )
+        sig = (za["dtype"], za["compressor"], za["filters"],
+               za["fill_value"])
         if dtype_str is None:
-            dtype_str = za["dtype"]
-            comp = za["compressor"]
-            zfilters = za["filters"]
-            fill_value = za["fill_value"]
+            dtype_str, comp, zfilters, fill_value = sig
             fattrs = frefs.get(f"{var}/.zattrs")
             if fattrs:
                 attrs = {
                     k: v for k, v in json.loads(fattrs).items()
                     if k not in ("_ARRAY_DIMENSIONS", "j_offset")
                 }
+        elif sig != (dtype_str, comp, zfilters, fill_value):
+            # mixed writers (e.g. band 0 raw .nc, band 1 deflate .h5)
+            # would otherwise build a manifest whose .zarray codec
+            # chain disagrees with some chunks' actual bytes --
+            # silently corrupt values far from the cause
+            raise ValueError(
+                f"granule {os.path.basename(fname)} disagrees with "
+                f"band 0 on dtype/compressor/filters/fill "
+                f"({sig} != {(dtype_str, comp, zfilters, fill_value)});"
+                " heterogeneous granule directories cannot combine"
+            )
         band_key = ".".join("0" for _ in za["shape"])
         ref = frefs[f"{var}/{band_key}"]
         cube_key = (f"0.{band}.0" if nd == 3 else f"{band}.0")

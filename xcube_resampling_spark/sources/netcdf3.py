@@ -162,6 +162,11 @@ def encode_netcdf3(
     ``version`` selects the container: 1 (CDF-1), 2 (CDF-2: 64-bit
     begin offsets), or 5 (CDF-5 "64-bit data": every NON_NEG field is
     8-byte and the unsigned/64-bit nc_types are available)."""
+    # coerce numpy SCALARS to proper 0-d arrays: scalar
+    # .astype('>i4').tobytes() silently ignores the byte order
+    # (native-endian out), while array astype byteswaps -- a 0-d
+    # grid-mapping var would otherwise be written little-endian
+    data = np.asarray(data)
     if data.ndim != len(dims):
         raise ValueError("dims must match data.ndim")
     if version not in (1, 2, 5):

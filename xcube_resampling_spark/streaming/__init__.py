@@ -6,4 +6,4 @@ from .windows import (
 )
 
 __all__ = ["dedup_stream", "first_event_per_key", "sessionize",
-           "windowed_event_stats"]
+           "streaming_cube_rollup", "windowed_event_stats"]
