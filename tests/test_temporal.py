@@ -419,3 +419,93 @@ class TestInterpWeightProperties:
             assert sorted(rows) == sorted(
                 (s, s, 1.0) for s in axis
             )
+
+
+# ------------------------------------------------------------------ #
+# dataset-level dispatcher
+
+
+class TestResampleInTimeDataset:
+    def _ds(self, spark):
+        from xcube_resampling_spark.dataset import SparkDataset
+
+        nt, h, w = 6, 3, 4
+        rng = np.random.RandomState(3)
+        cube = rng.rand(nt, h, w)
+        cube[1, 0, 0] = NAN
+        times = np.array(
+            ["2024-01-01", "2024-01-04", "2024-01-09", "2024-01-16",
+             "2024-01-20", "2024-01-31"], dtype="datetime64[D]")
+        static = np.arange(h * w, dtype=float).reshape(h, w)
+        return SparkDataset.from_numpy(
+            spark,
+            data_vars={"sst": (("time", "y", "x"), cube),
+                       "dem": (("y", "x"), static)},
+            coords={"time": times,
+                    "y": np.arange(h), "x": np.arange(w)},
+        ), cube, times
+
+    def test_downsample_datetime_coord(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        ds, cube, times = self._ds(spark)
+        # 10-day bins in the coord's own unit (days)
+        out = resample_in_time(ds, period=10, agg_methods="mean")
+        new_t = out.coords["time"]
+        assert new_t.dtype == times.dtype
+        days = times.astype("int64")
+        starts = sorted({(d // 10) * 10 for d in days})
+        np.testing.assert_array_equal(new_t.astype("int64"), starts)
+        got = out.to_numpy("sst", (len(starts), 3, 4))
+        for k, s in enumerate(starts):
+            sel = (days // 10) * 10 == s
+            want = np.nanmean(cube[sel], axis=0)
+            np.testing.assert_allclose(got[k], want)
+
+    def test_interp_mode_and_passthrough(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        ds, cube, times = self._ds(spark)
+        days = times.astype("int64")
+        targets = [int(days[0]) + 5, int(days[-1])]
+        out = resample_in_time(ds, target_times=targets,
+                               interp_methods="linear")
+        np.testing.assert_array_equal(
+            out.coords["time"].astype("int64"), targets)
+        got = out.to_numpy("sst", (2, 3, 4))
+        # target 0 sits between frames 1 and 2 (days 3 and 8 rel)
+        lo, hi = 1, 2
+        w = (targets[0] - days[lo]) / (days[hi] - days[lo])
+        want = cube[lo] * (1 - w) + cube[hi] * w
+        # the NaN hole is at frame 1 -> that pixel must be NaN
+        np.testing.assert_allclose(got[0], want)
+        np.testing.assert_allclose(got[1], cube[-1])
+        # 2-D static variable passes through untouched
+        assert out.data_vars["dem"].df is ds.data_vars["dem"].df
+
+    def test_exactly_one_mode_required(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        ds, _, _ = self._ds(spark)
+        with pytest.raises(ValueError, match="exactly one"):
+            resample_in_time(ds)
+        with pytest.raises(ValueError, match="exactly one"):
+            resample_in_time(ds, period=10, target_times=[1])
+
+    def test_per_var_agg_methods(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        ds, cube, times = self._ds(spark)
+        out = resample_in_time(
+            ds, period=100, agg_methods={"sst": "max"})
+        got = out.to_numpy("sst", (1, 3, 4))
+        np.testing.assert_allclose(
+            got[0], np.nanmax(cube, axis=0))

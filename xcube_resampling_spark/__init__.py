@@ -15,6 +15,7 @@ from .operators.affine import affine_transform_dataset
 from .operators.rectify import rectify_dataset
 from .operators.reproject import reproject_dataset
 from .operators.spatial import resample_in_space
+from .operators.temporal import resample_in_time
 
 __version__ = "0.1.0"
 
@@ -30,4 +31,5 @@ __all__ = [
     "rectify_dataset",
     "reproject_dataset",
     "resample_in_space",
+    "resample_in_time",
 ]

@@ -278,3 +278,160 @@ def composite_best_pixel(
         *key_cols,
         F.col(f"picked.{value_col}").alias(value_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset-level dispatcher (the xcube resample_in_time call shape)
+
+
+def resample_in_time(
+    source_ds,
+    period: int | None = None,
+    agg_methods="mean",
+    target_times: Sequence[int] | None = None,
+    interp_methods="linear",
+    time_dim: str | None = None,
+):
+    """Resample a :class:`~xcube_resampling_spark.dataset.SparkDataset`
+    along its time dimension -- the temporal twin of
+    ``resample_in_space`` (operators/spatial.py:17), with xcube's
+    ``resample_in_time`` call shape.
+
+    Exactly one of ``period`` (downsample with reducers) or
+    ``target_times`` (re-grid by interpolation) must be given.
+    ``agg_methods`` / ``interp_methods`` take a single method name or a
+    per-variable mapping with the same resolution rules as the spatial
+    operators (name -> method, ``*`` default; operators/utils.py:76).
+
+    Frame labels come from ``coords[time_dim]``: integer arrays are
+    used as-is, ``datetime64`` arrays are converted to int64 in their
+    own unit (so ``period`` / ``target_times`` are in that unit) and
+    the output coordinate is converted back.  Without a coordinate the
+    frame index is the label.  Variables without the time dimension
+    pass through untouched.
+
+    Scale: the label axis is driver-side metadata (same status as the
+    grid mapping); each variable's pixels go through the single-shuffle
+    operators above, with the frame->output-frame relabeling done by an
+    ``element_at`` over a literal array -- no extra shuffle, no UDF.
+    """
+    from dataclasses import replace as _replace
+
+    import numpy as np
+
+    from xcube_resampling_spark.operators.utils import (
+        get_agg_method,
+        get_interp_method_str,
+        num_t,
+    )
+
+    if (period is None) == (target_times is None):
+        raise ValueError(
+            "exactly one of period / target_times must be given"
+        )
+
+    if time_dim is None:
+        time_dim = next(
+            (v.dims[0] for v in source_ds.data_vars.values()
+             if len(v.dims) == 3),
+            "time",
+        )
+
+    # --- frame labels (driver-side metadata)
+    coord = source_ds.coords.get(time_dim)
+    dt_unit = None
+    if coord is not None:
+        coord = np.asarray(coord)
+        if np.issubdtype(coord.dtype, np.datetime64):
+            dt_unit = np.datetime_data(coord.dtype)[0]
+            labels = coord.astype("int64")
+        else:
+            labels = coord.astype("int64")
+    else:
+        nt = max(
+            (num_t(source_ds, v)
+             for v in source_ds.data_vars.values()
+             if v.is_spatial and len(v.dims) == 3
+             and v.dims[0] == time_dim),
+            default=0,
+        )
+        labels = np.arange(nt, dtype="int64")
+    label_list = [int(x) for x in labels]
+
+    # --- output axis + per-frame relabeling (both driver-side)
+    if period is not None:
+        starts = sorted({(x - ((x % period) + period) % period)
+                         for x in label_list})
+        start_idx = {s: k for k, s in enumerate(starts)}
+        frame_to_out = [
+            start_idx[x - ((x % period) + period) % period]
+            for x in label_list
+        ]
+        out_labels = np.asarray(starts, dtype="int64")
+    else:
+        if len(target_times) != len(set(target_times)):
+            raise ValueError("duplicate target frame labels")
+        tt = [int(x) for x in target_times]
+        out_labels = np.asarray(tt, dtype="int64")
+        target_idx = {x: k for k, x in enumerate(tt)}
+
+    new_vars = {}
+    for name, var in source_ds.data_vars.items():
+        if (not var.is_spatial or len(var.dims) != 3
+                or var.dims[0] != time_dim):
+            new_vars[name] = var
+            continue
+        df = var.df
+        if period is not None:
+            method = get_agg_method(agg_methods, name, var.dtype)
+            if method not in TIME_REDUCERS:
+                # per-dtype spatial defaults like "center" have no
+                # temporal meaning; xcube's resample_in_time default
+                # is the mean
+                method = "mean"
+            mapped = df.withColumn(
+                "t",
+                F.element_at(
+                    F.array(*[F.lit(k) for k in frame_to_out]),
+                    F.col("t") + 1,
+                ),
+            )
+            out = resample_time_agg(mapped, method, 1)
+        else:
+            method = get_interp_method_str(
+                interp_methods, name, var.dtype)
+            if method not in ("linear", "nearest"):
+                method = "nearest" if method == "nearest" else "linear"
+            relabeled = df.withColumn(
+                "t",
+                F.element_at(
+                    F.array(*[F.lit(x) for x in label_list]),
+                    F.col("t") + 1,
+                ),
+            )
+            out = resample_time_interp(
+                relabeled, label_list, tt, method)
+            out = out.withColumn(
+                "t",
+                F.element_at(
+                    F.create_map(*[
+                        F.lit(v) for x in tt
+                        for v in (x, target_idx[x])
+                    ]),
+                    F.col("t"),
+                ),
+            )
+        new_vars[name] = _replace(
+            var, df=out.select("t", "j", "i", "value"),
+            dtype="float64",
+        )
+
+    new_coords = dict(source_ds.coords)
+    if dt_unit is not None:
+        new_coords[time_dim] = out_labels.astype(
+            f"datetime64[{dt_unit}]")
+    else:
+        new_coords[time_dim] = out_labels
+    return _replace(
+        source_ds, data_vars=new_vars, coords=new_coords
+    )
