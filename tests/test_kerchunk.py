@@ -465,3 +465,32 @@ class TestReviewRegressions:
         clone = pickle.loads(pickle.dumps(store))
         assert clone.refs == store.refs
         assert clone._readers == {}
+
+    def test_virtual_cube_into_temporal_resample(self, spark, tmp_path):
+        """End-to-end archive workflow: per-day granule directories ->
+        one kerchunk virtual cube -> NaN-aware temporal mean, without
+        rewriting a byte of the archive."""
+        from xcube_resampling_spark.operators.temporal import (
+            resample_time_agg,
+        )
+        from xcube_resampling_spark.sources import concat_time_refs
+
+        w, h = 6, 4
+        days = []
+        for day in range(4):
+            df = _raster(spark, w, h).withColumn(
+                "value", F.col("value") + day * 100.0)
+            p = str(tmp_path / f"d{day}")
+            write_netcdf3(df, p, "v", (h, w), band_rows=2)
+            days.append(granule_dir_refs(p))
+        cube = read_zarr(
+            spark, "virtual", "v",
+            store=RefChunkStore(concat_time_refs(days, "v")))
+        # frame indices 0..3, period 2 -> bins 0 and 2
+        out = resample_time_agg(cube, "mean", 2)
+        got = {(r.t, r.j, r.i): r.value for r in out.collect()}
+        base = {(r.j, r.i): r.value
+                for r in _raster(spark, w, h).collect()}
+        for (j, i), v in base.items():
+            assert got[(0, j, i)] == pytest.approx(v + 50.0)
+            assert got[(2, j, i)] == pytest.approx(v + 250.0)
