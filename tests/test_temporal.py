@@ -509,3 +509,71 @@ class TestResampleInTimeDataset:
         got = out.to_numpy("sst", (1, 3, 4))
         np.testing.assert_allclose(
             got[0], np.nanmax(cube, axis=0))
+
+    def test_last_reducer_is_time_ordered(self, spark):
+        # regression: relabeling frames to a bucket INDEX before the
+        # agg made min_by/max_by tie on a constant key -- 'last' must
+        # pick by real frame time, whatever the row order
+        from xcube_resampling_spark.dataset import SparkDataset
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        cube = np.array(
+            [[[1.0]], [[5.0]], [[3.0]]])  # frames 0,1,2 of 1x1 px
+        ds = SparkDataset.from_numpy(
+            spark,
+            data_vars={"v": (("time", "y", "x"), cube)},
+            coords={"time": np.array([0, 10, 20])},
+        )
+        out = resample_in_time(ds, period=100, agg_methods="last")
+        assert out.to_numpy("v", (1, 1, 1))[0, 0, 0] == 3.0
+        out = resample_in_time(ds, period=100, agg_methods="first")
+        assert out.to_numpy("v", (1, 1, 1))[0, 0, 0] == 1.0
+
+    def test_wildcard_mapping_and_typo_raises(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        ds, cube, _ = self._ds(spark)
+        out = resample_in_time(ds, period=100,
+                               agg_methods={"*": "max"})
+        np.testing.assert_allclose(
+            out.to_numpy("sst", (1, 3, 4))[0],
+            np.nanmax(cube, axis=0))
+        with pytest.raises(ValueError, match="invalid time agg"):
+            resample_in_time(ds, period=100, agg_methods="medain")
+        with pytest.raises(ValueError, match="invalid time interp"):
+            resample_in_time(ds, target_times=[19723],
+                             interp_methods="cubic")
+
+    def test_driver_side_time_var_stays_consistent(self, spark):
+        # a ('time',)-dimensioned metadata variable must follow the
+        # new axis, not silently keep the old length
+        from xcube_resampling_spark.dataset import (
+            SparkDataset,
+            Variable,
+        )
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+
+        ds, cube, times = self._ds(spark)
+        qc = np.array([0.0, 1.0, np.nan, 3.0, 4.0, 5.0])
+        ds.data_vars["qc"] = Variable(
+            "qc", None, ("time",), "float64", {}, data=qc)
+        out = resample_in_time(ds, period=10, agg_methods="mean")
+        days = times.astype("int64")
+        starts = sorted({(d // 10) * 10 for d in days})
+        got = out.data_vars["qc"].data
+        assert got.shape == (len(starts),)
+        for k, s in enumerate(starts):
+            sel = (days // 10) * 10 == s
+            want = np.nanmean(qc[sel])
+            assert got[k] == pytest.approx(want)
+        # interp mode too
+        targets = [int(days[0]), int(days[2])]
+        out2 = resample_in_time(ds, target_times=targets)
+        np.testing.assert_allclose(
+            out2.data_vars["qc"].data, [qc[0], qc[2]])

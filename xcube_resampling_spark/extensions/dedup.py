@@ -78,10 +78,13 @@ def banded_candidate_pairs(
     Buckets of at most ``max_bucket`` rows self-join on ``key_cols``
     (equi-join, never a cross join).  Larger buckets -- quadratic pair
     blow-up territory -- are detected with ONE map-side-combinable
-    groupBy (its output is at most ``n_rows / max_bucket`` keys, so it
-    broadcasts) and short-circuited: each member pairs only with the
-    bucket's minimum-id representative (``size - 1`` star candidates,
-    no join at all).  Every candidate, star or not, still goes through
+    groupBy over the persisted band table (the cache is shared with
+    the tag join and the self-join, so the upstream pipeline computes
+    once; the agg output is at most ``n_rows / max_bucket`` keys, so
+    it broadcasts) and
+    short-circuited: each member pairs only with the bucket's
+    minimum-id representative (``size - 1`` star candidates, no join
+    at all).  Every candidate, star or not, still goes through
     the caller's exact verification (Jaccard / Hamming / cosine), so
     precision is unchanged; pair-level recall INSIDE a hot bucket
     degrades to representative connectivity, which is exactly what the
@@ -95,30 +98,40 @@ def banded_candidate_pairs(
     """
     keys = list(key_cols)
     if max_bucket is not None:
-        # bucket size + representative as WINDOW functions over the
-        # band key: ONE pass over the bands table and ONE exchange,
-        # which the small-side self-join below then reuses (same
-        # hash-partitioning on the same keys -- no re-shuffle).  The
-        # earlier groupBy+broadcast-join formulation referenced
-        # ``bands`` twice, recomputing the whole upstream signature
-        # pipeline (measured +1.5s on the sf0.1 minhash headline).
-        w = Window.partitionBy(*keys)
-        flagged = bands.select(
-            id_col, *keys, *payload_cols,
-            F.count(F.lit(1)).over(w).alias("__bsz"),
-            F.min(id_col).over(w).alias("__rep"),
-            *[
-                F.min_by(F.col(c), F.col(id_col)).over(w)
-                .alias(f"__rep_{c}")
-                for c in payload_cols
-            ],
+        # The band table is PERSISTED (released by release_cached):
+        # the hot-key aggregate, the tag join probe, and both self-
+        # join sides read the cache, so the upstream signature
+        # pipeline computes ONCE.  Hot-key detection stays a
+        # map-side-combinable groupBy (per-key state = one counter +
+        # one min), so a 10^7-row boilerplate bucket never has to be
+        # buffered or sorted by a single task the way a window
+        # function over the key would; its output is at most
+        # n_rows/max_bucket keys and broadcasts.  (Two earlier
+        # formulations measured worse: groupBy without caching
+        # recomputed the pipeline, +1.5s on the sf0.1 minhash
+        # headline; window functions buffered the hot bucket in one
+        # WindowExec task -- the exact straggler the cap exists to
+        # prevent.)
+        bands = _persist(bands)
+        hot = (
+            bands.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("__bsz"),
+                F.min(id_col).alias("__rep"),
+                *[
+                    F.min_by(F.col(c), F.col(id_col)).alias(f"__rep_{c}")
+                    for c in payload_cols
+                ],
+            )
+            .filter(F.col("__bsz") > max_bucket)
+            .drop("__bsz")
         )
-        small = flagged.filter(F.col("__bsz") <= max_bucket).select(
+        tagged = bands.join(F.broadcast(hot), keys, "left")
+        small = tagged.filter(F.col("__rep").isNull()).select(
             id_col, *keys, *payload_cols
         )
-        star = flagged.filter(
-            (F.col("__bsz") > max_bucket)
-            & (F.col(id_col) != F.col("__rep"))
+        star = tagged.filter(
+            F.col("__rep").isNotNull() & (F.col(id_col) != F.col("__rep"))
         ).select(
             F.col("__rep").alias("id_a"),
             F.col(id_col).alias("id_b"),
@@ -609,9 +622,8 @@ def dedup_embedding_cosine_lsh(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     # persist: the 16 hyperplane dots per vector are interpreted
-    # higher-order aggregates, and the capped candidate generator
-    # walks the band table three times (hot-key groupBy, tag join,
-    # self-join)
+    # higher-order aggregates, evaluated once into the cache the
+    # capped candidate generator's consumers share
     bands = _persist(e.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select(

@@ -38,7 +38,7 @@ same status as the grid mapping in the spatial operators).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -284,6 +284,71 @@ def composite_best_pixel(
 # dataset-level dispatcher (the xcube resample_in_time call shape)
 
 
+def _resolve_time_method(methods, name: str, valid, kind: str) -> str:
+    """Per-variable method resolution for the dataset dispatcher: a
+    plain string applies to every variable; a mapping is looked up by
+    variable name with ``"*"`` as the default key.  Unknown method
+    names raise -- a typo like ``'medain'`` must never silently
+    degrade to a different reducer."""
+    if isinstance(methods, str):
+        m = methods
+    elif isinstance(methods, Mapping):
+        m = methods.get(name, methods.get("*"))
+        if m is None:
+            m = "mean" if kind == "agg" else "linear"
+    elif methods is None:
+        m = "mean" if kind == "agg" else "linear"
+    else:
+        raise TypeError(f"{kind}_methods must be a str or mapping")
+    if m not in valid:
+        raise ValueError(
+            f"invalid time {kind} method {m!r} for variable {name!r} "
+            f"(valid: {', '.join(valid)})"
+        )
+    return m
+
+
+def _np_time_agg(data, frame_bins, n_out: int, method: str):
+    """Driver-side bucket reducer along axis 0 for non-pixel variables
+    (e.g. dims ('time',) or ('time', 'bnds') metadata arrays) -- the
+    same NaN-aware semantics as :func:`resample_time_agg`."""
+    import numpy as np
+
+    out_shape = (n_out,) + data.shape[1:]
+    out = np.full(out_shape, np.nan, dtype="float64")
+    data = data.astype("float64")
+    with np.errstate(invalid="ignore"):
+        for b in range(n_out):
+            sel = data[frame_bins == b]
+            if sel.size == 0:
+                continue
+            valid = ~np.isnan(sel)
+            if method == "sum":
+                out[b] = np.nansum(sel, axis=0)
+            elif method == "count":
+                out[b] = valid.sum(axis=0)
+            elif method in ("first", "last"):
+                idx = (np.argmax(valid, axis=0) if method == "first"
+                       else sel.shape[0] - 1
+                       - np.argmax(valid[::-1], axis=0))
+                picked = np.take_along_axis(
+                    sel, idx[None, ...], axis=0)[0]
+                picked = np.where(valid.any(axis=0), picked, np.nan)
+                out[b] = picked
+            else:
+                fn = {"mean": np.nanmean, "median": np.nanmedian,
+                      "min": np.nanmin, "max": np.nanmax,
+                      "std": np.nanstd, "var": np.nanvar}[method]
+                all_nan = ~valid.any(axis=0)
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    red = fn(sel, axis=0)
+                out[b] = np.where(all_nan, np.nan, red)
+    return out
+
+
 def resample_in_time(
     source_ds,
     period: int | None = None,
@@ -299,31 +364,31 @@ def resample_in_time(
 
     Exactly one of ``period`` (downsample with reducers) or
     ``target_times`` (re-grid by interpolation) must be given.
-    ``agg_methods`` / ``interp_methods`` take a single method name or a
-    per-variable mapping with the same resolution rules as the spatial
-    operators (name -> method, ``*`` default; operators/utils.py:76).
+    ``agg_methods`` / ``interp_methods`` take a single method name or
+    a per-variable mapping (variable name -> method; ``"*"`` is the
+    default key).  Unknown method names raise.
 
     Frame labels come from ``coords[time_dim]``: integer arrays are
     used as-is, ``datetime64`` arrays are converted to int64 in their
     own unit (so ``period`` / ``target_times`` are in that unit) and
     the output coordinate is converted back.  Without a coordinate the
-    frame index is the label.  Variables without the time dimension
+    frame index is the label.  Pixel variables go through the
+    single-shuffle operators above; DRIVER-SIDE variables that carry
+    the time dimension (e.g. ``('time', 'bnds')`` metadata arrays) are
+    transformed with the same NaN-aware numpy semantics so the dataset
+    stays internally consistent; variables without the time dimension
     pass through untouched.
 
     Scale: the label axis is driver-side metadata (same status as the
-    grid mapping); each variable's pixels go through the single-shuffle
-    operators above, with the frame->output-frame relabeling done by an
-    ``element_at`` over a literal array -- no extra shuffle, no UDF.
+    grid mapping); the frame->label and label->output-frame mappings
+    are ``element_at``/``create_map`` over driver-side literals -- no
+    extra shuffle, no UDF.
     """
     from dataclasses import replace as _replace
 
     import numpy as np
 
-    from xcube_resampling_spark.operators.utils import (
-        get_agg_method,
-        get_interp_method_str,
-        num_t,
-    )
+    from xcube_resampling_spark.operators.utils import num_t
 
     if (period is None) == (target_times is None):
         raise ValueError(
@@ -344,9 +409,7 @@ def resample_in_time(
         coord = np.asarray(coord)
         if np.issubdtype(coord.dtype, np.datetime64):
             dt_unit = np.datetime_data(coord.dtype)[0]
-            labels = coord.astype("int64")
-        else:
-            labels = coord.astype("int64")
+        labels = coord.astype("int64")
     else:
         nt = max(
             (num_t(source_ds, v)
@@ -357,70 +420,89 @@ def resample_in_time(
         )
         labels = np.arange(nt, dtype="int64")
     label_list = [int(x) for x in labels]
+    label_arr = F.array(*[F.lit(x) for x in label_list])
 
-    # --- output axis + per-frame relabeling (both driver-side)
+    # --- output axis + label->output-index map (both driver-side)
     if period is not None:
-        starts = sorted({(x - ((x % period) + period) % period)
-                         for x in label_list})
-        start_idx = {s: k for k, s in enumerate(starts)}
-        frame_to_out = [
-            start_idx[x - ((x % period) + period) % period]
-            for x in label_list
-        ]
+        bin_start = [x - ((x % period) + period) % period
+                     for x in label_list]
+        starts = sorted(set(bin_start))
+        out_idx = {s: k for k, s in enumerate(starts)}
+        frame_bins = np.asarray([out_idx[s] for s in bin_start])
         out_labels = np.asarray(starts, dtype="int64")
     else:
         if len(target_times) != len(set(target_times)):
             raise ValueError("duplicate target frame labels")
         tt = [int(x) for x in target_times]
         out_labels = np.asarray(tt, dtype="int64")
-        target_idx = {x: k for k, x in enumerate(tt)}
+        out_idx = {x: k for k, x in enumerate(tt)}
+
+    def _to_out_idx(df):
+        # bin-start / target label -> output frame index
+        return df.withColumn(
+            "t",
+            F.element_at(
+                F.create_map(*[
+                    F.lit(v) for lab, k in out_idx.items()
+                    for v in (lab, k)
+                ]),
+                F.col("t"),
+            ),
+        )
 
     new_vars = {}
     for name, var in source_ds.data_vars.items():
-        if (not var.is_spatial or len(var.dims) != 3
-                or var.dims[0] != time_dim):
+        has_time = time_dim in var.dims
+        if not has_time:
             new_vars[name] = var
             continue
-        df = var.df
+        if not var.is_spatial:
+            # driver-side metadata variable carrying the time axis
+            if var.dims[0] != time_dim:
+                raise NotImplementedError(
+                    f"variable {name!r}: the time dimension must be "
+                    "leading for driver-side temporal resampling"
+                )
+            data = np.asarray(var.data)
+            if period is not None:
+                method = _resolve_time_method(
+                    agg_methods, name, TIME_REDUCERS, "agg")
+                out_data = _np_time_agg(
+                    data, frame_bins, len(out_labels), method)
+            else:
+                method = _resolve_time_method(
+                    interp_methods, name, ("linear", "nearest"),
+                    "interp")
+                wrows = interp_weights(label_list, tt, method)
+                out_data = np.zeros(
+                    (len(tt),) + data.shape[1:], dtype="float64")
+                pos = {x: k for k, x in enumerate(label_list)}
+                for t_src, t_out, wgt in wrows:
+                    out_data[out_idx[t_out]] += (
+                        wgt * data[pos[t_src]].astype("float64"))
+            new_vars[name] = _replace(
+                var, data=out_data, dtype="float64")
+            continue
+        if len(var.dims) != 3 or var.dims[0] != time_dim:
+            raise NotImplementedError(
+                f"variable {name!r}: pixel variables must be "
+                f"({time_dim}, y, x) for temporal resampling"
+            )
+        # frame index -> frame LABEL (t stays unique per pixel, so
+        # order-sensitive reducers like first/last see real times)
+        relabeled = var.df.withColumn(
+            "t", F.element_at(label_arr, F.col("t") + 1)
+        )
         if period is not None:
-            method = get_agg_method(agg_methods, name, var.dtype)
-            if method not in TIME_REDUCERS:
-                # per-dtype spatial defaults like "center" have no
-                # temporal meaning; xcube's resample_in_time default
-                # is the mean
-                method = "mean"
-            mapped = df.withColumn(
-                "t",
-                F.element_at(
-                    F.array(*[F.lit(k) for k in frame_to_out]),
-                    F.col("t") + 1,
-                ),
-            )
-            out = resample_time_agg(mapped, method, 1)
+            method = _resolve_time_method(
+                agg_methods, name, TIME_REDUCERS, "agg")
+            out = resample_time_agg(relabeled, method, period)
         else:
-            method = get_interp_method_str(
-                interp_methods, name, var.dtype)
-            if method not in ("linear", "nearest"):
-                method = "nearest" if method == "nearest" else "linear"
-            relabeled = df.withColumn(
-                "t",
-                F.element_at(
-                    F.array(*[F.lit(x) for x in label_list]),
-                    F.col("t") + 1,
-                ),
-            )
-            out = resample_time_interp(
-                relabeled, label_list, tt, method)
-            out = out.withColumn(
-                "t",
-                F.element_at(
-                    F.create_map(*[
-                        F.lit(v) for x in tt
-                        for v in (x, target_idx[x])
-                    ]),
-                    F.col("t"),
-                ),
-            )
+            method = _resolve_time_method(
+                interp_methods, name, ("linear", "nearest"), "interp")
+            out = resample_time_interp(relabeled, label_list, tt,
+                                       method)
+        out = _to_out_idx(out)
         new_vars[name] = _replace(
             var, df=out.select("t", "j", "i", "value"),
             dtype="float64",
