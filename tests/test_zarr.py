@@ -1122,3 +1122,106 @@ def test_gzip_compressor_read(spark, tmp_path):
     exp = df.toPandas().sort_values(["j", "i"])
     np.testing.assert_array_equal(
         back["value"].to_numpy(), exp["value"].to_numpy())
+
+
+class TestTimeCoordinate:
+    def test_open_surfaces_and_decodes_time(self, spark, tmp_path):
+        """A store with a CF time coordinate ('days since ...') opens
+        with the raw values by default and datetime64[ns] under
+        decode_cf=True -- and the decoded axis drives
+        resample_in_time directly."""
+        import json as _json
+
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+        from xcube_resampling_spark.sources import (
+            open_zarr_dataset,
+            write_zarr_cf,
+        )
+
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+
+        gm = GridMapping.regular(
+            (16, 12), (500000.0, 5000000.0), 100.0,
+            CRS.from_epsg(32632))
+        path = str(tmp_path / "tc")
+        df = _raster(spark, 16, 12, nt=3)
+        write_zarr_cf(df, path, "band", gm, nt=3)
+        # rename the leading dim to 'time' (the xarray convention)
+        # and add a CF time coordinate by hand (uncompressed chunk)
+        zap = tmp_path / "tc" / "band" / ".zattrs"
+        za_doc = _json.loads(zap.read_text())
+        za_doc["_ARRAY_DIMENSIONS"] = ["time", "y", "x"]
+        zap.write_text(_json.dumps(za_doc))
+        tdir = tmp_path / "tc" / "time"
+        tdir.mkdir()
+        tvals = np.array([0, 3, 9], dtype="<i8")
+        (tdir / ".zarray").write_text(_json.dumps({
+            "zarr_format": 2, "shape": [3], "chunks": [3],
+            "dtype": "<i8", "compressor": None, "fill_value": None,
+            "order": "C", "filters": None,
+        }))
+        (tdir / ".zattrs").write_text(_json.dumps({
+            "_ARRAY_DIMENSIONS": ["time"],
+            "units": "days since 2024-01-01",
+            "calendar": "standard",
+        }))
+        (tdir / "0").write_bytes(tvals.tobytes())
+
+        ds, _gm2 = open_zarr_dataset(spark, path)
+        np.testing.assert_array_equal(ds.coords["time"], tvals)
+        assert ds.coord_attrs["time"]["units"] == \
+            "days since 2024-01-01"
+
+        ds2, _ = open_zarr_dataset(spark, path, decode_cf=True)
+        want = np.array(
+            ["2024-01-01", "2024-01-04", "2024-01-10"],
+            dtype="datetime64[ns]")
+        np.testing.assert_array_equal(ds2.coords["time"], want)
+
+        # decoded datetime64 axis feeds resample_in_time (unit = ns!)
+        day_ns = 86_400_000_000_000
+        out = resample_in_time(ds2, period=7 * day_ns,
+                               agg_methods="count")
+        assert len(out.coords["time"]) == 2
+        assert out.coords["time"].dtype == want.dtype
+
+    def test_fixed_calendar_time_keeps_raw_values(self, spark,
+                                                  tmp_path):
+        import json as _json
+
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            open_zarr_dataset,
+            write_zarr_cf,
+        )
+
+        gm = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "tc360")
+        write_zarr_cf(_raster(spark, 8, 6, nt=2), path, "band", gm,
+                      nt=2)
+        zap = tmp_path / "tc360" / "band" / ".zattrs"
+        za_doc = _json.loads(zap.read_text())
+        za_doc["_ARRAY_DIMENSIONS"] = ["time", "y", "x"]
+        zap.write_text(_json.dumps(za_doc))
+        tdir = tmp_path / "tc360" / "time"
+        tdir.mkdir()
+        (tdir / ".zarray").write_text(_json.dumps({
+            "zarr_format": 2, "shape": [2], "chunks": [2],
+            "dtype": "<i4", "compressor": None, "fill_value": None,
+            "order": "C", "filters": None,
+        }))
+        (tdir / ".zattrs").write_text(_json.dumps({
+            "units": "days since 2000-01-01",
+            "calendar": "360_day",
+        }))
+        (tdir / "0").write_bytes(
+            np.array([0, 30], dtype="<i4").tobytes())
+        ds, _ = open_zarr_dataset(spark, path, decode_cf=True)
+        # 360_day has no real-timeline instants: raw values + attrs
+        np.testing.assert_array_equal(ds.coords["time"], [0, 30])
+        assert ds.coord_attrs["time"]["calendar"] == "360_day"

@@ -370,3 +370,42 @@ def decode_cf_time_components(
         (_floordiv(sec_of_day, 60) % 60).cast("int").alias("minute"),
         (sec_of_day % 60).cast("int").alias("second"),
     )
+
+
+def decode_cf_time_array(values, units: str,
+                         calendar: str | None = "standard"):
+    """Driver-side numpy twin of :func:`decode_cf_time`: a numeric CF
+    time COORDINATE array -> ``datetime64[ns]``.
+
+    Coordinate axes are metadata-sized, so this runs in plain Python
+    integers (no int64 overflow while accumulating -- a year-1 epoch
+    is ~-6.2e19 ns, outside int64 until the offsets are added back).
+    Values whose instant falls outside datetime64[ns]'s ±292-year
+    window raise ValueError -- callers keep the raw numbers then.
+    Fixed-length calendars have no real-timeline instants and raise
+    the same way as :func:`decode_cf_time`."""
+    import numpy as np
+
+    cal = (calendar or "standard").lower()
+    if cal not in _REAL_CALENDARS:
+        if cal in _CAL_MONTHS:
+            raise ValueError(
+                f"calendar {calendar!r} dates do not exist on the "
+                "real timeline; keep the raw values"
+            )
+        raise ValueError(f"unknown CF calendar {calendar!r}")
+    unit_ns, epoch = parse_cf_time_units(units)
+    epoch_ns = _epoch_ns(epoch)
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        ns = [epoch_ns + int(v) * unit_ns for v in arr.ravel()]
+    else:
+        ns = [epoch_ns + round(float(v) * unit_ns)
+              for v in arr.ravel()]
+    lo, hi = -2 ** 63, 2 ** 63 - 1
+    if any(n < lo or n > hi for n in ns):
+        raise ValueError(
+            "decoded instants fall outside the datetime64[ns] range"
+        )
+    return np.asarray(ns, dtype="int64").astype(
+        "datetime64[ns]").reshape(arr.shape)

@@ -20,6 +20,7 @@ from .zarr import (
     ZipChunkStore,
     open_zarr_dataset,
     read_zarr,
+    read_zarr_coord_array,
     read_zarr_grid_mapping,
     write_zarr,
     write_zarr_cf,
@@ -126,6 +127,7 @@ __all__ = [
     "read_pixels",
     "open_zarr_dataset",
     "read_zarr",
+    "read_zarr_coord_array",
     "read_zarr_grid_mapping",
     "RangeReader",
     "FileRangeReader",

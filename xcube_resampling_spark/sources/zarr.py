@@ -687,6 +687,53 @@ def write_zarr_cf(
                     chunk_put=put)
 
 
+def read_zarr_coord_array(
+    path: str, name: str, store: ChunkPut | None = None,
+) -> tuple["np.ndarray | None", dict]:
+    """Read a 1-D coordinate array + its attributes from a zarr v2
+    store (driver-side -- coordinate axes are metadata-sized).  Goes
+    through the same chunk decode pipeline as the data variables, so
+    compressed/filtered coordinate arrays work.  Returns
+    ``(None, {})`` when the store has no such array."""
+
+    def _bytes(key):
+        if store is not None:
+            try:
+                return store.get(key)
+            except NotImplementedError:
+                return None
+        p = os.path.join(path, key)
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as fp:
+            return fp.read()
+
+    za_raw = _bytes(f"{name}/.zarray")
+    if za_raw is None:
+        return None, {}
+    za = json.loads(za_raw)
+    if len(za["shape"]) != 1:
+        return None, {}
+    comp = _check_compressor(za)
+    filters = za.get("filters") or None
+    n = int(za["shape"][0])
+    if n == 0:
+        return None, {}
+    c = int(za["chunks"][0]) if za.get("chunks") else n
+    parts = []
+    for k in range(-(-n // c) if c else 1):
+        raw = _bytes(f"{name}/{k}")
+        if raw is None:
+            return None, {}
+        parts.append(np.frombuffer(
+            _decompress_chunk(bytes(raw), comp, filters), za["dtype"]))
+    arr = np.concatenate(parts)[:n]
+    attrs_raw = _bytes(f"{name}/.zattrs")
+    attrs = json.loads(attrs_raw) if attrs_raw else {}
+    attrs.pop("_ARRAY_DIMENSIONS", None)
+    return arr, attrs
+
+
 def read_zarr_grid_mapping(path: str, crs_var_name: str = "spatial_ref",
                            store: ChunkPut | None = None):
     """Reconstruct the GridMapping of a CF zarr v2 store written by
@@ -810,19 +857,52 @@ def open_zarr_dataset(
             raise FileNotFoundError(
                 f"no {var}/.zarray in the store -- unknown variable "
                 f"{var!r}")
-        dims = ("t", "y", "x")[-len(za["shape"]):]
         zattrs = _var_json(var, ".zattrs") or {}
+        store_dims = zattrs.get("_ARRAY_DIMENSIONS")
+        if (isinstance(store_dims, list)
+                and len(store_dims) == len(za["shape"])):
+            # honor the store's dim names (xarray convention), so a
+            # 'time' axis lines up with its coordinate array instead
+            # of being renamed to 't'
+            dims = tuple(store_dims)
+        else:
+            dims = ("t", "y", "x")[-len(za["shape"]):]
         attrs = {k: v for k, v in zattrs.items()
                  if k != "_ARRAY_DIMENSIONS"}
         df = read_zarr(spark, path, var, bbox_ij=bbox_ij,
                        decode_cf=decode_cf, store=store)
         data_vars[var] = Variable(var, df, dims, "float64", attrs)
+    coords = {"x": np.asarray(gm.x_coords, dtype="float64"),
+              "y": np.asarray(gm.y_coords, dtype="float64")}
+    coord_attrs = {"spatial_ref": gm.crs.to_cf()}
+    # surface the store's time axis (CF-decoded to datetime64[ns]
+    # under decode_cf when the units/calendar allow; raw values --
+    # with their attrs intact -- otherwise, e.g. 360_day calendars or
+    # epochs outside the ns window)
+    for tname in ("time", "t"):
+        tarr, tattrs = read_zarr_coord_array(path, tname, store=store)
+        if tarr is None:
+            continue
+        if decode_cf and "since" in str(tattrs.get("units", "")):
+            from xcube_resampling_spark.functions.cftime import (
+                decode_cf_time_array,
+            )
+
+            try:
+                tarr = decode_cf_time_array(
+                    tarr, tattrs["units"],
+                    tattrs.get("calendar", "standard"),
+                )
+            except ValueError:
+                pass
+        coords[tname] = tarr
+        coord_attrs[tname] = tattrs
+        break
     ds = SparkDataset(
         spark=spark,
         data_vars=data_vars,
-        coords={"x": np.asarray(gm.x_coords, dtype="float64"),
-                "y": np.asarray(gm.y_coords, dtype="float64")},
-        coord_attrs={"spatial_ref": gm.crs.to_cf()},
+        coords=coords,
+        coord_attrs=coord_attrs,
         yx_dims=("y", "x"),
     )
     return ds, gm
