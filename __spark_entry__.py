@@ -6720,6 +6720,9 @@ def q_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              TT.resample_time_interp(cube, TDAYS, TTARGETS, m))
         )
     legs.append(("ffill", TT.forward_fill_time(cube)))
+    legs.append(("bfill", TT.backward_fill_time(cube)))
+    legs.append(("interp_na", TT.interpolate_na_time(cube)))
+    legs.append(("rolling_mean", TT.rolling_time_agg(cube, "mean", 15)))
     legs.append(("composite", TT.composite_best_pixel(cube)))
     # CF time decoding over the frame axis (functions/cftime.py):
     # 'cf_decode' = real-calendar decode (hours unit, epoch with a
@@ -6805,6 +6808,41 @@ SELECT 'ffill' AS leg, t, j, i,
        COALESCE(last_value({nv} IGNORE NULLS) OVER (
            PARTITION BY j, i ORDER BY t
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {nan})
+       AS value
+FROM ({TIME_CUBE_SQL})""")
+    parts.append(f"""
+SELECT 'bfill' AS leg, t, j, i,
+       COALESCE(first_value({nv} IGNORE NULLS) OVER (
+           PARTITION BY j, i ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), {nan})
+       AS value
+FROM ({TIME_CUBE_SQL})""")
+    parts.append(f"""
+SELECT 'interp_na' AS leg, t, j, i,
+       COALESCE(
+         CASE WHEN nv IS NOT NULL THEN nv
+              WHEN pv IS NOT NULL AND nx IS NOT NULL
+              THEN pv + (nx - pv) * (t - pt) / (nt2 - pt) END,
+         {nan}) AS value
+FROM (
+  SELECT t, j, i, nv,
+         last_value(nv IGNORE NULLS) OVER wprev AS pv,
+         last_value(CASE WHEN nv IS NOT NULL THEN t END
+                    IGNORE NULLS) OVER wprev AS pt,
+         first_value(nv IGNORE NULLS) OVER wnext AS nx,
+         first_value(CASE WHEN nv IS NOT NULL THEN t END
+                     IGNORE NULLS) OVER wnext AS nt2
+  FROM (SELECT t, j, i, {nv} AS nv FROM ({TIME_CUBE_SQL}))
+  WINDOW wprev AS (PARTITION BY j, i ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wnext AS (PARTITION BY j, i ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)""")
+    parts.append(f"""
+SELECT 'rolling_mean' AS leg, t, j, i,
+       COALESCE(AVG({nv}) OVER (
+           PARTITION BY j, i ORDER BY t
+           RANGE BETWEEN 14 PRECEDING AND CURRENT ROW), {nan})
        AS value
 FROM ({TIME_CUBE_SQL})""")
     parts.append(f"""

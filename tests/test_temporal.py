@@ -577,3 +577,93 @@ class TestResampleInTimeDataset:
         out2 = resample_in_time(ds, target_times=targets)
         np.testing.assert_allclose(
             out2.data_vars["qc"].data, [qc[0], qc[2]])
+
+
+class TestGapFillFamily:
+    def test_backward_fill_matches_pandas(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            backward_fill_time,
+        )
+
+        cube = _cube(spark)
+        got = _collect(backward_fill_time(cube))
+        series = pd.Series(
+            [2.0, NAN, 6.0, NAN, 3.0, 5.0], index=list(DAYS)
+        ).bfill()
+        for t in DAYS:
+            assert _eq(got[(t, 0, 1)], series.loc[t])
+
+    def test_backward_fill_trailing_gap_stays_nan(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            backward_fill_time,
+        )
+
+        cube = spark.createDataFrame(
+            [(1, 0, 0, 7.0), (2, 0, 0, NAN), (3, 0, 0, NAN)],
+            "t long, j int, i int, value double",
+        )
+        got = _collect(backward_fill_time(cube))
+        assert got[(1, 0, 0)] == 7.0
+        assert math.isnan(got[(2, 0, 0)])
+        assert math.isnan(got[(3, 0, 0)])
+
+    def test_interpolate_na_matches_pandas(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            interpolate_na_time,
+        )
+
+        cube = _cube(spark)
+        got = _collect(interpolate_na_time(cube))
+        # pandas interpolate with the index as abscissa == xarray's
+        # interpolate_na(method="linear", use_coordinate=True)
+        series = pd.Series(
+            [2.0, NAN, 6.0, NAN, 3.0, 5.0],
+            index=pd.Index(list(DAYS), dtype="float64"),
+        ).interpolate(method="index")
+        for t in DAYS:
+            assert _eq(got[(t, 0, 1)], series.loc[float(t)]), t
+
+    def test_interpolate_na_edge_gaps_stay_nan(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            interpolate_na_time,
+        )
+
+        cube = spark.createDataFrame(
+            [(0, 0, 0, NAN), (5, 0, 0, 10.0), (10, 0, 0, NAN),
+             (20, 0, 0, 30.0), (30, 0, 0, NAN)],
+            "t long, j int, i int, value double",
+        )
+        got = _collect(interpolate_na_time(cube))
+        assert math.isnan(got[(0, 0, 0)])     # leading: no left bracket
+        assert got[(5, 0, 0)] == 10.0
+        # 10 is 1/3 of the way from 5 to 20: 10 + (30-10)/3
+        assert got[(10, 0, 0)] == pytest.approx(10 + 20 / 3)
+        assert math.isnan(got[(30, 0, 0)])    # trailing gap
+
+    def test_rolling_matches_pandas_time_window(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        cube = _cube(spark)
+        vals = pd.Series(
+            [2.0, NAN, 6.0, NAN, 3.0, 5.0],
+            index=pd.to_datetime(list(DAYS), unit="D"),
+        )
+        for method, pdm in (("mean", "mean"), ("sum", "sum"),
+                            ("max", "max"), ("count", "count")):
+            got = _collect(rolling_time_agg(cube, method, 5))
+            want = getattr(vals.rolling("5D"), pdm)()
+            for k, t in enumerate(DAYS):
+                w = want.iloc[k]
+                if method == "sum" and (math.isnan(w)):
+                    w = 0.0
+                assert _eq(got[(t, 0, 1)], float(w)), (method, t)
+
+    def test_rolling_invalid_method(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        with pytest.raises(ValueError, match="invalid rolling"):
+            rolling_time_agg(_cube(spark), "mode", 5)

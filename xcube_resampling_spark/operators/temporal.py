@@ -280,6 +280,115 @@ def composite_best_pixel(
     )
 
 
+
+
+def backward_fill_time(
+    pixels: DataFrame,
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Fill NaN observations from the earliest LATER valid frame --
+    the mirror of :func:`forward_fill_time` (``first(...,
+    ignorenulls=True)`` over the current-row..unbounded-following
+    frame).  Trailing gaps stay NaN.  One shuffle, by pixel key."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = F.first(
+        _nan_to_null(F.col(value_col)), ignorenulls=True
+    ).over(w)
+    return pixels.select(
+        time_col, *key_cols,
+        F.coalesce(filled, F.lit(float("nan"))).alias(value_col),
+    )
+
+
+def interpolate_na_time(
+    pixels: DataFrame,
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Linearly interpolate NaN observations between the bracketing
+    valid frames -- xarray's ``interpolate_na(dim="time",
+    method="linear")``.  Leading/trailing gaps (no bracket on one
+    side) stay NaN.
+
+    Two window passes over ONE pixel-key shuffle: the previous valid
+    (t, value) via ``last ignorenulls`` over preceding rows, the next
+    valid pair via ``first ignorenulls`` over following rows, then the
+    lerp is plain arithmetic.  No join, no UDF."""
+    nv = _nan_to_null(F.col(value_col))
+    vt = F.when(nv.isNotNull(), F.col(time_col).cast("long"))
+    prev_w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last(nv, ignorenulls=True).over(prev_w)
+    pt = F.last(vt, ignorenulls=True).over(prev_w)
+    nx = F.first(nv, ignorenulls=True).over(next_w)
+    nt_ = F.first(vt, ignorenulls=True).over(next_w)
+    t = F.col(time_col).cast("long")
+    lerp = F.when(
+        nv.isNotNull(), nv                      # valid: passthrough
+    ).when(
+        pv.isNotNull() & nx.isNotNull(),
+        pv + (nx - pv) * (t - pt) / (nt_ - pt),
+    )
+    return pixels.select(
+        time_col, *key_cols,
+        F.coalesce(lerp, F.lit(float("nan"))).alias(value_col),
+    )
+
+
+def rolling_time_agg(
+    pixels: DataFrame,
+    method: str,
+    window: int,
+    time_col: str = "t",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("j", "i"),
+) -> DataFrame:
+    """Trailing rolling reducer over the time axis in LABEL units:
+    each frame aggregates the observations with ``t`` in
+    ``(t - window, t]`` -- a RANGE frame, so irregular axes weight by
+    actual time distance, not row count (xarray ``rolling`` is
+    row-count-based; the range form is what a 100-TB ingest with
+    uneven revisit times actually needs).  NaN observations are
+    skipped; a window with no valid observation yields NaN.  One
+    pixel-key shuffle."""
+    if method not in ("mean", "min", "max", "sum", "count"):
+        raise ValueError(f"invalid rolling reducer {method!r}")
+    nv = _nan_to_null(F.col(value_col))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(time_col).cast("long"))
+        .rangeBetween(-(window - 1), Window.currentRow)
+    )
+    agg = {
+        "mean": F.avg(nv), "min": F.min(nv), "max": F.max(nv),
+        "sum": F.sum(nv), "count": F.count(nv),
+    }[method].over(w)
+    if method == "count":
+        out = agg.cast("double")
+    elif method == "sum":
+        out = F.coalesce(agg, F.lit(0.0))
+    else:
+        out = F.coalesce(agg, F.lit(float("nan")))
+    return pixels.select(
+        time_col, *key_cols, out.alias(value_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset-level dispatcher (the xcube resample_in_time call shape)
 
