@@ -268,3 +268,31 @@ class TestOutOfBoundsEpochs:
             _parse_nominal("January 1st 2000")
         with pytest.raises(ValueError, match="invalid CF epoch"):
             _parse_nominal("2000-13-01")
+
+
+class TestDecodeArray:
+    def test_float_values_exact_at_large_magnitude(self):
+        import numpy as np
+
+        from xcube_resampling_spark.functions.cftime import (
+            decode_cf_time_array,
+        )
+
+        # ~1.7e18 ns product: a double multiply would be 256-ns
+        # granular; the int/frac split must keep exact ns
+        v = 1_700_000_000_123.0  # ms since epoch, exactly integral
+        out = decode_cf_time_array(
+            np.array([v]), "milliseconds since 1970-01-01")
+        assert out.astype("int64")[0] == int(v) * 1_000_000
+
+    def test_nat_sentinel_rejected(self):
+        import numpy as np
+
+        from xcube_resampling_spark.functions.cftime import (
+            decode_cf_time_array,
+        )
+
+        with pytest.raises(ValueError, match="datetime64"):
+            decode_cf_time_array(
+                np.array([-(2 ** 63) + 0], dtype="int64"),
+                "nanoseconds since 1970-01-01")

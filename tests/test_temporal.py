@@ -667,3 +667,11 @@ class TestGapFillFamily:
 
         with pytest.raises(ValueError, match="invalid rolling"):
             rolling_time_agg(_cube(spark), "mode", 5)
+
+    def test_rolling_window_must_be_positive(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        with pytest.raises(ValueError, match="window must be >= 1"):
+            rolling_time_agg(_cube(spark), "mean", 0)

@@ -400,9 +400,18 @@ def decode_cf_time_array(values, units: str,
     if np.issubdtype(arr.dtype, np.integer):
         ns = [epoch_ns + int(v) * unit_ns for v in arr.ravel()]
     else:
-        ns = [epoch_ns + round(float(v) * unit_ns)
-              for v in arr.ravel()]
-    lo, hi = -2 ** 63, 2 ** 63 - 1
+        # split like the Column twin's _value_us: the integer part
+        # multiplies in exact Python ints (a double product of
+        # ~1.7e18 ns would be 256-ns-granular), only the sub-unit
+        # remainder touches float
+        def _one(v):
+            f = float(v)
+            iv = int(f)  # truncation toward zero, exact
+            return epoch_ns + iv * unit_ns + round((f - iv) * unit_ns)
+
+        ns = [_one(v) for v in arr.ravel()]
+    # -2**63 itself is numpy's NaT sentinel, not a valid instant
+    lo, hi = -2 ** 63 + 1, 2 ** 63 - 1
     if any(n < lo or n > hi for n in ns):
         raise ValueError(
             "decoded instants fall outside the datetime64[ns] range"

@@ -364,10 +364,15 @@ def rolling_time_agg(
     actual time distance, not row count (xarray ``rolling`` is
     row-count-based; the range form is what a 100-TB ingest with
     uneven revisit times actually needs).  NaN observations are
-    skipped; a window with no valid observation yields NaN.  One
-    pixel-key shuffle."""
+    skipped; a window with no valid observation yields NaN for
+    mean/min/max and the xarray-style identities for ``sum`` (0.0)
+    and ``count`` (0).  One pixel-key shuffle."""
     if method not in ("mean", "min", "max", "sum", "count"):
         raise ValueError(f"invalid rolling reducer {method!r}")
+    if window < 1:
+        # rangeBetween(positive, 0) would be an inverted frame that
+        # silently returns empty-window results everywhere
+        raise ValueError(f"window must be >= 1, got {window}")
     nv = _nan_to_null(F.col(value_col))
     w = (
         Window.partitionBy(*key_cols)

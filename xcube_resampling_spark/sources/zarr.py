@@ -759,29 +759,11 @@ def read_zarr_grid_mapping(path: str, crs_var_name: str = "spatial_ref",
             return fp.read()
 
     def _arr(name):
-        za_raw = _bytes(f"{name}/.zarray")
-        if za_raw is None:
-            return None
-        za = json.loads(za_raw)
         # real-world stores routinely compress (and filter) even the
-        # 1-D coordinate arrays -- decode through the same chunk
-        # pipeline as the data variables, concatenating all chunks
-        comp = _check_compressor(za)
-        filters = za.get("filters") or None
-        n = int(za["shape"][0])
-        if n == 0:
-            return None  # empty coordinate array is unusable
-        c = int(za["chunks"][0]) if za.get("chunks") else n
-        parts = []
-        for k in range(-(-n // c) if c else 1):
-            raw = _bytes(f"{name}/{k}")
-            if raw is None:
-                return None
-            parts.append(np.frombuffer(
-                _decompress_chunk(bytes(raw), comp, filters),
-                za["dtype"],
-            ))
-        return np.concatenate(parts)[:n].astype("float64")
+        # 1-D coordinate arrays -- read through the shared coordinate
+        # reader (same chunk decode pipeline as the data variables)
+        arr, _attrs = read_zarr_coord_array(path, name, store=store)
+        return None if arr is None else arr.astype("float64")
 
     x = _arr("x")
     y = _arr("y")
@@ -878,9 +860,25 @@ def open_zarr_dataset(
     # surface the store's time axis (CF-decoded to datetime64[ns]
     # under decode_cf when the units/calendar allow; raw values --
     # with their attrs intact -- otherwise, e.g. 360_day calendars or
-    # epochs outside the ns window)
-    for tname in ("time", "t"):
-        tarr, tattrs = read_zarr_coord_array(path, tname, store=store)
+    # epochs outside the ns window).  The coordinate NAMED LIKE the
+    # data variables' leading dim is tried first, so the surfaced
+    # coord always lines up with var.dims[0] (what resample_in_time
+    # resolves); generic names are fallbacks.
+    lead_dims = [v.dims[0] for v in data_vars.values()
+                 if len(v.dims) == 3]
+    tried = []
+    for tname in (*lead_dims, "time", "t"):
+        if tname in tried or tname in ("y", "x", "lat", "lon"):
+            continue
+        tried.append(tname)
+        try:
+            tarr, tattrs = read_zarr_coord_array(
+                path, tname, store=store)
+        except NotImplementedError:
+            # a coordinate array with an unsupported codec must not
+            # stop the store from opening (the data vars are fine);
+            # before time surfacing existed it was simply ignored
+            continue
         if tarr is None:
             continue
         if decode_cf and "since" in str(tattrs.get("units", "")):
@@ -893,6 +891,12 @@ def open_zarr_dataset(
                     tarr, tattrs["units"],
                     tattrs.get("calendar", "standard"),
                 )
+                # the values are instants now: move the numeric
+                # encoding out of the live attrs (xarray's .encoding
+                # convention) so nothing re-interprets ns as days
+                enc = {k: tattrs.pop(k)
+                       for k in ("units", "calendar") if k in tattrs}
+                tattrs["encoding"] = enc
             except ValueError:
                 pass
         coords[tname] = tarr
