@@ -1225,3 +1225,73 @@ class TestTimeCoordinate:
         # 360_day has no real-timeline instants: raw values + attrs
         np.testing.assert_array_equal(ds.coords["time"], [0, 30])
         assert ds.coord_attrs["time"]["calendar"] == "360_day"
+
+    def test_write_time_values_roundtrip(self, spark, tmp_path):
+        """write_zarr_cf(time_values=datetime64) -> open(decode_cf=True)
+        round-trips the axis and feeds resample_in_time -- the full
+        store->open->temporal-resample loop with no hand-editing."""
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.operators.temporal import (
+            resample_in_time,
+        )
+        from xcube_resampling_spark.sources import (
+            open_zarr_dataset,
+            write_zarr_cf,
+        )
+
+        gm = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        times = np.array(["2024-01-01", "2024-01-04", "2024-01-09"],
+                         dtype="datetime64[D]")
+        path = str(tmp_path / "wt")
+        write_zarr_cf(_raster(spark, 8, 6, nt=3), path, "band", gm,
+                      nt=3, time_values=times)
+
+        ds, _ = open_zarr_dataset(spark, path, decode_cf=True)
+        np.testing.assert_array_equal(
+            ds.coords["t"], times.astype("datetime64[ns]"))
+        assert ds.coord_attrs["t"]["encoding"]["units"] == \
+            "days since 1970-01-01"
+        day_ns = 86_400_000_000_000
+        out = resample_in_time(ds, period=7 * day_ns,
+                               agg_methods="count")
+        ns = times.astype("datetime64[ns]").astype("int64")
+        want_bins = sorted({int(n) // (7 * day_ns) * (7 * day_ns)
+                            for n in ns})
+        np.testing.assert_array_equal(
+            out.coords["t"].astype("int64"), want_bins)
+
+    def test_write_time_values_fixed_calendar(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            open_zarr_dataset,
+            write_zarr_cf,
+        )
+
+        gm = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "wt360")
+        write_zarr_cf(_raster(spark, 8, 6, nt=2), path, "band", gm,
+                      nt=2, time_values=np.array([0, 30]),
+                      time_units="days since 2000-01-01",
+                      time_calendar="360_day")
+        ds, _ = open_zarr_dataset(spark, path, decode_cf=True)
+        np.testing.assert_array_equal(ds.coords["t"], [0, 30])
+        assert ds.coord_attrs["t"]["calendar"] == "360_day"
+
+    def test_write_time_values_validation(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import write_zarr_cf
+
+        gm = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        df = _raster(spark, 8, 6, nt=2)
+        with pytest.raises(ValueError, match="needs nt"):
+            write_zarr_cf(df, str(tmp_path / "a"), "band", gm,
+                          time_values=np.array([0, 1]))
+        with pytest.raises(ValueError, match="shape"):
+            write_zarr_cf(df, str(tmp_path / "b"), "band", gm, nt=2,
+                          time_values=np.array([0, 1, 2]))

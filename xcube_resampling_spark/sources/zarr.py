@@ -649,6 +649,9 @@ def write_zarr_cf(
     nt: int = 0,
     chunk_put: ChunkPut | None = None,
     chunks: tuple[int, ...] | None = None,
+    time_values=None,
+    time_units: str | None = None,
+    time_calendar: str | None = None,
 ) -> None:
     """Write a pixel DataFrame as an xarray-openable CF zarr v2 store:
     the distributed data array plus 1-D x/y coordinate arrays (cell
@@ -657,7 +660,14 @@ def write_zarr_cf(
     ``grid_mapping`` attr points at.  Mirrors what the reference's
     users get from ``xr.Dataset.to_zarr`` + ``add_spatial_ref``.
 
-    ``nt > 0`` writes a (nt, h, w) cube; 0 writes the 2-D (h, w) array.
+    ``nt > 0`` writes a (nt, h, w) cube; 0 writes the 2-D (h, w)
+    array.  ``time_values`` (length ``nt``) writes the time
+    coordinate: a ``datetime64`` array is CF-encoded as int64 in its
+    own unit (``units = "<unit> since 1970-01-01"``, calendar
+    ``proleptic_gregorian`` unless overridden), so
+    ``open_zarr_dataset(..., decode_cf=True)`` round-trips the axis;
+    an integer array is written as-is with ``time_units`` /
+    ``time_calendar`` attached verbatim (the fixed-calendar path).
     """
     gm = grid_mapping
     w, h = gm.size
@@ -682,6 +692,34 @@ def write_zarr_cf(
          "standard_name": "projection_y_coordinate"
          if not gm.crs.is_geographic else "latitude"},
     ))
+    if time_values is not None:
+        if not nt:
+            raise ValueError("time_values needs nt > 0")
+        tv = np.asarray(time_values)
+        if tv.shape != (nt,):
+            raise ValueError(
+                f"time_values must have shape ({nt},), got {tv.shape}")
+        tattrs: dict = {"_ARRAY_DIMENSIONS": ["t"],
+                        "standard_name": "time"}
+        if np.issubdtype(tv.dtype, np.datetime64):
+            unit = np.datetime_data(tv.dtype)[0]
+            word = {"D": "days", "h": "hours", "m": "minutes",
+                    "s": "seconds", "ms": "milliseconds",
+                    "us": "microseconds", "ns": "nanoseconds"}.get(unit)
+            if word is None:
+                raise ValueError(
+                    f"datetime64 unit {unit!r} has no CF time unit "
+                    "(use D/h/m/s/ms/us/ns)")
+            tattrs["units"] = f"{word} since 1970-01-01"
+            tattrs["calendar"] = time_calendar or "proleptic_gregorian"
+            tv = tv.astype("int64")
+        else:
+            if time_units:
+                tattrs["units"] = time_units
+            if time_calendar:
+                tattrs["calendar"] = time_calendar
+            tv = tv.astype("int64")
+        entries.update(_put_small_array(put, "t", tv, tattrs))
     _reconsolidate(put, path, entries)
     add_spatial_ref(path, gm.crs, data_var_names=[var_name],
                     chunk_put=put)
