@@ -296,3 +296,55 @@ class TestDecodeArray:
             decode_cf_time_array(
                 np.array([-(2 ** 63) + 0], dtype="int64"),
                 "nanoseconds since 1970-01-01")
+
+
+class TestEncodeComponents:
+    def test_roundtrip_identity_all_fixed_calendars(self, spark):
+        import numpy as np
+
+        from xcube_resampling_spark.functions.cftime import (
+            encode_cf_time_components,
+        )
+
+        units = "hours since 2000-03-15 06:00:00"
+        rng = np.random.RandomState(11)
+        values = [float(v) for v in rng.randint(-500_000, 500_000, 30)]
+        for cal in sorted(_CAL_MONTHS):
+            df = spark.createDataFrame(
+                [(v,) for v in values], "v double")
+            got = df.select(
+                "v",
+                encode_cf_time_components(
+                    decode_cf_time_components(F.col("v"), units, cal),
+                    units, cal,
+                ).alias("v2"),
+            ).collect()
+            for r in got:
+                assert r.v2 == pytest.approx(r.v, abs=1e-9), cal
+
+    def test_known_value(self, spark):
+        from xcube_resampling_spark.functions.cftime import (
+            encode_cf_time_components,
+        )
+
+        df = spark.createDataFrame(
+            [(2001, 1, 1, 0, 0, 0)],
+            "year int, month int, day int, hour int, minute int,"
+            " second int",
+        )
+        comp = F.struct("year", "month", "day", "hour", "minute",
+                        "second")
+        (row,) = df.select(
+            encode_cf_time_components(
+                comp, "days since 2000-01-01", "360_day").alias("v")
+        ).collect()
+        assert row.v == 360.0
+
+    def test_real_calendar_refused(self):
+        from xcube_resampling_spark.functions.cftime import (
+            encode_cf_time_components,
+        )
+
+        with pytest.raises(ValueError, match="not fixed-length"):
+            encode_cf_time_components(
+                F.col("c"), "days since 2000-01-01", "standard")

@@ -45,6 +45,8 @@ __all__ = [
     "decode_cf_time",
     "encode_cf_time",
     "decode_cf_time_components",
+    "encode_cf_time_components",
+    "decode_cf_time_array",
 ]
 
 # CF unit word -> NANOSECONDS (fixed-length units only; "months"/
@@ -418,3 +420,43 @@ def decode_cf_time_array(values, units: str,
         )
     return np.asarray(ns, dtype="int64").astype(
         "datetime64[ns]").reshape(arr.shape)
+
+
+def encode_cf_time_components(
+    components: Column, units: str, calendar: str
+) -> Column:
+    """Fixed-calendar component struct -> numeric CF time: the inverse
+    of :func:`decode_cf_time_components` (same integer arithmetic,
+    run forward).  ``components`` is a struct with
+    ``year month day hour minute second`` fields; the result is a
+    DOUBLE in the unit of ``units`` (fractional when the instant does
+    not land on a whole unit).  Pure Catalyst -- element_at month
+    lookup, no UDF."""
+    cal = (calendar or "").lower()
+    if cal not in _CAL_MONTHS:
+        raise ValueError(
+            f"calendar {calendar!r} is not fixed-length; use "
+            "encode_cf_time"
+        )
+    unit_ns, epoch = parse_cf_time_units(units)
+    months, year_days, cum, epoch_doe, tod_us = _decompose_fixed(
+        epoch, cal
+    )
+    day_us = 86_400_000_000
+    cum_arr = F.array(*[F.lit(c) for c in cum])
+    y = components.getField("year").cast("long")
+    mo = components.getField("month").cast("int")
+    d = components.getField("day").cast("long")
+    doe = (y * F.lit(year_days)
+           + F.element_at(cum_arr, mo).cast("long")
+           + d - F.lit(1))
+    us_of_day = (
+        components.getField("hour").cast("long") * F.lit(3_600_000_000)
+        + components.getField("minute").cast("long")
+        * F.lit(60_000_000)
+        + components.getField("second").cast("long") * F.lit(1_000_000)
+    )
+    total_us = doe * F.lit(day_us) + us_of_day
+    delta_us = total_us - F.lit(epoch_doe * day_us + tod_us)
+    return (delta_us.cast("double") * F.lit(1000.0)
+            / F.lit(float(unit_ns)))
