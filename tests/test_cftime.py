@@ -348,3 +348,33 @@ class TestEncodeComponents:
         with pytest.raises(ValueError, match="not fixed-length"):
             encode_cf_time_components(
                 F.col("c"), "days since 2000-01-01", "standard")
+
+    def test_encode_exact_for_fine_units_far_from_epoch(self, spark):
+        # ns units ~180 years out: a single double product would be
+        # >=1024-ns-granular; the integer quotient path must encode a
+        # whole-second instant exactly
+        from xcube_resampling_spark.functions.cftime import (
+            encode_cf_time_components,
+        )
+
+        units = "microseconds since 1850-01-01"
+        df = spark.createDataFrame(
+            [(2030, 6, 15, 12, 0, 0)],
+            "year int, month int, day int, hour int, minute int,"
+            " second int",
+        )
+        comp = F.struct("year", "month", "day", "hour", "minute",
+                        "second")
+        (row,) = df.select(
+            encode_cf_time_components(comp, units, "noleap").alias("v")
+        ).collect()
+        # independent integer mirror
+        months = _CAL_MONTHS["noleap"]
+        cum = [0]
+        for md in months[:-1]:
+            cum.append(cum[-1] + md)
+        doe = 2030 * 365 + cum[5] + 14
+        epoch_doe = 1850 * 365 + 0 + 0
+        want_us = (doe - epoch_doe) * 86_400_000_000 + 12 * 3_600_000_000
+        assert row.v == float(want_us)
+        assert int(row.v) == want_us  # integral, not 512-ns-off

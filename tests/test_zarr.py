@@ -1295,3 +1295,38 @@ class TestTimeCoordinate:
         with pytest.raises(ValueError, match="shape"):
             write_zarr_cf(df, str(tmp_path / "b"), "band", gm, nt=2,
                           time_values=np.array([0, 1, 2]))
+
+    def test_write_time_values_review_guards(self, spark, tmp_path):
+        """Float axes round-trip exactly; NaT, fixed-calendar labels
+        on datetime64 instants, and units overrides are refused."""
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            open_zarr_dataset,
+            write_zarr_cf,
+        )
+
+        gm = GridMapping.regular(
+            (8, 6), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        df = _raster(spark, 8, 6, nt=2)
+        # fractional CF values survive
+        pf = str(tmp_path / "wfrac")
+        write_zarr_cf(df, pf, "band", gm, nt=2,
+                      time_values=np.array([0.5, 1.5]),
+                      time_units="days since 2000-01-01")
+        ds, _ = open_zarr_dataset(spark, pf)
+        np.testing.assert_array_equal(ds.coords["t"], [0.5, 1.5])
+        # refusals
+        dt = np.array(["2024-01-01", "NaT"], dtype="datetime64[D]")
+        with pytest.raises(ValueError, match="NaT"):
+            write_zarr_cf(df, str(tmp_path / "w1"), "band", gm, nt=2,
+                          time_values=dt)
+        ok = np.array(["2024-01-01", "2024-01-02"],
+                      dtype="datetime64[D]")
+        with pytest.raises(ValueError, match="cannot label"):
+            write_zarr_cf(df, str(tmp_path / "w2"), "band", gm, nt=2,
+                          time_values=ok, time_calendar="360_day")
+        with pytest.raises(ValueError, match="cannot override"):
+            write_zarr_cf(df, str(tmp_path / "w3"), "band", gm, nt=2,
+                          time_values=ok,
+                          time_units="hours since 2000-01-01")

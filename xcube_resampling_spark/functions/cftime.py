@@ -458,5 +458,15 @@ def encode_cf_time_components(
     )
     total_us = doe * F.lit(day_us) + us_of_day
     delta_us = total_us - F.lit(epoch_doe * day_us + tod_us)
+    if unit_ns >= 1000:
+        # keep the whole-unit quotient in exact integer math (a single
+        # double product exceeds 2**53 for fine units far from the
+        # epoch); only the sub-unit remainder touches double
+        u = F.lit(unit_ns // 1000).cast("long")
+        pm = ((delta_us % u) + u) % u
+        q = ((delta_us - pm) / u).cast("long")
+        return (q.cast("double")
+                + pm.cast("double") * F.lit(1000.0)
+                / F.lit(float(unit_ns)))
     return (delta_us.cast("double") * F.lit(1000.0)
             / F.lit(float(unit_ns)))

@@ -702,6 +702,27 @@ def write_zarr_cf(
         tattrs: dict = {"_ARRAY_DIMENSIONS": ["t"],
                         "standard_name": "time"}
         if np.issubdtype(tv.dtype, np.datetime64):
+            if np.isnat(tv).any():
+                # NaT.astype(int64) is the -2**63 sentinel: written as
+                # data it poisons the reopened axis (decode overflows
+                # and the WHOLE coordinate degrades to raw integers)
+                raise ValueError(
+                    "time_values contains NaT; drop or fill missing "
+                    "timestamps before writing")
+            if time_units is not None:
+                raise ValueError(
+                    "time_units cannot override a datetime64 axis "
+                    "(its unit is encoded from the dtype); pass an "
+                    "integer array to control the units string")
+            if time_calendar not in (None, "standard", "gregorian",
+                                     "proleptic_gregorian"):
+                # datetime64 instants are proleptic-Gregorian; writing
+                # them under a fixed calendar would shift every date
+                # (~5 days/year since 1970) for any CF consumer
+                raise ValueError(
+                    f"calendar {time_calendar!r} cannot label "
+                    "datetime64 instants; encode fixed-calendar axes "
+                    "as integers")
             unit = np.datetime_data(tv.dtype)[0]
             word = {"D": "days", "h": "hours", "m": "minutes",
                     "s": "seconds", "ms": "milliseconds",
@@ -718,7 +739,8 @@ def write_zarr_cf(
                 tattrs["units"] = time_units
             if time_calendar:
                 tattrs["calendar"] = time_calendar
-            tv = tv.astype("int64")
+            # _put_small_array writes integer kinds as <i8 and floats
+            # as <f8 -- fractional CF values (0.5 days) stay exact
         entries.update(_put_small_array(put, "t", tv, tattrs))
     _reconsolidate(put, path, entries)
     add_spatial_ref(path, gm.crs, data_var_names=[var_name],
