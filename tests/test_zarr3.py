@@ -615,3 +615,52 @@ class TestCrc32cVectorized:
                      "z3_slab2", "exec"), ns)
         d = _os.urandom(9 * z3._CRC32C_BLOCK + 123)
         assert z3._crc32c(d) == ns["_crc32c"](d)
+
+
+class TestTimeCoordinateV3:
+    def test_open_surfaces_and_decodes_time(self, spark, tmp_path):
+        """v3 twin of the v2 time-coordinate surfacing: raw values by
+        default, datetime64[ns] under decode_cf=True."""
+        import json as _json
+
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            open_zarr3_dataset,
+            write_zarr3_cf,
+        )
+
+        gm = GridMapping.regular(
+            (10, 8), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "cf3t")
+        write_zarr3_cf(_raster(spark, 10, 8, nt=2), path, "band", gm,
+                       nt=2)
+        tdir = tmp_path / "cf3t" / "t"
+        (tdir / "c").mkdir(parents=True)
+        (tdir / "zarr.json").write_text(_json.dumps({
+            "zarr_format": 3, "node_type": "array",
+            "shape": [2], "data_type": "int64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [2]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+            "fill_value": 0,
+            "dimension_names": ["t"],
+            "attributes": {"units": "hours since 2024-01-01",
+                           "calendar": "standard"},
+        }))
+        (tdir / "c" / "0").write_bytes(
+            np.array([0, 36], dtype="<i8").tobytes())
+
+        ds, _ = open_zarr3_dataset(spark, path)
+        np.testing.assert_array_equal(ds.coords["t"], [0, 36])
+        assert ds.coord_attrs["t"]["units"] == "hours since 2024-01-01"
+
+        ds2, _ = open_zarr3_dataset(spark, path, decode_cf=True)
+        want = np.array(["2024-01-01T00:00", "2024-01-02T12:00"],
+                        dtype="datetime64[ns]")
+        np.testing.assert_array_equal(ds2.coords["t"], want)
+        assert ds2.coord_attrs["t"]["encoding"]["calendar"] == \
+            "standard"

@@ -63,6 +63,7 @@ from .kerchunk import (
 from .zarr3 import (
     add_spatial_ref3,
     open_zarr3_dataset,
+    read_zarr3_coord_array,
     read_zarr3,
     read_zarr3_grid_mapping,
     write_zarr3,
@@ -138,6 +139,7 @@ __all__ = [
     "read_geotiff_meta",
     "write_geotiff",
     "open_zarr3_dataset",
+    "read_zarr3_coord_array",
     "read_zarr3",
     "read_zarr3_grid_mapping",
     "write_hdf5",

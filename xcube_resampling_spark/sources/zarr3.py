@@ -817,6 +817,41 @@ def read_zarr3_grid_mapping(path: str, crs_var_name: str = "spatial_ref"):
                                    xy_dim_names=("x", "y"))
 
 
+def read_zarr3_coord_array(path: str, name: str):
+    """Read a 1-D coordinate array + its attributes from a zarr v3
+    store (v3 twin of zarr.read_zarr_coord_array; driver-side,
+    raw-bytes coordinate arrays).  Returns ``(None, {})`` when the
+    array is absent."""
+    mpath = os.path.join(path, name, "zarr.json")
+    if not os.path.exists(mpath):
+        return None, {}
+    with open(mpath) as fp:
+        meta = json.load(fp)
+    if len(meta.get("shape", [])) != 1:
+        return None, {}
+    codecs = [c.get("name") for c in meta.get("codecs", [])]
+    if codecs != ["bytes"]:
+        raise NotImplementedError(
+            f"coordinate array {name!r} uses codecs {codecs}; only "
+            "raw bytes coordinate arrays are supported")
+    endian = "<" if meta["codecs"][0].get("configuration", {})         .get("endian", "little") == "little" else ">"
+    dt = {"float64": "f8", "float32": "f4",
+          "int64": "i8", "int32": "i4"}.get(meta["data_type"])
+    if dt is None:
+        raise NotImplementedError(
+            f"coordinate dtype {meta['data_type']!r}")
+    cpath = os.path.join(path, name, "c", "0")
+    if not os.path.exists(cpath):
+        cpath = os.path.join(path, name, "c/0".replace("/", "."))
+        if not os.path.exists(cpath):
+            return None, {}
+    with open(cpath, "rb") as fp:
+        raw = fp.read()
+    n = int(meta["shape"][0])
+    arr = np.frombuffer(raw, endian + dt)[:n]
+    return arr, dict(meta.get("attributes") or {})
+
+
 def open_zarr3_dataset(
     spark: SparkSession,
     path: str,
@@ -851,12 +886,48 @@ def open_zarr3_dataset(
         df = read_zarr3(spark, path, var, bbox_ij=bbox_ij,
                         decode_cf=decode_cf)
         data_vars[var] = Variable(var, df, dims, "float64", attrs)
+    coords = {"x": np.asarray(gm.x_coords, dtype="float64"),
+              "y": np.asarray(gm.y_coords, dtype="float64")}
+    coord_attrs = {"spatial_ref": gm.crs.to_cf()}
+    # surface the store's time axis (same contract as the v2 open:
+    # the coordinate matching the data vars' leading dim first, CF
+    # decode under decode_cf, raw fallback otherwise)
+    lead_dims = [v.dims[0] for v in data_vars.values()
+                 if len(v.dims) == 3]
+    tried = []
+    for tname in (*lead_dims, "time", "t"):
+        if tname in tried or tname in ("y", "x", "lat", "lon"):
+            continue
+        tried.append(tname)
+        try:
+            tarr, tattrs = read_zarr3_coord_array(path, tname)
+        except NotImplementedError:
+            continue
+        if tarr is None:
+            continue
+        if decode_cf and "since" in str(tattrs.get("units", "")):
+            from xcube_resampling_spark.functions.cftime import (
+                decode_cf_time_array,
+            )
+
+            try:
+                tarr = decode_cf_time_array(
+                    tarr, tattrs["units"],
+                    tattrs.get("calendar", "standard"),
+                )
+                enc = {k: tattrs.pop(k)
+                       for k in ("units", "calendar") if k in tattrs}
+                tattrs["encoding"] = enc
+            except ValueError:
+                pass
+        coords[tname] = tarr
+        coord_attrs[tname] = tattrs
+        break
     ds = SparkDataset(
         spark=spark,
         data_vars=data_vars,
-        coords={"x": np.asarray(gm.x_coords, dtype="float64"),
-                "y": np.asarray(gm.y_coords, dtype="float64")},
-        coord_attrs={"spatial_ref": gm.crs.to_cf()},
+        coords=coords,
+        coord_attrs=coord_attrs,
         yx_dims=("y", "x"),
     )
     return ds, gm
