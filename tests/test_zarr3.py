@@ -664,3 +664,28 @@ class TestTimeCoordinateV3:
         np.testing.assert_array_equal(ds2.coords["t"], want)
         assert ds2.coord_attrs["t"]["encoding"]["calendar"] == \
             "standard"
+
+    def test_write_time_values_roundtrip_v3(self, spark, tmp_path):
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            open_zarr3_dataset,
+            write_zarr3_cf,
+        )
+
+        gm = GridMapping.regular(
+            (10, 8), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        times = np.array(["2024-02-01", "2024-02-11"],
+                         dtype="datetime64[D]")
+        path = str(tmp_path / "cf3wt")
+        write_zarr3_cf(_raster(spark, 10, 8, nt=2), path, "band", gm,
+                       nt=2, time_values=times)
+        ds, _ = open_zarr3_dataset(spark, path, decode_cf=True)
+        np.testing.assert_array_equal(
+            ds.coords["t"], times.astype("datetime64[ns]"))
+        with pytest.raises(ValueError, match="NaT"):
+            write_zarr3_cf(
+                _raster(spark, 10, 8, nt=2), str(tmp_path / "x"),
+                "band", gm, nt=2,
+                time_values=np.array(["2024-01-01", "NaT"],
+                                     dtype="datetime64[D]"))

@@ -638,6 +638,65 @@ def add_spatial_ref(
     _reconsolidate(put, path, entries)
 
 
+def encode_time_coordinate(
+    time_values, nt: int,
+    time_units: str | None, time_calendar: str | None,
+) -> tuple[np.ndarray, dict]:
+    """Validate + CF-encode a time coordinate for store writers
+    (shared by the zarr v2 and v3 CF writers): datetime64 axes become
+    int64 in their own unit with ``units``/``calendar`` attrs;
+    integer/float axes pass through with the caller's attrs.  Returns
+    ``(values, attrs)`` (attrs without ``_ARRAY_DIMENSIONS``)."""
+    if not nt:
+        raise ValueError("time_values needs nt > 0")
+    tv = np.asarray(time_values)
+    if tv.shape != (nt,):
+        raise ValueError(
+            f"time_values must have shape ({nt},), got {tv.shape}")
+    tattrs: dict = {"standard_name": "time"}
+    if np.issubdtype(tv.dtype, np.datetime64):
+        if np.isnat(tv).any():
+            # NaT.astype(int64) is the -2**63 sentinel: written as
+            # data it poisons the reopened axis (decode overflows
+            # and the WHOLE coordinate degrades to raw integers)
+            raise ValueError(
+                "time_values contains NaT; drop or fill missing "
+                "timestamps before writing")
+        if time_units is not None:
+            raise ValueError(
+                "time_units cannot override a datetime64 axis "
+                "(its unit is encoded from the dtype); pass an "
+                "integer array to control the units string")
+        if time_calendar not in (None, "standard", "gregorian",
+                                 "proleptic_gregorian"):
+            # datetime64 instants are proleptic-Gregorian; writing
+            # them under a fixed calendar would shift every date
+            # (~5 days/year since 1970) for any CF consumer
+            raise ValueError(
+                f"calendar {time_calendar!r} cannot label "
+                "datetime64 instants; encode fixed-calendar axes "
+                "as integers")
+        unit = np.datetime_data(tv.dtype)[0]
+        word = {"D": "days", "h": "hours", "m": "minutes",
+                "s": "seconds", "ms": "milliseconds",
+                "us": "microseconds", "ns": "nanoseconds"}.get(unit)
+        if word is None:
+            raise ValueError(
+                f"datetime64 unit {unit!r} has no CF time unit "
+                "(use D/h/m/s/ms/us/ns)")
+        tattrs["units"] = f"{word} since 1970-01-01"
+        tattrs["calendar"] = time_calendar or "proleptic_gregorian"
+        tv = tv.astype("int64")
+    else:
+        if time_units:
+            tattrs["units"] = time_units
+        if time_calendar:
+            tattrs["calendar"] = time_calendar
+        # integer kinds persist as <i8, floats as <f8 -- fractional
+        # CF values (0.5 days) stay exact
+    return tv, tattrs
+
+
 def write_zarr_cf(
     df: DataFrame,
     path: str,
@@ -693,54 +752,9 @@ def write_zarr_cf(
          if not gm.crs.is_geographic else "latitude"},
     ))
     if time_values is not None:
-        if not nt:
-            raise ValueError("time_values needs nt > 0")
-        tv = np.asarray(time_values)
-        if tv.shape != (nt,):
-            raise ValueError(
-                f"time_values must have shape ({nt},), got {tv.shape}")
-        tattrs: dict = {"_ARRAY_DIMENSIONS": ["t"],
-                        "standard_name": "time"}
-        if np.issubdtype(tv.dtype, np.datetime64):
-            if np.isnat(tv).any():
-                # NaT.astype(int64) is the -2**63 sentinel: written as
-                # data it poisons the reopened axis (decode overflows
-                # and the WHOLE coordinate degrades to raw integers)
-                raise ValueError(
-                    "time_values contains NaT; drop or fill missing "
-                    "timestamps before writing")
-            if time_units is not None:
-                raise ValueError(
-                    "time_units cannot override a datetime64 axis "
-                    "(its unit is encoded from the dtype); pass an "
-                    "integer array to control the units string")
-            if time_calendar not in (None, "standard", "gregorian",
-                                     "proleptic_gregorian"):
-                # datetime64 instants are proleptic-Gregorian; writing
-                # them under a fixed calendar would shift every date
-                # (~5 days/year since 1970) for any CF consumer
-                raise ValueError(
-                    f"calendar {time_calendar!r} cannot label "
-                    "datetime64 instants; encode fixed-calendar axes "
-                    "as integers")
-            unit = np.datetime_data(tv.dtype)[0]
-            word = {"D": "days", "h": "hours", "m": "minutes",
-                    "s": "seconds", "ms": "milliseconds",
-                    "us": "microseconds", "ns": "nanoseconds"}.get(unit)
-            if word is None:
-                raise ValueError(
-                    f"datetime64 unit {unit!r} has no CF time unit "
-                    "(use D/h/m/s/ms/us/ns)")
-            tattrs["units"] = f"{word} since 1970-01-01"
-            tattrs["calendar"] = time_calendar or "proleptic_gregorian"
-            tv = tv.astype("int64")
-        else:
-            if time_units:
-                tattrs["units"] = time_units
-            if time_calendar:
-                tattrs["calendar"] = time_calendar
-            # _put_small_array writes integer kinds as <i8 and floats
-            # as <f8 -- fractional CF values (0.5 days) stay exact
+        tv, tattrs = encode_time_coordinate(
+            time_values, nt, time_units, time_calendar)
+        tattrs = {"_ARRAY_DIMENSIONS": ["t"], **tattrs}
         entries.update(_put_small_array(put, "t", tv, tattrs))
     _reconsolidate(put, path, entries)
     add_spatial_ref(path, gm.crs, data_var_names=[var_name],

@@ -754,9 +754,13 @@ def write_zarr3_cf(
     chunk_put: ChunkPut | None = None,
     shards: tuple[int, ...] | None = None,
     chunks: tuple[int, ...] | None = None,
+    time_values=None,
+    time_units: str | None = None,
+    time_calendar: str | None = None,
 ) -> None:
     """CF/xarray-complete zarr v3 store: data array + 1-D x/y cell-center
-    coordinate arrays + spatial_ref variable (v3 twin of write_zarr_cf)."""
+    coordinate arrays + spatial_ref variable (v3 twin of write_zarr_cf,
+    including the ``time_values`` CF time-coordinate contract)."""
     gm = grid_mapping
     w, h = gm.size
     shape = (nt, h, w) if nt else (h, w)
@@ -776,6 +780,14 @@ def write_zarr3_cf(
         put, "y", np.asarray(gm.y_coords, dtype="<f8"),
         {"standard_name": "latitude" if geographic
          else "projection_y_coordinate"})
+    if time_values is not None:
+        from xcube_resampling_spark.sources.zarr import (
+            encode_time_coordinate,
+        )
+
+        tv, tattrs = encode_time_coordinate(
+            time_values, nt, time_units, time_calendar)
+        _put_small_array3(put, "t", tv, tattrs)
     add_spatial_ref3(path, gm.crs, data_var_names=[var_name],
                      chunk_put=put)
 
