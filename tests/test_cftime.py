@@ -378,3 +378,27 @@ class TestEncodeComponents:
         want_us = (doe - epoch_doe) * 86_400_000_000 + 12 * 3_600_000_000
         assert row.v == float(want_us)
         assert int(row.v) == want_us  # integral, not 512-ns-off
+
+
+class TestCivilAlgorithm:
+    def test_days_from_civil_matches_datetime(self):
+        import datetime
+        import random
+
+        from xcube_resampling_spark.functions.cftime import (
+            _days_from_civil,
+        )
+
+        rng = random.Random(13)
+        epoch = datetime.date(1970, 1, 1)
+        for _ in range(500):
+            y = rng.randint(1, 9999)
+            m = rng.randint(1, 12)
+            d = rng.randint(1, 28)
+            want = (datetime.date(y, m, d) - epoch).days
+            assert _days_from_civil(y, m, d) == want, (y, m, d)
+        # leap-day and boundary pins
+        for y, m, d in ((2000, 2, 29), (1900, 2, 28), (2024, 12, 31),
+                        (1, 1, 1), (9999, 12, 31), (1582, 10, 15)):
+            want = (datetime.date(y, m, d) - epoch).days
+            assert _days_from_civil(y, m, d) == want, (y, m, d)
