@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from xcube_resampling_spark.operators.temporal import (  # noqa: E402
     composite_best_pixel,
     forward_fill_time,
+    interpolate_na_time,
     resample_time_agg,
     resample_time_interp,
+    rolling_time_agg,
 )
 
 
@@ -81,6 +83,17 @@ def main() -> None:
     regular = resample_time_interp(cube, days, targets, "linear")
     print("interpolated frames:", regular.select("t").distinct().count(),
           f"(targets {targets[0]}..{targets[-1]} step 5)")
+
+    # --- linear NaN interpolation (clouds between clear frames)
+    interp_filled = interpolate_na_time(cube)
+    holes_interp = interp_filled.filter(F.isnan("value")).count()
+    print(f"cloud holes {holes_before:,} -> {holes_interp:,} "
+          "after linear interpolate_na (edge gaps only)")
+
+    # --- 15-day trailing rolling mean (RANGE frame in days)
+    rolled = rolling_time_agg(cube, "mean", 15)
+    print("rolling 15-day mean frames:",
+          rolled.select("t").distinct().count())
 
     # --- greenest-pixel composite (max value across all frames)
     comp = composite_best_pixel(cube)
