@@ -689,3 +689,68 @@ class TestTimeCoordinateV3:
                 "band", gm, nt=2,
                 time_values=np.array(["2024-01-01", "NaT"],
                                      dtype="datetime64[D]"))
+
+    def test_compressed_chunked_coordinate_v2_keys(self, spark,
+                                                   tmp_path):
+        """Externally written stores compress coordinates (zstd is the
+        v3 default), chunk long axes, and may use v2 key encoding --
+        the reader must walk every chunk through the codec chain."""
+        import json as _json
+
+        from xcube_resampling_spark.sources import zstd as _zstd
+        from xcube_resampling_spark.sources.zarr3 import (
+            read_zarr3_coord_array,
+        )
+
+        vals = np.arange(7, dtype="<i8") * 3
+        tdir = tmp_path / "cc" / "t"
+        tdir.mkdir(parents=True)
+        (tdir / "zarr.json").write_text(_json.dumps({
+            "zarr_format": 3, "node_type": "array",
+            "shape": [7], "data_type": "int64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [3]}},
+            "chunk_key_encoding": {"name": "v2"},
+            "codecs": [
+                {"name": "bytes",
+                 "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": 1}},
+            ],
+            "fill_value": 0,
+            "dimension_names": ["t"],
+            "attributes": {"units": "days since 2000-01-01"},
+        }))
+        for k in range(3):
+            chunk = np.zeros(3, "<i8")
+            got_n = min(3, 7 - k * 3)
+            chunk[:got_n] = vals[k * 3: k * 3 + got_n]
+            (tdir / str(k)).write_bytes(
+                _zstd.compress(chunk.tobytes()))
+        arr, attrs = read_zarr3_coord_array(str(tmp_path / "cc"), "t")
+        np.testing.assert_array_equal(arr, vals)
+        assert attrs["units"] == "days since 2000-01-01"
+
+    def test_null_dimension_names_do_not_crash_open(self, spark,
+                                                    tmp_path):
+        """The v3 spec allows null entries in dimension_names -- the
+        time-surfacing loop must skip them, not os.path.join(None)."""
+        import json as _json
+
+        from xcube_resampling_spark.crs import CRS
+        from xcube_resampling_spark.gridmapping import GridMapping
+        from xcube_resampling_spark.sources import (
+            open_zarr3_dataset,
+            write_zarr3_cf,
+        )
+
+        gm = GridMapping.regular(
+            (10, 8), (500000.0, 5000000.0), 100.0, CRS.from_epsg(32632))
+        path = str(tmp_path / "nulldim")
+        write_zarr3_cf(_raster(spark, 10, 8, nt=2), path, "band", gm,
+                       nt=2)
+        mp = tmp_path / "nulldim" / "band" / "zarr.json"
+        meta = _json.loads(mp.read_text())
+        meta["dimension_names"] = [None, "y", "x"]
+        mp.write_text(_json.dumps(meta))
+        ds, _ = open_zarr3_dataset(spark, path)
+        assert "band" in ds.data_vars  # opened without TypeError

@@ -799,21 +799,8 @@ def read_zarr3_grid_mapping(path: str, crs_var_name: str = "spatial_ref"):
     from xcube_resampling_spark.gridmapping import GridMapping
 
     def _arr(name):
-        mpath = os.path.join(path, name, "zarr.json")
-        if not os.path.exists(mpath):
-            return None
-        with open(mpath) as fp:
-            meta = json.load(fp)
-        codecs = [c.get("name") for c in meta.get("codecs", [])]
-        if codecs != ["bytes"]:
-            raise NotImplementedError(
-                f"coordinate array {name!r} uses codecs {codecs}; only "
-                "raw bytes coordinate arrays are supported")
-        endian = "<" if meta["codecs"][0].get("configuration", {}) \
-            .get("endian", "little") == "little" else ">"
-        dt = {"float64": "f8", "int64": "i8"}[meta["data_type"]]
-        raw = open(os.path.join(path, name, "c", "0"), "rb").read()
-        return np.frombuffer(raw, endian + dt).astype("float64")
+        arr, _attrs = read_zarr3_coord_array(path, name)
+        return None if arr is None else arr.astype("float64")
 
     x = _arr("x")
     y = _arr("y")
@@ -831,9 +818,12 @@ def read_zarr3_grid_mapping(path: str, crs_var_name: str = "spatial_ref"):
 
 def read_zarr3_coord_array(path: str, name: str):
     """Read a 1-D coordinate array + its attributes from a zarr v3
-    store (v3 twin of zarr.read_zarr_coord_array; driver-side,
-    raw-bytes coordinate arrays).  Returns ``(None, {})`` when the
-    array is absent."""
+    store (v3 twin of zarr.read_zarr_coord_array; driver-side).
+    Decodes through the module's normal codec chain, walks EVERY
+    chunk of the grid, and honors the store's chunk_key_encoding --
+    externally written stores compress coordinates (zstd is the v3
+    default) and chunk long time axes.  Returns ``(None, {})`` when
+    the array is absent."""
     mpath = os.path.join(path, name, "zarr.json")
     if not os.path.exists(mpath):
         return None, {}
@@ -841,26 +831,23 @@ def read_zarr3_coord_array(path: str, name: str):
         meta = json.load(fp)
     if len(meta.get("shape", [])) != 1:
         return None, {}
-    codecs = [c.get("name") for c in meta.get("codecs", [])]
-    if codecs != ["bytes"]:
-        raise NotImplementedError(
-            f"coordinate array {name!r} uses codecs {codecs}; only "
-            "raw bytes coordinate arrays are supported")
-    endian = "<" if meta["codecs"][0].get("configuration", {})         .get("endian", "little") == "little" else ">"
-    dt = {"float64": "f8", "float32": "f4",
-          "int64": "i8", "int32": "i4"}.get(meta["data_type"])
-    if dt is None:
-        raise NotImplementedError(
-            f"coordinate dtype {meta['data_type']!r}")
-    cpath = os.path.join(path, name, "c", "0")
-    if not os.path.exists(cpath):
-        cpath = os.path.join(path, name, "c/0".replace("/", "."))
+    endian_word, bb = _parse_codecs(meta.get("codecs") or [])
+    dt = _v3_np_dtype(meta["data_type"], endian_word)
+    n = int(meta["shape"][0])
+    if n == 0:
+        return None, {}
+    c = int((meta.get("chunk_grid") or {}).get(
+        "configuration", {}).get("chunk_shape", [n])[0]) or n
+    key_enc = meta.get("chunk_key_encoding") or {"name": "default"}
+    parts = []
+    for k in range(-(-n // c)):
+        cpath = os.path.join(path, name, _chunk_key((k,), key_enc))
         if not os.path.exists(cpath):
             return None, {}
-    with open(cpath, "rb") as fp:
-        raw = fp.read()
-    n = int(meta["shape"][0])
-    arr = np.frombuffer(raw, endian + dt)[:n]
+        with open(cpath, "rb") as fp:
+            raw = fp.read()
+        parts.append(np.frombuffer(_decode_chain(raw, bb), dt))
+    arr = np.concatenate(parts)[:n]
     return arr, dict(meta.get("attributes") or {})
 
 
@@ -908,7 +895,10 @@ def open_zarr3_dataset(
                  if len(v.dims) == 3]
     tried = []
     for tname in (*lead_dims, "time", "t"):
-        if tname in tried or tname in ("y", "x", "lat", "lon"):
+        if (not isinstance(tname, str) or tname in tried
+                or tname in ("y", "x", "lat", "lon")):
+            # dimension_names entries may legally be null (spec);
+            # a None name must not reach os.path.join
             continue
         tried.append(tname)
         try:
