@@ -6723,6 +6723,13 @@ def q_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs.append(("bfill", TT.backward_fill_time(cube)))
     legs.append(("interp_na", TT.interpolate_na_time(cube)))
     legs.append(("rolling_mean", TT.rolling_time_agg(cube, "mean", 15)))
+    # row-count frame (xarray rolling(time=3) semantics: trailing 3
+    # OBSERVATIONS, value only when all 3 are valid -- min_periods
+    # defaults to the window in rows mode)
+    legs.append(
+        ("rolling_rows", TT.rolling_time_agg(cube, "mean", 3,
+                                             frame="rows"))
+    )
     legs.append(("composite", TT.composite_best_pixel(cube)))
     # CF time decoding over the frame axis (functions/cftime.py):
     # 'cf_decode' = real-calendar decode (hours unit, epoch with a
@@ -6845,6 +6852,13 @@ SELECT 'rolling_mean' AS leg, t, j, i,
            RANGE BETWEEN 14 PRECEDING AND CURRENT ROW), {nan})
        AS value
 FROM ({TIME_CUBE_SQL})""")
+    parts.append(f"""
+SELECT 'rolling_rows' AS leg, t, j, i,
+       COALESCE(CASE WHEN COUNT({nv}) OVER w >= 3
+                     THEN AVG({nv}) OVER w END, {nan}) AS value
+FROM ({TIME_CUBE_SQL})
+WINDOW w AS (PARTITION BY j, i ORDER BY t
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
     parts.append(f"""
 SELECT 'composite' AS leg, t, j, i, value FROM (
   SELECT t, j, i, value,

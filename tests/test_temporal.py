@@ -675,3 +675,138 @@ class TestGapFillFamily:
 
         with pytest.raises(ValueError, match="window must be >= 1"):
             rolling_time_agg(_cube(spark), "mean", 0)
+
+
+class TestRollingRowsFrame:
+    def test_rows_mode_matches_pandas_fixed_window(self, spark):
+        # xarray rolling(time=3) == pandas rolling(3): trailing 3
+        # OBSERVATIONS, min_periods defaulting to the window
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        cube = _cube(spark)
+        vals = {
+            (0, 1): pd.Series([2.0, NAN, 6.0, NAN, 3.0, 5.0]),
+            (1, 0): pd.Series([1.0, 4.0, 4.0, 9.0, 2.0, NAN]),
+        }
+        got = _collect(rolling_time_agg(cube, "mean", 3, frame="rows"))
+        for (j, i), series in vals.items():
+            want = series.rolling(3).mean()
+            for k, t in enumerate(DAYS):
+                assert _eq(got[(t, j, i)], float(want.iloc[k])), (j, i, t)
+
+    def test_rows_mode_min_periods(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        cube = _cube(spark)
+        got = _collect(
+            rolling_time_agg(cube, "mean", 3, frame="rows",
+                             min_periods=2)
+        )
+        for (j, i), series in (
+            ((0, 1), pd.Series([2.0, NAN, 6.0, NAN, 3.0, 5.0])),
+            ((1, 0), pd.Series([1.0, 4.0, 4.0, 9.0, 2.0, NAN])),
+        ):
+            want = series.rolling(3, min_periods=2).mean()
+            for k, t in enumerate(DAYS):
+                assert _eq(got[(t, j, i)], float(want.iloc[k])), (j, i, t)
+
+    def test_rows_vs_range_differ_on_irregular_axis(self, spark):
+        # at day 16, rows-3 sees days {7, 11, 16} while range-15 sees
+        # days {2..16} -- the two frames are genuinely different ops
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        cube = _cube(spark)
+        rows3 = _collect(
+            rolling_time_agg(cube, "count", 3, frame="rows",
+                             min_periods=0))
+        range15 = _collect(rolling_time_agg(cube, "count", 15))
+        assert rows3[(16, 1, 0)] == 2.0    # days 7, 11 valid; 16 NaN
+        assert range15[(16, 1, 0)] == 4.0  # days 4, 7, 11 valid + 2
+
+    def test_invalid_frame_raises(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        with pytest.raises(ValueError, match="frame must be"):
+            rolling_time_agg(_cube(spark), "mean", 3, frame="sliding")
+
+
+class TestLargeAxisLabelTables:
+    def test_broadcast_tables_match_literal_path(self, spark,
+                                                 monkeypatch):
+        # the broadcast-join relabeling (LABEL_TABLE_THRESHOLD
+        # exceeded) must be value-identical to the literal
+        # element_at/create_map path, in both agg and interp modes
+        import xcube_resampling_spark.operators.temporal as tmod
+        from xcube_resampling_spark.dataset import SparkDataset
+
+        nt = 24
+        rng = np.random.RandomState(7)
+        cube = rng.rand(nt, 2, 2)
+        cube[3, 0, 1] = NAN
+        times = np.arange(100, 100 + 7 * nt, 7)
+
+        def make():
+            return SparkDataset.from_numpy(
+                spark,
+                data_vars={"v": (("time", "y", "x"), cube)},
+                coords={"time": times,
+                        "y": np.arange(2), "x": np.arange(2)},
+            )
+
+        lit = tmod.resample_in_time(make(), period=30,
+                                    agg_methods="mean")
+        n_out = len(lit.coords["time"])
+        lit_vals = lit.to_numpy("v", (n_out, 2, 2))
+        targets = [int(times[0]) + 3, int(times[5])]
+        lit2 = tmod.resample_in_time(make(), target_times=targets)
+        lit2_vals = lit2.to_numpy("v", (2, 2, 2))
+
+        monkeypatch.setattr(tmod, "LABEL_TABLE_THRESHOLD", 4)
+        tab = tmod.resample_in_time(make(), period=30,
+                                    agg_methods="mean")
+        np.testing.assert_array_equal(
+            np.asarray(lit.coords["time"]),
+            np.asarray(tab.coords["time"]))
+        np.testing.assert_allclose(
+            lit_vals, tab.to_numpy("v", (n_out, 2, 2)))
+        tab2 = tmod.resample_in_time(make(), target_times=targets)
+        np.testing.assert_allclose(
+            lit2_vals, tab2.to_numpy("v", (2, 2, 2)))
+
+    def test_50k_frame_axis_plan_stays_bounded(self, spark):
+        # a high-cadence 50k-frame axis: the plan must not embed the
+        # label axis as literals (50k lits is ~0.5 MB of expression
+        # tree and breaks codegen limits) -- and values stay exact
+        import xcube_resampling_spark.operators.temporal as tmod
+        from xcube_resampling_spark.dataset import SparkDataset
+
+        nt = 50_000
+        vals = (np.arange(nt, dtype="float64") % 100.0).reshape(
+            nt, 1, 1)
+        times = np.arange(nt, dtype="int64") * 2 + 1
+        ds = SparkDataset.from_numpy(
+            spark,
+            data_vars={"v": (("time", "y", "x"), vals)},
+            coords={"time": times,
+                    "y": np.arange(1), "x": np.arange(1)},
+        )
+        out = tmod.resample_in_time(ds, period=20_000,
+                                    agg_methods="mean")
+        df = out.data_vars["v"].df
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(plan) < 50_000, len(plan)
+        starts = sorted({int((t // 20_000) * 20_000) for t in times})
+        got = out.to_numpy("v", (len(starts), 1, 1))
+        days = times
+        for k, s in enumerate(starts):
+            sel = (days // 20_000) * 20_000 == s
+            assert got[k, 0, 0] == pytest.approx(
+                float(np.mean(vals[sel, 0, 0])))

@@ -58,6 +58,13 @@ TIME_REDUCERS = (
     "first", "last",
 )
 
+# resample_in_time: past this many frames the frame<->label mappings
+# switch from literal array/map expressions to broadcast-joined label
+# tables -- a 100k-frame axis as literals is 100k nodes in one
+# expression tree (plan bloat + codegen limits); as a broadcast join
+# it is a k-row table and the plan stays O(1) in axis length.
+LABEL_TABLE_THRESHOLD = 10_000
+
 
 def resample_time_agg(
     pixels: DataFrame,
@@ -357,38 +364,61 @@ def rolling_time_agg(
     time_col: str = "t",
     value_col: str = "value",
     key_cols: Sequence[str] = ("j", "i"),
+    frame: str = "range",
+    min_periods: int | None = None,
 ) -> DataFrame:
-    """Trailing rolling reducer over the time axis in LABEL units:
-    each frame aggregates the observations with ``t`` in
-    ``(t - window, t]`` -- a RANGE frame, so irregular axes weight by
-    actual time distance, not row count (xarray ``rolling`` is
-    row-count-based; the range form is what a 100-TB ingest with
-    uneven revisit times actually needs).  NaN observations are
-    skipped; a window with no valid observation yields NaN for
-    mean/min/max and the xarray-style identities for ``sum`` (0.0)
-    and ``count`` (0).  One pixel-key shuffle."""
+    """Trailing rolling reducer over the time axis.
+
+    ``frame="range"`` (default): each frame aggregates the
+    observations with ``t`` in ``(t - window, t]`` -- a RANGE frame,
+    so irregular axes weight by actual time distance (what a 100-TB
+    ingest with uneven revisit times actually needs).
+    ``frame="rows"``: each frame aggregates the trailing ``window``
+    OBSERVATIONS -- xarray's ``rolling(time=n)`` semantics, for users
+    porting xarray code to this engine.
+
+    ``min_periods`` is the minimum number of VALID (non-NaN)
+    observations the frame must hold, else the output is NaN --
+    xarray's ``min_periods``.  Defaults preserve each mode's native
+    convention: 0 for ``range`` (every window reduces: NaN for
+    mean/min/max of nothing, the identities 0.0/0 for sum/count),
+    ``window`` for ``rows`` (xarray's default: a value only once the
+    window is full of valid observations).
+
+    NaN observations are skipped by the reducer; a window failing
+    ``min_periods`` yields NaN for every method.  One pixel-key
+    shuffle either way."""
     if method not in ("mean", "min", "max", "sum", "count"):
         raise ValueError(f"invalid rolling reducer {method!r}")
     if window < 1:
-        # rangeBetween(positive, 0) would be an inverted frame that
-        # silently returns empty-window results everywhere
+        # an inverted frame would silently return empty-window
+        # results everywhere
         raise ValueError(f"window must be >= 1, got {window}")
+    if frame not in ("range", "rows"):
+        raise ValueError(f"frame must be 'range' or 'rows', not {frame!r}")
+    if min_periods is None:
+        min_periods = 0 if frame == "range" else window
     nv = _nan_to_null(F.col(value_col))
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(time_col).cast("long"))
-        .rangeBetween(-(window - 1), Window.currentRow)
+    )
+    w = (
+        w.rangeBetween(-(window - 1), Window.currentRow)
+        if frame == "range"
+        else w.rowsBetween(-(window - 1), Window.currentRow)
     )
     agg = {
         "mean": F.avg(nv), "min": F.min(nv), "max": F.max(nv),
         "sum": F.sum(nv), "count": F.count(nv),
     }[method].over(w)
     if method == "count":
-        out = agg.cast("double")
+        agg = agg.cast("double")
     elif method == "sum":
-        out = F.coalesce(agg, F.lit(0.0))
-    else:
-        out = F.coalesce(agg, F.lit(float("nan")))
+        agg = F.coalesce(agg, F.lit(0.0))
+    if min_periods > 0:
+        agg = F.when(F.count(nv).over(w) >= min_periods, agg)
+    out = F.coalesce(agg, F.lit(float("nan")))
     return pixels.select(
         time_col, *key_cols, out.alias(value_col)
     )
@@ -496,7 +526,11 @@ def resample_in_time(
     Scale: the label axis is driver-side metadata (same status as the
     grid mapping); the frame->label and label->output-frame mappings
     are ``element_at``/``create_map`` over driver-side literals -- no
-    extra shuffle, no UDF.
+    extra shuffle, no UDF.  Past ``LABEL_TABLE_THRESHOLD`` frames the
+    literal forms would bloat the plan and whole-stage codegen (a
+    100k-frame high-cadence axis is 100k literals in one expression
+    tree), so both mappings switch to a broadcast-joined label table
+    -- still zero shuffle (broadcast hash join), same results.
     """
     from dataclasses import replace as _replace
 
@@ -534,7 +568,7 @@ def resample_in_time(
         )
         labels = np.arange(nt, dtype="int64")
     label_list = [int(x) for x in labels]
-    label_arr = F.array(*[F.lit(x) for x in label_list])
+    use_tables = len(label_list) > LABEL_TABLE_THRESHOLD
 
     # --- output axis + label->output-index map (both driver-side)
     if period is not None:
@@ -553,6 +587,17 @@ def resample_in_time(
 
     def _to_out_idx(df):
         # bin-start / target label -> output frame index
+        if use_tables:
+            tbl = df.sparkSession.createDataFrame(
+                [(int(lab), int(k)) for lab, k in out_idx.items()],
+                "__label long, __out int",
+            )
+            return (
+                df.join(F.broadcast(tbl),
+                        F.col("t") == F.col("__label"))
+                .withColumn("t", F.col("__out"))
+                .drop("__label", "__out")
+            )
         return df.withColumn(
             "t",
             F.element_at(
@@ -562,6 +607,25 @@ def resample_in_time(
                 ]),
                 F.col("t"),
             ),
+        )
+
+    def _relabel(df):
+        # frame index -> frame LABEL (t stays unique per pixel, so
+        # order-sensitive reducers like first/last see real times)
+        if use_tables:
+            tbl = df.sparkSession.createDataFrame(
+                [(k, lbl) for k, lbl in enumerate(label_list)],
+                "__frame int, __t long",
+            )
+            return (
+                df.join(F.broadcast(tbl),
+                        F.col("t").cast("int") == F.col("__frame"))
+                .withColumn("t", F.col("__t"))
+                .drop("__frame", "__t")
+            )
+        label_arr = F.array(*[F.lit(x) for x in label_list])
+        return df.withColumn(
+            "t", F.element_at(label_arr, F.col("t") + 1)
         )
 
     new_vars = {}
@@ -602,11 +666,7 @@ def resample_in_time(
                 f"variable {name!r}: pixel variables must be "
                 f"({time_dim}, y, x) for temporal resampling"
             )
-        # frame index -> frame LABEL (t stays unique per pixel, so
-        # order-sensitive reducers like first/last see real times)
-        relabeled = var.df.withColumn(
-            "t", F.element_at(label_arr, F.col("t") + 1)
-        )
+        relabeled = _relabel(var.df)
         if period is not None:
             method = _resolve_time_method(
                 agg_methods, name, TIME_REDUCERS, "agg")
