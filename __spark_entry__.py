@@ -4655,6 +4655,24 @@ def q_netcdf_roundtrip(spark, sf_dir):
         spark, "virtual", "value", bbox_ij=(5, 10, 20, 30),
         store=RefChunkStore(granule_dir_refs(nc_path)),
     ))
+    # 'kerchunk_parquet' leg: the SAME references shipped as a
+    # parquet-refs (v2) manifest (.zmetadata + refs.N.parq record
+    # files) through the lazy ParquetRefChunkStore -- executors load
+    # the manifest once per process instead of carrying the ref dict
+    # in every task closure (how multi-million-ref virtual cubes ship)
+    from xcube_resampling_spark.sources import (
+        ParquetRefChunkStore,
+        save_refs_parquet,
+    )
+
+    kp_path = tempfile.gettempdir() + "/xcrs_kerchunk_parquet_refs"
+    save_refs_parquet(
+        granule_dir_refs(nc_path), kp_path, record_size=2
+    )
+    kp = clipped(read_zarr(
+        spark, "virtual", "value", bbox_ij=(5, 10, 20, 30),
+        store=ParquetRefChunkStore(kp_path),
+    ))
     h5_path = tempfile.gettempdir() + "/xcrs_hdf5_roundtrip"
     write_hdf5(
         _raster(spark, sf_dir), h5_path, "value", (RH, RW), band_rows=16
@@ -4748,6 +4766,10 @@ def q_netcdf_roundtrip(spark, sf_dir):
         )
         .unionByName(
             kc.select(F.lit("kerchunk").alias("fmt"),
+                      "t", "j", "i", "value")
+        )
+        .unionByName(
+            kp.select(F.lit("kerchunk_parquet").alias("fmt"),
                       "t", "j", "i", "value")
         )
         .unionByName(
@@ -6985,6 +7007,9 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL\nSELECT 'cdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\n"
             f"SELECT 'kerchunk' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
+            f"UNION ALL\n"
+            f"SELECT 'kerchunk_parquet' AS fmt, q.* "
+            f"FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\nSELECT 'hdf5' AS fmt, q.* FROM ({SQL_CLIP}) q\n"
             f"UNION ALL\n"
             f"SELECT 'hdf5_dense' AS fmt, q.* FROM ({SQL_CLIP}) q\n"

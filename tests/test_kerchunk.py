@@ -494,3 +494,144 @@ class TestReviewRegressions:
         for (j, i), v in base.items():
             assert got[(0, j, i)] == pytest.approx(v + 50.0)
             assert got[(2, j, i)] == pytest.approx(v + 250.0)
+
+
+class TestParquetRefs:
+    """Parquet-refs (kerchunk v2) manifests: .zmetadata consolidated
+    JSON + per-array refs.<n>.parq record files -- the layout very
+    large reference sets ship in."""
+
+    def _refs(self):
+        import base64
+
+        return {
+            ".zgroup": '{"zarr_format": 2}',
+            "v/.zarray": json.dumps({
+                "zarr_format": 2, "shape": [4, 6], "chunks": [2, 3],
+                "dtype": "<f8", "compressor": None,
+                "fill_value": None, "order": "C", "filters": None,
+            }),
+            "v/.zattrs": '{"_ARRAY_DIMENSIONS": ["y", "x"]}',
+            # chunk grid 2x2: one ranged, one inline, one whole-file;
+            # v/0.1 deliberately ABSENT
+            "v/0.0": ["data.bin", 0, 10],
+            "v/1.0": "base64:"
+                     + base64.b64encode(b"\x00\x01\xff").decode(),
+            "v/1.1": ["whole.bin"],
+        }
+
+    def test_roundtrip_preserves_every_ref_form(self, tmp_path):
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        refs = self._refs()
+        # record_size 3 < 4 chunks -> the manifest spans two record
+        # files, exercising the record arithmetic
+        save_refs_parquet(refs, str(tmp_path / "refs"), record_size=3)
+        assert (tmp_path / "refs" / ".zmetadata").exists()
+        assert (tmp_path / "refs" / "v" / "refs.0.parq").exists()
+        assert (tmp_path / "refs" / "v" / "refs.1.parq").exists()
+        back = load_refs_parquet(str(tmp_path / "refs"))
+        assert json.loads(back[".zgroup"]) == {"zarr_format": 2}
+        assert json.loads(back["v/.zarray"]) \
+            == json.loads(refs["v/.zarray"])
+        assert json.loads(back["v/.zattrs"]) \
+            == json.loads(refs["v/.zattrs"])
+        assert back["v/0.0"] == ["data.bin", 0, 10]
+        assert back["v/1.0"] == refs["v/1.0"]
+        assert back["v/1.1"] == ["whole.bin"]
+        assert "v/0.1" not in back  # absent stays absent
+
+    def test_store_accepts_manifest_paths(self, tmp_path):
+        from xcube_resampling_spark.sources import (
+            save_refs,
+            save_refs_parquet,
+        )
+
+        (tmp_path / "data.bin").write_bytes(bytes(range(100)))
+        (tmp_path / "whole.bin").write_bytes(b"whole")
+        refs = self._refs()
+        save_refs(refs, str(tmp_path / "r.json"))
+        save_refs_parquet(refs, str(tmp_path / "refs"))
+        js = RefChunkStore(str(tmp_path / "r.json"))
+        pq = RefChunkStore(str(tmp_path / "refs"))
+        for key in ("v/.zarray", "v/0.0", "v/1.0", "v/1.1", "v/0.1"):
+            assert js.get(key) == pq.get(key), key
+        # relative targets resolve against the MANIFEST's directory
+        assert pq.get("v/0.0") == bytes(range(10))
+        assert pq.get("v/1.1") == b"whole"
+
+    def test_lazy_store_pickles_path_only(self, spark, tmp_path):
+        import pickle
+
+        from xcube_resampling_spark.sources import (
+            ParquetRefChunkStore,
+            save_refs_parquet,
+        )
+
+        w, h = 12, 16
+        df = _raster(spark, w, h)
+        gran = str(tmp_path / "gran")
+        write_netcdf3(df, gran, "v", (h, w), band_rows=4)
+        refs = granule_dir_refs(gran)
+        mdir = str(tmp_path / "refs")
+        save_refs_parquet(refs, mdir)
+        store = ParquetRefChunkStore(mdir)
+        # the pickle payload must stay O(1) in manifest size -- the
+        # whole point of the lazy store (a dict-backed RefChunkStore
+        # ships every ref in every task closure)
+        blob = pickle.dumps(store)
+        assert len(blob) < 1000, len(blob)
+        clone = pickle.loads(blob)
+        assert clone.get("v/.zarray") == RefChunkStore(refs).get(
+            "v/.zarray")
+        got = read_zarr(spark, "virtual", "v", store=clone).toPandas() \
+            .sort_values(["t", "j", "i"])
+        exp = df.toPandas().sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            got["value"].to_numpy(), exp["value"].to_numpy())
+
+    def test_parquet_manifest_matches_json_manifest_reads(
+            self, spark, tmp_path):
+        # same granule dir, two manifest encodings, identical cube --
+        # including the inlined short edge band
+        from xcube_resampling_spark.sources import (
+            ParquetRefChunkStore,
+            save_refs_parquet,
+        )
+
+        w, h = 12, 14  # band_rows=4 -> short last band (inline chunk)
+        df = _raster(spark, w, h)
+        gran = str(tmp_path / "gran")
+        write_netcdf3(df, gran, "v", (h, w), band_rows=4)
+        refs = granule_dir_refs(gran)
+        mdir = str(tmp_path / "refs")
+        save_refs_parquet(refs, mdir, record_size=2)
+        a = read_zarr(spark, "virtual", "v",
+                      store=RefChunkStore(refs)).toPandas() \
+            .sort_values(["t", "j", "i"])
+        b = read_zarr(spark, "virtual", "v",
+                      store=ParquetRefChunkStore(mdir)).toPandas() \
+            .sort_values(["t", "j", "i"])
+        np.testing.assert_array_equal(
+            a["value"].to_numpy(), b["value"].to_numpy())
+
+    def test_scalar_array_roundtrip(self, tmp_path):
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        refs = {
+            "s/.zarray": json.dumps({
+                "zarr_format": 2, "shape": [], "chunks": [],
+                "dtype": "<i4", "compressor": None,
+                "fill_value": None, "order": "C", "filters": None,
+            }),
+            "s/0": ["f.bin", 8, 4],
+        }
+        save_refs_parquet(refs, str(tmp_path / "refs"))
+        back = load_refs_parquet(str(tmp_path / "refs"))
+        assert back["s/0"] == ["f.bin", 8, 4]

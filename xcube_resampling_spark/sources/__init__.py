@@ -51,14 +51,17 @@ from .httpstore import (
     LocalHttpStoreServer,
 )
 from .kerchunk import (
+    ParquetRefChunkStore,
     RefChunkStore,
     concat_time_refs,
     geotiff_refs,
     granule_dir_refs,
     hdf5_refs,
     load_refs,
+    load_refs_parquet,
     netcdf3_refs,
     save_refs,
+    save_refs_parquet,
 )
 from .zarr3 import (
     add_spatial_ref3,
@@ -107,14 +110,17 @@ def read_netcdf(spark, path, var_name, bbox_ij=None, decode_cf=False):
 
 __all__ = [
     "CRS_SIDECAR",
+    "ParquetRefChunkStore",
     "RefChunkStore",
     "concat_time_refs",
     "geotiff_refs",
     "granule_dir_refs",
     "hdf5_refs",
     "load_refs",
+    "load_refs_parquet",
     "netcdf3_refs",
     "save_refs",
+    "save_refs_parquet",
     "ChunkPut",
     "FsChunkPut",
     "ObjectStoreChunkPut",

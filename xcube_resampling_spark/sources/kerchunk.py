@@ -52,6 +52,7 @@ from xcube_resampling_spark.sources.netcdf3 import parse_netcdf3_header
 from xcube_resampling_spark.sources.zarr import ChunkPut
 
 __all__ = [
+    "ParquetRefChunkStore",
     "RefChunkStore",
     "concat_time_refs",
     "geotiff_refs",
@@ -60,6 +61,8 @@ __all__ = [
     "granule_dir_refs",
     "save_refs",
     "load_refs",
+    "save_refs_parquet",
+    "load_refs_parquet",
 ]
 
 
@@ -81,7 +84,20 @@ class RefChunkStore(ChunkPut):
     handles are captured.
     """
 
-    def __init__(self, refs: dict, base_dir: str | None = None):
+    def __init__(self, refs: dict | str, base_dir: str | None = None):
+        if isinstance(refs, str):
+            # manifest path: a v1 JSON file, or a parquet-refs (v2)
+            # directory (.zmetadata + per-array refs.N.parq files)
+            if os.path.isdir(refs):
+                # relative targets resolve against the directory the
+                # manifest LIVES IN, same as the JSON-file form
+                if base_dir is None:
+                    base_dir = os.path.dirname(os.path.abspath(refs))
+                refs = load_refs_parquet(refs)
+            else:
+                if base_dir is None:
+                    base_dir = os.path.dirname(os.path.abspath(refs))
+                refs = load_refs(refs)
         self.refs = dict(refs.get("refs", refs))
         self.base_dir = base_dir
         # per-process reader cache (NOT pickled): an executor task
@@ -146,6 +162,232 @@ def save_refs(refs: dict, path: str) -> None:
 def load_refs(path: str) -> dict:
     with open(path) as fp:
         return json.load(fp)
+
+
+# ---------------------------------------------------------------------------
+# parquet-refs (kerchunk v2) manifests
+#
+# Very large reference sets in the ecosystem ship as parquet, not JSON
+# (fsspec's LazyReferenceMapper layout): a directory holding
+# ``.zmetadata`` (consolidated JSON -- every ``.zgroup``/``.zarray``/
+# ``.zattrs`` document plus ``record_size``) and, per array, row-group
+# files ``<var>/refs.<n>.parq`` with columns ``path``/``offset``/
+# ``size``/``raw``.  Row ``r`` of record ``n`` describes the chunk
+# whose C-order linear index over the array's chunk grid is
+# ``n * record_size + r``; an inline chunk carries ``raw`` bytes, a
+# ranged chunk carries ``path``+``offset``+``size``, a whole-file ref
+# has ``size`` 0, and an absent chunk is all-null.
+
+def _chunk_grid(zarray: dict) -> list[int]:
+    return [
+        -(-int(s) // int(c))
+        for s, c in zip(zarray["shape"], zarray["chunks"])
+    ]
+
+
+def _chunk_key(idx: int, grid: list[int]) -> str:
+    if not grid:
+        return "0"
+    coords = []
+    for g in reversed(grid):
+        coords.append(idx % g)
+        idx //= g
+    return ".".join(str(c) for c in reversed(coords))
+
+
+def _is_meta_key(key: str) -> bool:
+    return key.rsplit("/", 1)[-1].startswith(".")
+
+
+def save_refs_parquet(
+    refs: dict, path: str, record_size: int = 100_000
+) -> None:
+    """Write a reference manifest in the parquet-refs (v2) layout.
+
+    ``path`` becomes a directory: ``.zmetadata`` + per-array
+    ``refs.<n>.parq`` record files (see the layout note above).  The
+    inverse of :func:`load_refs_parquet`; accepts the same ``refs``
+    forms as :func:`save_refs`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    refs = dict(refs.get("refs", refs))
+    meta: dict = {}
+    chunk_by_var: dict[str, dict] = {}
+    for key, ref in refs.items():
+        if _is_meta_key(key):
+            if isinstance(ref, str):
+                try:
+                    meta[key] = json.loads(ref)
+                except ValueError:
+                    meta[key] = ref
+            else:
+                meta[key] = ref
+        else:
+            if "/" not in key:
+                raise NotImplementedError(
+                    f"root-array chunk key {key!r} has no parquet-refs "
+                    "home (arrays must live under a group prefix)"
+                )
+            var, ck = key.rsplit("/", 1)
+            chunk_by_var.setdefault(var, {})[ck] = ref
+    os.makedirs(path, exist_ok=True)
+    for var, cmap in chunk_by_var.items():
+        za = meta.get(f"{var}/.zarray")
+        if za is None:
+            raise ValueError(
+                f"chunk keys for {var!r} but no {var}/.zarray metadata"
+            )
+        grid = _chunk_grid(za if isinstance(za, dict)
+                           else json.loads(za))
+        strides: list[int] = []
+        nchunks = 1
+        for g in reversed(grid):
+            strides.insert(0, nchunks)
+            nchunks *= g
+        rows: dict[int, tuple] = {}
+        for ck, ref in cmap.items():
+            if grid:
+                parts = [int(p) for p in ck.split(".")]
+                if len(parts) != len(grid):
+                    raise ValueError(
+                        f"chunk key {var}/{ck} does not match the "
+                        f"{len(grid)}-dim chunk grid"
+                    )
+                idx = sum(p * s for p, s in zip(parts, strides))
+            else:
+                idx = 0
+            if isinstance(ref, str):
+                raw = (base64.b64decode(ref[7:])
+                       if ref.startswith("base64:")
+                       else ref.encode("utf-8"))
+                rows[idx] = (None, 0, 0, raw)
+            else:
+                rows[idx] = (
+                    str(ref[0]),
+                    int(ref[1]) if len(ref) > 1 else 0,
+                    int(ref[2]) if len(ref) > 2 else 0,
+                    None,
+                )
+        vdir = os.path.join(path, var)
+        os.makedirs(vdir, exist_ok=True)
+        for rec in range(-(-nchunks // record_size)):
+            lo = rec * record_size
+            hi = min(lo + record_size, nchunks)
+            recs = [rows.get(i, (None, 0, 0, None))
+                    for i in range(lo, hi)]
+            table = pa.table({
+                "path": pa.array([r[0] for r in recs], pa.string()),
+                "offset": pa.array([r[1] for r in recs], pa.int64()),
+                "size": pa.array([r[2] for r in recs], pa.int64()),
+                "raw": pa.array([r[3] for r in recs], pa.binary()),
+            })
+            pq.write_table(
+                table, os.path.join(vdir, f"refs.{rec}.parq"))
+    with open(os.path.join(path, ".zmetadata"), "w") as fp:
+        json.dump({"metadata": meta, "record_size": record_size}, fp)
+
+
+def load_refs_parquet(path: str) -> dict:
+    """Read a parquet-refs (v2) manifest directory back into the v1
+    in-memory form (key -> inline string / ``[target, offset,
+    length]``).  Tolerates both ``refs.<n>.parq`` and ``.parquet``
+    record files and metadata values stored as JSON objects or
+    strings."""
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, ".zmetadata")) as fp:
+        doc = json.load(fp)
+    meta = doc.get("metadata", {})
+    record_size = int(doc.get("record_size", 100_000))
+    refs: dict = {
+        k: (v if isinstance(v, str) else json.dumps(v))
+        for k, v in meta.items()
+    }
+    for key, za in meta.items():
+        if not key.endswith("/.zarray"):
+            continue
+        var = key[: -len("/.zarray")]
+        grid = _chunk_grid(za if isinstance(za, dict)
+                           else json.loads(za))
+        vdir = os.path.join(path, var)
+        if not os.path.isdir(vdir):
+            continue
+        recfiles = []
+        for fn in os.listdir(vdir):
+            if not fn.startswith("refs."):
+                continue
+            stem = fn[5:]
+            for suf in (".parquet", ".parq"):
+                if stem.endswith(suf):
+                    num = stem[: -len(suf)]
+                    if num.isdigit():
+                        recfiles.append((int(num), fn))
+                    break
+        for rec, fn in sorted(recfiles):
+            tb = pq.read_table(os.path.join(vdir, fn))
+            cols = [tb.column(c).to_pylist()
+                    for c in ("path", "offset", "size", "raw")]
+            for rn, (p, off, size, raw) in enumerate(zip(*cols)):
+                if p is None and raw is None:
+                    continue  # absent chunk
+                ck = _chunk_key(rec * record_size + rn, grid)
+                k = f"{var}/{ck}"
+                if raw is not None:
+                    refs[k] = (
+                        "base64:" + base64.b64encode(raw).decode())
+                elif size and size > 0:
+                    refs[k] = [p, int(off or 0), int(size)]
+                else:
+                    refs[k] = [p]
+    return refs
+
+
+class ParquetRefChunkStore(RefChunkStore):
+    """Lazy parquet-refs store -- the scale path for huge manifests.
+
+    :class:`RefChunkStore` pickles its whole refs dict into every task
+    closure; fine for thousands of chunks, hostile for the
+    multi-million-ref manifests that parquet-refs exist for.  This
+    store pickles as ``(path, base_dir)`` ONLY; each executor PROCESS
+    loads the manifest once from the parquet record files (class-level
+    cache keyed by path) and every task in that process reuses it --
+    manifest transfer cost is O(executors), not O(tasks), and the
+    driver plan never embeds it."""
+
+    _cache: dict = {}
+
+    def __init__(self, path: str, base_dir: str | None = None):
+        self.path = os.path.abspath(path)
+        self.base_dir = (base_dir if base_dir is not None
+                         else os.path.dirname(self.path))
+        self.refs = None
+        self._readers = {}
+
+    def _ensure(self) -> None:
+        if self.refs is None:
+            refs = ParquetRefChunkStore._cache.get(self.path)
+            if refs is None:
+                refs = load_refs_parquet(self.path)
+                ParquetRefChunkStore._cache[self.path] = refs
+            self.refs = refs
+
+    def known_keys(self) -> list[str]:
+        self._ensure()
+        return list(self.refs)
+
+    def get(self, key: str) -> bytes | None:
+        self._ensure()
+        return super().get(key)
+
+    def __getstate__(self):
+        return {"path": self.path, "base_dir": self.base_dir}
+
+    def __setstate__(self, state):
+        self.path = state["path"]
+        self.base_dir = state["base_dir"]
+        self.refs = None
+        self._readers = {}
 
 
 def _zattrs(attrs: dict, dims: tuple[str, ...] | None) -> dict:
