@@ -4240,6 +4240,22 @@ SELECT t, j, i, ROUND(value, 6) AS value FROM src
 """
 
 
+def q_resample_dispatch(spark, sf_dir):
+    """Tagged union over the resample_in_space dispatcher's two pure
+    routing outcomes (reference spatial.py:144-157): 'affine' = regular
+    source + same-CRS shifted target routes to the affine path;
+    'identity' = target is_close(source) returns the input untouched
+    (a bare scan).  One registry slot for both (the rectify/reproject
+    routes have their own query families)."""
+    a = q_resample_dispatch_affine(spark, sf_dir)
+    b = q_resample_identity(spark, sf_dir)
+    return a.select(
+        F.lit("affine").alias("leg"), "t", "j", "i", "value"
+    ).unionByName(
+        b.select(F.lit("identity").alias("leg"), "t", "j", "i", "value")
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Image resize over documents-derived payloads; output exploded to
     one row per output byte so every pixel value is oracle-checked (the
@@ -6937,8 +6953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectify_rotated_pole": q_rectify_rotated_pole,
         "rectify_geos": q_rectify_geos,
         "lon360_roundtrip": q_lon360_roundtrip,
-        "resample_dispatch_affine": q_resample_dispatch_affine,
-        "resample_identity": q_resample_identity,
+        # one slot for both pure dispatcher routes (affine + identity)
+        # -- merged in r11 to free a registry slot (driver cap: 50)
+        "resample_dispatch": q_resample_dispatch,
         "multimodal_suite": q_multimodal_suite,
         "reproject_methods": q_reproject_methods,
         "reproject_crs_families": q_reproject_crs_families,
@@ -6993,8 +7010,11 @@ def oracle_sql() -> dict[str, str]:
         "rectify_rotated_pole": _rotpole_rectify_sql(),
         "rectify_geos": _geos_rectify_sql(),
         "lon360_roundtrip": SQL_LON360,
-        "resample_dispatch_affine": SQL_AFFINE_SHIFT,
-        "resample_identity": SQL_IDENTITY,
+        "resample_dispatch": (
+            f"SELECT 'affine' AS leg, q.* FROM ({SQL_AFFINE_SHIFT}) q\n"
+            f"UNION ALL\n"
+            f"SELECT 'identity' AS leg, q.* FROM ({SQL_IDENTITY}) q"
+        ),
         "reproject_methods": _reproject_methods_sql(),
         "reproject_crs_families": _reproject_families_oracle_sql(),
         "zarr3_roundtrip": (
