@@ -6801,6 +6801,20 @@ def q_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("value"),
         ),
     ))
+    # proleptic Julian calendar (every 4th year leap, no century
+    # rule): same component packing; the window crosses the 1999/2000
+    # year boundary including Julian-only arithmetic
+    jcomp = decode_cf_time_components(
+        v, "days since 1999-12-27", "julian"
+    )
+    legs.append((
+        "cf_julian",
+        days.select(
+            "t", F.lit(0).alias("j"), F.lit(0).alias("i"),
+            (jcomp.year * 10000 + jcomp.month * 100 + jcomp.day)
+            .cast("double").alias("value"),
+        ),
+    ))
     out = None
     for name, d in legs:
         d = d.select(
@@ -6921,6 +6935,39 @@ SELECT 'cf_360day' AS leg, t, 0 AS j, 0 AS i,
             + (doe % 360) % 30 + 1 AS DOUBLE) AS value
 FROM (SELECT DISTINCT t, {doe0} + (t - 30) AS doe
       FROM ({TIME_CUBE_SQL}))""")
+    # cf_julian: the same epoch read on the proleptic Julian calendar;
+    # doe is the March-based Julian day-of-era (1461-day eras, leap at
+    # March-year 3).  All values positive here, so DuckDB's truncating
+    # // equals floor.
+    from xcube_resampling_spark.functions.cftime import (
+        _JULIAN_EPOCH_DOE,
+        _days_from_julian,
+    )
+
+    jdoe0 = _days_from_julian(1999, 12, 27) + _JULIAN_EPOCH_DOE
+    parts.append(f"""
+SELECT 'cf_julian' AS leg, t, 0 AS j, 0 AS i,
+       CAST((era * 4 + yoe + CASE WHEN month <= 2 THEN 1 ELSE 0 END)
+            * 10000 + month * 100 + day AS DOUBLE) AS value
+FROM (
+  SELECT t, era, yoe,
+         CASE WHEN mp < 10 THEN mp + 3 ELSE mp - 9 END AS month,
+         doy - (153 * mp + 2) // 5 + 1 AS day
+  FROM (
+    SELECT t, era, yoe, doy, (5 * doy + 2) // 153 AS mp
+    FROM (
+      SELECT t, era, yoe, die - 365 * yoe AS doy
+      FROM (
+        SELECT t, era, die, (die - die // 1460) // 365 AS yoe
+        FROM (
+          SELECT t, doe // 1461 AS era, doe % 1461 AS die
+          FROM (SELECT DISTINCT t, {jdoe0} + (t - 30) AS doe
+                FROM ({TIME_CUBE_SQL}))
+        )
+      )
+    )
+  )
+)""")
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p}\n) u" for p in parts)
 
 

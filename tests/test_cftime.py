@@ -402,3 +402,186 @@ class TestCivilAlgorithm:
                         (1, 1, 1), (9999, 12, 31), (1582, 10, 15)):
             want = (datetime.date(y, m, d) - epoch).days
             assert _days_from_civil(y, m, d) == want, (y, m, d)
+
+
+def _julian_py(value, units):
+    """Independent Julian-calendar mirror: per-day loop with the
+    every-fourth-year leap rule (no century corrections)."""
+    unit_ns, epoch = parse_cf_time_units(units)
+    total_us = (round(value * unit_ns) + 500) // 1000
+    tod = (epoch.hour * 3600 + epoch.minute * 60 + epoch.second) \
+        * 1_000_000 + epoch.microsecond
+    y, m, d = epoch.year, epoch.month, epoch.day
+    us = tod + total_us
+    day_us = 86_400_000_000
+    days, us = divmod(us, day_us)
+    d += days
+
+    def _ml(yy, mm):
+        base = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+        if mm == 2 and yy % 4 == 0:
+            return 29
+        return base[mm - 1]
+
+    while d > _ml(y, m):
+        d -= _ml(y, m)
+        m += 1
+        if m == 13:
+            m, y = 1, y + 1
+    while d < 1:
+        m -= 1
+        if m == 0:
+            m, y = 12, y - 1
+        d += _ml(y, m)
+    sec = us // 1_000_000
+    return (y, m, int(d), sec // 3600, (sec // 60) % 60, sec % 60)
+
+
+class TestJulianCalendar:
+    def test_components_match_python_mirror(self, spark):
+        import numpy as np
+
+        units = "days since 2000-03-15 06:00:00"
+        rng = np.random.RandomState(11)
+        values = [int(v) for v in rng.randint(-200_000, 200_000, 40)]
+        values += [0, 1, -1, 365, -365, 36_000]
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(values)],
+            "idx int, v double",
+        )
+        rows = df.select(
+            "idx",
+            decode_cf_time_components(
+                F.col("v"), units, "julian").alias("c"),
+        ).collect()
+        for r in rows:
+            c = r.c
+            got = (c.year, c.month, c.day, c.hour, c.minute, c.second)
+            assert got == _julian_py(values[r.idx], units), \
+                values[r.idx]
+
+    def test_century_years_are_leap(self, spark):
+        # 1900 is a leap year on the Julian calendar (no century
+        # rule): day 59 after 1900-01-01 is Feb 29, day 60 is Mar 1
+        df = spark.createDataFrame(
+            [(59.0,), (60.0,)], "v double")
+        rows = df.select(decode_cf_time_components(
+            F.col("v"), "days since 1900-01-01", "julian").alias("c")
+        ).collect()
+        got = [(r.c.year, r.c.month, r.c.day) for r in rows]
+        assert got == [(1900, 2, 29), (1900, 3, 1)]
+
+    def test_instant_anchoring_13_day_offset(self, spark):
+        # the julian epoch 2000-01-01 IS the real instant (Gregorian)
+        # 2000-01-14: the same units string decodes 13 days later than
+        # its standard-calendar reading
+        df = spark.createDataFrame([(0.0,)], "v double")
+        r = df.select(
+            decode_cf_time(F.col("v"), "days since 2000-01-01",
+                           "julian").alias("j"),
+            decode_cf_time(F.col("v"), "days since 2000-01-01",
+                           "standard").alias("g"),
+        ).collect()[0]
+        assert (r.j - r.g).days == 13
+        assert r.j == pd.Timestamp("2000-01-14")
+
+    def test_decode_array_julian_anchor(self):
+        import numpy as np
+
+        from xcube_resampling_spark.functions.cftime import (
+            decode_cf_time_array,
+        )
+
+        got = decode_cf_time_array(
+            np.array([0, 1]), "days since 2000-01-01", "julian")
+        np.testing.assert_array_equal(
+            got, np.array(["2000-01-14", "2000-01-15"],
+                          dtype="datetime64[ns]"))
+
+    def test_encode_roundtrip_components(self, spark):
+        from xcube_resampling_spark.functions.cftime import (
+            encode_cf_time_components,
+        )
+
+        units = "hours since 1899-12-31 18:00:00"
+        df = spark.createDataFrame(
+            [(float(v),) for v in (-100000, -17, 0, 5, 1461 * 24,
+                                   999999)],
+            "v double",
+        )
+        back = df.select(
+            F.col("v"),
+            encode_cf_time_components(
+                decode_cf_time_components(F.col("v"), units, "julian"),
+                units, "julian",
+            ).alias("b"),
+        ).collect()
+        for r in back:
+            assert r.b == pytest.approx(r.v), r.v
+
+    def test_encode_instant_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [(float(v),) for v in (-3650, 0, 1, 400 * 365)],
+            "v double")
+        back = df.select(
+            F.col("v"),
+            encode_cf_time(
+                decode_cf_time(F.col("v"), "days since 1950-06-01",
+                               "julian"),
+                "days since 1950-06-01", "julian",
+            ).alias("b"),
+        ).collect()
+        for r in back:
+            assert r.b == pytest.approx(r.v), r.v
+
+    def test_julian_only_epoch_date(self, spark):
+        # 1900-02-29 exists on the Julian calendar (pandas rejects it,
+        # so the nominal fallback must carry it) -- and 1901-02-29
+        # exists in NO year%4!=0 Julian year and is refused
+        df = spark.createDataFrame([(0.0,)], "v double")
+        r = df.select(decode_cf_time_components(
+            F.col("v"), "days since 1900-02-29", "julian").alias("c")
+        ).collect()[0]
+        assert (r.c.year, r.c.month, r.c.day) == (1900, 2, 29)
+        with pytest.raises(ValueError, match="does not exist"):
+            decode_cf_time_components(
+                F.col("v"), "days since 1901-02-29", "julian")
+        with pytest.raises(ValueError, match="does not exist"):
+            decode_cf_time(
+                F.col("v"), "days since 1901-02-29", "julian")
+
+
+class TestJulianDayAlgorithm:
+    def test_pinned_equivalences(self):
+        from xcube_resampling_spark.functions.cftime import (
+            _days_from_civil,
+            _days_from_julian,
+        )
+
+        # Julian 1969-12-19 == Gregorian 1970-01-01
+        assert _days_from_julian(1969, 12, 19) == 0
+        # the 1582 reform jump: Julian 1582-10-05 == Gregorian
+        # 1582-10-15
+        assert _days_from_julian(1582, 10, 5) \
+            == _days_from_civil(1582, 10, 15)
+        # both calendars agree between 200-03-01 and 300-02-28
+        # (era offset is zero there)
+        assert _days_from_julian(250, 6, 1) \
+            == _days_from_civil(250, 6, 1)
+
+    def test_consecutive_days_across_leap_boundaries(self):
+        from xcube_resampling_spark.functions.cftime import (
+            _days_from_julian,
+        )
+
+        ml = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+        for y0 in (1898, -6, 99):  # spans century + negative years
+            prev = None
+            for y in range(y0, y0 + 5):
+                for m in range(1, 13):
+                    dm = 29 if (m == 2 and y % 4 == 0) else ml[m - 1]
+                    for d in range(1, dm + 1):
+                        got = _days_from_julian(y, m, d)
+                        if prev is not None:
+                            assert got == prev + 1, (y, m, d)
+                        prev = got

@@ -20,15 +20,25 @@ whole-stage codegen, with no Python UDF and an ANSI-SQL twin:
   integer arithmetic.  The epoch is decomposed driver-side in the same
   calendar, so the column expression is add-divide-mod only.
 
-Scale note: both paths are scalar expressions on the time column --
+* **The proleptic Julian calendar** (``julian``) is first-class: every
+  fourth year is a leap year with no century rule, so a ``julian``
+  axis's epoch names a DIFFERENT real instant than its Gregorian
+  reading (13 days apart in the 20th/21st centuries).
+  :func:`decode_cf_time` anchors the epoch on the Julian calendar and
+  returns true-instant timestamps; :func:`decode_cf_time_components`
+  returns the Julian-calendar fields (what cftime's
+  ``DatetimeJulian`` carries) via the same 1461-day-era integer
+  arithmetic the fixed calendars use.
+
+Scale note: all paths are scalar expressions on the time column --
 typically a metadata-sized coordinate array, but safe to run over a
 100-TB fact table (codegen, no shuffle, no UDF).
 
-Only the pre-1582 Julian/Gregorian switch of the plain ``julian`` /
-``standard`` calendar on proleptic dates differs from cftime; CF data
-before 1582 is vanishingly rare and ``standard`` is treated as
-proleptic Gregorian here (xarray's default decoding does the same via
-pandas for in-range dates).
+Only the pre-1582 Julian/Gregorian SWITCH of the plain ``standard``
+calendar differs from cftime: ``standard`` is treated as proleptic
+Gregorian here (xarray's default decoding does the same via pandas for
+in-range dates); datasets on a true mixed calendar should declare
+``julian``.
 """
 
 from __future__ import annotations
@@ -110,6 +120,21 @@ def _days_from_civil(y: int, m: int, d: int) -> int:
     return era * 146097 + doe - 719468
 
 
+# the March-based day-of-era of Julian 1969-12-19 == Gregorian
+# 1970-01-01 (the two calendars are 13 days apart in 1900-2099)
+_JULIAN_EPOCH_DOE = 719470
+
+
+def _days_from_julian(y: int, m: int, d: int) -> int:
+    """Proleptic-JULIAN-calendar date -> days since (Gregorian)
+    1970-01-01.  Same March-based month arithmetic as the civil
+    algorithm, but the leap rule is every fourth year with no century
+    corrections, so the era math is just ``365 y + floor(y / 4)``."""
+    y -= m <= 2
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    return y * 365 + y // 4 + doy - _JULIAN_EPOCH_DOE
+
+
 class _NominalDate:
     """Minimal epoch stand-in when pandas can't represent the instant.
 
@@ -133,12 +158,15 @@ class _NominalDate:
                 f"{self.second:02d}.{self.microsecond:06d})")
 
 
-def _epoch_ns(epoch) -> int:
-    """Epoch -> proleptic-Gregorian ns since 1970, computed from the
-    NOMINAL fields via the civil-calendar algorithm.  Never touches
+def _epoch_ns(epoch, julian: bool = False) -> int:
+    """Epoch -> real-instant ns since 1970, computed from the NOMINAL
+    fields via the civil-calendar algorithm (``julian=True`` reads the
+    fields on the proleptic Julian calendar instead -- the same
+    nominal date is a different instant there).  Never touches
     ``pd.Timestamp.value``: pandas parses out-of-ns-range epochs (year
     1) at second resolution and ``.value`` raises OverflowError."""
-    days = _days_from_civil(epoch.year, epoch.month, epoch.day)
+    fn = _days_from_julian if julian else _days_from_civil
+    days = fn(epoch.year, epoch.month, epoch.day)
     sec = (days * 86400 + epoch.hour * 3600 + epoch.minute * 60
            + epoch.second)
     return (sec * 1_000_000_000 + epoch.microsecond * 1000
@@ -170,7 +198,7 @@ _CAL_MONTHS = {
 }
 
 _REAL_CALENDARS = (
-    "standard", "gregorian", "proleptic_gregorian", "", None,
+    "standard", "gregorian", "proleptic_gregorian", "julian", "", None,
 )
 
 
@@ -267,7 +295,10 @@ def decode_cf_time(
             )
         raise ValueError(f"unknown CF calendar {calendar!r}")
     unit_ns, epoch = parse_cf_time_units(units)
-    epoch_us = (_epoch_ns(epoch) + 500) // 1000  # ns -> us, half-up
+    if cal == "julian":
+        _check_julian_epoch(epoch)
+    epoch_ns = _epoch_ns(epoch, julian=(cal == "julian"))
+    epoch_us = (epoch_ns + 500) // 1000  # ns -> us, half-up
     return F.timestamp_micros(
         F.lit(epoch_us) + _value_us(values, unit_ns)
     )
@@ -286,7 +317,10 @@ def encode_cf_time(
             f"{calendar!r}"
         )
     unit_ns, epoch = parse_cf_time_units(units)
-    epoch_us = (_epoch_ns(epoch) + 500) // 1000
+    if cal == "julian":
+        _check_julian_epoch(epoch)
+    epoch_ns = _epoch_ns(epoch, julian=(cal == "julian"))
+    epoch_us = (epoch_ns + 500) // 1000
     us = F.unix_micros(ts) - F.lit(int(epoch_us))
     return us.cast("double") * F.lit(1000.0) / F.lit(float(unit_ns))
 
@@ -318,18 +352,88 @@ def _decompose_fixed(epoch: pd.Timestamp, cal: str):
     return months, year_days, cum, epoch_day_of_era, tod_us
 
 
+def _tod_us(epoch) -> int:
+    return (
+        epoch.hour * 3_600_000_000
+        + epoch.minute * 60_000_000
+        + epoch.second * 1_000_000
+        + epoch.microsecond
+    )
+
+
+def _check_julian_epoch(epoch) -> None:
+    ml = (31, 29 if epoch.year % 4 == 0 else 28, 31, 30, 31, 30, 31,
+          31, 30, 31, 30, 31)
+    if epoch.day > ml[epoch.month - 1]:
+        raise ValueError(
+            f"epoch {epoch!r} does not exist in calendar 'julian'"
+        )
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    """Exact floor division for a possibly negative long column."""
+    bb = F.lit(b).cast("long")
+    pm = ((a % bb) + bb) % bb
+    return ((a - pm) / bb).cast("long")
+
+
+def _julian_fields_from_doe(doe: Column):
+    """March-based Julian day-of-era -> (year, month, day) columns.
+    The inverse of ``365 y' + floor(y'/4) + doy``: 1461-day (4-year)
+    eras with the leap day at the end of March-year 3 -- no century
+    corrections, no lookup arrays."""
+    era = _floordiv(doe, 1461)
+    die = (doe - era * F.lit(1461)).cast("int")      # 0..1460
+    yoe = ((die - _floordiv(die, 1460)) / F.lit(365)).cast("int")
+    doy = die - yoe * F.lit(365)                     # 0..365
+    mp = ((F.lit(5) * doy + F.lit(2)) / F.lit(153)).cast("int")
+    day = doy - ((F.lit(153) * mp + F.lit(2)) / F.lit(5)).cast("int") \
+        + F.lit(1)
+    month = F.when(mp < 10, mp + 3).otherwise(mp - 9)
+    year = era * F.lit(4) + yoe \
+        + F.when(month <= 2, F.lit(1)).otherwise(F.lit(0))
+    return year, month, day
+
+
 def decode_cf_time_components(
     values: Column, units: str, calendar: str
 ) -> Column:
     """Numeric CF time -> ``struct(year, month, day, hour, minute,
-    second)`` for the fixed-length calendars (``360_day``,
-    ``noleap``/``365_day``, ``all_leap``/``366_day``).
+    second)`` for the non-Gregorian calendars: the fixed-length ones
+    (``360_day``, ``noleap``/``365_day``, ``all_leap``/``366_day``)
+    and the proleptic ``julian`` calendar (every fourth year leap, no
+    century rule -- cftime's ``DatetimeJulian`` fields).
 
     Pure integer Catalyst arithmetic: value -> microseconds since the
-    calendar's year-0 origin -> floor-div/mod chain.  The month lookup
-    is an ``element_at`` over a 12-element literal array -- no UDF, no
-    join."""
+    calendar's year-0 origin -> floor-div/mod chain.  The fixed
+    calendars' month lookup is an ``element_at`` over a 12-element
+    literal array; julian uses the 1461-day-era inverse -- no UDF, no
+    join either way."""
     cal = (calendar or "").lower()
+    if cal == "julian":
+        unit_ns, epoch = parse_cf_time_units(units)
+        _check_julian_epoch(epoch)
+        epoch_doe = (_days_from_julian(epoch.year, epoch.month,
+                                       epoch.day)
+                     + _JULIAN_EPOCH_DOE)
+        day_us = 86_400_000_000
+        total_us = (
+            F.lit(epoch_doe * day_us + _tod_us(epoch))
+            + _value_us(values, unit_ns)
+        )
+        doe = _floordiv(total_us, day_us)
+        us_of_day = total_us - doe * F.lit(day_us)
+        year, month, day = _julian_fields_from_doe(doe)
+        sec_of_day = _floordiv(us_of_day, 1_000_000)
+        return F.struct(
+            year.cast("int").alias("year"),
+            month.cast("int").alias("month"),
+            day.cast("int").alias("day"),
+            _floordiv(sec_of_day, 3600).cast("int").alias("hour"),
+            (_floordiv(sec_of_day, 60) % 60).cast("int")
+            .alias("minute"),
+            (sec_of_day % 60).cast("int").alias("second"),
+        )
     if cal not in _CAL_MONTHS:
         raise ValueError(
             f"calendar {calendar!r} is not fixed-length; use "
@@ -345,12 +449,7 @@ def decode_cf_time_components(
         F.lit(epoch_doe * day_us + tod_us)
         + _value_us(values, unit_ns)
     )
-    # floor div/mod (exact integer form; total_us can be pre-origin)
-    def _floordiv(a: Column, b: int) -> Column:
-        bb = F.lit(b).cast("long")
-        pm = ((a % bb) + bb) % bb
-        return ((a - pm) / bb).cast("long")
-
+    # floor div/mod is exact integer math; total_us can be pre-origin
     doe = _floordiv(total_us, day_us)
     us_of_day = total_us - doe * F.lit(day_us)
     year = _floordiv(doe, year_days)
@@ -397,7 +496,9 @@ def decode_cf_time_array(values, units: str,
             )
         raise ValueError(f"unknown CF calendar {calendar!r}")
     unit_ns, epoch = parse_cf_time_units(units)
-    epoch_ns = _epoch_ns(epoch)
+    if cal == "julian":
+        _check_julian_epoch(epoch)
+    epoch_ns = _epoch_ns(epoch, julian=(cal == "julian"))
     arr = np.asarray(values)
     if np.issubdtype(arr.dtype, np.integer):
         ns = [epoch_ns + int(v) * unit_ns for v in arr.ravel()]
@@ -430,32 +531,48 @@ def encode_cf_time_components(
     run forward).  ``components`` is a struct with
     ``year month day hour minute second`` fields; the result is a
     DOUBLE in the unit of ``units`` (fractional when the instant does
-    not land on a whole unit).  Pure Catalyst -- element_at month
-    lookup, no UDF."""
+    not land on a whole unit).  ``julian`` components encode through
+    the same 1461-day-era arithmetic their decode uses.  Pure
+    Catalyst -- element_at month lookup, no UDF."""
     cal = (calendar or "").lower()
-    if cal not in _CAL_MONTHS:
-        raise ValueError(
-            f"calendar {calendar!r} is not fixed-length; use "
-            "encode_cf_time"
-        )
-    unit_ns, epoch = parse_cf_time_units(units)
-    months, year_days, cum, epoch_doe, tod_us = _decompose_fixed(
-        epoch, cal
-    )
     day_us = 86_400_000_000
-    cum_arr = F.array(*[F.lit(c) for c in cum])
     y = components.getField("year").cast("long")
     mo = components.getField("month").cast("int")
     d = components.getField("day").cast("long")
-    doe = (y * F.lit(year_days)
-           + F.element_at(cum_arr, mo).cast("long")
-           + d - F.lit(1))
     us_of_day = (
         components.getField("hour").cast("long") * F.lit(3_600_000_000)
         + components.getField("minute").cast("long")
         * F.lit(60_000_000)
         + components.getField("second").cast("long") * F.lit(1_000_000)
     )
+    if cal == "julian":
+        unit_ns, epoch = parse_cf_time_units(units)
+        _check_julian_epoch(epoch)
+        epoch_doe = (_days_from_julian(epoch.year, epoch.month,
+                                       epoch.day)
+                     + _JULIAN_EPOCH_DOE)
+        tod_us = _tod_us(epoch)
+        # forward form of _julian_fields_from_doe: March-based year
+        yp = y - F.when(mo <= 2, F.lit(1)).otherwise(F.lit(0))
+        doy = (((F.lit(153)
+                 * (mo + F.when(mo > 2, F.lit(-3)).otherwise(F.lit(9)))
+                 + F.lit(2)) / F.lit(5)).cast("long")
+               + d - F.lit(1))
+        doe = yp * F.lit(365) + _floordiv(yp, 4) + doy
+    elif cal not in _CAL_MONTHS:
+        raise ValueError(
+            f"calendar {calendar!r} is not fixed-length; use "
+            "encode_cf_time"
+        )
+    else:
+        unit_ns, epoch = parse_cf_time_units(units)
+        months, year_days, cum, epoch_doe, tod_us = _decompose_fixed(
+            epoch, cal
+        )
+        cum_arr = F.array(*[F.lit(c) for c in cum])
+        doe = (y * F.lit(year_days)
+               + F.element_at(cum_arr, mo).cast("long")
+               + d - F.lit(1))
     total_us = doe * F.lit(day_us) + us_of_day
     delta_us = total_us - F.lit(epoch_doe * day_us + tod_us)
     if unit_ns >= 1000:
