@@ -635,3 +635,26 @@ class TestParquetRefs:
         save_refs_parquet(refs, str(tmp_path / "refs"))
         back = load_refs_parquet(str(tmp_path / "refs"))
         assert back["s/0"] == ["f.bin", 8, 4]
+
+    def test_rewrite_with_smaller_record_count_drops_stale_files(
+            self, tmp_path):
+        # second write with a LARGER record_size produces fewer record
+        # files; stale ones from the first write must not survive to
+        # be re-read under the new record arithmetic
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        refs = self._refs()
+        mdir = str(tmp_path / "refs")
+        save_refs_parquet(refs, mdir, record_size=1)  # 4 record files
+        save_refs_parquet(refs, mdir, record_size=100)  # 1 record file
+        import os as _os
+
+        left = sorted(_os.listdir(tmp_path / "refs" / "v"))
+        assert left == ["refs.0.parq"]
+        back = load_refs_parquet(mdir)
+        assert back["v/0.0"] == ["data.bin", 0, 10]
+        assert back["v/1.1"] == ["whole.bin"]
+        assert "v/0.1" not in back

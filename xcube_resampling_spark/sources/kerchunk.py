@@ -271,6 +271,14 @@ def save_refs_parquet(
                 )
         vdir = os.path.join(path, var)
         os.makedirs(vdir, exist_ok=True)
+        # drop stale record files from an earlier write: with a
+        # different record_size they would re-enter load_refs_parquet
+        # under the NEW record arithmetic and map rows to wrong chunk
+        # indices -- silent corruption far from the cause
+        for fn in os.listdir(vdir):
+            if fn.startswith("refs.") and fn.endswith(
+                    (".parq", ".parquet")):
+                os.remove(os.path.join(vdir, fn))
         for rec in range(-(-nchunks // record_size)):
             lo = rec * record_size
             hi = min(lo + record_size, nchunks)
