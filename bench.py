@@ -459,7 +459,7 @@ def main():
             spark.catalog.clearCache()
             spark._jvm.System.gc()  # same isolation as the headline loop
             df1 = sf1_fn(spark)
-            # warm-until-plateau (cap 8): the first 2-4 runs pay
+            # warm-until-plateau (cap 12): the first 2-4 runs pay
             # one-time JIT costs (whole-stage-codegen compilation + C2
             # warmup) which a long-lived cluster amortizes, and this
             # box's noise can bury the steady state for several runs
@@ -868,9 +868,12 @@ def main():
             "plateau": scale_plateau,
             "exchanges_head_vs_10x": scale_exchanges,
             "note": (
-                "warm-until-plateau (two consecutive runs within 15%, "
-                "cap 8) at ~10x pixels; min over runs; first_runs "
-                "include one-time codegen; excluded from value. "
+                "warm-until-plateau (the 3 smallest post-warmup runs "
+                "within 15%, run 0 excluded, cap 12 via "
+                "SPARK_GRAFT_PLATEAU_CAP) at ~10x pixels; queries/sec "
+                "= min of the certifying triple (post-warmup min when "
+                "uncertified); first_runs include one-time codegen; "
+                "excluded from value. "
                 "reproject_5slice materializes the full 5x3162x3162 "
                 "target -- BASELINE.md's 5-date-stack shape computes one "
                 "date at [::20,::20] in 50.4 s single-node"

@@ -658,3 +658,81 @@ class TestParquetRefs:
         assert back["v/0.0"] == ["data.bin", 0, 10]
         assert back["v/1.1"] == ["whole.bin"]
         assert "v/0.1" not in back
+
+    def test_metadata_only_rewrite_cleans_all_var_dirs(self, tmp_path):
+        # review regression: a rewrite where a var keeps its .zarray
+        # but ships NO chunk refs must still clear that var's old
+        # record files (they would resurrect deleted chunks under the
+        # new record arithmetic)
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        refs = self._refs()
+        mdir = str(tmp_path / "refs")
+        save_refs_parquet(refs, mdir, record_size=1)
+        meta_only = {k: v for k, v in refs.items()
+                     if k.rsplit("/", 1)[-1].startswith(".")}
+        save_refs_parquet(meta_only, mdir, record_size=100)
+        back = load_refs_parquet(mdir)
+        assert "v/0.0" not in back
+        assert "v/1.1" not in back
+        assert json.loads(back["v/.zarray"]) \
+            == json.loads(refs["v/.zarray"])
+
+    def test_out_of_grid_chunk_key_refused_on_write(self, tmp_path):
+        from xcube_resampling_spark.sources import save_refs_parquet
+
+        refs = self._refs()
+        refs["v/2.0"] = ["x.bin", 0, 4]   # grid is 2x2
+        with pytest.raises(ValueError, match="outside the 2x2"):
+            save_refs_parquet(refs, str(tmp_path / "refs"))
+        refs = self._refs()
+        refs["v/0.3"] = ["x.bin", 0, 4]   # per-dim overflow aliases
+        with pytest.raises(ValueError, match="outside the 2x2"):
+            save_refs_parquet(refs, str(tmp_path / "r2"))
+
+    def test_record_arithmetic_mismatch_refused_on_read(self, tmp_path):
+        # a .zmetadata whose record_size disagrees with the record
+        # files must fail loudly, not alias rows onto wrong chunks
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        mdir = tmp_path / "refs"
+        save_refs_parquet(self._refs(), str(mdir), record_size=1)
+        doc = json.loads((mdir / ".zmetadata").read_text())
+        doc["record_size"] = 100
+        (mdir / ".zmetadata").write_text(json.dumps(doc))
+        with pytest.raises(ValueError, match="record arithmetic"):
+            load_refs_parquet(str(mdir))
+
+    def test_lazy_store_reloads_after_manifest_rewrite(self, tmp_path):
+        # review regression: the per-process cache is keyed by the
+        # .zmetadata stat, so a rewritten manifest at the same path is
+        # reloaded, not served stale
+        import os as _os
+
+        from xcube_resampling_spark.sources import (
+            ParquetRefChunkStore,
+            save_refs_parquet,
+        )
+
+        refs = self._refs()
+        mdir = str(tmp_path / "refs")
+        save_refs_parquet(refs, mdir)
+        s1 = ParquetRefChunkStore(mdir)
+        assert "v/0.0" in s1.known_keys()
+        refs2 = dict(refs)
+        refs2["v/0.0"] = ["other.bin", 7, 3]
+        save_refs_parquet(refs2, mdir)
+        # ensure the stat actually changes even on coarse-mtime
+        # filesystems
+        zp = _os.path.join(mdir, ".zmetadata")
+        st = _os.stat(zp)
+        _os.utime(zp, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+        s2 = ParquetRefChunkStore(mdir)
+        s2._ensure()
+        assert s2.refs["v/0.0"] == ["other.bin", 7, 3]

@@ -810,3 +810,16 @@ class TestLargeAxisLabelTables:
             sel = (days // 20_000) * 20_000 == s
             assert got[k, 0, 0] == pytest.approx(
                 float(np.mean(vals[sel, 0, 0])))
+
+    def test_min_periods_validation(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        cube = _cube(spark)
+        with pytest.raises(ValueError, match="min_periods.*<= window"):
+            rolling_time_agg(cube, "mean", 3, frame="rows",
+                             min_periods=30)
+        with pytest.raises(ValueError, match="min_periods must be >= 0"):
+            rolling_time_agg(cube, "mean", 3, frame="rows",
+                             min_periods=-1)

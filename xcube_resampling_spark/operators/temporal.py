@@ -398,6 +398,16 @@ def rolling_time_agg(
         raise ValueError(f"frame must be 'range' or 'rows', not {frame!r}")
     if min_periods is None:
         min_periods = 0 if frame == "range" else window
+    elif min_periods < 0:
+        raise ValueError(f"min_periods must be >= 0, got {min_periods}")
+    elif frame == "rows" and min_periods > window:
+        # a rows frame holds at most `window` observations, so the
+        # gate could never pass -- all-NaN output with no error
+        # (xarray raises the same way)
+        raise ValueError(
+            f"min_periods ({min_periods}) must be <= window "
+            f"({window}) for a rows frame"
+        )
     nv = _nan_to_null(F.col(value_col))
     w = (
         Window.partitionBy(*key_cols)
@@ -585,15 +595,26 @@ def resample_in_time(
         out_labels = np.asarray(tt, dtype="int64")
         out_idx = {x: k for k, x in enumerate(tt)}
 
+    # the two mapping tables depend only on the axis, not the
+    # variable -- build them ONCE, outside the per-variable loop (a
+    # wide dataset would otherwise pay one createDataFrame + one
+    # broadcast per variable for identical tables)
+    out_tbl = frame_tbl = None
+    if use_tables:
+        out_tbl = source_ds.spark.createDataFrame(
+            [(int(lab), int(k)) for lab, k in out_idx.items()],
+            "__label long, __out int",
+        )
+        frame_tbl = source_ds.spark.createDataFrame(
+            [(k, lbl) for k, lbl in enumerate(label_list)],
+            "__frame int, __t long",
+        )
+
     def _to_out_idx(df):
         # bin-start / target label -> output frame index
         if use_tables:
-            tbl = df.sparkSession.createDataFrame(
-                [(int(lab), int(k)) for lab, k in out_idx.items()],
-                "__label long, __out int",
-            )
             return (
-                df.join(F.broadcast(tbl),
+                df.join(F.broadcast(out_tbl),
                         F.col("t") == F.col("__label"))
                 .withColumn("t", F.col("__out"))
                 .drop("__label", "__out")
@@ -613,12 +634,8 @@ def resample_in_time(
         # frame index -> frame LABEL (t stays unique per pixel, so
         # order-sensitive reducers like first/last see real times)
         if use_tables:
-            tbl = df.sparkSession.createDataFrame(
-                [(k, lbl) for k, lbl in enumerate(label_list)],
-                "__frame int, __t long",
-            )
             return (
-                df.join(F.broadcast(tbl),
+                df.join(F.broadcast(frame_tbl),
                         F.col("t").cast("int") == F.col("__frame"))
                 .withColumn("t", F.col("__t"))
                 .drop("__frame", "__t")

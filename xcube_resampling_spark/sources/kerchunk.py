@@ -87,17 +87,13 @@ class RefChunkStore(ChunkPut):
     def __init__(self, refs: dict | str, base_dir: str | None = None):
         if isinstance(refs, str):
             # manifest path: a v1 JSON file, or a parquet-refs (v2)
-            # directory (.zmetadata + per-array refs.N.parq files)
-            if os.path.isdir(refs):
-                # relative targets resolve against the directory the
-                # manifest LIVES IN, same as the JSON-file form
-                if base_dir is None:
-                    base_dir = os.path.dirname(os.path.abspath(refs))
-                refs = load_refs_parquet(refs)
-            else:
-                if base_dir is None:
-                    base_dir = os.path.dirname(os.path.abspath(refs))
-                refs = load_refs(refs)
+            # directory (.zmetadata + per-array refs.N.parq files).
+            # Relative targets resolve against the directory the
+            # manifest LIVES IN, whichever form it takes.
+            if base_dir is None:
+                base_dir = os.path.dirname(os.path.abspath(refs))
+            refs = (load_refs_parquet(refs) if os.path.isdir(refs)
+                    else load_refs(refs))
         self.refs = dict(refs.get("refs", refs))
         self.base_dir = base_dir
         # per-process reader cache (NOT pickled): an executor task
@@ -232,6 +228,20 @@ def save_refs_parquet(
             var, ck = key.rsplit("/", 1)
             chunk_by_var.setdefault(var, {})[ck] = ref
     os.makedirs(path, exist_ok=True)
+    # drop stale record files for EVERY array in the manifest, not
+    # just the ones receiving chunk refs in this write: a var that
+    # kept its .zarray but lost its chunks would otherwise resurrect
+    # old refs.N.parq rows under the new record arithmetic
+    for key in meta:
+        if not key.endswith("/.zarray"):
+            continue
+        vdir = os.path.join(path, key[: -len("/.zarray")])
+        if not os.path.isdir(vdir):
+            continue
+        for fn in os.listdir(vdir):
+            if fn.startswith("refs.") and fn.endswith(
+                    (".parq", ".parquet")):
+                os.remove(os.path.join(vdir, fn))
     for var, cmap in chunk_by_var.items():
         za = meta.get(f"{var}/.zarray")
         if za is None:
@@ -249,10 +259,16 @@ def save_refs_parquet(
         for ck, ref in cmap.items():
             if grid:
                 parts = [int(p) for p in ck.split(".")]
-                if len(parts) != len(grid):
+                if len(parts) != len(grid) or any(
+                    p < 0 or p >= g for p, g in zip(parts, grid)
+                ):
+                    # silently dropping (idx >= nchunks) or aliasing
+                    # (per-dim overflow collides with a different
+                    # in-grid chunk) would corrupt the manifest
                     raise ValueError(
-                        f"chunk key {var}/{ck} does not match the "
-                        f"{len(grid)}-dim chunk grid"
+                        f"chunk key {var}/{ck} is outside the "
+                        f"{'x'.join(map(str, grid))} chunk grid of "
+                        f"its .zarray"
                     )
                 idx = sum(p * s for p, s in zip(parts, strides))
             else:
@@ -271,14 +287,6 @@ def save_refs_parquet(
                 )
         vdir = os.path.join(path, var)
         os.makedirs(vdir, exist_ok=True)
-        # drop stale record files from an earlier write: with a
-        # different record_size they would re-enter load_refs_parquet
-        # under the NEW record arithmetic and map rows to wrong chunk
-        # indices -- silent corruption far from the cause
-        for fn in os.listdir(vdir):
-            if fn.startswith("refs.") and fn.endswith(
-                    (".parq", ".parquet")):
-                os.remove(os.path.join(vdir, fn))
         for rec in range(-(-nchunks // record_size)):
             lo = rec * record_size
             hi = min(lo + record_size, nchunks)
@@ -318,6 +326,9 @@ def load_refs_parquet(path: str) -> dict:
         var = key[: -len("/.zarray")]
         grid = _chunk_grid(za if isinstance(za, dict)
                            else json.loads(za))
+        nchunks = 1
+        for g in grid:
+            nchunks *= g
         vdir = os.path.join(path, var)
         if not os.path.isdir(vdir):
             continue
@@ -339,7 +350,18 @@ def load_refs_parquet(path: str) -> dict:
             for rn, (p, off, size, raw) in enumerate(zip(*cols)):
                 if p is None and raw is None:
                     continue  # absent chunk
-                ck = _chunk_key(rec * record_size + rn, grid)
+                idx = rec * record_size + rn
+                if idx >= nchunks:
+                    # _chunk_key would WRAP an out-of-grid index onto
+                    # a valid chunk (each coord is idx % g) -- a
+                    # truncated/foreign manifest or a record_size
+                    # mismatch must fail loudly, not alias chunks
+                    raise ValueError(
+                        f"{fn} row {rn} addresses chunk index {idx} "
+                        f">= {nchunks} of {var!r}; manifest and "
+                        ".zmetadata record arithmetic disagree"
+                    )
+                ck = _chunk_key(idx, grid)
                 k = f"{var}/{ck}"
                 if raw is not None:
                     refs[k] = (
@@ -374,10 +396,17 @@ class ParquetRefChunkStore(RefChunkStore):
 
     def _ensure(self) -> None:
         if self.refs is None:
-            refs = ParquetRefChunkStore._cache.get(self.path)
+            # cache key includes the .zmetadata stat so a rewritten
+            # manifest at the same path is reloaded, not served stale
+            st = os.stat(os.path.join(self.path, ".zmetadata"))
+            key = (self.path, st.st_mtime_ns, st.st_size)
+            refs = ParquetRefChunkStore._cache.get(key)
             if refs is None:
                 refs = load_refs_parquet(self.path)
-                ParquetRefChunkStore._cache[self.path] = refs
+                for k in [k for k in ParquetRefChunkStore._cache
+                          if k[0] == self.path]:
+                    del ParquetRefChunkStore._cache[k]  # stale rev
+                ParquetRefChunkStore._cache[key] = refs
             self.refs = refs
 
     def known_keys(self) -> list[str]:
