@@ -6768,6 +6768,13 @@ def q_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rolling_rows", TT.rolling_time_agg(cube, "mean", 3,
                                              frame="rows"))
     )
+    # centered even window (pandas/xarray center=True: the extra
+    # element sits BEFORE the label), min_periods relaxed to 2
+    legs.append(
+        ("rolling_center", TT.rolling_time_agg(
+            cube, "mean", 4, frame="rows", center=True,
+            min_periods=2))
+    )
     legs.append(("composite", TT.composite_best_pixel(cube)))
     # CF time decoding over the frame axis (functions/cftime.py):
     # 'cf_decode' = real-calendar decode (hours unit, epoch with a
@@ -6911,6 +6918,13 @@ SELECT 'rolling_rows' AS leg, t, j, i,
 FROM ({TIME_CUBE_SQL})
 WINDOW w AS (PARTITION BY j, i ORDER BY t
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+    parts.append(f"""
+SELECT 'rolling_center' AS leg, t, j, i,
+       COALESCE(CASE WHEN COUNT({nv}) OVER w >= 2
+                     THEN AVG({nv}) OVER w END, {nan}) AS value
+FROM ({TIME_CUBE_SQL})
+WINDOW w AS (PARTITION BY j, i ORDER BY t
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)""")
     parts.append(f"""
 SELECT 'composite' AS leg, t, j, i, value FROM (
   SELECT t, j, i, value,

@@ -823,3 +823,31 @@ class TestLargeAxisLabelTables:
         with pytest.raises(ValueError, match="min_periods must be >= 0"):
             rolling_time_agg(cube, "mean", 3, frame="rows",
                              min_periods=-1)
+
+    def test_center_matches_pandas(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        cube = _cube(spark)
+        series = {
+            (0, 1): pd.Series([2.0, NAN, 6.0, NAN, 3.0, 5.0]),
+            (1, 0): pd.Series([1.0, 4.0, 4.0, 9.0, 2.0, NAN]),
+        }
+        for n in (3, 4):  # odd + even centering conventions
+            got = _collect(
+                rolling_time_agg(cube, "mean", n, frame="rows",
+                                 center=True, min_periods=1))
+            for (j, i), s in series.items():
+                want = s.rolling(n, center=True, min_periods=1).mean()
+                for k, t in enumerate(DAYS):
+                    assert _eq(got[(t, j, i)], float(want.iloc[k])), \
+                        (n, j, i, t)
+
+    def test_center_requires_rows_frame(self, spark):
+        from xcube_resampling_spark.operators.temporal import (
+            rolling_time_agg,
+        )
+
+        with pytest.raises(ValueError, match="center=True requires"):
+            rolling_time_agg(_cube(spark), "mean", 3, center=True)

@@ -366,8 +366,9 @@ def rolling_time_agg(
     key_cols: Sequence[str] = ("j", "i"),
     frame: str = "range",
     min_periods: int | None = None,
+    center: bool = False,
 ) -> DataFrame:
-    """Trailing rolling reducer over the time axis.
+    """Trailing (or centered) rolling reducer over the time axis.
 
     ``frame="range"`` (default): each frame aggregates the
     observations with ``t`` in ``(t - window, t]`` -- a RANGE frame,
@@ -375,7 +376,10 @@ def rolling_time_agg(
     ingest with uneven revisit times actually needs).
     ``frame="rows"``: each frame aggregates the trailing ``window``
     OBSERVATIONS -- xarray's ``rolling(time=n)`` semantics, for users
-    porting xarray code to this engine.
+    porting xarray code to this engine.  ``center=True`` (rows mode
+    only) labels the window at its center instead -- xarray/pandas
+    ``center=True``, spanning ``[i - n//2, i + (n-1)//2]`` rows (the
+    even-window extra element sits BEFORE the label, as in pandas).
 
     ``min_periods`` is the minimum number of VALID (non-NaN)
     observations the frame must hold, else the output is NaN --
@@ -396,6 +400,10 @@ def rolling_time_agg(
         raise ValueError(f"window must be >= 1, got {window}")
     if frame not in ("range", "rows"):
         raise ValueError(f"frame must be 'range' or 'rows', not {frame!r}")
+    if center and frame != "rows":
+        # a centered RANGE frame is a different operator (symmetric
+        # label-distance window); refuse rather than silently ignore
+        raise ValueError("center=True requires frame='rows'")
     if min_periods is None:
         min_periods = 0 if frame == "range" else window
     elif min_periods < 0:
@@ -413,11 +421,14 @@ def rolling_time_agg(
         Window.partitionBy(*key_cols)
         .orderBy(F.col(time_col).cast("long"))
     )
-    w = (
-        w.rangeBetween(-(window - 1), Window.currentRow)
-        if frame == "range"
-        else w.rowsBetween(-(window - 1), Window.currentRow)
-    )
+    if frame == "range":
+        w = w.rangeBetween(-(window - 1), Window.currentRow)
+    elif center:
+        # pandas/xarray put the extra element of an EVEN window
+        # BEFORE the label: rows [i - n//2, i + (n-1)//2]
+        w = w.rowsBetween(-(window // 2), (window - 1) // 2)
+    else:
+        w = w.rowsBetween(-(window - 1), Window.currentRow)
     agg = {
         "mean": F.avg(nv), "min": F.min(nv), "max": F.max(nv),
         "sum": F.sum(nv), "count": F.count(nv),
