@@ -95,6 +95,14 @@ def main() -> None:
     print("rolling 15-day mean frames:",
           rolled.select("t").distinct().count())
 
+    # --- xarray-style row-count rolling: trailing 3 OBSERVATIONS,
+    # centered, value only where >= 2 of them are valid
+    rolled_rows = rolling_time_agg(
+        cube, "mean", 3, frame="rows", center=True, min_periods=2
+    )
+    print("centered 3-obs rolling valid px:",
+          rolled_rows.filter(~F.isnan("value")).count())
+
     # --- greenest-pixel composite (max value across all frames)
     comp = composite_best_pixel(cube)
     stats = comp.agg(
