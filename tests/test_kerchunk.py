@@ -736,3 +736,87 @@ class TestParquetRefs:
         s2 = ParquetRefChunkStore(mdir)
         s2._ensure()
         assert s2.refs["v/0.0"] == ["other.bin", 7, 3]
+
+
+class TestParquetRefsProperty:
+    """Property: save_refs_parquet . load_refs_parquet is the identity
+    on byte content -- for ANY chunk grid, record size, and mix of
+    inline / ranged / whole-file / absent chunks, every key resolves
+    to the same bytes through both manifest encodings."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        shape=st.lists(st.integers(1, 9), min_size=0, max_size=3),
+        chunk_frac=st.lists(st.integers(1, 9), min_size=3, max_size=3),
+        record_size=st.integers(1, 7),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_any_grid(self, tmp_path_factory, shape,
+                                chunk_frac, record_size, seed):
+        import base64
+        import random
+
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        rng = random.Random(seed)
+        chunks = [min(c, s) for c, s in zip(chunk_frac, shape)]
+        grid = [-(-s // c) for s, c in zip(shape, chunks)]
+        refs = {
+            "v/.zarray": json.dumps({
+                "zarr_format": 2, "shape": shape, "chunks": chunks,
+                "dtype": "<f8", "compressor": None,
+                "fill_value": None, "order": "C", "filters": None,
+            }),
+            ".zgroup": '{"zarr_format": 2}',
+        }
+        keys = []
+
+        def walk(prefix, dims):
+            if not dims:
+                keys.append(".".join(map(str, prefix)) or "0")
+                return
+            for k in range(dims[0]):
+                walk(prefix + [k], dims[1:])
+
+        walk([], grid)
+        for ck in keys:
+            kind = rng.randrange(4)
+            if kind == 0:
+                continue  # absent chunk
+            if kind == 1:
+                refs[f"v/{ck}"] = "base64:" + base64.b64encode(
+                    rng.randbytes(rng.randrange(0, 9))).decode()
+            elif kind == 2:
+                refs[f"v/{ck}"] = [
+                    f"t{rng.randrange(3)}.bin",
+                    rng.randrange(0, 1 << 40),
+                    rng.randrange(1, 1 << 20),
+                ]
+            else:
+                refs[f"v/{ck}"] = [f"t{rng.randrange(3)}.bin"]
+        mdir = tmp_path_factory.mktemp("prefs")
+        save_refs_parquet(refs, str(mdir), record_size=record_size)
+        back = load_refs_parquet(str(mdir))
+        want_keys = set(refs)
+        assert set(back) == want_keys
+        for k, ref in refs.items():
+            got = back[k]
+            if isinstance(ref, str) and not k.rsplit(
+                    "/", 1)[-1].startswith("."):
+                # inline chunks normalize to base64 form; compare bytes
+                want = (base64.b64decode(ref[7:])
+                        if ref.startswith("base64:")
+                        else ref.encode())
+                assert base64.b64decode(got[7:]) == want, k
+            elif isinstance(ref, list):
+                # generated refs are [target, offset, size] or
+                # [target]; both shapes round-trip verbatim
+                assert got == ref, k
+            else:
+                assert json.loads(got) == json.loads(ref), k
