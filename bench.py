@@ -365,7 +365,7 @@ def _plateau_runs(action, max_runs=None, tol=0.15):
     ~6 s on the rectify plan); after each subsequent run, certify
     when the THREE SMALLEST post-warmup runs so far agree within
     ``tol`` (ratio min/max of that triple).
-    ``plateau_min`` is the min of the certifying triple -- the
+    ``plateau_min`` is the min of the certifying set -- the
     "min-of-plateau" number, robust in two directions: noise only
     ever INFLATES a run, so three independent lows bound the steady
     state even when they are interleaved with contention spikes (the
@@ -881,12 +881,13 @@ def main():
             "plateau": scale_plateau,
             "exchanges_head_vs_10x": scale_exchanges,
             "note": (
-                "warm-until-plateau (the 3 smallest post-warmup runs "
-                "within 15%, run 0 excluded, cap 12 via "
-                "SPARK_GRAFT_PLATEAU_CAP) at ~10x pixels; queries/sec "
-                "= min of the certifying triple (post-warmup min when "
-                "uncertified); first_runs include one-time codegen; "
-                "excluded from value. "
+                "warm-until-plateau at ~10x pixels (run 0 excluded, "
+                "cap 12 via SPARK_GRAFT_PLATEAU_CAP): certify on the "
+                "3 smallest post-warmup runs within 15%, OR a bottom "
+                "pair within 3% after >=5 post-warmup runs; "
+                "queries/sec = min of the certifying set (post-warmup "
+                "min when uncertified); first_runs include one-time "
+                "codegen; excluded from value. "
                 "reproject_5slice materializes the full 5x3162x3162 "
                 "target -- BASELINE.md's 5-date-stack shape computes one "
                 "date at [::20,::20] in 50.4 s single-node"

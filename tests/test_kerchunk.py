@@ -820,3 +820,29 @@ class TestParquetRefsProperty:
                 assert got == ref, k
             else:
                 assert json.loads(got) == json.loads(ref), k
+
+    def test_failed_rewrite_leaves_old_manifest_intact(self, tmp_path):
+        # second-review regression: validation must complete for ALL
+        # vars before any existing record file is deleted -- a bad
+        # chunk key in a rewrite must not half-destroy the manifest
+        from xcube_resampling_spark.sources import (
+            load_refs_parquet,
+            save_refs_parquet,
+        )
+
+        refs = {
+            "v/.zarray": json.dumps({
+                "zarr_format": 2, "shape": [4, 6], "chunks": [2, 3],
+                "dtype": "<f8", "compressor": None,
+                "fill_value": None, "order": "C", "filters": None,
+            }),
+            "v/0.0": ["data.bin", 0, 10],
+        }
+        mdir = str(tmp_path / "refs")
+        save_refs_parquet(refs, mdir)
+        bad = dict(refs)
+        bad["v/9.9"] = ["x.bin", 0, 4]
+        with pytest.raises(ValueError, match="outside the"):
+            save_refs_parquet(bad, mdir)
+        back = load_refs_parquet(mdir)
+        assert back["v/0.0"] == ["data.bin", 0, 10]

@@ -227,21 +227,11 @@ def save_refs_parquet(
                 )
             var, ck = key.rsplit("/", 1)
             chunk_by_var.setdefault(var, {})[ck] = ref
-    os.makedirs(path, exist_ok=True)
-    # drop stale record files for EVERY array in the manifest, not
-    # just the ones receiving chunk refs in this write: a var that
-    # kept its .zarray but lost its chunks would otherwise resurrect
-    # old refs.N.parq rows under the new record arithmetic
-    for key in meta:
-        if not key.endswith("/.zarray"):
-            continue
-        vdir = os.path.join(path, key[: -len("/.zarray")])
-        if not os.path.isdir(vdir):
-            continue
-        for fn in os.listdir(vdir):
-            if fn.startswith("refs.") and fn.endswith(
-                    (".parq", ".parquet")):
-                os.remove(os.path.join(vdir, fn))
+    # FIRST pass: validate every var and build its row table.  No
+    # existing file is touched until the whole input has validated --
+    # a bad chunk key must leave an existing manifest at `path`
+    # intact, not half-deleted.
+    plans: list[tuple[str, dict, int]] = []
     for var, cmap in chunk_by_var.items():
         za = meta.get(f"{var}/.zarray")
         if za is None:
@@ -285,6 +275,24 @@ def save_refs_parquet(
                     int(ref[2]) if len(ref) > 2 else 0,
                     None,
                 )
+        plans.append((var, rows, nchunks))
+    # input fully validated -- now it is safe to clear stale record
+    # files, for EVERY array in the manifest (not just the ones
+    # receiving chunk refs: a var that kept its .zarray but lost its
+    # chunks would otherwise resurrect old refs.N.parq rows under the
+    # new record arithmetic) -- and write the new records
+    os.makedirs(path, exist_ok=True)
+    for key in meta:
+        if not key.endswith("/.zarray"):
+            continue
+        vdir = os.path.join(path, key[: -len("/.zarray")])
+        if not os.path.isdir(vdir):
+            continue
+        for fn in os.listdir(vdir):
+            if fn.startswith("refs.") and fn.endswith(
+                    (".parq", ".parquet")):
+                os.remove(os.path.join(vdir, fn))
+    for var, rows, nchunks in plans:
         vdir = os.path.join(path, var)
         os.makedirs(vdir, exist_ok=True)
         for rec in range(-(-nchunks // record_size)):
@@ -405,7 +413,9 @@ class ParquetRefChunkStore(RefChunkStore):
                 refs = load_refs_parquet(self.path)
                 for k in [k for k in ParquetRefChunkStore._cache
                           if k[0] == self.path]:
-                    del ParquetRefChunkStore._cache[k]  # stale rev
+                    # pop, not del: two executor threads racing the
+                    # same cache miss snapshot the same stale keys
+                    ParquetRefChunkStore._cache.pop(k, None)
                 ParquetRefChunkStore._cache[key] = refs
             self.refs = refs
 
