@@ -736,3 +736,95 @@ class TestJpegCompression:
         assert abs(int(cube[0].mean()) - 200) <= 3
         assert int(cube[1].mean()) <= 6
         assert abs(int(cube[2].mean()) - 50) <= 4
+
+
+class TestPredictor3:
+    """TIFF TechNote 3 floating-point predictor (GDAL PREDICTOR=3)."""
+
+    def test_spec_fixture_hand_computed(self):
+        # one row, two float32 values [1.0, 2.0]:
+        #   big-endian bytes   3F 80 00 00 | 40 00 00 00
+        #   MSB-first planes   3F 40 | 80 00 | 00 00 | 00 00
+        #   byte delta         3F 01 40 80 00 00 00 00
+        enc = _encode_tile_bytes(
+            np.array([[1.0, 2.0]], dtype="float32"),
+            COMPRESSION_NONE, 3)
+        assert enc == bytes.fromhex("3F01408000000000")
+        back = _decode_tile_bytes(
+            enc, COMPRESSION_NONE, 3, np.dtype("float32"),
+            1, 2, 1, "<")
+        assert np.array_equal(back[0], [[1.0, 2.0]])
+        # the plane layout is endian-normalized: the IFD byte order
+        # must NOT change the decode
+        back_be = _decode_tile_bytes(
+            enc, COMPRESSION_NONE, 3, np.dtype("float32"),
+            1, 2, 1, ">")
+        assert np.array_equal(back_be[0], [[1.0, 2.0]])
+
+    @pytest.mark.parametrize("dt", ["float32", "float64"])
+    @pytest.mark.parametrize("comp", [COMPRESSION_NONE,
+                                      COMPRESSION_LZW,
+                                      COMPRESSION_DEFLATE])
+    def test_tile_roundtrip(self, dt, comp):
+        rng = np.random.default_rng(5)
+        a = rng.normal(0, 100, (32, 48)).astype(dt)
+        a[3, 7] = np.nan
+        a[0, 0] = -np.inf
+        raw = _encode_tile_bytes(a, comp, 3)
+        back = _decode_tile_bytes(raw, comp, 3, np.dtype(dt),
+                                  32, 48, 1, "<")
+        np.testing.assert_array_equal(back[0], a)
+
+    def test_multisample_stride(self):
+        # spp > 1: the byte delta runs at stride spp (libtiff fpAcc);
+        # build the encoded row by hand from two interleaved samples
+        vals = np.array([[1.0, 2.0]], dtype="float32")  # 1 px, 2 spp
+        be = vals.astype(">f4").tobytes()
+        planes = bytes(be[k] for k in (0, 4, 1, 5, 2, 6, 3, 7))
+        row = np.frombuffer(planes, dtype="u1").astype("i4")
+        enc = row.copy()
+        enc[2:] = (row[2:] - row[:-2]) % 256  # stride 2
+        back = _decode_tile_bytes(
+            enc.astype("u1").tobytes(), COMPRESSION_NONE, 3,
+            np.dtype("float32"), 1, 1, 2, "<")
+        assert back.shape == (2, 1, 1)
+        assert back[0, 0, 0] == 1.0 and back[1, 0, 0] == 2.0
+
+    def test_file_roundtrip(self, spark, tmp_path):
+        h, w = 37, 41
+        rng = np.random.default_rng(11)
+        vals = rng.normal(5, 2, (1, h, w))
+        path = str(tmp_path / "rt_pred3.tif")
+        write_geotiff(
+            _pixels(spark, vals), path, (h, w), crs="EPSG:32633",
+            xy_min=(500000.0, 4e6), xy_res=10.0, tile_size=16,
+            compression="deflate", predictor=3, dtype="float32",
+        )
+        back = (read_geotiff(spark, path).toPandas()
+                .sort_values(["j", "i"]))
+        np.testing.assert_allclose(
+            back["value"].to_numpy().reshape(h, w),
+            vals[0], rtol=1e-6)
+        # a float32-precision predictor-3 file is ~the same size as
+        # its predictor-1 twin but must DECLARE predictor 3
+        from xcube_resampling_spark.sources.geotiff import (
+            read_geotiff_meta,
+        )
+
+        ifds, _ = read_geotiff_meta(path)
+        assert ifds[0].predictor == 3
+
+    def test_predictor3_needs_float(self, spark, tmp_path):
+        vals = np.zeros((1, 4, 4))
+        with pytest.raises(ValueError, match="needs a float"):
+            write_geotiff(
+                _pixels(spark, vals), str(tmp_path / "x.tif"), (4, 4),
+                crs="EPSG:32633", xy_min=(0.0, 0.0), xy_res=1.0,
+                compression="deflate", predictor=3, dtype="int32",
+            )
+        with pytest.raises(ValueError, match="LZW or Deflate"):
+            write_geotiff(
+                _pixels(spark, vals), str(tmp_path / "y.tif"), (4, 4),
+                crs="EPSG:32633", xy_min=(0.0, 0.0), xy_res=1.0,
+                compression="none", predictor=3, dtype="float32",
+            )

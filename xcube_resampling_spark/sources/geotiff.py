@@ -5,8 +5,9 @@ rasterio / PIL in the environment, and none needed:
 
 * TIFF 6.0 (Adobe, June 1992): header, IFD layout, tag types, strip
   and tile organization, PackBits (section 9), LZW with the early-change
-  code-width convention (section 13), horizontal-differencing predictor
-  (section 14).
+  code-width convention (section 13), horizontal-differencing
+  predictor 2 (section 14) and the TechNote-3 floating-point
+  predictor 3 (MSB-first byte planes + byte delta).
 * BigTIFF ("TIFF version 43", libtiff 4 layout): 8-byte offsets, u64
   IFD entry counts, 20-byte IFD entries, types LONG8/SLONG8/IFD8.
 * OGC GeoTIFF 1.1 (OGC 19-008r4): ModelPixelScaleTag /
@@ -429,6 +430,28 @@ def _decode_tile_bytes(
             f"TIFF compression {compression} not supported (supported: "
             "none, LZW, Deflate, PackBits, JPEG)")
     dt = dtype.newbyteorder(endian)
+    if predictor == 3:
+        # TIFF TechNote 3 floating-point predictor (GDAL PREDICTOR=3
+        # on float rasters): per ROW, the values' bytes are stored as
+        # byte PLANES in most-significant-first order (plane layout
+        # is endian-independent -- the rearrangement normalizes, so
+        # the IFD byte order does not apply here), then the whole row
+        # buffer is horizontally differenced byte-wise with stride =
+        # samples-per-pixel.  Undo: per-row modular byte cumsum at
+        # that stride, then reassemble values from the MSB-first
+        # planes.
+        b = dtype.itemsize
+        row_b = tw * spp * b
+        buf = np.frombuffer(raw, dtype="u1", count=th * row_b) \
+            .reshape(th, row_b).copy()
+        seq = buf.reshape(th, b * tw, spp)
+        np.add.accumulate(seq, axis=1, out=seq)  # uint8 wraps mod 256
+        planes = buf.reshape(th, b, tw * spp)
+        byts = np.ascontiguousarray(np.moveaxis(planes, 1, 2))
+        arr = np.frombuffer(
+            byts.tobytes(), dtype=dtype.newbyteorder(">")
+        ).reshape(th, tw, spp).astype(dtype)
+        return np.ascontiguousarray(np.moveaxis(arr, 2, 0))
     arr = np.frombuffer(raw, dtype=dt, count=th * tw * spp)
     # chunky: row-major (th, tw, spp); predictor stride = spp
     arr = arr.reshape(th, tw, spp)
@@ -456,7 +479,21 @@ def _encode_tile_bytes(
         return encode_jpeg(np.ascontiguousarray(block), quality=90)
     if predictor == 2:
         block = _apply_predictor2(block)
-    raw = block.tobytes()
+    if predictor == 3:
+        # forward form of the TechNote-3 path above (single-sample
+        # write path: stride 1)
+        b = block.dtype.itemsize
+        th_, tw_ = block.shape
+        be = block.astype(block.dtype.newbyteorder(">"), copy=False)
+        byts = np.frombuffer(be.tobytes(), dtype="u1") \
+            .reshape(th_, tw_, b)
+        row = np.ascontiguousarray(
+            np.moveaxis(byts, 2, 1)).reshape(th_, b * tw_)
+        out = row.copy()
+        out[:, 1:] = row[:, 1:] - row[:, :-1]  # uint8 wraps mod 256
+        raw = out.tobytes()
+    else:
+        raw = block.tobytes()
     if compression == COMPRESSION_DEFLATE:
         return zlib.compress(raw, 6)
     if compression == COMPRESSION_LZW:
@@ -1135,6 +1172,16 @@ def write_geotiff(
             COMPRESSION_LZW, COMPRESSION_DEFLATE) else 1
     if predictor == 2 and dt.kind not in "iu":
         raise ValueError("predictor 2 needs an integer dtype")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError(
+            "predictor 3 (TechNote-3 floating point) needs a float "
+            "dtype"
+        )
+    if predictor == 3 and comp not in (COMPRESSION_LZW,
+                                       COMPRESSION_DEFLATE):
+        raise ValueError(
+            "predictor 3 requires LZW or Deflate compression"
+        )
     if comp == COMPRESSION_JPEG and dt != np.dtype("u1"):
         raise ValueError("compression='jpeg' requires dtype='uint8'")
     if comp == COMPRESSION_JPEG and nodata is not None:
