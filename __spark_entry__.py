@@ -4811,7 +4811,7 @@ def q_netcdf_roundtrip(spark, sf_dir):
 
 
 def q_geotiff_roundtrip(spark, sf_dir):
-    """GeoTIFF/COG sink + source end-to-end, three legs in a tagged
+    """GeoTIFF/COG sink + source end-to-end, five legs in a tagged
     union (SURVEY 2.2 #5 -- the reference's users feed it
     rioxarray-opened GeoTIFFs, reference cfconv.py:66-212 handles
     their CRS-84 coord naming; here the container itself is parsed
@@ -4822,6 +4822,9 @@ def q_geotiff_roundtrip(spark, sf_dir):
     * ``lzw_int``: int32 + TIFF-LZW + horizontal-differencing
       predictor (the early-change code-width variant), integer-valued
       doubles so the cast is exact on both engines;
+    * ``pred3``: float64 + Deflate under the TechNote-3
+      floating-point predictor (GDAL PREDICTOR=3, the float-DEM COG
+      shape);
     * ``overview``: BigTIFF with one reduced level; reading overview 1
       returns the NaN-aware 2x2 mean (the ``mean`` coarsen reducer
       semantics), the COG pyramid analogue of ``zarr_levels``.
@@ -4877,6 +4880,23 @@ def q_geotiff_roundtrip(spark, sf_dir):
         F.round("value", 6).alias("value"),
     )
 
+    # 'pred3' leg: TechNote-3 floating-point predictor (GDAL
+    # PREDICTOR=3, the float-DEM COG shape) over the same deflate
+    # container; float64, so the round-trip is bit-exact
+    p5 = base + "/xcrs_gtiff_pred3.tif"
+    write_geotiff(
+        r, p5, (RH, RW), crs="EPSG:32633", xy_min=(500000.0, 4.0e6),
+        xy_res=10.0, tile_size=16, compression="deflate",
+        dtype="float64", predictor=3,
+    )
+    t5 = read_geotiff(spark, p5, bbox_ij=(5, 10, 20, 30)).select(
+        F.lit("pred3").alias("fmt"),
+        "t",
+        (F.col("j") - 10).cast("int").alias("j"),
+        (F.col("i") - 5).cast("int").alias("i"),
+        F.round("value", 6).alias("value"),
+    )
+
     p3 = base + "/xcrs_gtiff_cog.tif"
     write_geotiff(
         r, p3, (RH, RW), crs="EPSG:32633", xy_min=(500000.0, 4.0e6),
@@ -4906,7 +4926,8 @@ def q_geotiff_roundtrip(spark, sf_dir):
         (F.col("i") - 5).cast("int").alias("i"),
         F.round("value", 6).alias("value"),
     )
-    return t1.unionByName(t2).unionByName(t3).unionByName(t4)
+    return (t1.unionByName(t2).unionByName(t5)
+            .unionByName(t3).unionByName(t4))
 
 
 SQL_GEOTIFF = f"""
@@ -4918,6 +4939,10 @@ UNION ALL
 SELECT 'lzw_int' AS fmt, t, CAST(j - 10 AS INT) AS j,
        CAST(i - 5 AS INT) AS i,
        ROUND(CAST(FLOOR(value * 100) AS DOUBLE), 6) AS value
+FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
+UNION ALL
+SELECT 'pred3' AS fmt, t, CAST(j - 10 AS INT) AS j,
+       CAST(i - 5 AS INT) AS i, ROUND(value, 6) AS value
 FROM src WHERE i >= 5 AND i < 20 AND j >= 10 AND j < 30
 UNION ALL
 SELECT 'overview' AS fmt, t, CAST(j // 2 AS INT) AS j,
