@@ -220,6 +220,34 @@ class TestInterp:
         assert math.isnan(got[(5, 0, 0)])
         assert got[(4, 0, 0)] == 10.0  # exact hit still passes through
 
+    def test_plan_is_one_shuffle_one_broadcast(self, spark):
+        # the documented plan: ONE shuffle Exchange (the groupBy), ONE
+        # BroadcastExchange (the weight table).  Uniform bracket counts
+        # (all targets strictly between frames) additionally keep the
+        # n_exp column OFF the broadcast row -- the sparse guard is a
+        # literal compare, not a first() buffer
+        cube = _cube(spark)
+        df = resample_time_interp(cube, DAYS, (3, 9), "linear")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [ln for ln in plan.split("\n") if "Reused" not in ln]
+        shuffles = [ln for ln in lines
+                    if "Exchange" in ln and "BroadcastExchange" not in ln]
+        broadcasts = [ln for ln in lines if "BroadcastExchange" in ln]
+        assert len(shuffles) == 1, plan
+        assert len(broadcasts) == 1, plan
+        assert "n_exp" not in plan  # uniform -> literal expectation
+        # MIXED bracket counts (target 4 is an exact frame hit) fall
+        # back to the n_exp column + first() -- still 1 shuffle
+        df2 = resample_time_interp(cube, DAYS, (3, 4), "linear")
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "n_exp" in plan2
+        shuffles2 = [
+            ln for ln in plan2.split("\n")
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+            and "Reused" not in ln
+        ]
+        assert len(shuffles2) == 1, plan2
+
 
 class TestForwardFill:
     def test_matches_pandas_ffill(self, spark):

@@ -201,30 +201,45 @@ def resample_time_interp(
 
     The weight table from :func:`interp_weights` is broadcast (it has at
     most ``2 * len(target_times)`` rows); pixels broadcast-join it on the
-    source frame label -- no shuffle -- then ONE ``groupBy(t_out, key)``
-    sums ``value * weight``.  A NaN in either bracket propagates to NaN,
-    exactly xarray's linear-interp semantics.
+    source frame label, then ONE ``groupBy(t_out, key)`` sums
+    ``value * weight``.  The physical plan is exactly one shuffle
+    Exchange (the groupBy) plus one BroadcastExchange (the weight
+    table, never a data-sized shuffle); bench.py pins both counts.
+    A NaN in either bracket propagates to NaN, exactly xarray's
+    linear-interp semantics.
 
     Sparse cubes are handled like NaN frames: if a pixel is MISSING the
     row for one of a target's bracket frames (absent chunk, filtered
     frame), the gather counts how many bracket rows actually joined
     against the driver-known expectation and emits NaN instead of a
-    silently scaled-down partial sum.
+    silently scaled-down partial sum.  When every target expects the
+    same bracket count (the common case: all targets strictly between
+    frames, or method="nearest" where it is always 1), the expectation
+    is a LITERAL in the aggregate -- no ``n_exp`` column rides the
+    broadcast row and no ``first()`` buffer rides the shuffle.
     """
     spark = pixels.sparkSession
     rows = interp_weights(source_times, target_times, method)
-    n_exp = {}
+    n_exp: dict[int, int] = {}
     for _, t_out, _ in rows:
         n_exp[t_out] = n_exp.get(t_out, 0) + 1
-    mapping = spark.createDataFrame(
-        [(ts, to, w, n_exp[to]) for ts, to, w in rows],
-        f"{time_col} long, t_out long, weight double, n_exp int",
-    )
+    uniform = len(set(n_exp.values())) == 1
+    if uniform:
+        mapping = spark.createDataFrame(
+            rows, f"{time_col} long, t_out long, weight double"
+        )
+        expected = F.lit(next(iter(n_exp.values())))
+    else:
+        mapping = spark.createDataFrame(
+            [(ts, to, w, n_exp[to]) for ts, to, w in rows],
+            f"{time_col} long, t_out long, weight double, n_exp int",
+        )
+        expected = F.first("n_exp")
     joined = pixels.join(F.broadcast(mapping), time_col)
     keys = [F.col("t_out").alias(time_col), *(F.col(k) for k in key_cols)]
     return joined.groupBy(*keys).agg(
         F.when(
-            F.count(F.lit(1)) == F.first("n_exp"),
+            F.count(F.lit(1)) == expected,
             F.sum(F.col(value_col) * F.col("weight")),
         ).otherwise(F.lit(float("nan"))).alias(value_col)
     )
@@ -622,12 +637,27 @@ def resample_in_time(
         )
 
     def _to_out_idx(df):
-        # bin-start / target label -> output frame index
+        # bin-start / target label -> output frame index.  LEFT join +
+        # raise-on-miss, not an inner join: every label is present by
+        # construction (both sides derive from label_list), but an
+        # inner join would silently DROP rows on a future labeling bug
+        # while the literal element_at path below yields NULL -- the
+        # guard makes both paths fail loudly and identically.
         if use_tables:
             return (
                 df.join(F.broadcast(out_tbl),
-                        F.col("t") == F.col("__label"))
-                .withColumn("t", F.col("__out"))
+                        F.col("t") == F.col("__label"), "left")
+                .withColumn(
+                    "t",
+                    F.when(
+                        F.col("__out").isNull(),
+                        F.raise_error(F.concat(
+                            F.lit("resample_in_time: frame label "),
+                            F.col("t").cast("string"),
+                            F.lit(" missing from output-label table"),
+                        )),
+                    ).otherwise(F.col("__out")),
+                )
                 .drop("__label", "__out")
             )
         return df.withColumn(
@@ -647,8 +677,19 @@ def resample_in_time(
         if use_tables:
             return (
                 df.join(F.broadcast(frame_tbl),
-                        F.col("t").cast("int") == F.col("__frame"))
-                .withColumn("t", F.col("__t"))
+                        F.col("t").cast("int") == F.col("__frame"),
+                        "left")
+                .withColumn(
+                    "t",
+                    F.when(
+                        F.col("__t").isNull(),
+                        F.raise_error(F.concat(
+                            F.lit("resample_in_time: frame index "),
+                            F.col("t").cast("string"),
+                            F.lit(" missing from frame-label table"),
+                        )),
+                    ).otherwise(F.col("__t")),
+                )
                 .drop("__frame", "__t")
             )
         label_arr = F.array(*[F.lit(x) for x in label_list])
