@@ -31,6 +31,15 @@ SCENE_W, SCENE_H = 1890, 1189
 
 
 def _session() -> SparkSession:
+    # glibc malloc tuning for the Arrow/numpy kernels: without it the
+    # big-block alloc/free cycle of 32 concurrent python workers is an
+    # mmap/munmap storm in the kernel (measured on the 100x rectify
+    # shape: 67% SYSTEM cpu, warm run 162 s; with the thresholds set
+    # so glibc retains and reuses big buffers: 7% system, 125 s).
+    # Set BEFORE the JVM starts -- python workers inherit the JVM env.
+    # On a real cluster this belongs in spark.executorEnv.*.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -402,7 +411,7 @@ def _n_broadcasts(df) -> int:
     )
 
 
-def _plateau_runs(action, max_runs=None, tol=0.15):
+def _plateau_runs(action, max_runs=None, tol=0.15, between=None):
     """Warm until steady state instead of a fixed run budget.  Returns
     ``(runs, plateau, certified_run, plateau_min)``.
 
@@ -440,6 +449,12 @@ def _plateau_runs(action, max_runs=None, tol=0.15):
         max_runs = int(os.environ.get("SPARK_GRAFT_PLATEAU_CAP", "12"))
     runs = []
     for i in range(max_runs):
+        if between is not None and i > 0:
+            # untimed inter-run hook (e.g. System.gc()): heap debt from
+            # run N otherwise lands as GC pauses inside run N+1 --
+            # measured on the 226M-px rectify: alternating 125/249 s
+            # without, 143/152/143 s with
+            between()
         t0 = time.perf_counter()
         action()
         runs.append(time.perf_counter() - t0)
@@ -580,7 +595,8 @@ def main():
             # 14.8/45.5/66.8 (r6, noisy day).  The 3-lows-of-last-5
             # certification spends the budget where it matters and
             # converges in contended windows too
-            runs, plat, cert, pmin = _plateau_runs(df1.count)
+            runs, plat, cert, pmin = _plateau_runs(
+                df1.count, between=spark._jvm.System.gc)
             first = runs[0]
             plateau_mode = "derived" if plat else None
             if not plat and name in cert_10x and cert_10x[name] > 0:
@@ -659,7 +675,8 @@ def main():
             plan_head = time.perf_counter() - tp0
             rowbox = []
             runs, plat, cert, pmin = _plateau_runs(
-                lambda: rowbox.append(big_df.count()), max_runs=cap100)
+                lambda: rowbox.append(big_df.count()), max_runs=cap100,
+                between=spark._jvm.System.gc)
             mode = "derived" if plat else None
             if not plat and name in cert100 and cert100[name] > 0:
                 if pmin <= cert100[name] * 1.05:
@@ -700,7 +717,8 @@ def main():
         bdf, (bx, by) = _baseline_shape_df(spark)
         rowbox = []
         runs, plat, cert, pmin = _plateau_runs(
-            lambda: rowbox.append(bdf.count()))
+            lambda: rowbox.append(bdf.count()),
+            between=spark._jvm.System.gc)
         rows = rowbox[-1]
         baseline_shape = {
             "sec": round(pmin, 3),

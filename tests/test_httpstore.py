@@ -120,3 +120,77 @@ class TestGeoTiffOverHttp:
                    .agg(F.count(F.lit(1)), F.sum("value")).first())
         assert got[0] == 256
         assert got[1] == float(vals[0, :16, :16].sum())
+
+class TestTransientFaultRetry:
+    """Bounded in-place retry (httpstore.with_retry): a transient fault
+    mid-request heals WITHOUT a Spark task retry -- at 100-TB scale a
+    flaky range-GET must not re-run minutes of kernel work."""
+
+    def test_range_read_heals_connection_reset(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            HttpChunkStore(srv.url).put("f", b"0123456789" * 10)
+            rr = HttpRangeReader(srv.url + "/f")
+            srv.fail_next(2, "reset")
+            before = srv.request_count
+            assert rr.read(10, 5) == b"01234"
+            # 2 failed + 1 successful attempt, no extra traffic
+            assert srv.request_count - before == 3
+
+    def test_range_read_heals_500_and_truncation(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            HttpChunkStore(srv.url).put("f", b"abcdefgh")
+            rr = HttpRangeReader(srv.url + "/f")
+            srv.fail_next(1, "500")
+            assert rr.read(0, 4) == b"abcd"
+            srv.fail_next(1, "truncate")
+            assert rr.read(4, 4) == b"efgh"
+
+    def test_exhausted_attempts_raise(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            HttpChunkStore(srv.url).put("f", b"abcdefgh")
+            rr = HttpRangeReader(srv.url + "/f")
+            srv.fail_next(10, "500")
+            with pytest.raises(Exception):
+                rr.read(0, 4)
+
+    def test_404_is_not_retried(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            before = srv.request_count
+            assert store.get("missing") is None
+            # exactly ONE request: 4xx is not transient
+            assert srv.request_count - before == 1
+
+    def test_put_and_keys_heal(self, tmp_path):
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            srv.fail_next(1, "reset")
+            store.put("k1", b"v1")
+            srv.fail_next(1, "500")
+            assert store.get("k1") == b"v1"
+            srv.fail_next(1, "truncate")
+            assert store.known_keys() == ["k1"]
+
+    def test_s3_store_heals(self, tmp_path):
+        from xcube_resampling_spark.sources.s3 import (
+            LocalS3Server,
+            S3ChunkStore,
+        )
+
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            store = S3ChunkStore(srv.url, "b")
+            store.put("k", b"data")
+            # S3 server has no fault hook; prove the retry seam is
+            # wired by pointing at a dead port: connection refused is
+            # transient, so all attempts are consumed before raising
+            import xcube_resampling_spark.sources.httpstore as hs
+
+            dead = S3ChunkStore("http://127.0.0.1:9", "b")
+            t0 = __import__("time").perf_counter()
+            with pytest.raises(Exception):
+                dead.get("k")
+            took = __import__("time").perf_counter() - t0
+            # 3 attempts -> at least base_delay*(1)+base_delay*2 of
+            # backoff sleep between them
+            assert took >= hs.RETRY_BASE_DELAY * 3 * 0.9
+            assert store.get("k") == b"data"

@@ -846,3 +846,109 @@ class TestParquetRefsProperty:
             save_refs_parquet(bad, mdir)
         back = load_refs_parquet(mdir)
         assert back["v/0.0"] == ["data.bin", 0, 10]
+
+
+class TestParquetRefsScale:
+    """The scale contract of ParquetRefChunkStore: a ~1M-ref manifest
+    loads ONCE per process in bounded time/memory, and the class-level
+    cache is LRU-bounded so a long-lived executor reading many
+    distinct manifests does not accumulate one ref dict per path."""
+
+    @staticmethod
+    def _big_manifest(tmp_path, n=1_000_000):
+        import json as _json
+
+        from xcube_resampling_spark.sources import save_refs_parquet
+
+        refs = {
+            "v/.zarray": _json.dumps({
+                "shape": [n], "chunks": [1], "dtype": "<f8",
+                "compressor": None, "filters": None, "fill_value": 0,
+                "zarr_format": 2, "order": "C",
+            }),
+            ".zgroup": _json.dumps({"zarr_format": 2}),
+        }
+        for i in range(n):
+            refs[f"v/{i}"] = ["data.bin", i * 8, 8]
+        mdir = str(tmp_path / "bigrefs")
+        save_refs_parquet(refs, mdir)
+        return mdir, n
+
+    def test_million_refs_one_load_per_process(self, tmp_path):
+        import time as _time
+        import tracemalloc
+
+        import xcube_resampling_spark.sources.kerchunk as km
+
+        mdir, n = self._big_manifest(tmp_path)
+        km.ParquetRefChunkStore._cache.clear()
+        loads = {"n": 0}
+        orig = km.load_refs_parquet
+        km.load_refs_parquet = (
+            lambda p: (loads.__setitem__("n", loads["n"] + 1), orig(p))[1]
+        )
+        try:
+            tracemalloc.start()
+            t0 = _time.perf_counter()
+            s1 = km.ParquetRefChunkStore(mdir)
+            s1._ensure()
+            open_sec = _time.perf_counter() - t0
+            _, peak = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            # a SECOND store instance in the same process (what every
+            # further task in this executor amounts to) reuses the
+            # cached dict: zero additional loads, instant open
+            t0 = _time.perf_counter()
+            s2 = km.ParquetRefChunkStore(mdir)
+            s2._ensure()
+            second_open = _time.perf_counter() - t0
+        finally:
+            km.load_refs_parquet = orig
+        assert loads["n"] == 1
+        assert len(s1.refs) == n + 2
+        assert s1.refs[f"v/{n - 1}"] == ["data.bin", (n - 1) * 8, 8]
+        # open latency: generous CI bound; measured ~3-6 s for 1M refs
+        assert open_sec < 60.0, open_sec
+        assert second_open < 0.05, second_open
+        # resident bound: ~300 B/ref expected; fail if it balloons past
+        # 1 KB/ref (the "per-process memory expectation" in the
+        # docstring would then be a lie)
+        assert peak < 1000 * n, peak
+
+    def test_cache_is_lru_bounded(self, tmp_path):
+        import json as _json
+
+        import xcube_resampling_spark.sources.kerchunk as km
+        from xcube_resampling_spark.sources import save_refs_parquet
+
+        def tiny(i):
+            refs = {
+                "v/.zarray": _json.dumps({
+                    "shape": [2], "chunks": [1], "dtype": "<f8",
+                    "compressor": None, "filters": None,
+                    "fill_value": 0, "zarr_format": 2, "order": "C",
+                }),
+                "v/0": ["d.bin", 0, 8],
+                "v/1": ["d.bin", 8, 8],
+            }
+            mdir = str(tmp_path / f"m{i}")
+            save_refs_parquet(refs, mdir)
+            return mdir
+
+        km.ParquetRefChunkStore._cache.clear()
+        cap = km.ParquetRefChunkStore.MAX_CACHED_MANIFESTS
+        dirs = [tiny(i) for i in range(cap + 3)]
+        stores = [km.ParquetRefChunkStore(d) for d in dirs]
+        for s in stores:
+            s._ensure()
+        assert len(km.ParquetRefChunkStore._cache) == cap
+        # most recently used paths survive, oldest were evicted
+        cached_paths = {k[0] for k in km.ParquetRefChunkStore._cache}
+        assert cached_paths == {
+            __import__("os").path.abspath(d) for d in dirs[-cap:]
+        }
+        # an evicted path reloads on demand (correct, just not cached)
+        assert stores[0].refs["v/0"] == ["d.bin", 0, 8]
+        fresh = km.ParquetRefChunkStore(dirs[0])
+        fresh._ensure()
+        assert fresh.refs["v/1"] == ["d.bin", 8, 8]

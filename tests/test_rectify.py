@@ -617,15 +617,21 @@ class TestBlockSizing:
         # a 100k-px-wide swath strip (the MODIS/VIIRS long-granule
         # shape) on a small cluster: one-group-per-core would be
         # 3125 rows x 100k cols = 312M px of dense arrays -> the cap
-        # must clamp it
+        # must clamp it.  At the r12 cap (1M px, sized from the ~40x
+        # kernel working-set amplification measured on the 100x bench
+        # shape) a 100k-wide source hits the 32-row FLOOR
         rows = auto_block_rows(100_000, 100_000, 32)
-        assert rows == MAX_BLOCK_PX // 100_000 == 83
-        assert rows * 100_000 <= MAX_BLOCK_PX
+        assert rows == max(32, MAX_BLOCK_PX // 100_000) == 32
         # 1000-executor cluster, same wide source: per-core sizing
         # (100 rows x 100k cols = 10M px) STILL exceeds the cap ->
         # clamped identically; executor memory, not core count, is
         # the binding constraint for wide swaths
-        assert auto_block_rows(100_000, 100_000, 1000) == 83
+        assert auto_block_rows(100_000, 100_000, 1000) == rows
+        # the cap itself (not the floor) decides for a width where
+        # cap//width > 32, and the pixel bound then holds exactly
+        rows18k = auto_block_rows(100_000, 18_900, 32)
+        assert rows18k == MAX_BLOCK_PX // 18_900 == 55
+        assert rows18k * 18_900 <= MAX_BLOCK_PX
         # narrower source on the same cluster: per-core sizing is
         # under the cap -> cap must NOT distort it
         assert auto_block_rows(100_000, 10_000, 1000) == 100

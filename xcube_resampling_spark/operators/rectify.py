@@ -62,7 +62,19 @@ COORDS_SCHEMA = T.StructType(
 )
 
 
-MAX_BLOCK_PX = 8 << 20  # per-group dense-array cap (~64 MB of f8)
+# Per-group PIXEL cap for the fused kernels.  The sizing unit that
+# matters is not the dense f8 image (2M px = 16 MB) but the kernel's
+# PEAK working set: the long-format Arrow batch -> pandas copy, the
+# densified coord/value planes, ~20 quad-sized numpy intermediates in
+# the scatter math, and the candidate-expansion arrays together
+# amplify a group to ~40x its pixel count in bytes.  Measured at the
+# 100x rectify shape (18900-wide swath): 7M-px groups -> ~5.8 GB
+# worker RSS, 32 concurrent workers -> system OOM on a 128 GB box.
+# 1M px keeps giant-width groups in the regime the 10x bench certified
+# fast (its per-core split is ~0.7M px/group).  Head/10x/baseline
+# shapes split per-core well under this cap, so their plans and
+# measured numbers are unchanged; only giant-width sources bind it.
+MAX_BLOCK_PX = 1 << 20
 
 
 def auto_block_rows(

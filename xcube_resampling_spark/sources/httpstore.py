@@ -29,7 +29,11 @@ pool -- the seam, not the pooling, is what is under test here).
 
 from __future__ import annotations
 
+import http.client
 import os
+import random
+import socket
+import time
 import urllib.error
 import urllib.request
 from urllib.parse import quote, unquote
@@ -41,7 +45,61 @@ __all__ = [
     "HttpChunkStore",
     "HttpRangeReader",
     "LocalHttpStoreServer",
+    "with_retry",
 ]
+
+# Bounded retry for transient object-store faults.  Spark task retries
+# already mask executor-side read failures, but at 100-TB scale one
+# flaky range-GET re-running a WHOLE task (minutes of kernel work) is
+# disproportionate; three in-place attempts with jittered exponential
+# backoff heal the common blips (connection reset, 5xx, truncated
+# body) for fractions of a second instead.  Anything non-transient
+# (4xx, signature errors, short reads with a consistent byte count)
+# still raises immediately -- retrying those only delays the real
+# error.
+RETRY_ATTEMPTS = 3
+RETRY_BASE_DELAY = 0.2  # seconds; grows 2x per attempt, +0..100% jitter
+
+
+def _is_transient(exc: BaseException) -> bool:
+    # HTTPError FIRST: it subclasses URLError but carries a status code
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code >= 500 or exc.code == 429
+    if isinstance(exc, urllib.error.URLError):
+        return isinstance(
+            exc.reason,
+            (ConnectionError, socket.timeout, TimeoutError, OSError),
+        )
+    # RemoteDisconnected subclasses ConnectionResetError; IncompleteRead
+    # is a body truncated mid-read (the fault Spark can't see until the
+    # parser chokes)
+    return isinstance(
+        exc,
+        (ConnectionError, http.client.IncompleteRead,
+         http.client.HTTPException, socket.timeout, TimeoutError),
+    )
+
+
+def with_retry(fn, what: str = "request", *,
+               attempts: int = RETRY_ATTEMPTS,
+               base_delay: float = RETRY_BASE_DELAY):
+    """Run ``fn()`` with bounded retries on transient faults.
+
+    ``fn`` must be a COMPLETE request closure (build request, sign,
+    open, read) so a retry re-signs and re-opens from scratch --
+    retrying only the ``read()`` of a half-dead response would resume
+    a broken stream."""
+    last: BaseException | None = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:
+            if attempt == attempts - 1 or not _is_transient(exc):
+                raise
+            last = exc
+            delay = base_delay * (2 ** attempt) * (1 + random.random())
+            time.sleep(delay)
+    raise last  # pragma: no cover -- loop always returns or raises
 
 
 class HttpChunkStore(ChunkPut):
@@ -66,27 +124,36 @@ class HttpChunkStore(ChunkPut):
         return req
 
     def put(self, key: str, data: bytes) -> None:
-        req = self._request(self._url(key), "PUT", data)
-        with urllib.request.urlopen(req) as resp:
-            if resp.status not in (200, 201, 204):
-                raise OSError(
-                    f"HTTP PUT {key} returned {resp.status}")
+        def go():
+            req = self._request(self._url(key), "PUT", data)
+            with urllib.request.urlopen(req) as resp:
+                if resp.status not in (200, 201, 204):
+                    raise OSError(
+                        f"HTTP PUT {key} returned {resp.status}")
+
+        with_retry(go, f"PUT {key}")
 
     def get(self, key: str) -> bytes | None:
-        try:
+        def go():
             req = self._request(self._url(key), "GET")
             with urllib.request.urlopen(req) as resp:
                 return resp.read()
+
+        try:
+            return with_retry(go, f"GET {key}")
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return None
             raise
 
     def known_keys(self) -> list[str]:
-        try:
+        def go():
             req = self._request(f"{self.base_url}/__keys__", "GET")
             with urllib.request.urlopen(req) as resp:
-                text = resp.read().decode("utf-8")
+                return resp.read().decode("utf-8")
+
+        try:
+            text = with_retry(go, "GET __keys__")
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return []
@@ -115,15 +182,24 @@ class HttpRangeReader(RangeReader):
     def read(self, offset: int, size: int) -> bytes:
         if size <= 0:
             return b""
-        req = urllib.request.Request(self.url)
         rng = f"bytes={offset}-{offset + size - 1}"
-        # S3 signs the range header when present
-        self._sign(req, "GET", {"range": rng})
-        req.add_header("Range", rng)
-        with urllib.request.urlopen(req) as resp:
-            data = resp.read()
-            content_range = resp.headers.get("Content-Range")
-        if resp.status == 200:
+
+        def go():
+            # the WHOLE request is inside the retry closure: a retry
+            # re-signs (fresh x-amz-date) and re-opens; resp.read()
+            # raising IncompleteRead (body truncated mid-read) heals
+            # here instead of re-running the whole Spark task
+            req = urllib.request.Request(self.url)
+            # S3 signs the range header when present
+            self._sign(req, "GET", {"range": rng})
+            req.add_header("Range", rng)
+            with urllib.request.urlopen(req) as resp:
+                return resp.read(), resp.status, \
+                    resp.headers.get("Content-Range")
+
+        data, status, content_range = with_retry(
+            go, f"range GET {rng}")
+        if status == 200:
             # server ignored the Range header; slice locally
             return data[offset:offset + size]
         # validate the 206 byte count: a range extending past EOF legally
@@ -147,10 +223,13 @@ class HttpRangeReader(RangeReader):
 
     def size(self) -> int:
         if self._size is None:
-            req = urllib.request.Request(self.url, method="HEAD")
-            self._sign(req, "HEAD")
-            with urllib.request.urlopen(req) as resp:
-                self._size = int(resp.headers["Content-Length"])
+            def go():
+                req = urllib.request.Request(self.url, method="HEAD")
+                self._sign(req, "HEAD")
+                with urllib.request.urlopen(req) as resp:
+                    return int(resp.headers["Content-Length"])
+
+            self._size = with_retry(go, "HEAD")
         return self._size
 
     def __getstate__(self):
@@ -175,6 +254,34 @@ class LocalHttpStoreServer:
         self._httpd = None
         self._thread = None
         self.url: str | None = None
+        # fault injection (tests of the retry path): a thread-safe
+        # budget of requests to fail before serving normally again
+        import threading as _threading
+
+        self._fault_lock = _threading.Lock()
+        self._fault_n = 0
+        self._fault_mode = "reset"
+        self.request_count = 0
+
+    def fail_next(self, n: int, mode: str = "reset") -> None:
+        """Make the next ``n`` requests fail: ``"reset"`` closes the
+        socket mid-request (client sees ConnectionReset /
+        RemoteDisconnected), ``"500"`` returns HTTP 500, ``"truncate"``
+        sends a Content-Length longer than the body then closes
+        (client sees IncompleteRead)."""
+        if mode not in ("reset", "500", "truncate"):
+            raise ValueError(f"unknown fault mode {mode!r}")
+        with self._fault_lock:
+            self._fault_n = int(n)
+            self._fault_mode = mode
+
+    def _take_fault(self) -> str | None:
+        with self._fault_lock:
+            self.request_count += 1
+            if self._fault_n > 0:
+                self._fault_n -= 1
+                return self._fault_mode
+        return None
 
     def __enter__(self) -> "LocalHttpStoreServer":
         import threading
@@ -185,12 +292,52 @@ class LocalHttpStoreServer:
 
         root = self.root
         sigv4_secret = self.sigv4_secret
+        server = self
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
 
             def log_message(self, *a):  # quiet
                 pass
+
+            def _inject_fault(self) -> bool:
+                mode = server._take_fault()
+                if mode is None:
+                    return False
+                if mode == "500":
+                    body = b"injected server error"
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif mode == "truncate":
+                    body = b"partial"
+                    self.send_response(200)
+                    # promise more bytes than sent, then drop the
+                    # connection -> client-side IncompleteRead
+                    self.send_header(
+                        "Content-Length", str(len(body) + 64))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    self.close_connection = True
+                    try:
+                        self.wfile.flush()
+                        self.connection.close()
+                    except OSError:
+                        pass
+                else:  # "reset": abort the TCP stream mid-request
+                    self.close_connection = True
+                    try:
+                        import socket as _socket
+
+                        self.connection.setsockopt(
+                            _socket.SOL_SOCKET, _socket.SO_LINGER,
+                            b"\x01\x00\x00\x00\x00\x00\x00\x00",
+                        )
+                        self.connection.close()
+                    except OSError:
+                        pass
+                return True
 
             def _authorized(self, payload: bytes) -> bool:
                 """When the server holds a SigV4 secret, re-derive the
@@ -226,6 +373,8 @@ class LocalHttpStoreServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self._inject_fault():
+                    return
                 if not self._authorized(b""):
                     return
                 if self.path.lstrip("/") == "__keys__":
@@ -268,6 +417,8 @@ class LocalHttpStoreServer:
                 self._send_bytes(200, data)
 
             def do_HEAD(self):
+                if self._inject_fault():
+                    return
                 if not self._authorized(b""):
                     return
                 p = self._path()
@@ -282,6 +433,8 @@ class LocalHttpStoreServer:
                 self.end_headers()
 
             def do_PUT(self):
+                if self._inject_fault():
+                    return
                 import threading as _th
 
                 n = int(self.headers.get("Content-Length", 0))

@@ -377,6 +377,15 @@ def load_refs_parquet(path: str) -> dict:
                 elif size and size > 0:
                     refs[k] = [p, int(off or 0), int(size)]
                 else:
+                    # size == 0 (or NULL) is RESERVED for whole-file
+                    # refs, matching fsspec's LazyReferenceMapper
+                    # convention: a legitimately zero-length RANGED
+                    # chunk cannot round-trip through parquet-refs --
+                    # it collapses to [path] here.  Zero-length chunks
+                    # don't occur in zarr (every stored chunk encodes
+                    # at least a header), so the ambiguity is accepted
+                    # rather than widened with a sentinel fsspec
+                    # wouldn't understand.
                     refs[k] = [p]
     return refs
 
@@ -391,8 +400,18 @@ class ParquetRefChunkStore(RefChunkStore):
     loads the manifest once from the parquet record files (class-level
     cache keyed by path) and every task in that process reuses it --
     manifest transfer cost is O(executors), not O(tasks), and the
-    driver plan never embeds it."""
+    driver plan never embeds it.
 
+    The cache keeps the ``MAX_CACHED_MANIFESTS`` most recently used
+    paths (LRU): a long-lived executor process reading many DISTINCT
+    manifests holds at most that many ref dicts, not one per path
+    ever seen.  A ~1M-ref manifest is roughly 300 MB resident (dict +
+    per-ref key strings + [path, offset, size] lists), so the default
+    of 4 bounds worst-case cache memory at ~1.2 GB per process."""
+
+    MAX_CACHED_MANIFESTS = 4
+    # insertion/move-to-end order = LRU order (plain dict preserves
+    # insertion order; explicit re-insert on hit refreshes recency)
     _cache: dict = {}
 
     def __init__(self, path: str, base_dir: str | None = None):
@@ -408,15 +427,20 @@ class ParquetRefChunkStore(RefChunkStore):
             # manifest at the same path is reloaded, not served stale
             st = os.stat(os.path.join(self.path, ".zmetadata"))
             key = (self.path, st.st_mtime_ns, st.st_size)
-            refs = ParquetRefChunkStore._cache.get(key)
+            cache = ParquetRefChunkStore._cache
+            refs = cache.pop(key, None)  # pop+reinsert = LRU refresh
             if refs is None:
                 refs = load_refs_parquet(self.path)
-                for k in [k for k in ParquetRefChunkStore._cache
-                          if k[0] == self.path]:
+                for k in [k for k in cache if k[0] == self.path]:
                     # pop, not del: two executor threads racing the
                     # same cache miss snapshot the same stale keys
-                    ParquetRefChunkStore._cache.pop(k, None)
-                ParquetRefChunkStore._cache[key] = refs
+                    cache.pop(k, None)
+            cache[key] = refs
+            while len(cache) > ParquetRefChunkStore.MAX_CACHED_MANIFESTS:
+                oldest = next(iter(cache), None)
+                if oldest is None:  # racing evictors drained it
+                    break
+                cache.pop(oldest, None)
             self.refs = refs
 
     def known_keys(self) -> list[str]:

@@ -22,8 +22,12 @@ stdlib only:
   through it, so a real S3 endpoint is a config change, not a code
   change.
 
-Deliberately out of scope (a full SDK's job, not the seam's):
-credential chains, retries/backoff, transfer acceleration, SSE.
+Every request runs under the bounded transient-fault retry shared
+with :mod:`.httpstore` (``with_retry``: 3 attempts, jittered
+exponential backoff, 5xx/429/reset/truncation only) -- all S3
+operations used here are idempotent.  Deliberately out of scope (a
+full SDK's job, not the seam's): credential chains, transfer
+acceleration, SSE.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ import urllib.request
 import xml.etree.ElementTree as ET
 from urllib.parse import quote, unquote
 
+from .httpstore import with_retry
 from .zarr import ChunkPut
 
 __all__ = ["S3ChunkStore", "LocalS3Server"]
@@ -84,6 +89,20 @@ class S3ChunkStore(ChunkPut):
                     req.add_header(k, v)
         return urllib.request.urlopen(req)
 
+    def _fetch(self, method: str, url: str,
+               data: bytes | None = None) -> tuple[bytes, int, dict]:
+        """One COMPLETE request (sign + open + read body) under bounded
+        retry -- every S3 operation here is idempotent (PUT of the same
+        bytes, GET, LIST, UploadPart with a fixed part number), so a
+        transient fault (reset, 5xx, truncated body) re-signs with a
+        fresh x-amz-date and re-runs in place instead of failing the
+        whole Spark task."""
+        def go():
+            with self._request(method, url, data) as resp:
+                return resp.read(), resp.status, dict(resp.headers)
+
+        return with_retry(go, f"{method} {url}")
+
     # -- ChunkPut contract ------------------------------------------- #
 
     def put(self, key: str, data: bytes) -> None:
@@ -95,14 +114,14 @@ class S3ChunkStore(ChunkPut):
         if data and len(data) >= self.multipart_threshold:
             self._put_multipart(key, data)
             return
-        with self._request("PUT", self._url(key), data) as resp:
-            if resp.status not in (200, 201, 204):
-                raise OSError(f"PutObject {key} -> {resp.status}")
+        _, status, _ = self._fetch("PUT", self._url(key), data)
+        if status not in (200, 201, 204):
+            raise OSError(f"PutObject {key} -> {status}")
 
     def _put_multipart(self, key: str, data: bytes) -> None:
-        with self._request(
-                "POST", self._url(key, "uploads"), b"") as resp:
-            root = ET.fromstring(resp.read())
+        body0, _, _ = self._fetch(
+            "POST", self._url(key, "uploads"), b"")
+        root = ET.fromstring(body0)
         upload_id = None
         for el in root.iter():
             if _strip_ns(el.tag) == "UploadId":
@@ -115,11 +134,11 @@ class S3ChunkStore(ChunkPut):
             part = data[off:off + self.part_size]
             url = self._url(
                 key, f"partNumber={n}&uploadId={quote(upload_id)}")
-            with self._request("PUT", url, part) as resp:
-                etag = resp.headers.get("ETag", "").strip('"')
-                if resp.status not in (200, 201, 204):
-                    raise OSError(
-                        f"UploadPart {key}#{n} -> {resp.status}")
+            _, status, headers = self._fetch("PUT", url, part)
+            etag = headers.get("ETag", "").strip('"')
+            if status not in (200, 201, 204):
+                raise OSError(
+                    f"UploadPart {key}#{n} -> {status}")
             etags.append((n, etag))
             n += 1
         body = ["<CompleteMultipartUpload>"]
@@ -129,16 +148,15 @@ class S3ChunkStore(ChunkPut):
                 f"<ETag>\"{etag}\"</ETag></Part>")
         body.append("</CompleteMultipartUpload>")
         url = self._url(key, f"uploadId={quote(upload_id)}")
-        with self._request(
-                "POST", url, "".join(body).encode()) as resp:
-            if resp.status not in (200, 201):
-                raise OSError(
-                    f"CompleteMultipartUpload {key} -> {resp.status}")
+        _, status, _ = self._fetch("POST", url, "".join(body).encode())
+        if status not in (200, 201):
+            raise OSError(
+                f"CompleteMultipartUpload {key} -> {status}")
 
     def get(self, key: str) -> bytes | None:
         try:
-            with self._request("GET", self._url(key)) as resp:
-                return resp.read()
+            body, _, _ = self._fetch("GET", self._url(key))
+            return body
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return None
@@ -154,8 +172,8 @@ class S3ChunkStore(ChunkPut):
             if token:
                 q += f"&continuation-token={quote(token, safe='')}"
             url = f"{self.endpoint}/{self.bucket}?{q}"
-            with self._request("GET", url) as resp:
-                root = ET.fromstring(resp.read())
+            body, _, _ = self._fetch("GET", url)
+            root = ET.fromstring(body)
             truncated = False
             token = None
             for el in root.iter():
