@@ -722,3 +722,63 @@ def test_distributed_orientation_matches_numpy_under_nan(spark):
     gm2 = GridMappingDF.from_coords_df(
         spark.createDataFrame(pdf2), "EPSG:4326")
     assert gm2.is_j_axis_up is True
+
+
+class TestOffTargetQuadSkew:
+    """Round-12 skew guard: quads whose (slack-adjusted) bbox misses
+    the target grid entirely emit NO candidates -- before, each one
+    clipped onto an edge pixel and a swath much larger than its target
+    piled every off-grid quad into the edge target blocks.  Values
+    must be identical to the un-fused scatter+gather pipeline."""
+
+    def test_mostly_off_target_swath_matches_unfused(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.crs import CRS_WGS84
+        from xcube_resampling_spark.operators.rectify import (
+            fuse_coords_values,
+            gather_var,
+            rectify_fused_tiled,
+            scatter_from_coords_tiled,
+        )
+
+        rng = np.random.default_rng(23)
+        w_s, h_s = 41, 47
+        jj, ii = np.meshgrid(np.arange(h_s), np.arange(w_s),
+                             indexing="ij")
+        x = 10.0 + 0.05 * ii + 0.013 * jj
+        y = 50.0 - 0.05 * jj + 0.011 * ii
+        x[3, 4] = np.nan  # keep a NaN-cornered quad near the edge
+        coords = spark.createDataFrame(pd.DataFrame({
+            "j": jj.ravel().astype("int32"),
+            "i": ii.ravel().astype("int32"),
+            "x": x.ravel(), "y": y.ravel(),
+        }))
+        values_df = spark.createDataFrame(pd.DataFrame({
+            "t": np.zeros(ii.size, "int32"),
+            "j": jj.ravel().astype("int32"),
+            "i": ii.ravel().astype("int32"),
+            "value": rng.normal(0, 1, ii.size),
+        }))
+        # tiny target over ONE corner of the swath: the vast majority
+        # of quads are off-grid
+        tgm = GridMapping.regular(
+            (12, 12), (10.0, 49.2), 0.03, CRS_WGS84)
+        winners = scatter_from_coords_tiled(coords, tgm, block_rows=16)
+        ref = gather_var(
+            spark, winners, values_df, (w_s, h_s), tgm.size, 1,
+            "nearest", float("nan"), False,
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        got = rectify_fused_tiled(
+            fuse_coords_values(coords, values_df, 1), tgm, (w_s, h_s),
+            1, "nearest", float("nan"), False,
+            block_rows=16, dst_block_rows=4,
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        assert len(ref) == len(got) == 144
+        a = ref["value"].to_numpy()
+        b = got["value"].to_numpy()
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), int((~same).sum())
+        # and the target is not all-fill: real data landed
+        assert np.isfinite(b).sum() > 0

@@ -402,3 +402,87 @@ def test_gather_interp_fused_two_shuffle_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2
+
+
+class TestOutOfSourceSkew:
+    """Round-12 skew fix: target pixels entirely outside the source's
+    row span scatter round-robin across source blocks instead of
+    collapsing into block 0 / last (measured at the 100x bench shape:
+    one 12.7 GB straggler worker).  Values must be identical to the
+    join-gather reference, and the block assignment must actually
+    spread."""
+
+    def test_mostly_uncovered_target_matches_join_gather(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.operators.reproject import (
+            _gather_interp,
+            gather_interp_fused,
+        )
+
+        rng = np.random.default_rng(7)
+        src_w, src_h = 16, 24
+        jj, ii = np.meshgrid(np.arange(src_h), np.arange(src_w),
+                             indexing="ij")
+        src = spark.createDataFrame(pd.DataFrame({
+            "t": np.zeros(jj.size, "int32"),
+            "j": jj.ravel().astype("int32"),
+            "i": ii.ravel().astype("int32"),
+            "value": rng.normal(size=jj.size),
+        }))
+        # 40x60 target, ~85% of it far above/below the source rows
+        tw, th = 40, 60
+        tjj, tii = np.meshgrid(np.arange(th), np.arange(tw),
+                               indexing="ij")
+        iy = 4.0 * tjj - 100.0   # spans [-100, 136]; in-range ~ rows 25..31
+        ix = 0.5 * tii - 2.0
+        grid2d = spark.createDataFrame(pd.DataFrame({
+            "j": tjj.ravel().astype("int32"),
+            "i": tii.ravel().astype("int32"),
+            "ix": ix.ravel(), "iy": iy.ravel(),
+        }))
+        for interp in ("nearest", "bilinear"):
+            ref = _gather_interp(
+                grid2d, src, spark, (src_w, src_h), 1, interp,
+                float("nan"), False,
+            ).toPandas().sort_values(["t", "j", "i"])
+            got = gather_interp_fused(
+                grid2d, src, spark, (src_w, src_h), 1, interp,
+                float("nan"), False, block_rows=8,
+            ).toPandas().sort_values(["t", "j", "i"])
+            a = ref["value"].to_numpy()
+            b = got["value"].to_numpy()
+            same = (np.isnan(a) & np.isnan(b)) | (a == b)
+            assert same.all(), (interp, int((~same).sum()))
+
+    def test_out_of_range_pixels_spread_over_blocks(self, spark):
+        # the bucketing expression itself: out-of-span pixels must hash
+        # across ALL n_blk blocks, not clip into 2 edge blocks
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        src_h, B = 24, 8  # 3 blocks
+        n = 3000
+        pdf = pd.DataFrame({
+            "j": np.arange(n, dtype="int32"),
+            "i": np.zeros(n, dtype="int32"),
+            "ix": np.zeros(n), "iy": np.full(n, 1e6),  # all far below
+        })
+        grid2d = spark.createDataFrame(pdf)
+        n_blk = -(-src_h // B)
+        iy_in = (F.col("iy") > F.lit(-1.0)) & (
+            F.col("iy") < F.lit(float(src_h)))
+        blk = F.when(
+            iy_in,
+            (F.least(F.greatest(F.floor(F.col("iy")), F.lit(0)),
+                     F.lit(src_h - 1)) / B).cast("int"),
+        ).otherwise(
+            F.pmod(F.hash(F.col("j"), F.col("i")), F.lit(n_blk))
+            .cast("int"))
+        counts = (grid2d.select(blk.alias("blk"))
+                  .groupBy("blk").count().toPandas()
+                  .set_index("blk")["count"])
+        assert set(counts.index) == {0, 1, 2}
+        # roughly uniform: no block holds more than half
+        assert counts.max() < n * 0.5

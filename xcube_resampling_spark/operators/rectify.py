@@ -964,10 +964,10 @@ def rectify_fused_tiled(
             # grid edge (see scatter_from_coords_tiled)
             nan_i = np.isnan(pi).any(0)
             nan_j = np.isnan(pj).any(0)
-            bi0 = np.clip(np.min(np.where(np.isnan(pi), np.inf, pi), 0),
-                          0, w - 1)
-            bj0 = np.clip(np.min(np.where(np.isnan(pj), np.inf, pj), 0),
-                          0, h - 1)
+            min_i = np.min(np.where(np.isnan(pi), np.inf, pi), 0)
+            min_j = np.min(np.where(np.isnan(pj), np.inf, pj), 0)
+            bi0 = np.clip(min_i, 0, w - 1)
+            bj0 = np.clip(min_j, 0, h - 1)
             fin_i = np.max(np.where(np.isnan(pi), -np.inf, pi), 0)
             fin_j = np.max(np.where(np.isnan(pj), -np.inf, pj), 0)
             bi1 = np.where(nan_i, np.clip(fin_i + 1, 0, w - 1),
@@ -978,8 +978,23 @@ def rectify_fused_tiled(
             det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
             det_a = np.nan_to_num(det_a, nan=0.0)
             det_b = np.nan_to_num(det_b, nan=0.0)
+            # UNCLIPPED bbox intersection with the target grid: a quad
+            # entirely off-grid used to clip onto edge pixels and emit
+            # one wasted candidate per quad (each fails point-in-quad,
+            # but a swath much larger than its target piles them all
+            # into the edge target blocks -- a skew magnet at scale).
+            # The reach tested is exactly what the clipped bbox reached
+            # before: finite-corner max, +1 slack when a corner is NaN
+            # (ei1/ej1 are pre-clip bi1/bj1); a fully-NaN quad has
+            # ei1 = -inf and fails, as it effectively did before.
+            ei1 = np.where(nan_i, fin_i + 1, pi.max(0))
+            ej1 = np.where(nan_j, fin_j + 1, pj.max(0))
+            hits = (
+                (ei1 >= 0) & (min_i <= w - 1)
+                & (ej1 >= 0) & (min_j <= h - 1)
+            )
             valid = (
-                (bi1 >= bi0) & (bj1 >= bj0)
+                hits & (bi1 >= bi0) & (bj1 >= bj0)
                 & ~((det_a == 0.0) & (det_b == 0.0))
             )
         # quad ownership: boundary rows are duplicated into two blocks, so

@@ -533,15 +533,31 @@ def gather_interp_fused(
             ).otherwise(F.array(b))
         ).alias("blk"),
     )
+    # Target pixels whose stencil can touch the source bucket to the
+    # block owning their clipped source row.  Pixels ENTIRELY outside
+    # the source's row span (iy <= -1 or iy >= src_h: every floor/ceil/
+    # rint index is out of range, so the kernel yields fill in ANY
+    # group) are scattered round-robin by pixel hash instead -- with
+    # the old clip-into-edge-blocks rule a target only partially
+    # covered by the source collapsed ALL uncovered pixels into block
+    # 0 / last (measured at the 100x bench shape: one 12.7 GB
+    # straggler worker holding tens of millions of fill pixels while
+    # 31 cores idled).  Values are identical either way; only the
+    # partitioning changes.
+    n_blk = max(1, -(-src_h // B))
+    iy_in = (F.col("iy") > F.lit(-1.0)) & (F.col("iy") < F.lit(float(src_h)))
     tgt_b = grid2d.select(
         "j", "i", "ix", "iy",
-        F.least(
-            F.greatest(F.floor(F.col("iy")), F.lit(0)),
-            F.lit(src_h - 1),
-        ).cast("int").alias("cj"),
-    ).select(
-        "j", "i", "ix", "iy",
-        (F.col("cj") / B).cast("int").alias("blk"),
+        F.when(
+            iy_in,
+            (F.least(
+                F.greatest(F.floor(F.col("iy")), F.lit(0)),
+                F.lit(src_h - 1),
+            ) / B).cast("int"),
+        ).otherwise(
+            F.pmod(F.hash(F.col("j"), F.col("i")), F.lit(n_blk))
+            .cast("int")
+        ).alias("blk"),
     )
 
     out_schema = T.StructType(
