@@ -511,8 +511,11 @@ def _committed_cert_10x():
             full = json.load(f)
         tree = _src_tree_rev()
         if tree and full.get("src_tree") == tree:
+            # BENCH_FULL's scale_10x is {"queries": {name: sec}, ...}
             return {
-                k: float(v) for k, v in full.get("scale_10x", {}).items()
+                k: float(v)
+                for k, v in full.get("scale_10x", {})
+                .get("queries", {}).items()
             }
     except Exception:
         pass
