@@ -493,10 +493,11 @@ def _src_tree_rev():
         return None
 
 
-def _committed_cert_10x():
-    """The committed certified quiet-window 10x numbers, IF they were
-    certified over the same operator source tree.  Returns
-    ``{shape: sec}`` or ``{}``.
+def _committed_certs():
+    """The committed certified quiet-window scale numbers, IF they were
+    taken over the same operator source tree AND their own plateau was
+    DERIVED (three independent lows), not itself a confirmation.
+    Returns ``{"10x": {shape: sec}, "100x": {shape: sec}}``.
 
     Used to certify-by-confirmation in a contended driver window: a
     post-warmup min landing within 5% of the committed same-source
@@ -504,22 +505,32 @@ def _committed_cert_10x():
     a known quiet floor means this window touched the floor too) --
     re-deriving three independent lows under contention adds nothing
     (round-11: affine_up_bilinear 1.508 s vs committed cert 1.468 s,
-    within 3%, reported plateau=false)."""
+    within 3%, reported plateau=false).  Only derived-mode committed
+    entries qualify: confirming against a confirmation would let the
+    cert ratchet up 5% per generation, and an uncertified committed
+    min is not a known floor at all."""
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    out = {"10x": {}, "100x": {}}
     try:
         with open(os.path.join(repo_root, "BENCH_FULL.json")) as f:
             full = json.load(f)
         tree = _src_tree_rev()
-        if tree and full.get("src_tree") == tree:
-            # BENCH_FULL's scale_10x is {"queries": {name: sec}, ...}
-            return {
-                k: float(v)
-                for k, v in full.get("scale_10x", {})
-                .get("queries", {}).items()
-            }
+        if not tree or full.get("src_tree") != tree:
+            return out
+        plat10 = full.get("scale_10x", {}).get("plateau", {})
+        for k, v in full.get("scale_10x", {}).get(
+                "queries", {}).items():
+            p = plat10.get(k, {})
+            if p.get("plateau") and p.get("mode") == "derived":
+                out["10x"][k] = float(v)
+        for k, v in full.get("scale_100x", {}).get(
+                "queries", {}).items():
+            if (isinstance(v, dict) and v.get("plateau")
+                    and v.get("mode") == "derived"):
+                out["100x"][k] = float(v["sec"])
     except Exception:
         pass
-    return {}
+    return out
 
 
 BENCHES = [
@@ -584,7 +595,7 @@ def main():
     scale_median = {}
     scale_plateau = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
-        cert_10x = _committed_cert_10x()
+        cert_10x = _committed_certs()["10x"]
         for name, head_fn, sf1_fn in SCALE_BENCHES:
             spark.catalog.clearCache()
             spark._jvm.System.gc()  # same isolation as the headline loop
@@ -651,20 +662,7 @@ def main():
     if (os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1"
             and os.environ.get("SPARK_GRAFT_SKIP_100X") != "1"):
         cap100 = int(os.environ.get("SPARK_GRAFT_PLATEAU_CAP_100X", "5"))
-        cert100 = {}
-        try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_FULL.json")) as f:
-                _full = json.load(f)
-            if _src_tree_rev() and _full.get("src_tree") == _src_tree_rev():
-                cert100 = {
-                    k: float(v["sec"])
-                    for k, v in _full.get(
-                        "scale_100x", {}).get("queries", {}).items()
-                }
-        except Exception:
-            cert100 = {}
+        cert100 = _committed_certs()["100x"]
         for name, head_fn, big_fn in SCALE_100X_BENCHES:
             spark.catalog.clearCache()
             spark._jvm.System.gc()

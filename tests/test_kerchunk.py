@@ -888,27 +888,34 @@ class TestParquetRefsScale:
             lambda p: (loads.__setitem__("n", loads["n"] + 1), orig(p))[1]
         )
         try:
-            tracemalloc.start()
-            t0 = _time.perf_counter()
+            # latency load, NOT under tracemalloc (its per-allocation
+            # hooks inflate a 1M-insert load ~15x) and as CPU time
+            # (wall clock is meaningless when a 32-core bench shares
+            # the box): measured ~4.5 s for 1M refs
+            t0 = _time.process_time()
             s1 = km.ParquetRefChunkStore(mdir)
             s1._ensure()
-            open_sec = _time.perf_counter() - t0
-            _, peak = tracemalloc.get_traced_memory()
-            tracemalloc.stop()
+            open_cpu = _time.process_time() - t0
             # a SECOND store instance in the same process (what every
             # further task in this executor amounts to) reuses the
             # cached dict: zero additional loads, instant open
-            t0 = _time.perf_counter()
+            t0 = _time.process_time()
             s2 = km.ParquetRefChunkStore(mdir)
             s2._ensure()
-            second_open = _time.perf_counter() - t0
+            second_open = _time.process_time() - t0
+            assert loads["n"] == 1
+            # memory bound on a separate cold load, under tracemalloc
+            km.ParquetRefChunkStore._cache.clear()
+            tracemalloc.start()
+            km.ParquetRefChunkStore(mdir)._ensure()
+            _, peak = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            assert loads["n"] == 2
         finally:
             km.load_refs_parquet = orig
-        assert loads["n"] == 1
         assert len(s1.refs) == n + 2
         assert s1.refs[f"v/{n - 1}"] == ["data.bin", (n - 1) * 8, 8]
-        # open latency: generous CI bound; measured ~3-6 s for 1M refs
-        assert open_sec < 60.0, open_sec
+        assert open_cpu < 45.0, open_cpu
         assert second_open < 0.05, second_open
         # resident bound: ~300 B/ref expected; fail if it balloons past
         # 1 KB/ref (the "per-process memory expectation" in the
@@ -952,3 +959,52 @@ class TestParquetRefsScale:
         fresh = km.ParquetRefChunkStore(dirs[0])
         fresh._ensure()
         assert fresh.refs["v/1"] == ["d.bin", 8, 8]
+
+    def test_concurrent_hits_do_not_reload(self, tmp_path):
+        # the LRU hit path is pop+reinsert; without the class lock two
+        # racing threads turn a HIT into a duplicate multi-second load
+        import json as _json
+        import threading
+
+        import xcube_resampling_spark.sources.kerchunk as km
+        from xcube_resampling_spark.sources import save_refs_parquet
+
+        refs = {
+            "v/.zarray": _json.dumps({
+                "shape": [4], "chunks": [1], "dtype": "<f8",
+                "compressor": None, "filters": None, "fill_value": 0,
+                "zarr_format": 2, "order": "C",
+            }),
+            **{f"v/{i}": ["d.bin", i * 8, 8] for i in range(4)},
+        }
+        mdir = str(tmp_path / "c")
+        save_refs_parquet(refs, mdir)
+        km.ParquetRefChunkStore._cache.clear()
+        loads = {"n": 0}
+        orig = km.load_refs_parquet
+
+        def counting(p):
+            loads["n"] += 1
+            return orig(p)
+
+        km.load_refs_parquet = counting
+        try:
+            km.ParquetRefChunkStore(mdir)._ensure()  # prime the cache
+            errs = []
+
+            def hit():
+                try:
+                    for _ in range(200):
+                        km.ParquetRefChunkStore(mdir)._ensure()
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+
+            threads = [threading.Thread(target=hit) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            km.load_refs_parquet = orig
+        assert not errs
+        assert loads["n"] == 1, loads["n"]

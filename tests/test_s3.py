@@ -240,3 +240,62 @@ def test_blosc_lz4_levels_pyramid_over_s3(spark, tmp_path):
         ds2, gm2 = open_zarr_levels(
             spark, "cube.levels", level=-1, store=put2)
         assert ds2.data_vars["band"].df.count() > 0
+
+
+class TestRetryScoping:
+    """Idempotent S3 calls retry in place; the NON-idempotent multipart
+    Initiate/Complete must not (a retried Complete whose first response
+    was lost raises NoSuchUpload for an object that WAS written).  Also
+    pins the lowercase-header contract: ETag must be found even when a
+    proxy delivers 'etag'."""
+
+    def test_multipart_control_calls_bypass_retry(self, tmp_path):
+        import xcube_resampling_spark.sources.s3 as s3mod
+        from xcube_resampling_spark.sources.s3 import (
+            LocalS3Server,
+            S3ChunkStore,
+        )
+
+        with LocalS3Server(str(tmp_path / "b")) as srv:
+            store = S3ChunkStore(
+                srv.url, "b", multipart_threshold=8, part_size=8)
+            calls = []
+            orig = s3mod.with_retry
+
+            def spy(fn, what="?", **kw):
+                calls.append(what)
+                return orig(fn, what, **kw)
+
+            s3mod.with_retry = spy
+            try:
+                store.put("k", b"0123456789abcdef")  # 2-part multipart
+            finally:
+                s3mod.with_retry = orig
+            assert store.get("k") == b"0123456789abcdef"
+            # with_retry saw the two UploadPart PUTs and the final GET,
+            # but neither POST (Initiate/Complete)
+            posts = [c for c in calls if c.startswith("POST")]
+            assert posts == [], posts
+            puts = [c for c in calls if c.startswith("PUT")]
+            assert len(puts) == 2, calls
+
+    def test_etag_header_lookup_is_case_insensitive(self, tmp_path):
+        from xcube_resampling_spark.sources.s3 import S3ChunkStore
+
+        store = S3ChunkStore("http://x", "b")
+        seen_urls = []
+
+        def fake_fetch(method, url, data=None, retry=True):
+            seen_urls.append(url)
+            if "uploads" in url:
+                return (b"<r><UploadId>u1</UploadId></r>", 200, {})
+            if "partNumber" in url:
+                # proxy-lowercased header name
+                return (b"", 200, {"etag": '"abc123"'})
+            # CompleteMultipartUpload: echo back what the client sent
+            assert b'<ETag>"abc123"</ETag>' in data, data
+            return (b"<ok/>", 200, {})
+
+        store._fetch = fake_fetch
+        store._put_multipart("k", b"x" * 10)
+        assert any("partNumber=1" in u for u in seen_urls)

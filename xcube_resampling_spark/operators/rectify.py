@@ -983,15 +983,24 @@ def rectify_fused_tiled(
             # one wasted candidate per quad (each fails point-in-quad,
             # but a swath much larger than its target piles them all
             # into the edge target blocks -- a skew magnet at scale).
-            # The reach tested is exactly what the clipped bbox reached
-            # before: finite-corner max, +1 slack when a corner is NaN
-            # (ei1/ej1 are pre-clip bi1/bj1); a fully-NaN quad has
-            # ei1 = -inf and fails, as it effectively did before.
+            # The reach tested covers everything the clipped bbox could
+            # reach before: finite-corner max, +1 slack when a corner
+            # is NaN (ei1/ej1 are pre-clip bi1/bj1), PLUS a per-quad
+            # tolerance margin -- the point-in-quad test accepts
+            # uv in [-uv_delta, 1 + 2*uv_delta], which in pixel units
+            # is ~2*uv_delta*extent beyond the bbox, so a huge quad
+            # (>= ~0.5/uv_delta target px across) adjacent to the grid
+            # edge could legitimately claim an edge pixel through the
+            # tolerance; +1 absorbs bbox/uv mapping skew.  A fully-NaN
+            # quad has ei1 = -inf and fails, as it effectively did
+            # before.
             ei1 = np.where(nan_i, fin_i + 1, pi.max(0))
             ej1 = np.where(nan_j, fin_j + 1, pj.max(0))
+            s_i = 1.0 + 2.0 * uv_delta * np.maximum(ei1 - min_i, 0.0)
+            s_j = 1.0 + 2.0 * uv_delta * np.maximum(ej1 - min_j, 0.0)
             hits = (
-                (ei1 >= 0) & (min_i <= w - 1)
-                & (ej1 >= 0) & (min_j <= h - 1)
+                (ei1 + s_i >= 0) & (min_i - s_i <= w - 1)
+                & (ej1 + s_j >= 0) & (min_j - s_j <= h - 1)
             )
             valid = (
                 hits & (bi1 >= bi0) & (bj1 >= bj0)

@@ -94,7 +94,13 @@ def with_retry(fn, what: str = "request", *,
         try:
             return fn()
         except Exception as exc:
-            if attempt == attempts - 1 or not _is_transient(exc):
+            if not _is_transient(exc):
+                raise
+            if attempt == attempts - 1:
+                exc.add_note(
+                    f"with_retry: {what} still failing after "
+                    f"{attempts} attempts"
+                )
                 raise
             last = exc
             delay = base_delay * (2 ** attempt) * (1 + random.random())

@@ -411,8 +411,12 @@ class ParquetRefChunkStore(RefChunkStore):
 
     MAX_CACHED_MANIFESTS = 4
     # insertion/move-to-end order = LRU order (plain dict preserves
-    # insertion order; explicit re-insert on hit refreshes recency)
+    # insertion order; explicit re-insert on hit refreshes recency).
+    # _cache_lock serializes the pop+reinsert hit path: without it two
+    # executor threads racing the same key turn a HIT into a duplicate
+    # multi-second reload (the pop window makes the entry invisible)
     _cache: dict = {}
+    _cache_lock = __import__("threading").Lock()
 
     def __init__(self, path: str, base_dir: str | None = None):
         self.path = os.path.abspath(path)
@@ -428,19 +432,24 @@ class ParquetRefChunkStore(RefChunkStore):
             st = os.stat(os.path.join(self.path, ".zmetadata"))
             key = (self.path, st.st_mtime_ns, st.st_size)
             cache = ParquetRefChunkStore._cache
-            refs = cache.pop(key, None)  # pop+reinsert = LRU refresh
+            lock = ParquetRefChunkStore._cache_lock
+            with lock:
+                refs = cache.pop(key, None)  # pop+reinsert = LRU hit
+                if refs is not None:
+                    cache[key] = refs
             if refs is None:
+                # load OUTSIDE the lock (seconds for a 1M-ref
+                # manifest); a concurrent miss may load the same
+                # manifest twice, but never blocks other paths'
+                # cache hits behind parquet IO
                 refs = load_refs_parquet(self.path)
-                for k in [k for k in cache if k[0] == self.path]:
-                    # pop, not del: two executor threads racing the
-                    # same cache miss snapshot the same stale keys
-                    cache.pop(k, None)
-            cache[key] = refs
-            while len(cache) > ParquetRefChunkStore.MAX_CACHED_MANIFESTS:
-                oldest = next(iter(cache), None)
-                if oldest is None:  # racing evictors drained it
-                    break
-                cache.pop(oldest, None)
+                with lock:
+                    for k in [k for k in cache if k[0] == self.path]:
+                        cache.pop(k, None)  # stale same-path entries
+                    cache[key] = refs
+                    while (len(cache)
+                           > ParquetRefChunkStore.MAX_CACHED_MANIFESTS):
+                        cache.pop(next(iter(cache)))
             self.refs = refs
 
     def known_keys(self) -> list[str]:

@@ -22,10 +22,13 @@ stdlib only:
   through it, so a real S3 endpoint is a config change, not a code
   change.
 
-Every request runs under the bounded transient-fault retry shared
-with :mod:`.httpstore` (``with_retry``: 3 attempts, jittered
-exponential backoff, 5xx/429/reset/truncation only) -- all S3
-operations used here are idempotent.  Deliberately out of scope (a
+Idempotent requests (Put/Get/List/UploadPart) run under the bounded
+transient-fault retry shared with :mod:`.httpstore` (``with_retry``:
+3 attempts, jittered exponential backoff, 5xx/429/reset/truncation
+only); the non-idempotent multipart Initiate/Complete calls do NOT
+retry in place (a lost-response retry of Complete raises NoSuchUpload
+for an object that was actually written) and rely on Spark task
+retries like before.  Deliberately out of scope (a
 full SDK's job, not the seam's): credential chains, transfer
 acceleration, SSE.
 """
@@ -89,18 +92,31 @@ class S3ChunkStore(ChunkPut):
                     req.add_header(k, v)
         return urllib.request.urlopen(req)
 
-    def _fetch(self, method: str, url: str,
-               data: bytes | None = None) -> tuple[bytes, int, dict]:
-        """One COMPLETE request (sign + open + read body) under bounded
-        retry -- every S3 operation here is idempotent (PUT of the same
-        bytes, GET, LIST, UploadPart with a fixed part number), so a
-        transient fault (reset, 5xx, truncated body) re-signs with a
-        fresh x-amz-date and re-runs in place instead of failing the
-        whole Spark task."""
+    def _fetch(self, method: str, url: str, data: bytes | None = None,
+               retry: bool = True) -> tuple[bytes, int, dict]:
+        """One COMPLETE request (sign + open + read body), by default
+        under bounded retry -- PutObject of the same bytes, GetObject,
+        ListObjectsV2 and UploadPart with a fixed part number are
+        idempotent, so a transient fault (reset, 5xx, truncated body)
+        re-signs with a fresh x-amz-date and re-runs in place instead
+        of failing the whole Spark task.  Headers are returned with
+        LOWERCASED keys (HTTP header names are case-insensitive; an
+        HTTP/2-terminating proxy may deliver ``etag``).
+
+        ``retry=False`` for the NON-idempotent multipart control calls
+        (Initiate/Complete): a retried Complete whose first response
+        was lost would hit an already-completed upload and raise
+        NoSuchUpload for an object that was actually written -- those
+        calls fall back to Spark's task retry instead."""
         def go():
             with self._request(method, url, data) as resp:
-                return resp.read(), resp.status, dict(resp.headers)
+                return (
+                    resp.read(), resp.status,
+                    {k.lower(): v for k, v in resp.headers.items()},
+                )
 
+        if not retry:
+            return go()
         return with_retry(go, f"{method} {url}")
 
     # -- ChunkPut contract ------------------------------------------- #
@@ -120,7 +136,7 @@ class S3ChunkStore(ChunkPut):
 
     def _put_multipart(self, key: str, data: bytes) -> None:
         body0, _, _ = self._fetch(
-            "POST", self._url(key, "uploads"), b"")
+            "POST", self._url(key, "uploads"), b"", retry=False)
         root = ET.fromstring(body0)
         upload_id = None
         for el in root.iter():
@@ -135,7 +151,7 @@ class S3ChunkStore(ChunkPut):
             url = self._url(
                 key, f"partNumber={n}&uploadId={quote(upload_id)}")
             _, status, headers = self._fetch("PUT", url, part)
-            etag = headers.get("ETag", "").strip('"')
+            etag = headers.get("etag", "").strip('"')
             if status not in (200, 201, 204):
                 raise OSError(
                     f"UploadPart {key}#{n} -> {status}")
@@ -148,7 +164,8 @@ class S3ChunkStore(ChunkPut):
                 f"<ETag>\"{etag}\"</ETag></Part>")
         body.append("</CompleteMultipartUpload>")
         url = self._url(key, f"uploadId={quote(upload_id)}")
-        _, status, _ = self._fetch("POST", url, "".join(body).encode())
+        _, status, _ = self._fetch(
+            "POST", url, "".join(body).encode(), retry=False)
         if status not in (200, 201):
             raise OSError(
                 f"CompleteMultipartUpload {key} -> {status}")
