@@ -194,3 +194,79 @@ class TestTransientFaultRetry:
             # backoff sleep between them
             assert took >= hs.RETRY_BASE_DELAY * 3 * 0.9
             assert store.get("k") == b"data"
+
+
+class TestRetryClassification:
+    """_is_transient / with_retry unit behavior (no server needed)."""
+
+    def test_transient_classes(self):
+        import http.client as hc
+        import socket
+        import urllib.error as ue
+
+        from xcube_resampling_spark.sources.httpstore import (
+            _is_transient,
+        )
+
+        assert _is_transient(ue.HTTPError("u", 500, "x", {}, None))
+        assert _is_transient(ue.HTTPError("u", 503, "x", {}, None))
+        assert _is_transient(ue.HTTPError("u", 429, "x", {}, None))
+        assert not _is_transient(ue.HTTPError("u", 404, "x", {}, None))
+        assert not _is_transient(ue.HTTPError("u", 403, "x", {}, None))
+        assert _is_transient(ue.URLError(ConnectionRefusedError()))
+        assert _is_transient(ConnectionResetError())
+        assert _is_transient(hc.RemoteDisconnected("gone"))
+        assert _is_transient(hc.IncompleteRead(b"xx", 10))
+        assert _is_transient(socket.timeout())
+        assert not _is_transient(ValueError("parse"))
+        assert not _is_transient(KeyError("k"))
+
+    def test_backoff_and_exhaustion_note(self):
+        import time as _t
+
+        from xcube_resampling_spark.sources.httpstore import with_retry
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            raise ConnectionResetError("blip")
+
+        t0 = _t.perf_counter()
+        try:
+            with_retry(flaky, "unit test", attempts=3, base_delay=0.01)
+            raise AssertionError("should have raised")
+        except ConnectionResetError as e:
+            notes = getattr(e, "__notes__", [])
+            assert any("3 attempts" in n for n in notes), notes
+        assert calls["n"] == 3
+        # two backoff sleeps happened (>= 0.01 + 0.02)
+        assert _t.perf_counter() - t0 >= 0.03
+
+    def test_non_transient_fails_fast(self):
+        from xcube_resampling_spark.sources.httpstore import with_retry
+
+        calls = {"n": 0}
+
+        def bad():
+            calls["n"] += 1
+            raise ValueError("permanent")
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            with_retry(bad, attempts=3, base_delay=0.01)
+        assert calls["n"] == 1
+
+    def test_success_after_transient(self):
+        from xcube_resampling_spark.sources.httpstore import with_retry
+
+        state = {"n": 0}
+
+        def eventually():
+            state["n"] += 1
+            if state["n"] < 3:
+                raise ConnectionResetError()
+            return "ok"
+
+        assert with_retry(eventually, base_delay=0.001) == "ok"
+        assert state["n"] == 3
