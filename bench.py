@@ -411,7 +411,8 @@ def _n_broadcasts(df) -> int:
     )
 
 
-def _plateau_runs(action, max_runs=None, tol=0.15, between=None):
+def _plateau_runs(action, max_runs=None, tol=0.15, between=None,
+                  confirm_floor=None):
     """Warm until steady state instead of a fixed run budget.  Returns
     ``(runs, plateau, certified_run, plateau_min)``.
 
@@ -443,8 +444,20 @@ def _plateau_runs(action, max_runs=None, tol=0.15, between=None):
     undercut, which is what separates a floor from a still-descending
     warmup staircase.
 
+    Third branch (early exit): when ``confirm_floor`` is given (the
+    committed same-source-tree quiet cert, derived mode only), ANY
+    post-warmup run within 5% of it certifies IMMEDIATELY with mode
+    "confirmed_vs_cert" -- contention only inflates runs, so touching
+    a known quiet floor proves this window reached steady state, and
+    stopping there saves the driver's window the remaining warm runs
+    (the cap-12 10x loop spent minutes re-deriving floors the cert
+    already pins).
+
     When the cap is hit uncertified, ``plateau_min`` falls back to the
-    post-warmup min."""
+    post-warmup min.
+
+    Returns ``(runs, plateau, certified_run, plateau_min, mode)``
+    with mode in {"derived", "confirmed_vs_cert", None}."""
     if max_runs is None:
         max_runs = int(os.environ.get("SPARK_GRAFT_PLATEAU_CAP", "12"))
     runs = []
@@ -459,12 +472,15 @@ def _plateau_runs(action, max_runs=None, tol=0.15, between=None):
         action()
         runs.append(time.perf_counter() - t0)
         lows = sorted(runs[1:])
+        if (confirm_floor is not None and lows
+                and lows[0] <= confirm_floor * 1.05):
+            return runs, True, i, lows[0], "confirmed_vs_cert"
         if len(lows) >= 3 and lows[0] / lows[2] >= 1.0 - tol:
-            return runs, True, i, lows[0]
+            return runs, True, i, lows[0], "derived"
         if len(lows) >= 5 and lows[0] / lows[1] >= 0.97:
-            return runs, True, i, lows[0]
+            return runs, True, i, lows[0], "derived"
     fallback = min(runs[1:]) if len(runs) > 1 else runs[0]
-    return runs, False, None, fallback
+    return runs, False, None, fallback, None
 
 
 def _src_tree_rev():
@@ -594,8 +610,13 @@ def main():
     scale_runs = {}
     scale_median = {}
     scale_plateau = {}
+    # a WRITE_FULL (certifying) run must DERIVE fresh floors: letting
+    # it exit early by confirming against the old cert would overwrite
+    # derived-mode committed entries with confirmed-mode ones, which
+    # the reader rightly refuses to confirm against next time
+    _certifying = os.environ.get("SPARK_GRAFT_WRITE_FULL") == "1"
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
-        cert_10x = _committed_certs()["10x"]
+        cert_10x = {} if _certifying else _committed_certs()["10x"]
         for name, head_fn, sf1_fn in SCALE_BENCHES:
             spark.catalog.clearCache()
             spark._jvm.System.gc()  # same isolation as the headline loop
@@ -609,19 +630,15 @@ def main():
             # 14.8/45.5/66.8 (r6, noisy day).  The 3-lows-of-last-5
             # certification spends the budget where it matters and
             # converges in contended windows too
-            runs, plat, cert, pmin = _plateau_runs(
-                df1.count, between=spark._jvm.System.gc)
+            # certify-by-confirmation (early exit): a post-warmup run
+            # within 5% of the committed same-source derived cert
+            # stops the loop immediately -- contention only INFLATES
+            # runs, so touching a known quiet floor proves steady
+            # state without re-deriving three quiet slots here
+            runs, plat, cert, pmin, plateau_mode = _plateau_runs(
+                df1.count, between=spark._jvm.System.gc,
+                confirm_floor=cert_10x.get(name))
             first = runs[0]
-            plateau_mode = "derived" if plat else None
-            if not plat and name in cert_10x and cert_10x[name] > 0:
-                # certify-by-confirmation: this window's post-warmup
-                # min sits within 5% of the committed same-source
-                # quiet cert -- contention only INFLATES runs, so
-                # touching a known quiet floor confirms the plateau
-                # without needing three quiet slots in this window
-                if pmin <= cert_10x[name] * 1.05:
-                    plat = True
-                    plateau_mode = "confirmed_vs_cert"
             scale_plateau[name] = {
                 "plateau": plat, "certified_run": cert,
                 "plateau_min": round(pmin, 3),
@@ -662,7 +679,7 @@ def main():
     if (os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1"
             and os.environ.get("SPARK_GRAFT_SKIP_100X") != "1"):
         cap100 = int(os.environ.get("SPARK_GRAFT_PLATEAU_CAP_100X", "5"))
-        cert100 = _committed_certs()["100x"]
+        cert100 = {} if _certifying else _committed_certs()["100x"]
         for name, head_fn, big_fn in SCALE_100X_BENCHES:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
@@ -675,13 +692,10 @@ def main():
             head_df = head_fn(spark)
             plan_head = time.perf_counter() - tp0
             rowbox = []
-            runs, plat, cert, pmin = _plateau_runs(
+            runs, plat, cert, pmin, mode = _plateau_runs(
                 lambda: rowbox.append(big_df.count()), max_runs=cap100,
-                between=spark._jvm.System.gc)
-            mode = "derived" if plat else None
-            if not plat and name in cert100 and cert100[name] > 0:
-                if pmin <= cert100[name] * 1.05:
-                    plat, mode = True, "confirmed_vs_cert"
+                between=spark._jvm.System.gc,
+                confirm_floor=cert100.get(name))
             head_df.count()
             exch = [_n_exchanges(head_df), _n_exchanges(big_df)]
             scale100[name] = {
@@ -717,7 +731,7 @@ def main():
         spark._jvm.System.gc()
         bdf, (bx, by) = _baseline_shape_df(spark)
         rowbox = []
-        runs, plat, cert, pmin = _plateau_runs(
+        runs, plat, cert, pmin, _bmode = _plateau_runs(
             lambda: rowbox.append(bdf.count()),
             between=spark._jvm.System.gc)
         rows = rowbox[-1]
