@@ -221,6 +221,41 @@ class TestRetryClassification:
         assert not _is_transient(ValueError("parse"))
         assert not _is_transient(KeyError("k"))
 
+    def test_permanent_urlerror_reasons_fail_fast(self):
+        """DNS resolution and TLS certificate failures are
+        configuration errors, not blips -- no retry."""
+        import socket
+        import ssl
+        import urllib.error as ue
+
+        from xcube_resampling_spark.sources.httpstore import (
+            _is_transient,
+        )
+
+        assert not _is_transient(
+            ue.URLError(socket.gaierror(-2, "Name or service not known")))
+        assert not _is_transient(ue.URLError(socket.herror()))
+        assert not _is_transient(
+            ue.URLError(ssl.SSLCertVerificationError(
+                1, "certificate verify failed")))
+        # plain OSError reasons without a transient subtype: permanent
+        assert not _is_transient(
+            ue.URLError(PermissionError("denied")))
+        # ...but dropped streams mid-handshake stay transient
+        assert _is_transient(ue.URLError(ssl.SSLEOFError()))
+        assert _is_transient(ue.URLError(TimeoutError()))
+
+    def test_with_retry_rejects_nonpositive_attempts(self):
+        import pytest as _pytest
+
+        from xcube_resampling_spark.sources.httpstore import with_retry
+
+        with _pytest.raises(ValueError, match="attempts"):
+            with_retry(lambda: "x", attempts=0)
+        with _pytest.raises(ValueError, match="attempts"):
+            with_retry(lambda: "x", attempts=-1)
+        assert with_retry(lambda: "x", attempts=1) == "x"
+
     def test_backoff_and_exhaustion_note(self):
         import time as _t
 

@@ -996,8 +996,15 @@ def rectify_fused_tiled(
             # before.
             ei1 = np.where(nan_i, fin_i + 1, pi.max(0))
             ej1 = np.where(nan_j, fin_j + 1, pj.max(0))
-            s_i = 1.0 + 2.0 * uv_delta * np.maximum(ei1 - min_i, 0.0)
-            s_j = 1.0 + 2.0 * uv_delta * np.maximum(ej1 - min_j, 0.0)
+            # +2*uv_delta constant: pi/pj are FLOORED, so the true
+            # coordinate reach can exceed the integer extent by up to
+            # 2*uv_delta; folding it in keeps the cull provably
+            # conservative for any caller-supplied uv_delta, not just
+            # the module default (where the +1 absorbed it).
+            s_i = (1.0 + 2.0 * uv_delta
+                   * (1.0 + np.maximum(ei1 - min_i, 0.0)))
+            s_j = (1.0 + 2.0 * uv_delta
+                   * (1.0 + np.maximum(ej1 - min_j, 0.0)))
             hits = (
                 (ei1 + s_i >= 0) & (min_i - s_i <= w - 1)
                 & (ej1 + s_j >= 0) & (min_j - s_j <= h - 1)

@@ -33,6 +33,7 @@ import http.client
 import os
 import random
 import socket
+import ssl
 import time
 import urllib.error
 import urllib.request
@@ -66,9 +67,20 @@ def _is_transient(exc: BaseException) -> bool:
     if isinstance(exc, urllib.error.HTTPError):
         return exc.code >= 500 or exc.code == 429
     if isinstance(exc, urllib.error.URLError):
+        # Permanent configuration failures must NOT retry: DNS
+        # resolution (gaierror/herror) and TLS certificate rejection
+        # surface as OSError subclasses, but three backoff attempts
+        # per chunk at fan-out scale only delay the real error.
+        reason = exc.reason
+        if isinstance(reason, (socket.gaierror, socket.herror,
+                               ssl.SSLCertVerificationError)):
+            return False
+        # SSLEOFError/SSLError outside cert verification = handshake
+        # or stream dropped mid-flight -- the transient case.
         return isinstance(
-            exc.reason,
-            (ConnectionError, socket.timeout, TimeoutError, OSError),
+            reason,
+            (ConnectionError, socket.timeout, TimeoutError,
+             ssl.SSLError, http.client.HTTPException),
         )
     # RemoteDisconnected subclasses ConnectionResetError; IncompleteRead
     # is a body truncated mid-read (the fault Spark can't see until the
@@ -89,7 +101,9 @@ def with_retry(fn, what: str = "request", *,
     open, read) so a retry re-signs and re-opens from scratch --
     retrying only the ``read()`` of a half-dead response would resume
     a broken stream."""
-    last: BaseException | None = None
+    if attempts < 1:
+        raise ValueError(
+            f"with_retry: attempts must be >= 1, got {attempts}")
     for attempt in range(attempts):
         try:
             return fn()
@@ -102,10 +116,8 @@ def with_retry(fn, what: str = "request", *,
                     f"{attempts} attempts"
                 )
                 raise
-            last = exc
             delay = base_delay * (2 ** attempt) * (1 + random.random())
             time.sleep(delay)
-    raise last  # pragma: no cover -- loop always returns or raises
 
 
 class HttpChunkStore(ChunkPut):
@@ -312,8 +324,14 @@ class LocalHttpStoreServer:
                     return False
                 if mode == "500":
                     body = b"injected server error"
+                    # Reply without draining any request body (PUT);
+                    # force a connection close so the unread body can
+                    # never be parsed as the next request line by a
+                    # pooled-connection client.
+                    self.close_connection = True
                     self.send_response(500)
                     self.send_header("Content-Length", str(len(body)))
+                    self.send_header("Connection", "close")
                     self.end_headers()
                     self.wfile.write(body)
                 elif mode == "truncate":
