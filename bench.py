@@ -66,7 +66,8 @@ def raster_df(spark, w, h):
     )
 
 
-def _rectify_df(spark, w, h, tw, th, y0, res_scale=1.0):
+def _rectify_df(spark, w, h, tw, th, y0, res_scale=1.0,
+                block_rows=None, dst_block_rows=None):
     """Shared builder for the rectify benches: sheared swath (w x h) ->
     regular (tw x th) grid via the fused two-shuffle path.
 
@@ -98,6 +99,7 @@ def _rectify_df(spark, w, h, tw, th, y0, res_scale=1.0):
     )
     return rectify_fused_tiled(
         swath, target_gm, (w, h), 1, "nearest", float("nan"), False,
+        block_rows=block_rows, dst_block_rows=dst_block_rows,
     )
 
 
@@ -258,6 +260,23 @@ SCALE_BENCHES = [
 ]
 
 
+# Alternate-blocking twin for the value-level checksum leg: the SAME
+# 10x rectify shape decomposed into different kernel blocks (primes far
+# from the auto_block_rows choice, ~175 src / ~234 dst rows at this
+# width).  Checksum equality across blockings is the at-scale analogue
+# of the small-grid block-size-invariance tests: a block-boundary bug
+# (edge quad dropped, boundary row double-claimed, first-writer-wins
+# broken across blocks) moves the checksum.  Only the rectify pipeline
+# gets a twin -- it is the one pipeline whose decomposition lives in
+# numpy kernels rather than Catalyst (affine/reproject blockings are
+# SQL-side, invariant by construction).
+SCALE_ALT_BLOCK = {
+    "rectify_scene": lambda s: _rectify_df(
+        s, 5977, 3760, 5700, 4480, 16.0,
+        block_rows=101, dst_block_rows=149),
+}
+
+
 # ~100x-pixel variants (linear dims x10) of the two headline geo
 # pipelines -- the round-12 scale-evidence ask: prove the 10x slope
 # holds another decade.  rectify: 18900x11890 swath (224.7M px) ->
@@ -409,6 +428,47 @@ def _n_broadcasts(df) -> int:
         1 for line in plan.split("\n")
         if "BroadcastExchange" in line and "Reused" not in line
     )
+
+
+def _df_checksum(df) -> int:
+    """Order-independent value-level checksum of a result DataFrame:
+    sum of crc32 over the canonical per-row string (all columns in
+    schema order, floats rounded to 6 dp -- NaN stringifies stably).
+    Catches a wrong value, a misplaced pixel, or a dropped/duplicated
+    row anywhere in the output, closing the gap between 'oracle-exact
+    at toy scale' and 'correct at bench scale'.  Costs one extra full
+    computation of the pipeline; the checksum itself is JVM-side only
+    (crc32 + sum inside whole-stage codegen), no Python workers."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if f.dataType.typeName() in ("double", "float"):
+            c = F.round(c, 6).cast("string")
+        else:
+            c = c.cast("string")
+        cols.append(c)
+    row = df.agg(
+        F.sum(
+            F.crc32(F.concat_ws(",", *cols).cast("binary"))
+        ).alias("cs")
+    ).collect()[0]
+    return int(row["cs"])
+
+
+def _committed_checksums():
+    """Previously committed scale_10x checksums from BENCH_FULL.json.
+    NOT keyed on the source tree (unlike the timing certs): output
+    values only move when an algorithm changes, and a mismatch is
+    worth REPORTING either way -- a legit algorithm change re-records
+    on the next certify run, a regression shows up as
+    matches_committed=false with an unchanged intent."""
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_root, "BENCH_FULL.json")) as f:
+            full = json.load(f)
+        return full.get("scale_10x", {}).get("checksums", {})
+    except Exception:
+        return {}
 
 
 def _plateau_runs(action, max_runs=None, tol=0.15, between=None,
@@ -610,6 +670,8 @@ def main():
     scale_runs = {}
     scale_median = {}
     scale_plateau = {}
+    scale_checksums = {}
+    _committed_cs = _committed_checksums()
     # a WRITE_FULL (certifying) run must DERIVE fresh floors: letting
     # it exit early by confirming against the old cert would overwrite
     # derived-mode committed entries with confirmed-mode ones, which
@@ -669,6 +731,32 @@ def main():
                 f"exchanges={scale_exchanges[name]}",
                 file=sys.stderr,
             )
+            # value-level checksum leg (untimed): the 10x output's
+            # order-independent crc32 sum, vs (a) the same shape under
+            # a different kernel blocking and (b) the committed value
+            if os.environ.get("SPARK_GRAFT_SKIP_CHECKSUM") != "1":
+                cs = _df_checksum(df1)
+                entry = {"crc32_sum": cs}
+                alt = SCALE_ALT_BLOCK.get(name)
+                if alt is not None:
+                    cs_alt = _df_checksum(alt(spark))
+                    entry["crc32_sum_altblock"] = cs_alt
+                    entry["block_invariant"] = cs == cs_alt
+                committed = _committed_cs.get(name, {}).get("crc32_sum")
+                if committed is not None:
+                    entry["committed"] = committed
+                    entry["matches_committed"] = cs == committed
+                scale_checksums[name] = entry
+                print(
+                    f"# sf1 {name} checksum: {cs}"
+                    + (f" altblock={entry['crc32_sum_altblock']}"
+                       f" invariant={entry['block_invariant']}"
+                       if alt is not None else "")
+                    + (f" matches_committed="
+                       f"{entry['matches_committed']}"
+                       if committed is not None else ""),
+                    file=sys.stderr,
+                )
 
     # 100x geo section: another decade of scale on the two headline
     # pipelines (rectify 226M output px, reproject 100M).  Smaller
@@ -1103,6 +1191,18 @@ def main():
             "median": scale_median,
             "plateau": scale_plateau,
             "exchanges_head_vs_10x": scale_exchanges,
+            "checksums": scale_checksums,
+            "checksums_note": (
+                "order-independent crc32-sum of every output row "
+                "(floats at 6 dp) at the 10x shape -- value-level "
+                "correctness AT bench scale, not just the sf0.001/"
+                "sf0.01 oracle gate.  rectify additionally recomputes "
+                "under a different kernel blocking (block_rows 101/"
+                "149 vs auto ~175/~234); block_invariant asserts "
+                "equality.  matches_committed compares against the "
+                "last certified BENCH_FULL value (moves only on an "
+                "algorithm change)"
+            ),
             "note": (
                 "warm-until-plateau at ~10x pixels (run 0 excluded, "
                 "cap 12 via SPARK_GRAFT_PLATEAU_CAP): certify on the "
@@ -1205,6 +1305,12 @@ def main():
         compact["scale_10x_plateau_mode"] = {
             k: v.get("mode") for k, v in scale_plateau.items()
         }
+        if scale_checksums:
+            compact["scale_10x_checksums"] = {
+                k: {kk: vv for kk, vv in v.items()
+                    if kk != "committed"}
+                for k, v in scale_checksums.items()
+            }
     if scale100:
         compact["scale_100x"] = {
             k: {
