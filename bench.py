@@ -800,6 +800,29 @@ def main():
                 "plan_sec_head_vs_100x": [
                     round(plan_head, 3), round(plan_big, 3)],
             }
+            # value-level checksum another decade up (untimed, one
+            # extra full run ~1-2 min): computed on certify runs (it
+            # lands in the committed BENCH_FULL) or on demand --
+            # driver rounds skip it to keep their window short.  A
+            # mismatch vs the committed value = value drift at 226M px.
+            if (_certifying
+                    or os.environ.get("SPARK_GRAFT_CHECKSUM_100X")
+                    == "1"):
+                cs100 = _df_checksum(big_df)
+                scale100[name]["crc32_sum"] = cs100
+                try:
+                    with open(os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FULL.json")) as f:
+                        _old = json.load(f).get("scale_100x", {}).get(
+                            "queries", {}).get(name, {})
+                    if isinstance(_old, dict) and "crc32_sum" in _old:
+                        scale100[name]["matches_committed"] = (
+                            cs100 == _old["crc32_sum"])
+                except Exception:
+                    pass
+                print(f"# sf100 {name} checksum: {cs100}",
+                      file=sys.stderr)
             print(
                 f"# sf100 {name}: {pmin:.2f}s rows={rowbox[-1]} "
                 f"exchanges={exch} plan_sec=[{plan_head:.2f},"
