@@ -1,0 +1,160 @@
+"""Re-derive ONE scale shape's quiet floor and merge it into the
+committed BENCH_FULL.json certificate.
+
+Why this exists: a certifying bench run (SPARK_GRAFT_WRITE_FULL=1)
+derives every section in one ~35-minute window, but this box's
+hypervisor-steal episodes are bursty -- one shape's slot can be
+contended while every other section lands a clean derived plateau
+(round 13: the 10x rectify slot swung 8-77 s while the 100x section
+minutes later derived at +-1%).  Re-running the WHOLE certify to fix
+one shape risks trading a good cert for a noisy one elsewhere.
+
+The per-shape merge is sound because the floors are independent
+measurements: each shape's plateau derivation shares nothing with the
+others except the source tree, so re-measuring one shape in a quieter
+window and splicing it in (with its full run list, so nothing is
+hidden) yields exactly the file a lucky single-window certify would
+have produced.  Guards:
+
+* refuses unless ``git rev-parse HEAD:xcube_resampling_spark`` equals
+  the file's ``src_tree`` stamp (same code as the rest of the cert);
+* refuses to DOWNGRADE: the merge only happens when the fresh
+  derivation is plateau=True mode=derived;
+* records the fresh run list + checksum, replacing the stale entry
+  wholesale -- no mixing of runs across windows within one shape.
+
+Usage::
+
+    python tools/recert_shape.py rectify_scene            # 10x shape
+    python tools/recert_shape.py --scale 100x rectify_scene
+    SPARK_GRAFT_PLATEAU_CAP=16 python tools/recert_shape.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("shape")
+    ap.add_argument("--scale", choices=["10x", "100x"], default="10x")
+    args = ap.parse_args()
+
+    import bench  # noqa: E402  (sets malloc env before the JVM)
+
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path) as f:
+        full = json.load(f)
+    tree = bench._src_tree_rev()
+    if not tree:
+        print("REFUSED: xcube_resampling_spark/ working tree is dirty "
+              "or not a git checkout -- a cert must stamp a committed "
+              "source tree", file=sys.stderr)
+        return 2
+    if full.get("src_tree") != tree:
+        print(f"REFUSED: BENCH_FULL.json src_tree {full.get('src_tree')}"
+              f" != current {tree}; run a full certify instead",
+              file=sys.stderr)
+        return 2
+
+    table = {n: (hf, bf) for n, hf, bf in (
+        bench.SCALE_BENCHES if args.scale == "10x"
+        else bench.SCALE_100X_BENCHES)}
+    if args.shape not in table:
+        print(f"unknown shape {args.shape}; have {sorted(table)}",
+              file=sys.stderr)
+        return 2
+    head_fn, big_fn = table[args.shape]
+
+    spark = bench._session()
+    try:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        tp0 = time.perf_counter()
+        big_df = big_fn(spark)
+        plan_big = time.perf_counter() - tp0
+        tp0 = time.perf_counter()
+        head_df = head_fn(spark)
+        plan_head = time.perf_counter() - tp0
+        cap = None
+        if args.scale == "100x":
+            cap = int(os.environ.get(
+                "SPARK_GRAFT_PLATEAU_CAP_100X", "8"))
+        rowbox = []
+        runs, plat, cert, pmin, mode = bench._plateau_runs(
+            lambda: rowbox.append(big_df.count()), max_runs=cap,
+            between=spark._jvm.System.gc)
+        print(f"# runs: {[round(r, 3) for r in runs]} plateau={plat} "
+              f"mode={mode} floor={pmin:.3f}", file=sys.stderr)
+        if not (plat and mode == "derived"):
+            print("REFUSED: fresh derivation did not certify "
+                  "(window still contended?) -- BENCH_FULL.json "
+                  "unchanged", file=sys.stderr)
+            return 1
+        head_df.count()
+        exch = [bench._n_exchanges(head_df), bench._n_exchanges(big_df)]
+        cs = bench._df_checksum(big_df)
+
+        if args.scale == "10x":
+            sec = full["scale_10x"]
+            sec["queries"][args.shape] = round(pmin, 3)
+            sec["first_runs"][args.shape] = round(runs[0], 3)
+            sec["runs"][args.shape] = [round(r, 3) for r in runs]
+            sec["median"][args.shape] = round(
+                sorted(runs)[len(runs) // 2], 3)
+            sec["plateau"][args.shape] = {
+                "plateau": plat, "certified_run": cert,
+                "plateau_min": round(pmin, 3), "mode": mode,
+                "committed_cert": None,
+                "recertified_by": "tools/recert_shape.py",
+            }
+            sec["exchanges_head_vs_10x"][args.shape] = exch
+            entry = {"crc32_sum": cs}
+            alt = bench.SCALE_ALT_BLOCK.get(args.shape)
+            if alt is not None:
+                cs_alt = bench._df_checksum(alt(spark))
+                entry["crc32_sum_altblock"] = cs_alt
+                entry["block_invariant"] = cs == cs_alt
+            old_cs = sec.get("checksums", {}).get(
+                args.shape, {}).get("crc32_sum")
+            if old_cs is not None:
+                entry["matches_committed"] = cs == old_cs
+            sec.setdefault("checksums", {})[args.shape] = entry
+        else:
+            q = full["scale_100x"]["queries"][args.shape]
+            old_cs = q.get("crc32_sum")
+            q.update({
+                "sec": round(pmin, 3),
+                "runs": [round(r, 3) for r in runs],
+                "median": round(sorted(runs)[len(runs) // 2], 3),
+                "plateau": plat, "certified_run": cert, "mode": mode,
+                "committed_cert": None, "rows": rowbox[-1],
+                "exchanges_head_vs_100x": exch,
+                "exchanges_ok": exch[0] == exch[1],
+                "plan_sec_head_vs_100x": [
+                    round(plan_head, 3), round(plan_big, 3)],
+                "crc32_sum": cs,
+                "recertified_by": "tools/recert_shape.py",
+            })
+            if old_cs is not None:
+                q["matches_committed"] = cs == old_cs
+
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"# merged {args.scale} {args.shape}: floor={pmin:.3f}s "
+              f"exchanges={exch} checksum={cs}", file=sys.stderr)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
