@@ -707,6 +707,14 @@ def main():
                 "mode": plateau_mode,
                 "committed_cert": cert_10x.get(name),
             }
+            # best_vs_cert: best run as a multiple of the committed
+            # derived floor -- when an uncertified window's best sits
+            # a few % over the cert (confirm needs <= 1.05) with
+            # exchange counts and checksums unchanged, that reads as
+            # window noise, not a slope change
+            if cert_10x.get(name):
+                scale_plateau[name]["best_vs_cert"] = round(
+                    pmin / cert_10x[name], 3)
             scale_first[name] = round(first, 3)
             # min-of-plateau: the min of the certifying triple (post-
             # warmup min when uncertified) -- the number to compare
@@ -800,6 +808,9 @@ def main():
                 "plan_sec_head_vs_100x": [
                     round(plan_head, 3), round(plan_big, 3)],
             }
+            if cert100.get(name):
+                scale100[name]["best_vs_cert"] = round(
+                    pmin / cert100[name], 3)
             # value-level checksum another decade up (untimed, one
             # extra full run ~1-2 min): computed on certify runs (it
             # lands in the committed BENCH_FULL) or on demand --
