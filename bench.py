@@ -455,6 +455,16 @@ def _df_checksum(df) -> int:
     return int(row["cs"])
 
 
+def _committed_full():
+    """The committed BENCH_FULL.json, parsed ({} when absent)."""
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_root, "BENCH_FULL.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def _committed_checksums():
     """Previously committed scale_10x checksums from BENCH_FULL.json.
     NOT keyed on the source tree (unlike the timing certs): output
@@ -462,13 +472,7 @@ def _committed_checksums():
     worth REPORTING either way -- a legit algorithm change re-records
     on the next certify run, a regression shows up as
     matches_committed=false with an unchanged intent."""
-    repo_root = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(repo_root, "BENCH_FULL.json")) as f:
-            full = json.load(f)
-        return full.get("scale_10x", {}).get("checksums", {})
-    except Exception:
-        return {}
+    return _committed_full().get("scale_10x", {}).get("checksums", {})
 
 
 def _plateau_runs(action, max_runs=None, tol=0.15, between=None,
@@ -821,17 +825,11 @@ def main():
                     == "1"):
                 cs100 = _df_checksum(big_df)
                 scale100[name]["crc32_sum"] = cs100
-                try:
-                    with open(os.path.join(
-                            os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_FULL.json")) as f:
-                        _old = json.load(f).get("scale_100x", {}).get(
-                            "queries", {}).get(name, {})
-                    if isinstance(_old, dict) and "crc32_sum" in _old:
-                        scale100[name]["matches_committed"] = (
-                            cs100 == _old["crc32_sum"])
-                except Exception:
-                    pass
+                _old = _committed_full().get("scale_100x", {}).get(
+                    "queries", {}).get(name, {})
+                if isinstance(_old, dict) and "crc32_sum" in _old:
+                    scale100[name]["matches_committed"] = (
+                        cs100 == _old["crc32_sum"])
                 print(f"# sf100 {name} checksum: {cs100}",
                       file=sys.stderr)
             print(
@@ -951,8 +949,23 @@ def main():
                 "sec": round(best, 3), "rows": rows,
                 "runs": [round(r, 3) for r in runs],
             }
+            # value checksum at 1M docs (untimed extra run): the dedup
+            # outputs are deterministic (exact-similarity verify, FWW
+            # min-label components), so the crc32 sum pins pair lists
+            # and similarity values at scale, not just their count
+            if os.environ.get("SPARK_GRAFT_SKIP_CHECKSUM") != "1":
+                cs = _df_checksum(op(docs100))
+                dedup_mod.release_cached()
+                dedup_scale_100[name]["crc32_sum"] = cs
+                old = _committed_full().get("dedup_100x", {}).get(
+                    "queries", {}).get(name, {})
+                if isinstance(old, dict) and "crc32_sum" in old:
+                    dedup_scale_100[name]["matches_committed"] = (
+                        cs == old["crc32_sum"])
             print(
-                f"# dedup100x {name}: {best:.2f}s rows={rows}",
+                f"# dedup100x {name}: {best:.2f}s rows={rows}"
+                + (f" checksum={dedup_scale_100[name]['crc32_sum']}"
+                   if "crc32_sum" in dedup_scale_100[name] else ""),
                 file=sys.stderr,
             )
         docs100.unpersist()
@@ -1134,8 +1147,23 @@ def main():
                 "exchanges_ok": n_exch == exp_exch,
                 "broadcasts": _n_broadcasts(build()),
             }
+            # value checksum over the 24M-row cube's output (untimed):
+            # deterministic by construction -- the synthetic values
+            # are small integers (binary-exact double sums, any order),
+            # interp brackets are <= 2 terms, composite's max is
+            # unique per pixel (12 consecutive ints mod 1000)
+            if os.environ.get("SPARK_GRAFT_SKIP_CHECKSUM") != "1":
+                cs = _df_checksum(build())
+                temporal_scale[name]["crc32_sum"] = cs
+                old = _committed_full().get("temporal_scale", {}).get(
+                    "queries", {}).get(name, {})
+                if isinstance(old, dict) and "crc32_sum" in old:
+                    temporal_scale[name]["matches_committed"] = (
+                        cs == old["crc32_sum"])
             print(
-                f"# temporal {name}: {min(runs):.2f}s rows={rows}",
+                f"# temporal {name}: {min(runs):.2f}s rows={rows}"
+                + (f" checksum={temporal_scale[name]['crc32_sum']}"
+                   if "crc32_sum" in temporal_scale[name] else ""),
                 file=sys.stderr,
             )
         cube.unpersist()
