@@ -6304,8 +6304,8 @@ def q_multimodal_suite(spark, sf_dir):
     )
     # 'probe' leg: header-only container metadata (no decode) over
     # one real container per modality -- the curation pre-filter
-    # (extensions/mediaprobe.py; also parses MP4/ISO-BMFF, tested at
-    # unit level since the engine cannot synthesize MP4s)
+    # (extensions/mediaprobe.py; MP4/ISO-BMFF gets the deeper
+    # sample-level treatment in the 'mp4' demux leg below)
     from xcube_resampling_spark.extensions.mediaprobe import (
         media_probe,
     )
@@ -6408,8 +6408,31 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("distance").cast("long").alias("k2"),
         nl.alias("k3"), nd.alias("v1"), nd.alias("v2"), ns.alias("s"),
     )
+    # 'mp4' leg: ISO BMFF SAMPLE-LEVEL DEMUX (extensions/mp4demux.py,
+    # container plumbing, no codec decode).  The video-kind payloads
+    # are containerized executor-side into real single-track MP4s --
+    # 16-byte samples, run-length stts (alternating 40/20 ms), v0
+    # ctts (+10*(k%3)), stss every 3rd sample, 3-samples-per-chunk
+    # stsc/stco with a short last chunk -- then demuxed back
+    # distributed; per-sample dts/pts/size/keyframe AND the payload
+    # substring are value-checked against the twin's closed forms.
+    from xcube_resampling_spark.extensions.mp4demux import (
+        demux_mp4,
+        encode_mp4_media,
+    )
+
+    vids = media.filter(F.col("kind") == "video")
+    mp4 = demux_mp4(encode_mp4_media(vids)).select(
+        F.lit("mp4").alias("leg"), "media_id",
+        F.col("sample_idx").cast("long").alias("k1"),
+        F.col("dts").alias("k2"),
+        F.col("size").alias("k3"),
+        F.col("keyframe").cast("double").alias("v1"),
+        F.col("pts").cast("double").alias("v2"),
+        F.decode("data", "UTF-8").alias("s"),
+    )
     return (out.unionByName(jp).unionByName(jp2)
-            .unionByName(dleg).unionByName(pleg))
+            .unionByName(dleg).unionByName(pleg).unionByName(mp4))
 
 
 def _multimodal_suite_sql():
@@ -6721,6 +6744,20 @@ SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
          CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS VARCHAR) AS s
   FROM prs WHERE d <= 3
 ) q
+UNION ALL
+SELECT 'mp4' AS leg, media_id, CAST(k AS BIGINT) AS k1,
+       CAST(30 * k + 10 * (k % 2) AS BIGINT) AS k2,
+       CAST(LEAST(16, length(text) - 16 * k) AS BIGINT) AS k3,
+       CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END AS v1,
+       CAST(30 * k + 10 * (k % 2) + 10 * (k % 3) AS DOUBLE) AS v2,
+       substr(text, CAST(16 * k + 1 AS INT),
+              CAST(LEAST(16, length(text) - 16 * k) AS INT)) AS s
+FROM (
+  SELECT doc_id AS media_id, text,
+         CAST(unnest(range(0,
+           CAST((length(text) + 15) // 16 AS BIGINT))) AS INT) AS k
+  FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
+) m
 """
 
 

@@ -1,0 +1,183 @@
+"""ISO BMFF sample demux: build_mp4 <-> parse_mp4_samples round-trips
+plus the Spark mapInPandas pass.
+
+The builder writes REAL multi-entry tables (run-length stts, stsc
+with a short last chunk, stss, v0 ctts, co64), so the parser's table
+interpretation -- not just a happy path -- is what round-trips.
+"""
+
+import struct
+
+import pytest
+
+from xcube_resampling_spark.extensions.mp4demux import (
+    build_mp4,
+    demux_mp4,
+    parse_mp4_samples,
+)
+
+
+def _samples(n, base=5):
+    return [bytes([i % 251]) * (base + i) for i in range(n)]
+
+
+class TestRoundTrip:
+    def test_payload_offsets_sizes(self):
+        samples = _samples(8)
+        data = build_mp4(samples)
+        tracks, recs = parse_mp4_samples(data)
+        assert len(tracks) == 1 and tracks[0]["n_samples"] == 8
+        assert tracks[0]["codec"] == "avc1"
+        assert tracks[0]["kind"] == "vide"
+        assert tracks[0]["timescale"] == 1000
+        for r in recs:
+            assert r["data"] == samples[r["sample_idx"]]
+            # offsets must index the ORIGINAL bytes (routing contract)
+            o, z = r["offset"], r["size"]
+            assert data[o:o + z] == samples[r["sample_idx"]]
+
+    def test_varying_durations_rle_stts(self):
+        # alternating 40/20 forces one stts run PER SAMPLE
+        durs = [40 if i % 2 == 0 else 20 for i in range(9)]
+        _, recs = parse_mp4_samples(build_mp4(_samples(9),
+                                              durations=durs))
+        for r in recs:
+            k = r["sample_idx"]
+            assert r["dts"] == sum(durs[:k])
+
+    def test_ctts_composition_offsets(self):
+        ctts = [10 * (i % 3) for i in range(7)]
+        _, recs = parse_mp4_samples(
+            build_mp4(_samples(7), ctts_offsets=ctts))
+        for r in recs:
+            assert r["pts"] == r["dts"] + ctts[r["sample_idx"]]
+
+    def test_stss_keyframes(self):
+        kfs = [i % 4 == 0 for i in range(10)]
+        _, recs = parse_mp4_samples(
+            build_mp4(_samples(10), keyframes=kfs))
+        assert [r["keyframe"] for r in recs] == kfs
+
+    def test_absent_stss_means_all_sync(self):
+        _, recs = parse_mp4_samples(build_mp4(_samples(5)))
+        assert all(r["keyframe"] for r in recs)
+
+    def test_short_last_chunk_stsc(self):
+        # 8 samples, 3 per chunk -> chunks of 3/3/2 (two stsc runs)
+        samples = _samples(8)
+        data = build_mp4(samples, chunk_size=3)
+        _, recs = parse_mp4_samples(data)
+        assert [r["data"] for r in recs] == samples
+
+    def test_chunk_size_one_and_huge(self):
+        for cs in (1, 100):
+            samples = _samples(6)
+            _, recs = parse_mp4_samples(
+                build_mp4(samples, chunk_size=cs))
+            assert [r["data"] for r in recs] == samples
+
+    def test_co64(self):
+        samples = _samples(6)
+        data = build_mp4(samples, use_co64=True)
+        assert b"co64" in data and b"stco" not in data
+        _, recs = parse_mp4_samples(data)
+        assert [r["data"] for r in recs] == samples
+
+    def test_empty_track(self):
+        tracks, recs = parse_mp4_samples(build_mp4([]))
+        assert recs == [] and tracks and tracks[0]["n_samples"] == 0
+
+    def test_want_payload_false_keeps_routing_fields(self):
+        _, recs = parse_mp4_samples(build_mp4(_samples(4)),
+                                    want_payload=False)
+        assert all("data" not in r for r in recs)
+        assert all(r["size"] > 0 for r in recs)
+
+
+class TestMalformed:
+    def test_no_moov(self):
+        assert parse_mp4_samples(b"\x00\x00\x00\x08free") == ([], [])
+        assert parse_mp4_samples(b"") == ([], [])
+
+    def test_oversized_sample_raises(self):
+        # enlarge one stsz entry so the last sample's claimed bytes
+        # extend past EOF (stsz layout: fourcc, ver/flags, fixed,
+        # count, then the size table)
+        data = build_mp4(_samples(4))
+        bad = bytearray(data)
+        idx = data.find(b"stsz")
+        struct.pack_into(">I", bad, idx + 16 + 4 * 2, 1 << 20)
+        with pytest.raises(ValueError, match="EOF"):
+            parse_mp4_samples(bytes(bad))
+
+    def test_stts_count_mismatch_raises(self):
+        data = bytearray(build_mp4(_samples(4)))
+        idx = data.find(b"stts")
+        # shrink the single run's count 4 -> 2
+        struct.pack_into(">I", data, idx + 4 + 4 + 4, 2)
+        with pytest.raises(ValueError, match="stts"):
+            parse_mp4_samples(bytes(data))
+
+    def test_stz2_refused(self):
+        data = bytearray(build_mp4(_samples(3)))
+        idx = data.find(b"stsz")
+        data[idx:idx + 4] = b"stz2"
+        with pytest.raises(NotImplementedError):
+            parse_mp4_samples(bytes(data))
+
+
+class TestSparkDemux:
+    def test_demux_matches_local_parse(self, spark):
+        import pandas as pd
+
+        rows = []
+        for mid in range(6):
+            samples = [
+                f"m{mid}s{k}".encode() * (k + 1) for k in range(5)
+            ]
+            rows.append((mid, build_mp4(
+                samples,
+                durations=[40 if k % 2 == 0 else 20
+                           for k in range(5)],
+                keyframes=[k % 2 == 0 for k in range(5)],
+            )))
+        media = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "payload"]))
+        got = demux_mp4(media).orderBy("media_id", "sample_idx") \
+            .collect()
+        assert len(got) == 30
+        for r in got:
+            assert r.error is None
+            assert r.kind == "vide" and r.codec == "avc1"
+            assert r.dts == 30 * r.sample_idx + 10 * (r.sample_idx % 2)
+            assert r.keyframe == (r.sample_idx % 2 == 0)
+            assert bytes(r.data) == \
+                f"m{r.media_id}s{r.sample_idx}".encode() \
+                * (r.sample_idx + 1)
+
+    def test_demux_is_shuffle_free(self, spark):
+        import pandas as pd
+
+        media = spark.createDataFrame(pd.DataFrame(
+            [(0, build_mp4(_samples(3)))],
+            columns=["media_id", "payload"]))
+        df = demux_mp4(media)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_malformed_payload_degrades_to_error_row(self, spark):
+        import pandas as pd
+
+        bad = bytearray(build_mp4(_samples(3)))
+        idx = bad.find(b"stts")
+        struct.pack_into(">I", bad, idx + 4 + 4 + 4, 1)
+        media = spark.createDataFrame(pd.DataFrame(
+            [(0, bytes(bad)), (1, build_mp4(_samples(2)))],
+            columns=["media_id", "payload"]))
+        got = demux_mp4(media).orderBy("media_id", "sample_idx") \
+            .collect()
+        errs = [r for r in got if r.error is not None]
+        ok = [r for r in got if r.error is None]
+        assert len(errs) == 1 and errs[0].media_id == 0
+        assert "stts" in errs[0].error
+        assert len(ok) == 2 and all(r.media_id == 1 for r in ok)
