@@ -6431,8 +6431,30 @@ def q_multimodal_suite(spark, sf_dir):
         F.col("pts").cast("double").alias("v2"),
         F.decode("data", "UTF-8").alias("s"),
     )
+    # 'mpeg_frames' leg: MPEG AUDIO FRAME SPLITTING (extensions/
+    # mpegaudio.py, probe-and-route, no decode).  Audio-kind payloads
+    # become MPEG-1 Layer II streams with 4 + media_id % 5 frames,
+    # kbps alternating 64/96 at 32 kHz (sizes 288/432, zero padding)
+    # -- per-frame offset/size/bitrate/timing checked against the
+    # twin's closed forms; an error row here fails the gate loudly.
+    from xcube_resampling_spark.extensions.mpegaudio import (
+        encode_mpeg_media,
+        split_mpeg_audio,
+    )
+
+    auds = media.filter(F.col("kind") == "audio")
+    mpa = split_mpeg_audio(encode_mpeg_media(auds)).select(
+        F.lit("mpeg_frames").alias("leg"), "media_id",
+        F.col("frame_idx").cast("long").alias("k1"),
+        F.col("offset").alias("k2"),
+        F.col("size").alias("k3"),
+        F.col("kbps").cast("double").alias("v1"),
+        F.col("duration_us").cast("double").alias("v2"),
+        F.col("codec").alias("s"),
+    )
     return (out.unionByName(jp).unionByName(jp2)
-            .unionByName(dleg).unionByName(pleg).unionByName(mp4))
+            .unionByName(dleg).unionByName(pleg).unionByName(mp4)
+            .unionByName(mpa))
 
 
 def _multimodal_suite_sql():
@@ -6758,6 +6780,18 @@ FROM (
            CAST((length(text) + 15) // 16 AS BIGINT))) AS INT) AS k
   FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
 ) m
+UNION ALL
+SELECT 'mpeg_frames' AS leg, media_id, CAST(k AS BIGINT) AS k1,
+       CAST(720 * (k // 2) + 288 * (k % 2) AS BIGINT) AS k2,
+       CAST(288 + 144 * (k % 2) AS BIGINT) AS k3,
+       CAST(64 + 32 * (k % 2) AS DOUBLE) AS v1,
+       CAST(36000 AS DOUBLE) AS v2,
+       'mpeg1_layer2' AS s
+FROM (
+  SELECT doc_id AS media_id,
+         CAST(unnest(range(0, 4 + doc_id % 5)) AS INT) AS k
+  FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 1
+) a
 """
 
 
