@@ -99,6 +99,25 @@ def main() -> int:
                   "(window still contended?) -- BENCH_FULL.json "
                   "unchanged", file=sys.stderr)
             return 1
+        # No-raise guard: within ONE source tree a higher derived
+        # floor can only mean this window was more contended than the
+        # committed one -- contention only inflates runs.  Keep the
+        # lower committed floor (the tighter bound on the true steady
+        # state); a genuinely slower tree always re-stamps src_tree
+        # first, so this never masks a real regression.
+        if args.scale == "10x":
+            old = full["scale_10x"]["plateau"].get(args.shape, {})
+            old_sec = full["scale_10x"]["queries"].get(args.shape)
+        else:
+            oldq = full["scale_100x"]["queries"].get(args.shape, {})
+            old = oldq
+            old_sec = oldq.get("sec")
+        if (old.get("plateau") and old.get("mode") == "derived"
+                and old_sec is not None and pmin >= float(old_sec)):
+            print(f"REFUSED: committed derived floor {old_sec}s is "
+                  f"already lower than this window's {pmin:.3f}s -- "
+                  f"keeping the tighter bound", file=sys.stderr)
+            return 1
         head_df.count()
         exch = [bench._n_exchanges(head_df), bench._n_exchanges(big_df)]
         cs = bench._df_checksum(big_df)
