@@ -452,7 +452,9 @@ def _df_checksum(df) -> int:
             F.crc32(F.concat_ws(",", *cols).cast("binary"))
         ).alias("cs")
     ).collect()[0]
-    return int(row["cs"])
+    # SUM over zero rows is NULL -- an empty result checksums to 0
+    # rather than aborting the (untimed) checksum leg with TypeError.
+    return 0 if row["cs"] is None else int(row["cs"])
 
 
 def _committed_full():

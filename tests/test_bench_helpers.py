@@ -79,6 +79,14 @@ class TestDfChecksum:
         assert bench._df_checksum(df) == bench._df_checksum(
             df.repartition(3))
 
+    def test_empty_dataframe_checksums_to_zero(self, spark, small_df):
+        # SUM over zero rows is NULL; the helper must return 0, not
+        # abort the checksum leg with int(None)
+        assert bench._df_checksum(
+            small_df.filter(F.col("i") < 0)) == 0
+        assert bench._df_checksum(
+            spark.createDataFrame([], "a int, b double")) == 0
+
     def test_sub_rounding_noise_is_absorbed(self, spark, small_df):
         # floats hash at 6 dp: an ulp-level wiggle must NOT move the
         # checksum (flip risk = wiggle/1e-6 per row; 1e-12 keeps the

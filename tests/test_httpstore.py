@@ -196,6 +196,51 @@ class TestTransientFaultRetry:
             assert store.get("k") == b"data"
 
 
+class TestConcurrentSparkRetry:
+    """The shared fail_next fault budget under REAL Spark concurrency:
+    a distributed zarr read with >= 8 concurrent partitions heals
+    injected connection resets in-place (no Spark task retry -- local
+    mode has task.maxFailures=1, so any unhealed fault would fail the
+    whole job, making success here a strict proof)."""
+
+    def test_spark_read_heals_resets_across_partitions(
+            self, spark, tmp_path):
+        from xcube_resampling_spark.sources import read_zarr, write_zarr
+
+        h, w = 64, 64
+        rows = [(0, j, i, float(j * w + i))
+                for j in range(h) for i in range(w)]
+        px = spark.createDataFrame(
+            rows, "t int, j int, i int, value double")
+        with LocalHttpStoreServer(str(tmp_path / "s")) as srv:
+            store = HttpChunkStore(srv.url)
+            # 8x8 chunk grid -> 64 distributed chunk GETs
+            write_zarr(px, "ignored", "value", (h, w), (8, 8),
+                       compressor="zlib", chunk_put=store)
+            df = read_zarr(spark, "ignored", "value", store=store,
+                           n_partitions=16)
+            n_parts = df.rdd.getNumPartitions()
+            assert n_parts >= 8, n_parts
+            # the test session is local[4]: at most 4 gets are truly
+            # simultaneous, and a backoff-sleeping client holds its
+            # thread.  Keep the budget <= 2 faults per concurrent
+            # slot so no client can exhaust its 3 attempts.
+            n_faults = 6
+            before = srv.request_count
+            srv.fail_next(n_faults, "reset")
+            got = df.collect()
+            # full budget consumed under concurrent executor threads
+            with srv._fault_lock:
+                assert srv._fault_n == 0
+            # every consumed fault costs exactly one extra attempt:
+            # 64 chunk GETs + n_faults in-place retries, nothing more
+            assert srv.request_count - before == 64 + n_faults
+        assert len(got) == h * w
+        assert {(r.j, r.i): r.value for r in got} == {
+            (j, i): float(j * w + i)
+            for j in range(h) for i in range(w)}
+
+
 class TestRetryClassification:
     """_is_transient / with_retry unit behavior (no server needed)."""
 
@@ -244,6 +289,29 @@ class TestRetryClassification:
         # ...but dropped streams mid-handshake stay transient
         assert _is_transient(ue.URLError(ssl.SSLEOFError()))
         assert _is_transient(ue.URLError(TimeoutError()))
+
+    def test_errno_routing_blips_are_transient(self):
+        """ENETUNREACH/EHOSTUNREACH/ECONNABORTED are routing blips --
+        transient, unlike the DNS/TLS configuration failures."""
+        import errno
+        import urllib.error as ue
+
+        from xcube_resampling_spark.sources.httpstore import (
+            _is_transient,
+        )
+
+        for eno in (errno.ENETUNREACH, errno.EHOSTUNREACH,
+                    errno.ECONNABORTED):
+            blip = OSError(eno, "unreachable")
+            assert _is_transient(blip), errno.errorcode[eno]
+            assert _is_transient(ue.URLError(blip)), \
+                errno.errorcode[eno]
+        # errno-less / unrelated-errno OSErrors stay permanent
+        assert not _is_transient(OSError("no errno"))
+        assert not _is_transient(
+            OSError(errno.ENOSPC, "disk full"))
+        assert not _is_transient(
+            ue.URLError(OSError(errno.EACCES, "denied")))
 
     def test_with_retry_rejects_nonpositive_attempts(self):
         import pytest as _pytest

@@ -125,6 +125,78 @@ class TestMalformed:
         with pytest.raises(NotImplementedError):
             parse_mp4_samples(bytes(data))
 
+    def test_stss_entry_out_of_range_raises_valueerror(self):
+        # a sync entry > n_samples must be a ValueError (degradable),
+        # never an IndexError out of the keyframe array
+        data = bytearray(build_mp4(
+            _samples(4), keyframes=[True, False, False, True]))
+        idx = data.find(b"stss")
+        # stss layout: fourcc, ver/flags(4), count(4), entries...
+        struct.pack_into(">I", data, idx + 4 + 4 + 4, 99)
+        with pytest.raises(ValueError, match="stss"):
+            parse_mp4_samples(bytes(data))
+
+    def test_stss_entry_zero_raises_valueerror(self):
+        data = bytearray(build_mp4(
+            _samples(4), keyframes=[True, False, False, True]))
+        idx = data.find(b"stss")
+        struct.pack_into(">I", data, idx + 4 + 4 + 4, 0)
+        with pytest.raises(ValueError, match="stss"):
+            parse_mp4_samples(bytes(data))
+
+    def test_stsc_first_run_not_chunk_one_raises(self):
+        # first_chunk of the first run patched 1 -> 2: leading chunks
+        # are uncovered; must raise, not read uninitialized memory
+        data = bytearray(build_mp4(_samples(8), chunk_size=3))
+        idx = data.find(b"stsc")
+        # stsc layout: fourcc, ver/flags(4), count(4), then
+        # (first_chunk, samples_per_chunk, desc_idx) triples
+        struct.pack_into(">I", data, idx + 4 + 4 + 4, 2)
+        with pytest.raises(ValueError, match="stsc"):
+            parse_mp4_samples(bytes(data))
+
+    def test_stsc_non_increasing_first_chunk_raises(self):
+        # 8 samples @ chunk_size 3 emits two stsc runs (1,3) (3,2);
+        # patch the second run's first_chunk to 1 (non-increasing)
+        data = bytearray(build_mp4(_samples(8), chunk_size=3))
+        idx = data.find(b"stsc")
+        struct.pack_into(">I", data, idx + 4 + 4 + 4 + 12, 1)
+        with pytest.raises(ValueError, match="increasing"):
+            parse_mp4_samples(bytes(data))
+
+    def test_truncated_fullbox_raises_valueerror(self):
+        from xcube_resampling_spark.extensions.mp4demux import \
+            _full_box
+        # an 8-byte FullBox at EOF has no version/flags to read
+        with pytest.raises(ValueError, match="truncated"):
+            _full_box(b"\x00\x00\x00\x08stts", 8)
+
+    def test_truncation_sweep_never_escapes_contract(self):
+        # every prefix of a real file must either parse or raise one
+        # of the demux-catchable types -- the degrade-to-error-row
+        # contract for 100-TB corpus routing
+        data = build_mp4(_samples(6), keyframes=[True] * 6,
+                         ctts_offsets=[0, 10, 20] * 2)
+        for cut in range(0, len(data), 7):
+            try:
+                parse_mp4_samples(data[:cut])
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError):
+                pass
+        # seeded single-byte corruptions over the moov region
+        import random as _random
+        rng = _random.Random(1405)
+        moov_at = data.find(b"moov") - 4
+        for _ in range(400):
+            pos = rng.randrange(moov_at, len(data))
+            bad = bytearray(data)
+            bad[pos] ^= 1 << rng.randrange(8)
+            try:
+                parse_mp4_samples(bytes(bad))
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError):
+                pass
+
 
 class TestSparkDemux:
     def test_demux_matches_local_parse(self, spark):

@@ -83,7 +83,13 @@ def _find(data: bytes, start: int, end: int, fourcc: bytes):
 
 
 def _full_box(data: bytes, body: int):
-    """(version, flags, payload_start) of a FullBox."""
+    """(version, flags, payload_start) of a FullBox.
+
+    Raises ``ValueError`` when the 4-byte version/flags header would
+    read past EOF (a truncated 8-byte FullBox), so malformed input
+    degrades to an error row instead of an uncaught IndexError."""
+    if body + 4 > len(data):
+        raise ValueError("truncated FullBox header")
     ver = data[body]
     flags = int.from_bytes(data[body + 1:body + 4], "big")
     return ver, flags, body + 4
@@ -155,8 +161,19 @@ def _sample_offsets(stsc, chunk_offsets, sizes) -> np.ndarray:
     per-chunk sample count, then cumulative sizes within each chunk."""
     n_chunks = len(chunk_offsets)
     n_samples = len(sizes)
-    per_chunk = np.empty(n_chunks, dtype=np.int64)
+    if stsc and stsc[0][0] != 1:
+        raise ValueError(
+            f"stsc first run starts at chunk {stsc[0][0]}, must be 1")
+    # np.zeros (not empty): a malformed gap in the runs then maps to
+    # zero samples and fails the coverage check below, never garbage.
+    per_chunk = np.zeros(n_chunks, dtype=np.int64)
+    prev_first = 0
     for idx, (first, spc) in enumerate(stsc):
+        if first <= prev_first:
+            raise ValueError(
+                "stsc first_chunk values must be strictly increasing "
+                f"(run {idx}: {first} after {prev_first})")
+        prev_first = first
         last = (stsc[idx + 1][0] - 1) if idx + 1 < len(stsc) \
             else n_chunks
         per_chunk[first - 1:last] = spc
@@ -249,6 +266,10 @@ def parse_mp4_samples(data: bytes, *, want_payload: bool = True):
         if sync is None:
             keyframe = np.ones(n, dtype=bool)  # spec: absent = all
         else:
+            if len(sync) and (sync.min() < 1 or sync.max() > n):
+                raise ValueError(
+                    f"track {track_id}: stss sync entry out of "
+                    f"range [1, {n}]")
             keyframe = np.zeros(n, dtype=bool)
             keyframe[sync - 1] = True  # stss is 1-based
         tracks.append({
@@ -514,7 +535,7 @@ def demux_mp4(
                     for rec in samples:
                         emit(mid, rec, kinds)
                 except (ValueError, NotImplementedError,
-                        struct.error) as exc:
+                        struct.error, IndexError) as exc:
                     emit(mid, None, {}, f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(out)
 

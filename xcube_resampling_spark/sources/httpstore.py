@@ -29,6 +29,7 @@ pool -- the seam, not the pooling, is what is under test here).
 
 from __future__ import annotations
 
+import errno
 import http.client
 import os
 import random
@@ -61,6 +62,16 @@ __all__ = [
 RETRY_ATTEMPTS = 3
 RETRY_BASE_DELAY = 0.2  # seconds; grows 2x per attempt, +0..100% jitter
 
+# OSError errnos that are routing blips rather than configuration
+# failures: retry these.  (DNS gaierror/herror and TLS cert rejection
+# remain fail-fast -- those never heal within a backoff window.)
+_TRANSIENT_ERRNOS = frozenset(
+    getattr(errno, name) for name in
+    ("ENETUNREACH", "EHOSTUNREACH", "ECONNABORTED", "ENETDOWN",
+     "ENETRESET", "EHOSTDOWN")
+    if hasattr(errno, name)
+)
+
 
 def _is_transient(exc: BaseException) -> bool:
     # HTTPError FIRST: it subclasses URLError but carries a status code
@@ -77,19 +88,28 @@ def _is_transient(exc: BaseException) -> bool:
             return False
         # SSLEOFError/SSLError outside cert verification = handshake
         # or stream dropped mid-flight -- the transient case.
-        return isinstance(
+        if isinstance(
             reason,
             (ConnectionError, socket.timeout, TimeoutError,
              ssl.SSLError, http.client.HTTPException),
-        )
+        ):
+            return True
+        # errno-style routing blips (network/host unreachable, local
+        # abort) are transient, unlike the DNS/TLS config failures
+        # excluded above -- a fan-out read should ride these out.
+        return (isinstance(reason, OSError)
+                and reason.errno in _TRANSIENT_ERRNOS)
     # RemoteDisconnected subclasses ConnectionResetError; IncompleteRead
     # is a body truncated mid-read (the fault Spark can't see until the
     # parser chokes)
-    return isinstance(
+    if isinstance(
         exc,
         (ConnectionError, http.client.IncompleteRead,
          http.client.HTTPException, socket.timeout, TimeoutError),
-    )
+    ):
+        return True
+    return (isinstance(exc, OSError)
+            and exc.errno in _TRANSIENT_ERRNOS)
 
 
 def with_retry(fn, what: str = "request", *,

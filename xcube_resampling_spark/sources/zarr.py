@@ -1035,8 +1035,15 @@ def read_zarr(
     bbox_ij: tuple[int, int, int, int] | None = None,
     decode_cf: bool = False,
     store: ChunkPut | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Read a zarr v2 array as a (t, j, i, value) pixel DataFrame.
+
+    ``n_partitions`` overrides the fetch parallelism of the
+    chunk-store path (default: the session's defaultParallelism,
+    capped at the chunk count) -- at object-store scale the right
+    fan-out is a property of the store's request ceiling, not of the
+    local core count.
 
     ``bbox_ij`` = (i_min, j_min, i_max, j_max) half-open window: only chunk
     FILES intersecting the window are listed into the binaryFile scan
@@ -1201,7 +1208,9 @@ def read_zarr(
         if not names:
             return spark.createDataFrame([], schema=ZARR_PIXEL_SCHEMA)
         n_part = max(1, min(
-            len(names), spark.sparkContext.defaultParallelism))
+            len(names),
+            n_partitions if n_partitions is not None
+            else spark.sparkContext.defaultParallelism))
         keys_df = spark.createDataFrame(
             [(n,) for n in names], "chunk string"
         ).repartition(n_part)
