@@ -6418,12 +6418,28 @@ def q_multimodal_suite(spark, sf_dir):
     # substring are value-checked against the twin's closed forms.
     from xcube_resampling_spark.extensions.mp4demux import (
         demux_mp4,
+        encode_fmp4_media,
         encode_mp4_media,
     )
 
     vids = media.filter(F.col("kind") == "video")
     mp4 = demux_mp4(encode_mp4_media(vids)).select(
         F.lit("mp4").alias("leg"), "media_id",
+        F.col("sample_idx").cast("long").alias("k1"),
+        F.col("dts").alias("k2"),
+        F.col("size").alias("k3"),
+        F.col("keyframe").cast("double").alias("v1"),
+        F.col("pts").cast("double").alias("v2"),
+        F.decode("data", "UTF-8").alias("s"),
+    )
+    # 'fmp4' leg: FRAGMENTED MP4 (moof/traf -- the DASH/CMAF layout,
+    # ISO 14496-12 8.8).  Same deterministic per-sample closed forms
+    # as 'mp4', but the container routes through trex defaults, tfhd
+    # default-base-is-moof addressing, v1 tfdt anchors and per-sample
+    # trun entries -- the fragment walk, not the stbl tables, is what
+    # the oracle checks here.
+    fmp4 = demux_mp4(encode_fmp4_media(vids)).select(
+        F.lit("fmp4").alias("leg"), "media_id",
         F.col("sample_idx").cast("long").alias("k1"),
         F.col("dts").alias("k2"),
         F.col("size").alias("k3"),
@@ -6454,7 +6470,7 @@ def q_multimodal_suite(spark, sf_dir):
     )
     return (out.unionByName(jp).unionByName(jp2)
             .unionByName(dleg).unionByName(pleg).unionByName(mp4)
-            .unionByName(mpa))
+            .unionByName(fmp4).unionByName(mpa))
 
 
 def _multimodal_suite_sql():
@@ -6768,6 +6784,20 @@ SELECT leg, media_id, k1, k2, k3, v1, v2, s FROM (
 ) q
 UNION ALL
 SELECT 'mp4' AS leg, media_id, CAST(k AS BIGINT) AS k1,
+       CAST(30 * k + 10 * (k % 2) AS BIGINT) AS k2,
+       CAST(LEAST(16, length(text) - 16 * k) AS BIGINT) AS k3,
+       CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END AS v1,
+       CAST(30 * k + 10 * (k % 2) + 10 * (k % 3) AS DOUBLE) AS v2,
+       substr(text, CAST(16 * k + 1 AS INT),
+              CAST(LEAST(16, length(text) - 16 * k) AS INT)) AS s
+FROM (
+  SELECT doc_id AS media_id, text,
+         CAST(unnest(range(0,
+           CAST((length(text) + 15) // 16 AS BIGINT))) AS INT) AS k
+  FROM documents WHERE doc_id < {_MEDIA_N} AND doc_id % 3 = 2
+) m
+UNION ALL
+SELECT 'fmp4' AS leg, media_id, CAST(k AS BIGINT) AS k1,
        CAST(30 * k + 10 * (k % 2) AS BIGINT) AS k2,
        CAST(LEAST(16, length(text) - 16 * k) AS BIGINT) AS k3,
        CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END AS v1,

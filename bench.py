@@ -457,6 +457,110 @@ def _df_checksum(df) -> int:
     return 0 if row["cs"] is None else int(row["cs"])
 
 
+def _proc_descendants(root_pid: int) -> list[int]:
+    """All descendant pids of ``root_pid`` via /proc ppid links (the
+    local-mode Spark tree: JVM child + pyspark.daemon worker forks)."""
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(d))
+    out: list[int] = []
+    stack = [root_pid]
+    while stack:
+        for c in children.get(stack.pop(), []):
+            out.append(c)
+            stack.append(c)
+    return out
+
+
+def _proc_comm_hwm(pid: int):
+    """(comm, VmHWM_kb) of a process, or None if it vanished."""
+    try:
+        with open(f"/proc/{pid}/comm") as f:
+            comm = f.read().strip()
+        hwm = None
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    hwm = int(line.split()[1])
+                    break
+        return comm, hwm
+    except (OSError, ValueError):
+        return None
+
+
+class _RssMonitor:
+    """Peak RSS of the Spark worker tree while a bench shape runs.
+
+    On start, resets every descendant's VmHWM water mark (/proc
+    clear_refs value 5 -- needs the usual CAP_SYS_RESOURCE/root this
+    box has; failure degrades to lifetime-HWM, a conservative
+    OVER-estimate, never an undercount).  A sampler thread then reads
+    VmHWM at ~10 Hz so even workers that die mid-run contribute.
+    ``stop()`` returns peak MB split into python workers vs the JVM:
+    the worker figure is the per-process bound the MAX_BLOCK_PX cap
+    must keep under control at 100x."""
+
+    def __init__(self, interval: float = 0.1):
+        self.interval = interval
+        self._peaks: dict[int, tuple[bool, int]] = {}
+        self._stop = False
+        self._thread = None
+
+    def _tick(self):
+        for pid in _proc_descendants(os.getpid()):
+            got = _proc_comm_hwm(pid)
+            if got is None or got[1] is None:
+                continue
+            comm, hwm = got
+            is_java = "java" in comm
+            prev = self._peaks.get(pid)
+            if prev is None or hwm > prev[1]:
+                self._peaks[pid] = (is_java, hwm)
+
+    def start(self):
+        import threading
+
+        for pid in _proc_descendants(os.getpid()):
+            try:
+                with open(f"/proc/{pid}/clear_refs", "w") as f:
+                    f.write("5")
+            except OSError:
+                pass  # degrade to lifetime HWM (over-estimate)
+
+        def loop():
+            while not self._stop:
+                self._tick()
+                time.sleep(self.interval)
+
+        self._stop = False
+        self._peaks = {}
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> dict:
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self._tick()  # final read
+        worker = [v[1] for v in self._peaks.values() if not v[0]]
+        jvm = [v[1] for v in self._peaks.values() if v[0]]
+        return {
+            "peak_worker_rss_mb":
+                round(max(worker) / 1024.0, 1) if worker else None,
+            "peak_jvm_rss_mb":
+                round(max(jvm) / 1024.0, 1) if jvm else None,
+            "n_workers_seen": len(worker),
+        }
+
+
 def _committed_full():
     """The committed BENCH_FULL.json, parsed ({} when absent)."""
     repo_root = os.path.dirname(os.path.abspath(__file__))
@@ -794,12 +898,29 @@ def main():
             head_df = head_fn(spark)
             plan_head = time.perf_counter() - tp0
             rowbox = []
+            # peak worker RSS across the timed runs: the MAX_BLOCK_PX
+            # cap was sized from a measured 5.8 GB python-worker OOM;
+            # recording the bound makes a cap regression fail loudly
+            # here instead of OOMing a real cluster silently.
+            rss_mon = _RssMonitor().start()
             runs, plat, cert, pmin, mode = _plateau_runs(
                 lambda: rowbox.append(big_df.count()), max_runs=cap100,
                 between=spark._jvm.System.gc,
                 confirm_floor=cert100.get(name))
+            rss = rss_mon.stop()
             head_df.count()
             exch = [_n_exchanges(head_df), _n_exchanges(big_df)]
+            rss_bound = int(os.environ.get(
+                "SPARK_GRAFT_RSS_BOUND_MB", "2048"))
+            rss_ok = (rss["peak_worker_rss_mb"] is None
+                      or rss["peak_worker_rss_mb"] <= rss_bound)
+            if not rss_ok:
+                print(
+                    f"# RSS BOUND VIOLATION {name}: peak worker "
+                    f"{rss['peak_worker_rss_mb']} MB > {rss_bound} MB"
+                    " -- MAX_BLOCK_PX cap regression?",
+                    file=sys.stderr,
+                )
             scale100[name] = {
                 "sec": round(pmin, 3),
                 "runs": [round(r, 3) for r in runs],
@@ -813,6 +934,11 @@ def main():
                 "exchanges_ok": exch[0] == exch[1],
                 "plan_sec_head_vs_100x": [
                     round(plan_head, 3), round(plan_big, 3)],
+                "peak_worker_rss_mb": rss["peak_worker_rss_mb"],
+                "peak_jvm_rss_mb": rss["peak_jvm_rss_mb"],
+                "n_workers_seen": rss["n_workers_seen"],
+                "rss_bound_mb": rss_bound,
+                "rss_within_bound": rss_ok,
             }
             if cert100.get(name):
                 scale100[name]["best_vs_cert"] = round(
@@ -837,7 +963,9 @@ def main():
             print(
                 f"# sf100 {name}: {pmin:.2f}s rows={rowbox[-1]} "
                 f"exchanges={exch} plan_sec=[{plan_head:.2f},"
-                f"{plan_big:.2f}] plateau={plat}",
+                f"{plan_big:.2f}] plateau={plat} "
+                f"rss_mb[worker,jvm]=[{rss['peak_worker_rss_mb']},"
+                f"{rss['peak_jvm_rss_mb']}] bound_ok={rss_ok}",
                 file=sys.stderr,
             )
             spark.catalog.clearCache()
@@ -1382,6 +1510,8 @@ def main():
                 "plateau": v["plateau"], "mode": v["mode"],
                 "exchanges": v["exchanges_head_vs_100x"],
                 "plan_sec": v["plan_sec_head_vs_100x"],
+                "peak_worker_rss_mb": v.get("peak_worker_rss_mb"),
+                "rss_within_bound": v.get("rss_within_bound"),
             }
             for k, v in scale100.items()
         }

@@ -95,3 +95,33 @@ class TestDfChecksum:
         wiggled = small_df.withColumn(
             "value", F.col("value") + F.lit(1e-12))
         assert bench._df_checksum(wiggled) == cs
+
+
+class TestRssMonitor:
+    """The peak-RSS evidence in BENCH_FULL's scale_100x entries must
+    actually observe a worker's allocation -- otherwise the bound
+    check proves nothing."""
+
+    def test_child_allocation_is_observed(self):
+        import subprocess
+        import sys as _sys
+
+        mon = bench._RssMonitor(interval=0.02).start()
+        # a child that allocates ~300 MB, holds it briefly, exits
+        subprocess.run([
+            _sys.executable, "-c",
+            "b = bytearray(300 * 1024 * 1024)\n"
+            "b[::4096] = bytes(len(b[::4096]))\n"  # touch pages
+            "import time; time.sleep(0.3)",
+        ], check=True)
+        got = mon.stop()
+        assert got["n_workers_seen"] >= 1
+        assert got["peak_worker_rss_mb"] is not None
+        assert got["peak_worker_rss_mb"] >= 250.0
+
+    def test_no_children_yields_none_or_small(self):
+        mon = bench._RssMonitor(interval=0.02).start()
+        got = mon.stop()
+        # whatever transient children exist, the shape is well-formed
+        assert set(got) == {"peak_worker_rss_mb", "peak_jvm_rss_mb",
+                            "n_workers_seen"}

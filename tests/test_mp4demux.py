@@ -11,6 +11,7 @@ import struct
 import pytest
 
 from xcube_resampling_spark.extensions.mp4demux import (
+    build_fmp4,
     build_mp4,
     demux_mp4,
     parse_mp4_samples,
@@ -92,6 +93,152 @@ class TestRoundTrip:
                                     want_payload=False)
         assert all("data" not in r for r in recs)
         assert all(r["size"] > 0 for r in recs)
+
+
+class TestFragmentedRoundTrip:
+    """moof/traf (ISO 14496-12 8.8): the DASH/CMAF layout.  The
+    builder writes real movie fragments (trex defaults, tfhd
+    addressing modes, tfdt anchors, multi-trun runs); the parser's
+    fragment walk -- not just a happy path -- is what round-trips."""
+
+    def _check(self, data, samples, durs, kfs, ctts):
+        tracks, recs = parse_mp4_samples(data)
+        assert len(tracks) == 1
+        assert tracks[0]["n_samples"] == len(samples)
+        assert len(recs) == len(samples)
+        for r in recs:
+            k = r["sample_idx"]
+            assert r["data"] == samples[k]
+            o, z = r["offset"], r["size"]
+            assert data[o:o + z] == samples[k]
+            assert r["dts"] == sum(durs[:k])
+            assert r["pts"] == r["dts"] + (ctts[k] if ctts else 0)
+            assert r["keyframe"] == kfs[k]
+
+    @pytest.mark.parametrize("mode", ["moof", "explicit"])
+    @pytest.mark.parametrize("tfdt", [True, False])
+    @pytest.mark.parametrize("truns", [1, 2])
+    def test_all_addressing_modes_roundtrip(self, mode, tfdt, truns):
+        n = 11
+        samples = _samples(n)
+        durs = [40 if k % 2 == 0 else 20 for k in range(n)]
+        kfs = [k % 3 == 0 for k in range(n)]
+        ctts = [10 * (k % 3) for k in range(n)]
+        data = build_fmp4(
+            samples, durations=durs, keyframes=kfs,
+            ctts_offsets=ctts, samples_per_fragment=4,
+            truns_per_fragment=truns, base_offset_mode=mode,
+            use_tfdt=tfdt)
+        self._check(data, samples, durs, kfs, ctts)
+
+    def test_trex_defaults_and_first_sample_flags(self):
+        # no per-sample trun fields at all: duration/size/flags come
+        # from trex, keyframes via first-sample-flags
+        samples = [bytes([i]) * 8 for i in range(12)]
+        kfs = [k % 4 == 0 for k in range(12)]
+        data = build_fmp4(samples, durations=30, keyframes=kfs,
+                          samples_per_fragment=4, use_defaults=True)
+        assert b"trun" in data
+        self._check(data, samples, [30] * 12, kfs, None)
+
+    def test_single_sample_fragments(self):
+        samples = _samples(5)
+        data = build_fmp4(samples, samples_per_fragment=1)
+        self._check(data, samples, [40] * 5, [True] * 5, None)
+
+    def test_fragment_count_and_layout(self):
+        data = build_fmp4(_samples(10), samples_per_fragment=4)
+        assert data.count(b"moof") == 3  # 4+4+2
+        assert data.count(b"mdat") == 3
+        assert b"mvex" in data and b"trex" in data
+
+    def test_empty_input(self):
+        tracks, recs = parse_mp4_samples(build_fmp4([]))
+        assert recs == [] and tracks[0]["n_samples"] == 0
+
+    def test_want_payload_false_routes_offsets(self):
+        samples = _samples(6)
+        data = build_fmp4(samples, samples_per_fragment=4)
+        _, recs = parse_mp4_samples(data, want_payload=False)
+        assert all("data" not in r for r in recs)
+        for r in recs:
+            o, z = r["offset"], r["size"]
+            assert data[o:o + z] == samples[r["sample_idx"]]
+
+    def test_spark_demux_fragmented(self, spark):
+        import pandas as pd
+
+        from xcube_resampling_spark.extensions.mp4demux import (
+            encode_fmp4_media,
+        )
+
+        rows = [(mid, bytes(range(40 + mid))) for mid in range(5)]
+        media = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "payload"]))
+        got = demux_mp4(encode_fmp4_media(media)) \
+            .orderBy("media_id", "sample_idx").collect()
+        assert all(r.error is None for r in got)
+        for r in got:
+            k = r.sample_idx
+            assert r.dts == 30 * k + 10 * (k % 2)
+            assert r.pts == r.dts + 10 * (k % 3)
+            assert r.keyframe == (k % 3 == 0)
+            want = bytes(range(40 + r.media_id))[16 * k:16 * (k + 1)]
+            assert bytes(r.data) == want
+        # per-media sample counts: ceil(len/16)
+        from collections import Counter
+
+        cnt = Counter(r.media_id for r in got)
+        assert cnt == {m: (40 + m + 15) // 16 for m in range(5)}
+
+    def test_truncated_fragment_payload_raises(self):
+        data = build_fmp4(_samples(6), samples_per_fragment=3)
+        # chop the final mdat short
+        with pytest.raises(ValueError):
+            parse_mp4_samples(data[:-4])
+
+    def test_trun_without_duration_anywhere_raises(self):
+        # a defaults-mode file whose mvex/trex is excised leaves the
+        # trun samples with NO duration/size source -> ValueError
+        samples = [bytes([i]) * 8 for i in range(4)]
+        base = build_fmp4(samples, durations=30,
+                          keyframes=[True, False, False, False],
+                          samples_per_fragment=4,
+                          use_defaults=True)
+        mvex_at = base.find(b"mvex") - 4
+        mvex_len = struct.unpack_from(">I", base, mvex_at)[0]
+        moov_at = base.find(b"moov") - 4
+        moov_len = struct.unpack_from(">I", base, moov_at)[0]
+        out = bytearray(base[:mvex_at] + base[mvex_at + mvex_len:])
+        struct.pack_into(">I", out, moov_at, moov_len - mvex_len)
+        with pytest.raises(ValueError, match="duration/size"):
+            parse_mp4_samples(bytes(out))
+
+    def test_fragment_truncation_sweep_never_escapes_contract(self):
+        data = build_fmp4(
+            _samples(9),
+            durations=[40 if k % 2 == 0 else 20 for k in range(9)],
+            keyframes=[k % 3 == 0 for k in range(9)],
+            ctts_offsets=[10 * (k % 3) for k in range(9)],
+            samples_per_fragment=4)
+        for cut in range(0, len(data), 5):
+            try:
+                parse_mp4_samples(data[:cut])
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError):
+                pass
+        import random as _random
+
+        rng = _random.Random(1406)
+        for _ in range(400):
+            pos = rng.randrange(0, len(data))
+            bad = bytearray(data)
+            bad[pos] ^= 1 << rng.randrange(8)
+            try:
+                parse_mp4_samples(bytes(bad))
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError):
+                pass
 
 
 class TestMalformed:

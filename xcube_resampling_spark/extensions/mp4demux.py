@@ -45,17 +45,39 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "build_mp4",
+    "build_fmp4",
     "parse_mp4_samples",
     "demux_mp4",
     "encode_mp4_media",
+    "encode_fmp4_media",
 ]
+
+# tfhd flags (ISO/IEC 14496-12 8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+# trun flags (8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTO = 0x000800
+# sample flags: sample_is_non_sync_sample (8.8.3.1)
+_SAMPLE_NON_SYNC = 0x00010000
+# a clean "sync sample" flag word: sample_depends_on = 2 (I-frame)
+_SYNC_SAMPLE_FLAGS = 0x02000000
+_NON_SYNC_SAMPLE_FLAGS = 0x01010000
 
 
 # ---------------------------------------------------------------- parse
 
 def _boxes(data: bytes, start: int, end: int):
-    """Yield (fourcc, body_start, box_end) for the boxes in
-    ``data[start:end]``; stops cleanly at any malformed/truncated
+    """Yield (fourcc, body_start, box_end, box_start) for the boxes
+    in ``data[start:end]``; stops cleanly at any malformed/truncated
     size field (same contract as mediaprobe)."""
     pos = start
     while pos + 8 <= end:
@@ -71,12 +93,12 @@ def _boxes(data: bytes, start: int, end: int):
             size = end - pos
         if size < 8 or pos + size > end:
             return
-        yield btype, body, pos + size
+        yield btype, body, pos + size, pos
         pos += size
 
 
 def _find(data: bytes, start: int, end: int, fourcc: bytes):
-    for b, p, e in _boxes(data, start, end):
+    for b, p, e, _ in _boxes(data, start, end):
         if b == fourcc:
             return p, e
     return None
@@ -98,7 +120,7 @@ def _full_box(data: bytes, body: int):
 def _parse_stbl(data: bytes, start: int, end: int) -> dict:
     """Decode one track's sample tables into dense per-sample arrays."""
     t: dict = {}
-    for b, p, e in _boxes(data, start, end):
+    for b, p, e, _ in _boxes(data, start, end):
         if b == b"stts":
             _, _, q = _full_box(data, p)
             (n,) = struct.unpack_from(">I", data, q)
@@ -194,8 +216,158 @@ def _sample_offsets(stsc, chunk_offsets, sizes) -> np.ndarray:
     return offsets
 
 
+def _parse_trex(data: bytes, moov_body: int, moov_end: int) -> dict:
+    """mvex/trex per-track fragment defaults:
+    track_id -> (default_duration, default_size, default_flags)."""
+    out: dict[int, tuple[int, int, int]] = {}
+    mvex = _find(data, moov_body, moov_end, b"mvex")
+    if mvex is None:
+        return out
+    for b, p, e, _ in _boxes(data, *mvex):
+        if b == b"trex":
+            _, _, q = _full_box(data, p)
+            tid, _dsdi, ddur, dsize, dflags = struct.unpack_from(
+                ">5I", data, q)
+            out[tid] = (ddur, dsize, dflags)
+    return out
+
+
+def _parse_moof(data: bytes, body: int, end: int, moof_start: int,
+                trex: dict, frag_dts: dict, frag_idx: dict,
+                samples: list, want_payload: bool) -> None:
+    """One movie fragment (ISO 14496-12 8.8): tfhd defaults, optional
+    tfdt decode-time anchor, trun sample runs with per-sample or
+    inherited duration/size/flags/cto.  Appends sample records,
+    advancing the per-track dts and sample_idx cursors."""
+    prev_traf_end: int | None = None
+    first_traf = True
+    for tb, tp, te, _ in _boxes(data, body, end):
+        if tb != b"traf":
+            continue
+        th = _find(data, tp, te, b"tfhd")
+        if th is None:
+            raise ValueError("traf without tfhd")
+        _, fl, q = _full_box(data, th[0])
+        (tid,) = struct.unpack_from(">I", data, q)
+        q += 4
+        bdo = None
+        if fl & _TFHD_BASE_DATA_OFFSET:
+            (bdo,) = struct.unpack_from(">Q", data, q)
+            q += 8
+        if fl & _TFHD_SAMPLE_DESC_IDX:
+            q += 4
+        tx = trex.get(tid, (None, None, None))
+        d_dur, d_size, d_flags = tx
+        if fl & _TFHD_DEFAULT_DURATION:
+            (d_dur,) = struct.unpack_from(">I", data, q)
+            q += 4
+        if fl & _TFHD_DEFAULT_SIZE:
+            (d_size,) = struct.unpack_from(">I", data, q)
+            q += 4
+        if fl & _TFHD_DEFAULT_FLAGS:
+            (d_flags,) = struct.unpack_from(">I", data, q)
+            q += 4
+        if bdo is not None:
+            base = int(bdo)
+        elif fl & _TFHD_DEFAULT_BASE_IS_MOOF:
+            base = moof_start
+        elif first_traf:
+            # spec default: first traf of the moof anchors at the
+            # first byte of the enclosing moof box
+            base = moof_start
+        elif prev_traf_end is not None:
+            # ...subsequent trafs at the end of the preceding one's
+            base = prev_traf_end
+        else:
+            raise ValueError("traf has no resolvable base offset")
+        td = _find(data, tp, te, b"tfdt")
+        if td is not None:
+            tver, _, tq = _full_box(data, td[0])
+            (bmdt,) = struct.unpack_from(
+                ">Q" if tver == 1 else ">I", data, tq)
+            dts_cursor = int(bmdt)
+        else:
+            dts_cursor = frag_dts.get(tid, 0)
+        cur: int | None = None
+        for rb, rp, re_, _ in _boxes(data, tp, te):
+            if rb != b"trun":
+                continue
+            rver, rfl, rq = _full_box(data, rp)
+            (cnt,) = struct.unpack_from(">I", data, rq)
+            rq += 4
+            if rfl & _TRUN_DATA_OFFSET:
+                (off,) = struct.unpack_from(">i", data, rq)
+                rq += 4
+                cur = base + off
+            elif cur is None:
+                cur = base
+            fsf = None
+            if rfl & _TRUN_FIRST_SAMPLE_FLAGS:
+                (fsf,) = struct.unpack_from(">I", data, rq)
+                rq += 4
+            for k in range(cnt):
+                dur = size = sflags = None
+                cto = 0
+                if rfl & _TRUN_SAMPLE_DURATION:
+                    (dur,) = struct.unpack_from(">I", data, rq)
+                    rq += 4
+                if rfl & _TRUN_SAMPLE_SIZE:
+                    (size,) = struct.unpack_from(">I", data, rq)
+                    rq += 4
+                if rfl & _TRUN_SAMPLE_FLAGS:
+                    (sflags,) = struct.unpack_from(">I", data, rq)
+                    rq += 4
+                if rfl & _TRUN_SAMPLE_CTO:
+                    (cto,) = struct.unpack_from(
+                        ">i" if rver else ">I", data, rq)
+                    rq += 4
+                if dur is None:
+                    dur = d_dur
+                if size is None:
+                    size = d_size
+                if sflags is None:
+                    sflags = fsf if (k == 0 and fsf is not None) \
+                        else d_flags
+                if dur is None or size is None:
+                    raise ValueError(
+                        f"track {tid}: trun sample {k} has no "
+                        "duration/size (neither per-sample nor "
+                        "tfhd/trex default)")
+                if sflags is None:
+                    sflags = 0
+                if cur + size > len(data):
+                    raise ValueError(
+                        f"track {tid}: fragment sample data extends "
+                        f"past EOF ({cur + size} > {len(data)})")
+                rec = {
+                    "track_id": int(tid),
+                    "sample_idx": frag_idx.get(tid, 0),
+                    "dts": int(dts_cursor),
+                    "pts": int(dts_cursor + cto),
+                    "size": int(size), "offset": int(cur),
+                    "keyframe": not (sflags & _SAMPLE_NON_SYNC),
+                }
+                if want_payload:
+                    rec["data"] = data[cur:cur + size]
+                samples.append(rec)
+                frag_idx[tid] = frag_idx.get(tid, 0) + 1
+                cur += size
+                dts_cursor += dur
+        prev_traf_end = cur if cur is not None else prev_traf_end
+        first_traf = False
+        frag_dts[tid] = dts_cursor
+
+
 def parse_mp4_samples(data: bytes, *, want_payload: bool = True):
     """Demux an ISO BMFF byte string into per-sample records.
+
+    Handles both the classic moov/stbl layout and MOVIE FRAGMENTS
+    (moof/traf -- the DASH/CMAF layout crawled video actually uses,
+    ISO 14496-12 8.8): trex defaults, tfhd overrides,
+    default-base-is-moof and explicit base-data-offset addressing,
+    tfdt decode-time anchors, multi-trun continuation, and
+    sample-flag keyframe bits.  Fragment samples continue each
+    track's sample_idx/dts numbering after any stbl samples.
 
     Returns ``(tracks, samples)``: ``tracks`` is a list of
     ``{track_id, kind, codec, timescale, n_samples}``; ``samples`` a
@@ -209,7 +381,9 @@ def parse_mp4_samples(data: bytes, *, want_payload: bool = True):
     if moov is None:
         return [], []
     tracks, samples = [], []
-    for b, p, e in _boxes(data, *moov):
+    frag_dts: dict[int, int] = {}
+    frag_idx: dict[int, int] = {}
+    for b, p, e, _ in _boxes(data, *moov):
         if b != b"trak":
             continue
         track_id, kind, timescale = None, "", None
@@ -277,6 +451,10 @@ def parse_mp4_samples(data: bytes, *, want_payload: bool = True):
             "codec": stbl.get("codec", ""),
             "timescale": int(timescale or 0), "n_samples": int(n),
         })
+        # fragment cursors continue after the stbl samples
+        frag_idx[int(track_id or 0)] = int(n)
+        frag_dts[int(track_id or 0)] = (
+            int(dts[-1] + deltas[-1]) if n else 0)
         for k in range(n):
             rec = {
                 "track_id": int(track_id or 0), "sample_idx": k,
@@ -288,6 +466,15 @@ def parse_mp4_samples(data: bytes, *, want_payload: bool = True):
                 o, z = int(offsets[k]), int(sizes[k])
                 rec["data"] = data[o:o + z]
             samples.append(rec)
+    # movie fragments (moof/traf): the DASH/CMAF layout
+    trex = _parse_trex(data, *moov)
+    for b, p, e, bs in _boxes(data, 0, len(data)):
+        if b == b"moof":
+            _parse_moof(data, p, e, bs, trex, frag_dts, frag_idx,
+                        samples, want_payload)
+    for t in tracks:
+        t["n_samples"] = int(frag_idx.get(t["track_id"],
+                                          t["n_samples"]))
     return tracks, samples
 
 
@@ -417,6 +604,166 @@ def build_mp4(
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
+def build_fmp4(
+    samples: list[bytes],
+    *,
+    durations: list[int] | int = 40,
+    keyframes: list[bool] | None = None,
+    ctts_offsets: list[int] | None = None,
+    samples_per_fragment: int = 4,
+    truns_per_fragment: int = 1,
+    timescale: int = 1000,
+    track_id: int = 1,
+    kind: bytes = b"vide",
+    codec: bytes = b"avc1",
+    base_offset_mode: str = "moof",
+    use_tfdt: bool = True,
+    use_defaults: bool = False,
+) -> bytes:
+    """Write a fragmented ISO BMFF file (the DASH/CMAF layout): ftyp
+    + moov(mvex/trex, empty stbl) + per-fragment moof(mfhd,
+    traf(tfhd, [tfdt], trun...)) + mdat.
+
+    ``base_offset_mode``: ``"moof"`` sets tfhd default-base-is-moof
+    and a trun data-offset; ``"explicit"`` writes a tfhd
+    base-data-offset pointing at the mdat payload and NO trun
+    data-offset (the continuation path).  ``truns_per_fragment``
+    splits each fragment's run to exercise multi-trun continuation.
+    ``use_defaults`` carries duration/size/flags in trex and omits
+    the per-sample trun fields (requires uniform durations/sizes and
+    keyframes only at fragment starts, signalled via
+    first-sample-flags)."""
+    if base_offset_mode not in ("moof", "explicit"):
+        raise ValueError(f"unknown base_offset_mode "
+                         f"{base_offset_mode!r}")
+    n = len(samples)
+    if isinstance(durations, int):
+        durations = [durations] * n
+    if len(durations) != n:
+        raise ValueError("durations must match samples")
+    if keyframes is None:
+        keyframes = [True] * n
+    if len(keyframes) != n:
+        raise ValueError("keyframes must match samples")
+    if ctts_offsets is not None and len(ctts_offsets) != n:
+        raise ValueError("ctts_offsets must match samples")
+    sizes = [len(s) for s in samples]
+    if use_defaults:
+        if len(set(durations)) > 1 or len(set(sizes)) > 1:
+            raise ValueError(
+                "use_defaults needs uniform durations and sizes")
+        if ctts_offsets is not None:
+            raise ValueError("use_defaults excludes ctts_offsets")
+
+    # ---- moov with an EMPTY sample table + mvex/trex
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 6 \
+        + struct.pack(">H", 1)
+    stbl = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stbl += _full(b"stts", 0, struct.pack(">I", 0))
+    stbl += _full(b"stsz", 0, struct.pack(">II", 0, 0))
+    stbl += _full(b"stsc", 0, struct.pack(">I", 0))
+    stbl += _full(b"stco", 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stbl)
+    total_dur = sum(durations)
+    mdhd = _full(b"mdhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, 0) + b"\x55\xc4\x00\x00")
+    hdlr = _full(b"hdlr", 0, b"\x00" * 4 + kind + b"\x00" * 12
+                 + b"demux\x00")
+    url_entry = struct.pack(">I", 12) + b"url " + b"\x00\x00\x00\x01"
+    dref = _full(b"dref", 0, struct.pack(">I", 1) + url_entry)
+    minf = _box(b"minf", _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, struct.pack(
+        ">IIIII", 0, 0, track_id, 0, total_dur) + b"\x00" * 60)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, total_dur) + b"\x00" * 80)
+    d_dur = durations[0] if (use_defaults and n) else 0
+    d_size = sizes[0] if (use_defaults and n) else 0
+    d_flags = _NON_SYNC_SAMPLE_FLAGS if use_defaults else 0
+    trex = _full(b"trex", 0, struct.pack(
+        ">5I", track_id, 1, d_dur, d_size, d_flags))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    out = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+               + b"iso6cmfc") + moov
+
+    # ---- fragments
+    spf = max(1, samples_per_fragment)
+    frag_starts = list(range(0, n, spf))
+    dts_cursor = 0
+    for seq, s0 in enumerate(frag_starts, start=1):
+        idx = list(range(s0, min(s0 + spf, n)))
+        if use_defaults and any(
+                keyframes[i] for i in idx[1:]):
+            raise ValueError(
+                "use_defaults supports keyframes only at "
+                "fragment starts")
+        payload = b"".join(samples[i] for i in idx)
+
+        def emit_moof(data_off: int, bdo: int) -> bytes:
+            tfhd_flags = 0
+            tfhd_body = struct.pack(">I", track_id)
+            if base_offset_mode == "explicit":
+                tfhd_flags |= _TFHD_BASE_DATA_OFFSET
+                tfhd_body += struct.pack(">Q", bdo)
+            else:
+                tfhd_flags |= _TFHD_DEFAULT_BASE_IS_MOOF
+            tfhd = _box(b"tfhd", bytes(
+                [0, 0, (tfhd_flags >> 8) & 0xFF, tfhd_flags & 0xFF]
+            ) + tfhd_body)
+            traf = tfhd
+            if use_tfdt:
+                traf += _box(b"tfdt", bytes([1, 0, 0, 0])
+                             + struct.pack(">Q", dts_cursor))
+            n_truns = max(1, min(truns_per_fragment, len(idx)))
+            per = -(-len(idx) // n_truns)
+            for t0 in range(0, len(idx), per):
+                run = idx[t0:t0 + per]
+                rflags = 0
+                body = b""
+                if base_offset_mode == "moof" and t0 == 0:
+                    rflags |= _TRUN_DATA_OFFSET
+                if use_defaults:
+                    if t0 == 0 and keyframes[run[0]]:
+                        rflags |= _TRUN_FIRST_SAMPLE_FLAGS
+                else:
+                    rflags |= (_TRUN_SAMPLE_DURATION
+                               | _TRUN_SAMPLE_SIZE
+                               | _TRUN_SAMPLE_FLAGS)
+                    if ctts_offsets is not None:
+                        rflags |= _TRUN_SAMPLE_CTO
+                body += struct.pack(">I", len(run))
+                if rflags & _TRUN_DATA_OFFSET:
+                    body += struct.pack(">i", data_off)
+                if rflags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    body += struct.pack(">I", _SYNC_SAMPLE_FLAGS)
+                if not use_defaults:
+                    for i in run:
+                        body += struct.pack(">I", durations[i])
+                        body += struct.pack(">I", sizes[i])
+                        body += struct.pack(
+                            ">I",
+                            _SYNC_SAMPLE_FLAGS if keyframes[i]
+                            else _NON_SYNC_SAMPLE_FLAGS)
+                        if ctts_offsets is not None:
+                            body += struct.pack(
+                                ">I", ctts_offsets[i])
+                traf += _box(b"trun", bytes(
+                    [0, 0, (rflags >> 8) & 0xFF, rflags & 0xFF]
+                ) + body)
+            mfhd = _full(b"mfhd", 0, struct.pack(">I", seq))
+            return _box(b"moof", mfhd + _box(b"traf", traf))
+
+        probe = emit_moof(0, 0)  # size-stable: offsets are fixed-width
+        moof_start = len(out)
+        mdat_payload_at = moof_start + len(probe) + 8
+        moof = emit_moof(len(probe) + 8, mdat_payload_at)
+        assert len(moof) == len(probe)
+        out += moof + _box(b"mdat", payload)
+        dts_cursor += sum(durations[i] for i in idx)
+    return out
+
+
 def encode_mp4_media(
     media: DataFrame,
     id_col: str = "media_id",
@@ -459,6 +806,51 @@ def encode_mp4_media(
                     ctts_offsets=[ctts_step * (k % ctts_mod)
                                   for k in range(n)],
                     chunk_size=chunk_size,
+                ))
+            yield pd.DataFrame(
+                {"media_id": mids, "payload": payloads})
+
+    return media.select(*cols).mapInPandas(
+        gen, "media_id long, payload binary")
+
+
+def encode_fmp4_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    chunk_bytes: int = 16,
+    durations: tuple[int, ...] = (40, 20),
+    keyframe_every: int = 3,
+    ctts_step: int = 10,
+    ctts_mod: int = 3,
+    samples_per_fragment: int = 4,
+) -> DataFrame:
+    """Containerize opaque payload bytes as FRAGMENTED single-track
+    MP4s (DASH/CMAF layout) with the same deterministic closed forms
+    as :func:`encode_mp4_media` -- identical per-sample
+    dts/pts/size/keyframe/payload, entirely different container
+    machinery (moof/traf/tfhd/tfdt/trun instead of stbl)."""
+    cols = [id_col, payload_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, payloads = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                samples = [b[i:i + chunk_bytes]
+                           for i in range(0, len(b), chunk_bytes)]
+                n = len(samples)
+                mids.append(mid)
+                payloads.append(build_fmp4(
+                    samples,
+                    durations=[durations[k % len(durations)]
+                               for k in range(n)],
+                    keyframes=[k % keyframe_every == 0
+                               for k in range(n)],
+                    ctts_offsets=[ctts_step * (k % ctts_mod)
+                                  for k in range(n)],
+                    samples_per_fragment=samples_per_fragment,
                 ))
             yield pd.DataFrame(
                 {"media_id": mids, "payload": payloads})
