@@ -136,3 +136,99 @@ class TestTokenize:
             .agg(F.sum("n_tokens")).first()[0]
         assert total == want
         pk.release_cached()
+
+
+class TestFastPathEquivalence:
+    """The round-14 optimization replaced the per-word interpreted
+    transform+aggregate chain with (a) a flat whole-text replace chain
+    for bpe_tokenize's sql path and (b) a single-char symbol-code
+    replace chain for bpe_token_count_col.  These pin byte-identical
+    behavior against the original per-word form across the tricky
+    boundary cases (whitespace variants, exotic non-\\s code points,
+    private-use chars, unicode case folding)."""
+
+    TRICKY = [
+        "", "   ", None, "a", "ab" * 200, " lead trail ",
+        "the the  the\tthe\nthe", "th\rin\x0bgs", "a b", "pe",
+        "THE QUICK the quick brown fox", "xy", "ab",
+        "", "p e", "q  the", "the  quick",
+        "pua  char", "puathe", "",
+        "İstanbul", "café naïve", "a  \t  b",
+        "\nnl lead", "nl trail\n", "mixthe quick end",
+    ]
+
+    def _old_count_col(self, merges):
+        from xcube_resampling_spark.extensions.bpe import merges_column
+        from xcube_resampling_spark.extensions.text import tokens_col
+
+        words = F.filter(tokens_col(F.col("text")),
+                         lambda t: t != F.lit(""))
+        per_word = F.transform(
+            words,
+            lambda w: F.size(
+                F.split(F.trim(merges_column(w, merges)), "  ")
+            ).cast("bigint"),
+        )
+        return F.coalesce(
+            F.aggregate(per_word, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x),
+            F.lit(0).cast("bigint"),
+        )
+
+    def _old_tokens_col(self, merges):
+        from xcube_resampling_spark.extensions.bpe import merges_column
+        from xcube_resampling_spark.extensions.text import tokens_col
+
+        words = F.filter(tokens_col(F.col("text")),
+                         lambda t: t != F.lit(""))
+        return F.flatten(
+            F.transform(
+                words,
+                lambda w: F.split(F.trim(merges_column(w, merges)), "  "),
+            )
+        )
+
+    def _docs(self, spark):
+        rows = [(i, t) for i, t in enumerate(self.TRICKY)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_count_col_matches_per_word_form(self, spark):
+        merges = pinned_merges(40)
+        docs = self._docs(spark)
+        bad = docs.select(
+            "doc_id",
+            self._old_count_col(merges).alias("o"),
+            bpe_token_count_col(merges).alias("n"),
+        ).filter("o IS DISTINCT FROM n").collect()
+        assert bad == []
+
+    def test_tokenize_sql_matches_per_word_form(self, spark):
+        merges = pinned_merges(40)
+        docs = self._docs(spark)
+        old = docs.select(
+            "doc_id", self._old_tokens_col(merges).alias("tokens"))
+        new = bpe_tokenize(docs, merges, method="sql")
+        got_o = {r["doc_id"]: r["tokens"] for r in old.collect()}
+        got_n = {r["doc_id"]: r["tokens"] for r in new.collect()}
+        assert got_o == got_n
+
+    def test_coded_path_skips_oversized_merge_tables(self):
+        from xcube_resampling_spark.extensions.bpe import _coded_symbols
+
+        # > 256 distinct products -> coded path must bail (None)
+        merges = [("a", "a")]
+        prod = "aa"
+        for _ in range(300):
+            merges.append((prod, "a"))
+            prod += "a"
+        assert _coded_symbols(F.lit("x"), merges) is None
+
+    def test_unreachable_merge_operand_is_skipped(self, spark):
+        # ('xy', 'z') with no earlier producer of 'xy': neither form
+        # can ever apply it
+        merges = [("a", "b"), ("xy", "z"), ("ab", "c")]
+        docs = spark.createDataFrame(
+            [(0, "abc xyz abcxyz")], "doc_id long, text string")
+        o = docs.select(self._old_count_col(merges).alias("n")).first()["n"]
+        n = docs.select(bpe_token_count_col(merges).alias("n")).first()["n"]
+        assert o == n

@@ -146,6 +146,85 @@ def merges_column(word: Column, merges: list[tuple[str, str]]) -> Column:
     return s
 
 
+def _flat_tokens(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """All BPE symbols of ``text`` (every word, in order) as ONE array,
+    from a single flat ``replace`` chain over the whole lowered text --
+    the whole-document twin of mapping :func:`merges_column` over
+    ``tokens_col(text)``.
+
+    Why this is exact: per-char seeding (``(.)`` -> `` $1 ``) leaves
+    every WITHIN-word symbol boundary as exactly two spaces, while any
+    original whitespace boundary becomes a run of >= 3 whitespace chars
+    (an original space is itself wrapped to three spaces; tab/CR/FF/VT
+    are wrapped; a bare LF keeps a wrap-space on each side).  A merge
+    pattern `` a  b `` contains at most two consecutive spaces and no
+    whitespace inside symbols, so no replacement can straddle a word
+    boundary, and left-to-right non-overlapping ``replace`` over the
+    concatenation performs exactly the per-word replacements.  Token
+    extraction splits on ``\\s{2,}``: within a word the separator is
+    exactly the two-space symbol boundary (the per-word ``"  "``
+    split), across words every boundary run has >= 2 consecutive
+    whitespace chars, and the rare non-``\\s`` code points
+    (U+0085/U+2028/U+2029, which ``tokens_col`` keeps inside words)
+    stay inside their token with their wrap spaces -- byte-identical
+    to the per-word form there too.
+
+    The win over the per-word form: one flat codegen expression chain
+    instead of an interpreted higher-order ``transform`` lambda
+    invoking the chain once per word (HOF lambdas are evaluated
+    interpreted, outside whole-stage codegen)."""
+    s = F.regexp_replace(F.lower(text), "(.)", r" $1 ")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    # trim removes leading/trailing spaces only; a leading/trailing
+    # non-space whitespace char leaves a separator at the edge, whose
+    # empty split artifact the filter drops (same filter the per-word
+    # path applies to empty words)
+    return F.filter(
+        F.split(F.trim(s), r"\s{2,}"), lambda t: t != F.lit("")
+    )
+
+
+# Java \s (what tokens_col splits words on) -- translate() strips these
+# to leave exactly one char per symbol in the coded representation.
+_WS_CHARS = " \t\n\x0b\x0c\r"
+# Rows where the coded fast path could diverge from the spaced form:
+# U+0085/U+2028/U+2029 (not matched by the seed's ``(.)`` NOR by Java
+# \s -- the spaced form glues their neighbors into one token) and the
+# private-use range used for symbol codes (an input containing them
+# would collide with our encoding).  Such rows take _flat_tokens.
+_CODED_GUARD_RE = "[  -]"
+_MAX_CODED_PRODUCTS = 256  # size of the guarded U+E000.. code range
+
+
+def _coded_symbols(lowered: Column, merges: list[tuple[str, str]]):
+    """``lower(text)`` with every merge applied as a 2-char -> 1-char
+    literal replace over single-char symbol codes (see
+    :func:`bpe_token_count_col`).  Returns None when the merge table
+    needs more than the guarded code range."""
+    codes: dict[str, str] = {}
+
+    def enc(sym: str) -> str:
+        return sym if len(sym) == 1 else codes[sym]
+
+    s = lowered
+    for a, b in merges:
+        try:
+            pat = enc(a) + enc(b)
+        except KeyError:
+            # operand symbol was never produced by an earlier merge, so
+            # neither this pattern nor the spaced `` a  b `` form can
+            # ever match -- skipping is exact
+            continue
+        prod = a + b
+        if prod not in codes:
+            if len(codes) >= _MAX_CODED_PRODUCTS:
+                return None
+            codes[prod] = chr(0xE000 + len(codes))
+        s = F.replace(s, F.lit(pat), F.lit(codes[prod]))
+    return s
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -176,12 +255,10 @@ def bpe_tokenize(
         method = "sql" if len(merges) <= 200 else "pandas"
     words = F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
     if method == "sql":
-        toks = F.flatten(
-            F.transform(
-                words,
-                lambda w: F.split(F.trim(merges_column(w, merges)), "  "),
-            )
-        )
+        # flat whole-text chain (see _flat_tokens: byte-identical to
+        # flatten(transform(words, per-word chain)), but fully codegen
+        # instead of an interpreted per-word HOF lambda)
+        toks = _flat_tokens(F.col(text_col), merges)
         return docs.select(
             "doc_id",
             toks.alias("tokens"),
@@ -235,21 +312,48 @@ def bpe_token_count_col(
     merges: list[tuple[str, str]], text_col: str = "text"
 ) -> Column:
     """Per-row BPE token count as a pure codegen column -- drop-in for
-    ``pack_sequences(n_tokens_col=...)``.  Counts symbols without
-    materializing them: per word, tokens = 1 + (number of double-space
-    boundaries left after the merge chain)."""
-    words = F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
-    per_word = F.transform(
-        words,
-        lambda w: F.size(
-            F.split(F.trim(merges_column(w, merges)), "  ")
-        ).cast("bigint"),
-    )
-    return F.coalesce(
-        F.aggregate(per_word, F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x),
-        F.lit(0).cast("bigint"),
-    )
+    ``pack_sequences(n_tokens_col=...)``.
+
+    Fast path (one PUA code char per merged symbol): a symbol sequence
+    does not need the spaced `` a  b `` encoding to count -- each merge
+    ``(a, b)`` is the 2-char -> 1-char literal ``replace`` of
+    ``enc(a)+enc(b)`` with a private-use code char (U+E000+k) directly
+    over the *unexpanded* ``lower(text)``, and the final token count is
+    just ``length(translate(s, <whitespace>, ''))``: every remaining
+    non-whitespace char IS one symbol.  Exactness: adjacency of code
+    chars == adjacency of symbols within a word (merge symbols never
+    contain whitespace, so patterns cannot straddle a word boundary),
+    left-to-right non-overlapping ``replace`` picks the same matches as
+    the spaced form, and two merges producing the same product string
+    share one code so later references match either origin -- the
+    classic single-char-symbol formulation of BPE.  A merge whose
+    operand was never produced by an earlier merge is skipped: its
+    spaced pattern `` ab  c `` could never match either (the unit
+    `` ab `` only exists after the producing merge).
+
+    Guarded fallback: the per-char seed regex ``(.)`` of the spaced
+    form does not wrap U+0085/U+2028/U+2029 (Java ``.`` excludes them),
+    which glues neighbors into one token there; and input text
+    containing our own U+E000.. code range would collide.  Rows
+    matching either (vanishingly rare in text corpora; zero in the
+    test corpus) take the byte-identical :func:`_flat_tokens` path, so
+    the column is exact for ALL inputs.  Merge tables with > 256
+    distinct products skip the coded path entirely.
+
+    Measured (1M-doc bench corpus, local[32], interleaved A/B): 20.3 s
+    -> 5.7 s for the corpus token sum (the old per-word interpreted
+    transform+aggregate lambda scanned a 3x-expanded string per merge
+    and allocated a split array per word)."""
+    coded = _coded_symbols(F.lower(F.col(text_col)), merges)
+    if coded is None:
+        n = F.size(_flat_tokens(F.col(text_col), merges))
+    else:
+        fast = F.length(F.translate(coded, _WS_CHARS, ""))
+        n = F.when(
+            F.col(text_col).rlike(_CODED_GUARD_RE),
+            F.size(_flat_tokens(F.col(text_col), merges)),
+        ).otherwise(fast)
+    return F.coalesce(n.cast("bigint"), F.lit(0).cast("bigint"))
 
 
 # ------------------------------------------------------------------ #
