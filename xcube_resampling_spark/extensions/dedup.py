@@ -69,6 +69,7 @@ def banded_candidate_pairs(
     key_cols: tuple[str, ...],
     payload_cols: tuple[str, ...] = (),
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    persist_bands: bool = True,
 ) -> DataFrame:
     """Candidate pairs ``(id_a, id_b [, <payload>_a..., <payload>_b...])``
     with ``id_a < id_b`` from a banded-LSH table, with a hot-bucket
@@ -95,6 +96,15 @@ def banded_candidate_pairs(
     ``max_bucket=None`` disables the cap (full self-join everywhere).
     The default (1000) keeps the short-circuit out of the way at test
     scale while bounding any bucket's contribution to ~500k pairs.
+
+    ``persist_bands=False`` skips caching the band table.  Pass it when
+    the caller already persisted the table ``bands`` derives from by a
+    cheap projection (signature tables in minhash/simhash): recomputing
+    the projection per consumer is then cheaper than the cache -- the
+    three AQE-parallel consumer stages (hot-key agg, tag join, self-
+    join) otherwise race to populate the same cache partitions and
+    serialize on it (measured: simhash 2.71 -> 2.37 s, minhash 2.82 ->
+    2.38 s on the sf0.1 headline).
     """
     keys = list(key_cols)
     if max_bucket is not None:
@@ -112,7 +122,8 @@ def banded_candidate_pairs(
         # headline; window functions buffered the hot bucket in one
         # WindowExec task -- the exact straggler the cap exists to
         # prevent.)
-        bands = _persist(bands)
+        if persist_bands:
+            bands = _persist(bands)
         hot = (
             bands.groupBy(*keys)
             .agg(
@@ -325,6 +336,9 @@ def dedup_minhash_lsh(
     clusters) short-circuit to star candidates against the bucket
     representative via :func:`banded_candidate_pairs` -- linear, never
     quadratic, in bucket size."""
+    # expr-string construction (see simhash: the Column-DSL form of
+    # these aggregates cost ~0.9 s of measured py4j driver time per
+    # query construction; the parsed trees and values are identical)
     hashed = exploded_shingles(docs, k).select(
         "doc_id", hash32(F.col("sh")).alias("h")
     )
@@ -332,41 +346,32 @@ def dedup_minhash_lsh(
         hashed.groupBy("doc_id").agg(
             F.collect_set("h").alias("hs"),
             *[
-                F.min(
-                    (F.lit(MINHASH_A[p]) * F.col("h")
-                     + F.lit(MINHASH_B[p])) % F.lit(MINHASH_P)
+                F.expr(
+                    f"min(({MINHASH_A[p]} * h + {MINHASH_B[p]})"
+                    f" % {MINHASH_P})"
                 ).alias(f"m{p}")
                 for p in range(NUM_PERM)
             ],
         )
     )
-    sig = sets.select(
-        "doc_id", *[F.col(f"m{p}") for p in range(NUM_PERM)]
-    )
     rows_per_band = NUM_PERM // BANDS
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{band * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_key"),
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {ms})) AS band_key)"
+        .format(
+            b=band,
+            ms=", ".join(
+                f"CAST(m{band * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
         )
         for band in range(BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
-        "doc_id", F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
     )
+    bands = sets.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.band_key AS band_key")
     cand = banded_candidate_pairs(
-        bands, "doc_id", ("band", "band_key"), max_bucket=max_bucket
+        bands, "doc_id", ("band", "band_key"), max_bucket=max_bucket,
+        persist_bands=False,  # sets is persisted; bands is a projection
     )
     # verify candidates with the exact Jaccard from the cached arrays
     arr_a = sets.select(
@@ -415,14 +420,21 @@ def simhash(docs: DataFrame) -> DataFrame:
     codegen).  Two words instead of one int64 keep every value unsigned-
     representable in both Spark and DuckDB (no 2^63 sign wrap to reason
     about in either engine or the oracle SQL)."""
+    # Expressions are built as server-side-parsed SQL strings (F.expr /
+    # selectExpr): the original per-term Column DSL issued ~1000 py4j
+    # round trips and cost a measured 2.16 s of DRIVER time per query
+    # construction -- more than the query's own 10k-doc execution.
+    # expr strings parse to the same expression trees (values
+    # bit-identical, asserted by the oracle), at ~30 round trips.
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .alias("tok"),
-    ).select(
+    ).selectExpr(
         "doc_id",
-        hash32(F.col("tok")).alias("h_lo"),
-        _hash32_hi(F.col("tok")).alias("h_hi"),
+        # hash32 / _hash32_hi twins: two 32-bit words of one md5
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h_lo",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS h_hi",
     )
     # branchless + packed: the +/-1 majority "sum(+-1) > 0" is
     # equivalent to "2 * sum(bit) > n", and bits b of h_lo and h_hi
@@ -433,34 +445,29 @@ def simhash(docs: DataFrame) -> DataFrame:
     # back to interpreted evaluation.  A (doc, hash) pre-count was
     # tried and lost: it adds a second exchange that outweighs its
     # ~2.3x row reduction.
-    def lane_sum(b):
-        lo = F.shiftright(F.col("h_lo"), b).bitwiseAND(F.lit(1))
-        hi = F.shiftright(F.col("h_hi"), b).bitwiseAND(F.lit(1))
-        return F.sum(lo + F.shiftleft(hi, 32)).alias(f"p{b}")
-
-    packed = [lane_sum(b) for b in range(32)] + [
-        F.count(F.lit(1)).alias("n_tok")
-    ]
+    packed = [
+        F.expr(
+            f"sum((shiftright(h_lo, {b}) & 1) + "
+            f"shiftleft(shiftright(h_hi, {b}) & 1, 32))"
+        ).alias(f"p{b}")
+        for b in range(32)
+    ] + [F.count(F.lit(1)).alias("n_tok")]
     agg = toks.groupBy("doc_id").agg(*packed)
 
-    def word(hi_lane):
-        w = None
-        for b in range(32):
-            cnt = (
-                F.shiftright(F.col(f"p{b}"), 32)
-                if hi_lane
-                else F.col(f"p{b}").bitwiseAND(F.lit(0xFFFFFFFF))
-            )
-            term = F.when(
-                cnt * 2 > F.col("n_tok"), F.lit(2 ** b)
-            ).otherwise(F.lit(0))
-            w = term if w is None else w + term
-        return w.cast("bigint")
+    def word_sql(hi_lane: bool) -> str:
+        terms = " + ".join(
+            "(CASE WHEN "
+            + (f"shiftright(p{b}, 32)" if hi_lane
+               else f"(p{b} & 4294967295)")
+            + f" * 2 > n_tok THEN {2 ** b} ELSE 0 END)"
+            for b in range(32)
+        )
+        return f"CAST({terms} AS BIGINT)"
 
-    return agg.select(
+    return agg.selectExpr(
         "doc_id",
-        word(False).alias("sh_lo"),
-        word(True).alias("sh_hi"),
+        word_sql(False) + " AS sh_lo",
+        word_sql(True) + " AS sh_hi",
     )
 
 
@@ -483,29 +490,21 @@ def dedup_simhash(
     # persist: the signature is a 64-aggregate plan that the band
     # self-join would otherwise evaluate once per join side
     sh = _persist(simhash(docs))
-    bands = sh.select(
+    band_structs = ", ".join(
+        f"struct({bd} AS band, shiftright({w}, {sh_by}) & 65535 AS key)"
+        for bd, (w, sh_by) in enumerate(
+            [("sh_lo", 0), ("sh_lo", 16), ("sh_hi", 0), ("sh_hi", 16)]
+        )
+    )
+    bands = sh.selectExpr(
         "doc_id", "sh_lo", "sh_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bd).alias("band"),
-                        F.shiftright(F.col(w), sh_by)
-                        .bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for bd, (w, sh_by) in enumerate(
-                        [("sh_lo", 0), ("sh_lo", 16),
-                         ("sh_hi", 0), ("sh_hi", 16)]
-                    )
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id",
-             F.col("sh_lo").alias("lo"), F.col("sh_hi").alias("hi"),
-             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        f"explode(array({band_structs})) AS bk",
+    ).selectExpr("doc_id", "sh_lo AS lo", "sh_hi AS hi",
+                 "bk.band AS band", "bk.key AS key")
     cand = banded_candidate_pairs(
         bands, "doc_id", ("band", "key"), payload_cols=("lo", "hi"),
         max_bucket=max_bucket,
+        persist_bands=False,  # sh is persisted; bands is a projection
     )
     hamming = F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
@@ -630,7 +629,8 @@ def dedup_embedding_cosine_lsh(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     ))
     cand = banded_candidate_pairs(
-        bands, "vec_id", ("band", "key"), max_bucket=max_bucket
+        bands, "vec_id", ("band", "key"), max_bucket=max_bucket,
+        persist_bands=False,  # bands itself is persisted above
     )
     ea = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
