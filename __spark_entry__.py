@@ -91,12 +91,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents unioned with a clone shifted by 100000 -- gives every dedup
-    operator known-true duplicate pairs on any scale factor."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    clone = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    operator known-true duplicate pairs on any scale factor.
+
+    Built as ONE parquet scan + explode of the two doc_ids rather than a
+    union of two scans: same multiset (verified exceptAll-empty both
+    ways), but half the scan/exchange stages -- the union form paid two
+    single-row-group scans and two round-robin repartitions per query."""
+    d = _table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 100000)
+        ).alias("doc_id"),
+        "text",
     )
-    return d.unionByName(clone)
+    return _spread(spark, d)
 
 
 DOCS2_SQL = """
