@@ -201,6 +201,46 @@ def resample_pixels(
                 idx_map=(k_j, k_i, pj, pi),
             )
 
+        # Kernel-fused window reduction for the distributive float
+        # reducers: the gather kernel already materializes the dense
+        # intermediate block in numpy, so reducing each k_j x k_i
+        # window there (NaN-aware, mirroring aggregate_windows' NaN ->
+        # NULL -> skipped semantics) and emitting one partial row per
+        # (block, window) shrinks the kernel's Arrow output and the
+        # following exchange by ~k_j*k_i (measured 4.2M -> 0.07M rows
+        # on the 2048^2 -> 256^2 mean headline).  Windows straddling a
+        # block boundary merge in the final tiny groupBy.  Order-
+        # dependent or non-distributive reducers (median, mode, std,
+        # var, prod) and the int path (reducers not NaN-aware) keep the
+        # dense intermediate + aggregate_windows path.
+        if agg_method in ("mean", "sum", "min", "max", "count") \
+                and not is_int:
+            frag = gather_fused(
+                spark, src_df, adj, source_size, (w * k_i, h * k_j),
+                num_t, interp_method, recover_nan, fill_value,
+                window_reduce=(k_j, k_i, agg_method),
+            )
+            g = frag.groupBy("t", "j", "i")
+            wsz = float(k_j * k_i)
+            if agg_method == "mean":
+                # 0-present windows -> NaN, matching the dense path's
+                # coalesce(avg(nv), NaN); the CASE guard keeps ANSI
+                # mode's divide-by-zero check out of the 0-count branch
+                val = F.when(
+                    F.sum("cnt") > 0,
+                    F.sum("value") / F.sum("cnt").cast("double"),
+                ).otherwise(F.lit(float("nan")))
+            elif agg_method == "sum":
+                # np.nansum: empty fragments are 0.0, all-NaN -> 0.0
+                val = F.sum("value")
+            elif agg_method == "min":
+                val = F.coalesce(F.min("value"), F.lit(float("nan")))
+            elif agg_method == "max":
+                val = F.coalesce(F.max("value"), F.lit(float("nan")))
+            else:  # count = window_size - #zeros
+                val = F.lit(wsz) - F.sum("value")
+            return g.agg(val.alias("value"))
+
         # full intermediate grid (fused single-shuffle gather), then
         # window aggregation
         gathered = gather_fused(
@@ -391,8 +431,17 @@ def gather_fused(
     fill_value,
     idx_map: tuple[int, int, int, int] = (1, 1, 0, 0),
     block_rows: int | None = None,
+    window_reduce: tuple[int, int, str] | None = None,
 ) -> DataFrame:
     """Single-shuffle block-local twin of :func:`_gather`.
+
+    ``window_reduce`` = (k_j, k_i, method) makes the kernel reduce each
+    k_j x k_i window of its dense block in numpy and emit one partial
+    row per (t, window) with columns (t, j, i, value, cnt) -- j/i are
+    WINDOW indices, and ``value``/``cnt`` are the per-fragment partial
+    (NaN-aware sum + finite count for mean/sum, NULL-if-empty extremum
+    for min/max, zero count for count).  The caller merges fragments of
+    boundary-straddling windows with a tiny groupBy.
 
     Source pixels are routed to the target j-blocks that can reference them
     (inverse-affine row range +- slack -- a cheap superset, correctness
@@ -502,6 +551,10 @@ def gather_fused(
             T.StructField("i", T.IntegerType(), False),
             T.StructField("value", T.DoubleType(), True),
         ]
+        + (
+            [T.StructField("cnt", T.LongType(), True)]
+            if window_reduce is not None else []
+        )
     )
 
     def kernel(key, pdf):
@@ -592,6 +645,45 @@ def gather_fused(
             bad = ~(rmask[:, None] & cmask[None, :])
             out = np.where(bad[None, :, :], fill, out)
 
+        if window_reduce is not None:
+            rk_j, rk_i, rmethod = window_reduce
+            w_out = w // rk_i
+            row_J = np.arange(j_start, j_start + rows_h) // rk_j
+            t_l, j_l, i_l, v_l, c_l = [], [], [], [], []
+            for jv in np.unique(row_J):
+                sub = out[:, row_J == jv, :].reshape(
+                    num_t, -1, w_out, rk_i
+                )
+                finite = ~np.isnan(sub)
+                c = finite.sum(axis=(1, 3)).astype(np.int64)
+                if rmethod in ("mean", "sum"):
+                    v = np.where(finite, sub, 0.0).sum(axis=(1, 3))
+                elif rmethod == "count":
+                    # np.count_nonzero semantics: NaN != 0 counts
+                    v = (sub == 0.0).sum(axis=(1, 3)).astype(np.float64)
+                else:  # min / max: NaN (-> SQL NULL) for empty windows
+                    big = np.inf if rmethod == "min" else -np.inf
+                    ext = np.where(finite, sub, big)
+                    v = (ext.min(axis=(1, 3)) if rmethod == "min"
+                         else ext.max(axis=(1, 3)))
+                    v = np.where(c == 0, np.nan, v)
+                t_l.append(np.repeat(
+                    np.arange(num_t, dtype=np.int32), w_out))
+                j_l.append(np.full(num_t * w_out, jv, dtype=np.int32))
+                i_l.append(np.tile(
+                    np.arange(w_out, dtype=np.int32), num_t))
+                v_l.append(v.reshape(num_t * w_out))
+                c_l.append(c.reshape(num_t * w_out))
+            return pd.DataFrame(
+                {
+                    "t": np.concatenate(t_l),
+                    "j": np.concatenate(j_l),
+                    "i": np.concatenate(i_l),
+                    "value": np.concatenate(v_l),
+                    "cnt": np.concatenate(c_l),
+                }
+            )
+
         jj_out, ii_out = np.meshgrid(
             np.arange(rows_h, dtype=np.int32),
             np.arange(w, dtype=np.int32),
@@ -615,6 +707,10 @@ def gather_fused(
     out = routed.unionByName(sentinels).repartition(
         n_blk, "blk"
     ).groupBy("blk").applyInPandas(kernel, out_schema)
+    if window_reduce is not None:
+        # fragment rows: NULL value legitimately means "empty window
+        # fragment" for min/max (the caller's F.min/F.max skip it)
+        return out
     # the Arrow hop converts the kernel's NaN doubles to SQL NULLs (pandas
     # uses NaN as its null sentinel); _gather's contract is NaN and no
     # output is legitimately NULL, so restore
