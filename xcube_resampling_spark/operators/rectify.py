@@ -444,6 +444,112 @@ MATCH_SCHEMA = T.StructType(
 )
 
 
+# Candidates per barycentric chunk in the fused scatter kernel.  The
+# monolithic form streamed ~36 full passes of 8-byte-per-candidate
+# temporaries through DRAM (33 MB each at the 1M-px block cap); chunking
+# keeps every temporary L2/L3-resident.  Elementwise IEEE math is
+# bit-identical under any chunking.  Measured (100x rectify block,
+# 4.16M candidates): candidate pipeline 559 -> 348 ms single-threaded;
+# the win grows under 32 concurrent kernels sharing DRAM bandwidth.
+# 64k x 8 B = 512 KB per temporary; ~20 live temporaries ~ 10 MB, inside
+# the per-core L3 share of any plausible worker.  32k-256k all measured
+# within noise of each other; 8k starts paying per-chunk numpy call
+# overhead.
+_CAND_CHUNK = 1 << 16
+
+
+def _fww_keep(pix, rank, pix_span, rank_span):
+    """First-writer-wins: per distinct ``pix`` value, the index of the
+    entry with the smallest ``rank``.
+
+    ``pix`` packs (dst_j, dst_i) and ``rank`` packs the reference's
+    sequential scan order (j0, i0, tri), both lexicographically, so
+    min(rank) per pix is exactly the reference's first writer.  One
+    packed int64 argsort when ``pix * rank_span + rank`` provably fits
+    (the common case by orders of magnitude), else a 2-key lexsort --
+    either way fewer sort passes than the previous 5-key lexsort.
+    (pix, rank) pairs are distinct -- a given (quad, triangle) emits a
+    target pixel at most once -- so the unstable argsort cannot tie.
+    """
+    if 0 < rank_span and pix_span < (1 << 62) // rank_span:
+        order = np.argsort(pix * rank_span + rank)
+    else:
+        order = np.lexsort((rank, pix))
+    pix_s = pix[order]
+    first = np.empty(len(order), dtype=bool)
+    if first.size:
+        first[0] = True
+    first[1:] = pix_s[1:] != pix_s[:-1]
+    return order[first]
+
+
+def _chunked_point_in_quad(
+    ni, nj, bj0c, bi0c,
+    c0x, c0y, c1x, c1y, c2x, c2y, c3x, c3y, cda, cdb,
+    x_min, x_res, y_off, y_scale, u_min, uv_max,
+):
+    """Expand per-quad candidate bboxes and solve the barycentric
+    point-in-quad test, in cache-sized chunks of quads (~_CAND_CHUNK
+    candidates each).
+
+    Inputs are compacted per-valid-quad arrays; returns
+    ``(u, v, qh, tri, dj, di)`` over the hits, where ``qh`` indexes the
+    compacted quad arrays and u/v are the clipped barycentric
+    coordinates (triangle B already mirrored to 1-u/1-v).  The math per
+    candidate is the exact expression tree of the monolithic form --
+    chunking only bounds temporary sizes.
+    """
+    counts = ni * nj
+    cum = np.cumsum(counts)
+    nq = len(counts)
+    parts = []
+    qs = 0
+    done = 0
+    while qs < nq:
+        qe = min(int(np.searchsorted(cum, done + _CAND_CHUNK, "left")) + 1,
+                 nq)
+        cc = counts[qs:qe]
+        q_loc = np.repeat(np.arange(qs, qe), cc)
+        n_c = int(cum[qe - 1] - done)
+        offs = np.arange(n_c) - np.repeat(np.cumsum(cc) - cc, cc)
+        rq, cq = np.divmod(offs, ni[q_loc])
+        dj = bj0c[q_loc] + rq
+        di = bi0c[q_loc] + cq
+        dx = x_min + (di + 0.5) * x_res
+        dy = y_off + (dj + 0.5) * y_scale
+        a0x, a0y = c0x[q_loc], c0y[q_loc]
+        a1x, a1y = c1x[q_loc], c1y[q_loc]
+        a2x, a2y = c2x[q_loc], c2y[q_loc]
+        a3x, a3y = c3x[q_loc], c3y[q_loc]
+        da, db = cda[q_loc], cdb[q_loc]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u_a = ((a0x - dx) * (a0y - a2y) - (a0y - dy) * (a0x - a2x)) / da
+            v_a = ((a0y - dy) * (a0x - a1x) - (a0x - dx) * (a0y - a1y)) / da
+            ok_a = ((da != 0.0) & (u_a >= u_min) & (v_a >= u_min)
+                    & (u_a + v_a <= uv_max))
+            u_b = ((a3x - dx) * (a3y - a1y) - (a3y - dy) * (a3x - a1x)) / db
+            v_b = ((a3y - dy) * (a3x - a2x) - (a3x - dx) * (a3y - a2y)) / db
+            ok_b = ((db != 0.0) & (u_b >= u_min) & (v_b >= u_min)
+                    & (u_b + v_b <= uv_max))
+        hit = ok_a | ok_b
+        if hit.any():
+            sel_a = ok_a[hit]
+            u = np.where(sel_a, np.clip(u_a[hit], 0.0, 1.0),
+                         1.0 - np.clip(u_b[hit], 0.0, 1.0))
+            v = np.where(sel_a, np.clip(v_a[hit], 0.0, 1.0),
+                         1.0 - np.clip(v_b[hit], 0.0, 1.0))
+            parts.append((u, v, q_loc[hit],
+                          np.where(sel_a, 0, 1).astype(np.int32),
+                          dj[hit], di[hit]))
+        done += n_c
+        qs = qe
+    if not parts:
+        return None
+    return tuple(
+        np.concatenate([p[k] for p in parts]) for k in range(6)
+    )
+
+
 def scatter_from_coords_tiled(
     coords: DataFrame,
     target_gm: GridMapping,
@@ -956,24 +1062,48 @@ def rectify_fused_tiled(
         p3x, p3y = X[1:, 1:], Y[1:, 1:]
 
         with np.errstate(invalid="ignore"):
-            cx = np.stack([p0x, p1x, p2x, p3x])
-            cy = np.stack([p0y, p1y, p2y, p3y])
-            pi = np.floor((cx - x_min) / x_res)
-            pj = np.floor((cy - y_off) / y_scale)
+            # full-grid pixel coords ONCE, corner views after -- the same
+            # scalar formula per element as the previous per-corner
+            # np.stack form (bit-identical), at 1/4 of the floor/divide
+            # passes and none of the 4x stacked copies
+            PI = np.floor((X - x_min) / x_res)
+            PJ = np.floor((Y - y_off) / y_scale)
+            NANI = np.isnan(PI)
+            NANJ = np.isnan(PJ)
+            PI_inf = np.where(NANI, np.inf, PI)
+            PJ_inf = np.where(NANJ, np.inf, PJ)
+            PI_ninf = np.where(NANI, -np.inf, PI)
+            PJ_ninf = np.where(NANJ, -np.inf, PJ)
+
+            def corners(A):
+                return A[:-1, :-1], A[:-1, 1:], A[1:, :-1], A[1:, 1:]
+
+            def cmin(A):
+                q0, q1, q2, q3 = corners(A)
+                return np.minimum(np.minimum(q0, q1), np.minimum(q2, q3))
+
+            def cmax(A):
+                q0, q1, q2, q3 = corners(A)
+                return np.maximum(np.maximum(q0, q1), np.maximum(q2, q3))
+
             # NaN-cornered quads: finite-corner bbox +1 slack, not the
             # grid edge (see scatter_from_coords_tiled)
-            nan_i = np.isnan(pi).any(0)
-            nan_j = np.isnan(pj).any(0)
-            min_i = np.min(np.where(np.isnan(pi), np.inf, pi), 0)
-            min_j = np.min(np.where(np.isnan(pj), np.inf, pj), 0)
+            q0, q1, q2, q3 = corners(NANI)
+            nan_i = (q0 | q1) | (q2 | q3)
+            q0, q1, q2, q3 = corners(NANJ)
+            nan_j = (q0 | q1) | (q2 | q3)
+            min_i = cmin(PI_inf)
+            min_j = cmin(PJ_inf)
             bi0 = np.clip(min_i, 0, w - 1)
             bj0 = np.clip(min_j, 0, h - 1)
-            fin_i = np.max(np.where(np.isnan(pi), -np.inf, pi), 0)
-            fin_j = np.max(np.where(np.isnan(pj), -np.inf, pj), 0)
+            fin_i = cmax(PI_ninf)
+            fin_j = cmax(PJ_ninf)
+            pimax = cmax(PI)  # NaN propagates, as pi.max(0) did
+            pjmax = cmax(PJ)
             bi1 = np.where(nan_i, np.clip(fin_i + 1, 0, w - 1),
-                           np.clip(pi.max(0), 0, w - 1))
+                           np.clip(pimax, 0, w - 1))
             bj1 = np.where(nan_j, np.clip(fin_j + 1, 0, h - 1),
-                           np.clip(pj.max(0), 0, h - 1))
+                           np.clip(pjmax, 0, h - 1))
             det_a = (p0x - p1x) * (p0y - p2y) - (p0x - p2x) * (p0y - p1y)
             det_b = (p3x - p2x) * (p3y - p1y) - (p3x - p1x) * (p3y - p2y)
             det_a = np.nan_to_num(det_a, nan=0.0)
@@ -994,8 +1124,8 @@ def rectify_fused_tiled(
             # tolerance; +1 absorbs bbox/uv mapping skew.  A fully-NaN
             # quad has ei1 = -inf and fails, as it effectively did
             # before.
-            ei1 = np.where(nan_i, fin_i + 1, pi.max(0))
-            ej1 = np.where(nan_j, fin_j + 1, pj.max(0))
+            ei1 = np.where(nan_i, fin_i + 1, pimax)
+            ej1 = np.where(nan_j, fin_j + 1, pjmax)
             # +2*uv_delta constant: pi/pj are FLOORED, so the true
             # coordinate reach can exceed the integer extent by up to
             # 2*uv_delta; folding it in keeps the cull provably
@@ -1021,63 +1151,41 @@ def rectify_fused_tiled(
         if vq_j.size == 0:
             return empty
 
+        # compacted per-valid-quad arrays (one fancy-index each); the
+        # candidate-level expansion happens inside the chunked helper
         ni = (bi1 - bi0 + 1)[vq_j, vq_i].astype(np.int64)
         nj = (bj1 - bj0 + 1)[vq_j, vq_i].astype(np.int64)
-        counts = ni * nj
-        q_idx = np.repeat(np.arange(vq_j.size), counts)
-        offs = np.arange(counts.sum()) - np.repeat(
-            np.cumsum(counts) - counts, counts
+        res = _chunked_point_in_quad(
+            ni, nj,
+            bj0[vq_j, vq_i].astype(np.int64),
+            bi0[vq_j, vq_i].astype(np.int64),
+            p0x[vq_j, vq_i], p0y[vq_j, vq_i],
+            p1x[vq_j, vq_i], p1y[vq_j, vq_i],
+            p2x[vq_j, vq_i], p2y[vq_j, vq_i],
+            p3x[vq_j, vq_i], p3y[vq_j, vq_i],
+            det_a[vq_j, vq_i], det_b[vq_j, vq_i],
+            x_min, x_res, y_off, y_scale, u_min, uv_max,
         )
-        ni_e = ni[q_idx]
-        dj = (bj0[vq_j, vq_i].astype(np.int64)[q_idx] + offs // ni_e)
-        di = (bi0[vq_j, vq_i].astype(np.int64)[q_idx] + offs % ni_e)
-
-        def at(a):
-            return a[vq_j, vq_i][q_idx]
-
-        dx = x_min + (di + 0.5) * x_res
-        dy = y_off + (dj + 0.5) * y_scale
-        a0x, a0y = at(p0x), at(p0y)
-        a1x, a1y = at(p1x), at(p1y)
-        a2x, a2y = at(p2x), at(p2y)
-        a3x, a3y = at(p3x), at(p3y)
-        da, db = at(det_a), at(det_b)
-
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u_a = ((a0x - dx) * (a0y - a2y) - (a0y - dy) * (a0x - a2x)) / da
-            v_a = ((a0y - dy) * (a0x - a1x) - (a0x - dx) * (a0y - a1y)) / da
-            ok_a = (
-                (da != 0.0) & (u_a >= u_min) & (v_a >= u_min)
-                & (u_a + v_a <= uv_max)
-            )
-            u_b = ((a3x - dx) * (a3y - a1y) - (a3y - dy) * (a3x - a1x)) / db
-            v_b = ((a3y - dy) * (a3x - a2x) - (a3x - dx) * (a3y - a2y)) / db
-            ok_b = (
-                (db != 0.0) & (u_b >= u_min) & (v_b >= u_min)
-                & (u_b + v_b <= uv_max)
-            )
-        hit = ok_a | ok_b
-        if not hit.any():
+        if res is None:
             return empty
-        sel_a = ok_a[hit]
-        u = np.where(sel_a, np.clip(u_a[hit], 0.0, 1.0),
-                     1.0 - np.clip(u_b[hit], 0.0, 1.0))
-        v = np.where(sel_a, np.clip(v_a[hit], 0.0, 1.0),
-                     1.0 - np.clip(v_b[hit], 0.0, 1.0))
-        qj = vq_j[q_idx][hit] + j_lo
-        qi = vq_i[q_idx][hit] + i_lo
-        tri = np.where(sel_a, 0, 1).astype(np.int32)
-        dj_h = dj[hit]
-        di_h = di[hit]
-        # local first-writer-wins before computing values
-        order = np.lexsort((tri, qi, qj, di_h, dj_h))
-        dj_s, di_s = dj_h[order], di_h[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = (dj_s[1:] != dj_s[:-1]) | (di_s[1:] != di_s[:-1])
-        keep = order[first]
+        u, v, qh, tri, dj_h, di_h = res
+        # local first-writer-wins before computing values: min (qj, qi,
+        # tri) per target pixel -- vq_j/vq_i ascend with the compacted
+        # index, so the in-block rank (vq_j * ww + vq_i) orders exactly
+        # as global (qj, qi)
+        keep = _fww_keep(
+            dj_h * w + di_h,
+            (vq_j[qh].astype(np.int64) * ww + vq_i[qh]) * 2 + tri,
+            int(w) * int(h), 2 * hh * ww,
+        )
+        tri = tri[keep]
+        dj_k = dj_h[keep]
+        di_k = di_h[keep]
+        qh_k = qh[keep]
 
         u_k, v_k = u[keep], v[keep]
-        qj_k, qi_k = qj[keep], qi[keep]
+        qj_k = vq_j[qh_k] + j_lo
+        qi_k = vq_i[qh_k] + i_lo
         src_if = qi_k + u_k
         src_jf = qj_k + v_k
         i0 = np.floor(src_if).astype(np.int64)
@@ -1122,12 +1230,12 @@ def rectify_fused_tiled(
             vals = np.trunc(vals)
         vals = np.where(present, vals, fill)  # broadcasts over t
         out = {
-            "dst_blk": (dj_s[first] // DB).astype(np.int32),
-            "dst_j": dj_s[first].astype(np.int32),
-            "dst_i": di_s[first].astype(np.int32),
+            "dst_blk": (dj_k // DB).astype(np.int32),
+            "dst_j": dj_k.astype(np.int32),
+            "dst_i": di_k.astype(np.int32),
             "j0": qj_k.astype(np.int32),
             "i0": qi_k.astype(np.int32),
-            "tri": tri[keep],
+            "tri": tri,
         }
         for k in range(num_t):
             out[f"val_{k}"] = vals[k]
@@ -1179,15 +1287,17 @@ def rectify_fused_tiled(
         if len(real):
             djr = real["dst_j"].to_numpy(np.int64)
             dir_ = real["dst_i"].to_numpy(np.int64)
-            # global first-writer-wins across source blocks
-            order = np.lexsort(
-                (real["tri"].to_numpy(), real["i0"].to_numpy(),
-                 real["j0"].to_numpy(), dir_, djr)
+            # global first-writer-wins across source blocks: min
+            # (j0, i0, tri) per target pixel, packed-key argsort
+            rank = (
+                (real["j0"].to_numpy(np.int64) * src_w
+                 + real["i0"].to_numpy(np.int64)) * 2
+                + real["tri"].to_numpy(np.int64)
             )
-            dj_s, di_s = djr[order], dir_[order]
-            firstm = np.ones(len(order), dtype=bool)
-            firstm[1:] = (dj_s[1:] != dj_s[:-1]) | (di_s[1:] != di_s[:-1])
-            win = order[firstm]
+            win = _fww_keep(
+                djr * w + dir_, rank,
+                int(w) * int(h), 2 * int(src_w) * int(src_h),
+            )
             for k in range(num_t):
                 out[k, djr[win] - j_start, dir_[win]] = (
                     real[f"val_{k}"].to_numpy(np.float64)[win]
