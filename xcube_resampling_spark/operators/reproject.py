@@ -45,6 +45,11 @@ _NOT_IMPLEMENTED_ERROR = (
     "interp_methods must be one of 0, 1, 'nearest', 'bilinear', 'triangular'"
 )
 
+# Target pixels per interpolation chunk in gather_interp_fused's kernel
+# (see rectify._CAND_CHUNK for the measurement rationale: keep the ~50
+# elementwise temporaries cache-resident instead of streaming DRAM).
+_TGT_CHUNK = 1 << 16
+
 _TRANSFORMERS: dict[tuple[str, str], Transformer] = {}
 
 
@@ -620,8 +625,8 @@ def gather_interp_fused(
             sj_lo, sj_n = 0, 1
             V = np.full((num_t, 1, src_w), fill)
 
-        ix = tgt_pdf["ix"].to_numpy(np.float64)
-        iy = tgt_pdf["iy"].to_numpy(np.float64)
+        ix_all = tgt_pdf["ix"].to_numpy(np.float64)
+        iy_all = tgt_pdf["iy"].to_numpy(np.float64)
 
         def corner(sj, si):
             ok = (
@@ -636,37 +641,49 @@ def gather_interp_fused(
             ]
             return np.where(ok[None, :], v, fill)
 
-        if interp_method == "nearest":
-            si = np.rint(ix).astype(np.int64)
-            sj = np.rint(iy).astype(np.int64)
-            out = corner(sj, si)
-        else:
-            i0 = np.floor(ix).astype(np.int64)
-            i1 = np.ceil(ix).astype(np.int64)
-            j0 = np.floor(iy).astype(np.int64)
-            j1 = np.ceil(iy).astype(np.int64)
-            fx = ix - i0
-            fy = iy - j0
-            v00 = corner(j0, i0)
-            v01 = corner(j0, i1)
-            v10 = corner(j1, i0)
-            v11 = corner(j1, i1)
-            if interp_method == "bilinear":
-                vu0 = v00 + fx * (v01 - v00)
-                vu1 = v10 + fx * (v11 - v10)
-                out = vu0 + fy * (vu1 - vu0)
-            else:  # triangular (reference reproject.py:285-314)
-                closest = v00 + fx * (v01 - v00) + fy * (v10 - v00)
-                opposite = (
-                    v11 + (1.0 - fx) * (v10 - v11)
-                    + (1.0 - fy) * (v01 - v11)
-                )
-                out = np.where(fx + fy < 1.0, closest, opposite)
-            # parity with _gather_interp: the int cast applies only to
-            # interpolated (blended) outputs; nearest returns the stored
-            # value unchanged
-            if is_int:
-                out = np.trunc(out)
+        # cache-sized target chunks into a preallocated output: the
+        # bilinear path streams ~50 elementwise passes per pixel, so
+        # chunking keeps every temporary L2/L3-resident instead of
+        # round-tripping DRAM (same win as rectify's _CAND_CHUNK;
+        # elementwise IEEE math is bit-identical under chunking, and
+        # writing out[:, s:e] preserves the exact output row order)
+        out = np.empty((num_t, len(ix_all)))
+        for s in range(0, len(ix_all), _TGT_CHUNK):
+            e = min(s + _TGT_CHUNK, len(ix_all))
+            ix = ix_all[s:e]
+            iy = iy_all[s:e]
+            if interp_method == "nearest":
+                si = np.rint(ix).astype(np.int64)
+                sj = np.rint(iy).astype(np.int64)
+                o = corner(sj, si)
+            else:
+                i0 = np.floor(ix).astype(np.int64)
+                i1 = np.ceil(ix).astype(np.int64)
+                j0 = np.floor(iy).astype(np.int64)
+                j1 = np.ceil(iy).astype(np.int64)
+                fx = ix - i0
+                fy = iy - j0
+                v00 = corner(j0, i0)
+                v01 = corner(j0, i1)
+                v10 = corner(j1, i0)
+                v11 = corner(j1, i1)
+                if interp_method == "bilinear":
+                    vu0 = v00 + fx * (v01 - v00)
+                    vu1 = v10 + fx * (v11 - v10)
+                    o = vu0 + fy * (vu1 - vu0)
+                else:  # triangular (reference reproject.py:285-314)
+                    closest = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                    opposite = (
+                        v11 + (1.0 - fx) * (v10 - v11)
+                        + (1.0 - fy) * (v01 - v11)
+                    )
+                    o = np.where(fx + fy < 1.0, closest, opposite)
+                # parity with _gather_interp: the int cast applies only
+                # to interpolated (blended) outputs; nearest returns the
+                # stored value unchanged
+                if is_int:
+                    o = np.trunc(o)
+            out[:, s:e] = o
 
         tj = tgt_pdf["j"].to_numpy(np.int32)
         ti = tgt_pdf["i"].to_numpy(np.int32)
