@@ -782,3 +782,77 @@ class TestOffTargetQuadSkew:
         assert same.all(), int((~same).sum())
         # and the target is not all-fill: real data landed
         assert np.isfinite(b).sum() > 0
+
+
+class TestKernelChunkingInternals:
+    """Round-14 kernel rewrite: the chunked candidate pipeline and the
+    packed-key first-writer-wins are internal restructurings of the
+    fused scatter kernel; their outputs must be invariant to the chunk
+    size and the packed argsort must agree with a brute-force winner
+    scan (the Spark-level fused-vs-unfused equivalence lives in
+    TestRectifyFused)."""
+
+    def test_fww_keep_matches_bruteforce_both_paths(self):
+        from xcube_resampling_spark.operators.rectify import _fww_keep
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        # distinct (pix, rank) pairs with heavy pix ties, shuffled
+        pix = rng.integers(0, 60, 4 * n).astype(np.int64)
+        rank = rng.integers(0, 10_000, 4 * n).astype(np.int64)
+        _, uniq = np.unique(pix * 10_000 + rank, return_index=True)
+        keep_src = rng.permutation(uniq)[:n]
+        pix, rank = pix[keep_src], rank[keep_src]
+
+        def brute(pix, rank):
+            out = {}
+            for idx in range(len(pix)):
+                p, r = int(pix[idx]), int(rank[idx])
+                if p not in out or r < out[p][0]:
+                    out[p] = (r, idx)
+            return {p: i for p, (r, i) in out.items()}
+
+        expect = brute(pix, rank)
+        # packed single-key path (spans fit in int64)
+        got = _fww_keep(pix, rank, 60, 10_000)
+        assert len(got) == len(expect)
+        assert {int(pix[i]): int(i) for i in got} == expect
+        # lexsort fallback path (same inputs, spans forced to overflow)
+        got_fb = _fww_keep(pix, rank, 1 << 40, 1 << 40)
+        assert sorted(got_fb.tolist()) == sorted(got.tolist())
+
+    def test_chunked_point_in_quad_chunk_invariance(self, monkeypatch):
+        import xcube_resampling_spark.operators.rectify as R
+
+        rng = np.random.default_rng(11)
+        nq = 500
+        # quads ~ unit squares jittered over a 40x40 target px grid
+        ox = rng.uniform(0, 38, nq)
+        oy = rng.uniform(0, 38, nq)
+        jx = lambda: rng.normal(0, 0.08, nq)
+        c0x, c0y = ox + jx(), oy + jx()
+        c1x, c1y = ox + 1 + jx(), oy + jx()
+        c2x, c2y = ox + jx(), oy + 1 + jx()
+        c3x, c3y = ox + 1 + jx(), oy + 1 + jx()
+        cda = (c0x - c1x) * (c0y - c2y) - (c0x - c2x) * (c0y - c1y)
+        cdb = (c3x - c2x) * (c3y - c1y) - (c3x - c1x) * (c3y - c2y)
+        bi0c = np.clip(np.floor(np.minimum.reduce([c0x, c1x, c2x, c3x])),
+                       0, 39).astype(np.int64)
+        bj0c = np.clip(np.floor(np.minimum.reduce([c0y, c1y, c2y, c3y])),
+                       0, 39).astype(np.int64)
+        bi1c = np.clip(np.floor(np.maximum.reduce([c0x, c1x, c2x, c3x])),
+                       0, 39).astype(np.int64)
+        bj1c = np.clip(np.floor(np.maximum.reduce([c0y, c1y, c2y, c3y])),
+                       0, 39).astype(np.int64)
+        ni = bi1c - bi0c + 1
+        nj = bj1c - bj0c + 1
+        args = (ni, nj, bj0c, bi0c, c0x, c0y, c1x, c1y, c2x, c2y,
+                c3x, c3y, cda, cdb, 0.0, 1.0, 0.0, 1.0, -1e-3, 1.0 + 2e-3)
+        ref = R._chunked_point_in_quad(*args)
+        assert ref is not None and len(ref[0]) > 0
+        for chunk in (1, 7, 64):
+            monkeypatch.setattr(R, "_CAND_CHUNK", chunk)
+            got = R._chunked_point_in_quad(*args)
+            for a, b in zip(ref, got):
+                assert a.dtype == b.dtype
+                assert np.array_equal(a, b, equal_nan=True)

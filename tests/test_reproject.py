@@ -374,6 +374,65 @@ class TestGatherInterpFused:
         assert same.all(), int((~same).sum())
 
 
+    def test_matches_join_gather_across_chunk_boundary(self, spark):
+        """Round-14 kernel rewrite: the fused kernel interpolates target
+        pixels in _TGT_CHUNK-sized chunks; a single cogroup holding MORE
+        than one chunk of target pixels (~90k > 65536) must still be
+        value-identical to the join+pivot reference."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from xcube_resampling_spark.operators.reproject import (
+            _TGT_CHUNK,
+            _gather_interp,
+            gather_interp_fused,
+        )
+
+        rng = np.random.default_rng(29)
+        src_w, src_h = 64, 48
+        jj, ii = np.meshgrid(
+            np.arange(src_h), np.arange(src_w), indexing="ij"
+        )
+        val = rng.normal(size=jj.shape)
+        val[7, 9] = np.nan
+        src = spark.createDataFrame(pd.DataFrame(
+            {
+                "t": np.zeros(jj.size, "int32"),
+                "j": jj.ravel().astype("int32"),
+                "i": ii.ravel().astype("int32"),
+                "value": val.ravel(),
+            }
+        ))
+        tw, th = 310, 300
+        assert tw * th > _TGT_CHUNK
+        tjj, tii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        ix = 0.2 * tii + 0.05 * np.sin(tjj * 0.1) - 1.0
+        iy = 0.16 * tjj + 0.07 * np.cos(tii * 0.1) - 1.0
+        grid2d = spark.createDataFrame(pd.DataFrame(
+            {
+                "j": tjj.ravel().astype("int32"),
+                "i": tii.ravel().astype("int32"),
+                "ix": ix.ravel(),
+                "iy": iy.ravel(),
+            }
+        ))
+        ref = _gather_interp(
+            grid2d, src, spark, (src_w, src_h), 1, "bilinear",
+            float("nan"), False,
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        # block_rows = src_h: ONE cogroup -> all ~93k targets in one
+        # kernel call -> multiple chunks
+        got = gather_interp_fused(
+            grid2d, src, spark, (src_w, src_h), 1, "bilinear",
+            float("nan"), False, block_rows=src_h,
+        ).toPandas().sort_values(["t", "j", "i"]).reset_index(drop=True)
+        assert len(ref) == len(got) == tw * th
+        a = ref["value"].to_numpy()
+        b = got["value"].to_numpy()
+        same = (np.isnan(a) & np.isnan(b)) | (a == b)
+        assert same.all(), int((~same).sum())
+
+
 def test_gather_interp_fused_two_shuffle_plan(spark):
     """The cogrouped gather's physical plan contains exactly TWO exchanges
     (source rows and target-index rows each bucketed once by block) -- no
