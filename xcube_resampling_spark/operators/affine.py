@@ -500,13 +500,33 @@ def gather_fused(
                 for k in range(num_t)
             ]
         )
+    # Routing shuffle byte-packing (guide section 2.3, the rectify /
+    # reproject pattern): per-t presence booleans travel as ONE
+    # bit-packed int64 (bool-column fallback above 62 t-slices), and
+    # (j, i) travel as ONE packed int64 below -- each UnsafeRow
+    # fixed-width field is an 8-byte slot either way.
+    packed_pres = num_t <= 62
+    if packed_pres:
+        pres_cols = [
+            sum(
+                (
+                    F.when(F.col(f"val_{k}").isNotNull(),
+                           F.lit(1 << k).cast("bigint"))
+                    .otherwise(F.lit(0).cast("bigint"))
+                    for k in range(num_t)
+                ),
+                start=F.lit(0).cast("bigint"),
+            ).alias("pres")
+        ]
+    else:
+        pres_cols = [
+            F.col(f"val_{k}").isNotNull().alias(f"pres_{k}")
+            for k in range(num_t)
+        ]
     vals = vals.select(
         "j", "i",
         *[F.col(f"val_{k}") for k in range(num_t)],
-        *[
-            F.col(f"val_{k}").isNotNull().alias(f"pres_{k}")
-            for k in range(num_t)
-        ],
+        *pres_cols,
     )
 
     # target-block routing: source row sj can be referenced by grid rows
@@ -523,25 +543,34 @@ def gather_fused(
         F.ceil((jj_hi - p_j) / k_j).cast("int"), F.lit(h - 1)
     )
     routed = vals.filter(g_hi >= g_lo).select(
-        "*",
+        (F.col("j").cast("bigint") * F.lit(1 << 31).cast("bigint")
+         + F.col("i")).alias("sp"),
+        *[F.col(f"val_{k}") for k in range(num_t)],
+        *([F.col("pres")] if packed_pres
+          else [F.col(f"pres_{k}") for k in range(num_t)]),
         F.explode(
             F.sequence(
                 (g_lo / B).cast("int"), (g_hi / B).cast("int")
             )
         ).alias("blk"),
     )
+    # sp = -1 marks the sentinel; non-NULL long literals keep the pandas
+    # sp / pres columns int64 (a NULL would widen them to float64, which
+    # cannot represent a packed 62-bit key exactly)
     sentinels = spark.range(n_blk).select(
         F.col("id").cast("int").alias("blk"),
-        F.lit(None).cast("int").alias("j"),
-        F.lit(None).cast("int").alias("i"),
+        F.lit(-1).cast("bigint").alias("sp"),
         *[
             F.lit(None).cast("double").alias(f"val_{k}")
             for k in range(num_t)
         ],
-        *[
-            F.lit(None).cast("boolean").alias(f"pres_{k}")
-            for k in range(num_t)
-        ],
+        *(
+            [F.lit(0).cast("bigint").alias("pres")] if packed_pres
+            else [
+                F.lit(None).cast("boolean").alias(f"pres_{k}")
+                for k in range(num_t)
+            ]
+        ),
     )
 
     out_schema = T.StructType(
@@ -561,17 +590,24 @@ def gather_fused(
         bb = int(key[0])
         j_start = bb * B
         rows_h = min(B, h - j_start)
-        real = pdf[pdf["j"].notna()]
+        real = pdf[pdf["sp"].to_numpy() >= 0]
         if len(real):
-            sj_arr = real["j"].to_numpy(np.int64)
-            si_arr = real["i"].to_numpy(np.int64)
+            sp = real["sp"].to_numpy(np.int64)
+            sj_arr = sp >> 31
+            si_arr = sp & 0x7FFFFFFF
             sj_lo = int(sj_arr.min())
             sj_n = int(sj_arr.max()) - sj_lo + 1
             V = np.full((num_t, sj_n, src_w), fill)
+            if packed_pres:
+                pres_bits = real["pres"].to_numpy(np.int64)
             for k in range(num_t):
                 v = real[f"val_{k}"].to_numpy(np.float64)
-                p_raw = real[f"pres_{k}"].to_numpy()
-                p = np.where(pd.isna(p_raw), False, p_raw).astype(bool)
+                if packed_pres:
+                    p = ((pres_bits >> k) & 1).astype(bool)
+                else:
+                    p_raw = real[f"pres_{k}"].to_numpy()
+                    p = np.where(
+                        pd.isna(p_raw), False, p_raw).astype(bool)
                 V[k, sj_arr - sj_lo, si_arr] = np.where(p, v, fill)
         else:
             sj_lo, sj_n = 0, 1

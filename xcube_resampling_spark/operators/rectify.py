@@ -881,15 +881,22 @@ def gather_var(
 def _fused_match_schema(num_t: int) -> T.StructType:
     """Per-t values travel as WIDE double columns (val_0..val_{n-1}), not an
     array column: Arrow list columns cost a Python object per row on the
-    pandas side, wide columns are zero-copy numpy views."""
+    pandas side, wide columns are zero-copy numpy views.
+
+    Shuffle fewer bytes (guide section 2.3): the candidate shuffle is the
+    bigger of the fused path's two exchanges (one row per surviving
+    candidate), and every decision downstream needs only the target pixel
+    id and the first-writer-wins rank -- so (dst_j, dst_i) travel as ONE
+    packed int64 ``pix`` = dst_j * w + dst_i and (j0, i0, tri) as ONE
+    packed int64 ``rank`` = (j0 * src_w + i0) * 2 + tri (exactly the key
+    the densify kernel fed to _fww_keep anyway).  5 int fields -> 2 long
+    fields; UnsafeRow stores each fixed-width field in an 8-byte slot, so
+    this is 3 fewer words per candidate row on the wire."""
     return T.StructType(
         [
             T.StructField("dst_blk", T.IntegerType(), False),
-            T.StructField("dst_j", T.IntegerType(), False),
-            T.StructField("dst_i", T.IntegerType(), False),
-            T.StructField("j0", T.IntegerType(), False),
-            T.StructField("i0", T.IntegerType(), False),
-            T.StructField("tri", T.IntegerType(), False),
+            T.StructField("pix", T.LongType(), False),
+            T.StructField("rank", T.LongType(), False),
         ]
         + [
             T.StructField(f"val_{k}", T.DoubleType(), True)
@@ -1010,11 +1017,35 @@ def rectify_fused_tiled(
 
     match_schema = _fused_match_schema(num_t)
 
+    # Routing shuffle byte-packing (guide section 2.3, same shape as
+    # reproject's gather cogroup): (j, i) travel as ONE packed int64
+    # (both non-negative 32-bit, integer-exact, kernel decode is two
+    # shifts) and the per-t presence booleans as ONE bit-packed int64
+    # (bool-column fallback above 62 t-slices) -- each UnsafeRow
+    # fixed-width field is an 8-byte slot, so this is 1 + (num_t - 1)
+    # fewer words per routed source row.
+    packed_pres = num_t <= 62
     b = F.floor(F.col("j") / B).cast("int")
+    if packed_pres:
+        pres_cols = [
+            sum(
+                (
+                    F.when(F.col(f"pres_{k}"),
+                           F.lit(1 << k).cast("bigint"))
+                    .otherwise(F.lit(0).cast("bigint"))
+                    for k in range(num_t)
+                ),
+                start=F.lit(0).cast("bigint"),
+            ).alias("pres")
+        ]
+    else:
+        pres_cols = [F.col(f"pres_{k}") for k in range(num_t)]
     blocks = fused.select(
-        "j", "i", "x", "y",
+        (F.col("j").cast("bigint") * F.lit(1 << 31).cast("bigint")
+         + F.col("i")).alias("sp"),
+        "x", "y",
         *[F.col(f"val_{k}") for k in range(num_t)],
-        *[F.col(f"pres_{k}") for k in range(num_t)],
+        *pres_cols,
         F.explode(
             F.when(
                 (F.col("j") % B < 2) & (F.col("j") >= B),
@@ -1032,8 +1063,9 @@ def rectify_fused_tiled(
         if len(pdf) == 0:
             return empty
         blk = int(key[0])
-        j_arr = pdf["j"].to_numpy(np.int64)
-        i_arr = pdf["i"].to_numpy(np.int64)
+        sp = pdf["sp"].to_numpy(np.int64)
+        j_arr = sp >> 31
+        i_arr = sp & 0x7FFFFFFF
         j_lo, i_lo = j_arr.min(), i_arr.min()
         hh = int(j_arr.max() - j_lo + 1)
         ww = int(i_arr.max() - i_lo + 1)
@@ -1047,14 +1079,18 @@ def rectify_fused_tiled(
         P = np.zeros((num_t, hh, ww), dtype=bool)
         X[j_arr - j_lo, i_arr - i_lo] = pdf["x"].to_numpy(np.float64)
         Y[j_arr - j_lo, i_arr - i_lo] = pdf["y"].to_numpy(np.float64)
+        if packed_pres:
+            pres_bits = pdf["pres"].to_numpy(np.int64)
         for k in range(num_t):
             V[k, j_arr - j_lo, i_arr - i_lo] = (
                 pdf[f"val_{k}"].to_numpy(np.float64)
             )
-            p_raw = pdf[f"pres_{k}"].to_numpy()
-            P[k, j_arr - j_lo, i_arr - i_lo] = np.where(
-                pd.isna(p_raw), False, p_raw
-            ).astype(bool)
+            if packed_pres:
+                p = ((pres_bits >> k) & 1).astype(bool)
+            else:
+                p_raw = pdf[f"pres_{k}"].to_numpy()
+                p = np.where(pd.isna(p_raw), False, p_raw).astype(bool)
+            P[k, j_arr - j_lo, i_arr - i_lo] = p
 
         p0x, p0y = X[:-1, :-1], Y[:-1, :-1]
         p1x, p1y = X[:-1, 1:], Y[:-1, 1:]
@@ -1231,11 +1267,12 @@ def rectify_fused_tiled(
         vals = np.where(present, vals, fill)  # broadcasts over t
         out = {
             "dst_blk": (dj_k // DB).astype(np.int32),
-            "dst_j": dj_k.astype(np.int32),
-            "dst_i": di_k.astype(np.int32),
-            "j0": qj_k.astype(np.int32),
-            "i0": qi_k.astype(np.int32),
-            "tri": tri,
+            # packed shuffle fields (see _fused_match_schema): pix is
+            # the target pixel id, rank the global FWW key the densify
+            # kernel previously recomputed from (j0, i0, tri)
+            "pix": (dj_k.astype(np.int64) * w + di_k).astype(np.int64),
+            "rank": ((qj_k.astype(np.int64) * src_w + qi_k) * 2
+                     + tri).astype(np.int64),
         }
         for k in range(num_t):
             out[f"val_{k}"] = vals[k]
@@ -1268,8 +1305,10 @@ def rectify_fused_tiled(
     n_blk = (h + DB - 1) // DB
     sentinels = spark.range(n_blk).select(
         F.col("id").cast("int").alias("dst_blk"),
-        F.lit(-1).alias("dst_j"), F.lit(-1).alias("dst_i"),
-        F.lit(0).alias("j0"), F.lit(0).alias("i0"), F.lit(0).alias("tri"),
+        # pix = -1 marks the sentinel (a long-typed literal keeps the
+        # pandas column int64 -- never NULL, so no float64 widening)
+        F.lit(-1).cast("bigint").alias("pix"),
+        F.lit(0).cast("bigint").alias("rank"),
         *[
             F.lit(None).cast("double").alias(f"val_{k}")
             for k in range(num_t)
@@ -1283,19 +1322,16 @@ def rectify_fused_tiled(
         j_start = bb * DB
         rows_h = min(DB, h - j_start)
         out = np.full((num_t, rows_h, w), fill)
-        real = pdf[pdf["dst_i"].to_numpy() >= 0]
+        real = pdf[pdf["pix"].to_numpy() >= 0]
         if len(real):
-            djr = real["dst_j"].to_numpy(np.int64)
-            dir_ = real["dst_i"].to_numpy(np.int64)
+            pix = real["pix"].to_numpy(np.int64)
+            djr = pix // w
+            dir_ = pix - djr * w
             # global first-writer-wins across source blocks: min
-            # (j0, i0, tri) per target pixel, packed-key argsort
-            rank = (
-                (real["j0"].to_numpy(np.int64) * src_w
-                 + real["i0"].to_numpy(np.int64)) * 2
-                + real["tri"].to_numpy(np.int64)
-            )
+            # (j0, i0, tri) per target pixel -- the shuffled rank IS
+            # that packed key (see _fused_match_schema)
             win = _fww_keep(
-                djr * w + dir_, rank,
+                pix, real["rank"].to_numpy(np.int64),
                 int(w) * int(h), 2 * int(src_w) * int(src_h),
             )
             for k in range(num_t):

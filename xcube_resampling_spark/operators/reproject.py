@@ -553,14 +553,38 @@ def gather_interp_fused(
                 for k in range(num_t)
             ]
         )
+    # Shuffle fewer bytes (the cogroup stage is shuffle-bound at 100x:
+    # 3.7 GB read + sort + Arrow ser/deser dominate its 160-225 s JVM
+    # CPU): (j, i) travel as ONE packed int64 (j * 2^31 + i -- both are
+    # non-negative 32-bit ints, so the packing is integer-exact and the
+    # kernel decode is two shifts), and the per-t presence booleans
+    # travel as ONE bit-packed int64 instead of num_t boolean columns
+    # (bool-column fallback above 62 t-slices).  One fewer field on the
+    # target rows, 1 + num_t fewer on the source rows.
+    packed_pres = num_t <= 62
     b = F.floor(F.col("j") / B).cast("int")
-    src_b = vals.select(
-        "j", "i",
-        *[F.col(f"val_{k}") for k in range(num_t)],
-        *[
+    if packed_pres:
+        pres_cols = [
+            sum(
+                (
+                    F.when(F.col(f"val_{k}").isNotNull(),
+                           F.lit(1 << k).cast("bigint"))
+                    .otherwise(F.lit(0).cast("bigint"))
+                    for k in range(num_t)
+                ),
+                start=F.lit(0).cast("bigint"),
+            ).alias("pres")
+        ]
+    else:
+        pres_cols = [
             F.col(f"val_{k}").isNotNull().alias(f"pres_{k}")
             for k in range(num_t)
-        ],
+        ]
+    src_b = vals.select(
+        (F.col("j").cast("bigint") * F.lit(1 << 31).cast("bigint")
+         + F.col("i")).alias("sp"),
+        *[F.col(f"val_{k}") for k in range(num_t)],
+        *pres_cols,
         F.explode(
             F.when(
                 (F.col("j") % B == 0) & (F.col("j") >= B),
@@ -582,7 +606,9 @@ def gather_interp_fused(
     n_blk = max(1, -(-src_h // B))
     iy_in = (F.col("iy") > F.lit(-1.0)) & (F.col("iy") < F.lit(float(src_h)))
     tgt_b = grid2d.select(
-        "j", "i", "ix", "iy",
+        (F.col("j").cast("bigint") * F.lit(1 << 31).cast("bigint")
+         + F.col("i")).alias("tp"),
+        "ix", "iy",
         F.when(
             iy_in,
             (F.least(
@@ -611,15 +637,22 @@ def gather_interp_fused(
                 {f.name: [] for f in out_schema.fields}
             )
         if len(src_pdf):
-            sj_arr = src_pdf["j"].to_numpy(np.int64)
-            si_arr = src_pdf["i"].to_numpy(np.int64)
+            sp = src_pdf["sp"].to_numpy(np.int64)
+            sj_arr = sp >> 31
+            si_arr = sp & 0x7FFFFFFF
             sj_lo = int(sj_arr.min())
             sj_n = int(sj_arr.max()) - sj_lo + 1
             V = np.full((num_t, sj_n, src_w), fill)
+            if packed_pres:
+                pres_bits = src_pdf["pres"].to_numpy(np.int64)
             for k in range(num_t):
                 v = src_pdf[f"val_{k}"].to_numpy(np.float64)
-                p_raw = src_pdf[f"pres_{k}"].to_numpy()
-                p = np.where(pd.isna(p_raw), False, p_raw).astype(bool)
+                if packed_pres:
+                    p = ((pres_bits >> k) & 1).astype(bool)
+                else:
+                    p_raw = src_pdf[f"pres_{k}"].to_numpy()
+                    p = np.where(
+                        pd.isna(p_raw), False, p_raw).astype(bool)
                 V[k, sj_arr - sj_lo, si_arr] = np.where(p, v, fill)
         else:
             sj_lo, sj_n = 0, 1
@@ -685,8 +718,9 @@ def gather_interp_fused(
                     o = np.trunc(o)
             out[:, s:e] = o
 
-        tj = tgt_pdf["j"].to_numpy(np.int32)
-        ti = tgt_pdf["i"].to_numpy(np.int32)
+        tp = tgt_pdf["tp"].to_numpy(np.int64)
+        tj = (tp >> 31).astype(np.int32)
+        ti = (tp & 0x7FFFFFFF).astype(np.int32)
         return pd.DataFrame(
             {
                 "t": np.repeat(np.arange(num_t, dtype=np.int32), n_tgt),
